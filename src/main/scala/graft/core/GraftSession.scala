@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Local mode is the test bed; the conf is chosen so the same logical plans
+  * survive a 1000-executor cluster: AQE on (runtime re-plan, skew-join
+  * handling, partition coalescing), broadcast threshold at Spark's default
+  * (dim tables region/nation/supplier stay broadcast-able at any SF because
+  * they scale sub-linearly), shuffle partitions sized to the local core
+  * count rather than the 200 default.
+  */
+object GraftSession {
+
+  /** Apply engine-wide conf to any builder (local or cluster). */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Parquet scan efficiency: vectorized reader + pushdown are Spark
+    // defaults, pinned here so a cluster-side conf override can't silently
+    // regress the scan path.
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.parquet.enableVectorizedReader", "true")
+
+  /** Local session: one JVM, `cores` executor threads. */
+  def local(appName: String = "graft",
+            cores: Int = Runtime.getRuntime.availableProcessors(),
+            shufflePartitions: Int = 32): SparkSession = {
+    val s = tuned(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing.
+  *
+  * The dedup/minhash/simhash operators need a hash function whose exact
+  * values can be reproduced by the DuckDB oracle (so signatures — not just
+  * downstream pair sets — are differentially testable). Spark's `hash()` /
+  * `xxhash64()` have no DuckDB equivalent, so we derive a 60-bit integer
+  * from the first 15 hex chars of md5: identical bytes on any engine.
+  *
+  * Spark:  conv(substring(md5(s), 1, 15), 16, 10) :: long
+  * DuckDB: ('0x' || substr(md5(s), 1, 15)) :: BIGINT
+  *
+  * All composite hashes stay below 2^63 by reducing into the Mersenne-ish
+  * prime field MOD = 1e9+7 before multiplying (a*h+b < 9e17 « Long.Max).
+  */
+object PortableHash {
+  val MOD: Long = 1000000007L
+
+  /** 60-bit md5-derived hash of a string column (non-negative). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Hash reduced into the MOD field — safe to combine multiplicatively. */
+  def hashMod(c: Column): Column = hash60(c) % lit(MOD)
+
+  /** The i-th universal hash h_i(x) = (a_i * x + b_i) mod MOD over a
+    * pre-reduced value x (= hashMod output). Coefficients are fixed odd
+    * constants so the oracle can embed the identical family. */
+  def affine(i: Int)(x: Column): Column =
+    (lit(minhashA(i)) * x + lit(minhashB(i))) % lit(MOD)
+
+  /** Deterministic coefficient families (derived from small primes;
+    * values < 9e8 so a*x never overflows a long). */
+  def minhashA(i: Int): Long = 374761393L + 668265263L * i % 900000000L
+  def minhashB(i: Int): Long = 130899L + 2654435761L * i % 900000000L
+
+  /** DuckDB SQL fragment computing hash60 of expression `e`. */
+  def duckHash60(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+  def duckHashMod(e: String): String = s"(${duckHash60(e)} % $MOD)"
+
+  def duckAffine(i: Int)(x: String): String =
+    s"((${minhashA(i)} * $x + ${minhashB(i)}) % $MOD)"
+}

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's scalar operator surface as native Catalyst column
+  * expressions (codegen'd — no UDFs).
+  *
+  * Reference: `Streamer.java:166-205` defines four `BiFunction<Integer,
+  * Integer,Integer>` stage functions dispatched by name, always invoked as
+  * `f(value, 1)` (`Streamer.java:317,328` — "second operator is always 1").
+  * We expose both the literal reference semantics (`xxxRef`, operand fixed
+  * to 1) and the obvious generalization over an arbitrary operand.
+  *
+  * Integer semantics match Java: 32-bit wrap-around on overflow, and
+  * `power` truncates `Math.pow`'s double result via `(int)` cast
+  * (`Streamer.java:170-172`), i.e. trunc-toward-zero, which is exactly
+  * Spark's double→int cast.
+  */
+object RefFunctions {
+
+  /** adder: value + operand (`Streamer.java:166-168`). */
+  def adder(value: Column, operand: Column): Column =
+    (value.cast("int") + operand.cast("int")).cast("int")
+
+  /** power: (int) Math.pow(value, operand) (`Streamer.java:170-172`). */
+  def power(value: Column, operand: Column): Column =
+    pow(value.cast("int").cast("double"), operand.cast("int").cast("double"))
+      .cast("int")
+
+  /** diff: value - operand (`Streamer.java:174-176`). */
+  def diff(value: Column, operand: Column): Column =
+    (value.cast("int") - operand.cast("int")).cast("int")
+
+  /** identity: value, also the fallback for unknown op names
+    * (`Streamer.java:178-180,200-203`). */
+  def identityOp(value: Column): Column = value.cast("int")
+
+  /** Literal reference semantics: f(value, 1) (`Streamer.java:328`). */
+  def adderRef(value: Column): Column = adder(value, lit(1))
+  def powerRef(value: Column): Column = power(value, lit(1))
+  def diffRef(value: Column): Column = diff(value, lit(1))
+
+  /** Name dispatch, mirroring `parse_function` (`Streamer.java:186-205`):
+    * unknown names fall back to identity. */
+  def byName(name: String)(value: Column, operand: Column): Column =
+    name match {
+      case "adder" => adder(value, operand)
+      case "power" => power(value, operand)
+      case "diff"  => diff(value, operand)
+      case _       => identityOp(value)
+    }
+
+  val knownOps: Set[String] = Set("adder", "power", "diff", "identity")
+
+  /** The reference's partition-affine key scheme: `"Key" + (i % P)`
+    * (`Producer.java:74`). */
+  def refKey(i: Column, partitions: Int): Column =
+    concat(lit("Key"), (i % lit(partitions)).cast("string"))
+
+  /** State-map serialization compatible with `mapToString`
+    * (`Streamer.java:552-570`): `k1=v1&k2=v2`, entries sorted for
+    * determinism (the reference iterates HashMap order; we pin sorted). */
+  def stateToString(m: Column): Column =
+    concat_ws("&", array_sort(transform(map_entries(m),
+      e => concat(e.getField("key"), lit("="), e.getField("value")))))
+
+  /** Inverse of [[stateToString]], compatible with `stringToMap`
+    * (`Streamer.java:572-591`): Spark's built-in `str_to_map`. */
+  def stringToState(s: Column): Column = str_to_map(s, lit("&"), lit("="))
+}

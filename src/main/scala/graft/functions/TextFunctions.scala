@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface
+  * (SURVEY.md §2.B "LLM-data-pipeline extensions").
+  *
+  * Everything here is built from codegen'd Catalyst built-ins (split,
+  * higher-order functions, regexp) — no UDFs — so the expressions stay
+  * inside whole-stage codegen and scale linearly with input bytes.
+  */
+object TextFunctions {
+  import PortableHash._
+
+  /** Whitespace tokenization with empty tokens dropped (matches the
+    * oracle's string_split_regex + filter). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Distinct sorted token set — the unit for Jaccard similarity. */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  /** Word n-gram shingles: sliding windows of n consecutive tokens joined
+    * by a single space. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    filter(
+      transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
+        i => array_join(slice(ts, i + 1, lit(n)), " ")),
+      s => s =!= lit(""))
+  }
+
+  /** Exact Jaccard similarity of two token-set arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash signature entry i over a token array: min over tokens of the
+    * i-th universal hash of the token's portable hash. NULL for empty docs. */
+  def minhashSig(toks: Column, i: Int): Column =
+    array_min(transform(toks, w => affine(i)(hashMod(w))))
+
+  /** Full k-entry MinHash signature as an array column. */
+  def minhashSignature(toks: Column, k: Int): Column =
+    array((0 until k).map(i => minhashSig(toks, i)): _*)
+
+  /** bits-wide SimHash over a token array: bit j is set iff the sum of
+    * (+1/-1) contributions of bit j of each token hash is positive.
+    * Duplicate tokens contribute per occurrence (standard SimHash). */
+  def simhash(toks: Column, bits: Int): Column = {
+    val hs = transform(toks, w => hashMod(w))
+    (0 until bits).map { j =>
+      val bitSum = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (popcount of xor). */
+  def hamming(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map(j => (shiftright(a.bitwiseXOR(b), j) % 2).cast("int")).reduce(_ + _)
+
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * acc' = (acc * 31 + hashMod(token)) mod MOD. Order-sensitive — equal
+    * fingerprints ⇒ (w.h.p.) equal token streams. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => (acc * 31L + hashMod(w)) % lit(MOD))
+
+  /** Language-ID by stopword evidence: per language, count occurrences of
+    * its marker words among the tokens; predict the argmax (ties broken
+    * alphabetically, "und" when no evidence). N-gram-free heuristic that
+    * an oracle can reproduce exactly. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他"))
+
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    markers.map(m => size(filter(toks, t => t === lit(m)))).reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.map { case (lang, ms) => (lang, langScore(toks, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // alphabetical-first argmax: pick the first lang whose score == best
+    val pick = scored.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality-scoring feature columns over a text column. */
+  def nWords(text: Column): Column = size(tokens(text))
+  def avgWordLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ts))
+  }
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val stops = Seq("the", "a", "of", "and", "is", "to", "in")
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      stops.map(s => size(filter(ts, t => t === lit(s)))).reduce(_ + _)
+        .cast("double") / size(ts))
+  }
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[^\\p{Alnum}\\s]", "")))
+        .cast("double") / length(text))
+
+  /** BPE-ish token count: alpha runs, single digits, or single symbols —
+    * a cheap proxy for subword token counting. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float|double>` columns, built on
+  * Spark's higher-order functions so they stay codegen-friendly and never
+  * leave the JVM row pipeline. Inputs are cast to double once; all
+  * reductions are sequential left-to-right (stable across engines, which
+  * the DuckDB differential oracle relies on).
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm2(a) * norm2(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Element-wise sum of two vectors (for centroid aggregation). */
+  def add(a: Column, b: Column): Column =
+    zip_with(asDouble(a), asDouble(b), (x, y) => x + y)
+
+  def scale(a: Column, k: Column): Column = transform(asDouble(a), x => x * k)
+
+  /** Sign-bit LSH bucket id: bit i of the bucket is the sign of the dot
+    * product with deterministic hyperplane i. `planes` must be generated
+    * via [[hyperplanes]] so the oracle can embed identical constants. */
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = dotConst(v, p)
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Dot product against a constant plane — unrolled element_at sum, so
+    * both Spark and the SQL oracle evaluate the same expression shape. */
+  def dotConst(v: Column, plane: Array[Double]): Column = {
+    val dv = asDouble(v)
+    plane.zipWithIndex.map { case (c, j) =>
+      element_at(dv, j + 1) * lit(c)
+    }.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes: plane(i)(j) derived
+    * from a fixed LCG seeded by (seed, i, j). No java.util.Random — values
+    * must be reproducible digit-for-digit inside oracle SQL text. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] =
+    (0 until nPlanes).map { i =>
+      Array.tabulate(dim) { j =>
+        var x = seed * 6364136223846793005L + (i.toLong * 1315423911L + j.toLong * 2654435761L + 1442695040888963407L)
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x = x * 6364136223846793005L + 1442695040888963407L
+        // map the top 53 bits to (-1, 1)
+        (x >>> 11).toDouble / 4503599627370496.0 - 1.0
+      }
+    }
+
+  /** DuckDB SQL fragment: dot of list column `e` (1-indexed) with plane. */
+  def duckDotConst(e: String, plane: Array[Double]): String =
+    plane.zipWithIndex.map { case (c, j) => s"$e[${j + 1}]::DOUBLE * ($c)" }
+      .mkString("(", " + ", ")")
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{PortableHash, TextFunctions, VectorFunctions}
+
+/** Document deduplication for training-data pipelines (SURVEY.md §2.B LLM
+  * extensions): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine near-dup.
+  *
+  * Scale design: every path is a sequence of narrow per-row transforms plus
+  * shuffle-by-key joins — no driver-side state, no collect. The LSH band
+  * join is the canonical shape: explode docs into (band_idx, band_key) rows,
+  * shuffle once on the band key, and only compare documents that share a
+  * bucket — candidate count is O(dup clusters), not O(n²). A 100 TB corpus
+  * dedups with b·n exploded rows and one shuffle.
+  */
+object Dedup {
+
+  /** MinHash parameters: K signatures split into BANDS bands of R rows.
+    * P(candidate | jaccard=s) = 1-(1-s^R)^BANDS — at s=0.8: 0.96;
+    * at s=0.3: 0.032. Tune per corpus. */
+  val K = 16
+  val BANDS = 4
+  val R = 4
+  require(BANDS * R == K)
+
+  /** Exact dedup: content-hash groups with the representative (min id) and
+    * multiplicity. Survivors = one row per distinct content. */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** doc_id + distinct word-3-gram shingle set (the near-dup unit). */
+  def withShingleSet(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextFunctions.shingles(col(textCol), n)).as("shset"))
+
+  /** doc_id + K-entry MinHash signature over the shingle set. */
+  def minhashSigs(shingled: DataFrame): DataFrame =
+    shingled.select(col("doc_id"),
+      TextFunctions.minhashSignature(col("shset"), K).as("sig"))
+
+  /** Explode signatures into (doc_id, band_idx, band_key) — the LSH rows. */
+  def bandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
+      array((0 until BANDS).map { b =>
+        concat_ws(":", (0 until R).map(r => col("sig").getItem(b * R + r)): _*)
+      }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+
+  /** Candidate pairs: documents sharing any band bucket. One shuffle on
+    * (band_idx, band_key); bucket-local self-join; global distinct. */
+  def candidatePairs(shingled: DataFrame): DataFrame = {
+    val bands = bandRows(minhashSigs(shingled))
+    val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id1"))
+    val b = bands.select(col("band_idx").as("bi2"), col("band_key").as("bk2"), col("doc_id").as("id2"))
+    a.join(b, col("band_idx") === col("bi2") && col("band_key") === col("bk2") &&
+        col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
+    * NOTE: recall is the LSH recall (1-(1-s^R)^BANDS), not 1.0 — the
+    * differential oracle mirrors the banding, so results are still exact
+    * w.r.t. the declared semantics. */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double): DataFrame = {
+    val sh = withShingleSet(docs, textCol, idCol).cache()
+    val cands = candidatePairs(sh)
+    val j = TextFunctions.jaccard(col("s1"), col("s2"))
+    cands
+      .join(sh.select(col("doc_id").as("id1"), col("shset").as("s1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("shset").as("s2")), "id2")
+      .withColumn("jaccard", j)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
+  }
+
+  /** Brute-force n-gram Jaccard near-dups inside a blocking key (full
+    * brute force is O(n²) — always block at scale). */
+  def blockedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                          blockCol: String, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      array_distinct(TextFunctions.shingles(col(textCol), 3)).as("shset"))
+    val a = sh.select(col("blk"), col("doc_id").as("id1"), col("shset").as("s1"))
+    val b = sh.select(col("blk").as("blk2"), col("doc_id").as("id2"), col("shset").as("s2"))
+    a.join(b, col("blk") === col("blk2") && col("id1") < col("id2"))
+      .withColumn("jaccard", TextFunctions.jaccard(col("s1"), col("s2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("blk").as("block"),
+        round(col("jaccard"), 4).as("j4"))
+  }
+
+  /** 16-bit SimHash per document over the word bag. */
+  def simhashTable(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.simhash(TextFunctions.tokens(col(textCol)), 16).as("simhash"))
+
+  /** Embedding near-dup pairs: cosine ≥ threshold over all id1<id2 pairs.
+    * Brute force — at large n switch to Similarity.lshTopK-style bucketing. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", VectorFunctions.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos6"))
+  }
+}

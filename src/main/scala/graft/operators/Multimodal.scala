@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.B LLM extensions): image/audio/
+  * video travel as opaque `binary` columns with typed metadata, and decode /
+  * feature-extract runs as a partition-parallel batch transform.
+  *
+  * The Spark-side plumbing here is real and tested — schema, Dataset
+  * encoders, mapPartitions batch shape, partition parallelism. The decode
+  * itself is a clearly-marked DETERMINISTIC STUB (no image/audio libraries
+  * exist in this environment): it derives pseudo-dimensions from the bytes.
+  * Swapping in a real codec means replacing `decodeStub` only — the
+  * surrounding dataflow (the part that matters at 100 TB) is unchanged.
+  */
+object Multimodal {
+
+  /** An opaque media payload with typed metadata. */
+  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Features a real decoder would emit. */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+                           width: Int, height: Int, n_frames: Int,
+                           checksum: Long)
+
+  /** Lift documents into media records: payload = UTF-8 bytes of the text
+    * (the stand-in for real image/audio bytes). */
+  def toMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  // ======================= STUB BOUNDARY =======================
+  /** STUB: a real implementation would decode `payload` with an image/
+    * audio codec. This deterministic fake derives plausible dimensions
+    * from the byte length so the full pipeline is testable end-to-end. */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = bytes.length
+    (n % 640 + 1, (n * 7) % 480 + 1, n % 30 + 1)
+  }
+  // =============================================================
+
+  /** Partition-parallel decode/feature-extract: the Scala analogue of a
+    * pandas-UDF `mapInPandas` — one iterator per partition, rows streamed,
+    * no driver round-trip. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val (w, h, f) = decodeStub(r.payload)
+        // cheap rolling checksum stands in for a perceptual hash
+        val cs = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, f, cs)
+      }
+    }
+  }
+
+  /** Pure-expression variant of the same features (what the differential
+    * oracle checks — byte-length math only, no stub involved). */
+  def featureColumns(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), col("media_type"),
+      length(col("payload")).as("n_bytes"),
+      (length(col("payload")) % 640 + 1).as("width"),
+      ((length(col("payload")) * 7) % 480 + 1).as("height"),
+      (length(col("payload")) % 30 + 1).as("n_frames"))
+}

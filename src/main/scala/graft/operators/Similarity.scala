@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.B LLM extensions).
+  *
+  * Two paths:
+  *  - brute force: queries × corpus cross-score + per-query top-k window.
+  *    Exact; cost O(|Q|·|C|·dim). The baseline and the verifier.
+  *  - sign-LSH: deterministic random-hyperplane bucketing; only same-bucket
+  *    pairs are scored. Cost O(|Q|·|C|/2^planes·dim) expected. At cluster
+  *    scale the bucket column becomes the shuffle/bucketing key, so corpus
+  *    partitions are probed locally (IVF-style routing without a kmeans fit).
+  */
+object Similarity {
+
+  val DefaultPlanes = 4
+  val Dim = 64
+
+  private def scored(q: DataFrame, c: DataFrame, joinCond: Column): DataFrame =
+    q.join(c, joinCond)
+      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rn").cast("int").as("rnk"), round(col("score"), 6).as("score6"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` is
+    * expected to be small (broadcast side). */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    topK(scored(broadcast(q), c, col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** Sign-LSH bucketed top-k: only corpus vectors in the query's bucket are
+    * scored. Deterministic planes (VectorFunctions.hyperplanes, seed 42) so
+    * the differential oracle can reproduce bucket ids exactly. */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
+              nPlanes: Int = DefaultPlanes): DataFrame = {
+    val planes = VectorFunctions.hyperplanes(nPlanes, Dim)
+    val withBucket = emb.withColumn("bucket",
+      VectorFunctions.lshBucket(col("embedding"), planes))
+    val q = withBucket.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qb"))
+    val c = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("bucket").as("cb"))
+    topK(scored(broadcast(q), c,
+      col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
+  }
+}

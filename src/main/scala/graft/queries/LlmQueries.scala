@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{PortableHash, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-training-data-pipeline surface (SURVEY.md §2.B LLM extensions):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+  * similarity search (brute-force + LSH), text analysis, multimodal
+  * plumbing — each with a DuckDB oracle that mirrors the exact semantics
+  * (portable md5-derived hashing makes even the sketches differentially
+  * testable; see PortableHash).
+  */
+object LlmQueries {
+  import PortableHash.{MOD, duckHashMod, minhashA, minhashB}
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------- DuckDB SQL fragments mirroring TextFunctions ----------
+
+  /** tokens: whitespace split, empties dropped. */
+  private def duckTokens(e: String): String =
+    s"list_filter(string_split_regex($e, '\\s+'), t -> t <> '')"
+
+  /** word n-gram shingles over a tokens fragment (mirrors
+    * TextFunctions.shingles: windows at i=0..max(len-n,0), joined by ' '). */
+  private def duckShingles(ts: String, n: Int): String =
+    s"""list_filter(list_transform(range(0, greatest(len($ts) - $n, 0) + 1),
+       |  i -> array_to_string($ts[i+1:i+$n], ' ')), s -> s <> '')""".stripMargin
+
+  /** i-th minhash entry over a distinct-shingle-set fragment. */
+  private def duckMinhashSig(shset: String, i: Int): String =
+    s"list_min(list_transform($shset, w -> ((${minhashA(i)} * ${duckHashMod("w")} + ${minhashB(i)}) % $MOD)))"
+
+  /** 16-bit simhash over a tokens fragment (per-occurrence ±1 bit votes). */
+  private def duckSimhash(ts: String, bits: Int): String = {
+    val hs = s"list_transform($ts, w -> ${duckHashMod("w")})"
+    (0 until bits).map { j =>
+      s"""(CASE WHEN coalesce(list_sum(list_transform($hs,
+         |  h -> CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Rolling-hash fingerprint (mirrors TextFunctions.fingerprint). */
+  private def duckFingerprint(ts: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform($ts, w -> ${duckHashMod("w")})),
+       |  (acc, x) -> (acc * 31 + x) % $MOD)""".stripMargin
+
+  /** Full lang-id oracle query (mirrors TextFunctions.langId ordering:
+    * first lang in declaration order whose score equals the max wins). */
+  private def duckLangIdQuery: String = {
+    val scores = TextFunctions.langMarkers.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      lang -> s"len(list_filter(ts, t -> t IN ($set))) AS s_$lang"
+    }
+    val names = scores.map(_._2).mkString(",\n    ")
+    val best = scores.map(x => s"s_${x._1}").mkString("greatest(", ", ", ")")
+    val cases = TextFunctions.langMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, $names, $best AS best
+       |      FROM (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents))""".stripMargin
+  }
+
+  /** Cosine similarity of two DOUBLE[] fragments (0 when either norm is 0),
+    * mirroring VectorFunctions.cosine. */
+  private def duckCosine(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+       | THEN 0.0
+       | ELSE list_dot_product($a, $b) /
+       |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)""".stripMargin
+
+  /** Sign-LSH bucket id of list column `e` (mirrors VectorFunctions.lshBucket
+    * with the deterministic seed-42 hyperplanes). */
+  private def duckLshBucket(e: String, nPlanes: Int): String = {
+    val planes = VectorFunctions.hyperplanes(nPlanes, Similarity.Dim)
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${VectorFunctions.duckDotConst(e, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  // The minhash CTE chain shared by the near-dup oracle.
+  private def duckMinhashOracle(threshold: Double): String = {
+    val sigCols = (0 until Dedup.K)
+      .map(i => s"${duckMinhashSig("shset", i)} AS s$i").mkString(",\n    ")
+    val bandSelects = (0 until Dedup.BANDS).map { b =>
+      val key = (0 until Dedup.R).map(r => s"s${b * Dedup.R + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws(':', $key) AS band_key FROM sig"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(${duckShingles(duckTokens("text"), 3)}) AS shset
+       |  FROM documents),
+       |sig AS (SELECT doc_id, $sigCols FROM sh),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, round(j, 4) AS j4 FROM (
+       |  SELECT id1, id2,
+       |    CASE WHEN len(list_distinct(list_concat(x.shset, y.shset))) = 0 THEN 0.0
+       |         ELSE len(list_intersect(x.shset, y.shset))::DOUBLE /
+       |              len(list_distinct(list_concat(x.shset, y.shset)))::DOUBLE END AS j
+       |  FROM cand JOIN sh x ON cand.id1 = x.doc_id
+       |            JOIN sh y ON cand.id2 = y.doc_id)
+       |WHERE j >= $threshold""".stripMargin
+  }
+
+  val NearDupJaccard = 0.2
+  val EmbedDupCos = 0.9
+  val TopK = 10
+  val QueryVecs = 16 // vec_id < 16 are the similarity-search query set
+
+  val all: Seq[Q] = Seq(
+
+    // ---------- dedup ----------
+    Q("q_dedup_exact",
+      (s, d) => Dedup.exactGroups(t(s, d, "documents"), "text", "doc_id"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                count(*) AS n_copies
+              FROM documents GROUP BY md5(text)"""),
+      "exact content-hash dedup groups"),
+
+    Q("q_dedup_minhash",
+      (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
+        NearDupJaccard),
+      Some(duckMinhashOracle(NearDupJaccard)),
+      "MinHash-LSH near-dup pairs, Jaccard-verified (band-bucket join)"),
+
+    Q("q_dedup_simhash",
+      (s, d) => Dedup.simhashTable(t(s, d, "documents"), "text", "doc_id"),
+      Some(s"""SELECT doc_id, ${duckSimhash(duckTokens("text"), 16)} AS simhash
+               FROM documents"""),
+      "16-bit SimHash per document"),
+
+    Q("q_dedup_ngram",
+      (s, d) => Dedup.blockedJaccardPairs(t(s, d, "documents"), "text",
+        "doc_id", "lang", NearDupJaccard),
+      Some(s"""WITH sh AS (
+                 SELECT doc_id, lang AS blk,
+                   list_distinct(${duckShingles(duckTokens("text"), 3)}) AS shset
+                 FROM documents)
+               SELECT id1, id2, block, round(j, 4) AS j4 FROM (
+                 SELECT a.doc_id AS id1, b.doc_id AS id2, a.blk AS block,
+                   CASE WHEN len(list_distinct(list_concat(a.shset, b.shset))) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.shset, b.shset))::DOUBLE /
+                             len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE END AS j
+                 FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+               WHERE j >= $NearDupJaccard"""),
+      "blocked brute-force n-gram Jaccard near-dups"),
+
+    Q("q_dedup_embed",
+      (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), EmbedDupCos),
+      Some(s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 round(${duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 6) AS cos6
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE ${duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= $EmbedDupCos"""),
+      "embedding-cosine near-dup pairs"),
+
+    // ---------- similarity search ----------
+    Q("q_sim_topk_brute",
+      (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"),
+        col("vec_id") < QueryVecs, TopK),
+      Some(s"""WITH scored AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
+                 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                 WHERE q.vec_id < $QueryVecs)
+               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+                      round(score, 6) AS score6
+               FROM (SELECT *, row_number() OVER
+                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+                     FROM scored)
+               WHERE rn <= $TopK"""),
+      "exact brute-force cosine top-k neighbors"),
+
+    Q("q_sim_topk_lsh",
+      (s, d) => Similarity.lshTopK(t(s, d, "embeddings"),
+        col("vec_id") < QueryVecs, TopK),
+      Some(s"""WITH base AS (
+                 SELECT vec_id, embedding,
+                   ${duckLshBucket("embedding", Similarity.DefaultPlanes)} AS bucket
+                 FROM embeddings),
+               scored AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
+                 FROM base q JOIN base c
+                   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < $QueryVecs)
+               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+                      round(score, 6) AS score6
+               FROM (SELECT *, row_number() OVER
+                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+                     FROM scored)
+               WHERE rn <= $TopK"""),
+      "sign-LSH bucketed cosine top-k (scale path: bucket = shuffle key)"),
+
+    // ---------- text analysis ----------
+    Q("q_text_stats",
+      (s, d) => {
+        val txt = col("text")
+        t(s, d, "documents").select(
+          col("doc_id"),
+          TextFunctions.nWords(txt).as("n_words"),
+          round(TextFunctions.avgWordLen(txt), 6).as("avg_word_len"),
+          round(TextFunctions.stopwordRatio(txt), 6).as("stopword_ratio"),
+          round(TextFunctions.punctRatio(txt), 6).as("punct_ratio"),
+          TextFunctions.bpeishCount(txt).cast("int").as("n_bpeish"))
+      },
+      Some(s"""SELECT doc_id,
+                 CAST(len(ts) AS INT) AS n_words,
+                 round(CASE WHEN len(ts) = 0 THEN 0.0
+                   ELSE list_sum(list_transform(ts, w -> length(w)))::DOUBLE / len(ts) END, 6)
+                   AS avg_word_len,
+                 round(CASE WHEN len(ts) = 0 THEN 0.0
+                   ELSE len(list_filter(ts, t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE / len(ts) END, 6)
+                   AS stopword_ratio,
+                 round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text) END, 6)
+                   AS punct_ratio,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish
+               FROM (SELECT doc_id, text, ${duckTokens("text")} AS ts FROM documents)"""),
+      "quality-scoring text features"),
+
+    Q("q_text_langid",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred")),
+      Some(duckLangIdQuery),
+      "stopword-evidence language ID"),
+
+    Q("q_text_fingerprint",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp")),
+      Some(s"""SELECT doc_id, ${duckFingerprint(duckTokens("text"))} AS fp
+               FROM (SELECT doc_id, text FROM documents)"""),
+      "order-sensitive rolling-hash document fingerprint"),
+
+    // ---------- multimodal plumbing ----------
+    Q("q_media_features",
+      (s, d) => Multimodal.featureColumns(Multimodal.toMedia(t(s, d, "documents"))),
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                CAST(strlen(text) AS INT) AS n_bytes,
+                CAST(strlen(text) % 640 + 1 AS INT) AS width,
+                CAST((strlen(text) * 7) % 480 + 1 AS INT) AS height,
+                CAST(strlen(text) % 30 + 1 AS INT) AS n_frames
+              FROM documents"""),
+      "multimodal feature columns (expression path)"),
+
+    Q("q_media_extract",
+      (s, d) => Multimodal.extractFeatures(
+        Multimodal.toMedia(t(s, d, "documents"))).toDF().drop("checksum"),
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                CAST(strlen(text) AS INT) AS n_bytes,
+                CAST(strlen(text) % 640 + 1 AS INT) AS width,
+                CAST((strlen(text) * 7) % 480 + 1 AS INT) AS height,
+                CAST(strlen(text) % 30 + 1 AS INT) AS n_frames
+              FROM documents"""),
+      "multimodal decode via partition-parallel mapPartitions (stubbed codec)"))
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine operator: a Spark implementation plus (where the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle producing the exact
+  * same rows, column names, and value types. `oracle = None` downgrades the
+  * driver's check to rows-only (used for approximate/ML-flavored ops).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    desc: String = "")
+
+object Q {
+  /** Numeric-determinism conventions shared by every query pair (Spark side
+    * and DuckDB side must follow the same recipe or hashes drift):
+    *  - money sums: accumulate in DECIMAL(18,4) (exact, order-insensitive),
+    *    round(2), cast to DOUBLE (exact — value*100 < 2^53).
+    *  - sums of integer-valued doubles (l_quantity): plain double sum is
+    *    exact below 2^53.
+    *  - per-row transcendentals: round(, 6) on both sides.
+    *  - every ranking window orders by a unique tiebreak column.
+    *  - DuckDB output types are CAST to match Spark's (year→INT, len→INT,
+    *    sum(int)→BIGINT, epoch→BIGINT, …).
+    */
+  val conventions: Unit = ()
+}

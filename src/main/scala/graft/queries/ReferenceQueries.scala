@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.RefFunctions
+
+/** The reference's own operator semantics (SURVEY.md §2.A), re-expressed as
+  * batch queries over `events` so the DuckDB oracle can check them exactly.
+  * The streaming twins (transformWithState) are exercised in ScalaTest via
+  * batch-equivalence asserts (SURVEY.md §5.3).
+  *
+  * Domain mapping: the reference processes (key="Key"+(i%P), value=i)
+  * integer records (Producer.java:74-75). We derive the identical stream
+  * shape from events: key = "Key" + (user_id % 8), value = event_id as int.
+  */
+object ReferenceQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val P = 8
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_ref_stage_fns",
+      (s, d) => {
+        val v = col("event_id").cast("int")
+        t(s, d, "events").select(
+          col("event_id"),
+          RefFunctions.refKey(col("user_id"), P).as("key"),
+          RefFunctions.adderRef(v).as("v_adder"),
+          RefFunctions.powerRef(v).as("v_power"),
+          RefFunctions.diffRef(v).as("v_diff"),
+          RefFunctions.identityOp(v).as("v_identity"))
+      },
+      // power = (int) Math.pow(v, 1): trunc-toward-zero, NOT DuckDB's
+      // round-on-cast — hence trunc() in the oracle.
+      Some(s"""SELECT event_id,
+                 'Key' || (user_id % $P) AS key,
+                 CAST(event_id + 1 AS INT) AS v_adder,
+                 CAST(trunc(pow(CAST(event_id AS INT), 1)) AS INT) AS v_power,
+                 CAST(event_id - 1 AS INT) AS v_diff,
+                 CAST(event_id AS INT) AS v_identity
+               FROM events"""),
+      "the four stage functions f(value,1) (Streamer.java:166-205,328)"),
+
+    Q("q_ref_keyed_count",
+      (s, d) => t(s, d, "events")
+        .select(RefFunctions.refKey(col("user_id"), P).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("cnt")),
+      Some(s"""SELECT 'Key' || (user_id % $P) AS key, count(*) AS cnt
+               FROM events GROUP BY 1"""),
+      "per-key record count — the reference's only state (Streamer.java:264-282)"),
+
+    Q("q_ref_pipeline",
+      (s, d) => {
+        // 3-stage all-adder pipeline from template.xml:36-52: v -> v+3,
+        // with each stage's intermediate value materialized (what each
+        // inter-stage topic would carry).
+        val v0 = col("event_id").cast("int")
+        val s1 = RefFunctions.adderRef(v0)
+        val s2 = RefFunctions.adderRef(s1)
+        val s3 = RefFunctions.adderRef(s2)
+        t(s, d, "events").select(
+          col("event_id"),
+          RefFunctions.refKey(col("user_id"), P).as("key"),
+          s1.as("v_stage1"), s2.as("v_stage2"), s3.as("v_stage3"))
+      },
+      Some(s"""SELECT event_id, 'Key' || (user_id % $P) AS key,
+                 CAST(event_id + 1 AS INT) AS v_stage1,
+                 CAST(event_id + 2 AS INT) AS v_stage2,
+                 CAST(event_id + 3 AS INT) AS v_stage3
+               FROM events"""),
+      "3-stage adder chain end-to-end (template.xml:36-52)"),
+
+    Q("q_ref_state_serde",
+      (s, d) => {
+        // Build the per-partition state snapshot string exactly as
+        // mapToString would (k=v&k=v, sorted), then parse it back with
+        // str_to_map and re-extract each key's count: a full round-trip
+        // of the reference's state wire format.
+        val counts = t(s, d, "events")
+          .select(RefFunctions.refKey(col("user_id"), P).as("key"))
+          .groupBy("key").agg(count(lit(1)).cast("string").as("cnt"))
+        val snapshot = counts
+          .agg(RefFunctions.stateToString(
+            map_from_entries(collect_list(struct(col("key"), col("cnt"))))).as("state_str"))
+        val parsed = snapshot.select(explode(RefFunctions.stringToState(col("state_str"))))
+          .select(col("key"), col("value").cast("bigint").as("cnt"))
+        parsed
+      },
+      Some(s"""SELECT 'Key' || (user_id % $P) AS key, count(*) AS cnt
+               FROM events GROUP BY 1"""),
+      "state snapshot serde round-trip (mapToString/stringToMap, Streamer.java:552-591)"),
+
+    Q("q_ref_running_value",
+      (s, d) => {
+        // Generalized stage: f(value, state) with state = running per-key
+        // count — the "obvious generalization" SURVEY §1.3.4 names.
+        val w = Window.partitionBy(col("key")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .select(col("event_id"), RefFunctions.refKey(col("user_id"), P).as("key"),
+            col("event_id").cast("int").as("v"))
+          .withColumn("state", count(lit(1)).over(w))
+          .select(col("event_id"), col("key"),
+            (col("v") + col("state")).cast("int").as("v_adder_state"))
+      },
+      Some(s"""SELECT event_id, key, CAST(v + state AS INT) AS v_adder_state
+               FROM (SELECT event_id, 'Key' || (user_id % $P) AS key,
+                       CAST(event_id AS INT) AS v,
+                       count(*) OVER (PARTITION BY ('Key' || (user_id % $P))
+                         ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+                     FROM events)"""),
+      "generalized stage f(value, state) with running-count state"))
+}

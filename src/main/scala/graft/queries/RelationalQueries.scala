@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** SURVEY.md §2.B relational surface: scans, projection/filter, the full
+  * join taxonomy, aggregation, windows, sort/limit/top-k, set ops.
+  *
+  * Scale notes (100 TB design stance):
+  *  - dim tables (region/nation/supplier/customer-at-low-SF) are joined via
+  *    `broadcast()` — no shuffle of the fact side.
+  *  - fact⋈fact joins shuffle on the join key once; aggregations reuse that
+  *    partitioning where Catalyst can prove it.
+  *  - every filter/projection is declarative → parquet pushdown + pruning.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** money column → exact decimal for order-insensitive summation */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------- scans / projection / filter ----------
+    Q("q_scan_project",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") >= 25 && col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem
+              WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity >= 25
+                AND l_returnflag IN ('A','R')"""),
+      "projection+filter with parquet pushdown"),
+
+    Q("q_filter_predicates",
+      (s, d) => t(s, d, "customer")
+        .filter((col("c_mktsegment") like "BU%") ||
+          (col("c_acctbal").between(0, 1000) && col("c_nationkey").isin(1, 2, 3)))
+        .select(col("c_custkey"),
+          (col("c_mktsegment") like "BU%").as("is_bu"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg2"),
+          col("c_acctbal").isNull.as("bal_null"),
+          (col("c_acctbal") <=> col("c_acctbal")).as("nsafe_eq")),
+      Some("""SELECT c_custkey,
+                (c_mktsegment LIKE 'BU%') AS is_bu,
+                coalesce(nullif(c_mktsegment,'BUILDING'),'OTHER') AS seg2,
+                (c_acctbal IS NULL) AS bal_null,
+                (c_acctbal IS NOT DISTINCT FROM c_acctbal) AS nsafe_eq
+              FROM customer
+              WHERE c_mktsegment LIKE 'BU%'
+                 OR (c_acctbal BETWEEN 0 AND 1000 AND c_nationkey IN (1,2,3))"""),
+      "LIKE / IN / BETWEEN / IS NULL / null-safe eq"),
+
+    Q("q_project_cast",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          round(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))), 2)
+            .cast("double").as("net_price"),
+          col("l_returnflag").cast("string").as("flag")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS INT) AS qty_int,
+                CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS net_price,
+                l_returnflag AS flag
+              FROM lineitem"""),
+      "cast / computed columns"),
+
+    // ---------- joins ----------
+    Q("q_join_inner",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+                count(*) AS n
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderstatus"""),
+      "fact-fact equi-join (sort-merge/shuffled-hash; AQE decides)"),
+
+    Q("q_join_broadcast",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(dec(col("c_acctbal"))), 2).cast("double").as("sum_bal")),
+      Some("""SELECT r_name, count(*) AS n_cust,
+                CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name"""),
+      "broadcast hash join through two dim tables"),
+
+    Q("q_join_left",
+      (s, d) => {
+        val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+        t(s, d, "customer").join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), coalesce(col("n_big"), lit(0L)).as("n_big_orders"))
+      },
+      Some("""SELECT c_custkey, coalesce(n_big, 0) AS n_big_orders
+              FROM customer LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_big FROM orders
+                WHERE o_totalprice > 300000 GROUP BY o_custkey
+              ) b ON c_custkey = o_custkey"""),
+      "left outer join with unmatched rows"),
+
+    Q("q_join_full",
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_acctbal") < 0)
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+        val sup = t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+          .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("c_nationkey") === col("s_nationkey"), "full")
+          .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+                coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+              FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+                    WHERE c_acctbal < 0 GROUP BY c_nationkey) c
+              FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+                         WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
+              ON c_nationkey = s_nationkey"""),
+      "full outer join, unmatched on both sides"),
+
+    Q("q_join_semi",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 400000)"""),
+      "left semi join"),
+
+    Q("q_join_anti",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 400000)"""),
+      "left anti join"),
+
+    Q("q_join_cross",
+      (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select(col("r_name"), col("n_name")),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
+      "cross join (small×small only — guarded at scale)"),
+
+    Q("q_join_range",
+      (s, d) => t(s, d, "supplier")
+        .join(t(s, d, "customer"),
+          col("s_nationkey") === col("c_nationkey") && col("c_acctbal") > col("s_acctbal"))
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_richer")),
+      Some("""SELECT s_suppkey, count(*) AS n_richer
+              FROM supplier JOIN customer
+                ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+              GROUP BY s_suppkey"""),
+      "equi+range predicate join (equi part keeps it shuffle-joinable)"),
+
+    Q("q_join_asof",
+      (s, d) => t(s, d, "events").filter(col("event_type") === "purchase")
+        .join(t(s, d, "orders"),
+          col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+        .groupBy("event_id")
+        .agg(max(col("o_orderdate")).as("asof_orderdate"),
+          max_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("asof_orderkey")),
+      Some("""SELECT event_id, o_orderdate AS asof_orderdate,
+                o_orderkey AS asof_orderkey
+              FROM (SELECT event_id, o_orderdate, o_orderkey,
+                      row_number() OVER (PARTITION BY event_id
+                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                    FROM events JOIN orders
+                      ON user_id = o_custkey AND o_orderdate <= ts
+                    WHERE event_type = 'purchase')
+              WHERE rn = 1"""),
+      "as-of join: latest order at-or-before each event"),
+
+    // ---------- aggregation ----------
+    Q("q1_agg",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
+            .cast("double").as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+                avg(l_quantity) AS avg_qty,
+                count(*) AS count_order
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus"""),
+      "TPC-H Q1-style hash aggregate (partial→final, map-side combine)"),
+
+    Q("q_agg_distinct",
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+                count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag"""),
+      "exact distinct aggregation (expand+two-phase in Spark)"),
+
+    Q("q_agg_approx",
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part")),
+      None, // HLL++ sketch values are engine-specific — rows-only check
+      "approx_count_distinct (HLL++) — scale path for distinct counts"),
+
+    Q("q_agg_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("n")),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""),
+      "rollup with grand totals"),
+
+    Q("q_agg_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec(col("o_totalprice"))), 2).cast("double").as("sum_price")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+              FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""),
+      "cube over two dimensions"),
+
+    Q("q_agg_stats",
+      (s, d) => t(s, d, "lineitem").groupBy("l_linestatus")
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty")),
+      Some("""SELECT l_linestatus,
+                round(stddev_samp(l_quantity), 6) AS sd_qty,
+                round(var_samp(l_quantity), 6) AS var_qty,
+                round(corr(l_quantity, l_discount), 6) AS corr_qd,
+                round(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+              FROM lineitem GROUP BY l_linestatus"""),
+      "statistical aggregates + exact percentile"),
+
+    Q("q_agg_collect",
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok")),
+      Some("""SELECT l_returnflag,
+                string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+                min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+              FROM lineitem GROUP BY l_returnflag"""),
+      "collect_set (canonicalized to sorted CSV)"),
+
+    Q("q_agg_maxby",
+      (s, d) => t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("price_of_max_key"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("price_of_min_key")),
+      Some("""SELECT o_orderstatus,
+                max_by(o_totalprice, o_orderkey) AS price_of_max_key,
+                min_by(o_totalprice, o_orderkey) AS price_of_min_key
+              FROM orders GROUP BY o_orderstatus"""),
+      "max_by/min_by with a unique ordering key"),
+
+    // ---------- window functions ----------
+    Q("q_win_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER w AS INT) AS rn,
+                CAST(rank() OVER w AS INT) AS rk,
+                CAST(dense_rank() OVER w AS INT) AS drk
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
+      "ranking window functions"),
+
+    Q("q_win_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_orderkey")).over(w).as("first_key"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                first_value(o_orderkey) OVER w AS first_key
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
+      "lag/lead/first_value analytic windows"),
+
+    Q("q_win_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events").select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("run_count"),
+          round(sum(dec(col("value"))).over(w), 2).cast("double").as("run_sum"))
+      },
+      Some("""SELECT event_id, user_id,
+                count(*) OVER w AS run_count,
+                CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS run_sum
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""),
+      "running count/sum — the reference's keyed state as a batch window (Streamer.java:264-282)"),
+
+    Q("q_win_frame",
+      (s, d) => {
+        val wRows = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+          .rowsBetween(-2, 0)
+        val wRange = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+          .rangeBetween(-100, 0)
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          round(sum(dec(col("o_totalprice"))).over(wRows), 2).cast("double").as("sum3"),
+          round(sum(dec(col("o_totalprice"))).over(wRange), 2).cast("double").as("sum_range"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                  (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum3,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                  (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                   RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_range
+              FROM orders"""),
+      "ROWS and RANGE frame specifications"),
+
+    Q("q_win_ntile",
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT o_orderkey, CAST(ntile(4) OVER
+                (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+              FROM orders"""),
+      "ntile bucketing (global window — single-partition sort at scale: avoid or pre-range-partition)"),
+
+    // ---------- sort / limit / top-k ----------
+    Q("q_topk",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      "top-k (TakeOrderedAndProject — no global sort materialization)"),
+
+    Q("q_group_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn").cast("int").as("rnk"))
+          .drop("rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rnk
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                    FROM orders) WHERE rn <= 3"""),
+      "per-group top-k via ranking window"),
+
+    // ---------- set operations ----------
+    Q("q_set_union",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")).distinct())
+        .distinct(),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+              UNION SELECT s_nationkey FROM supplier"""),
+      "set union"),
+
+    Q("q_set_intersect",
+      (s, d) => t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+              INTERSECT SELECT s_nationkey FROM supplier"""),
+      "set intersect"),
+
+    Q("q_set_except",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").filter(col("s_acctbal") > 3000)
+          .select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 3000"""),
+      "set except"),
+
+    Q("q_set_except_all",
+      (s, d) => t(s, d, "nation").select(col("n_regionkey").as("rkey"))
+        .exceptAll(t(s, d, "region").select(col("r_regionkey").as("rkey"))),
+      Some("""SELECT n_regionkey AS rkey FROM nation
+              EXCEPT ALL SELECT r_regionkey FROM region"""),
+      "multiset except (EXCEPT ALL)"),
+
+    Q("q_set_intersect_all",
+      (s, d) => t(s, d, "nation").select(col("n_regionkey").as("rkey"))
+        .intersectAll(t(s, d, "customer").select(col("c_nationkey").as("rkey"))),
+      Some("""SELECT n_regionkey AS rkey FROM nation
+              INTERSECT ALL SELECT c_nationkey FROM customer"""),
+      "multiset intersect (INTERSECT ALL)"),
+
+    Q("q_set_distinct",
+      (s, d) => t(s, d, "events").select("user_id", "event_type").distinct(),
+      Some("SELECT DISTINCT user_id, event_type FROM events"),
+      "distinct projection (dropDuplicates)"))
+}

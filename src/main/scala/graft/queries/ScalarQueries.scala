@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY.md §2.B scalar function families: string, date/time, math,
+  * array (higher-order), map, JSON, conditional. All Catalyst built-ins —
+  * codegen'd, no UDFs, trivially whole-stage-fusable.
+  */
+object ScalarQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_str_funcs",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        length(col("c_name")).as("len"),
+        concat(col("c_mktsegment"), lit("#"), col("c_name")).as("cat"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "[0-9]", "*").as("masked"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"),
+        size(split(col("c_name"), "#")).as("n_parts")),
+      Some("""SELECT c_custkey,
+                upper(c_name) AS up, lower(c_mktsegment) AS lo,
+                substr(c_name, 1, 8) AS sub,
+                CAST(length(c_name) AS INT) AS len,
+                c_mktsegment || '#' || c_name AS cat,
+                trim('  ' || c_name || '  ') AS trimmed,
+                coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
+                regexp_replace(c_name, '[0-9]', '*', 'g') AS masked,
+                CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev,
+                CAST(len(string_split(c_name, '#')) AS INT) AS n_parts
+              FROM customer"""),
+      "string function family"),
+
+    Q("q_date_funcs",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("plus_90d")),
+      Some("""SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                CAST(day(o_orderdate) AS INT) AS dom,
+                CAST(quarter(o_orderdate) AS INT) AS qtr,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+                CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+                o_orderdate + INTERVAL 90 DAY AS plus_90d
+              FROM orders"""),
+      "date/time function family + interval arithmetic"),
+
+    Q("q_math_funcs",
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        round(col("l_extendedprice"), 0).as("price_r0"),
+        floor(col("l_quantity") / 7).cast("long").as("qty_div7"),
+        ceil(col("l_quantity") / lit(7.0)).cast("long").as("qty_ceil7"),
+        (col("l_quantity").cast("long") % 5).as("qty_mod5"),
+        round(pow(col("l_quantity"), 2), 6).as("qty_sq"),
+        round(log(col("l_extendedprice") + 1), 6).as("log_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                abs(l_quantity - 25) AS abs_dev,
+                round(l_extendedprice, 0) AS price_r0,
+                CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+                CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+                CAST(l_quantity AS BIGINT) % 5 AS qty_mod5,
+                round(pow(l_quantity, 2), 6) AS qty_sq,
+                round(ln(l_extendedprice + 1), 6) AS log_price,
+                round(exp(l_discount), 6) AS exp_disc,
+                round(sqrt(l_quantity), 6) AS sqrt_qty
+              FROM lineitem"""),
+      "math function family (transcendentals rounded @6)"),
+
+    Q("q_array_funcs",
+      (s, d) => t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding").cast("array<double>"), 1), 6).as("e1"),
+        round(element_at(col("embedding").cast("array<double>"), 64), 6).as("e64"),
+        round(aggregate(slice(col("embedding").cast("array<double>"), 1, 8),
+          lit(0.0), (acc, x) => acc + x), 6).as("sum8"),
+        round(array_max(col("embedding").cast("array<double>")), 6).as("vmax"),
+        round(array_min(col("embedding").cast("array<double>")), 6).as("vmin"),
+        size(filter(col("embedding").cast("array<double>"), x => x > 0)).as("n_pos"),
+        round(aggregate(zip_with(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x), 6).as("dot_self")),
+      Some("""SELECT vec_id,
+                CAST(len(embedding) AS INT) AS dim,
+                round(embedding[1]::DOUBLE, 6) AS e1,
+                round(embedding[64]::DOUBLE, 6) AS e64,
+                round(list_sum(embedding[1:8]::DOUBLE[]), 6) AS sum8,
+                round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+                round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+                CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_pos,
+                round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS dot_self
+              FROM embeddings"""),
+      "array family: element_at/slice/filter + higher-order aggregate/zip_with"),
+
+    Q("q_map_funcs",
+      (s, d) => {
+        val st = concat(lit("k="), col("user_id"), lit("&c="), col("event_id"),
+          lit("&t="), col("event_type"))
+        val m = str_to_map(st, lit("&"), lit("="))
+        t(s, d, "events").select(
+          col("event_id"),
+          element_at(m, "k").cast("bigint").as("k_val"),
+          element_at(m, "c").cast("bigint").as("c_val"),
+          element_at(m, "t").as("t_val"),
+          size(map_keys(m)).as("n_keys"),
+          array_join(array_sort(map_keys(m)), ",").as("keys_csv"))
+      },
+      // same final values via plain string ops (the oracle need not mirror
+      // the operator, only the result)
+      Some("""SELECT event_id,
+                CAST(regexp_extract(s, 'k=([^&]*)', 1) AS BIGINT) AS k_val,
+                CAST(regexp_extract(s, 'c=([^&]*)', 1) AS BIGINT) AS c_val,
+                regexp_extract(s, 't=([^&]*)', 1) AS t_val,
+                CAST(len(string_split(s, '&')) AS INT) AS n_keys,
+                'c,k,t' AS keys_csv
+              FROM (SELECT event_id,
+                      'k=' || user_id || '&c=' || event_id || '&t=' || event_type AS s
+                    FROM events)"""),
+      "map family: str_to_map round-trip of the reference state serde (Streamer.java:552-591)"),
+
+    Q("q_json_funcs",
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_struct"),
+        to_json(struct(col("event_id").as("id"))).as("j_out")),
+      Some("""SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+                '{"id":' || event_id || '}' AS j_out
+              FROM events"""),
+      "JSON family: get_json_object / from_json / to_json on events.props"),
+
+    Q("q_cond_funcs",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("tier"),
+        greatest(col("o_totalprice"), lit(150000.0)).as("floor_price"),
+        least(col("o_totalprice"), lit(150000.0)).as("cap_price"),
+        expr("IF(o_orderstatus = 'F', 1, 0)").as("is_final"),
+        nvl(nullif(col("o_orderstatus"), lit("P")), lit("NOT_P")).as("status2")),
+      Some("""SELECT o_orderkey,
+                CASE WHEN o_totalprice > 300000 THEN 'high'
+                     WHEN o_totalprice > 100000 THEN 'mid'
+                     ELSE 'low' END AS tier,
+                greatest(o_totalprice, 150000.0) AS floor_price,
+                least(o_totalprice, 150000.0) AS cap_price,
+                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final,
+                coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status2
+              FROM orders"""),
+      "conditional family: CASE/IF/greatest/least/nullif"))
+}

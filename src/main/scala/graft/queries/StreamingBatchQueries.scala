@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Batch analogues of the streaming surface (SURVEY.md §2.B streaming
+  * block). The same window/session/dedup expressions run unchanged on a
+  * `readStream` DataFrame; here they run in batch so the DuckDB oracle can
+  * check the window semantics exactly. The streaming execution path
+  * (watermarks, state store, output modes) is covered in ScalaTest.
+  */
+object StreamingBatchQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_stream_tumbling",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,4)")), 2).cast("double").as("sum_val"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_val")),
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+                count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_val
+              FROM events GROUP BY 1, 2"""),
+      "tumbling event-time window aggregate"),
+
+    Q("q_stream_sliding",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("n")),
+      // a 1h window sliding by 30m = union of two 30m-aligned bucketings,
+      // each window containing events in [start, start+1h)
+      Some("""SELECT win_start, count(*) AS n FROM (
+                SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, ts FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS win_start, ts FROM events
+              ) WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+              GROUP BY 1"""),
+      "sliding event-time window aggregate"),
+
+    Q("q_stream_session",
+      (s, d) => t(s, d, "events")
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n")),
+      // gaps-and-islands: a new session starts when the gap from the
+      // previous event of the same user is > 10 minutes
+      Some("""SELECT user_id, min(ts) AS session_start, count(*) AS n
+              FROM (SELECT user_id, ts,
+                      sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                    FROM (SELECT user_id, ts, event_id,
+                            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                   IS NULL THEN 1
+                                 WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                   >= INTERVAL 10 MINUTE THEN 1
+                                 ELSE 0 END AS is_new
+                          FROM events))
+              GROUP BY user_id, sess"""),
+      "session window (10-minute gap) aggregate"),
+
+    Q("q_stream_dedup",
+      (s, d) => {
+        val e = t(s, d, "events").select("event_id", "user_id", "event_type")
+        e.union(e).dropDuplicates("event_id", "user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT event_id, user_id, event_type FROM
+                (SELECT event_id, user_id, event_type FROM events
+                 UNION ALL
+                 SELECT event_id, user_id, event_type FROM events)"""),
+      "dedup of a doubled stream (streaming twin: dropDuplicatesWithinWatermark)"))
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local self-check mirroring the driver's DuckDB oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+For each <name>.parquet under verifyOutDir (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB over the sfDir
+tables, then compares: row count, column names (sorted), and a hash of
+the sorted canonicalized values.
+"""
+import sys, json, glob, os
+import duckdb
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.md5()
+    for l in lines:
+        h.update(l.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    results = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(d)
+        if not os.path.isdir(d):
+            continue
+        sq = con.execute(f"SELECT * FROM '{d}/*.parquet'")
+        scols = [c[0] for c in sq.description]
+        srows = sq.fetchall()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(srows)}"
+            continue
+        try:
+            oq = con.execute(oracle[name])
+            ocols = [c[0] for c in oq.description]
+            orows = oq.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR {str(e)[:160]}"
+            continue
+        if sorted(scols) != sorted(ocols):
+            results[name] = f"SCHEMA_MISMATCH spark={sorted(scols)} duck={sorted(ocols)}"
+        elif len(srows) != len(orows):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(srows)} duck={len(orows)}"
+        elif table_hash(srows, scols) != table_hash(orows, ocols):
+            sh = sorted("|".join(canon(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows)
+            oh = sorted("|".join(canon(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows)
+            diff = next(((a, b) for a, b in zip(sh, oh) if a != b), ("?", "?"))
+            results[name] = f"HASH_MISMATCH rows={len(srows)} first_diff spark={diff[0][:120]} duck={diff[1][:120]}"
+        else:
+            results[name] = f"OK rows={len(srows)}"
+    npass = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("ROWS_ONLY"))
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') or v.startswith('ROWS_ONLY') else 'FAIL'} {k}: {v}")
+    print(f"\n{npass}/{len(results)} pass")
+    return 0 if npass == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
