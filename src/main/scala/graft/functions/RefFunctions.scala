@@ -19,18 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object RefFunctions {
 
-  /** adder: value + operand (`Streamer.java:166-168`). */
+  /** Java 32-bit wrap-around of a long-valued column — implemented
+    * explicitly so the reference's overflow semantics hold regardless of
+    * `spark.sql.ansi.enabled` (Spark 4 defaults to ANSI, which throws). */
+  private def wrapInt(l: Column): Column =
+    (pmod(l + lit(2147483648L), lit(4294967296L)) - lit(2147483648L)).cast("int")
+
+  /** adder: value + operand with Java int wrap (`Streamer.java:166-168`). */
   def adder(value: Column, operand: Column): Column =
-    (value.cast("int") + operand.cast("int")).cast("int")
+    wrapInt(value.cast("int").cast("long") + operand.cast("int").cast("long"))
 
-  /** power: (int) Math.pow(value, operand) (`Streamer.java:170-172`). */
-  def power(value: Column, operand: Column): Column =
-    pow(value.cast("int").cast("double"), operand.cast("int").cast("double"))
-      .cast("int")
+  /** power: (int) Math.pow(value, operand) (`Streamer.java:170-172`).
+    * Java double→int narrowing saturates at the int bounds and maps NaN
+    * to 0 (JLS 5.1.3) — spelled out since ANSI cast would throw instead. */
+  def power(value: Column, operand: Column): Column = {
+    val p = pow(value.cast("int").cast("double"), operand.cast("int").cast("double"))
+    when(isnan(p), lit(0))
+      .when(p >= Int.MaxValue.toDouble, lit(Int.MaxValue))
+      .when(p <= Int.MinValue.toDouble, lit(Int.MinValue))
+      .otherwise(p.cast("int"))
+  }
 
-  /** diff: value - operand (`Streamer.java:174-176`). */
+  /** diff: value - operand with Java int wrap (`Streamer.java:174-176`). */
   def diff(value: Column, operand: Column): Column =
-    (value.cast("int") - operand.cast("int")).cast("int")
+    wrapInt(value.cast("int").cast("long") - operand.cast("int").cast("long"))
 
   /** identity: value, also the fallback for unknown op names
     * (`Streamer.java:178-180,200-203`). */

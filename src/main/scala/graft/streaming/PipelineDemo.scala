@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end pipeline demo — the engine's equivalent of running the
+  * reference's generated scripts (`README.md:40-74`): parse the XML spec,
+  * generate the producer feed, run the chained stateful stages, read the
+  * END channel back.
+  *
+  * Usage: runMain graft.streaming.PipelineDemo [workdir] [total]
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_pipeline").toString)
+    val total = args.lift(1).map(_.toLong).getOrElse(1000L)
+
+    val spark = graft.core.GraftSession.local("graft-pipeline-demo")
+    import spark.implicits._
+
+    // the reference's template topology: 3 adder stages, 2 partitions
+    // (template.xml:36-52), minus the deployment paths
+    val spec = PipelineSpec.fromXml(
+      """<Stream id="1996">
+        |  <replica value="1"/>
+        |  <partition value="2"/>
+        |  <Streamer><stage>0</stage><operation>adder</operation></Streamer>
+        |  <Streamer><stage>1</stage><operation>adder</operation></Streamer>
+        |  <Streamer><stage>2</stage><operation>adder</operation></Streamer>
+        |  <Producer><wait>7000</wait></Producer>
+        |</Stream>""".stripMargin)
+
+    println(s"[demo] pipeline id=${spec.id} stages=${spec.orderedStages.map(_.operation).mkString("->")} work=$work")
+
+    // producer feed (Producer.java semantics) into channel 0 — only on
+    // first run: rewriting produces new file names, which a resumed file
+    // source correctly treats as NEW input (it would double the stream)
+    val ch0 = StagePipeline.channelDir(work, spec, 0)
+    if (!new java.io.File(ch0).exists())
+      ProducerSim.batch(spark, spec.partitions, total)
+        .toDF().write.parquet(ch0)
+
+    // run all stages as chained checkpointed streaming queries
+    StagePipeline.runAvailable(spark, spec, work, s"$work/_checkpoints")
+
+    val end = spark.read.parquet(
+      StagePipeline.channelDir(work, spec, spec.orderedStages.last.stage + 1))
+    val n = end.count()
+    val bad = end.filter($"value" =!= $"seq" + 3).count()
+    val sample = end.orderBy("seq").limit(5).collect().mkString(" ")
+    println(s"[demo] END channel rows=$n wrong=$bad sample=$sample")
+    spark.stop()
+    if (n != total || bad != 0) sys.exit(1)
+  }
+}

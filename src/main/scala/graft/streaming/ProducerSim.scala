@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RefFunctions
+
+/** The reference's data generator (`Producer.java:13-95`) as Spark sources:
+  * key `"Key" + (i % partitions)`, value `i`, `i ∈ [0, total)`.
+  *
+  * Streaming: the `rate` source replaces the sleep-per-message loop — the
+  * `rowsPerSecond` option is the engine's `wait` analogue (a pacing hint,
+  * not a per-record sleep). Batch: `spark.range`.
+  */
+object ProducerSim {
+
+  val DefaultTotal: Long = 100000L // Producer.java:14
+
+  /** Batch generation of the first `total` messages. */
+  def batch(spark: SparkSession, partitions: Int,
+            total: Long = DefaultTotal): Dataset[StageRecord] = {
+    import spark.implicits._
+    spark.range(total).select(
+      RefFunctions.refKey(col("id"), partitions).as("key"),
+      col("id").cast("int").as("value"),
+      col("id").as("seq")).as[StageRecord]
+  }
+
+  /** Unbounded streaming generation via the rate source. `rowsPerSecond`
+    * mirrors `1000.0 / waitMs` from the spec (`Producer.java:86`), floored
+    * at 1 row/s. */
+  def stream(spark: SparkSession, partitions: Int,
+             rowsPerSecond: Long = 1000): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", math.max(1L, rowsPerSecond).toString)
+      .load()
+      .select(
+        RefFunctions.refKey(col("value"), partitions).as("key"),
+        col("value").cast("int").as("value"),
+        col("value").as("seq"))
+
+  def streamFor(spark: SparkSession, spec: PipelineSpec): DataFrame =
+    stream(spark, spec.partitions, 1000L / math.max(1L, spec.producerWaitMs / 1000))
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import javax.xml.parsers.DocumentBuilderFactory
+import scala.collection.mutable.ArrayBuffer
+
+import graft.functions.RefFunctions
+
+/** One record of the reference's wire format (`<String,String>` with the
+  * value a stringified int — FIXTURES.md §1.1), plus `seq`, the engine's
+  * offset analogue: per-key FIFO must be re-established after shuffles by
+  * sorting on it (SURVEY.md §1.3.1; reference order is implicit in the
+  * single-threaded partition consumer, `Streamer.java:458-485`). */
+case class StageRecord(key: String, value: Int, seq: Long)
+
+/** Stage output: transformed value + the per-key running count state the
+  * reference maintains (`Streamer.java:264-282`). */
+case class StageOutput(key: String, value: Int, count: Long, seq: Long)
+
+/** One pipeline stage: contiguous index + operation name
+  * (reference: `<Streamer><stage><operation>` in the XML spec). */
+case class StageSpec(stage: Int, operation: String)
+
+/** The logical pipeline — the engine's version of the reference's XML spec
+  * (`v1/ParserKafka/template.xml`). Cluster-deployment fields (brokers,
+  * zookeeper, paths) are out of scope: Spark owns physical deployment. */
+case class PipelineSpec(
+    id: String,
+    partitions: Int,
+    replicas: Int,
+    stages: Seq[StageSpec],
+    producerWaitMs: Long = 5000) {
+
+  /** Inter-stage data topic, named as the reference names it
+    * (`Streamer.java:88-95`). */
+  def dataTopic(stage: Int): String = s"__stage_${id}_$stage"
+  /** Final-stage output topic (the reference names it but never writes it —
+    * SURVEY.md §1.3.4; the engine's sink is real). */
+  def endTopic: String = s"__stage_${id}_END"
+  /** Per-node compacted state topic (`Streamer.java:85-87`) — the engine
+    * does not need it (state store), offered for changelog mirroring. */
+  def stateTopic(stage: Int, node: Int): String = s"__state_${id}_${stage}_$node"
+
+  def orderedStages: Seq[StageSpec] = stages.sortBy(_.stage)
+}
+
+object PipelineSpec {
+
+  /** Validation mirroring the reference compiler's rules:
+    *  - operation must be a known op (`KafkaParser.py:124,137-138`)
+    *  - stages must be exactly 0..max, no gaps/dups (`KafkaParser.py:149-155`)
+    *  - partitions/replicas positive ints (`KafkaParser.py:222-227`)
+    * Returns the list of violations; empty = valid. */
+  def validate(spec: PipelineSpec): Seq[String] = {
+    val errs = ArrayBuffer[String]()
+    if (spec.partitions <= 0) errs += s"partition must be > 0, got ${spec.partitions}"
+    if (spec.replicas <= 0) errs += s"replica must be > 0, got ${spec.replicas}"
+    if (spec.stages.isEmpty) errs += "at least one stage is required"
+    spec.stages.filterNot(s => RefFunctions.knownOps(s.operation))
+      .foreach(s => errs += s"unknown operation '${s.operation}' at stage ${s.stage}")
+    val idx = spec.stages.map(_.stage).sorted
+    if (idx.nonEmpty && idx != (0 to idx.max).toList)
+      errs += s"stages must be contiguous 0..${idx.max}, got ${idx.mkString(",")}"
+    errs.toSeq
+  }
+
+  def validated(spec: PipelineSpec): PipelineSpec = {
+    val errs = validate(spec)
+    require(errs.isEmpty, errs.mkString("; "))
+    spec
+  }
+
+  /** Load a pipeline from the reference's XML format (`template.xml`):
+    * `<Stream id>` root, `<partition value>`/`<replica value>` attributes,
+    * unordered `<Streamer><stage><operation>` children, `<Producer><wait>`.
+    * Deployment-path elements are ignored. Uses the JDK DOM parser — no
+    * external XML dependency. */
+  def fromXml(xml: String): PipelineSpec = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
+    val root = doc.getDocumentElement
+    require(root.getTagName == "Stream", s"root must be <Stream>, got <${root.getTagName}>")
+    val id = Option(root.getAttribute("id")).filter(_.nonEmpty)
+      .getOrElse(scala.util.Random.nextInt(10000).toString)
+
+    def attrValue(tag: String, default: Int): Int = {
+      val ns = root.getElementsByTagName(tag)
+      if (ns.getLength == 0) default
+      else ns.item(0).getAttributes.getNamedItem("value").getNodeValue.trim.toInt
+    }
+    def childText(parent: org.w3c.dom.Element, tag: String): String = {
+      val ns = parent.getElementsByTagName(tag)
+      require(ns.getLength > 0, s"missing <$tag>")
+      ns.item(0).getTextContent.trim
+    }
+
+    val streamers = root.getElementsByTagName("Streamer")
+    val stages = (0 until streamers.getLength).map { i =>
+      val e = streamers.item(i).asInstanceOf[org.w3c.dom.Element]
+      StageSpec(childText(e, "stage").toInt, childText(e, "operation"))
+    }
+    val producers = root.getElementsByTagName("Producer")
+    val waitMs =
+      if (producers.getLength == 0) 5000L
+      else childText(producers.item(0).asInstanceOf[org.w3c.dom.Element], "wait").toLong
+
+    validated(PipelineSpec(id, attrValue("partition", 1), attrValue("replica", 1),
+      stages, waitMs))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Pipeline runner — the supervised equivalent of the reference's emitted
+  * launch scripts (`CreateBash.py:2-22`): start stage 0..N as chained
+  * streaming queries, each reading the previous stage's channel and
+  * writing the next (SURVEY.md §7 hard-part 3).
+  *
+  * Channels are parquet directories here (no Kafka broker in this
+  * environment); swapping [[fileSource]]/[[fileSink]] for
+  * `KafkaIO.source`/`KafkaIO.sink` changes transport, not semantics —
+  * stage wiring, state, and ordering are identical.
+  */
+object StagePipeline {
+
+  /** Directory layout: root/stage_<i> is stage i's input channel (the
+    * moral equivalent of topic `__stage_<id>_<i>`), root/stage_END the
+    * final sink (which the engine, unlike the reference, actually writes —
+    * SURVEY.md §1.3.4). */
+  def channelDir(root: String, spec: PipelineSpec, stage: Int): String =
+    if (stage > spec.orderedStages.last.stage) s"$root/stage_END"
+    else s"$root/stage_$stage"
+
+  private def fileSource(spark: SparkSession, dir: String): Dataset[StageRecord] = {
+    import spark.implicits._
+    spark.readStream
+      .schema("key STRING, value INT, seq BIGINT")
+      .parquet(dir).as[StageRecord]
+  }
+
+  /** Start one stage: read channel `i`, apply the stateful stage operator,
+    * write channel `i+1`. Each stage checkpoints independently — restart
+    * resumes from its own offsets+state, like a reference streamer process
+    * resuming from its state topic (`Streamer.java:441-445`). */
+  def startStage(spark: SparkSession, spec: PipelineSpec, root: String,
+                 checkpointRoot: String, st: StageSpec,
+                 useTws: Boolean = false): StreamingQuery = {
+    val in = fileSource(spark, channelDir(root, spec, st.stage))
+    val out =
+      if (useTws) KeyedStage.stageStream(in, st.operation)
+      else KeyedStage.stageStreamFMG(in, st.operation)
+    out.select("key", "value", "seq")
+      .writeStream
+      .format("parquet")
+      .option("path", channelDir(root, spec, st.stage + 1))
+      .option("checkpointLocation", s"$checkpointRoot/stage_${st.stage}")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Run the whole pipeline over whatever input is already in channel 0,
+    * stage by stage (AvailableNow triggers — each stage drains its input
+    * and stops; restartable at any point via the per-stage checkpoints). */
+  def runAvailable(spark: SparkSession, spec: PipelineSpec, root: String,
+                   checkpointRoot: String, useTws: Boolean = false): Unit =
+    PipelineSpec.validated(spec).orderedStages.foreach { st =>
+      val q = startStage(spark, spec, root, checkpointRoot, st, useTws)
+      q.awaitTermination()
+    }
+}

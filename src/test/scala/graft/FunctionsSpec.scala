@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{PortableHash, TextFunctions, VectorFunctions}
+import graft.operators.Dedup
+
+/** Unit/property coverage for the text/vector/hash function layer and the
+  * dedup operator invariants (SURVEY.md §5.1/5.5; §7 hard-part 4). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/shingles shapes") {
+    val df = Seq("the quick brown fox jumps", "one two", "").toDF("t")
+    val got = df.select(
+      size(TextFunctions.tokens(col("t"))).as("nt"),
+      size(TextFunctions.shingles(col("t"), 3)).as("ns")).collect()
+    assert(got(0).getInt(0) == 5 && got(0).getInt(1) == 3) // 5 tokens → 3 tri-grams
+    assert(got(1).getInt(0) == 2 && got(1).getInt(1) == 1) // short doc → 1 partial
+    assert(got(2).getInt(0) == 0 && got(2).getInt(1) == 0)
+  }
+
+  test("jaccard: identity=1, disjoint=0, half overlap") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")),
+      (Seq("a", "b"), Seq("b", "c"))).toDF("x", "y")
+    val got = df.select(TextFunctions.jaccard(col("x"), col("y"))).as[Double].collect()
+    assert(got(0) == 1.0 && got(1) == 0.0)
+    assert(math.abs(got(2) - 1.0 / 3) < 1e-12)
+  }
+
+  test("minhash signature: deterministic, permutation-invariant, k entries") {
+    val df = Seq(Seq("x", "y", "z"), Seq("z", "y", "x"), Seq("q")).toDF("s")
+    val sigs = df.select(TextFunctions.minhashSignature(col("s"), Dedup.K))
+      .as[Seq[Long]].collect()
+    assert(sigs(0).length == Dedup.K)
+    assert(sigs(0) == sigs(1), "set semantics: order must not matter")
+    assert(sigs(0) != sigs(2))
+    sigs(0).foreach(v => assert(v >= 0 && v < PortableHash.MOD))
+  }
+
+  test("simhash: equal docs equal, hamming distance small for near dup") {
+    val a = "spark is a distributed engine for large data processing"
+    val b = "spark is a distributed engine for large scale processing"
+    val c = "completely different words entirely unrelated topic here now"
+    val df = Seq(a, b, c).toDF("t")
+    val hs = df.select(TextFunctions.simhash(TextFunctions.tokens(col("t")), 16))
+      .as[Long].collect()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)),
+      s"near-dup hamming ${ham(hs(0), hs(1))} should beat unrelated ${ham(hs(0), hs(2))}")
+  }
+
+  test("minhash LSH finds an injected near-duplicate pair") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " alt59 alt60"
+    val others = (0 until 20).map(d => (100L + d,
+      (1 to 60).map(i => s"w${d}_$i").mkString(" ")))
+    val docs = (Seq((1L, base), (2L, nearDup)) ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    // precision: every reported pair must actually clear the threshold —
+    // verify against brute-force jaccard
+    val sh = Dedup.withShingleSet(docs, "text", "doc_id")
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        TextFunctions.jaccard(col("a.shset"), col("b.shset")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(brute), "LSH pairs must be a subset of true pairs")
+  }
+
+  test("cosine: self=1, orthogonal=0, scale-invariant") {
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 2f, 3f), Seq(2f, 4f, 6f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("portable hash matches its DuckDB formula shape (range + determinism)") {
+    val got = Seq("a", "b", "a").toDF("s")
+      .select(PortableHash.hash60(col("s"))).as[Long].collect()
+    assert(got(0) == got(2) && got(0) != got(1))
+    got.foreach(v => assert(v >= 0 && v < (1L << 60)))
+  }
+
+  test("brute-force and LSH top-k agree on same-bucket neighbors") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val brute = graft.operators.Similarity.bruteForceTopK(emb, col("vec_id") < 4, 5)
+      .select("query_id", "neighbor_id", "score6")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val lsh = graft.operators.Similarity.lshTopK(emb, col("vec_id") < 4, 5)
+      .select("query_id", "neighbor_id", "score6")
+      .as[(Long, Long, Double)].collect()
+    // every LSH hit must carry the exact same score the brute-force path
+    // computed for that (query, neighbor) pair if present there
+    lsh.foreach { case (q, n, s) =>
+      brute.get(q).flatMap(_.get(n)).foreach(bs => assert(bs == s)) }
+    assert(lsh.nonEmpty)
+  }
+}

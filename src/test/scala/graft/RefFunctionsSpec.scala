@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.RefFunctions
+
+/** Exact-semantics tests for the four reference stage functions
+  * (Streamer.java:166-205) incl. Java int wrap-around and power's
+  * (int)-cast truncation (Streamer.java:170-172) — SURVEY.md §5.1/5.5. */
+class RefFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evalOp(op: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                     v: Int, operand: Int): Int =
+    Seq(v).toDF("v").select(op(col("v"), lit(operand)).as("r")).head().getInt(0)
+
+  test("adder/diff/identity/power literal semantics f(value,1)") {
+    val df = Seq(0, 1, -5, 41, Int.MaxValue, Int.MinValue).toDF("v")
+    val got = df.select(
+      RefFunctions.adderRef(col("v")).as("a"),
+      RefFunctions.powerRef(col("v")).as("p"),
+      RefFunctions.diffRef(col("v")).as("d"),
+      RefFunctions.identityOp(col("v")).as("i")).collect()
+    val in = Seq(0, 1, -5, 41, Int.MaxValue, Int.MinValue)
+    in.zip(got).foreach { case (v, r) =>
+      assert(r.getInt(0) == v + 1, s"adder($v)")        // wraps at MaxValue
+      assert(r.getInt(2) == v - 1, s"diff($v)")         // wraps at MinValue
+      assert(r.getInt(3) == v, s"identity($v)")
+      assert(r.getInt(1) == math.pow(v.toDouble, 1.0).toInt, s"power($v)")
+    }
+  }
+
+  test("power overflow truncates like Java (int) cast, not wrap") {
+    // (int) Math.pow(50000, 2) saturates to Int.MaxValue in Java
+    assert(evalOp(RefFunctions.power, 50000, 2) == Int.MaxValue)
+    assert(evalOp(RefFunctions.power, -50000, 3) == Int.MinValue)
+  }
+
+  test("property: adder∘diff = identity; power(_,1) = identity") {
+    // deterministic pseudo-random sweep (no scalatestplus bridge offline)
+    val rnd = new scala.util.Random(42)
+    val vs = Seq.fill(200)(rnd.nextInt()).filter(v => v > Int.MinValue && v < Int.MaxValue)
+    val rows = vs.toDF("v").select(
+      col("v"),
+      RefFunctions.diff(RefFunctions.adderRef(col("v")), lit(1)).as("ad"),
+      RefFunctions.powerRef(col("v")).as("p")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(0))
+      assert(r.getInt(2) == r.getInt(0))
+    }
+  }
+
+  test("byName dispatch falls back to identity for unknown names (Streamer.java:200-203)") {
+    assert(evalOp(RefFunctions.byName("nonsense"), 7, 1) == 7)
+    assert(evalOp(RefFunctions.byName("adder"), 7, 1) == 8)
+  }
+
+  test("state serde round-trip matches mapToString/stringToMap (Streamer.java:552-591)") {
+    val df = Seq(("Key0", "3"), ("Key1", "2"), ("Key2", "11")).toDF("k", "v")
+    val ser = df.agg(RefFunctions.stateToString(
+      map_from_entries(collect_list(struct(col("k"), col("v"))))).as("s"))
+    val s = ser.head().getString(0)
+    assert(s == "Key0=3&Key1=2&Key2=11")
+    val back = ser.select(explode(RefFunctions.stringToState(col("s")))).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back == Map("Key0" -> "3", "Key1" -> "2", "Key2" -> "11"))
+  }
+
+  test("refKey matches Producer.java:74 key scheme") {
+    val got = spark.range(10).select(RefFunctions.refKey(col("id"), 3))
+      .as[String].collect()
+    assert(got.toSeq == (0 until 10).map(i => s"Key${i % 3}"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming-vs-batch equivalence for the reference stage semantics
+  * (SURVEY.md §5.3): replay a keyed-int stream through both stateful
+  * streaming paths and assert the result equals the batch window twin. */
+class KeyedStageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def records(n: Int, partitions: Int): Seq[StageRecord] =
+    (0 until n).map(i => StageRecord(s"Key${i % partitions}", i, i.toLong))
+
+  private def runStream(input: Seq[Seq[StageRecord]], useTws: Boolean,
+                        name: String): Map[(String, Long), StageOutput] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StageRecord]
+    val ds =
+      if (useTws) KeyedStage.stageStream(mem.toDS(), "adder")
+      else KeyedStage.stageStreamFMG(mem.toDS(), "adder")
+    // operator emits append-only output → query must run in append mode
+    // (flatMapGroupsWithState(Append) rejects an update-mode query)
+    val q = ds.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+      spark.table(name).as[StageOutput].collect()
+        .map(o => (o.key, o.seq) -> o).toMap
+    } finally q.stop()
+  }
+
+  private def batchExpected(rs: Seq[StageRecord]): Map[(String, Long), StageOutput] =
+    KeyedStage.stageBatch(rs.toDF(), "adder")
+      .as[StageOutput].collect().map(o => (o.key, o.seq) -> o).toMap
+
+  test("flatMapGroupsWithState stage equals batch twin across microbatches") {
+    val rs = records(60, 4)
+    // 3 microbatches of 20 — state must carry across batch boundaries
+    val got = runStream(rs.grouped(20).toSeq, useTws = false, "fmg_out")
+    assert(got == batchExpected(rs))
+  }
+
+  test("transformWithState stage equals batch twin across microbatches") {
+    val rs = records(60, 4)
+    val got = runStream(rs.grouped(20).toSeq, useTws = true, "tws_out")
+    assert(got == batchExpected(rs))
+  }
+
+  test("per-key FIFO: out-of-order arrival within a batch is re-sorted by seq") {
+    val rs = records(30, 2)
+    val shuffled = scala.util.Random.shuffle(rs)
+    val got = runStream(Seq(shuffled), useTws = false, "fifo_out")
+    // counts must follow seq order per key, not arrival order
+    assert(got == batchExpected(rs))
+  }
+
+  test("stage functions compose: 3-stage adder pipeline adds 3 (template.xml:36-52)") {
+    val spec = PipelineSpec("t", 2, 1,
+      Seq(StageSpec(0, "adder"), StageSpec(1, "adder"), StageSpec(2, "adder")))
+    val in = records(10, 2).toDF()
+    val out = KeyedStage.fusedBatch(in, spec)
+      .select("key", "value", "seq").as[StageRecord].collect()
+    out.foreach(r => assert(r.value == r.seq + 3))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-spec validation mirroring the reference compiler's rules
+  * (KafkaParser.py:124,149-155,222-227) and XML loading (template.xml). */
+class PipelineSpecSpec extends AnyFunSuite {
+
+  private def spec(stages: Seq[(Int, String)], p: Int = 2, r: Int = 1) =
+    PipelineSpec("42", p, r, stages.map { case (i, op) => StageSpec(i, op) })
+
+  test("valid contiguous pipeline passes") {
+    assert(PipelineSpec.validate(
+      spec(Seq(0 -> "adder", 1 -> "power", 2 -> "diff", 3 -> "identity"))).isEmpty)
+  }
+
+  test("non-contiguous stages rejected (KafkaParser.py:149-155)") {
+    val errs = PipelineSpec.validate(spec(Seq(0 -> "adder", 2 -> "adder")))
+    assert(errs.exists(_.contains("contiguous")))
+  }
+
+  test("unknown operation rejected (KafkaParser.py:124)") {
+    val errs = PipelineSpec.validate(spec(Seq(0 -> "frobnicate")))
+    assert(errs.exists(_.contains("unknown operation")))
+  }
+
+  test("non-positive partition/replica rejected") {
+    assert(PipelineSpec.validate(spec(Seq(0 -> "adder"), p = 0)).nonEmpty)
+    assert(PipelineSpec.validate(spec(Seq(0 -> "adder"), r = -1)).nonEmpty)
+  }
+
+  test("XML loader parses the reference template shape (out-of-order stages)") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<Stream id="1996">
+        |  <replica value="2"/>
+        |  <partition value="2"/>
+        |  <Streamer><stage>0</stage><operation>adder</operation><jar>/x</jar></Streamer>
+        |  <Streamer><stage>2</stage><operation>adder</operation><jar>/x</jar></Streamer>
+        |  <Streamer><stage>1</stage><operation>adder</operation><jar>/x</jar></Streamer>
+        |  <Producer><jar>/x</jar><wait>7000</wait></Producer>
+        |</Stream>""".stripMargin
+    val s = PipelineSpec.fromXml(xml)
+    assert(s.id == "1996" && s.partitions == 2 && s.replicas == 2)
+    assert(s.orderedStages.map(_.stage) == Seq(0, 1, 2))
+    assert(s.producerWaitMs == 7000)
+    assert(s.dataTopic(1) == "__stage_1996_1")
+    assert(s.stateTopic(1, 0) == "__state_1996_1_0")
+  }
+
+  test("XML with a gap in stages is rejected") {
+    val xml =
+      """<Stream id="9">
+        |  <partition value="1"/><replica value="1"/>
+        |  <Streamer><stage>0</stage><operation>adder</operation></Streamer>
+        |  <Streamer><stage>2</stage><operation>adder</operation></Streamer>
+        |</Stream>""".stripMargin
+    assertThrows[IllegalArgumentException](PipelineSpec.fromXml(xml))
+  }
+}

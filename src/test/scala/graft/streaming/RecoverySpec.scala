@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Failure-recovery contract (SURVEY.md §5.4, reference analogue
+  * `resume_state` Streamer.java:441-445): stop a checkpointed stateful
+  * query between batches, feed more data, restart — per-key counts are
+  * neither lost nor doubled. Also the multi-stage pipeline e2e
+  * (SURVEY.md §5.6). */
+class RecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("checkpointed stage restart: counts neither lost nor doubled") {
+    val inDir = tmp("rec_in")
+    val outDir = tmp("rec_out")
+    val ckpt = tmp("rec_ckpt")
+
+    def writeChunk(records: Seq[StageRecord]): Unit =
+      records.toDF().coalesce(1).write.mode("append").parquet(inDir)
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema("key STRING, value INT, seq BIGINT")
+        .parquet(inDir).as[StageRecord]
+      val q = KeyedStage.stageStreamFMG(in, "adder")
+        .select("key", "value", "count", "seq")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val all = (0 until 40).map(i => StageRecord(s"Key${i % 4}", i, i.toLong))
+    writeChunk(all.take(20))
+    runOnce()                   // process first half, then "crash" (stop)
+    writeChunk(all.drop(20))
+    runOnce()                   // restart from checkpoint, drain the rest
+
+    val out = spark.read.parquet(outDir)
+      .select("key", "value", "count", "seq").as[StageOutput].collect()
+    assert(out.length == 40, "no record lost or doubled")
+    // final per-key count = number of records with that key, state carried
+    // across the restart
+    val finalCounts = out.groupBy(_.key).map { case (k, os) => k -> os.map(_.count).max }
+    assert(finalCounts == Map("Key0" -> 10L, "Key1" -> 10L, "Key2" -> 10L, "Key3" -> 10L))
+    // and each record's value is seq+1 (adder)
+    out.foreach(o => assert(o.value == o.seq + 1))
+  }
+
+  test("3-stage file-channel pipeline e2e: value+3, per-stage checkpoints") {
+    val root = tmp("pipe")
+    val ckpt = tmp("pipe_ckpt")
+    val spec = PipelineSpec("77", 2, 1,
+      Seq(StageSpec(0, "adder"), StageSpec(1, "adder"), StageSpec(2, "adder")))
+
+    ProducerSim.batch(spark, partitions = 2, total = 50)
+      .toDF().write.mode("overwrite")
+      .parquet(StagePipeline.channelDir(root, spec, 0))
+
+    StagePipeline.runAvailable(spark, spec, root, ckpt)
+
+    val end = spark.read.parquet(StagePipeline.channelDir(root, spec, 3))
+      .as[StageRecord].collect()
+    assert(end.length == 50)
+    end.foreach(r => assert(r.value == r.seq + 3, s"seq=${r.seq}"))
+    // re-running with the same checkpoints is a no-op (no duplication)
+    StagePipeline.runAvailable(spark, spec, root, ckpt)
+    assert(spark.read.parquet(StagePipeline.channelDir(root, spec, 3)).count() == 50)
+  }
+}

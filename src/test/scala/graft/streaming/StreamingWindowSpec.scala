@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming window/watermark/dedup execution paths (SURVEY.md §2.B
+  * streaming block): the same expressions as the batch twins in
+  * StreamingBatchQueries, here actually executed as streaming queries
+  * with event-time state. */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(ts: java.sql.Timestamp, user: String, v: Double)
+  private def ev(minute: Int, user: String, v: Double) =
+    Ev(java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, v)
+
+  test("tumbling window + watermark aggregates match batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(ev(0, "a", 1), ev(5, "a", 2), ev(10, "b", 3))
+      q.processAllAvailable()
+      mem.addData(ev(20, "a", 4), ev(35, "b", 5))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select(col("window.start").cast("string"), col("user"), col("n"), col("sv"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00", "a", 2L, 3.0),
+        ("2024-01-01 10:00:00", "b", 1L, 3.0),
+        ("2024-01-01 10:15:00", "a", 1L, 4.0),
+        ("2024-01-01 10:30:00", "b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates suppresses replayed records") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = mem.toDF().withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user", "ts")
+    val q = dedup.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(0, "a", 1), ev(0, "a", 1), ev(5, "b", 2))
+      q.processAllAvailable()
+      mem.addData(ev(0, "a", 1), ev(6, "b", 3)) // replay + new
+      q.processAllAvailable()
+      // force watermark far enough forward to flush append results
+      mem.addData(ev(59, "z", 0))
+      q.processAllAvailable()
+      val got = spark.table("dd_out").select("user", "v")
+        .as[(String, Double)].collect().toSeq
+        .filter(_._1 != "z")
+      assert(got.sorted == Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)))
+    } finally q.stop()
+  }
+
+  test("session window groups events within gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      // a: 10:00,10:05 (one session), 10:30 (new session); b: 10:02
+      mem.addData(ev(0, "a", 1), ev(5, "a", 1), ev(30, "a", 1), ev(2, "b", 1))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").select("user", "n")
+        .as[(String, Long)].collect().sorted
+      assert(got.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+}
