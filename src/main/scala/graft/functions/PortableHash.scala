@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
 object PortableHash {
   val MOD: Long = 1000000007L
 
-  /** 60-bit md5-derived hash of a string column (non-negative). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit md5-derived hash of a string column (non-negative).
+    * Computed by the codegen'd [[Md5Hash60]] expression; semantically
+    * `conv(substring(md5(c),1,15),16,10)::long` (the form the DuckDB
+    * oracle mirrors), minus the hex round-trip. */
+  def hash60(c: Column): Column = Md5Hash60(c)
 
   /** Hash reduced into the MOD field — safe to combine multiplicatively. */
   def hashMod(c: Column): Column = hash60(c) % lit(MOD)

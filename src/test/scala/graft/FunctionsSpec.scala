@@ -19,6 +19,26 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2).getInt(0) == 0 && got(2).getInt(1) == 0)
   }
 
+  test("codegen WordShingles ≡ composed-builtin shingles on real docs + edge cases") {
+    val edge = Seq("", "  ", "one", "one two", " lead  and   trail ").toDF("text")
+    val docs = graft.core.Tables.load(spark, sf0001, "documents").select("text")
+      .union(edge)
+    val diff = docs.select(
+      TextFunctions.shingles(col("text"), 3).as("fast"),
+      TextFunctions.shinglesComposed(col("text"), 3).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(diff.count() == 0)
+  }
+
+  test("codegen Md5Hash60 ≡ conv(substring(md5)) form") {
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+    val diff = docs.select(
+      graft.functions.PortableHash.hash60(col("text")).as("fast"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
   test("jaccard: identity=1, disjoint=0, half overlap") {
     val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")),
       (Seq("a", "b"), Seq("b", "c"))).toDF("x", "y")
