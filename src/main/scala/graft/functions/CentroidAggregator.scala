@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregate (SURVEY.md §2.B "UDAF" row): the element-wise
+  * mean of a vector column — the centroid used by IVF-style similarity
+  * partitioning. Implemented as an `Aggregator` so Catalyst plans it as a
+  * two-phase (partial → final) hash aggregate: partitions reduce locally
+  * into a (sum-vector, count) buffer and only buffers cross the shuffle —
+  * at 100 TB the network moves O(groups × dim), not O(rows × dim).
+  */
+class CentroidAggregator(dim: Int)
+    extends Aggregator[Seq[Double], CentroidBuffer, Seq[Double]] {
+
+  override def zero: CentroidBuffer = CentroidBuffer(Array.fill(dim)(0.0), 0L)
+
+  override def reduce(b: CentroidBuffer, v: Seq[Double]): CentroidBuffer = {
+    var i = 0
+    while (i < dim && i < v.length) { b.sums(i) += v(i); i += 1 }
+    CentroidBuffer(b.sums, b.n + 1)
+  }
+
+  override def merge(x: CentroidBuffer, y: CentroidBuffer): CentroidBuffer = {
+    var i = 0
+    while (i < dim) { x.sums(i) += y.sums(i); i += 1 }
+    CentroidBuffer(x.sums, x.n + y.n)
+  }
+
+  override def finish(r: CentroidBuffer): Seq[Double] =
+    if (r.n == 0) Seq.fill(dim)(0.0)
+    else r.sums.map(_ / r.n).toSeq
+
+  override def bufferEncoder: Encoder[CentroidBuffer] = Encoders.product
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+}
+
+case class CentroidBuffer(sums: Array[Double], n: Long)

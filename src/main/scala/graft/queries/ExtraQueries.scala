@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.CentroidAggregator
+
+/** Coverage closers for SURVEY.md §2.B rows not exercised elsewhere:
+  * GROUPING SETS (SQL surface), CSV/JSON scans (schema round-trip through
+  * non-parquet sources), and the custom typed Aggregator (vector centroid,
+  * partial→final at the buffer level).
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_agg_groupingsets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                        sum(l_quantity) AS sum_qty, count(*) AS n
+                 FROM lineitem_gs
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+                     sum(l_quantity) AS sum_qty, count(*) AS n
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""),
+      "explicit GROUPING SETS via the SQL entry point"),
+
+    Q("q_scan_csv",
+      (s, d) => {
+        val src = t(s, d, "customer")
+        val path = s"${sys.props("java.io.tmpdir")}/graft_csv_${new java.io.File(d).getName}_customer"
+        if (!new java.io.File(path).exists())
+          src.write.option("header", "true").csv(path)
+        s.read.option("header", "true").schema(src.schema).csv(path)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"),
+      "CSV scan with explicit schema (round-trip from the parquet table)"),
+
+    Q("q_scan_json",
+      (s, d) => {
+        val cols = Seq("event_id", "user_id", "event_type", "value")
+        val src = t(s, d, "events").select(cols.map(col): _*)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_json_${new java.io.File(d).getName}_events"
+        if (!new java.io.File(path).exists()) src.write.json(path)
+        s.read.schema(src.schema).json(path).select(cols.map(col): _*)
+      },
+      Some("SELECT event_id, user_id, event_type, value FROM events"),
+      "JSON-lines scan with explicit schema"),
+
+    Q("q_agg_centroid",
+      (s, d) => {
+        val centroid = udaf(new CentroidAggregator(64))
+        t(s, d, "embeddings")
+          .groupBy("label")
+          .agg(centroid(col("embedding").cast("array<double>")).as("c"))
+          .select(col("label"), posexplode(col("c")))
+          .select(col("label"), (col("pos") + 1).cast("int").as("dim"),
+            round(col("col"), 6).as("m"))
+      },
+      Some("""SELECT label, CAST(i AS INT) AS dim,
+                     round(avg(embedding[i]::DOUBLE), 6) AS m
+              FROM embeddings CROSS JOIN range(1, 65) t(i)
+              GROUP BY label, i"""),
+      "custom typed Aggregator: per-label vector centroid (partial/final buffers)"))
+}

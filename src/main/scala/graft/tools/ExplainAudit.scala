@@ -1,0 +1,24 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.GraftSession
+
+/** Dump formatted physical plans for the headline queries — the scale
+  * audit: broadcast where expected, pushed filters reaching the parquet
+  * scan, pruned schemas, whole-stage codegen coverage.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else graft.Bench.headline
+    val spark = GraftSession.local("explain-audit")
+    val qmap = SparkEntry.queries
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      try println(qmap(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Throwable => println(s"ERROR: $e") }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stream-static and stream-stream joins (SURVEY.md §2.B joins block) —
+  * executed as real streaming queries against memory sources. */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Click(ts: java.sql.Timestamp, user: Long, page: String)
+  case class Buy(ts: java.sql.Timestamp, user: Long, amount: Double)
+  private def at(minute: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("stream-static join enriches the stream without shuffling the static dim per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val mem = MemoryStream[Click]
+    val joined = mem.toDF().join(broadcast(dim), Seq("user"), "left")
+    val q = joined.writeStream.format("memory").queryName("ss_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Click(at(0), 1L, "a"), Click(at(1), 3L, "b"))
+      q.processAllAvailable()
+      val got = spark.table("ss_out").select("user", "page", "tier")
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(got == Set((1L, "a", Some("gold")), (3L, "b", None)))
+    } finally q.stop()
+  }
+
+  test("stream-stream inner join with watermarks and a time-range condition") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val c = clicks.toDF().withWatermark("ts", "20 minutes")
+      .select(col("ts").as("cts"), col("user").as("cuser"), col("page"))
+    val b = buys.toDF().withWatermark("ts", "20 minutes")
+      .select(col("ts").as("bts"), col("user").as("buser"), col("amount"))
+    // buy attributed to a click by the same user within the previous 10 min
+    val joined = c.join(b,
+      col("cuser") === col("buser") &&
+        col("bts") >= col("cts") &&
+        col("bts") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Click(at(0), 1L, "landing"), Click(at(2), 2L, "promo"))
+      buys.addData(Buy(at(5), 1L, 10.0),  // within 10m of user 1's click
+        Buy(at(30), 2L, 99.0))            // too late for user 2's click
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("cuser", "page", "amount")
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == Set((1L, "landing", 10.0)))
+    } finally q.stop()
+  }
+}
