@@ -40,10 +40,25 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // the reference's own workload, apples-to-apples: 100k messages
+    // (Producer.java:14) through the 3-stage adder pipeline with per-key
+    // running counts per stage. The reference's floor is 1 s/record/stage
+    // (Streamer.java:470) ⇒ ≥ 100,000 s end-to-end; this measures ours.
+    val spec = graft.streaming.PipelineSpec("bench", 2, 1, Seq(
+      graft.streaming.StageSpec(0, "adder"), graft.streaming.StageSpec(1, "adder"),
+      graft.streaming.StageSpec(2, "adder")))
+    val t0 = System.nanoTime()
+    val feed = graft.streaming.ProducerSim.batch(spark, 2, 100000).toDF()
+    val staged = spec.orderedStages.foldLeft(feed) { (df, st) =>
+      graft.streaming.KeyedStage.stageBatch(df, st.operation) }
+    staged.write.format("noop").mode("overwrite").save()
+    val refSec = (System.nanoTime() - t0) / 1e9
+
+    val qs = (results :+ ("ref_workload_100k" -> refSec))
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ref_workload_msgs_per_sec":${100000 / refSec}%.0f}""")
     spark.stop()
   }
 }

@@ -32,4 +32,15 @@ object Tables {
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Spread a DataFrame across the cluster before heavy per-row compute
+    * (sketching, regex, decode). Single-file/single-row-group inputs plan
+    * as one scan task, serializing everything upstream of the first
+    * shuffle; when per-row cost ≫ row-shipping cost the extra exchange
+    * wins at any scale. No-op when the input is already parallel enough. */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
 }

@@ -32,10 +32,14 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** doc_id + distinct word-3-gram shingle set (the near-dup unit). */
+  /** doc_id + distinct word-3-gram shingle set (the near-dup unit).
+    * Repartitions first: shingling+hashing cost ≫ shipping the raw text,
+    * and single-file scans would otherwise run it on one task. */
   def withShingleSet(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      array_distinct(TextFunctions.shingles(col(textCol), n)).as("shset"))
+    graft.core.Tables.ensureParallelism(
+      docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(col(textCol), n)).as("shset"))
 
   /** doc_id + K-entry MinHash signature over the shingle set.
     * Two projections on purpose: the md5-derived token hashes materialize
@@ -102,8 +106,10 @@ object Dedup {
 
   /** 16-bit SimHash per document over the word bag. */
   def simhashTable(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      TextFunctions.simhash(TextFunctions.tokens(col(textCol)), 16).as("simhash"))
+    graft.core.Tables.ensureParallelism(
+      docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        TextFunctions.simhash(TextFunctions.tokens(col(textCol)), 16).as("simhash"))
 
   /** Embedding near-dup pairs: cosine ≥ threshold over all id1<id2 pairs.
     * Brute force — at large n switch to Similarity.lshTopK-style bucketing. */
