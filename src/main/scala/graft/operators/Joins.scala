@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join utilities for the shapes stock planning handles badly at scale.
+  */
+object Joins {
+
+  /** Skew-salted equi-join: replicate each right-side row `salt` times and
+    * scatter the left side uniformly across the replicas, so one hot key
+    * spreads over `salt` reducers instead of melting a single task.
+    * Result is row-identical to the plain inner join (verified by the
+    * `q_join_salted` oracle).
+    *
+    * Use when a key's row count ≫ the average and AQE's skew handling
+    * can't kick in (e.g. the skew is on the build side of a non-sort-merge
+    * join). `salt` multiplies the right side's size — keep it modest.
+    */
+  def saltedInnerJoin(left: DataFrame, right: DataFrame, leftKey: Column,
+                      rightKey: Column, salt: Int): DataFrame = {
+    // scatter must vary WITHIN a key (that's the point); the join result
+    // is salt-assignment-independent because every right row exists under
+    // every salt value, so non-deterministic row ids are safe here
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    // generators can't nest inside other expressions — explode bare, let
+    // the join condition coerce int vs long
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, leftKey === rightKey && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+
+  /** As-of join: for each left row, the single right row with the greatest
+    * `rightTs` ≤ `leftTs` among matching keys (latest-dim-state-at-event).
+    * Composed as equi-join + window; Catalyst plans the equi part as a
+    * normal shuffled/broadcast join. */
+  def asOf(left: DataFrame, right: DataFrame, leftKey: Column, rightKey: Column,
+           leftTs: Column, rightTs: Column, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = left.join(right, leftKey === rightKey && rightTs <= leftTs)
+    val w = Window.partitionBy(leftKey, leftTs)
+      .orderBy(rightTs.desc, tieBreak.desc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

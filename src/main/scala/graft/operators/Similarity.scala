@@ -43,6 +43,38 @@ object Similarity {
     topK(scored(broadcast(q), c, col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** IVF-style bucketed top-k: corpus vectors are assigned to the cell of
+    * their nearest seed centroid (seeds = the first `nCells` vectors by
+    * id — deterministic, so the oracle reproduces the assignment from the
+    * same table); each query probes only its own cell.
+    *
+    * At cluster scale the cell id is the partitioning/bucketing key: the
+    * corpus is written bucketed by cell, a query ships to one bucket, and
+    * the scan prunes to that bucket's files — IVF routing on stock Spark.
+    * Seeds stay broadcast (nCells × dim floats).
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+              nCells: Int = 8): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    // nearest centroid by max dot product; ties break to the lowest cell id
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cell"))
+    val assigned = emb.join(broadcast(seeds))
+      .withColumn("cdot", VectorFunctions.dot(col("embedding"), col("centroid")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell").as("qcell"))
+    val c = assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("cell").as("ccell"))
+    topK(scored(broadcast(q), c,
+      col("qcell") === col("ccell") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** Sign-LSH bucketed top-k: only corpus vectors in the query's bucket are
     * scored. Deterministic planes (VectorFunctions.hyperplanes, seed 42) so
     * the differential oracle can reproduce bucket ids exactly. */

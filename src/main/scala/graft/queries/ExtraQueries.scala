@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.CentroidAggregator
+import graft.operators.{Joins, Similarity}
 
 /** Coverage closers for SURVEY.md §2.B rows not exercised elsewhere:
   * GROUPING SETS (SQL surface), CSV/JSON scans (schema round-trip through
@@ -68,5 +69,51 @@ object ExtraQueries {
                      round(avg(embedding[i]::DOUBLE), 6) AS m
               FROM embeddings CROSS JOIN range(1, 65) t(i)
               GROUP BY label, i"""),
-      "custom typed Aggregator: per-label vector centroid (partial/final buffers)"))
+      "custom typed Aggregator: per-label vector centroid (partial/final buffers)"),
+
+    Q("q_join_salted",
+      (s, d) => Joins.saltedInnerJoin(
+          t(s, d, "lineitem"), t(s, d, "orders"),
+          col("l_orderkey"), col("o_orderkey"), salt = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty")),
+      // oracle is the PLAIN join: salting must be result-invariant
+      Some("""SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderstatus"""),
+      "skew-salted join ≡ plain join (salt-invariance checked by oracle)"),
+
+    Q("q_sim_topk_ivf",
+      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"),
+        col("vec_id") < LlmQueries.QueryVecs, LlmQueries.TopK),
+      Some(s"""WITH seeds AS (
+                 SELECT vec_id AS cell, embedding AS centroid
+                 FROM embeddings WHERE vec_id < 8),
+               assigned AS (
+                 SELECT vec_id, embedding, cell FROM (
+                   SELECT e.vec_id, e.embedding, s.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.embedding::DOUBLE[], s.centroid::DOUBLE[]) DESC,
+                                s.cell) AS crn
+                   FROM embeddings e CROSS JOIN seeds s)
+                 WHERE crn = 1),
+               scored AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                             sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) = 0
+                        THEN 0.0
+                        ELSE list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) END AS score
+                 FROM assigned q JOIN assigned c
+                   ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < ${LlmQueries.QueryVecs})
+               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+                      round(score, 6) AS score6
+               FROM (SELECT *, row_number() OVER
+                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+                     FROM scored)
+               WHERE rn <= ${LlmQueries.TopK}"""),
+      "IVF-bucketed cosine top-k (cell id = bucketing key at scale)"))
 }

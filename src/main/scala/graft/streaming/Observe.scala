@@ -1,0 +1,43 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Observability (SURVEY.md §2.A row 16): the machine-readable replacement
+  * for the reference's per-record stdout trace (`Streamer.java:291-310`).
+  * `df.observe` attaches batch-level metrics evaluated inside the query
+  * (zero extra passes); the listener surfaces per-batch progress.
+  */
+object Observe {
+
+  /** Attach the reference-trace equivalents as observed metrics: records
+    * processed, distinct keys touched, min/max seq (offset range). */
+  def stageMetrics(df: DataFrame, name: String): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_records"),
+      approx_count_distinct(col("key")).as("n_keys"),
+      min(col("seq")).as("min_seq"),
+      max(col("seq")).as("max_seq"))
+
+  /** A listener that collects each microbatch's progress (rows/s, batch
+    * duration, observed metrics) — the engine's Consume/Process/Commit
+    * trace, one line per batch instead of five per record. */
+  final class ProgressCollector extends StreamingQueryListener {
+    val progress = new ConcurrentLinkedQueue[String]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      progress.add(s"batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
+        s"obs=${e.progress.observedMetrics}")
+  }
+
+  def withCollector(spark: SparkSession)(body: ProgressCollector => Unit): ProgressCollector = {
+    val c = new ProgressCollector
+    spark.streams.addListener(c)
+    try body(c) finally spark.streams.removeListener(c)
+    c
+  }
+}

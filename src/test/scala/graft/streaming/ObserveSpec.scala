@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Observed metrics + listener — the reference's stdout trace made
+  * machine-checkable (SURVEY.md §2.A row 16). */
+class ObserveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("observe() metrics and listener progress per microbatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StageRecord]
+    val staged = KeyedStage.stageStreamFMG(
+      Observe.stageMetrics(mem.toDS().toDF(), "stage0").as[StageRecord], "adder")
+    val collector = Observe.withCollector(spark) { c =>
+      val q = staged.writeStream.format("memory").queryName("obs_out")
+        .outputMode("append").start()
+      try {
+        mem.addData((0 until 10).map(i => StageRecord(s"Key${i % 2}", i, i)))
+        q.processAllAvailable()
+        mem.addData((10 until 15).map(i => StageRecord(s"Key${i % 2}", i, i)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val lines = collector.progress.toArray.map(_.toString)
+    // observed row = [n_records, n_keys, min_seq, max_seq]
+    assert(lines.exists(l => l.contains("rows=10") && l.contains("stage0=[10,2,0,9]")),
+      s"missing batch-0 metrics in:\n${lines.mkString("\n")}")
+    assert(lines.exists(l => l.contains("rows=5") && l.contains("stage0=[5,2,10,14]")))
+  }
+}
