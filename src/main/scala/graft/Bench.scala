@@ -20,7 +20,8 @@ object Bench {
     "q_stream_tumbling", "q_stream_session",
     "q_ref_pipeline", "q_ref_keyed_count",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-    "q_sim_topk_lsh", "q_text_stats", "q_media_features")
+    "q_sim_topk_lsh", "q_sim_topk_ivf", "q_agg_centroid", "q_join_salted",
+    "q_text_stats", "q_media_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dense dot product over two `array<double>` columns.
+  *
+  * Value-identical to `aggregate(zip_with(a, b, (x,y) -> x*y), 0D,
+  * (s,x) -> s+x)` — strict left-to-right double summation, so the DuckDB
+  * oracle's `list_dot_product` matches bit-for-bit — but it runs as one
+  * fused primitive loop instead of three interpreted higher-order passes
+  * (zip allocation + per-element lambda + fold). The cosine scoring paths
+  * evaluate this once per candidate pair (10⁵–10⁹ at scale), which made
+  * the interpreted form the similarity-search bottleneck.
+  *
+  * Length semantics: iterates min(len(a), len(b)) — same as zip_with over
+  * equal-length vectors (the only shape the engine produces).
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ArrayDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDot {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column = ColumnBridge.column(
+    ArrayDot(ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
+}

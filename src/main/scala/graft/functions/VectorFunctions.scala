@@ -13,7 +13,11 @@ object VectorFunctions {
 
   private def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — codegen'd [[ArrayDot]]; [[dotComposed]] is the
+    * built-in-only equivalent kept as its differential test foil. */
+  def dot(a: Column, b: Column): Column = ArrayDot(a, b)
+
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
@@ -24,6 +28,12 @@ object VectorFunctions {
     val n = norm2(a) * norm2(b)
     when(n === 0, lit(0.0)).otherwise(d / n)
   }
+
+  /** Cosine from a precomputed-norm layout: when scoring q×c pairs, the
+    * per-vector norms are computed once per VECTOR (before the join), not
+    * twice per PAIR — cuts the per-pair work from 3 dots to 1. */
+  def cosinePrenormed(dotQC: Column, qNorm: Column, cNorm: Column): Column =
+    when(qNorm * cNorm === 0, lit(0.0)).otherwise(dotQC / (qNorm * cNorm))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),

@@ -114,10 +114,14 @@ object Dedup {
   /** Embedding near-dup pairs: cosine ≥ threshold over all id1<id2 pairs.
     * Brute force — at large n switch to Similarity.lshTopK-style bucketing. */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    // norms once per vector, one codegen'd dot per pair (see Similarity)
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      VectorFunctions.norm2(col("embedding")).as("n1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      VectorFunctions.norm2(col("embedding")).as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", VectorFunctions.cosine(col("v1"), col("v2")))
+      .withColumn("cos", VectorFunctions.cosinePrenormed(
+        VectorFunctions.dot(col("v1"), col("v2")), col("n1"), col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos6"))
   }

@@ -21,9 +21,24 @@ object Similarity {
   val DefaultPlanes = 4
   val Dim = 64
 
+  /** Norms are computed once per VECTOR before the join (the projection
+    * boundary keeps them materialized), so each candidate pair costs one
+    * codegen'd dot instead of three — the pair loop is the O(|Q|·|C|/cells)
+    * term that dominates at scale. */
   private def scored(q: DataFrame, c: DataFrame, joinCond: Column): DataFrame =
     q.join(c, joinCond)
-      .withColumn("score", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("score", VectorFunctions.cosinePrenormed(
+        VectorFunctions.dot(col("qv"), col("cv")), col("qnorm"), col("cnorm")))
+
+  private def asQuery(df: DataFrame, extra: (String, String)*): DataFrame =
+    df.select((Seq(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      VectorFunctions.norm2(col("embedding")).as("qnorm")) ++
+      extra.map { case (f, t) => col(f).as(t) }): _*)
+
+  private def asCorpus(df: DataFrame, extra: (String, String)*): DataFrame =
+    df.select((Seq(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      VectorFunctions.norm2(col("embedding")).as("cnorm")) ++
+      extra.map { case (f, t) => col(f).as(t) }): _*)
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -37,9 +52,8 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. `queries` is
     * expected to be small (broadcast side). */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val q = asQuery(emb.filter(queryPred))
+    val c = asCorpus(emb)
     topK(scored(broadcast(q), c, col("query_id") =!= col("neighbor_id")), k)
   }
 
@@ -65,12 +79,8 @@ object Similarity {
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val q = assigned.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("cell").as("qcell"))
-    val c = assigned
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        col("cell").as("ccell"))
+    val q = asQuery(assigned.filter(queryPred), "cell" -> "qcell")
+    val c = asCorpus(assigned, "cell" -> "ccell")
     topK(scored(broadcast(q), c,
       col("qcell") === col("ccell") && col("query_id") =!= col("neighbor_id")), k)
   }
@@ -83,12 +93,8 @@ object Similarity {
     val planes = VectorFunctions.hyperplanes(nPlanes, Dim)
     val withBucket = emb.withColumn("bucket",
       VectorFunctions.lshBucket(col("embedding"), planes))
-    val q = withBucket.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket").as("qb"))
-    val c = withBucket
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        col("bucket").as("cb"))
+    val q = asQuery(withBucket.filter(queryPred), "bucket" -> "qb")
+    val c = asCorpus(withBucket, "bucket" -> "cb")
     topK(scored(broadcast(q), c,
       col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
   }

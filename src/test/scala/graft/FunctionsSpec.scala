@@ -90,6 +90,36 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.subsetOf(brute), "LSH pairs must be a subset of true pairs")
   }
 
+  test("codegen ArrayDot ≡ composed aggregate/zip_with dot on real embeddings") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings").limit(200)
+    val a = emb.select(col("vec_id").as("i1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("i2"), col("embedding").as("e2"))
+    val pairs = a.join(b, col("i1") < col("i2") && col("i2") < col("i1") + 5)
+    val diff = pairs.select(
+      graft.functions.VectorFunctions.dot(col("e1"), col("e2")).as("fast"),
+      graft.functions.VectorFunctions.dotComposed(col("e1"), col("e2")).as("ref"))
+      .filter(col("fast") =!= col("ref")) // bit-exact, not approx
+    assert(diff.count() == 0)
+  }
+
+  test("Joins.asOf picks the latest right row at-or-before each left ts") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:30:00")), (1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-01 12:00:00"))).toDF("uid", "ets")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), "B"), (1L, ts("2024-01-01 08:00:00"), "A"),
+      (1L, ts("2024-01-01 11:00:00"), "C"), (2L, ts("2024-01-01 12:00:00"), "D"))
+      .toDF("ruid", "rts", "tag")
+    val got = graft.operators.Joins.asOf(left, right,
+      col("uid"), col("ruid"), col("ets"), col("rts"), col("tag"))
+      .select("uid", "ets", "tag").as[(Long, java.sql.Timestamp, String)]
+      .collect().map(r => (r._1, r._2.toString, r._3)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:30:00.0", "B"), // latest ≤ 10:30 is 10:00/B
+      (1L, "2024-01-01 09:00:00.0", "A"), // latest ≤ 09:00 is 08:00/A
+      (2L, "2024-01-01 12:00:00.0", "D"))) // boundary: rts == ets matches
+  }
+
   test("cosine: self=1, orthogonal=0, scale-invariant") {
     val df = Seq(
       (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),

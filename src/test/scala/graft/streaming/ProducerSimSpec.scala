@@ -1,0 +1,36 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** ProducerSim — the reference generator's shape (Producer.java:72-90). */
+class ProducerSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch generator mirrors Producer.java key/value scheme") {
+    val got = ProducerSim.batch(spark, partitions = 3, total = 9).collect()
+      .sortBy(_.seq)
+    assert(got.length == 9)
+    got.foreach { r =>
+      assert(r.key == s"Key${r.seq % 3}")
+      assert(r.value == r.seq)
+    }
+  }
+
+  test("rate-source stream produces the wire shape (smoke)") {
+    val df = ProducerSim.stream(spark, partitions = 2, rowsPerSecond = 500)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq == Seq("key", "value", "seq"))
+    val q = df.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      // let at least one batch land
+      var waited = 0
+      while (spark.table("rate_out").isEmpty && waited < 15000) {
+        Thread.sleep(250); waited += 250
+      }
+      val rows = spark.table("rate_out").as[StageRecord].collect()
+      assert(rows.nonEmpty, "rate source produced no rows in 15s")
+      rows.foreach(r => assert(r.key == s"Key${r.seq % 2}" && r.value == r.seq))
+    } finally q.stop()
+  }
+}
