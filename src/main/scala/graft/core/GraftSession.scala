@@ -24,6 +24,10 @@ object GraftSession {
     // regress the scan path.
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.enableVectorizedReader", "true")
+    // transformWithState requires the RocksDB state store; harmless for
+    // batch, and the right provider for large keyed state anyway
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Local session: one JVM, `cores` executor threads. */
   def local(appName: String = "graft",

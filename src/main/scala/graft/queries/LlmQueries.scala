@@ -236,6 +236,18 @@ object LlmQueries {
       Some(duckLangIdQuery),
       "stopword-evidence language ID"),
 
+    Q("q_text_ngrams",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), posexplode(TextFunctions.shingles(col("text"), 2)))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("ngram_idx"),
+          col("col").as("ngram")),
+      Some(s"""SELECT doc_id, CAST(i AS INT) AS ngram_idx, sh[i] AS ngram
+               FROM (SELECT doc_id, ${duckShingles(duckTokens("text"), 2)} AS sh
+                     FROM documents)
+               CROSS JOIN range(1, 100000) t(i)
+               WHERE i <= len(sh)"""),
+      "word bigram extraction (tokenize/n-gram surface, exploded)"),
+
     Q("q_text_fingerprint",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"),

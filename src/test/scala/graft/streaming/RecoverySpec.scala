@@ -16,7 +16,7 @@ class RecoverySpec extends SparkSpec {
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toString
 
-  test("checkpointed stage restart: counts neither lost nor doubled") {
+  private def restartScenario(useTws: Boolean): Unit = {
     val inDir = tmp("rec_in")
     val outDir = tmp("rec_out")
     val ckpt = tmp("rec_ckpt")
@@ -27,7 +27,10 @@ class RecoverySpec extends SparkSpec {
     def runOnce(): Unit = {
       val in = spark.readStream.schema("key STRING, value INT, seq BIGINT")
         .parquet(inDir).as[StageRecord]
-      val q = KeyedStage.stageStreamFMG(in, "adder")
+      val staged =
+        if (useTws) KeyedStage.stageStream(in, "adder")
+        else KeyedStage.stageStreamFMG(in, "adder")
+      val q = staged
         .select("key", "value", "count", "seq")
         .writeStream.format("parquet")
         .option("path", outDir)
@@ -53,6 +56,26 @@ class RecoverySpec extends SparkSpec {
     assert(finalCounts == Map("Key0" -> 10L, "Key1" -> 10L, "Key2" -> 10L, "Key3" -> 10L))
     // and each record's value is seq+1 (adder)
     out.foreach(o => assert(o.value == o.seq + 1))
+  }
+
+  test("checkpointed stage restart: counts neither lost nor doubled (fMGWS)") {
+    restartScenario(useTws = false)
+  }
+
+  test("checkpointed stage restart with transformWithState + RocksDB store") {
+    restartScenario(useTws = true)
+  }
+
+  test("epoch-stamped dedup-on-read collapses at-least-once redelivery") {
+    val batch0 = (0 until 10).map(i => StageRecord(s"Key${i % 2}", i, i.toLong)).toDF()
+    val batch1 = (10 until 15).map(i => StageRecord(s"Key${i % 2}", i, i.toLong)).toDF()
+    val delivered = KafkaIO.stampEpoch(batch0, 0)
+      .union(KafkaIO.stampEpoch(batch1, 1))
+      .union(KafkaIO.stampEpoch(batch1, 1)) // sink retry re-sends batch 1
+    assert(delivered.count() == 20)
+    val consumed = KafkaIO.dedupOnRead(delivered)
+    assert(consumed.count() == 15, "replayed epoch must collapse")
+    assert(consumed.select("seq").as[Long].collect().sorted.toSeq == (0L until 15L))
   }
 
   test("3-stage file-channel pipeline e2e: value+3, per-stage checkpoints") {
