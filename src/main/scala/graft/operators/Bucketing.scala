@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed co-located joins (SURVEY.md "partitioning & shuffle"): write
+  * both fact tables bucketed+sorted by the join key, and the sort-merge
+  * join needs NO exchange and NO per-query sort — at 100 TB this converts
+  * every recurring fact⋈fact join from a full network shuffle into a
+  * zipper merge of pre-sorted local buckets. The bucket count is the
+  * write-time parallelism contract; pick it for the target cluster, not
+  * the current input size.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed, bucket-sorted table in the session
+    * catalog (works on the in-memory catalog — no Hive needed). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. When both sides share
+    * the bucket count, Catalyst plans SortMergeJoin with neither Exchange
+    * nor Sort (verified by BucketingSpec against the physical plan). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
+}

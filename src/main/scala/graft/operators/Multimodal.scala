@@ -66,4 +66,54 @@ object Multimodal {
       (length(col("payload")) % 640 + 1).as("width"),
       ((length(col("payload")) * 7) % 480 + 1).as("height"),
       (length(col("payload")) % 30 + 1).as("n_frames"))
+
+  /** A decoded-and-resized media record: fixed-size thumbnail bytes. */
+  case class ResizedMedia(doc_id: Long, media_type: String,
+                          target_w: Int, target_h: Int, thumb: Array[Byte])
+
+  // ======================= STUB BOUNDARY =======================
+  /** STUB: a real implementation decodes then area-averages pixels. The
+    * deterministic fake strides the payload bytes to exactly w*h output
+    * bytes, so shape contracts (every thumb is w*h) are fully testable. */
+  private def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = bytes((i.toLong * bytes.length / out.length).toInt % bytes.length)
+        i += 1
+      }
+    }
+    out
+  }
+  // =============================================================
+
+  /** Partition-parallel resize to a fixed thumbnail size — the batch shape
+    * of an image-preprocessing stage (decode → resize → re-encode). */
+  def resize(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(r =>
+      ResizedMedia(r.doc_id, r.media_type, w, h, resizeStub(r.payload, w, h))))
+  }
+
+  /** One frame record sampled from a video payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
+
+  /** Frame sampling: every `stride`-th fixed-size window of the payload
+    * becomes a frame row (flatMap shape — one input row fans out to many
+    * frame rows, the layout a video pipeline needs for per-frame ops). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val n = r.payload.length
+      (0 until n / (frameBytes * stride)).map { i =>
+        val off = i.toLong * frameBytes * stride
+        Frame(r.doc_id, i, off,
+          java.util.Arrays.copyOfRange(r.payload, off.toInt,
+            math.min(off.toInt + frameBytes, n)))
+      }
+    }
+  }
 }

@@ -173,6 +173,15 @@ object RelationalQueries {
               GROUP BY s_suppkey"""),
       "equi+range predicate join (equi part keeps it shuffle-joinable)"),
 
+    Q("q_join_theta",
+      (s, d) => t(s, d, "region").as("r")
+        .join(t(s, d, "nation").as("n"), col("r.r_regionkey") < col("n.n_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_gt")),
+      Some("""SELECT r_name, count(*) AS n_gt
+              FROM region r JOIN nation n ON r.r_regionkey < n.n_regionkey
+              GROUP BY r_name"""),
+      "pure theta (non-equi) join → BroadcastNestedLoopJoin; small sides only"),
+
     Q("q_join_asof",
       (s, d) => t(s, d, "events").filter(col("event_type") === "purchase")
         .join(t(s, d, "orders"),

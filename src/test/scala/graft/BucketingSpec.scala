@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.Exchange
+
+import graft.operators.Bucketing
+
+/** Bucketed co-located join: correctness + the actual scale property
+  * (no shuffle exchange in the physical plan). */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without Exchange and matches plain join") {
+    val li = graft.core.Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.core.Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Bucketing.writeBucketed(ord, "ord_b", "o_orderkey", 4)
+
+    // disable auto-broadcast so the planner must consider a shuffle join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "li_b", "ord_b",
+        "l_orderkey", "o_orderkey")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: Exchange => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+
+      val got = joined.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      val exp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}

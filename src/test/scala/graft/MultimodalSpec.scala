@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: schema/partition/batch shapes are real; the codec
+  * is a clearly-marked deterministic stub (no media libs in this env). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.toMedia(
+    graft.core.Tables.load(spark, sf0001, "documents").limit(100))
+
+  test("extractFeatures matches the expression-path features") {
+    val viaPartitions = Multimodal.extractFeatures(media).toDF()
+      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+    val viaExpr = Multimodal.featureColumns(media)
+      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+    assert(viaPartitions.exceptAll(viaExpr).isEmpty &&
+      viaExpr.exceptAll(viaPartitions).isEmpty)
+  }
+
+  test("resize emits exactly w*h bytes per record, every record") {
+    val rs = Multimodal.resize(media, 8, 6).collect()
+    assert(rs.length == 100)
+    rs.foreach(r => assert(r.thumb.length == 48))
+  }
+
+  test("sampleFrames fans out per-frame rows with correct offsets") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 4)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    byDoc.values.foreach { fs =>
+      fs.sortBy(_.frame_idx).zipWithIndex.foreach { case (f, i) =>
+        assert(f.frame_idx == i)
+        assert(f.offset == i.toLong * 16 * 4)
+        assert(f.frame.length <= 16 && f.frame.length > 0)
+      }
+    }
+    // a 157-char doc yields floor(157/64)=2 frames; spot-check doc 0
+    assert(byDoc.get(0L).map(_.length).contains(2))
+  }
+
+  test("scalar UDF foil: udf(f) agrees with the expression form (but don't)") {
+    // the reference fns ship as expressions; a UDF is supported but loses
+    // codegen+pushdown — this pins agreement, the scaladoc says why not
+    val plusOne = udf((v: Int) => v + 1)
+    val df = spark.range(1000).select(col("id").cast("int").as("v"))
+    val diff = df.select(
+      plusOne(col("v")).as("u"),
+      graft.functions.RefFunctions.adderRef(col("v")).as("e"))
+      .filter(col("u") =!= col("e"))
+    assert(diff.count() == 0)
+  }
+}

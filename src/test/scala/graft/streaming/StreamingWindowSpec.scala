@@ -63,6 +63,35 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(0, "a", 1), ev(5, "a", 1))
+      q.processAllAvailable()
+      // advance event time far past the [10:00,10:10) window + watermark
+      mem.addData(ev(45, "b", 1))
+      q.processAllAvailable()
+      // this record is >5min behind the watermark (≈10:40) — must be dropped
+      mem.addData(ev(1, "a", 99))
+      q.processAllAvailable()
+      mem.addData(ev(59, "z", 1))
+      q.processAllAvailable()
+      val got = spark.table("late_out")
+        .select(col("window.start").cast("string"), col("user"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      // the 10:00 window closed with n=2; the late 10:01 record never lands
+      assert(got.contains(("2024-01-01 10:00:00", "a", 2L)))
+      assert(!got.exists { case (_, u, n) => u == "a" && n == 3L })
+    } finally q.stop()
+  }
+
   test("session window groups events within gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
