@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ArrayDot, Md5Hash60, WordShingles}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * codegen expressions as SQL functions, so `spark.sql` users get the
+  * same hot paths as the Column API:
+  *
+  *   SELECT md5_hash60(text), word_shingles(text, 3), array_dot(a, b) ...
+  *
+  * Activate via `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.core.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("md5_hash60"),
+      info("md5_hash60", "md5_hash60(str) - top 60 bits of md5 as BIGINT"),
+      (children: Seq[Expression]) => Md5Hash60(children.head)))
+
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(str, n) - word n-gram array"),
+      (children: Seq[Expression]) => {
+        val n = children(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: n must be a literal int, got $other")
+        }
+        WordShingles(children.head, n)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("array_dot"),
+      info("array_dot", "array_dot(arr, arr) - dense double dot product"),
+      (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+  }
+}

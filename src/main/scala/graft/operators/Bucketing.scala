@@ -15,13 +15,27 @@ object Bucketing {
   /** Persist `df` as a bucketed, bucket-sorted table in the session
     * catalog (works on the in-memory catalog — no Hive needed). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a previous session may have left the managed location behind while
+    // the (in-memory) catalog forgot the table — clear both
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key. When both sides share
     * the bucket count, Catalyst plans SortMergeJoin with neither Exchange

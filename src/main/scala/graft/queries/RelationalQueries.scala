@@ -317,12 +317,17 @@ object RelationalQueries {
         t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
-          first(col("o_orderkey")).over(w).as("first_key"))
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as("last_key"))
       },
       Some("""SELECT o_custkey, o_orderkey,
                 lag(o_totalprice, 1) OVER w AS prev_price,
                 lead(o_totalprice, 1) OVER w AS next_price,
-                first_value(o_orderkey) OVER w AS first_key
+                first_value(o_orderkey) OVER w AS first_key,
+                last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
               FROM orders
               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
       "lag/lead/first_value analytic windows"),

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-surface registration of the custom expressions. Extensions bind
+  * at session build time, so this builds a sibling session on the shared
+  * SparkContext (never stop() it — that would kill every later suite). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("custom expressions callable from spark.sql") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.core.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT md5_hash60('abc') AS h,
+                  word_shingles('a b c d', 3) AS sh,
+                  array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""").head()
+      // md5('abc') = 900150983cd24fb0... → first 15 hex digits as decimal
+      assert(r.getLong(0) == java.lang.Long.parseLong("900150983cd24fb", 16))
+      assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+      assert(r.getDouble(2) == 11.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
