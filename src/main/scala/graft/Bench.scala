@@ -55,7 +55,18 @@ object Bench {
     staged.write.format("noop").mode("overwrite").save()
     val refSec = (System.nanoTime() - t0) / 1e9
 
-    val qs = (results :+ ("ref_workload_100k" -> refSec))
+    // the same workload through the REAL streaming path: 3 chained
+    // checkpointed transformWithState stages over file channels
+    val work = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+    val t1 = System.nanoTime()
+    graft.streaming.ProducerSim.batch(spark, 2, 100000)
+      .toDF().write.parquet(graft.streaming.StagePipeline.channelDir(work, spec, 0))
+    graft.streaming.StagePipeline.runAvailable(spark, spec, work,
+      s"$work/_ckpt", useTws = true)
+    val streamSec = (System.nanoTime() - t1) / 1e9
+
+    val qs = (results :+ ("ref_workload_100k" -> refSec)
+        :+ ("ref_workload_100k_streaming" -> streamSec))
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

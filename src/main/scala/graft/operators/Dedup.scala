@@ -62,9 +62,11 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
 
   /** Candidate pairs: documents sharing any band bucket. One shuffle on
-    * (band_idx, band_key); bucket-local self-join; global distinct. */
+    * (band_idx, band_key); bucket-local self-join; global distinct.
+    * Bands are cached first — a bare self-join would duplicate the whole
+    * shingle→hash→signature subtree in the plan and compute it twice. */
   def candidatePairs(shingled: DataFrame): DataFrame = {
-    val bands = bandRows(minhashSigs(shingled))
+    val bands = bandRows(minhashSigs(shingled)).cache()
     val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id1"))
     val b = bands.select(col("band_idx").as("bi2"), col("band_key").as("bk2"), col("doc_id").as("id2"))
     a.join(b, col("band_idx") === col("bi2") && col("band_key") === col("bk2") &&

@@ -48,6 +48,19 @@ class PipelineSpecSpec extends AnyFunSuite {
     assert(s.stateTopic(1, 0) == "__state_1996_1_0")
   }
 
+  test("parses the reference's actual template.xml artifact") {
+    // the real file from the reference repo (read-only), deployment
+    // elements (Server/Zookeeper/Topic/paths) ignored by design
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/v1/ParserKafka/template.xml")))
+    val s = PipelineSpec.fromXml(xml)
+    assert(s.id == "1996")
+    assert(s.partitions == 2 && s.replicas == 2)
+    assert(s.orderedStages.map(st => (st.stage, st.operation)) ==
+      Seq((0, "adder"), (1, "adder"), (2, "adder")))
+    assert(s.producerWaitMs == 7000)
+  }
+
   test("XML with a gap in stages is rejected") {
     val xml =
       """<Stream id="9">
