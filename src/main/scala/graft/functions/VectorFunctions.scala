@@ -47,10 +47,16 @@ object VectorFunctions {
 
   /** Sign-bit LSH bucket id: bit i of the bucket is the sign of the dot
     * product with deterministic hyperplane i. `planes` must be generated
-    * via [[hyperplanes]] so the oracle can embed identical constants. */
+    * via [[hyperplanes]] so the oracle can embed identical constants.
+    *
+    * Uses [[ArrayDot]] against literal plane arrays: same left-to-right
+    * summation as the unrolled [[dotConst]] (oracle parity preserved), but
+    * the generated code is 4 calls instead of a 256-term expression —
+    * whole-stage codegen compilation was the dominant cost of the unrolled
+    * form. */
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val d = dotConst(v, p)
+      val d = graft.functions.ArrayDot(v, lit(p))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
