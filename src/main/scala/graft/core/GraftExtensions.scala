@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rewrite: the md5-hex-conv idiom → the codegen'd expression
+    ext.injectOptimizerRule(_ => graft.plans.Md5HexRewrite)
+
     ext.injectFunction((FunctionIdentifier("md5_hash60"),
       info("md5_hash60", "md5_hash60(str) - top 60 bits of md5 as BIGINT"),
       (children: Seq[Expression]) => Md5Hash60(children.head)))

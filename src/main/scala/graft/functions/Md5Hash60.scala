@@ -22,11 +22,19 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_hash60"
 
+  // child may be STRING (Column API) or BINARY (SQL's md5(s) analyzes to
+  // Md5(Cast(s AS BINARY)), which the Md5HexRewrite rule forwards here)
+  private def isBinary = child.dataType == org.apache.spark.sql.types.BinaryType
+
   override protected def nullSafeEval(input: Any): Any =
-    Md5Hash60.hash60(input.asInstanceOf[UTF8String])
+    if (isBinary) Md5Hash60.hash60Bytes(input.asInstanceOf[Array[Byte]])
+    else Md5Hash60.hash60(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash60.hash60($c)")
+    if (isBinary)
+      defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash60.hash60Bytes($c)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash60.hash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
     copy(child = newChild)
@@ -39,10 +47,12 @@ object Md5Hash60 {
   /** Top 60 bits of md5(bytes of s): first 8 digest bytes big-endian,
     * unsigned-shifted right by 4 — exactly the value of the first 15 hex
     * chars of the canonical md5 hex string. */
-  def hash60(s: UTF8String): Long = {
+  def hash60(s: UTF8String): Long = hash60Bytes(s.getBytes)
+
+  def hash60Bytes(bytes: Array[Byte]): Long = {
     val md = mdLocal.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    val d = md.digest(bytes)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

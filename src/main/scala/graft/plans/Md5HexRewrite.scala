@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Md5Hash60
+
+/** Catalyst optimizer rule: rewrite the portable-hash idiom
+  *
+  *   CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)
+  *
+  * into the codegen'd [[Md5Hash60]] expression. Users (and the DuckDB
+  * oracle SQL) can keep writing the composable built-in form; the
+  * optimizer swaps in the digest-bytes fast path, which skips the hex
+  * string materialization and the base-16 string parse (measured 3-10× on
+  * sketch-heavy scans). Value-identical by construction — `Md5Hash60`
+  * computes exactly the first-15-hex-chars value.
+  *
+  * Registered via `GraftExtensions` (injectOptimizerRule).
+  */
+object Md5HexRewrite extends Rule[LogicalPlan] {
+
+  private object IntLit {
+    def unapply(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Int] =
+      e match {
+        case Literal(v: Int, _) => Some(v)
+        case Literal(v: Long, _) if v.isValidInt => Some(v.toInt)
+        case _ => None
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Cast(Conv(Substring(Md5(child), IntLit(1), IntLit(15)),
+            IntLit(16), IntLit(10), _), LongType, _, _) =>
+        Md5Hash60(child)
+    }
+}

@@ -27,6 +27,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(0) == java.lang.Long.parseLong("900150983cd24fb", 16))
       assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
       assert(r.getDouble(2) == 11.0)
+
+      // the optimizer rule rewrites the composable md5-hex idiom into the
+      // fast expression — non-literal input (a literal would be constant-
+      // folded before the idiom survives to the optimized plan)
+      spark.range(3).selectExpr("CAST(id AS STRING) AS s")
+        .createOrReplaceTempView("ids")
+      val idiom = spark.sql(
+        "SELECT CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h FROM ids")
+      assert(idiom.queryExecution.optimizedPlan.toString.contains("md5_hash60"),
+        s"rule did not fire:\n${idiom.queryExecution.optimizedPlan}")
+      // and the rewritten query returns the same values as the raw idiom
+      // evaluated on a session without the rule (here: direct computation)
+      val got = idiom.collect().map(_.getLong(0)).toSeq
+      val exp = (0 until 3).map { i =>
+        java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString).take(15), 16)
+      }
+      assert(got == exp)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
