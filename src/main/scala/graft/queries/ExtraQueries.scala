@@ -71,6 +71,44 @@ object ExtraQueries {
               GROUP BY label, i"""),
       "custom typed Aggregator: per-label vector centroid (partial/final buffers)"),
 
+    Q("q_subquery_scalar",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT o_orderkey, o_totalprice
+                 FROM orders
+                 WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice
+              FROM orders
+              WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)"""),
+      "uncorrelated scalar subquery in a filter"),
+
+    Q("q_subquery_in",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_custkey, c_mktsegment FROM customer
+                 WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                                       WHERE n_regionkey = 1)""")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                                    WHERE n_regionkey = 1)"""),
+      "IN subquery (planned as left semi join)"),
+
+    Q("q_subquery_corr",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT o_orderkey FROM orders o
+                 WHERE EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey
+                                 AND l.l_quantity >= 49)""")
+      },
+      Some("""SELECT o_orderkey FROM orders o
+              WHERE EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey
+                              AND l.l_quantity >= 49)"""),
+      "correlated EXISTS subquery (decorrelated by Catalyst)"),
+
     Q("q_join_salted",
       (s, d) => Joins.saltedInnerJoin(
           t(s, d, "lineitem"), t(s, d, "orders"),

@@ -372,11 +372,16 @@ object RelationalQueries {
       (s, d) => {
         val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
         t(s, d, "orders").select(col("o_orderkey"),
-          ntile(4).over(w).as("quartile"))
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
       },
-      Some("""SELECT o_orderkey, CAST(ntile(4) OVER
-                (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
-              FROM orders"""),
+      Some("""SELECT o_orderkey,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+              FROM orders
+              WINDOW w AS (ORDER BY o_totalprice, o_orderkey)"""),
       "ntile bucketing (global window — single-partition sort at scale: avoid or pre-range-partition)"),
 
     // ---------- sort / limit / top-k ----------
