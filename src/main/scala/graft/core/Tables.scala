@@ -14,27 +14,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Per-(session, dir, table) DataFrame cache: a DataFrame is just a plan,
-  // but building one re-lists files and re-reads parquet footers — fixed
-  // overhead repeated 67× per Verify/Bench run without this.
-  private val planCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // Schema cache keyed by (dir, table) — session-independent, so it never
+  // pins a stopped session (a DataFrame cache keyed by session would).
+  // Passing the schema explicitly skips the footer-read/schema-inference
+  // that otherwise repeats on each of the ~70 registry plan constructions.
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    planCache.getOrElseUpdate((spark, dir, name), {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-      // default. Read nanos as long and rebuild a micros timestamp (`div`,
-      // not `/`: double division would lose precision above 2^53). The
-      // testdata's ns values are µs-aligned, so truncation is lossless.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events" &&
-          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      else df
-    })
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+    // default. Read nanos as long and rebuild a micros timestamp (`div`,
+    // not `/`: double division would lose precision above 2^53). The
+    // testdata's ns values are µs-aligned, so truncation is lossless.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate((dir, name),
+      spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    if (name == "events" &&
+        schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =

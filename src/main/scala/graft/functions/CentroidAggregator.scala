@@ -10,15 +10,24 @@ import org.apache.spark.sql.expressions.Aggregator
   * two-phase (partial → final) hash aggregate: partitions reduce locally
   * into a (sum-vector, count) buffer and only buffers cross the shuffle —
   * at 100 TB the network moves O(groups × dim), not O(rows × dim).
+  *
+  * Sums are fixed-point micro-units (`floor(v·10¹² + 0.5)` longs), so
+  * accumulation is EXACT and merge-order-insensitive — double summation
+  * would vary with partitioning (a flaky differential gate) and lose
+  * precision at large n. Range: |v| ≤ ~9·10⁶ values of magnitude ≤ 1
+  * before a long overflows — far beyond any per-group corpus here.
   */
 class CentroidAggregator(dim: Int)
     extends Aggregator[Seq[Double], CentroidBuffer, Seq[Double]] {
 
-  override def zero: CentroidBuffer = CentroidBuffer(Array.fill(dim)(0.0), 0L)
+  override def zero: CentroidBuffer = CentroidBuffer(Array.fill(dim)(0L), 0L)
 
   override def reduce(b: CentroidBuffer, v: Seq[Double]): CentroidBuffer = {
     var i = 0
-    while (i < dim && i < v.length) { b.sums(i) += v(i); i += 1 }
+    while (i < dim && i < v.length) {
+      b.sums(i) += math.floor(v(i) * 1e12 + 0.5).toLong
+      i += 1
+    }
     CentroidBuffer(b.sums, b.n + 1)
   }
 
@@ -30,10 +39,13 @@ class CentroidAggregator(dim: Int)
 
   override def finish(r: CentroidBuffer): Seq[Double] =
     if (r.n == 0) Seq.fill(dim)(0.0)
-    else r.sums.map(_ / r.n).toSeq
+    // (sum/1e12)/n in exactly this order — the oracle mirrors the same
+    // double-op sequence on the same exact integers, so results are
+    // bit-identical
+    else r.sums.map(s => (s.toDouble / 1e12) / r.n).toSeq
 
   override def bufferEncoder: Encoder[CentroidBuffer] = Encoders.product
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
 }
 
-case class CentroidBuffer(sums: Array[Double], n: Long)
+case class CentroidBuffer(sums: Array[Long], n: Long)

@@ -75,20 +75,24 @@ object TextFunctions {
   def simhash(toks: Column, bits: Int): Column = {
     val masks = lit((0 until bits).map(j => 1L << j).toArray)
     val zeros = lit(Array.fill(bits)(0L))
-    val sums = aggregate(toks, zeros, (acc, w) => {
-      val h = hashMod(w)
+    // hash OUTSIDE the per-bit lambda: HOF lambdas are re-evaluated per
+    // element with no loop-invariant hoisting, so hashing inside the
+    // zip_with body would md5 each token `bits` times
+    val sums = aggregate(transform(toks, w => hashMod(w)), zeros, (acc, h) =>
       zip_with(acc, masks, (a, m) =>
-        a + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L)))
-    })
+        a + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L))))
     // fold the vote vector into the bit pattern; `sums` appears exactly
     // once so the aggregate is evaluated once
     aggregate(zip_with(sums, masks, (s, m) => when(s > 0, m).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Hamming distance between two simhash values (popcount of xor). */
+  /** Hamming distance between two simhash values (popcount of xor).
+    * Unsigned shift: an arithmetic shift of a negative xor (bit 63 set)
+    * would sign-extend and contribute −1 per bit instead of +1. */
   def hamming(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map(j => (shiftright(a.bitwiseXOR(b), j) % 2).cast("int")).reduce(_ + _)
+    (0 until bits).map(j =>
+      (shiftrightunsigned(a.bitwiseXOR(b), j) % 2).cast("int")).reduce(_ + _)
 
   /** Polynomial rolling-hash fingerprint over the token stream:
     * acc' = (acc * 31 + hashMod(token)) mod MOD. Order-sensitive — equal

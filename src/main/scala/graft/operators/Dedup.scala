@@ -77,7 +77,12 @@ object Dedup {
   /** LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
     * NOTE: recall is the LSH recall (1-(1-s^R)^BANDS), not 1.0 — the
     * differential oracle mirrors the banding, so results are still exact
-    * w.r.t. the declared semantics. */
+    * w.r.t. the declared semantics.
+    *
+    * Cache lifetime: the intermediate caches (`sh` here, bands in
+    * [[candidatePairs]]) live until session end or eviction; a long-lived
+    * session running many dedup jobs should `spark.catalog.clearCache()`
+    * between corpora. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double): DataFrame = {
     val sh = withShingleSet(docs, textCol, idCol).cache()

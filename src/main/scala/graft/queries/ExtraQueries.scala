@@ -36,8 +36,10 @@ object ExtraQueries {
       (s, d) => {
         val src = t(s, d, "customer")
         val path = s"${sys.props("java.io.tmpdir")}/graft_csv_${new java.io.File(d).getName}_customer"
-        if (!new java.io.File(path).exists())
-          src.write.option("header", "true").csv(path)
+        // gate on _SUCCESS, not bare existence: a dir left by a crashed
+        // write would otherwise be reused as truth forever
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          src.write.mode("overwrite").option("header", "true").csv(path)
         s.read.option("header", "true").schema(src.schema).csv(path)
           .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       },
@@ -49,7 +51,8 @@ object ExtraQueries {
         val cols = Seq("event_id", "user_id", "event_type", "value")
         val src = t(s, d, "events").select(cols.map(col): _*)
         val path = s"${sys.props("java.io.tmpdir")}/graft_json_${new java.io.File(d).getName}_events"
-        if (!new java.io.File(path).exists()) src.write.json(path)
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          src.write.mode("overwrite").json(path)
         s.read.schema(src.schema).json(path).select(cols.map(col): _*)
       },
       Some("SELECT event_id, user_id, event_type, value FROM events"),
@@ -65,10 +68,15 @@ object ExtraQueries {
           .select(col("label"), (col("pos") + 1).cast("int").as("dim"),
             round(col("col"), 6).as("m"))
       },
+      // mirrors the aggregator's exact fixed-point math: micro-unit long
+      // sums (order-insensitive), then the same (sum/1e12)/n double ops
       Some("""SELECT label, CAST(i AS INT) AS dim,
-                     round(avg(embedding[i]::DOUBLE), 6) AS m
-              FROM embeddings CROSS JOIN range(1, 65) t(i)
-              GROUP BY label, i"""),
+                     round((CAST(s AS DOUBLE) / 1e12) / n, 6) AS m
+              FROM (SELECT label, i,
+                      sum(CAST(floor(embedding[i]::DOUBLE * 1e12 + 0.5) AS BIGINT)) AS s,
+                      count(*) AS n
+                    FROM embeddings CROSS JOIN range(1, 65) t(i)
+                    GROUP BY label, i)"""),
       "custom typed Aggregator: per-label vector centroid (partial/final buffers)"),
 
     Q("q_subquery_scalar",

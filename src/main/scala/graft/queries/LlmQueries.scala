@@ -241,11 +241,13 @@ object LlmQueries {
         .select(col("doc_id"), posexplode(TextFunctions.shingles(col("text"), 2)))
         .select(col("doc_id"), (col("pos") + 1).cast("int").as("ngram_idx"),
           col("col").as("ngram")),
-      Some(s"""SELECT doc_id, CAST(i AS INT) AS ngram_idx, sh[i] AS ngram
+      // generate_subscripts pairs each unnested element with its index —
+      // no arbitrary range cap on document length
+      Some(s"""SELECT doc_id,
+                 CAST(generate_subscripts(sh, 1) AS INT) AS ngram_idx,
+                 unnest(sh) AS ngram
                FROM (SELECT doc_id, ${duckShingles(duckTokens("text"), 2)} AS sh
-                     FROM documents)
-               CROSS JOIN range(1, 100000) t(i)
-               WHERE i <= len(sh)"""),
+                     FROM documents)"""),
       "word bigram extraction (tokenize/n-gram surface, exploded)"),
 
     Q("q_text_fingerprint",

@@ -1,15 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
 /** Kafka source/sink wrappers reproducing the reference's wire contract
   * (`<String,String>` records, hash-routed by key — `Streamer.java:113-120,
   * 362-374`). Format resolution happens at runtime (`format("kafka")`), so
   * these compile without the connector on the classpath; tests use the
-  * memory/file channels instead (no broker in this environment).
+  * memory/file channels instead (no broker in this environment), and the
+  * header/dedup column transforms are unit-tested on plain DataFrames.
   */
 object KafkaIO {
 
@@ -30,30 +31,54 @@ object KafkaIO {
 
   /** Keyed sink to the next stage's topic: writing a `key` column engages
     * Kafka's hash partitioner — the same per-key routing as the reference
-    * (`Streamer.java:364-366`). At-least-once; see [[exactlyOnce]]. */
+    * (`Streamer.java:364-366`). At-least-once as-is; for end-to-end
+    * exactly-once compose with [[withEpochHeaders]] (producer side) and
+    * [[extractEpochHeaders]] + [[dedupOnRead]] (consumer side). */
   def sink(df: DataFrame, bootstrap: String, topic: String,
-           checkpoint: String): DataStreamWriter[Row] =
-    df.select(
-        col("key").cast("string").as("key"),
-        col("value").cast("string").as("value"))
+           checkpoint: String): DataStreamWriter[Row] = {
+    val cols = Seq(
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("value")) ++
+      (if (df.columns.contains("headers")) Seq(col("headers")) else Nil)
+    df.select(cols: _*)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
+      .option("includeHeaders", "true")
       .option("checkpointLocation", checkpoint)
+  }
 
   /** End-to-end exactly-once strategy (SURVEY.md §7 hard-part 1): Spark's
     * Kafka sink is at-least-once (a failed microbatch may re-send), so the
-    * engine stamps every record with its epoch and dedups on read — the
-    * replacement for the reference's per-record transactions
+    * producer side stamps each record's identity — (epoch = batchId,
+    * origin key, origin seq) — into Kafka HEADERS (the value stays the
+    * reference's plain wire format), and the consumer drops replays. This
+    * replaces the reference's per-record transactions
     * (`Streamer.java:393-415`).
     *
-    * Writer side: embed `(batchId, seq)` in the value envelope. */
-  def stampEpoch(df: DataFrame, batchId: Long): DataFrame =
-    df.withColumn("epoch", lit(batchId))
+    * Producer side: attach identity headers (use inside `foreachBatch`,
+    * where the batchId is available). */
+  def withEpochHeaders(df: DataFrame, batchId: Long): DataFrame =
+    df.withColumn("headers", array(
+      struct(lit("epoch").as("key"),
+        encode(lit(batchId.toString), "UTF-8").as("value")),
+      struct(lit("seq").as("key"),
+        encode(col("seq").cast("string"), "UTF-8").as("value"))))
 
-  /** Reader side: idempotent consumption — the (epoch, seq) pair is unique
-    * per logical record, so replays collapse. Streaming: this is
-    * `dropDuplicatesWithinWatermark` on the same keys. */
+  private def headerVal(headers: Column, name: String): Column =
+    decode(filter(headers, h => h.getField("key") === name)
+      .getItem(0).getField("value"), "UTF-8")
+
+  /** Consumer side: recover the producer-stamped identity from headers
+    * (requires reading with `includeHeaders`). */
+  def extractEpochHeaders(df: DataFrame): DataFrame =
+    df.withColumn("epoch", headerVal(col("headers"), "epoch").cast("long"))
+      .withColumn("origin_seq", headerVal(col("headers"), "seq").cast("long"))
+
+  /** Idempotent consumption: (epoch, key, origin_seq) identifies a logical
+    * record — `seq` is an upstream per-partition offset, so the key (which
+    * fixes the partition) must be part of the identity; epoch disambiguates
+    * sink retries. Streaming twin: `dropDuplicatesWithinWatermark`. */
   def dedupOnRead(df: DataFrame): DataFrame =
-    df.dropDuplicates("epoch", "seq")
+    df.dropDuplicates("epoch", "key", "origin_seq")
 }

@@ -39,6 +39,10 @@ object ProducerSim {
         col("value").cast("int").as("value"),
         col("value").as("seq"))
 
+  /** Rate matched to the spec's producer pacing: one message per `waitMs`
+    * = 1000.0/waitMs msg/s, rounded, floored at the rate source's minimum
+    * of 1 row/s (the reference's 7000 ms wait ⇒ ~0.14 msg/s rounds up). */
   def streamFor(spark: SparkSession, spec: PipelineSpec): DataFrame =
-    stream(spark, spec.partitions, 1000L / math.max(1L, spec.producerWaitMs / 1000))
+    stream(spark, spec.partitions,
+      math.max(1L, math.round(1000.0 / math.max(1L, spec.producerWaitMs))))
 }

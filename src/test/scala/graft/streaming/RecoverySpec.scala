@@ -66,16 +66,29 @@ class RecoverySpec extends SparkSpec {
     restartScenario(useTws = true)
   }
 
-  test("epoch-stamped dedup-on-read collapses at-least-once redelivery") {
+  test("header-stamped dedup-on-read collapses at-least-once redelivery") {
     val batch0 = (0 until 10).map(i => StageRecord(s"Key${i % 2}", i, i.toLong)).toDF()
     val batch1 = (10 until 15).map(i => StageRecord(s"Key${i % 2}", i, i.toLong)).toDF()
-    val delivered = KafkaIO.stampEpoch(batch0, 0)
-      .union(KafkaIO.stampEpoch(batch1, 1))
-      .union(KafkaIO.stampEpoch(batch1, 1)) // sink retry re-sends batch 1
+    // producer side: identity travels in Kafka headers (wire value stays
+    // the reference's plain format); batch 1 is re-sent by a sink retry
+    val delivered = KafkaIO.withEpochHeaders(batch0, 0)
+      .union(KafkaIO.withEpochHeaders(batch1, 1))
+      .union(KafkaIO.withEpochHeaders(batch1, 1))
     assert(delivered.count() == 20)
-    val consumed = KafkaIO.dedupOnRead(delivered)
+    // consumer side: recover identity from headers, dedup
+    val consumed = KafkaIO.dedupOnRead(KafkaIO.extractEpochHeaders(delivered))
     assert(consumed.count() == 15, "replayed epoch must collapse")
     assert(consumed.select("seq").as[Long].collect().sorted.toSeq == (0L until 15L))
+  }
+
+  test("dedup identity includes the key: equal offsets on different partitions survive") {
+    // two DISTINCT records whose upstream per-partition offsets collide
+    // (partition is determined by the key) — must NOT be collapsed
+    val crossPartition = Seq(
+      StageRecord("Key0", 100, 5L), StageRecord("Key1", 200, 5L)).toDF()
+    val consumed = KafkaIO.dedupOnRead(
+      KafkaIO.extractEpochHeaders(KafkaIO.withEpochHeaders(crossPartition, 0)))
+    assert(consumed.count() == 2)
   }
 
   test("3-stage file-channel pipeline e2e: value+3, per-stage checkpoints") {
