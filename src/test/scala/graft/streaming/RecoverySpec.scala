@@ -81,6 +81,36 @@ class RecoverySpec extends SparkSpec {
     assert(consumed.select("seq").as[Long].collect().sorted.toSeq == (0L until 15L))
   }
 
+  test("foreachBatch EOS: a retried batch write is collapsed by the consumer") {
+    val inDir = tmp("eos_in")
+    val outDir = tmp("eos_out")
+    val ckpt = tmp("eos_ckpt")
+    (0 until 20).map(i => StageRecord(s"Key${i % 2}", i, i.toLong))
+      .toDF().write.mode("overwrite").parquet(inDir) // tmp() pre-creates the dir
+
+    val in = spark.readStream.schema("key STRING, value INT, seq BIGINT")
+      .parquet(inDir).as[StageRecord]
+    val q = KeyedStage.stageStreamFMG(in, "adder")
+      .select("key", "value", "seq")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val stamped = KafkaIO.withEpochHeaders(batch, id)
+        stamped.write.mode("append").parquet(outDir)
+        // simulate the at-least-once sink retrying the whole batch
+        stamped.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val delivered = spark.read.parquet(outDir)
+    assert(delivered.count() == 40, "both deliveries visible pre-dedup")
+    val consumed = KafkaIO.dedupOnRead(KafkaIO.extractEpochHeaders(delivered))
+    assert(consumed.count() == 20)
+    assert(consumed.select("seq").as[Long].collect().sorted.toSeq == (0L until 20L))
+  }
+
   test("dedup identity includes the key: equal offsets on different partitions survive") {
     // two DISTINCT records whose upstream per-partition offsets collide
     // (partition is determined by the key) — must NOT be collapsed
