@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RefFunctions
+
+/** Optional state-changelog mirror (SURVEY.md §2.A rows 8-9): the engine's
+  * state lives in the checkpointed state store, but the reference also
+  * externalizes it to a log-compacted Kafka topic (`Streamer.java:277-281`)
+  * so other systems can observe it. This reproduces that contract with two
+  * improvements the reference lacks:
+  *   - per-key delta records instead of re-serializing the WHOLE map per
+  *     record (the reference's O(#keys) write amplification,
+  *     BASELINE.md "state write amplification");
+  *   - a compaction reader that reconstructs the latest snapshot with a
+  *     max_by per key — semantically Kafka log compaction, runnable on any
+  *     channel (parquet dir here, compacted topic in production).
+  */
+object StateChangelog {
+
+  /** Per-batch changelog rows from a stage's output: the latest count per
+    * key in this batch, stamped with the epoch for compaction ordering.
+    * Use inside `foreachBatch` alongside the downstream write. */
+  def batchDeltas(stageOut: DataFrame, batchId: Long): DataFrame =
+    stageOut.groupBy("key")
+      .agg(max_by(col("count"), col("seq")).as("count"),
+        max(col("seq")).as("seq"))
+      .withColumn("epoch", lit(batchId))
+
+  /** Append this batch's deltas to the changelog channel. */
+  def writeBatch(stageOut: DataFrame, batchId: Long, dir: String): Unit =
+    batchDeltas(stageOut, batchId).write.mode("append").parquet(dir)
+
+  /** Compacted view of the changelog: the newest record per key — what a
+    * log-compacted topic retains (`cleanup.policy=compact`,
+    * `CreateBash.py:46-48`). */
+  def compact(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("key")
+      .agg(max_by(col("count"), struct(col("epoch"), col("seq"))).as("count"))
+
+  /** The reference's full-snapshot wire format (`mapToString`,
+    * `Streamer.java:552-570`) built FROM the compacted view — for
+    * compatibility with consumers of the reference's state topic. */
+  def snapshotString(spark: SparkSession, dir: String): String =
+    compact(spark, dir)
+      .agg(RefFunctions.stateToString(
+        map_from_entries(collect_list(struct(col("key"), col("count").cast("string")))))
+        .as("s"))
+      .head().getString(0)
+}
