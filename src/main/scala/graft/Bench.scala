@@ -33,8 +33,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qmap = SparkEntry.queries
-    // one warm-up to take JVM/codegen/classloading out of the measurement
-    qmap("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // warm-up: run every headline query once at the smallest SF so JIT +
+    // whole-stage-codegen compilation (flat ~0.5-1s for the big sketch
+    // expressions) is out of the steady-state measurement
+    val warmDir = "/root/testdata/sf0.001"
+    headline.filter(qmap.contains).foreach { name =>
+      try qmap(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = headline.filter(qmap.contains).map { name =>
       val t0 = System.nanoTime()
       try qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
