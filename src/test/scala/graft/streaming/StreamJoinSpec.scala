@@ -31,6 +31,40 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: null-padded rows emit after the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("ts").as("cts"), col("user").as("cuser"), col("page"))
+    val b = buys.toDF().withWatermark("ts", "10 minutes")
+      .select(col("ts").as("bts"), col("user").as("buser"), col("amount"))
+    val joined = c.join(b,
+      col("cuser") === col("buser") &&
+        col("bts") >= col("cts") &&
+        col("bts") <= col("cts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssoj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Click(at(0), 1L, "landing"), Click(at(1), 2L, "promo"))
+      buys.addData(Buy(at(5), 1L, 10.0)) // matches user 1; user 2 never buys
+      q.processAllAvailable()
+      // user 2's null-padded row cannot emit until the watermark proves no
+      // future match is possible — advance event time well past the bound
+      clicks.addData(Click(at(59), 9L, "z"))
+      buys.addData(Buy(at(59), 9L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssoj_out")
+        .filter(col("cuser") < 9)
+        .select(col("cuser"), col("page"), col("amount"))
+        .as[(Long, String, Option[Double])].collect().toSet
+      assert(got == Set(
+        (1L, "landing", Some(10.0)),
+        (2L, "promo", None))) // outer row materialized post-watermark
+    } finally q.stop()
+  }
+
   test("stream-stream inner join with watermarks and a time-range condition") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Click]
