@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — at 100 TB the dominant query cost is usually
+  * the scan, and the scan's cost is set by file layout long before any
+  * clever plan: small-file floods destroy scheduling and footer overhead;
+  * unclustered data defeats min/max (zone-map) pruning.
+  */
+object Layout {
+
+  /** Compact a directory of (many small) parquet files into ~target-sized
+    * files. Sizing is estimated from the input's on-disk bytes — the
+    * standard nightly-compaction shape for streaming sinks, whose
+    * AvailableNow microbatches otherwise accrete one small file each. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetFileMB: Int = 128): Unit = {
+    val inFiles = listParquet(new java.io.File(inDir))
+    require(inFiles.nonEmpty, s"compactParquet: no parquet files under $inDir")
+    val bytes = inFiles.map(_.length()).sum
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  private def listParquet(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+      if (f.isDirectory) listParquet(f)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    }
+
+  /** Write range-clustered by `key`: repartitionByRange + in-file sort
+    * gives each output file a disjoint key range, so parquet min/max
+    * (zone-map) statistics let a key-predicate scan skip every
+    * non-matching file — partition pruning without a partition column. */
+  def writeRangeClustered(df: DataFrame, outDir: String, key: Column,
+                          nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, key)
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(outDir)
+}

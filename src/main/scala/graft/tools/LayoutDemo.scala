@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.operators.Layout
+
+/** Drive the layout operators end-to-end: flood → compact → range-cluster,
+  * printing observed file counts and per-file key ranges. */
+object LayoutDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("layout-demo")
+    val base = java.nio.file.Files.createTempDirectory("layout_demo").toString
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+
+    val df = spark.range(50000).select(col("id"), pmod(hash(col("id")), lit(1000)).as("k"))
+    df.repartition(64).write.parquet(s"$base/flood")
+    Layout.compactParquet(spark, s"$base/flood", s"$base/compacted")
+    println(s"[layout] flood=${files(s"$base/flood").length} files -> " +
+      s"compacted=${files(s"$base/compacted").length} files, " +
+      s"rows=${spark.read.parquet(s"$base/compacted").count()}")
+
+    Layout.writeRangeClustered(df, s"$base/clustered", col("k"), 8)
+    val ranges = files(s"$base/clustered").map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath).agg(min("k"), max("k")).head()
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    println(s"[layout] clustered ranges=${ranges.mkString(" ")}")
+    spark.stop()
+  }
+}

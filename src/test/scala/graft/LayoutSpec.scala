@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Data-layout operators: compaction reduces file counts losslessly;
+  * range clustering produces disjoint per-file key ranges (the property
+  * zone-map pruning needs). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String) =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("compactParquet merges a small-file flood losslessly") {
+    val in = java.nio.file.Files.createTempDirectory("layout_in").toString
+    val out = java.nio.file.Files.createTempDirectory("layout_out").toString
+    val df = spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+    df.repartition(64).write.mode("overwrite").parquet(in) // the flood
+    assert(parquetFiles(in).length == 64)
+
+    Layout.compactParquet(spark, in, out, targetFileMB = 128)
+    val files = parquetFiles(out)
+    assert(files.length < 8, s"expected few files, got ${files.length}")
+    // lossless: same multiset of rows
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("writeRangeClustered yields disjoint per-file key ranges") {
+    val out = java.nio.file.Files.createTempDirectory("layout_rng").toString
+    val df = spark.range(20000).select(col("id"),
+      pmod(hash(col("id")), lit(1000)).as("k"))
+    Layout.writeRangeClustered(df, out, col("k"), nFiles = 8)
+
+    // per-file [min,max] of k must not overlap across files
+    val ranges = parquetFiles(out).map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("k"), max("k")).head()
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // and the data survives intact
+    assert(spark.read.parquet(out).count() == 20000)
+  }
+}
