@@ -292,6 +292,30 @@ object RelationalQueries {
               FROM orders GROUP BY o_orderstatus"""),
       "max_by/min_by with a unique ordering key"),
 
+    Q("q_agg_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0.0)).as("F"),
+          coalesce(col("O"), lit(0.0)).as("O")),
+      Some("""SELECT l_returnflag,
+                coalesce(sum(l_quantity) FILTER (l_linestatus = 'F'), 0) AS F,
+                coalesce(sum(l_quantity) FILTER (l_linestatus = 'O'), 0) AS O
+              FROM lineitem GROUP BY l_returnflag"""),
+      "pivot: rows→columns over a fixed value set"),
+
+    Q("q_unpivot",
+      (s, d) => t(s, d, "supplier")
+        .unpivot(Array(col("s_suppkey")),
+          Array(col("s_acctbal").as("acctbal"), col("s_nationkey").cast("double").as("nation")),
+          "measure", "val"),
+      Some("""SELECT s_suppkey, 'acctbal' AS measure, s_acctbal AS val FROM supplier
+              UNION ALL
+              SELECT s_suppkey, 'nation', CAST(s_nationkey AS DOUBLE) FROM supplier"""),
+      "unpivot/melt: columns→rows"),
+
     // ---------- window functions ----------
     Q("q_win_rank",
       (s, d) => {
