@@ -15,7 +15,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q_scan_project", "q_join_inner", "q_join_broadcast",
     "q_join_asof", "q_agg_distinct", "q_agg_rollup", "q_win_rank",
-    "q_win_running", "q_group_topk", "q_topk", "q_set_distinct",
+    "q_win_running", "q_group_topk", "q_group_topk_agg", "q_topk", "q_set_distinct",
     "q_str_funcs", "q_array_funcs", "q_json_funcs",
     "q_stream_tumbling", "q_stream_session",
     "q_ref_pipeline", "q_ref_keyed_count",

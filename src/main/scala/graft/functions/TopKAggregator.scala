@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded per-group top-k as a typed Aggregator (SURVEY.md §2.B
+  * sort/limit/top-k row, scale path).
+  *
+  * The window form (`row_number` + filter) shuffles and sorts EVERY row of
+  * every group; this aggregator's partial buffers never exceed k entries,
+  * so map-side combine reduces the shuffle to O(groups × k) — at 100 TB
+  * the difference between moving the table and moving the answer.
+  *
+  * Ordering: descending by `score`, ties broken ascending by `id` —
+  * identical to `ORDER BY score DESC, id` in the window form.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // "better" first
+
+  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    s.sortWith(lt).take(k)
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(b: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] =
+    if (b.length == k && !lt(v, b.last)) b else trim(b :+ v)
+
+  override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(x ++ y)
+
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.CentroidAggregator
+import graft.functions.{CentroidAggregator, TopKAggregator}
 import graft.operators.{Joins, Similarity}
 
 /** Coverage closers for SURVEY.md §2.B rows not exercised elsewhere:
@@ -78,6 +78,29 @@ object ExtraQueries {
                     FROM embeddings CROSS JOIN range(1, 65) t(i)
                     GROUP BY label, i)"""),
       "custom typed Aggregator: per-label vector centroid (partial/final buffers)"),
+
+    Q("q_group_topk_agg",
+      (s, d) => {
+        // same semantics as q_group_topk, different physical strategy:
+        // bounded-buffer aggregation instead of a per-group full sort —
+        // map-side combine caps the shuffle at O(groups × k)
+        val topk = udaf(new TopKAggregator(3))
+        t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+          .select(col("o_custkey"), posexplode(col("tk")))
+          .select(col("o_custkey"),
+            col("col._2").as("o_orderkey"),
+            col("col._1").as("o_totalprice"),
+            (col("pos") + 1).cast("int").as("rnk"))
+      },
+      // the oracle is the WINDOW formulation — the two strategies must
+      // produce identical rows
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rnk
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                    FROM orders) WHERE rn <= 3"""),
+      "per-group top-k via bounded-buffer Aggregator (shuffle O(groups×k))"),
 
     Q("q_subquery_scalar",
       (s, d) => {
