@@ -79,6 +79,19 @@ object ExtraQueries {
                     GROUP BY label, i)"""),
       "custom typed Aggregator: per-label vector centroid (partial/final buffers)"),
 
+    Q("q_sample_hash",
+      (s, d) => t(s, d, "lineitem")
+        .filter(graft.functions.PortableHash.hashMod(
+          concat_ws("#", col("l_orderkey"), col("l_linenumber"))) % 100 < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      // deterministic ~5% sample: hash-mod on the row identity — unlike
+      // rand(), reproducible across runs/engines/partitionings, so the
+      // oracle checks the EXACT sampled set
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+               WHERE (('0x' || substr(md5(l_orderkey || '#' || l_linenumber), 1, 15))::BIGINT
+                      % ${graft.functions.PortableHash.MOD}) % 100 < 5"""),
+      "deterministic hash-mod sampling (reproducible, partition-independent)"),
+
     Q("q_group_topk_agg",
       (s, d) => {
         // same semantics as q_group_topk, different physical strategy:
@@ -143,7 +156,7 @@ object ExtraQueries {
     Q("q_join_salted",
       (s, d) => Joins.saltedInnerJoin(
           t(s, d, "lineitem"), t(s, d, "orders"),
-          col("l_orderkey"), col("o_orderkey"), salt = 8)
+          col("l_orderkey"), col("o_orderkey"), salt = 4)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity")).as("sum_qty")),
