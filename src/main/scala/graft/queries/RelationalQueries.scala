@@ -23,6 +23,14 @@ object RelationalQueries {
   /** money column → exact decimal for order-insensitive summation */
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
 
+  /** money column → exact long cents: prices/discounts are 2-decimal
+    * values, so ·100 is an exact double and the cast is lossless. Long
+    * sums are order-insensitive like decimal but run at integer speed —
+    * used on the hottest aggregates (decimal math dominated their
+    * single-task scan stage). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
   val all: Seq[Q] = Seq(
 
     // ---------- scans / projection / filter ----------
@@ -76,16 +84,16 @@ object RelationalQueries {
       (s, d) => t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
-        .agg(round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
-          .cast("double").as("revenue"),
+        .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("double") / 1e4, 2).as("revenue"),
           count(lit(1)).as("n")),
       Some("""SELECT o_orderstatus,
-                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS revenue,
                 count(*) AS n
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderstatus"""),
-      "fact-fact equi-join (sort-merge/shuffled-hash; AQE decides)"),
+      "fact-fact equi-join; exact fixed-point money sum (long cents)"),
 
     Q("q_join_broadcast",
       (s, d) => t(s, d, "customer")
@@ -206,21 +214,21 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity")).as("sum_qty"),
-          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
-          round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
-            .cast("double").as("sum_disc_price"),
+          round(sum(cents(col("l_extendedprice"))).cast("double") / 1e2, 2).as("sum_base_price"),
+          round(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("double") / 1e4, 2).as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
                 sum(l_quantity) AS sum_qty,
-                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 1e2, 2) AS sum_base_price,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS sum_disc_price,
                 avg(l_quantity) AS avg_qty,
                 count(*) AS count_order
               FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
               GROUP BY l_returnflag, l_linestatus"""),
-      "TPC-H Q1-style hash aggregate (partial→final, map-side combine)"),
+      "TPC-H Q1-style hash aggregate; exact fixed-point money sums"),
 
     Q("q_agg_distinct",
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
