@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Cross-batch per-key FIFO re-establishment (SURVEY.md §7 hard-part 2).
+  *
+  * [[KeyedStage]] sorts each keyed batch by `seq`, which restores order
+  * WITHIN a microbatch; records arriving out of order ACROSS batches would
+  * still be processed out of order. This operator buffers per key and
+  * releases only the contiguous prefix of the seq sequence, so downstream
+  * sees every key's records in exact seq order regardless of arrival —
+  * the engine-level equivalent of the reference's one-consumer-per-
+  * partition ordering guarantee (`Streamer.java:458-485`).
+  *
+  * `firstSeq` names the first expected seq per key; contiguity (seq,
+  * seq+step, …) is the release condition, so a lost record intentionally
+  * stalls its key (at-least-once upstream delivery is assumed, matching
+  * the reference's replay-on-failure model). State is the pending buffer —
+  * bounded by the arrival skew, not the stream length.
+  */
+object OrderedReplay {
+
+  case class ReplayState(nextSeq: Long, pending: Map[Long, Int])
+
+  def ordered(ds: Dataset[StageRecord], firstSeq: Long = 0L,
+              step: Long = 1L): Dataset[StageRecord] =
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[ReplayState, StageRecord](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[StageRecord], state: GroupState[ReplayState]) =>
+          val st = state.getOption.getOrElse(ReplayState(firstSeq, Map.empty))
+          var pending = st.pending ++ rows.map(r => r.seq -> r.value)
+          var next = st.nextSeq
+          val out = Seq.newBuilder[StageRecord]
+          while (pending.contains(next)) {
+            out += StageRecord(key, pending(next), next)
+            pending -= next
+            next += step
+          }
+          state.update(ReplayState(next, pending))
+          out.result().iterator
+      }(Encoders.product[ReplayState], Encoders.product[StageRecord])
+}
