@@ -17,7 +17,10 @@ object Q {
   /** Numeric-determinism conventions shared by every query pair (Spark side
     * and DuckDB side must follow the same recipe or hashes drift):
     *  - money sums: accumulate in DECIMAL(18,4) (exact, order-insensitive),
-    *    round(2), cast to DOUBLE (exact — value*100 < 2^53).
+    *    round(2), cast to DOUBLE (exact — value*100 < 2^53). Hot aggregates
+    *    use the faster equivalent: exact long-cents fixed point (prices and
+    *    discounts are 2-decimal values, so ·100 is lossless; both engines
+    *    sum identical integers).
     *  - sums of integer-valued doubles (l_quantity): plain double sum is
     *    exact below 2^53.
     *  - per-row transcendentals: round(, 6) on both sides.
