@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
+
+/** Job-scoped persistence for plan subtrees referenced more than once
+  * (self-joins duplicate the whole upstream subtree otherwise).
+  *
+  * `cache()` alone leaks: the block lives until session end or LRU
+  * eviction, so a long-lived session running many dedup jobs accretes
+  * cached corpora. [[autoRelease]] persists the shared frame and registers
+  * a one-shot listener that unpersists it as soon as the next query
+  * execution on the session completes (success or failure) — i.e. when the
+  * action that consumed the shared subtree finishes.
+  *
+  * If some unrelated action completes first, the release is merely early:
+  * the consumer recomputes the subtree (correctness is unaffected, only
+  * the dedup-speed optimization is lost). That failure mode beats the
+  * alternative (unbounded storage growth across corpora).
+  */
+object CacheScope {
+
+  def autoRelease(shared: DataFrame): DataFrame = {
+    val spark = shared.sparkSession
+    shared.persist(StorageLevel.MEMORY_AND_DISK)
+    val listener = new QueryExecutionListener {
+      private def release(): Unit = {
+        shared.unpersist(blocking = false)
+        spark.listenerManager.unregister(this)
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = release()
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = release()
+    }
+    spark.listenerManager.register(listener)
+    shared
+  }
+}

@@ -71,11 +71,15 @@ object RefFunctions {
     concat(lit("Key"), (i % lit(partitions)).cast("string"))
 
   /** State-map serialization compatible with `mapToString`
-    * (`Streamer.java:552-570`): `k1=v1&k2=v2`, entries sorted for
-    * determinism (the reference iterates HashMap order; we pin sorted). */
+    * (`Streamer.java:552-570`): `k1=v1&k2=v2`, entries sorted BY KEY for
+    * determinism (the reference iterates HashMap order; we pin key order).
+    * Sorting the entry structs (key field compares first) — not the
+    * rendered "k=v" strings, whose '=' separator would break key order as
+    * soon as one key is a prefix of another ("Key1=9" < "Key10=1" fails
+    * because '=' > '0'). */
   def stateToString(m: Column): Column =
-    concat_ws("&", array_sort(transform(map_entries(m),
-      e => concat(e.getField("key"), lit("="), e.getField("value")))))
+    concat_ws("&", transform(array_sort(map_entries(m)),
+      e => concat(e.getField("key"), lit("="), e.getField("value"))))
 
   /** Inverse of [[stateToString]], compatible with `stringToMap`
     * (`Streamer.java:572-591`): Spark's built-in `str_to_map`. */

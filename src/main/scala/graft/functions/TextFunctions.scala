@@ -73,6 +73,10 @@ object TextFunctions {
     * votes in an array accumulator; the naive per-bit form re-hashes every
     * token `bits` times. */
   def simhash(toks: Column, bits: Int): Column = {
+    // votes come from hashMod values (< MOD ≈ 2^30): bits above 30 would
+    // always vote −1 and silently produce constant-zero output bits
+    require(bits >= 1 && bits <= 30,
+      s"simhash bits must be in [1, 30] (votes derive from a mod-$MOD hash), got $bits")
     val masks = lit((0 until bits).map(j => 1L << j).toArray)
     val zeros = lit(Array.fill(bits)(0L))
     // hash OUTSIDE the per-bit lambda: HOF lambdas are re-evaluated per

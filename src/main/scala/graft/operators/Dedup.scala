@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.CacheScope
 import graft.functions.{PortableHash, TextFunctions, VectorFunctions}
 
 /** Document deduplication for training-data pipelines (SURVEY.md §2.B LLM
@@ -63,10 +64,13 @@ object Dedup {
 
   /** Candidate pairs: documents sharing any band bucket. One shuffle on
     * (band_idx, band_key); bucket-local self-join; global distinct.
-    * Bands are cached first — a bare self-join would duplicate the whole
-    * shingle→hash→signature subtree in the plan and compute it twice. */
+    * Bands are persisted first — a bare self-join would duplicate the whole
+    * shingle→hash→signature subtree in the plan and compute it twice. The
+    * persist is job-scoped ([[CacheScope.autoRelease]]): it is dropped as
+    * soon as the consuming action completes, so back-to-back dedup jobs on
+    * different corpora don't accrete cached blocks. */
   def candidatePairs(shingled: DataFrame): DataFrame = {
-    val bands = bandRows(minhashSigs(shingled)).cache()
+    val bands = CacheScope.autoRelease(bandRows(minhashSigs(shingled)))
     val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id1"))
     val b = bands.select(col("band_idx").as("bi2"), col("band_key").as("bk2"), col("doc_id").as("id2"))
     a.join(b, col("band_idx") === col("bi2") && col("band_key") === col("bk2") &&
@@ -79,13 +83,11 @@ object Dedup {
     * differential oracle mirrors the banding, so results are still exact
     * w.r.t. the declared semantics.
     *
-    * Cache lifetime: the intermediate caches (`sh` here, bands in
-    * [[candidatePairs]]) live until session end or eviction; a long-lived
-    * session running many dedup jobs should `spark.catalog.clearCache()`
-    * between corpora. */
+    * The intermediate persists (`sh` here, bands in [[candidatePairs]])
+    * are job-scoped: released when the consuming action completes. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double): DataFrame = {
-    val sh = withShingleSet(docs, textCol, idCol).cache()
+    val sh = CacheScope.autoRelease(withShingleSet(docs, textCol, idCol))
     val cands = candidatePairs(sh)
     val j = TextFunctions.jaccard(col("s1"), col("s2"))
     cands
@@ -118,15 +120,51 @@ object Dedup {
       .select(col("doc_id"),
         TextFunctions.simhash(TextFunctions.tokens(col(textCol)), 16).as("simhash"))
 
-  /** Embedding near-dup pairs: cosine ≥ threshold over all id1<id2 pairs.
-    * Brute force — at large n switch to Similarity.lshTopK-style bucketing. */
+  /** Bands of independent sign-LSH hyperplane sets for embedding near-dup
+    * candidate generation (same band/bucket shape as MinHash-LSH: candidate
+    * iff SOME band agrees on all its plane signs). With r planes per band,
+    * P(candidate | cos θ) = 1-(1-(1-θ/π)^r)^EmbedBands — at cos=0.9, r=4:
+    * 0.95. More bands raise recall linearly in cost. */
+  val EmbedBands = 4
+
+  /** Embedding near-dup pairs: cosine ≥ threshold, candidates from banded
+    * sign-LSH buckets — an EQUI-join on (band, bucket), never an all-pairs
+    * comparison. Planes per band scale with the corpus
+    * ([[Similarity.planesFor]]) so expected bucket size stays bounded:
+    * candidate count is O(n·bucket), not O(n²). Each band uses a disjoint
+    * slice of the deterministic hyperplane family, so the DuckDB oracle
+    * reproduces every bucket id exactly.
+    *
+    * Recall is the banded-LSH recall (see [[EmbedBands]]), not 1.0 — the
+    * declared semantics the oracle mirrors, exactly like MinHash-LSH. */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    // norms once per vector, one codegen'd dot per pair (see Similarity)
-    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"),
-      VectorFunctions.norm2(col("embedding")).as("n1"))
-    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"),
-      VectorFunctions.norm2(col("embedding")).as("n2"))
-    a.join(b, col("id1") < col("id2"))
+    import Similarity.{MaxPlanes, Dim}
+    val r = Similarity.planesFor(emb.count())
+    val planes = VectorFunctions.hyperplanes(EmbedBands * MaxPlanes, Dim)
+    // norms once per vector, one codegen'd dot per candidate pair; the
+    // persist is job-scoped (base is referenced by the self-join AND both
+    // vector lookups — 3 plan references)
+    val base = CacheScope.autoRelease(
+      graft.core.Tables.ensureParallelism(emb)
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.norm2(col("embedding")).as("nrm"),
+          array((0 until EmbedBands).map { b =>
+            VectorFunctions.lshBucket(col("embedding"),
+              planes.slice(b * MaxPlanes, b * MaxPlanes + r))
+          }: _*).as("bkts")))
+    val bands = base.select(col("vec_id"), posexplode(col("bkts")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bkt"))
+    val cands = bands.select(col("band"), col("bkt"), col("vec_id").as("id1"))
+      .join(bands.select(col("band").as("b2"), col("bkt").as("k2"),
+          col("vec_id").as("id2")),
+        col("band") === col("b2") && col("bkt") === col("k2") &&
+          col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cands
+      .join(base.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+        col("nrm").as("n1")), "id1")
+      .join(base.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+        col("nrm").as("n2")), "id2")
       .withColumn("cos", VectorFunctions.cosinePrenormed(
         VectorFunctions.dot(col("v1"), col("v2")), col("n1"), col("n2")))
       .filter(col("cos") >= threshold)

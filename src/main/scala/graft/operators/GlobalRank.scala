@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scalable GLOBAL ranking (ntile / percent_rank / cume_dist / row_number
+  * over the whole table) without the single-partition sort that
+  * `Window.orderBy(...)` with no partitionBy plans — the classic two-pass
+  * range-partitioned formulation:
+  *
+  *  pass 0: approx-quantile split points of the primary sort column
+  *          (numRanges-1 doubles to the driver);
+  *  pass 1: per-range row counts (numRanges longs to the driver) → each
+  *          range's global offset;
+  *  pass 2: per-range local row_number (hash-partitioned by range id,
+  *          sorted within — 1/numRanges of the data per task) + offset.
+  *
+  * The split points are embedded as literals, so both counting and ranking
+  * passes assign ranges identically (a bare repartitionByRange would
+  * re-sample per job and could disagree). Equal primary values always land
+  * in the same range, so the cross-range order is total as long as the
+  * tiebreak columns make the full ordering unique within a range.
+  *
+  * The two driver collects are metadata-scale (numRanges values), not data
+  * — this is coordination, not a driver-side loop over rows.
+  */
+object GlobalRank {
+
+  /** `df` plus a global 1-based row number `rnName` ordered by
+    * (`primary`, `tieBreaks…`) ascending, and the total row count.
+    * `primary` must be numeric and non-null. */
+  def withGlobalRowNumber(df: DataFrame, primary: String, tieBreaks: Seq[String],
+                          rnName: String, numRanges: Int = 32): (DataFrame, Long) = {
+    val probs = (1 until numRanges).map(_.toDouble / numRanges).toArray
+    val bounds = df.stat.approxQuantile(primary, probs, 0.001).distinct.sorted
+    // values equal to a bound all land on its left — no range straddle
+    val rangeId = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(primary) > lit(b), 1).otherwise(0)
+    }
+    val ranged = df.withColumn("__range", rangeId)
+    val counts = ranged.groupBy("__range").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__range2", "__off")
+    val w = Window.partitionBy(col("__range"))
+      .orderBy((primary +: tieBreaks).map(col): _*)
+    val out = ranged
+      .join(broadcast(offDf), col("__range") === col("__range2"))
+      .withColumn(rnName, col("__off") + row_number().over(w))
+      .drop("__range", "__range2", "__off")
+    (out, total)
+  }
+
+  /** SQL-standard NTILE(k) from a global row number: the first n%k buckets
+    * get ⌈n/k⌉ rows, the rest ⌊n/k⌋. */
+  def ntileExpr(rn: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1) // rows in the first r (larger) buckets
+    when(rn <= cut, ((rn - 1) / lit(q + 1)).cast("int") + 1)
+      .otherwise((lit(r) + (rn - 1 - cut) / lit(math.max(q, 1L))).cast("int") + 1)
+  }
+
+  /** percent_rank from a global row number over a UNIQUE total order
+    * (rank == row_number when the ordering has no ties). */
+  def percentRankExpr(rn: Column, n: Long): Column =
+    if (n <= 1) lit(0.0) else (rn - 1).cast("double") / lit((n - 1).toDouble)
+
+  /** cume_dist from a global row number over a UNIQUE total order. */
+  def cumeDistExpr(rn: Column, n: Long): Column =
+    rn.cast("double") / lit(n.toDouble)
+}

@@ -34,14 +34,29 @@ object Joins {
   /** As-of join: for each left row, the single right row with the greatest
     * `rightTs` ≤ `leftTs` among matching keys (latest-dim-state-at-event).
     * Composed as equi-join + window; Catalyst plans the equi part as a
-    * normal shuffled/broadcast join. */
+    * normal shuffled/broadcast join.
+    *
+    * "Each left row" is literal: the window partitions by a per-row id, so
+    * two distinct left rows sharing (key, ts) each keep their own match
+    * (partitioning by key+ts would silently collapse them). The row id
+    * only needs uniqueness, never stability — every row passes the rn=1
+    * filter exactly once regardless of which ids a task retry assigns.
+    *
+    * Left rows with NO right match are dropped by default (inner
+    * semantics); pass `keepUnmatched = true` for left-outer behavior
+    * (unmatched left rows appear once with null right columns). */
   def asOf(left: DataFrame, right: DataFrame, leftKey: Column, rightKey: Column,
-           leftTs: Column, rightTs: Column, tieBreak: Column): DataFrame = {
+           leftTs: Column, rightTs: Column, tieBreak: Column,
+           keepUnmatched: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = left.join(right, leftKey === rightKey && rightTs <= leftTs)
-    val w = Window.partitionBy(leftKey, leftTs)
+    val l = left.withColumn("__lrid", monotonically_increasing_id())
+    val joinType = if (keepUnmatched) "left_outer" else "inner"
+    val joined = l.join(right, leftKey === rightKey && rightTs <= leftTs, joinType)
+    // desc ordering puts nulls last, so an unmatched left row's single
+    // all-null right record is rn=1 only when nothing matched
+    val w = Window.partitionBy(col("__lrid"))
       .orderBy(rightTs.desc, tieBreak.desc)
     joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1).drop("__rn", "__lrid")
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions
+import graft.functions.{PortableHash, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2.B LLM extensions).
@@ -11,15 +11,71 @@ import graft.functions.VectorFunctions
   * Two paths:
   *  - brute force: queries × corpus cross-score + per-query top-k window.
   *    Exact; cost O(|Q|·|C|·dim). The baseline and the verifier.
-  *  - sign-LSH: deterministic random-hyperplane bucketing; only same-bucket
-  *    pairs are scored. Cost O(|Q|·|C|/2^planes·dim) expected. At cluster
-  *    scale the bucket column becomes the shuffle/bucketing key, so corpus
-  *    partitions are probed locally (IVF-style routing without a kmeans fit).
+  *  - sign-LSH / IVF: deterministic bucketing; only same-bucket pairs are
+  *    scored. At cluster scale the bucket/cell column becomes the
+  *    shuffle/bucketing key, so corpus partitions are probed locally.
+  *
+  * Bucket granularity is ADAPTIVE: the number of hyperplanes (and IVF
+  * cells) grows with the corpus so the expected bucket size stays near
+  * [[TargetBucket]] — a fixed plane count would leave candidate sets at
+  * n²/2^p, which stops being sublinear the moment n outgrows the constant.
+  * The sizing rule is pure integer comparison so the DuckDB oracle can
+  * reproduce the exact same plane count from its own count(*).
   */
 object Similarity {
 
-  val DefaultPlanes = 4
   val Dim = 64
+
+  /** Target expected bucket size: planes grow until corpus/2^planes ≤ this. */
+  val TargetBucket = 64L
+
+  /** Plane-count clamp. MaxPlanes bounds the oracle SQL size (each plane is
+    * an embedded 64-term dot product); at 2^12 buckets a corpus beyond
+    * TargetBucket·2^12 ≈ 262k vectors gets proportionally larger buckets —
+    * raise MaxPlanes for a genuinely huge corpus. */
+  val MinPlanes = 4
+  val MaxPlanes = 12
+
+  /** Hard cap on the broadcast query side. The query set is broadcast to
+    * every executor; a predicate matching a large slice of a 100 TB corpus
+    * must fail loudly rather than attempt a multi-GB broadcast. */
+  val MaxQueryRows = 1000000L
+
+  /** Smallest p in [MinPlanes, MaxPlanes] with n ≤ TargetBucket·2^p —
+    * expected bucket size ≤ TargetBucket until the MaxPlanes ceiling. */
+  def planesFor(n: Long): Int = {
+    var p = MinPlanes
+    while (p < MaxPlanes && n > (TargetBucket << p)) p += 1
+    p
+  }
+
+  /** DuckDB fragment computing [[planesFor]] over a count expression — the
+    * same integer comparisons, so both engines pick identical plane counts
+    * for the same table. */
+  def duckPlanesFor(cnt: String): String = {
+    val cases = (MinPlanes until MaxPlanes)
+      .map(p => s"WHEN $cnt <= ${TargetBucket << p} THEN $p").mkString(" ")
+    s"(CASE $cases ELSE $MaxPlanes END)"
+  }
+
+  /** DuckDB fragment for the IVF cell count 2^planesFor(cnt). */
+  def duckCellsFor(cnt: String): String = {
+    val cases = (MinPlanes until MaxPlanes)
+      .map(p => s"WHEN $cnt <= ${TargetBucket << p} THEN ${1 << p}").mkString(" ")
+    s"(CASE $cases ELSE ${1 << MaxPlanes} END)"
+  }
+
+  /** One scan: (corpus size, query-side size). The corpus count drives the
+    * adaptive plane/cell count; the query count guards the broadcast. */
+  private def sizes(emb: DataFrame, queryPred: Column): (Long, Long) = {
+    val row = emb.agg(count(lit(1)), count_if(queryPred)).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def requireBroadcastable(qCnt: Long, cap: Long): Unit =
+    require(qCnt <= cap,
+      s"similarity query side has $qCnt rows (> maxQueryRows=$cap): " +
+        "refusing to broadcast — narrow the predicate or use a shuffled join")
 
   /** Norms are computed once per VECTOR before the join (the projection
     * boundary keeps them materialized), so each candidate pair costs one
@@ -49,36 +105,53 @@ object Similarity {
         col("rn").cast("int").as("rnk"), round(col("score"), 6).as("score6"))
   }
 
-  /** Exact top-k cosine neighbors for each query vector. `queries` is
-    * expected to be small (broadcast side). */
-  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  /** Exact top-k cosine neighbors for each query vector. The query side is
+    * broadcast, guarded by [[MaxQueryRows]]. */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int,
+                     maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val (_, qCnt) = sizes(emb, queryPred)
+    requireBroadcastable(qCnt, maxQueryRows)
     val q = asQuery(emb.filter(queryPred))
     val c = asCorpus(emb)
     topK(scored(broadcast(q), c, col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Deterministic uniform seed sample: the nCells corpus vectors with the
+    * smallest portable hash of their id. Hash-ordered top-k is a uniform
+    * sample reproducible in oracle SQL (no RNG), unlike "first nCells ids"
+    * (which clusters seeds in id order) — and it plans as
+    * TakeOrderedAndProject, never a global sort. */
+  private def sampleSeeds(emb: DataFrame, nCells: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        PortableHash.hashMod(col("vec_id").cast("string")).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+
   /** IVF-style bucketed top-k: corpus vectors are assigned to the cell of
-    * their nearest seed centroid (seeds = the first `nCells` vectors by
-    * id — deterministic, so the oracle reproduces the assignment from the
-    * same table); each query probes only its own cell.
+    * their max-dot seed; each query probes only its own cell.
+    *
+    * Cell count scales with the corpus (2^planesFor(n)) so expected cell
+    * size stays ≤ TargetBucket. Assignment is a max_by AGGREGATE — the
+    * n·nCells scored pairs combine map-side down to n rows before the
+    * shuffle, where a row_number window would sort all n·nCells rows.
     *
     * At cluster scale the cell id is the partitioning/bucketing key: the
     * corpus is written bucketed by cell, a query ships to one bucket, and
     * the scan prunes to that bucket's files — IVF routing on stock Spark.
-    * Seeds stay broadcast (nCells × dim floats).
+    * Seeds stay broadcast (nCells × dim doubles).
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-              nCells: Int = 8): DataFrame = {
-    val seeds = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    // nearest centroid by max dot product; ties break to the lowest cell id
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cell"))
+              maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val (cnt, qCnt) = sizes(emb, queryPred)
+    requireBroadcastable(qCnt, maxQueryRows)
+    val nCells = 1 << planesFor(cnt)
+    val seeds = sampleSeeds(emb, nCells)
+    // argmax cell by dot product; ties break to the lowest cell id
     val assigned = emb.join(broadcast(seeds))
       .withColumn("cdot", VectorFunctions.dot(col("embedding"), col("centroid")))
-      .withColumn("crn", row_number().over(wCell))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("cell"), struct(col("cdot"), (-col("cell")).as("nc"))).as("cell"))
     val q = asQuery(assigned.filter(queryPred), "cell" -> "qcell")
     val c = asCorpus(assigned, "cell" -> "ccell")
     topK(scored(broadcast(q), c,
@@ -86,11 +159,13 @@ object Similarity {
   }
 
   /** Sign-LSH bucketed top-k: only corpus vectors in the query's bucket are
-    * scored. Deterministic planes (VectorFunctions.hyperplanes, seed 42) so
-    * the differential oracle can reproduce bucket ids exactly. */
+    * scored. Deterministic planes (VectorFunctions.hyperplanes, seed 42) and
+    * a count-adaptive plane count, both reproducible by the oracle. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
-              nPlanes: Int = DefaultPlanes): DataFrame = {
-    val planes = VectorFunctions.hyperplanes(nPlanes, Dim)
+              maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val (cnt, qCnt) = sizes(emb, queryPred)
+    requireBroadcastable(qCnt, maxQueryRows)
+    val planes = VectorFunctions.hyperplanes(MaxPlanes, Dim).take(planesFor(cnt))
     val withBucket = emb.withColumn("bucket",
       VectorFunctions.lshBucket(col("embedding"), planes))
     val q = asQuery(withBucket.filter(queryPred), "bucket" -> "qb")

@@ -169,9 +169,22 @@ object ExtraQueries {
     Q("q_sim_topk_ivf",
       (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"),
         col("vec_id") < LlmQueries.QueryVecs, LlmQueries.TopK),
-      Some(s"""WITH seeds AS (
-                 SELECT vec_id AS cell, embedding AS centroid
-                 FROM embeddings WHERE vec_id < 8),
+      // params/seeds mirror the Spark side exactly: cell count scales with
+      // the corpus (same integer CASE chain), seeds are the nc vectors with
+      // the smallest portable hash of their id (deterministic uniform
+      // sample), assignment is argmax-dot with ties to the lowest cell id
+      // (the row_number here is the SEMANTIC spec of Spark's max_by).
+      Some(s"""WITH params AS (
+                 SELECT ${Similarity.duckCellsFor("cnt")} AS nc
+                 FROM (SELECT count(*) AS cnt FROM embeddings)),
+               seeds AS (
+                 SELECT vec_id AS cell, embedding AS centroid FROM (
+                   SELECT vec_id, embedding,
+                     row_number() OVER (ORDER BY
+                       ${graft.functions.PortableHash.duckHashMod("vec_id::VARCHAR")},
+                       vec_id) AS rn
+                   FROM embeddings)
+                 WHERE rn <= (SELECT nc FROM params)),
                assigned AS (
                  SELECT vec_id, embedding, cell FROM (
                    SELECT e.vec_id, e.embedding, s.cell,

@@ -76,12 +76,27 @@ object LlmQueries {
        | ELSE list_dot_product($a, $b) /
        |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)""".stripMargin
 
-  /** Sign-LSH bucket id of list column `e` (mirrors VectorFunctions.lshBucket
-    * with the deterministic seed-42 hyperplanes). */
-  private def duckLshBucket(e: String, nPlanes: Int): String = {
-    val planes = VectorFunctions.hyperplanes(nPlanes, Similarity.Dim)
+  /** Count-adaptive sign-LSH bucket id of list column `e` (mirrors
+    * VectorFunctions.lshBucket over the deterministic seed-42 hyperplanes,
+    * with the plane count taken from a joined `params(np)` relation — the
+    * bit for plane i only contributes when i < np, exactly like the Spark
+    * side's planes.take(planesFor(n))). */
+  private def duckLshBucketAdaptive(e: String): String = {
+    val planes = VectorFunctions.hyperplanes(Similarity.MaxPlanes, Similarity.Dim)
     planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN ${VectorFunctions.duckDotConst(e, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      s"(CASE WHEN $i < np AND ${VectorFunctions.duckDotConst(e, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Band `band`'s adaptive bucket id for the embedding near-dup oracle
+    * (mirrors Dedup.embeddingNearDups: band b uses plane indices
+    * [b·MaxPlanes, b·MaxPlanes+np) of the shared family). */
+  private def duckBandBucket(e: String, band: Int): String = {
+    val planes = VectorFunctions.hyperplanes(
+      Dedup.EmbedBands * Similarity.MaxPlanes, Similarity.Dim)
+    (0 until Similarity.MaxPlanes).map { i =>
+      val p = planes(band * Similarity.MaxPlanes + i)
+      s"(CASE WHEN $i < np AND ${VectorFunctions.duckDotConst(e, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
 
@@ -158,11 +173,26 @@ object LlmQueries {
 
     Q("q_dedup_embed",
       (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), EmbedDupCos),
-      Some(s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
-                 round(${duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 6) AS cos6
-               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-               WHERE ${duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= $EmbedDupCos"""),
-      "embedding-cosine near-dup pairs"),
+      Some {
+        val bandSelects = (0 until Dedup.EmbedBands).map { b =>
+          s"SELECT vec_id, $b AS band, ${duckBandBucket("embedding", b)} AS bkt FROM embeddings, params"
+        }.mkString("\n    UNION ALL ")
+        s"""WITH params AS (
+           |  SELECT ${Similarity.duckPlanesFor("cnt")} AS np
+           |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+           |SELECT id1, id2, round(cos, 6) AS cos6 FROM (
+           |  SELECT id1, id2,
+           |    ${duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS cos
+           |  FROM cand JOIN embeddings a ON cand.id1 = a.vec_id
+           |            JOIN embeddings b ON cand.id2 = b.vec_id)
+           |WHERE cos >= $EmbedDupCos""".stripMargin
+      },
+      "embedding-cosine near-dup pairs (banded sign-LSH candidates — equi-join, never all-pairs)"),
 
     // ---------- similarity search ----------
     Q("q_sim_topk_brute",
@@ -184,10 +214,13 @@ object LlmQueries {
     Q("q_sim_topk_lsh",
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"),
         col("vec_id") < QueryVecs, TopK),
-      Some(s"""WITH base AS (
+      Some(s"""WITH params AS (
+                 SELECT ${Similarity.duckPlanesFor("cnt")} AS np
+                 FROM (SELECT count(*) AS cnt FROM embeddings)),
+               base AS (
                  SELECT vec_id, embedding,
-                   ${duckLshBucket("embedding", Similarity.DefaultPlanes)} AS bucket
-                 FROM embeddings),
+                   ${duckLshBucketAdaptive("embedding")} AS bucket
+                 FROM embeddings, params),
                scored AS (
                  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score

@@ -144,6 +144,20 @@ object RelationalQueries {
               ON c_nationkey = s_nationkey"""),
       "full outer join, unmatched on both sides"),
 
+    Q("q_join_right",
+      (s, d) => {
+        val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+        bigOrders.join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"), "right")
+          .select(col("c_custkey"), coalesce(col("n_big"), lit(0L)).as("n_big_orders"))
+      },
+      Some("""SELECT c_custkey, coalesce(n_big, 0) AS n_big_orders
+              FROM (SELECT o_custkey, count(*) AS n_big FROM orders
+                    WHERE o_totalprice > 300000 GROUP BY o_custkey) b
+              RIGHT JOIN customer ON o_custkey = c_custkey"""),
+      "right outer join with unmatched rows"),
+
     Q("q_join_semi",
       (s, d) => t(s, d, "customer")
         .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
@@ -241,10 +255,20 @@ object RelationalQueries {
       "exact distinct aggregation (expand+two-phase in Spark)"),
 
     Q("q_agg_approx",
+      // HLL++ sketch VALUES are engine-specific, so the checked claim is
+      // the tolerance band: |approx − exact| ≤ 10%·exact (HLL++ default
+      // rsd = 5%, so 10% is a 2σ band). The Spark side computes the bool;
+      // the oracle asserts it must be TRUE — a real accuracy check, not
+      // rows-only.
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part")),
-      None, // HLL++ sketch values are engine-specific — rows-only check
-      "approx_count_distinct (HLL++) — scale path for distinct counts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("a"),
+          countDistinct(col("l_partkey")).as("nd_part"))
+        .select(col("l_returnflag"), col("nd_part"),
+          (abs(col("a") - col("nd_part")) <= col("nd_part") * 0.1).as("within_10pct")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+                TRUE AS within_10pct
+              FROM lineitem GROUP BY l_returnflag"""),
+      "approx_count_distinct (HLL++) with an oracle-checked 10% accuracy band"),
 
     Q("q_agg_rollup",
       (s, d) => t(s, d, "lineitem")
@@ -402,11 +426,17 @@ object RelationalQueries {
 
     Q("q_win_ntile",
       (s, d) => {
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        t(s, d, "orders").select(col("o_orderkey"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+        // two-pass range-partitioned global ranking — same results as
+        // ntile/percent_rank/cume_dist over a global window, but NO
+        // single-partition sort (the oracle below IS the global-window
+        // formulation, so the equivalence is hash-checked)
+        val (ranked, n) = graft.operators.GlobalRank.withGlobalRowNumber(
+          t(s, d, "orders"), "o_totalprice", Seq("o_orderkey"), "__rn")
+        import graft.operators.GlobalRank._
+        ranked.select(col("o_orderkey"),
+          ntileExpr(col("__rn"), n, 4).as("quartile"),
+          round(percentRankExpr(col("__rn"), n), 6).as("pct_rank"),
+          round(cumeDistExpr(col("__rn"), n), 6).as("cume"))
       },
       Some("""SELECT o_orderkey,
                 CAST(ntile(4) OVER w AS INT) AS quartile,
@@ -414,7 +444,7 @@ object RelationalQueries {
                 round(cume_dist() OVER w, 6) AS cume
               FROM orders
               WINDOW w AS (ORDER BY o_totalprice, o_orderkey)"""),
-      "ntile bucketing (global window — single-partition sort at scale: avoid or pre-range-partition)"),
+      "global ntile/percent_rank/cume_dist via two-pass range partitioning (no single-partition sort)"),
 
     // ---------- sort / limit / top-k ----------
     Q("q_topk",
@@ -442,6 +472,19 @@ object RelationalQueries {
                       (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
                     FROM orders) WHERE rn <= 3"""),
       "per-group top-k via ranking window"),
+
+    Q("q_sort_global",
+      // materialized full global sort (no limit): plans a rangepartitioning
+      // Exchange + per-partition sort — the scalable total-order shape
+      // (contrast q_topk's TakeOrderedAndProject). The driver's compare is
+      // set-based, so the checked claim is the projected rows; the plan
+      // shape is asserted in PlanShapeSpec.
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice
+              FROM orders ORDER BY o_orderdate, o_orderkey"""),
+      "materialized global ORDER BY (range-partitioned sort, no single partition)"),
 
     // ---------- set operations ----------
     Q("q_set_union",

@@ -23,6 +23,29 @@ object OrderedReplay {
 
   case class ReplayState(nextSeq: Long, pending: Map[Long, Int])
 
+  /** One key's state transition for a batch of arrivals: merge, release the
+    * contiguous prefix, return (new state, released records). Pure — the
+    * streaming closure below delegates here, so the buffering/pruning rules
+    * are unit-testable without a streaming query.
+    *
+    * Redeliveries of already-released seqs (expected under the
+    * at-least-once upstream) are dropped BEFORE merging: a seq < nextSeq
+    * can never satisfy the release condition and would otherwise sit in
+    * per-key state forever. */
+  def advance(key: String, st: ReplayState, rows: Iterator[StageRecord],
+              step: Long): (ReplayState, Seq[StageRecord]) = {
+    var pending = st.pending ++
+      rows.filter(_.seq >= st.nextSeq).map(r => r.seq -> r.value)
+    var next = st.nextSeq
+    val out = Seq.newBuilder[StageRecord]
+    while (pending.contains(next)) {
+      out += StageRecord(key, pending(next), next)
+      pending -= next
+      next += step
+    }
+    (ReplayState(next, pending), out.result())
+  }
+
   def ordered(ds: Dataset[StageRecord], firstSeq: Long = 0L,
               step: Long = 1L): Dataset[StageRecord] =
     ds.groupByKey(_.key)(Encoders.STRING)
@@ -30,15 +53,8 @@ object OrderedReplay {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[StageRecord], state: GroupState[ReplayState]) =>
           val st = state.getOption.getOrElse(ReplayState(firstSeq, Map.empty))
-          var pending = st.pending ++ rows.map(r => r.seq -> r.value)
-          var next = st.nextSeq
-          val out = Seq.newBuilder[StageRecord]
-          while (pending.contains(next)) {
-            out += StageRecord(key, pending(next), next)
-            pending -= next
-            next += step
-          }
-          state.update(ReplayState(next, pending))
-          out.result().iterator
+          val (nst, out) = advance(key, st, rows, step)
+          state.update(nst)
+          out.iterator
       }(Encoders.product[ReplayState], Encoders.product[StageRecord])
 }

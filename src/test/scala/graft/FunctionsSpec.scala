@@ -120,6 +120,28 @@ class FunctionsSpec extends SparkSpec {
       (2L, "2024-01-01 12:00:00.0", "D"))) // boundary: rts == ets matches
   }
 
+  test("Joins.asOf keeps duplicate left rows distinct and honors keepUnmatched") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // two IDENTICAL left rows must each produce an output row
+    val left = Seq((1L, ts("2024-01-01 10:30:00")), (1L, ts("2024-01-01 10:30:00")),
+      (9L, ts("2024-01-01 10:00:00"))) // key 9 has no right match
+      .toDF("uid", "ets")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), "B"),
+      (1L, ts("2024-01-01 08:00:00"), "A")).toDF("ruid", "rts", "tag")
+    val inner = graft.operators.Joins.asOf(left, right,
+      col("uid"), col("ruid"), col("ets"), col("rts"), col("tag"))
+      .select("uid", "tag").as[(Long, String)].collect().toSeq
+    assert(inner.sorted == Seq((1L, "B"), (1L, "B"))) // both dups kept; 9 dropped
+    val outer = graft.operators.Joins.asOf(left, right,
+      col("uid"), col("ruid"), col("ets"), col("rts"), col("tag"),
+      keepUnmatched = true)
+      .select("uid", "tag").as[(Long, String)].collect().toSeq
+      .map { case (u, t) => (u, Option(t)) }
+    assert(outer.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map((1L, Some("B")) -> 2, (9L, None) -> 1))
+  }
+
   test("cosine: self=1, orthogonal=0, scale-invariant") {
     val df = Seq(
       (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),

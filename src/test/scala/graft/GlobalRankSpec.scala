@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.GlobalRank
+
+/** The two-pass range-partitioned global ranking must be row-identical to
+  * Spark's own global-window ntile/percent_rank/cume_dist (the semantic
+  * spec it replaces for scale). */
+class GlobalRankSpec extends SparkSpec {
+
+  test("two-pass global rank ≡ global-window ntile/percent_rank/cume_dist") {
+    val orders = graft.core.Tables.load(spark, sf0001, "orders")
+    val (ranked, n) = GlobalRank.withGlobalRowNumber(
+      orders, "o_totalprice", Seq("o_orderkey"), "rn", numRanges = 7)
+    val got = ranked.select(col("o_orderkey"),
+      GlobalRank.ntileExpr(col("rn"), n, 4).as("q4"),
+      GlobalRank.ntileExpr(col("rn"), n, 7).as("q7"),
+      round(GlobalRank.percentRankExpr(col("rn"), n), 9).as("pr"),
+      round(GlobalRank.cumeDistExpr(col("rn"), n), 9).as("cd"))
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ref = orders.select(col("o_orderkey"),
+      ntile(4).over(w).as("q4"),
+      ntile(7).over(w).as("q7"),
+      round(percent_rank().over(w), 9).as("pr"),
+      round(cume_dist().over(w), 9).as("cd"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    assert(n == orders.count())
+  }
+
+  test("ntileExpr edge cases: k > n and k dividing n") {
+    import spark.implicits._
+    val df = spark.range(1, 6).toDF("rn") // n = 5
+    // k=7 > n: bucket == rn
+    val b7 = df.select(GlobalRank.ntileExpr(col("rn"), 5, 7)).as[Int].collect()
+    assert(b7.sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // k=5 == n: bucket == rn
+    val b5 = df.select(GlobalRank.ntileExpr(col("rn"), 5, 5)).as[Int].collect()
+    assert(b5.sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // n=6, k=3: 2 per bucket
+    val d6 = spark.range(1, 7).toDF("rn")
+    val b3 = d6.select(GlobalRank.ntileExpr(col("rn"), 6, 3)).as[Int].collect()
+    assert(b3.sorted.toSeq == Seq(1, 1, 2, 2, 3, 3))
+  }
+
+  test("planesFor scales with corpus size and clamps at the bounds") {
+    import graft.operators.Similarity._
+    assert(planesFor(1) == MinPlanes)
+    assert(planesFor(TargetBucket << MinPlanes) == MinPlanes)
+    assert(planesFor((TargetBucket << MinPlanes) + 1) == MinPlanes + 1)
+    assert(planesFor(2000) == 5)   // the sf0.1 embeddings corpus
+    assert(planesFor(Long.MaxValue / 4) == MaxPlanes)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan-shape assertions for the operators whose SCALE claim is a
+  * plan property, not a result property (results are oracle-checked; these
+  * pin that the plan would survive a 100× scale-up).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q_dedup_embed generates candidates via equi-join — no nested-loop over the corpus") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_win_ntile plans no single-partition exchange") {
+    val p = plan("q_win_ntile")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_sort_global plans a range-partitioned sort, not a single partition") {
+    val p = plan("q_sort_global")
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_sim_topk_ivf assigns cells via aggregate, not a window sort") {
+    val p = plan("q_sim_topk_ivf").toLowerCase
+    // assignment must be a map-side-combinable max_by aggregate …
+    assert(p.contains("partial_max_by"), p)
+    // … not a row_number window over the n·nCells scored pairs (the only
+    // legitimate window is the final per-query top-k, keyed by query_id)
+    assert(!p.contains("windowspecdefinition(vec_id"), p)
+  }
+
+  test("minhash caches are released once the consuming action completes") {
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
+    df.write.format("noop").mode("overwrite").save()
+    // CacheScope's listener fires on the async listener bus — wait for it
+    val deadline = System.currentTimeMillis() + 30000
+    var n = spark.sparkContext.getPersistentRDDs.size
+    while (n > 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      n = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(n == 0, s"$n cached RDDs still registered after the action finished")
+  }
+
+  test("similarity broadcast guard refuses an oversized query side") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val guard = intercept[IllegalArgumentException] {
+      // all 500 corpus rows match the predicate > the lowered cap
+      graft.operators.Similarity.lshTopK(emb, lit(true), 5, maxQueryRows = 100)
+    }
+    assert(guard.getMessage.contains("refusing to broadcast"))
+  }
+}

@@ -45,6 +45,21 @@ class OrderedReplaySpec extends SparkSpec {
     assert(out.indexOf(("B", 0L)) < out.indexOf(("A", 0L)))
   }
 
+  test("redelivery of an already-released seq is dropped, not buffered forever") {
+    import OrderedReplay._
+    val (st1, out1) = advance("K", ReplayState(0, Map.empty),
+      Iterator(StageRecord("K", 0, 0), StageRecord("K", 1, 1)), 1)
+    assert(out1.map(_.seq) == Seq(0L, 1L) && st1.pending.isEmpty)
+    // seqs 0 and 1 come back (at-least-once replay) together with a gap
+    val (st2, out2) = advance("K", st1,
+      Iterator(StageRecord("K", 0, 0), StageRecord("K", 1, 1),
+        StageRecord("K", 3, 3)), 1)
+    assert(out2.isEmpty)
+    // the stale 0/1 must NOT be retained: pending holds only the gapped 3
+    assert(st2.pending.keySet == Set(3L), st2.pending)
+    assert(st2.nextSeq == 2L)
+  }
+
   test("duplicate delivery of a pending seq is idempotent") {
     val k = "KeyD"
     val out = run(Seq(
