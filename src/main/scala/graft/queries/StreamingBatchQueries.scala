@@ -5,24 +5,48 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 
 /** Batch analogues of the streaming surface (SURVEY.md §2.B streaming
-  * block). The same window/session/dedup expressions run unchanged on a
-  * `readStream` DataFrame; here they run in batch so the DuckDB oracle can
-  * check the window semantics exactly. The streaming execution path
-  * (watermarks, state store, output modes) is covered in ScalaTest.
+  * block). The window/session/dedup transforms are exposed as
+  * DataFrame→DataFrame functions applied UNCHANGED to either a batch table
+  * (here, so the DuckDB oracle can check the window semantics exactly) or
+  * a `readStream` source (StreamingFileEquivalenceSpec replays the same
+  * events through a file stream and asserts the results are identical).
+  * The streaming execution path (watermarks, state store, output modes) is
+  * additionally covered in StreamingWindowSpec.
   */
 object StreamingBatchQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Tumbling 1h event-time window aggregate. */
+  def tumbling(events: DataFrame): DataFrame = events
+    .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+    .agg(count(lit(1)).as("n"),
+      round(sum(col("value").cast("decimal(18,4)")), 2).cast("double").as("sum_val"))
+    .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_val"))
+
+  /** 1h window sliding by 30m. */
+  def sliding(events: DataFrame): DataFrame = events
+    .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+    .agg(count(lit(1)).as("n"))
+    .select(col("w.start").as("win_start"), col("n"))
+
+  /** Session window with a 10-minute gap, per user. */
+  def session(events: DataFrame): DataFrame = events
+    .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+    .agg(count(lit(1)).as("n"))
+    .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+
+  /** Dedup of a doubled stream (every record delivered twice). */
+  def dedupDoubled(events: DataFrame): DataFrame = {
+    val e = events.select("event_id", "user_id", "event_type")
+    e.union(e).dropDuplicates("event_id", "user_id", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q_stream_tumbling",
-      (s, d) => t(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast("decimal(18,4)")), 2).cast("double").as("sum_val"))
-        .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_val")),
+      (s, d) => tumbling(t(s, d, "events")),
       Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
                 count(*) AS n,
                 CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_val
@@ -30,10 +54,7 @@ object StreamingBatchQueries {
       "tumbling event-time window aggregate"),
 
     Q("q_stream_sliding",
-      (s, d) => t(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("w.start").as("win_start"), col("n")),
+      (s, d) => sliding(t(s, d, "events")),
       // a 1h window sliding by 30m = union of two 30m-aligned bucketings,
       // each window containing events in [start, start+1h)
       Some("""SELECT win_start, count(*) AS n FROM (
@@ -45,10 +66,7 @@ object StreamingBatchQueries {
       "sliding event-time window aggregate"),
 
     Q("q_stream_session",
-      (s, d) => t(s, d, "events")
-        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("user_id"), col("w.start").as("session_start"), col("n")),
+      (s, d) => session(t(s, d, "events")),
       // gaps-and-islands: a new session starts when the gap from the
       // previous event of the same user is > 10 minutes
       Some("""SELECT user_id, min(ts) AS session_start, count(*) AS n
@@ -66,10 +84,7 @@ object StreamingBatchQueries {
       "session window (10-minute gap) aggregate"),
 
     Q("q_stream_dedup",
-      (s, d) => {
-        val e = t(s, d, "events").select("event_id", "user_id", "event_type")
-        e.union(e).dropDuplicates("event_id", "user_id", "event_type")
-      },
+      (s, d) => dedupDoubled(t(s, d, "events")),
       Some("""SELECT DISTINCT event_id, user_id, event_type FROM
                 (SELECT event_id, user_id, event_type FROM events
                  UNION ALL

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Exactly-once sink via per-(batch, partition) transactions — SURVEY.md §7
+  * hard-part 1 option (b), the engine-level form of the reference's
+  * transactional producer (`Streamer.java:393-415` begins/commits a Kafka
+  * transaction around each send; `initTransactions` at :420-422 fences
+  * zombies). The reference pays one transaction per RECORD; here a
+  * transaction covers a whole (microbatch, partition) — same atomicity
+  * guarantee, amortized cost.
+  *
+  * The recipe: `foreachBatch` hands every microbatch a deterministic
+  * `batchId`; each partition opens a transaction whose id is
+  * `(queryName, batchId, partitionId)`. Replays after a failure rerun the
+  * SAME (batchId, partitionId) pairs, so exactly-once reduces to:
+  *  - a transaction either commits atomically or leaves nothing visible;
+  *  - an already-committed transaction id is skipped on replay (the crash
+  *    window between sink commit and checkpoint write would otherwise
+  *    double-emit).
+  *
+  * [[TxnProducer]] is injectable: [[FileTxnProducer]] implements the
+  * contract on a directory (a file IS both payload and commit marker via
+  * atomic rename) for tests and file-based deployments; a Kafka binding
+  * maps begin/commit/abort onto `KafkaProducer.beginTransaction/
+  * commitTransaction/abortTransaction` with `transactional.id` =
+  * the txn id (no broker or kafka-clients jar exists in this sandbox —
+  * see KafkaIO for the option contract).
+  */
+trait TxnProducer extends Serializable {
+
+  /** Open transaction `txnId`. Returns false iff this id already committed
+    * — the caller MUST then emit nothing (idempotent batch replay). */
+  def begin(txnId: String): Boolean
+
+  /** Buffer one record into the open transaction (invisible until commit). */
+  def send(key: String, value: String): Unit
+
+  /** Atomically publish every buffered record. */
+  def commit(): Unit
+
+  /** Discard the open transaction; nothing becomes visible. */
+  def abort(): Unit
+}
+
+/** Directory-backed [[TxnProducer]]: records buffer in memory, commit
+  * writes `<txnId>.tmp` and atomically renames it to `<txnId>.committed`.
+  * Consumers read only `*.committed` files, so the rename is the
+  * transaction marker — a crash at any earlier point leaves at most an
+  * invisible tmp file. `begin` refuses ids whose `.committed` file exists,
+  * which is exactly the replay-skip rule. */
+class FileTxnProducer(dir: String) extends TxnProducer {
+  private var txnId: String = _
+  private var buf: List[(String, String)] = Nil
+
+  override def begin(id: String): Boolean = {
+    Files.createDirectories(Paths.get(dir))
+    txnId = id
+    buf = Nil
+    !Files.exists(Paths.get(dir, s"$id.committed"))
+  }
+
+  override def send(key: String, value: String): Unit = buf ::= (key, value)
+
+  override def commit(): Unit = {
+    val tmp = Paths.get(dir, s"$txnId.tmp")
+    val dst = Paths.get(dir, s"$txnId.committed")
+    val body = buf.reverse.map { case (k, v) => s"$k\t$v" }.mkString("\n")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    buf = Nil
+  }
+
+  override def abort(): Unit = buf = Nil
+}
+
+object FileTxnProducer {
+  /** All committed records under `dir` (the consumer's view). */
+  def committed(dir: String): Seq[(String, String)] = {
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) return Nil
+    import scala.jdk.CollectionConverters._
+    Files.list(d).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".committed"))
+      .flatMap { p =>
+        new String(Files.readAllBytes(p), "UTF-8").split("\n").toSeq
+          .filter(_.nonEmpty)
+          .map { l => val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1)) }
+      }
+  }
+}
+
+object TxnSink {
+
+  /** Write one microbatch exactly-once: per partition, open the
+    * deterministic (query, batch, partition) transaction, skip it entirely
+    * if it already committed, otherwise send-all-then-commit; any failure
+    * aborts, leaving nothing visible for the retry to double. */
+  def writeBatch(df: DataFrame, queryName: String, batchId: Long,
+                 mkProducer: () => TxnProducer,
+                 render: Row => (String, String)): Unit =
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val pid = TaskContext.getPartitionId()
+      val producer = mkProducer()
+      if (producer.begin(s"$queryName-b$batchId-p$pid")) {
+        try {
+          rows.foreach { r => val (k, v) = render(r); producer.send(k, v) }
+          producer.commit()
+        } catch { case e: Throwable => producer.abort(); throw e }
+      } else {
+        // this (batch, partition) already committed before a crash that
+        // predated the checkpoint write — emit nothing, but still DRAIN the
+        // iterator: execution is pipelined, and an upstream stateful
+        // operator only commits its state store once its output is fully
+        // consumed (skipping the drain fails batch commit validation)
+        rows.foreach(_ => ())
+      }
+    }
+
+  /** Attach the exactly-once sink to a streaming DataFrame. */
+  def start(source: DataFrame, queryName: String, checkpoint: String,
+            mkProducer: () => TxnProducer,
+            render: Row => (String, String),
+            trigger: org.apache.spark.sql.streaming.Trigger =
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        writeBatch(df, queryName, batchId, mkProducer, render)
+      }
+      .start()
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.queries.StreamingBatchQueries
+
+/** Streaming-native correctness for the four q_stream_* shapes: the SAME
+  * transform (shared with the batch Q the DuckDB oracle checks) replayed
+  * over the sf0.01 events through a `readStream` file source with an
+  * AvailableNow trigger must produce exactly the batch result.
+  *
+  * The events land in a temp parquet copy first — the raw testdata file is
+  * TIMESTAMP(NANOS), which the streaming file source can't read; the copy
+  * goes through `Tables.load`'s µs normalization, so the batch and
+  * streaming sides consume identical bytes.
+  */
+class StreamingFileEquivalenceSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_eq").toString
+    graft.core.Tables.load(spark, sf001, "events").write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private lazy val batchEvents = spark.read.parquet(eventsDir)
+
+  private def streamed(name: String, outputMode: String,
+                       transform: DataFrame => DataFrame): DataFrame = {
+    val src = spark.readStream.schema(batchEvents.schema).parquet(eventsDir)
+    val q = transform(src).writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+  }
+
+  test("tumbling window: streaming replay ≡ batch") {
+    assertSameRows(
+      streamed("eq_tumbling", "complete", StreamingBatchQueries.tumbling),
+      StreamingBatchQueries.tumbling(batchEvents))
+  }
+
+  test("sliding window: streaming replay ≡ batch") {
+    assertSameRows(
+      streamed("eq_sliding", "complete", StreamingBatchQueries.sliding),
+      StreamingBatchQueries.sliding(batchEvents))
+  }
+
+  test("session window: streaming replay ≡ batch") {
+    assertSameRows(
+      streamed("eq_session", "complete",
+        df => StreamingBatchQueries.session(df.withWatermark("ts", "0 seconds"))),
+      StreamingBatchQueries.session(batchEvents))
+  }
+
+  test("doubled-stream dedup: streaming replay ≡ batch") {
+    assertSameRows(
+      streamed("eq_dedup", "append", StreamingBatchQueries.dedupDoubled),
+      StreamingBatchQueries.dedupDoubled(batchEvents))
+  }
+}

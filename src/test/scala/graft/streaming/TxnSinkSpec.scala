@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.SparkSpec
+
+/** Exactly-once through the transactional sink (SURVEY.md §7 hard-part 1
+  * option b, the reference's `Streamer.java:393-415` transaction-per-send
+  * amortized to transaction-per-(batch, partition)):
+  *  - a sink failure mid-batch leaves nothing visible (atomic txns);
+  *  - the restarted query replays the batch and the output converges to
+  *    exactly one copy of every record;
+  *  - a replay of an ALREADY-committed (batch, partition) is skipped
+  *    (the crash-between-commit-and-checkpoint window).
+  */
+/** FileTxnProducer that throws ONCE right before its commit would publish
+  * — the poison file is consumed atomically, so exactly one partition of
+  * one batch dies mid-transaction and every retry succeeds. (Top-level: an
+  * inner class would drag the enclosing suite into the task closure.) */
+class PoisonedProducer(dir: String, poison: String) extends FileTxnProducer(dir) {
+  override def commit(): Unit = {
+    if (Files.deleteIfExists(Paths.get(poison)))
+      throw new RuntimeException("injected sink failure before commit")
+    super.commit()
+  }
+}
+
+object TxnSinkSpec {
+  val render: Row => (String, String) =
+    r => (r.getAs[String]("key"),
+      s"${r.getAs[Int]("value")}:${r.getAs[Long]("count")}:${r.getAs[Long]("seq")}")
+}
+
+class TxnSinkSpec extends SparkSpec {
+  import spark.implicits._
+  import TxnSinkSpec.render
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("kill mid-batch: restart converges to exactly-once through the TWS stage") {
+    val inDir = tmp("txn_in")
+    val outDir = tmp("txn_out")
+    val ckpt = tmp("txn_ckpt")
+    val poison = s"$outDir/poison"
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema("key STRING, value INT, seq BIGINT")
+        .parquet(inDir).as[StageRecord]
+      val q = TxnSink.start(
+        KeyedStage.stageStream(in, "adder").select("key", "value", "count", "seq"),
+        "txn_eos", ckpt,
+        () => new PoisonedProducer(outDir, poison), render)
+      try q.awaitTermination() finally q.stop()
+    }
+
+    val all = (0 until 40).map(i => StageRecord(s"Key${i % 4}", i, i.toLong))
+    all.take(20).toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce() // batch 0 commits cleanly
+
+    Files.write(Paths.get(poison), Array.emptyByteArray) // arm the failure
+    all.drop(20).toDF().coalesce(1).write.mode("append").parquet(inDir)
+    // the injected throw may surface directly or wrapped in Spark's state
+    // store commit validation (the killed task never commits its state) —
+    // either way the query must die mid-batch
+    intercept[StreamingQueryException] { runOnce() }
+
+    runOnce() // restart: replays the failed batch; committed txns skip
+
+    val got = FileTxnProducer.committed(outDir)
+    assert(got.size == 40, s"expected exactly-once 40 records, got ${got.size}")
+    val seqs = got.map(_._2.split(":")(2).toLong).sorted
+    assert(seqs == (0L until 40L).toSeq) // nothing lost, nothing doubled
+    // adder semantics survived the crash: value = seq + 1
+    got.foreach { case (_, v) =>
+      val Array(value, _, seq) = v.split(":")
+      assert(value.toInt == seq.toInt + 1)
+    }
+  }
+
+  test("replay of an already-committed (batch, partition) emits nothing") {
+    val outDir = tmp("txn_replay")
+    val df = (0 until 10).map(i => StageRecord(s"K${i % 2}", i, i.toLong)).toDF()
+      .withColumn("count", org.apache.spark.sql.functions.lit(1L))
+    def write(): Unit = TxnSink.writeBatch(df, "rq", 7L,
+      () => new FileTxnProducer(outDir), render)
+    write()
+    val once = FileTxnProducer.committed(outDir)
+    assert(once.size == 10)
+    write() // the batch replays after a crash that lost the checkpoint write
+    assert(FileTxnProducer.committed(outDir) == once, "replay must be a no-op")
+  }
+
+  test("abort leaves nothing visible") {
+    val outDir = tmp("txn_abort")
+    val p = new FileTxnProducer(outDir)
+    assert(p.begin("t1"))
+    p.send("k", "v")
+    p.abort()
+    assert(FileTxnProducer.committed(outDir).isEmpty)
+    // and the id is NOT burned: an aborted txn may retry and commit
+    assert(p.begin("t1"))
+    p.send("k", "v2")
+    p.commit()
+    assert(FileTxnProducer.committed(outDir) == Seq("k" -> "v2"))
+  }
+}
