@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Rule-based document quality filtering (Gopher-style): each rule is a
+  * named pass-predicate over cheap per-row text statistics; a document is
+  * kept iff every rule passes, and the failing rule names are carried
+  * along for corpus diagnostics.
+  *
+  * Everything is a codegen'd per-row expression — the filter runs at scan
+  * speed on any corpus size, and the same arithmetic is reproducible in
+  * oracle SQL. Ratio comparisons go through round(…, 6) on both engines so
+  * the pass/fail boundary can never drift on the last float bit.
+  */
+object QualityFilter {
+
+  /** Rule thresholds (documents table is synthetic; values chosen to
+    * exercise every rule — a real corpus tunes these). */
+  val MinWords = 5
+  val MaxWords = 50000
+  val MinAvgWordLen = 2.0
+  val MaxAvgWordLen = 12.0
+  val MinStopwordRatio = 0.01
+  val MaxPunctRatio = 0.2
+
+  /** (rule name, pass predicate) over a text column, in declaration order. */
+  def rules(text: Column): Seq[(String, Column)] = {
+    val nw = TextFunctions.nWords(text)
+    val awl = round(TextFunctions.avgWordLen(text), 6)
+    val swr = round(TextFunctions.stopwordRatio(text), 6)
+    val pr = round(TextFunctions.punctRatio(text), 6)
+    Seq(
+      "too_few_words" -> (nw >= MinWords),
+      "too_many_words" -> (nw <= MaxWords),
+      "avg_word_len_low" -> (awl >= MinAvgWordLen),
+      "avg_word_len_high" -> (awl <= MaxAvgWordLen),
+      "low_stopword_ratio" -> (swr >= MinStopwordRatio),
+      "high_punct_ratio" -> (pr <= MaxPunctRatio))
+  }
+
+  /** Annotate each document with per-rule pass flags, the overall keep
+    * bit, and a comma-joined list of failed rule names. */
+  def annotate(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val rs = rules(text)
+    val passCols = rs.map { case (n, p) => p.as(s"pass_$n") }
+    val keep = rs.map(_._2).reduce(_ && _).as("keep")
+    val failed = concat_ws(",",
+      rs.map { case (n, p) => when(!p, lit(n)) }: _*).as("fail_reasons")
+    df.select((id.as("doc_id") +: passCols) :+ keep :+ failed: _*)
+  }
+
+  /** The documents that survive every rule. */
+  def keepOnly(df: DataFrame, text: Column): DataFrame =
+    df.filter(rules(text).map(_._2).reduce(_ && _))
+}

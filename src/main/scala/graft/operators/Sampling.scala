@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * All sampling here is HASH-BASED, never `rand()`: the kept set is a pure
+  * function of row identity, so it is reproducible across runs, engines,
+  * partitionings, and retries — at 100 TB a failed-and-retried stage must
+  * not resample, and the DuckDB oracle can check the EXACT kept set.
+  * Every sampler is a per-row filter: no shuffle, no driver state, pushes
+  * down to the scan like any other predicate.
+  */
+object Sampling {
+
+  /** Per-mille sampling rate resolution (rates are integers out of 1000). */
+  val Mille = 1000
+
+  /** Stratified hash sampling: keep a row iff
+    * `hashMod(id) % 1000 < ratePerMille(stratum)`.
+    *
+    * The per-stratum rate is the standard lever for rebalancing a corpus
+    * (downsample the dominant language / source, keep the tail whole).
+    * Strata not in `rates` fall back to `defaultPerMille`. The rate lookup
+    * is a literal when-chain — no join, no broadcast, stays codegen'd. */
+  def stratifiedByHash(df: DataFrame, stratum: Column, id: Column,
+                       rates: Seq[(String, Int)], defaultPerMille: Int): DataFrame = {
+    require(rates.forall { case (_, r) => r >= 0 && r <= Mille },
+      s"per-mille rates must be in [0, $Mille]")
+    val rate = rates.foldRight(lit(defaultPerMille): Column) {
+      case ((s, r), acc) => when(stratum === lit(s), lit(r)).otherwise(acc)
+    }
+    df.filter(PortableHash.hashMod(id.cast("string")) % Mille < rate)
+  }
+
+  /** DuckDB fragment for the same keep-predicate (oracle parity). */
+  def duckStratifiedPred(stratum: String, id: String,
+                         rates: Seq[(String, Int)], defaultPerMille: Int): String = {
+    val cases = rates.map { case (s, r) => s"WHEN $stratum = '$s' THEN $r" }
+      .mkString(" ")
+    s"""(${PortableHash.duckHashMod(s"$id::VARCHAR")} % $Mille <
+       | (CASE $cases ELSE $defaultPerMille END))""".stripMargin
+  }
+}

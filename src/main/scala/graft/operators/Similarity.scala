@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{PortableHash, VectorFunctions}
@@ -170,6 +170,57 @@ object Similarity {
       VectorFunctions.lshBucket(col("embedding"), planes))
     val q = asQuery(withBucket.filter(queryPred), "bucket" -> "qb")
     val c = asCorpus(withBucket, "bucket" -> "cb")
+    topK(scored(broadcast(q), c,
+      col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** Default file-bucket count for a persisted index. Must exceed the live
+    * bucket-VALUE count a probe can touch for pruning to show; at real
+    * scale pick it for the cluster (hundreds), like any bucketed table. */
+  val IndexFileBuckets = 32
+
+  /** Build a persisted ANN index: the corpus with its adaptive sign-LSH
+    * bucket id, written as a parquet table BUCKETED BY the bucket column
+    * (hash-bucketed into [[IndexFileBuckets]] files, sorted by bucket).
+    *
+    * This is the at-scale complement of [[lshTopK]]: the bucketing is paid
+    * ONCE at write time, and every probe afterwards prunes its scan to the
+    * files whose hash-bucket can contain the query's bucket values —
+    * `SelectedBucketsCount` in the physical plan, asserted by
+    * AnnIndexSpec. A 100 TB corpus probe reads |query buckets| /
+    * fileBuckets of the data instead of all of it.
+    *
+    * Returns the corpus count (needed to reproduce the plane count at
+    * probe time without rescanning). */
+  def writeLshIndex(emb: DataFrame, table: String,
+                    fileBuckets: Int = IndexFileBuckets): Long = {
+    val cnt = emb.count()
+    val planes = VectorFunctions.hyperplanes(MaxPlanes, Dim).take(planesFor(cnt))
+    val indexed = emb.withColumn("bucket",
+      VectorFunctions.lshBucket(col("embedding"), planes))
+    Bucketing.writeBucketed(indexed, table, "bucket", fileBuckets)
+    cnt
+  }
+
+  /** Probe a [[writeLshIndex]] table: the query rows' bucket values are
+    * pushed into the corpus scan as an IN filter, so only the matching
+    * hash-buckets' files are read (bucket pruning). Candidate scoring is
+    * then the same broadcast equi-join as [[lshTopK]] — results are
+    * identical to the non-indexed path (same oracle). */
+  def probeLshIndex(spark: SparkSession, table: String, queryPred: Column,
+                    k: Int, maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val idx = spark.table(table)
+    val qRows = idx.filter(queryPred)
+    requireBroadcastable(qRows.count(), maxQueryRows)
+    // distinct bucket values of the (small, guarded) query side — a scalar
+    // set the driver pushes into the scan, exactly how a probe ships to
+    // the right buckets on a cluster
+    val qBuckets = qRows.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val cFilter =
+      if (qBuckets.isEmpty) lit(false) else col("bucket").isin(qBuckets: _*)
+    val q = asQuery(qRows, "bucket" -> "qb")
+    val c = asCorpus(idx.filter(cFilter), "bucket" -> "cb")
     topK(scored(broadcast(q), c,
       col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
   }

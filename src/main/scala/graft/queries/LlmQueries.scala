@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{PortableHash, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, QualityFilter, Sampling, Similarity}
 
 /** LLM-training-data-pipeline surface (SURVEY.md §2.B LLM extensions):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -133,6 +133,59 @@ object LlmQueries {
   val TopK = 10
   val QueryVecs = 16 // vec_id < 16 are the similarity-search query set
 
+  /** Stratified sampling rates (per-mille by language): downsample the
+    * dominant language, keep the tail denser — the standard corpus
+    * rebalancing move. */
+  val SampleRates = Seq("en" -> 100, "de" -> 250)
+  val SampleDefaultPerMille = 500
+
+  /** Per-row quality/text stats shared by the quality-filter and pipeline
+    * oracles (mirrors TextFunctions.{nWords,avgWordLen,stopwordRatio,
+    * punctRatio}; ratios pre-rounded to 6 like QualityFilter.rules). */
+  private def duckQualityStats: String =
+    s"""SELECT doc_id, text, lang,
+          CAST(len(ts) AS INT) AS nw,
+          round(CASE WHEN len(ts) = 0 THEN 0.0
+            ELSE list_sum(list_transform(ts, w -> length(w)))::DOUBLE / len(ts) END, 6) AS awl,
+          round(CASE WHEN len(ts) = 0 THEN 0.0
+            ELSE len(list_filter(ts, t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE / len(ts) END, 6) AS swr,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text) END, 6) AS pr
+        FROM (SELECT doc_id, text, lang, ${duckTokens("text")} AS ts FROM documents)"""
+
+  /** The six rule pass-conditions over duckQualityStats columns, in
+    * QualityFilter.rules declaration order. */
+  private def duckRuleConds: Seq[(String, String)] = Seq(
+    "too_few_words" -> s"nw >= ${QualityFilter.MinWords}",
+    "too_many_words" -> s"nw <= ${QualityFilter.MaxWords}",
+    "avg_word_len_low" -> s"awl >= ${QualityFilter.MinAvgWordLen}",
+    "avg_word_len_high" -> s"awl <= ${QualityFilter.MaxAvgWordLen}",
+    "low_stopword_ratio" -> s"swr >= ${QualityFilter.MinStopwordRatio}",
+    "high_punct_ratio" -> s"pr <= ${QualityFilter.MaxPunctRatio}")
+
+  /** Shared by q_sim_topk_lsh (inline bucketing) and q_sim_topk_lsh_idx
+    * (persisted bucketed index) — both produce exactly these rows. */
+  private def duckLshTopKOracle: String =
+    s"""WITH params AS (
+         SELECT ${Similarity.duckPlanesFor("cnt")} AS np
+         FROM (SELECT count(*) AS cnt FROM embeddings)),
+       base AS (
+         SELECT vec_id, embedding,
+           ${duckLshBucketAdaptive("embedding")} AS bucket
+         FROM embeddings, params),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
+         FROM base q JOIN base c
+           ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < $QueryVecs)
+       SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+              round(score, 6) AS score6
+       FROM (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+             FROM scored)
+       WHERE rn <= $TopK"""
+
   val all: Seq[Q] = Seq(
 
     // ---------- dedup ----------
@@ -214,26 +267,21 @@ object LlmQueries {
     Q("q_sim_topk_lsh",
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"),
         col("vec_id") < QueryVecs, TopK),
-      Some(s"""WITH params AS (
-                 SELECT ${Similarity.duckPlanesFor("cnt")} AS np
-                 FROM (SELECT count(*) AS cnt FROM embeddings)),
-               base AS (
-                 SELECT vec_id, embedding,
-                   ${duckLshBucketAdaptive("embedding")} AS bucket
-                 FROM embeddings, params),
-               scored AS (
-                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
-                 FROM base q JOIN base c
-                   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-                 WHERE q.vec_id < $QueryVecs)
-               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
-                      round(score, 6) AS score6
-               FROM (SELECT *, row_number() OVER
-                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-                     FROM scored)
-               WHERE rn <= $TopK"""),
+      Some(duckLshTopKOracle),
       "sign-LSH bucketed cosine top-k (scale path: bucket = shuffle key)"),
+
+    // Same semantics (and the same oracle) as q_sim_topk_lsh, but the
+    // bucketing is PAID AT WRITE TIME: the corpus+bucket is persisted as a
+    // table bucketed by the bucket column, and the probe's scan prunes to
+    // the query buckets' files (SelectedBucketsCount — AnnIndexSpec).
+    Q("q_sim_topk_lsh_idx",
+      (s, d) => {
+        Similarity.writeLshIndex(t(s, d, "embeddings"), "graft_lsh_index")
+        Similarity.probeLshIndex(s, "graft_lsh_index",
+          col("vec_id") < QueryVecs, TopK)
+      },
+      Some(duckLshTopKOracle),
+      "bucket-pruned probe over a persisted LSH index (write once, prune every probe)"),
 
     // ---------- text analysis ----------
     Q("q_text_stats",
@@ -290,6 +338,71 @@ object LlmQueries {
       Some(s"""SELECT doc_id, ${duckFingerprint(duckTokens("text"))} AS fp
                FROM (SELECT doc_id, text FROM documents)"""),
       "order-sensitive rolling-hash document fingerprint"),
+
+    // ---------- quality filtering / sampling / composed pipeline ----------
+    Q("q_text_quality",
+      (s, d) => QualityFilter.annotate(t(s, d, "documents"),
+        col("text"), col("doc_id")),
+      Some {
+        val passCols = duckRuleConds
+          .map { case (n, c) => s"$c AS pass_$n" }.mkString(",\n    ")
+        val keep = duckRuleConds.map(_._2).mkString("(", " AND ", ")")
+        val fails = duckRuleConds
+          .map { case (n, c) => s"CASE WHEN NOT ($c) THEN '$n' END" }
+          .mkString(",\n      ")
+        s"""SELECT doc_id,
+              $passCols,
+              $keep AS keep,
+              concat_ws(',', $fails) AS fail_reasons
+            FROM ($duckQualityStats)"""
+      },
+      "Gopher-style rule-based quality annotation (per-rule flags + keep + reasons)"),
+
+    Q("q_sample_stratified",
+      (s, d) => Sampling.stratifiedByHash(t(s, d, "documents"), col("lang"),
+        col("doc_id"), SampleRates, SampleDefaultPerMille)
+        .select("doc_id", "lang"),
+      Some(s"""SELECT doc_id, lang FROM documents
+               WHERE ${Sampling.duckStratifiedPred("lang", "doc_id",
+                 SampleRates, SampleDefaultPerMille)}"""),
+      "deterministic stratified hash sampling (per-language per-mille rates)"),
+
+    // The composed training-data pipeline: quality filter → exact dedup
+    // (min doc_id per content hash — ONE shuffle via a window, not
+    // groupBy+join) → language ID → stratified sample. Each stage is the
+    // already-oracle-checked operator; this entry pins their COMPOSITION.
+    Q("q_pipeline_llm",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        val kept = QualityFilter.keepOnly(docs, col("text"))
+        val deduped = kept
+          .withColumn("__keep_id",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("__keep_id"))
+        Sampling.stratifiedByHash(deduped, col("lang_pred"), col("doc_id"),
+          SampleRates, SampleDefaultPerMille)
+          .select(col("doc_id"), col("lang_pred"),
+            TextFunctions.nWords(col("text")).as("n_words"))
+      },
+      Some {
+        val keep = duckRuleConds.map(_._2).mkString("(", " AND ", ")")
+        s"""WITH stats AS ($duckQualityStats),
+           kept AS (SELECT doc_id, text FROM stats WHERE $keep),
+           ded AS (SELECT doc_id, text FROM (
+                     SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                     FROM kept)
+                   WHERE doc_id = keep_id),
+           lang AS ($duckLangIdQuery)
+           SELECT d.doc_id, l.lang_pred,
+             CAST(len(${duckTokens("d.text")}) AS INT) AS n_words
+           FROM ded d JOIN lang l ON d.doc_id = l.doc_id
+           WHERE ${Sampling.duckStratifiedPred("l.lang_pred", "d.doc_id",
+             SampleRates, SampleDefaultPerMille)}"""
+      },
+      "composed LLM pipeline: quality → exact dedup → lang-ID → stratified sample"),
 
     // ---------- multimodal plumbing ----------
     Q("q_media_features",

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Persisted LSH index: probes must (a) prune the corpus scan to the query
+  * buckets' files — the property that makes a 100 TB probe read a fraction
+  * of the data — and (b) return exactly what the non-indexed LSH path
+  * returns (same oracle in CORRECTNESS; re-asserted here differentially).
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  test("LSH index probe prunes file buckets and matches the inline LSH result") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    Similarity.writeLshIndex(emb, "graft_lsh_index_spec")
+    val probe = Similarity.probeLshIndex(spark, "graft_lsh_index_spec",
+      col("vec_id") < 16, 10)
+
+    val plan = probe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in the probe plan:\n$plan")
+    val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    assert(selected < total,
+      s"probe scanned all $total buckets — pruning had no effect:\n$plan")
+
+    val inline = Similarity.lshTopK(emb, col("vec_id") < 16, 10)
+    assert(probe.exceptAll(inline).isEmpty && inline.exceptAll(probe).isEmpty,
+      "indexed probe diverged from the inline LSH result")
+  }
+
+  test("probe with no matching queries returns an empty, well-typed result") {
+    val empty = Similarity.probeLshIndex(spark, "graft_lsh_index_spec",
+      col("vec_id") < 0, 10)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "rnk", "score6"))
+  }
+}
