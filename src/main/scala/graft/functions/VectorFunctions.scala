@@ -87,4 +87,38 @@ object VectorFunctions {
   def duckDotConst(e: String, plane: Array[Double]): String =
     plane.zipWithIndex.map { case (c, j) => s"$e[${j + 1}]::DOUBLE * ($c)" }
       .mkString("(", " + ", ")")
+
+  // ---------- int8 symmetric quantization ----------
+  // A 100 TB float32 embedding corpus is 25 TB at int8: quantize once at
+  // ingest, run candidate generation on the compressed vectors, rerank the
+  // survivors on the originals. Every step is deterministic IEEE double
+  // arithmetic (floor-based rounding, no RNG, no platform-dependent
+  // rounding mode), so the oracle reproduces values bit-for-bit.
+
+  val QMax = 127.0
+
+  /** Per-vector symmetric scale: max|x| / 127 (0 for the zero vector). */
+  def qscale(v: Column): Column =
+    array_max(transform(asDouble(v), x => abs(x))) / lit(QMax)
+
+  /** Quantize to int8 range: round-half-up via floor(x/scale + 0.5).
+    * floor (not round()) because both engines define floor identically;
+    * round()'s half-case tie-breaking is engine-specific. */
+  def quantize(v: Column, scale: Column): Column =
+    when(scale === 0, transform(asDouble(v), _ => lit(0)))
+      .otherwise(transform(asDouble(v), x =>
+        floor(x / scale + lit(0.5)).cast("int")))
+
+  /** Reconstruct doubles from a quantized vector. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** DuckDB fragments mirroring the trio (e must be a DOUBLE[] fragment). */
+  def duckQscale(e: String): String =
+    s"(list_max(list_transform($e, x -> abs(x))) / $QMax)"
+  def duckQuantize(e: String, scale: String): String =
+    s"""(CASE WHEN $scale = 0 THEN list_transform($e, x -> 0)
+       | ELSE list_transform($e, x -> CAST(floor(x / $scale + 0.5) AS INT)) END)""".stripMargin
+  def duckDequantize(q: String, scale: String): String =
+    s"list_transform($q, x -> x::DOUBLE * $scale)"
 }

@@ -59,4 +59,28 @@ object Joins {
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__lrid")
   }
+
+  /** Pure interval join (point ∈ [lo, hi], NO equi key) rewritten as a bin
+    * equi-join. Stock Spark plans a pure range predicate as a nested-loop
+    * join over the full cross product — O(|points|·|intervals|) pairs. Here
+    * each interval is replicated to the ⌈span/binWidth⌉+1 bins it overlaps
+    * and each point lands in exactly ONE bin, so the join is a plain
+    * shuffled/broadcast hash join on the bin id and only same-bin pairs are
+    * tested: O(|points| · intervals-per-bin) — sublinear per point as long
+    * as binWidth tracks the typical interval span.
+    *
+    * No dedup step is needed: a qualifying (point, interval) pair meets in
+    * exactly one bin (the point's), so the rewrite is row-exact vs the
+    * naive predicate (pinned by the q_join_range_binned oracle).
+    *
+    * Contract: lo ≤ hi on every interval row. */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame, pt: Column,
+                      lo: Column, hi: Column, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("__bin", floor(pt / binWidth).cast("long"))
+    val i = intervals.withColumn("__bin", explode(sequence(
+      floor(lo / binWidth).cast("long"), floor(hi / binWidth).cast("long"))))
+    p.join(i, p("__bin") === i("__bin") && pt >= lo && pt <= hi)
+      .drop("__bin")
+  }
 }

@@ -41,4 +41,35 @@ object Layout {
     df.repartitionByRange(nFiles, key)
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(outDir)
+
+  /** Morton (z-order) key: interleave the low `bits` bits of two
+    * non-negative integer columns — bit i of `a` lands at position 2i, bit
+    * i of `b` at 2i+1. Sorting by this key clusters BOTH dimensions at
+    * once, so per-file min/max stays tight on each column and predicates
+    * on EITHER column prune files — single-column range clustering only
+    * prunes its own column. Pure bit arithmetic (unsigned shifts — an
+    * arithmetic shift would sign-extend), reproducible in oracle SQL.
+    *
+    * Contract: 0 ≤ a, b < 2^bits (reduce wider domains first, e.g.
+    * `pmod(key, 1 << bits)` or a scaled bucket index). */
+  def mortonKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB fragment computing the identical Morton key. */
+  def duckMortonKey(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) * ${1L << (2 * i)} + (($b >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
+
+  /** Write z-clustered on two columns: range-partition + in-file sort by
+    * the Morton key. The write is the same shape as [[writeRangeClustered]]
+    * — the clustering power is entirely in the key. */
+  def writeZOrdered(df: DataFrame, outDir: String, a: Column, b: Column,
+                    bits: Int, nFiles: Int): Unit =
+    writeRangeClustered(df, outDir, mortonKey(a, b, bits), nFiles)
 }

@@ -46,6 +46,29 @@ object ExtraQueries {
       Some("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"),
       "CSV scan with explicit schema (round-trip from the parquet table)"),
 
+    Q("q_zorder_key",
+      (s, d) => t(s, d, "customer").select(col("c_custkey"),
+        graft.operators.Layout.mortonKey(
+          pmod(col("c_custkey"), lit(256)), pmod(col("c_nationkey"), lit(256)),
+          bits = 8).as("zval")),
+      Some(s"""SELECT c_custkey,
+                 ${graft.operators.Layout.duckMortonKey(
+                   "(c_custkey % 256)", "(c_nationkey % 256)", 8)} AS zval
+               FROM customer"""),
+      "Morton z-order interleave key (drives two-column file clustering — ZOrderSpec)"),
+
+    Q("q_scan_orc",
+      (s, d) => {
+        val cols = Seq("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+        val src = t(s, d, "part").select(cols.map(col): _*)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_orc_${new java.io.File(d).getName}_part"
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          src.write.mode("overwrite").orc(path)
+        s.read.schema(src.schema).orc(path).select(cols.map(col): _*)
+      },
+      Some("SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part"),
+      "ORC scan (second columnar format; round-trip from the parquet table)"),
+
     Q("q_scan_json",
       (s, d) => {
         val cols = Seq("event_id", "user_id", "event_type", "value")

@@ -283,6 +283,86 @@ object LlmQueries {
       Some(duckLshTopKOracle),
       "bucket-pruned probe over a persisted LSH index (write once, prune every probe)"),
 
+    // ---------- int8 embedding quantization ----------
+    // Per-vector symmetric int8: 4× memory cut for a float32 corpus. mse is
+    // computed via the expanded identity |e − s·q|² = e·e − 2s(e·q) + s²(q·q)
+    // — three aligned dots both engines evaluate in the same order, instead
+    // of an elementwise zip DuckDB can't express.
+    Q("q_embed_quantize",
+      (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"),
+          col("embedding"),
+          VectorFunctions.qscale(col("embedding")).as("qs"))
+        val qz = base.select(col("vec_id"), col("embedding"), col("qs"),
+          VectorFunctions.quantize(col("embedding"), col("qs")).as("qvec"))
+        val e = col("embedding")
+        val qv = col("qvec")
+        val mse = (VectorFunctions.dot(e, e)
+          - lit(2.0) * col("qs") * VectorFunctions.dot(e, qv)
+          + col("qs") * col("qs") * VectorFunctions.dot(qv, qv)) / lit(Similarity.Dim)
+        qz.select(col("vec_id"), round(col("qs"), 9).as("qscale9"), qv,
+          round(mse, 12).as("mse12"))
+      },
+      Some(s"""WITH base AS (
+                 SELECT vec_id, e, ${VectorFunctions.duckQscale("e")} AS qs
+                 FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+               qz AS (
+                 SELECT vec_id, e, qs,
+                   ${VectorFunctions.duckQuantize("e", "qs")} AS qvec
+                 FROM base)
+               SELECT vec_id, round(qs, 9) AS qscale9, qvec,
+                 round((list_dot_product(e, e)
+                   - 2.0 * qs * list_dot_product(e, qvec::DOUBLE[])
+                   + qs * qs * list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))
+                   / ${Similarity.Dim}, 12) AS mse12
+               FROM qz"""),
+      "per-vector symmetric int8 quantization (scale + qvec + reconstruction mse)"),
+
+    // Quantized-dot first-pass top-k: candidate scoring on the int8
+    // vectors (the compressed corpus an executor can hold 4× more of),
+    // exact tiebreak by id. At scale this composes with the LSH/IVF
+    // bucketing — quantized vectors inside bucketed candidates.
+    Q("q_sim_topk_quant",
+      (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"),
+          col("embedding"), VectorFunctions.qscale(col("embedding")).as("qs"))
+        val qz = base.select(col("vec_id"), col("qs"),
+          VectorFunctions.quantize(col("embedding"), col("qs")).as("qv"))
+        val q = qz.filter(col("vec_id") < QueryVecs).select(
+          col("vec_id").as("query_id"), col("qs").as("qqs"), col("qv").as("qqv"))
+        val c = qz.select(col("vec_id").as("neighbor_id"),
+          col("qs").as("cqs"), col("qv").as("cqv"))
+        val scored = broadcast(q)
+          .join(c, col("query_id") =!= col("neighbor_id"))
+          .withColumn("score", col("qqs") * col("cqs")
+            * VectorFunctions.dot(col("qqv"), col("cqv")))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rn").cast("int").as("rnk"), round(col("score"), 6).as("score6"))
+      },
+      Some(s"""WITH base AS (
+                 SELECT vec_id, e, ${VectorFunctions.duckQscale("e")} AS qs
+                 FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+               qz AS (
+                 SELECT vec_id, qs,
+                   ${VectorFunctions.duckQuantize("e", "qs")} AS qv
+                 FROM base),
+               scored AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.qs * c.qs * list_dot_product(q.qv::DOUBLE[], c.qv::DOUBLE[]) AS score
+                 FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+                 WHERE q.vec_id < $QueryVecs)
+               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+                      round(score, 6) AS score6
+               FROM (SELECT *, row_number() OVER
+                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+                     FROM scored)
+               WHERE rn <= $TopK"""),
+      "int8-quantized dot-product top-k (compressed first pass)"),
+
     // ---------- text analysis ----------
     Q("q_text_stats",
       (s, d) => {

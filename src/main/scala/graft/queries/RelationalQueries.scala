@@ -195,6 +195,24 @@ object RelationalQueries {
               GROUP BY s_suppkey"""),
       "equi+range predicate join (equi part keeps it shuffle-joinable)"),
 
+    // The equi-free interval join q_join_theta can't avoid a nested loop
+    // on stock planning; this is the scale-correct rewrite — intervals
+    // replicated to their bins, points hashed to one bin, equi-join on the
+    // bin id. Row-exact vs the naive predicate (the oracle IS the naive
+    // predicate); PlanShapeSpec pins the no-nested-loop plan.
+    Q("q_join_range_binned",
+      (s, d) => graft.operators.Joins.binnedRangeJoin(
+        t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+        t(s, d, "supplier").select(col("s_suppkey"),
+          (col("s_acctbal") - 100).as("lo"), (col("s_acctbal") + 100).as("hi")),
+        col("c_acctbal"), col("lo"), col("hi"), binWidth = 200.0)
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_near")),
+      Some("""SELECT s_suppkey, count(*) AS n_near
+              FROM supplier JOIN customer
+                ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+              GROUP BY s_suppkey"""),
+      "pure interval join via bin-replicated equi-join (no nested loop at any scale)"),
+
     Q("q_join_theta",
       (s, d) => t(s, d, "region").as("r")
         .join(t(s, d, "nation").as("n"), col("r.r_regionkey") < col("n.n_regionkey"))

@@ -37,6 +37,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(vec_id"), p)
   }
 
+  test("q_join_range_binned joins on the bin id — no nested-loop, no cartesian") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash caches are released once the consuming action completes") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
     df.write.format("noop").mode("overwrite").save()

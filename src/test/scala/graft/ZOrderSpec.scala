@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Layout
+
+/** Z-order clustering: the point of the Morton key is that per-file
+  * min/max stays tight on BOTH dimensions, so zone-map pruning works for
+  * predicates on either column. Single-column range clustering leaves the
+  * second column spanning its whole domain in every file.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  test("z-ordered files bound the second dimension; x-sorted files don't") {
+    // two ~uniform independent 8-bit dimensions derived from lineitem
+    val li = Tables.load(spark, sf0001, "lineitem").select(
+      pmod(col("l_orderkey"), lit(256)).as("x"),
+      pmod((col("l_extendedprice") * 100).cast("long"), lit(256)).as("y"))
+    val base = s"${sys.props("java.io.tmpdir")}/graft_zorder_spec"
+    Layout.writeRangeClustered(li, s"$base/xsorted", col("x"), 8)
+    Layout.writeZOrdered(li, s"$base/zordered", col("x"), col("y"),
+      bits = 8, nFiles = 8)
+
+    def avgSpan(dir: String, c: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .agg(avg("span")).head().getDouble(0)
+
+    val xSortedY = avgSpan(s"$base/xsorted", "y")
+    val zY = avgSpan(s"$base/zordered", "y")
+    val zX = avgSpan(s"$base/zordered", "x")
+    // x-sorted files leave y unclustered (span ≈ the full 0–255 domain);
+    // z-ordered files must cut it substantially AND keep x bounded too
+    assert(zY < xSortedY * 0.8,
+      s"z-order did not tighten y: z=$zY vs x-sorted=$xSortedY")
+    assert(zX < 200.0, s"z-order left x unclustered: span=$zX")
+  }
+
+  test("mortonKey round-trips the interleave (bit-exact spot values)") {
+    // 3-bit example: a=0b101, b=0b011 → z = a bits at even, b bits at odd
+    // positions = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 27
+    val row = spark.range(1).select(
+      Layout.mortonKey(lit(5), lit(3), bits = 3).as("z")).head()
+    assert(row.getLong(0) == 27L)
+  }
+}
