@@ -79,8 +79,10 @@ object Bench {
     val t1 = System.nanoTime()
     graft.streaming.ProducerSim.batch(spark, 2, 100000)
       .toDF().write.parquet(graft.streaming.StagePipeline.channelDir(work, spec, 0))
+    // state partitions sized to the workload's keyspace (2 keys) — see
+    // the statePartitions scaladoc; 32 stores for 2 keys is pure overhead
     graft.streaming.StagePipeline.runAvailable(spark, spec, work,
-      s"$work/_ckpt", useTws = true)
+      s"$work/_ckpt", useTws = true, statePartitions = Some(2))
     val streamSec = (System.nanoTime() - t1) / 1e9
 
     val qs = (results :+ ("ref_workload_100k" -> Some(refSec))

@@ -152,4 +152,14 @@ object TextFunctions {
     * a cheap proxy for subword token counting. */
   val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def bpeishCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
+
+  /** Repetition ratio (Gopher-style): the fraction of an array's entries
+    * covered by its single most frequent entry. High values flag template
+    * spam / boilerplate. Per-row work is O(distinct·len) inside the HOFs —
+    * a constant per document, so the operator is embarrassingly parallel
+    * and scales linearly with the corpus. */
+  def topEntryFrac(arr: Column): Column =
+    when(size(arr) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(arr),
+        w => size(filter(arr, t => t === w)))).cast("double") / size(arr))
 }

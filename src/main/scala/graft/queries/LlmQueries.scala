@@ -411,6 +411,29 @@ object LlmQueries {
                      FROM documents)"""),
       "word bigram extraction (tokenize/n-gram surface, exploded)"),
 
+    // Gopher-style repetition signals: fraction of tokens covered by the
+    // most frequent token / bigram. High values = template spam.
+    Q("q_text_repetition",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        round(TextFunctions.topEntryFrac(
+          TextFunctions.tokens(col("text"))), 6).as("top_token_frac"),
+        round(TextFunctions.topEntryFrac(
+          TextFunctions.shingles(col("text"), 2)), 6).as("top_bigram_frac")),
+      Some {
+        def frac(arr: String) =
+          s"""(CASE WHEN len($arr) = 0 THEN 0.0
+             | ELSE list_max(list_transform(list_distinct($arr),
+             |   w -> len(list_filter($arr, t -> t = w))))::DOUBLE / len($arr) END)""".stripMargin
+        s"""SELECT doc_id,
+              round(${frac("ts")}, 6) AS top_token_frac,
+              round(${frac("bg")}, 6) AS top_bigram_frac
+            FROM (SELECT doc_id, ${duckTokens("text")} AS ts,
+                    ${duckShingles(duckTokens("text"), 2)} AS bg
+                  FROM documents)"""
+      },
+      "repetition ratios (top-token / top-bigram coverage fraction)"),
+
     Q("q_text_fingerprint",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"),

@@ -53,11 +53,26 @@ object StagePipeline {
 
   /** Run the whole pipeline over whatever input is already in channel 0,
     * stage by stage (AvailableNow triggers — each stage drains its input
-    * and stops; restartable at any point via the per-stage checkpoints). */
+    * and stops; restartable at any point via the per-stage checkpoints).
+    *
+    * `statePartitions` sets the state-store partition count the queries
+    * PIN at first start (a streaming query's shuffle-partition count is
+    * frozen into its checkpoint). Size it to the KEYSPACE, not the
+    * cluster default: every state partition pays a RocksDB instance
+    * open+commit per microbatch even when it holds no keys, so a
+    * low-cardinality pipeline (the reference's is 2 keys) with 32
+    * partitions spends most of its wall-clock on 30 empty stores. At real
+    * scale the same knob goes UP (thousands of partitions for billions of
+    * keys) — the point is that it's a per-pipeline decision. */
   def runAvailable(spark: SparkSession, spec: PipelineSpec, root: String,
-                   checkpointRoot: String, useTws: Boolean = false): Unit =
-    PipelineSpec.validated(spec).orderedStages.foreach { st =>
+                   checkpointRoot: String, useTws: Boolean = false,
+                   statePartitions: Option[Int] = None): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try PipelineSpec.validated(spec).orderedStages.foreach { st =>
       val q = startStage(spark, spec, root, checkpointRoot, st, useTws)
       q.awaitTermination()
-    }
+    } finally spark.conf.set(key, prev)
+  }
 }
