@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rewrite: the md5-hex-conv idiom → the codegen'd expression
     ext.injectOptimizerRule(_ => graft.plans.Md5HexRewrite)
 
+    // custom physical operator: the as-of zipper join (Joins.asOfMerge
+    // also self-registers this per-session via experimental strategies)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
     ext.injectFunction((FunctionIdentifier("md5_hash60"),
       info("md5_hash60", "md5_hash60(str) - top 60 bits of md5 as BIGINT"),
       (children: Seq[Expression]) => Md5Hash60(children.head)))

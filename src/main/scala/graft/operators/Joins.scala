@@ -60,6 +60,39 @@ object Joins {
       .filter(col("__rn") === 1).drop("__rn", "__lrid")
   }
 
+  /** The as-of join as a first-class physical operator (custom
+    * LogicalPlan + SparkStrategy + SparkPlan — see
+    * [[graft.plans.AsOfMergeJoinExec]]): both sides hash-clustered on the
+    * key and sorted by (key, ts), then a linear zipper per co-partition.
+    * Same results as [[asOf]] (pinned in AsOfMergeSpec) without the
+    * composed form's per-key pair explosion — the intermediate the window
+    * variant materializes simply never exists.
+    *
+    * Columns are named (resolved against each side's analyzed plan);
+    * `leftTs`/`rightTs` must already share a type — cast first. */
+  def asOfMerge(left: DataFrame, right: DataFrame, leftKey: String,
+                rightKey: String, leftTs: String, rightTs: String,
+                tieBreak: String, keepUnmatched: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    val spark = left.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // idempotent per-session registration — extraStrategies is the public
+    // strategy-injection seam (GraftExtensions injects it globally too)
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    def attr(df: DataFrame, n: String) =
+      DatasetBridge.analyzed(df).output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asOfMerge: no column '$n' in ${df.columns.mkString(", ")}"))
+    DatasetBridge.ofRows(spark, AsOfJoin(
+      DatasetBridge.analyzed(left), DatasetBridge.analyzed(right),
+      Seq(attr(left, leftKey)), Seq(attr(right, rightKey)),
+      attr(left, leftTs), attr(right, rightTs), attr(right, tieBreak),
+      keepUnmatched))
+  }
+
   /** Pure interval join (point ∈ [lo, hi], NO equi key) rewritten as a bin
     * equi-join. Stock Spark plans a pure range predicate as a nested-loop
     * join over the full cross product — O(|points|·|intervals|) pairs. Here

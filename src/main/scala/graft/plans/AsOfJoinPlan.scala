@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** The as-of join as a FIRST-CLASS operator: custom `LogicalPlan` +
+  * `SparkStrategy` + `SparkPlan` — the (c)-level Catalyst extension seam
+  * (SURVEY.md §2.B UDF/extension surface), for semantics the composed
+  * operators can only express with a pair-explosion.
+  *
+  * The composed form (`Joins.asOf`) joins every left row to EVERY earlier
+  * right row of its key and keeps rn=1 — the intermediate is
+  * O(|matches per key|²) rows. This operator instead requires both sides
+  * hash-clustered by key and sorted by (key, ts) — the same machinery
+  * sort-merge join uses — and then a single forward ZIPPER pass per
+  * co-partition emits each left row's latest right row ≤ its timestamp:
+  * O(n + m) work, O(1) state (one remembered right row), no window, no
+  * pair blow-up. At 100 TB both sides shuffle once (or zero times if
+  * bucketed by the key) and stream through the merge.
+  *
+  * Semantics (pinned differentially against `Joins.asOf` in
+  * AsOfMergeSpec, and by the q_join_asof_merge oracle): for each left
+  * row, the right row with the greatest (rightTs, tieBreak) such that
+  * rightTs ≤ leftTs among rows with equal keys; unmatched left rows are
+  * dropped (inner) or emitted with null right columns (`keepUnmatched`).
+  * Null keys never match (SQL join semantics). `leftTs`/`rightTs` must
+  * share a data type (cast beforehand). Left and right must be distinct
+  * scans (a self-as-of-join would need DeduplicateRelations support this
+  * node does not implement).
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    keepUnmatched: Boolean) extends BinaryNode {
+
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key types must match on both sides")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of timestamp types must match: ${leftTs.dataType} vs ${rightTs.dataType}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfMergeJoinExec]]. Registered per-session via
+  * `spark.experimental.extraStrategies` (see `Joins.asOfMerge`) or
+  * globally via `GraftExtensions`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts, tie, keep) =>
+      AsOfMergeJoinExec(lk, rk, lts, rts, tie, keep,
+        planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sorted-zipper as-of join. Distribution/ordering requirements make
+  * EnsureRequirements do all the heavy lifting (exchange + sort, exactly
+  * like sort-merge join — including reusing an existing layout when a
+  * side is already clustered/sorted); `doExecute` is then a linear merge
+  * of co-partitions, the same zipPartitions mechanism SortMergeJoinExec
+  * uses (so AQE coalescing treats both sides consistently).
+  */
+case class AsOfMergeJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    keepUnmatched: Boolean,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      Seq(SortOrder(rightTs, Ascending), SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val ordTypes = keyTypes :+ leftTs.dataType
+    val (lk, rk, lts, rts) = (leftKeys, rightKeys, leftTs, rightTs)
+    val keep = keepUnmatched
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key…, ts) rows for lexicographic advance; key-only rows for the
+      // final equality check. Projections reuse buffers — remembered rows
+      // are copied.
+      val lOrdProj = UnsafeProjection.create(lk :+ lts, lOut)
+      val rOrdProj = UnsafeProjection.create(rk :+ rts, rOut)
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val ord = RowOrdering.createNaturalAscendingOrdering(ordTypes)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      var lastRight: InternalRow = null
+      var lastRightKey: UnsafeRow = null
+      lIter.flatMap { lRow =>
+        val lOrd = lOrdProj(lRow)
+        // consume every right row sorting ≤ (lKey, lTs); ties on ts are
+        // consumed too, so `lastRight` ends on the max (ts, tieBreak)
+        while (rBuf.hasNext && ord.compare(rOrdProj(rBuf.head), lOrd) <= 0) {
+          val r = rBuf.next()
+          lastRight = r.copy()
+          lastRightKey = rKeyProj(r).copy()
+        }
+        val lKey = lKeyProj(lRow)
+        val matched = lastRight != null && !lKey.anyNull &&
+          keyOrd.compare(lastRightKey, lKey) == 0
+        if (matched) Some(outProj(joined(lRow, lastRight)))
+        else if (keep) Some(outProj(joined(lRow, nullRight)))
+        else None
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+}

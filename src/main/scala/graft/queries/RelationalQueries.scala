@@ -240,6 +240,30 @@ object RelationalQueries {
               WHERE rn = 1"""),
       "as-of join: latest order at-or-before each event"),
 
+    // Same semantics through the custom zipper exec (AsOfJoin LogicalPlan
+    // + AsOfJoinStrategy + AsOfMergeJoinExec): one clustered sort per
+    // side, linear merge, no join+window pair explosion. Same oracle
+    // recipe as q_join_asof.
+    Q("q_join_asof_merge",
+      (s, d) => graft.operators.Joins.asOfMerge(
+        t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderdate").cast("timestamp").as("o_ts")),
+        "user_id", "o_custkey", "ts", "o_ts", "o_orderkey")
+        .select(col("event_id"), col("o_orderdate").as("asof_orderdate"),
+          col("o_orderkey").as("asof_orderkey")),
+      Some("""SELECT event_id, o_orderdate AS asof_orderdate,
+                o_orderkey AS asof_orderkey
+              FROM (SELECT event_id, o_orderdate, o_orderkey,
+                      row_number() OVER (PARTITION BY event_id
+                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                    FROM events JOIN orders
+                      ON user_id = o_custkey AND o_orderdate <= ts
+                    WHERE event_type = 'purchase')
+              WHERE rn = 1"""),
+      "as-of join via the custom merge exec (LogicalPlan+Strategy+SparkPlan seam)"),
+
     // ---------- aggregation ----------
     Q("q1_agg",
       (s, d) => t(s, d, "lineitem")
@@ -287,6 +311,24 @@ object RelationalQueries {
                 TRUE AS within_10pct
               FROM lineitem GROUP BY l_returnflag"""),
       "approx_count_distinct (HLL++) with an oracle-checked 10% accuracy band"),
+
+    Q("q_agg_approx_pct",
+      // Same tolerance-band pattern as q_agg_approx: Greenwald-Khanna
+      // sketch values are engine-specific, so the checked claim is
+      // |approx_percentile − exact median| ≤ 1%·exact (GK default
+      // accuracy 10000 ⇒ 1e-4 relative rank error; 1% value band is
+      // generous for any non-degenerate distribution). The exact median
+      // is emitted by both engines and hash-compared.
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5)").as("ap"),
+          expr("percentile(l_extendedprice, 0.5D)").as("med"))
+        .select(col("l_returnflag"), round(col("med"), 3).as("med3"),
+          (abs(col("ap") - col("med")) <= col("med") * 0.01).as("within_1pct")),
+      Some("""SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 3) AS med3,
+                TRUE AS within_1pct
+              FROM lineitem GROUP BY l_returnflag"""),
+      "approx_percentile (mergeable GK sketch) with an oracle-checked 1% band"),
 
     Q("q_agg_rollup",
       (s, d) => t(s, d, "lineitem")

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Joins
+
+/** The custom as-of merge join (LogicalPlan + Strategy + SparkPlan) must
+  * (a) return exactly what the composed join+window form returns, on both
+  * inner and keep-unmatched semantics, and (b) plan as the zipper exec —
+  * no Window, no pair-exploding join — under the default AQE session.
+  */
+class AsOfMergeSpec extends SparkSpec {
+
+  private def sides = {
+    val ev = Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val ord = Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"))
+    (ev, ord)
+  }
+
+  test("merge exec matches the composed asOf — inner semantics") {
+    val (ev, ord) = sides
+    val merged = Joins.asOfMerge(ev, ord, "user_id", "o_custkey",
+      "ts", "o_ts", "o_orderkey")
+      .select("event_id", "o_orderkey", "o_ts")
+    val composed = Joins.asOf(ev, ord, col("user_id"), col("o_custkey"),
+      col("ts"), col("o_ts"), col("o_orderkey"))
+      .select("event_id", "o_orderkey", "o_ts")
+    assert(merged.count() > 0)
+    assert(merged.exceptAll(composed).isEmpty && composed.exceptAll(merged).isEmpty,
+      "merge exec diverged from composed asOf (inner)")
+  }
+
+  test("merge exec matches the composed asOf — keepUnmatched semantics") {
+    val (ev, ord) = sides
+    val merged = Joins.asOfMerge(ev, ord, "user_id", "o_custkey",
+      "ts", "o_ts", "o_orderkey", keepUnmatched = true)
+      .select("event_id", "o_orderkey", "o_ts")
+    val composed = Joins.asOf(ev, ord, col("user_id"), col("o_custkey"),
+      col("ts"), col("o_ts"), col("o_orderkey"), keepUnmatched = true)
+      .select("event_id", "o_orderkey", "o_ts")
+    // keepUnmatched keeps EVERY left row exactly once
+    assert(merged.count() == sides._1.count())
+    assert(merged.exceptAll(composed).isEmpty && composed.exceptAll(merged).isEmpty,
+      "merge exec diverged from composed asOf (keepUnmatched)")
+  }
+
+  test("plans as the zipper exec — no Window, no pair-exploding join") {
+    val (ev, ord) = sides
+    val df = Joins.asOfMerge(ev, ord, "user_id", "o_custkey",
+      "ts", "o_ts", "o_orderkey")
+    df.write.format("noop").mode("overwrite").save() // final adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+}
