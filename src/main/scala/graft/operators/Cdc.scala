@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Latest-wins upsert (SCD-1 / CDC merge): apply a delta stream of keyed
+  * updates onto a base snapshot, keeping exactly one row per key — the
+  * highest-precedence version. This is the batch form of what the
+  * reference's compacted state topics do with Kafka log compaction
+  * (latest record per key wins; /root/reference/v1/ParserKafka/
+  * CreateBash.py:25-44 sets cleanup.policy=compact): same semantics,
+  * expressed as one declarative aggregate instead of a broker policy.
+  *
+  * Scale: `max_by(payload, version)` is a hash aggregate with map-side
+  * partial combine — each mapper keeps one candidate row per key before
+  * the shuffle, so shuffle volume is O(distinct keys), not O(rows). A
+  * window (`row_number` over key) would sort whole partitions instead.
+  * The version struct must be a TOTAL order (include a unique tiebreak
+  * column) or the winner is nondeterministic under ties.
+  */
+object Cdc {
+
+  /** One row per key: the payload whose `version` struct sorts highest.
+    * `rows` = base ∪ delta pre-shaped to a common schema; callers encode
+    * base-vs-delta precedence as the version's leading field. */
+  def upsertLatest(rows: DataFrame, keyCol: Column, payload: Column,
+                   version: Column): DataFrame =
+    rows.groupBy(keyCol.as("k"))
+      .agg(max_by(payload, version).as("latest"))
+}

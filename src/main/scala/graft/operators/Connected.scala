@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the step that turns
+  * near-dup PAIRS (MinHash/SimHash/embedding output) into dedup CLUSTERS,
+  * so a pipeline can keep one canonical document per cluster instead of
+  * dropping both ends of every pair. Reference scope: the reference engine
+  * has no graph step at all (its dedup story ends at per-key compaction,
+  * /root/reference/v1/ParserKafka/CreateBash.py:25-71 topic configs); this
+  * is part of the LLM-pipeline surface the survey adds on top.
+  *
+  * Algorithm: min-label propagation with pointer jumping (label := label of
+  * label each round), the alternating-contraction idea from Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond" (SoCC'14). Everything is
+  * shuffle-by-key joins + map-side-combinable `min` aggregates — no driver
+  * state beyond the O(log d) convergence loop, so a 100 TB edge list runs
+  * as ~log(diameter) hash-join rounds. Near-dup graphs are band-bucket
+  * cliquish (diameter ≤ ~3), so 3-4 rounds in practice.
+  *
+  * Determinism: the fixpoint (per-node min reachable id) is unique, so the
+  * result is independent of join order, partitioning, and round count.
+  */
+object Connected {
+
+  /** Per-node cluster assignment: (doc_id, cluster_id, n_docs) for every
+    * node that appears in `pairs` (id1, id2). cluster_id = min node id
+    * reachable in the undirected graph; n_docs = cluster size.
+    *
+    * Per round: one join edges⋈labels + a `min` aggregate (propagation),
+    * one self-join on the label (pointer jump). Old rounds' persists are
+    * dropped as soon as the next round materializes; `maxIters` only
+    * backstops the convergence probe (2^25-diameter graphs don't exist). */
+  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
+      .union(pairs.select(col("id2").cast("long").as("u"),
+        col("id1").cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // propagate: lbl(u) := min(lbl(u), min over neighbors v of lbl(v))
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("lbl").as("nlbl")), "v")
+        .groupBy("u").agg(min("nlbl").as("nmin"))
+        .withColumnRenamed("u", "id")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer jump: lbl(u) := min(lbl(u), lbl(lbl(u))) — labels are node
+      // ids, so the parent lookup always resolves; halves chain depth
+      val jumped = stepped.as("a")
+        .join(stepped.select(col("id").as("p"), col("lbl").as("plbl")),
+          col("a.lbl") === col("p"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.lbl"), coalesce(col("plbl"), col("a.lbl"))).as("lbl"))
+      // truncate lineage: the self-join references `stepped` twice, so
+      // carrying raw plans across rounds doubles the tree per round
+      // (exponential analysis cost / driver OOM by ~round 10). Re-rooting
+      // each round as a LogicalRDD keeps plan depth constant; the RDD
+      // chain underneath stays linear in rounds.
+      val next = jumped.sparkSession
+        .createDataFrame(jumped.rdd, jumped.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // the probe's shuffle map stage scans every partition of `next`,
+      // fully materializing its cache before the old round is released
+      converged = next.as("n")
+        .join(labels.select(col("id").as("id0"), col("lbl").as("old")),
+          col("n.id") === col("id0"))
+        .filter(col("lbl") < col("old")) // labels only ever decrease
+        .isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    val out = labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+    // final round's persist is released once the consuming action completes
+    graft.core.CacheScope.autoRelease(labels)
+    out
+  }
+}

@@ -233,5 +233,40 @@ object ExtraQueries {
                        (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
                      FROM scored)
                WHERE rn <= ${LlmQueries.TopK}"""),
-      "IVF-bucketed cosine top-k (cell id = bucketing key at scale)"))
+      "IVF-bucketed cosine top-k (cell id = bucketing key at scale)"),
+
+    // CDC latest-wins merge: customer balances upserted by their orders'
+    // totals — delta (orders) beats base (customer), latest order wins,
+    // o_orderkey breaks same-timestamp ties so the winner is unique. The
+    // oracle specifies the same total order via row_number; Spark computes
+    // it as a map-side-combinable max_by (shuffle = O(keys), not O(rows)).
+    Q("q_merge_upsert",
+      (s, d) => {
+        val base = t(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_acctbal").as("v"),
+          lit(0).as("pri"),
+          lit("1900-01-01 00:00:00").cast("timestamp").as("ver_ts"),
+          lit(0L).as("tb"))
+        val delta = t(s, d, "orders").select(
+          col("o_custkey").as("k"), col("o_totalprice").as("v"),
+          lit(1).as("pri"), col("o_orderdate").as("ver_ts"),
+          col("o_orderkey").as("tb"))
+        graft.operators.Cdc.upsertLatest(base.unionByName(delta),
+          col("k"), col("v"), struct(col("pri"), col("ver_ts"), col("tb")))
+          .select(col("k").as("cust_key"), col("latest").as("latest_val"))
+      },
+      Some("""WITH allr AS (
+                SELECT c_custkey AS k, c_acctbal AS v, 0 AS pri,
+                       TIMESTAMP '1900-01-01 00:00:00' AS ver_ts,
+                       CAST(0 AS BIGINT) AS tb
+                FROM customer
+                UNION ALL
+                SELECT o_custkey, o_totalprice, 1, o_orderdate, o_orderkey
+                FROM orders)
+              SELECT k AS cust_key, v AS latest_val
+              FROM (SELECT k, v, row_number() OVER (PARTITION BY k
+                      ORDER BY pri DESC, ver_ts DESC, tb DESC) AS rn
+                    FROM allr)
+              WHERE rn = 1"""),
+      "CDC latest-wins upsert (base ∪ delta, max_by over a total version order)"))
 }

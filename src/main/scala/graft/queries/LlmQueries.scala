@@ -100,15 +100,17 @@ object LlmQueries {
     }.mkString("(", " + ", ")")
   }
 
-  // The minhash CTE chain shared by the near-dup oracle.
-  private def duckMinhashOracle(threshold: Double): String = {
+  /** The minhash CTE chain (sh → sig → bands → cand → pairs), reusable as
+    * the head of a larger WITH list: q_dedup_minhash selects the verified
+    * pairs; q_dedup_cc appends a recursive-closure CTE on top of them. */
+  private def duckMinhashCtes(threshold: Double): String = {
     val sigCols = (0 until Dedup.K)
       .map(i => s"${duckMinhashSig("shset", i)} AS s$i").mkString(",\n    ")
     val bandSelects = (0 until Dedup.BANDS).map { b =>
       val key = (0 until Dedup.R).map(r => s"s${b * Dedup.R + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, concat_ws(':', $key) AS band_key FROM sig"
     }.mkString("\n    UNION ALL ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, list_distinct(${duckShingles(duckTokens("text"), 3)}) AS shset
        |  FROM documents),
        |sig AS (SELECT doc_id, $sigCols FROM sh),
@@ -117,16 +119,21 @@ object LlmQueries {
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id)
-       |SELECT id1, id2, round(j, 4) AS j4 FROM (
-       |  SELECT id1, id2,
-       |    CASE WHEN len(list_distinct(list_concat(x.shset, y.shset))) = 0 THEN 0.0
-       |         ELSE len(list_intersect(x.shset, y.shset))::DOUBLE /
-       |              len(list_distinct(list_concat(x.shset, y.shset)))::DOUBLE END AS j
-       |  FROM cand JOIN sh x ON cand.id1 = x.doc_id
-       |            JOIN sh y ON cand.id2 = y.doc_id)
-       |WHERE j >= $threshold""".stripMargin
+       |   AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id1, id2, j FROM (
+       |    SELECT id1, id2,
+       |      CASE WHEN len(list_distinct(list_concat(x.shset, y.shset))) = 0 THEN 0.0
+       |           ELSE len(list_intersect(x.shset, y.shset))::DOUBLE /
+       |                len(list_distinct(list_concat(x.shset, y.shset)))::DOUBLE END AS j
+       |    FROM cand JOIN sh x ON cand.id1 = x.doc_id
+       |              JOIN sh y ON cand.id2 = y.doc_id)
+       |  WHERE j >= $threshold)""".stripMargin
   }
+
+  private def duckMinhashOracle(threshold: Double): String =
+    s"""WITH ${duckMinhashCtes(threshold)}
+       |SELECT id1, id2, round(j, 4) AS j4 FROM pairs""".stripMargin
 
   val NearDupJaccard = 0.2
   val EmbedDupCos = 0.9
@@ -246,6 +253,29 @@ object LlmQueries {
            |WHERE cos >= $EmbedDupCos""".stripMargin
       },
       "embedding-cosine near-dup pairs (banded sign-LSH candidates — equi-join, never all-pairs)"),
+
+    // Pairs → clusters: the step a real dedup pipeline needs before it can
+    // keep one canonical doc per duplicate group. Spark side is iterative
+    // min-label propagation + pointer jumping (O(log diameter) join
+    // rounds); the oracle computes the same fixpoint as a recursive
+    // transitive closure — tiny in DuckDB at sf0.01, impossible at 100 TB,
+    // which is exactly why the Spark side doesn't do it that way.
+    Q("q_dedup_cc",
+      (s, d) => graft.operators.Connected.components(
+        Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
+          NearDupJaccard).select("id1", "id2")),
+      Some(s"""WITH RECURSIVE ${duckMinhashCtes(NearDupJaccard)},
+               edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                         UNION ALL SELECT id2, id1 FROM pairs),
+               reach AS (
+                 SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v)
+               SELECT doc_id, cluster_id,
+                      count(*) OVER (PARTITION BY cluster_id) AS n_docs
+               FROM (SELECT u AS doc_id, min(v) AS cluster_id
+                     FROM reach GROUP BY u)"""),
+      "near-dup clusters: connected components over MinHash pairs (min-label + pointer jumping)"),
 
     // ---------- similarity search ----------
     Q("q_sim_topk_brute",
@@ -441,6 +471,50 @@ object LlmQueries {
       Some(s"""SELECT doc_id, ${duckFingerprint(duckTokens("text"))} AS fp
                FROM (SELECT doc_id, text FROM documents)"""),
       "order-sensitive rolling-hash document fingerprint"),
+
+    // Top-5 TF-IDF terms per document. Fully relational: explode tokens,
+    // tf = per-(doc,term) count, df = per-term count REUSED from the tf
+    // aggregate (distinct (doc,term) rows already), idf = ln((N+1)/(df+1)).
+    // The corpus size joins in as a broadcast scalar, never a driver
+    // round-trip; the only window is partitioned by doc_id (never global).
+    Q("q_text_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = graft.core.CacheScope.autoRelease(
+          Tables.ensureParallelism(docs.select(col("doc_id"), col("text")))
+            .select(col("doc_id"),
+              explode(TextFunctions.tokens(col("text"))).as("term"))
+            .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(df, "term").crossJoin(broadcast(nDocs))
+          .withColumn("tfidf",
+            col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("doc_id"), col("rn").cast("int").as("rnk"),
+            col("term"), round(col("tfidf"), 6).as("tfidf6"))
+      },
+      Some(s"""WITH terms AS (
+                 SELECT doc_id, unnest(${duckTokens("text")}) AS term
+                 FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf
+                      FROM terms GROUP BY doc_id, term),
+               df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+               n AS (SELECT count(*) AS n_docs FROM documents),
+               scored AS (
+                 SELECT tf.doc_id, tf.term,
+                   tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+                 FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+               SELECT doc_id, CAST(rn AS INT) AS rnk, term,
+                      round(tfidf, 6) AS tfidf6
+               FROM (SELECT *, row_number() OVER
+                       (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+                     FROM scored)
+               WHERE rn <= 5"""),
+      "top-5 TF-IDF terms per document (tf reused for df — one token shuffle)"),
 
     // ---------- quality filtering / sampling / composed pipeline ----------
     Q("q_text_quality",

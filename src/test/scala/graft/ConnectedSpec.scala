@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Connected
+
+/** Connected components: known-cluster graphs, convergence past the
+  * 1-hop-per-round regime (pointer jumping), and cache hygiene. */
+class ConnectedSpec extends SparkSpec {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val df = pairs.toDF("id1", "id2")
+    Connected.components(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("two separate cliques resolve to two clusters with sizes") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)))
+    assert(got == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (10L, 2L), 11L -> (10L, 2L)))
+  }
+
+  test("long path collapses to the min endpoint (needs pointer jumping)") {
+    // path 1-2-3-...-40: diameter 39 ≫ maxIters would allow at 1 hop/round
+    val path = (1L until 40L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == 40)
+    assert(got.values.forall { case (c, n) => c == 1L && n == 40L })
+  }
+
+  test("edge order and direction don't change the fixpoint") {
+    val a = cc(Seq((5L, 9L), (2L, 9L), (7L, 3L)))
+    val b = cc(Seq((3L, 7L), (9L, 5L), (9L, 2L)))
+    assert(a == b)
+    assert(a(2L)._1 == 2L && a(3L)._1 == 3L)
+  }
+
+  test("empty edge list yields an empty result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Connected.components(empty).isEmpty)
+  }
+
+  test("iteration persists are released after the consuming action") {
+    val path = (1L until 20L).map(i => (i, i + 1))
+    import spark.implicits._
+    Connected.components(path.toDF("id1", "id2")).collect()
+    // the final round's persist is scoped to the consuming action; the
+    // release listener fires on the async bus — poll like PlanShapeSpec
+    val deadline = System.currentTimeMillis() + 30000
+    var n = spark.sparkContext.getPersistentRDDs.size
+    while (n > 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      n = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(n == 0, s"$n cached RDDs still registered after the action finished")
+  }
+}

@@ -43,6 +43,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_merge_upsert aggregates with map-side partial max_by — no window sort") {
+    val p = plan("q_merge_upsert").toLowerCase
+    assert(p.contains("partial_max_by"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_text_tfidf windows only per-document — no global sort") {
+    val p = plan("q_text_tfidf").toLowerCase
+    // the only window is keyed by doc_id (the scalar corpus count's
+    // one-row SinglePartition aggregate is fine at any scale)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(!p.contains("windowspecdefinition()"), p)
+    // the corpus-size scalar joins in as a broadcast, not a shuffle
+    assert(p.contains("broadcastexchange"), p)
+  }
+
   test("minhash caches are released once the consuming action completes") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
     df.write.format("noop").mode("overwrite").save()
