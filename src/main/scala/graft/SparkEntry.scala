@@ -12,7 +12,8 @@ object SparkEntry {
     * implementation and (where ANSI-SQL-expressible) a DuckDB oracle. */
   val registry: Seq[Q] =
     RelationalQueries.all ++ ScalarQueries.all ++ ReferenceQueries.all ++
-      StreamingBatchQueries.all ++ LlmQueries.all ++ ExtraQueries.all
+      StreamingBatchQueries.all ++ LlmQueries.all ++ ExtraQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style aggregate — scan, filter pushdown, hash aggregate. */

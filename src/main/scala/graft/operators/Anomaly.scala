@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group z-score outlier flagging over a money-like column — the
+  * data-quality gate a training pipeline runs before ingesting metrics
+  * (drop rows whose value is implausible for their category).
+  *
+  * Determinism at scale: group mean/stddev are derived from EXACT integer
+  * sums (value in cents, sum and sum-of-squares as longs), so the result
+  * is independent of partitioning and combine order — a distributed
+  * double-sum would make the stddev (and thus which rows clear the
+  * threshold) drift run to run. The final mean/std/z arithmetic is a fixed
+  * IEEE-double expression both the engine and the oracle evaluate on the
+  * same exact integers. Two passes: one map-side-combined aggregate
+  * (O(groups) shuffle), then a broadcast join of the tiny stats table back
+  * onto the stream — no window, no second shuffle of the data.
+  */
+object Anomaly {
+
+  /** Input: `df` with an integer-cents column `centsCol` (exact). Output:
+    * input rows + `mean_c`/`std_c`/`z` in cents space. Callers filter on
+    * |z| and round for display. `stddev` uses the sample formula (n-1). */
+  def zscore(df: DataFrame, groupCol: String, centsCol: String): DataFrame = {
+    val stats = df.groupBy(groupCol).agg(
+      sum(col(centsCol)).as("sc"),
+      sum(col(centsCol) * col(centsCol)).as("scc"),
+      count(lit(1)).as("n"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("mean_c", col("sc").cast("double") / col("n"))
+      .withColumn("std_c", sqrt(
+        (col("scc").cast("double") -
+          col("sc").cast("double") * col("sc").cast("double") / col("n")) /
+          (col("n") - lit(1))))
+      .withColumn("z", (col(centsCol).cast("double") - col("mean_c")) / col("std_c"))
+      .drop("sc", "scc", "n")
+  }
+}

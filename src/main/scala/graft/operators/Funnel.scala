@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis: for each user, the first time they completed
+  * each step of an event sequence, where step k must happen strictly AFTER
+  * the user's step-(k-1) time (not merely "user did both"). The reference
+  * engine's analytics story stops at per-key counts
+  * (/root/reference/v1/src/main/java/Stream/Streamer.java:214-230 keyed
+  * state); funnels are the event-pipeline extension of that same keyed
+  * aggregation surface.
+  *
+  * Scale: one filtered aggregate + one hash join per step, all keyed by
+  * user — shuffle volume is O(users) per step after the map-side-combined
+  * `min`. No windows, no sorts; step count is a small constant, so this is
+  * a fixed pipeline of hash aggregates a 1000-executor cluster runs as
+  * `steps` co-partitioned stages. (An alternative single-pass
+  * `min(case when ...)` formulation cannot express the strictly-after
+  * constraint — it would count a click that preceded the first view.)
+  */
+object Funnel {
+
+  /** One row per user that completed step 0; columns `t0..t(n-1)` hold the
+    * first completion time of each step (null once the chain breaks).
+    * `steps` are event-type values, in funnel order. */
+  def firstCompletions(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(tsCol).as("t0"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val next = events.filter(col(typeCol) === step)
+        .join(acc.select(col(userCol), col(s"t${i - 1}")), Seq(userCol))
+        .filter(col(tsCol) > col(s"t${i - 1}"))
+        .groupBy(userCol).agg(min(tsCol).as(s"t$i"))
+      acc = acc.join(next, Seq(userCol), "left")
+    }
+    acc
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance matching without the all-pairs cross product. Complements
+  * the token-set dedup family (`Dedup.minhash*` works on shingle SETS; edit
+  * distance catches transpositions and small in-token typos that Jaccard
+  * misses). Two shapes:
+  *
+  *  - [[dictionaryMatch]]: corpus × small canonical dictionary — the
+  *    dictionary broadcasts, so the corpus streams with NO shuffle at all.
+  *    This is the 100 TB shape for canonicalizing noisy labels (language
+  *    tags, domains, product names) against a reference list.
+  *  - [[blockedLevenshtein]]: self-join for pair discovery, equi-joined on
+  *    a caller-chosen blocking key so the quadratic term is bounded by the
+  *    largest block (hash-partitioned, AQE-skew-splittable) — the same
+  *    candidates-then-verify shape as the MinHash band join. Block-key
+  *    cardinality is the recall/cost dial; a low-cardinality key degrades
+  *    toward all-pairs, which is why the dictionary form is preferred
+  *    whenever a canonical side exists.
+  */
+object FuzzyJoin {
+
+  /** Match each corpus row to every dictionary name within `maxDist` edits
+    * sharing the same block key. Output: (k, name, canon, dist). */
+  def dictionaryMatch(corpus: DataFrame, keyCol: String, nameCol: String,
+                      dict: DataFrame, dictNameCol: String,
+                      blockKey: Column => Column, maxDist: Int): DataFrame = {
+    val c = corpus.select(col(keyCol).as("k"), col(nameCol).as("nm"),
+      blockKey(col(nameCol)).as("blk"))
+    val d = dict.select(col(dictNameCol).as("canon"),
+      blockKey(col(dictNameCol)).as("blk"))
+    c.join(broadcast(d), "blk")
+      .withColumn("dist", levenshtein(col("nm"), col("canon")))
+      .filter(col("dist") <= maxDist)
+      .select(col("k"), col("nm").as("name"), col("canon"),
+        col("dist").cast("int").as("dist"))
+  }
+
+  /** Pairs (k1, k2, name1, name2, dist) with k1 < k2, equal block key, and
+    * levenshtein(name) ≤ maxDist. */
+  def blockedLevenshtein(df: DataFrame, keyCol: String, nameCol: String,
+                         blockKey: Column, maxDist: Int): DataFrame = {
+    val p = df.select(col(keyCol).as("k"), col(nameCol).as("nm"),
+      blockKey.as("blk"))
+    p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.k").as("k1"), col("b.k").as("k2"),
+        col("a.nm").as("name1"), col("b.nm").as("name2"),
+        col("dist").cast("int").as("dist"))
+  }
+}

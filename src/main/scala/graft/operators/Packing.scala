@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: assign documents to fixed-token-
+  * budget chunks ("concat-and-chunk") so downstream training reads
+  * near-full context windows instead of one padded document each. The
+  * strategy is the standard streaming one: within each shard, walk
+  * documents in a deterministic order, keep a running token total, and
+  * start chunk k at the first document whose preceding total crosses
+  * k·maxTokens.
+  *
+  * Scale: packing is inherently sequential WITHIN a stream, so the unit of
+  * parallelism is the shard key (source/file/writer id) — each shard's
+  * window sorts only its own rows; there is no global sort and no driver
+  * loop. 100 TB = millions of shards packed independently. (A bin-packing
+  * variant that reorders documents would pack slightly tighter but loses
+  * determinism and streamability; the chunked form is what large pipelines
+  * actually run.)
+  */
+object Packing {
+
+  /** Adds `n_tok` (tokens in this doc), `chunk_id` (which fixed-budget
+    * chunk the doc starts in), and `pos_in_chunk` (1-based position). */
+  def chunkAssign(docs: DataFrame, shardCol: String, orderCol: String,
+                  tokCount: Column, maxTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withChunk = docs
+      .withColumn("n_tok", tokCount)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(wCum), lit(0L)))
+      .withColumn("chunk_id",
+        floor(col("cum_before") / lit(maxTokens.toDouble)).cast("long"))
+    val wPos = Window.partitionBy(col(shardCol), col("chunk_id"))
+      .orderBy(orderCol)
+    withChunk
+      .withColumn("pos_in_chunk", row_number().over(wPos))
+      .drop("cum_before")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration PageRank over an edge list — the second iterative graph
+  * operator (after [[Connected]]) a training-data pipeline uses, e.g. to
+  * weight documents by link authority before sampling. Same execution
+  * shape as Connected: each iteration is one hash join (ranks ⋈ edges) and
+  * one map-side-combinable sum, so a 100 TB edge list runs as `iters`
+  * co-partitioned shuffle rounds; per-round lineage truncation keeps the
+  * driver-side plan constant-depth.
+  *
+  * Determinism: all arithmetic is int64 FIXED-POINT (ranks in units of
+  * 1e-12, integer division truncating) — a float formulation would make
+  * low-order digits depend on reduction order across partitions. The
+  * oracle replays the identical integer recurrence, so results match
+  * bit-for-bit at any parallelism:
+  *   r0(v)   = Scale div N
+  *   r_k(v)  = (15·Scale div 100) div N + (85 · Σ_{u→v} (r_{k-1}(u) div deg(u))) div 100
+  * Dangling nodes don't arise (nodes are defined as edge endpoints, and
+  * callers model undirected graphs by passing both directions).
+  */
+object PageRank {
+
+  /** One fixed-point rank unit = 1e-12 of total probability mass. */
+  val Scale = 1000000000000L
+
+  /** (id, r) for every node appearing as an edge source. `edges` columns:
+    * src, dst (integral); duplicates are dropped. */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = e.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nCount = nodes.agg(count(lit(1)).as("nn"))
+    val baseConst = 15L * Scale / 100
+
+    var ranks = nodes.crossJoin(broadcast(nCount))
+      .select(col("id"), expr(s"${Scale}L div nn").as("r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val contrib = edgesD
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").cast("long").as("s"))
+      val stepped = nodes.crossJoin(broadcast(nCount))
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (expr(s"${baseConst}L div nn") +
+            expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
+      // re-root as a LogicalRDD so the analyzed plan doesn't grow with
+      // the iteration count (same rationale as Connected.components)
+      val next = stepped.sparkSession
+        .createDataFrame(stepped.rdd, stepped.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the previous round
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    edgesD.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    graft.core.CacheScope.autoRelease(ranks)
+    ranks
+  }
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Anomaly, Funnel, FuzzyJoin, GapFill, Packing, PageRank}
+
+/** Event-pipeline and graph analytics: ordered funnels, time-range rolling
+  * windows, exact-integer z-score outliers, calendar gap-fill, LLM sequence
+  * packing, blocked fuzzy joins, and fixed-point PageRank. Each pairs a
+  * scale-shaped Spark plan with a DuckDB oracle following the numeric
+  * conventions in [[Q.conventions]] (exact integer accumulation wherever a
+  * distributed float sum could drift).
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact long cents from a 2-decimal double (both engines round
+    * half-away-from-zero on positives). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  private val PackBudget = 512
+  private val FuzzyMaxDist = 2
+  private val PrIters = 10
+
+  /** r0..rN chain of the fixed-point PageRank recurrence (mirrors
+    * [[PageRank.ranks]] — same int64 truncating divisions, so the match is
+    * bit-exact, not tolerance-based). */
+  private def duckPageRankCtes(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT n.id,
+         |  (${15L * PageRank.Scale / 100} // nn.nn) +
+         |  ((85 * coalesce(c.s, 0)) // 100) AS r
+         |FROM nodes n CROSS JOIN nn
+         |LEFT JOIN (SELECT ed.dst, CAST(sum(p.r // ed.deg) AS BIGINT) AS s
+         |           FROM ed JOIN r${k - 1} p ON ed.src = p.id
+         |           GROUP BY ed.dst) c ON n.id = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""b AS (SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |       FROM lineitem),
+       |e AS (SELECT src, dst FROM b UNION SELECT dst AS src, src AS dst FROM b),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |nn AS (SELECT count(*) AS nn FROM nodes),
+       |r0 AS (SELECT id, ${PageRank.Scale} // nn.nn AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$steps""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Ordered funnel: first view -> first click AFTER that view -> first
+    // purchase AFTER that click, per user. Strictly-after semantics need
+    // the staged joins (a single min(case) pass would count a click that
+    // preceded the first view).
+    Q("q_events_funnel",
+      (s, d) => {
+        val f = Funnel.firstCompletions(t(s, d, "events"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        f.select(col("user_id"),
+          col("t0").as("t_view"), col("t1").as("t_click"),
+          col("t2").as("t_purchase"),
+          (lit(1) + when(col("t1").isNotNull, 1).otherwise(0)
+            + when(col("t2").isNotNull, 1).otherwise(0)).as("depth"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                         WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, min(e.ts) AS t_click
+                    FROM events e JOIN v ON e.user_id = v.user_id
+                    WHERE e.event_type = 'click' AND e.ts > v.t_view
+                    GROUP BY e.user_id),
+              p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                    FROM events e JOIN c ON e.user_id = c.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                    GROUP BY e.user_id)
+              SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+                     CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                            + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                          AS INT) AS depth
+              FROM v LEFT JOIN c ON v.user_id = c.user_id
+                     LEFT JOIN p ON v.user_id = p.user_id"""),
+      "ordered funnel (view->click->purchase), staged min-timestamp joins keyed by user"),
+
+    // Time-range rolling window: events in the trailing hour per user.
+    // RANGE frame on unix microseconds — value-based, so tied timestamps
+    // are peers and the result is order-deterministic without a tiebreak.
+    Q("q_win_range_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("c"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h_cents", sum(col("c")).over(w))
+          .drop("c")
+      },
+      Some("""SELECT event_id, user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                     count(*) OVER w AS n_1h,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                          AS BIGINT) AS sum_1h_cents
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""),
+      "trailing-1h rolling count/sum per user (RANGE frame over event-time micros)"),
+
+    // Per-type z-score outliers. Stats from EXACT integer sums (cents +
+    // squared cents as longs) so the flagged set is partition-order
+    // independent; the double formula is written identically on both
+    // sides. |z| > 2.5 on the unrounded value.
+    Q("q_anomaly_zscore",
+      (s, d) => {
+        val ec = t(s, d, "events").select(col("event_id"),
+          col("event_type"), col("value"), cents(col("value")).as("c"))
+        Anomaly.zscore(ec, "event_type", "c")
+          .filter(abs(col("z")) > 2.5)
+          .select(col("event_id"), col("event_type"), col("value"),
+            round(col("z"), 6).as("z6"))
+      },
+      Some("""WITH ec AS (SELECT event_id, event_type, value,
+                            CAST(round(value * 100) AS BIGINT) AS c
+                          FROM events),
+              st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS sc,
+                            CAST(sum(c * c) AS BIGINT) AS scc,
+                            count(*) AS n
+                     FROM ec GROUP BY event_type),
+              z AS (SELECT e.event_id, e.event_type, e.value,
+                      (CAST(e.c AS DOUBLE) - CAST(st.sc AS DOUBLE) / st.n) /
+                      sqrt((CAST(st.scc AS DOUBLE) -
+                            CAST(st.sc AS DOUBLE) * CAST(st.sc AS DOUBLE) / st.n)
+                           / (st.n - 1)) AS zv
+                    FROM ec e JOIN st ON e.event_type = st.event_type)
+              SELECT event_id, event_type, value, round(zv, 6) AS z6
+              FROM z WHERE abs(zv) > 2.5"""),
+      "per-group z-score outliers from exact integer sums (broadcast stats, no window)"),
+
+    // Daily activity regularized onto a dense calendar: every (user, day)
+    // in the observed range, gaps carrying the last active day's total
+    // forward. Spine = sequence+explode (narrow); fill = per-user window.
+    Q("q_ts_gapfill",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"),
+            cents(col("value")).as("c"))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n_events"), sum("c").as("day_cents"))
+        val spined = GapFill.calendarSpine(daily, "user_id", "day")
+        spined.select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          GapFill.forwardFill(spined, "user_id", "day", col("day_cents"))
+            .as("filled_cents"))
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                         AS day_cents
+                FROM events GROUP BY user_id, CAST(ts AS DATE)),
+              bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+              spine AS (
+                SELECT u.user_id,
+                       CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+                            AS DATE) AS day
+                FROM (SELECT DISTINCT user_id FROM daily) u
+                CROSS JOIN bounds b)
+              SELECT s.user_id, s.day,
+                     coalesce(d.n_events, 0) AS n_events,
+                     last_value(d.day_cents IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS filled_cents
+              FROM spine s LEFT JOIN daily d
+                ON s.user_id = d.user_id AND s.day = d.day"""),
+      "calendar-spine gap-fill with per-key forward fill (dense daily state)"),
+
+    // Concat-and-chunk sequence packing: per source shard, docs in doc_id
+    // order fill fixed 512-token chunks. Parallel across shards; each
+    // shard's window sorts only its own rows.
+    Q("q_pack_chunks",
+      (s, d) => Packing.chunkAssign(
+          Tables.ensureParallelism(
+            t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))),
+          "source", "doc_id",
+          size(TextFunctions.tokens(col("text"))), PackBudget)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("chunk_id"), col("pos_in_chunk")),
+      Some(s"""WITH dt AS (
+                 SELECT doc_id, source,
+                        CAST(len(${LlmQueries.duckTokens("text")}) AS INT) AS n_tok
+                 FROM documents),
+               cb AS (
+                 SELECT doc_id, source, n_tok,
+                        coalesce(sum(n_tok) OVER (
+                          PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS cum_before
+                 FROM dt)
+               SELECT doc_id, source, n_tok,
+                      CAST(floor(cum_before / $PackBudget.0) AS BIGINT) AS chunk_id,
+                      CAST(row_number() OVER (
+                        PARTITION BY source,
+                          CAST(floor(cum_before / $PackBudget.0) AS BIGINT)
+                        ORDER BY doc_id) AS INT) AS pos_in_chunk
+               FROM cb"""),
+      s"LLM sequence packing: concat-and-chunk into $PackBudget-token chunks per shard"),
+
+    // Fuzzy dictionary match: every part name against the small canonical
+    // name list, blocked on the noun token. The dictionary broadcasts, so
+    // the corpus side streams with no shuffle — the scalable shape for
+    // canonicalizing noisy labels against a reference list.
+    Q("q_join_fuzzy",
+      (s, d) => {
+        val parts = t(s, d, "part")
+        FuzzyJoin.dictionaryMatch(
+          parts, "p_partkey", "p_name",
+          parts.select(col("p_name")).distinct(), "p_name",
+          nm => coalesce(split(nm, " ").getItem(1), lit("")), FuzzyMaxDist)
+      },
+      Some(s"""WITH dict AS (SELECT DISTINCT p_name AS canon,
+                               split_part(p_name, ' ', 2) AS blk
+                             FROM part)
+               SELECT p.p_partkey AS k, p.p_name AS name, d.canon,
+                      CAST(levenshtein(p.p_name, d.canon) AS INT) AS dist
+               FROM part p JOIN dict d
+                 ON split_part(p.p_name, ' ', 2) = d.blk
+               WHERE levenshtein(p.p_name, d.canon) <= $FuzzyMaxDist"""),
+      "fuzzy dictionary match: broadcast canonical names, block on noun, verify by edit distance"),
+
+    // Fixed-point PageRank over the bipartite order<->part purchase graph
+    // (order node = 2k, part node = 2k+1, both edge directions). 10
+    // iterations of exact int64 arithmetic — bit-identical to the oracle's
+    // unrolled recurrence at any parallelism.
+    Q("q_graph_pagerank",
+      (s, d) => {
+        val b = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.ranks(e, PrIters)
+          .select(col("id").as("node_id"), col("r").as("r_fp"))
+      },
+      Some(s"""WITH ${duckPageRankCtes(PrIters)}
+               SELECT id AS node_id, r AS r_fp FROM r$PrIters"""),
+      "fixed-point PageRank over the order-part graph (exact int64 recurrence)"))
+}

@@ -22,7 +22,7 @@ object LlmQueries {
   // ---------- DuckDB SQL fragments mirroring TextFunctions ----------
 
   /** tokens: whitespace split, empties dropped. */
-  private def duckTokens(e: String): String =
+  private[queries] def duckTokens(e: String): String =
     s"list_filter(string_split_regex($e, '\\s+'), t -> t <> '')"
 
   /** word n-gram shingles over a tokens fragment (mirrors

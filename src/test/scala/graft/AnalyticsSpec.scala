@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Funnel, Packing, PageRank}
+
+/** Unit-level semantics for the analytics operators on hand-computable
+  * inputs (their sf-data behavior is oracle-checked via the q_ entries).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel requires each step strictly after the previous one") {
+    // user 1: view@10 click@20 purchase@30 — full depth
+    // user 2: click@5 view@10 (click BEFORE first view must not count),
+    //         then no later click — funnel stops at view
+    // user 3: view@10 click@15 purchase@12 (purchase before click) — depth 2
+    // user 4: no view at all — absent from the result
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 10L), (3L, "click", 15L), (3L, "purchase", 12L),
+      (4L, "click", 7L), (4L, "purchase", 9L)
+    ).toDF("user_id", "event_type", "ts")
+    val f = Funnel.firstCompletions(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(f.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(f(0) == Row(1L, 10L, 20L, 30L))
+    assert(f(1) == Row(2L, 10L, null, null))
+    assert(f(2) == Row(3L, 10L, 15L, null))
+  }
+
+  test("packing starts a new chunk when the running total crosses the budget") {
+    val docs = Seq(
+      ("s", 1L, 300), ("s", 2L, 300), ("s", 3L, 500), ("s", 4L, 10),
+      ("t", 5L, 600) // over-budget single doc still lands in its own chunk
+    ).toDF("source", "doc_id", "n")
+    val out = Packing.chunkAssign(docs, "source", "doc_id", col("n"), 512)
+      .select("doc_id", "chunk_id", "pos_in_chunk")
+      .orderBy("doc_id").collect()
+    // cum_before: 0, 300, 600, 1100 → chunks 0, 0, 1, 2
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 0L, 1), (2L, 0L, 2), (3L, 1L, 1), (4L, 2L, 1), (5L, 0L, 1)))
+  }
+
+  test("pagerank: symmetric 2-cycle splits mass evenly; star centre outranks leaves") {
+    // path a<->b: perfectly symmetric, ranks equal
+    val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r2 = PageRank.ranks(two, 5).orderBy("id").collect()
+    assert(r2.length == 2 && r2(0).getLong(1) == r2(1).getLong(1))
+    // star 0<->{1,2,3}: centre collects 3 leaves' full mass each round
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+      .toDF("src", "dst")
+    val rs = PageRank.ranks(star, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rs(0L) > rs(1L) && rs(1L) == rs(2L) && rs(2L) == rs(3L))
+    // fixed-point mass is conserved up to truncation loss (only downward)
+    val total = rs.values.sum
+    assert(total <= PageRank.Scale && total > PageRank.Scale * 97 / 100,
+      s"mass $total vs ${PageRank.Scale}")
+  }
+
+  test("pagerank caches are released once the consuming action completes") {
+    val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    PageRank.ranks(two, 3).write.format("noop").mode("overwrite").save()
+    // autoRelease drops the final round's persist asynchronously
+    val deadline = System.nanoTime + 10e9.toLong
+    var leaked = spark.sparkContext.getPersistentRDDs.size
+    while (leaked > 0 && System.nanoTime < deadline) {
+      Thread.sleep(200)
+      leaked = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(leaked == 0, s"$leaked cached RDDs still registered")
+  }
+}

@@ -60,6 +60,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("broadcastexchange"), p)
   }
 
+  test("q_anomaly_zscore joins broadcast stats — no window, no extra shuffle of the data") {
+    val p = plan("q_anomaly_zscore").toLowerCase
+    assert(p.contains("broadcastexchange"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q_join_fuzzy broadcasts the dictionary — corpus side never shuffles") {
+    val p = plan("q_join_fuzzy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_pack_chunks windows only per shard — no global sort") {
+    val p = plan("q_pack_chunks").toLowerCase
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert(!p.contains("windowspecdefinition()"), p)
+    assert(!p.contains("singlepartition"), p)
+  }
+
+  test("q_events_funnel is pure hash aggregates + joins — no windows, no sorts-all") {
+    val p = plan("q_events_funnel").toLowerCase
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("singlepartition"), p)
+    assert(p.contains("partial_min"), p) // map-side combined first-completion times
+  }
+
   test("minhash caches are released once the consuming action completes") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
     df.write.format("noop").mode("overwrite").save()
