@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (algebraic) aggregate maintenance: keep a materialized
+  * group-by up to date under appended batches by merging PARTIAL states,
+  * never rescanning the base. This is the batch generalization of the
+  * reference's running keyed state (count+value carried across records,
+  * /root/reference/v1/src/main/java/Stream/Streamer.java:264-282): the
+  * state IS the partial aggregate, and a refresh is `merge(state, agg(delta))`.
+  *
+  * Scale: the refresh costs O(|delta| + |groups|) — the base table is
+  * never touched. Works for any commutative-monoid aggregate (count, sum,
+  * min, max, and anything derived from them at read time: avg = sum/n).
+  * The merge itself is a union of partial rows + one map-side-combinable
+  * re-aggregation — deliberately NOT a join, so late partials / multiple
+  * deltas batch into a single shuffle of O(groups) rows per input.
+  */
+object Incremental {
+
+  /** Merge partial-aggregate tables (same schema: `keys` + summable value
+    * columns) by summing every non-key column per group. min/max partials
+    * merge the same way via [[mergeWith]]. */
+  def mergePartials(partials: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    mergeWith(partials, keys, sum)
+
+  /** General monoid merge: `combine` is applied to each non-key column
+    * (sum for count/sum partials, min for min partials, ...). */
+  def mergeWith(partials: Seq[DataFrame], keys: Seq[String],
+                combine: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    require(partials.nonEmpty, "nothing to merge")
+    val unioned = partials.reduce(_.unionByName(_))
+    val valueCols = unioned.columns.filterNot(keys.contains)
+    unioned.groupBy(keys.map(col): _*)
+      .agg(combine(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => combine(col(c)).as(c)): _*)
+  }
+}

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Anomaly, Funnel, FuzzyJoin, GapFill, Packing, PageRank}
+import graft.operators.{Anomaly, Funnel, FuzzyJoin, GapFill, Incremental,
+  Packing, PageRank, Triangles}
 
 /** Event-pipeline and graph analytics: ordered funnels, time-range rolling
   * windows, exact-integer z-score outliers, calendar gap-fill, LLM sequence
@@ -248,5 +249,56 @@ object AnalyticsQueries {
       },
       Some(s"""WITH ${duckPageRankCtes(PrIters)}
                SELECT id AS node_id, r AS r_fp FROM r$PrIters"""),
-      "fixed-point PageRank over the order-part graph (exact int64 recurrence)"))
+      "fixed-point PageRank over the order-part graph (exact int64 recurrence)"),
+
+    // Per-part triangle counts on the co-purchase graph (parts sharing an
+    // order). Spark side runs the degree-ordered orientation (out-degree
+    // ≤ O(√m), hub-skew-proof); the oracle's naive id-ordered 3-way join
+    // must produce the identical triangle set — orientation changes the
+    // plan, never the result.
+    Q("q_graph_triangles",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        Triangles.perNodeCounts(e)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                          FROM lineitem),
+              e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+              tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
+                      FROM e ab
+                      JOIN e bc ON ab.v = bc.u
+                      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+              SELECT node, count(*) AS n_tri
+              FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+              GROUP BY node"""),
+      "per-node triangle counts, degree-ordered wedge join (co-purchase graph)"),
+
+    // Materialized-view maintenance: the grouped aggregate refreshed by
+    // merging PARTIAL states (base partial + delta partial), never
+    // rescanning the base — refresh is O(delta + groups). The oracle is
+    // the full recompute the merge must equal.
+    Q("q_agg_incremental",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def partial(df: DataFrame) = df
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_cents"))
+        Incremental.mergePartials(
+          Seq(partial(li.filter(col("l_orderkey") % 10 =!= 0)),
+            partial(li.filter(col("l_orderkey") % 10 === 0))),
+          Seq("l_returnflag", "l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                     sum(l_quantity) AS sum_qty,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) AS sum_cents
+              FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+      "incremental aggregate maintenance: merge of partial states = full recompute"))
 }

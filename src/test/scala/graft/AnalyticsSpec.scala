@@ -61,6 +61,39 @@ class AnalyticsSpec extends SparkSpec {
       s"mass $total vs ${PageRank.Scale}")
   }
 
+  test("triangles: K4 gives every node 3 triangles; pendant node none") {
+    // complete graph on {1,2,3,4} (4 triangles, each node on 3)
+    // plus pendant 5-1 (no triangle), duplicate + reversed edges tolerated
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 3L), // duplicates/reversals must not double-count
+      (5L, 1L)
+    ).toDF("u", "v")
+    val out = graft.operators.Triangles.perNodeCounts(edges)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("incremental partial merge equals the direct aggregate") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("a", 4L), ("b", 5L))
+      .toDF("k", "x")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val merged = graft.operators.Incremental.mergePartials(
+      Seq(partial(rows.filter($"x" <= 2)), partial(rows.filter($"x" > 2))),
+      Seq("k")).orderBy("k").collect()
+    val direct = partial(rows).orderBy("k").collect()
+    assert(merged.toSeq == direct.toSeq)
+    // min-partials merge with the min monoid
+    val mins = graft.operators.Incremental.mergeWith(
+      Seq(rows.filter($"x" <= 2).groupBy("k").agg(min("x").as("mn")),
+        rows.filter($"x" > 2).groupBy("k").agg(min("x").as("mn"))),
+      Seq("k"), min).orderBy("k").collect()
+    assert(mins.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 3L)))
+  }
+
   test("pagerank caches are released once the consuming action completes") {
     val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     PageRank.ranks(two, 3).write.format("noop").mode("overwrite").save()

@@ -87,6 +87,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_min"), p) // map-side combined first-completion times
   }
 
+  test("q_graph_triangles is pure equi-joins — no nested-loop, no cartesian") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_agg_incremental merges partials without any join") {
+    val p = plan("q_agg_incremental")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("minhash caches are released once the consuming action completes") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
     df.write.format("noop").mode("overwrite").save()
