@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over embeddings in int64 FIXED-POINT arithmetic — the
+  * clustering primitive behind IVF cell seeding and corpus curation
+  * (topic-balanced sampling). Like [[PageRank]], every arithmetic step is
+  * exact integer math (micro-unit coordinates, squared L2 distances,
+  * truncating centroid division), so assignments and centroids are
+  * independent of partitioning and reduction order, and an oracle can
+  * replay the identical recurrence bit-for-bit — float k-means cannot be
+  * oracle-checked this way.
+  *
+  * Distribution shape (the same one Spark MLlib's KMeans uses): per-row
+  * work (distance to K centroids, argmin) runs distributed with centroids
+  * inlined as literals; the new centroids — O(K·dim) longs, independent of
+  * corpus size — are collected and re-inlined each iteration. That driver
+  * round-trip is bounded by the model size, not the data. Argmin ties
+  * break to the lowest centroid id via the packed `dist*K + cid` integer
+  * key (min over candidates, no struct comparison semantics to align
+  * between engines). Empty clusters drop out (both engines recompute
+  * centroids from assignment rows only).
+  */
+object KMeans {
+
+  /** Micro-units per 1.0 of embedding coordinate. */
+  val Scale = 1000000L
+
+  /** Half-up fixed-point conversion, floor-based so both engines agree on
+    * ties (see VectorFunctions.quantize note on round()). */
+  def toFixedPoint(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * Scale + 0.5))
+
+  private def sqDistKey(fp: Column, centroid: Seq[Long], cid: Int, k: Int): Column = {
+    val c = typedLit(centroid)
+    val d = aggregate(zip_with(fp, c, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, x) => s + x)
+    d * k + cid
+  }
+
+  /** `iters` Lloyd rounds from the seed centroids; returns (vec_id, cid,
+    * dist_fp) for every vector. `vecs` columns: (vec_id, fp: array<long>).
+    * Seeds: `(cid, coords)` — callers pick deterministic ids or a sample. */
+  def assign(vecs: DataFrame, seeds: Seq[(Int, Seq[Long])], iters: Int): DataFrame = {
+    val k = seeds.size
+    var centroids = seeds
+    for (_ <- 1 to iters) {
+      val key = least(centroids.map { case (cid, c) =>
+        sqDistKey(col("fp"), c, cid, k) }: _*)
+      val assigned = vecs.select(col("vec_id"), col("fp"),
+        (key % k).cast("int").as("cid"))
+      // new centroid = per-dim truncating mean of the assigned vectors;
+      // O(K·dim) result, exact integer sums underneath (`div` truncates
+      // toward zero, same as DuckDB's `//` — NOT floor, which differs on
+      // negative coordinates)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("fp")).as(Seq("d", "v")))
+        .groupBy("cid", "d")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("cid"), col("d"), expr("sv div n").as("cv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+          s => s.getField("cv")).as("coords"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
+        .toSeq.sortBy(_._1)
+    }
+    val key = least(centroids.map { case (cid, c) =>
+      sqDistKey(col("fp"), c, cid, k) }: _*)
+    vecs.withColumn("key", key)
+      .select(col("vec_id"), (col("key") % k).cast("int").as("cid"),
+        expr(s"key div $k").as("dist_fp"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Anomaly, Funnel, FuzzyJoin, GapFill, Incremental,
-  Packing, PageRank, Triangles}
+  KMeans, Packing, PageRank, Triangles}
 
 /** Event-pipeline and graph analytics: ordered funnels, time-range rolling
   * windows, exact-integer z-score outliers, calendar gap-fill, LLM sequence
@@ -51,6 +51,41 @@ object AnalyticsQueries {
        |r0 AS (SELECT id, ${PageRank.Scale} // nn.nn AS r
        |       FROM nodes CROSS JOIN nn),
        |$steps""".stripMargin
+  }
+
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmDims = 64
+
+  /** The fixed-point Lloyd recurrence unrolled: a_i = assignment from
+    * c_{i-1}, c_i = truncating per-dim mean of a_i; final output is the
+    * assignment from c_iters (mirrors [[KMeans.assign]] exactly — integer
+    * ops only, so bit-exact). */
+  private def duckKmeansCtes(): String = {
+    def sqdist = (1 to KmDims)
+      .map(j => s"(f.fp[$j] - c.coords[$j]) * (f.fp[$j] - c.coords[$j])")
+      .mkString("(", " + ", ")")
+    def aCte(i: Int) =
+      s"""a$i AS (SELECT f.vec_id, min($sqdist * $KmK + c.cid) AS key
+         |        FROM fp f CROSS JOIN c${i - 1} c GROUP BY f.vec_id)""".stripMargin
+    val steps = (1 to KmIters).map { i =>
+      s"""${aCte(i)},
+         |s$i AS (SELECT CAST(a.key % $KmK AS INT) AS cid, t.j,
+         |          CAST(sum(f.fp[t.j]) AS BIGINT) AS sv, count(*) AS n
+         |        FROM a$i a JOIN fp f USING (vec_id)
+         |        CROSS JOIN range(1, ${KmDims + 1}) t(j)
+         |        GROUP BY 1, 2),
+         |c$i AS (SELECT cid, list(sv // n ORDER BY j) AS coords
+         |        FROM s$i GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""fp AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.Scale} + 0.5)
+       |              AS BIGINT)) AS fp
+       |       FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, fp AS coords FROM fp
+       |       WHERE vec_id < $KmK),
+       |$steps,
+       |${aCte(KmIters + 1)}""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -300,5 +335,25 @@ object AnalyticsQueries {
                      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                           AS BIGINT) AS sum_cents
               FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
-      "incremental aggregate maintenance: merge of partial states = full recompute"))
+      "incremental aggregate maintenance: merge of partial states = full recompute"),
+
+    // Lloyd's k-means in int64 fixed point (seeds = first K vec_ids, 3
+    // rounds). Per-row distance/argmin work is distributed with centroids
+    // inlined as literals; only the O(K·dim) centroid table round-trips
+    // per iteration (the MLlib distribution shape). Exact integer math =
+    // bit-exact oracle.
+    Q("q_cluster_kmeans",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings").select(col("vec_id"),
+          KMeans.toFixedPoint(col("embedding")).as("fp"))
+        val seeds = vecs.filter(col("vec_id") < KmK).orderBy("vec_id")
+          .collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toSeq)).toSeq
+        KMeans.assign(Tables.ensureParallelism(vecs), seeds, KmIters)
+      },
+      Some(s"""WITH ${duckKmeansCtes()}
+               SELECT vec_id, CAST(key % $KmK AS INT) AS cid,
+                      key // $KmK AS dist_fp
+               FROM a${KmIters + 1}"""),
+      "fixed-point Lloyd k-means over embeddings (exact int64 recurrence, MLlib-shaped)"))
 }

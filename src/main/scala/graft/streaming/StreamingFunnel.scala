@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Streaming twin of [[graft.operators.Funnel]]: per-user ordered-funnel
+  * progress maintained incrementally in keyed state, emitting each (user,
+  * step) FIRST completion exactly once, the microbatch it happens —
+  * append-mode-safe (no retractions), so it composes with any sink,
+  * including the exactly-once [[TxnSink]] recipe.
+  *
+  * State per user: the completion time of each step (set-once, monotone).
+  * An event completes step i iff step i is unset, step i-1 is set, and the
+  * event is STRICTLY after step i-1 — identical to the batch operator's
+  * staged-min semantics, evaluated greedily, which is optimal here because
+  * an earlier step-(i-1) time only ever admits more step-i candidates.
+  *
+  * Ordering contract (same as the reference's per-key FIFO, SURVEY §1.3.1):
+  * rows are sorted by event time within each keyed microbatch; ACROSS
+  * microbatches the operator assumes per-key event-time-ordered arrival —
+  * compose with [[OrderedReplay]] when the transport can reorder. State is
+  * O(steps) longs per user, so 10⁹ users ≈ tens of GB across the cluster's
+  * RocksDB stores — sized like the reference's compacted state topics.
+  */
+object StreamingFunnel {
+
+  case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+  case class FunnelHit(user_id: Long, step: Int, ts_us: Long)
+  case class FunnelState(times: Array[Long])
+
+  class FunnelProcessor(steps: Array[String])
+      extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
+
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+                                 timerValues: TimerValues): Iterator[FunnelHit] = {
+      val times = Option(st.get()).map(_.times)
+        .getOrElse(Array.fill(steps.length)(-1L))
+      val hits = Array.newBuilder[FunnelHit]
+      rows.toArray.sortBy(_.ts_us).foreach { r =>
+        val i = steps.indexOf(r.event_type)
+        if (i >= 0 && times(i) < 0 &&
+            (i == 0 || (times(i - 1) >= 0 && r.ts_us > times(i - 1)))) {
+          times(i) = r.ts_us
+          hits += FunnelHit(key, i, r.ts_us)
+        }
+      }
+      st.update(FunnelState(times))
+      hits.result().iterator
+    }
+  }
+
+  /** Streaming funnel over (user_id, event_type, ts_us) records. Requires
+    * the RocksDB state store ([[KeyedStage.rocksConf]]). */
+  def hits(ds: Dataset[FunnelEvent], steps: Seq[String]): Dataset[FunnelHit] = {
+    implicit val outEnc = Encoders.product[FunnelHit]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor(steps.toArray),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -94,6 +94,26 @@ class AnalyticsSpec extends SparkSpec {
       Seq(("a", 1L), ("b", 3L)))
   }
 
+  test("kmeans converges to the obvious clusters on well-separated points") {
+    // two tight groups around (0,0) and (1000000,1000000) in fp units
+    val pts = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(1000000L, 1000000L)),
+      (2L, Seq(10L, -10L)), (3L, Seq(999990L, 1000010L)),
+      (4L, Seq(-10L, 10L)), (5L, Seq(1000010L, 999990L)))
+    val vecs = pts.toDF("vec_id", "fp")
+    val out = graft.operators.KMeans.assign(vecs,
+        Seq(0 -> Seq(0L, 0L), 1 -> Seq(1000000L, 1000000L)), 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(0L, 2L, 4L).forall(out(_) == 0))
+    assert(Seq(1L, 3L, 5L).forall(out(_) == 1))
+    // centroid of cluster 0 after one round is the truncating mean (0,0):
+    // its members' final dist_fp are exact integer squared distances
+    val d = graft.operators.KMeans.assign(vecs,
+        Seq(0 -> Seq(0L, 0L), 1 -> Seq(1000000L, 1000000L)), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(d(2L) == 200L) // (10)^2 + (-10)^2 from centroid (0,0)
+  }
+
   test("pagerank caches are released once the consuming action completes") {
     val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     PageRank.ranks(two, 3).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Funnel
+
+/** The streaming funnel replayed over the sf0.01 events must emit exactly
+  * the batch operator's first-completion set (unpivoted to long form).
+  * Events are written time-sorted into a single file so the availableNow
+  * replay honors the operator's in-order arrival contract (production
+  * composes with OrderedReplay instead).
+  */
+class StreamingFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  test("streaming funnel hits ≡ batch funnel first completions") {
+    val events = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_eq").toString
+    events.orderBy("ts_us").coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val src = spark.readStream.schema(events.schema).parquet(dir)
+      .as[StreamingFunnel.FunnelEvent]
+    val q = StreamingFunnel.hits(src, steps).toDF()
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("funnel_hits")
+
+    val batch = Funnel.firstCompletions(
+        spark.read.parquet(dir), "user_id", "event_type", "ts_us", steps)
+      .select(col("user_id"),
+        explode(arrays_zip(
+          array((0 until steps.length).map(lit): _*),
+          array(col("t0"), col("t1"), col("t2")))).as("z"))
+      .select(col("user_id"), col("z.0").as("step"),
+        col("z.1").cast("long").as("ts_us"))
+      .filter(col("ts_us").isNotNull)
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
