@@ -24,7 +24,7 @@ object Bench {
     "q_text_stats", "q_media_features",
     "q_join_range_binned", "q_embed_quantize", "q_pipeline_llm",
     "q_dedup_cc", "q_text_tfidf", "q_merge_upsert",
-    "q_events_funnel", "q_anomaly_zscore", "q_pack_chunks")
+    "q_events_funnel", "q_anomaly_zscore", "q_pack_chunks", "q_star_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -268,5 +268,64 @@ object ExtraQueries {
                       ORDER BY pri DESC, ver_ts DESC, tb DESC) AS rn
                     FROM allr)
               WHERE rn = 1"""),
-      "CDC latest-wins upsert (base ∪ delta, max_by over a total version order)"))
+      "CDC latest-wins upsert (base ∪ delta, max_by over a total version order)"),
+
+    // Binned (histogram) aggregation: fact rows bucketed by a computed bin
+    // id — one map-side-combinable aggregate, O(bins) shuffle. floor-based
+    // binning (both engines define floor identically; width_bucket's edge
+    // semantics differ between engines).
+    Q("q_agg_histogram",
+      (s, d) => t(s, d, "orders")
+        .select(floor(col("o_totalprice") / 50000).cast("int").as("bin"),
+          col("o_totalprice"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("sum_cents"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi")),
+      Some("""SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin,
+                     count(*) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS sum_cents,
+                     min(o_totalprice) AS lo, max(o_totalprice) AS hi
+              FROM orders GROUP BY 1"""),
+      "histogram: binned count/sum/min/max over order totals"),
+
+    // Star-schema join (TPC-H Q5 flavor): fact lineitem through orders to
+    // the customer→nation→region dimension chain, revenue per nation over
+    // a date slice. Dims broadcast; the only real shuffles are the two
+    // fact-side equi-joins + the final O(nations) aggregate. Revenue in
+    // exact fixed point: cents × (100 - discount%) = 1e-4 dollar units.
+    Q("q_star_join",
+      (s, d) => {
+        val rev = (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region"))
+            .filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(rev).as("rev_c4"), count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                              (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS rev_c4,
+                     count(*) AS n_items
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY n_name"""),
+      "star-schema revenue rollup: fact through broadcast dimension chain"))
 }

@@ -87,6 +87,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_min"), p) // map-side combined first-completion times
   }
 
+  test("q_star_join broadcasts the dimension chain and pushes the date filter") {
+    val p = plan("q_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the orders date slice must reach the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
   test("q_graph_triangles is pure equi-joins — no nested-loop, no cartesian") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
