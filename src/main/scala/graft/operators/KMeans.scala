@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over embeddings in int64 FIXED-POINT arithmetic — the
@@ -13,14 +13,15 @@ import org.apache.spark.sql.functions._
   * oracle-checked this way.
   *
   * Distribution shape (the same one Spark MLlib's KMeans uses): per-row
-  * work (distance to K centroids, argmin) runs distributed with centroids
-  * inlined as literals; the new centroids — O(K·dim) longs, independent of
-  * corpus size — are collected and re-inlined each iteration. That driver
-  * round-trip is bounded by the model size, not the data. Argmin ties
-  * break to the lowest centroid id via the packed `dist*K + cid` integer
-  * key (min over candidates, no struct comparison semantics to align
-  * between engines). Empty clusters drop out (both engines recompute
-  * centroids from assignment rows only).
+  * work — K fixed-point distances + argmin — runs distributed against the
+  * BROADCAST centroid table, combining map-side to one row per vector
+  * before the shuffle; the new centroids — O(K·dim) longs, independent of
+  * corpus size — are collected and re-broadcast each iteration. That
+  * driver round-trip is bounded by the model size, not the data. Argmin
+  * ties break to the lowest centroid id via the packed `dist*K + cid`
+  * integer key (min over candidates, no struct comparison semantics to
+  * align between engines). Empty clusters drop out (both engines
+  * recompute centroids from assignment rows only).
   */
 object KMeans {
 
@@ -32,29 +33,37 @@ object KMeans {
   def toFixedPoint(v: Column): Column =
     transform(v, x => floor(x.cast("double") * Scale + 0.5))
 
-  private def sqDistKey(fp: Column, centroid: Seq[Long], cid: Int, k: Int): Column = {
-    val c = typedLit(centroid)
-    val d = aggregate(zip_with(fp, c, (x, y) => (x - y) * (x - y)),
-      lit(0L), (s, x) => s + x)
-    d * k + cid
+  /** Seed/centroid list as a broadcastable table (cid, coords). */
+  def centroidsDF(spark: SparkSession, cs: Seq[(Int, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cs.toDF("cid", "coords")
   }
 
-  /** `iters` Lloyd rounds from the seed centroids; returns (vec_id, cid,
-    * dist_fp) for every vector. `vecs` columns: (vec_id, fp: array<long>).
-    * Seeds: `(cid, coords)` — callers pick deterministic ids or a sample. */
-  def assign(vecs: DataFrame, seeds: Seq[(Int, Seq[Long])], iters: Int): DataFrame = {
+  /** Nearest centroid per vector by exact fixed-point squared L2:
+    * (vec_id, cid, dist_fp). The K-way scoring join is against a broadcast
+    * table; the argmin is a map-side-combinable `min` over the packed
+    * `dist*K + cid` key, so the shuffle carries one row per vector. */
+  def assignByCell(vecs: DataFrame, centroids: DataFrame, k: Int): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("key",
+        aggregate(zip_with(col("fp"), col("coords"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (s, x) => s + x) * k + col("cid"))
+      .groupBy("vec_id").agg(min("key").as("key"))
+      .select(col("vec_id"), (col("key") % k).cast("int").as("cid"),
+        expr(s"key div $k").as("dist_fp"))
+
+  /** `iters` Lloyd rounds from the seeds; returns the refined centroids.
+    * Each round: distributed assignment, then the per-dim truncating mean
+    * (`div` truncates toward zero, same as DuckDB's `//` — NOT floor,
+    * which differs on negative coordinates), collected as the next model. */
+  def fit(vecs: DataFrame, seeds: Seq[(Int, Seq[Long])],
+          iters: Int): Seq[(Int, Seq[Long])] = {
     val k = seeds.size
     var centroids = seeds
     for (_ <- 1 to iters) {
-      val key = least(centroids.map { case (cid, c) =>
-        sqDistKey(col("fp"), c, cid, k) }: _*)
-      val assigned = vecs.select(col("vec_id"), col("fp"),
-        (key % k).cast("int").as("cid"))
-      // new centroid = per-dim truncating mean of the assigned vectors;
-      // O(K·dim) result, exact integer sums underneath (`div` truncates
-      // toward zero, same as DuckDB's `//` — NOT floor, which differs on
-      // negative coordinates)
-      centroids = assigned
+      val assigned = assignByCell(vecs,
+        centroidsDF(vecs.sparkSession, centroids), k)
+      centroids = assigned.join(vecs, "vec_id")
         .select(col("cid"), posexplode(col("fp")).as(Seq("d", "v")))
         .groupBy("cid", "d")
         .agg(sum("v").as("sv"), count(lit(1)).as("n"))
@@ -66,10 +75,12 @@ object KMeans {
         .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
         .toSeq.sortBy(_._1)
     }
-    val key = least(centroids.map { case (cid, c) =>
-      sqDistKey(col("fp"), c, cid, k) }: _*)
-    vecs.withColumn("key", key)
-      .select(col("vec_id"), (col("key") % k).cast("int").as("cid"),
-        expr(s"key div $k").as("dist_fp"))
+    centroids
   }
+
+  /** Fit then assign: (vec_id, cid, dist_fp) for every vector. */
+  def assign(vecs: DataFrame, seeds: Seq[(Int, Seq[Long])],
+             iters: Int): DataFrame =
+    assignByCell(vecs, centroidsDF(vecs.sparkSession, fit(vecs, seeds, iters)),
+      seeds.size)
 }

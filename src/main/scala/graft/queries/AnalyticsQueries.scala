@@ -56,21 +56,24 @@ object AnalyticsQueries {
   private val KmK = 8
   private val KmIters = 3
   private val KmDims = 64
+  private val IvfKmIters = 2
 
   /** The fixed-point Lloyd recurrence unrolled: a_i = assignment from
-    * c_{i-1}, c_i = truncating per-dim mean of a_i; final output is the
-    * assignment from c_iters (mirrors [[KMeans.assign]] exactly — integer
-    * ops only, so bit-exact). */
-  private def duckKmeansCtes(): String = {
+    * c_{i-1}, c_i = truncating per-dim mean of a_i; the last CTE
+    * `a{iters+1}` is the assignment from c_iters (mirrors
+    * [[KMeans.assign]] exactly — integer ops only, so bit-exact).
+    * `c0Sql` supplies the seed CTE body (cid, coords); `kExpr` the cell
+    * count (a literal or a scalar subquery). */
+  private def duckKmeansChain(c0Sql: String, kExpr: String, iters: Int): String = {
     def sqdist = (1 to KmDims)
       .map(j => s"(f.fp[$j] - c.coords[$j]) * (f.fp[$j] - c.coords[$j])")
       .mkString("(", " + ", ")")
     def aCte(i: Int) =
-      s"""a$i AS (SELECT f.vec_id, min($sqdist * $KmK + c.cid) AS key
+      s"""a$i AS (SELECT f.vec_id, min($sqdist * $kExpr + c.cid) AS key
          |        FROM fp f CROSS JOIN c${i - 1} c GROUP BY f.vec_id)""".stripMargin
-    val steps = (1 to KmIters).map { i =>
+    val steps = (1 to iters).map { i =>
       s"""${aCte(i)},
-         |s$i AS (SELECT CAST(a.key % $KmK AS INT) AS cid, t.j,
+         |s$i AS (SELECT CAST(a.key % $kExpr AS INT) AS cid, t.j,
          |          CAST(sum(f.fp[t.j]) AS BIGINT) AS sv, count(*) AS n
          |        FROM a$i a JOIN fp f USING (vec_id)
          |        CROSS JOIN range(1, ${KmDims + 1}) t(j)
@@ -82,11 +85,14 @@ object AnalyticsQueries {
        |         x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.Scale} + 0.5)
        |              AS BIGINT)) AS fp
        |       FROM embeddings),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, fp AS coords FROM fp
-       |       WHERE vec_id < $KmK),
+       |c0 AS ($c0Sql),
        |$steps,
-       |${aCte(KmIters + 1)}""".stripMargin
+       |${aCte(iters + 1)}""".stripMargin
   }
+
+  private def duckKmeansCtes(): String = duckKmeansChain(
+    s"SELECT CAST(vec_id AS INT) AS cid, fp AS coords FROM fp WHERE vec_id < $KmK",
+    KmK.toString, KmIters)
 
   val all: Seq[Q] = Seq(
 
@@ -355,5 +361,51 @@ object AnalyticsQueries {
                SELECT vec_id, CAST(key % $KmK AS INT) AS cid,
                       key // $KmK AS dist_fp
                FROM a${KmIters + 1}"""),
-      "fixed-point Lloyd k-means over embeddings (exact int64 recurrence, MLlib-shaped)"))
+      "fixed-point Lloyd k-means over embeddings (exact int64 recurrence, MLlib-shaped)"),
+
+    // IVF ANN with kmeans-REFINED cells: the hash-sample seeds are
+    // improved by 2 Lloyd rounds before routing, so cells track the data
+    // distribution (the recall upgrade over frozen sample seeds). Routing
+    // = exact fixed-point L2 (bit-reproducible); scoring = float cosine
+    // like every similarity variant.
+    Q("q_sim_topk_ivf_km",
+      (s, d) => graft.operators.Similarity.ivfKmeansTopK(
+        t(s, d, "embeddings"), col("vec_id") < LlmQueries.QueryVecs,
+        LlmQueries.TopK, kmIters = IvfKmIters),
+      Some {
+        val nc = "(SELECT nc FROM params)"
+        val c0 =
+          s"""SELECT CAST(s.rn - 1 AS INT) AS cid, f.fp AS coords
+             |FROM (SELECT vec_id, row_number() OVER (ORDER BY
+             |        ${graft.functions.PortableHash.duckHashMod("vec_id::VARCHAR")},
+             |        vec_id) AS rn
+             |      FROM embeddings) s
+             |JOIN fp f USING (vec_id)
+             |WHERE s.rn <= $nc""".stripMargin
+        def dp(a: String, b: String) =
+          s"list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[])"
+        s"""WITH params AS (
+           |  SELECT ${graft.operators.Similarity.duckCellsFor("cnt")} AS nc
+           |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+           |${duckKmeansChain(c0, nc, IvfKmIters)},
+           |cells AS (SELECT a.vec_id, CAST(a.key % $nc AS INT) AS cid,
+           |                 e.embedding
+           |          FROM a${IvfKmIters + 1} a JOIN embeddings e USING (vec_id)),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(${dp("q", "q")}) * sqrt(${dp("c", "c")}) = 0
+           |         THEN 0.0
+           |         ELSE ${dp("q", "c")} /
+           |              (sqrt(${dp("q", "q")}) * sqrt(${dp("c", "c")})) END AS score
+           |  FROM cells q JOIN cells c
+           |    ON q.cid = c.cid AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < ${LlmQueries.QueryVecs})
+           |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+           |       round(score, 6) AS score6
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+           |      FROM scored)
+           |WHERE rn <= ${LlmQueries.TopK}""".stripMargin
+      },
+      "IVF top-k with kmeans-refined cells (fixed-point routing, cosine scoring)"))
 }

@@ -327,5 +327,27 @@ object ExtraQueries {
                 AND o_orderdate >= TIMESTAMP '1996-01-01'
                 AND o_orderdate < TIMESTAMP '1998-01-01'
               GROUP BY n_name"""),
-      "star-schema revenue rollup: fact through broadcast dimension chain"))
+      "star-schema revenue rollup: fact through broadcast dimension chain"),
+
+    // Hive-style partitioned layout: write events partitioned by day, read
+    // one day back. The day predicate is satisfied by PARTITION PRUNING
+    // (directory listing), so the scan never opens the other 29 days'
+    // files — the layout primitive behind every date-partitioned 100 TB
+    // table. Plan-asserted in PlanShapeSpec.
+    Q("q_scan_partitioned",
+      (s, d) => {
+        val cols = Seq("event_id", "user_id", "event_type", "value")
+        val path = s"${sys.props("java.io.tmpdir")}/graft_part_${new java.io.File(d).getName}_events"
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          t(s, d, "events")
+            .withColumn("day", date_format(col("ts").cast("date"), "yyyy-MM-dd"))
+            .write.mode("overwrite").partitionBy("day").parquet(path)
+        s.read.parquet(path)
+          .filter(col("day") === "2024-01-05")
+          .select(col("day").cast("string").as("day") +: cols.map(col): _*)
+      },
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                     event_id, user_id, event_type, value
+              FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'"""),
+      "partitioned write + partition-pruned scan (one day of a day-partitioned table)"))
 }

@@ -95,6 +95,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
   }
 
+  test("q_scan_partitioned prunes to the selected day at the source") {
+    val p = plan("q_scan_partitioned")
+    assert(p.contains("PartitionFilters"), p)
+    // the day predicate must appear as a partition filter, not a data filter
+    assert(p.split("PartitionFilters").last.contains("day"), p)
+  }
+
   test("q_graph_triangles is pure equi-joins — no nested-loop, no cartesian") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
