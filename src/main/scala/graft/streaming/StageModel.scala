@@ -43,7 +43,46 @@ case class PipelineSpec(
   def stateTopic(stage: Int, node: Int): String = s"__state_${id}_${stage}_$node"
 
   def orderedStages: Seq[StageSpec] = stages.sortBy(_.stage)
+
+  /** Topic provisioning plan, mirroring the reference compiler's
+    * `CreateTopics.sh` (`CreateBash.py:56-71`): one delete-policy data
+    * topic per stage at the pipeline's partition/replica counts
+    * (`CreateBash.py:25-35`), plus one COMPACTED single-partition state
+    * topic per (stage, partition) with the reference's aggressive
+    * compaction knobs (`CreateBash.py:38-50`) — log compaction is the
+    * reference's state store. The engine itself keeps state in the
+    * checkpoint state store and needs none of these; the plan exists so a
+    * deployment can provision the reference-compatible wire topics (data
+    * channels + changelog mirror, see StateChangelog). The END topic is
+    * deliberately absent, like the reference's (named but never created —
+    * SURVEY.md §1.3.4). */
+  def topicPlan: Seq[TopicSpec] = orderedStages.flatMap { st =>
+    TopicSpec(dataTopic(st.stage), partitions, replicas,
+      Map("cleanup.policy" -> "delete")) +:
+      (0 until partitions).map { p =>
+        TopicSpec(stateTopic(st.stage, p), 1, replicas,
+          Map("cleanup.policy" -> "compact",
+            "delete.retention.ms" -> "10", "flush.messages" -> "1"))
+      }
+  }
+
+  /** [[topicPlan]] rendered as a kafka-topics.sh script (bootstrap-server
+    * syntax — the modern form of the reference's zookeeper flags; same
+    * topics, same configs). */
+  def provisioningScript(bootstrap: String): String =
+    topicPlan.map { t =>
+      s"kafka-topics.sh --create --bootstrap-server $bootstrap" +
+        s" --replication-factor ${t.replicas} --partitions ${t.partitions}" +
+        s" --topic ${t.name}" +
+        t.configs.toSeq.sorted.map { case (k, v) => s" --config $k=$v" }.mkString
+    }.mkString("#!/usr/bin/env bash\n", "\n", "\n")
 }
+
+/** One topic the deployment must provision: the engine analogue of a
+  * `kafka-topics.sh --create` line in the reference's generated
+  * `CreateTopics.sh`. */
+case class TopicSpec(name: String, partitions: Int, replicas: Int,
+                     configs: Map[String, String])
 
 object PipelineSpec {
 

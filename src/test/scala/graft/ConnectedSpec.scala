@@ -36,6 +36,25 @@ class ConnectedSpec extends SparkSpec {
     assert(a(2L)._1 == 2L && a(3L)._1 == 3L)
   }
 
+  test("seeded random graph matches a local union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    // reference partition via union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find).values.map(_.toSet).toSet
+    val got = cc(edges).toSeq.groupBy(_._2._1).values
+      .map(_.map(_._1).toSet).toSet
+    assert(got == expected)
+  }
+
   test("empty edge list yields an empty result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")

@@ -61,6 +61,32 @@ class PipelineSpecSpec extends AnyFunSuite {
     assert(s.producerWaitMs == 7000)
   }
 
+  test("topic plan mirrors the reference's CreateTopics.sh shape") {
+    val s = PipelineSpec("77", partitions = 2, replicas = 3,
+      Seq(StageSpec(0, "adder"), StageSpec(1, "power")))
+    val plan = s.topicPlan
+    // per stage: 1 data topic + `partitions` state topics; no END topic
+    assert(plan.size == 2 * (1 + 2))
+    assert(!plan.exists(_.name.contains("END")))
+    val data = plan.filter(_.name.startsWith("__stage_"))
+    assert(data.map(_.name) == Seq("__stage_77_0", "__stage_77_1"))
+    assert(data.forall(t => t.partitions == 2 && t.replicas == 3 &&
+      t.configs == Map("cleanup.policy" -> "delete")))
+    // state topics are single-partition and compacted with the
+    // reference's aggressive compaction knobs (CreateBash.py:38-50)
+    val state = plan.filter(_.name.startsWith("__state_"))
+    assert(state.map(_.name).toSet ==
+      Set("__state_77_0_0", "__state_77_0_1", "__state_77_1_0", "__state_77_1_1"))
+    assert(state.forall(t => t.partitions == 1 && t.replicas == 3 &&
+      t.configs("cleanup.policy") == "compact" &&
+      t.configs("delete.retention.ms") == "10" &&
+      t.configs("flush.messages") == "1"))
+    val script = s.provisioningScript("broker:9092")
+    assert(script.startsWith("#!/usr/bin/env bash\n"))
+    assert(script.linesIterator.count(_.startsWith("kafka-topics.sh --create")) == 6)
+    assert(script.contains("--topic __state_77_1_0 --config cleanup.policy=compact"))
+  }
+
   test("XML with a gap in stages is rejected") {
     val xml =
       """<Stream id="9">
