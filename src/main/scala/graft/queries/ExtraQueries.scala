@@ -349,5 +349,59 @@ object ExtraQueries {
       Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                      event_id, user_id, event_type, value
               FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'"""),
-      "partitioned write + partition-pruned scan (one day of a day-partitioned table)"))
+      "partitioned write + partition-pruned scan (one day of a day-partitioned table)"),
+
+    // Ordered string aggregation (listagg): names are unique, so sorting
+    // the collected array gives the same deterministic order as the
+    // oracle's ORDER BY inside string_agg.
+    Q("q_agg_stringagg",
+      (s, d) => t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+          count(lit(1)).as("n")),
+      Some("""SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names,
+                     count(*) AS n
+              FROM customer GROUP BY c_nationkey"""),
+      "ordered string aggregation (deterministic listagg per group)"),
+
+    // Exact interpolated percentiles per group (both engines use linear
+    // interpolation at q·(n-1)). Exact percentile holds full group values:
+    // right for bounded groups; the sketch path (q_agg_approx_pct) is the
+    // 100 TB default.
+    Q("q_agg_median",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_mktsegment,
+                        round(percentile(c_acctbal, 0.5), 6) AS p50,
+                        round(percentile(c_acctbal, 0.9), 6) AS p90,
+                        count(*) AS n
+                 FROM customer GROUP BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment,
+                     round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+                     round(quantile_cont(c_acctbal, 0.9), 6) AS p90,
+                     count(*) AS n
+              FROM customer GROUP BY c_mktsegment"""),
+      "exact interpolated median/p90 per group"),
+
+    // Rolling DISTINCT count over an event-time window: how many distinct
+    // event types each user has produced so far. Spark spells it
+    // size(collect_set() OVER w) — set state is bounded by the type
+    // cardinality, so the window carries O(types) per row, not O(rows).
+    Q("q_win_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events").select(col("event_id"), col("user_id"),
+          size(collect_set(col("event_type")).over(w)).as("n_types_seen"))
+      },
+      Some("""SELECT event_id, user_id,
+                     CAST(count(DISTINCT event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS INT) AS n_types_seen
+              FROM events"""),
+      "rolling distinct-count window (collect_set over a per-key frame)"))
 }
