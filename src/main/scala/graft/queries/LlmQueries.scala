@@ -516,6 +516,68 @@ object LlmQueries {
                WHERE rn <= 5"""),
       "top-5 TF-IDF terms per document (tf reused for df — one token shuffle)"),
 
+    // Unigram language-model score: average negative log-likelihood of
+    // each document's tokens under the corpus unigram distribution — the
+    // classic cheap perplexity proxy for quality filtering. One token
+    // explode feeds both the corpus term counts and the per-doc average;
+    // the corpus total joins as a one-row broadcast.
+    Q("q_text_logprob",
+      (s, d) => {
+        val toks = graft.core.CacheScope.autoRelease(
+          Tables.ensureParallelism(
+            t(s, d, "documents").select(col("doc_id"), col("text")))
+            .select(col("doc_id"),
+              explode(TextFunctions.tokens(col("text"))).as("term")))
+        val tf = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+        val total = toks.agg(count(lit(1)).as("ntok"))
+        toks.join(tf, "term").crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            round(avg(-log(col("ctf").cast("double") / col("ntok"))), 6)
+              .as("avg_nll"))
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest(${duckTokens("text")}) AS term
+                 FROM documents),
+               tf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY term),
+               tot AS (SELECT count(*) AS ntok FROM toks)
+               SELECT doc_id, count(*) AS n_tok,
+                      round(avg(-ln(CAST(ctf AS DOUBLE) / ntok)), 6) AS avg_nll
+               FROM toks JOIN tf USING (term) CROSS JOIN tot
+               GROUP BY doc_id"""),
+      "unigram avg negative log-likelihood per doc (perplexity-proxy quality score)"),
+
+    // Benchmark decontamination: flag corpus documents sharing any word
+    // 3-gram with the benchmark set (stand-in: doc_id < 10). The
+    // benchmark's distinct shingles BROADCAST — the corpus streams through
+    // a map-side semi-join-shaped match, no corpus shuffle before the
+    // per-doc count. The real-pipeline step that keeps eval sets out of
+    // training data.
+    Q("q_text_decontam",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(col("doc_id") < 10)
+          .select(explode(array_distinct(
+            TextFunctions.shingles(col("text"), 3))).as("sh"))
+          .distinct()
+        val corp = Tables.ensureParallelism(docs.filter(col("doc_id") >= 10))
+          .select(col("doc_id"), explode(array_distinct(
+            TextFunctions.shingles(col("text"), 3))).as("sh"))
+        corp.join(broadcast(bench), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      },
+      Some(s"""WITH bsh AS (SELECT DISTINCT sh FROM (
+                 SELECT unnest(${duckShingles(duckTokens("text"), 3)}) AS sh
+                 FROM documents WHERE doc_id < 10)),
+               csh AS (SELECT DISTINCT doc_id, sh FROM (
+                 SELECT doc_id,
+                        unnest(${duckShingles(duckTokens("text"), 3)}) AS sh
+                 FROM documents WHERE doc_id >= 10))
+               SELECT doc_id, count(*) AS n_shared
+               FROM csh JOIN bsh USING (sh)
+               GROUP BY doc_id"""),
+      "benchmark decontamination: corpus docs sharing 3-gram shingles with a broadcast benchmark set"),
+
     // ---------- quality filtering / sampling / composed pipeline ----------
     Q("q_text_quality",
       (s, d) => QualityFilter.annotate(t(s, d, "documents"),

@@ -44,4 +44,46 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("funnel state survives restart: two runs over a split feed ≡ one batch") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy("ts_us")
+    val n = events.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_rec").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_funnel_out").toString
+    // first half lands, query runs to completion and STOPS (the "crash");
+    // second half arrives, a new query resumes from the same checkpoint
+    events.limit((n / 2).toInt).coalesce(1)
+      .write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StreamingFunnel.FunnelEvent]
+      val q = StreamingFunnel.hits(src, steps).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce()
+    events.exceptAll(events.limit((n / 2).toInt)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+    val streamed = spark.read.parquet(outDir)
+    val batch = Funnel.firstCompletions(
+        spark.read.parquet(dir), "user_id", "event_type", "ts_us", steps)
+      .select(col("user_id"),
+        explode(arrays_zip(
+          array((0 until steps.length).map(lit): _*),
+          array(col("t0"), col("t1"), col("t2")))).as("z"))
+      .select(col("user_id"), col("z.0").as("step"),
+        col("z.1").cast("long").as("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    assert(streamed.count() > 0)
+    // no hit lost, no hit doubled across the restart boundary
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
