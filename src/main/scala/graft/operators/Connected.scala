@@ -29,10 +29,16 @@ object Connected {
     * node that appears in `pairs` (id1, id2). cluster_id = min node id
     * reachable in the undirected graph; n_docs = cluster size.
     *
-    * Per round: one join edges⋈labels + a `min` aggregate (propagation),
-    * one self-join on the label (pointer jump). Old rounds' persists are
-    * dropped as soon as the next round materializes; `maxIters` only
-    * backstops the convergence probe (2^25-diameter graphs don't exist). */
+    * Labels SEED at the 1-hop minimum (min(id, neighbors)) straight from
+    * the edge aggregate — a full propagation round for free, which alone
+    * converges any clique whose min node is a direct neighbor (the common
+    * band-bucket dedup shape). Each further round: one join edges⋈labels
+    * + a `min` aggregate (propagation), one self-join on the label
+    * (pointer jump), and a carried `chg` flag so convergence is read off
+    * the cached round with a plain aggregate — no extra probe join. Old
+    * rounds' persists are dropped as soon as the next round materializes;
+    * `maxIters` only backstops the probe (2^25-diameter graphs don't
+    * exist). */
   def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
@@ -40,8 +46,8 @@ object Connected {
         col("id1").cast("long").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    var labels = edges.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("id"), least(col("u"), col("mv")).as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
@@ -52,15 +58,16 @@ object Connected {
         .groupBy("u").agg(min("nlbl").as("nmin"))
         .withColumnRenamed("u", "id")
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("lbl0"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
       // pointer jump: lbl(u) := min(lbl(u), lbl(lbl(u))) — labels are node
       // ids, so the parent lookup always resolves; halves chain depth
+      val newLbl = least(col("a.lbl"), coalesce(col("plbl"), col("a.lbl")))
       val jumped = stepped.as("a")
         .join(stepped.select(col("id").as("p"), col("lbl").as("plbl")),
           col("a.lbl") === col("p"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.lbl"), coalesce(col("plbl"), col("a.lbl"))).as("lbl"))
+        .select(col("a.id").as("id"), newLbl.as("lbl"),
+          (newLbl < col("a.lbl0")).as("chg")) // labels only ever decrease
       // truncate lineage: the self-join references `stepped` twice, so
       // carrying raw plans across rounds doubles the tree per round
       // (exponential analysis cost / driver OOM by ~round 10). Re-rooting
@@ -69,13 +76,10 @@ object Connected {
       val next = jumped.sparkSession
         .createDataFrame(jumped.rdd, jumped.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // the probe's shuffle map stage scans every partition of `next`,
-      // fully materializing its cache before the old round is released
-      converged = next.as("n")
-        .join(labels.select(col("id").as("id0"), col("lbl").as("old")),
-          col("n.id") === col("id0"))
-        .filter(col("lbl") < col("old")) // labels only ever decrease
-        .isEmpty
+      // the max aggregate scans every partition of `next`, fully
+      // materializing its cache before the old round is released
+      converged = !next.agg(coalesce(max(col("chg")), lit(false)))
+        .head().getBoolean(0)
       labels.unpersist(blocking = false)
       labels = next
       iter += 1

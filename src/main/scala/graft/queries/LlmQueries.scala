@@ -16,8 +16,16 @@ import graft.operators.{Dedup, Multimodal, QualityFilter, Sampling, Similarity}
 object LlmQueries {
   import PortableHash.{MOD, duckHashMod, minhashA, minhashB}
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables.load(s, dir, n)
+  /** Loads a table, spreading `documents` across the session's cores:
+    * every query here runs heavy per-row text expressions (lang-ID
+    * profiles, shingles, quality regexes), and the testdata ships the
+    * table as one parquet file — without a repartition the whole corpus
+    * would evaluate on a single core. (At real scale the table arrives in
+    * many splits and `ensureParallelism` is a no-op.) */
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = Tables.load(s, dir, n)
+    if (n == "documents") Tables.ensureParallelism(df) else df
+  }
 
   // ---------- DuckDB SQL fragments mirroring TextFunctions ----------
 
