@@ -24,6 +24,14 @@ object GraftSession {
     // regress the scan path.
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.enableVectorizedReader", "true")
+    // runtime (AQE-injected) bloom filters: when one join side is small
+    // and selective, push a bloom of its keys into the big side's scan —
+    // at 100 TB this skips most of the probe-side I/O for selective star
+    // joins. Size thresholds stay at Spark defaults (the filter only
+    // fires when the big side is actually big); pinned on so a cluster
+    // conf can't silently regress it. RuntimeFilterSpec exercises the
+    // injection with thresholds lowered to test scale.
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // transformWithState requires the RocksDB state store; harmless for
     // batch, and the right provider for large keyed state anyway
     .config("spark.sql.streaming.stateStore.providerClass",
