@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, Md5Hash60, WordShingles}
+import graft.functions.{ArrayDot, ArraySqDist, Md5Hash60, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * codegen expressions as SQL functions, so `spark.sql` users get the
@@ -48,5 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("array_dot"),
       info("array_dot", "array_dot(arr, arr) - dense double dot product"),
       (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+
+    ext.injectFunction((FunctionIdentifier("array_sqdist"),
+      info("array_sqdist",
+        "array_sqdist(arr, arr) - int64 fixed-point squared L2 distance"),
+      (children: Seq[Expression]) => ArraySqDist(children(0), children(1))))
   }
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Codegen'd fixed-point squared L2 distance over two `array<long>`
+  * columns — the k-means / IVF routing metric ([[graft.operators.KMeans]]).
+  *
+  * Value-identical to `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)),
+  * 0L, (s,x) -> s+x)`: pure int64 arithmetic, so the result is exact and
+  * the replacement is drop-in for the oracle (same recurrence, same
+  * wrap-on-overflow semantics as Java long math — callers size the fixed
+  * point so sums stay < 2^63, see KMeans scaladoc). The interpreted
+  * higher-order form pays a zip allocation plus two lambda dispatches per
+  * element; this is one fused primitive loop inside whole-stage codegen.
+  * Assignment evaluates it corpus × K times per Lloyd round — the hot
+  * loop of clustering at scale.
+  *
+  * Length semantics: iterates min(len(a), len(b)) — same as zip_with over
+  * equal-length vectors (the only shape the engine produces).
+  */
+case class ArraySqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArraySqDist.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ArraySqDist.sqDist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArraySqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArraySqDist {
+  def sqDist(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column = ColumnBridge.column(
+    ArraySqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -46,8 +46,7 @@ object KMeans {
   def assignByCell(vecs: DataFrame, centroids: DataFrame, k: Int): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .withColumn("key",
-        aggregate(zip_with(col("fp"), col("coords"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (s, x) => s + x) * k + col("cid"))
+        graft.functions.ArraySqDist(col("fp"), col("coords")) * k + col("cid"))
       .groupBy("vec_id").agg(min("key").as("key"))
       .select(col("vec_id"), (col("key") % k).cast("int").as("cid"),
         expr(s"key div $k").as("dist_fp"))

@@ -407,5 +407,31 @@ object AnalyticsQueries {
            |      FROM scored)
            |WHERE rn <= ${LlmQueries.TopK}""".stripMargin
       },
-      "IVF top-k with kmeans-refined cells (fixed-point routing, cosine scoring)"))
+      "IVF top-k with kmeans-refined cells (fixed-point routing, cosine scoring)"),
+
+    // Cohort retention: users grouped by first-activity day, counted on
+    // each later active day as an offset from their cohort. Two keyed
+    // aggregates (user, then cohort×offset) — the standard retention
+    // matrix without any window or driver pivot.
+    Q("q_cohort_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val first = ev.groupBy("user_id")
+          .agg(min(col("ts").cast("date")).as("cohort"))
+        val act = ev.select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        act.join(first, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("day"), col("cohort")).cast("int").as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                             FROM events GROUP BY user_id),
+              act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                      FROM events)
+              SELECT f.cohort, CAST(a.day - f.cohort AS INT) AS day_offset,
+                     count(*) AS n_users
+              FROM act a JOIN first f USING (user_id)
+              GROUP BY 1, 2"""),
+      "cohort retention matrix (first-activity cohort × active-day offset)"))
 }

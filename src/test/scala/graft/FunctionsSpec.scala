@@ -102,6 +102,21 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("codegen ArraySqDist ≡ composed aggregate/zip_with squared distance") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings").limit(200)
+      .select(col("vec_id"),
+        graft.operators.KMeans.toFixedPoint(col("embedding")).as("fp"))
+    val a = emb.select(col("vec_id").as("i1"), col("fp").as("f1"))
+    val b = emb.select(col("vec_id").as("i2"), col("fp").as("f2"))
+    val pairs = a.join(b, col("i1") < col("i2") && col("i2") < col("i1") + 5)
+    val diff = pairs.select(
+      graft.functions.ArraySqDist(col("f1"), col("f2")).as("fast"),
+      aggregate(zip_with(col("f1"), col("f2"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (s, x) => s + x).as("ref"))
+      .filter(col("fast") =!= col("ref")) // exact integer equality
+    assert(diff.count() == 0)
+  }
+
   test("Joins.asOf picks the latest right row at-or-before each left ts") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
