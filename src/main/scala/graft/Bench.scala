@@ -88,8 +88,18 @@ object Bench {
       s"$work/_ckpt", useTws = true, statePartitions = Some(2))
     val streamSec = (System.nanoTime() - t1) / 1e9
 
+    // stage-FUSED streaming variant: same 3 stateful stages in ONE query
+    val workF = java.nio.file.Files.createTempDirectory("graft_bench_fused").toString
+    val t2 = System.nanoTime()
+    graft.streaming.ProducerSim.batch(spark, 2, 100000)
+      .toDF().write.parquet(graft.streaming.StagePipeline.channelDir(workF, spec, 0))
+    graft.streaming.StagePipeline.runFused(spark, spec, workF,
+      s"$workF/_ckpt", statePartitions = Some(2))
+    val fusedSec = (System.nanoTime() - t2) / 1e9
+
     val qs = (results :+ ("ref_workload_100k" -> Some(refSec))
-        :+ ("ref_workload_100k_streaming" -> Some(streamSec)))
+        :+ ("ref_workload_100k_streaming" -> Some(streamSec))
+        :+ ("ref_workload_100k_streaming_fused" -> Some(fusedSec)))
       .map { case (k, v) =>
         "\"" + k + "\":" + v.map(d => f"$d%.3f").getOrElse("null") }
       .mkString("{", ",", "}")

@@ -75,4 +75,40 @@ object StagePipeline {
       q.awaitTermination()
     } finally spark.conf.set(key, prev)
   }
+
+  /** Stage FUSION: every stage chained operator-to-operator inside ONE
+    * streaming query — one checkpoint, one source scan, no intermediate
+    * channels (Spark 4 supports multiple `transformWithState` operators
+    * per query). The Spark-first answer to the reference's N topic hops
+    * (`KeyedStage.fusedBatch` is the batch twin): same per-stage state,
+    * same output stream, ~stageCount× less query-lifecycle and channel
+    * I/O overhead. Prefer the channel topology when stages must be
+    * restarted/scaled INDEPENDENTLY (the reference's deployment model) or
+    * intermediate channels have other consumers; prefer fusion when the
+    * pipeline is one logical job. Output loses the per-stage running
+    * counts of the intermediate hops (only data columns flow), which is
+    * the contract of the END channel anyway. FusedPipelineSpec pins
+    * fused ≡ chained. */
+  def runFused(spark: SparkSession, spec: PipelineSpec, root: String,
+               checkpointDir: String,
+               statePartitions: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val src = fileSource(spark, channelDir(root, spec, 0))
+      val out = PipelineSpec.validated(spec).orderedStages.foldLeft(src) {
+        (ds, st) =>
+          KeyedStage.stageStream(ds, st.operation)
+            .select(col("key"), col("value"), col("seq")).as[StageRecord]
+      }
+      val q = out.toDF().writeStream.format("parquet")
+        .option("path", channelDir(root, spec, spec.orderedStages.last.stage + 1))
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Stage FUSION for the streaming path: all pipeline stages chained as
+  * stateful operators inside ONE streaming query — one checkpoint, one
+  * source scan, no intermediate channels. The Spark-first answer to the
+  * reference's N topic hops (KeyedStage.fusedBatch is the batch twin).
+  * Results must equal the channel-per-stage topology's END output.
+  */
+class FusedPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused multi-stage streaming query ≡ channel-per-stage pipeline") {
+    val spec = PipelineSpec("fused", 2, 1, Seq(
+      StageSpec(0, "adder"), StageSpec(1, "adder"), StageSpec(2, "adder")))
+    val work = java.nio.file.Files.createTempDirectory("graft_fused").toString
+    val n = 5000
+    ProducerSim.batch(spark, 2, n).toDF()
+      .write.parquet(StagePipeline.channelDir(work, spec, 0))
+
+    // channel-per-stage reference run
+    StagePipeline.runAvailable(spark, spec, work, s"$work/_ck",
+      useTws = true, statePartitions = Some(2))
+    val staged = spark.read.parquet(StagePipeline.channelDir(work, spec, 3))
+
+    // fused run: one query, stages chained operator-to-operator
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val src = spark.readStream
+        .schema("key STRING, value INT, seq BIGINT")
+        .parquet(StagePipeline.channelDir(work, spec, 0))
+        .as[StageRecord]
+      val fusedOut = spec.orderedStages.foldLeft(src) { (ds, st) =>
+        KeyedStage.stageStream(ds, st.operation)
+          .select(col("key"), col("value"), col("seq")).as[StageRecord]
+      }
+      val q = fusedOut.toDF().writeStream.format("parquet")
+        .option("path", s"$work/fused_out")
+        .option("checkpointLocation", s"$work/_ck_fused")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val fused = spark.read.parquet(s"$work/fused_out")
+
+    assert(fused.count() == n)
+    // per-stage counts are not emitted by the fused form's END rows;
+    // compare the (key, value, seq) stream — the pipeline's data contract
+    val a = staged.select("key", "value", "seq")
+    val b = fused.select("key", "value", "seq")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
