@@ -433,5 +433,27 @@ object AnalyticsQueries {
                      count(*) AS n_users
               FROM act a JOIN first f USING (user_id)
               GROUP BY 1, 2"""),
-      "cohort retention matrix (first-activity cohort × active-day offset)"))
+      "cohort retention matrix (first-activity cohort × active-day offset)"),
+
+    // Rolling exact median over a bounded frame: per user, the median of
+    // the last 10 event values (exact interpolation over cents so both
+    // engines sort identical integers; frame bounded ⇒ per-row cost is
+    // O(frame), never O(partition)).
+    Q("q_win_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            cents(col("value")).as("c"))
+          .withColumn("med6", round(percentile(col("c"), lit(0.5)).over(w), 6))
+          .drop("c", "ts")
+      },
+      Some("""SELECT event_id, user_id,
+                     round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med6
+              FROM events"""),
+      "rolling exact median over a bounded per-key frame"))
 }
