@@ -40,9 +40,13 @@ object Connected {
     * `maxIters` only backstops the probe (2^25-diameter graphs don't
     * exist). */
   def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+    // the union references `pairs` twice; persisting the input first means
+    // an expensive pair-producer (the MinHash band join) runs once, not
+    // twice, when the edge cache materializes
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p
       .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
-      .union(pairs.select(col("id2").cast("long").as("u"),
+      .union(p.select(col("id2").cast("long").as("u"),
         col("id1").cast("long").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -84,6 +88,7 @@ object Connected {
       labels = next
       iter += 1
     }
+    p.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     val out = labels
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

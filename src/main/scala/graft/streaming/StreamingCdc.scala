@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Streaming twin of [[graft.operators.Cdc]]: per-key latest-wins state
+  * maintained live, emitting a key's current winner whenever an arriving
+  * record BEATS it under the total version order (pri, ver_ts, tb). This
+  * is literally what the reference's compacted state topics compute with
+  * broker-side log compaction (CreateBash.py:25-44, latest record per key
+  * wins) — here the "compaction" is keyed state plus emit-on-upgrade, so
+  * downstream consumers see a change stream of winners instead of having
+  * to re-read a compacted topic.
+  *
+  * Emissions per key are strictly increasing in version, so the LAST
+  * emission per key equals the batch `Cdc.upsertLatest` over everything
+  * seen — pinned by StreamingCdcSpec. Late/duplicate records lose the
+  * version comparison and emit nothing (idempotent under redelivery, the
+  * same property the reference gets from compaction). State is O(1) per
+  * key. Append-safe: no emitted row is ever retracted.
+  */
+object StreamingCdc {
+
+  case class CdcRecord(k: Long, v: Double, pri: Int, ver_ts: Long, tb: Long)
+
+  class LatestProcessor
+      extends StatefulProcessor[Long, CdcRecord, CdcRecord] {
+
+    @transient private var st: ValueState[CdcRecord] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CdcRecord]("latest",
+        Encoders.product[CdcRecord], TTLConfig.NONE)
+
+    private def ver(r: CdcRecord) = (r.pri, r.ver_ts, r.tb)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcRecord],
+                                 timerValues: TimerValues): Iterator[CdcRecord] = {
+      import scala.math.Ordering.Implicits._
+      var cur = Option(st.get())
+      val out = Array.newBuilder[CdcRecord]
+      // sorted so one batch's emissions are deterministic (winner last)
+      rows.toArray.sortBy(ver).foreach { r =>
+        if (cur.forall(c => ver(r) > ver(c))) { cur = Some(r); out += r }
+      }
+      cur.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
+  /** Change stream of per-key winners. Requires the RocksDB state store
+    * ([[KeyedStage.rocksConf]]). */
+  def upgrades(ds: Dataset[CdcRecord]): Dataset[CdcRecord] = {
+    implicit val enc = Encoders.product[CdcRecord]
+    ds.groupByKey(_.k)(Encoders.scalaLong)
+      .transformWithState(new LatestProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}

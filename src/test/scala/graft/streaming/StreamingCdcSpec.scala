@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** The streaming latest-wins state replayed over the q_merge_upsert
+  * input (customer base ∪ orders delta) must converge to exactly the
+  * batch Cdc.upsertLatest result: the last emission per key is the final
+  * winner, and redelivering the whole feed emits nothing new.
+  */
+class StreamingCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("last emission per key ≡ batch upsertLatest; redelivery is silent") {
+    val d = "/root/testdata/sf0.01"
+    val base = graft.core.Tables.load(spark, d, "customer").select(
+      col("c_custkey").as("k"), col("c_acctbal").as("v"),
+      lit(0).as("pri"), lit(0L).as("ver_ts"), lit(0L).as("tb"))
+    val delta = graft.core.Tables.load(spark, d, "orders").select(
+      col("o_custkey").as("k"), col("o_totalprice").as("v"),
+      lit(1).as("pri"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ver_ts"),
+      col("o_orderkey").as("tb"))
+    val all = base.unionByName(delta)
+
+    val feed = java.nio.file.Files.createTempDirectory("graft_cdc_feed").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cdc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toString
+    all.coalesce(1).write.mode("append").parquet(feed)
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(all.schema).parquet(feed)
+        .as[StreamingCdc.CdcRecord]
+      val q = StreamingCdc.upgrades(src).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce()
+    val emitted = spark.read.parquet(outDir)
+    val lastPerKey = emitted.groupBy("k")
+      .agg(max_by(col("v"), struct(col("pri"), col("ver_ts"), col("tb")))
+        .as("latest"))
+    val batch = graft.operators.Cdc.upsertLatest(all,
+      col("k"), col("v"), struct(col("pri"), col("ver_ts"), col("tb")))
+    assert(lastPerKey.count() > 0)
+    assert(lastPerKey.exceptAll(batch).isEmpty &&
+      batch.exceptAll(lastPerKey).isEmpty)
+
+    // full redelivery: every record loses the version comparison → silence
+    val before = emitted.count()
+    all.coalesce(1).write.mode("append").parquet(feed)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == before)
+  }
+}
