@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GapFill, Incremental, Packing}
+
+/** Seeded-random differentials: each operator checked against a
+  * sequential in-memory reference implementation on generated inputs —
+  * the shapes the hand-written cases and the sf-data oracles between
+  * them might miss (ragged shards, all-gap series, degenerate splits).
+  */
+class DifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("packing ≡ sequential fold on random ragged shards") {
+    for (_ <- 1 to 3) {
+      val budget = 64 + rnd.nextInt(200)
+      val docs = (0 until 1 + rnd.nextInt(4)).flatMap { sh =>
+        (0 until rnd.nextInt(25)).map(i =>
+          (s"s$sh", sh * 1000L + i, 1 + rnd.nextInt(2 * budget)))
+      }
+      if (docs.nonEmpty) {
+        val got = Packing.chunkAssign(docs.toDF("source", "doc_id", "n"),
+            "source", "doc_id", col("n"), budget)
+          .select("doc_id", "chunk_id", "pos_in_chunk").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+        // sequential reference: running pre-sum → floor(cum/budget),
+        // position = running count within (shard, chunk)
+        val want = docs.groupBy(_._1).flatMap { case (_, ds) =>
+          var cum = 0L
+          val pos = scala.collection.mutable.Map[Long, Int]()
+          ds.sortBy(_._2).map { case (_, id, n) =>
+            val chunk = cum / budget
+            cum += n
+            val p = pos.getOrElse(chunk, 0) + 1
+            pos(chunk) = p
+            id -> (chunk, p)
+          }
+        }
+        assert(got == want, s"budget=$budget docs=${docs.size}")
+      }
+    }
+  }
+
+  test("incremental merge ≡ direct aggregate on random splits") {
+    for (_ <- 1 to 3) {
+      val rows = (0 until 50 + rnd.nextInt(100))
+        .map(i => (s"g${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+      val df = rows.toDF("k", "x")
+      val nParts = 2 + rnd.nextInt(3)
+      def partial(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("k").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          min("x").as("mn"), max("x").as("mx"))
+      // split by hash of x into nParts deltas; min/max merge with their
+      // own monoid, counts/sums with sum — mergePartials only covers the
+      // summable ones, so check those columns
+      val parts = (0 until nParts).map(p =>
+        partial(df.filter(pmod(col("x"), lit(nParts)) === p))
+          .select("k", "n", "sx"))
+      val merged = Incremental.mergePartials(parts, Seq("k"))
+        .orderBy("k").collect().toSeq
+      val direct = partial(df).select("k", "n", "sx")
+        .orderBy("k").collect().toSeq
+      assert(merged == direct)
+    }
+  }
+
+  test("forward fill ≡ sequential scan on random sparse series") {
+    for (_ <- 1 to 3) {
+      val days = (0 until 20).map(d => java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d)))
+      val obs = for {
+        k <- 0 until 3
+        d <- days if rnd.nextBoolean()
+      } yield (k.toLong, d, rnd.nextInt(100).toLong)
+      if (obs.nonEmpty) {
+        val perDay = obs.toDF("k", "day", "v")
+        val spined = GapFill.calendarSpine(perDay, "k", "day")
+        val got = spined.select(col("k"), col("day"),
+            GapFill.forwardFill(spined, "k", "day", col("v")).as("f"))
+          .collect()
+          .map(r => (r.getLong(0), r.getDate(1).toString) ->
+            Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+        // sequential reference over the global min..max day range
+        val (d0, d1) = (obs.map(_._2.toLocalDate).min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay)),
+          obs.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay)))
+        val byKey = obs.groupBy(_._1)
+        byKey.foreach { case (k, rows) =>
+          val vals = rows.map(r => r._2.toLocalDate -> r._3).toMap
+          var last: Option[Long] = None
+          var d = d0
+          while (!d.isAfter(d1)) {
+            last = vals.get(d).orElse(last)
+            assert(got((k, d.toString)) == last, s"k=$k d=$d")
+            d = d.plusDays(1)
+          }
+        }
+      }
+    }
+  }
+}
