@@ -403,5 +403,34 @@ object ExtraQueries {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS INT) AS n_types_seen
               FROM events"""),
-      "rolling distinct-count window (collect_set over a per-key frame)"))
+      "rolling distinct-count window (collect_set over a per-key frame)"),
+
+    // Schema evolution: a long-lived table whose later files carry an
+    // extra column. mergeSchema unions the file schemas at read time;
+    // rows from old files surface NULL for the new column. The oracle is
+    // the equivalent two-generation union.
+    Q("q_scan_evolving",
+      (s, d) => {
+        val src = t(s, d, "orders")
+        val path = s"${sys.props("java.io.tmpdir")}/graft_evo_${new java.io.File(d).getName}_orders"
+        if (!new java.io.File(path, "_gen2/_SUCCESS").exists()) {
+          src.filter(col("o_orderkey") % 2 === 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite").parquet(s"$path/_gen1")
+          src.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderpriority")) // the column added in generation 2
+            .write.mode("overwrite").parquet(s"$path/_gen2")
+        }
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$path/_gen1", s"$path/_gen2")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(NULL AS VARCHAR) AS o_orderpriority
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 2 = 1"""),
+      "schema-evolution scan: mergeSchema across file generations, old rows NULL-fill"))
 }
