@@ -207,6 +207,30 @@ object Similarity {
       col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Multi-probe sign-LSH: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    * recall fix for points near a hyperplane, whose true neighbors sit
+    * just across the boundary. Candidate cost grows by the probe count
+    * (p+1, still ≪ brute force) while the corpus side is untouched: same
+    * bucketing, same shuffle key, and a corpus vector lives in exactly
+    * one bucket so no candidate pair is generated twice. */
+  def lshMultiProbeTopK(emb: DataFrame, queryPred: Column, k: Int,
+                        maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val (cnt, qCnt) = sizes(emb, queryPred)
+    requireBroadcastable(qCnt, maxQueryRows)
+    val p = planesFor(cnt)
+    val planes = VectorFunctions.hyperplanes(MaxPlanes, Dim).take(p)
+    val withBucket = emb.withColumn("bucket",
+      VectorFunctions.lshBucket(col("embedding"), planes))
+    val probeSet = array(col("qb0") +:
+      (0 until p).map(i => col("qb0").bitwiseXOR(lit(1L << i))): _*)
+    val q = asQuery(withBucket.filter(queryPred), "bucket" -> "qb0")
+      .withColumn("qb", explode(probeSet)).drop("qb0")
+    val c = asCorpus(withBucket, "bucket" -> "cb")
+    topK(scored(broadcast(q), c,
+      col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** Default file-bucket count for a persisted index. Must exceed the live
     * bucket-VALUE count a probe can touch for pruning to show; at real
     * scale pick it for the cluster (hundreds), like any bucketed table. */

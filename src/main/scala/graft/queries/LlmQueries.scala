@@ -321,6 +321,39 @@ object LlmQueries {
       Some(duckLshTopKOracle),
       "bucket-pruned probe over a persisted LSH index (write once, prune every probe)"),
 
+    // Multi-probe: queries additionally probe every Hamming-distance-1
+    // bucket (one sign bit flipped) — recall for points near a
+    // hyperplane, at (p+1)× query-side candidates and zero extra corpus
+    // cost. Supersets the single-probe result by construction.
+    Q("q_sim_topk_lsh_mp",
+      (s, d) => Similarity.lshMultiProbeTopK(t(s, d, "embeddings"),
+        col("vec_id") < QueryVecs, TopK),
+      Some(s"""WITH params AS (
+                 SELECT ${Similarity.duckPlanesFor("cnt")} AS np
+                 FROM (SELECT count(*) AS cnt FROM embeddings)),
+               base AS (
+                 SELECT vec_id, embedding,
+                   ${duckLshBucketAdaptive("embedding")} AS bucket
+                 FROM embeddings, params),
+               probes AS (
+                 SELECT vec_id, embedding,
+                   unnest(list_prepend(bucket,
+                     list_transform(range(0, np), i -> xor(bucket, 1 << i))))
+                     AS qb
+                 FROM base, params WHERE vec_id < $QueryVecs),
+               scored AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
+                 FROM probes q JOIN base c
+                   ON q.qb = c.bucket AND q.vec_id <> c.vec_id)
+               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+                      round(score, 6) AS score6
+               FROM (SELECT *, row_number() OVER
+                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+                     FROM scored)
+               WHERE rn <= $TopK"""),
+      "multi-probe sign-LSH top-k (Hamming-1 buckets — recall at constant corpus cost)"),
+
     // ---------- int8 embedding quantization ----------
     // Per-vector symmetric int8: 4× memory cut for a float32 corpus. mse is
     // computed via the expanded identity |e − s·q|² = e·e − 2s(e·q) + s²(q·q)

@@ -31,6 +31,21 @@ class AnnIndexSpec extends SparkSpec {
       "indexed probe diverged from the inline LSH result")
   }
 
+  test("multi-probe dominates single-probe: per-rank scores never worse") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    def ranked(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    val single = ranked(Similarity.lshTopK(emb, col("vec_id") < 16, 10))
+    val multi = ranked(Similarity.lshMultiProbeTopK(emb, col("vec_id") < 16, 10))
+    // multi-probe's candidate set is a superset, so at every (query, rank)
+    // its score is >= the single-probe score (and it never has fewer rows)
+    assert(multi.size >= single.size)
+    single.foreach { case (k, s) =>
+      assert(multi.contains(k) && multi(k) >= s - 1e-9, s"$k: ${multi.get(k)} < $s")
+    }
+  }
+
   test("probe with no matching queries returns an empty, well-typed result") {
     val empty = Similarity.probeLshIndex(spark, "graft_lsh_index_spec",
       col("vec_id") < 0, 10)
