@@ -432,5 +432,28 @@ object ExtraQueries {
               UNION ALL
               SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
               FROM orders WHERE o_orderkey % 2 = 1"""),
-      "schema-evolution scan: mergeSchema across file generations, old rows NULL-fill"))
+      "schema-evolution scan: mergeSchema across file generations, old rows NULL-fill"),
+
+    // Nested struct columns with NESTED-FIELD PRUNING: events re-shaped
+    // into (who: struct, meta: struct) parquet; reading two leaves must
+    // prune the scan schema to exactly those leaves (ReadSchema shows the
+    // pruned structs — PlanShapeSpec), so a 100-field meta struct costs
+    // two columns of I/O, not a hundred.
+    Q("q_scan_nested",
+      (s, d) => {
+        val path = s"${sys.props("java.io.tmpdir")}/graft_nested_${new java.io.File(d).getName}_events"
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          t(s, d, "events").select(col("event_id"),
+            struct(col("user_id"), col("event_type")).as("who"),
+            struct(col("value"),
+              get_json_object(col("props"), "$.k").cast("int").as("k")).as("meta"))
+            .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .select(col("event_id"), col("who.user_id").as("user_id"),
+            col("meta.k").as("k_prop"))
+      },
+      Some("""SELECT event_id, user_id,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k_prop
+              FROM events"""),
+      "nested-struct scan with nested-field pruning (two leaves read, rest skipped)"))
 }

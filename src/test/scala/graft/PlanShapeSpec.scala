@@ -102,6 +102,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.split("PartitionFilters").last.contains("day"), p)
   }
 
+  test("q_scan_nested prunes the scan to the selected struct leaves") {
+    val p = plan("q_scan_nested")
+    val read = p.split("ReadSchema: ").last.takeWhile(_ != '\n')
+    assert(read.contains("who:struct<user_id:bigint>"), read)
+    assert(!read.contains("event_type"), read) // sibling leaf pruned away
+    assert(read.contains("meta:struct<k:int>"), read)
+    assert(!read.contains("value"), read)
+  }
+
   test("q_graph_triangles is pure equi-joins — no nested-loop, no cartesian") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
