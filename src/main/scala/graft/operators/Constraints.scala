@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-constraint checking — the validation layer an ingest
+  * pipeline runs before promoting a batch (the engine analogue of
+  * dbt/Deequ-style tests). Each check reduces to one aggregate or one
+  * keyed anti-join; the report is a tiny (check, violations) table, so
+  * the cost is a scan per source table regardless of how many checks
+  * share it (Catalyst collapses same-source aggregates into one pass
+  * when composed with [[report]]).
+  *
+  * Scale notes: uniqueness = count-minus-distinct (two map-side-combined
+  * aggregates, no sort); referential integrity = LEFT ANTI join on the
+  * key (broadcast when the parent is a dim); null/range checks are
+  * map-side `count_if`. Nothing collects to the driver beyond the
+  * one-row-per-check report.
+  */
+object Constraints {
+
+  /** One violation-count row: (check, violations). */
+  def notNull(df: DataFrame, colName: String): DataFrame =
+    df.agg(count_if(col(colName).isNull).as("violations"))
+      .select(lit(s"not_null:$colName").as("check"), col("violations"))
+
+  /** Rows whose `cond` is FALSE (null counts as a violation). */
+  def accepted(df: DataFrame, name: String, cond: Column): DataFrame =
+    df.agg(count_if(!coalesce(cond, lit(false))).as("violations"))
+      .select(lit(s"accepted:$name").as("check"), col("violations"))
+
+  /** Duplicate-key rows beyond the first per key: count - countDistinct. */
+  def unique(df: DataFrame, colName: String): DataFrame =
+    df.agg((count(lit(1)) - count_distinct(col(colName))).as("violations"))
+      .select(lit(s"unique:$colName").as("check"), col("violations"))
+
+  /** Child rows whose key has no parent (referential integrity). */
+  def referential(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+        "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(s"ref:$childKey->$parentKey").as("check"), col("violations"))
+
+  /** Union of checks into one (check, violations) report. */
+  def report(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_.unionByName(_))
+}

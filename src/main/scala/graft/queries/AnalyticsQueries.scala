@@ -455,5 +455,44 @@ object AnalyticsQueries {
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med6
               FROM events"""),
-      "rolling exact median over a bounded per-key frame"))
+      "rolling exact median over a bounded per-key frame"),
+
+    // Data-constraint report over the warehouse tables: uniqueness,
+    // not-null, accepted-range, and referential integrity, each one
+    // aggregate or anti-join, unioned into a (check, violations) table.
+    Q("q_data_checks",
+      (s, d) => graft.operators.Constraints.report(Seq(
+        graft.operators.Constraints.unique(t(s, d, "orders"), "o_orderkey"),
+        graft.operators.Constraints.notNull(t(s, d, "customer"), "c_name"),
+        graft.operators.Constraints.accepted(t(s, d, "lineitem"),
+          "qty_range", col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        graft.operators.Constraints.accepted(t(s, d, "events"),
+          "known_type", col("event_type").isin(
+            "view", "click", "purchase", "signup", "error")),
+        graft.operators.Constraints.referential(
+          t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey"),
+        graft.operators.Constraints.referential(
+          t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey"))),
+      Some("""SELECT 'unique:o_orderkey' AS check,
+                     count(*) - count(DISTINCT o_orderkey) AS violations
+              FROM orders
+              UNION ALL
+              SELECT 'not_null:c_name', count(*) FILTER (c_name IS NULL)
+              FROM customer
+              UNION ALL
+              SELECT 'accepted:qty_range',
+                     count(*) FILTER (NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE))
+              FROM lineitem
+              UNION ALL
+              SELECT 'accepted:known_type',
+                     count(*) FILTER (NOT coalesce(event_type IN
+                       ('view','click','purchase','signup','error'), FALSE))
+              FROM events
+              UNION ALL
+              SELECT 'ref:o_custkey->c_custkey', count(*)
+              FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+              UNION ALL
+              SELECT 'ref:l_orderkey->o_orderkey', count(*)
+              FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"""),
+      "declarative data-constraint report (unique / not-null / range / referential)"))
 }
