@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Live maintenance of an IVF index's per-cell statistics: as embedding
+  * vectors stream in (already routed to a cell by
+  * [[graft.operators.KMeans.assignByCell]] against the broadcast
+  * centroids), keyed state accumulates each cell's exact fixed-point sum
+  * and count, and every microbatch emits the cell's refreshed centroid —
+  * the data a probe-time router needs to stay accurate while the corpus
+  * grows, without re-clustering.
+  *
+  * The arithmetic is the SAME integer recurrence as the batch operator
+  * (exact int64 sums, truncating mean), so the last emission per cell
+  * equals a batch `groupBy(cell)` over everything ingested
+  * (StreamingCellStatsSpec) — at any arrival order, because sums commute.
+  * State per cell = dims+1 longs; emissions are monotone in `n`, so
+  * downstream keeps the max-n row per cell (append-safe).
+  */
+object StreamingCellStats {
+
+  case class CellVec(cell: Int, fp: Array[Long])
+  case class CellStats(cell: Int, n: Long, centroid_fp: Array[Long])
+  case class CellState(n: Long, sums: Array[Long])
+
+  class StatsProcessor
+      extends StatefulProcessor[Int, CellVec, CellStats] {
+
+    @transient private var st: ValueState[CellState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CellState]("cellstats",
+        Encoders.product[CellState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[CellVec],
+                                 timerValues: TimerValues): Iterator[CellStats] = {
+      var cur = Option(st.get()).getOrElse(CellState(0L, Array.empty[Long]))
+      rows.foreach { r =>
+        val sums = if (cur.sums.isEmpty) new Array[Long](r.fp.length)
+                   else cur.sums
+        var i = 0
+        while (i < r.fp.length) { sums(i) += r.fp(i); i += 1 }
+        cur = CellState(cur.n + 1, sums)
+      }
+      st.update(cur)
+      if (cur.n == 0) Iterator.empty
+      else Iterator.single(
+        CellStats(key, cur.n, cur.sums.map(_ / cur.n))) // div: same as batch
+    }
+  }
+
+  /** Change stream of per-cell (n, centroid). Requires the RocksDB state
+    * store ([[KeyedStage.rocksConf]]). */
+  def stats(ds: Dataset[CellVec]): Dataset[CellStats] = {
+    implicit val enc = Encoders.product[CellStats]
+    ds.groupByKey(_.cell)(Encoders.scalaInt)
+      .transformWithState(new StatsProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+}

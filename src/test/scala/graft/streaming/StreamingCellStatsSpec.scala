@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Streaming per-cell stats over a split, restarted feed must converge to
+  * the batch per-cell aggregate (exact integer sums ⇒ arrival order and
+  * the restart boundary cannot change the result).
+  */
+class StreamingCellStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("last emission per cell ≡ batch aggregate across a restart") {
+    val vecs = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(pmod(col("vec_id"), lit(8)).cast("int").as("cell"),
+        graft.operators.KMeans.toFixedPoint(col("embedding")).as("fp"),
+        col("vec_id"))
+    val feed = java.nio.file.Files.createTempDirectory("graft_cs_feed").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cs_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cs_ck").toString
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("cell INT, fp ARRAY<BIGINT>").parquet(feed)
+        .as[StreamingCellStats.CellVec]
+      val q = StreamingCellStats.stats(src).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    vecs.filter(col("vec_id") % 2 === 0).select("cell", "fp")
+      .coalesce(1).write.mode("append").parquet(feed)
+    runOnce()
+    vecs.filter(col("vec_id") % 2 === 1).select("cell", "fp")
+      .coalesce(1).write.mode("append").parquet(feed)
+    runOnce()
+
+    val got = spark.read.parquet(outDir)
+      .groupBy("cell")
+      .agg(max("n").as("n"), max_by(col("centroid_fp"), col("n")).as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+
+    // batch reference computed locally with the same integer recurrence
+    val all = vecs.select("cell", "fp").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+    val want = all.groupBy(_._1).map { case (cell, rows) =>
+      val n = rows.length.toLong
+      val sums = rows.map(_._2).transpose.map(_.sum)
+      cell -> (n, sums.map(_ / n).toSeq)
+    }
+    assert(got.keySet == want.keySet && got.keySet.nonEmpty)
+    want.foreach { case (cell, exp) => assert(got(cell) == exp, s"cell $cell") }
+  }
+}
