@@ -57,4 +57,31 @@ object OrderedReplay {
           state.update(nst)
           out.iterator
       }(Encoders.product[ReplayState], Encoders.product[StageRecord])
+
+  case class GenState[T](nextSeq: Long, pending: Map[Long, T])
+
+  /** Generic form for any record type: caller supplies the key and seq
+    * extractors; release rules (contiguous prefix, stale-seq drop) are
+    * identical to [[ordered]]. This is the upstream half of the
+    * "compose with OrderedReplay" contract that order-sensitive stateful
+    * consumers (StreamingFunnel, KeyedStage) document —
+    * OrderedFunnelSpec runs that composition end-to-end. */
+  def orderedBy[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      ds: Dataset[T], keyFn: T => String, seqFn: T => Long,
+      firstSeq: Long = 0L, step: Long = 1L): Dataset[T] =
+    ds.groupByKey(keyFn)(Encoders.STRING)
+      .flatMapGroupsWithState[GenState[T], T](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[T], state: GroupState[GenState[T]]) =>
+          val st = state.getOption.getOrElse(GenState[T](firstSeq, Map.empty))
+          var pending = st.pending ++
+            rows.filter(r => seqFn(r) >= st.nextSeq).map(r => seqFn(r) -> r)
+          var next = st.nextSeq
+          val out = Seq.newBuilder[T]
+          while (pending.contains(next)) {
+            out += pending(next); pending -= next; next += step
+          }
+          state.update(GenState(next, pending))
+          out.result().iterator
+      }(Encoders.product[GenState[T]], Encoders.product[T])
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Funnel
+
+/** The documented composition for order-sensitive consumers on a
+  * reordering transport: a DELIBERATELY SCRAMBLED feed (each user's
+  * odd-index events arrive a whole batch before their even-index ones)
+  * flows through OrderedReplay — which buffers and releases only the
+  * contiguous per-key prefix — into the streaming funnel, and must still
+  * produce exactly the batch funnel's first completions.
+  */
+object OrderedFunnelSpec {
+  case class SeqEvent(user_id: Long, event_type: String, ts_us: Long, seq: Long)
+}
+
+class OrderedFunnelSpec extends SparkSpec {
+  import spark.implicits._
+  import OrderedFunnelSpec.SeqEvent
+
+  private val steps = Seq("view", "click", "purchase")
+
+  test("scrambled feed → OrderedReplay → funnel ≡ batch funnel") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val events = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("seq", row_number().over(w).cast("long") - 1)
+      .drop("event_id")
+
+    val feed = java.nio.file.Files.createTempDirectory("graft_of_feed").toString
+    val ordDir = java.nio.file.Files.createTempDirectory("graft_of_ord").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_of_out").toString
+    val ckO = java.nio.file.Files.createTempDirectory("graft_of_cko").toString
+    val ckF = java.nio.file.Files.createTempDirectory("graft_of_ckf").toString
+
+    // stage 1 of the composition: re-establish per-user seq order
+    def runOrdered(): Unit = {
+      val src = spark.readStream
+        .schema("user_id BIGINT, event_type STRING, ts_us BIGINT, seq BIGINT")
+        .parquet(feed).as[SeqEvent]
+      val q = OrderedReplay
+        .orderedBy[SeqEvent](src, e => e.user_id.toString, _.seq)
+        .toDF().writeStream.format("parquet").option("path", ordDir)
+        .option("checkpointLocation", ckO)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // stage 2: the funnel consumes the ordered channel
+    def runFunnel(): Unit = {
+      val src = spark.readStream
+        .schema("user_id BIGINT, event_type STRING, ts_us BIGINT, seq BIGINT")
+        .parquet(ordDir)
+        .select("user_id", "event_type", "ts_us")
+        .as[StreamingFunnel.FunnelEvent]
+      val q = StreamingFunnel.hits(src, steps).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckF)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    // scramble: every user's ODD-seq events land a full batch before
+    // their EVEN-seq ones — pure cross-batch disorder
+    events.filter(col("seq") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(feed)
+    runOrdered(); runFunnel()
+    events.filter(col("seq") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    runOrdered(); runFunnel()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = Funnel.firstCompletions(
+        events.drop("seq"), "user_id", "event_type", "ts_us", steps)
+      .select(col("user_id"),
+        explode(arrays_zip(
+          array((0 until steps.length).map(lit): _*),
+          array(col("t0"), col("t1"), col("t2")))).as("z"))
+      .select(col("user_id"), col("z.0").as("step"),
+        col("z.1").cast("long").as("ts_us"))
+      .filter(col("ts_us").isNotNull)
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
