@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Near-dup detection AT INGEST: the MinHash-LSH band index maintained as
+  * streaming keyed state, so duplicate pairs surface the microbatch the
+  * second copy arrives — instead of re-running batch dedup over the whole
+  * corpus. The expensive per-document work (shingling, K minhashes,
+  * banding — identical expressions to the batch operator) stays stateless
+  * and codegen'd; only the band BUCKET membership is stateful: each
+  * bucket's state maps doc_id → shingle set, a new arrival is verified by
+  * exact Jaccard against its bucket cohort, and pairs ≥ threshold are
+  * emitted once per colliding band (downstream dedups on (id1, id2) — at
+  * most BANDS copies).
+  *
+  * State is the same size the batch band join materializes (shingle sets
+  * per bucket), partitioned by bucket — dup clusters are small, so no
+  * bucket grows unbounded unless the corpus truly contains a giant
+  * near-dup class (the same pathological case the batch join has).
+  * Emitted pairs match the batch operator exactly: same banding, same
+  * exact-Jaccard verification, same HALF_UP 4-decimal rounding
+  * (StreamingDedupSpec pins set equality across a restart).
+  */
+object StreamingDedup {
+
+  case class BandDoc(bucket: String, doc_id: Long, shset: Array[String])
+  case class DupPair(id1: Long, id2: Long, j4: Double)
+  case class DocShingles(id: Long, shset: Array[String])
+  // state is a list, not a map: the state store's Avro encoding supports
+  // string-keyed maps only, and bucket cohorts are small (dup clusters)
+  case class BucketState(docs: Array[DocShingles])
+
+  /** Exact Jaccard on distinct-token arrays (mirrors
+    * TextFunctions.jaccard: |A∩B| / |A∪B|, empty union → 0). */
+  def jaccardExact(a: Array[String], b: Array[String]): Double = {
+    val (sa, sb) = (a.toSet, b.toSet)
+    val uni = (sa union sb).size
+    if (uni == 0) 0.0 else (sa intersect sb).size.toDouble / uni
+  }
+
+  /** Spark round(_, 4) twin: HALF_UP at 4 decimals. */
+  def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  class BucketProcessor(threshold: Double)
+      extends StatefulProcessor[String, BandDoc, DupPair] {
+
+    @transient private var st: ValueState[BucketState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BucketState]("bucket",
+        Encoders.product[BucketState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandDoc],
+                                 timerValues: TimerValues): Iterator[DupPair] = {
+      var docs = Option(st.get()).map(_.docs)
+        .getOrElse(Array.empty[DocShingles])
+      val out = Array.newBuilder[DupPair]
+      // doc_id order makes in-batch emissions deterministic; a redelivered
+      // doc_id is already present and compares against no one again
+      rows.toArray.sortBy(_.doc_id).foreach { r =>
+        if (!docs.exists(_.id == r.doc_id)) {
+          docs.foreach { d =>
+            val j = jaccardExact(d.shset, r.shset)
+            if (j >= threshold)
+              out += DupPair(math.min(d.id, r.doc_id),
+                math.max(d.id, r.doc_id), round4(j))
+          }
+          docs = docs :+ DocShingles(r.doc_id, r.shset)
+        }
+      }
+      st.update(BucketState(docs))
+      out.result().iterator
+    }
+  }
+
+  /** Stateless banding projection: (bucket, doc_id, shset) rows — the
+    * streaming twin of Dedup.bandRows with the shingle set carried along
+    * for in-bucket verification. */
+  def bandDocs(docs: DataFrame, textCol: String, idCol: String): Dataset[BandDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.shingles(col(textCol), 3)).as("shset"))
+      .select(col("doc_id"), col("shset"),
+        TextFunctions.tokenHashes(col("shset")).as("hs"))
+      .select(col("doc_id"), col("shset"),
+        TextFunctions.minhashSignatureFromHashes(col("hs"), Dedup.K).as("sig"))
+      .select(col("doc_id"), col("shset"), posexplode(
+        array((0 until Dedup.BANDS).map { b =>
+          concat_ws(":", (0 until Dedup.R).map(r =>
+            col("sig").getItem(b * Dedup.R + r)): _*)
+        }: _*)))
+      .select(concat(col("pos"), lit("|"), col("col")).as("bucket"),
+        col("doc_id"), col("shset"))
+      .as[BandDoc]
+  }
+
+  /** Streaming near-dup pairs (≤ BANDS duplicate emissions per pair —
+    * dropDuplicates downstream). Requires the RocksDB state store. */
+  def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                   threshold: Double): Dataset[DupPair] = {
+    implicit val enc = Encoders.product[DupPair]
+    bandDocs(docs, textCol, idCol)
+      .groupByKey(_.bucket)(Encoders.STRING)
+      .transformWithState(new BucketProcessor(threshold), TimeMode.None(),
+        OutputMode.Append())
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Streaming ingest-time near-dup detection over a split, restarted feed
+  * must surface exactly the batch operator's verified pairs (same
+  * banding, same Jaccard threshold, same rounding); redelivering the
+  * full corpus afterwards must emit nothing new.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed pairs ≡ batch minhash near-dups across a restart; redelivery silent") {
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), col("text"))
+    val feed = java.nio.file.Files.createTempDirectory("graft_sd_feed").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sd_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_ck").toString
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(feed)
+      val q = StreamingDedup.nearDupPairs(src, "text", "doc_id", 0.2).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    runOnce()
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(feed)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("id1", "id2", "j4").distinct() // ≤ BANDS copies per pair
+    val batch = Dedup.minhashNearDups(docs, "text", "doc_id", 0.2)
+      .select("id1", "id2", "j4")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed pair set diverged from the batch operator")
+
+    // full-corpus redelivery: every doc_id already in its buckets → silence
+    val before = spark.read.parquet(outDir).count()
+    docs.coalesce(1).write.mode("append").parquet(feed)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == before)
+  }
+}
