@@ -455,5 +455,28 @@ object ExtraQueries {
       Some("""SELECT event_id, user_id,
                      CAST(json_extract_string(props, '$.k') AS INT) AS k_prop
               FROM events"""),
-      "nested-struct scan with nested-field pruning (two leaves read, rest skipped)"))
+      "nested-struct scan with nested-field pruning (two leaves read, rest skipped)"),
+
+    // Exact mode per group with a DETERMINISTIC tiebreak (highest count,
+    // then lowest value — engine mode() builtins leave ties undefined, so
+    // both sides spell the rule out). Two map-side-combined aggregates.
+    Q("q_agg_mode",
+      (s, d) => {
+        val counts = t(s, d, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        counts.groupBy("o_orderstatus")
+          .agg(min_by(col("o_orderpriority"),
+              struct((-col("n")).as("nn"), col("o_orderpriority")))
+            .as("mode_priority"),
+            max(col("n")).as("mode_n"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority AS mode_priority,
+                     n AS mode_n
+              FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY n DESC, o_orderpriority) AS rn
+                    FROM orders GROUP BY o_orderstatus, o_orderpriority)
+              WHERE rn = 1"""),
+      "exact per-group mode with deterministic tiebreak (two-level aggregate)"))
 }
