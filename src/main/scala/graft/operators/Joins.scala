@@ -60,6 +60,24 @@ object Joins {
       .filter(col("__rn") === 1).drop("__rn", "__lrid")
   }
 
+  /** Forward as-of: for each left row, the EARLIEST right row at-or-after
+    * its timestamp (the "next maintenance/error/event" join — the mirror
+    * of [[asOf]]'s latest-at-or-before). Same shape: keyed equi-join +
+    * per-left-row window, unique left identity via the synthetic row id,
+    * nulls ordered last so `keepUnmatched` rows survive as rn=1. */
+  def asOfForward(left: DataFrame, right: DataFrame, leftKey: Column,
+                  rightKey: Column, leftTs: Column, rightTs: Column,
+                  tieBreak: Column, keepUnmatched: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("__lrid", monotonically_increasing_id())
+    val joinType = if (keepUnmatched) "left_outer" else "inner"
+    val joined = l.join(right, leftKey === rightKey && rightTs >= leftTs, joinType)
+    val w = Window.partitionBy(col("__lrid"))
+      .orderBy(rightTs.asc_nulls_last, tieBreak.asc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__lrid")
+  }
+
   /** The as-of join as a first-class physical operator (custom
     * LogicalPlan + SparkStrategy + SparkPlan — see
     * [[graft.plans.AsOfMergeJoinExec]]): both sides hash-clustered on the

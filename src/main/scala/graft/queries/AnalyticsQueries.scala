@@ -494,5 +494,67 @@ object AnalyticsQueries {
               UNION ALL
               SELECT 'ref:l_orderkey->o_orderkey', count(*)
               FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"""),
-      "declarative data-constraint report (unique / not-null / range / referential)"))
+      "declarative data-constraint report (unique / not-null / range / referential)"),
+
+    // Last-touch attribution: each purchase joined to the user's latest
+    // click at-or-before it (the backward as-of join on event streams);
+    // purchases with no preceding click survive with nulls.
+    Q("q_attribution",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"), col("ts_us").as("pts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id").as("cuid"),
+            col("ts_us").as("cts"))
+        graft.operators.Joins.asOf(p, c, col("user_id"), col("cuid"),
+            col("pts"), col("cts"), col("cid"), keepUnmatched = true)
+          .select("pid", "user_id", "pts", "cid", "cts")
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS pts
+                         FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS cid, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+                    FROM events WHERE event_type = 'click')
+              SELECT pid, user_id, pts, cid, cts FROM (
+                SELECT p.pid, p.user_id, p.pts, c.cid, c.cts,
+                  row_number() OVER (PARTITION BY p.pid
+                    ORDER BY c.cts DESC, c.cid DESC) AS rn
+                FROM p LEFT JOIN c
+                  ON p.user_id = c.user_id AND c.cts <= p.pts)
+              WHERE rn = 1"""),
+      "last-touch attribution: purchases to latest preceding click (backward as-of)"),
+
+    // Forward as-of: for each purchase, the user's EARLIEST error event
+    // at-or-after it — the time-to-failure join (mirror of the backward
+    // form; same keyed shape).
+    Q("q_join_asof_fwd",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"), col("ts_us").as("pts"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("eid"), col("user_id").as("euid"),
+            col("ts_us").as("ets"))
+        graft.operators.Joins.asOfForward(p, e, col("user_id"), col("euid"),
+            col("pts"), col("ets"), col("eid"), keepUnmatched = true)
+          .select("pid", "user_id", "pts", "eid", "ets")
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS pts
+                         FROM events WHERE event_type = 'purchase'),
+              e AS (SELECT event_id AS eid, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ets
+                    FROM events WHERE event_type = 'error')
+              SELECT pid, user_id, pts, eid, ets FROM (
+                SELECT p.pid, p.user_id, p.pts, e.eid, e.ets,
+                  row_number() OVER (PARTITION BY p.pid
+                    ORDER BY e.ets ASC, e.eid ASC) AS rn
+                FROM p LEFT JOIN e
+                  ON p.user_id = e.user_id AND e.ets >= p.pts)
+              WHERE rn = 1"""),
+      "forward as-of: purchases to earliest subsequent error (time-to-event)"))
 }
