@@ -371,7 +371,11 @@ object LlmQueries {
         val mse = (VectorFunctions.dot(e, e)
           - lit(2.0) * col("qs") * VectorFunctions.dot(e, qv)
           + col("qs") * col("qs") * VectorFunctions.dot(qv, qv)) / lit(Similarity.Dim)
-        qz.select(col("vec_id"), round(col("qs"), 9).as("qscale9"), qv,
+        // qvec is canonicalized to CSV text (same convention as
+        // q_agg_collect): the driver's compare sorts/hashes column values
+        // in pandas, which cannot sort raw array cells
+        qz.select(col("vec_id"), round(col("qs"), 9).as("qscale9"),
+          concat_ws(",", transform(qv, _.cast("string"))).as("qvec_csv"),
           round(mse, 12).as("mse12"))
       },
       Some(s"""WITH base AS (
@@ -381,7 +385,8 @@ object LlmQueries {
                  SELECT vec_id, e, qs,
                    ${VectorFunctions.duckQuantize("e", "qs")} AS qvec
                  FROM base)
-               SELECT vec_id, round(qs, 9) AS qscale9, qvec,
+               SELECT vec_id, round(qs, 9) AS qscale9,
+                 array_to_string(qvec, ',') AS qvec_csv,
                  round((list_dot_product(e, e)
                    - 2.0 * qs * list_dot_product(e, qvec::DOUBLE[])
                    + qs * qs * list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))
