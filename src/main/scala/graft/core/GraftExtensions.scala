@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rewrite: the md5-hex-conv idiom → the codegen'd expression
     ext.injectOptimizerRule(_ => graft.plans.Md5HexRewrite)
 
+    // optimizer rewrite: top-1-per-key row_number windows → min_by/max_by
+    // hash aggregates (no sort, map-side combine)
+    ext.injectOptimizerRule(_ => graft.plans.Top1WindowRewrite)
+
     // custom physical operator: the as-of zipper join (Joins.asOfMerge
     // also self-registers this per-session via experimental strategies)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

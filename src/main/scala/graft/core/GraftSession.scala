@@ -15,6 +15,10 @@ object GraftSession {
 
   /** Apply engine-wide conf to any builder (local or cluster). */
   def tuned(b: SparkSession.Builder): SparkSession.Builder = b
+    // the engine's Catalyst surface (custom SQL functions, the md5-hex
+    // and top-1-window rewrites, the as-of merge-join strategy) is part
+    // of every session, not an opt-in
+    .config("spark.sql.extensions", "graft.core.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

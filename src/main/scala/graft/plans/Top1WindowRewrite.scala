@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Catalyst optimizer rule: rewrite the top-1-per-key window idiom
+  *
+  *   SELECT ... FROM (SELECT *, row_number() OVER
+  *     (PARTITION BY k ORDER BY o) AS rn FROM t) WHERE rn = 1
+  *
+  * into a hash aggregate `GROUP BY k AGG min_by(struct(*), struct(o))`
+  * (max_by for descending windows).
+  *
+  * Why it matters at 100 TB: the window form sorts — Spark plans
+  * exchange + full sort of every row, and even the stock
+  * InferWindowGroupLimit improvement still local-sorts each map
+  * partition before the shuffle AND re-sorts after it. The aggregate
+  * form never sorts anything: partial min_by combines map-side (each
+  * task keeps ONE candidate row per key it sees), the shuffle carries
+  * O(distinct keys × map tasks) rows, and the final aggregate is a hash
+  * lookup. For the as-of-join shape (window keyed by a per-row id) it
+  * turns the dominant sort into a streaming-friendly hash aggregate.
+  *
+  * Fire conditions (all checked, else the plan is left alone):
+  *  - the Window computes exactly one expression: row_number() with the
+  *    standard ROWS UNBOUNDED PRECEDING..CURRENT ROW frame;
+  *  - the Filter keeps exactly rank 1 (`rn = 1`, `rn <= 1` or `rn < 2`,
+  *    possibly AND-ed with conjuncts that don't reference `rn` — those
+  *    stay as a residual filter);
+  *  - every sort key is deterministic and orderable, and all keys share
+  *    one direction with that direction's DEFAULT null ordering
+  *    (ASC NULLS FIRST → min_by, DESC NULLS LAST → max_by). Struct
+  *    ordering compares fields with nulls-smallest, which is exactly
+  *    those two defaults — non-default null placement can't be expressed
+  *    in a single struct key, so it is not rewritten;
+  *  - partition keys are deterministic.
+  *
+  * Tie semantics: row_number() on duplicate sort keys is already
+  * non-deterministic (partition-order-dependent); min_by/max_by picks an
+  * equally arbitrary row among ties, so the rewrite never narrows the
+  * contract. Queries wanting determinism order by a unique tiebreak
+  * (the registry convention), under which both forms agree exactly.
+  *
+  * Registered via [[graft.core.GraftExtensions]] (injectOptimizerRule);
+  * runs in the operator-optimization fixpoint, so by the time it fires,
+  * predicate pushdown has landed the rank filter directly on the Window.
+  * Verified value-identical against the unrewritten plan (rule excluded
+  * via spark.sql.optimizer.excludedRules) in Top1RewriteSpec, and
+  * plan-asserted on the registry in PlanShapeSpec.
+  */
+object Top1WindowRewrite extends Rule[LogicalPlan] {
+
+  /** rank-1 predicate forms against the row_number output attribute */
+  private def keepsRankOne(e: Expression, rn: Attribute): Boolean = e match {
+    case EqualTo(a: Attribute, IntegerLiteral(1)) => a.semanticEquals(rn)
+    case EqualTo(IntegerLiteral(1), a: Attribute) => a.semanticEquals(rn)
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(1)) => a.semanticEquals(rn)
+    case LessThan(a: Attribute, IntegerLiteral(2)) => a.semanticEquals(rn)
+    case GreaterThanOrEqual(IntegerLiteral(1), a: Attribute) => a.semanticEquals(rn)
+    case GreaterThan(IntegerLiteral(2), a: Attribute) => a.semanticEquals(rn)
+    case _ => false
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The standard row_number frame (the analyzer normalizes to this). */
+  private def isRowNumberFrame(frame: WindowFrame): Boolean = frame match {
+    case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+    case UnspecifiedFrame => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        w @ Window(Seq(Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(partSpec, orderSpec, frame)), _)), _, _, child, _))
+        if isRowNumberFrame(frame) && orderSpec.nonEmpty =>
+      val rnAttr = w.windowExpressions.head.toAttribute
+      val conjuncts = splitConjuncts(cond)
+      val (rankConds, residual) = conjuncts.partition(keepsRankOne(_, rnAttr))
+      val sameDirection =
+        orderSpec.forall(s => s.direction == Ascending && s.nullOrdering == NullsFirst) ||
+        orderSpec.forall(s => s.direction == Descending && s.nullOrdering == NullsLast)
+      val rewritable =
+        rankConds.nonEmpty &&
+        residual.forall(!_.references.contains(rnAttr)) &&
+        sameDirection &&
+        orderSpec.forall(s => s.child.deterministic &&
+          RowOrdering.isOrderable(s.child.dataType)) &&
+        partSpec.forall(_.deterministic)
+      if (!rewritable) f
+      else {
+        val valueStruct = CreateStruct(child.output)
+        val keyStruct = CreateStruct(orderSpec.map(_.child))
+        val pick: AggregateExpression =
+          (if (orderSpec.head.direction == Ascending) MinBy(valueStruct, keyStruct)
+           else MaxBy(valueStruct, keyStruct)).toAggregateExpression()
+        val top1 = Alias(pick, "__top1_row")()
+        val aggPlain = Aggregate(partSpec, Seq(top1), child)
+        // an UNGROUPED aggregate over empty input emits one all-null row
+        // where the window form emits none — filter the sentinel out
+        // (grouped aggregates only ever see non-empty groups)
+        val agg =
+          if (partSpec.nonEmpty) aggPlain
+          else Filter(IsNotNull(top1.toAttribute), aggPlain)
+        // re-expose the child's columns (same exprIds, so references above
+        // the old Filter resolve unchanged) plus rn as the literal 1
+        val fields = child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(top1.toAttribute, i, Some(a.name)), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        }
+        val rnOut = Alias(Literal(1, IntegerType), rnAttr.name)(
+          exprId = rnAttr.exprId, qualifier = rnAttr.qualifier)
+        val projected = Project(fields :+ rnOut, agg)
+        if (residual.isEmpty) projected
+        else Filter(residual.reduce(And), projected)
+      }
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Differential + plan-shape coverage for [[graft.plans.Top1WindowRewrite]]:
+  * every rewritable top-1 window shape must produce byte-identical results
+  * with the rule on and off (off = spark.sql.optimizer.excludedRules), and
+  * the rewritten plan must contain a partial min_by/max_by hash aggregate
+  * and no Window sort. Non-rewritable shapes must keep their Window.
+  */
+class Top1RewriteSpec extends SparkSpec {
+
+  private val RuleName = "graft.plans.Top1WindowRewrite"
+  private val Excluded = "spark.sql.optimizer.excludedRules"
+
+  /** Run `build` with the rule active and excluded; assert identical rows. */
+  private def differential(build: => DataFrame): DataFrame = {
+    val on = build
+    val onRows = on.collect().map(_.toString).sorted
+    val prev = spark.conf.getOption(Excluded)
+    spark.conf.set(Excluded, RuleName)
+    try {
+      val offRows = build.collect().map(_.toString).sorted
+      assert(onRows.toSeq == offRows.toSeq,
+        s"rule-on vs rule-off rows differ: ${onRows.take(3).toSeq} vs ${offRows.take(3).toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(Excluded, v)
+      case None => spark.conf.unset(Excluded)
+    }
+    on
+  }
+
+  private def assertRewritten(df: DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(!p.contains("windowspecdefinition"), s"window survived:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_max_by"),
+      s"no partial min_by/max_by aggregate:\n$p")
+  }
+
+  private def assertKeptWindow(df: DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("windowspecdefinition"), s"window was rewritten:\n$p")
+  }
+
+  private lazy val lineitem = graft.core.Tables.load(spark, sf0001, "lineitem")
+
+  test("desc top-1 per key rewrites and matches the window result") {
+    def q = {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("l_orderkey", "l_shipdate", "l_linenumber", "l_quantity")
+    }
+    assertRewritten(q)
+    val out = differential(q)
+    assert(out.count() == lineitem.select("l_orderkey").distinct().count())
+  }
+
+  test("asc top-1 per key rewrites (min_by) and matches") {
+    def q = {
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+    }
+    assertRewritten(q)
+    differential(q)
+  }
+
+  test("global top-1 (no partition) rewrites without a full sort") {
+    def q = {
+      val w = Window.orderBy(col("l_extendedprice").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    assertRewritten(q)
+    val out = differential(q)
+    assert(out.count() == 1)
+  }
+
+  test("global top-1 over EMPTY input emits zero rows (sentinel filtered)") {
+    def q = {
+      val w = Window.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      lineitem.filter(col("l_quantity") < -1)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    assertRewritten(q)
+    assert(differential(q).count() == 0)
+  }
+
+  test("rank-1 filter AND-ed with residual predicates keeps the residual") {
+    def q = {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+      lineitem.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("l_quantity") > 25)
+    }
+    assertRewritten(q)
+    val out = differential(q)
+    assert(out.collect().forall(_.getAs[Double]("l_quantity") > 25))
+  }
+
+  test("null order keys under desc-nulls-last match the window semantics") {
+    // left-join produces null right timestamps for unmatched keys — the
+    // exact as-of shape the rule accelerates
+    def q = {
+      val left = lineitem.select(col("l_orderkey").as("k"),
+        col("l_linenumber").as("ln")).limit(200)
+      val right = lineitem.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("k"), col("l_shipdate").as("ts"))
+      val j = left.join(right, Seq("k"), "left")
+      val w = Window.partitionBy("k", "ln").orderBy(col("ts").desc)
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    assertRewritten(q)
+    differential(q)
+  }
+
+  test("rn selected above the filter still resolves (literal 1)") {
+    def q = {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_shipdate").asc, col("l_linenumber").asc)
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("rn").as("rnk"))
+    }
+    assertRewritten(q)
+    val out = differential(q)
+    assert(out.collect().forall(_.getAs[Int]("rnk") == 1))
+  }
+
+  test("rn <= 5 is NOT rewritten") {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+    assertKeptWindow(
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5))
+  }
+
+  test("non-default null ordering is NOT rewritten") {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate").asc_nulls_last, col("l_linenumber").asc)
+    assertKeptWindow(
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
+  }
+
+  test("mixed sort directions are NOT rewritten") {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate").desc, col("l_linenumber").asc)
+    assertKeptWindow(
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
+  }
+
+  test("rank() (not row_number) is NOT rewritten") {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+    assertKeptWindow(
+      lineitem.withColumn("rn", rank().over(w)).filter(col("rn") === 1))
+  }
+
+  test("the as-of join now plans as a hash aggregate, not a window sort") {
+    val orders = graft.core.Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = lineitem.select(col("l_orderkey"), col("l_shipdate"),
+      col("l_linenumber"))
+    val j = graft.operators.Joins.asOf(li, orders,
+      col("l_orderkey"), col("o_orderkey"),
+      col("l_shipdate"), col("o_orderdate"), col("o_orderkey"))
+    assertRewritten(j)
+  }
+}
