@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{PortableHash, TextFunctions}
+
+/** Round-3 training-data-pipeline additions: corpus canonicalization,
+  * per-domain quota sampling, overlapping chunking, incremental (cross-
+  * snapshot) dedup, percentile quality gating, end-to-end near-dup
+  * removal, plus SQL-surface coverage (a TPC-H-Q3-style multi-join issued
+  * through spark.sql, cumulative-distribution windows). Reference scope:
+  * these extend the LLM surface beyond the reference engine (its pipeline
+  * ends at keyed stage functions, /root/reference/v1/src/main/java/Stream/
+  * Streamer.java:150-180) — they are the operations a 100 TB pretraining
+  * corpus build runs daily.
+  */
+object TrainQueries {
+  import PortableHash.MOD
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = Tables.load(s, dir, n)
+    if (n == "documents") Tables.ensureParallelism(df) else df
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** Normalized text: lowercase, non-alphanumeric runs collapsed to one
+    * space, trimmed. The canonical form every downstream dedup keys on. */
+  private def norm(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+  private def duckNorm(e: String): String =
+    s"trim(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'))"
+
+  /** Portable content hash of the normalized text (DuckDB twin of
+    * PortableHash.hashMod over the same normalization). */
+  private def duckNormHash(e: String): String =
+    s"(('0x' || substr(md5(${duckNorm(e)}), 1, 15))::BIGINT % $MOD)"
+
+  val DomainCap = 10      // per-source quota (docs kept per domain)
+  val ChunkSize = 24      // tokens per training chunk
+  val ChunkStride = 16    // chunk start stride (ChunkSize − overlap)
+
+  val all: Seq[Q] = Seq(
+
+    // ---------- text canonicalization ----------
+    // Pure per-row expressions — scales as a map over the corpus; the
+    // norm_hash column is the key every exact-dedup variant downstream
+    // joins on, computed once here at ingest.
+    Q("q_text_normalize",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        norm(col("text")).as("norm_text"),
+        (norm(col("text")) =!= col("text")).as("changed"),
+        PortableHash.hashMod(norm(col("text"))).as("norm_hash")),
+      Some(s"""SELECT doc_id, ${duckNorm("text")} AS norm_text,
+                 ${duckNorm("text")} <> text AS changed,
+                 ${duckNormHash("text")} AS norm_hash
+               FROM documents"""),
+      "text canonicalization (lower, collapse non-alnum, trim) + portable content hash"),
+
+    // ---------- per-domain quota sampling ----------
+    // Crawl corpora are dominated by a few hosts; capping docs-per-domain
+    // is the standard rebalance. Ranking key is a deterministic hash (not
+    // rand()), so the kept set is reproducible across engines and
+    // partitionings — the oracle checks the EXACT kept set. One shuffle
+    // by domain; the per-domain sort is bounded by the domain's row count.
+    Q("q_domain_cap",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(PortableHash.hashMod(col("doc_id").cast("string")).asc,
+            col("doc_id").asc)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= DomainCap)
+      },
+      Some(s"""SELECT doc_id, source, CAST(rnk AS INT) AS rnk
+               FROM (SELECT doc_id, source, row_number() OVER
+                       (PARTITION BY source ORDER BY
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $MOD,
+                         doc_id) AS rnk
+                     FROM documents)
+               WHERE rnk <= $DomainCap"""),
+      s"per-domain quota: keep $DomainCap docs per source, hash-ranked (reproducible)"),
+
+    // ---------- overlapping chunking ----------
+    // Context-window packing input: fixed-size token chunks with overlap
+    // (size 24, stride 16 ⇒ 8-token overlap). sequence+explode is a
+    // narrow, shuffle-free fan-out; chunk count scales with token count,
+    // never with corpus row count.
+    Q("q_chunk_overlap",
+      (s, d) => {
+        val toks = TextFunctions.tokens(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"), toks.as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), size(col("toks")) - 1,
+              lit(ChunkStride))).as("start"))
+          .select(col("doc_id"), (col("start") / ChunkStride).cast("int").as("chunk_idx"),
+            slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).as("n_tok"),
+            concat_ws(" ", col("chunk")).as("chunk_text"))
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, ${LlmQueries.duckTokens("text")} AS ts FROM documents),
+               starts AS (
+                 SELECT doc_id, ts, unnest(range(0, len(ts), $ChunkStride)) AS start
+                 FROM toks WHERE len(ts) > 0)
+               SELECT doc_id, CAST(start // $ChunkStride AS INT) AS chunk_idx,
+                 CAST(len(ts[start+1 : start+$ChunkSize]) AS INT) AS n_tok,
+                 array_to_string(ts[start+1 : start+$ChunkSize], ' ') AS chunk_text
+               FROM starts"""),
+      s"overlapping token chunks (size $ChunkSize stride $ChunkStride) via sequence+explode"),
+
+    // ---------- incremental (cross-snapshot) dedup ----------
+    // The daily-build shape: dedup a NEW batch against the existing
+    // corpus without re-scanning old-vs-old pairs. Existing side reduces
+    // to distinct content hashes (far smaller than the corpus); the anti
+    // join is a plain hash join on the hash — at 100 TB the hash set is
+    // the only thing that shuffles, and a bloom filter of it can prune
+    // the probe scan (runtime bloom injection is pinned on in
+    // GraftSession). Batch membership: doc_id % 5 = 0 stands in for the
+    // new snapshot.
+    Q("q_dedup_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), PortableHash.hashMod(norm(col("text"))).as("h"))
+        val existing = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("h")).distinct()
+        docs.filter(col("doc_id") % 5 === 0)
+          .join(existing, Seq("h"), "left_anti")
+          .select(col("doc_id"), col("h"))
+      },
+      Some(s"""WITH hashed AS (
+                 SELECT doc_id, ${duckNormHash("text")} AS h FROM documents)
+               SELECT doc_id, h FROM hashed n
+               WHERE n.doc_id % 5 = 0
+                 AND NOT EXISTS (SELECT 1 FROM hashed e
+                                 WHERE e.doc_id % 5 <> 0 AND e.h = n.h)"""),
+      "new-batch vs corpus dedup: anti-join on content hash (shuffle O(hash set))"),
+
+    // ---------- percentile quality gate ----------
+    // Keep documents at-or-above their language's 25th percentile of
+    // word count — per-group thresholds, not a global cutoff, so small
+    // languages aren't gutted by the dominant one's distribution. Two
+    // aggregates: per-lang exact interpolated percentile (broadcast back,
+    // O(langs) rows), then a map-side filter. No window over the corpus.
+    Q("q_quality_gate",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        val scored = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.nWords(col("text")).as("n_words"))
+        val thr = scored.groupBy("lang")
+          .agg(expr("percentile(n_words, 0.25)").as("thr"))
+        scored.join(broadcast(thr), Seq("lang"))
+          .filter(col("n_words") >= col("thr"))
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            round(col("thr"), 6).as("thr6"))
+      },
+      Some(s"""WITH scored AS (
+                 SELECT doc_id, lang, CAST(len(${LlmQueries.duckTokens("text")}) AS INT) AS n_words
+                 FROM documents),
+               thr AS (SELECT lang, quantile_cont(n_words, 0.25) AS thr
+                       FROM scored GROUP BY lang)
+               SELECT doc_id, scored.lang, n_words, round(thr, 6) AS thr6
+               FROM scored JOIN thr ON scored.lang = thr.lang
+               WHERE n_words >= thr"""),
+      "per-language p25 quality gate (group percentiles broadcast back; no corpus window)"),
+
+    // ---------- cumulative-distribution windows ----------
+    Q("q_win_cume",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"))
+          .withColumn("pr9", round(percent_rank().over(w), 9))
+          .withColumn("cd9", round(cume_dist().over(w), 9))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                round(percent_rank() OVER w, 9) AS pr9,
+                round(cume_dist() OVER w, 9) AS cd9
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_returnflag
+                           ORDER BY l_quantity, l_orderkey, l_linenumber)"""),
+      "percent_rank + cume_dist analytic windows (unique tiebreak ordering)"),
+
+    // ---------- SQL surface: TPC-H Q3-style shipping-priority join ----------
+    // Issued through spark.sql over registered views — the declarative
+    // path Catalyst optimizes end-to-end: the segment filter prunes
+    // customer before the join, AQE picks broadcast sides at runtime,
+    // revenue is the exact long-cents fixed point. Top-10 with a unique
+    // tiebreak so LIMIT is deterministic.
+    Q("q_sql_tpch3",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS revenue
+                 FROM customer JOIN orders ON c_custkey = o_custkey
+                   JOIN lineitem ON l_orderkey = o_orderkey
+                 WHERE c_mktsegment = 'BUILDING'
+                   AND o_orderdate < DATE '1998-01-01'
+                   AND l_shipdate > DATE '1998-01-01'
+                 GROUP BY l_orderkey, o_orderdate, o_orderpriority
+                 ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < DATE '1998-01-01'
+                AND l_shipdate > DATE '1998-01-01'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      "TPC-H Q3-style 3-way join via spark.sql (pushed filters, AQE join picks, top-10)")
+  )
+}
