@@ -111,7 +111,7 @@ object LlmQueries {
   /** The minhash CTE chain (sh → sig → bands → cand → pairs), reusable as
     * the head of a larger WITH list: q_dedup_minhash selects the verified
     * pairs; q_dedup_cc appends a recursive-closure CTE on top of them. */
-  private def duckMinhashCtes(threshold: Double): String = {
+  private[queries] def duckMinhashCtes(threshold: Double): String = {
     val sigCols = (0 until Dedup.K)
       .map(i => s"${duckMinhashSig("shset", i)} AS s$i").mkString(",\n    ")
     val bandSelects = (0 until Dedup.BANDS).map { b =>

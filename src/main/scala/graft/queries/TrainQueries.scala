@@ -143,6 +143,38 @@ object TrainQueries {
                                  WHERE e.doc_id % 5 <> 0 AND e.h = n.h)"""),
       "new-batch vs corpus dedup: anti-join on content hash (shuffle O(hash set))"),
 
+    // ---------- end-to-end near-dup removal ----------
+    // The full dedup pipeline applied: MinHash-LSH pairs → connected
+    // components → keep each cluster's canonical (minimum-id) member →
+    // anti-join the rest out of the corpus. Every stage is the scale
+    // shape proven by its standalone query (banded bucket join, O(log d)
+    // join rounds, hash anti-join); this entry pins their composition.
+    Q("q_dedup_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.minhashNearDups(
+          docs, "text", "doc_id", LlmQueries.NearDupJaccard).select("id1", "id2")
+        val cc = graft.operators.Connected.components(pairs)
+        val losers = cc.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        docs.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+      },
+      Some(s"""WITH RECURSIVE ${LlmQueries.duckMinhashCtes(LlmQueries.NearDupJaccard)},
+               edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                         UNION ALL SELECT id2, id1 FROM pairs),
+               reach AS (
+                 SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+               cc AS (SELECT u AS doc_id, min(v) AS cluster_id
+                      FROM reach GROUP BY u)
+               SELECT d.doc_id, d.source, d.lang FROM documents d
+               WHERE NOT EXISTS (SELECT 1 FROM cc
+                                 WHERE cc.doc_id = d.doc_id
+                                   AND cc.doc_id <> cc.cluster_id)"""),
+      "near-dup removal end-to-end: pairs → clusters → keep canonical → anti-join"),
+
     // ---------- percentile quality gate ----------
     // Keep documents at-or-above their language's 25th percentile of
     // word count — per-group thresholds, not a global cutoff, so small
