@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Overlapping fixed-size chunking of token arrays — the step that turns a
+  * cleaned corpus into context-window-sized training samples. Reference
+  * scope: beyond the reference engine (its value pipeline is scalar ints,
+  * /root/reference/v1/src/main/java/Stream/Streamer.java:150-180); part of
+  * the LLM-pipeline surface.
+  *
+  * Chunk starts are 0, stride, 2·stride, … while < token count; each chunk
+  * takes up to `size` tokens from its start (the tail chunk may be short).
+  * `sequence`+`explode` is a narrow fan-out — no shuffle, output scales
+  * with token count, never corpus row count, so a 100 TB corpus chunks as
+  * a pure map stage.
+  */
+object Chunking {
+
+  /** (id, chunk_idx, n_tok, chunk_text) per chunk; rows with empty token
+    * arrays produce no chunks. */
+  def overlapping(df: DataFrame, id: Column, toks: Column,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0,
+      s"size and stride must be positive, got size=$size stride=$stride")
+    df.select(id.as("id"), toks.as("toks"))
+      .filter(org.apache.spark.sql.functions.size(col("toks")) > 0)
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("toks")) - 1,
+          lit(stride))).as("start"))
+      .select(col("id"), (col("start") / stride).cast("int").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(size)).as("chunk"))
+      .select(col("id"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("chunk")).as("n_tok"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+}

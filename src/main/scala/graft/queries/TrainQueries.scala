@@ -91,20 +91,10 @@ object TrainQueries {
     // narrow, shuffle-free fan-out; chunk count scales with token count,
     // never with corpus row count.
     Q("q_chunk_overlap",
-      (s, d) => {
-        val toks = TextFunctions.tokens(col("text"))
-        t(s, d, "documents")
-          .select(col("doc_id"), toks.as("toks"))
-          .filter(size(col("toks")) > 0)
-          .select(col("doc_id"), col("toks"),
-            explode(sequence(lit(0), size(col("toks")) - 1,
-              lit(ChunkStride))).as("start"))
-          .select(col("doc_id"), (col("start") / ChunkStride).cast("int").as("chunk_idx"),
-            slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
-          .select(col("doc_id"), col("chunk_idx"),
-            size(col("chunk")).as("n_tok"),
-            concat_ws(" ", col("chunk")).as("chunk_text"))
-      },
+      (s, d) => graft.operators.Chunking.overlapping(
+          t(s, d, "documents"), col("doc_id"),
+          TextFunctions.tokens(col("text")), ChunkSize, ChunkStride)
+        .withColumnRenamed("id", "doc_id"),
       Some(s"""WITH toks AS (
                  SELECT doc_id, ${LlmQueries.duckTokens("text")} AS ts FROM documents),
                starts AS (

@@ -66,6 +66,33 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("overlapping chunker ≡ sequential sliding windows on random docs") {
+    for (_ <- 1 to 3) {
+      val size = 2 + rnd.nextInt(8)
+      val stride = 1 + rnd.nextInt(size) // stride ≤ size (overlapping or exact)
+      val docs = (0L until 30L).map { id =>
+        // lengths straddle the edge shapes: 0, < size, = size, exact
+        // multiples of stride, and long tails
+        val n = rnd.nextInt(4 * size)
+        id -> (0 until n).map(i => s"w${i}_$id")
+      }
+      val df = docs.toDF("doc_id", "toks")
+      val got = graft.operators.Chunking.overlapping(
+          df, col("doc_id"), col("toks"), size, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getInt(2), r.getString(3))).toMap
+      val want = docs.flatMap { case (id, ts) =>
+        Iterator.iterate(0)(_ + stride).takeWhile(_ < ts.length).zipWithIndex
+          .map { case (start, idx) =>
+            val chunk = ts.slice(start, start + size)
+            (id, idx) -> (chunk.length, chunk.mkString(" "))
+          }
+      }.toMap
+      assert(got == want, s"size=$size stride=$stride")
+    }
+  }
+
   test("forward fill ≡ sequential scan on random sparse series") {
     for (_ <- 1 to 3) {
       val days = (0 until 20).map(d => java.sql.Date.valueOf(

@@ -136,6 +136,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == 0, s"$n cached RDDs still registered after the action finished")
   }
 
+  test("q_quality_gate broadcasts the per-language thresholds — no corpus window") {
+    val p = plan("q_quality_gate").toLowerCase
+    assert(p.contains("broadcastexchange"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q_dedup_incremental anti-joins on the hash — no nested-loop, no cartesian") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_tpch3 pushes the segment filter into the customer scan") {
+    val p = plan("q_sql_tpch3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_chunk_overlap is a pure narrow fan-out — no join, no window") {
+    val p = plan("q_chunk_overlap").toLowerCase
+    assert(!p.contains("join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q_dedup_apply composes without any nested-loop or cartesian join") {
+    val p = plan("q_dedup_apply")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {
