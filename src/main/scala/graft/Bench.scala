@@ -24,7 +24,9 @@ object Bench {
     "q_text_stats", "q_media_features",
     "q_join_range_binned", "q_embed_quantize", "q_pipeline_llm",
     "q_dedup_cc", "q_text_tfidf", "q_merge_upsert",
-    "q_events_funnel", "q_anomaly_zscore", "q_pack_chunks", "q_star_join")
+    "q_events_funnel", "q_anomaly_zscore", "q_pack_chunks", "q_star_join",
+    "q_text_normalize", "q_domain_cap", "q_chunk_overlap",
+    "q_dedup_incremental", "q_quality_gate", "q_win_cume", "q_sql_tpch3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{OrderedReplay, PipelineSpec, StageRecord, StageSpec}
+
+/** ScalaCheck properties over the engine's pure kernels (the logic the
+  * streaming closures delegate to), checked on generated inputs the
+  * hand-written cases can't enumerate: arbitrary arrival orders, stale
+  * redeliveries, gap patterns, and malformed pipeline specs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private def rec(seq: Long): StageRecord = StageRecord("k", seq.toInt, seq)
+
+  // arrivals drawn from a window around the current nextSeq: stale seqs
+  // (< next), the contiguous run, gapped futures, and duplicates
+  private val arrivalsGen: Gen[(Long, List[Long])] = for {
+    next <- Gen.choose(0L, 50L)
+    n <- Gen.choose(0, 30)
+    seqs <- Gen.listOfN(n, Gen.choose(next - 10, next + 20))
+  } yield (next, seqs)
+
+  test("OrderedReplay.advance releases exactly the contiguous prefix, in order") {
+    check("prefix", Prop.forAll(arrivalsGen) { case (next, seqs) =>
+      val (st, out) = OrderedReplay.advance("k",
+        OrderedReplay.ReplayState(next, Map.empty), seqs.map(rec).iterator, 1L)
+      val fresh = seqs.filter(_ >= next).toSet
+      // expected release: walk next, next+1, … while present
+      val expected = Iterator.iterate(next)(_ + 1).takeWhile(fresh).toList
+      (out.map(_.seq) == expected) :| s"released ${out.map(_.seq)} want $expected" &&
+      (st.nextSeq == next + expected.size) :| "nextSeq advances by released count" &&
+      (st.pending.keySet == (fresh -- expected)) :| "pending = fresh minus released" &&
+      st.pending.keys.forall(_ >= st.nextSeq) :| "no stale seq parked in state"
+    })
+  }
+
+  test("OrderedReplay.advance over any batch split replays a permutation in full order") {
+    val splitGen: Gen[(Int, List[List[Long]])] = for {
+      n <- Gen.choose(1, 40)
+      perm <- Gen.const(scala.util.Random.shuffle((0L until n.toLong).toList))
+      cuts <- Gen.listOf(Gen.choose(0, n - 1))
+    } yield {
+      val points = (cuts.toSet + n).toList.sorted
+      val batches = (0 :: points).zip(points).map { case (a, b) => perm.slice(a, b) }
+      (n, batches)
+    }
+    check("split", Prop.forAll(splitGen) { case (n, batches) =>
+      var st = OrderedReplay.ReplayState(0L, Map.empty)
+      val out = List.newBuilder[Long]
+      batches.foreach { b =>
+        val (nst, o) = OrderedReplay.advance("k", st, b.map(rec).iterator, 1L)
+        st = nst; out ++= o.map(_.seq)
+      }
+      (out.result() == (0L until n.toLong).toList) :| "full in-order release" &&
+      (st.pending.isEmpty :| "no residue once every seq arrived")
+    })
+  }
+
+  test("OrderedReplay.advance drops redeliveries of already-released seqs") {
+    check("redelivery", Prop.forAll(Gen.choose(1L, 30L), Gen.choose(0, 10)) {
+      (n, redeliver) =>
+        // deliver 0..n-1, then redeliver a prefix — nothing new may emerge
+        val (st1, out1) = OrderedReplay.advance("k",
+          OrderedReplay.ReplayState(0L, Map.empty),
+          (0L until n).map(rec).iterator, 1L)
+        val (st2, out2) = OrderedReplay.advance("k", st1,
+          (0L until math.min(redeliver.toLong, n)).map(rec).iterator, 1L)
+        (out1.size.toLong == n) :| "first pass releases all" &&
+        out2.isEmpty :| "redelivery releases nothing" &&
+        st2.pending.isEmpty :| "redelivery leaves no state behind"
+    })
+  }
+
+  private val specGen: Gen[PipelineSpec] = for {
+    parts <- Gen.choose(-1, 4)
+    reps <- Gen.choose(-1, 3)
+    nStages <- Gen.choose(0, 4)
+    ops <- Gen.listOfN(nStages,
+      Gen.oneOf("adder", "power", "diff", "identity", "bogus"))
+    idxs <- Gen.oneOf[Seq[Int]](
+      0 until nStages,             // contiguous
+      1 to nStages,                // shifted (non-contiguous)
+      (0 until nStages).map(_ * 2) // gapped
+    )
+  } yield PipelineSpec("p", parts, reps,
+    idxs.zip(ops).map { case (i, op) => StageSpec(i, op) })
+
+  test("PipelineSpec.validate flags exactly the broken invariants") {
+    check("validate", Prop.forAll(specGen) { spec =>
+      val errs = PipelineSpec.validate(spec)
+      val wantPartErr = spec.partitions <= 0
+      val wantRepErr = spec.replicas <= 0
+      val wantEmptyErr = spec.stages.isEmpty
+      val wantOpErr = spec.stages.exists(s => !graft.functions.RefFunctions.knownOps(s.operation))
+      val idx = spec.stages.map(_.stage).sorted
+      val wantContigErr = idx.nonEmpty && idx != (0 to idx.max).toList
+      (errs.exists(_.contains("partition")) == wantPartErr) :| s"partition: $errs" &&
+      (errs.exists(_.contains("replica")) == wantRepErr) :| s"replica: $errs" &&
+      (errs.exists(_.contains("at least one stage")) == wantEmptyErr) :| s"empty: $errs" &&
+      (errs.exists(_.contains("unknown operation")) == wantOpErr) :| s"op: $errs" &&
+      (errs.exists(_.contains("contiguous")) == wantContigErr) :| s"contig: $errs" &&
+      ((errs.isEmpty) == (!wantPartErr && !wantRepErr && !wantEmptyErr &&
+        !wantOpErr && !wantContigErr)) :| s"clean specs validate clean: $errs"
+    })
+  }
+}
