@@ -213,6 +213,23 @@ object TrainQueries {
                            ORDER BY l_quantity, l_orderkey, l_linenumber)"""),
       "percent_rank + cume_dist analytic windows (unique tiebreak ordering)"),
 
+    // ---------- skew-robust two-phase distinct aggregation ----------
+    // COUNT(DISTINCT x) per key via expand-then-count: phase 1 groups by
+    // (key, x) — the pair cardinality shuffles, so one hot KEY spreads
+    // over every reducer instead of landing on one — phase 2 counts per
+    // key over the already-distinct pairs with map-side combine. This is
+    // the formulation that survives a hot key at 100 TB; the oracle is
+    // the plain COUNT(DISTINCT), pinning result-equivalence.
+    Q("q_agg_distinct_salted",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_suppkey").agg(count(lit(1)).as("__n"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_supp"), sum("__n").as("n_rows")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                count(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag"""),
+      "two-phase distinct count: pair-grouping spreads hot keys across reducers"),
+
     // ---------- SQL surface: TPC-H Q3-style shipping-priority join ----------
     // Issued through spark.sql over registered views — the declarative
     // path Catalyst optimizes end-to-end: the segment filter prunes

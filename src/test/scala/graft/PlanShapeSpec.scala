@@ -136,6 +136,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == 0, s"$n cached RDDs still registered after the action finished")
   }
 
+  test("q_join_asof plans as a hash aggregate — the top-1 window is rewritten away") {
+    val p = plan("q_join_asof").toLowerCase
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_max_by") || p.contains("partial_min_by"), p)
+  }
+
   test("q_quality_gate broadcasts the per-language thresholds — no corpus window") {
     val p = plan("q_quality_gate").toLowerCase
     assert(p.contains("broadcastexchange"), p)
