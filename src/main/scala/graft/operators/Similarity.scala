@@ -158,6 +158,42 @@ object Similarity {
       col("qcell") === col("ccell") && col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** IVF with MULTI-CELL probes (nprobe > 1): each query searches its
+    * `probes` highest-dot cells instead of only the best one — the
+    * standard IVF recall lever for queries near a cell boundary, whose
+    * true neighbors route to the runner-up cell. Corpus cost is
+    * unchanged (every corpus vector still lives in exactly one cell, so
+    * no candidate pair is generated twice); the query side grows by the
+    * probe factor, which is the cheap side. Query cell selection uses the
+    * bounded-buffer [[graft.functions.TopKAggregator]] — map-side
+    * combine, no window sort over the query×cells scores. */
+  def ivfProbeTopK(emb: DataFrame, queryPred: Column, k: Int,
+                   probes: Int = 2,
+                   maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val (cnt, qCnt) = sizes(emb, queryPred)
+    requireBroadcastable(qCnt, maxQueryRows)
+    val nCells = 1 << planesFor(cnt)
+    val seeds = sampleSeeds(emb, nCells)
+    val cellScored = emb.join(broadcast(seeds))
+      .withColumn("cdot", VectorFunctions.dot(col("embedding"), col("centroid")))
+    // corpus: argmax cell, ties to the lowest cell id (same as ivfTopK)
+    val corpus = cellScored.groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("cell"), struct(col("cdot"), (-col("cell")).as("nc"))).as("cell"))
+    // queries: top-`probes` cells by (cdot desc, cell asc), then fan out
+    val topCells = udaf(new graft.functions.TopKAggregator(probes))
+    val qAssigned = cellScored.filter(queryPred).groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        topCells(col("cdot"), col("cell")).as("cells"))
+      .select(col("vec_id"), col("embedding"), explode(col("cells")).as("pc"))
+      .select(col("vec_id"), col("embedding"), col("pc._2").as("cell"))
+    val q = asQuery(qAssigned, "cell" -> "qcell")
+    val c = asCorpus(corpus, "cell" -> "ccell")
+    topK(scored(broadcast(q), c,
+      col("qcell") === col("ccell") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** IVF with KMEANS-refined cells: the sample seeds are improved by
     * `kmIters` fixed-point Lloyd rounds ([[KMeans]]) before routing, so
     * cells track the data distribution instead of freezing at the sample —

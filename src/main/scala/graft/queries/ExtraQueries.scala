@@ -235,6 +235,52 @@ object ExtraQueries {
                WHERE rn <= ${LlmQueries.TopK}"""),
       "IVF-bucketed cosine top-k (cell id = bucketing key at scale)"),
 
+    Q("q_sim_topk_ivf_probe",
+      (s, d) => Similarity.ivfProbeTopK(t(s, d, "embeddings"),
+        col("vec_id") < LlmQueries.QueryVecs, LlmQueries.TopK, probes = 2),
+      // same cell structure as q_sim_topk_ivf; queries additionally probe
+      // their runner-up cell (crn <= 2) — the corpus assignment (crn = 1)
+      // is untouched, so no pair can be generated twice
+      Some(s"""WITH params AS (
+                 SELECT ${Similarity.duckCellsFor("cnt")} AS nc
+                 FROM (SELECT count(*) AS cnt FROM embeddings)),
+               seeds AS (
+                 SELECT vec_id AS cell, embedding AS centroid FROM (
+                   SELECT vec_id, embedding,
+                     row_number() OVER (ORDER BY
+                       ${graft.functions.PortableHash.duckHashMod("vec_id::VARCHAR")},
+                       vec_id) AS rn
+                   FROM embeddings)
+                 WHERE rn <= (SELECT nc FROM params)),
+               ranked AS (
+                 SELECT e.vec_id, e.embedding, s.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.embedding::DOUBLE[], s.centroid::DOUBLE[]) DESC,
+                              s.cell) AS crn
+                 FROM embeddings e CROSS JOIN seeds s),
+               corpus AS (
+                 SELECT vec_id, embedding, cell FROM ranked WHERE crn = 1),
+               probes AS (
+                 SELECT vec_id, embedding, cell FROM ranked
+                 WHERE crn <= 2 AND vec_id < ${LlmQueries.QueryVecs}),
+               scored AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                             sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) = 0
+                        THEN 0.0
+                        ELSE list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) END AS score
+                 FROM probes q JOIN corpus c
+                   ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+                      round(score, 6) AS score6
+               FROM (SELECT *, row_number() OVER
+                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+                     FROM scored)
+               WHERE rn <= ${LlmQueries.TopK}"""),
+      "IVF top-k with nprobe=2 (runner-up cell probed — recall at constant corpus cost)"),
+
     // CDC latest-wins merge: customer balances upserted by their orders'
     // totals — delta (orders) beats base (customer), latest order wins,
     // o_orderkey breaks same-timestamp ties so the winner is unique. The
