@@ -129,6 +129,12 @@ object TextFunctions {
     pick
   }
 
+  /** Canonical text normalization: lowercase, non-alphanumeric runs
+    * collapsed to one space, trimmed — the form exact-dedup keys on
+    * (oracle twin: TrainQueries.duckNorm). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Quality-scoring feature columns over a text column. */
   def nWords(text: Column): Column = size(tokens(text))
   def avgWordLen(text: Column): Column = {

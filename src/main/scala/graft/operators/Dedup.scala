@@ -33,6 +33,26 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Normalized-content hash per document — the incremental-dedup key. */
+  def contentHashes(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      PortableHash.hashMod(TextFunctions.normalize(col(textCol))).as("h"))
+
+  /** Cross-snapshot (incremental) dedup: keep the NEW documents whose
+    * normalized-content hash is absent from `existingHashes` (an `h`
+    * column — typically the distinct hashes of the standing corpus).
+    * Anti-join on the hash: at 100 TB only the hash set shuffles, and the
+    * runtime bloom filter can prune the probe scan. `newDocs` may be a
+    * STREAMING Dataset — the plan is a stateless projection plus a
+    * stream-static anti-join, so ingest-time dedup against yesterday's
+    * corpus is the same operator (StreamingIncrementalDedupSpec pins the
+    * equivalence). */
+  def incremental(newDocs: DataFrame, existingHashes: DataFrame,
+                  textCol: String, idCol: String): DataFrame =
+    contentHashes(newDocs, textCol, idCol)
+      .join(existingHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+
   /** doc_id + distinct word-3-gram shingle set (the near-dup unit).
     * Repartitions first: shingling+hashing cost ≫ shipping the raw text,
     * and single-file scans would otherwise run it on one task. */

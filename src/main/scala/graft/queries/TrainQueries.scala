@@ -27,10 +27,9 @@ object TrainQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
-  /** Normalized text: lowercase, non-alphanumeric runs collapsed to one
-    * space, trimmed. The canonical form every downstream dedup keys on. */
-  private def norm(c: org.apache.spark.sql.Column) =
-    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+  /** Normalized text (TextFunctions.normalize): lowercase, non-alphanumeric
+    * runs collapsed to one space, trimmed. */
+  private def norm(c: org.apache.spark.sql.Column) = TextFunctions.normalize(c)
   private def duckNorm(e: String): String =
     s"trim(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'))"
 
@@ -118,12 +117,11 @@ object TrainQueries {
     Q("q_dedup_incremental",
       (s, d) => {
         val docs = t(s, d, "documents")
-          .select(col("doc_id"), PortableHash.hashMod(norm(col("text"))).as("h"))
-        val existing = docs.filter(col("doc_id") % 5 =!= 0)
+        val existing = graft.operators.Dedup.contentHashes(
+            docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
           .select(col("h")).distinct()
-        docs.filter(col("doc_id") % 5 === 0)
-          .join(existing, Seq("h"), "left_anti")
-          .select(col("doc_id"), col("h"))
+        graft.operators.Dedup.incremental(
+          docs.filter(col("doc_id") % 5 === 0), existing, "text", "doc_id")
       },
       Some(s"""WITH hashed AS (
                  SELECT doc_id, ${duckNormHash("text")} AS h FROM documents)

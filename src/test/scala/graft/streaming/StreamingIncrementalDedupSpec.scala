@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Ingest-time incremental dedup: [[Dedup.incremental]] applied to a
+  * STREAMING batch of new documents against the standing corpus's static
+  * hash set must keep exactly the documents the batch operator keeps —
+  * the stream-static anti-join is the same plan, so yesterday's-corpus
+  * dedup runs at ingest with no extra operator.
+  */
+class StreamingIncrementalDedupSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("streaming new-batch dedup ≡ batch operator over the same documents") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+    val existing = Dedup.contentHashes(
+        docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+      .select(col("h")).distinct()
+
+    val want = Dedup.incremental(newDocs, existing, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty)
+
+    // the same new batch through a file stream, two files so the anti-join
+    // crosses a microbatch boundary under AvailableNow
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    newDocs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    newDocs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    val src = spark.readStream.schema(newDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = Dedup.incremental(src, existing, "text", "doc_id")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.table("inc_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"streaming kept ${got.size}, batch kept ${want.size}")
+  }
+}
