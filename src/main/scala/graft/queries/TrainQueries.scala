@@ -211,6 +211,49 @@ object TrainQueries {
                            ORDER BY l_quantity, l_orderkey, l_linenumber)"""),
       "percent_rank + cume_dist analytic windows (unique tiebreak ordering)"),
 
+    // ---------- SCD2 validity intervals from change events ----------
+    // Slowly-changing-dimension type 2: each user's value changes become
+    // [valid_from, valid_to) rows, the current row open-ended. One keyed
+    // window (lead over ts) — shuffle by the dimension key only, no
+    // global sort; the standard warehouse history-table build.
+    Q("q_scd2",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("event_id"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"),
+            round(col("value"), 6).as("value6"))
+      },
+      Some("""SELECT user_id, event_id, ts AS valid_from,
+                lead(ts) OVER w AS valid_to,
+                lead(ts) OVER w IS NULL AS is_current,
+                round(value, 6) AS value6
+              FROM events WHERE event_type = 'purchase'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""),
+      "SCD2 history build: change events to validity intervals (keyed lead window)"),
+
+    // ---------- join-strategy hint surface ----------
+    // The explicit-strategy escape hatch: SHUFFLE_HASH forces a hash join
+    // where sort-merge would be picked (right side too big to broadcast,
+    // but small enough to hash per partition — skips both sort passes).
+    // Result-invariance vs the plain join is the oracle; the plan pin
+    // lives in PlanShapeSpec.
+    Q("q_join_hinted",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority"""),
+      "SHUFFLE_HASH join hint (strategy control; result ≡ plain join)"),
+
     // ---------- skew-robust two-phase distinct aggregation ----------
     // COUNT(DISTINCT x) per key via expand-then-count: phase 1 groups by
     // (key, x) — the pair cardinality shuffles, so one hot KEY spreads

@@ -172,6 +172,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_join_hinted honors the SHUFFLE_HASH strategy hint") {
+    val p = plan("q_join_hinted")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_scd2 windows only per user — no global sort") {
+    val p = plan("q_scd2").toLowerCase
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(!p.contains("singlepartition"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {

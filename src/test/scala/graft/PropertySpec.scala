@@ -80,6 +80,27 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopKAggregator ≡ global sort-take under any partition/merge order") {
+    val gen = for {
+      k <- Gen.choose(1, 6)
+      n <- Gen.choose(0, 60)
+      // duplicate scores force the id tiebreak; duplicate ids are allowed
+      vals <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 8).map(_.toDouble), Gen.choose(0L, 20L)))
+      nSplits <- Gen.choose(1, 5)
+    } yield (k, vals, nSplits)
+    check("topk", Prop.forAll(gen) { case (k, vals, nSplits) =>
+      val agg = new graft.functions.TopKAggregator(k)
+      // reduce within random splits, then fold merges — the aggregate's
+      // distributed execution order
+      val parts = vals.zipWithIndex.groupBy(_._2 % nSplits)
+        .values.map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(parts.foldLeft(agg.zero)(agg.merge))
+      val want = vals.sortBy { case (s, id) => (-s, id) }.take(k)
+      (merged == want) :| s"got $merged want $want"
+    })
+  }
+
   private val specGen: Gen[PipelineSpec] = for {
     parts <- Gen.choose(-1, 4)
     reps <- Gen.choose(-1, 3)
