@@ -26,7 +26,8 @@ object Bench {
     "q_dedup_cc", "q_text_tfidf", "q_merge_upsert",
     "q_events_funnel", "q_anomaly_zscore", "q_pack_chunks", "q_star_join",
     "q_text_normalize", "q_domain_cap", "q_chunk_overlap",
-    "q_dedup_incremental", "q_quality_gate", "q_win_cume", "q_sql_tpch3")
+    "q_dedup_incremental", "q_quality_gate", "q_win_cume", "q_sql_tpch3",
+    "q_sim_topk_ivf_probe", "q_agg_distinct_salted", "q_scd2", "q_join_hinted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,8 +100,19 @@ object Bench {
       s"$workF/_ckpt", statePartitions = Some(2))
     val fusedSec = (System.nanoTime() - t2) / 1e9
 
+    // CONCURRENT channel topology: all stage queries live at once (the
+    // reference's process layout) — wall-clock ≈ slowest stage, not sum
+    val workC = java.nio.file.Files.createTempDirectory("graft_bench_conc").toString
+    val t3 = System.nanoTime()
+    graft.streaming.ProducerSim.batch(spark, 2, 100000)
+      .toDF().write.parquet(graft.streaming.StagePipeline.channelDir(workC, spec, 0))
+    graft.streaming.StagePipeline.runConcurrent(spark, spec, workC,
+      s"$workC/_ckpt", expectedRows = 100000, statePartitions = Some(2))
+    val concSec = (System.nanoTime() - t3) / 1e9
+
     val qs = (results :+ ("ref_workload_100k" -> Some(refSec))
         :+ ("ref_workload_100k_streaming" -> Some(streamSec))
+        :+ ("ref_workload_100k_streaming_concurrent" -> Some(concSec))
         :+ ("ref_workload_100k_streaming_fused" -> Some(fusedSec)))
       .map { case (k, v) =>
         "\"" + k + "\":" + v.map(d => f"$d%.3f").getOrElse("null") }

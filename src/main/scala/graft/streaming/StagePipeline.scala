@@ -76,6 +76,57 @@ object StagePipeline {
     } finally spark.conf.set(key, prev)
   }
 
+  /** CONCURRENT channel topology: every stage's query runs at once — the
+    * reference's actual deployment shape (its streamer processes all run
+    * simultaneously, `CreateBash.py:2-22`), and the latency answer the
+    * sequential [[runAvailable]] lacks: stage i+1 consumes stage i's
+    * committed microbatches while stage i is still producing, so pipeline
+    * wall-clock approaches the slowest stage instead of the sum of
+    * stages. Stage 0's input is static (AvailableNow drains it); later
+    * stages need a repeating trigger because their channels GROW while
+    * they run. Completion is observed at the END channel: the file sink's
+    * `_spark_metadata` log makes the polled batch count read committed
+    * files only, so the count is never torn. Every stage checkpoints
+    * independently — kill/restart semantics identical to [[runAvailable]]
+    * (same checkpoints, same channels). */
+  def runConcurrent(spark: SparkSession, spec: PipelineSpec, root: String,
+                    checkpointRoot: String, expectedRows: Long,
+                    useTws: Boolean = true,
+                    statePartitions: Option[Int] = None,
+                    timeoutMs: Long = 300000L): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    val stages = PipelineSpec.validated(spec).orderedStages
+    val queries = try stages.map { st =>
+      val in = fileSource(spark, channelDir(root, spec, st.stage))
+      val out =
+        if (useTws) KeyedStage.stageStream(in, st.operation)
+        else KeyedStage.stageStreamFMG(in, st.operation)
+      val w = out.select("key", "value", "seq")
+        .writeStream.format("parquet")
+        .option("path", channelDir(root, spec, st.stage + 1))
+        .option("checkpointLocation", s"$checkpointRoot/stage_${st.stage}")
+        .outputMode("append")
+      (if (st.stage == stages.head.stage) w.trigger(Trigger.AvailableNow())
+       else w.trigger(Trigger.ProcessingTime("100 milliseconds"))).start()
+    } finally spark.conf.set(key, prev)
+    val endDir = channelDir(root, spec, stages.last.stage + 1)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var done = false
+    try {
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        queries.find(q => !q.isActive && q.exception.isDefined)
+          .foreach(q => throw q.exception.get)
+        val n = try spark.read.parquet(endDir).count()
+          catch { case _: Throwable => -1L } // END channel not created yet
+        done = n >= expectedRows
+      }
+    } finally queries.foreach(_.stop())
+    require(done, s"pipeline did not reach $expectedRows END rows in ${timeoutMs}ms")
+  }
+
   /** Stage FUSION: every stage chained operator-to-operator inside ONE
     * streaming query — one checkpoint, one source scan, no intermediate
     * channels (Spark 4 supports multiple `transformWithState` operators

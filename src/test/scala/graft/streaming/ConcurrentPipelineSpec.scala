@@ -1,0 +1,38 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Concurrent channel topology: all stages' streaming queries live at
+  * once (the reference's process layout), downstream stages consuming
+  * committed microbatches while upstream still produces. END output must
+  * equal the sequential channel pipeline's — same channels, same
+  * checkpointing contract, only the scheduling overlaps.
+  */
+class ConcurrentPipelineSpec extends SparkSpec {
+
+  test("concurrent stage queries ≡ sequential channel pipeline") {
+    val spec = PipelineSpec("conc", 2, 1, Seq(
+      StageSpec(0, "adder"), StageSpec(1, "adder"), StageSpec(2, "adder")))
+    val n = 5000
+    // sequential reference
+    val workA = java.nio.file.Files.createTempDirectory("graft_conc_seq").toString
+    ProducerSim.batch(spark, 2, n).toDF()
+      .write.parquet(StagePipeline.channelDir(workA, spec, 0))
+    StagePipeline.runAvailable(spark, spec, workA, s"$workA/_ck",
+      useTws = true, statePartitions = Some(2))
+    val want = spark.read.parquet(StagePipeline.channelDir(workA, spec, 3))
+
+    // concurrent run over identical input
+    val workB = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    ProducerSim.batch(spark, 2, n).toDF()
+      .write.parquet(StagePipeline.channelDir(workB, spec, 0))
+    StagePipeline.runConcurrent(spark, spec, workB, s"$workB/_ck",
+      expectedRows = n, statePartitions = Some(2))
+    val got = spark.read.parquet(StagePipeline.channelDir(workB, spec, 3))
+
+    assert(got.count() == n)
+    val a = want.select("key", "value", "seq")
+    val b = got.select("key", "value", "seq")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
