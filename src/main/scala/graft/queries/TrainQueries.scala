@@ -211,6 +211,38 @@ object TrainQueries {
                            ORDER BY l_quantity, l_orderkey, l_linenumber)"""),
       "percent_rank + cume_dist analytic windows (unique tiebreak ordering)"),
 
+    // ---------- top-1-per-key (written as a window, executed as an
+    // aggregate) ----------
+    // The user writes the standard row_number()=1 idiom; Top1WindowRewrite
+    // compiles it to a sort-free min_by/max_by hash aggregate (plan pinned
+    // in Top1RewriteSpec/PlanShapeSpec). The oracle runs the same window
+    // SQL in DuckDB — result-identity across the rewrite is exactly what
+    // this entry checks.
+    Q("q_win_top1",
+      (s, d) => {
+        // l_quantity joins the tiebreak chain: the synthetic lineitem has
+        // duplicate (orderkey, linenumber) pairs, so rows tying on all
+        // three sort keys are value-identical and any pick hashes equal
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_shipdate").desc, col("l_linenumber").desc,
+            col("l_quantity").desc)
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            col("l_quantity"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+              FROM (SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity,
+                      row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                 l_quantity DESC) AS rn
+                    FROM lineitem)
+              WHERE rn = 1"""),
+      "latest row per key: row_number()=1 window, rewritten to a max_by hash aggregate"),
+
     // ---------- SCD2 validity intervals from change events ----------
     // Slowly-changing-dimension type 2: each user's value changes become
     // [valid_from, valid_to) rows, the current row open-ended. One keyed

@@ -35,4 +35,32 @@ class ConcurrentPipelineSpec extends SparkSpec {
     val b = got.select("key", "value", "seq")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("concurrent pipeline killed mid-flight resumes to a complete, exact END channel") {
+    val spec = PipelineSpec("conckill", 2, 1, Seq(
+      StageSpec(0, "adder"), StageSpec(1, "adder"), StageSpec(2, "adder")))
+    val n = 5000
+    val work = java.nio.file.Files.createTempDirectory("graft_conc_kill").toString
+    ProducerSim.batch(spark, 2, n).toDF()
+      .write.parquet(StagePipeline.channelDir(work, spec, 0))
+    // first attempt with a timeout short enough to usually interrupt the
+    // downstream stages mid-stream ("crash": queries stopped, checkpoints
+    // and committed channel files left behind)
+    val interrupted =
+      try {
+        StagePipeline.runConcurrent(spark, spec, work, s"$work/_ck",
+          expectedRows = n, statePartitions = Some(2), timeoutMs = 1500)
+        false
+      } catch { case _: IllegalArgumentException => true }
+    // resume: same channels, same checkpoints — must complete exactly
+    StagePipeline.runConcurrent(spark, spec, work, s"$work/_ck",
+      expectedRows = n, statePartitions = Some(2))
+    val end = spark.read.parquet(StagePipeline.channelDir(work, spec, 3))
+    assert(end.count() == n, s"END rows after resume (interrupted=$interrupted)")
+    // adder×3 ⇒ value = seq + 3 for every record, exactly once
+    import spark.implicits._
+    val bad = end.select("key", "value", "seq").as[StageRecord]
+      .collect().filter(r => r.value != r.seq + 3)
+    assert(bad.isEmpty, s"wrong values after resume: ${bad.take(3).toSeq}")
+  }
 }
