@@ -27,7 +27,8 @@ object Bench {
     "q_events_funnel", "q_anomaly_zscore", "q_pack_chunks", "q_star_join",
     "q_text_normalize", "q_domain_cap", "q_chunk_overlap",
     "q_dedup_incremental", "q_quality_gate", "q_win_cume", "q_sql_tpch3",
-    "q_sim_topk_ivf_probe", "q_agg_distinct_salted", "q_scd2", "q_join_hinted")
+    "q_sim_topk_ivf_probe", "q_agg_distinct_salted", "q_scd2", "q_join_hinted",
+    "q_win_top1")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

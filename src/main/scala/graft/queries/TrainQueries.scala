@@ -303,6 +303,73 @@ object TrainQueries {
               FROM lineitem GROUP BY l_returnflag"""),
       "two-phase distinct count: pair-grouping spreads hot keys across reducers"),
 
+    // ---------- percentile winsorization (outlier clipping) ----------
+    // Per-group p05/p95 clip — the standard numeric-cleaning move before
+    // aggregation/training. Same scale shape as the quality gate: one
+    // tiny per-group percentile aggregate broadcast back, then a pure
+    // map — the data itself never shuffles.
+    Q("q_clip_outliers",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"))
+        val thr = li.groupBy("l_returnflag").agg(
+          expr("percentile(l_extendedprice, 0.05)").as("lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        li.join(broadcast(thr), Seq("l_returnflag"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 6)
+              .as("clipped6"),
+            (col("l_extendedprice") < col("lo") ||
+              col("l_extendedprice") > col("hi")).as("was_clipped"))
+      },
+      Some("""WITH thr AS (
+                SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.05) AS lo,
+                  quantile_cont(l_extendedprice, 0.95) AS hi
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_orderkey, l_linenumber, l.l_returnflag,
+                round(least(greatest(l_extendedprice, lo), hi), 6) AS clipped6,
+                (l_extendedprice < lo OR l_extendedprice > hi) AS was_clipped
+              FROM lineitem l JOIN thr ON l.l_returnflag = thr.l_returnflag"""),
+      "per-group p05/p95 winsorization (thresholds broadcast back; data never shuffles)"),
+
+    // ---------- linear multi-touch attribution ----------
+    // Every click in the 7 days before a purchase shares the credit
+    // equally (1/n). The join is keyed by user with a time-range
+    // predicate — per-user pair counts are bounded by activity, never the
+    // corpus; credit normalization is a per-purchase window (keyed by
+    // pid, no global sort).
+    Q("q_attribution_multi",
+      (s, d) => {
+        val W = 7L * 86400L * 1000000L // 7-day lookback in microseconds
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"), col("ts_us").as("pts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id").as("cuid"),
+            col("ts_us").as("cts"))
+        val w = Window.partitionBy("pid")
+        p.join(c, col("user_id") === col("cuid") &&
+            col("cts") <= col("pts") && col("cts") > col("pts") - W)
+          .withColumn("credit9",
+            round(lit(1.0) / count(lit(1)).over(w), 9))
+          .select(col("pid"), col("user_id"), col("cid"), col("credit9"))
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS pts
+                         FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS cid, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+                    FROM events WHERE event_type = 'click')
+              SELECT pid, p.user_id, cid,
+                round(1.0 / (count(*) OVER (PARTITION BY pid)), 9) AS credit9
+              FROM p JOIN c
+                ON p.user_id = c.user_id
+               AND c.cts <= p.pts AND c.cts > p.pts - 604800000000"""),
+      "linear multi-touch attribution: 7-day window clicks share credit 1/n"),
+
     // ---------- SQL surface: TPC-H Q3-style shipping-priority join ----------
     // Issued through spark.sql over registered views — the declarative
     // path Catalyst optimizes end-to-end: the segment filter prunes

@@ -183,6 +183,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("singlepartition"), p)
   }
 
+  test("q_clip_outliers broadcasts thresholds — the data never shuffles") {
+    val p = plan("q_clip_outliers").toLowerCase
+    assert(p.contains("broadcastexchange"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q_attribution_multi joins on the user key — range is a residual filter") {
+    val p = plan("q_attribution_multi")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {
