@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The library's front door: one import surfaces every operator family.
+  *
+  * {{{
+  *   import graft.Graft
+  *   val spark = Graft.session()                  // tuned local session
+  *   val dups  = Graft.dedup.minhashNearDups(docs, "text", "doc_id", 0.2)
+  *   val knn   = Graft.similarity.lshTopK(emb, col("vec_id") < 16, 10)
+  *   val top   = Graft.joins.asOfMerge(trades, quotes, "sym", "sym", "t", "t", "qid")
+  * }}}
+  *
+  * Everything here delegates to the operator objects (no logic of its
+  * own); `spark.sql` users get the same engine via the SQL functions and
+  * optimizer rules `GraftExtensions` registers in every tuned session.
+  * A user of the reference engine (edoardoramalli/KafkaStreamer) maps
+  * its surface as: XML pipeline → [[pipelines]] (`PipelineSpec.fromXml`,
+  * `StagePipeline`), streamer stage functions → `functions.RefFunctions`,
+  * state topics → checkpoints (`streaming` runners), queries → the
+  * DataFrame API plus these operators.
+  */
+object Graft {
+
+  /** Tuned SparkSession (AQE, runtime bloom filters, RocksDB state store,
+    * engine extensions) — [[graft.core.GraftSession.local]]. */
+  def session(appName: String = "graft",
+              cores: Int = Runtime.getRuntime.availableProcessors(),
+              shufflePartitions: Int = 32): SparkSession =
+    core.GraftSession.local(appName, cores, shufflePartitions)
+
+  /** Exact, MinHash-LSH, SimHash, n-gram, embedding and incremental
+    * dedup. */
+  def dedup: operators.Dedup.type = operators.Dedup
+
+  /** Near-dup pairs → clusters (connected components). */
+  def clusters: operators.Connected.type = operators.Connected
+
+  /** ANN search: brute-force, sign-LSH (single/multi-probe), IVF
+    * (flat / kmeans-refined / multi-probe), quantized first-pass. */
+  def similarity: operators.Similarity.type = operators.Similarity
+
+  /** As-of (windowed and merge-join physical), salted, binned-range. */
+  def joins: operators.Joins.type = operators.Joins
+
+  /** Overlapping token chunking for context-window packing. */
+  def chunking: operators.Chunking.type = operators.Chunking
+
+  /** Token-budget sequence packing. */
+  def packing: operators.Packing.type = operators.Packing
+
+  /** Hash-mod and stratified sampling. */
+  def sampling: operators.Sampling.type = operators.Sampling
+
+  /** Declarative data-constraint checking. */
+  def constraints: operators.Constraints.type = operators.Constraints
+
+  /** CDC latest-wins upsert. */
+  def cdc: operators.Cdc.type = operators.Cdc
+
+  /** Calendar gap-fill + forward fill. */
+  def gapfill: operators.GapFill.type = operators.GapFill
+
+  /** Ordered event funnels. */
+  def funnels: operators.Funnel.type = operators.Funnel
+
+  /** Multimodal plumbing: binary payloads, decode/resize stubs, frame
+    * fan-out (codec calls are the stub boundary — see Multimodal docs). */
+  def media: operators.Multimodal.type = operators.Multimodal
+
+  /** Reference-compatible pipeline model: XML loading, validation, topic
+    * planning, and the channel/concurrent/fused streaming runners. */
+  def pipelines: streaming.StagePipeline.type = streaming.StagePipeline
+
+  /** Cross-batch per-key FIFO re-establishment. */
+  def orderedReplay: streaming.OrderedReplay.type = streaming.OrderedReplay
+
+  /** The full oracle-backed query registry (name → builder) — the
+    * executable catalog of every declared operator. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SparkEntry.queries
+
+  /** Convenience re-exports of the custom Catalyst columns. */
+  def md5Hash60(c: Column): Column = functions.PortableHash.hashMod(c)
+  def normalizeText(c: Column): Column = functions.TextFunctions.normalize(c)
+}

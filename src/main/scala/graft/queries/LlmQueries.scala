@@ -713,5 +713,23 @@ object LlmQueries {
                 CAST((strlen(text) * 7) % 480 + 1 AS INT) AS height,
                 CAST(strlen(text) % 30 + 1 AS INT) AS n_frames
               FROM documents"""),
-      "multimodal decode via partition-parallel mapPartitions (stubbed codec)"))
+      "multimodal decode via partition-parallel mapPartitions (stubbed codec)"),
+
+    // Frame fan-out: every stride-th fixed window of the payload becomes a
+    // frame row — the flatMap layout per-frame ops need. The oracle
+    // reproduces the window arithmetic over the byte length (payload is
+    // the UTF-8 text, ASCII in this corpus, so strlen = byte count — the
+    // same equivalence every media oracle here already leans on).
+    Q("q_media_frames",
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.toMedia(t(s, d, "documents")), frameBytes = 64, stride = 4)
+        .toDF().select(col("doc_id"), col("frame_idx"), col("offset"),
+          length(col("frame")).as("n_bytes")),
+      Some("""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                CAST(i * 256 AS BIGINT) AS offset,
+                CAST(least(i * 256 + 64, n) - i * 256 AS INT) AS n_bytes
+              FROM (SELECT doc_id, strlen(text) AS n,
+                      unnest(range(0, strlen(text) // 256)) AS i
+                    FROM documents)"""),
+      "video frame sampling: payload windows fan out to frame rows (flatMap shape)"))
 }
