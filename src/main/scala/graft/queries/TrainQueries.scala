@@ -286,6 +286,50 @@ object TrainQueries {
               GROUP BY o_orderpriority"""),
       "SHUFFLE_HASH join hint (strategy control; result ≡ plain join)"),
 
+    // ---------- outer generate (explode_outer) ----------
+    // The generator edge case that silently drops rows in the plain form:
+    // documents with NO tokens survive explode_outer with a null token.
+    // Narrow fan-out, no shuffle — same scale shape as the chunker.
+    Q("q_explode_outer",
+      (s, d) => {
+        val toks = TextFunctions.tokens(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            // first 3 tokens only: bounds the fan-out and exercises slice
+            slice(filter(toks, w => length(w) >= 8), 1, 3).as("longtoks"))
+          .select(col("doc_id"), explode_outer(col("longtoks")).as("tok"))
+      },
+      Some(s"""SELECT doc_id, unnest(
+                 CASE WHEN len(lt) = 0 THEN [NULL]
+                      ELSE lt END) AS tok
+               FROM (SELECT doc_id,
+                       list_filter(${LlmQueries.duckTokens("text")},
+                         w -> strlen(w) >= 8)[1:3] AS lt
+                     FROM documents)"""),
+      "explode_outer: empty-array rows survive with a null element (outer generate)"),
+
+    // ---------- grouping_id over grouping sets ----------
+    // Disambiguates which grouping set produced each row — the column
+    // BI layers key on when consuming rollup output (a null group value
+    // is otherwise ambiguous with a null data value).
+    Q("q_agg_groupingid",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                   CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+                   count(*) AS n, sum(l_quantity) AS sum_qty
+                 FROM lineitem
+                 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                         (l_returnflag), ())""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+                count(*) AS n, sum(l_quantity) AS sum_qty
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                      (l_returnflag), ())"""),
+      "grouping_id disambiguation over grouping sets"),
+
     // ---------- skew-robust two-phase distinct aggregation ----------
     // COUNT(DISTINCT x) per key via expand-then-count: phase 1 groups by
     // (key, x) — the pair cardinality shuffles, so one hot KEY spreads

@@ -158,6 +158,31 @@ class Top1RewriteSpec extends SparkSpec {
       lineitem.withColumn("rn", rank().over(w)).filter(col("rn") === 1))
   }
 
+  test("randomized differential: rule-on ≡ rule-off on generated tables") {
+    val rnd = new scala.util.Random(424242L)
+    for (trial <- 1 to 8) {
+      val nKeys = 1 + rnd.nextInt(20)
+      val n = 50 + rnd.nextInt(300)
+      // unique (a, b) tiebreak chain so both plans are deterministic;
+      // c carries nulls to exercise the null-ordering path
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(10), i,
+          if (rnd.nextBoolean()) Some(rnd.nextInt(5)) else None)
+      }
+      import spark.implicits._
+      val df = rows.toDF("k", "a", "b", "c")
+      val desc = rnd.nextBoolean()
+      def q = {
+        val ord = if (desc) Seq(col("c").desc, col("a").desc, col("b").desc)
+                  else Seq(col("c").asc, col("a").asc, col("b").asc)
+        val w = Window.partitionBy("k").orderBy(ord: _*)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      }
+      assertRewritten(q)
+      differential(q)
+    }
+  }
+
   test("the as-of join now plans as a hash aggregate, not a window sort") {
     val orders = graft.core.Tables.load(spark, sf0001, "orders")
       .select(col("o_orderkey"), col("o_orderdate"))
