@@ -308,6 +308,27 @@ object TrainQueries {
                      FROM documents)"""),
       "explode_outer: empty-array rows survive with a null element (outer generate)"),
 
+    // ---------- semi-structured VARIANT (Spark 4) ----------
+    // parse_json once into the binary VARIANT encoding, then typed path
+    // extraction — the scale answer to repeated get_json_object string
+    // re-parsing (each extraction re-tokenizes the JSON text; VARIANT
+    // parses once and navigates an indexed binary form). try_variant_get
+    // covers the missing-path/typed-miss contract.
+    Q("q_json_variant",
+      (s, d) => {
+        val v = parse_json(col("props"))
+        t(s, d, "events").select(col("event_id"),
+          variant_get(v, "$.k", "int").as("k_var"),
+          try_variant_get(v, "$.missing", "int").as("k_missing"),
+          is_variant_null(variant_get(v, "$.k", "variant")).as("k_isnull"))
+      },
+      Some("""SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k_var,
+                CAST(NULL AS INT) AS k_missing,
+                false AS k_isnull
+              FROM events"""),
+      "VARIANT semi-structured path: parse once, typed binary extraction"),
+
     // ---------- grouping_id over grouping sets ----------
     // Disambiguates which grouping set produced each row — the column
     // BI layers key on when consuming rollup output (a null group value
