@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's message generator (`Producer.java:13-95`) as a
+  * first-class DataSource V2 table:
+  *
+  * {{{
+  *   spark.read.format("graft-producer")
+  *     .option("total", 100000).option("partitions", 2).load()
+  * }}}
+  *
+  * Row i ∈ [0, total): key = "Key" + (i % partitions), value = i,
+  * seq = i — bit-identical to `ProducerSim.batch` (pinned in
+  * ProducerSourceSpec), but produced through the connector API, so the
+  * generator behaves like any external table at scale:
+  *
+  *  - `slices` input partitions generated independently on executors —
+  *    no driver materialization, no shuffle; parallelism is a read
+  *    option exactly like a real connector's split count;
+  *  - COLUMN PRUNING pushed into the reader (a `select("seq")` never
+  *    builds key strings — the expensive part of the row);
+  *  - LIMIT pushdown caps generation at the source (a `.limit(k)` probe
+  *    of a trillion-row spec generates k rows, not the spec).
+  *
+  * Batch-only by design: the streaming twin is the `rate` source wiring
+  * in [[graft.streaming.ProducerSim.stream]] (pacing belongs to the
+  * engine's rate limiter, not a custom MicroBatchStream).
+  */
+class ProducerDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-producer"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ProducerTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ProducerTable(new CaseInsensitiveStringMap(properties))
+}
+
+object ProducerTable {
+  val Schema: StructType = new StructType()
+    .add("key", StringType, nullable = false)
+    .add("value", IntegerType, nullable = false)
+    .add("seq", LongType, nullable = false)
+}
+
+class ProducerTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val total = options.getLong("total", graft.streaming.ProducerSim.DefaultTotal)
+  private val partitions = options.getInt("partitions", 2)
+  private val slices = options.getInt("slices", 8)
+  require(total >= 0 && partitions > 0 && slices > 0,
+    s"graft-producer: total=$total partitions=$partitions slices=$slices")
+
+  override def name(): String = s"graft-producer($total,$partitions)"
+  override def schema(): StructType = ProducerTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ProducerScanBuilder(total, partitions, slices)
+}
+
+class ProducerScanBuilder(total: Long, partitions: Int, slices: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+  private var required: StructType = ProducerTable.Schema
+  private var limit: Long = total
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushLimit(l: Int): Boolean = { limit = math.min(limit, l); true }
+  override def build(): Scan =
+    ProducerScan(math.min(total, limit), partitions, slices, required)
+}
+
+case class ProducerScan(total: Long, partitions: Int, slices: Int,
+                        required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-producer total=$total partitions=$partitions cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (total + slices - 1) / slices)
+    (0L until total by per)
+      .map(s => ProducerRange(s, math.min(s + per, total)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ProducerReaderFactory(partitions, required.fieldNames)
+}
+
+case class ProducerRange(start: Long, end: Long) extends InputPartition
+
+case class ProducerReaderFactory(partitions: Int, cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[ProducerRange]
+    new PartitionReader[InternalRow] {
+      private var i = r.start - 1
+      override def next(): Boolean = { i += 1; i < r.end }
+      override def get(): InternalRow = {
+        // only the pruned columns are built — the key string (the
+        // expensive part) is skipped entirely when not requested
+        val vals: Array[Any] = cols.map {
+          case "key" => UTF8String.fromString("Key" + (i % partitions))
+          case "value" => i.toInt
+          case "seq" => i
+          case other => throw new IllegalArgumentException(
+            s"graft-producer: unknown column '$other'")
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.ProducerScan
+
+/** The DataSource V2 producer table: row-identical to ProducerSim.batch,
+  * with column pruning and limit pushdown reaching the reader. */
+class ProducerSourceSpec extends SparkSpec {
+
+  private def src(total: Long, parts: Int) =
+    spark.read.format("graft-producer")
+      .option("total", total).option("partitions", parts).load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): ProducerScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[ProducerScan]
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("v2 source rows ≡ ProducerSim.batch") {
+    val a = src(10000, 2)
+    val b = graft.streaming.ProducerSim.batch(spark, 2, 10000).toDF()
+    assert(a.count() == 10000)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("column pruning reaches the reader (select seq never builds keys)") {
+    val df = src(1000, 2).select("seq")
+    val scan = scanOf(df)
+    assert(scan.required.fieldNames.toSeq == Seq("seq"), scan.description())
+    assert(df.agg(sum("seq")).head().getLong(0) == 999L * 1000 / 2)
+  }
+
+  test("limit pushdown caps generation at the source") {
+    val df = src(1000000000L, 2).limit(7)
+    val scan = scanOf(df)
+    assert(scan.total == 7, scan.description())
+    assert(df.count() == 7)
+  }
+
+  test("slices control read parallelism like a connector's split count") {
+    val df = spark.read.format("graft-producer")
+      .option("total", 1000).option("partitions", 2).option("slices", 5).load()
+    assert(df.rdd.getNumPartitions == 5)
+    assert(df.count() == 1000)
+  }
+}
