@@ -308,6 +308,20 @@ object TrainQueries {
                      FROM documents)"""),
       "explode_outer: empty-array rows survive with a null element (outer generate)"),
 
+    // ---------- DataSource V2 connector under the gate ----------
+    // The graft-producer table (sources/ProducerSource.scala) read
+    // through the connector API; the oracle regenerates the exact rows
+    // from the spec — the wire format of the reference's generator
+    // (Producer.java:13-95) checked end to end through Spark's v2 read
+    // path (pruning/limit pushdown are plan-pinned in ProducerSourceSpec).
+    Q("q_source_producer",
+      (s, d) => s.read.format("graft-producer")
+        .option("total", 10000).option("partitions", 4).load(),
+      Some("""SELECT 'Key' || (i % 4) AS key, CAST(i AS INT) AS value,
+                i AS seq
+              FROM range(10000) t(i)"""),
+      "DataSource V2 producer table ≡ generator spec (connector read path)"),
+
     // ---------- semi-structured VARIANT (Spark 4) ----------
     // parse_json once into the binary VARIANT encoding, then typed path
     // extraction — the scale answer to repeated get_json_object string
