@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,9 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - LIMIT pushdown caps generation at the source (a `.limit(k)` probe
   *    of a trillion-row spec generates k rows, not the spec).
   *
-  * Batch-only by design: the streaming twin is the `rate` source wiring
-  * in [[graft.streaming.ProducerSim.stream]] (pacing belongs to the
-  * engine's rate limiter, not a custom MicroBatchStream).
+  * Also a MICRO-BATCH STREAM: `spark.readStream.format("graft-producer")`
+  * emits the same rows in `rowsPerBatch` slices with exactly-once
+  * checkpointed offsets (the offset is simply the next row index), so a
+  * kill/restart resumes mid-sequence without loss or duplication — the
+  * streaming contract of the reference's producer process, minus its
+  * sleep-per-message pacing (pace with the trigger interval instead).
   */
 class ProducerDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-producer"
@@ -65,12 +69,14 @@ class ProducerTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-producer($total,$partitions)"
   override def schema(): StructType = ProducerTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ProducerScanBuilder(total, partitions, slices)
+    new ProducerScanBuilder(total, partitions, slices,
+      options.getLong("rowsPerBatch", 10000L))
 }
 
-class ProducerScanBuilder(total: Long, partitions: Int, slices: Int)
+class ProducerScanBuilder(total: Long, partitions: Int, slices: Int,
+                          rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
   private var required: StructType = ProducerTable.Schema
@@ -80,25 +86,74 @@ class ProducerScanBuilder(total: Long, partitions: Int, slices: Int)
     required = requiredSchema
   override def pushLimit(l: Int): Boolean = { limit = math.min(limit, l); true }
   override def build(): Scan =
-    ProducerScan(math.min(total, limit), partitions, slices, required)
+    ProducerScan(math.min(total, limit), partitions, slices, required,
+      rowsPerBatch)
 }
 
 case class ProducerScan(total: Long, partitions: Int, slices: Int,
-                        required: StructType) extends Scan with Batch {
+                        required: StructType, rowsPerBatch: Long = 10000L)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-producer total=$total partitions=$partitions cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (total + slices - 1) / slices)
-    (0L until total by per)
-      .map(s => ProducerRange(s, math.min(s + per, total)): InputPartition)
+  private[sources] def split(start: Long, end: Long): Array[InputPartition] = {
+    val n = end - start
+    val per = math.max(1L, (n + slices - 1) / slices)
+    (start until end by per)
+      .map(s => ProducerRange(s, math.min(s + per, end)): InputPartition)
       .toArray
   }
 
+  override def planInputPartitions(): Array[InputPartition] = split(0L, total)
+
   override def createReaderFactory(): PartitionReaderFactory =
     ProducerReaderFactory(partitions, required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ProducerMicroBatchStream(this)
+}
+
+/** Streaming offset = the next row index to emit (a plain long). */
+case class ProducerOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch stream over the generator: each batch advances the row
+  * index by at most `rowsPerBatch`; offsets checkpoint the index, so
+  * restart resumes the sequence exactly. AvailableNow pins the target at
+  * prepare time (standard contract), draining to `total` and stopping. */
+class ProducerMicroBatchStream(scan: ProducerScan)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private var target: Long = scan.total
+
+  override def prepareForTriggerAvailableNow(): Unit = target = scan.total
+  override def initialOffset(): Offset = ProducerOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    ProducerOffset(json.toLong)
+  // admission control: each batch admits at most rowsPerBatch rows past
+  // the committed start — the engine calls this overload, never the bare one
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[ProducerOffset].n
+    ProducerOffset(math.min(target, s + scan.rowsPerBatch))
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-producer uses admission control: latestOffset(start, limit)")
+  override def reportLatestOffset(): Offset = ProducerOffset(target)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ProducerOffset].n
+    val e = end.asInstanceOf[ProducerOffset].n
+    scan.split(s, math.max(s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ProducerReaderFactory(scan.partitions, scan.required.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class ProducerRange(start: Long, end: Long) extends InputPartition
