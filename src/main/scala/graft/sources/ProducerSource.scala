@@ -137,7 +137,11 @@ class ProducerMicroBatchStream(scan: ProducerScan)
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[ProducerOffset].n
-    ProducerOffset(math.min(target, s + scan.rowsPerBatch))
+    // never move BEHIND the committed start: a restart with a smaller
+    // `total` than the checkpointed offset must hold position (emitting
+    // nothing), not rewind — a rewound offset would re-emit rows on a
+    // later restart with a larger total, breaking exactly-once
+    ProducerOffset(math.max(s, math.min(target, s + scan.rowsPerBatch)))
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -167,7 +171,11 @@ case class ProducerReaderFactory(partitions: Int, cols: Array[String])
       override def next(): Boolean = { i += 1; i < r.end }
       override def get(): InternalRow = {
         // only the pruned columns are built — the key string (the
-        // expensive part) is skipped entirely when not requested
+        // expensive part) is skipped entirely when not requested.
+        // `value` is int-typed like the reference's message payload
+        // (Producer.java): past 2^31 rows it wraps modulo 2^32, exactly
+        // as the reference's own int counter would. `seq` carries the
+        // exact row index at any scale.
         val vals: Array[Any] = cols.map {
           case "key" => UTF8String.fromString("Key" + (i % partitions))
           case "value" => i.toInt

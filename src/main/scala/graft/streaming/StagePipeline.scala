@@ -98,18 +98,28 @@ object StagePipeline {
     val prev = spark.conf.get(key)
     statePartitions.foreach(n => spark.conf.set(key, n.toString))
     val stages = PipelineSpec.validated(spec).orderedStages
-    val queries = try stages.map { st =>
-      val in = fileSource(spark, channelDir(root, spec, st.stage))
-      val out =
-        if (useTws) KeyedStage.stageStream(in, st.operation)
-        else KeyedStage.stageStreamFMG(in, st.operation)
-      val w = out.select("key", "value", "seq")
-        .writeStream.format("parquet")
-        .option("path", channelDir(root, spec, st.stage + 1))
-        .option("checkpointLocation", s"$checkpointRoot/stage_${st.stage}")
-        .outputMode("append")
-      (if (st.stage == stages.head.stage) w.trigger(Trigger.AvailableNow())
-       else w.trigger(Trigger.ProcessingTime("100 milliseconds"))).start()
+    // accumulate as each query starts so a failed LATER start() can stop
+    // the ones already running (otherwise they'd leak past the throw)
+    val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+    val queries = try {
+      stages.foreach { st =>
+        val in = fileSource(spark, channelDir(root, spec, st.stage))
+        val out =
+          if (useTws) KeyedStage.stageStream(in, st.operation)
+          else KeyedStage.stageStreamFMG(in, st.operation)
+        val w = out.select("key", "value", "seq")
+          .writeStream.format("parquet")
+          .option("path", channelDir(root, spec, st.stage + 1))
+          .option("checkpointLocation", s"$checkpointRoot/stage_${st.stage}")
+          .outputMode("append")
+        started += (if (st.stage == stages.head.stage) w.trigger(Trigger.AvailableNow())
+                    else w.trigger(Trigger.ProcessingTime("100 milliseconds"))).start()
+      }
+      started.toSeq
+    } catch {
+      case t: Throwable =>
+        started.foreach(q => try q.stop() catch { case _: Throwable => () })
+        throw t
     } finally spark.conf.set(key, prev)
     val endDir = channelDir(root, spec, stages.last.stage + 1)
     val deadline = System.currentTimeMillis() + timeoutMs

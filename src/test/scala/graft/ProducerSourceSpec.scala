@@ -76,6 +76,18 @@ class ProducerSourceSpec extends SparkSpec {
     assert(seqs.toSeq == (0L until 6000L), "exact once: no gap, no duplicate")
   }
 
+  test("latestOffset never rewinds past a checkpointed start (shrunk total)") {
+    // restart with total=100 after committing offset 500: the offset must
+    // hold at 500 (emit nothing), not rewind — a rewound commit would
+    // re-emit rows on a later restart with a larger total
+    val stream = new graft.sources.ProducerMicroBatchStream(
+      ProducerScan(100L, 2, 8, graft.sources.ProducerTable.Schema, 50L))
+    val end = stream.latestOffset(graft.sources.ProducerOffset(500L), null)
+    assert(end.asInstanceOf[graft.sources.ProducerOffset].n == 500L)
+    assert(stream.planInputPartitions(
+      graft.sources.ProducerOffset(500L), end).isEmpty)
+  }
+
   test("slices control read parallelism like a connector's split count") {
     val df = spark.read.format("graft-producer")
       .option("total", 1000).option("partitions", 2).option("slices", 5).load()
