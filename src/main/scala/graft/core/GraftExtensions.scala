@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // hash aggregates (no sort, map-side combine)
     ext.injectOptimizerRule(_ => graft.plans.Top1WindowRewrite)
 
+    // optimizer rewrite: top-K-per-key row_number windows → bounded-heap
+    // top_k_rows aggregate + explode (no sort; mixed directions supported).
+    // Injected AFTER the top-1 rule so rank-1 shapes take the cheaper form.
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+
     // custom physical operator: the as-of zipper join (Joins.asOfMerge
     // also self-registers this per-session via experimental strategies)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

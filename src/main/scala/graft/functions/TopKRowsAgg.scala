@@ -1,0 +1,143 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, InterpretedOrdering, NullsFirst, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+
+/** Bounded top-k rows buffer: a size-k max-heap ordered by the window
+  * sort order, so the root is always the WORST kept row and a better
+  * row evicts it in O(log k). */
+final class TopKRowsBuffer(val ord: Ordering[InternalRow], val k: Int) {
+  val heap: mutable.PriorityQueue[InternalRow] = new mutable.PriorityQueue()(ord)
+  def insert(row: InternalRow): Unit =
+    if (heap.size < k) heap += row
+    else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row }
+  /** rows in window order (best first) — the rn-order of the group */
+  def sortedRows: Array[InternalRow] = heap.toArray.sorted(ord)
+}
+
+/** Native Catalyst aggregate: keep the top `k` rows of each group under
+  * an arbitrary multi-key sort order — the aggregate form of
+  *
+  *   row_number() OVER (PARTITION BY g ORDER BY k1 [ASC|DESC] ..., kN ...) <= k
+  *
+  * `child` is `struct(key1..keyN, payload columns...)`; only the first
+  * `numKeys` fields participate in the comparison (via an
+  * [[InterpretedOrdering]] honoring per-key direction and null
+  * placement), so the payload may hold non-orderable types (maps).
+  *
+  * Why it beats the window at 100 TB: the window form shuffles and
+  * SORTS every row of every group; even stock `InferWindowGroupLimit`
+  * still local-sorts each map partition and re-sorts after the shuffle.
+  * This aggregate never sorts input — each task keeps at most k
+  * candidate rows per group it sees (bounded heap, O(log k) per row),
+  * partials combine map-side, the shuffle carries O(groups × tasks × k)
+  * rows, and only the final k-element arrays are sorted (O(k log k) per
+  * group). Used by [[graft.plans.TopKWindowRewrite]]; the Dataset-API
+  * twin for typed pipelines is [[TopKAggregator]].
+  *
+  * Ties beyond the key fields are arbitrary, exactly as `row_number()`
+  * over duplicate sort keys is partition-order-dependent — the rewrite
+  * never narrows the window's contract (queries wanting determinism
+  * order by a unique tiebreak, the registry convention).
+  */
+case class TopKRowsAgg(
+    child: Expression,
+    numKeys: Int,
+    ascending: Seq[Boolean],
+    nullsFirst: Seq[Boolean],
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKRowsBuffer] with UnaryLike[Expression] {
+
+  require(k > 0, s"top-k aggregate needs k > 0, got $k")
+  require(ascending.length == numKeys && nullsFirst.length == numKeys)
+
+  private def structType: StructType = child.dataType.asInstanceOf[StructType]
+
+  /** window order over the leading key fields of the element struct */
+  @transient private lazy val rowOrdering: Ordering[InternalRow] = {
+    val st = structType
+    val sortOrders = (0 until numKeys).map { i =>
+      val dir = if (ascending(i)) Ascending else Descending
+      val no = if (nullsFirst(i)) NullsFirst else NullsLast
+      SortOrder(BoundReference(i, st(i).dataType, st(i).nullable), dir, no, Seq.empty)
+    }
+    new InterpretedOrdering(sortOrders)
+  }
+
+  override def createAggregationBuffer(): TopKRowsBuffer =
+    new TopKRowsBuffer(rowOrdering, k)
+
+  @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+
+  override def update(buffer: TopKRowsBuffer, input: InternalRow): TopKRowsBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      // peek before copying: only rows that will be KEPT pay the copy
+      if (buffer.heap.size < k || buffer.ord.compare(row, buffer.heap.head) < 0) {
+        buffer.insert(toUnsafe(row).copy())
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKRowsBuffer, other: TopKRowsBuffer): TopKRowsBuffer = {
+    other.heap.foreach(buffer.insert)
+    buffer
+  }
+
+  override def eval(buffer: TopKRowsBuffer): Any =
+    new GenericArrayData(buffer.sortedRows.asInstanceOf[Array[Any]])
+
+  override def serialize(buffer: TopKRowsBuffer): Array[Byte] = {
+    val rows = buffer.sortedRows
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(rows.length)
+    rows.foreach { r =>
+      val u = r.asInstanceOf[UnsafeRow]
+      val bytes = u.getBytes
+      dos.writeInt(bytes.length)
+      dos.write(bytes)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKRowsBuffer = {
+    val buf = createAggregationBuffer()
+    val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = dis.readInt()
+    val width = structType.length
+    var i = 0
+    while (i < n) {
+      val len = dis.readInt()
+      val arr = new Array[Byte](len)
+      dis.readFully(arr)
+      val row = new UnsafeRow(width)
+      row.pointTo(arr, len)
+      buf.insert(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_rows"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRowsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRowsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKRowsAgg =
+    copy(child = newChild)
+}

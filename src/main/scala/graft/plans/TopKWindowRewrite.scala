@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+import graft.functions.TopKRowsAgg
+
+/** Catalyst optimizer rule: rewrite the top-k-per-key window idiom
+  *
+  *   SELECT ... FROM (SELECT *, row_number() OVER
+  *     (PARTITION BY g ORDER BY o1 [ASC|DESC], ...) AS rn FROM t)
+  *   WHERE rn <= k [AND ...]
+  *
+  * into a bounded hash aggregate + explode:
+  *
+  *   Aggregate(g, top_k_rows(struct(o..., *), k))
+  *     → PosExplode → Project(cols..., rn = pos + 1) → Filter(original)
+  *
+  * The k-sibling of [[Top1WindowRewrite]] (which stays preferred for
+  * rank-1 since min_by/max_by needs no array or explode). Why it matters
+  * at 100 TB: the window form shuffles and fully sorts every row; even
+  * stock InferWindowGroupLimit still local-sorts each map partition
+  * before the shuffle and re-sorts after it. The aggregate form sorts
+  * nothing but the final k-row arrays: each task keeps at most k
+  * candidate rows per group in a bounded heap ([[TopKRowsAgg]]), partial
+  * buffers combine map-side, and the shuffle carries O(groups × tasks ×
+  * k) rows instead of the whole table.
+  *
+  * Unlike the top-1 rule, MIXED sort directions and any null placement
+  * are supported — the aggregate compares only the leading key fields
+  * through an InterpretedOrdering built from the window's own SortOrder
+  * directions (so `price DESC, key ASC` rewrites). The original filter
+  * is re-applied verbatim over the reconstructed rn, so any rank
+  * predicate that IMPLIES a finite bound works: `rn <= 3`, `rn = 2`,
+  * `rn > 1 AND rn <= 5` (bound = the tightest upper bound among the
+  * conjuncts; all conjuncts are still checked exactly).
+  *
+  * Fire conditions (else the plan is left alone):
+  *  - the Window computes exactly one expression: row_number() with the
+  *    standard frame, with at least one sort key;
+  *  - some conjunct bounds rn from above by a literal in [1, MaxK]
+  *    (MaxK = 1024 — past that the per-group heap and the exploded
+  *    arrays stop being "bounded state" and the sort-based window is the
+  *    honest plan);
+  *  - every conjunct, sort key and partition key is deterministic, and
+  *    sort-key types are orderable.
+  *
+  * Registered via [[graft.core.GraftExtensions]] after Top1WindowRewrite
+  * (same fixpoint batch — rank-1 shapes are claimed by the cheaper rule
+  * first when both could fire; rank-1 filters with mixed directions fall
+  * through to this rule). Verified value-identical against the
+  * unrewritten plan in TopKRewriteSpec.
+  */
+object TopKWindowRewrite extends Rule[LogicalPlan] {
+
+  /** beyond this the bounded-heap premise stops holding */
+  val MaxK = 1024
+
+  /** upper bound on rn implied by one conjunct, if any */
+  private def rankBound(e: Expression, rn: Attribute): Option[Int] = e match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(c)) if a.semanticEquals(rn) => Some(c)
+    case LessThan(a: Attribute, IntegerLiteral(c)) if a.semanticEquals(rn) => Some(c - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(c)) if a.semanticEquals(rn) => Some(c)
+    case EqualTo(IntegerLiteral(c), a: Attribute) if a.semanticEquals(rn) => Some(c)
+    case GreaterThanOrEqual(IntegerLiteral(c), a: Attribute) if a.semanticEquals(rn) => Some(c)
+    case GreaterThan(IntegerLiteral(c), a: Attribute) if a.semanticEquals(rn) => Some(c - 1)
+    case _ => None
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def isRowNumberFrame(frame: WindowFrame): Boolean = frame match {
+    case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+    case UnspecifiedFrame => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        w @ Window(Seq(Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(partSpec, orderSpec, frame)), _)), _, _, child, _))
+        if isRowNumberFrame(frame) && orderSpec.nonEmpty =>
+      val rnAttr = w.windowExpressions.head.toAttribute
+      val bounds = splitConjuncts(cond).flatMap(rankBound(_, rnAttr))
+      val k = if (bounds.isEmpty) 0 else bounds.min
+      val rewritable =
+        k >= 1 && k <= MaxK &&
+        cond.deterministic &&
+        orderSpec.forall(s => s.child.deterministic &&
+          RowOrdering.isOrderable(s.child.dataType)) &&
+        partSpec.forall(_.deterministic)
+      if (!rewritable) f
+      else {
+        val nKeys = orderSpec.length
+        val elem = CreateStruct(orderSpec.map(_.child) ++ child.output)
+        val topk = Alias(
+          TopKRowsAgg(elem, nKeys,
+            orderSpec.map(_.direction == Ascending),
+            orderSpec.map(_.nullOrdering == NullsFirst),
+            k).toAggregateExpression(),
+          "__topk_rows")()
+        val agg = Aggregate(partSpec, Seq(topk), child)
+        val elemType = elem.dataType.asInstanceOf[StructType]
+        val posAttr = AttributeReference("__topk_pos", IntegerType, nullable = false)()
+        val elemAttr = AttributeReference("__topk_elem", elemType, nullable = false)()
+        val gen = Generate(PosExplode(topk.toAttribute),
+          unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+          generatorOutput = Seq(posAttr, elemAttr), agg)
+        // re-expose the child's columns (same exprIds, so references above
+        // the old Filter resolve unchanged) plus rn = pos + 1; the original
+        // filter then re-checks every rank conjunct exactly (rows it would
+        // keep beyond rank k were already excluded by the bounding conjunct)
+        val fields = child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(elemAttr, nKeys + i, Some(a.name)), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        }
+        val rnOut = Alias(Add(posAttr, Literal(1, IntegerType)), rnAttr.name)(
+          exprId = rnAttr.exprId, qualifier = rnAttr.qualifier)
+        Filter(cond, Project(fields :+ rnOut, gen))
+      }
+  }
+}

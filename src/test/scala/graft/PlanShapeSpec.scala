@@ -50,12 +50,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
-  test("q_text_tfidf windows only per-document — no global sort") {
+  test("q_text_tfidf top-5 terms aggregate via top_k_rows — no window sort at all") {
     val p = plan("q_text_tfidf").toLowerCase
-    // the only window is keyed by doc_id (the scalar corpus count's
-    // one-row SinglePartition aggregate is fine at any scale)
-    assert(p.contains("windowspecdefinition(doc_id"), p)
-    assert(!p.contains("windowspecdefinition()"), p)
+    // the per-document top-5 window is rewritten by TopKWindowRewrite into
+    // a bounded-heap aggregate, so no window (hence no sort) remains
+    assert(p.contains("top_k_rows"), p)
+    assert(!p.contains("windowspecdefinition"), p)
     // the corpus-size scalar joins in as a broadcast, not a shuffle
     assert(p.contains("broadcastexchange"), p)
   }

@@ -130,25 +130,43 @@ class Top1RewriteSpec extends SparkSpec {
     assert(out.collect().forall(_.getAs[Int]("rnk") == 1))
   }
 
-  test("rn <= 5 is NOT rewritten") {
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
-    assertKeptWindow(
-      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5))
+  /** shapes the top-1 rule declines; with the sibling top-k rule ALSO
+    * excluded the Window must survive untouched */
+  private def assertTop1Declines(df: => DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(!p.contains("partial_min_by") && !p.contains("partial_max_by"),
+      s"top-1 rule fired unexpectedly:\n$p")
+    val prev = spark.conf.getOption(Excluded)
+    spark.conf.set(Excluded, "graft.plans.TopKWindowRewrite")
+    try assertKeptWindow(df)
+    finally prev match {
+      case Some(v) => spark.conf.set(Excluded, v)
+      case None => spark.conf.unset(Excluded)
+    }
   }
 
-  test("non-default null ordering is NOT rewritten") {
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_shipdate").asc_nulls_last, col("l_linenumber").asc)
-    assertKeptWindow(
-      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
+  test("rn <= 5 is not claimed by top-1 (the top-k sibling takes it)") {
+    assertTop1Declines {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    }
   }
 
-  test("mixed sort directions are NOT rewritten") {
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_shipdate").desc, col("l_linenumber").asc)
-    assertKeptWindow(
-      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
+  test("non-default null ordering is not claimed by top-1") {
+    assertTop1Declines {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_shipdate").asc_nulls_last, col("l_linenumber").asc)
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+  }
+
+  test("mixed sort directions are not claimed by top-1") {
+    assertTop1Declines {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").asc)
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
   }
 
   test("rank() (not row_number) is NOT rewritten") {

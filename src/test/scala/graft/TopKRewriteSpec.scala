@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Differential + plan-shape coverage for [[graft.plans.TopKWindowRewrite]]:
+  * every rewritable top-k window shape must produce identical results with
+  * the rule on and off, the rewritten plan must aggregate (top_k_rows) with
+  * no window sort, and non-rewritable shapes must keep their Window.
+  */
+class TopKRewriteSpec extends SparkSpec {
+
+  private val RuleName = "graft.plans.TopKWindowRewrite"
+  private val Excluded = "spark.sql.optimizer.excludedRules"
+
+  private def differential(build: => DataFrame): DataFrame = {
+    val on = build
+    val onRows = on.collect().map(_.toString).sorted
+    val prev = spark.conf.getOption(Excluded)
+    spark.conf.set(Excluded, RuleName)
+    try {
+      val offRows = build.collect().map(_.toString).sorted
+      assert(onRows.toSeq == offRows.toSeq,
+        s"rule-on vs rule-off rows differ: ${onRows.take(3).toSeq} vs ${offRows.take(3).toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(Excluded, v)
+      case None => spark.conf.unset(Excluded)
+    }
+    on
+  }
+
+  private def assertRewritten(df: DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(!p.contains("windowspecdefinition"), s"window survived:\n$p")
+    assert(p.contains("top_k_rows"), s"no top_k_rows aggregate:\n$p")
+  }
+
+  private def assertKeptWindow(df: DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("windowspecdefinition"), s"window was rewritten:\n$p")
+  }
+
+  private lazy val lineitem = graft.core.Tables.load(spark, sf0001, "lineitem")
+  private lazy val orders = graft.core.Tables.load(spark, sf0001, "orders")
+
+  test("mixed-direction top-3 per key rewrites and matches the window") {
+    def q = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }
+    assertRewritten(q)
+    val out = differential(q)
+    assert(out.groupBy("o_custkey").count()
+      .filter(col("count") > 3).isEmpty)
+  }
+
+  test("asc top-5 per key rewrites and matches") {
+    def q = {
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    }
+    assertRewritten(q)
+    val out = differential(q)
+    assert(out.count() ==
+      lineitem.select("l_returnflag", "l_linestatus").distinct().count() * 5)
+  }
+
+  test("global top-10 (no partition) rewrites without a full sort") {
+    def q = {
+      val w = Window.orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      lineitem.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    }
+    assertRewritten(q)
+    assert(differential(q).count() == 10)
+  }
+
+  test("global top-k over EMPTY input emits zero rows") {
+    def q = {
+      val w = Window.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      lineitem.filter(col("l_quantity") < -1)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+    }
+    assertRewritten(q)
+    assert(differential(q).count() == 0)
+  }
+
+  test("exact-rank rn = 2 re-applies the filter over the reconstructed rn") {
+    def q = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rn", row_number().over(w)).filter(col("rn") === 2)
+    }
+    assertRewritten(q)
+    val out = differential(q)
+    assert(out.collect().forall(_.getAs[Int]("rn") == 2))
+  }
+
+  test("rank range 2..4 with residual predicate keeps both exactly") {
+    def q = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") >= 2 && col("rn") <= 4 && col("o_totalprice") > 1000)
+    }
+    assertRewritten(q)
+    val out = differential(q).collect()
+    assert(out.forall(r => r.getAs[Int]("rn") >= 2 && r.getAs[Int]("rn") <= 4))
+    assert(out.forall(_.getAs[Double]("o_totalprice") > 1000))
+  }
+
+  test("rank-1 with MIXED directions falls through top-1 to this rule") {
+    def q = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    assertRewritten(q)
+    differential(q)
+  }
+
+  test("non-default null ordering rewrites (asc_nulls_last)") {
+    import spark.implicits._
+    def q = {
+      val df = Seq((1L, Some(3)), (1L, None), (1L, Some(1)), (2L, None),
+        (2L, Some(7))).toDF("k", "v")
+      val w = Window.partitionBy("k")
+        .orderBy(col("v").asc_nulls_last, col("k").asc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    }
+    assertRewritten(q)
+    differential(q)
+  }
+
+  test("map-typed payload columns rewrite (keys alone must be orderable)") {
+    import spark.implicits._
+    def q = {
+      val df = Seq((1L, 3, Map("a" -> 1)), (1L, 1, Map("b" -> 2)),
+        (1L, 2, Map("c" -> 3))).toDF("k", "o", "m")
+      val w = Window.partitionBy("k").orderBy(col("o").asc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select(col("k"), col("o"), map_keys(col("m")).as("mk"), col("rn"))
+    }
+    assertRewritten(q)
+    differential(q)
+  }
+
+  test("rn above MaxK is NOT rewritten") {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    assertKeptWindow(
+      orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 100000))
+  }
+
+  test("rank() (not row_number) is NOT rewritten") {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    assertKeptWindow(
+      orders.withColumn("rn", rank().over(w)).filter(col("rn") <= 3))
+  }
+
+  test("lower-bound-only rank filters are NOT rewritten") {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    assertKeptWindow(
+      orders.withColumn("rn", row_number().over(w)).filter(col("rn") >= 3))
+  }
+
+  test("randomized differential: rule-on ≡ rule-off on generated tables") {
+    val rnd = new scala.util.Random(77123L)
+    for (trial <- 1 to 8) {
+      val nKeys = 1 + rnd.nextInt(15)
+      val n = 50 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(6)
+      // unique (a, b) tiebreak chain so both plans are deterministic;
+      // c carries nulls; directions drawn independently per key
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(10), i,
+          if (rnd.nextBoolean()) Some(rnd.nextInt(5)) else None)
+      }
+      import spark.implicits._
+      val df = rows.toDF("k", "a", "b", "c")
+      val dirs = Seq.fill(3)(rnd.nextBoolean())
+      def ord(c0: org.apache.spark.sql.Column, asc: Boolean) =
+        if (asc) c0.asc else c0.desc
+      def q = {
+        val w = Window.partitionBy("k").orderBy(
+          ord(col("c"), dirs(0)), ord(col("a"), dirs(1)), ord(col("b"), dirs(2)))
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      }
+      assertRewritten(q)
+      differential(q)
+    }
+  }
+
+  test("the shuffle carries only bounded partial state, not the table") {
+    // partial top_k_rows must appear BELOW the exchange (map-side combine)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val q = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val p = q.queryExecution.executedPlan.toString
+    val idxPartial = p.indexOf("partial_top_k_rows")
+    val idxExchange = p.indexOf("Exchange")
+    assert(idxPartial >= 0, s"no partial aggregate:\n$p")
+    assert(idxExchange >= 0 && idxPartial > idxExchange,
+      s"partial aggregate not below the exchange:\n$p")
+    assert(!p.toLowerCase.contains("sort"), s"unexpected sort:\n$p")
+  }
+}
