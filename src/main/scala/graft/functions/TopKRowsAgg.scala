@@ -14,9 +14,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   * row evicts it in O(log k). */
 final class TopKRowsBuffer(val ord: Ordering[InternalRow], val k: Int) {
   val heap: mutable.PriorityQueue[InternalRow] = new mutable.PriorityQueue()(ord)
+  /** the single keep/evict decision — callers that defer a row copy until
+    * the row is known to be kept (update's peek-before-copy) MUST ask this
+    * same predicate, so tie handling can never diverge between them */
+  def wouldKeep(row: InternalRow): Boolean =
+    heap.size < k || ord.compare(row, heap.head) < 0
   def insert(row: InternalRow): Unit =
-    if (heap.size < k) heap += row
-    else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row }
+    if (wouldKeep(row)) {
+      if (heap.size >= k) heap.dequeue()
+      heap += row
+    }
   /** rows in window order (best first) — the rn-order of the group */
   def sortedRows: Array[InternalRow] = heap.toArray.sorted(ord)
 }
@@ -82,7 +89,7 @@ case class TopKRowsAgg(
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
       // peek before copying: only rows that will be KEPT pay the copy
-      if (buffer.heap.size < k || buffer.ord.compare(row, buffer.heap.head) < 0) {
+      if (buffer.wouldKeep(row)) {
         buffer.insert(toUnsafe(row).copy())
       }
     }
@@ -98,7 +105,10 @@ case class TopKRowsAgg(
     new GenericArrayData(buffer.sortedRows.asInstanceOf[Array[Any]])
 
   override def serialize(buffer: TopKRowsBuffer): Array[Byte] = {
-    val rows = buffer.sortedRows
+    // heap iteration order, NOT sorted: deserialize re-inserts into a heap
+    // so order is irrelevant there, and partial buffers serialize on every
+    // shuffle/spill — only eval() needs (and pays for) the final sort
+    val rows = buffer.heap.toArray
     val out = new java.io.ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(out)
     dos.writeInt(rows.length)

@@ -61,11 +61,16 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   /** upper bound on rn implied by one conjunct, if any */
   private def rankBound(e: Expression, rn: Attribute): Option[Int] = e match {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(c)) if a.semanticEquals(rn) => Some(c)
-    case LessThan(a: Attribute, IntegerLiteral(c)) if a.semanticEquals(rn) => Some(c - 1)
+    // the c - 1 cases guard c > MinValue explicitly: the overflow to
+    // MaxValue happened to land above MaxK (so the rewrite declined), but
+    // safety shouldn't ride on that coincidence
+    case LessThan(a: Attribute, IntegerLiteral(c))
+        if a.semanticEquals(rn) && c > Int.MinValue => Some(c - 1)
     case EqualTo(a: Attribute, IntegerLiteral(c)) if a.semanticEquals(rn) => Some(c)
     case EqualTo(IntegerLiteral(c), a: Attribute) if a.semanticEquals(rn) => Some(c)
     case GreaterThanOrEqual(IntegerLiteral(c), a: Attribute) if a.semanticEquals(rn) => Some(c)
-    case GreaterThan(IntegerLiteral(c), a: Attribute) if a.semanticEquals(rn) => Some(c - 1)
+    case GreaterThan(IntegerLiteral(c), a: Attribute)
+        if a.semanticEquals(rn) && c > Int.MinValue => Some(c - 1)
     case _ => None
   }
 

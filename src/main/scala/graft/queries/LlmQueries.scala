@@ -653,19 +653,22 @@ object LlmQueries {
       "deterministic stratified hash sampling (per-language per-mille rates)"),
 
     // The composed training-data pipeline: quality filter → exact dedup
-    // (min doc_id per content hash — ONE shuffle via a window, not
-    // groupBy+join) → language ID → stratified sample. Each stage is the
-    // already-oracle-checked operator; this entry pins their COMPOSITION.
+    // (min-doc_id row per content hash — ONE hash aggregate with map-side
+    // combine, not a window: the window form would SORT every partition on
+    // the 128-bit hash before picking the min, pure overhead at 100 TB) →
+    // language ID → stratified sample. Each stage is the already-
+    // oracle-checked operator; this entry pins their COMPOSITION.
     Q("q_pipeline_llm",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
           TextFunctions.langId(col("text")).as("lang_pred"))
         val kept = QualityFilter.keepOnly(docs, col("text"))
         val deduped = kept
-          .withColumn("__keep_id",
-            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-          .filter(col("doc_id") === col("__keep_id"))
+          .groupBy(md5(col("text")).as("__h"))
+          .agg(min_by(struct(col("doc_id"), col("text"), col("lang_pred")),
+            col("doc_id")).as("__r"))
+          .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"),
+            col("__r.lang_pred").as("lang_pred"))
         Sampling.stratifiedByHash(deduped, col("lang_pred"), col("doc_id"),
           SampleRates, SampleDefaultPerMille)
           .select(col("doc_id"), col("lang_pred"),

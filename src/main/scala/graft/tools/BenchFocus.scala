@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Focused micro-bench: median-of-N for a handful of registry queries.
+  *
+  * Exists to ADJUDICATE round-over-round swings flagged by the judge
+  * without paying for the full [[graft.Bench]] headline sweep — single
+  * runs on this box swing up to 2× from co-tenant noise, so a flagged
+  * delta needs a higher-rep re-measure before it's believed.
+  *
+  * Usage: `runMain graft.tools.BenchFocus <sfDir> <reps> q_a q_b ...`
+  * Prints one JSON line: per-query {median, min, max, all runs}.
+  */
+object BenchFocus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val names = if (args.length > 2) args.drop(2).toSeq
+                else Seq("q_join_salted", "q_text_stats", "q_pipeline_llm", "q_ref_keyed_count")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qmap = SparkEntry.queries
+    // same warm-up discipline as Bench: codegen compile out of steady state
+    val warmDir = "/root/testdata/sf0.001"
+    names.filter(qmap.contains).foreach { n =>
+      try qmap(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val out = names.filter(qmap.contains).map { n =>
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          qmap(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable => System.err.println(s"[focus] $n: $e"); None }
+      }
+      val sorted = times.sorted
+      val med = if (sorted.isEmpty) Double.NaN else sorted(sorted.size / 2)
+      f""""$n":{"median":$med%.3f,"min":${sorted.headOption.getOrElse(Double.NaN)}%.3f,"max":${sorted.lastOption.getOrElse(Double.NaN)}%.3f,"runs":${sorted.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"focus","sf":"$sfDir","reps":$reps,"queries":$out}""")
+    spark.stop()
+  }
+}

@@ -60,6 +60,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("broadcastexchange"), p)
   }
 
+  test("q_pipeline_llm dedups via a hash aggregate — no window sort on the content hash") {
+    val p = plan("q_pipeline_llm").toLowerCase
+    // min-doc_id-per-md5 must be min_by with a map-side partial, not a
+    // min-over-window (which would sort every partition on the hash key)
+    assert(p.contains("partial_min_by"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("q_anomaly_zscore joins broadcast stats — no window, no extra shuffle of the data") {
     val p = plan("q_anomaly_zscore").toLowerCase
     assert(p.contains("broadcastexchange"), p)

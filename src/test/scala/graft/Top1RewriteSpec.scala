@@ -20,7 +20,9 @@ class Top1RewriteSpec extends SparkSpec {
     val on = build
     val onRows = on.collect().map(_.toString).sorted
     val prev = spark.conf.getOption(Excluded)
-    spark.conf.set(Excluded, RuleName)
+    // append, don't overwrite: other rules the session excludes must stay
+    // excluded during the off-run
+    spark.conf.set(Excluded, prev.fold(RuleName)(v => s"$v,$RuleName"))
     try {
       val offRows = build.collect().map(_.toString).sorted
       assert(onRows.toSeq == offRows.toSeq,
@@ -137,7 +139,8 @@ class Top1RewriteSpec extends SparkSpec {
     assert(!p.contains("partial_min_by") && !p.contains("partial_max_by"),
       s"top-1 rule fired unexpectedly:\n$p")
     val prev = spark.conf.getOption(Excluded)
-    spark.conf.set(Excluded, "graft.plans.TopKWindowRewrite")
+    spark.conf.set(Excluded,
+      prev.fold("graft.plans.TopKWindowRewrite")(v => s"$v,graft.plans.TopKWindowRewrite"))
     try assertKeptWindow(df)
     finally prev match {
       case Some(v) => spark.conf.set(Excluded, v)

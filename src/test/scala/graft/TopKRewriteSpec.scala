@@ -18,7 +18,9 @@ class TopKRewriteSpec extends SparkSpec {
     val on = build
     val onRows = on.collect().map(_.toString).sorted
     val prev = spark.conf.getOption(Excluded)
-    spark.conf.set(Excluded, RuleName)
+    // APPEND to any rules the session already excludes — overwriting would
+    // re-enable them for the off-run and measure the wrong differential
+    spark.conf.set(Excluded, prev.fold(RuleName)(v => s"$v,$RuleName"))
     try {
       val offRows = build.collect().map(_.toString).sorted
       assert(onRows.toSeq == offRows.toSeq,
