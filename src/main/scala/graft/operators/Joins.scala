@@ -1,11 +1,49 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Join utilities for the shapes stock planning handles badly at scale.
   */
 object Joins {
+
+  /** Derived session with AQE skew-join thresholds scaled down to the given
+    * sizes. At production scale AQE's defaults (256 MB skewed-partition
+    * threshold, 64 MB advisory size) detect and split hot reducers with no
+    * code at all — nobody hand-picks `salt = 4` on a 1000-executor cluster;
+    * that is the point `q_join_skew_aqe` proves. At test SFs every shuffle
+    * partition is KB-sized, so demonstrating the SAME mechanism needs the
+    * thresholds shrunk proportionally — on an isolated `newSession` (same
+    * SparkContext and extensions, independent conf) so the shared session's
+    * production-default thresholds are untouched.
+    *
+    * The broadcast threshold is disabled because a skew SPLIT only exists
+    * for shuffled joins; at real scale both sides of a skewed join are far
+    * past broadcast size anyway, so this too mirrors the production shape
+    * rather than fighting it.
+    *
+    * When does manual salting ([[saltedInnerJoin]]) still win? When the
+    * skew is invisible to partition-size stats: a hot key whose rows are
+    * *wide* but few, skew on the BUILD side of a shuffled hash join (AQE
+    * splits the stream side's partitions only), or a downstream operator
+    * that requires the join's hash distribution (splitting would break it,
+    * so AQE declines unless forced). Salting also spreads a single hot KEY,
+    * while AQE splits a hot PARTITION — many distinct keys hashing into one
+    * reducer are AQE's case; one gigantic key joined 1:N is salting's.
+    */
+  def skewTunedSession(s: SparkSession, thresholdBytes: Long,
+                       advisoryBytes: Long): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      thresholdBytes.toString)
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      advisoryBytes.toString)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2
+  }
 
   /** Skew-salted equi-join: replicate each right-side row `salt` times and
     * scatter the left side uniformly across the replicas, so one hot key

@@ -189,6 +189,37 @@ object ExtraQueries {
               GROUP BY o_orderstatus"""),
       "skew-salted join ≡ plain join (salt-invariance checked by oracle)"),
 
+    // The adaptive twin of q_join_salted: the SAME hot-key shape, but the
+    // skew is handled by AQE's OptimizeSkewedJoin (hot reducer partitions
+    // split at runtime from shuffle stats) instead of a hand-picked salt.
+    // 20% of lineitem collapses onto one key, so one reducer gets ~6× the
+    // median partition — at production scale the 256 MB default threshold
+    // catches this with zero code; here the thresholds are scaled to the
+    // test SF on an isolated session (see Joins.skewTunedSession for when
+    // manual salting still wins). The oracle is the plain join: skew
+    // splitting must be result-invariant. Plan pin: SkewJoinAqeSpec
+    // asserts the executed SortMergeJoin carries skew=true.
+    Q("q_join_skew_aqe",
+      (s, d) => {
+        val s2 = Joins.skewTunedSession(s, thresholdBytes = 16 * 1024,
+          advisoryBytes = 8 * 1024)
+        val li = t(s2, d, "lineitem").select(
+          when(col("l_orderkey") % 5 === 0, lit(1L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_quantity"))
+        val ord = t(s2, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        li.join(ord, col("k") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty
+              FROM (SELECT CASE WHEN l_orderkey % 5 = 0 THEN 1
+                                ELSE l_orderkey END AS k, l_quantity
+                    FROM lineitem) l
+              JOIN orders ON l.k = o_orderkey
+              GROUP BY o_orderstatus"""),
+      "AQE skew-join: hot key split at runtime from shuffle stats ≡ plain join"),
+
     Q("q_sim_topk_ivf",
       (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"),
         col("vec_id") < LlmQueries.QueryVecs, LlmQueries.TopK),

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** AQE skew-join coverage: the hot-key join must (a) get its skewed
+  * reducer partitions SPLIT at runtime (the executed SortMergeJoin carries
+  * skew=true) and (b) produce rows identical to the same join with skew
+  * handling off — splitting is a physical re-plan, never a semantic one.
+  * The registry twin `q_join_skew_aqe` pins (b) against the DuckDB plain-
+  * join oracle at every SF; this spec pins (a), which no result check can.
+  */
+class SkewJoinAqeSpec extends SparkSpec {
+
+  /** hot-key join: 20% of lineitem collapses onto key 1 */
+  private def skewed(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val li = graft.core.Tables.load(s, sf0001, "lineitem").select(
+      when(col("l_orderkey") % 5 === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"))
+    val ord = graft.core.Tables.load(s, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    li.join(ord, col("k") === col("o_orderkey"))
+  }
+
+  test("hot reducer partitions are split at runtime (skew=true in the executed join)") {
+    // AQE splits a skewed reducer partition at MAPPER boundaries, so the
+    // skewed side needs several map tasks — a single small parquet file
+    // reads as ONE mapper and leaves nothing to split (which is also why
+    // this pin lives here on generated input with explicit partitions, not
+    // on the registry entry whose sf0.001 file is single-row-group). 20%
+    // of the left side collapses onto key 0: ~10k rows in one reducer vs
+    // a ~1.2k-row median.
+    val s2 = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 8192)
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    import s2.implicits._
+    val left = s2.range(0, 50000, 1, 8).select(
+      when($"id" % 5 === 0, 0L).otherwise($"id" % 2000).as("k"),
+      $"id".as("v"))
+    val right = s2.range(0, 2000, 1, 4).select(
+      $"id".as("rk"), ($"id" * 10).as("w"))
+    val df = left.join(right, $"k" === $"rk")
+    // execute through df's OWN QueryExecution (a write would plan a fresh
+    // one and leave this AdaptiveSparkPlan un-finalized)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"plan never finalized:\n$p")
+    assert(p.contains("skew=true"), s"no skew split in the executed plan:\n$p")
+  }
+
+  test("skew splitting is result-invariant (split ≡ unsplit rows)") {
+    val s2 = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    val split = skewed(s2).collect().map(_.toString).sorted
+
+    val s3 = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
+    s3.conf.set("spark.sql.shuffle.partitions", "32")
+    s3.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val plain = skewed(s3).collect().map(_.toString).sorted
+
+    assert(split.toSeq == plain.toSeq)
+    assert(split.nonEmpty)
+  }
+
+  test("the shared session's production-scale thresholds are untouched") {
+    val s2 = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
+    assert(s2.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes") == "2048")
+    // the parent session keeps Spark's 256m default — the scaled-down
+    // thresholds must never leak into sibling queries
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      == "268435456b") // 256 MB
+  }
+}
