@@ -1,0 +1,207 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, GenericInternalRow, InterpretedOrdering, NullsFirst, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructField, StructType}
+
+/** Bounded rank-top-k buffer: at most `k` DISTINCT sort-key values, with
+  * ALL rows sharing each kept key (rank ties share the rank, so a kept
+  * key keeps its whole tie group). Buckets live in a TreeMap ordered by
+  * the window sort order — the last bucket is the worst kept key and a
+  * better NEW key evicts it wholesale in O(log k).
+  *
+  * `rank() <= k` implies the row's key is among the k smallest distinct
+  * keys (every strictly-smaller key contributes ≥1 strictly-smaller row),
+  * so this retention is a superset of the output and the outer Filter's
+  * exact rank re-check trims the rest. The state is bounded by k distinct
+  * keys × the tie-group sizes; only a pathological tie distribution (one
+  * key carried by a material fraction of a group) grows it, so `tiesCap`
+  * bounds total retained rows and the aggregate REFUSES (fails with a
+  * pointer to the sort-based window) past it rather than silently holding
+  * unbounded state — see [[RankTopKRowsAgg]].
+  */
+final class RankTopKBuffer(val ord: Ordering[InternalRow], val k: Int,
+                           val tiesCap: Int) {
+  val buckets = new java.util.TreeMap[InternalRow, mutable.ArrayBuffer[InternalRow]](
+    (a: InternalRow, b: InternalRow) => ord.compare(a, b))
+  private var totalRows = 0
+
+  /** kept iff its key is already kept, ties the worst kept key, or there
+    * is room for / it beats the worst distinct key */
+  def wouldKeep(row: InternalRow): Boolean =
+    buckets.size < k || ord.compare(row, buckets.lastKey) <= 0
+
+  def insert(row: InternalRow): Unit = if (wouldKeep(row)) {
+    val existing = buckets.get(row)
+    if (existing != null) existing += row
+    else {
+      buckets.put(row, mutable.ArrayBuffer(row))
+      if (buckets.size > k) totalRows -= buckets.pollLastEntry().getValue.length
+    }
+    totalRows += 1
+    if (totalRows > tiesCap)
+      throw new SparkException(
+        s"rank-top-k aggregate exceeded its ties cap ($tiesCap retained rows for " +
+        s"k=$k distinct keys in one group): the sort keys are too coarse for the " +
+        "bounded-state rewrite. Re-run with graft.plans.TopKWindowRewrite in " +
+        "spark.sql.optimizer.excludedRules to keep the sort-based window, or add " +
+        "a finer tiebreak key.")
+  }
+
+  /** (rank, row) pairs in window order; buckets starting past rank k are
+    * pruned (their rows cannot satisfy any `rank <= k` bound) */
+  def rankedRows: Seq[(Int, InternalRow)] = {
+    val out = Seq.newBuilder[(Int, InternalRow)]
+    var startRank = 1
+    val it = buckets.values().iterator()
+    while (it.hasNext && startRank <= k) {
+      val bucket = it.next()
+      bucket.foreach(r => out += ((startRank, r)))
+      startRank += bucket.length
+    }
+    out.result()
+  }
+
+  def allRows: Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    buckets.values().asScala.iterator.flatten
+  }
+}
+
+/** Native Catalyst aggregate: the `rank()`-with-ties sibling of
+  * [[TopKRowsAgg]] — keep every row of each group whose rank under the
+  * window sort order can be ≤ `k`, emitting `(rank, input struct)`
+  * elements (rank CANNOT be reconstructed from array position the way
+  * row_number can: ties share a rank and open gaps after themselves).
+  *
+  * `child` is `struct(key1..keyN, payload...)`; the leading `numKeys`
+  * fields order the buckets. State is k distinct keys plus their tie
+  * groups — bounded by `tiesCap` total rows, past which the aggregate
+  * fails loudly (the honest answer: rank-top-k over near-constant keys IS
+  * the full group, and holding it in an agg buffer would be an OOM dressed
+  * as an optimization; the window form spills and survives). The rewrite
+  * ([[graft.plans.TopKWindowRewrite]]) therefore targets high-cardinality
+  * sort keys — every registry query orders by a near-unique chain.
+  *
+  * Same 100-TB shape as the row_number form: no input sort, map-side
+  * partial combine, the shuffle carries O(groups × tasks × (k + ties))
+  * rows, O(k log k + ties) finalization per group.
+  */
+case class RankTopKRowsAgg(
+    child: Expression,
+    numKeys: Int,
+    ascending: Seq[Boolean],
+    nullsFirst: Seq[Boolean],
+    k: Int,
+    tiesCap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[RankTopKBuffer] with UnaryLike[Expression] {
+
+  require(k > 0, s"rank-top-k aggregate needs k > 0, got $k")
+  require(tiesCap >= k, s"tiesCap ($tiesCap) must be >= k ($k)")
+  require(ascending.length == numKeys && nullsFirst.length == numKeys)
+
+  private def structType: StructType = child.dataType.asInstanceOf[StructType]
+
+  /** window order over the leading key fields of the element struct */
+  @transient private lazy val rowOrdering: Ordering[InternalRow] = {
+    val st = structType
+    val sortOrders = (0 until numKeys).map { i =>
+      val dir = if (ascending(i)) Ascending else Descending
+      val no = if (nullsFirst(i)) NullsFirst else NullsLast
+      SortOrder(BoundReference(i, st(i).dataType, st(i).nullable), dir, no, Seq.empty)
+    }
+    new InterpretedOrdering(sortOrders)
+  }
+
+  override def createAggregationBuffer(): RankTopKBuffer =
+    new RankTopKBuffer(rowOrdering, k, tiesCap)
+
+  @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+
+  override def update(buffer: RankTopKBuffer, input: InternalRow): RankTopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      // peek before copying: only rows that will be KEPT pay the copy —
+      // same single-predicate discipline as TopKRowsBuffer.wouldKeep
+      if (buffer.wouldKeep(row)) buffer.insert(toUnsafe(row).copy())
+    }
+    buffer
+  }
+
+  override def merge(buffer: RankTopKBuffer, other: RankTopKBuffer): RankTopKBuffer = {
+    other.allRows.foreach(buffer.insert)
+    buffer
+  }
+
+  override def eval(buffer: RankTopKBuffer): Any = {
+    val width = structType.length
+    val fieldTypes = structType.fields.map(_.dataType)
+    val out = buffer.rankedRows.map { case (rank, row) =>
+      val vals = new Array[Any](width + 1)
+      vals(0) = rank
+      var i = 0
+      while (i < width) { vals(i + 1) = row.get(i, fieldTypes(i)); i += 1 }
+      new GenericInternalRow(vals)
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override def serialize(buffer: RankTopKBuffer): Array[Byte] = {
+    // flat rows in bucket-iteration order; deserialize re-inserts, and
+    // bucket membership is defined by the comparator, so the structure
+    // rebuilds exactly (no rank/order info needs shipping)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    val rows = buffer.allRows.toArray
+    dos.writeInt(rows.length)
+    rows.foreach { r =>
+      val bytes = r.asInstanceOf[UnsafeRow].getBytes
+      dos.writeInt(bytes.length)
+      dos.write(bytes)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): RankTopKBuffer = {
+    val buf = createAggregationBuffer()
+    val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = dis.readInt()
+    val width = structType.length
+    var i = 0
+    while (i < n) {
+      val len = dis.readInt()
+      val arr = new Array[Byte](len)
+      dis.readFully(arr)
+      val row = new UnsafeRow(width)
+      row.pointTo(arr, len)
+      buf.insert(row)
+      i += 1
+    }
+    buf
+  }
+
+  /** array of struct(__rank, key1..keyN, payload...) */
+  override def dataType: DataType = ArrayType(
+    StructType(StructField("__rank", IntegerType, nullable = false) +:
+      structType.fields),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "rank_top_k_rows"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RankTopKRowsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RankTopKRowsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): RankTopKRowsAgg =
+    copy(child = newChild)
+}

@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.functions.TopKRowsAgg
+import graft.functions.{RankTopKRowsAgg, TopKRowsAgg}
 
 /** Catalyst optimizer rule: rewrite the top-k-per-key window idiom
   *
@@ -38,14 +38,21 @@ import graft.functions.TopKRowsAgg
   * conjuncts; all conjuncts are still checked exactly).
   *
   * Fire conditions (else the plan is left alone):
-  *  - the Window computes exactly one expression: row_number() with the
-  *    standard frame, with at least one sort key;
+  *  - the Window computes exactly one expression: row_number() or rank()
+  *    with its standard frame, with at least one sort key;
   *  - some conjunct bounds rn from above by a literal in [1, MaxK]
   *    (MaxK = 1024 — past that the per-group heap and the exploded
   *    arrays stop being "bounded state" and the sort-based window is the
   *    honest plan);
   *  - every conjunct, sort key and partition key is deterministic, and
   *    sort-key types are orderable.
+  *
+  * rank() keeps ties: `rank() <= k` can exceed k rows, so it maps to
+  * [[RankTopKRowsAgg]] — k distinct keys with their whole tie groups,
+  * rank carried IN the output element (array position can't reconstruct
+  * a gapped rank), retained rows capped at [[TiesCap]] past which the
+  * aggregate fails loudly rather than hold unbounded state. dense_rank
+  * is NOT rewritten (its k-th distinct key bounds no row count at all).
   *
   * Registered via [[graft.core.GraftExtensions]] after Top1WindowRewrite
   * (same fixpoint batch — rank-1 shapes are claimed by the cheaper rule
@@ -57,6 +64,11 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
 
   /** beyond this the bounded-heap premise stops holding */
   val MaxK = 1024
+
+  /** rank() only: max rows one group's buffer may retain (k distinct keys
+    * plus their tie groups). Past this the aggregate fails with a pointer
+    * to the window form — see [[graft.functions.RankTopKRowsAgg]]. */
+  val TiesCap = 8192
 
   /** upper bound on rn implied by one conjunct, if any */
   private def rankBound(e: Expression, rn: Attribute): Option[Int] = e match {
@@ -85,11 +97,28 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** rank() evaluates identically under either UNBOUNDED
+    * PRECEDING..CURRENT ROW frame kind (it counts predecessors, it never
+    * reads the frame), and the analyzer emits ROWS for the default spec —
+    * accept both normalized forms */
+  private def isRankFrame(frame: WindowFrame): Boolean = frame match {
+    case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+    case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => true
+    case UnspecifiedFrame => true
+    case _ => false
+  }
+
+  private def supported(fn: Expression, frame: WindowFrame): Boolean = fn match {
+    case RowNumber() => isRowNumberFrame(frame)
+    case _: Rank => isRankFrame(frame)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
-        w @ Window(Seq(Alias(WindowExpression(RowNumber(),
+        w @ Window(Seq(Alias(WindowExpression(fn,
           WindowSpecDefinition(partSpec, orderSpec, frame)), _)), _, _, child, _))
-        if isRowNumberFrame(frame) && orderSpec.nonEmpty =>
+        if supported(fn, frame) && orderSpec.nonEmpty =>
       val rnAttr = w.windowExpressions.head.toAttribute
       val bounds = splitConjuncts(cond).flatMap(rankBound(_, rnAttr))
       val k = if (bounds.isEmpty) 0 else bounds.min
@@ -103,30 +132,56 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
       else {
         val nKeys = orderSpec.length
         val elem = CreateStruct(orderSpec.map(_.child) ++ child.output)
-        val topk = Alias(
-          TopKRowsAgg(elem, nKeys,
-            orderSpec.map(_.direction == Ascending),
-            orderSpec.map(_.nullOrdering == NullsFirst),
-            k).toAggregateExpression(),
-          "__topk_rows")()
-        val agg = Aggregate(partSpec, Seq(topk), child)
+        val ascending = orderSpec.map(_.direction == Ascending)
+        val nullsFirst = orderSpec.map(_.nullOrdering == NullsFirst)
         val elemType = elem.dataType.asInstanceOf[StructType]
-        val posAttr = AttributeReference("__topk_pos", IntegerType, nullable = false)()
-        val elemAttr = AttributeReference("__topk_elem", elemType, nullable = false)()
-        val gen = Generate(PosExplode(topk.toAttribute),
-          unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
-          generatorOutput = Seq(posAttr, elemAttr), agg)
-        // re-expose the child's columns (same exprIds, so references above
-        // the old Filter resolve unchanged) plus rn = pos + 1; the original
-        // filter then re-checks every rank conjunct exactly (rows it would
-        // keep beyond rank k were already excluded by the bounding conjunct)
-        val fields = child.output.zipWithIndex.map { case (a, i) =>
-          Alias(GetStructField(elemAttr, nKeys + i, Some(a.name)), a.name)(
-            exprId = a.exprId, qualifier = a.qualifier)
+        fn match {
+          case RowNumber() =>
+            val topk = Alias(
+              TopKRowsAgg(elem, nKeys, ascending, nullsFirst, k)
+                .toAggregateExpression(),
+              "__topk_rows")()
+            val agg = Aggregate(partSpec, Seq(topk), child)
+            val posAttr = AttributeReference("__topk_pos", IntegerType, nullable = false)()
+            val elemAttr = AttributeReference("__topk_elem", elemType, nullable = false)()
+            val gen = Generate(PosExplode(topk.toAttribute),
+              unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+              generatorOutput = Seq(posAttr, elemAttr), agg)
+            // re-expose the child's columns (same exprIds, so references above
+            // the old Filter resolve unchanged) plus rn = pos + 1; the original
+            // filter then re-checks every rank conjunct exactly (rows it would
+            // keep beyond rank k were already excluded by the bounding conjunct)
+            val fields = child.output.zipWithIndex.map { case (a, i) =>
+              Alias(GetStructField(elemAttr, nKeys + i, Some(a.name)), a.name)(
+                exprId = a.exprId, qualifier = a.qualifier)
+            }
+            val rnOut = Alias(Add(posAttr, Literal(1, IntegerType)), rnAttr.name)(
+              exprId = rnAttr.exprId, qualifier = rnAttr.qualifier)
+            Filter(cond, Project(fields :+ rnOut, gen))
+
+          case _: Rank =>
+            // ties share a rank and open gaps, so the rank is computed by
+            // the aggregate itself (array position can't reconstruct it)
+            // and each element is struct(__rank, keys..., payload...)
+            val topk = Alias(
+              RankTopKRowsAgg(elem, nKeys, ascending, nullsFirst, k, TiesCap)
+                .toAggregateExpression(),
+              "__rank_topk_rows")()
+            val agg = Aggregate(partSpec, Seq(topk), child)
+            val rankedType = StructType(
+              StructField("__rank", IntegerType, nullable = false) +: elemType.fields)
+            val elemAttr = AttributeReference("__topk_elem", rankedType, nullable = false)()
+            val gen = Generate(Explode(topk.toAttribute),
+              unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+              generatorOutput = Seq(elemAttr), agg)
+            val fields = child.output.zipWithIndex.map { case (a, i) =>
+              Alias(GetStructField(elemAttr, 1 + nKeys + i, Some(a.name)), a.name)(
+                exprId = a.exprId, qualifier = a.qualifier)
+            }
+            val rnOut = Alias(GetStructField(elemAttr, 0, Some("__rank")), rnAttr.name)(
+              exprId = rnAttr.exprId, qualifier = rnAttr.qualifier)
+            Filter(cond, Project(fields :+ rnOut, gen))
         }
-        val rnOut = Alias(Add(posAttr, Literal(1, IntegerType)), rnAttr.name)(
-          exprId = rnAttr.exprId, qualifier = rnAttr.qualifier)
-        Filter(cond, Project(fields :+ rnOut, gen))
       }
   }
 }

@@ -172,11 +172,12 @@ class Top1RewriteSpec extends SparkSpec {
     }
   }
 
-  test("rank() (not row_number) is NOT rewritten") {
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
-    assertKeptWindow(
-      lineitem.withColumn("rn", rank().over(w)).filter(col("rn") === 1))
+  test("rank() is not claimed by top-1 (the rank-aware top-k sibling takes it)") {
+    assertTop1Declines {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+      lineitem.withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+    }
   }
 
   test("randomized differential: rule-on ≡ rule-off on generated tables") {

@@ -159,11 +159,107 @@ class TopKRewriteSpec extends SparkSpec {
       orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 100000))
   }
 
-  test("rank() (not row_number) is NOT rewritten") {
+  private def assertRankRewritten(df: DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(!p.contains("windowspecdefinition"), s"window survived:\n$p")
+    assert(p.contains("rank_top_k_rows"), s"no rank_top_k_rows aggregate:\n$p")
+  }
+
+  test("rank() <= 3 rewrites to the ties-aware aggregate and matches the window") {
+    def q = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    }
+    assertRankRewritten(q)
+    differential(q)
+  }
+
+  test("rank() ties at the k boundary keep the WHOLE tie group (can exceed k rows)") {
+    import spark.implicits._
+    // key 1: scores 10,10,20,20,20 → ranks 1,1,3,3,3 → rank<=3 keeps all 5
+    // key 2: scores 1,2,2,9      → ranks 1,2,2,4   → rank<=3 keeps 3
+    def q = {
+      val df = Seq((1L, 10, "a"), (1L, 10, "b"), (1L, 20, "c"), (1L, 20, "d"),
+        (1L, 20, "e"), (2L, 1, "f"), (2L, 2, "g"), (2L, 2, "h"), (2L, 9, "i"))
+        .toDF("k", "score", "tag")
+      val w = Window.partitionBy("k").orderBy(col("score").asc)
+      df.withColumn("r", rank().over(w)).filter(col("r") <= 3)
+    }
+    assertRankRewritten(q)
+    val out = differential(q).collect()
+    assert(out.count(_.getAs[Long]("k") == 1L) == 5)
+    assert(out.count(_.getAs[Long]("k") == 2L) == 3)
+    assert(out.filter(_.getAs[String]("tag") == "c").forall(_.getAs[Int]("r") == 3))
+  }
+
+  test("rank() exact and ranged filters re-check the gapped rank exactly") {
+    import spark.implicits._
+    // scores 5,5,7,7,7,9 → ranks 1,1,3,3,3,6: rank = 2 is EMPTY (the gap),
+    // rank in [2,3] keeps only the three rank-3 rows
+    val df = Seq((1L, 5, "a"), (1L, 5, "b"), (1L, 7, "c"), (1L, 7, "d"),
+      (1L, 7, "e"), (1L, 9, "f")).toDF("k", "score", "tag")
+    def gap = {
+      val w = Window.partitionBy("k").orderBy(col("score").asc)
+      df.withColumn("r", rank().over(w)).filter(col("r") === 2)
+    }
+    assertRankRewritten(gap)
+    assert(differential(gap).count() == 0)
+    def ranged = {
+      val w = Window.partitionBy("k").orderBy(col("score").asc)
+      df.withColumn("r", rank().over(w)).filter(col("r") >= 2 && col("r") <= 3)
+    }
+    assertRankRewritten(ranged)
+    val out = differential(ranged).collect()
+    assert(out.length == 3 && out.forall(_.getAs[Int]("r") == 3))
+  }
+
+  test("randomized rank() differential: ties drawn from a narrow domain") {
+    val rnd = new scala.util.Random(90125L)
+    import spark.implicits._
+    for (_ <- 1 to 6) {
+      val nKeys = 1 + rnd.nextInt(8)
+      val n = 50 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(4)
+      // score domain of 4 values → heavy ties; no tiebreak on purpose
+      // (rank is tie-stable, so the result is deterministic anyway)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(4), i)
+      }
+      val df = rows.toDF("k", "score", "id")
+      val desc = rnd.nextBoolean()
+      def q = {
+        val w = Window.partitionBy("k")
+          .orderBy(if (desc) col("score").desc else col("score").asc)
+        df.withColumn("r", rank().over(w)).filter(col("r") <= k)
+          .select(col("k"), col("score"), col("r")) // id is payload noise
+      }
+      assertRankRewritten(q)
+      differential(q)
+    }
+  }
+
+  test("a group whose ties exceed TiesCap fails loudly, pointing at the window form") {
+    import spark.implicits._
+    val n = graft.plans.TopKWindowRewrite.TiesCap + 1
+    def q = {
+      val df = spark.range(0, n).select(lit(1L).as("k"), lit(42).as("score"),
+        $"id")
+      val w = Window.partitionBy("k").orderBy(col("score").asc)
+      df.withColumn("r", rank().over(w)).filter(col("r") <= 2)
+    }
+    assertRankRewritten(q)
+    val e = intercept[Exception] { q.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ties cap")), e.toString)
+  }
+
+  test("dense_rank() is NOT rewritten") {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     assertKeptWindow(
-      orders.withColumn("rn", rank().over(w)).filter(col("rn") <= 3))
+      orders.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3))
   }
 
   test("lower-bound-only rank filters are NOT rewritten") {
