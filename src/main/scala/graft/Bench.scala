@@ -48,9 +48,12 @@ object Bench {
       try qmap(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // median of 3 runs per query: single runs on this box swing up to 2×
-    // from co-tenant noise, which would swamp round-over-round deltas
-    val Reps = 3
+    // median of 5 runs per query: single runs on this box swing up to 2×
+    // from co-tenant noise; at 3 reps one noisy run still lands a phantom
+    // 2× round-over-round delta (r4→r5 produced five such flags, every
+    // adjudicated one noise) — 5 reps costs ~2 min and makes the median
+    // robust to two outliers instead of one
+    val Reps = 5
     val results: Seq[(String, Option[Double])] =
       headline.filter(qmap.contains).map { name =>
         val times = (1 to Reps).flatMap { _ =>

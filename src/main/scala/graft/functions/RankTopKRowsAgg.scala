@@ -49,7 +49,8 @@ final class RankTopKBuffer(val ord: Ordering[InternalRow], val k: Int,
       throw new SparkException(
         s"rank-top-k aggregate exceeded its ties cap ($tiesCap retained rows for " +
         s"k=$k distinct keys in one group): the sort keys are too coarse for the " +
-        "bounded-state rewrite. Re-run with graft.plans.TopKWindowRewrite in " +
+        "bounded-state rewrite. Raise spark.graft.topk.rank.tiesCap if the tie " +
+        "groups are legitimate, re-run with graft.plans.TopKWindowRewrite in " +
         "spark.sql.optimizer.excludedRules to keep the sort-based window, or add " +
         "a finer tiebreak key.")
   }

@@ -33,6 +33,22 @@ object Joins {
     */
   def skewTunedSession(s: SparkSession, thresholdBytes: Long,
                        advisoryBytes: Long): SparkSession = {
+    // memoized per (parent, thresholds): registry queries run in bench
+    // loops call this per invocation, and un-cached newSession() calls
+    // would accumulate cloned session state for the process lifetime.
+    // The returned session is therefore SHARED — callers must not mutate
+    // its conf (tests that need to flip flags use the fresh variant).
+    tunedCache.computeIfAbsent((s, thresholdBytes, advisoryBytes),
+      _ => freshSkewTunedSession(s, thresholdBytes, advisoryBytes))
+  }
+
+  private val tunedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Long, Long), SparkSession]
+
+  /** uncached [[skewTunedSession]]: a private derived session the caller
+    * may freely mutate (A/B conf flips in specs) */
+  def freshSkewTunedSession(s: SparkSession, thresholdBytes: Long,
+                            advisoryBytes: Long): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "true")
     s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

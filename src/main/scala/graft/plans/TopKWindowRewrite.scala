@@ -65,10 +65,18 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   /** beyond this the bounded-heap premise stops holding */
   val MaxK = 1024
 
-  /** rank() only: max rows one group's buffer may retain (k distinct keys
-    * plus their tie groups). Past this the aggregate fails with a pointer
-    * to the window form — see [[graft.functions.RankTopKRowsAgg]]. */
+  /** rank() only: default max rows one group's buffer may retain (k
+    * distinct keys plus their tie groups). Past this the aggregate fails
+    * with a pointer to the window form — see
+    * [[graft.functions.RankTopKRowsAgg]]. Tunable per session via
+    * [[TiesCapConf]] (never below k), so a workload with legitimately
+    * huge tie groups can raise the cap instead of excluding the whole
+    * rule; the failure message names both escape hatches. */
   val TiesCap = 8192
+
+  /** session conf overriding [[TiesCap]] — the tuning escape hatch that
+    * doesn't require disabling the rewrite outright */
+  val TiesCapConf = "spark.graft.topk.rank.tiesCap"
 
   /** upper bound on rn implied by one conjunct, if any */
   private def rankBound(e: Expression, rn: Attribute): Option[Int] = e match {
@@ -163,8 +171,10 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
             // ties share a rank and open gaps, so the rank is computed by
             // the aggregate itself (array position can't reconstruct it)
             // and each element is struct(__rank, keys..., payload...)
+            val tiesCap = math.max(k,
+              conf.getConfString(TiesCapConf, TiesCap.toString).toInt)
             val topk = Alias(
-              RankTopKRowsAgg(elem, nKeys, ascending, nullsFirst, k, TiesCap)
+              RankTopKRowsAgg(elem, nKeys, ascending, nullsFirst, k, tiesCap)
                 .toAggregateExpression(),
               "__rank_topk_rows")()
             val agg = Aggregate(partSpec, Seq(topk), child)

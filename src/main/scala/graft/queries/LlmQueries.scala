@@ -663,10 +663,15 @@ object LlmQueries {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
           TextFunctions.langId(col("text")).as("lang_pred"))
         val kept = QualityFilter.keepOnly(docs, col("text"))
+        // the ordering key is the whole struct (doc_id leading), so the
+        // kept row is deterministic even if doc_id were ever duplicated —
+        // the oracle's window form keeps ALL rows tying min(doc_id), which
+        // only coincides because doc_id is the documents PK; a total
+        // tiebreak makes that assumption unnecessary rather than unstated
         val deduped = kept
           .groupBy(md5(col("text")).as("__h"))
           .agg(min_by(struct(col("doc_id"), col("text"), col("lang_pred")),
-            col("doc_id")).as("__r"))
+            struct(col("doc_id"), col("text"), col("lang_pred"))).as("__r"))
           .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"),
             col("__r.lang_pred").as("lang_pred"))
         Sampling.stratifiedByHash(deduped, col("lang_pred"), col("doc_id"),

@@ -533,6 +533,30 @@ object RelationalQueries {
                     FROM orders) WHERE rn <= 3"""),
       "per-group top-k via ranking window"),
 
+    // rank() twin of q_group_topk: ties share a rank and open gaps, so
+    // `rnk <= 3` may keep MORE than 3 rows per group. The sort key is
+    // deliberately coarse — floor(c_acctbal/1000) buckets ~60 customers
+    // per nation into ~11 tie groups, so tie groups straddle the k
+    // boundary in every nation (double arithmetic, IEEE-identical in
+    // DuckDB). Executes through TopKWindowRewrite's rank() arm →
+    // RankTopKRowsAgg bounded-heap aggregate (plan-pinned in
+    // PlanShapeSpec: rank_top_k_rows fires, no window sort remains).
+    Q("q_group_topk_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(floor(col("c_acctbal") / 1000).desc)
+        t(s, d, "customer")
+          .withColumn("rnk", rank().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            col("rnk").cast("int").as("rnk"))
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal, CAST(rnk AS INT) AS rnk
+              FROM (SELECT *, rank() OVER (PARTITION BY c_nationkey
+                      ORDER BY floor(c_acctbal / 1000) DESC) AS rnk
+                    FROM customer) WHERE rnk <= 3"""),
+      "per-group top-k with rank() ties (bounded-heap aggregate, ties kept)"),
+
     Q("q_sort_global",
       // materialized full global sort (no limit): plans a rangepartitioning
       // Exchange + per-partition sort — the scalable total-order shape

@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
@@ -30,9 +32,11 @@ object BenchFocus {
     val qmap = SparkEntry.queries
     // same warm-up discipline as Bench: codegen compile out of steady state
     val warmDir = "/root/testdata/sf0.001"
+    // NonFatal only: an OOM or linkage error must crash the tool, not be
+    // swallowed into a median computed from fewer reps than requested
     names.filter(qmap.contains).foreach { n =>
       try qmap(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case NonFatal(e) => System.err.println(s"[focus] warm $n: $e") }
     }
     val out = names.filter(qmap.contains).map { n =>
       val times = (1 to reps).flatMap { _ =>
@@ -40,11 +44,12 @@ object BenchFocus {
         try {
           qmap(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable => System.err.println(s"[focus] $n: $e"); None }
+        } catch { case NonFatal(e) => System.err.println(s"[focus] $n: $e"); None }
       }
       val sorted = times.sorted
       val med = if (sorted.isEmpty) Double.NaN else sorted(sorted.size / 2)
-      f""""$n":{"median":$med%.3f,"min":${sorted.headOption.getOrElse(Double.NaN)}%.3f,"max":${sorted.lastOption.getOrElse(Double.NaN)}%.3f,"runs":${sorted.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+      // ok < reps makes a partial sample visible to the adjudication
+      f""""$n":{"median":$med%.3f,"min":${sorted.headOption.getOrElse(Double.NaN)}%.3f,"max":${sorted.lastOption.getOrElse(Double.NaN)}%.3f,"ok":${sorted.size},"runs":${sorted.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"focus","sf":"$sfDir","reps":$reps,"queries":$out}""")
     spark.stop()

@@ -37,6 +37,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(vec_id"), p)
   }
 
+  test("q_group_topk_rank executes through rank_top_k_rows — no window sort") {
+    val p = plan("q_group_topk_rank").toLowerCase
+    // the rank() arm of TopKWindowRewrite must fire: ties-aware bounded
+    // heap aggregate, rank carried in the element, zero window sorts
+    assert(p.contains("rank_top_k_rows"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("AQE coalesces the post-shuffle partitions of q_agg_distinct_salted at runtime") {
+    // the second headline AQE behavior the 100× story leans on (the first,
+    // skew split, is pinned in SkewJoinAqeSpec): undersized reducer
+    // partitions merge at runtime from shuffle stats. parallelismFirst is
+    // flipped off so AQE targets the advisory byte size — the production
+    // posture, where partitions are MB-sized, not the KB shards of sf0.001
+    val pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prev = spark.conf.getOption(pf)
+    spark.conf.set(pf, "false")
+    try {
+      val df = SparkEntry.queries("q_agg_distinct_salted")(spark, sf0001)
+      // execute through df's OWN QueryExecution so the AdaptiveSparkPlan
+      // finalizes (a write would plan a fresh one)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("coalesced"), s"no AQEShuffleRead coalesced in:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set(pf, v)
+      case None => spark.conf.unset(pf)
+    }
+  }
+
   test("q_join_range_binned joins on the bin id — no nested-loop, no cartesian") {
     val p = plan("q_join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -33,7 +33,9 @@ class SkewJoinAqeSpec extends SparkSpec {
     // on the registry entry whose sf0.001 file is single-row-group). 20%
     // of the left side collapses onto key 0: ~10k rows in one reducer vs
     // a ~1.2k-row median.
-    val s2 = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 8192)
+    // fresh (uncached) variant: this test mutates the derived session's
+    // conf, which must not leak into the memoized shared instance
+    val s2 = Joins.freshSkewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 8192)
     s2.conf.set("spark.sql.shuffle.partitions", "32")
     import s2.implicits._
     val left = s2.range(0, 50000, 1, 8).select(
@@ -51,11 +53,11 @@ class SkewJoinAqeSpec extends SparkSpec {
   }
 
   test("skew splitting is result-invariant (split ≡ unsplit rows)") {
-    val s2 = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
+    val s2 = Joins.freshSkewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
     s2.conf.set("spark.sql.shuffle.partitions", "32")
     val split = skewed(s2).collect().map(_.toString).sorted
 
-    val s3 = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
+    val s3 = Joins.freshSkewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
     s3.conf.set("spark.sql.shuffle.partitions", "32")
     s3.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     val plain = skewed(s3).collect().map(_.toString).sorted
@@ -67,9 +69,22 @@ class SkewJoinAqeSpec extends SparkSpec {
   test("the shared session's production-scale thresholds are untouched") {
     val s2 = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
     assert(s2.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes") == "2048")
-    // the parent session keeps Spark's 256m default — the scaled-down
-    // thresholds must never leak into sibling queries
-    assert(spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
-      == "268435456b") // 256 MB
+    // the parent session keeps Spark's 256 MB default — the scaled-down
+    // thresholds must never leak into sibling queries. Compare PARSED
+    // bytes, not Spark's internal rendering of the default ("268435456b"
+    // today), which may change across upgrades with the same semantics.
+    val parent = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"))
+    assert(parent == 256L * 1024 * 1024)
+  }
+
+  test("skewTunedSession is memoized per (parent, thresholds)") {
+    val a = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
+    val b = Joins.skewTunedSession(spark, thresholdBytes = 2048, advisoryBytes = 1024)
+    val c = Joins.skewTunedSession(spark, thresholdBytes = 4096, advisoryBytes = 1024)
+    assert(a eq b, "same thresholds must reuse the derived session")
+    assert(!(a eq c), "different thresholds must not share a session")
+    assert(!(Joins.freshSkewTunedSession(spark, 2048, 1024) eq a),
+      "fresh variant must never return the shared instance")
   }
 }

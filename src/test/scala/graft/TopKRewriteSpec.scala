@@ -255,6 +255,30 @@ class TopKRewriteSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("ties cap")), e.toString)
   }
 
+  test("TiesCap is session-tunable via spark.graft.topk.rank.tiesCap") {
+    import spark.implicits._
+    val capConf = graft.plans.TopKWindowRewrite.TiesCapConf
+    def q = {
+      val df = spark.range(0, 100).select(lit(1L).as("k"), lit(42).as("score"), $"id")
+      val w = Window.partitionBy("k").orderBy(col("score").asc)
+      df.withColumn("r", rank().over(w)).filter(col("r") <= 2)
+    }
+    try {
+      // 100 tie rows against a lowered cap: loud failure naming the conf
+      spark.conf.set(capConf, "64")
+      assertRankRewritten(q)
+      val e = intercept[Exception] { q.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(m =>
+        m.contains("ties cap") && m.contains(capConf)), e.toString)
+      // raising the cap makes the SAME query complete, all ties kept —
+      // the tuning escape hatch that doesn't disable the rule
+      spark.conf.set(capConf, "128")
+      assert(q.collect().length == 100)
+    } finally spark.conf.unset(capConf)
+  }
+
   test("dense_rank() is NOT rewritten") {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
