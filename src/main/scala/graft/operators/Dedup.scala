@@ -133,6 +133,56 @@ object Dedup {
         round(col("jaccard"), 4).as("j4"))
   }
 
+  /** Cross-document repeated-substring spans: for every document, the
+    * maximal word-position ranges whose `w`-word shingles also appear in
+    * at least one OTHER document — the contiguous regions an aggressive
+    * span-level dedup would cut (boilerplate headers, license blocks,
+    * syndicated paragraphs that exact/minhash dedup misses because the
+    * surrounding document differs).
+    *
+    * Shape (never all-pairs): positional shingles → inverted index on the
+    * 60-bit portable shingle hash (one hash aggregate keeps only hashes
+    * spanning ≥ 2 distinct docs — at 100 TB this index is the only
+    * shuffle-heavy step and is map-side combinable) → equi-join probe back
+    * on the 8-byte hash → per-document gaps-and-islands merge (windows
+    * partitioned by doc_id, bounded by document length, no global sort).
+    * Two shingle starts ≤ w apart overlap-or-touch, so islands break when
+    * the position gap exceeds w.
+    *
+    * Output: (doc_id, span_start, span_end, n_shingles) — word offsets,
+    * end exclusive, n_shingles = repeated shingle starts merged into the
+    * span. The DuckDB oracle mirrors the hash ([[PortableHash.hash60]] is
+    * engine-portable) so even hash collisions agree bit-for-bit. */
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                    w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // job-scoped persist: the shingle relation feeds both the index build
+    // and the probe (2 plan references)
+    val sh = CacheScope.autoRelease(
+      graft.core.Tables.ensureParallelism(docs)
+        .select(col(idCol).as("doc_id"),
+          posexplode(TextFunctions.shingles(col(textCol), w)))
+        .select(col("doc_id"), col("pos"),
+          PortableHash.hash60(col("col")).as("h")))
+    val dup = sh.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val hits = sh.join(dup, "h").select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + w).cast("int").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_shingles"))
+  }
+
   /** 16-bit SimHash per document over the word bag. */
   def simhashTable(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     graft.core.Tables.ensureParallelism(

@@ -144,6 +144,7 @@ object LlmQueries {
        |SELECT id1, id2, round(j, 4) AS j4 FROM pairs""".stripMargin
 
   val NearDupJaccard = 0.2
+  val SubstringW = 8 // repeated-span shingle width (words)
   val EmbedDupCos = 0.9
   val TopK = 10
   val QueryVecs = 16 // vec_id < 16 are the similarity-search query set
@@ -238,6 +239,39 @@ object LlmQueries {
                  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
                WHERE j >= $NearDupJaccard"""),
       "blocked brute-force n-gram Jaccard near-dups"),
+
+    // Cross-document repeated-substring spans: the contiguous word ranges
+    // whose 8-word shingles recur in ≥2 documents — what a span-level
+    // dedup would cut. Inverted index on the portable shingle hash →
+    // equi-join probe → per-doc gaps-and-islands merge; the oracle
+    // reproduces the hash bit-for-bit so even collisions agree.
+    Q("q_dedup_substring",
+      (s, d) => Dedup.repeatedSpans(t(s, d, "documents"), "text", "doc_id",
+        SubstringW),
+      Some {
+        val W = SubstringW
+        val shingle = s"array_to_string(ts[p+1:p+$W], ' ')"
+        s"""WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+           |pn AS (SELECT doc_id, ts,
+           |         unnest(range(0, greatest(len(ts) - $W, 0) + 1)) AS p
+           |       FROM toks),
+           |sh AS (SELECT doc_id, CAST(p AS INT) AS pos,
+           |         ${graft.functions.PortableHash.duckHash60(shingle)} AS h
+           |       FROM pn WHERE $shingle <> ''),
+           |dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+           |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+           |brk AS (SELECT doc_id, pos,
+           |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $W
+           |               THEN 0 ELSE 1 END AS brk
+           |        FROM hits),
+           |isl AS (SELECT doc_id, pos,
+           |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           |        FROM brk)
+           |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           |       CAST(max(pos) + $W AS INT) AS span_end, count(*) AS n_shingles
+           |FROM isl GROUP BY doc_id, isl""".stripMargin
+      },
+      "cross-document repeated-substring spans (inverted shingle index + island merge)"),
 
     Q("q_dedup_embed",
       (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), EmbedDupCos),

@@ -37,6 +37,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(vec_id"), p)
   }
 
+  test("q_dedup_substring probes the shingle index via equi-join — no all-pairs, no global sort") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only windows are per-document (gaps-and-islands) — bounded by
+    // doc length, never a single-partition global sort
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q_group_topk_rank executes through rank_top_k_rows — no window sort") {
     val p = plan("q_group_topk_rank").toLowerCase
     // the rank() arm of TopKWindowRewrite must fire: ties-aware bounded
