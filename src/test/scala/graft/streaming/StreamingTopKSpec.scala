@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** The streaming leaderboard's FINAL state (latest version per key) must
+  * equal the batch top-k rewrite's output over the same rows — including
+  * across a kill/restart boundary, where the per-key version must stay
+  * monotone because it lives in keyed state. And it must emit ONLY on
+  * change: a microbatch of non-qualifying rows produces no output at all.
+  */
+class StreamingTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 3
+
+  /** deterministic events: 20 keys × 50 rows, globally unique ids,
+    * scores from a fixed multiplicative hash (ties impossible) */
+  private def events: Seq[StreamingTopK.ScoreEvent] =
+    (0 until 1000).map { i =>
+      StreamingTopK.ScoreEvent(i % 20, i,
+        ((i * 2654435761L) % 10007L).toDouble / 7.0)
+    }
+
+  private def runOnce(dir: String, outDir: String, ckpt: String): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[StreamingTopK.ScoreEvent]
+    val q = StreamingTopK.leaderboard(src, K).toDF()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+  }
+
+  private def latestPerKey(outDir: String) = {
+    val out = spark.read.parquet(outDir)
+    out.join(out.groupBy("key").agg(max("version").as("version")),
+        Seq("key", "version"))
+      .select("key", "rank", "id", "score")
+  }
+
+  test("final leaderboard across a restart ≡ batch top-k over all rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_topk_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topk_ck").toString
+    val all = events
+    // first half lands, the query runs to completion and STOPS (the
+    // "crash"); the second half arrives and a new query resumes from the
+    // same checkpoint — state (including versions) must carry over
+    all.take(500).toDS().coalesce(1).write.mode("append").parquet(dir)
+    runOnce(dir, outDir, ckpt)
+    all.drop(500).toDS().coalesce(1).write.mode("append").parquet(dir)
+    runOnce(dir, outDir, ckpt)
+
+    val streamed = latestPerKey(outDir)
+    // the batch twin — which itself executes through TopKWindowRewrite,
+    // so this differential also crosses the batch/streaming engine seam
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    val batch = spark.read.parquet(dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("key", "rank", "id", "score")
+    assert(streamed.count() == 20L * K)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the restart run saw changes for at least some keys, so versions
+    // must have advanced past 1 — monotone across the boundary
+    assert(spark.read.parquet(outDir).agg(max("version")).head().getLong(0) > 1L)
+  }
+
+  test("emits only on change: a non-qualifying microbatch produces nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk2_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_topk2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topk2_ck").toString
+    def feed(rows: (Long, Long, Double)*): Unit =
+      rows.map { case (k, i, s) => StreamingTopK.ScoreEvent(k, i, s) }
+        .toDS().coalesce(1).write.mode("append").parquet(dir)
+
+    val k2 = 2
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StreamingTopK.ScoreEvent]
+      val q = StreamingTopK.leaderboard(src, k2).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    feed((1L, 1L, 10.0), (1L, 2L, 9.0)); run() // v1: [(1,10),(2,9)]
+    feed((1L, 3L, 5.0)); run()                 // below cutoff: NO emission
+    feed((1L, 4L, 11.0)); run()                // v2: [(4,11),(1,10)]
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 4, out.collect().mkString(","))
+    assert(out.select("version").distinct().as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    val v2 = out.filter(col("version") === 2)
+      .select("rank", "id", "score").as[(Int, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(v2 == Seq((1, 4L, 11.0), (2, 1L, 10.0)), v2.toString)
+  }
+}
