@@ -55,16 +55,22 @@ final class RankTopKBuffer(val ord: Ordering[InternalRow], val k: Int,
         "a finer tiebreak key.")
   }
 
-  /** (rank, row) pairs in window order; buckets starting past rank k are
-    * pruned (their rows cannot satisfy any `rank <= k` bound) */
-  def rankedRows: Seq[(Int, InternalRow)] = {
+  /** (rank, row) pairs in window order. `dense = false`: gapped rank()
+    * (a bucket's rank = 1 + rows before it), buckets starting past rank k
+    * pruned (their rows cannot satisfy any `rank <= k` bound).
+    * `dense = true`: dense_rank() (a bucket's rank = its ordinal) — every
+    * kept bucket qualifies, since the buffer holds at most k of them. */
+  def rankedRows(dense: Boolean): Seq[(Int, InternalRow)] = {
     val out = Seq.newBuilder[(Int, InternalRow)]
     var startRank = 1
+    var ordinal = 1
     val it = buckets.values().iterator()
-    while (it.hasNext && startRank <= k) {
+    while (it.hasNext && (if (dense) ordinal <= k else startRank <= k)) {
       val bucket = it.next()
-      bucket.foreach(r => out += ((startRank, r)))
+      val rank = if (dense) ordinal else startRank
+      bucket.foreach(r => out += ((rank, r)))
       startRank += bucket.length
+      ordinal += 1
     }
     out.result()
   }
@@ -75,11 +81,18 @@ final class RankTopKBuffer(val ord: Ordering[InternalRow], val k: Int,
   }
 }
 
-/** Native Catalyst aggregate: the `rank()`-with-ties sibling of
-  * [[TopKRowsAgg]] — keep every row of each group whose rank under the
-  * window sort order can be ≤ `k`, emitting `(rank, input struct)`
-  * elements (rank CANNOT be reconstructed from array position the way
-  * row_number can: ties share a rank and open gaps after themselves).
+/** Native Catalyst aggregate: the `rank()`/`dense_rank()`-with-ties
+  * sibling of [[TopKRowsAgg]] — keep every row of each group whose rank
+  * under the window sort order can be ≤ `k`, emitting `(rank, input
+  * struct)` elements (rank CANNOT be reconstructed from array position
+  * the way row_number can: ties share a rank and — in the gapped form —
+  * open gaps after themselves).
+  *
+  * Both rank flavors share the SAME retention: `rank() <= k` implies the
+  * key is among the k smallest distinct keys, and `dense_rank() <= k` IS
+  * "among the k smallest distinct keys" — so the k-bucket TreeMap covers
+  * both, and only the emitted rank differs (`dense`: bucket ordinal vs
+  * 1 + preceding rows).
   *
   * `child` is `struct(key1..keyN, payload...)`; the leading `numKeys`
   * fields order the buckets. State is k distinct keys plus their tie
@@ -101,6 +114,7 @@ case class RankTopKRowsAgg(
     nullsFirst: Seq[Boolean],
     k: Int,
     tiesCap: Int,
+    dense: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[RankTopKBuffer] with UnaryLike[Expression] {
@@ -146,7 +160,7 @@ case class RankTopKRowsAgg(
   override def eval(buffer: RankTopKBuffer): Any = {
     val width = structType.length
     val fieldTypes = structType.fields.map(_.dataType)
-    val out = buffer.rankedRows.map { case (rank, row) =>
+    val out = buffer.rankedRows(dense).map { case (rank, row) =>
       val vals = new Array[Any](width + 1)
       vals(0) = rank
       var i = 0
@@ -197,7 +211,8 @@ case class RankTopKRowsAgg(
       structType.fields),
     containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "rank_top_k_rows"
+  override def prettyName: String =
+    if (dense) "dense_rank_top_k_rows" else "rank_top_k_rows"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): RankTopKRowsAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -47,12 +47,15 @@ import graft.functions.{RankTopKRowsAgg, TopKRowsAgg}
   *  - every conjunct, sort key and partition key is deterministic, and
   *    sort-key types are orderable.
   *
-  * rank() keeps ties: `rank() <= k` can exceed k rows, so it maps to
-  * [[RankTopKRowsAgg]] — k distinct keys with their whole tie groups,
-  * rank carried IN the output element (array position can't reconstruct
-  * a gapped rank), retained rows capped at [[TiesCap]] past which the
-  * aggregate fails loudly rather than hold unbounded state. dense_rank
-  * is NOT rewritten (its k-th distinct key bounds no row count at all).
+  * rank() and dense_rank() keep ties: `<= k` can exceed k rows, so both
+  * map to [[RankTopKRowsAgg]] — k distinct keys with their whole tie
+  * groups (the SAME retention: gapped rank ≤ k implies membership in the
+  * k smallest distinct keys; dense rank ≤ k IS that membership), rank
+  * carried IN the output element (array position can't reconstruct
+  * either tie-aware rank), retained rows capped at [[TiesCap]] past
+  * which the aggregate fails loudly rather than hold unbounded state —
+  * the cap is what makes dense_rank (whose k-th distinct key bounds no
+  * row count a priori) safe to rewrite at all.
   *
   * Registered via [[graft.core.GraftExtensions]] after Top1WindowRewrite
   * (same fixpoint batch — rank-1 shapes are claimed by the cheaper rule
@@ -118,7 +121,7 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
 
   private def supported(fn: Expression, frame: WindowFrame): Boolean = fn match {
     case RowNumber() => isRowNumberFrame(frame)
-    case _: Rank => isRankFrame(frame)
+    case _: Rank | _: DenseRank => isRankFrame(frame)
     case _ => false
   }
 
@@ -167,14 +170,15 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
               exprId = rnAttr.exprId, qualifier = rnAttr.qualifier)
             Filter(cond, Project(fields :+ rnOut, gen))
 
-          case _: Rank =>
-            // ties share a rank and open gaps, so the rank is computed by
-            // the aggregate itself (array position can't reconstruct it)
+          case _: Rank | _: DenseRank =>
+            // ties share a rank (gapped or dense), so the rank is computed
+            // by the aggregate itself (array position can't reconstruct it)
             // and each element is struct(__rank, keys..., payload...)
             val tiesCap = math.max(k,
               conf.getConfString(TiesCapConf, TiesCap.toString).toInt)
             val topk = Alias(
-              RankTopKRowsAgg(elem, nKeys, ascending, nullsFirst, k, tiesCap)
+              RankTopKRowsAgg(elem, nKeys, ascending, nullsFirst, k, tiesCap,
+                dense = fn.isInstanceOf[DenseRank])
                 .toAggregateExpression(),
               "__rank_topk_rows")()
             val agg = Aggregate(partSpec, Seq(topk), child)

@@ -557,6 +557,27 @@ object RelationalQueries {
                     FROM customer) WHERE rnk <= 3"""),
       "per-group top-k with rank() ties (bounded-heap aggregate, ties kept)"),
 
+    // dense_rank() sibling: top-3 DISTINCT balance buckets per nation,
+    // every tie row kept, no rank gaps. Same k-bucket retention as the
+    // rank() arm (dense_rank <= k IS membership in the k best distinct
+    // keys); TiesCap is what makes it bounded-state-safe. Plan-pinned:
+    // dense_rank_top_k_rows fires, no window sort.
+    Q("q_group_topk_dense",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(floor(col("c_acctbal") / 1000).desc)
+        t(s, d, "customer")
+          .withColumn("rnk", dense_rank().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            col("rnk").cast("int").as("rnk"))
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal, CAST(rnk AS INT) AS rnk
+              FROM (SELECT *, dense_rank() OVER (PARTITION BY c_nationkey
+                      ORDER BY floor(c_acctbal / 1000) DESC) AS rnk
+                    FROM customer) WHERE rnk <= 3"""),
+      "per-group top-k with dense_rank() (k distinct buckets, all tie rows)"),
+
     Q("q_sort_global",
       // materialized full global sort (no limit): plans a rangepartitioning
       // Exchange + per-partition sort — the scalable total-order shape

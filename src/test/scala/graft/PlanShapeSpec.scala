@@ -54,6 +54,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q_group_topk_dense executes through dense_rank_top_k_rows — no window sort") {
+    val p = plan("q_group_topk_dense").toLowerCase
+    assert(p.contains("dense_rank_top_k_rows"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("AQE coalesces the post-shuffle partitions of q_agg_distinct_salted at runtime") {
     // the second headline AQE behavior the 100× story leans on (the first,
     // skew split, is pinned in SkewJoinAqeSpec): undersized reducer

@@ -279,11 +279,62 @@ class TopKRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(capConf)
   }
 
-  test("dense_rank() is NOT rewritten") {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    assertKeptWindow(
-      orders.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3))
+  private def assertDenseRewritten(df: DataFrame): Unit = {
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(!p.contains("windowspecdefinition"), s"window survived:\n$p")
+    assert(p.contains("dense_rank_top_k_rows"),
+      s"no dense_rank_top_k_rows aggregate:\n$p")
+  }
+
+  test("dense_rank() <= 3 rewrites to the dense arm and matches the window") {
+    def q = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3)
+    }
+    assertDenseRewritten(q)
+    differential(q)
+  }
+
+  test("dense_rank() keeps k distinct VALUES with whole tie groups, no gaps") {
+    import spark.implicits._
+    // scores 10,10,20,20,20,30,40 asc → dense ranks 1,1,2,2,2,3,4:
+    // dense<=3 keeps 6 rows across 3 distinct scores (gapped rank<=3
+    // would keep only the 10s and 20s — rank 3 is inside the 20-tie)
+    def q = {
+      val df = Seq((1L, 10, "a"), (1L, 10, "b"), (1L, 20, "c"), (1L, 20, "d"),
+        (1L, 20, "e"), (1L, 30, "f"), (1L, 40, "g")).toDF("k", "score", "tag")
+      val w = Window.partitionBy("k").orderBy(col("score").asc)
+      df.withColumn("r", dense_rank().over(w)).filter(col("r") <= 3)
+    }
+    assertDenseRewritten(q)
+    val out = differential(q).collect()
+    assert(out.length == 6, out.mkString(","))
+    assert(out.filter(_.getAs[String]("tag") == "f").forall(_.getAs[Int]("r") == 3))
+    assert(!out.exists(_.getAs[String]("tag") == "g"))
+  }
+
+  test("randomized dense_rank() differential: ties drawn from a narrow domain") {
+    val rnd = new scala.util.Random(41920L)
+    import spark.implicits._
+    for (_ <- 1 to 6) {
+      val nKeys = 1 + rnd.nextInt(8)
+      val n = 50 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(4)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(4), i)
+      }
+      val df = rows.toDF("k", "score", "id")
+      val desc = rnd.nextBoolean()
+      def q = {
+        val w = Window.partitionBy("k")
+          .orderBy(if (desc) col("score").desc else col("score").asc)
+        df.withColumn("r", dense_rank().over(w)).filter(col("r") <= k)
+          .select(col("k"), col("score"), col("r")) // id is payload noise
+      }
+      assertDenseRewritten(q)
+      differential(q)
+    }
   }
 
   test("lower-bound-only rank filters are NOT rewritten") {
