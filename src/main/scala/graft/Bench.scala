@@ -15,7 +15,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q_scan_project", "q_join_inner", "q_join_broadcast",
     "q_join_asof", "q_agg_distinct", "q_agg_rollup", "q_win_rank",
-    "q_win_running", "q_group_topk", "q_group_topk_agg", "q_topk", "q_set_distinct",
+    "q_win_running", "q_group_topk", "q_group_topk_agg", "q_group_topk_rank",
+    "q_topk", "q_set_distinct",
     "q_str_funcs", "q_array_funcs", "q_json_funcs",
     "q_stream_tumbling", "q_stream_session",
     "q_ref_pipeline", "q_ref_keyed_count",
@@ -26,7 +27,7 @@ object Bench {
     "q_dedup_cc", "q_text_tfidf", "q_merge_upsert",
     "q_events_funnel", "q_anomaly_zscore", "q_pack_chunks", "q_star_join",
     "q_text_normalize", "q_domain_cap", "q_chunk_overlap",
-    "q_dedup_incremental", "q_quality_gate", "q_win_cume", "q_sql_tpch3",
+    "q_dedup_incremental", "q_dedup_substring", "q_quality_gate", "q_win_cume", "q_sql_tpch3",
     "q_sim_topk_ivf_probe", "q_agg_distinct_salted", "q_scd2", "q_join_hinted",
     "q_win_top1")
 

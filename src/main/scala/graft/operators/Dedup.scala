@@ -183,6 +183,41 @@ object Dedup {
         col("n_shingles"))
   }
 
+  /** Apply stage of [[repeatedSpans]]: return each document with every
+    * cross-document repeated span CUT OUT — aggressive boilerplate
+    * removal (both copies go; whole-document duplicates are the exact
+    * dedup operator's job, this one targets the shared license blocks /
+    * headers / syndicated paragraphs inside otherwise-distinct docs).
+    *
+    * Shape: spans collapse to one array per doc (tiny — islands, not
+    * rows), ONE equi-join back to the corpus on doc_id, then a single
+    * codegen-friendly higher-order filter drops covered token positions.
+    * No token-level explode of the corpus, no second shuffle: per-row
+    * cost is O(tokens × spans-per-doc), spans-per-doc is small by
+    * construction (merged islands).
+    *
+    * Output text is token-normalized (single-space rejoin) — the same
+    * normalization the shingler applies, stated here because docs with
+    * zero repeated spans still come back single-spaced. */
+  def removeRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                          w: Int): DataFrame = {
+    val spans = repeatedSpans(docs, textCol, idCol, w)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          // spans == null (no repeated content) keeps every token; the
+          // filter index is the token's word position, matching the
+          // span offsets emitted by repeatedSpans
+          when(col("__spans").isNull, TextFunctions.tokens(col(textCol)))
+            .otherwise(filter(TextFunctions.tokens(col(textCol)),
+              (t, i) => !exists(col("__spans"),
+                s => i >= s.getField("span_start") && i < s.getField("span_end")))),
+          " ").as("clean_text"))
+  }
+
   /** 16-bit SimHash per document over the word bag. */
   def simhashTable(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     graft.core.Tables.ensureParallelism(

@@ -145,6 +145,31 @@ object LlmQueries {
 
   val NearDupJaccard = 0.2
   val SubstringW = 8 // repeated-span shingle width (words)
+
+  /** CTE chain computing the cross-document repeated-span islands —
+    * shared by `q_dedup_substring` (span report) and
+    * `q_dedup_substring_apply` (span removal). Exposes `toks(doc_id, ts)`
+    * and `isl(doc_id, pos, isl)`; mirrors [[Dedup.repeatedSpans]]
+    * including the engine-portable shingle hash (collisions agree). */
+  private def duckRepeatedSpanCtes(w: Int): String = {
+    val shingle = s"array_to_string(ts[p+1:p+$w], ' ')"
+    s"""toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+       |pn AS (SELECT doc_id, ts,
+       |         unnest(range(0, greatest(len(ts) - $w, 0) + 1)) AS p
+       |       FROM toks),
+       |sh AS (SELECT doc_id, CAST(p AS INT) AS pos,
+       |         ${graft.functions.PortableHash.duckHash60(shingle)} AS h
+       |       FROM pn WHERE $shingle <> ''),
+       |dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+       |brk AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $w
+       |               THEN 0 ELSE 1 END AS brk
+       |        FROM hits),
+       |isl AS (SELECT doc_id, pos,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |        FROM brk)""".stripMargin
+  }
   val EmbedDupCos = 0.9
   val TopK = 10
   val QueryVecs = 16 // vec_id < 16 are the similarity-search query set
@@ -248,30 +273,33 @@ object LlmQueries {
     Q("q_dedup_substring",
       (s, d) => Dedup.repeatedSpans(t(s, d, "documents"), "text", "doc_id",
         SubstringW),
-      Some {
-        val W = SubstringW
-        val shingle = s"array_to_string(ts[p+1:p+$W], ' ')"
-        s"""WITH toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
-           |pn AS (SELECT doc_id, ts,
-           |         unnest(range(0, greatest(len(ts) - $W, 0) + 1)) AS p
-           |       FROM toks),
-           |sh AS (SELECT doc_id, CAST(p AS INT) AS pos,
-           |         ${graft.functions.PortableHash.duckHash60(shingle)} AS h
-           |       FROM pn WHERE $shingle <> ''),
-           |dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-           |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
-           |brk AS (SELECT doc_id, pos,
-           |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $W
-           |               THEN 0 ELSE 1 END AS brk
-           |        FROM hits),
-           |isl AS (SELECT doc_id, pos,
-           |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-           |        FROM brk)
+      Some(s"""WITH ${duckRepeatedSpanCtes(SubstringW)}
            |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
-           |       CAST(max(pos) + $W AS INT) AS span_end, count(*) AS n_shingles
-           |FROM isl GROUP BY doc_id, isl""".stripMargin
-      },
+           |       CAST(max(pos) + $SubstringW AS INT) AS span_end, count(*) AS n_shingles
+           |FROM isl GROUP BY doc_id, isl""".stripMargin),
       "cross-document repeated-substring spans (inverted shingle index + island merge)"),
+
+    // The apply twin: the corpus with every repeated span cut out —
+    // spans collapse to one tiny array per doc, ONE equi-join back, and
+    // a higher-order filter drops covered token positions (no token
+    // explode of the corpus, no second shuffle). Output text is
+    // token-normalized; removal is aggressive (both copies go).
+    Q("q_dedup_substring_apply",
+      (s, d) => Dedup.removeRepeatedSpans(t(s, d, "documents"), "text",
+        "doc_id", SubstringW),
+      Some(s"""WITH ${duckRepeatedSpanCtes(SubstringW)},
+           |spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + $SubstringW AS se
+           |          FROM isl GROUP BY doc_id, isl),
+           |tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
+           |tok AS (SELECT doc_id, CAST(p AS INT) AS p, ts[p+1] AS tok FROM tp),
+           |keep AS (SELECT t.doc_id, t.p, t.tok FROM tok t WHERE NOT EXISTS (
+           |           SELECT 1 FROM spans s
+           |           WHERE s.doc_id = t.doc_id AND t.p >= s.ss AND t.p < s.se)),
+           |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
+           |        FROM keep GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.ct, '') AS clean_text
+           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      "corpus with repeated spans removed (span join + higher-order token filter)"),
 
     Q("q_dedup_embed",
       (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), EmbedDupCos),
