@@ -35,6 +35,30 @@ object Sampling {
     df.filter(PortableHash.hashMod(id.cast("string")) % Mille < rate)
   }
 
+  /** Seeded reproducible corpus shuffle: every row gets a contiguous
+    * 1-based global `position` in a pseudo-random order that is a pure
+    * function of (seed, id) — the training-order assignment step of a
+    * data pipeline (shard N = positions [N·size, (N+1)·size)), rerunnable
+    * bit-for-bit after any failure, and re-drawable with a new seed.
+    *
+    * Order key is the portable hash of "seed:id" (ties broken by id, so
+    * the order is total even across hash collisions); positions come from
+    * [[GlobalRank.withGlobalRowNumber]] — range-partitioned two-pass, no
+    * single-partition sort, two metadata-scale driver round-trips. */
+  def seededShuffle(df: DataFrame, id: Column, seed: Long,
+                    positionCol: String = "position"): DataFrame = {
+    val keyed = df.withColumn("__shuf",
+      PortableHash.hashMod(concat(lit(s"$seed:"), id.cast("string"))))
+    val idName = keyed.select(id).columns.head
+    val (out, _) = GlobalRank.withGlobalRowNumber(
+      keyed, "__shuf", Seq(idName), positionCol)
+    out.drop("__shuf")
+  }
+
+  /** DuckDB fragment for the seeded-shuffle order key (oracle parity). */
+  def duckShuffleKey(id: String, seed: Long): String =
+    PortableHash.duckHashMod(s"'$seed:' || $id")
+
   /** DuckDB fragment for the same keep-predicate (oracle parity). */
   def duckStratifiedPred(stratum: String, id: String,
                          rates: Seq[(String, Int)], defaultPerMille: Int): String = {

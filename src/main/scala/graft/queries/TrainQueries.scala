@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{PortableHash, TextFunctions}
+import graft.operators.Sampling
 
 /** Round-3 training-data-pipeline additions: corpus canonicalization,
   * per-domain quota sampling, overlapping chunking, incremental (cross-
@@ -39,6 +40,7 @@ object TrainQueries {
     s"(('0x' || substr(md5(${duckNorm(e)}), 1, 15))::BIGINT % $MOD)"
 
   val DomainCap = 10      // per-source quota (docs kept per domain)
+  val ShuffleSeed = 42L   // seeded corpus-shuffle draw
   val ChunkSize = 24      // tokens per training chunk
   val ChunkStride = 16    // chunk start stride (ChunkSize − overlap)
 
@@ -58,6 +60,24 @@ object TrainQueries {
                  ${duckNormHash("text")} AS norm_hash
                FROM documents"""),
       "text canonicalization (lower, collapse non-alnum, trim) + portable content hash"),
+
+    // ---------- seeded corpus shuffle (training order) ----------
+    // Every doc gets a contiguous global position in a pseudo-random
+    // order that is a pure function of (seed, doc_id) — the shard/order
+    // assignment step before training, reproducible across retries and
+    // engines. Two-pass range-partitioned global row_number (GlobalRank):
+    // no single-partition sort anywhere (plan-pinned); the oracle's
+    // window formulation is the SEMANTIC spec, not the physical plan.
+    Q("q_corpus_shuffle",
+      (s, d) => Sampling.seededShuffle(
+          t(s, d, "documents").select(col("doc_id")), col("doc_id"),
+          seed = ShuffleSeed)
+        .select(col("doc_id"), col("position").cast("long").as("position")),
+      Some(s"""SELECT doc_id, CAST(row_number() OVER (ORDER BY
+                 ${Sampling.duckShuffleKey("doc_id::VARCHAR", ShuffleSeed)},
+                 doc_id) AS BIGINT) AS position
+               FROM documents"""),
+      "seeded reproducible corpus shuffle → contiguous global positions"),
 
     // ---------- per-domain quota sampling ----------
     // Crawl corpora are dominated by a few hosts; capping docs-per-domain

@@ -22,6 +22,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_corpus_shuffle assigns global positions with no single-partition sort") {
+    val p = plan("q_corpus_shuffle")
+    // two-pass GlobalRank: per-range windows + broadcast offsets — a
+    // global ORDER BY row_number would plan SinglePartition and die at
+    // corpus scale
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q_sort_global plans a range-partitioned sort, not a single partition") {
     val p = plan("q_sort_global")
     assert(p.contains("rangepartitioning"), p)
