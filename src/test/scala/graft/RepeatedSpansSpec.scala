@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Hand-built-corpus semantics for [[Dedup.repeatedSpans]] /
+  * [[Dedup.removeRepeatedSpans]] — the oracle entries check the operators
+  * against DuckDB on real data; this spec pins the INTENDED shapes on
+  * inputs small enough to reason about by hand: shared blocks found at
+  * the right offsets, overlapping shingle runs merged into one span,
+  * within-document repetition NOT flagged (cross-document only), and the
+  * apply stage cutting exactly the covered positions from both copies.
+  */
+class RepeatedSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 3
+
+  // a shared 5-word block ("the quick brown fox jumps") inside two
+  // otherwise-distinct docs; doc 3 is clean; doc 4 repeats ITS OWN
+  // 3-word phrase twice but shares nothing with other docs
+  private def corpus = Seq(
+    (1L, "alpha beta the quick brown fox jumps gamma delta"),
+    (2L, "one two three four the quick brown fox jumps five"),
+    (3L, "completely unrelated text with no shared blocks here"),
+    (4L, "echo foxtrot golf echo foxtrot golf hotel india juliet")
+  ).toDF("doc_id", "text")
+
+  test("shared block reported as ONE merged span per doc at word offsets") {
+    val spans = Dedup.repeatedSpans(corpus, "text", "doc_id", W)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: block at words 2..6 → shingle starts 2,3,4 (3 shingles),
+    // span [2, 4+W) = [2,7); doc 2: block at words 4..8 → starts 4,5,6,
+    // span [4,9). docs 3 and 4 produce NO spans (4's repetition is
+    // within-document — count(DISTINCT doc_id) = 1).
+    assert(spans.toSeq == Seq((1L, 2, 7, 3L), (2L, 4, 9, 3L)), spans.mkString(","))
+  }
+
+  test("apply cuts exactly the covered words from both copies, others intact") {
+    val cleaned = Dedup.removeRepeatedSpans(corpus, "text", "doc_id", W)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(cleaned.toSeq == Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four five"),
+      (3L, "completely unrelated text with no shared blocks here"),
+      (4L, "echo foxtrot golf echo foxtrot golf hotel india juliet")),
+      cleaned.mkString("\n"))
+  }
+
+  test("adjacent-but-distinct repeated shingles merge into one span") {
+    // docs share two different 3-word blocks back to back: positions give
+    // a gap of exactly W between repeated shingle starts → one island
+    val df = Seq(
+      (10L, "aa bb cc xx yy zz tail one"),
+      (11L, "pre aa bb cc xx yy zz two"),
+      (12L, "noise words only nothing shared")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "text", "doc_id", W)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2))
+    // doc 10: shared run "aa bb cc xx yy zz" at words 0..5 → shingle
+    // starts 0..3, one span [0, 3+W) = [0,6); doc 11: at words 1..6 →
+    // starts 1..4, one span [1,7)
+    assert(spans.toSeq == Seq((10L, 0, 6), (11L, 1, 7)), spans.mkString(","))
+  }
+}
