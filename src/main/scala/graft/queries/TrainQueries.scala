@@ -183,6 +183,59 @@ object TrainQueries {
                                    AND cc.doc_id <> cc.cluster_id)"""),
       "near-dup removal end-to-end: pairs → clusters → keep canonical → anti-join"),
 
+    // Quality-aware canonical selection: same pipeline, but each cluster
+    // keeps its HIGHEST-QUALITY member (here: word count; ties → min
+    // doc_id for a total order) instead of min-id — the policy real
+    // corpus builds want, since the min-id copy may be the truncated or
+    // boilerplate-padded one. The winner comes from one map-side-
+    // combinable max_by per cluster (no window over members), then the
+    // same anti-join. The ordering key is a struct so the tiebreak is
+    // total and engine-portable.
+    Q("q_dedup_keep_best",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.minhashNearDups(
+          docs, "text", "doc_id", LlmQueries.NearDupJaccard).select("id1", "id2")
+        val cc = graft.operators.Connected.components(pairs)
+        val scored = docs.select(col("doc_id"),
+          TextFunctions.nWords(col("text")).as("n_words"))
+        val keep = cc.join(scored, "doc_id")
+          .groupBy("cluster_id")
+          .agg(max_by(col("doc_id"),
+            struct(col("n_words"), (lit(0L) - col("doc_id")))).as("keep_id"))
+        val losers = cc.join(keep, "cluster_id")
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select(col("doc_id"))
+        docs.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.nWords(col("text")).as("n_words"))
+      },
+      Some(s"""WITH RECURSIVE ${LlmQueries.duckMinhashCtes(LlmQueries.NearDupJaccard)},
+               edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                         UNION ALL SELECT id2, id1 FROM pairs),
+               reach AS (
+                 SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+               cc AS (SELECT u AS doc_id, min(v) AS cluster_id
+                      FROM reach GROUP BY u),
+               scored AS (SELECT doc_id,
+                   CAST(len(${LlmQueries.duckTokens("text")}) AS INT) AS n_words
+                 FROM documents),
+               win AS (SELECT cluster_id, doc_id AS keep_id FROM (
+                   SELECT cc.cluster_id, cc.doc_id,
+                     row_number() OVER (PARTITION BY cc.cluster_id
+                       ORDER BY s.n_words DESC, cc.doc_id ASC) AS rn
+                   FROM cc JOIN scored s USING (doc_id)) WHERE rn = 1),
+               losers AS (SELECT cc.doc_id FROM cc JOIN win USING (cluster_id)
+                          WHERE cc.doc_id <> win.keep_id)
+               SELECT d.doc_id, d.lang,
+                 CAST(len(${LlmQueries.duckTokens("text")}) AS INT) AS n_words
+               FROM documents d
+               WHERE NOT EXISTS (SELECT 1 FROM losers
+                                 WHERE losers.doc_id = d.doc_id)"""),
+      "near-dup removal keeping each cluster's highest-quality member (max_by, total tiebreak)"),
+
     // ---------- percentile quality gate ----------
     // Keep documents at-or-above their language's 25th percentile of
     // word count — per-group thresholds, not a global cutoff, so small
