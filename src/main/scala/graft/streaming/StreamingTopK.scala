@@ -44,6 +44,31 @@ object StreamingTopK {
 
   case class TopKState(version: Long, ids: Array[Long], scores: Array[Double])
 
+  /** (s1, i1) ranks strictly ahead of (s2, i2): score DESC, id ASC */
+  def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  /** The pure insert-evict kernel: fold `rows` into the sorted `buf`
+    * (best-first, at most k entries), returning whether the leaderboard
+    * changed. Rejected rows cost one cutoff compare. Exposed as a
+    * function of (buffer, rows) — no state handle — so the
+    * order-independence claim is property-testable directly
+    * (PropertySpec): the final buffer equals the top-k of every row ever
+    * offered, under ANY chunking and arrival order. */
+  def insertAll(buf: mutable.ArrayBuffer[(Long, Double)], k: Int,
+                rows: IterableOnce[ScoreEvent]): Boolean = {
+    var changed = false
+    rows.iterator.foreach { r =>
+      if (buf.length < k || beats(r.score, r.id, buf.last._2, buf.last._1)) {
+        val i = buf.indexWhere { case (id2, s2) => beats(r.score, r.id, s2, id2) }
+        buf.insert(if (i < 0) buf.length else i, (r.id, r.score))
+        if (buf.length > k) buf.remove(buf.length - 1)
+        changed = true
+      }
+    }
+    changed
+  }
+
   class TopKProcessor(k: Int)
       extends StatefulProcessor[Long, ScoreEvent, TopKEntry] {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -54,25 +79,12 @@ object StreamingTopK {
       st = getHandle.getValueState[TopKState]("topk",
         Encoders.product[TopKState], TTLConfig.NONE)
 
-    /** (s1, i1) ranks strictly ahead of (s2, i2): score DESC, id ASC */
-    private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
-
     override def handleInputRows(key: Long, rows: Iterator[ScoreEvent],
                                  timerValues: TimerValues): Iterator[TopKEntry] = {
       val cur = Option(st.get())
       val buf = mutable.ArrayBuffer.empty[(Long, Double)]
       cur.foreach(s => buf ++= s.ids.zip(s.scores))
-      var changed = false
-      rows.foreach { r =>
-        if (buf.length < k || beats(r.score, r.id, buf.last._2, buf.last._1)) {
-          val i = buf.indexWhere { case (id2, s2) => beats(r.score, r.id, s2, id2) }
-          buf.insert(if (i < 0) buf.length else i, (r.id, r.score))
-          if (buf.length > k) buf.remove(buf.length - 1)
-          changed = true
-        }
-      }
-      if (!changed) Iterator.empty
+      if (!insertAll(buf, k, rows)) Iterator.empty
       else {
         val version = cur.map(_.version).getOrElse(0L) + 1
         st.update(TopKState(version, buf.map(_._1).toArray,

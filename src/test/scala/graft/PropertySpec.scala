@@ -101,6 +101,54 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("StreamingTopK.insertAll ≡ global sort-take under any chunking and order") {
+    import graft.streaming.StreamingTopK
+    val gen = for {
+      k <- Gen.choose(1, 6)
+      n <- Gen.choose(0, 60)
+      // unique ids (the operator's contract); duplicate scores force the
+      // id tiebreak
+      scores <- Gen.listOfN(n, Gen.choose(0, 8).map(_.toDouble))
+      perm <- Gen.choose(0, 5)
+      nChunks <- Gen.choose(1, 6)
+    } yield (k, scores.zipWithIndex.map { case (s, i) => (i.toLong, s) },
+      perm, nChunks)
+    check("stream_topk", Prop.forAll(gen) { case (k, rows, perm, nChunks) =>
+      // a deterministic pseudo-shuffle of arrival order, then chunk into
+      // microbatches — the state-carrying fold the processor performs
+      val arrival = rows.sortBy { case (id, _) => (id * 2654435761L + perm) % 97 }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      arrival.zipWithIndex.groupBy(_._2 % nChunks).toSeq.sortBy(_._1)
+        .foreach { case (_, chunk) =>
+          StreamingTopK.insertAll(buf, k,
+            chunk.map { case ((id, s), _) => StreamingTopK.ScoreEvent(0L, id, s) })
+        }
+      val want = rows.sortBy { case (id, s) => (-s, id) }.take(k)
+      (buf.toList == want) :| s"got ${buf.toList} want $want"
+    })
+  }
+
+  test("StreamingTopK.insertAll reports changed=false iff nothing beat the board") {
+    import graft.streaming.StreamingTopK
+    val gen = for {
+      k <- Gen.choose(1, 4)
+      base <- Gen.listOfN(10, Gen.choose(4, 8).map(_.toDouble))
+      probe <- Gen.choose(0, 10).map(_.toDouble)
+    } yield (k, base.zipWithIndex.map { case (s, i) => (i.toLong, s) }, probe)
+    check("stream_topk_changed", Prop.forAll(gen) { case (k, rows, probe) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      StreamingTopK.insertAll(buf, k, rows.map { case (id, s) =>
+        StreamingTopK.ScoreEvent(0L, id, s) })
+      val before = buf.toList
+      val changed = StreamingTopK.insertAll(buf, k,
+        Seq(StreamingTopK.ScoreEvent(0L, 999L, probe)))
+      val shouldChange = before.length < k ||
+        StreamingTopK.beats(probe, 999L, before.last._2, before.last._1)
+      (changed == shouldChange && (changed || buf.toList == before)) :|
+        s"probe=$probe before=$before after=${buf.toList} changed=$changed"
+    })
+  }
+
   private val specGen: Gen[PipelineSpec] = for {
     parts <- Gen.choose(-1, 4)
     reps <- Gen.choose(-1, 3)
