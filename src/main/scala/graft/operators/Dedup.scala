@@ -153,9 +153,13 @@ object Dedup {
     * end exclusive, n_shingles = repeated shingle starts merged into the
     * span. The DuckDB oracle mirrors the hash ([[PortableHash.hash60]] is
     * engine-portable) so even hash collisions agree bit-for-bit. */
-  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
-                    w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The hit relation under [[repeatedSpans]]: every (doc_id, pos) whose
+    * `w`-word shingle also occurs in ≥1 OTHER document. Exposed because
+    * it is also the semantic contract of the STREAMING twin
+    * ([[graft.streaming.StreamingSubstringDedup]] emits exactly this set,
+    * incrementally) — the island merge on top is a batch post-pass. */
+  def repeatedShingleHits(docs: DataFrame, textCol: String, idCol: String,
+                          w: Int): DataFrame = {
     // job-scoped persist: the shingle relation feeds both the index build
     // and the probe (2 plan references)
     val sh = CacheScope.autoRelease(
@@ -168,7 +172,13 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select("h")
-    val hits = sh.join(dup, "h").select("doc_id", "pos")
+    sh.join(dup, "h").select("doc_id", "pos")
+  }
+
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                    w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = repeatedShingleHits(docs, textCol, idCol, w)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+import graft.functions.{PortableHash, TextFunctions}
+
+/** Repeated-substring detection AT INGEST: the positional shingle
+  * inverted index of [[graft.operators.Dedup.repeatedShingleHits]]
+  * maintained as streaming keyed state, so repeated spans surface the
+  * microbatch the SECOND copy of a shingle arrives — instead of
+  * re-running the batch index build over the whole corpus.
+  *
+  * The per-document work (tokenize, shingle, portable 60-bit hash) stays
+  * stateless and codegen'd — identical expressions to the batch
+  * operator; only cohort membership is stateful. State per shingle hash:
+  * the (doc_id, pos) instances seen, each with an emitted flag. When a
+  * cohort first spans two DISTINCT documents, every stored instance
+  * emits (the first copy emits retroactively — the batch hit set marks
+  * both sides, and so does this operator); later instances of an
+  * already-duplicated shingle emit immediately. Each (doc_id, pos) emits
+  * exactly once: the flags commit transactionally with the microbatch,
+  * so a replayed batch re-derives the same decisions
+  * (StreamingSubstringSpec pins hit-set equality with the batch operator
+  * across a kill/restart).
+  *
+  * State is the same positional index the batch build materializes,
+  * hash-partitioned across the cluster's RocksDB stores; cohorts are
+  * tiny (a shingle's occurrence list), so no key grows unbounded unless
+  * the corpus repeats one shingle pathologically — the same skew the
+  * batch index join has. The island merge into spans stays a batch
+  * post-pass over emitted hits ([[graft.operators.Dedup.repeatedSpans]]
+  * semantics); emissions are append-only hits, so any sink composes.
+  */
+object StreamingSubstringDedup {
+
+  case class DocText(doc_id: Long, text: String)
+  case class ShingleArrival(h: Long, doc_id: Long, pos: Int)
+  case class ShingleHit(doc_id: Long, pos: Int)
+  case class IndexEntry(doc_id: Long, pos: Int, emitted: Boolean)
+  case class ShingleState(entries: Array[IndexEntry])
+
+  class ShingleProcessor
+      extends StatefulProcessor[Long, ShingleArrival, ShingleHit] {
+
+    @transient private var st: ValueState[ShingleState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ShingleState]("shingle",
+        Encoders.product[ShingleState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ShingleArrival],
+                                 timerValues: TimerValues): Iterator[ShingleHit] = {
+      val entries = mutable.ArrayBuffer.empty[IndexEntry]
+      Option(st.get()).foreach(s => entries ++= s.entries)
+      rows.foreach(r => entries += IndexEntry(r.doc_id, r.pos, emitted = false))
+      val isDup = entries.iterator.map(_.doc_id).toSet.size >= 2
+      val out =
+        if (!isDup) Iterator.empty
+        else {
+          val fresh = entries.filter(!_.emitted)
+            .map(e => ShingleHit(e.doc_id, e.pos)).toArray
+          entries.indices.foreach(i =>
+            entries(i) = entries(i).copy(emitted = true))
+          fresh.iterator
+        }
+      st.update(ShingleState(entries.toArray))
+      out
+    }
+  }
+
+  /** Ingest-time repeated-shingle hits over (doc_id, text) records.
+    * Requires the RocksDB state store ([[KeyedStage.rocksConf]]). */
+  def hits(docs: Dataset[DocText], w: Int): Dataset[ShingleHit] = {
+    implicit val arrEnc = Encoders.product[ShingleArrival]
+    implicit val outEnc = Encoders.product[ShingleHit]
+    val arrivals = docs.toDF()
+      .select(col("doc_id"),
+        posexplode(TextFunctions.shingles(col("text"), w)))
+      .select(PortableHash.hash60(col("col")).as("h"),
+        col("doc_id"), col("pos"))
+      .as[ShingleArrival]
+    arrivals.groupByKey(_.h)(Encoders.scalaLong)
+      .transformWithState(new ShingleProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** The streaming shingle index replayed over the sf0.01 documents must
+  * emit exactly the batch operator's repeated-shingle hit set — every
+  * (doc_id, pos) whose shingle occurs in ≥2 distinct docs, BOTH sides
+  * included (the first copy emits retroactively when its duplicate
+  * arrives) — with no hit lost or doubled across a kill/restart
+  * boundary. The island merge into spans is a batch post-pass, pinned
+  * here by composing it over the streamed hits.
+  */
+class StreamingSubstringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 8
+
+  test("streamed hits ≡ batch repeated-shingle hits, across a restart") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_substr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_substr_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StreamingSubstringDedup.DocText]
+      val q = StreamingSubstringDedup.hits(src, W).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // first half lands, query completes and STOPS (the "crash"); second
+    // half arrives, a new query resumes from the same checkpoint — the
+    // index (incl. emitted flags) must carry over: hits whose first copy
+    // was in run 1 and duplicate in run 2 emit the run-1 side exactly once
+    docs.limit((n / 2).toInt).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    docs.exceptAll(docs.limit((n / 2).toInt)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir).select("doc_id", "pos")
+    val batch = Dedup.repeatedShingleHits(
+      spark.read.parquet(dir), "text", "doc_id", W)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // the batch island merge over streamed hits reproduces the batch
+    // operator's spans end-to-end (same windows, same gap rule)
+    val spansFromStream = {
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      streamed
+        .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") - col("prev") > W, 1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(byDoc))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).cast("int").as("span_start"),
+          (max(col("pos")) + W).cast("int").as("span_end"),
+          count(lit(1)).as("n_shingles"))
+        .select("doc_id", "span_start", "span_end", "n_shingles")
+    }
+    val spansBatch = Dedup.repeatedSpans(
+      spark.read.parquet(dir), "text", "doc_id", W)
+    assert(spansFromStream.exceptAll(spansBatch).isEmpty &&
+      spansBatch.exceptAll(spansFromStream).isEmpty)
+  }
+
+  test("first copy emits retroactively in the batch its duplicate arrives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr2_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_substr2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_substr2_ck").toString
+    def feed(rows: (Long, String)*): Unit =
+      rows.map { case (id, t) => StreamingSubstringDedup.DocText(id, t) }
+        .toDS().coalesce(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StreamingSubstringDedup.DocText]
+      val q = StreamingSubstringDedup.hits(src, 3).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // batch 1: one doc, no duplicates anywhere → zero emissions
+    feed((1L, "aa bb cc dd")); runOnce()
+    assert(!new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".parquet"))
+      || spark.read.parquet(outDir).isEmpty)
+    // batch 2: a second doc sharing the block → BOTH docs' positions emit
+    feed((2L, "xx aa bb cc dd")); runOnce()
+    val hits = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // doc 1: shingle starts 0,1 ("aa bb cc","bb cc dd"); doc 2: starts 1,2
+    assert(hits == Seq((1L, 0), (1L, 1), (2L, 1), (2L, 2)), hits.toString)
+  }
+}
