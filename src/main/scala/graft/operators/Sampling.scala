@@ -59,6 +59,33 @@ object Sampling {
   def duckShuffleKey(id: String, seed: Long): String =
     PortableHash.duckHashMod(s"'$seed:' || $id")
 
+  /** Weighted sampling WITHOUT replacement, deterministic: the
+    * Efraimidis–Spirakis A-ES scheme (key = u^(1/w), keep the k largest
+    * keys — "Weighted random sampling with a reservoir", IPL 2006) with
+    * the uniform draw u derived from the portable hash instead of rand(),
+    * so the kept set is a pure function of (ids, weights) — reproducible
+    * across runs, engines, and retries, and oracle-checkable exactly.
+    * Inclusion probability is proportional to weight in the without-
+    * replacement sense; w = 0 yields key 0 (never sampled while any
+    * positive-weight row remains).
+    *
+    * Scale: the key is a per-row expression; top-k by key plans as
+    * TakeOrderedAndProject (per-partition bounded heaps + driver merge of
+    * k·partitions rows) — no global sort, no shuffle of the corpus. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     k: Int): DataFrame = {
+    val u = (PortableHash.hashMod(id.cast("string")) + lit(1.0)) /
+      lit(PortableHash.MOD.toDouble + 1.0)
+    df.withColumn("__wkey", pow(u, lit(1.0) / weight))
+      .orderBy(col("__wkey").desc, id.asc)
+      .limit(k)
+      .drop("__wkey")
+  }
+
+  /** DuckDB fragment for the A-ES key (oracle parity). */
+  def duckWeightedKey(id: String, weight: String): String =
+    s"pow((${PortableHash.duckHashMod(id)} + 1.0) / ${PortableHash.MOD.toDouble + 1.0}, 1.0 / ($weight))"
+
   /** DuckDB fragment for the same keep-predicate (oracle parity). */
   def duckStratifiedPred(stratum: String, id: String,
                          rates: Seq[(String, Int)], defaultPerMille: Int): String = {

@@ -41,6 +41,7 @@ object TrainQueries {
 
   val DomainCap = 10      // per-source quota (docs kept per domain)
   val ShuffleSeed = 42L   // seeded corpus-shuffle draw
+  val WeightedK = 100     // weighted-sample size
   val ChunkSize = 24      // tokens per training chunk
   val ChunkStride = 16    // chunk start stride (ChunkSize − overlap)
 
@@ -78,6 +79,27 @@ object TrainQueries {
                  doc_id) AS BIGINT) AS position
                FROM documents"""),
       "seeded reproducible corpus shuffle → contiguous global positions"),
+
+    // ---------- weighted sampling (quality-proportional) ----------
+    // Sample WeightedK docs with probability proportional to word count,
+    // WITHOUT replacement — the standard corpus-mixing draw (upweight
+    // long/high-quality docs without hard thresholds). A-ES keys from the
+    // portable hash, so the kept set is exact and engine-reproducible;
+    // top-k by key is TakeOrderedAndProject — bounded per-partition
+    // heaps, no global sort, no shuffle of the corpus.
+    Q("q_sample_weighted",
+      (s, d) => Sampling.weightedSample(
+          t(s, d, "documents").select(col("doc_id"),
+            TextFunctions.nWords(col("text")).as("n_words")),
+          col("doc_id"), col("n_words"), WeightedK),
+      Some(s"""SELECT doc_id, n_words FROM (
+                 SELECT doc_id, n_words,
+                   ${Sampling.duckWeightedKey("doc_id::VARCHAR", "n_words")} AS wkey
+                 FROM (SELECT doc_id,
+                         CAST(len(${LlmQueries.duckTokens("text")}) AS INT) AS n_words
+                       FROM documents))
+               ORDER BY wkey DESC, doc_id LIMIT $WeightedK"""),
+      "weighted sampling without replacement (deterministic A-ES, quality-proportional)"),
 
     // ---------- per-domain quota sampling ----------
     // Crawl corpora are dominated by a few hosts; capping docs-per-domain

@@ -22,6 +22,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_sample_weighted plans bounded per-partition heaps, not a global sort") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_corpus_shuffle assigns global positions with no single-partition sort") {
     val p = plan("q_corpus_shuffle")
     // two-pass GlobalRank: per-range windows + broadcast offsets — a
