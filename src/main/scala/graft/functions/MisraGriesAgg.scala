@@ -1,0 +1,138 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded frequent-item summary: the Misra–Gries algorithm ("Finding
+  * repeated elements", Sci. Comput. Program. 1982) with the mergeable-
+  * summaries combine step (Agarwal et al., PODS 2012). At most `capacity`
+  * counters; the INVARIANT that makes the two-phase heavy-hitters
+  * operator exact: for a stream of n items, every item with true
+  * frequency > n/(capacity+1) is GUARANTEED present among the counters,
+  * regardless of arrival order, partitioning, or merge order (counts may
+  * under-estimate — the exact recount is phase 2's job).
+  */
+final class MGBuffer(val capacity: Int) {
+  val counts = mutable.HashMap.empty[String, Long]
+
+  def offer(item: String): Unit = counts.get(item) match {
+    case Some(c) => counts.update(item, c + 1)
+    case None if counts.size < capacity => counts.update(item, 1L)
+    case None =>
+      // decrement-all: O(capacity) paid at most once per capacity
+      // non-resident arrivals — amortized O(1) per stream item
+      val dead = counts.iterator.collect { case (k, 1L) => k }.toList
+      counts.keysIterator.foreach(k => counts.update(k, counts(k) - 1))
+      dead.foreach(counts.remove)
+  }
+
+  /** mergeable-summaries combine: add counters, then subtract the
+    * (capacity+1)-th largest count from all and drop the non-positive —
+    * the error bounds ADD, so the n/(capacity+1) guarantee holds across
+    * any merge tree */
+  def mergeIn(other: MGBuffer): Unit = {
+    other.counts.foreach { case (k, c) =>
+      counts.update(k, counts.getOrElse(k, 0L) + c)
+    }
+    if (counts.size > capacity) {
+      val cut = counts.values.toArray.sorted(Ordering[Long].reverse)
+        .apply(capacity) // (capacity+1)-th largest
+      val dead = List.newBuilder[String]
+      counts.keysIterator.foreach { k =>
+        val c = counts(k) - cut
+        if (c <= 0) dead += k else counts.update(k, c)
+      }
+      dead.result().foreach(counts.remove)
+    }
+  }
+}
+
+/** Native Catalyst aggregate producing the Misra–Gries CANDIDATE set
+  * (array of strings) of a string column. Phase 1 of exact heavy
+  * hitters ([[graft.operators.HeavyHitters]]): the candidate array is
+  * merge-order-DEPENDENT in its counts, so only the item SET is emitted
+  * (sorted for stability) and a deterministic exact recount follows.
+  * Map-side partials are `capacity` counters; the shuffle carries
+  * O(tasks × capacity) entries instead of the full item stream.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MGBuffer] with UnaryLike[Expression] {
+
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+  override def createAggregationBuffer(): MGBuffer = new MGBuffer(capacity)
+
+  override def update(buffer: MGBuffer, input: InternalRow): MGBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.offer(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: MGBuffer, other: MGBuffer): MGBuffer = {
+    buffer.mergeIn(other)
+    buffer
+  }
+
+  override def eval(buffer: MGBuffer): Any =
+    new GenericArrayData(buffer.counts.keysIterator.toArray.sorted
+      .map(UTF8String.fromString(_)).toArray[Any])
+
+  override def serialize(buffer: MGBuffer): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(buffer.counts.size)
+    buffer.counts.foreach { case (k, c) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      dos.writeInt(b.length); dos.write(b); dos.writeLong(c)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
+    val buf = createAggregationBuffer()
+    val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = dis.readInt()
+    var i = 0
+    while (i < n) {
+      val len = dis.readInt()
+      val arr = new Array[Byte](len)
+      dis.readFully(arr)
+      buf.counts.update(
+        new String(arr, java.nio.charset.StandardCharsets.UTF_8),
+        dis.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries_candidates"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
+    copy(child = newChild)
+}
+
+object MisraGriesAgg {
+  def apply(c: Column, capacity: Int): Column = ColumnBridge.column(
+    new MisraGriesAgg(ColumnBridge.expression(c), capacity)
+      .toAggregateExpression())
+}

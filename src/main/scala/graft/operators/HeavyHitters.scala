@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheScope
+import graft.functions.{MisraGriesAgg, TextFunctions}
+
+/** Exact heavy hitters over a token stream, two-phase:
+  *
+  *  phase 1: a [[MisraGriesAgg]] candidate sweep — each task keeps
+  *           `Capacity` counters, partials combine map-side, the shuffle
+  *           carries O(tasks × Capacity) entries. The MG guarantee makes
+  *           the final answer EXACT despite the sketch: every item with
+  *           frequency > n/(Capacity+1) is provably in the candidate set
+  *           under any arrival/merge order.
+  *  phase 2: broadcast the ≤ Capacity candidates back and recount them
+  *           exactly — the join filters the stream map-side, so only
+  *           candidate occurrences shuffle, O(candidates) groups.
+  *
+  * Why not `groupBy(token).count.filter`: at 100 TB that shuffles the
+  * ENTIRE token stream to count a head of a few dozen items; this shape
+  * shuffles two metadata-scale relations. The threshold is per-mille
+  * (integer arithmetic, `freq·1000 > n·‰` — exact in every engine);
+  * [[frequentTokens]] refuses thresholds below the guarantee bound
+  * rather than silently returning a subset.
+  */
+object HeavyHitters {
+
+  /** MG counter budget: items above n/(Capacity+1) ≈ 0.78% of the stream
+    * provably survive phase 1 — comfortably under any useful per-mille
+    * threshold (the guard below enforces it). */
+  val Capacity = 128
+
+  /** Tokens occurring in MORE than `perMille`/1000 of the corpus token
+    * stream, with exact counts: (tok, freq). */
+  def frequentTokens(docs: DataFrame, text: Column, perMille: Int): DataFrame = {
+    require(perMille * (Capacity + 1) > 1000,
+      s"threshold $perMille‰ is below the MG guarantee 1/(Capacity+1): " +
+      s"raise the threshold or Capacity")
+    // the token stream feeds both phases (2 plan references) — job-scoped
+    val toks = CacheScope.autoRelease(
+      graft.core.Tables.ensureParallelism(docs)
+        .select(explode(TextFunctions.tokens(text)).as("tok")))
+    val cands = toks.agg(
+      MisraGriesAgg(col("tok"), Capacity).as("cands"),
+      count(lit(1)).as("n"))
+    val candRows = cands.select(col("n"), explode(col("cands")).as("tok"))
+    toks.join(broadcast(candRows), "tok")
+      .groupBy(col("tok"), col("n"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 1000 > col("n") * perMille)
+      .select(col("tok"), col("freq"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{PortableHash, TextFunctions}
-import graft.operators.Sampling
+import graft.operators.{HeavyHitters, Sampling}
 
 /** Round-3 training-data-pipeline additions: corpus canonicalization,
   * per-domain quota sampling, overlapping chunking, incremental (cross-
@@ -42,6 +42,7 @@ object TrainQueries {
   val DomainCap = 10      // per-source quota (docs kept per domain)
   val ShuffleSeed = 42L   // seeded corpus-shuffle draw
   val WeightedK = 100     // weighted-sample size
+  val HeavyPerMille = 30  // heavy-hitter threshold (3% of the token stream)
   val ChunkSize = 24      // tokens per training chunk
   val ChunkStride = 16    // chunk start stride (ChunkSize − overlap)
 
@@ -79,6 +80,24 @@ object TrainQueries {
                  doc_id) AS BIGINT) AS position
                FROM documents"""),
       "seeded reproducible corpus shuffle → contiguous global positions"),
+
+    // ---------- exact heavy hitters (two-phase MG sketch) ----------
+    // The corpus's frequent tokens with EXACT counts, without shuffling
+    // the whole token stream: Misra–Gries candidate sweep (bounded
+    // counters, map-side combine, O(tasks × capacity) shuffle) → exact
+    // broadcast-filtered recount of the ≤128 candidates. The MG guarantee
+    // (freq > n/(cap+1) survives any merge order) is what makes a
+    // sketch-fronted plan hash-match an exact GROUP BY oracle.
+    Q("q_text_heavyhitters",
+      (s, d) => HeavyHitters.frequentTokens(t(s, d, "documents"),
+        col("text"), HeavyPerMille),
+      Some(s"""WITH toks AS (
+                 SELECT unnest(${LlmQueries.duckTokens("text")}) AS tok
+                 FROM documents),
+               tot AS (SELECT count(*) AS n FROM toks)
+               SELECT tok, count(*) AS freq FROM toks, tot
+               GROUP BY tok, n HAVING count(*) * 1000 > n * $HeavyPerMille"""),
+      "exact heavy-hitter tokens via Misra-Gries candidates + exact recount"),
 
     // ---------- weighted sampling (quality-proportional) ----------
     // Sample WeightedK docs with probability proportional to word count,

@@ -22,6 +22,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_text_heavyhitters recounts only broadcast candidates — no full-stream groupBy") {
+    val p = plan("q_text_heavyhitters")
+    // phase 1 is the bounded MG sketch; phase 2's recount must reach the
+    // token stream through a broadcast semi-filter of ≤ Capacity items
+    assert(p.toLowerCase.contains("misra_gries_candidates"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_sample_weighted plans bounded per-partition heaps, not a global sort") {
     val p = plan("q_sample_weighted")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -149,6 +149,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MisraGries guarantee: freq > n/(cap+1) survives any split/merge order") {
+    import graft.functions.MGBuffer
+    val gen = for {
+      cap <- Gen.choose(2, 10)
+      n <- Gen.choose(0, 300)
+      // a skewed domain so some items genuinely cross the threshold
+      items <- Gen.listOfN(n, Gen.frequency(
+        (5, Gen.const("hot")), (3, Gen.const("warm")),
+        (4, Gen.choose(0, 40).map("t" + _))))
+      nSplits <- Gen.choose(1, 6)
+      mergeRev <- Gen.oneOf(true, false)
+    } yield (cap, items, nSplits, mergeRev)
+    check("misra_gries", Prop.forAll(gen) {
+      case (cap, items, nSplits, mergeRev) =>
+        val parts = items.zipWithIndex.groupBy(_._2 % nSplits).toSeq
+          .sortBy(_._1).map { case (_, chunk) =>
+            val b = new MGBuffer(cap)
+            chunk.foreach { case (it, _) => b.offer(it) }
+            b
+          }
+        val ordered = if (mergeRev) parts.reverse else parts
+        val merged = ordered.reduceLeftOption { (a, b) => a.mergeIn(b); a }
+          .getOrElse(new MGBuffer(cap))
+        val exact = items.groupBy(identity).view.mapValues(_.size)
+        val mustSurvive = exact.collect {
+          case (it, f) if f.toLong * (cap + 1) > items.size => it
+        }.toSet
+        val missing = mustSurvive.diff(merged.counts.keySet)
+        (missing.isEmpty && merged.counts.size <= cap) :|
+          s"missing=$missing size=${merged.counts.size} cap=$cap n=${items.size}"
+    })
+  }
+
   private val specGen: Gen[PipelineSpec] = for {
     parts <- Gen.choose(-1, 4)
     reps <- Gen.choose(-1, 3)
