@@ -175,10 +175,13 @@ object Dedup {
     sh.join(dup, "h").select("doc_id", "pos")
   }
 
-  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
-                    w: Int): DataFrame = {
+  /** Gaps-and-islands merge of shingle-hit positions into maximal spans:
+    * starts ≤ w apart overlap-or-touch, so islands break when the gap
+    * exceeds w. Per-document windows, bounded by doc length. Shared by
+    * the within-corpus ([[repeatedSpans]]) and corpus-vs-benchmark
+    * ([[benchmarkSpans]]) variants. */
+  def mergeHitSpans(hits: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hits = repeatedShingleHits(docs, textCol, idCol, w)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
@@ -191,6 +194,33 @@ object Dedup {
         count(lit(1)).as("n_shingles"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_shingles"))
+  }
+
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                    w: Int): DataFrame =
+    mergeHitSpans(repeatedShingleHits(docs, textCol, idCol, w), w)
+
+  /** Corpus-vs-benchmark span detection: for each corpus document, the
+    * maximal word ranges whose `w`-word shingles appear ANYWHERE in the
+    * benchmark corpus — the span-level decontamination report (surgical:
+    * cut the contaminated span, keep the document; the doc-level
+    * containment score is `q_text_decontam`'s job). The benchmark's
+    * distinct shingle-hash set broadcasts (eval sets are small); the
+    * corpus streams through a map-side equi-join, then the same island
+    * merge. */
+  def benchmarkSpans(docs: DataFrame, textCol: String, idCol: String,
+                     bench: DataFrame, benchTextCol: String,
+                     w: Int): DataFrame = {
+    val bsh = bench
+      .select(explode(TextFunctions.shingles(col(benchTextCol), w)).as("sh"))
+      .select(PortableHash.hash60(col("sh")).as("h"))
+      .distinct()
+    val sh = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.shingles(col(textCol), w)))
+      .select(col("doc_id"), col("pos"),
+        PortableHash.hash60(col("col")).as("h"))
+    mergeHitSpans(sh.join(broadcast(bsh), "h").select("doc_id", "pos"), w)
   }
 
   /** Apply stage of [[repeatedSpans]]: return each document with every
@@ -210,17 +240,34 @@ object Dedup {
     * normalization the shingler applies, stated here because docs with
     * zero repeated spans still come back single-spaced. */
   def removeRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
-                          w: Int): DataFrame = {
-    val spans = repeatedSpans(docs, textCol, idCol, w)
+                          w: Int): DataFrame =
+    cutSpans(docs, textCol, idCol, repeatedSpans(docs, textCol, idCol, w))
+
+  /** Apply stage of [[benchmarkSpans]]: the corpus with every
+    * benchmark-overlapping span cut out — surgical decontamination that
+    * keeps the document. */
+  def removeBenchmarkSpans(docs: DataFrame, textCol: String, idCol: String,
+                           bench: DataFrame, benchTextCol: String,
+                           w: Int): DataFrame =
+    cutSpans(docs, textCol, idCol,
+      benchmarkSpans(docs, textCol, idCol, bench, benchTextCol, w))
+
+  /** Cut `spans` (doc_id, span_start, span_end word offsets, end
+    * exclusive) out of `docs`: spans collapse to one array per doc, ONE
+    * equi-join back, then a higher-order filter drops covered token
+    * positions. */
+  def cutSpans(docs: DataFrame, textCol: String, idCol: String,
+               spans: DataFrame): DataFrame = {
+    val grouped = spans
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     docs.select(col(idCol).as("doc_id"), col(textCol))
-      .join(spans, Seq("doc_id"), "left")
+      .join(grouped, Seq("doc_id"), "left")
       .select(col("doc_id"),
         array_join(
-          // spans == null (no repeated content) keeps every token; the
+          // spans == null (nothing to cut) keeps every token; the
           // filter index is the token's word position, matching the
-          // span offsets emitted by repeatedSpans
+          // span offsets emitted by mergeHitSpans
           when(col("__spans").isNull, TextFunctions.tokens(col(textCol)))
             .otherwise(filter(TextFunctions.tokens(col(textCol)),
               (t, i) => !exists(col("__spans"),

@@ -145,6 +145,37 @@ object LlmQueries {
 
   val NearDupJaccard = 0.2
   val SubstringW = 8 // repeated-span shingle width (words)
+  val DecontamW = 3  // span-decontam shingle width (q_text_decontam's 3-gram)
+
+  /** CTE chain for corpus-vs-benchmark span islands (benchmark = doc_id
+    * < 10, corpus = the rest — the q_text_decontam stand-in). Exposes
+    * `toks(doc_id, ts)` (corpus side) and `isl(doc_id, pos, isl)`;
+    * mirrors [[Dedup.benchmarkSpans]] including the portable hash. */
+  private def duckBenchmarkSpanCtes(w: Int): String = {
+    val shingle = s"array_to_string(ts[p+1:p+$w], ' ')"
+    s"""toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents
+       |          WHERE doc_id >= 10),
+       |pn AS (SELECT doc_id, ts,
+       |         unnest(range(0, greatest(len(ts) - $w, 0) + 1)) AS p
+       |       FROM toks),
+       |sh AS (SELECT doc_id, CAST(p AS INT) AS pos,
+       |         ${graft.functions.PortableHash.duckHash60(shingle)} AS h
+       |       FROM pn WHERE $shingle <> ''),
+       |btoks AS (SELECT ${duckTokens("text")} AS ts FROM documents
+       |          WHERE doc_id < 10),
+       |bpn AS (SELECT ts, unnest(range(0, greatest(len(ts) - $w, 0) + 1)) AS p
+       |        FROM btoks),
+       |bsh AS (SELECT DISTINCT ${graft.functions.PortableHash.duckHash60(shingle)} AS h
+       |        FROM bpn WHERE $shingle <> ''),
+       |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN bsh USING (h)),
+       |brk AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $w
+       |               THEN 0 ELSE 1 END AS brk
+       |        FROM hits),
+       |isl AS (SELECT doc_id, pos,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |        FROM brk)""".stripMargin
+  }
 
   /** CTE chain computing the cross-document repeated-span islands —
     * shared by `q_dedup_substring` (span report) and
@@ -685,6 +716,45 @@ object LlmQueries {
                FROM csh JOIN bsh USING (sh)
                GROUP BY doc_id"""),
       "benchmark decontamination: corpus docs sharing 3-gram shingles with a broadcast benchmark set"),
+
+    // Span-LEVEL decontamination: where q_text_decontam scores documents,
+    // these locate (and cut) the contaminated word ranges themselves —
+    // the surgical pipeline step that keeps the document and drops only
+    // the benchmark-overlapping span. Same stand-in benchmark (doc_id <
+    // 10, shingles broadcast), same island merge as q_dedup_substring.
+    Q("q_decontam_spans",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.benchmarkSpans(docs.filter(col("doc_id") >= 10), "text",
+          "doc_id", docs.filter(col("doc_id") < 10), "text", DecontamW)
+      },
+      Some(s"""WITH ${duckBenchmarkSpanCtes(DecontamW)}
+           |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           |       CAST(max(pos) + $DecontamW AS INT) AS span_end,
+           |       count(*) AS n_shingles
+           |FROM isl GROUP BY doc_id, isl""".stripMargin),
+      "span-level decontamination report (benchmark shingles broadcast + island merge)"),
+
+    Q("q_decontam_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.removeBenchmarkSpans(docs.filter(col("doc_id") >= 10), "text",
+          "doc_id", docs.filter(col("doc_id") < 10), "text", DecontamW)
+      },
+      Some(s"""WITH ${duckBenchmarkSpanCtes(DecontamW)},
+           |spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + $DecontamW AS se
+           |          FROM isl GROUP BY doc_id, isl),
+           |tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
+           |tok AS (SELECT doc_id, CAST(p AS INT) AS p, ts[p+1] AS tok FROM tp),
+           |keep AS (SELECT t.doc_id, t.p, t.tok FROM tok t WHERE NOT EXISTS (
+           |           SELECT 1 FROM spans s
+           |           WHERE s.doc_id = t.doc_id AND t.p >= s.ss AND t.p < s.se)),
+           |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
+           |        FROM keep GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.ct, '') AS clean_text
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |WHERE d.doc_id >= 10""".stripMargin),
+      "corpus with benchmark-overlapping spans cut out (surgical decontamination)"),
 
     // ---------- quality filtering / sampling / composed pipeline ----------
     Q("q_text_quality",

@@ -67,6 +67,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_decontam_spans broadcasts the benchmark shingle set — corpus never all-pairs") {
+    val p = plan("q_decontam_spans")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_group_topk_rank executes through rank_top_k_rows — no window sort") {
     val p = plan("q_group_topk_rank").toLowerCase
     // the rank() arm of TopKWindowRewrite must fire: ties-aware bounded
