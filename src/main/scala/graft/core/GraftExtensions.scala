@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, ArraySqDist, Md5Hash60, WordShingles}
+import graft.functions.{ArrayDot, ArraySqDist, Md5Hash60, MisraGriesAgg, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * codegen expressions as SQL functions, so `spark.sql` users get the
@@ -62,5 +62,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("array_sqdist",
         "array_sqdist(arr, arr) - int64 fixed-point squared L2 distance"),
       (children: Seq[Expression]) => ArraySqDist(children(0), children(1))))
+
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry into its AggregateExpression, so SQL users can write
+    // SELECT misra_gries_candidates(tok, 128) FROM ... GROUP BY ...
+    ext.injectFunction((FunctionIdentifier("misra_gries_candidates"),
+      info("misra_gries_candidates",
+        "misra_gries_candidates(str, capacity) - Misra-Gries frequent-" +
+        "candidate set (every item with freq > n/(capacity+1) is present)"),
+      (children: Seq[Expression]) => {
+        val cap = children(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"misra_gries_candidates: capacity must be a literal int, got $other")
+        }
+        new MisraGriesAgg(children.head, cap)
+      }))
   }
 }

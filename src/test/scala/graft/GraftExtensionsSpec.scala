@@ -45,6 +45,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
           org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString).take(15), 16)
       }
       assert(got == exp)
+
+      // the MG candidate AGGREGATE from SQL: the analyzer must wrap the
+      // bare AggregateFunction; 20×"hot" + 10×"warm" + singletons with
+      // capacity 4 must retain the two heavy items (guarantee bound 1/5)
+      spark.range(35).selectExpr(
+        """CASE WHEN id < 20 THEN 'hot' WHEN id < 30 THEN 'warm'
+                ELSE concat('t', id) END AS tok""")
+        .createOrReplaceTempView("toks")
+      val cands = spark.sql(
+        "SELECT misra_gries_candidates(tok, 4) AS c FROM toks")
+        .head().getSeq[String](0)
+      assert(cands.contains("hot") && cands.contains("warm"), cands.toString)
+      assert(cands.length <= 4, cands.toString)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
