@@ -50,8 +50,11 @@ object Graft {
   /** Token-budget sequence packing. */
   def packing: operators.Packing.type = operators.Packing
 
-  /** Hash-mod and stratified sampling. */
+  /** Hash-mod, stratified, and weighted sampling + seeded shuffle. */
   def sampling: operators.Sampling.type = operators.Sampling
+
+  /** Exact heavy hitters (Misra–Gries candidates + exact recount). */
+  def heavyHitters: operators.HeavyHitters.type = operators.HeavyHitters
 
   /** Declarative data-constraint checking. */
   def constraints: operators.Constraints.type = operators.Constraints
@@ -72,6 +75,13 @@ object Graft {
   /** Reference-compatible pipeline model: XML loading, validation, topic
     * planning, and the channel/concurrent/fused streaming runners. */
   def pipelines: streaming.StagePipeline.type = streaming.StagePipeline
+
+  /** Live per-key top-k leaderboard (emit-on-change keyed state). */
+  def streamingTopK: streaming.StreamingTopK.type = streaming.StreamingTopK
+
+  /** Ingest-time repeated-substring detection (shingle index as state). */
+  def streamingSubstringDedup: streaming.StreamingSubstringDedup.type =
+    streaming.StreamingSubstringDedup
 
   /** Cross-batch per-key FIFO re-establishment. */
   def orderedReplay: streaming.OrderedReplay.type = streaming.OrderedReplay

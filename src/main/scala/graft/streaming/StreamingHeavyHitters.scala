@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+import graft.functions.MGBuffer
+
+/** Heavy-hitter candidates AT INGEST: a per-group [[MGBuffer]] (the same
+  * Misra–Gries summary the batch operator uses) maintained as streaming
+  * keyed state, so each group's frequent-token candidate set is live
+  * instead of recomputed by a batch sweep. The MG guarantee carries over
+  * verbatim — the summary is a fold over the stream, and MG's bound is
+  * arrival-order-independent — so at ANY point every token with
+  * cumulative frequency > n/(capacity+1) within its group is present in
+  * that group's current candidate set (StreamingHeavyHittersSpec pins
+  * this against the exact batch counts across a restart).
+  *
+  * Emissions follow the engine's changelog discipline: one row per
+  * (group, change) carrying the group's whole sorted candidate SET and
+  * running token count under a monotone version — a batch that only
+  * bumps counts without changing the set emits nothing. Downstream takes
+  * the latest version per group and, when exactness matters, runs the
+  * batch operator's phase-2 recount over the candidates — the same
+  * split as [[graft.operators.HeavyHitters]].
+  *
+  * State per group: ≤ capacity (token, count) pairs — groups × capacity
+  * entries across the cluster's RocksDB stores; per-row work is O(1)
+  * amortized (MG's decrement-all is paid once per capacity non-resident
+  * arrivals).
+  */
+object StreamingHeavyHitters {
+
+  case class TokenRec(grp: String, tok: String)
+  case class HHState(version: Long, n: Long, keys: Array[String],
+                     counts: Array[Long])
+  case class Candidates(grp: String, version: Long, n: Long,
+                        cands: Array[String])
+
+  class HHProcessor(capacity: Int)
+      extends StatefulProcessor[String, TokenRec, Candidates] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+    @transient private var st: ValueState[HHState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HHState]("mg",
+        Encoders.product[HHState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TokenRec],
+                                 timerValues: TimerValues): Iterator[Candidates] = {
+      val cur = Option(st.get())
+      val buf = new MGBuffer(capacity)
+      cur.foreach(s => s.keys.zip(s.counts).foreach {
+        case (k, c) => buf.counts.update(k, c)
+      })
+      val before = buf.counts.keySet.toSet
+      var n = cur.map(_.n).getOrElse(0L)
+      rows.foreach { r => buf.offer(r.tok); n += 1 }
+      val after = buf.counts.keySet.toSet
+      val version = cur.map(_.version).getOrElse(0L) + (if (after == before) 0L else 1L)
+      val pairs = buf.counts.toArray
+      st.update(HHState(version, n, pairs.map(_._1), pairs.map(_._2)))
+      if (after == before) Iterator.empty
+      else Iterator.single(
+        Candidates(key, version, n, after.toArray.sorted))
+    }
+  }
+
+  /** Live per-group heavy-hitter candidate sets over (grp, tok) records.
+    * Requires the RocksDB state store ([[KeyedStage.rocksConf]]). */
+  def candidates(ds: Dataset[TokenRec], capacity: Int): Dataset[Candidates] = {
+    implicit val outEnc = Encoders.product[Candidates]
+    ds.groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new HHProcessor(capacity),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** The streaming MG summary must honor the batch guarantee at the end of
+  * any replay: for each group, every token whose EXACT frequency over the
+  * whole feed exceeds n_grp/(capacity+1) appears in the group's final
+  * candidate set — across a kill/restart, with versions monotone and the
+  * set bounded by capacity. (Equality with the batch candidate set is NOT
+  * claimed: MG candidates are order-dependent; the guarantee is the
+  * contract, same as the batch operator's phase 1.)
+  */
+class StreamingHeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cap = 128
+
+  test("final per-group candidates ⊇ exact heavy items, across a restart") {
+    val toks = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("lang").as("grp"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val n = toks.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_hh_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hh_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StreamingHeavyHitters.TokenRec]
+      val q = StreamingHeavyHitters.candidates(src, Cap).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    toks.limit((n / 2).toInt).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    toks.exceptAll(toks.limit((n / 2).toInt)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+
+    val out = spark.read.parquet(outDir)
+    val latest = out.join(out.groupBy("grp").agg(max("version").as("version")),
+        Seq("grp", "version"))
+      .select("grp", "n", "cands")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2).toSet)))
+      .toMap
+
+    val exact = spark.read.parquet(dir)
+      .groupBy("grp", "tok").count()
+      .collect().groupBy(_.getString(0))
+
+    assert(latest.nonEmpty)
+    exact.foreach { case (grp, rows) =>
+      // the latest EMISSION equals the final state's candidate set even
+      // when later batches emitted nothing (no-emission means no set
+      // change by construction), so the full-feed guarantee must hold
+      // against it; its `n` may lag the feed for the same reason, so n is
+      // only sanity-bounded, not matched
+      val (nGrp, cands) = latest(grp)
+      val total = rows.map(_.getLong(2)).sum
+      assert(nGrp > 0 && nGrp <= total, s"implausible running count for $grp")
+      assert(cands.size <= Cap, s"$grp candidate set exceeds capacity")
+      val heavy = rows.filter(r => r.getLong(2) * (Cap + 1) > total)
+        .map(_.getString(1)).toSet
+      val missing = heavy.diff(cands)
+      assert(missing.isEmpty,
+        s"$grp lost guaranteed-heavy tokens across the restart: $missing")
+    }
+  }
+}
