@@ -16,22 +16,20 @@ import graft.functions.{PortableHash, TextFunctions}
   *
   * The per-document work (tokenize, shingle, portable 60-bit hash) stays
   * stateless and codegen'd — identical expressions to the batch
-  * operator; only cohort membership is stateful. State per shingle hash:
-  * the (doc_id, pos) instances seen, each with an emitted flag. When a
-  * cohort first spans two DISTINCT documents, every stored instance
-  * emits (the first copy emits retroactively — the batch hit set marks
-  * both sides, and so does this operator); later instances of an
-  * already-duplicated shingle emit immediately. Each (doc_id, pos) emits
-  * exactly once: the flags commit transactionally with the microbatch,
-  * so a replayed batch re-derives the same decisions
+  * operator; only cohort membership is stateful. When a shingle's cohort
+  * first spans two DISTINCT documents, every stored instance emits (the
+  * first copy emits retroactively — the batch hit set marks both sides,
+  * and so does this operator) and the state COLLAPSES to a dup flag;
+  * later instances emit immediately against the flag. Each (doc_id, pos)
+  * emits exactly once: state commits transactionally with the
+  * microbatch, so a replayed batch re-derives the same decisions
   * (StreamingSubstringSpec pins hit-set equality with the batch operator
   * across a kill/restart).
   *
-  * State is the same positional index the batch build materializes,
-  * hash-partitioned across the cluster's RocksDB stores; cohorts are
-  * tiny (a shingle's occurrence list), so no key grows unbounded unless
-  * the corpus repeats one shingle pathologically — the same skew the
-  * batch index join has. The island merge into spans stays a batch
+  * State is therefore SMALLER than the batch inverted index: never-
+  * duplicated shingles hold their (small, single-document) occurrence
+  * lists, duplicated ones hold O(1) — hash-partitioned across the
+  * cluster's RocksDB stores. The island merge into spans stays a batch
   * post-pass over emitted hits ([[graft.operators.Dedup.repeatedSpans]]
   * semantics); emissions are append-only hits, so any sink composes.
   */
@@ -40,8 +38,17 @@ object StreamingSubstringDedup {
   case class DocText(doc_id: Long, text: String)
   case class ShingleArrival(h: Long, doc_id: Long, pos: Int)
   case class ShingleHit(doc_id: Long, pos: Int)
-  case class IndexEntry(doc_id: Long, pos: Int, emitted: Boolean)
-  case class ShingleState(entries: Array[IndexEntry])
+
+  /** `dup = false`: `docIds`/`positions` hold the instances seen so far
+    * (all one document's — a second document flips the state). `dup =
+    * true`: the arrays are EMPTY — once a shingle is known-duplicated,
+    * stored occurrences are dead weight (they were emitted at the
+    * transition; later arrivals emit immediately), so the state shrinks
+    * to the flag and every post-dup key costs O(1). Pre-dup cohorts are
+    * bounded by one document's repetitions of one shingle — document
+    * length at worst, same as the batch index's per-key fan-in. */
+  case class ShingleState(dup: Boolean, docIds: Array[Long],
+                          positions: Array[Int])
 
   class ShingleProcessor
       extends StatefulProcessor[Long, ShingleArrival, ShingleHit] {
@@ -54,21 +61,25 @@ object StreamingSubstringDedup {
 
     override def handleInputRows(key: Long, rows: Iterator[ShingleArrival],
                                  timerValues: TimerValues): Iterator[ShingleHit] = {
-      val entries = mutable.ArrayBuffer.empty[IndexEntry]
-      Option(st.get()).foreach(s => entries ++= s.entries)
-      rows.foreach(r => entries += IndexEntry(r.doc_id, r.pos, emitted = false))
-      val isDup = entries.iterator.map(_.doc_id).toSet.size >= 2
-      val out =
-        if (!isDup) Iterator.empty
-        else {
-          val fresh = entries.filter(!_.emitted)
-            .map(e => ShingleHit(e.doc_id, e.pos)).toArray
-          entries.indices.foreach(i =>
-            entries(i) = entries(i).copy(emitted = true))
-          fresh.iterator
+      val cur = Option(st.get())
+      if (cur.exists(_.dup)) {
+        // known-duplicated: every arrival is a hit, state stays a flag
+        rows.map(r => ShingleHit(r.doc_id, r.pos))
+      } else {
+        val entries = mutable.ArrayBuffer.empty[(Long, Int)]
+        cur.foreach(s => entries ++= s.docIds.zip(s.positions))
+        rows.foreach(r => entries += ((r.doc_id, r.pos)))
+        if (entries.iterator.map(_._1).toSet.size >= 2) {
+          // dup transition: emit everything stored (the first copies emit
+          // retroactively), then drop the occurrence list for good
+          st.update(ShingleState(dup = true, Array.empty, Array.empty))
+          entries.toArray.iterator.map { case (d, p) => ShingleHit(d, p) }
+        } else {
+          st.update(ShingleState(dup = false,
+            entries.map(_._1).toArray, entries.map(_._2).toArray))
+          Iterator.empty
         }
-      st.update(ShingleState(entries.toArray))
-      out
+      }
     }
   }
 
