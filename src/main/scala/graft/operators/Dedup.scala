@@ -158,16 +158,21 @@ object Dedup {
     * it is also the semantic contract of the STREAMING twin
     * ([[graft.streaming.StreamingSubstringDedup]] emits exactly this set,
     * incrementally) — the island merge on top is a batch post-pass. */
+  /** Positional shingle relation (doc_id, pos, h) — the shared front of
+    * both span-hit variants. */
+  private def positionalShingles(docs: DataFrame, textCol: String,
+                                 idCol: String, w: Int): DataFrame =
+    graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.shingles(col(textCol), w)))
+      .select(col("doc_id"), col("pos"),
+        PortableHash.hash60(col("col")).as("h"))
+
   def repeatedShingleHits(docs: DataFrame, textCol: String, idCol: String,
                           w: Int): DataFrame = {
     // job-scoped persist: the shingle relation feeds both the index build
     // and the probe (2 plan references)
-    val sh = CacheScope.autoRelease(
-      graft.core.Tables.ensureParallelism(docs)
-        .select(col(idCol).as("doc_id"),
-          posexplode(TextFunctions.shingles(col(textCol), w)))
-        .select(col("doc_id"), col("pos"),
-          PortableHash.hash60(col("col")).as("h")))
+    val sh = CacheScope.autoRelease(positionalShingles(docs, textCol, idCol, w))
     val dup = sh.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -215,11 +220,7 @@ object Dedup {
       .select(explode(TextFunctions.shingles(col(benchTextCol), w)).as("sh"))
       .select(PortableHash.hash60(col("sh")).as("h"))
       .distinct()
-    val sh = graft.core.Tables.ensureParallelism(docs)
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.shingles(col(textCol), w)))
-      .select(col("doc_id"), col("pos"),
-        PortableHash.hash60(col("col")).as("h"))
+    val sh = positionalShingles(docs, textCol, idCol, w)
     mergeHitSpans(sh.join(broadcast(bsh), "h").select("doc_id", "pos"), w)
   }
 

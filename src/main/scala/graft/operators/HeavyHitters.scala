@@ -49,7 +49,12 @@ object HeavyHitters {
       MisraGriesAgg(col("tok"), Capacity).as("cands"),
       count(lit(1)).as("n"))
     val candRows = cands.select(col("grp"), col("n"), explode(col("cands")).as("tok"))
-    toks.join(broadcast(candRows), Seq("grp", "tok"))
+    // no broadcast HINT here (unlike the global variant, whose candidate
+    // set is ≤ Capacity rows by construction): groups × Capacity can
+    // outgrow the driver, and Catalyst/AQE already broadcasts an
+    // aggregate output this shaped when its stats fit — the "shuffled
+    // equi-join otherwise" fallback is the planner's choice, not ours
+    toks.join(candRows, Seq("grp", "tok"))
       .groupBy(col("grp"), col("tok"), col("n"))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") * 1000 > col("n") * perMille)

@@ -38,6 +38,11 @@ object Joins {
     // would accumulate cloned session state for the process lifetime.
     // The returned session is therefore SHARED — callers must not mutate
     // its conf (tests that need to flip flags use the fresh variant).
+    // The cache itself is size-bounded: a JVM cycling parent sessions
+    // (test runners) must not pin dead parents forever, so past 64
+    // entries it resets — worst case the next call re-derives a session,
+    // which is exactly the uncached behavior.
+    if (tunedCache.size > 64) tunedCache.clear()
     tunedCache.computeIfAbsent((s, thresholdBytes, advisoryBytes),
       _ => freshSkewTunedSession(s, thresholdBytes, advisoryBytes))
   }

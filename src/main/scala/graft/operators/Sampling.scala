@@ -66,8 +66,11 @@ object Sampling {
     * so the kept set is a pure function of (ids, weights) — reproducible
     * across runs, engines, and retries, and oracle-checkable exactly.
     * Inclusion probability is proportional to weight in the without-
-    * replacement sense; w = 0 yields key 0 (never sampled while any
-    * positive-weight row remains).
+    * replacement sense. Rows with weight ≤ 0 or NULL get key −1 — below
+    * every valid key (which live in (0, 1]), so they are never sampled
+    * while any positive-weight row remains. The guard matters: without
+    * it a NEGATIVE weight makes the exponent negative, u^(1/w) > 1, and
+    * the corrupted row would silently outrank every valid one.
     *
     * Scale: the key is a per-row expression; top-k by key plans as
     * TakeOrderedAndProject (per-partition bounded heaps + driver merge of
@@ -76,15 +79,16 @@ object Sampling {
                      k: Int): DataFrame = {
     val u = (PortableHash.hashMod(id.cast("string")) + lit(1.0)) /
       lit(PortableHash.MOD.toDouble + 1.0)
-    df.withColumn("__wkey", pow(u, lit(1.0) / weight))
+    val key = when(weight > 0, pow(u, lit(1.0) / weight)).otherwise(lit(-1.0))
+    df.withColumn("__wkey", key)
       .orderBy(col("__wkey").desc, id.asc)
       .limit(k)
       .drop("__wkey")
   }
 
-  /** DuckDB fragment for the A-ES key (oracle parity). */
+  /** DuckDB fragment for the A-ES key (oracle parity, incl. the ≤0 guard). */
   def duckWeightedKey(id: String, weight: String): String =
-    s"pow((${PortableHash.duckHashMod(id)} + 1.0) / ${PortableHash.MOD.toDouble + 1.0}, 1.0 / ($weight))"
+    s"(CASE WHEN ($weight) > 0 THEN pow((${PortableHash.duckHashMod(id)} + 1.0) / ${PortableHash.MOD.toDouble + 1.0}, 1.0 / ($weight)) ELSE -1.0 END)"
 
   /** DuckDB fragment for the same keep-predicate (oracle parity). */
   def duckStratifiedPred(stratum: String, id: String,

@@ -44,9 +44,16 @@ object StreamingTopK {
 
   case class TopKState(version: Long, ids: Array[Long], scores: Array[Double])
 
-  /** (s1, i1) ranks strictly ahead of (s2, i2): score DESC, id ASC */
-  def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  /** (s1, i1) ranks strictly ahead of (s2, i2): score DESC, id ASC.
+    * Matches Spark's SQL sort semantics exactly — NaN sorts as the
+    * LARGEST double (rank 1 under DESC; naive `>` would instead let a
+    * NaN tail entry permanently freeze the board, since `NaN > x` and
+    * `x > NaN` are both false), and -0.0 == +0.0 (the `+ 0.0`
+    * normalization; Double.compare alone would rank +0.0 ahead). */
+  def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1 + 0.0, s2 + 0.0)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   /** The pure insert-evict kernel: fold `rows` into the sorted `buf`
     * (best-first, at most k entries), returning whether the leaderboard

@@ -47,9 +47,12 @@ object BenchFocus {
         } catch { case NonFatal(e) => System.err.println(s"[focus] $n: $e"); None }
       }
       val sorted = times.sorted
-      val med = if (sorted.isEmpty) Double.NaN else sorted(sorted.size / 2)
+      // all-reps-failed renders null, not NaN — bare NaN is not valid
+      // JSON and would break the adjudication tooling reading this line
+      def j(v: Option[Double]): String = v.map(d => f"$d%.3f").getOrElse("null")
+      val med = if (sorted.isEmpty) None else Some(sorted(sorted.size / 2))
       // ok < reps makes a partial sample visible to the adjudication
-      f""""$n":{"median":$med%.3f,"min":${sorted.headOption.getOrElse(Double.NaN)}%.3f,"max":${sorted.lastOption.getOrElse(Double.NaN)}%.3f,"ok":${sorted.size},"runs":${sorted.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+      s""""$n":{"median":${j(med)},"min":${j(sorted.headOption)},"max":${j(sorted.lastOption)},"ok":${sorted.size},"runs":${sorted.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"focus","sf":"$sfDir","reps":$reps,"queries":$out}""")
     spark.stop()

@@ -53,21 +53,9 @@ class StreamingSubstringSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
 
     // the batch island merge over streamed hits reproduces the batch
-    // operator's spans end-to-end (same windows, same gap rule)
-    val spansFromStream = {
-      import org.apache.spark.sql.expressions.Window
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      streamed
-        .withColumn("prev", lag(col("pos"), 1).over(byDoc))
-        .withColumn("brk",
-          when(col("prev").isNull || col("pos") - col("prev") > W, 1).otherwise(0))
-        .withColumn("isl", sum(col("brk")).over(byDoc))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(min(col("pos")).cast("int").as("span_start"),
-          (max(col("pos")) + W).cast("int").as("span_end"),
-          count(lit(1)).as("n_shingles"))
-        .select("doc_id", "span_start", "span_end", "n_shingles")
-    }
+    // operator's spans end-to-end — composed through the SAME helper the
+    // operator uses, so a gap-rule change can't desynchronize this pin
+    val spansFromStream = Dedup.mergeHitSpans(streamed, W)
     val spansBatch = Dedup.repeatedSpans(
       spark.read.parquet(dir), "text", "doc_id", W)
     assert(spansFromStream.exceptAll(spansBatch).isEmpty &&

@@ -71,6 +71,25 @@ class StreamingTopKSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).agg(max("version")).head().getLong(0) > 1L)
   }
 
+  test("NaN sorts largest and -0.0 == +0.0 — Spark window semantics, no frozen board") {
+    import scala.collection.mutable
+    def ev(id: Long, s: Double) = StreamingTopK.ScoreEvent(0L, id, s)
+    // NaN ranks FIRST under DESC (Spark treats NaN as the largest
+    // double); a naive > comparator would both misplace it AND freeze
+    // the board (NaN > x and x > NaN are each false)
+    val buf = mutable.ArrayBuffer.empty[(Long, Double)]
+    StreamingTopK.insertAll(buf, 2, Seq(ev(1, 1.0), ev(2, Double.NaN), ev(3, 2.0)))
+    assert(buf.map(_._1).toSeq == Seq(2L, 3L), buf.toString)
+    // the board must not be frozen: a bigger finite score still enters
+    // below the NaN
+    StreamingTopK.insertAll(buf, 2, Seq(ev(4, 5.0)))
+    assert(buf.map(_._1).toSeq == Seq(2L, 4L), buf.toString)
+    // -0.0 and +0.0 tie, so the id tiebreak decides
+    val zs = mutable.ArrayBuffer.empty[(Long, Double)]
+    StreamingTopK.insertAll(zs, 2, Seq(ev(2, 0.0), ev(1, -0.0)))
+    assert(zs.map(_._1).toSeq == Seq(1L, 2L), zs.toString)
+  }
+
   test("emits only on change: a non-qualifying microbatch produces nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_topk2_in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_topk2_out").toString
