@@ -77,13 +77,22 @@ object Sampling {
     * k·partitions rows) — no global sort, no shuffle of the corpus. */
   def weightedSample(df: DataFrame, id: Column, weight: Column,
                      k: Int): DataFrame = {
-    val u = (PortableHash.hashMod(id.cast("string")) + lit(1.0)) /
-      lit(PortableHash.MOD.toDouble + 1.0)
-    val key = when(weight > 0, pow(u, lit(1.0) / weight)).otherwise(lit(-1.0))
-    df.withColumn("__wkey", key)
+    df.withColumn("__wkey", aesKey(id, weight))
       .orderBy(col("__wkey").desc, id.asc)
       .limit(k)
       .drop("__wkey")
+  }
+
+  /** The A-ES key itself: u^(1/w) from the portable hash, −1 for
+    * weight ≤ 0 / NULL. Exposed because "keep the k largest keys" is
+    * also how the STREAMING weighted reservoir works — feed
+    * (id, aesKey) through [[graft.streaming.StreamingTopK]] and the
+    * live leaderboard IS the weighted sample of the stream so far
+    * (StreamingTopKSpec pins the batch ≡ streaming equivalence). */
+  def aesKey(id: Column, weight: Column): Column = {
+    val u = (PortableHash.hashMod(id.cast("string")) + lit(1.0)) /
+      lit(PortableHash.MOD.toDouble + 1.0)
+    when(weight > 0, pow(u, lit(1.0) / weight)).otherwise(lit(-1.0))
   }
 
   /** DuckDB fragment for the A-ES key (oracle parity, incl. the ≤0 guard). */

@@ -71,6 +71,39 @@ class StreamingTopKSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).agg(max("version")).head().getLong(0) > 1L)
   }
 
+  test("streaming weighted reservoir: leaderboard over the A-ES key ≡ batch weightedSample") {
+    import graft.operators.Sampling
+    // the same documents, the same weights — the batch sampler and a
+    // leaderboard over the A-ES key must pick the identical k documents,
+    // no matter that the stream saw them in arbitrary microbatch chunks
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.nWords(col("text")).as("n_words"))
+    val k = 25
+    val batchIds = Sampling.weightedSample(docs, col("doc_id"), col("n_words"), k)
+      .select("doc_id").as[Long].collect().toSet
+
+    val events = docs.select(lit(0L).as("key"), col("doc_id").as("id"),
+        Sampling.aesKey(col("doc_id"), col("n_words")).as("score"))
+      .as[StreamingTopK.ScoreEvent]
+    val dir = java.nio.file.Files.createTempDirectory("graft_wres_in").toString
+    events.coalesce(2).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir).as[StreamingTopK.ScoreEvent]
+    val q = StreamingTopK.leaderboard(src, k).toDF()
+      .writeStream.format("memory").queryName("wres")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table("wres")
+    // single reservoir key, so "latest version" is a scalar (a self-join
+    // of a memory-sink view trips conflicting-reference resolution)
+    val maxV = out.agg(max("version")).head().getLong(0)
+    val streamIds = out.filter(col("version") === maxV)
+      .select("id").as[Long].collect().toSet
+    assert(streamIds == batchIds,
+      s"stream-only=${streamIds.diff(batchIds)} batch-only=${batchIds.diff(streamIds)}")
+  }
+
   test("NaN sorts largest and -0.0 == +0.0 — Spark window semantics, no frozen board") {
     import scala.collection.mutable
     def ev(id: Long, s: Double) = StreamingTopK.ScoreEvent(0L, id, s)
