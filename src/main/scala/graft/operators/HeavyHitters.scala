@@ -62,7 +62,12 @@ object HeavyHitters {
   }
 
   /** Tokens occurring in MORE than `perMille`/1000 of the corpus token
-    * stream, with exact counts: (tok, freq). */
+    * stream, with exact counts: (tok, freq).
+    *
+    * Plan note: the candidate sweep is a GLOBAL aggregate, so its final
+    * merge is a single-partition exchange — deliberately: what flows
+    * through it is O(tasks × Capacity) summary entries (metadata scale),
+    * not data. The grouped variant shuffles by group instead. */
   def frequentTokens(docs: DataFrame, text: Column, perMille: Int): DataFrame = {
     require(perMille * (Capacity + 1) > 1000,
       s"threshold $perMille‰ is below the MG guarantee 1/(Capacity+1): " +
