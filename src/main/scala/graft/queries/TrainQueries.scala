@@ -608,6 +608,44 @@ object TrainQueries {
                 AND l_shipdate > DATE '1998-01-01'
               GROUP BY l_orderkey, o_orderdate, o_orderpriority
               ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
-      "TPC-H Q3-style 3-way join via spark.sql (pushed filters, AQE join picks, top-10)")
+      "TPC-H Q3-style 3-way join via spark.sql (pushed filters, AQE join picks, top-10)"),
+
+    // TPC-H Q5-style local-supplier volume: a SIX-way star join
+    // (region→nation→{customer,supplier}→orders→lineitem) with the
+    // customer and supplier nation constrained EQUAL — the classic shape
+    // where join order matters. region/nation broadcast; AQE picks the
+    // rest from runtime stats. Money arithmetic in integer cents (the
+    // q_sql_tpch3 convention) so both engines sum exactly.
+    Q("q_sql_tpch5",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT n_name,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS revenue
+                 FROM customer JOIN orders ON c_custkey = o_custkey
+                   JOIN lineitem ON l_orderkey = o_orderkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+                 WHERE r_name = 'ASIA'
+                   AND o_orderdate >= DATE '1996-01-01'
+                   AND o_orderdate < DATE '1997-01-01'
+                 GROUP BY n_name""")
+      },
+      Some("""SELECT n_name,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                  AND c_nationkey = s_nationkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1997-01-01'
+              GROUP BY n_name"""),
+      "TPC-H Q5-style 6-way star join via spark.sql (local-supplier volume)")
   )
 }
