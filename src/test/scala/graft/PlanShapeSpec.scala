@@ -30,6 +30,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_sql_tpch5 broadcasts the dimension chain — no cartesian in the 6-way star") {
+    val p = plan("q_sql_tpch5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_sample_weighted plans bounded per-partition heaps, not a global sort") {
     val p = plan("q_sample_weighted")
     assert(p.contains("TakeOrderedAndProject"), p)

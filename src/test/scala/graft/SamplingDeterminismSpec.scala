@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** The samplers' load-bearing claim is DETERMINISM: the kept set / the
+  * assigned positions are pure functions of row identity, never of
+  * physical layout. These pins re-run the operators under different
+  * partitionings and demand identical results — the property that makes
+  * a failed-and-retried 100 TB stage safe to resume.
+  */
+class SamplingDeterminismSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.nWords(col("text")).as("w"))
+
+  test("weightedSample keeps the identical set under any partitioning") {
+    val a = Sampling.weightedSample(docs.repartition(13), col("doc_id"), col("w"), 50)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(docs.coalesce(1), col("doc_id"), col("w"), 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, s"layout changed the kept set: ${a.diff(b)} vs ${b.diff(a)}")
+    assert(a.size == 50)
+  }
+
+  test("seededShuffle assigns the identical positions under any partitioning") {
+    def positions(df: org.apache.spark.sql.DataFrame) =
+      Sampling.seededShuffle(df.select("doc_id"), col("doc_id"), seed = 7L)
+        .select("doc_id", "position").as[(Long, Long)].collect().toMap
+    val a = positions(docs.repartition(13))
+    val b = positions(docs.coalesce(1))
+    assert(a == b, "layout changed shuffle positions")
+    // positions are a contiguous 1..n permutation
+    assert(a.values.toSeq.sorted == (1L to a.size).toSeq)
+  }
+
+  test("different seeds draw different orders; same seed reproduces") {
+    def top(seed: Long) =
+      Sampling.seededShuffle(docs.select("doc_id"), col("doc_id"), seed)
+        .filter(col("position") <= 20).select("doc_id").as[Long].collect().toSet
+    assert(top(7L) == top(7L))
+    assert(top(7L) != top(8L), "distinct seeds should permute differently")
+  }
+}
