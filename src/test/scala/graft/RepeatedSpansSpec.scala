@@ -49,6 +49,49 @@ class RepeatedSpansSpec extends SparkSpec {
       cleaned.mkString("\n"))
   }
 
+  test("randomized differential vs a brute-force reference") {
+    val rnd = new scala.util.Random(60912L)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 5) {
+      val w = 2 + rnd.nextInt(3)
+      val rows = (0 until (8 + rnd.nextInt(8))).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      // brute-force reference mirroring WordShingles + the gap rule
+      def shingles(text: String): Seq[(Int, String)] = {
+        val ts = text.split("\\s+").filter(_.nonEmpty)
+        if (ts.isEmpty) Nil
+        else (0 to math.max(ts.length - w, 0))
+          .map(i => i -> ts.slice(i, i + w).mkString(" "))
+          .filter(_._2.nonEmpty)
+      }
+      val all = rows.flatMap { case (id, t) =>
+        shingles(t).map { case (p, s) => (id, p, s) } }
+      val dup = all.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val want = all.filter(x => dup(x._3)).groupBy(_._1).toSeq.flatMap {
+        case (id, hs) =>
+          val ps = hs.map(_._2).sorted
+          // islands: break when the start gap exceeds w
+          val islands = ps.foldLeft(List.empty[List[Int]]) {
+            case (Nil, p) => List(List(p))
+            case (cur :: done, p) =>
+              if (p - cur.head <= w) (p :: cur) :: done
+              else List(p) :: cur :: done
+          }
+          islands.map(isl =>
+            (id, isl.min, isl.max + w, isl.length.toLong))
+      }.toSet
+      val got = Dedup.repeatedSpans(rows.toDF("doc_id", "text"),
+          "text", "doc_id", w)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(got == want,
+        s"trial $trial w=$w: extra=${got.diff(want)} missing=${want.diff(got)}\nrows=$rows")
+    }
+  }
+
   test("adjacent-but-distinct repeated shingles merge into one span") {
     // docs share two different 3-word blocks back to back: positions give
     // a gap of exactly W between repeated shingle starts → one island
