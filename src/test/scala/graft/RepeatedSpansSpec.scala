@@ -92,6 +92,34 @@ class RepeatedSpansSpec extends SparkSpec {
     }
   }
 
+  test("randomized apply differential: removeRepeatedSpans vs reference token filter") {
+    val rnd = new scala.util.Random(81733L)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 3) {
+      val w = 2 + rnd.nextInt(2)
+      val rows = (0 until (6 + rnd.nextInt(6))).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(11))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      // reference: drop tokens covered by the operator's OWN span report
+      // (the span detection differential above pins that report), rejoin
+      val spans = Dedup.repeatedSpans(df, "text", "doc_id", w).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1)
+      val want = rows.map { case (id, t) =>
+        val ts = t.split("\\s+").filter(_.nonEmpty)
+        val ss = spans.getOrElse(id, Array.empty)
+        id -> ts.zipWithIndex
+          .filterNot { case (_, i) => ss.exists(s => i >= s._2 && i < s._3) }
+          .map(_._1).mkString(" ")
+      }.toMap
+      val got = Dedup.removeRepeatedSpans(df, "text", "doc_id", w)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"trial $trial w=$w: ${got.toSet.diff(want.toSet)}")
+    }
+  }
+
   test("adjacent-but-distinct repeated shingles merge into one span") {
     // docs share two different 3-word blocks back to back: positions give
     // a gap of exactly W between repeated shingle starts → one island
