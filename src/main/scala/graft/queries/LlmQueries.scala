@@ -237,6 +237,19 @@ object LlmQueries {
 
   /** Shared by q_sim_topk_lsh (inline bucketing) and q_sim_topk_lsh_idx
     * (persisted bucketed index) — both produce exactly these rows. */
+  private def duckBruteTopKOracle: String =
+    s"""WITH scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
+         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id < $QueryVecs)
+       SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+              round(score, 6) AS score6
+       FROM (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+             FROM scored)
+       WHERE rn <= $TopK"""
+
   private def duckLshTopKOracle: String =
     s"""WITH params AS (
          SELECT ${Similarity.duckPlanesFor("cnt")} AS np
@@ -382,18 +395,36 @@ object LlmQueries {
     Q("q_sim_topk_brute",
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"),
         col("vec_id") < QueryVecs, TopK),
-      Some(s"""WITH scored AS (
-                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
-                 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-                 WHERE q.vec_id < $QueryVecs)
-               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
-                      round(score, 6) AS score6
-               FROM (SELECT *, row_number() OVER
-                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-                     FROM scored)
-               WHERE rn <= $TopK"""),
+      Some(duckBruteTopKOracle),
       "exact brute-force cosine top-k neighbors"),
+
+    // ANN QUALITY gate: recall@k of the LSH index against the exact
+    // brute-force ground truth — the measurement a pipeline runs before
+    // trusting an index build. Both sides are the already-oracle-checked
+    // operators; the joined recall is deterministic, so the oracle is
+    // exact (composes both oracle bodies as CTE subqueries).
+    Q("q_sim_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val brute = Similarity.bruteForceTopK(emb, col("vec_id") < QueryVecs, TopK)
+          .select(col("query_id"), col("neighbor_id"))
+        val lsh = Similarity.lshTopK(emb, col("vec_id") < QueryVecs, TopK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+            count(lit(1))).as("r"))
+          .agg(round(avg(col("r")), 4).as("recall_at_k"))
+      },
+      Some(s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($duckBruteTopKOracle)),
+           |lsh AS (SELECT query_id, neighbor_id FROM ($duckLshTopKOracle))
+           |SELECT round(avg(r), 4) AS recall_at_k FROM (
+           |  SELECT b.query_id,
+           |    count(l.neighbor_id)::DOUBLE / count(*)::DOUBLE AS r
+           |  FROM brute b LEFT JOIN lsh l
+           |    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+           |  GROUP BY b.query_id)""".stripMargin),
+      "ANN recall@k: LSH index vs exact brute-force ground truth"),
 
     Q("q_sim_topk_lsh",
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"),
