@@ -403,6 +403,11 @@ object LlmQueries {
     // trusting an index build. Both sides are the already-oracle-checked
     // operators; the joined recall is deterministic, so the oracle is
     // exact (composes both oracle bodies as CTE subqueries).
+    // Plan note: this entry DELIBERATELY contains the brute-force
+    // nested-loop (ground truth is what's being measured against; the
+    // query side is broadcast under the MaxQueryRows guard) and a final
+    // single-row aggregate — the declared-brute exception in the
+    // ExplainAudit policy, same as q_sim_topk_brute itself.
     Q("q_sim_recall",
       (s, d) => {
         val emb = t(s, d, "embeddings")
