@@ -34,10 +34,16 @@ object HeavyHitters {
 
   /** Per-group variant: tokens occurring in MORE than `perMille`/1000 of
     * each GROUP's token stream — (grp, tok, freq). Same two phases, both
-    * keyed by the group: the MG sweep is one aggregate row per group
-    * (shuffle O(groups × Capacity)), and the recount joins on
-    * (grp, tok) — broadcast-able while groups × Capacity stays small,
-    * shuffled equi-join otherwise; either way never the full stream. */
+    * keyed by the group: the MG sweep is one aggregate row per group and
+    * NEVER shuffles the stream (map-side partials, O(groups × Capacity)
+    * over the wire). The recount joins on (grp, tok): while the
+    * candidate relation fits a broadcast (AQE's runtime call — it does
+    * whenever groups × Capacity is driver-sized) the stream is filtered
+    * map-side and only candidate occurrences shuffle; past that the
+    * recount degrades to one full equi-join shuffle of the token stream
+    * — still a single shuffle with bounded O(groups × Capacity) output,
+    * but no longer stream-free, which is the honest cost of exact
+    * per-group counts at extreme group cardinality. */
   def frequentTokensByGroup(docs: DataFrame, grp: Column, text: Column,
                             perMille: Int): DataFrame = {
     require(perMille * (Capacity + 1) > 1000,
