@@ -67,7 +67,11 @@ object Similarity {
 
   /** One scan: (corpus size, query-side size). The corpus count drives the
     * adaptive plane/cell count; the query count guards the broadcast. */
-  private def sizes(emb: DataFrame, queryPred: Column): (Long, Long) = {
+  /** (corpus rows, query rows) — one blocking probe. Callers composing
+    * SEVERAL top-k builders over the same table (q_sim_recall) compute
+    * this once and pass it via `knownSizes` instead of paying the scan
+    * per builder. */
+  private[graft] def sizes(emb: DataFrame, queryPred: Column): (Long, Long) = {
     val row = emb.agg(count(lit(1)), count_if(queryPred)).head()
     (row.getLong(0), row.getLong(1))
   }
@@ -108,8 +112,9 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. The query side is
     * broadcast, guarded by [[MaxQueryRows]]. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int,
-                     maxQueryRows: Long = MaxQueryRows): DataFrame = {
-    val (_, qCnt) = sizes(emb, queryPred)
+                     maxQueryRows: Long = MaxQueryRows,
+                     knownSizes: Option[(Long, Long)] = None): DataFrame = {
+    val (_, qCnt) = knownSizes.getOrElse(sizes(emb, queryPred))
     requireBroadcastable(qCnt, maxQueryRows)
     val q = asQuery(emb.filter(queryPred))
     val c = asCorpus(emb)
@@ -231,8 +236,9 @@ object Similarity {
     * scored. Deterministic planes (VectorFunctions.hyperplanes, seed 42) and
     * a count-adaptive plane count, both reproducible by the oracle. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
-              maxQueryRows: Long = MaxQueryRows): DataFrame = {
-    val (cnt, qCnt) = sizes(emb, queryPred)
+              maxQueryRows: Long = MaxQueryRows,
+              knownSizes: Option[(Long, Long)] = None): DataFrame = {
+    val (cnt, qCnt) = knownSizes.getOrElse(sizes(emb, queryPred))
     requireBroadcastable(qCnt, maxQueryRows)
     val planes = VectorFunctions.hyperplanes(MaxPlanes, Dim).take(planesFor(cnt))
     val withBucket = emb.withColumn("bucket",

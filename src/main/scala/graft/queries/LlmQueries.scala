@@ -235,8 +235,7 @@ object LlmQueries {
     "low_stopword_ratio" -> s"swr >= ${QualityFilter.MinStopwordRatio}",
     "high_punct_ratio" -> s"pr <= ${QualityFilter.MaxPunctRatio}")
 
-  /** Shared by q_sim_topk_lsh (inline bucketing) and q_sim_topk_lsh_idx
-    * (persisted bucketed index) — both produce exactly these rows. */
+  /** Shared by q_sim_topk_brute and q_sim_recall (the ground-truth CTE). */
   private def duckBruteTopKOracle: String =
     s"""WITH scored AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -250,6 +249,9 @@ object LlmQueries {
              FROM scored)
        WHERE rn <= $TopK"""
 
+  /** Shared by q_sim_topk_lsh (inline bucketing), q_sim_topk_lsh_idx
+    * (persisted bucketed index) and q_sim_recall — all produce exactly
+    * these rows. */
   private def duckLshTopKOracle: String =
     s"""WITH params AS (
          SELECT ${Similarity.duckPlanesFor("cnt")} AS np
@@ -411,25 +413,30 @@ object LlmQueries {
     Q("q_sim_recall",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val brute = Similarity.bruteForceTopK(emb, col("vec_id") < QueryVecs, TopK)
+        val pred = col("vec_id") < QueryVecs
+        // one size probe shared by both builders, not one each
+        val sz = Some(Similarity.sizes(emb, pred))
+        val brute = Similarity.bruteForceTopK(emb, pred, TopK, knownSizes = sz)
           .select(col("query_id"), col("neighbor_id"))
-        val lsh = Similarity.lshTopK(emb, col("vec_id") < QueryVecs, TopK)
+        val lsh = Similarity.lshTopK(emb, pred, TopK, knownSizes = sz)
           .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        // INTEGER numerator/denominator, no float division: every query
+        // contributes exactly k ground-truth rows, so micro recall ==
+        // per-query average, and a rounded double average would sit
+        // EXACTLY on a representable round-half boundary whenever the
+        // hit total is divisible by 5 (S/160 = m/32) — where engines'
+        // rounding conventions could legitimately disagree. Exact
+        // integers cannot.
         brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
-          .groupBy("query_id")
-          .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
-            count(lit(1))).as("r"))
-          .agg(round(avg(col("r")), 4).as("recall_at_k"))
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+            count(lit(1)).as("n_truth"))
       },
       Some(s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($duckBruteTopKOracle)),
            |lsh AS (SELECT query_id, neighbor_id FROM ($duckLshTopKOracle))
-           |SELECT round(avg(r), 4) AS recall_at_k FROM (
-           |  SELECT b.query_id,
-           |    count(l.neighbor_id)::DOUBLE / count(*)::DOUBLE AS r
-           |  FROM brute b LEFT JOIN lsh l
-           |    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
-           |  GROUP BY b.query_id)""".stripMargin),
-      "ANN recall@k: LSH index vs exact brute-force ground truth"),
+           |SELECT count(l.neighbor_id) AS n_hit, count(*) AS n_truth
+           |FROM brute b LEFT JOIN lsh l
+           |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id""".stripMargin),
+      "ANN recall@k: LSH hits over exact brute-force ground truth (exact integers)"),
 
     Q("q_sim_topk_lsh",
       (s, d) => Similarity.lshTopK(t(s, d, "embeddings"),
