@@ -16,6 +16,47 @@ object ExtraQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Shared by q_sim_topk_ivf and q_sim_recall_ivf — the full IVF chain
+    * (adaptive cell count, hash-seeded centroids, argmax-dot assignment,
+    * in-cell scoring). */
+  private def duckIvfTopKOracle: String =
+    s"""WITH params AS (
+                 SELECT ${Similarity.duckCellsFor("cnt")} AS nc
+                 FROM (SELECT count(*) AS cnt FROM embeddings)),
+               seeds AS (
+                 SELECT vec_id AS cell, embedding AS centroid FROM (
+                   SELECT vec_id, embedding,
+                     row_number() OVER (ORDER BY
+                       ${graft.functions.PortableHash.duckHashMod("vec_id::VARCHAR")},
+                       vec_id) AS rn
+                   FROM embeddings)
+                 WHERE rn <= (SELECT nc FROM params)),
+               assigned AS (
+                 SELECT vec_id, embedding, cell FROM (
+                   SELECT e.vec_id, e.embedding, s.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.embedding::DOUBLE[], s.centroid::DOUBLE[]) DESC,
+                                s.cell) AS crn
+                   FROM embeddings e CROSS JOIN seeds s)
+                 WHERE crn = 1),
+               scored AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                             sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) = 0
+                        THEN 0.0
+                        ELSE list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) END AS score
+                 FROM assigned q JOIN assigned c
+                   ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < ${LlmQueries.QueryVecs})
+               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
+                      round(score, 6) AS score6
+               FROM (SELECT *, row_number() OVER
+                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+                     FROM scored)
+               WHERE rn <= ${LlmQueries.TopK}"""
+
   val all: Seq[Q] = Seq(
 
     Q("q_agg_groupingsets",
@@ -228,43 +269,34 @@ object ExtraQueries {
       // the smallest portable hash of their id (deterministic uniform
       // sample), assignment is argmax-dot with ties to the lowest cell id
       // (the row_number here is the SEMANTIC spec of Spark's max_by).
-      Some(s"""WITH params AS (
-                 SELECT ${Similarity.duckCellsFor("cnt")} AS nc
-                 FROM (SELECT count(*) AS cnt FROM embeddings)),
-               seeds AS (
-                 SELECT vec_id AS cell, embedding AS centroid FROM (
-                   SELECT vec_id, embedding,
-                     row_number() OVER (ORDER BY
-                       ${graft.functions.PortableHash.duckHashMod("vec_id::VARCHAR")},
-                       vec_id) AS rn
-                   FROM embeddings)
-                 WHERE rn <= (SELECT nc FROM params)),
-               assigned AS (
-                 SELECT vec_id, embedding, cell FROM (
-                   SELECT e.vec_id, e.embedding, s.cell,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_dot_product(e.embedding::DOUBLE[], s.centroid::DOUBLE[]) DESC,
-                                s.cell) AS crn
-                   FROM embeddings e CROSS JOIN seeds s)
-                 WHERE crn = 1),
-               scored AS (
-                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   CASE WHEN sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-                             sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) = 0
-                        THEN 0.0
-                        ELSE list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-                             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-                              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) END AS score
-                 FROM assigned q JOIN assigned c
-                   ON q.cell = c.cell AND q.vec_id <> c.vec_id
-                 WHERE q.vec_id < ${LlmQueries.QueryVecs})
-               SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
-                      round(score, 6) AS score6
-               FROM (SELECT *, row_number() OVER
-                       (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-                     FROM scored)
-               WHERE rn <= ${LlmQueries.TopK}"""),
+      Some(duckIvfTopKOracle),
       "IVF-bucketed cosine top-k (cell id = bucketing key at scale)"),
+
+    // IVF twin of q_sim_recall: recall@k of the IVF index against the
+    // exact brute-force ground truth, as exact integers (the same
+    // round-half-boundary reasoning — no float arithmetic anywhere).
+    // Together with the LSH gate this covers both index families a
+    // pipeline would choose between.
+    Q("q_sim_recall_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val pred = col("vec_id") < LlmQueries.QueryVecs
+        val sz = Some(Similarity.sizes(emb, pred))
+        val brute = Similarity.bruteForceTopK(emb, pred, LlmQueries.TopK,
+            knownSizes = sz)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(emb, pred, LlmQueries.TopK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+            count(lit(1)).as("n_truth"))
+      },
+      Some(s"""WITH brute AS (SELECT query_id, neighbor_id FROM (${LlmQueries.duckBruteTopKOracle})),
+           |ivf AS (SELECT query_id, neighbor_id FROM ($duckIvfTopKOracle))
+           |SELECT count(i.neighbor_id) AS n_hit, count(*) AS n_truth
+           |FROM brute b LEFT JOIN ivf i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin),
+      "ANN recall@k of the IVF index vs exact ground truth (exact integers)"),
 
     Q("q_sim_topk_ivf_probe",
       (s, d) => Similarity.ivfProbeTopK(t(s, d, "embeddings"),

@@ -235,8 +235,9 @@ object LlmQueries {
     "low_stopword_ratio" -> s"swr >= ${QualityFilter.MinStopwordRatio}",
     "high_punct_ratio" -> s"pr <= ${QualityFilter.MaxPunctRatio}")
 
-  /** Shared by q_sim_topk_brute and q_sim_recall (the ground-truth CTE). */
-  private def duckBruteTopKOracle: String =
+  /** Shared by q_sim_topk_brute, q_sim_recall and q_sim_recall_ivf (the
+    * ground-truth CTE). */
+  private[queries] def duckBruteTopKOracle: String =
     s"""WITH scored AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
