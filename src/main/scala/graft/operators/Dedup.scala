@@ -276,6 +276,67 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** STATELESS span decontamination as a single per-row expression — the
+    * streaming-safe form of [[removeBenchmarkSpans]]: every document is
+    * self-contained (its shingles, hits, island merge and token cut all
+    * happen inside one row via higher-order functions), and the benchmark
+    * is a literal hash array baked into the plan (eval sets are small by
+    * definition; the lookup is a linear array_contains — for benchmarks
+    * past ~10⁵ shingles use the batch join path instead). No windows, no
+    * keyed state, no shuffle: the expression runs identically under
+    * Structured Streaming at ingest (StreamingDecontamSpec) and equals
+    * the batch operator row-for-row (RepeatedSpansSpec differential).
+    *
+    * The island merge is a fold (`aggregate`) over the hit positions in
+    * ascending order (array order IS position order): extend the open
+    * span while the gap ≤ w, else open a new one — the same rule as
+    * [[mergeHitSpans]].
+    */
+  def decontamClean(text: Column, benchHashes: Array[Long], w: Int): Column = {
+    val bench = lit(benchHashes)
+    val toks = TextFunctions.tokens(text)
+    // hit positions: shingle index i is the word offset of that shingle
+    val hitPos = filter(
+      transform(TextFunctions.shingles(text, w),
+        (s, i) => when(array_contains(bench, PortableHash.hash60(s)), i)
+          .otherwise(lit(-1))),
+      p => p >= 0)
+    // fold into half-open spans [s, e): extend while gap <= w. The empty
+    // accumulator is a filtered one-element array — the only way to spell
+    // a TYPED empty struct array (a cast from array<int> won't analyze)
+    val emptySpans = filter(
+      array(struct(lit(0).cast("int").as("s"), lit(0).cast("int").as("e"))),
+      _ => lit(false))
+    val zero = struct(emptySpans.as("spans"), lit(-1).cast("int").as("last"))
+    val spans = aggregate(hitPos, zero,
+      (acc, p) => {
+        val spansAcc = acc.getField("spans")
+        val last = acc.getField("last")
+        val extended = concat(
+          slice(spansAcc, lit(1), size(spansAcc) - 1),
+          array(struct(element_at(spansAcc, -1).getField("s").as("s"),
+            (p + w).cast("int").as("e"))))
+        val opened = concat(spansAcc,
+          array(struct(p.cast("int").as("s"), (p + w).cast("int").as("e"))))
+        struct(
+          when(last >= 0 && p - last <= w, extended).otherwise(opened).as("spans"),
+          p.cast("int").as("last"))
+      }).getField("spans")
+    array_join(
+      filter(toks, (t, i) =>
+        !exists(spans, sp =>
+          i >= sp.getField("s") && i < sp.getField("e"))),
+      " ")
+  }
+
+  /** The benchmark's distinct shingle-hash set, collected driver-side for
+    * [[decontamClean]]'s literal (bounded: an eval set's shingles). */
+  def benchShingleHashes(bench: DataFrame, textCol: String, w: Int): Array[Long] =
+    bench.select(explode(TextFunctions.shingles(col(textCol), w)).as("sh"))
+      .select(PortableHash.hash60(col("sh")).as("h"))
+      .distinct().orderBy("h")
+      .collect().map(_.getLong(0))
+
   /** 16-bit SimHash per document over the word bag. */
   def simhashTable(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     graft.core.Tables.ensureParallelism(

@@ -120,6 +120,22 @@ class RepeatedSpansSpec extends SparkSpec {
     }
   }
 
+  test("decontamClean (stateless per-row expression) ≡ removeBenchmarkSpans") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") < 10)
+    val corp = docs.filter(col("doc_id") >= 10)
+    val w = 3
+    val hashes = Dedup.benchShingleHashes(bench, "text", w)
+    assert(hashes.nonEmpty)
+    val viaExpr = corp.select(col("doc_id"),
+      Dedup.decontamClean(col("text"), hashes, w).as("clean_text"))
+    val viaBatch = Dedup.removeBenchmarkSpans(corp, "text", "doc_id",
+      bench, "text", w)
+    assert(viaExpr.exceptAll(viaBatch).isEmpty &&
+      viaBatch.exceptAll(viaExpr).isEmpty)
+  }
+
   test("adjacent-but-distinct repeated shingles merge into one span") {
     // docs share two different 3-word blocks back to back: positions give
     // a gap of exactly W between repeated shingle starts → one island

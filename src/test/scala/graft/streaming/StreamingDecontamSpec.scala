@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Ingest-time span decontamination: [[Dedup.decontamClean]] is a pure
+  * per-row expression (no windows, no keyed state), so it must run
+  * unchanged under Structured Streaming and produce exactly the batch
+  * operator's rows — including across a restart, which for a stateless
+  * transform is just the file-source offset log doing its job.
+  */
+class StreamingDecontamSpec extends SparkSpec {
+
+  test("streamed decontamClean ≡ batch removeBenchmarkSpans, across a restart") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") < 10)
+    val corp = docs.filter(col("doc_id") >= 10)
+    val w = 3
+    val hashes = Dedup.benchShingleHashes(bench, "text", w)
+
+    val n = corp.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdc_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sdc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdc_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = src.select(col("doc_id"),
+          Dedup.decontamClean(col("text"), hashes, w).as("clean_text"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    corp.limit((n / 2).toInt).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    corp.exceptAll(corp.limit((n / 2).toInt)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = Dedup.removeBenchmarkSpans(spark.read.parquet(dir), "text",
+      "doc_id", bench, "text", w)
+    assert(streamed.count() == n)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
