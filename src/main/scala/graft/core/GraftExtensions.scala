@@ -45,12 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(str, n) - word n-gram array"),
       (children: Seq[Expression]) => {
-        val n = children(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"word_shingles: n must be a literal int, got $other")
-        }
+        val n = literalInt("word_shingles", "n", children(1))
         WordShingles(children.head, n)
       }))
 
@@ -71,13 +66,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "misra_gries_candidates(str, capacity) - Misra-Gries frequent-" +
         "candidate set (every item with freq > n/(capacity+1) is present)"),
       (children: Seq[Expression]) => {
-        val cap = children(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"misra_gries_candidates: capacity must be a literal int, got $other")
-        }
+        val cap = literalInt("misra_gries_candidates", "capacity", children(1))
         new MisraGriesAgg(children.head, cap)
       }))
+  }
+
+  /** Extract a constructor-time int parameter from a SQL argument. The
+    * foldable gate comes FIRST: `eval(null)` on a non-foldable child (e.g.
+    * a column reference) throws an opaque NPE from deep in Catalyst, so
+    * check before evaluating and raise the intended error instead. */
+  private def literalInt(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $param must be a literal int, got non-foldable expression $e")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be a literal int, got $other")
+    }
   }
 }

@@ -38,17 +38,23 @@ object Joins {
     // would accumulate cloned session state for the process lifetime.
     // The returned session is therefore SHARED — callers must not mutate
     // its conf (tests that need to flip flags use the fresh variant).
-    // The cache itself is size-bounded: a JVM cycling parent sessions
-    // (test runners) must not pin dead parents forever, so past 64
-    // entries it resets — worst case the next call re-derives a session,
-    // which is exactly the uncached behavior.
-    if (tunedCache.size > 64) tunedCache.clear()
-    tunedCache.computeIfAbsent((s, thresholdBytes, advisoryBytes),
-      _ => freshSkewTunedSession(s, thresholdBytes, advisoryBytes))
+    // The cache is a synchronized access-order LRU so eviction and insert
+    // are one atomic step (no check-then-act window) and a JVM cycling
+    // parent sessions (test runners) ages dead parents out entry-by-entry
+    // instead of pinning them until a wholesale reset.
+    tunedCache.synchronized {
+      tunedCache.computeIfAbsent((s, thresholdBytes, advisoryBytes),
+        _ => freshSkewTunedSession(s, thresholdBytes, advisoryBytes))
+    }
   }
 
   private val tunedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Long, Long), SparkSession]
+    new java.util.LinkedHashMap[(SparkSession, Long, Long), SparkSession](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Long, Long), SparkSession]): Boolean =
+        size > 64
+    }
 
   /** uncached [[skewTunedSession]]: a private derived session the caller
     * may freely mutate (A/B conf flips in specs) */

@@ -88,16 +88,30 @@ object Sampling {
     * also how the STREAMING weighted reservoir works — feed
     * (id, aesKey) through [[graft.streaming.StreamingTopK]] and the
     * live leaderboard IS the weighted sample of the stream so far
-    * (StreamingTopKSpec pins the batch ≡ streaming equivalence). */
+    * (StreamingTopKSpec pins the batch ≡ streaming equivalence).
+    *
+    * The key is quantized to integer fixed-point (`floor(u^(1/w)·10^12)`,
+    * exact in a double since it is < 2^53) rather than compared as a raw
+    * double: `pow` is not bit-specified across engines, and an unrounded
+    * key would let a sub-ulp JVM-vs-DuckDB divergence at the k-th/(k+1)-th
+    * boundary flip the kept set. Quantization makes near-boundary pairs
+    * land in the same bucket, where the id tiebreak — identical on both
+    * sides — decides. Ranking is unaffected (the map is monotone). */
   def aesKey(id: Column, weight: Column): Column = {
     val u = (PortableHash.hashMod(id.cast("string")) + lit(1.0)) /
       lit(PortableHash.MOD.toDouble + 1.0)
-    when(weight > 0, pow(u, lit(1.0) / weight)).otherwise(lit(-1.0))
+    when(weight > 0, floor(pow(u, lit(1.0) / weight) * lit(KeyScale)))
+      .otherwise(lit(-1.0))
   }
 
-  /** DuckDB fragment for the A-ES key (oracle parity, incl. the ≤0 guard). */
+  /** A-ES fixed-point scale: keys live in (0, 1], so 10^12 buckets keep
+    * full ranking resolution while absorbing cross-engine pow() ulps. */
+  val KeyScale: Double = 1e12
+
+  /** DuckDB fragment for the A-ES key (oracle parity, incl. the ≤0 guard
+    * and the same fixed-point quantization). */
   def duckWeightedKey(id: String, weight: String): String =
-    s"(CASE WHEN ($weight) > 0 THEN pow((${PortableHash.duckHashMod(id)} + 1.0) / ${PortableHash.MOD.toDouble + 1.0}, 1.0 / ($weight)) ELSE -1.0 END)"
+    s"(CASE WHEN ($weight) > 0 THEN floor(pow((${PortableHash.duckHashMod(id)} + 1.0) / ${PortableHash.MOD.toDouble + 1.0}, 1.0 / ($weight)) * $KeyScale) ELSE -1.0 END)"
 
   /** DuckDB fragment for the same keep-predicate (oracle parity). */
   def duckStratifiedPred(stratum: String, id: String,

@@ -17,11 +17,15 @@ import graft.functions.MGBuffer
   *
   * Emissions follow the engine's changelog discipline: one row per
   * (group, change) carrying the group's whole sorted candidate SET and
-  * running token count under a monotone version — a batch that only
-  * bumps counts without changing the set emits nothing. Downstream takes
-  * the latest version per group and, when exactness matters, runs the
-  * batch operator's phase-2 recount over the candidates — the same
-  * split as [[graft.operators.HeavyHitters]].
+  * running token count under a monotone version. A change is ANY change
+  * to the public record — the candidate set or the running count `n` —
+  * so a batch that only bumps counts still emits (the heartbeat keeps
+  * the latest emission's `n` exact rather than a lagging lower bound;
+  * output stays bounded by groups × batches, the same as any update-mode
+  * streaming aggregate). Downstream takes the latest version per group
+  * and, when exactness matters, runs the batch operator's phase-2
+  * recount over the candidates — the same split as
+  * [[graft.operators.HeavyHitters]].
   *
   * State per group: ≤ capacity (token, count) pairs — groups × capacity
   * entries across the cluster's RocksDB stores; per-row work is O(1)
@@ -33,6 +37,10 @@ object StreamingHeavyHitters {
   case class TokenRec(grp: String, tok: String)
   case class HHState(version: Long, n: Long, keys: Array[String],
                      counts: Array[Long])
+  /** One changelog emission: `n` is the group's EXACT running token count
+    * as of this emission (every batch that changes n emits, so the latest
+    * version per group carries the true feed count — safe as a recount
+    * denominator / threshold base downstream). */
   case class Candidates(grp: String, version: Long, n: Long,
                         cands: Array[String])
 
@@ -54,13 +62,17 @@ object StreamingHeavyHitters {
         case (k, c) => buf.counts.update(k, c)
       })
       val before = buf.counts.keySet.toSet
-      var n = cur.map(_.n).getOrElse(0L)
+      val n0 = cur.map(_.n).getOrElse(0L)
+      var n = n0
       rows.foreach { r => buf.offer(r.tok); n += 1 }
       val after = buf.counts.keySet.toSet
-      val version = cur.map(_.version).getOrElse(0L) + (if (after == before) 0L else 1L)
+      // n or set moved ⇒ the public record changed ⇒ emit under a new
+      // version (n alone moving is the heartbeat case — see object doc)
+      val changed = n != n0 || after != before
+      val version = cur.map(_.version).getOrElse(0L) + (if (changed) 1L else 0L)
       val pairs = buf.counts.toArray
       st.update(HHState(version, n, pairs.map(_._1), pairs.map(_._2)))
-      if (after == before) Iterator.empty
+      if (!changed) Iterator.empty
       else Iterator.single(
         Candidates(key, version, n, after.toArray.sorted))
     }

@@ -56,14 +56,12 @@ class StreamingHeavyHittersSpec extends SparkSpec {
 
     assert(latest.nonEmpty)
     exact.foreach { case (grp, rows) =>
-      // the latest EMISSION equals the final state's candidate set even
-      // when later batches emitted nothing (no-emission means no set
-      // change by construction), so the full-feed guarantee must hold
-      // against it; its `n` may lag the feed for the same reason, so n is
-      // only sanity-bounded, not matched
+      // every batch with arrivals emits (n moving is a change), so the
+      // latest emission carries BOTH the final candidate set and the
+      // exact full-feed token count — n is matched, not just bounded
       val (nGrp, cands) = latest(grp)
       val total = rows.map(_.getLong(2)).sum
-      assert(nGrp > 0 && nGrp <= total, s"implausible running count for $grp")
+      assert(nGrp == total, s"latest emission's n must be exact for $grp")
       assert(cands.size <= Cap, s"$grp candidate set exceeds capacity")
       val heavy = rows.filter(r => r.getLong(2) * (Cap + 1) > total)
         .map(_.getString(1)).toSet
