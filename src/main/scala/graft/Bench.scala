@@ -29,7 +29,12 @@ object Bench {
     "q_text_normalize", "q_domain_cap", "q_chunk_overlap", "q_text_heavyhitters",
     "q_dedup_incremental", "q_dedup_substring", "q_quality_gate", "q_win_cume", "q_sql_tpch3",
     "q_sim_topk_ivf_probe", "q_agg_distinct_salted", "q_scd2", "q_join_hinted",
-    "q_win_top1")
+    "q_win_top1",
+    // round-6 additions: everything correctness-gated must also be timed —
+    // an untimed operator is a silent cap on the perf signal
+    "q_decontam_spans", "q_decontam_apply", "q_dedup_substring_apply",
+    "q_dedup_keep_best", "q_sample_weighted", "q_corpus_shuffle",
+    "q_group_topk_dense", "q_text_heavyhitters_grouped")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,7 +130,13 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${100000 / refSec}%.0f}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${100000 / refSec}%.0f}"""
+    println(line)
+    // also land the line in a file: the stdout copy sits inside sbt's log
+    // stream between WARN lines, and harvesters scraping it have failed to
+    // parse it before — the file is the reliable channel
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
