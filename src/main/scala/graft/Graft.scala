@@ -68,8 +68,10 @@ object Graft {
   /** Ordered event funnels. */
   def funnels: operators.Funnel.type = operators.Funnel
 
-  /** Multimodal plumbing: binary payloads, decode/resize stubs, frame
-    * fan-out (codec calls are the stub boundary — see Multimodal docs). */
+  /** Multimodal columns: binary payloads with REAL in-JDK image (PNG/BMP
+    * via javax.imageio) and audio (WAV via javax.sound) codecs, real
+    * area-average resize, frame fan-out (only the video codec is a stub —
+    * see Multimodal docs for the boundary). */
   def media: operators.Multimodal.type = operators.Multimodal
 
   /** Reference-compatible pipeline model: XML loading, validation, topic

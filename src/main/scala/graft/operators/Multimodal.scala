@@ -8,11 +8,23 @@ import org.apache.spark.sql.functions._
   * feature-extract runs as a partition-parallel batch transform.
   *
   * The Spark-side plumbing here is real and tested — schema, Dataset
-  * encoders, mapPartitions batch shape, partition parallelism. The decode
-  * itself is a clearly-marked DETERMINISTIC STUB (no image/audio libraries
-  * exist in this environment): it derives pseudo-dimensions from the bytes.
-  * Swapping in a real codec means replacing `decodeStub` only — the
-  * surrounding dataflow (the part that matters at 100 TB) is unchanged.
+  * encoders, mapPartitions batch shape, partition parallelism. Codec
+  * status by modality:
+  *
+  *   - IMAGE: REAL — PNG/BMP encode+decode via `javax.imageio` (in-JDK,
+  *     headless-safe). [[toImages]] generates genuine encoded payloads
+  *     whose dimensions and pixel values are closed-form functions of the
+  *     doc id, so [[decodeImages]]' output is oracle-checkable to the
+  *     pixel-sum (`q_media_decode`). [[resizeImages]] is a real
+  *     area-average over the decoded raster.
+  *   - AUDIO: REAL — PCM WAV encode+decode via `javax.sound.sampled`
+  *     (also in-JDK). Sawtooth payloads make frame counts and amplitude
+  *     sums closed-form (`q_media_audio`).
+  *   - VIDEO: STUB — no video codec exists in the JDK or this
+  *     environment, so frame decode derives pseudo-dimensions from the
+  *     bytes behind the clearly-marked stub boundary below. The
+  *     surrounding dataflow (the part that matters at 100 TB) is real;
+  *     swapping in a codec means replacing `decodeStub` only.
   */
 object Multimodal {
 
@@ -95,6 +107,205 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.map(r =>
       ResizedMedia(r.doc_id, r.media_type, w, h, resizeStub(r.payload, w, h))))
+  }
+
+  // ==================== REAL IMAGE CODEC (javax.imageio) ====================
+
+  /** Decoded-image features. `pixel_sum` is the sum of band-0 samples —
+    * the stat the oracle can reproduce closed-form for generated images. */
+  case class ImageFeatures(doc_id: Long, media_type: String, width: Int,
+                           height: Int, channels: Int, pixel_sum: Long)
+
+  /** Deterministic generated image for a doc id: an x-gradient
+    * (`pixel(x, y) = (id + x) mod 256`) sized `(id%57+8) × (id%41+8)`,
+    * encoded PNG 8-bit grayscale for even ids and BMP 24-bit RGB (r=g=b)
+    * for odd — both lossless in-JDK formats, so a decode recovers the
+    * generator's values EXACTLY and the oracle can state them in closed
+    * form (see `q_media_decode`). */
+  def encodeImage(docId: Long): (String, Array[Byte]) = {
+    val w = (docId % 57 + 8).toInt
+    val h = (docId % 41 + 8).toInt
+    val base = (docId % 256).toInt
+    val png = docId % 2 == 0
+    val img = new java.awt.image.BufferedImage(w, h,
+      if (png) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (base + x) % 256
+        var b = 0
+        while (b < raster.getNumBands) { raster.setSample(x, y, b, v); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (png) "png" else "bmp", bos)
+    ((if (png) "png" else "bmp"), bos.toByteArray)
+  }
+
+  /** Documents → REAL encoded image payloads (partition-parallel; only
+    * doc_id is read — the image content is generated, the pipeline shape
+    * identical to reading stored image bytes). */
+  def toImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no disk-cache tmp files
+      it.map { id =>
+        val (fmt, bytes) = encodeImage(id)
+        MediaRecord(id, fmt, bytes)
+      }
+    }.toDF()
+  }
+
+  /** REAL image decode: `javax.imageio` parses the payload; width/height/
+    * band count come from the decoded raster and `pixel_sum` sums band 0.
+    * Same mapPartitions batch shape as the stub path — this is the decode
+    * stage of an image-preprocessing pipeline with an actual codec. */
+  def decodeImages(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        ImageFeatures(r.doc_id, r.media_type, img.getWidth, img.getHeight,
+          raster.getNumBands, sum)
+      }
+    }
+  }
+
+  /** REAL area-average resize over the decoded raster (band 0), re-encoded
+    * as grayscale PNG: each target pixel averages its source rectangle —
+    * the standard box filter, exact integer truncation, deterministic. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val raster = img.getRaster
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val or = out.getRaster
+        var ty = 0
+        while (ty < h) {
+          val y0 = ty * sh / h; val y1 = math.max((ty + 1) * sh / h, y0 + 1)
+          var tx = 0
+          while (tx < w) {
+            val x0 = tx * sw / w; val x1 = math.max((tx + 1) * sw / w, x0 + 1)
+            var acc = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { acc += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            or.setSample(tx, ty, 0, (acc / ((y1 - y0).toLong * (x1 - x0))).toInt)
+            tx += 1
+          }
+          ty += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        ResizedMedia(r.doc_id, "png", w, h, bos.toByteArray)
+      }
+    }
+  }
+
+  // ==================== REAL AUDIO CODEC (javax.sound) ====================
+
+  /** Decoded-audio features: format fields from the WAV header, exact
+    * frame count, and the sum of signed 16-bit sample values. */
+  case class AudioFeatures(doc_id: Long, media_type: String,
+                           sample_rate: Int, channels: Int, n_frames: Long,
+                           amp_sum: Long)
+
+  private val WavRate = 8000f
+
+  /** Deterministic generated WAV for a doc id: `(id%1600+400)` frames of
+    * mono signed 16-bit PCM sawtooth (`sample(i) = (i mod 256) − 128` —
+    * 16-bit because WAV stores 8-bit as unsigned, so signed 16-bit is the
+    * bit-exact round-trip format), containered by `javax.sound.sampled` —
+    * a real RIFF/WAVE payload whose frame count and amplitude sum are
+    * closed-form (`q_media_audio`). */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val frames = (docId % 1600 + 400).toInt
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = (i % 256) - 128
+      pcm(2 * i) = (v & 0xff).toByte       // little-endian lo
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte // hi (sign-extended)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      WavRate, 16, 1, 2, WavRate, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Documents → REAL WAV payloads (partition-parallel generation). */
+  def toAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, "wav", encodeWav(id))))
+      .toDF()
+  }
+
+  /** REAL WAV decode: `AudioSystem` parses the RIFF header and streams the
+    * PCM frames; sample-rate/channels/frame-count come from the decoded
+    * format and `amp_sum` folds the signed little-endian 16-bit samples. */
+  def decodeAudio(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"expected 16-bit LE PCM, got $fmt")
+        val buf = new Array[Byte](4096)
+        var sum = 0L; var bytes = 0L
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i + 1 < n) {
+            sum += ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort
+            i += 2
+          }
+          bytes += n
+          n = in.read(buf)
+        }
+        AudioFeatures(r.doc_id, r.media_type, fmt.getSampleRate.toInt,
+          fmt.getChannels, bytes / fmt.getFrameSize, sum)
+      } finally in.close()
+    })
   }
 
   /** One frame record sampled from a video payload. */

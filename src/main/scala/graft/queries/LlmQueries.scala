@@ -899,6 +899,57 @@ object LlmQueries {
               FROM documents"""),
       "multimodal decode via partition-parallel mapPartitions (stubbed codec)"),
 
+    // REAL image decode: toImages generates genuine PNG (gray8, even ids)
+    // / BMP (24-bit, odd ids) payloads whose dimensions and pixel values
+    // are closed-form in doc_id — an x-gradient pixel(x,y) = (b+x) mod 256
+    // with b = id mod 256 — and decodeImages runs javax.imageio over the
+    // bytes. Both formats are lossless, so the decoded width/height/bands/
+    // band-0 pixel sum must equal the generator's closed form EXACTLY; the
+    // oracle states it: one row of the gradient sums to w·b + w(w−1)/2
+    // when it doesn't wrap past 255, else split at the wrap (k = 256−b
+    // unwrapped terms, m = w−k wrapped terms restarting at 0), and the
+    // image sums h identical rows. A decoder that mis-parses dimensions,
+    // strides, or the BMP channel layout cannot hash-match.
+    Q("q_media_decode",
+      (s, d) => Multimodal.decodeImages(
+        Multimodal.toImages(t(s, d, "documents"))).toDF(),
+      Some("""WITH p AS (SELECT doc_id,
+                  CAST(doc_id % 256 AS BIGINT) AS b,
+                  CAST(doc_id % 57 + 8 AS BIGINT) AS w,
+                  CAST(doc_id % 41 + 8 AS BIGINT) AS h
+                FROM documents)
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS media_type,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+                CAST(h * (CASE WHEN b + w <= 256
+                          THEN w * b + w * (w - 1) // 2
+                          ELSE (256 - b) * b + (256 - b) * (255 - b) // 2
+                               + (w - 256 + b) * (w - 257 + b) // 2
+                          END) AS BIGINT) AS pixel_sum
+              FROM p"""),
+      "REAL image decode (javax.imageio): PNG/BMP round-trip, pixel-sum-exact oracle"),
+
+    // REAL audio decode: toAudio writes genuine RIFF/WAVE payloads (mono
+    // 16-bit signed PCM sawtooth, sample(i) = (i mod 256) − 128) and
+    // decodeAudio parses them back with javax.sound.sampled. Frame count
+    // and amplitude sum are closed-form: every full 256-sample period
+    // sums to −128, the trailing rem samples to rem(rem−1)/2 − 128·rem.
+    Q("q_media_audio",
+      (s, d) => Multimodal.decodeAudio(
+        Multimodal.toAudio(t(s, d, "documents"))).toDF(),
+      Some("""WITH p AS (SELECT doc_id,
+                  CAST(doc_id % 1600 + 400 AS BIGINT) AS f
+                FROM documents)
+              SELECT doc_id, 'wav' AS media_type,
+                CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+                f AS n_frames,
+                CAST((f // 256) * -128
+                     + (f % 256) * (f % 256 - 1) // 2
+                     - 128 * (f % 256) AS BIGINT) AS amp_sum
+              FROM p"""),
+      "REAL audio decode (javax.sound): WAV round-trip, amplitude-sum-exact oracle"),
+
     // Frame fan-out: every stride-th fixed window of the payload becomes a
     // frame row — the flatMap layout per-frame ops need. The oracle
     // reproduces the window arithmetic over the byte length (payload is

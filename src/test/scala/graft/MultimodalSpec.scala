@@ -3,13 +3,71 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: schema/partition/batch shapes are real; the codec
-  * is a clearly-marked deterministic stub (no media libs in this env). */
+/** Multimodal plumbing: schema/partition/batch shapes are real; the image
+  * (javax.imageio) and audio (javax.sound) codecs are REAL in-JDK codecs;
+  * only the video codec is a clearly-marked deterministic stub. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val media = Multimodal.toMedia(
     graft.core.Tables.load(spark, sf0001, "documents").limit(100))
+
+  // ids chosen to hit the gradient-wrap edge cases: 0 (b=0), 255/256 (b at
+  // the wrap), 248 (b+w straddles 256), odd ids (BMP arm), and a large id
+  private lazy val edgeDocs = Seq(0L, 1L, 2L, 255L, 256L, 248L, 249L,
+    511L, 1000001L).toDF("doc_id")
+
+  test("image decode round-trips the generator exactly (PNG and BMP arms)") {
+    val feats = Multimodal.decodeImages(Multimodal.toImages(edgeDocs))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.size == 9)
+    feats.foreach { case (id, f) =>
+      val (b, w, h) = ((id % 256).toInt, (id % 57 + 8).toInt, (id % 41 + 8).toInt)
+      assert(f.width == w && f.height == h, s"dims mismatch for $id")
+      assert(f.media_type == (if (id % 2 == 0) "png" else "bmp"))
+      assert(f.channels == (if (id % 2 == 0) 1 else 3), s"bands for $id")
+      // brute-force the expected band-0 sum straight from the generator
+      val expected = h.toLong * (0 until w).map(x => (b + x) % 256).sum
+      assert(f.pixel_sum == expected, s"pixel sum for $id")
+    }
+  }
+
+  test("real resize area-averages the decoded raster") {
+    val imgs = Multimodal.toImages(edgeDocs)
+    val thumbs = Multimodal.resizeImages(imgs, 8, 6).collect()
+    assert(thumbs.length == 9)
+    val reDecoded = Multimodal.decodeImages(
+      thumbs.toSeq.toDS().toDF()
+        .selectExpr("doc_id", "media_type", "thumb AS payload"))
+      .collect().map(f => f.doc_id -> f).toMap
+    thumbs.foreach { t =>
+      assert(t.thumb.nonEmpty)
+      val f = reDecoded(t.doc_id)
+      assert(f.width == 8 && f.height == 6 && f.channels == 1)
+      // the box filter preserves the global mean up to per-pixel floor
+      // truncation plus unequal-cell weighting (source dims not divisible
+      // by 8×6 give cells differing by one column/row) — a loose bound
+      // still catches stride/layout bugs, while pixel-exactness is pinned
+      // by the decode round-trip test above
+      val (b, w) = ((t.doc_id % 256).toInt, (t.doc_id % 57 + 8).toInt)
+      val srcMean = (0 until w).map(x => (b + x) % 256).sum.toDouble / w
+      val thumbMean = f.pixel_sum.toDouble / 48
+      assert(math.abs(thumbMean - srcMean) <= 8.0,
+        s"resize mean drifted for ${t.doc_id}: $thumbMean vs $srcMean")
+    }
+  }
+
+  test("audio decode round-trips the WAV generator exactly") {
+    val feats = Multimodal.decodeAudio(Multimodal.toAudio(edgeDocs))
+      .collect().map(f => f.doc_id -> f).toMap
+    feats.foreach { case (id, f) =>
+      val frames = (id % 1600 + 400).toInt
+      assert(f.sample_rate == 8000 && f.channels == 1)
+      assert(f.n_frames == frames, s"frame count for $id")
+      val expected = (0 until frames).map(i => (i % 256) - 128).sum.toLong
+      assert(f.amp_sum == expected, s"amplitude sum for $id")
+    }
+  }
 
   test("extractFeatures matches the expression-path features") {
     val viaPartitions = Multimodal.extractFeatures(media).toDF()
