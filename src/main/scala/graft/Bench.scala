@@ -35,8 +35,8 @@ object Bench {
     "q_decontam_spans", "q_decontam_apply", "q_dedup_substring_apply",
     "q_dedup_keep_best", "q_sample_weighted", "q_corpus_shuffle",
     "q_group_topk_dense", "q_text_heavyhitters_grouped",
-    // round-7: real in-JDK media codecs
-    "q_media_decode", "q_media_audio")
+    // round-7: real in-JDK media codecs + PII scrubbing
+    "q_media_decode", "q_media_audio", "q_pii_scrub", "q_pii_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -68,6 +68,10 @@ object Graft {
   /** Ordered event funnels. */
   def funnels: operators.Funnel.type = operators.Funnel
 
+  /** PII/secret scrubbing: regex-located spans via the shared island
+    * merge; masking as one stateless HOF expression (streaming-safe). */
+  def pii: operators.PiiScrub.type = operators.PiiScrub
+
   /** Multimodal columns: binary payloads with REAL in-JDK image (PNG/BMP
     * via javax.imageio) and audio (WAV via javax.sound) codecs, real
     * area-average resize, frame fan-out (only the video codec is a stub —

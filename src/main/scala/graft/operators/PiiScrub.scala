@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** PII / secret scrubbing — the redaction stage every training-data
+  * pipeline runs before anything else sees the text: locate tokens that
+  * look like emails, phone numbers, or API-key-shaped secrets, report them
+  * as merged spans, and mask them in place.
+  *
+  * Three deliberate design choices:
+  *
+  *   - **Token-level regexes.** Classification happens per whitespace
+  *     token (find-anywhere semantics, so trailing punctuation doesn't
+  *     hide a hit). Patterns stay inside the Java-regex ∩ RE2 common
+  *     subset — no backrefs, no lookaround — so the DuckDB oracle runs
+  *     the IDENTICAL pattern strings and must agree token-for-token.
+  *   - **Spans via the shared island machinery.** The report path feeds
+  *     hit positions through [[Dedup.mergeHitSpans]] with `w = 1`
+  *     (adjacent PII tokens merge into one span, a gap breaks it) — the
+  *     same gaps-and-islands operator the substring-dedup and
+  *     decontamination families use, not a reimplementation.
+  *   - **The apply path is ONE stateless per-row expression.** Like
+  *     [[Dedup.decontamClean]], [[scrub]] is a higher-order-function
+  *     expression with no windows, no keyed state, no shuffle — so the
+  *     streaming twin is free: the identical Column runs at ingest under
+  *     Structured Streaming (StreamingPiiSpec pins batch ≡ streamed
+  *     across a restart). Masking (not cutting) is the PII convention:
+  *     `<EMAIL>`/`<PHONE>`/`<KEY>` placeholders preserve sentence
+  *     structure for downstream tokenization.
+  *
+  * Scale: per-row regex work only; the span REPORT shuffles hit positions
+  * (a tiny fraction of the corpus) once by doc_id for the island windows;
+  * the APPLY path shuffles nothing at all.
+  */
+object PiiScrub {
+
+  /** Email-shaped token (local@domain.tld). */
+  val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-prefixed phone shape (+CC-NNN-NNNN). */
+  val Phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** Key-shaped secret: `sk-`-prefixed opaque token or an `AKIA`-prefixed
+    * 16-char uppercase id — the two most common leaked-credential shapes. */
+  val Key = "sk-[A-Za-z0-9]{20,}|AKIA[A-Z0-9]{16}"
+
+  /** (kind, pattern) in first-match-wins precedence order. */
+  val kinds: Seq[(String, String)] = Seq(
+    "email" -> Email, "phone" -> Phone, "key" -> Key)
+
+  /** The kind of a token, or NULL if it carries no PII. */
+  def tokenKind(t: Column): Column =
+    kinds.foldRight(lit(null).cast("string")) { case ((k, re), acc) =>
+      when(t.rlike(re), lit(k)).otherwise(acc)
+    }
+
+  /** Every PII hit: (doc_id, pos, kind) with pos the word offset.
+    * Repartitions first for the same reason the shingle paths do — the
+    * regex work dominates shipping the text. */
+  def hits(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    graft.core.Tables.ensureParallelism(
+      docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col(textCol))))
+      .select(col("doc_id"), col("pos"), tokenKind(col("col")).as("kind"))
+      .filter(col("kind").isNotNull)
+
+  /** PII span report: maximal runs of adjacent PII tokens, merged by the
+    * shared gaps-and-islands operator. Output (doc_id, span_start,
+    * span_end, n_tokens) — word offsets, end exclusive. */
+  def spans(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    Dedup.mergeHitSpans(
+      hits(docs, textCol, idCol).select("doc_id", "pos"), 1)
+      .withColumnRenamed("n_shingles", "n_tokens")
+
+  /** The apply stage as ONE stateless higher-order expression: each PII
+    * token is replaced by its kind's placeholder; everything else passes
+    * through. Output is token-normalized (single-space rejoin), matching
+    * the convention of the other span-apply operators. */
+  def scrub(text: Column): Column =
+    array_join(
+      transform(TextFunctions.tokens(text), t =>
+        kinds.foldRight(t) { case ((k, re), acc) =>
+          when(t.rlike(re), lit(mask(k))).otherwise(acc)
+        }),
+      " ")
+
+  /** The placeholder a kind masks to (`email` → `<EMAIL>`). */
+  def mask(kind: String): String = s"<${kind.toUpperCase}>"
+
+  /** DuckDB CASE fragment mirroring [[tokenKind]] (identical patterns,
+    * identical precedence; regexp_matches is find-anywhere like rlike). */
+  def duckTokenKind(t: String): String =
+    kinds.map { case (k, re) =>
+      s"WHEN regexp_matches($t, '$re') THEN '$k'"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+
+  /** DuckDB lambda fragment mirroring [[scrub]]'s per-token mask. */
+  def duckMaskToken(t: String): String =
+    kinds.map { case (k, re) =>
+      s"WHEN regexp_matches($t, '$re') THEN '${mask(k)}'"
+    }.mkString("CASE ", " ", s" ELSE $t END")
+}

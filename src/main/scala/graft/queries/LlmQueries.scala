@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{PortableHash, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, QualityFilter, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, PiiScrub, QualityFilter, Sampling, Similarity}
 
 /** LLM-training-data-pipeline surface (SURVEY.md §2.B LLM extensions):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
@@ -201,6 +201,42 @@ object LlmQueries {
        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
        |        FROM brk)""".stripMargin
   }
+  /** PII fixture: appends deterministic email / phone / key tokens to a
+    * doc_id-keyed subset of the corpus (the synthetic prose carries no
+    * organic PII, so the scrubber needs injected work). Mirrored exactly
+    * by [[duckPiiDocs]]. */
+  private def withPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact dev"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" key AKIA"),
+            lpad(col("doc_id").cast("string"), 16, "0"))).otherwise(lit("")))
+        .as("text"))
+
+  /** DuckDB CTE mirroring [[withPii]] (named `piidocs`). No line here may
+    * START with `||`: callers interpolate this fragment into strings that
+    * run their own `.stripMargin`, which would eat the first pipe. */
+  private def duckPiiDocs: String =
+    s"""piidocs AS (SELECT doc_id,
+       |  text ||
+       |  CASE WHEN doc_id % 7 = 0
+       |    THEN ' contact dev' || doc_id::VARCHAR || '@example.com'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 0
+       |    THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 13 = 0
+       |    THEN ' key AKIA' || lpad(doc_id::VARCHAR, 16, '0')
+       |    ELSE '' END AS text
+       |  FROM documents)""".stripMargin
+
   val EmbedDupCos = 0.9
   val TopK = 10
   val QueryVecs = 16 // vec_id < 16 are the similarity-search query set
@@ -799,6 +835,58 @@ object LlmQueries {
            |FROM documents d LEFT JOIN agg a USING (doc_id)
            |WHERE d.doc_id >= 10""".stripMargin),
       "corpus with benchmark-overlapping spans cut out (surgical decontamination)"),
+
+    // ---------- PII / secret scrubbing ----------
+    // The corpus is synthetic prose with no organic PII, so the fixture
+    // INJECTS deterministic PII (email / phone / key-shaped tokens keyed
+    // to doc_id) on both the Spark and oracle sides — the scrubber then
+    // has real work whose exact output both engines must agree on. The
+    // patterns live in the Java-regex ∩ RE2 common subset so the literal
+    // same strings run in both engines (PiiScrub scaladoc).
+    Q("q_pii_scrub",
+      (s, d) => PiiScrub.spans(withPii(t(s, d, "documents")), "text", "doc_id"),
+      Some(s"""WITH ${duckPiiDocs},
+           |toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM piidocs),
+           |tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
+           |tok AS (SELECT doc_id, CAST(p AS INT) AS pos, ts[p+1] AS tok FROM tp),
+           |hits AS (SELECT doc_id, pos FROM tok
+           |         WHERE ${PiiScrub.duckTokenKind("tok")} IS NOT NULL),
+           |brk AS (SELECT doc_id, pos,
+           |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 1
+           |               THEN 0 ELSE 1 END AS brk
+           |        FROM hits),
+           |isl AS (SELECT doc_id, pos,
+           |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           |        FROM brk)
+           |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           |       CAST(max(pos) + 1 AS INT) AS span_end, count(*) AS n_tokens
+           |FROM isl GROUP BY doc_id, isl""".stripMargin),
+      "PII span report: regex-located tokens merged by the shared island operator"),
+
+    Q("q_pii_stats",
+      (s, d) => PiiScrub.hits(withPii(t(s, d, "documents")), "text", "doc_id")
+        .groupBy("kind").agg(count(lit(1)).as("n_hits")),
+      Some(s"""WITH ${duckPiiDocs},
+           |toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM piidocs),
+           |tok AS (SELECT unnest(ts) AS tok FROM toks)
+           |SELECT kind, count(*) AS n_hits
+           |FROM (SELECT ${PiiScrub.duckTokenKind("tok")} AS kind FROM tok)
+           |WHERE kind IS NOT NULL GROUP BY kind""".stripMargin),
+      "PII hit counts by kind (classification totals)"),
+
+    // The apply twin is ONE stateless higher-order expression (mask, not
+    // cut — placeholders preserve sentence structure), so the streaming
+    // twin is free: StreamingPiiSpec runs the identical Column at ingest
+    // and pins batch ≡ streamed across a restart.
+    Q("q_pii_apply",
+      (s, d) => withPii(t(s, d, "documents"))
+        .select(col("doc_id"), PiiScrub.scrub(col("text")).as("clean_text")),
+      Some(s"""WITH ${duckPiiDocs}
+           |SELECT doc_id,
+           |  array_to_string(list_transform(${duckTokens("text")},
+           |    t -> ${PiiScrub.duckMaskToken("t")}), ' ') AS clean_text
+           |FROM piidocs""".stripMargin),
+      "corpus with PII tokens masked in place (stateless HOF expression)"),
 
     // ---------- quality filtering / sampling / composed pipeline ----------
     Q("q_text_quality",

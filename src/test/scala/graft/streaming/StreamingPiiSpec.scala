@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.PiiScrub
+
+/** Ingest-time PII scrubbing: [[PiiScrub.scrub]] is a pure per-row
+  * expression (no windows, no keyed state), so it must run unchanged
+  * under Structured Streaming and produce exactly the batch rows —
+  * including across a restart, which for a stateless transform is just
+  * the file-source offset log doing its job. (Same contract and harness
+  * as StreamingDecontamSpec — the scrubber is the decontam pattern with
+  * regex hits instead of benchmark-shingle hits.)
+  */
+class StreamingPiiSpec extends SparkSpec {
+
+  test("streamed scrub ≡ batch scrub, across a restart") {
+    // seed the stream with documents carrying injected PII so the masks
+    // actually fire (the synthetic corpus has no organic PII)
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ping u"), col("doc_id").cast("string"),
+              lit("@mail.net or +1-555-01"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+            .otherwise(lit(""))).as("text"))
+
+    val n = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_pii_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pii_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = src.select(col("doc_id"),
+          PiiScrub.scrub(col("text")).as("clean_text"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    docs.limit((n / 2).toInt).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    docs.exceptAll(docs.limit((n / 2).toInt)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = spark.read.parquet(dir).select(col("doc_id"),
+      PiiScrub.scrub(col("text")).as("clean_text"))
+    assert(streamed.count() == n)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // and the masks really fired: every seeded doc lost its raw address
+    assert(streamed.filter(col("clean_text").contains("@mail.net")).count() == 0)
+    assert(streamed.filter(col("clean_text").contains("<EMAIL>")).count() > 0)
+  }
+}
