@@ -89,6 +89,9 @@ object Graft {
   def streamingSubstringDedup: streaming.StreamingSubstringDedup.type =
     streaming.StreamingSubstringDedup
 
+  /** Ingest-time per-domain quota admission (first-N, redelivery-silent). */
+  def streamingQuota: streaming.StreamingQuota.type = streaming.StreamingQuota
+
   /** Cross-batch per-key FIFO re-establishment. */
   def orderedReplay: streaming.OrderedReplay.type = streaming.OrderedReplay
 

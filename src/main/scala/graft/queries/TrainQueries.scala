@@ -160,6 +160,27 @@ object TrainQueries {
                WHERE rnk <= $DomainCap"""),
       s"per-domain quota: keep $DomainCap docs per source, hash-ranked (reproducible)"),
 
+    // First-ARRIVAL variant: the batch contract of the streaming quota
+    // admitter ([[graft.streaming.StreamingQuota]] — admit each domain's
+    // first N, never retract). Arrival order here is doc_id order, the
+    // same order StreamingQuotaSpec feeds; where q_domain_cap picks a
+    // deterministic retrospective sample, this one states what the ONLINE
+    // admitter must have admitted over the same feed.
+    Q("q_domain_cap_first",
+      (s, d) => {
+        val w = Window.partitionBy("domain").orderBy("doc_id")
+        t(s, d, "documents")
+          .select(col("source").as("domain"), col("doc_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= DomainCap)
+      },
+      Some(s"""SELECT source AS domain, doc_id, CAST(rank AS INT) AS rank
+               FROM (SELECT source, doc_id, row_number() OVER
+                       (PARTITION BY source ORDER BY doc_id) AS rank
+                     FROM documents)
+               WHERE rank <= $DomainCap"""),
+      s"first-arrival domain quota: StreamingQuota's batch contract (first $DomainCap per domain)"),
+
     // ---------- overlapping chunking ----------
     // Context-window packing input: fixed-size token chunks with overlap
     // (size 24, stride 16 ⇒ 8-token overlap). sequence+explode is a

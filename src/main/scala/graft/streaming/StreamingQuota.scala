@@ -1,0 +1,83 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Per-domain quota admission AT INGEST — the streaming twin of the batch
+  * domain cap (`q_domain_cap`): each domain admits its first `cap`
+  * documents and silently drops the rest, so a crawl firehose is
+  * rebalanced before anything downstream pays for the skew.
+  *
+  * Contract: admission is FIRST-ARRIVAL within the domain's feed order
+  * (the engine's channels are per-key FIFO — KeyedStageSpec /
+  * OrderedReplaySpec — so "first" is well-defined and replay-stable).
+  * The batch twin over the same feed is the rank-over-arrival-order
+  * window capped at `cap`; StreamingQuotaSpec pins the equivalence and
+  * the restart behavior. The batch `q_domain_cap` entry uses a hash
+  * ranking instead of arrival order — that is the RETROSPECTIVE policy
+  * (pick a deterministic sample once the corpus is complete); this is
+  * the ONLINE one (admit now, never retract).
+  *
+  * Emissions are exactly-once per admitted document: a document emits in
+  * the microbatch that admits it and never again — REDELIVERY IS SILENT
+  * (an at-least-once upstream can replay an admitted id without
+  * double-emitting, same discipline as the dedup twins), and over-quota
+  * arrivals emit nothing. `rank` is the domain's admission ordinal
+  * (1..cap), so downstream can tighten the cap later by filtering
+  * `rank <= cap'` without re-running admission.
+  *
+  * State per domain: the admitted id array — O(cap) ids, bounded by
+  * construction (domains × cap across the cluster's RocksDB stores).
+  * Per-row work: O(cap) membership probe (admitted ids are few); a full
+  * domain rejects new ids with one array scan and no state write.
+  */
+object StreamingQuota {
+
+  case class DocRec(domain: String, doc_id: Long)
+
+  /** One admission: `rank` is the 1-based admission ordinal in `domain`. */
+  case class Admit(domain: String, doc_id: Long, rank: Int)
+
+  case class QuotaState(admitted: Array[Long])
+
+  class QuotaProcessor(cap: Int)
+      extends StatefulProcessor[String, DocRec, Admit] {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+
+    @transient private var st: ValueState[QuotaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[QuotaState]("quota",
+        Encoders.product[QuotaState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocRec],
+                                 timerValues: TimerValues): Iterator[Admit] = {
+      val admitted = mutable.ArrayBuffer.empty[Long]
+      Option(st.get()).foreach(s => admitted ++= s.admitted)
+      val before = admitted.length
+      val out = mutable.ArrayBuffer.empty[Admit]
+      rows.foreach { r =>
+        // redelivery-silent: an already-admitted id neither re-emits nor
+        // consumes quota; an over-quota id is dropped without state I/O
+        if (admitted.length < cap && !admitted.contains(r.doc_id)) {
+          admitted += r.doc_id
+          out += Admit(key, r.doc_id, admitted.length)
+        }
+      }
+      if (admitted.length != before)
+        st.update(QuotaState(admitted.toArray))
+      out.iterator
+    }
+  }
+
+  /** Live per-domain quota admission over (domain, doc_id) records.
+    * Requires the RocksDB state store ([[KeyedStage.rocksConf]]). */
+  def admit(ds: Dataset[DocRec], cap: Int): Dataset[Admit] = {
+    implicit val outEnc = Encoders.product[Admit]
+    ds.groupByKey(_.domain)(Encoders.STRING)
+      .transformWithState(new QuotaProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

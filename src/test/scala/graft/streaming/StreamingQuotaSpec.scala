@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Ingest-time quota admission must equal the batch first-N-per-domain
+  * window over the same feed — across a kill/restart — and redelivery of
+  * already-seen rows must be SILENT: no duplicate emissions, no quota
+  * double-counting. Feed order is doc_id order (one sorted file per
+  * microbatch; the file source preserves within-file row order and
+  * processes files in arrival order), so the batch twin ranks by doc_id.
+  */
+class StreamingQuotaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cap = 5
+
+  test("streamed admits ≡ batch first-N per domain, across restart; redelivery silent") {
+    val all = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source").as("domain"), col("doc_id"))
+      .orderBy("doc_id")
+      .as[StreamingQuota.DocRec].collect()
+    val n = all.length
+    val dir = java.nio.file.Files.createTempDirectory("graft_quota_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_quota_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_quota_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StreamingQuota.DocRec]
+      val q = StreamingQuota.admit(src, Cap).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // first half, then the "crash"; second half PLUS a redelivery of the
+    // feed's earliest 20 rows (an at-least-once upstream replaying rows
+    // whose admission already emitted — some admitted, some over-quota)
+    all.take(n / 2).toSeq.toDS().coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    (all.drop(n / 2) ++ all.take(20)).toSeq.toDS().coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+    // batch twin over the DISTINCT feed (redeliveries are not new rows):
+    // first Cap arrivals per domain = rank by doc_id, because the feed
+    // is globally doc_id-sorted across the two halves
+    val w = Window.partitionBy("domain").orderBy("doc_id")
+    val batch = all.distinct.toSeq.toDS().toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Cap)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // redelivery was silent: no (domain, doc_id) emitted twice, and no
+    // domain exceeded its quota
+    assert(streamed.groupBy("domain", "doc_id").count()
+      .filter(col("count") > 1).isEmpty)
+    assert(streamed.groupBy("domain").count()
+      .filter(col("count") > Cap).isEmpty)
+  }
+}
