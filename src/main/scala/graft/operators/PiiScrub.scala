@@ -46,14 +46,52 @@ object PiiScrub {
     * 16-char uppercase id — the two most common leaked-credential shapes. */
   val Key = "sk-[A-Za-z0-9]{20,}|AKIA[A-Z0-9]{16}"
 
-  /** (kind, pattern) in first-match-wins precedence order. */
+  /** Card-SHAPED token: 13–19 contiguous digits, or four dashed 4-digit
+    * groups (trailing punctuation tolerated). Shape alone is not enough —
+    * it would mask every long numeric id — so [[cardOk]] additionally
+    * requires the Luhn checksum to pass. */
+  val Card = "^([0-9]{4}-){3}[0-9]{4}[.,;:!?]*$|^[0-9]{13,19}[.,;:!?]*$"
+
+  /** Σ of Luhn contributions for `digits` as positions of a full number
+    * `n` digits long: digit i (1-based from the left) sits at distance
+    * `n − i` from the right; odd distances double (minus 9 past 9). */
+  private def luhnSum(digits: Column, n: Column): Column =
+    aggregate(sequence(lit(1), length(digits)), lit(0), (acc, i) => {
+      val d = substr(digits, i, lit(1)).cast("int")
+      val dd = d * lit(2)
+      acc + when((n - i) % 2 === 1,
+        when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+    })
+
+  /** Luhn checksum validity of a contiguous digit string. */
+  def luhnOk(digits: Column): Column =
+    luhnSum(digits, length(digits)) % 10 === 0
+
+  /** The check digit that completes `prefix` to a Luhn-valid number
+    * (used by the oracle fixture to inject valid card numbers). */
+  def luhnCheckDigit(prefix: Column): Column =
+    (lit(10) - luhnSum(prefix, length(prefix) + 1) % 10) % 10
+
+  /** Card test: shape AND checksum. */
+  def cardOk(t: Column): Column =
+    t.rlike(Card) && luhnOk(regexp_replace(t, lit("[^0-9]"), lit("")))
+
+  /** (kind, regex) — the regex arm of each kind (card additionally
+    * Luhn-gated; see [[kindPredicates]] for the full predicates). */
   val kinds: Seq[(String, String)] = Seq(
-    "email" -> Email, "phone" -> Phone, "key" -> Key)
+    "email" -> Email, "phone" -> Phone, "key" -> Key, "card" -> Card)
+
+  /** Per-kind predicates in first-match-wins precedence order. */
+  def kindPredicates(t: Column): Seq[(String, Column)] = Seq(
+    "email" -> t.rlike(Email),
+    "phone" -> t.rlike(Phone),
+    "key" -> t.rlike(Key),
+    "card" -> cardOk(t))
 
   /** The kind of a token, or NULL if it carries no PII. */
   def tokenKind(t: Column): Column =
-    kinds.foldRight(lit(null).cast("string")) { case ((k, re), acc) =>
-      when(t.rlike(re), lit(k)).otherwise(acc)
+    kindPredicates(t).foldRight(lit(null).cast("string")) {
+      case ((k, p), acc) => when(p, lit(k)).otherwise(acc)
     }
 
   /** Every PII hit: (doc_id, pos, kind) with pos the word offset.
@@ -81,24 +119,48 @@ object PiiScrub {
   def scrub(text: Column): Column =
     array_join(
       transform(TextFunctions.tokens(text), t =>
-        kinds.foldRight(t) { case ((k, re), acc) =>
-          when(t.rlike(re), lit(mask(k))).otherwise(acc)
+        kindPredicates(t).foldRight(t) { case ((k, p), acc) =>
+          when(p, lit(mask(k))).otherwise(acc)
         }),
       " ")
 
   /** The placeholder a kind masks to (`email` → `<EMAIL>`). */
   def mask(kind: String): String = s"<${kind.toUpperCase}>"
 
+  /** DuckDB Σ-of-Luhn-contributions fragment over the digit string `dig`
+    * as positions of an `n`-digit number (mirrors [[luhnSum]]). */
+  private def duckLuhnSum(dig: String, n: String): String =
+    s"list_sum(list_transform(range(1, length($dig) + 1), i -> " +
+      s"CASE WHEN ($n - i) % 2 = 1 THEN " +
+      s"CASE WHEN 2 * (($dig)[i]::INT) > 9 THEN 2 * (($dig)[i]::INT) - 9 " +
+      s"ELSE 2 * (($dig)[i]::INT) END ELSE ($dig)[i]::INT END))"
+
+  /** DuckDB Luhn-validity fragment for a token (mirrors [[cardOk]]'s
+    * checksum arm over the token's digits). */
+  def duckLuhnOk(t: String): String = {
+    val dig = s"regexp_replace($t, '[^0-9]', '', 'g')"
+    s"(${duckLuhnSum(dig, s"length($dig)")} % 10 = 0)"
+  }
+
+  /** DuckDB check-digit fragment (mirrors [[luhnCheckDigit]]). */
+  def duckLuhnCheckDigit(prefix: String): String =
+    s"((10 - ${duckLuhnSum(prefix, s"length($prefix) + 1")} % 10) % 10)"
+
+  /** Per-kind (kind, condition-SQL) in [[kindPredicates]] precedence. */
+  private def duckKindConds(t: String): Seq[(String, String)] =
+    Seq("email" -> s"regexp_matches($t, '$Email')",
+      "phone" -> s"regexp_matches($t, '$Phone')",
+      "key" -> s"regexp_matches($t, '$Key')",
+      "card" -> s"(regexp_matches($t, '$Card') AND ${duckLuhnOk(t)})")
+
   /** DuckDB CASE fragment mirroring [[tokenKind]] (identical patterns,
     * identical precedence; regexp_matches is find-anywhere like rlike). */
   def duckTokenKind(t: String): String =
-    kinds.map { case (k, re) =>
-      s"WHEN regexp_matches($t, '$re') THEN '$k'"
-    }.mkString("CASE ", " ", " ELSE NULL END")
+    duckKindConds(t).map { case (k, c) => s"WHEN $c THEN '$k'" }
+      .mkString("CASE ", " ", " ELSE NULL END")
 
   /** DuckDB lambda fragment mirroring [[scrub]]'s per-token mask. */
   def duckMaskToken(t: String): String =
-    kinds.map { case (k, re) =>
-      s"WHEN regexp_matches($t, '$re') THEN '${mask(k)}'"
-    }.mkString("CASE ", " ", s" ELSE $t END")
+    duckKindConds(t).map { case (k, c) => s"WHEN $c THEN '${mask(k)}'" }
+      .mkString("CASE ", " ", s" ELSE $t END")
 }

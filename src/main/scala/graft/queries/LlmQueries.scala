@@ -217,13 +217,28 @@ object LlmQueries {
           .otherwise(lit("")),
         when(col("doc_id") % 13 === 0,
           concat(lit(" key AKIA"),
-            lpad(col("doc_id").cast("string"), 16, "0"))).otherwise(lit("")))
+            lpad(col("doc_id").cast("string"), 16, "0"))).otherwise(lit("")), {
+          // a Luhn-VALID 16-digit card (check digit computed), plus an
+          // invalid-checksum control that must NOT be masked — the pair
+          // proves the scrubber's Luhn gate does real work in both engines
+          val b15 = lpad((col("doc_id") % 1000000000000000L).cast("string"),
+            15, "0")
+          concat(
+            when(col("doc_id") % 17 === 0,
+              concat(lit(" card "), b15,
+                PiiScrub.luhnCheckDigit(b15).cast("string"))).otherwise(lit("")),
+            when(col("doc_id") % 19 === 0,
+              concat(lit(" num "), b15,
+                ((PiiScrub.luhnCheckDigit(b15) + 5) % 10).cast("string")))
+              .otherwise(lit("")))
+        })
         .as("text"))
 
   /** DuckDB CTE mirroring [[withPii]] (named `piidocs`). No line here may
     * START with `||`: callers interpolate this fragment into strings that
     * run their own `.stripMargin`, which would eat the first pipe. */
-  private def duckPiiDocs: String =
+  private def duckPiiDocs: String = {
+    val b15 = "lpad((doc_id % 1000000000000000)::VARCHAR, 15, '0')"
     s"""piidocs AS (SELECT doc_id,
        |  text ||
        |  CASE WHEN doc_id % 7 = 0
@@ -234,8 +249,161 @@ object LlmQueries {
        |    ELSE '' END ||
        |  CASE WHEN doc_id % 13 = 0
        |    THEN ' key AKIA' || lpad(doc_id::VARCHAR, 16, '0')
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 17 = 0
+       |    THEN ' card ' || $b15 ||
+       |      (${PiiScrub.duckLuhnCheckDigit(b15)})::VARCHAR
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 19 = 0
+       |    THEN ' num ' || $b15 ||
+       |      (((${PiiScrub.duckLuhnCheckDigit(b15)}) + 5) % 10)::VARCHAR
        |    ELSE '' END AS text
        |  FROM documents)""".stripMargin
+  }
+
+  val PipelineV2K = 100        // v2 pipeline weighted-sample size
+  val PipelineV2Seed = 42L     // v2 pipeline shuffle seed
+  val PipelineV2MinWords = 8   // husk threshold (= SubstringW) after the cuts
+
+  /** The full v2-pipeline oracle: each stage's CTE block mirrors the
+    * corresponding operator exactly (same fragments the per-stage oracles
+    * use, renamed per stage so the chains compose in one WITH list). */
+  private def duckPipelineV2Oracle: String = {
+    val sh1 = s"array_to_string(ts[p+1:p+$SubstringW], ' ')"
+    val sh2 = s"array_to_string(ts[p+1:p+$DecontamW], ' ')"
+    val sigCols = (0 until Dedup.K)
+      .map(i => s"${duckMinhashSig("shset", i)} AS s$i").mkString(",\n    ")
+    val bandSelects = (0 until Dedup.BANDS).map { b =>
+      val key = (0 until Dedup.R).map(r => s"s${b * Dedup.R + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws(':', $key) AS band_key FROM m_sig"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH RECURSIVE
+       |-- stage 1: cross-document repeated-substring cut
+       |c1toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+       |c1pn AS (SELECT doc_id, ts,
+       |           unnest(range(0, greatest(len(ts) - $SubstringW, 0) + 1)) AS p
+       |         FROM c1toks),
+       |c1sh AS (SELECT doc_id, CAST(p AS INT) AS pos,
+       |           ${graft.functions.PortableHash.duckHash60(sh1)} AS h
+       |         FROM c1pn WHERE $sh1 <> ''),
+       |c1dup AS (SELECT h FROM c1sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |c1hits AS (SELECT s.doc_id, s.pos FROM c1sh s JOIN c1dup USING (h)),
+       |c1brk AS (SELECT doc_id, pos,
+       |            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SubstringW
+       |                 THEN 0 ELSE 1 END AS brk
+       |          FROM c1hits),
+       |c1isl AS (SELECT doc_id, pos,
+       |            sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |          FROM c1brk),
+       |c1spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + $SubstringW AS se
+       |            FROM c1isl GROUP BY doc_id, isl),
+       |c1tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM c1toks),
+       |c1tok AS (SELECT doc_id, CAST(p AS INT) AS p, ts[p+1] AS tok FROM c1tp),
+       |c1keep AS (SELECT t.doc_id, t.p, t.tok FROM c1tok t WHERE NOT EXISTS (
+       |             SELECT 1 FROM c1spans s
+       |             WHERE s.doc_id = t.doc_id AND t.p >= s.ss AND t.p < s.se)),
+       |c1agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
+       |          FROM c1keep GROUP BY doc_id),
+       |cut AS (SELECT d.doc_id, coalesce(a.ct, '') AS text
+       |        FROM documents d LEFT JOIN c1agg a USING (doc_id)),
+       |-- stage 2: span decontam of the cut corpus vs the raw benchmark
+       |c2toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM cut
+       |           WHERE doc_id >= 10),
+       |c2pn AS (SELECT doc_id, ts,
+       |           unnest(range(0, greatest(len(ts) - $DecontamW, 0) + 1)) AS p
+       |         FROM c2toks),
+       |c2sh AS (SELECT doc_id, CAST(p AS INT) AS pos,
+       |           ${graft.functions.PortableHash.duckHash60(sh2)} AS h
+       |         FROM c2pn WHERE $sh2 <> ''),
+       |c2btoks AS (SELECT ${duckTokens("text")} AS ts FROM documents
+       |            WHERE doc_id < 10),
+       |c2bpn AS (SELECT ts, unnest(range(0, greatest(len(ts) - $DecontamW, 0) + 1)) AS p
+       |          FROM c2btoks),
+       |c2bsh AS (SELECT DISTINCT ${graft.functions.PortableHash.duckHash60(sh2)} AS h
+       |          FROM c2bpn WHERE $sh2 <> ''),
+       |c2hits AS (SELECT s.doc_id, s.pos FROM c2sh s JOIN c2bsh USING (h)),
+       |c2brk AS (SELECT doc_id, pos,
+       |            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $DecontamW
+       |                 THEN 0 ELSE 1 END AS brk
+       |          FROM c2hits),
+       |c2isl AS (SELECT doc_id, pos,
+       |            sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |          FROM c2brk),
+       |c2spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + $DecontamW AS se
+       |            FROM c2isl GROUP BY doc_id, isl),
+       |c2tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM c2toks),
+       |c2tok AS (SELECT doc_id, CAST(p AS INT) AS p, ts[p+1] AS tok FROM c2tp),
+       |c2keep AS (SELECT t.doc_id, t.p, t.tok FROM c2tok t WHERE NOT EXISTS (
+       |             SELECT 1 FROM c2spans s
+       |             WHERE s.doc_id = t.doc_id AND t.p >= s.ss AND t.p < s.se)),
+       |c2agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
+       |          FROM c2keep GROUP BY doc_id),
+       |-- stage 3 entry: cleaned corpus minus the sub-shingle husks
+       |clean AS (SELECT c.doc_id, coalesce(a.ct, '') AS text
+       |          FROM cut c LEFT JOIN c2agg a USING (doc_id)
+       |          WHERE c.doc_id >= 10
+       |            AND len(${duckTokens("coalesce(a.ct, '')")}) >= $PipelineV2MinWords),
+       |-- stage 3: minhash near-dup pairs over the CLEANED text
+       |m_sh AS (SELECT doc_id,
+       |           list_distinct(${duckShingles(duckTokens("text"), 3)}) AS shset
+       |         FROM clean),
+       |m_sig AS (SELECT doc_id, $sigCols FROM m_sh),
+       |m_bands AS ($bandSelects),
+       |m_cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM m_bands a JOIN m_bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |m_pairs AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT id1, id2,
+       |      CASE WHEN len(list_distinct(list_concat(x.shset, y.shset))) = 0 THEN 0.0
+       |           ELSE len(list_intersect(x.shset, y.shset))::DOUBLE /
+       |                len(list_distinct(list_concat(x.shset, y.shset)))::DOUBLE END AS j
+       |    FROM m_cand JOIN m_sh x ON m_cand.id1 = x.doc_id
+       |                JOIN m_sh y ON m_cand.id2 = y.doc_id)
+       |  WHERE j >= $NearDupJaccard),
+       |edges AS (SELECT id1 AS u, id2 AS v FROM m_pairs
+       |          UNION ALL SELECT id2, id1 FROM m_pairs),
+       |reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+       |cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |scored AS (SELECT doc_id,
+       |             CAST(len(${duckTokens("text")}) AS INT) AS n_words
+       |           FROM clean),
+       |win AS (SELECT cluster_id, doc_id AS keep_id FROM (
+       |          SELECT cc.cluster_id, cc.doc_id,
+       |            row_number() OVER (PARTITION BY cc.cluster_id
+       |              ORDER BY s.n_words DESC, cc.doc_id ASC) AS rn
+       |          FROM cc JOIN scored s USING (doc_id)) WHERE rn = 1),
+       |losers AS (SELECT cc.doc_id FROM cc JOIN win USING (cluster_id)
+       |           WHERE cc.doc_id <> win.keep_id),
+       |kept AS (SELECT s.doc_id, s.n_words FROM scored s
+       |         WHERE NOT EXISTS (SELECT 1 FROM losers l
+       |                           WHERE l.doc_id = s.doc_id)),
+       |-- stage 4: per-language p25 quality gate
+       |wl AS (SELECT k.doc_id, d.lang, k.n_words
+       |       FROM kept k JOIN documents d USING (doc_id)),
+       |thr AS (SELECT lang, quantile_cont(n_words, 0.25) AS thr
+       |        FROM wl GROUP BY lang),
+       |gated AS (SELECT wl.doc_id, wl.lang, wl.n_words
+       |          FROM wl JOIN thr ON wl.lang = thr.lang
+       |          WHERE wl.n_words >= thr.thr),
+       |-- stage 5: deterministic weighted sample (A-ES)
+       |samp AS (SELECT doc_id, lang, n_words FROM (
+       |           SELECT gated.*,
+       |             ${Sampling.duckWeightedKey("doc_id::VARCHAR", "n_words")} AS wkey
+       |           FROM gated)
+       |         ORDER BY wkey DESC, doc_id LIMIT $PipelineV2K)
+       |-- stage 6: seeded shuffle positions
+       |SELECT doc_id, lang, n_words,
+       |  CAST(row_number() OVER (ORDER BY
+       |    ${Sampling.duckShuffleKey("doc_id::VARCHAR", PipelineV2Seed)},
+       |    doc_id) AS BIGINT) AS position
+       |FROM samp""".stripMargin
+  }
 
   val EmbedDupCos = 0.9
   val TopK = 10
@@ -887,6 +1055,70 @@ object LlmQueries {
            |    t -> ${PiiScrub.duckMaskToken("t")}), ' ') AS clean_text
            |FROM piidocs""".stripMargin),
       "corpus with PII tokens masked in place (stateless HOF expression)"),
+
+    // ---------- composed training-data pipeline v2 ----------
+    // The actual corpus-build flow a training run executes, stage by
+    // stage, each stage an already-individually-gated operator:
+    //   substring-cut → span-decontam → drop-husks → near-dup
+    //   keep-best → per-lang quality gate → weighted sample → seeded
+    //   shuffle.
+    // Composition is what this entry tests: stage N's input is stage
+    // N−1's output (cleaned TEXT feeds the minhash, gated n_words feed
+    // the sampling weights), so a plan regression in any stage — or a
+    // subtle contract break like span offsets shifting under the
+    // token-normalized rejoin — breaks the end-to-end hash. Docs < 10
+    // are the benchmark (decontam convention) and exit the pipeline.
+    // Scale shape: every stage keeps its individual plan (the explain
+    // audit runs this entry too) — no stage degrades composed; the final
+    // shuffle's GlobalRank stays two-pass over the k sampled rows.
+    Q("q_pipeline_llm_v2",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // 1. cross-doc repeated-substring cut (both copies go)
+        val cut = Dedup.removeRepeatedSpans(docs, "text", "doc_id", SubstringW)
+        // 2. surgical span decontam vs the raw benchmark docs
+        val clean = Dedup.removeBenchmarkSpans(
+          cut.filter(col("doc_id") >= 10), "clean_text", "doc_id",
+          docs.filter(col("doc_id") < 10), "text", DecontamW)
+        // 3. drop the husks the cuts left behind — anything shorter than
+        // the shingle width can't carry a meaningful near-dup signature,
+        // and a corpus of near-empty husks is one giant trivial cluster
+        // (quadratic for any pair-based stage downstream). Then near-dup
+        // keep-best on the CLEANED text (job-scoped persist: the cleaned
+        // corpus feeds the minhash, the scorer, and the final anti-join).
+        val nonEmpty = graft.core.CacheScope.autoRelease(
+          clean.filter(
+            TextFunctions.nWords(col("clean_text")) >= PipelineV2MinWords))
+        val pairs = Dedup.minhashNearDups(nonEmpty, "clean_text", "doc_id",
+          NearDupJaccard).select("id1", "id2")
+        val cc = graft.operators.Connected.components(pairs)
+        val scored = nonEmpty.select(col("doc_id"),
+          TextFunctions.nWords(col("clean_text")).as("n_words"))
+        val keep = cc.join(scored, "doc_id")
+          .groupBy("cluster_id")
+          .agg(max_by(col("doc_id"),
+            struct(col("n_words"), (lit(0L) - col("doc_id")))).as("keep_id"))
+        val losers = cc.join(keep, "cluster_id")
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select(col("doc_id"))
+        val kept = scored.join(losers, Seq("doc_id"), "left_anti")
+        // 4. per-language p25 quality gate (thresholds broadcast back)
+        val withLang = kept.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val thr = withLang.groupBy("lang")
+          .agg(expr("percentile(n_words, 0.25)").as("thr"))
+        val gated = withLang.join(broadcast(thr), Seq("lang"))
+          .filter(col("n_words") >= col("thr"))
+          .select(col("doc_id"), col("lang"), col("n_words"))
+        // 5. weighted sample (quality-proportional, deterministic A-ES)
+        val sampled = Sampling.weightedSample(gated, col("doc_id"),
+          col("n_words"), PipelineV2K)
+        // 6. seeded shuffle → contiguous training positions
+        Sampling.seededShuffle(sampled, col("doc_id"), PipelineV2Seed)
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            col("position").cast("long").as("position"))
+      },
+      Some(duckPipelineV2Oracle),
+      "composed pipeline v2: substring-cut → decontam → keep-best → gate → weighted sample → shuffle"),
 
     // ---------- quality filtering / sampling / composed pipeline ----------
     Q("q_text_quality",
