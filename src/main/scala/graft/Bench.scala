@@ -35,8 +35,10 @@ object Bench {
     "q_decontam_spans", "q_decontam_apply", "q_dedup_substring_apply",
     "q_dedup_keep_best", "q_sample_weighted", "q_corpus_shuffle",
     "q_group_topk_dense", "q_text_heavyhitters_grouped",
-    // round-7: real in-JDK media codecs + PII scrubbing
-    "q_media_decode", "q_media_audio", "q_pii_scrub", "q_pii_apply")
+    // round-7: real in-JDK media codecs + PII scrubbing + the composed
+    // v2 training-data pipeline
+    "q_media_decode", "q_media_audio", "q_pii_scrub", "q_pii_apply",
+    "q_pipeline_llm_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

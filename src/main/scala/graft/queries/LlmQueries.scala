@@ -279,7 +279,7 @@ object LlmQueries {
     }.mkString("\n    UNION ALL ")
     s"""WITH RECURSIVE
        |-- stage 1: cross-document repeated-substring cut
-       |c1toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+       |c1toks AS MATERIALIZED (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
        |c1pn AS (SELECT doc_id, ts,
        |           unnest(range(0, greatest(len(ts) - $SubstringW, 0) + 1)) AS p
        |         FROM c1toks),
@@ -304,10 +304,10 @@ object LlmQueries {
        |             WHERE s.doc_id = t.doc_id AND t.p >= s.ss AND t.p < s.se)),
        |c1agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
        |          FROM c1keep GROUP BY doc_id),
-       |cut AS (SELECT d.doc_id, coalesce(a.ct, '') AS text
+       |cut AS MATERIALIZED (SELECT d.doc_id, coalesce(a.ct, '') AS text
        |        FROM documents d LEFT JOIN c1agg a USING (doc_id)),
        |-- stage 2: span decontam of the cut corpus vs the raw benchmark
-       |c2toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM cut
+       |c2toks AS MATERIALIZED (SELECT doc_id, ${duckTokens("text")} AS ts FROM cut
        |           WHERE doc_id >= 10),
        |c2pn AS (SELECT doc_id, ts,
        |           unnest(range(0, greatest(len(ts) - $DecontamW, 0) + 1)) AS p
@@ -339,22 +339,22 @@ object LlmQueries {
        |c2agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
        |          FROM c2keep GROUP BY doc_id),
        |-- stage 3 entry: cleaned corpus minus the sub-shingle husks
-       |clean AS (SELECT c.doc_id, coalesce(a.ct, '') AS text
+       |clean AS MATERIALIZED (SELECT c.doc_id, coalesce(a.ct, '') AS text
        |          FROM cut c LEFT JOIN c2agg a USING (doc_id)
        |          WHERE c.doc_id >= 10
        |            AND len(${duckTokens("coalesce(a.ct, '')")}) >= $PipelineV2MinWords),
        |-- stage 3: minhash near-dup pairs over the CLEANED text
-       |m_sh AS (SELECT doc_id,
+       |m_sh AS MATERIALIZED (SELECT doc_id,
        |           list_distinct(${duckShingles(duckTokens("text"), 3)}) AS shset
        |         FROM clean),
        |m_sig AS (SELECT doc_id, $sigCols FROM m_sh),
-       |m_bands AS ($bandSelects),
+       |m_bands AS MATERIALIZED ($bandSelects),
        |m_cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM m_bands a JOIN m_bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id),
-       |m_pairs AS (
+       |m_pairs AS MATERIALIZED (
        |  SELECT id1, id2 FROM (
        |    SELECT id1, id2,
        |      CASE WHEN len(list_distinct(list_concat(x.shset, y.shset))) = 0 THEN 0.0
@@ -363,14 +363,14 @@ object LlmQueries {
        |    FROM m_cand JOIN m_sh x ON m_cand.id1 = x.doc_id
        |                JOIN m_sh y ON m_cand.id2 = y.doc_id)
        |  WHERE j >= $NearDupJaccard),
-       |edges AS (SELECT id1 AS u, id2 AS v FROM m_pairs
+       |edges AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM m_pairs
        |          UNION ALL SELECT id2, id1 FROM m_pairs),
        |reach AS (
        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
        |  UNION
        |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
-       |cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
-       |scored AS (SELECT doc_id,
+       |cc AS MATERIALIZED (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+       |scored AS MATERIALIZED (SELECT doc_id,
        |             CAST(len(${duckTokens("text")}) AS INT) AS n_words
        |           FROM clean),
        |win AS (SELECT cluster_id, doc_id AS keep_id FROM (
@@ -384,7 +384,7 @@ object LlmQueries {
        |         WHERE NOT EXISTS (SELECT 1 FROM losers l
        |                           WHERE l.doc_id = s.doc_id)),
        |-- stage 4: per-language p25 quality gate
-       |wl AS (SELECT k.doc_id, d.lang, k.n_words
+       |wl AS MATERIALIZED (SELECT k.doc_id, d.lang, k.n_words
        |       FROM kept k JOIN documents d USING (doc_id)),
        |thr AS (SELECT lang, quantile_cont(n_words, 0.25) AS thr
        |        FROM wl GROUP BY lang),

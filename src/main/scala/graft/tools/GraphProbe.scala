@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Connected, Dedup}
+
+/** One-off diagnostic: the near-dup graph shape of the v2 pipeline's
+  * CLEANED corpus at a given SF and Jaccard threshold — pair count and
+  * component-size histogram, to size what a pair-quadratic oracle
+  * formulation would have to materialize. */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val thr = args(1).toDouble
+    val minWords = args(2).toInt
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val cut = Dedup.removeRepeatedSpans(docs, "text", "doc_id", 8)
+    val clean = Dedup.removeBenchmarkSpans(
+      cut.filter(col("doc_id") >= 10), "clean_text", "doc_id",
+      docs.filter(col("doc_id") < 10), "text", 3)
+    val nonEmpty = graft.core.CacheScope.autoRelease(
+      clean.filter(TextFunctions.nWords(col("clean_text")) >= minWords))
+    println(s"[probe] cleaned docs: ${nonEmpty.count()}")
+    val pairs = Dedup.minhashNearDups(nonEmpty, "clean_text", "doc_id", thr)
+      .select("id1", "id2")
+    println(s"[probe] pairs at j>=$thr: ${pairs.count()}")
+    val sizes = Connected.components(pairs)
+      .groupBy("cluster_id").count()
+      .groupBy("count").agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("count").desc)
+    sizes.show(20, truncate = false)
+    spark.stop()
+  }
+}

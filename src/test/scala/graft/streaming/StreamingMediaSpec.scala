@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+
+/** Ingest-time media decode: [[Multimodal.decodeImages]] is a stateless
+  * partition-parallel transform (a mapPartitions with no keyed state), so
+  * the REAL javax.imageio codec must run unchanged under Structured
+  * Streaming and produce exactly the batch rows — across a restart, which
+  * for a stateless transform is the file-source offset log's job. This is
+  * the shape of a production media-preprocessing stage: encoded payloads
+  * stream in, decoded features stream out, one codec call per row.
+  */
+class StreamingMediaSpec extends SparkSpec {
+
+  test("streamed image decode ≡ batch decode, across a restart") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"))
+    val media = Multimodal.toImages(docs)
+    val n = media.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_med_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_med_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_med_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = Multimodal.decodeImages(src).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    media.limit((n / 2).toInt).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    media.exceptAll(media.limit((n / 2).toInt)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = Multimodal.decodeImages(spark.read.parquet(dir)).toDF()
+    assert(streamed.count() == n)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // and the decode was real: every row carries generator-exact dims
+    val bad = streamed.filter(
+      col("width") =!= (col("doc_id") % 57 + 8).cast("int") ||
+      col("height") =!= (col("doc_id") % 41 + 8).cast("int")).count()
+    assert(bad == 0)
+  }
+}
