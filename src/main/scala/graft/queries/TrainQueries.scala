@@ -667,6 +667,89 @@ object TrainQueries {
                 AND o_orderdate >= DATE '1996-01-01'
                 AND o_orderdate < DATE '1997-01-01'
               GROUP BY n_name"""),
-      "TPC-H Q5-style 6-way star join via spark.sql (local-supplier volume)")
+      "TPC-H Q5-style 6-way star join via spark.sql (local-supplier volume)"),
+
+    // TPC-H Q6-style forecast-revenue filter: the pure scan shape — every
+    // predicate pushes to the parquet reader, no join, one partial+final
+    // agg. The discount band compares INTEGER CENTS (not double
+    // literals), so the kept set is bit-identical across engines.
+    Q("q_sql_tpch6",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 1e4, 2) AS revenue
+                 FROM lineitem
+                 WHERE l_shipdate >= DATE '1996-01-01'
+                   AND l_shipdate < DATE '1997-01-01'
+                   AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+                   AND l_quantity < 24""")
+      },
+      Some("""SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 1e4, 2) AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'
+                AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+                AND l_quantity < 24"""),
+      "TPC-H Q6-style scan-only revenue filter (full predicate pushdown, cents-exact)"),
+
+    // TPC-H Q10-style returned-item ranking: who returned the most
+    // revenue — customer⋈orders⋈lineitem('R') → per-customer cents sum →
+    // top 20 with the unique-key tiebreak making LIMIT deterministic.
+    Q("q_sql_tpch10",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_custkey, c_name, n_name,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS revenue
+                 FROM customer JOIN nation ON c_nationkey = n_nationkey
+                   JOIN orders ON c_custkey = o_custkey
+                   JOIN lineitem ON l_orderkey = o_orderkey
+                 WHERE l_returnflag = 'R'
+                   AND o_orderdate >= DATE '1996-01-01'
+                   AND o_orderdate < DATE '1996-07-01'
+                 GROUP BY c_custkey, c_name, n_name
+                 ORDER BY revenue DESC, c_custkey LIMIT 20""")
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS revenue
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1996-07-01'
+              GROUP BY c_custkey, c_name, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      "TPC-H Q10-style returned-revenue top-20 (3 joins + broadcast nation, cents-exact)"),
+
+    // TPC-H Q14-style promo share: ratio of two exact integer-cents sums
+    // over a month of part-joined lineitems — the conditional-aggregate
+    // shape. The division happens ONCE on exact longs, then rounds @6
+    // (the float convention), so both engines produce the same double.
+    Q("q_sql_tpch14",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN rev ELSE 0 END) AS DOUBLE) /
+                      CAST(sum(rev) AS DOUBLE), 6) AS promo_pct
+                 FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+                         p_type
+                       FROM lineitem JOIN part ON l_partkey = p_partkey
+                       WHERE l_shipdate >= DATE '1996-09-01'
+                         AND l_shipdate < DATE '1996-10-01')""")
+      },
+      Some("""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN rev ELSE 0 END) AS DOUBLE) /
+                   CAST(sum(rev) AS DOUBLE), 6) AS promo_pct
+              FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+                      p_type
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE l_shipdate >= DATE '1996-09-01'
+                      AND l_shipdate < DATE '1996-10-01')"""),
+      "TPC-H Q14-style promo revenue share (conditional agg over exact cents)")
   )
 }
