@@ -276,6 +276,69 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Domain-frequency boilerplate hits: every (doc_id, pos) whose `w`-word
+    * shingle occurs in MORE than `perMille`/1000 of the documents of the
+    * SAME domain — site chrome (nav headers, subscribe footers, copyright
+    * lines) that a per-domain crawl stamps onto most of its pages. This is
+    * the document-FREQUENCY variant of [[repeatedShingleHits]]: a ≥2-docs
+    * rule flags syndicated content anywhere in the corpus, while the
+    * boilerplate rule needs the repeat to be endemic WITHIN a domain — a
+    * paragraph two domains share is content, the line on 80% of one
+    * domain's pages is chrome.
+    *
+    * Thresholding is exact integer arithmetic (`nd·1000 > n_docs·perMille`)
+    * so both engines keep the identical set — no cross-engine float
+    * compares. Domains with fewer than `minDocs` documents are exempt:
+    * frequency is meaningless at tiny denominators (a 1-doc domain would
+    * have EVERY shingle at 100% and lose the whole document), and at crawl
+    * scale the long tail of 1-page hosts is most of the domain column.
+    *
+    * Shape (100 TB): one map-side-combinable shuffle on (domain, h) builds
+    * the frequency index; the surviving boilerplate keys are a tiny
+    * relation (chrome vocabulary, not corpus volume) equi-joined back to
+    * the positional shingles; then the per-doc island merge. The domain
+    * doc-count aggregate is domain-cardinality, not corpus-cardinality. */
+  def boilerplateHits(docs: DataFrame, textCol: String, idCol: String,
+                      domainCol: String, w: Int, perMille: Int,
+                      minDocs: Int): DataFrame = {
+    // job-scoped persist: the positional relation feeds both the frequency
+    // index and the probe (2 plan references)
+    val sh = CacheScope.autoRelease(
+      graft.core.Tables.ensureParallelism(docs)
+        .select(col(idCol).as("doc_id"), col(domainCol).as("dom"),
+          posexplode(TextFunctions.shingles(col(textCol), w)))
+        .select(col("doc_id"), col("dom"), col("pos"),
+          PortableHash.hash60(col("col")).as("h")))
+    val domSizes = docs
+      .groupBy(col(domainCol).as("dom")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val boiler = sh.groupBy("dom", "h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .join(domSizes, "dom")
+      .filter(col("nd") * 1000 > col("n_docs") * perMille)
+      .select("dom", "h")
+    sh.join(boiler, Seq("dom", "h")).select("doc_id", "pos")
+  }
+
+  /** Maximal boilerplate spans per document (gaps-and-islands merge of
+    * [[boilerplateHits]] — same island rule as [[repeatedSpans]]). */
+  def boilerplateSpans(docs: DataFrame, textCol: String, idCol: String,
+                       domainCol: String, w: Int, perMille: Int,
+                       minDocs: Int): DataFrame =
+    mergeHitSpans(
+      boilerplateHits(docs, textCol, idCol, domainCol, w, perMille, minDocs), w)
+
+  /** Apply stage of [[boilerplateSpans]]: the corpus with every
+    * domain-endemic span cut out — the CCNet-style boilerplate strip,
+    * translated from line-frequency to shingle-document-frequency because
+    * this corpus has no line structure. Same one-join-back + higher-order
+    * token filter as [[removeRepeatedSpans]]. */
+  def removeBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+                        domainCol: String, w: Int, perMille: Int,
+                        minDocs: Int): DataFrame =
+    cutSpans(docs, textCol, idCol,
+      boilerplateSpans(docs, textCol, idCol, domainCol, w, perMille, minDocs))
+
   /** STATELESS span decontamination as a single per-row expression — the
     * streaming-safe form of [[removeBenchmarkSpans]]: every document is
     * self-contained (its shingles, hits, island merge and token cut all

@@ -146,6 +146,9 @@ object LlmQueries {
   val NearDupJaccard = 0.2
   val SubstringW = 8 // repeated-span shingle width (words)
   val DecontamW = 3  // span-decontam shingle width (q_text_decontam's 3-gram)
+  val BoilerW = 5         // boilerplate shingle width (chrome lines are short)
+  val BoilerPerMille = 500 // boilerplate = shingle in >50% of a domain's docs
+  val BoilerMinDocs = 5   // domains smaller than this are frequency-exempt
 
   /** CTE chain for corpus-vs-benchmark span islands (benchmark = doc_id
     * < 10, corpus = the rest — the q_text_decontam stand-in). Exposes
@@ -259,6 +262,83 @@ object LlmQueries {
        |      (((${PiiScrub.duckLuhnCheckDigit(b15)}) + 5) % 10)::VARCHAR
        |    ELSE '' END AS text
        |  FROM documents)""".stripMargin
+  }
+
+  /** Boilerplate fixture: the synthetic corpus has NO domain-endemic
+    * shingles (measured: max per-source doc-frequency of any shingle is
+    * 1), so — like [[withPii]] — the fixture stamps deterministic site
+    * chrome onto the corpus on BOTH engine and oracle sides: a
+    * source-branded header on ~6/7 of each domain's docs (above the 50%
+    * threshold), a footer on ~2/3 (above), and a rare promo line on ~1/23
+    * (a below-threshold control that must NOT be flagged — it proves the
+    * frequency gate does real work, not just ≥2-docs matching). Moduli
+    * 7/3/23 are chosen coprime to any plausible doc_id→source assignment
+    * period so membership varies WITHIN every domain. */
+  private def withBoiler(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(
+        when(col("doc_id") % 7 =!= 0,
+          concat(lit("visit "), col("source"), lit(" home page subscribe "),
+            col("source"), lit(" newsletter today "))).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" copyright "), col("source"),
+            lit(" all rights reserved contact "), col("source"),
+            lit(" support team"))).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0,
+          concat(lit(" rare promo from "), col("source"), lit(" staff")))
+          .otherwise(lit(""))).as("text"))
+
+  /** DuckDB CTE mirroring [[withBoiler]] (named `bdocs`). Same
+    * interpolation caveat as [[duckPiiDocs]]: no line may start with `||`. */
+  private def duckBoilerDocs: String =
+    s"""bdocs AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 7 <> 0
+       |    THEN 'visit ' || source || ' home page subscribe ' || source ||
+       |         ' newsletter today '
+       |    ELSE '' END ||
+       |  text ||
+       |  CASE WHEN doc_id % 3 <> 0
+       |    THEN ' copyright ' || source || ' all rights reserved contact ' ||
+       |         source || ' support team'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 23 = 0
+       |    THEN ' rare promo from ' || source || ' staff'
+       |    ELSE '' END AS text
+       |  FROM documents)""".stripMargin
+
+  /** CTE chain computing the domain-frequency boilerplate islands over the
+    * [[withBoiler]] fixture — mirrors [[Dedup.boilerplateHits]] (exact
+    * integer threshold `nd·1000 > n_docs·perMille`, minDocs exemption,
+    * portable shingle hash) + the shared island merge. Exposes
+    * `toks(doc_id, ts)` and `isl(doc_id, pos, isl)`. */
+  private def duckBoilerplateSpanCtes(w: Int, perMille: Int,
+                                      minDocs: Int): String = {
+    val shingle = s"array_to_string(ts[p+1:p+$w], ' ')"
+    s"""$duckBoilerDocs,
+       |toks AS (SELECT doc_id, source AS dom, ${duckTokens("text")} AS ts
+       |         FROM bdocs),
+       |pn AS (SELECT doc_id, dom, ts,
+       |         unnest(range(0, greatest(len(ts) - $w, 0) + 1)) AS p
+       |       FROM toks),
+       |sh AS (SELECT doc_id, dom, CAST(p AS INT) AS pos,
+       |         ${graft.functions.PortableHash.duckHash60(shingle)} AS h
+       |       FROM pn WHERE $shingle <> ''),
+       |dsz AS (SELECT source AS dom, count(*) AS n_docs FROM bdocs
+       |        GROUP BY 1 HAVING count(*) >= $minDocs),
+       |boiler AS (SELECT dom, h FROM
+       |             (SELECT dom, h, count(DISTINCT doc_id) AS nd
+       |              FROM sh GROUP BY dom, h) f
+       |           JOIN dsz USING (dom)
+       |           WHERE nd * 1000 > n_docs * $perMille),
+       |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN boiler USING (dom, h)),
+       |brk AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $w
+       |               THEN 0 ELSE 1 END AS brk
+       |        FROM hits),
+       |isl AS (SELECT doc_id, pos,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |        FROM brk)""".stripMargin
   }
 
   val PipelineV2K = 100        // v2 pipeline weighted-sample size
@@ -1055,6 +1135,41 @@ object LlmQueries {
            |    t -> ${PiiScrub.duckMaskToken("t")}), ' ') AS clean_text
            |FROM piidocs""".stripMargin),
       "corpus with PII tokens masked in place (stateless HOF expression)"),
+
+    // ---------- domain-frequency boilerplate removal ----------
+    // CCNet strips lines that repeat across a crawl shard; this corpus has
+    // no line structure, so the translation is shingle DOCUMENT-FREQUENCY
+    // per domain: a w-gram in >50% of a source's docs is site chrome, a
+    // w-gram two domains share is content (substring dedup's job, not
+    // this one's). Fixture-backed like the PII family (withBoiler): the
+    // injected header/footer sit above threshold, the rare promo line is
+    // the below-threshold control both engines must leave alone.
+    Q("q_boilerplate_spans",
+      (s, d) => Dedup.boilerplateSpans(withBoiler(t(s, d, "documents")),
+        "text", "doc_id", "source", BoilerW, BoilerPerMille, BoilerMinDocs),
+      Some(s"""WITH ${duckBoilerplateSpanCtes(BoilerW, BoilerPerMille, BoilerMinDocs)}
+           |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           |       CAST(max(pos) + $BoilerW AS INT) AS span_end,
+           |       count(*) AS n_shingles
+           |FROM isl GROUP BY doc_id, isl""".stripMargin),
+      "domain-endemic boilerplate spans (per-domain shingle doc-frequency + island merge)"),
+
+    Q("q_boilerplate_apply",
+      (s, d) => Dedup.removeBoilerplate(withBoiler(t(s, d, "documents")),
+        "text", "doc_id", "source", BoilerW, BoilerPerMille, BoilerMinDocs),
+      Some(s"""WITH ${duckBoilerplateSpanCtes(BoilerW, BoilerPerMille, BoilerMinDocs)},
+           |spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + $BoilerW AS se
+           |          FROM isl GROUP BY doc_id, isl),
+           |tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
+           |tok AS (SELECT doc_id, CAST(p AS INT) AS p, ts[p+1] AS tok FROM tp),
+           |keep AS (SELECT t.doc_id, t.p, t.tok FROM tok t WHERE NOT EXISTS (
+           |           SELECT 1 FROM spans s
+           |           WHERE s.doc_id = t.doc_id AND t.p >= s.ss AND t.p < s.se)),
+           |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
+           |        FROM keep GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.ct, '') AS clean_text
+           |FROM bdocs d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      "corpus with domain-endemic chrome cut out (the CCNet boilerplate strip, frequency form)"),
 
     // ---------- composed training-data pipeline v2 ----------
     // The actual corpus-build flow a training run executes, stage by

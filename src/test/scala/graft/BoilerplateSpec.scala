@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Hand-built-corpus semantics for [[Dedup.boilerplateSpans]] /
+  * [[Dedup.removeBoilerplate]] — the oracle entries check the operator
+  * against DuckDB on the fixture-stamped corpus; this spec pins the
+  * INTENDED rules on inputs small enough to reason about by hand: the
+  * frequency threshold is strict (> perMille, not ≥ — exactly-half is
+  * content), the rule is per-DOMAIN (a block two domains share once each
+  * is content even though cross-doc dedup would flag it), and domains
+  * below minDocs are exempt entirely.
+  */
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 3
+  private val PerMille = 500
+  private val MinDocs = 3
+
+  // domain a: 4 docs — "sub now today" header on 3 of them (75% > 50%,
+  // flagged); "rare promo line" on exactly 2 (50% — NOT flagged, strict >).
+  // domain b: 4 docs, one of which shares "shared content block" with
+  // doc 3 of domain a — cross-DOMAIN, so per-domain frequency is 1 doc
+  // each and boilerplate must not flag it (repeatedSpans would).
+  // domain c: 2 docs (< minDocs) with identical chrome — exempt.
+  private def corpus = Seq(
+    (1L, "a", "sub now today alpha beta gamma rare promo line"),
+    (2L, "a", "sub now today delta epsilon zeta eta theta"),
+    (3L, "a", "sub now today shared content block iota kappa"),
+    (4L, "a", "lambda mu nu rare promo line omicron pi"),
+    (5L, "b", "shared content block unique words here filler stuff"),
+    (6L, "b", "totally different text with nothing repeated at all"),
+    (7L, "b", "yet another document plain body content no chrome"),
+    (8L, "b", "final doc of domain b normal words only"),
+    (9L, "c", "tiny chrome line xx yy"),
+    (10L, "c", "tiny chrome line zz ww")
+  ).toDF("doc_id", "source", "text")
+
+  private def spans = Dedup.boilerplateSpans(corpus, "text", "doc_id",
+      "source", W, PerMille, MinDocs)
+    .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    .sortBy(x => (x._1, x._2))
+
+  test("header above threshold flagged; exactly-half and cross-domain and tiny-domain not") {
+    // only the 3 headered docs of domain a: shingle start 0, span [0, 3)
+    assert(spans.toSeq == Seq((1L, 0, 3, 1L), (2L, 0, 3, 1L), (3L, 0, 3, 1L)),
+      spans.mkString(","))
+  }
+
+  test("the cross-domain block IS cross-doc repetition — the contrast that defines the operator") {
+    val repeated = Dedup.repeatedSpans(corpus, "text", "doc_id", W)
+      .collect().map(_.getLong(0)).toSet
+    // repeatedSpans flags the docs sharing "shared content block" (3, 5)
+    // and the identical domain-c chrome (9, 10); boilerplate flags none
+    // of them
+    assert(Set(3L, 5L, 9L, 10L).subsetOf(repeated), repeated.toString)
+    assert(spans.map(_._1).toSet.intersect(Set(5L, 9L, 10L)).isEmpty)
+  }
+
+  test("apply cuts exactly the chrome, leaves every other doc intact") {
+    val cleaned = Dedup.removeBoilerplate(corpus, "text", "doc_id",
+        "source", W, PerMille, MinDocs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(cleaned.toSeq == Seq(
+      (1L, "alpha beta gamma rare promo line"),
+      (2L, "delta epsilon zeta eta theta"),
+      (3L, "shared content block iota kappa"),
+      (4L, "lambda mu nu rare promo line omicron pi"),
+      (5L, "shared content block unique words here filler stuff"),
+      (6L, "totally different text with nothing repeated at all"),
+      (7L, "yet another document plain body content no chrome"),
+      (8L, "final doc of domain b normal words only"),
+      (9L, "tiny chrome line xx yy"),
+      (10L, "tiny chrome line zz ww")),
+      cleaned.mkString("\n"))
+  }
+
+  test("randomized differential vs a brute-force frequency reference") {
+    val rnd = new scala.util.Random(73051L)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    val domains = Array("x", "y", "z")
+    for (trial <- 1 to 5) {
+      val w = 2 + rnd.nextInt(2)
+      val minDocs = 1 + rnd.nextInt(3)
+      val perMille = 200 + rnd.nextInt(500)
+      val rows = (0 until (9 + rnd.nextInt(9))).map { i =>
+        (i.toLong, domains(rnd.nextInt(domains.length)),
+          Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(vocab.length)))
+            .mkString(" "))
+      }
+      def shingles(text: String): Seq[(Int, String)] = {
+        val ts = text.split("\\s+").filter(_.nonEmpty)
+        if (ts.isEmpty) Nil
+        else (0 to math.max(ts.length - w, 0))
+          .map(i => i -> ts.slice(i, i + w).mkString(" "))
+          .filter(_._2.nonEmpty)
+      }
+      val all = rows.flatMap { case (id, dom, t) =>
+        shingles(t).map { case (p, s) => (id, dom, p, s) } }
+      val domSize = rows.groupBy(_._2).map { case (d, rs) => d -> rs.size }
+      val boiler = all.groupBy(x => (x._2, x._4))
+        .filter { case ((dom, _), hs) =>
+          domSize(dom) >= minDocs &&
+            hs.map(_._1).distinct.size * 1000 > domSize(dom) * perMille }
+        .keySet
+      val want = all.filter(x => boiler((x._2, x._4)))
+        .groupBy(_._1).toSeq.flatMap { case (id, hs) =>
+          val ps = hs.map(_._3).distinct.sorted
+          val islands = ps.foldLeft(List.empty[List[Int]]) {
+            case (Nil, p) => List(List(p))
+            case (cur :: done, p) =>
+              if (p - cur.head <= w) (p :: cur) :: done
+              else List(p) :: cur :: done
+          }
+          islands.map(isl => (id, isl.min, isl.max + w, isl.length.toLong))
+        }.toSet
+      val got = Dedup.boilerplateSpans(rows.toDF("doc_id", "source", "text"),
+          "text", "doc_id", "source", w, perMille, minDocs)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(got == want,
+        s"trial $trial w=$w minDocs=$minDocs perMille=$perMille: " +
+          s"extra=${got.diff(want)} missing=${want.diff(got)}\nrows=$rows")
+    }
+  }
+}
