@@ -38,7 +38,8 @@ object Bench {
     // round-7: real in-JDK media codecs + PII scrubbing + the composed
     // v2 training-data pipeline
     "q_media_decode", "q_media_audio", "q_pii_scrub", "q_pii_apply",
-    "q_pipeline_llm_v2", "q_boilerplate_spans", "q_boilerplate_apply")
+    "q_pipeline_llm_v2", "q_boilerplate_spans", "q_boilerplate_apply",
+    "q_mix_rebalance", "q_mix_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

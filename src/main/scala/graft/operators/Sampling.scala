@@ -113,6 +113,67 @@ object Sampling {
   def duckWeightedKey(id: String, weight: String): String =
     s"(CASE WHEN ($weight) > 0 THEN floor(pow((${PortableHash.duckHashMod(id)} + 1.0) / ${PortableHash.MOD.toDouble + 1.0}, 1.0 / ($weight)) * $KeyScale) ELSE -1.0 END)"
 
+  /** Mixture-rebalance factor resolution (factors are integer ppm). */
+  val FactorScale = 1000000L
+
+  /** Balanced-epoch mixture factors: every stratum (language, source) is
+    * UP-sampled to the LARGEST stratum's document count — the "N epochs of
+    * the small language per epoch of the big one" knob of a training-data
+    * mix. Where [[stratifiedByHash]] rebalances by dropping rows (rate ≤
+    * 1), this side of the lever repeats them (factor ≥ 1, fractional):
+    * factor_ppm = max_count·10⁶ div count, exact integer arithmetic all
+    * the way (counts at 100 TB exceed 2^53/10⁶, so a double divide would
+    * drift between engines; div never does).
+    *
+    * Output: (stratum, n_docs, factor_ppm). Stratum-cardinality relation —
+    * a map-side-combinable count plus a one-row broadcast max. */
+  def epochFactors(df: DataFrame, stratum: Column): DataFrame = {
+    val cnt = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_docs"))
+    val mx = cnt.agg(max(col("n_docs")).as("mx"))
+    cnt.crossJoin(broadcast(mx))
+      .withColumn("factor_ppm", expr(s"(mx * $FactorScale) div n_docs"))
+      .drop("mx")
+  }
+
+  /** Per-document repeat counts under [[epochFactors]]: the integer part
+    * of the factor for every document, plus one more for the hash-selected
+    * fraction — factor 2.5 means every doc appears twice and a
+    * deterministic half appear a third time. The fractional draw is the
+    * portable hash (domain-separated with a "mix:" prefix so it is
+    * independent of the samplers' draws on the same ids), so the repeated
+    * set is exact, engine-reproducible, and retry-stable. Adds
+    * (factor_ppm, n_rep); no corpus shuffle — the factor relation
+    * broadcasts. */
+  def withEpochRepeats(df: DataFrame, idCol: String,
+                       stratumCol: String): DataFrame = {
+    val fac = epochFactors(df, col(stratumCol))
+      .withColumnRenamed("stratum", stratumCol).drop("n_docs")
+    df.join(broadcast(fac), stratumCol)
+      .withColumn("n_rep",
+        expr(s"factor_ppm div $FactorScale") +
+          when(PortableHash.hashMod(
+            concat(lit("mix:"), col(idCol).cast("string"))) % FactorScale <
+            col("factor_ppm") % FactorScale, 1L).otherwise(0L))
+  }
+
+  /** The rebalanced corpus itself: each document repeated n_rep times with
+    * a 1-based `rep` ordinal (factor ≥ 1 ⇒ every doc survives at least
+    * once). `sequence`+`explode` is a narrow fan-out, exactly like the
+    * chunkers — output scales with the epoch budget, never with a shuffle
+    * of the corpus. */
+  def epochRebalance(df: DataFrame, idCol: String,
+                     stratumCol: String): DataFrame =
+    withEpochRepeats(df, idCol, stratumCol)
+      .select(col(idCol), col(stratumCol),
+        explode(sequence(lit(1), col("n_rep").cast("int"))).as("rep"))
+
+  /** DuckDB fragment for the per-doc repeat count (oracle parity; expects
+    * `factor_ppm` in scope). */
+  def duckEpochRepeats(id: String): String =
+    s"""(factor_ppm // $FactorScale +
+       | (CASE WHEN ${PortableHash.duckHashMod(s"'mix:' || $id::VARCHAR")} % $FactorScale
+       |        < factor_ppm % $FactorScale THEN 1 ELSE 0 END))""".stripMargin
+
   /** DuckDB fragment for the same keep-predicate (oracle parity). */
   def duckStratifiedPred(stratum: String, id: String,
                          rates: Seq[(String, Int)], defaultPerMille: Int): String = {

@@ -135,6 +135,49 @@ object TrainQueries {
                ORDER BY wkey DESC, doc_id LIMIT $WeightedK"""),
       "weighted sampling without replacement (deterministic A-ES, quality-proportional)"),
 
+    // ---------- balanced-epoch mixture rebalance ----------
+    // The UP-sampling side of corpus mixing: every language is repeated up
+    // to the largest language's count ("2.5 epochs of the small language
+    // per epoch of the big one"), the integer part for every doc plus a
+    // hash-selected fraction for the remainder — deterministic, exact, no
+    // corpus shuffle (the factor relation broadcasts; the repeat explode
+    // is the chunkers' narrow fan-out). stratifiedByHash is the matching
+    // DOWN-sampling lever.
+    Q("q_mix_rebalance",
+      (s, d) => Sampling.withEpochRepeats(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang")
+        .groupBy(col("lang"), col("factor_ppm"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_rep")).as("n_out")),
+      Some(s"""WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents
+               |            GROUP BY lang),
+               |mx AS (SELECT max(n_docs) AS mx FROM cnt),
+               |fac AS (SELECT lang, (mx * ${Sampling.FactorScale}) // n_docs AS factor_ppm
+               |        FROM cnt, mx),
+               |rep AS (SELECT d.doc_id, d.lang, factor_ppm,
+               |          ${Sampling.duckEpochRepeats("doc_id")} AS n_rep
+               |        FROM documents d JOIN fac USING (lang))
+               |SELECT lang, factor_ppm, count(*) AS n_docs,
+               |       CAST(sum(n_rep) AS BIGINT) AS n_out
+               |FROM rep GROUP BY lang, factor_ppm""".stripMargin),
+      "balanced-epoch mixture factors + exact per-language output counts"),
+
+    Q("q_mix_apply",
+      (s, d) => Sampling.epochRebalance(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang"),
+      Some(s"""WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents
+               |            GROUP BY lang),
+               |mx AS (SELECT max(n_docs) AS mx FROM cnt),
+               |fac AS (SELECT lang, (mx * ${Sampling.FactorScale}) // n_docs AS factor_ppm
+               |        FROM cnt, mx),
+               |rep AS (SELECT d.doc_id, d.lang, factor_ppm,
+               |          ${Sampling.duckEpochRepeats("doc_id")} AS n_rep
+               |        FROM documents d JOIN fac USING (lang))
+               |SELECT doc_id, lang, CAST(unnest(range(1, n_rep + 1)) AS INT) AS rep
+               |FROM rep""".stripMargin),
+      "the rebalanced corpus: each doc repeated n_rep times with a 1-based rep ordinal"),
+
     // ---------- per-domain quota sampling ----------
     // Crawl corpora are dominated by a few hosts; capping docs-per-domain
     // is the standard rebalance. Ranking key is a deterministic hash (not

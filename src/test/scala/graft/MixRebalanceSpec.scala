@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.operators.Sampling
+
+/** Hand-built-corpus semantics for [[Sampling.epochFactors]] /
+  * [[Sampling.epochRebalance]] — the oracle entries check the operator
+  * against DuckDB on the real table; this spec pins the intended rules on
+  * inputs small enough to reason about: exact-integer factors repeat every
+  * doc the same number of times (no fractional draw at all), fractional
+  * factors select the extra repeat by the portable hash (replicated here
+  * via JVM md5 — the same bytes both engines hash), and the output is
+  * invariant to input partitioning (the retry-stability claim).
+  */
+class MixRebalanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JVM replica of PortableHash.hashMod (md5 → first 15 hex → long → %MOD). */
+  private def refHashMod(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % PortableHash.MOD
+  }
+
+  test("integer factors: every doc of a lang repeats exactly max/count times") {
+    // counts 4 / 2 / 1 → factors 1.0 / 2.0 / 4.0, all integral: the
+    // fractional draw never fires and every language lands on n_out = 4
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"),
+      (7L, "c")
+    ).toDF("doc_id", "lang")
+    val fac = Sampling.epochFactors(docs, col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fac == Set(("a", 4L, 1000000L), ("b", 2L, 2000000L),
+      ("c", 1L, 4000000L)), fac.toString)
+    val reps = Sampling.epochRebalance(docs, "doc_id", "lang")
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reps == Map("a" -> 4L, "b" -> 4L, "c" -> 4L), reps.toString)
+    // and each individual doc's ordinals are contiguous from 1
+    val byDoc = Sampling.epochRebalance(docs, "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).groupBy(_._1)
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"doc $id") }
+  }
+
+  test("fractional factors: the extra repeat is the portable-hash draw exactly") {
+    // counts 3 / 2 → factor_b = 1.5 (1500000 ppm): every b-doc once, plus
+    // one more iff hashMod("mix:" + id) % 10^6 < 500000 — replicated via
+    // JVM md5, the same bytes the engine hashes
+    val docs = Seq(
+      (10L, "a"), (11L, "a"), (12L, "a"),
+      (20L, "b"), (21L, "b")
+    ).toDF("doc_id", "lang")
+    val want = Seq(20L, 21L).map { id =>
+      id -> (1L + (if (refHashMod(s"mix:$id") % Sampling.FactorScale <
+        500000L) 1L else 0L))
+    }.toMap
+    val got = Sampling.withEpochRepeats(docs, "doc_id", "lang")
+      .filter(col("lang") === "b")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_rep")))
+      .toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("output is invariant to input partitioning (retry stability)") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("lang"))
+    def outcome(parts: Int) =
+      Sampling.epochRebalance(docs.repartition(parts), "doc_id", "lang")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(outcome(1) == outcome(7))
+  }
+
+  test("the report's n_out equals the applied corpus's actual per-lang sizes") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("lang"))
+    val reported = Sampling.withEpochRepeats(docs, "doc_id", "lang")
+      .groupBy("lang").agg(sum("n_rep").as("n_out"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val actual = Sampling.epochRebalance(docs, "doc_id", "lang")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reported == actual, s"reported=$reported actual=$actual")
+    // the dominant language's factor is exactly 1.0 — it is never repeated
+    val fac = Sampling.epochFactors(docs, col("lang"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(fac.map(_._2).min == Sampling.FactorScale)
+  }
+}

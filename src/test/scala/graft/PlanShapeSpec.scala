@@ -284,6 +284,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_mix_apply broadcasts the factor relation — the corpus never shuffles for the join") {
+    val p = plan("q_mix_apply")
+    // the corpus-side join on lang must be a broadcast hash join; the only
+    // nested-loop is the guarded ONE-ROW cross with the global max — count
+    // its build side shape, not its presence
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_boilerplate_spans probes via equi-join and windows only per doc") {
+    val p = plan("q_boilerplate_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // islands windows are partitioned by doc_id — never a single partition
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {
