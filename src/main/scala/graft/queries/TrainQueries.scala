@@ -793,6 +793,125 @@ object TrainQueries {
                     FROM lineitem JOIN part ON l_partkey = p_partkey
                     WHERE l_shipdate >= DATE '1996-09-01'
                       AND l_shipdate < DATE '1996-10-01')"""),
-      "TPC-H Q14-style promo revenue share (conditional agg over exact cents)")
+      "TPC-H Q14-style promo revenue share (conditional agg over exact cents)"),
+
+    // TPC-H Q4-style order-priority check: the correlated-EXISTS shape.
+    // Catalyst decorrelates the subquery into a LEFT SEMI join on
+    // l_orderkey with the late-shipment predicate as a join condition —
+    // no per-row subquery execution survives into the physical plan. The
+    // schema has no commit/receipt dates, so "late" is shipped more than
+    // 60 days after the order date.
+    Q("q_sql_tpch4",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+                 FROM orders
+                 WHERE o_orderdate >= DATE '1996-01-01'
+                   AND o_orderdate < DATE '1996-04-01'
+                   AND EXISTS (SELECT 1 FROM lineitem
+                               WHERE l_orderkey = o_orderkey
+                                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                 GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1996-04-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY o_orderpriority"""),
+      "TPC-H Q4-style priority check (correlated EXISTS decorrelated to a semi-join)"),
+
+    // TPC-H Q12-style priority-by-class counts: the two-arm conditional
+    // aggregate over a fact-fact join (l_linestatus stands in for the
+    // schema's missing l_shipmode). Counts CAST to BIGINT on both sides —
+    // DuckDB's sum(int) is HUGEINT, Spark's is LONG.
+    Q("q_sql_tpch12",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                 WHERE l_shipdate >= DATE '1996-01-01'
+                   AND l_shipdate < DATE '1997-01-01'
+                 GROUP BY l_linestatus""")
+      },
+      Some("""SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'
+              GROUP BY l_linestatus"""),
+      "TPC-H Q12-style priority class counts (two-arm conditional agg on a fact-fact join)"),
+
+    // TPC-H Q16-style supplier diversity: NOT IN over an excluded-supplier
+    // subquery (negative balance stands in for the schema's missing
+    // complaint comments) + count(DISTINCT) per part attribute. Spark
+    // plans the NOT IN as a null-aware anti-join against the broadcast
+    // supplier dim; lineitem stands in for partsupp as the
+    // part↔supplier association. No ORDER BY — the compare is
+    // row-order-insensitive and a global sort would be pure waste.
+    Q("q_sql_tpch16",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE p_brand <> 'Brand#1'
+                   AND p_type <> 'PROMO'
+                   AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+                   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                         WHERE s_acctbal < 0)
+                 GROUP BY p_brand, p_type, p_size""")
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand <> 'Brand#1'
+                AND p_type <> 'PROMO'
+                AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+              GROUP BY p_brand, p_type, p_size"""),
+      "TPC-H Q16-style supplier diversity (NOT IN null-aware anti + count distinct)"),
+
+    // TPC-H Q18-style large-volume customers: the IN-subquery-with-HAVING
+    // shape. The inner aggregate finds big orders; Catalyst rewrites the
+    // IN into a semi-join against that aggregate, so the fact table is
+    // touched exactly twice (once to size orders, once to report them) —
+    // never per-row. sum(l_quantity) is integer-valued doubles: exact
+    // below 2^53 on both engines, no rounding needed.
+    Q("q_sql_tpch18",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum(l_quantity) AS total_qty
+                 FROM customer JOIN orders ON c_custkey = o_custkey
+                   JOIN lineitem ON o_orderkey = l_orderkey
+                 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                      GROUP BY l_orderkey
+                                      HAVING sum(l_quantity) > 200)
+                 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                o_totalprice, sum(l_quantity) AS total_qty
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                   GROUP BY l_orderkey
+                                   HAVING sum(l_quantity) > 200)
+              GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+                o_totalprice
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      "TPC-H Q18-style large-volume customers (IN + HAVING rewritten to a semi-join)")
   )
 }

@@ -302,6 +302,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_sql_tpch4's correlated EXISTS decorrelates to a semi-join") {
+    val p = plan("q_sql_tpch4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_tpch16's NOT IN plans as an anti-join, never a nested loop") {
+    val p = plan("q_sql_tpch16")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {
