@@ -39,6 +39,7 @@ object Bench {
     // v2 training-data pipeline
     "q_media_decode", "q_media_audio", "q_pii_scrub", "q_pii_apply",
     "q_pipeline_llm_v2", "q_boilerplate_spans", "q_boilerplate_apply",
+    "q_boilerplate_index",
     "q_mix_rebalance", "q_mix_apply",
     "q_sql_tpch4", "q_sql_tpch12", "q_sql_tpch16", "q_sql_tpch18",
     "q_sql_tpch5", "q_sql_tpch6", "q_sql_tpch10", "q_sql_tpch14")

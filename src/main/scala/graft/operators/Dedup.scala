@@ -304,21 +304,69 @@ object Dedup {
     // job-scoped persist: the positional relation feeds both the frequency
     // index and the probe (2 plan references)
     val sh = CacheScope.autoRelease(
-      graft.core.Tables.ensureParallelism(docs)
-        .select(col(idCol).as("doc_id"), col(domainCol).as("dom"),
-          posexplode(TextFunctions.shingles(col(textCol), w)))
-        .select(col("doc_id"), col("dom"), col("pos"),
-          PortableHash.hash60(col("col")).as("h")))
+      domainShingles(docs, textCol, idCol, domainCol, w))
+    val boiler = boilerplateKeysFrom(sh, docs, domainCol, perMille, minDocs)
+    sh.join(boiler, Seq("dom", "h")).select("doc_id", "pos")
+  }
+
+  /** Positional shingle relation with the domain carried:
+    * (doc_id, dom, pos, h). */
+  private def domainShingles(docs: DataFrame, textCol: String, idCol: String,
+                             domainCol: String, w: Int): DataFrame =
+    graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), col(domainCol).as("dom"),
+        posexplode(TextFunctions.shingles(col(textCol), w)))
+      .select(col("doc_id"), col("dom"), col("pos"),
+        PortableHash.hash60(col("col")).as("h"))
+
+  /** The boilerplate KEY relation (dom, h) under the frequency rule, from
+    * a prebuilt positional relation. */
+  private def boilerplateKeysFrom(sh: DataFrame, docs: DataFrame,
+                                  domainCol: String, perMille: Int,
+                                  minDocs: Int): DataFrame = {
     val domSizes = docs
       .groupBy(col(domainCol).as("dom")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    val boiler = sh.groupBy("dom", "h")
+    sh.groupBy("dom", "h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .join(domSizes, "dom")
       .filter(col("nd") * 1000 > col("n_docs") * perMille)
       .select("dom", "h")
-    sh.join(boiler, Seq("dom", "h")).select("doc_id", "pos")
   }
+
+  /** The frozen boilerplate INDEX: one row per domain with the sorted
+    * array of its chrome shingle hashes — the nightly-batch artifact an
+    * ingest pipeline joins against ([[boilerCleanWithIndex]]). Chrome
+    * vocabulary is tiny relative to the corpus, so the whole index
+    * broadcasts; sorting makes the artifact deterministic (collect_list
+    * order is not). */
+  def boilerplateIndex(docs: DataFrame, textCol: String, idCol: String,
+                       domainCol: String, w: Int, perMille: Int,
+                       minDocs: Int): DataFrame =
+    boilerplateKeysFrom(domainShingles(docs, textCol, idCol, domainCol, w),
+      docs, domainCol, perMille, minDocs)
+      .groupBy("dom")
+      .agg(sort_array(collect_list(col("h"))).as("hashes"))
+
+  /** Stateless ingest-time boilerplate strip against a FROZEN index: each
+    * row picks up its domain's hash array via a broadcast stream-static
+    * join, then [[spanClean]] cuts the spans entirely inside the row — no
+    * windows, no keyed state, so the expression runs unchanged under
+    * Structured Streaming (StreamingBoilerplateSpec pins batch ≡ streamed
+    * across a restart, and the spec's differential pins it row-identical
+    * to [[removeBoilerplate]] when the index comes from the same corpus).
+    * Domains absent from the index (below minDocs, or no chrome) pass
+    * through token-normalized, the cutSpans convention. */
+  def boilerCleanWithIndex(docs: DataFrame, textCol: String, idCol: String,
+                           domainCol: String, index: DataFrame,
+                           w: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(domainCol).as("dom"),
+        col(textCol))
+      .join(broadcast(index), Seq("dom"), "left")
+      .select(col("doc_id"),
+        spanClean(col(textCol),
+          coalesce(col("hashes"), lit(Array.empty[Long])), w)
+          .as("clean_text"))
 
   /** Maximal boilerplate spans per document (gaps-and-islands merge of
     * [[boilerplateHits]] — same island rule as [[repeatedSpans]]). */
@@ -355,8 +403,16 @@ object Dedup {
     * span while the gap ≤ w, else open a new one — the same rule as
     * [[mergeHitSpans]].
     */
-  def decontamClean(text: Column, benchHashes: Array[Long], w: Int): Column = {
-    val bench = lit(benchHashes)
+  def decontamClean(text: Column, benchHashes: Array[Long], w: Int): Column =
+    spanClean(text, lit(benchHashes), w)
+
+  /** The general form of [[decontamClean]]: the hit-hash set is any ARRAY
+    * COLUMN, not just a plan literal — so the set can arrive per row from
+    * a broadcast join (the frozen-boilerplate ingest path,
+    * [[boilerCleanWithIndex]]) as well as be baked in (decontamination).
+    * Same contract: stateless, windowless, streaming-safe. */
+  def spanClean(text: Column, hitHashes: Column, w: Int): Column = {
+    val bench = hitHashes
     val toks = TextFunctions.tokens(text)
     // hit positions: shingle index i is the word offset of that shingle
     val hitPos = filter(

@@ -1171,6 +1171,19 @@ object LlmQueries {
            |FROM bdocs d LEFT JOIN agg a USING (doc_id)""".stripMargin),
       "corpus with domain-endemic chrome cut out (the CCNet boilerplate strip, frequency form)"),
 
+    // The frozen index artifact itself (dom → sorted chrome hashes): what
+    // a nightly batch job publishes and the ingest path joins against
+    // (Dedup.boilerCleanWithIndex — its row-identity to the batch strip
+    // and its streaming restart-equivalence are spec-pinned; this entry
+    // gates the artifact's exact contents).
+    Q("q_boilerplate_index",
+      (s, d) => Dedup.boilerplateIndex(withBoiler(t(s, d, "documents")),
+        "text", "doc_id", "source", BoilerW, BoilerPerMille, BoilerMinDocs),
+      Some(s"""WITH ${duckBoilerplateSpanCtes(BoilerW, BoilerPerMille, BoilerMinDocs)}
+           |SELECT dom, list_sort(list(h)) AS hashes
+           |FROM boiler GROUP BY dom""".stripMargin),
+      "the frozen per-domain boilerplate index (sorted chrome hash arrays)"),
+
     // ---------- composed training-data pipeline v2 ----------
     // The actual corpus-build flow a training run executes, stage by
     // stage, each stage an already-individually-gated operator:

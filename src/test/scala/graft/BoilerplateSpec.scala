@@ -76,6 +76,19 @@ class BoilerplateSpec extends SparkSpec {
       cleaned.mkString("\n"))
   }
 
+  test("frozen-index stateless strip ≡ batch removeBoilerplate (same corpus)") {
+    val index = Dedup.boilerplateIndex(corpus, "text", "doc_id", "source",
+      W, PerMille, MinDocs)
+    // the index holds exactly domain a's header shingle
+    assert(index.collect().map(_.getString(0)).toSeq == Seq("a"))
+    val viaIndex = Dedup.boilerCleanWithIndex(corpus, "text", "doc_id",
+      "source", index, W)
+    val viaBatch = Dedup.removeBoilerplate(corpus, "text", "doc_id",
+      "source", W, PerMille, MinDocs)
+    assert(viaIndex.exceptAll(viaBatch).isEmpty &&
+      viaBatch.exceptAll(viaIndex).isEmpty)
+  }
+
   test("randomized differential vs a brute-force frequency reference") {
     val rnd = new scala.util.Random(73051L)
     val vocab = Array("aa", "bb", "cc", "dd")

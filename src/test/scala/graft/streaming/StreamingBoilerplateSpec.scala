@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Ingest-time boilerplate stripping against a FROZEN index — the
+  * production topology: a nightly batch job publishes the per-domain
+  * chrome index ([[Dedup.boilerplateIndex]]), and ingest joins it as the
+  * static side of a broadcast stream-static join, cutting spans with the
+  * stateless [[Dedup.spanClean]] expression. No windows, no keyed state:
+  * the streamed output must equal the batch operator row-for-row,
+  * including across a restart.
+  */
+class StreamingBoilerplateSpec extends SparkSpec {
+
+  private val W = 3
+  private val PerMille = 500
+  private val MinDocs = 3
+
+  test("streamed frozen-index strip ≡ batch removeBoilerplate, across a restart") {
+    // stamp deterministic chrome on the real corpus: a per-source header
+    // on every doc with doc_id % 5 != 0 (80% > the 50% threshold)
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.01",
+        "documents")
+      .select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 5 =!= 0,
+            concat(lit("brought to you by "), col("source"), lit(" daily ")))
+            .otherwise(lit("")),
+          col("text")).as("text"))
+    val index = Dedup.boilerplateIndex(docs, "text", "doc_id", "source",
+      W, PerMille, MinDocs)
+    assert(index.count() > 0)
+
+    val n = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbp_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sbp_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sbp_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = Dedup.boilerCleanWithIndex(src, "text", "doc_id", "source",
+          index, W)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    docs.limit((n / 2).toInt).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    docs.exceptAll(docs.limit((n / 2).toInt)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = Dedup.removeBoilerplate(spark.read.parquet(dir), "text",
+      "doc_id", "source", W, PerMille, MinDocs)
+    assert(streamed.count() == n)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
