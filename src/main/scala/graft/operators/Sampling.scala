@@ -145,9 +145,21 @@ object Sampling {
     * (factor_ppm, n_rep); no corpus shuffle — the factor relation
     * broadcasts. */
   def withEpochRepeats(df: DataFrame, idCol: String,
-                       stratumCol: String): DataFrame = {
-    val fac = epochFactors(df, col(stratumCol))
-      .withColumnRenamed("stratum", stratumCol).drop("n_docs")
+                       stratumCol: String): DataFrame =
+    withEpochRepeatsFrom(df, idCol, stratumCol,
+      epochFactors(df, col(stratumCol)))
+
+  /** Same, against a FROZEN factor relation (the [[epochFactors]] schema)
+    * — computed by a previous batch over the reference corpus and applied
+    * at ingest: the join is a broadcast stream-static join and the repeat
+    * draw is a per-row expression, so the whole rebalance is stateless
+    * under Structured Streaming (StreamingMixSpec pins batch ≡ streamed
+    * across a restart). Rows whose stratum is missing from the factor
+    * relation are dropped — an inner join, deliberately: an unknown
+    * stratum has no defined epoch budget. */
+  def withEpochRepeatsFrom(df: DataFrame, idCol: String, stratumCol: String,
+                           factors: DataFrame): DataFrame = {
+    val fac = factors.withColumnRenamed("stratum", stratumCol).drop("n_docs")
     df.join(broadcast(fac), stratumCol)
       .withColumn("n_rep",
         expr(s"factor_ppm div $FactorScale") +
@@ -163,9 +175,19 @@ object Sampling {
     * of the corpus. */
   def epochRebalance(df: DataFrame, idCol: String,
                      stratumCol: String): DataFrame =
-    withEpochRepeats(df, idCol, stratumCol)
-      .select(col(idCol), col(stratumCol),
-        explode(sequence(lit(1), col("n_rep").cast("int"))).as("rep"))
+    explodeRepeats(withEpochRepeats(df, idCol, stratumCol), idCol, stratumCol)
+
+  /** The ingest-time form: [[withEpochRepeatsFrom]] + the same explode,
+    * all stateless — batch and stream share this exact plan. */
+  def epochRebalanceFrom(df: DataFrame, idCol: String, stratumCol: String,
+                         factors: DataFrame): DataFrame =
+    explodeRepeats(withEpochRepeatsFrom(df, idCol, stratumCol, factors),
+      idCol, stratumCol)
+
+  private def explodeRepeats(repeats: DataFrame, idCol: String,
+                             stratumCol: String): DataFrame =
+    repeats.select(col(idCol), col(stratumCol),
+      explode(sequence(lit(1), col("n_rep").cast("int"))).as("rep"))
 
   /** DuckDB fragment for the per-doc repeat count (oracle parity; expects
     * `factor_ppm` in scope). */

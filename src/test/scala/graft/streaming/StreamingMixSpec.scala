@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Sampling
+
+/** Ingest-time mixture rebalance against FROZEN epoch factors — the same
+  * production topology as the frozen boilerplate index: a batch job over
+  * the reference corpus publishes (stratum, factor_ppm), and ingest joins
+  * it broadcast-static and explodes the repeats per row. Stateless, so
+  * streamed output must equal the batch operator row-for-row across a
+  * restart.
+  */
+class StreamingMixSpec extends SparkSpec {
+
+  test("streamed frozen-factor rebalance ≡ batch epochRebalance, across a restart") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.01",
+      "documents").select(col("doc_id"), col("lang"))
+    val factors = Sampling.epochFactors(docs, col("lang"))
+
+    val n = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_smx_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_smx_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_smx_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = Sampling.epochRebalanceFrom(src, "doc_id", "lang", factors)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    docs.limit((n / 2).toInt).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    docs.exceptAll(docs.limit((n / 2).toInt)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = Sampling.epochRebalance(spark.read.parquet(dir),
+      "doc_id", "lang")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // and the streamed per-lang sizes hit the frozen report exactly
+    val reported = Sampling.withEpochRepeatsFrom(spark.read.parquet(dir),
+        "doc_id", "lang", factors)
+      .groupBy("lang").agg(sum("n_rep").as("n_out"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val actual = streamed.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reported == actual, s"reported=$reported actual=$actual")
+  }
+}
