@@ -42,7 +42,8 @@ object Bench {
     "q_boilerplate_index",
     "q_mix_rebalance", "q_mix_apply",
     "q_sql_tpch4", "q_sql_tpch12", "q_sql_tpch16", "q_sql_tpch18",
-    "q_sql_tpch5", "q_sql_tpch6", "q_sql_tpch10", "q_sql_tpch14")
+    "q_sql_tpch5", "q_sql_tpch6", "q_sql_tpch10", "q_sql_tpch14",
+    "q_sql_tpch19", "q_sql_tpch22")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -912,6 +912,73 @@ object TrainQueries {
               GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
                 o_totalprice
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
-      "TPC-H Q18-style large-volume customers (IN + HAVING rewritten to a semi-join)")
+      "TPC-H Q18-style large-volume customers (IN + HAVING rewritten to a semi-join)"),
+
+    // TPC-H Q19-style disjunctive predicate join: three OR'd
+    // (brand, size-band, quantity-band) groups — the shape that punishes
+    // planners which can't evaluate a cross-table disjunction as a single
+    // residual join filter. Revenue in exact cents.
+    Q("q_sql_tpch19",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS revenue
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                        AND l_quantity BETWEEN 1 AND 11)
+                    OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+                        AND l_quantity BETWEEN 10 AND 20)
+                    OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15
+                        AND l_quantity BETWEEN 20 AND 30)""")
+      },
+      Some("""SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                     AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+                     AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 20 AND 30)"""),
+      "TPC-H Q19-style disjunctive-band join (OR-of-ANDs residual filter)"),
+
+    // TPC-H Q22-style dormant high-balance accounts: a scalar AVG
+    // subquery (the global-average threshold) + NOT EXISTS (customers
+    // with no RECENT orders — every customer here has SOME order, so the
+    // original's never-ordered arm would be vacuous). The average
+    // compares exact integer cents through one IEEE division identical
+    // on both engines; segments stand in for the schema's missing phone
+    // country codes.
+    Q("q_sql_tpch22",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_mktsegment, count(*) AS numcust,
+                   round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS totacctbal
+                 FROM customer
+                 WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+                   AND CAST(round(c_acctbal * 100) AS BIGINT) >
+                     (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+                      FROM customer
+                      WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+                        AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+                   AND NOT EXISTS (SELECT 1 FROM orders
+                                   WHERE o_custkey = c_custkey
+                                     AND o_orderdate >= DATE '1999-01-01')
+                 GROUP BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS numcust,
+                round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS totacctbal
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+                AND CAST(round(c_acctbal * 100) AS BIGINT) >
+                  (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+                   FROM customer
+                   WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+                     AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderdate >= DATE '1999-01-01')
+              GROUP BY c_mktsegment"""),
+      "TPC-H Q22-style dormant accounts (scalar AVG subquery + NOT EXISTS anti)")
   )
 }
