@@ -88,14 +88,25 @@ object Connected {
       labels = next
       iter += 1
     }
+    // FREEZE the fixpoint before dropping the caches: the final labels'
+    // recompute path walks the whole round chain back through `edges` and
+    // `pairs` — both about to be unpersisted — so a consumer that runs
+    // MORE than one action (a composed pipeline's convergence probes, a
+    // two-pass global rank) would otherwise re-run the entire minhash +
+    // upstream chain once per action after the job-scoped cache released
+    // early (measured: 19-90 s for q_pipeline_llm_v2 at sf0.1 vs ~6 s
+    // frozen). localCheckpoint materializes the tiny (id, lbl, chg)
+    // relation eagerly and truncates lineage; its blocks are freed by the
+    // ContextCleaner when the result is garbage collected. On a cluster
+    // this trades executor-loss recoverability for not recomputing the
+    // graph — the right trade for a metadata-scale label table.
+    val frozen = labels.localCheckpoint()
+    labels.unpersist(blocking = false)
     p.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    val out = labels
+    frozen
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("n_docs", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
-    // final round's persist is released once the consuming action completes
-    graft.core.CacheScope.autoRelease(labels)
-    out
   }
 }

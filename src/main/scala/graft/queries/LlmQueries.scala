@@ -1214,9 +1214,16 @@ object LlmQueries {
         // (quadratic for any pair-based stage downstream). Then near-dup
         // keep-best on the CLEANED text (job-scoped persist: the cleaned
         // corpus feeds the minhash, the scorer, and the final anti-join).
-        val nonEmpty = graft.core.CacheScope.autoRelease(
-          clean.filter(
-            TextFunctions.nWords(col("clean_text")) >= PipelineV2MinWords))
+        // the cleaned corpus is consumed by MANY sequential actions (the
+        // CC convergence probes, the shuffle's two rank passes) — a
+        // job-scoped CacheScope releases after the FIRST of them and every
+        // later action would recompute the cut+decontam chain per plan
+        // reference (measured 19-90 s vs ~6 s at sf0.1). localCheckpoint
+        // materializes it once, eagerly, and truncates the lineage; blocks
+        // are ContextCleaner-freed when the result is GC'd.
+        val nonEmpty = clean.filter(
+            TextFunctions.nWords(col("clean_text")) >= PipelineV2MinWords)
+          .localCheckpoint()
         val pairs = Dedup.minhashNearDups(nonEmpty, "clean_text", "doc_id",
           NearDupJaccard).select("id1", "id2")
         val cc = graft.operators.Connected.components(pairs)

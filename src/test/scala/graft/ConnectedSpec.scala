@@ -61,18 +61,35 @@ class ConnectedSpec extends SparkSpec {
     assert(Connected.components(empty).isEmpty)
   }
 
-  test("iteration persists are released after the consuming action") {
+  test("iteration persists are released; only the frozen fixpoint remains") {
     val path = (1L until 20L).map(i => (i, i + 1))
     import spark.implicits._
-    Connected.components(path.toDF("id1", "id2")).collect()
-    // the final round's persist is scoped to the consuming action; the
-    // release listener fires on the async bus — poll like PlanShapeSpec
+    var out: org.apache.spark.sql.DataFrame =
+      Connected.components(path.toDF("id1", "id2"))
+    out.collect()
+    // the edge/round persists are explicitly unpersisted (async bus —
+    // poll); the ONE surviving block is the localCheckpoint'd label
+    // table, which must stay while the result is referenced (it IS the
+    // result's data — releasing it would force a full-graph recompute on
+    // the next action, the q_pipeline_llm_v2 regression BENCHFOCUS_r7.md
+    // documents) and is ContextCleaner-owned once the result is dropped
     val deadline = System.currentTimeMillis() + 30000
     var n = spark.sparkContext.getPersistentRDDs.size
-    while (n > 0 && System.currentTimeMillis() < deadline) {
+    while (n > 1 && System.currentTimeMillis() < deadline) {
       Thread.sleep(100)
       n = spark.sparkContext.getPersistentRDDs.size
     }
-    assert(n == 0, s"$n cached RDDs still registered after the action finished")
+    assert(n <= 1, s"$n cached RDDs registered — iteration persists leaked")
+    // drop the result and let the ContextCleaner reap the checkpoint: the
+    // no-accretion property that motivated the original 0-blocks assert
+    out = null
+    val deadline2 = System.currentTimeMillis() + 30000
+    var m = spark.sparkContext.getPersistentRDDs.size
+    while (m > 0 && System.currentTimeMillis() < deadline2) {
+      System.gc()
+      Thread.sleep(200)
+      m = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(m == 0, s"$m cached RDDs survived GC of the result — checkpoint leaked")
   }
 }
