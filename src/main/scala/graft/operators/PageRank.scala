@@ -63,9 +63,18 @@ object PageRank {
       ranks.unpersist(blocking = false)
       ranks = next
     }
+    // freeze the fixpoint before dropping the caches (same fix as
+    // Connected.components, BENCHFOCUS_r7.md): the final ranks' recompute
+    // path walks every round back through edgesD/nodes, so a job-scoped
+    // release — which can fire on ANY next query execution, including an
+    // unrelated one — would re-run the whole iteration on the consumer's
+    // next action. The rank table is metadata-scale; localCheckpoint
+    // reads it from the round cache and the ContextCleaner frees it with
+    // the result.
+    val frozen = ranks.localCheckpoint()
+    ranks.unpersist(blocking = false)
     edgesD.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    graft.core.CacheScope.autoRelease(ranks)
-    ranks
+    frozen
   }
 }

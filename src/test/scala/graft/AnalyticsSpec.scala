@@ -114,16 +114,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(d(2L) == 200L) // (10)^2 + (-10)^2 from centroid (0,0)
   }
 
-  test("pagerank caches are released once the consuming action completes") {
+  test("pagerank iteration caches released; frozen ranks reaped with the result") {
     val two = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
-    PageRank.ranks(two, 3).write.format("noop").mode("overwrite").save()
-    // autoRelease drops the final round's persist asynchronously
+    var out: org.apache.spark.sql.DataFrame = PageRank.ranks(two, 3)
+    out.write.format("noop").mode("overwrite").save()
+    // round persists are explicitly dropped (async); the ONE surviving
+    // block is the localCheckpoint'd rank table — the result's own data
+    // (releasing it would re-run the whole iteration on the next action,
+    // the BENCHFOCUS_r7.md failure mode), ContextCleaner-owned once the
+    // result is dropped
     val deadline = System.nanoTime + 10e9.toLong
     var leaked = spark.sparkContext.getPersistentRDDs.size
-    while (leaked > 0 && System.nanoTime < deadline) {
+    while (leaked > 1 && System.nanoTime < deadline) {
       Thread.sleep(200)
       leaked = spark.sparkContext.getPersistentRDDs.size
     }
-    assert(leaked == 0, s"$leaked cached RDDs still registered")
+    assert(leaked <= 1, s"$leaked cached RDDs — iteration persists leaked")
+    out = null
+    val deadline2 = System.nanoTime + 30e9.toLong
+    var m = spark.sparkContext.getPersistentRDDs.size
+    while (m > 0 && System.nanoTime < deadline2) {
+      System.gc()
+      Thread.sleep(200)
+      m = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(m == 0, s"$m cached RDDs survived GC of the result")
   }
 }
