@@ -58,23 +58,32 @@ object KMeans {
   def fit(vecs: DataFrame, seeds: Seq[(Int, Seq[Long])],
           iters: Int): Seq[(Int, Seq[Long])] = {
     val k = seeds.size
-    var centroids = seeds
-    for (_ <- 1 to iters) {
-      val assigned = assignByCell(vecs,
-        centroidsDF(vecs.sparkSession, centroids), k)
-      centroids = assigned.join(vecs, "vec_id")
-        .select(col("cid"), posexplode(col("fp")).as(Seq("d", "v")))
-        .groupBy("cid", "d")
-        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-        .select(col("cid"), col("d"), expr("sv div n").as("cv"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
-          s => s.getField("cv")).as("coords"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
-        .toSeq.sortBy(_._1)
-    }
-    centroids
+    // the loop references the vector table twice per round (scoring +
+    // the mean join) and each round's collect() is its own action — an
+    // uncached input would be rescanned 2·iters times (at corpus scale,
+    // 2·iters full scans). fit OWNS the loop, so a plain persist/
+    // unpersist pair is exact — no listener lifetime games; MLlib's
+    // KMeans caches its input the same way.
+    val v = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = seeds
+      for (_ <- 1 to iters) {
+        val assigned = assignByCell(v,
+          centroidsDF(v.sparkSession, centroids), k)
+        centroids = assigned.join(v, "vec_id")
+          .select(col("cid"), posexplode(col("fp")).as(Seq("d", "v")))
+          .groupBy("cid", "d")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+          .select(col("cid"), col("d"), expr("sv div n").as("cv"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+            s => s.getField("cv")).as("coords"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
+          .toSeq.sortBy(_._1)
+      }
+      centroids
+    } finally v.unpersist(blocking = false)
   }
 
   /** Fit then assign: (vec_id, cid, dist_fp) for every vector. */
