@@ -24,8 +24,12 @@ object GraphProbe {
     val clean = Dedup.removeBenchmarkSpans(
       cut.filter(col("doc_id") >= 10), "clean_text", "doc_id",
       docs.filter(col("doc_id") < 10), "text", 3)
-    val nonEmpty = graft.core.CacheScope.autoRelease(
-      clean.filter(TextFunctions.nWords(col("clean_text")) >= minWords))
+    // frozen, not job-scoped-cached: the probe runs several actions
+    // (count, pair count, the CC rounds) — same rationale as the v2
+    // entry's localCheckpoint (BENCHFOCUS_r7.md)
+    val nonEmpty = clean
+      .filter(TextFunctions.nWords(col("clean_text")) >= minWords)
+      .localCheckpoint()
     println(s"[probe] cleaned docs: ${nonEmpty.count()}")
     val pairs = Dedup.minhashNearDups(nonEmpty, "clean_text", "doc_id", thr)
       .select("id1", "id2")
