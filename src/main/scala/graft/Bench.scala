@@ -43,7 +43,12 @@ object Bench {
     "q_mix_rebalance", "q_mix_apply",
     "q_sql_tpch4", "q_sql_tpch12", "q_sql_tpch16", "q_sql_tpch18",
     "q_sql_tpch5", "q_sql_tpch6", "q_sql_tpch10", "q_sql_tpch14",
-    "q_sql_tpch19", "q_sql_tpch22")
+    "q_sql_tpch19", "q_sql_tpch22",
+    // round-7 continuation: the remaining TPC-H shapes — all 22 now carry
+    // oracle traffic and a bench row
+    "q_sql_tpch2", "q_sql_tpch7", "q_sql_tpch8", "q_sql_tpch9",
+    "q_sql_tpch11", "q_sql_tpch13", "q_sql_tpch15", "q_sql_tpch17",
+    "q_sql_tpch20", "q_sql_tpch21")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

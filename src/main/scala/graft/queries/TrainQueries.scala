@@ -979,6 +979,396 @@ object TrainQueries {
                                 WHERE o_custkey = c_custkey
                                   AND o_orderdate >= DATE '1999-01-01')
               GROUP BY c_mktsegment"""),
-      "TPC-H Q22-style dormant accounts (scalar AVG subquery + NOT EXISTS anti)")
+      "TPC-H Q22-style dormant accounts (scalar AVG subquery + NOT EXISTS anti)"),
+
+    // TPC-H Q2-style minimum-cost supplier: the correlated-scalar-MIN
+    // shape — for each qualifying part, the European supplier(s) whose
+    // best (minimum) offered price equals the region-wide minimum for
+    // that part. lineitem stands in for partsupp as the part↔supplier
+    // association (the q_sql_tpch16 convention); the min compares exact
+    // integer cents so the kept set cannot straddle an engine ulp.
+    // Catalyst decorrelates the subquery into an aggregate + join — the
+    // 5-way outer chain and the inner chain each read lineitem once.
+    Q("q_sql_tpch2",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT DISTINCT s_suppkey, s_name, s_acctbal, n_name,
+                   p_partkey, p_name
+                 FROM part JOIN lineitem ON p_partkey = l_partkey
+                   JOIN supplier ON s_suppkey = l_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+                 WHERE r_name = 'EUROPE'
+                   AND p_size BETWEEN 10 AND 15 AND p_type = 'LARGE'
+                   AND CAST(round(l_extendedprice * 100) AS BIGINT) =
+                     (SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+                      FROM lineitem l2
+                        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                      WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+                 ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""")
+      },
+      Some("""SELECT DISTINCT s_suppkey, s_name, s_acctbal, n_name,
+                p_partkey, p_name
+              FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+                AND p_size BETWEEN 10 AND 15 AND p_type = 'LARGE'
+                AND CAST(round(l_extendedprice * 100) AS BIGINT) =
+                  (SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+                   FROM lineitem l2
+                     JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                     JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                   WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+              ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100"""),
+      "TPC-H Q2-style min-cost supplier (correlated scalar MIN decorrelated to agg+join)"),
+
+    // TPC-H Q7-style volume shipping: the two-nation-alias disjunction —
+    // nation joined TWICE (supplier side and customer side) with the
+    // either-direction region-pair predicate, grouped by the pair + ship
+    // year. The disjunction cannot be pushed into either scan; it must
+    // survive as a residual join filter across both alias arms.
+    Q("q_sql_tpch7",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT supp_nation, cust_nation, l_year,
+                   round(CAST(sum(volume) AS DOUBLE) / 1e4, 2) AS revenue
+                 FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         year(l_shipdate) AS l_year,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) *
+                           (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume
+                       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                         JOIN orders ON o_orderkey = l_orderkey
+                         JOIN customer ON c_custkey = o_custkey
+                         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                       WHERE ((n1.n_regionkey = 2 AND n2.n_regionkey = 3)
+                           OR (n1.n_regionkey = 3 AND n2.n_regionkey = 2))
+                         AND l_shipdate >= DATE '1996-01-01'
+                         AND l_shipdate < DATE '1998-01-01')
+                 GROUP BY supp_nation, cust_nation, l_year""")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+                round(CAST(sum(volume) AS DOUBLE) / 1e4, 2) AS revenue
+              FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      year(l_shipdate) AS l_year,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume
+                    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                      JOIN orders ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
+                      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    WHERE ((n1.n_regionkey = 2 AND n2.n_regionkey = 3)
+                        OR (n1.n_regionkey = 3 AND n2.n_regionkey = 2))
+                      AND l_shipdate >= DATE '1996-01-01'
+                      AND l_shipdate < DATE '1998-01-01')
+              GROUP BY supp_nation, cust_nation, l_year"""),
+      "TPC-H Q7-style volume shipping (nation self-alias pair, either-direction disjunction)"),
+
+    // TPC-H Q8-style market share: one nation's share of regional revenue
+    // per order year — the conditional-numerator / total-denominator
+    // ratio over an 8-way join with nation aliased on BOTH customer
+    // (region filter) and supplier (share dimension) sides. Both sums
+    // are exact integer cents; ONE IEEE division per group, rounded @6.
+    Q("q_sql_tpch8",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT o_year,
+                   round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume
+                        ELSE 0 END) AS DOUBLE) /
+                     CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+                 FROM (SELECT year(o_orderdate) AS o_year,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) *
+                           (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume,
+                         n2.n_name AS nation
+                       FROM part JOIN lineitem ON p_partkey = l_partkey
+                         JOIN supplier ON s_suppkey = l_suppkey
+                         JOIN orders ON l_orderkey = o_orderkey
+                         JOIN customer ON o_custkey = c_custkey
+                         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                         JOIN region ON n1.n_regionkey = r_regionkey
+                         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                       WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                         AND o_orderdate >= DATE '1996-01-01'
+                         AND o_orderdate < DATE '1998-01-01')
+                 GROUP BY o_year""")
+      },
+      Some("""SELECT o_year,
+                round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume
+                     ELSE 0 END) AS DOUBLE) /
+                  CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+              FROM (SELECT year(o_orderdate) AS o_year,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume,
+                      n2.n_name AS nation
+                    FROM part JOIN lineitem ON p_partkey = l_partkey
+                      JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                      JOIN region ON n1.n_regionkey = r_regionkey
+                      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                      AND o_orderdate >= DATE '1996-01-01'
+                      AND o_orderdate < DATE '1998-01-01')
+              GROUP BY o_year"""),
+      "TPC-H Q8-style market share (8-way join, conditional-ratio agg, cents-exact)"),
+
+    // TPC-H Q9-style product profit: revenue minus cost per supplier
+    // nation per year over name-matched parts. p_retailprice*quantity
+    // stands in for the schema's missing ps_supplycost*quantity; both
+    // terms are brought to the same cents·percent scale so the subtraction
+    // stays in exact longs until the final /1e4.
+    Q("q_sql_tpch9",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT nation, o_year,
+                   round(CAST(sum(amount) AS DOUBLE) / 1e4, 2) AS sum_profit
+                 FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) *
+                           (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+                         CAST(round(p_retailprice * 100) AS BIGINT) *
+                           CAST(l_quantity AS BIGINT) * 100 AS amount
+                       FROM part JOIN lineitem ON p_partkey = l_partkey
+                         JOIN supplier ON s_suppkey = l_suppkey
+                         JOIN orders ON l_orderkey = o_orderkey
+                         JOIN nation ON s_nationkey = n_nationkey
+                       WHERE p_name LIKE '%red%')
+                 GROUP BY nation, o_year""")
+      },
+      Some("""SELECT nation, o_year,
+                round(CAST(sum(amount) AS DOUBLE) / 1e4, 2) AS sum_profit
+              FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+                      CAST(round(p_retailprice * 100) AS BIGINT) *
+                        CAST(l_quantity AS BIGINT) * 100 AS amount
+                    FROM part JOIN lineitem ON p_partkey = l_partkey
+                      JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN orders ON l_orderkey = o_orderkey
+                      JOIN nation ON s_nationkey = n_nationkey
+                    WHERE p_name LIKE '%red%')
+              GROUP BY nation, o_year"""),
+      "TPC-H Q9-style product profit (rev minus cost in one exact-long scale)"),
+
+    // TPC-H Q11-style important parts: per-part value within one nation's
+    // suppliers, kept only when above a threshold derived from the whole
+    // group — the HAVING-vs-scalar-subquery shape. The original's
+    // fraction is 0.0001/SF (scale-DEPENDENT by spec); here the
+    // scale-invariant equivalent keeps parts above 2× the mean per-part
+    // value, with the division cleared (value·nparts > 2·total) so the
+    // compare stays in exact longs — no cross-engine float boundary.
+    Q("q_sql_tpch11",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT l_partkey,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS value
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                 WHERE n_name = 'NATION_3'
+                 GROUP BY l_partkey
+                 HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) *
+                     (SELECT count(DISTINCT l_partkey)
+                      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                        JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_3') >
+                   2 * (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_3')
+                 ORDER BY value DESC, l_partkey""")
+      },
+      Some("""SELECT l_partkey,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS value
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+              GROUP BY l_partkey
+              HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) *
+                  (SELECT count(DISTINCT l_partkey)
+                   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+                   WHERE n_name = 'NATION_3') >
+                2 * (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                 WHERE n_name = 'NATION_3')
+              ORDER BY value DESC, l_partkey"""),
+      "TPC-H Q11-style important parts (HAVING vs scalar-subquery mean, exact-long compare)"),
+
+    // TPC-H Q13-style customer order distribution: LEFT OUTER with the
+    // filter in the JOIN CONDITION (not WHERE — moving it would drop the
+    // zero-order customers the query exists to count), then a two-level
+    // aggregate: orders per customer, customers per order count.
+    Q("q_sql_tpch13",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_count, count(*) AS custdist
+                 FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                       FROM customer LEFT OUTER JOIN orders
+                         ON c_custkey = o_custkey
+                         AND o_orderpriority <> '1-URGENT'
+                       GROUP BY c_custkey)
+                 GROUP BY c_count
+                 ORDER BY custdist DESC, c_count DESC""")
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+              FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                    FROM customer LEFT OUTER JOIN orders
+                      ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+                    GROUP BY c_custkey)
+              GROUP BY c_count
+              ORDER BY custdist DESC, c_count DESC"""),
+      "TPC-H Q13-style order distribution (filtered LEFT JOIN + double aggregate)"),
+
+    // TPC-H Q15-style top supplier: a quarter's revenue per supplier as a
+    // CTE consumed TWICE — once as the join input, once under max() — with
+    // the winner selected by exact-long equality (ties all surface, no
+    // float max boundary). Spark inlines the CTE; the aggregate is
+    // computed twice but each pass is one lineitem scan with the date
+    // filter pushed down.
+    Q("q_sql_tpch15",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""WITH revenue AS (
+                   SELECT l_suppkey AS supplier_no,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_cents
+                   FROM lineitem
+                   WHERE l_shipdate >= DATE '1996-01-01'
+                     AND l_shipdate < DATE '1996-04-01'
+                   GROUP BY l_suppkey)
+                 SELECT s_suppkey, s_name,
+                   round(CAST(total_cents AS DOUBLE) / 1e4, 2) AS total_revenue
+                 FROM supplier JOIN revenue ON s_suppkey = supplier_no
+                 WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+                 ORDER BY s_suppkey""")
+      },
+      Some("""WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_cents
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY l_suppkey)
+              SELECT s_suppkey, s_name,
+                round(CAST(total_cents AS DOUBLE) / 1e4, 2) AS total_revenue
+              FROM supplier JOIN revenue ON s_suppkey = supplier_no
+              WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+              ORDER BY s_suppkey"""),
+      "TPC-H Q15-style top supplier (CTE + scalar MAX subquery, exact-long tie-safe)"),
+
+    // TPC-H Q17-style small-quantity revenue: the per-part average-
+    // quantity threshold, made engine-exact by clearing the division:
+    // qty < 0.2·avg  ⟺  5·qty·count < sum, all in integer space. The two
+    // correlated scalar subqueries share one correlation key, so Catalyst
+    // decorrelates them into a single per-part aggregate joined back.
+    Q("q_sql_tpch17",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0, 2) AS avg_yearly
+                 FROM lineitem l JOIN part ON p_partkey = l_partkey
+                 WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+                   AND CAST(l_quantity AS BIGINT) * 5 *
+                       (SELECT count(*) FROM lineitem l2
+                        WHERE l2.l_partkey = l.l_partkey)
+                     < (SELECT sum(CAST(l2.l_quantity AS BIGINT))
+                        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
+      },
+      Some("""SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0, 2) AS avg_yearly
+              FROM lineitem l JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+                AND CAST(l_quantity AS BIGINT) * 5 *
+                    (SELECT count(*) FROM lineitem l2
+                     WHERE l2.l_partkey = l.l_partkey)
+                  < (SELECT sum(CAST(l2.l_quantity AS BIGINT))
+                     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""),
+      "TPC-H Q17-style below-avg-quantity revenue (division-free correlated threshold)"),
+
+    // TPC-H Q20-style part promotion: the NESTED-IN shape — suppliers in
+    // one region who shipped more than a threshold quantity of
+    // name-matched parts in a year; the inner IN prunes lineitem by a
+    // part subquery before its own GROUP/HAVING. Both INs become
+    // semi-joins; nothing correlates row-at-a-time.
+    Q("q_sql_tpch20",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT s_suppkey, s_name
+                 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                 WHERE n_regionkey = 4
+                   AND s_suppkey IN (
+                     SELECT l_suppkey FROM lineitem
+                     WHERE l_partkey IN (SELECT p_partkey FROM part
+                                         WHERE p_name LIKE 'red%')
+                       AND l_shipdate >= DATE '1996-01-01'
+                       AND l_shipdate < DATE '1997-01-01'
+                     GROUP BY l_suppkey
+                     HAVING sum(CAST(l_quantity AS BIGINT)) > 20)
+                 ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey, s_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_regionkey = 4
+                AND s_suppkey IN (
+                  SELECT l_suppkey FROM lineitem
+                  WHERE l_partkey IN (SELECT p_partkey FROM part
+                                      WHERE p_name LIKE 'red%')
+                    AND l_shipdate >= DATE '1996-01-01'
+                    AND l_shipdate < DATE '1997-01-01'
+                  GROUP BY l_suppkey
+                  HAVING sum(CAST(l_quantity AS BIGINT)) > 20)
+              ORDER BY s_suppkey"""),
+      "TPC-H Q20-style part promotion (nested IN → stacked semi-joins + HAVING)"),
+
+    // TPC-H Q21-style waiting suppliers: the EXISTS + NOT EXISTS pair on
+    // the SAME fact table — multi-supplier finished orders where this
+    // supplier shipped late (the Q4 60-day convention; the schema has no
+    // commit/receipt dates) and no other supplier did. Both subqueries
+    // correlate on l1.l_orderkey AND reference the outer o_orderdate —
+    // the hardest decorrelation in the suite.
+    Q("q_sql_tpch21",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT s_name, count(*) AS numwait
+                 FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                   JOIN orders ON o_orderkey = l1.l_orderkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                 WHERE o_orderstatus = 'F'
+                   AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+                   AND n_regionkey = 2
+                   AND EXISTS (SELECT 1 FROM lineitem l2
+                               WHERE l2.l_orderkey = l1.l_orderkey
+                                 AND l2.l_suppkey <> l1.l_suppkey)
+                   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                   WHERE l3.l_orderkey = l1.l_orderkey
+                                     AND l3.l_suppkey <> l1.l_suppkey
+                                     AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                 GROUP BY s_name
+                 ORDER BY numwait DESC, s_name LIMIT 20""")
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+              FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                JOIN orders ON o_orderkey = l1.l_orderkey
+                JOIN nation ON s_nationkey = n_nationkey
+              WHERE o_orderstatus = 'F'
+                AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+                AND n_regionkey = 2
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+              GROUP BY s_name
+              ORDER BY numwait DESC, s_name LIMIT 20"""),
+      "TPC-H Q21-style waiting suppliers (EXISTS + NOT EXISTS pair, outer-column correlation)")
   )
 }

@@ -322,6 +322,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_sql_tpch2's correlated scalar MIN decorrelates to an aggregate + join") {
+    val p = plan("q_sql_tpch2")
+    // a failed decorrelation of the per-part minimum would fall back to a
+    // nested loop re-running the inner 5-way chain per outer row
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_sql_tpch17's two correlated scalars fuse into one per-part aggregate join") {
+    val p = plan("q_sql_tpch17")
+    // sum and count share the correlation key — Catalyst must merge them
+    // into a single LeftOuter agg-join, not two subquery executions per row
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_tpch20's nested INs plan as stacked semi-joins") {
+    val p = plan("q_sql_tpch20")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_tpch21's EXISTS + NOT EXISTS plan as a semi + anti pair on lineitem") {
+    val p = plan("q_sql_tpch21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {
