@@ -20,11 +20,17 @@ import org.apache.spark.sql.functions._
   *   - AUDIO: REAL — PCM WAV encode+decode via `javax.sound.sampled`
   *     (also in-JDK). Sawtooth payloads make frame counts and amplitude
   *     sums closed-form (`q_media_audio`).
-  *   - VIDEO: STUB — no video codec exists in the JDK or this
-  *     environment, so frame decode derives pseudo-dimensions from the
-  *     bytes behind the clearly-marked stub boundary below. The
-  *     surrounding dataflow (the part that matters at 100 TB) is real;
-  *     swapping in a codec means replacing `decodeStub` only.
+  *   - VIDEO: REAL container + REAL per-frame codec — no interframe
+  *     codec (H.264 etc.) ships in the JDK, so the container is the
+  *     intra-only motion-PNG form (the structure MJPEG uses, with PNG
+  *     frames): a GMPV header (magic, fps, frame count) followed by
+  *     length-prefixed genuine PNG frames. [[decodeVideo]] parses the
+  *     container and runs `javax.imageio` over EVERY frame; dimensions,
+  *     frame count, and the cross-frame pixel sum are closed-form in the
+  *     doc id (`q_media_video`). The legacy byte-length pseudo-path
+  *     (`decodeStub`, kept for the expression-differential oracles of
+  *     `q_media_features`/`q_media_extract`) is the only remaining
+  *     non-codec path and claims nothing about decoding.
   */
 object Multimodal {
 
@@ -306,6 +312,155 @@ object Multimodal {
           fmt.getChannels, bytes / fmt.getFrameSize, sum)
       } finally in.close()
     })
+  }
+
+  // ============== REAL VIDEO: motion-PNG container (GMPV) ==============
+
+  /** GMPV container magic: 4 bytes, then version, fps, frameCount ints
+    * (big-endian), then per frame an int byte-length + the PNG payload.
+    * Intra-only by construction — every frame independently decodable,
+    * which is also what makes the format partition-parallel at 100 TB
+    * (no inter-frame state crosses a row boundary). */
+  private val VideoMagic = 0x474D5056 // "GMPV"
+
+  /** Decoded-video features: container header fields plus per-frame-codec
+    * results — consistent frame dimensions and the pixel sum across ALL
+    * frames' band-0 samples. */
+  case class VideoFeatures(doc_id: Long, media_type: String, width: Int,
+                           height: Int, fps: Int, n_frames: Int,
+                           pixel_sum: Long)
+
+  /** Deterministic generated video for a doc id: `(id%7+2)` genuine PNG
+    * frames sized `(id%37+8) × (id%29+8)`, frame `f` an x-gradient
+    * `pixel(x, y) = (id + f + x) mod 256` (the `encodeImage` gradient with
+    * a per-frame phase shift, so motion exists and every frame's sum is
+    * closed-form), containered as GMPV at `(id%24+6)` fps. */
+  def encodeVideo(docId: Long): Array[Byte] = {
+    val w = (docId % 37 + 8).toInt
+    val h = (docId % 29 + 8).toInt
+    val frames = (docId % 7 + 2).toInt
+    val fps = (docId % 24 + 6).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(VideoMagic); out.writeInt(1); out.writeInt(fps)
+    out.writeInt(frames)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      val base = ((docId + f) % 256).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, (base + x) % 256); x += 1 }
+        y += 1
+      }
+      val frameBos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", frameBos)
+      val png = frameBos.toByteArray
+      out.writeInt(png.length); out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Documents → REAL GMPV payloads (partition-parallel generation). */
+  def toVideo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(id => MediaRecord(id, "gmpv", encodeVideo(id)))
+    }.toDF()
+  }
+
+  /** REAL video decode: parses the GMPV header, then runs `javax.imageio`
+    * over EVERY contained PNG frame — dimensions must agree across frames,
+    * `pixel_sum` accumulates band 0 over all of them. Same mapPartitions
+    * batch shape as the image path; the whole payload decodes inside one
+    * task with no inter-row state. */
+  def decodeVideo(media: DataFrame): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(in.readInt() == VideoMagic,
+          s"not a GMPV payload for doc ${r.doc_id}")
+        val version = in.readInt()
+        require(version == 1, s"unsupported GMPV version $version")
+        val fps = in.readInt()
+        val frames = in.readInt()
+        var w = -1; var h = -1; var sum = 0L
+        var f = 0
+        while (f < frames) {
+          val png = new Array[Byte](in.readInt())
+          in.readFully(png)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          require(img != null, s"undecodable frame $f for doc ${r.doc_id}")
+          if (w < 0) { w = img.getWidth; h = img.getHeight }
+          else require(w == img.getWidth && h == img.getHeight,
+            s"frame $f dims ${img.getWidth}x${img.getHeight} != ${w}x$h")
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          f += 1
+        }
+        VideoFeatures(r.doc_id, r.media_type, w, h, fps, frames, sum)
+      }
+    }
+  }
+
+  /** One decoded frame row from a video payload. */
+  case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+                        height: Int, pixel_sum: Long)
+
+  /** REAL per-frame fan-out: every `stride`-th frame of each video decodes
+    * to its own row (flatMap shape — the layout per-frame ops need), with
+    * the frame's own band-0 pixel sum. Frames whose index isn't sampled
+    * are SKIPPED without decoding — the container's length prefixes let
+    * the reader seek past them, which is the point of frame sampling at
+    * scale: decode cost proportional to frames KEPT, not frames stored. */
+  def extractVideoFrames(media: DataFrame, stride: Int): Dataset[VideoFrame] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(in.readInt() == VideoMagic,
+        s"not a GMPV payload for doc ${r.doc_id}")
+      in.readInt(); in.readInt() // version, fps
+      val frames = in.readInt()
+      (0 until frames).flatMap { f =>
+        val len = in.readInt()
+        if (f % stride == 0) {
+          val png = new Array[Byte](len)
+          in.readFully(png)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          require(img != null, s"undecodable frame $f for doc ${r.doc_id}")
+          val raster = img.getRaster
+          var sum = 0L; var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Some(VideoFrame(r.doc_id, f, img.getWidth, img.getHeight, sum))
+        } else { in.skipBytes(len); None }
+      }
+    }
   }
 
   /** One frame record sampled from a video payload. */

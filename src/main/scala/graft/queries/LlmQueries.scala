@@ -1405,6 +1405,68 @@ object LlmQueries {
               FROM p"""),
       "REAL audio decode (javax.sound): WAV round-trip, amplitude-sum-exact oracle"),
 
+    // REAL video decode: toVideo writes genuine GMPV payloads (an
+    // intra-only motion-PNG container — header + length-prefixed real PNG
+    // frames; no interframe codec ships in the JDK) and decodeVideo
+    // parses the container and ImageIO-decodes EVERY frame. Frame f is
+    // the encodeImage x-gradient with per-frame phase: pixel(x,y) =
+    // (id+f+x) mod 256, so the cross-frame pixel sum is h·Σ_f rowsum(b_f)
+    // with the same one-wrap row formula q_media_decode states. A decoder
+    // that drops a frame, mis-seeks a length prefix, or mis-parses any
+    // PNG cannot hash-match.
+    Q("q_media_video",
+      (s, d) => Multimodal.decodeVideo(
+        Multimodal.toVideo(t(s, d, "documents"))).toDF(),
+      Some("""WITH p AS (SELECT doc_id,
+                  CAST(doc_id % 37 + 8 AS BIGINT) AS w,
+                  CAST(doc_id % 29 + 8 AS BIGINT) AS h,
+                  CAST(doc_id % 7 + 2 AS BIGINT) AS nf,
+                  CAST(doc_id % 24 + 6 AS BIGINT) AS fps
+                FROM documents),
+              fr AS (SELECT doc_id, w, h, nf, fps,
+                       (doc_id + unnest(range(0, nf))) % 256 AS b
+                     FROM p),
+              rs AS (SELECT doc_id, w, h, nf, fps,
+                       CASE WHEN b + w <= 256
+                            THEN w * b + w * (w - 1) // 2
+                            ELSE (256 - b) * b + (256 - b) * (255 - b) // 2
+                                 + (w - 256 + b) * (w - 257 + b) // 2
+                       END AS rowsum
+                     FROM fr)
+              SELECT doc_id, 'gmpv' AS media_type,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(fps AS INT) AS fps, CAST(nf AS INT) AS n_frames,
+                CAST(h * sum(rowsum) AS BIGINT) AS pixel_sum
+              FROM rs GROUP BY doc_id, w, h, nf, fps"""),
+      "REAL video decode (GMPV motion-PNG): every frame through ImageIO, sum-exact oracle"),
+
+    // REAL per-frame fan-out with stride: every 3rd frame decodes to its
+    // own row; the others are SEEKED past via the container's length
+    // prefixes without decoding (cost ∝ frames kept). Per-frame sums are
+    // the same closed form, filtered to the sampled indices.
+    Q("q_media_video_frames",
+      (s, d) => Multimodal.extractVideoFrames(
+        Multimodal.toVideo(t(s, d, "documents")), stride = 3).toDF(),
+      Some("""WITH p AS (SELECT doc_id,
+                  CAST(doc_id % 37 + 8 AS BIGINT) AS w,
+                  CAST(doc_id % 29 + 8 AS BIGINT) AS h,
+                  CAST(doc_id % 7 + 2 AS BIGINT) AS nf
+                FROM documents),
+              fr AS (SELECT doc_id, w, h,
+                       unnest(range(0, nf)) AS f
+                     FROM p),
+              fb AS (SELECT doc_id, w, h, f, (doc_id + f) % 256 AS b
+                     FROM fr WHERE f % 3 = 0)
+              SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(h * (CASE WHEN b + w <= 256
+                          THEN w * b + w * (w - 1) // 2
+                          ELSE (256 - b) * b + (256 - b) * (255 - b) // 2
+                               + (w - 256 + b) * (w - 257 + b) // 2
+                          END) AS BIGINT) AS pixel_sum
+              FROM fb"""),
+      "REAL strided frame extraction: sampled frames decode, skipped frames seek past"),
+
     // Frame fan-out: every stride-th fixed window of the payload becomes a
     // frame row — the flatMap layout per-frame ops need. The oracle
     // reproduces the window arithmetic over the byte length (payload is

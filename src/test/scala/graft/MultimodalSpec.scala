@@ -4,8 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal plumbing: schema/partition/batch shapes are real; the image
-  * (javax.imageio) and audio (javax.sound) codecs are REAL in-JDK codecs;
-  * only the video codec is a clearly-marked deterministic stub. */
+  * (javax.imageio), audio (javax.sound), and video (GMPV motion-PNG
+  * container, every frame through javax.imageio) codecs are REAL in-JDK
+  * paths; only the legacy byte-length pseudo-features keep a clearly-
+  * marked deterministic stub for their expression-differential oracle. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -67,6 +69,51 @@ class MultimodalSpec extends SparkSpec {
       val expected = (0 until frames).map(i => (i % 256) - 128).sum.toLong
       assert(f.amp_sum == expected, s"amplitude sum for $id")
     }
+  }
+
+  test("video decode round-trips the GMPV generator exactly, every frame") {
+    val feats = Multimodal.decodeVideo(Multimodal.toVideo(edgeDocs))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.size == 9)
+    feats.foreach { case (id, f) =>
+      val (w, h) = ((id % 37 + 8).toInt, (id % 29 + 8).toInt)
+      val frames = (id % 7 + 2).toInt
+      assert(f.width == w && f.height == h, s"dims mismatch for $id")
+      assert(f.fps == (id % 24 + 6).toInt && f.n_frames == frames)
+      // brute-force the expected cross-frame sum from the generator
+      val expected = (0 until frames).map { fr =>
+        val b = ((id + fr) % 256).toInt
+        h.toLong * (0 until w).map(x => (b + x) % 256).sum
+      }.sum
+      assert(f.pixel_sum == expected, s"pixel sum for $id")
+    }
+  }
+
+  test("strided frame extraction decodes sampled frames, seeks past the rest") {
+    val frames = Multimodal.extractVideoFrames(
+      Multimodal.toVideo(edgeDocs), stride = 2).collect().groupBy(_.doc_id)
+    edgeDocs.as[Long].collect().foreach { id =>
+      val n = (id % 7 + 2).toInt
+      val fs = frames(id).sortBy(_.frame_idx)
+      assert(fs.map(_.frame_idx).toSeq == (0 until n by 2).toSeq,
+        s"sampled indices for $id")
+      fs.foreach { f =>
+        val (w, h) = ((id % 37 + 8).toInt, (id % 29 + 8).toInt)
+        val b = ((id + f.frame_idx) % 256).toInt
+        assert(f.width == w && f.height == h)
+        assert(f.pixel_sum == h.toLong * (0 until w).map(x => (b + x) % 256).sum,
+          s"frame ${f.frame_idx} sum for $id")
+      }
+    }
+  }
+
+  test("video decode refuses a payload without the GMPV magic") {
+    val bogus = Seq((7L, "gmpv", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8,
+      9, 10, 11, 12, 13, 14, 15, 16))).toDF("doc_id", "media_type", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideo(bogus).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("extractFeatures matches the expression-path features") {
