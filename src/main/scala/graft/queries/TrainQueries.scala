@@ -271,6 +271,35 @@ object TrainQueries {
                                  WHERE e.doc_id % 5 <> 0 AND e.h = n.h)"""),
       "new-batch vs corpus dedup: anti-join on content hash (shuffle O(hash set))"),
 
+    // Incremental dedup behind a PUBLISHED Bloom artifact: the standing
+    // corpus's hash set is summarized into a (bucket, masks) table once,
+    // broadcast-probed at ingest, and only filter-positive rows reach the
+    // exact anti-join — the rest pass through with no shuffle. Bloom
+    // filters have no false negatives, so the result is row-identical to
+    // q_dedup_incremental; the oracle is DELIBERATELY the same SQL (the
+    // invariance IS the claim — false positives must not survive, and
+    // nothing true may be lost). Params are shrunk (bits=1024) so false
+    // positives actually occur at this SF and the exact-check path
+    // carries real traffic, not just the bypass.
+    Q("q_dedup_bloom",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val p = graft.operators.Bloom.Params(buckets = 8, bits = 1024, probes = 3)
+        val seen = graft.operators.Dedup.contentHashes(
+            docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+          .select(col("h")).distinct()
+        val bloom = graft.operators.Bloom.build(seen, p)
+        graft.operators.Bloom.dedupWithBloom(
+          docs.filter(col("doc_id") % 5 === 0), seen, bloom, "text", "doc_id", p)
+      },
+      Some(s"""WITH hashed AS (
+                 SELECT doc_id, ${duckNormHash("text")} AS h FROM documents)
+               SELECT doc_id, h FROM hashed n
+               WHERE n.doc_id % 5 = 0
+                 AND NOT EXISTS (SELECT 1 FROM hashed e
+                                 WHERE e.doc_id % 5 <> 0 AND e.h = n.h)"""),
+      "bloom publish/apply dedup: broadcast artifact prunes the anti-join shuffle"),
+
     // ---------- end-to-end near-dup removal ----------
     // The full dedup pipeline applied: MinHash-LSH pairs → connected
     // components → keep each cluster's canonical (minimum-id) member →

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bloom, Dedup}
+
+/** Bloom publish/apply properties the result-invariance oracle cannot
+  * see: the no-false-negative guarantee (the correctness keystone — a
+  * false negative would silently drop a true duplicate past the exact
+  * check), the artifact's boundedness, and that false positives exist
+  * under the shrunk test params (so q_dedup_bloom's exact-check path is
+  * known to carry traffic, not vacuously pass).
+  */
+class BloomSpec extends SparkSpec {
+
+  private lazy val docs =
+    graft.core.Tables.load(spark, sf0001, "documents")
+  private lazy val seen = Dedup.contentHashes(
+      docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+    .select(col("h")).distinct()
+
+  test("no false negatives: every seen hash tests positive, even at tiny sizes") {
+    // bits=64 is the minimum table — maximal collisions, the hardest case
+    for (p <- Seq(Bloom.Params(buckets = 4, bits = 64, probes = 3),
+                  Bloom.Params(buckets = 8, bits = 1024, probes = 3),
+                  Bloom.Params())) {
+      val bloom = Bloom.build(seen, p)
+      val missed = seen
+        .join(broadcast(bloom), Bloom.bucketOf(col("h"), p) === bloom("bucket"), "left")
+        .filter(!Bloom.mightContain(col("h"), col("masks"), p))
+        .count()
+      assert(missed == 0, s"$missed false negatives at $p")
+    }
+  }
+
+  test("shrunk params produce real false positives; exact check removes them all") {
+    val p = Bloom.Params(buckets = 8, bits = 1024, probes = 3)
+    val bloom = Bloom.build(seen, p)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val newHashes = Dedup.contentHashes(newDocs, "text", "doc_id")
+    val trulyNew = newHashes.join(seen, Seq("h"), "left_anti")
+    val falsePos = trulyNew
+      .join(broadcast(bloom), Bloom.bucketOf(col("h"), p) === bloom("bucket"), "left")
+      .filter(Bloom.mightContain(col("h"), col("masks"), p))
+      .count()
+    // ~80 seen keys × 3 probes in 1024 bits per 8 buckets ⇒ FPR is
+    // substantial by design here; zero would mean the q_dedup_bloom
+    // invariance oracle never exercises the false-positive path
+    assert(falsePos > 0, "expected false positives under shrunk params")
+    // and the full operator still matches the plain anti-join exactly
+    val got = Bloom.dedupWithBloom(newDocs, seen, bloom, "text", "doc_id", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.incremental(newDocs, seen, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("sane params keep the false-positive rate low (the shuffle actually shrinks)") {
+    val p = Bloom.Params() // 32 buckets × 64 KiB, 5 probes
+    val bloom = Bloom.build(seen, p)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val newHashes = Dedup.contentHashes(newDocs, "text", "doc_id")
+    val trulyNew = newHashes.join(seen, Seq("h"), "left_anti")
+    val n = trulyNew.count()
+    val falsePos = trulyNew
+      .join(broadcast(bloom), Bloom.bucketOf(col("h"), p) === bloom("bucket"), "left")
+      .filter(Bloom.mightContain(col("h"), col("masks"), p))
+      .count()
+    assert(falsePos.toDouble / n < 0.05,
+      s"FPR ${falsePos.toDouble / n} too high for $p")
+  }
+
+  test("the artifact is bounded: ≤ buckets rows, each a dense words-long array") {
+    val p = Bloom.Params(buckets = 8, bits = 1024, probes = 3)
+    val rows = Bloom.build(seen, p).collect()
+    assert(rows.length <= p.buckets)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).length == p.words)
+    }
+  }
+
+  test("empty seen set: everything is definitely new, no shuffle path") {
+    val p = Bloom.Params(buckets = 8, bits = 1024, probes = 3)
+    val empty = seen.filter(lit(false))
+    val bloom = Bloom.build(empty, p)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0).limit(50)
+    val got = Bloom.dedupWithBloom(newDocs, empty, bloom, "text", "doc_id", p)
+    assert(got.count() == 50)
+  }
+}

@@ -355,6 +355,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_bloom probes a broadcast artifact; only candidates reach the anti-join") {
+    val p = plan("q_dedup_bloom")
+    assert(p.contains("BroadcastHashJoin"), p) // the (bucket, masks) artifact probe
+    assert(p.contains("LeftAnti"), p)          // exact check on the candidate slice
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {

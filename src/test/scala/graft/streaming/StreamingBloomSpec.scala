@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.{Bloom, Dedup}
+
+/** Ingest-time bloom-pruned dedup: the published (bucket, masks) artifact
+  * is FROZEN (built once, batch-side) and [[Bloom.dedupWithBloom]] applied
+  * to a STREAMING batch of new documents is a stateless per-batch plan —
+  * broadcast artifact probe + stream-static anti-join — so it must keep
+  * exactly the rows the batch operator keeps. Same
+  * publish-artifact/apply-at-ingest topology as decontam hashes, the
+  * boilerplate index, and mix factors.
+  */
+class StreamingBloomSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("streaming bloom dedup ≡ batch operator over the same documents") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+    val seen = Dedup.contentHashes(
+        docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+      .select(col("h")).distinct()
+    // shrunk params so false positives cross the streaming exact check too
+    val p = Bloom.Params(buckets = 8, bits = 1024, probes = 3)
+    val bloom = Bloom.build(seen, p).cache()
+
+    val want = Bloom.dedupWithBloom(newDocs, seen, bloom, "text", "doc_id", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty)
+
+    // two files so the apply crosses a microbatch boundary under AvailableNow
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomdedup").toString
+    newDocs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    newDocs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    val src = spark.readStream.schema(newDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = Bloom.dedupWithBloom(src, seen, bloom, "text", "doc_id", p)
+      .writeStream.format("memory").queryName("bloom_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.table("bloom_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"streaming kept ${got.size}, batch kept ${want.size}")
+    bloom.unpersist()
+  }
+}
