@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+  * summary", J. Algorithms 2005) as a PUBLISHED TABLE artifact — the
+  * Spark-first form: the sketch is not a driver-side object or a custom
+  * aggregate buffer but `(j, bucket, cnt)` rows built with one plain
+  * `groupBy`, whose shuffle is bounded by depth×width KEYS regardless of
+  * stream size (map-side partials absorb the token stream; the classic
+  * imperative CMS array would give the exact same bound, with Catalyst
+  * cut out of the plan). Estimates apply as `depth` broadcast joins plus
+  * a `least(...)` — stateless per row, ZERO shuffles, so per-token
+  * estimation runs at ingest against a frozen sketch, the same
+  * publish/apply topology as the Bloom filter and decontam hashes.
+  *
+  * Hashes are the [[PortableHash.affine]] universal family over the
+  * md5-derived 60-bit hash — the DuckDB oracle embeds the IDENTICAL
+  * family, so point estimates (collisions included) are reproduced
+  * exactly: the oracle checks the estimate VALUES, not a tolerance band.
+  * The defining guarantees — `est(t) ≥ true(t)` always, per-row mass
+  * conservation `Σ_bucket cnt = n` — are property-tested (CmsSpec), the
+  * invariants an exact-value oracle alone can't state.
+  */
+object Sketches {
+
+  /** Row j's bucket for a token: `h_j(hash(tok)) mod width`. */
+  def cmsBucket(tok: Column, j: Int, width: Int): Column =
+    pmod(PortableHash.affine(j)(PortableHash.hashMod(tok)), lit(width.toLong))
+
+  /** Build the sketch from a token stream (`tok` column): one row per
+    * non-empty (j, bucket) cell, ≤ depth·width of them. Weighted streams
+    * pass `weight`; the default counts occurrences. */
+  def cmsBuild(toks: DataFrame, depth: Int, width: Int,
+               weight: Column = lit(1L)): DataFrame = {
+    require(depth > 0 && width > 0, s"depth/width must be positive")
+    toks
+      .select(weight.as("w"), posexplode(
+        array((0 until depth).map(j => cmsBucket(col("tok"), j, width)): _*)))
+      .select(col("pos").as("j"), col("col").as("bucket"), col("w"))
+      .groupBy("j", "bucket").agg(sum(col("w")).as("cnt"))
+  }
+
+  /** Point estimates for a `tok` column: `min_j sketch[j][b_j(tok)]`,
+    * absent cells counting 0. One broadcast left-join per depth row and a
+    * final `least` — no shuffle, so `probes` can be a full ingest stream.
+    * Other columns of `probes` pass through. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+                  depth: Int, width: Int): DataFrame = {
+    val joined = (0 until depth).foldLeft(probes) { (df, j) =>
+      val cell = sketch.filter(col("j") === j)
+        .select(col("bucket").as(s"b$j"), col("cnt").as(s"c$j"))
+      df.withColumn(s"b$j", cmsBucket(col("tok"), j, width))
+        .join(broadcast(cell), Seq(s"b$j"), "left")
+    }
+    val ests = (0 until depth).map(j => coalesce(col(s"c$j"), lit(0L)))
+    joined.select(
+      probes.columns.map(col).toIndexedSeq :+
+        least(ests: _*).cast("long").as("est"): _*)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{PortableHash, TextFunctions}
-import graft.operators.{HeavyHitters, Sampling}
+import graft.operators.{HeavyHitters, Sampling, Sketches}
 
 /** Round-3 training-data-pipeline additions: corpus canonicalization,
   * per-domain quota sampling, overlapping chunking, incremental (cross-
@@ -43,6 +43,8 @@ object TrainQueries {
   val ShuffleSeed = 42L   // seeded corpus-shuffle draw
   val WeightedK = 100     // weighted-sample size
   val HeavyPerMille = 30  // heavy-hitter threshold (3% of the token stream)
+  val CmsDepth = 3        // count-min rows (independent hash functions)
+  val CmsWidth = 2048     // count-min buckets per row
   val ChunkSize = 24      // tokens per training chunk
   val ChunkStride = 16    // chunk start stride (ChunkSize − overlap)
 
@@ -113,6 +115,46 @@ object TrainQueries {
                FROM toks t JOIN tot USING (grp)
                GROUP BY t.grp, tok, n HAVING count(*) * 1000 > n * $HeavyPerMille"""),
       "per-language heavy-hitter tokens (grouped MG candidates + exact recount)"),
+
+    // Count-Min sketch, published as a (j, bucket, cnt) table and probed
+    // with zero-shuffle broadcast joins. The hash family is the portable
+    // affine family, so the DuckDB oracle rebuilds the SAME sketch and
+    // the estimate VALUES (collisions included) must match exactly — a
+    // sketch gated at equality, not a tolerance band. The guarantees an
+    // exact-value oracle can't state (est ≥ truth, per-row mass
+    // conservation, partition invariance) are CmsSpec's property tests.
+    Q("q_text_cms",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val sketch = Sketches.cmsBuild(toks, CmsDepth, CmsWidth)
+        val probes = docs.filter(col("doc_id") < 10)
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .distinct()
+        Sketches.cmsEstimate(sketch, probes, CmsDepth, CmsWidth)
+      },
+      Some {
+        def arm(j: Int, cols: String, src: String) =
+          s"""SELECT $cols$j AS j,
+              ((${PortableHash.minhashA(j)} * hm + ${PortableHash.minhashB(j)})
+               % ${PortableHash.MOD}) % $CmsWidth AS bucket FROM $src"""
+        val skArms = (0 until CmsDepth).map(arm(_, "", "tk")).mkString(" UNION ALL ")
+        val pbArms = (0 until CmsDepth).map(arm(_, "tok, ", "pk")).mkString(" UNION ALL ")
+        s"""WITH toks AS (SELECT unnest(${LlmQueries.duckTokens("text")}) AS tok
+                          FROM documents),
+            tk AS (SELECT ${PortableHash.duckHashMod("tok")} AS hm FROM toks),
+            sk AS (SELECT j, bucket, count(*) AS cnt
+                   FROM ($skArms) GROUP BY j, bucket),
+            pr AS (SELECT DISTINCT unnest(${LlmQueries.duckTokens("text")}) AS tok
+                   FROM documents WHERE doc_id < 10),
+            pk AS (SELECT tok, ${PortableHash.duckHashMod("tok")} AS hm FROM pr),
+            pb AS ($pbArms)
+            SELECT pb.tok, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+            FROM pb LEFT JOIN sk USING (j, bucket)
+            GROUP BY pb.tok"""
+      },
+      "count-min sketch artifact + zero-shuffle probe (estimate-exact oracle)"),
 
     // ---------- weighted sampling (quality-proportional) ----------
     // Sample WeightedK docs with probability proportional to word count,

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.TextFunctions
+import graft.operators.Sketches
+
+/** Count-Min guarantees the exact-value oracle can't state: estimates
+  * never undercount (the one-sided CMS bound), each sketch row conserves
+  * the stream's total mass, the artifact is partition-order invariant
+  * (counts are sums — no arrival-order dependence to hide), and the
+  * frozen-artifact probe is stream-safe.
+  */
+class CmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 3
+  // much narrower than the query's 2048: an overshoot needs a collision
+  // in ALL D rows, so the spec table is sized to make that certain
+  private val W = 64
+
+  private lazy val toks = graft.core.Tables
+    .load(spark, sf0001, "documents")
+    .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    .cache()
+
+  // the session is JVM-wide: a cache left behind here trips the
+  // cache-release pin in PlanShapeSpec (and would be a real leak)
+  override def afterAll(): Unit = {
+    toks.unpersist(blocking = true)
+    super.afterAll()
+  }
+
+  test("estimates never undercount: est >= true frequency for EVERY token") {
+    val sketch = Sketches.cmsBuild(toks, D, W)
+    val truth = toks.groupBy("tok").agg(count(lit(1)).as("truth"))
+    val under = Sketches.cmsEstimate(sketch, truth, D, W)
+      .filter(col("est") < col("truth"))
+      .count()
+    assert(under == 0, s"$under tokens undercounted")
+  }
+
+  test("collisions exist at this width, so >= is not trivially ==") {
+    val sketch = Sketches.cmsBuild(toks, D, W)
+    val truth = toks.groupBy("tok").agg(count(lit(1)).as("truth"))
+    val over = Sketches.cmsEstimate(sketch, truth, D, W)
+      .filter(col("est") > col("truth"))
+      .count()
+    assert(over > 0, "no collisions — the undercount test is vacuous")
+  }
+
+  test("every sketch row conserves the stream's total mass") {
+    val n = toks.count()
+    val perRow = Sketches.cmsBuild(toks, D, W)
+      .groupBy("j").agg(sum(col("cnt")).as("mass"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow.keySet == (0 until D).toSet)
+    perRow.foreach { case (j, mass) =>
+      assert(mass == n, s"row $j mass $mass != stream size $n")
+    }
+  }
+
+  test("the sketch is partition invariant") {
+    val a = Sketches.cmsBuild(toks.repartition(1), D, W)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Sketches.cmsBuild(toks.repartition(13), D, W)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
+  test("weighted build: doubling every weight doubles every cell") {
+    val once = Sketches.cmsBuild(toks, D, W)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val twice = Sketches.cmsBuild(toks, D, W, weight = lit(2L))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(twice == once.map { case (k, v) => k -> 2 * v })
+  }
+
+  test("streaming probe against the frozen sketch ≡ batch estimates") {
+    val sketch = Sketches.cmsBuild(toks, D, W).cache()
+    val probes = toks.distinct().limit(60).cache()
+    val want = Sketches.cmsEstimate(sketch, probes, D, W)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    probes.write.parquet(s"$dir/in")
+    val src = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = Sketches.cmsEstimate(sketch, src, D, W)
+      .writeStream.format("memory").queryName("cms_est")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("cms_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    sketch.unpersist(); probes.unpersist()
+  }
+}
