@@ -312,6 +312,31 @@ object RelationalQueries {
               FROM lineitem GROUP BY l_returnflag"""),
       "approx_count_distinct (HLL++) with an oracle-checked 10% accuracy band"),
 
+    // The MERGEABLE-sketch re-aggregation pattern: per-shard HLL sketches
+    // (here one per ship month — in production one per day/partition,
+    // STORED as binary columns) union-merged and estimated WITHOUT
+    // re-reading the data. This is how 100 TB warehouses answer "distinct
+    // over any date range" from kilobyte artifacts. Same tolerance-band
+    // oracle as q_agg_approx (sketch bytes are engine-specific; the band
+    // is the checkable claim); HllSpec pins the lossless-union property —
+    // merged-shard estimate ≡ single global sketch estimate, exactly.
+    Q("q_agg_hll_merge",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val shards = li.groupBy(month(col("l_shipdate")).as("m"))
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        val est = shards.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = li.agg(countDistinct(col("l_partkey")).as("nd_part"))
+        est.crossJoin(exact).select(col("nd_part"),
+          (abs(col("est") - col("nd_part")) <= col("nd_part") * 0.1)
+            .as("within_10pct"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS nd_part,
+                TRUE AS within_10pct
+              FROM lineitem"""),
+      "per-shard HLL sketches union-merged to a global estimate (mergeable artifact)"),
+
     Q("q_agg_approx_pct",
       // Same tolerance-band pattern as q_agg_approx: Greenwald-Khanna
       // sketch values are engine-specific, so the checked claim is

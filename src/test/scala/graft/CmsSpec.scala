@@ -77,6 +77,30 @@ class CmsSpec extends SparkSpec {
     assert(twice == once.map { case (k, v) => k -> 2 * v })
   }
 
+  test("streaming BUILD: the sketch aggregates incrementally at ingest") {
+    // the build is a streaming aggregation over ≤ depth·width keys —
+    // bounded state by construction, so complete-mode output is legal and
+    // the final table must equal the batch sketch over the same tokens
+    val want = Sketches.cmsBuild(toks, D, W)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmsbuild").toString
+    val src = graft.core.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    src.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    src.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val q = Sketches.cmsBuild(stream, D, W)
+      .writeStream.format("memory").queryName("cms_build")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("cms_build").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("streaming probe against the frozen sketch ≡ batch estimates") {
     val sketch = Sketches.cmsBuild(toks, D, W).cache()
     val probes = toks.distinct().limit(60).cache()

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The property q_agg_hll_merge's tolerance-band oracle can't state:
+  * HLL union is LOSSLESS at a fixed lgConfigK (register-wise max is
+  * associative and commutative), so estimating the union of per-shard
+  * sketches gives the bit-identical answer to sketching the whole stream
+  * at once — under any sharding. That losslessness is the entire reason
+  * the stored-sketch re-aggregation pattern is sound.
+  */
+class HllSpec extends SparkSpec {
+
+  private lazy val li = graft.core.Tables.load(spark, sf0001, "lineitem")
+
+  test("merged per-shard sketches estimate exactly the single global sketch") {
+    val global = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
+      .collect().head.getLong(0)
+    for (shardKey <- Seq(month(col("l_shipdate")), pmod(col("l_orderkey"), lit(7)),
+                         pmod(col("l_suppkey"), lit(31)))) {
+      val merged = li.groupBy(shardKey.as("shard"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .collect().head.getLong(0)
+      assert(merged == global, s"union not lossless under shard $shardKey")
+    }
+  }
+
+  test("the estimate lands inside the 2-sigma band of the exact count") {
+    val row = li.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"),
+      countDistinct(col("l_partkey")).as("nd")).collect().head
+    val (est, nd) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(est - nd) <= nd * 0.1, s"est=$est exact=$nd")
+  }
+}
