@@ -154,10 +154,11 @@ object LlmQueries {
     * < 10, corpus = the rest — the q_text_decontam stand-in). Exposes
     * `toks(doc_id, ts)` (corpus side) and `isl(doc_id, pos, isl)`;
     * mirrors [[Dedup.benchmarkSpans]] including the portable hash. */
-  private def duckBenchmarkSpanCtes(w: Int): String = {
+  private def duckBenchmarkSpanCtes(
+      w: Int, srcWhere: String = "doc_id >= 10"): String = {
     val shingle = s"array_to_string(ts[p+1:p+$w], ' ')"
     s"""toks AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents
-       |          WHERE doc_id >= 10),
+       |          WHERE $srcWhere),
        |pn AS (SELECT doc_id, ts,
        |         unnest(range(0, greatest(len(ts) - $w, 0) + 1)) AS p
        |       FROM toks),
@@ -1254,6 +1255,81 @@ object LlmQueries {
       },
       Some(duckPipelineV2Oracle),
       "composed pipeline v2: substring-cut → decontam → keep-best → gate → weighted sample → shuffle"),
+
+    // The INGEST-side composition: a NEW batch (doc_id % 5 = 0) cleaned
+    // using ONLY artifacts published from the standing corpus — the Bloom
+    // filter over the corpus's content hashes (bloom-pruned exact dedup),
+    // the benchmark span hashes (surgical decontam), and the corpus's
+    // per-language p25 thresholds (frozen quality gate). Nothing in this
+    // plan aggregates over the batch itself, so every stage is a
+    // stateless per-row transform + broadcast probe: the SAME DataFrame
+    // code runs unchanged on a stream (the Streaming*Specs pin each
+    // stage), and at 100 TB the ingest path never shuffles the batch —
+    // only bloom-positive candidates reach the one anti-join.
+    Q("q_pipeline_ingest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val benchmark = docs.filter(col("doc_id") < 10)
+        val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0)
+        val p = graft.operators.Bloom.Params(buckets = 8, bits = 1024, probes = 3)
+        // published artifacts (batch-side, from yesterday's corpus)
+        val seen = Dedup.contentHashes(corpus, "text", "doc_id")
+          .select(col("h")).distinct()
+        val bloom = graft.operators.Bloom.build(seen, p)
+        val thr = corpus
+          .select(col("lang"), TextFunctions.nWords(col("text")).as("n_words"))
+          .groupBy("lang").agg(expr("percentile(n_words, 0.25)").as("thr"))
+        // 1. bloom-pruned exact dedup of the batch against the corpus
+        val fresh = batch.join(
+          graft.operators.Bloom.dedupWithBloom(
+            batch, seen, bloom, "text", "doc_id", p).select("doc_id"),
+          "doc_id")
+        // 2. surgical span decontam vs the benchmark
+        val clean = Dedup.removeBenchmarkSpans(
+          fresh, "text", "doc_id", benchmark, "text", DecontamW)
+        // 3. frozen per-language quality gate on the CLEANED text
+        clean
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.nWords(col("clean_text")).as("n_words"))
+          .join(broadcast(thr), Seq("lang"))
+          .filter(col("n_words") >= col("thr"))
+          .select(col("doc_id"), col("lang"), col("n_words"))
+      },
+      Some(s"""WITH hashed AS (SELECT doc_id,
+           |         ${TrainQueries.duckNormHash("text")} AS h
+           |       FROM documents WHERE doc_id >= 10),
+           |fresh AS (SELECT doc_id FROM hashed n
+           |          WHERE n.doc_id % 5 = 0
+           |            AND NOT EXISTS (SELECT 1 FROM hashed e
+           |                            WHERE e.doc_id % 5 <> 0 AND e.h = n.h)),
+           |${duckBenchmarkSpanCtes(DecontamW,
+               "doc_id IN (SELECT doc_id FROM fresh)")},
+           |spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + $DecontamW AS se
+           |          FROM isl GROUP BY doc_id, isl),
+           |tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
+           |tok AS (SELECT doc_id, CAST(p AS INT) AS p, ts[p+1] AS tok FROM tp),
+           |keep AS (SELECT t.doc_id, t.p, t.tok FROM tok t WHERE NOT EXISTS (
+           |           SELECT 1 FROM spans sp
+           |           WHERE sp.doc_id = t.doc_id AND t.p >= sp.ss AND t.p < sp.se)),
+           |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
+           |        FROM keep GROUP BY doc_id),
+           |cleaned AS (SELECT f.doc_id, coalesce(a.ct, '') AS clean_text
+           |            FROM fresh f LEFT JOIN agg a USING (doc_id)),
+           |scored AS (SELECT c.doc_id, d.lang,
+           |             CAST(len(${duckTokens("clean_text")}) AS INT) AS n_words
+           |           FROM cleaned c JOIN documents d USING (doc_id)),
+           |thr AS (SELECT lang, quantile_cont(n_words, 0.25) AS thr
+           |        FROM (SELECT lang,
+           |                CAST(len(${duckTokens("text")}) AS INT) AS n_words
+           |              FROM documents
+           |              WHERE doc_id >= 10 AND doc_id % 5 <> 0)
+           |        GROUP BY lang)
+           |SELECT doc_id, scored.lang, n_words
+           |FROM scored JOIN thr ON scored.lang = thr.lang
+           |WHERE n_words >= thr""".stripMargin),
+      "ingest composition: frozen artifacts only — bloom dedup → decontam → frozen gate"),
 
     // ---------- quality filtering / sampling / composed pipeline ----------
     Q("q_text_quality",

@@ -36,7 +36,7 @@ object TrainQueries {
 
   /** Portable content hash of the normalized text (DuckDB twin of
     * PortableHash.hashMod over the same normalization). */
-  private def duckNormHash(e: String): String =
+  private[queries] def duckNormHash(e: String): String =
     s"(('0x' || substr(md5(${duckNorm(e)}), 1, 15))::BIGINT % $MOD)"
 
   val DomainCap = 10      // per-source quota (docs kept per domain)

@@ -363,6 +363,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_pipeline_ingest composes artifact probes — no nested loop, no cartesian") {
+    val p = plan("q_pipeline_ingest")
+    assert(p.contains("BroadcastHashJoin"), p) // bloom + threshold artifacts
+    assert(p.contains("LeftAnti"), p)          // candidate-only exact check
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {
