@@ -50,6 +50,11 @@ object Sketches {
     * Other columns of `probes` pass through. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame,
                   depth: Int, width: Int): DataFrame = {
+    val reserved = (0 until depth).flatMap(j => Seq(s"b$j", s"c$j")) :+ "est"
+    val clash = probes.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"probes columns ${clash.mkString(", ")} collide with cmsEstimate's " +
+        "working columns — rename them first")
     val joined = (0 until depth).foldLeft(probes) { (df, j) =>
       val cell = sketch.filter(col("j") === j)
         .select(col("bucket").as(s"b$j"), col("cnt").as(s"c$j"))

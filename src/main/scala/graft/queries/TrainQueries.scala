@@ -1052,6 +1052,46 @@ object TrainQueries {
               GROUP BY c_mktsegment"""),
       "TPC-H Q22-style dormant accounts (scalar AVG subquery + NOT EXISTS anti)"),
 
+    // TPC-H Q1 in FULL (q1_agg is the flagship's 5-column form): all
+    // eight aggregates — three money sums at increasing scales (cents,
+    // cents·pct, cents·pct·pct for the tax term), three averages as ONE
+    // IEEE division over exact integer sums rounded @6, and the counts.
+    Q("q_sql_tpch1",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 1e2, 2) AS sum_base_price,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+                        (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1e6, 2) AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100, 6) AS avg_price,
+                   round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100, 6) AS avg_disc,
+                   count(*) AS count_order
+                 FROM lineitem
+                 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+                 GROUP BY l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 1e2, 2) AS sum_base_price,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 1e4, 2) AS sum_disc_price,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+                     (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1e6, 2) AS sum_charge,
+                round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100, 6) AS avg_price,
+                round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100, 6) AS avg_disc,
+                count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus"""),
+      "TPC-H Q1 in full: eight aggregates, exact-long money, one-division averages"),
+
     // TPC-H Q2-style minimum-cost supplier: the correlated-scalar-MIN
     // shape — for each qualifying part, the European supplier(s) whose
     // best (minimum) offered price equals the region-wide minimum for
