@@ -320,6 +320,9 @@ object RelationalQueries {
     // oracle as q_agg_approx (sketch bytes are engine-specific; the band
     // is the checkable claim); HllSpec pins the lossless-union property —
     // merged-shard estimate ≡ single global sketch estimate, exactly.
+    // Plan-audit policy: the final crossJoin is 1 row × 1 row (estimate ×
+    // exact) — a declared guarded one-row broadcast, the same shape as
+    // q_text_tfidf's corpus total.
     Q("q_agg_hll_merge",
       (s, d) => {
         val li = t(s, d, "lineitem")
