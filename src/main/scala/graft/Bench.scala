@@ -50,7 +50,7 @@ object Bench {
     "q_sql_tpch11", "q_sql_tpch13", "q_sql_tpch15", "q_sql_tpch17",
     "q_sql_tpch20", "q_sql_tpch21",
     "q_media_video", "q_media_video_frames", "q_dedup_bloom", "q_text_cms",
-    "q_agg_hll_merge", "q_pipeline_ingest", "q_sql_tpch1")
+    "q_agg_hll_merge", "q_pipeline_ingest", "q_sql_tpch1", "q_bloom_fill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -342,6 +342,40 @@ object TrainQueries {
                                  WHERE e.doc_id % 5 <> 0 AND e.h = n.h)"""),
       "bloom publish/apply dedup: broadcast artifact prunes the anti-join shuffle"),
 
+    // The Bloom ARTIFACT itself, oracle-exact: probe positions are pure
+    // portable arithmetic (pmod/xor/shift over the md5-derived hash), so
+    // DuckDB rebuilds the identical bit set and the per-bucket popcount
+    // must match bit-for-bit — a stronger build gate than q_dedup_bloom's
+    // result invariance, which a bit-OVERcounting build bug could survive
+    // (extra bits only add false positives the exact check then removes).
+    Q("q_bloom_fill",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val p = graft.operators.Bloom.Params(buckets = 8, bits = 1024, probes = 3)
+        val seen = graft.operators.Dedup.contentHashes(
+            docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+          .select(col("h")).distinct()
+        graft.operators.Bloom.build(seen, p)
+          .select(col("bucket"),
+            aggregate(col("masks"), lit(0L),
+              (acc, m) => acc + bit_count(m).cast("long")).as("bits_set"))
+      },
+      Some(s"""WITH hashed AS (
+                 SELECT DISTINCT ${duckNormHash("text")} AS h FROM documents
+                 WHERE doc_id % 5 <> 0),
+               hs AS (SELECT h, h % 1024 AS h1,
+                        2 * (xor(h, h >> 30) % 512) + 1 AS h2
+                      FROM hashed),
+               pos AS (SELECT h % 8 AS bucket, (h1 + 0 * h2) % 1024 AS p FROM hs
+                       UNION ALL
+                       SELECT h % 8, (h1 + 1 * h2) % 1024 FROM hs
+                       UNION ALL
+                       SELECT h % 8, (h1 + 2 * h2) % 1024 FROM hs)
+               SELECT CAST(bucket AS INT) AS bucket,
+                 CAST(count(DISTINCT p) AS BIGINT) AS bits_set
+               FROM pos GROUP BY bucket"""),
+      "the bloom artifact bit-for-bit: per-bucket popcount vs DuckDB's rebuilt bit set"),
+
     // ---------- end-to-end near-dup removal ----------
     // The full dedup pipeline applied: MinHash-LSH pairs → connected
     // components → keep each cluster's canonical (minimum-id) member →
