@@ -50,7 +50,11 @@ object Bench {
     "q_sql_tpch11", "q_sql_tpch13", "q_sql_tpch15", "q_sql_tpch17",
     "q_sql_tpch20", "q_sql_tpch21",
     "q_media_video", "q_media_video_frames", "q_dedup_bloom", "q_text_cms",
-    "q_agg_hll_merge", "q_pipeline_ingest", "q_sql_tpch1", "q_bloom_fill")
+    "q_agg_hll_merge", "q_pipeline_ingest", "q_sql_tpch1", "q_bloom_fill",
+    // round-7 continuation: web-corpus curation (URL canonicalization +
+    // frozen hashed quality classifier)
+    "q_url_normalize", "q_dedup_url", "q_quality_classifier",
+    "q_quality_classifier_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the first dedup lever of every web-corpus
+  * pipeline: crawls see the same page as `HTTP://Host:80/a//b/?utm_x=1`
+  * and `http://host/a/b`, and collapsing those BEFORE content dedup is
+  * ~free (a per-row expression) while content dedup costs a shuffle.
+  *
+  * Reference scope: the reference engine keys streams by opaque strings
+  * (/root/reference/v1/src/main/java/Stream/Streamer.java:364-366) and has
+  * no notion of URL equivalence; this is part of the LLM-ingest surface
+  * the engine adds on top.
+  *
+  * Everything is composed from codegen'd built-ins (regexp/array HOFs —
+  * no UDFs), so canonicalization runs inside WholeStageCodegen as a pure
+  * map over the corpus: the 100 TB shape.
+  *
+  * Canonical form (RFC 3986 §6 normalizations that are safe without
+  * fetching, plus the standard tracking-param strip):
+  *  - scheme and host lowercased
+  *  - default ports dropped (`:80` for http, `:443` for https)
+  *  - fragment dropped
+  *  - duplicate path slashes collapsed; trailing slash dropped (non-root)
+  *  - empty path → `/`
+  *  - tracking params (`utm_*`, `fbclid`, `gclid`) removed; remaining
+  *    query params sorted byte-lexicographically; empty query dropped
+  */
+object UrlFunctions {
+
+  /** Params stripped from query strings (key-prefix regex). */
+  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid)="
+
+  private def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([^:/?#]+)://", 1))
+
+  private def authorityOf(url: Column): Column =
+    lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+
+  /** path + '?' + query, fragment excluded. */
+  private def pathQueryOf(url: Column): Column =
+    regexp_extract(url, "^[^:/?#]+://[^/?#]*([^#]*)", 1)
+
+  /** Canonical URL of a raw absolute http(s) URL column. */
+  def canonicalize(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val auth0 = authorityOf(url)
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val pq = pathQueryOf(url)
+    val path0 = regexp_replace(regexp_extract(pq, "^([^?]*)", 1), "/{2,}", "/")
+    val path = when(path0 === "" , lit("/"))
+      .when(path0 =!= "/", regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val query = regexp_extract(pq, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val q = array_join(kept, "&")
+    concat(scheme, lit("://"), auth, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** DuckDB fragment computing the identical canonical form of url
+    * expression `e` (oracle twin of [[canonicalize]]). */
+  def duckCanonicalize(e: String): String = {
+    val scheme = s"lower(regexp_extract($e, '^([^:/?#]+)://', 1))"
+    val auth0 = s"lower(regexp_extract($e, '^[^:/?#]+://([^/?#]*)', 1))"
+    val auth =
+      s"""CASE WHEN $scheme = 'http' THEN regexp_replace($auth0, ':80$$', '')
+         |     WHEN $scheme = 'https' THEN regexp_replace($auth0, ':443$$', '')
+         |     ELSE $auth0 END""".stripMargin
+    val pq = s"regexp_extract($e, '^[^:/?#]+://[^/?#]*([^#]*)', 1)"
+    val path0 =
+      s"regexp_replace(regexp_extract($pq, '^([^?]*)', 1), '/{2,}', '/', 'g')"
+    val path =
+      s"""CASE WHEN $path0 = '' THEN '/'
+         |     WHEN $path0 <> '/' THEN regexp_replace($path0, '/$$', '')
+         |     ELSE $path0 END""".stripMargin
+    val query = s"regexp_extract($pq, '\\?(.*)$$', 1)"
+    val kept = s"""list_sort(list_filter(string_split($query, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p, '$TrackingParamRe')))"""
+    // DuckDB's array_to_string returns NULL for an empty list (Spark's
+    // array_join returns '') — coalesce keeps the concat non-NULL
+    val q = s"coalesce(array_to_string($kept, '&'), '')"
+    s"""($scheme || '://' || ($auth) || ($path) ||
+        CASE WHEN $q = '' THEN '' ELSE '?' || $q END)"""
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{PortableHash, TextFunctions, UrlFunctions}
+
+/** Web-corpus curation operators: URL canonicalization + URL-level dedup
+  * (the stage every crawl pipeline runs before content dedup — per-row,
+  * shuffle-free) and a fastText-style hashed linear quality classifier
+  * published as a frozen weight artifact (the CCNet/GPT-3 quality-filter
+  * shape: train once on a reference slice, apply statelessly at ingest).
+  *
+  * Reference scope: beyond the reference engine (its per-record surface is
+  * four arithmetic stage functions, /root/reference/v1/src/main/java/
+  * Stream/Streamer.java:166-180); these are the web-scale ingest stages a
+  * 100 TB pretraining build runs in front of it.
+  *
+  * The test tables carry no URL column, so the URL entries derive a messy
+  * raw URL deterministically from (source, doc_id) — IDENTICALLY in both
+  * engines — as the fixture; the operator under test is the canonicalizer.
+  * doc_id % 4 selects the mess (case, default port, dup slashes, tracking
+  * params, fragment, unsorted query), doc_id div 4 the page, so variants
+  * 0..2 of each page collapse to ONE canonical URL and variant 3 (a real
+  * query string) stays distinct: the dedup entry is non-trivial.
+  */
+object WebQueries {
+  import PortableHash.MOD
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = Tables.load(s, dir, n)
+    if (n == "documents") Tables.ensureParallelism(df) else df
+  }
+
+  val WeightBuckets = 1024     // hashing-trick feature buckets
+  val KeepPpm = 500000         // keep threshold: P(reference|doc) ≥ 0.5
+  val WeightScale = 1000000L   // weights are P(reference|bucket) in ppm
+  val ApplySplit = 400         // doc_id < split trains; ≥ split is the batch
+
+  // ---------- fixture: deterministic messy raw URL ----------
+
+  private def page(): Column = expr("doc_id div 4")
+
+  /** Host derives from the PAGE (not the doc), so the 4 doc variants of a
+    * page hit the same canonical host and the dedup entry actually
+    * collapses groups. */
+  private def host(): Column =
+    concat(lit("w"), pmod(page(), lit(50)), lit(".example.com"))
+
+  private def rawUrl(): Column = {
+    val p = page()
+    when(pmod(col("doc_id"), lit(4)) === 0,
+      concat(lit("https://"), host(), lit("/docs/"), p))
+    .when(pmod(col("doc_id"), lit(4)) === 1,
+      concat(lit("HTTPS://"), upper(host()), lit(":443/docs/"), p, lit("/")))
+    .when(pmod(col("doc_id"), lit(4)) === 2,
+      concat(lit("https://"), host(), lit("/docs//"), p,
+        lit("?utm_source=feed&fbclid=abc#top")))
+    .otherwise(
+      concat(lit("https://"), host(), lit("/docs/"), p,
+        lit("?b=2&a=1#section")))
+  }
+
+  private val duckRawUrl: String =
+    """CASE doc_id % 4
+      | WHEN 0 THEN 'https://w' || ((doc_id // 4) % 50) || '.example.com/docs/' || (doc_id // 4)
+      | WHEN 1 THEN 'HTTPS://' || upper('w' || ((doc_id // 4) % 50) || '.example.com')
+      |             || ':443/docs/' || (doc_id // 4) || '/'
+      | WHEN 2 THEN 'https://w' || ((doc_id // 4) % 50) || '.example.com/docs//' || (doc_id // 4)
+      |             || '?utm_source=feed&fbclid=abc#top'
+      | ELSE 'https://w' || ((doc_id // 4) % 50) || '.example.com/docs/' || (doc_id // 4)
+      |      || '?b=2&a=1#section'
+      |END""".stripMargin
+
+  // ---------- classifier internals ----------
+
+  private def bucketOf(tok: Column): Column =
+    pmod(PortableHash.hashMod(tok), lit(WeightBuckets.toLong))
+
+  private def duckBucket(tok: String): String =
+    s"(${PortableHash.duckHashMod(tok)} % $WeightBuckets)"
+
+  /** Frozen weight artifact: bucket → P(reference-slice | bucket) in ppm,
+    * from token occurrences of `train` docs (reference slice = lang
+    * 'en'). One bounded aggregation: shuffle keys ≤ WeightBuckets. */
+  private def weights(train: DataFrame): DataFrame =
+    train
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(bucketOf(col("tok")).as("bucket"))
+      .agg(((sum(when(col("lang") === "en", 1L).otherwise(0L)) * WeightScale)
+        .cast("long")).as("good_scaled"), count(lit(1)).as("tot"))
+      .selectExpr("bucket", "good_scaled div tot AS w_ppm")
+
+  /** Stateless scoring against a frozen weight map: ZERO shuffle — the
+    * artifact (≤ WeightBuckets rows, a bounded metadata-scale collect like
+    * the k-means centroids) becomes a map literal and each doc's mean
+    * bucket weight is one `aggregate` HOF inside codegen. At 100 TB the
+    * corpus is never re-partitioned; scoring is a pure map. */
+  private def score(wmap: Map[Long, Long], docs: DataFrame): DataFrame = {
+    val m = typedLit(wmap)
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        aggregate(col("toks"), lit(0L),
+          (acc, tk) => acc + coalesce(element_at(m,
+            pmod(PortableHash.hashMod(tk), lit(WeightBuckets.toLong))), lit(0L)))
+          .as("tot_ppm"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .selectExpr("doc_id", "tot_ppm div n_toks AS score_ppm")
+      .select(col("doc_id"), col("score_ppm"),
+        (col("score_ppm") >= KeepPpm).as("keep"))
+  }
+
+  private def collectWeights(w: DataFrame): Map[Long, Long] =
+    w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def duckWeights(trainPred: String): String =
+    s"""toks AS (SELECT lang, unnest(${LlmQueries.duckTokens("text")}) AS tok
+       |         FROM documents WHERE $trainPred),
+       |w AS (SELECT ${duckBucket("tok")} AS bucket,
+       |        (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * $WeightScale)
+       |          // count(*) AS w_ppm
+       |      FROM toks GROUP BY 1)""".stripMargin
+
+  private def duckScore(scorePred: String): String =
+    s"""dtoks AS (SELECT doc_id, unnest(${LlmQueries.duckTokens("text")}) AS tok
+       |          FROM documents WHERE $scorePred),
+       |sc AS (SELECT doc_id,
+       |         sum(coalesce(w_ppm, 0)) // count(*) AS score_ppm
+       |       FROM (SELECT doc_id, ${duckBucket("tok")} AS bucket FROM dtoks) d
+       |       LEFT JOIN w USING (bucket) GROUP BY doc_id)
+       |SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm,
+       |       score_ppm >= $KeepPpm AS keep
+       |FROM sc""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---------- URL canonicalization ----------
+    Q("q_url_normalize",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), rawUrl().as("raw_url"))
+        .select(col("doc_id"), col("raw_url"),
+          UrlFunctions.canonicalize(col("raw_url")).as("url")),
+      Some(s"""SELECT doc_id, raw_url,
+                 ${UrlFunctions.duckCanonicalize("raw_url")} AS url
+               FROM (SELECT doc_id, ($duckRawUrl) AS raw_url FROM documents)"""),
+      "URL canonicalization (RFC 3986 case/port/slash + tracking-param strip), per-row"),
+
+    // URL-level dedup: group by canonical form, keep the smallest doc_id.
+    // One aggregation on the canonical key — the cheap first-pass dedup
+    // that runs BEFORE any content shuffle.
+    Q("q_dedup_url",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), UrlFunctions.canonicalize(rawUrl()).as("url"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("kept_doc_id")),
+      Some(s"""SELECT url, count(*) AS n_variants, min(doc_id) AS kept_doc_id
+               FROM (SELECT doc_id,
+                       ${UrlFunctions.duckCanonicalize("raw_url")} AS url
+                     FROM (SELECT doc_id, ($duckRawUrl) AS raw_url FROM documents))
+               GROUP BY url"""),
+      "canonical-URL dedup (crawl variants collapse before content dedup)"),
+
+    // ---------- hashed linear quality classifier ----------
+    // Weights from the whole corpus, scored over the whole corpus: the
+    // self-contained form. Integer ppm weights ⇒ engine-exact.
+    Q("q_quality_classifier",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        score(collectWeights(weights(docs)), docs)
+      },
+      Some(s"""WITH ${duckWeights("TRUE")},
+               ${duckScore("TRUE")}"""),
+      "fastText-style hashed linear quality scorer (P(reference|doc) in ppm)"),
+
+    // The publish/apply split: weights FROZEN from the history slice
+    // (doc_id < ApplySplit), applied statelessly to the new batch — the
+    // ingest-time topology shared with the bloom/decontam/mix artifacts.
+    Q("q_quality_classifier_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val frozen = collectWeights(
+          weights(docs.filter(col("doc_id") < ApplySplit)))
+        score(frozen, docs.filter(col("doc_id") >= ApplySplit))
+      },
+      Some(s"""WITH ${duckWeights(s"doc_id < $ApplySplit")},
+               ${duckScore(s"doc_id >= $ApplySplit")}"""),
+      "frozen quality-classifier weights applied statelessly to a new batch"),
+  )
+}

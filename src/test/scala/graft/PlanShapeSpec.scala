@@ -371,6 +371,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  // Both pins allow the round-robin Exchange that Tables.ensureParallelism
+  // adds over the single-file TEST input — a fixture artifact; the claim is
+  // that the OPERATOR itself never hash/range-partitions the corpus.
+  test("q_url_normalize is a pure map — no hash or range repartition") {
+    val p = plan("q_url_normalize")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q_quality_classifier_apply scores against the frozen map with zero shuffles") {
+    // the weight artifact is collected at build time (bounded ≤ 1024 rows,
+    // the k-means-centroid pattern); the RETURNED scoring plan must be a
+    // pure map over the batch — at 100 TB the corpus never re-partitions
+    val p = plan("q_quality_classifier_apply")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFunctions
+
+/** URL canonicalization + hashed quality classifier: the invariants the
+  * DuckDB oracle can't state (idempotence, per-case edge semantics, the
+  * zero-shuffle apply plan).
+  */
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlFunctions.canonicalize(col("u"))).as[String]
+      .collect().toSeq
+
+  test("canonicalize: case, default port, dup slash, fragment, tracking params") {
+    assert(canon(
+      "HTTP://WWW.Site.COM:80//a//b/?utm_source=x&z=1&a=2#frag",
+      "https://site.com:443/",
+      "https://site.com",
+      "http://site.com:8080/a/",
+      "https://site.com/a?fbclid=1&gclid=2&utm_campaign=c",
+      "https://site.com/a?b=2&a=1") == Seq(
+      "http://www.site.com/a/b?a=2&z=1",
+      "https://site.com/",
+      "https://site.com/",
+      "http://site.com:8080/a", // non-default port survives
+      "https://site.com/a",
+      "https://site.com/a?a=1&b=2"))
+  }
+
+  test("canonicalize: :443 is only default for https, :80 only for http") {
+    assert(canon("http://h.com:443/x", "https://h.com:80/x") ==
+      Seq("http://h.com:443/x", "https://h.com:80/x"))
+  }
+
+  test("canonicalize is idempotent") {
+    val raw = Seq(
+      "HTTP://A.com:80//p///q?utm_x=1&b=2&a=3#f",
+      "https://b.org:443", "http://c.net/d/?gclid=9")
+    val once = canon(raw: _*)
+    assert(canon(once: _*) == once)
+  }
+
+  test("quality classifier scores are ppm-bounded and partition-invariant") {
+    val scored = SparkEntry.queries("q_quality_classifier")(spark, sf0001)
+    val rows = scored.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getLong(1); s >= 0L && s <= 1000000L
+    })
+    // same result when the corpus arrives in a different partitioning
+    val again = SparkEntry.queries("q_quality_classifier")(spark, sf0001)
+      .repartition(7).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
+  test("classifier separates the reference slice: en mean score > zh mean score") {
+    val docs = core.Tables.load(spark, sf0001, "documents")
+    val scored = SparkEntry.queries("q_quality_classifier")(spark, sf0001)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val means = scored.groupBy("lang").agg(avg(col("score_ppm")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(means("en") > means("zh"),
+      s"expected en-mean > zh-mean, got $means")
+  }
+}
