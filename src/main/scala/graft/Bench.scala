@@ -54,7 +54,7 @@ object Bench {
     // round-7 continuation: web-corpus curation (URL canonicalization +
     // frozen hashed quality classifier)
     "q_url_normalize", "q_dedup_url", "q_quality_classifier",
-    "q_quality_classifier_apply")
+    "q_quality_classifier_apply", "q_agg_kmv", "q_agg_kmv_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, ArraySqDist, Md5Hash60, MisraGriesAgg, WordShingles}
+import graft.functions.{ArrayDot, ArraySqDist, KmvAgg, Md5Hash60, MisraGriesAgg, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * codegen expressions as SQL functions, so `spark.sql` users get the
@@ -68,6 +68,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val cap = literalInt("misra_gries_candidates", "capacity", children(1))
         new MisraGriesAgg(children.head, cap)
+      }))
+    ext.injectFunction((FunctionIdentifier("kmv_bottomk"),
+      info("kmv_bottomk",
+        "kmv_bottomk(hash, k) - k minimum distinct values (KMV distinct-" +
+        "count sketch; deterministic, mergeable, bottom-k array ascending)"),
+      (children: Seq[Expression]) => {
+        val k = literalInt("kmv_bottomk", "k", children(1))
+        new KmvAgg(children.head, k)
       }))
   }
 

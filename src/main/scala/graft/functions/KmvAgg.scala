@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** KMV ("k minimum values") distinct-count sketch: the k smallest DISTINCT
+  * hash values of a stream (Bar-Yossef et al., "Counting distinct elements
+  * in a data stream", RANDOM 2002; estimator form Beyer et al., SIGMOD
+  * 2007). The state is ≤ k longs; update and merge keep only the bottom-k,
+  * so a groupBy shuffles O(tasks × k) longs instead of the distinct value
+  * set — the cheap half of countDistinct, with a mergeable artifact.
+  *
+  * Unlike HLL the ARTIFACT itself is deterministic: bottom-k of a set is
+  * invariant to arrival order, partitioning, and merge shape, so the
+  * DuckDB oracle rebuilds the IDENTICAL array (ORDER BY hash LIMIT k) and
+  * the sketch is gated value-exact, not by a tolerance band. With hashes
+  * uniform on [0, MOD) the estimator is `(k-1)·MOD div kth_min` — integer
+  * arithmetic both engines reproduce bit-for-bit.
+  */
+final class KmvBuffer(val k: Int) {
+  val set = new java.util.TreeSet[java.lang.Long]()
+
+  def offer(v: Long): Unit = {
+    if (set.size < k) { set.add(v); () }
+    else if (v < set.last()) {
+      // TreeSet.add dedups; only evict when something was inserted
+      if (set.add(v)) { set.remove(set.last()); () }
+    }
+  }
+
+  def mergeIn(other: KmvBuffer): Unit = {
+    val it = other.set.iterator()
+    while (it.hasNext) offer(it.next())
+  }
+}
+
+/** Catalyst aggregate emitting the bottom-k array (ascending) of a LONG
+  * column. SQL-registered as `kmv_bottomk(h, k)`. */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.offer(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buffer.mergeIn(other)
+    buffer
+  }
+
+  override def eval(buffer: KmvBuffer): Any = {
+    val out = new Array[Any](buffer.set.size)
+    val it = buffer.set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.set.size)
+    bb.putInt(buffer.set.size)
+    val it = buffer.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.set.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_bottomk"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+    copy(child = newChild)
+}
+
+object KmvAgg {
+  def apply(c: Column, k: Int): Column = ColumnBridge.column(
+    new KmvAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+}

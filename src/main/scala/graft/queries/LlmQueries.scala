@@ -35,7 +35,7 @@ object LlmQueries {
 
   /** word n-gram shingles over a tokens fragment (mirrors
     * TextFunctions.shingles: windows at i=0..max(len-n,0), joined by ' '). */
-  private def duckShingles(ts: String, n: Int): String =
+  private[queries] def duckShingles(ts: String, n: Int): String =
     s"""list_filter(list_transform(range(0, greatest(len($ts) - $n, 0) + 1),
        |  i -> array_to_string($ts[i+1:i+$n], ' ')), s -> s <> '')""".stripMargin
 

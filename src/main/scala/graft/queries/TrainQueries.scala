@@ -45,6 +45,7 @@ object TrainQueries {
   val HeavyPerMille = 30  // heavy-hitter threshold (3% of the token stream)
   val CmsDepth = 3        // count-min rows (independent hash functions)
   val CmsWidth = 2048     // count-min buckets per row
+  val KmvK = 64           // KMV sketch size (k minimum distinct hashes)
   val ChunkSize = 24      // tokens per training chunk
   val ChunkStride = 16    // chunk start stride (ChunkSize − overlap)
 
@@ -155,6 +156,80 @@ object TrainQueries {
             GROUP BY pb.tok"""
       },
       "count-min sketch artifact + zero-shuffle probe (estimate-exact oracle)"),
+
+    // KMV (k-minimum-values) distinct sketch: bottom-KmvK distinct hashes
+    // per group, state ≤ KmvK longs — countDistinct's cheap mergeable
+    // half (shuffle O(tasks × k), not the distinct set). UNLIKE HLL the
+    // artifact is deterministic (bottom-k is merge-order-invariant), so
+    // the oracle rebuilds the IDENTICAL kth value and the integer
+    // estimator `(k-1)·MOD div kth` — gated value-exact, no tolerance
+    // band. nd_hash (the exact count) rides along to show the accuracy.
+    Q("q_agg_kmv",
+      (s, d) => {
+        val h = t(s, d, "documents")
+          .select(col("lang"),
+            explode(TextFunctions.shingles(col("text"), 3)).as("tok"))
+          .select(col("lang"), PortableHash.hashMod(col("tok")).as("h"))
+        h.groupBy("lang")
+          .agg(graft.functions.KmvAgg(col("h"), KmvK).as("karr"),
+            countDistinct(col("h")).as("nd_hash"))
+          .select(col("lang"), size(col("karr")).as("n_k"),
+            element_at(col("karr"), size(col("karr"))).as("kth"),
+            col("nd_hash"))
+          .withColumn("est_distinct",
+            when(col("n_k") < KmvK, col("n_k").cast("long"))
+              .otherwise(expr(s"(${KmvK - 1} * ${MOD}L) div kth")))
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT lang, ${PortableHash.duckHashMod("tok")} AS h
+               |          FROM (SELECT lang,
+               |                  unnest(${LlmQueries.duckShingles(LlmQueries.duckTokens("text"), 3)}) AS tok
+               |                FROM documents)),
+               |bk AS (SELECT lang, h FROM (
+               |         SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+               |         FROM h) WHERE rn <= $KmvK),
+               |agg AS (SELECT lang, CAST(count(*) AS INT) AS n_k, max(h) AS kth
+               |        FROM bk GROUP BY lang),
+               |nd AS (SELECT lang, count(*) AS nd_hash FROM h GROUP BY lang)
+               |SELECT lang, n_k, kth, nd_hash,
+               |  CAST(CASE WHEN n_k < $KmvK THEN n_k
+               |            ELSE (${KmvK - 1}::BIGINT * ${MOD}) // kth END AS BIGINT) AS est_distinct
+               |FROM agg JOIN nd USING (lang)""".stripMargin),
+      "KMV bottom-k distinct sketch per group (deterministic artifact, value-exact oracle)"),
+
+    // The mergeable-artifact half of KMV (the HLL-merge pattern, but
+    // gated EXACTLY): per-source shard sketches union-merged by
+    // re-aggregating their flattened arrays — the merged bottom-k must
+    // equal the direct single-pass global bottom-k bit-for-bit (lossless
+    // union: bottom_k(∪ bottom_k(Sᵢ)) = bottom_k(∪ Sᵢ)). Plan-audit
+    // policy: the final crossJoin is 1 row × 1 row (merged × direct), a
+    // declared guarded one-row broadcast like q_agg_hll_merge's.
+    Q("q_agg_kmv_merge",
+      (s, d) => {
+        val h = t(s, d, "documents")
+          .select(col("source"),
+            explode(TextFunctions.shingles(col("text"), 3)).as("tok"))
+          .select(col("source"), PortableHash.hashMod(col("tok")).as("h"))
+        val shards = h.groupBy("source")
+          .agg(graft.functions.KmvAgg(col("h"), KmvK).as("karr"))
+        val merged = shards.select(explode(col("karr")).as("h"))
+          .agg(graft.functions.KmvAgg(col("h"), KmvK).as("karr"))
+        val direct = h.agg(graft.functions.KmvAgg(col("h"), KmvK).as("dkarr"))
+        merged.crossJoin(direct)
+          .select(size(col("karr")).as("n_k"),
+            element_at(col("karr"), size(col("karr"))).as("kth"),
+            expr(s"(${KmvK - 1} * ${MOD}L) div element_at(karr, size(karr))")
+              .as("est_distinct"),
+            (col("karr") === col("dkarr")).as("merged_eq_direct"))
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT ${PortableHash.duckHashMod("tok")} AS h
+               |          FROM (SELECT unnest(${LlmQueries.duckShingles(LlmQueries.duckTokens("text"), 3)}) AS tok
+               |                FROM documents)),
+               |bk AS (SELECT h FROM h ORDER BY h LIMIT $KmvK)
+               |SELECT CAST(count(*) AS INT) AS n_k, max(h) AS kth,
+               |  CAST((${KmvK - 1}::BIGINT * ${MOD}) // max(h) AS BIGINT) AS est_distinct,
+               |  TRUE AS merged_eq_direct
+               |FROM bk""".stripMargin),
+      "per-shard KMV sketches union-merged — merged artifact equals direct, bit-for-bit"),
 
     // ---------- weighted sampling (quality-proportional) ----------
     // Sample WeightedK docs with probability proportional to word count,

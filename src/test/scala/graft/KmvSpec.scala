@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvAgg
+
+/** KMV bottom-k sketch: the invariants the value-exact oracle can't state —
+  * partition/merge-order invariance of the artifact, the lossless-union
+  * property, and the bounded-state contract.
+  */
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 8
+
+  /** deterministic pseudo-random longs with duplicates */
+  private def vals(n: Int, mod: Long = 997L): Seq[Long] =
+    (0 until n).map(i => (i.toLong * 2654435761L + 123L) % mod)
+
+  private def expected(xs: Seq[Long]): Seq[Long] =
+    xs.distinct.sorted.take(K)
+
+  test("bottom-k equals sorted-distinct-take-k under any partitioning") {
+    val xs = vals(500)
+    for (parts <- Seq(1, 3, 7, 32)) {
+      val got = xs.toDF("h").repartition(parts)
+        .agg(KmvAgg(col("h"), K).as("karr"))
+        .as[Seq[Long]].head()
+      assert(got == expected(xs), s"parts=$parts")
+    }
+  }
+
+  test("fewer distinct values than k: emits them all, ascending") {
+    val xs = Seq(5L, 3L, 5L, 9L, 3L)
+    val got = xs.toDF("h").agg(KmvAgg(col("h"), K)).as[Seq[Long]].head()
+    assert(got == Seq(3L, 5L, 9L))
+  }
+
+  test("union of shard sketches re-sketched equals the direct global sketch") {
+    val xs = vals(400, 5000L)
+    val df = xs.zipWithIndex.map { case (v, i) => (i % 13, v) }
+      .toDF("shard", "h")
+    val merged = df.groupBy("shard").agg(KmvAgg(col("h"), K).as("karr"))
+      .select(explode(col("karr")).as("h"))
+      .agg(KmvAgg(col("h"), K)).as[Seq[Long]].head()
+    val direct = df.agg(KmvAgg(col("h"), K)).as[Seq[Long]].head()
+    assert(merged == direct && direct == expected(xs))
+  }
+
+  test("nulls are ignored, not counted") {
+    val got = Seq(Some(7L), None, Some(2L), None, Some(7L))
+      .toDF("h").agg(KmvAgg(col("h"), K)).as[Seq[Long]].head()
+    assert(got == Seq(2L, 7L))
+  }
+
+  test("SQL registration: kmv_bottomk(h, k) via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT kmv_bottomk(h, 3) FROM VALUES (9L),(1L),(4L),(1L),(7L) AS t(h)")
+      .as[Seq[Long]].head()
+    assert(got == Seq(1L, 4L, 7L))
+  }
+
+  test("SQL registration: non-literal k raises the intended error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT kmv_bottomk(h, h::INT) FROM VALUES (1L) AS t(h)")
+        .collect()
+    }
+    assert(e.getMessage.contains("must be a literal int"), e.getMessage)
+  }
+}
