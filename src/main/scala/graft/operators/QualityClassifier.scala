@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, TextFunctions}
+
+/** fastText-style hashed linear quality scorer (the CCNet/GPT-3 quality-
+  * filter shape): token features hashed into `WeightBuckets` buckets, a
+  * per-bucket weight learned from a labeled reference slice, a document's
+  * score the mean weight of its token stream. Weights are integer ppm
+  * (P(reference | bucket) scaled by 1e6), so scores are engine-exact.
+  *
+  * Publish/apply topology (shared with the bloom/decontam/mix
+  * artifacts): [[weights]] is ONE bounded aggregation (shuffle keys ≤
+  * WeightBuckets); the artifact is collected (≤ WeightBuckets rows — the
+  * k-means-centroid bounded-collect pattern) and [[score]] applies it as
+  * a map literal inside an `aggregate` HOF: a pure codegen map with ZERO
+  * shuffles, so scoring runs at ingest against frozen weights and the
+  * corpus is never re-partitioned. Being stateless, the streaming twin
+  * is the identical expression (StreamingQualityScoreSpec).
+  */
+object QualityClassifier {
+
+  val WeightBuckets = 1024     // hashing-trick feature buckets
+  val KeepPpm = 500000L        // keep threshold: P(reference|doc) ≥ 0.5
+  val WeightScale = 1000000L   // weights are P(reference|bucket) in ppm
+
+  def bucketOf(tok: Column): Column =
+    pmod(PortableHash.hashMod(tok), lit(WeightBuckets.toLong))
+
+  /** Weight artifact: bucket → P(reference-slice | bucket) in ppm, from
+    * the token occurrences of `train` docs; `isReference` labels the
+    * reference slice (e.g. `col("lang") === "en"`). */
+  def weights(train: DataFrame, isReference: Column): DataFrame =
+    train
+      .select(isReference.as("ref"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(bucketOf(col("tok")).as("bucket"))
+      .agg(((sum(when(col("ref"), 1L).otherwise(0L)) * WeightScale)
+        .cast("long")).as("good_scaled"), count(lit(1)).as("tot"))
+      .selectExpr("bucket", "good_scaled div tot AS w_ppm")
+
+  /** Collect the artifact for [[score]] — bounded ≤ WeightBuckets rows. */
+  def collectWeights(w: DataFrame): Map[Long, Long] =
+    w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Stateless scoring of `docs` (needs doc_id, text) against frozen
+    * weights: (doc_id, score_ppm, keep). Documents with no tokens are
+    * dropped (no denominator). */
+  def score(wmap: Map[Long, Long], docs: DataFrame): DataFrame = {
+    val m = typedLit(wmap)
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        aggregate(col("toks"), lit(0L),
+          (acc, tk) => acc + coalesce(element_at(m, bucketOf(tk)), lit(0L)))
+          .as("tot_ppm"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .selectExpr("doc_id", "tot_ppm div n_toks AS score_ppm")
+      .select(col("doc_id"), col("score_ppm"),
+        (col("score_ppm") >= KeepPpm).as("keep"))
+  }
+}

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{PortableHash, TextFunctions, UrlFunctions}
+import graft.functions.{PortableHash, UrlFunctions}
+import graft.operators.QualityClassifier
 
 /** Web-corpus curation operators: URL canonicalization + URL-level dedup
   * (the stage every crawl pipeline runs before content dedup — per-row,
@@ -33,9 +34,7 @@ object WebQueries {
     if (n == "documents") Tables.ensureParallelism(df) else df
   }
 
-  val WeightBuckets = 1024     // hashing-trick feature buckets
-  val KeepPpm = 500000         // keep threshold: P(reference|doc) ≥ 0.5
-  val WeightScale = 1000000L   // weights are P(reference|bucket) in ppm
+  import QualityClassifier.{KeepPpm, WeightBuckets, WeightScale}
   val ApplySplit = 400         // doc_id < split trains; ≥ split is the batch
 
   // ---------- fixture: deterministic messy raw URL ----------
@@ -73,48 +72,10 @@ object WebQueries {
       |      || '?b=2&a=1#section'
       |END""".stripMargin
 
-  // ---------- classifier internals ----------
-
-  private def bucketOf(tok: Column): Column =
-    pmod(PortableHash.hashMod(tok), lit(WeightBuckets.toLong))
+  // ---------- classifier oracle SQL (impl: operators.QualityClassifier) ----------
 
   private def duckBucket(tok: String): String =
     s"(${PortableHash.duckHashMod(tok)} % $WeightBuckets)"
-
-  /** Frozen weight artifact: bucket → P(reference-slice | bucket) in ppm,
-    * from token occurrences of `train` docs (reference slice = lang
-    * 'en'). One bounded aggregation: shuffle keys ≤ WeightBuckets. */
-  private def weights(train: DataFrame): DataFrame =
-    train
-      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .groupBy(bucketOf(col("tok")).as("bucket"))
-      .agg(((sum(when(col("lang") === "en", 1L).otherwise(0L)) * WeightScale)
-        .cast("long")).as("good_scaled"), count(lit(1)).as("tot"))
-      .selectExpr("bucket", "good_scaled div tot AS w_ppm")
-
-  /** Stateless scoring against a frozen weight map: ZERO shuffle — the
-    * artifact (≤ WeightBuckets rows, a bounded metadata-scale collect like
-    * the k-means centroids) becomes a map literal and each doc's mean
-    * bucket weight is one `aggregate` HOF inside codegen. At 100 TB the
-    * corpus is never re-partitioned; scoring is a pure map. */
-  private def score(wmap: Map[Long, Long], docs: DataFrame): DataFrame = {
-    val m = typedLit(wmap)
-    docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        aggregate(col("toks"), lit(0L),
-          (acc, tk) => acc + coalesce(element_at(m,
-            pmod(PortableHash.hashMod(tk), lit(WeightBuckets.toLong))), lit(0L)))
-          .as("tot_ppm"),
-        size(col("toks")).cast("long").as("n_toks"))
-      .selectExpr("doc_id", "tot_ppm div n_toks AS score_ppm")
-      .select(col("doc_id"), col("score_ppm"),
-        (col("score_ppm") >= KeepPpm).as("keep"))
-  }
-
-  private def collectWeights(w: DataFrame): Map[Long, Long] =
-    w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def duckWeights(trainPred: String): String =
     s"""toks AS (SELECT lang, unnest(${LlmQueries.duckTokens("text")}) AS tok
@@ -169,7 +130,8 @@ object WebQueries {
     Q("q_quality_classifier",
       (s, d) => {
         val docs = t(s, d, "documents")
-        score(collectWeights(weights(docs)), docs)
+        QualityClassifier.score(QualityClassifier.collectWeights(
+          QualityClassifier.weights(docs, col("lang") === "en")), docs)
       },
       Some(s"""WITH ${duckWeights("TRUE")},
                ${duckScore("TRUE")}"""),
@@ -181,9 +143,9 @@ object WebQueries {
     Q("q_quality_classifier_apply",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val frozen = collectWeights(
-          weights(docs.filter(col("doc_id") < ApplySplit)))
-        score(frozen, docs.filter(col("doc_id") >= ApplySplit))
+        val frozen = QualityClassifier.collectWeights(QualityClassifier.weights(
+          docs.filter(col("doc_id") < ApplySplit), col("lang") === "en"))
+        QualityClassifier.score(frozen, docs.filter(col("doc_id") >= ApplySplit))
       },
       Some(s"""WITH ${duckWeights(s"doc_id < $ApplySplit")},
                ${duckScore(s"doc_id >= $ApplySplit")}"""),

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+import graft.functions.KmvBuffer
+
+/** Per-group KMV distinct-count sketch AT INGEST: the same bottom-k
+  * summary the batch [[graft.functions.KmvAgg]] aggregate computes,
+  * maintained as streaming keyed state — a LIVE distinct-cardinality
+  * estimate per group (unique users per domain, unique shingles per
+  * language, ...) with ≤ k longs of state per group.
+  *
+  * Bottom-k of a set is an arrival-order-invariant, idempotent fold
+  * (re-offering a seen value is a no-op), which buys the two properties
+  * the streaming twin wants for free:
+  *   - EXACT batch equivalence: the final streaming state equals the
+  *     batch aggregate's artifact bit-for-bit, regardless of batch
+  *     boundaries or a kill/restart (StreamingKmvSpec pins this) —
+  *     stronger than the MG twin, whose candidate set is only
+  *     guarantee-equivalent.
+  *   - redelivery silence: replaying records cannot move the sketch, so
+  *     at-least-once delivery needs no dedup in front of it.
+  *
+  * Emissions follow the changelog discipline: one row per (group,
+  * change) under a monotone version, carrying the sorted bottom-k array
+  * and the integer estimate `(k-1)·MOD div kth` (the batch entries'
+  * estimator). Batches that change nothing emit nothing — over time the
+  * bottom-k hardens and emissions go quiet, bounded by the k·log(n)
+  * expected total set changes, not by batch count.
+  */
+object StreamingKmv {
+
+  case class HashRec(grp: String, h: Long)
+  case class KmvState(version: Long, karr: Array[Long])
+  /** Changelog emission: `est` uses the batch estimator over hashes
+    * uniform on [0, mod); exact (= karr length) while the sketch is not
+    * yet full. */
+  case class KmvUpdate(grp: String, version: Long, karr: Array[Long],
+                       est: Long)
+
+  class KmvProcessor(k: Int, mod: Long)
+      extends StatefulProcessor[String, HashRec, KmvUpdate] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    @transient private var st: ValueState[KmvState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KmvState]("kmv",
+        Encoders.product[KmvState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[HashRec],
+                                 timerValues: TimerValues): Iterator[KmvUpdate] = {
+      val cur = Option(st.get())
+      val buf = new KmvBuffer(k)
+      cur.foreach(_.karr.foreach(buf.offer))
+      val before = cur.map(_.karr.toSeq).getOrElse(Seq.empty)
+      rows.foreach(r => buf.offer(r.h))
+      val after = {
+        val out = new Array[Long](buf.set.size)
+        val it = buf.set.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+        out
+      }
+      if (after.toSeq == before) Iterator.empty
+      else {
+        val version = cur.map(_.version).getOrElse(0L) + 1L
+        st.update(KmvState(version, after))
+        val est =
+          if (after.length < k) after.length.toLong
+          else (k - 1).toLong * mod / after.last
+        Iterator.single(KmvUpdate(key, version, after, est))
+      }
+    }
+  }
+
+  /** Live per-group bottom-k sketches over (grp, hash) records. Hashes
+    * should be [[graft.functions.PortableHash.hashMod]] values (uniform
+    * on [0, MOD)) for the estimate to be meaningful. Requires the
+    * RocksDB state store ([[KeyedStage.rocksConf]]). */
+  def sketches(ds: Dataset[HashRec], k: Int,
+               mod: Long = graft.functions.PortableHash.MOD): Dataset[KmvUpdate] = {
+    implicit val outEnc = Encoders.product[KmvUpdate]
+    ds.groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new KmvProcessor(k, mod),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

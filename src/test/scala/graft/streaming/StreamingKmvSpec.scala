@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.functions.{KmvAgg, PortableHash, TextFunctions}
+
+/** The streaming KMV sketch is an order-invariant idempotent fold, so the
+  * claims are EXACT: the final per-group state equals the batch aggregate
+  * bit-for-bit across batch splits and a kill/restart, and redelivering
+  * already-seen records emits nothing.
+  */
+class StreamingKmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 64
+
+  test("final sketch equals the batch artifact across a restart; redelivery is silent") {
+    val hashes = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("lang").as("grp"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("tok"))
+      .select(col("grp"), PortableHash.hashMod(col("tok")).as("h"))
+    val n = hashes.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_kmv_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmv_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StreamingKmv.HashRec]
+      val q = StreamingKmv.sketches(src, K).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val firstHalf = hashes.limit((n / 2).toInt)
+    firstHalf.coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    hashes.exceptAll(firstHalf).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+
+    def latestPerGroup(): Map[String, (Long, Seq[Long], Long)] = {
+      val out = spark.read.parquet(outDir)
+      out.join(out.groupBy("grp").agg(max("version").as("version")),
+          Seq("grp", "version"))
+        .select("grp", "version", "karr", "est")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getSeq[Long](2).toSeq, r.getLong(3))))
+        .toMap
+    }
+    val afterFeed = latestPerGroup()
+
+    val batch = spark.read.parquet(dir)
+      .groupBy("grp").agg(KmvAgg(col("h"), K).as("karr"))
+      .as[(String, Seq[Long])].collect().toMap
+
+    assert(afterFeed.keySet == batch.keySet)
+    afterFeed.foreach { case (grp, (_, karr, est)) =>
+      assert(karr == batch(grp),
+        s"$grp: streaming state diverged from the batch artifact")
+      assert(karr.size <= K)
+      val want =
+        if (karr.size < K) karr.size.toLong
+        else (K - 1).toLong * PortableHash.MOD / karr.last
+      assert(est == want, s"$grp: estimator mismatch")
+    }
+
+    // redelivery: replay the first half — every value is already in the
+    // sketches, so state cannot move and NOTHING may be emitted
+    firstHalf.coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    val afterReplay = latestPerGroup()
+    assert(afterReplay == afterFeed,
+      "redelivered records must not emit new versions")
+  }
+}

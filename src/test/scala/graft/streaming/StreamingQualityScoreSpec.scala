@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.QualityClassifier
+
+/** Ingest-time quality scoring against FROZEN classifier weights:
+  * [[QualityClassifier.score]] is a pure per-row expression over a map
+  * literal (no windows, no keyed state), so it must run unchanged under
+  * Structured Streaming and produce exactly the batch rows — including
+  * across a restart, where the file-source offset log alone carries the
+  * progress. The sixth member of the publish-artifact/apply-at-ingest
+  * topology (decontam hashes, boilerplate index, mix factors, bloom,
+  * count-min), sharing their stateless-apply discipline.
+  */
+class StreamingQualityScoreSpec extends SparkSpec {
+
+  test("streamed frozen-weight scoring ≡ batch scoring, across a restart") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val train = docs.filter(col("doc_id") < 400)
+    val batchIn = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text"))
+    val frozen = QualityClassifier.collectWeights(
+      QualityClassifier.weights(train, col("lang") === "en"))
+
+    val n = batchIn.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_qs_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_qs_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qs_ck").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = QualityClassifier.score(frozen, src)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    batchIn.limit((n / 2).toInt).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    batchIn.exceptAll(batchIn.limit((n / 2).toInt)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = QualityClassifier.score(frozen, spark.read.parquet(dir))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
