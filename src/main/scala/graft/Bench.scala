@@ -54,7 +54,8 @@ object Bench {
     // round-7 continuation: web-corpus curation (URL canonicalization +
     // frozen hashed quality classifier)
     "q_url_normalize", "q_dedup_url", "q_quality_classifier",
-    "q_quality_classifier_apply", "q_agg_kmv", "q_agg_kmv_merge")
+    "q_quality_classifier_apply", "q_agg_kmv", "q_agg_kmv_merge",
+    "q_profile_table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

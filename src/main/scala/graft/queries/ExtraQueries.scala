@@ -587,5 +587,90 @@ object ExtraQueries {
                         ORDER BY n DESC, o_orderpriority) AS rn
                     FROM orders GROUP BY o_orderstatus, o_orderpriority)
               WHERE rn = 1"""),
-      "exact per-group mode with deterministic tiebreak (two-level aggregate)"))
+      "exact per-group mode with deterministic tiebreak (two-level aggregate)"),
+
+    // Single-pass table profiler (the ANALYZE TABLE shape): per-column
+    // row/null counts, exact distinct, KMV estimated distinct, min/max —
+    // ONE scan, 4×6 aggregates in one HashAggregate, stacked to a row
+    // per column afterwards. Each column declares its string renderer
+    // (qty→long, money→DECIMAL(18,2), date→ISO) so min/max and the hash
+    // domain are engine-exact. At 100 TB the nd_exact column is the one
+    // to drop (its countDistinct plans an expand over the scan); the KMV
+    // estimate beside it is the bounded-state path and the profiler's
+    // scale mode. est = nd while the sketch is not full, else the
+    // integer estimator — same law as q_agg_kmv.
+    Q("q_profile_table",
+      (s, d) => {
+        import graft.functions.{KmvAgg, PortableHash}
+        val K = TrainQueries.KmvK
+        val li = t(s, d, "lineitem")
+        // (output name, native column, injective string renderer) — min/
+        // max aggregate on the NATIVE type (value order, not lexicographic)
+        // and render afterwards; distinct/KMV run on the rendered domain
+        // (injective for these types, and it fixes the hash input)
+        type C = org.apache.spark.sql.Column
+        val cols: Seq[(String, C, C => C)] = Seq(
+          ("l_quantity", col("l_quantity"),
+            (c: C) => c.cast("long").cast("string")),
+          ("l_extendedprice", col("l_extendedprice"),
+            (c: C) => c.cast("decimal(18,2)").cast("string")),
+          ("l_returnflag", col("l_returnflag"), (c: C) => c),
+          ("l_shipdate", col("l_shipdate"), (c: C) => c.cast("string")))
+        val aggs = cols.flatMap { case (n, c, render) => Seq(
+          count(c).as(s"${n}_nn"),
+          countDistinct(render(c)).as(s"${n}_nd"),
+          render(min(c)).as(s"${n}_min"),
+          render(max(c)).as(s"${n}_max"),
+          KmvAgg(PortableHash.hashMod(render(c)), K).as(s"${n}_karr"))
+        }
+        val armed = cols.map { case (n, _, _) =>
+          struct(lit(n).as("col_name"),
+            (col("n") - col(s"${n}_nn")).as("n_nulls"),
+            col(s"${n}_nd").as("nd_exact"),
+            when(size(col(s"${n}_karr")) < K,
+                size(col(s"${n}_karr")).cast("long"))
+              .otherwise(expr(s"(${K - 1} * ${graft.functions.PortableHash.MOD}L) " +
+                s"div element_at(${n}_karr, size(${n}_karr))"))
+              .as("est_distinct"),
+            col(s"${n}_min").as("min_s"), col(s"${n}_max").as("max_s"))
+        }
+        li.agg(count(lit(1)).as("n"), aggs: _*)
+          .select(col("n").as("n_rows"), explode(array(armed: _*)).as("p"))
+          .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+            col("p.nd_exact"), col("p.est_distinct"),
+            col("p.min_s"), col("p.max_s"))
+      },
+      Some {
+        val K = TrainQueries.KmvK
+        import graft.functions.PortableHash
+        // (name, native expr, value→string renderer as a SQL template)
+        val renders: Seq[(String, String, String => String)] = Seq(
+          ("l_quantity", "l_quantity",
+            x => s"CAST(CAST($x AS BIGINT) AS VARCHAR)"),
+          ("l_extendedprice", "l_extendedprice",
+            x => s"CAST(CAST($x AS DECIMAL(18,2)) AS VARCHAR)"),
+          ("l_returnflag", "l_returnflag", x => x),
+          ("l_shipdate", "l_shipdate", x => s"CAST($x AS VARCHAR)"))
+        def arm(name: String, native: String, r: String => String) =
+          s"""SELECT '$name' AS col_name,
+             |  (SELECT count(*) FROM lineitem) AS n_rows,
+             |  (SELECT count(*) FROM lineitem) - count($native) AS n_nulls,
+             |  count(DISTINCT ${r(native)}) AS nd_exact,
+             |  CAST(CASE WHEN (SELECT count(*) FROM bk_$name) < $K
+             |       THEN (SELECT count(*) FROM bk_$name)
+             |       ELSE (${K - 1}::BIGINT * ${PortableHash.MOD})
+             |            // (SELECT max(h) FROM bk_$name) END AS BIGINT)
+             |    AS est_distinct,
+             |  ${r(s"min($native)")} AS min_s,
+             |  ${r(s"max($native)")} AS max_s
+             |FROM lineitem""".stripMargin
+        def bk(name: String, native: String, r: String => String) =
+          s"""bk_$name AS (SELECT h FROM (
+             |  SELECT DISTINCT ${PortableHash.duckHashMod("rr")} AS h
+             |  FROM (SELECT (${r(native)}) AS rr FROM lineitem))
+             |  ORDER BY h LIMIT $K)""".stripMargin
+        s"""WITH ${renders.map { case (n, c, r) => bk(n, c, r) }.mkString(",\n")}
+           |${renders.map { case (n, c, r) => arm(n, c, r) }.mkString(" UNION ALL ")}""".stripMargin
+      },
+      "single-pass column profiler: nulls, exact + KMV distinct, min/max per column"))
 }

@@ -389,6 +389,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("q_profile_table profiles every column in ONE scan — no join, no self-union") {
+    val p = plan("q_profile_table")
+    assert(!p.contains("Join"), p)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single table scan, got $scans:\n$p")
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {
