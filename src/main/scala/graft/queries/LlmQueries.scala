@@ -1177,13 +1177,20 @@ object LlmQueries {
     // (Dedup.boilerCleanWithIndex — its row-identity to the batch strip
     // and its streaming restart-equivalence are spec-pinned; this entry
     // gates the artifact's exact contents).
+    // Driver-compare compatibility: the oracle harness canonicalizes rows
+    // with a pandas sort, which cannot order an array-typed column — so the
+    // gated entry renders the sorted hash array as a CSV string on BOTH
+    // engines (the q_embed_quantize precedent). The artifact the ingest
+    // path consumes (boilerCleanWithIndex) stays array-typed; the CSV is a
+    // lossless rendering of the identical contents.
     Q("q_boilerplate_index",
       (s, d) => Dedup.boilerplateIndex(withBoiler(t(s, d, "documents")),
-        "text", "doc_id", "source", BoilerW, BoilerPerMille, BoilerMinDocs),
+        "text", "doc_id", "source", BoilerW, BoilerPerMille, BoilerMinDocs)
+        .select(col("dom"), array_join(col("hashes"), ",").as("hashes_csv")),
       Some(s"""WITH ${duckBoilerplateSpanCtes(BoilerW, BoilerPerMille, BoilerMinDocs)}
-           |SELECT dom, list_sort(list(h)) AS hashes
+           |SELECT dom, array_to_string(list_sort(list(h)), ',') AS hashes_csv
            |FROM boiler GROUP BY dom""".stripMargin),
-      "the frozen per-domain boilerplate index (sorted chrome hash arrays)"),
+      "the frozen per-domain boilerplate index (sorted chrome hash arrays, CSV-canonicalized)"),
 
     // ---------- composed training-data pipeline v2 ----------
     // The actual corpus-build flow a training run executes, stage by
