@@ -55,7 +55,9 @@ object Bench {
     // frozen hashed quality classifier)
     "q_url_normalize", "q_dedup_url", "q_quality_classifier",
     "q_quality_classifier_apply", "q_agg_kmv", "q_agg_kmv_merge",
-    "q_profile_table")
+    "q_profile_table",
+    // round-9: profiler scale mode, deliberate NTZ scan, frozen near-dup index
+    "q_profile_table_scale", "q_scan_ntz")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,6 +160,11 @@ object Bench {
     // parse it before — the file is the reliable channel
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // COMPACT summary as the LAST stdout line: the full line above (~110
+    // per-query entries) has outrun the driver's tail capture two rounds
+    // running ("parsed": null in BENCH_r07/r08) — a short record at the
+    // very end always survives a bounded tail.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${100000 / refSec}%.0f,"detail":"target/bench.json"}""")
     spark.stop()
   }
 }

@@ -10,23 +10,35 @@ object Verify {
     // (driver passes none; builders use it for fast iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // the engine-wide conf (extensions, UTC, NTZ-off, AQE) must reach the
+    // correctness dump too — round 8's NTZ incident silently dropped 5
+    // entries because this session bypassed GraftSession.tuned
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // fail LOUDLY: an absent dump dir reads as "never ran" in the
+        // correctness sweep — write a marker dir + .err file so a crashed
+        // query shows up as an err row instead of vanishing (r8 lesson)
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        new java.io.File(s"$outDir/$name").mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name.err"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
       }
     }
+    if (failed > 0)
+      System.err.println(s"[verify] $failed quer${if (failed == 1) "y" else "ies"} FAILED — see *.err markers in $outDir")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -28,6 +28,15 @@ object GraftSession {
     // regress the scan path.
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.enableVectorizedReader", "true")
+    // Parquet written without UTC adjustment (DuckDB, pandas/arrow, and
+    // the regenerated testdata all default to isAdjustedToUTC=false) must
+    // keep reading as TIMESTAMP: the engine's event-time surface
+    // (watermarks, unix_micros, the as-of merge exec) is TIMESTAMP-typed,
+    // and with the session timezone pinned to UTC the two types carry
+    // identical instants. Spark 4 defaults this to true → TIMESTAMP_NTZ,
+    // which broke 8 tests + 5 gated entries in round 8. Deliberate NTZ
+    // reads opt back in per-scan (see q_scan_ntz / Tables.loadNtz).
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // runtime (AQE-injected) bloom filters: when one join side is small
     // and selective, push a bloom of its keys into the big side's scan —
     // at 100 TB this skips most of the probe-side I/O for selective star

@@ -118,6 +118,69 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("j4"))
   }
 
+  /** The FROZEN NEAR-DUP INDEX artifact (publish half): the standing
+    * corpus's banded MinHash table — one row per (band_idx, band_key,
+    * doc_id). Built nightly from the historical corpus exactly like
+    * [[candidatePairs]]'s band relation, then written as a table a
+    * broadcast (or, past broadcast size, a shuffle equi-join on
+    * band_key) can probe at ingest — the same
+    * publish-batch-artifact / apply-statelessly topology as the Bloom
+    * filter ([[Bloom.build]]), the decontam hash set, and the
+    * boilerplate index. Size is BANDS rows per corpus document (ids and
+    * short hash strings, no text), independent of document length.
+    *
+    * The companion artifact for exact verification is the corpus
+    * shingle-set table ([[withShingleSet]]) keyed by doc_id — verify
+    * traffic is only LSH candidates, so that join is O(candidates), not
+    * O(corpus). */
+  def minhashBandIndex(corpus: DataFrame, textCol: String,
+                       idCol: String): DataFrame =
+    bandRows(minhashSigs(withShingleSet(corpus, textCol, idCol)))
+
+  /** Apply half: which new documents are near-dups of the STANDING
+    * corpus, without the batch self-join — each new doc computes its own
+    * signature in-row, probes the frozen band index on (band_idx,
+    * band_key), and only bucket-collision candidates reach the exact
+    * shingle-Jaccard verify against the corpus shingle artifact.
+    *
+    * Every step is stateless per row or a stream-static equi-join, so
+    * the SAME call runs under Structured Streaming at ingest
+    * (StreamingNearDupIndexSpec pins batch ≡ streamed across a restart).
+    * Output: (new_id, corpus_id, j4) — the verified near-dup links; an
+    * ingest gate anti-joins its batch on new_id.
+    *
+    * 100 TB shape: index probe is a broadcast join on the bounded
+    * artifact (or a shuffle join on band_key past broadcast size); the
+    * corpus shingle join ships only candidate doc_ids; nothing explodes
+    * corpus×batch. */
+  def nearDupsAgainstIndex(newDocs: DataFrame, textCol: String, idCol: String,
+                           index: DataFrame, corpusShingles: DataFrame,
+                           threshold: Double): DataFrame = {
+    val sh = withShingleSet(newDocs, textCol, idCol)
+    // shset is referenced by the band explode AND the verify join; keep
+    // it one plan so streaming stays a single stateless pipeline
+    val withBands = sh
+      .select(col("doc_id").as("new_id"), col("shset").as("s1"),
+        TextFunctions.minhashSignatureFromHashes(
+          TextFunctions.tokenHashes(col("shset")), K).as("sig"))
+      .select(col("new_id"), col("s1"), posexplode(
+        array((0 until BANDS).map { b =>
+          concat_ws(":", (0 until R).map(r => col("sig").getItem(b * R + r)): _*)
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    withBands
+      .join(broadcast(index), Seq("band_idx", "band_key"))
+      .select(col("new_id"), col("doc_id").as("corpus_id"), col("s1"))
+      .distinct()
+      .join(corpusShingles.select(col("doc_id").as("corpus_id"),
+        col("shset").as("s2")), "corpus_id")
+      .withColumn("jaccard", TextFunctions.jaccard(col("s1"), col("s2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("j4"))
+  }
+
   /** Brute-force n-gram Jaccard near-dups inside a blocking key (full
     * brute force is O(n²) — always block at scale). */
   def blockedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,

@@ -151,13 +151,19 @@ object Joins {
     * composed form's per-key pair explosion — the intermediate the window
     * variant materializes simply never exists.
     *
-    * Columns are named (resolved against each side's analyzed plan);
-    * `leftTs`/`rightTs` must already share a type — cast first. */
+    * Columns are named (resolved against each side's analyzed plan).
+    * Timestamp typing: TIMESTAMP-vs-TIMESTAMP and NTZ-vs-NTZ pairs pass
+    * through unchanged (the zipper orders on whichever type both sides
+    * share); a MIXED pair is normalized here by casting the NTZ side to
+    * TIMESTAMP before plan construction — an explicit, visible cast in
+    * the analyzed plan rather than a silent coercion inside the exec.
+    * With the engine's UTC session timezone the cast is value-identity. */
   def asOfMerge(left: DataFrame, right: DataFrame, leftKey: String,
                 rightKey: String, leftTs: String, rightTs: String,
                 tieBreak: String, keepUnmatched: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.DatasetBridge
     import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
     val spark = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // idempotent per-session registration — extraStrategies is the public
@@ -165,14 +171,28 @@ object Joins {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    def tsType(df: DataFrame, n: String) =
+      df.schema.fields.find(_.name == n).map(_.dataType)
+    val mixed =
+      (tsType(left, leftTs), tsType(right, rightTs)) match {
+        case (Some(a), Some(b)) if a != b =>
+          Set(a, b) == Set[org.apache.spark.sql.types.DataType](
+            TimestampType, TimestampNTZType)
+        case _ => false
+      }
+    val (l, r) =
+      if (!mixed) (left, right)
+      else (
+        left.withColumn(leftTs, left.col(leftTs).cast(TimestampType)),
+        right.withColumn(rightTs, right.col(rightTs).cast(TimestampType)))
     def attr(df: DataFrame, n: String) =
       DatasetBridge.analyzed(df).output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asOfMerge: no column '$n' in ${df.columns.mkString(", ")}"))
     DatasetBridge.ofRows(spark, AsOfJoin(
-      DatasetBridge.analyzed(left), DatasetBridge.analyzed(right),
-      Seq(attr(left, leftKey)), Seq(attr(right, rightKey)),
-      attr(left, leftTs), attr(right, rightTs), attr(right, tieBreak),
+      DatasetBridge.analyzed(l), DatasetBridge.analyzed(r),
+      Seq(attr(l, leftKey)), Seq(attr(r, rightKey)),
+      attr(l, leftTs), attr(r, rightTs), attr(r, tieBreak),
       keepUnmatched))
   }
 

@@ -589,16 +589,25 @@ object ExtraQueries {
               WHERE rn = 1"""),
       "exact per-group mode with deterministic tiebreak (two-level aggregate)"),
 
-    // Single-pass table profiler (the ANALYZE TABLE shape): per-column
-    // row/null counts, exact distinct, KMV estimated distinct, min/max —
-    // ONE scan, 4×6 aggregates in one HashAggregate, stacked to a row
-    // per column afterwards. Each column declares its string renderer
+    // Table profiler (the ANALYZE TABLE shape): per-column row/null
+    // counts, exact distinct, KMV estimated distinct, min/max, stacked to
+    // a row per column. Each column declares its string renderer
     // (qty→long, money→DECIMAL(18,2), date→ISO) so min/max and the hash
-    // domain are engine-exact. At 100 TB the nd_exact column is the one
-    // to drop (its countDistinct plans an expand over the scan); the KMV
-    // estimate beside it is the bounded-state path and the profiler's
-    // scale mode. est = nd while the sketch is not full, else the
-    // integer estimator — same law as q_agg_kmv.
+    // domain are engine-exact. TWO single-row aggregate arms over the
+    // same pruned scan, cross-joined (1×1 row):
+    //   - exact arm: count/countDistinct/min/max — Catalyst plans the
+    //     multi-distinct via Expand, but the node stays a codegen'd
+    //     HashAggregate;
+    //   - sketch arm: the 4 KMV TypedImperativeAggregates — an
+    //     ObjectHashAggregate over UNEXPANDED rows.
+    // r7/r8 profiled the former single-node form (all 24 aggregates in
+    // one ObjectHashAggregate) at ~14 s: the Expand×4 multiplied the
+    // rows every KMV had to ingest AND forced the whole node off
+    // codegen. Two pruned parquet scans are strictly cheaper than one
+    // 4×-expanded object aggregate — and at 100 TB the exact arm is the
+    // documented drop anyway (q_profile_table_scale below is the
+    // KMV-only scale mode). est = nd while the sketch is not full, else
+    // the integer estimator — same law as q_agg_kmv.
     Q("q_profile_table",
       (s, d) => {
         import graft.functions.{KmvAgg, PortableHash}
@@ -616,13 +625,25 @@ object ExtraQueries {
             (c: C) => c.cast("decimal(18,2)").cast("string")),
           ("l_returnflag", col("l_returnflag"), (c: C) => c),
           ("l_shipdate", col("l_shipdate"), (c: C) => c.cast("string")))
-        val aggs = cols.flatMap { case (n, c, render) => Seq(
+        val baseAggs = cols.flatMap { case (n, c, render) => Seq(
           count(c).as(s"${n}_nn"),
-          countDistinct(render(c)).as(s"${n}_nd"),
           render(min(c)).as(s"${n}_min"),
-          render(max(c)).as(s"${n}_max"),
-          KmvAgg(PortableHash.hashMod(render(c)), K).as(s"${n}_karr"))
+          render(max(c)).as(s"${n}_max"))
         }
+        val kmvAggs = cols.map { case (n, c, render) =>
+          KmvAgg(PortableHash.hashMod(render(c)), K).as(s"${n}_karr") }
+        // one fully-codegen base arm (counts + min/max) ...
+        val baseArm = li.agg(count(lit(1)).as("n"), baseAggs: _*)
+        // ... one SINGLE-distinct arm per column: a lone countDistinct
+        // plans as two plain HashAggregates (partial distinct on the
+        // value, then count) — no Expand, no gid rewrite, no sort. Four
+        // tiny pruned scans beat one 5-way-expanded sort aggregate whose
+        // group key is four rendered strings (the r8 14 s profile).
+        val ndArms = cols.map { case (n, c, render) =>
+          li.select(render(c).as("__v"))
+            .agg(countDistinct(col("__v")).as(s"${n}_nd")) }
+        val exactArm = ndArms.foldLeft(baseArm)(_.crossJoin(_))
+        val kmvArm = li.agg(kmvAggs.head, kmvAggs.tail: _*)
         val armed = cols.map { case (n, _, _) =>
           struct(lit(n).as("col_name"),
             (col("n") - col(s"${n}_nn")).as("n_nulls"),
@@ -634,7 +655,7 @@ object ExtraQueries {
               .as("est_distinct"),
             col(s"${n}_min").as("min_s"), col(s"${n}_max").as("max_s"))
         }
-        li.agg(count(lit(1)).as("n"), aggs: _*)
+        exactArm.crossJoin(kmvArm)
           .select(col("n").as("n_rows"), explode(array(armed: _*)).as("p"))
           .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
             col("p.nd_exact"), col("p.est_distinct"),
@@ -672,5 +693,76 @@ object ExtraQueries {
         s"""WITH ${renders.map { case (n, c, r) => bk(n, c, r) }.mkString(",\n")}
            |${renders.map { case (n, c, r) => arm(n, c, r) }.mkString(" UNION ALL ")}""".stripMargin
       },
-      "single-pass column profiler: nulls, exact + KMV distinct, min/max per column"))
+      "single-pass column profiler: nulls, exact + KMV distinct, min/max per column"),
+
+    // The profiler's SCALE MODE as its own gated entry: nd_exact dropped,
+    // so the whole profile is ONE ObjectHashAggregate pass — no Expand,
+    // no multi-distinct, state bounded at 4×K hashes + 4 min/max pairs
+    // regardless of row count. This is the form to run at 100 TB; the
+    // exact profile above is the small-table / audit form.
+    Q("q_profile_table_scale",
+      (s, d) => {
+        import graft.functions.{KmvAgg, PortableHash}
+        val K = TrainQueries.KmvK
+        val li = t(s, d, "lineitem")
+        type C = org.apache.spark.sql.Column
+        val cols: Seq[(String, C, C => C)] = Seq(
+          ("l_quantity", col("l_quantity"),
+            (c: C) => c.cast("long").cast("string")),
+          ("l_extendedprice", col("l_extendedprice"),
+            (c: C) => c.cast("decimal(18,2)").cast("string")),
+          ("l_returnflag", col("l_returnflag"), (c: C) => c),
+          ("l_shipdate", col("l_shipdate"), (c: C) => c.cast("string")))
+        val aggs = cols.flatMap { case (n, c, render) => Seq(
+          count(c).as(s"${n}_nn"),
+          render(min(c)).as(s"${n}_min"),
+          render(max(c)).as(s"${n}_max"),
+          KmvAgg(PortableHash.hashMod(render(c)), K).as(s"${n}_karr"))
+        }
+        val armed = cols.map { case (n, _, _) =>
+          struct(lit(n).as("col_name"),
+            (col("n") - col(s"${n}_nn")).as("n_nulls"),
+            when(size(col(s"${n}_karr")) < K,
+                size(col(s"${n}_karr")).cast("long"))
+              .otherwise(expr(s"(${K - 1} * ${graft.functions.PortableHash.MOD}L) " +
+                s"div element_at(${n}_karr, size(${n}_karr))"))
+              .as("est_distinct"),
+            col(s"${n}_min").as("min_s"), col(s"${n}_max").as("max_s"))
+        }
+        li.agg(count(lit(1)).as("n"), aggs: _*)
+          .select(col("n").as("n_rows"), explode(array(armed: _*)).as("p"))
+          .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+            col("p.est_distinct"), col("p.min_s"), col("p.max_s"))
+      },
+      Some {
+        val K = TrainQueries.KmvK
+        import graft.functions.PortableHash
+        val renders: Seq[(String, String, String => String)] = Seq(
+          ("l_quantity", "l_quantity",
+            x => s"CAST(CAST($x AS BIGINT) AS VARCHAR)"),
+          ("l_extendedprice", "l_extendedprice",
+            x => s"CAST(CAST($x AS DECIMAL(18,2)) AS VARCHAR)"),
+          ("l_returnflag", "l_returnflag", x => x),
+          ("l_shipdate", "l_shipdate", x => s"CAST($x AS VARCHAR)"))
+        def arm(name: String, native: String, r: String => String) =
+          s"""SELECT '$name' AS col_name,
+             |  (SELECT count(*) FROM lineitem) AS n_rows,
+             |  (SELECT count(*) FROM lineitem) - count($native) AS n_nulls,
+             |  CAST(CASE WHEN (SELECT count(*) FROM bk_$name) < $K
+             |       THEN (SELECT count(*) FROM bk_$name)
+             |       ELSE (${K - 1}::BIGINT * ${PortableHash.MOD})
+             |            // (SELECT max(h) FROM bk_$name) END AS BIGINT)
+             |    AS est_distinct,
+             |  ${r(s"min($native)")} AS min_s,
+             |  ${r(s"max($native)")} AS max_s
+             |FROM lineitem""".stripMargin
+        def bk(name: String, native: String, r: String => String) =
+          s"""bk_$name AS (SELECT h FROM (
+             |  SELECT DISTINCT ${PortableHash.duckHashMod("rr")} AS h
+             |  FROM (SELECT (${r(native)}) AS rr FROM lineitem))
+             |  ORDER BY h LIMIT $K)""".stripMargin
+        s"""WITH ${renders.map { case (n, c, r) => bk(n, c, r) }.mkString(",\n")}
+           |${renders.map { case (n, c, r) => arm(n, c, r) }.mkString(" UNION ALL ")}""".stripMargin
+      },
+      "profiler scale mode: KMV-only distinct — one bounded-state pass, no Expand"))
 }

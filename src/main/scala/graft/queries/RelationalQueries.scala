@@ -79,6 +79,24 @@ object RelationalQueries {
               FROM lineitem"""),
       "cast / computed columns"),
 
+    // Deliberate TIMESTAMP_NTZ scan: the wall-clock-typed view of the same
+    // events parquet (Tables.loadNtz swaps every TIMESTAMP to NTZ in the
+    // read schema). Outputs are formatted strings, not raw NTZ values, so
+    // the oracle compare is representation-independent; with the testdata
+    // written unadjusted-UTC, DuckDB's naive TIMESTAMP read sees the same
+    // wall clock the NTZ scan does.
+    Q("q_scan_ntz",
+      (s, d) => Tables.loadNtz(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts")),
+      Some("""SELECT event_type, count(*) AS n,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+              FROM events GROUP BY event_type"""),
+      "TIMESTAMP_NTZ scan: wall-clock event time, independent of session timezone"),
+
     // ---------- joins ----------
     Q("q_join_inner",
       (s, d) => t(s, d, "lineitem")

@@ -49,6 +49,33 @@ class AsOfMergeSpec extends SparkSpec {
       "merge exec diverged from composed asOf (keepUnmatched)")
   }
 
+  test("NTZ-vs-NTZ pair zips natively; mixed pair is normalized") {
+    val (ev, ord) = sides
+    // reference result on TIMESTAMP (representation-independent columns)
+    val ref = Joins.asOfMerge(ev, ord, "user_id", "o_custkey",
+      "ts", "o_ts", "o_orderkey").select("event_id", "o_orderkey")
+
+    // both sides NTZ: the exec orders on NTZ directly, no cast anywhere
+    val evN = Tables.loadNtz(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    assert(evN.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType, evN.schema.simpleString)
+    val ordN = ord.select(col("o_orderkey"), col("o_custkey"),
+      col("o_ts").cast("timestamp_ntz").as("o_ts"))
+    val bothNtz = Joins.asOfMerge(evN, ordN, "user_id", "o_custkey",
+      "ts", "o_ts", "o_orderkey").select("event_id", "o_orderkey")
+    assert(bothNtz.exceptAll(ref).isEmpty && ref.exceptAll(bothNtz).isEmpty,
+      "NTZ-vs-NTZ as-of diverged from the TIMESTAMP result")
+
+    // mixed pair (left NTZ, right TIMESTAMP): normalized by an explicit
+    // cast instead of the r8 hard reject — UTC session makes it identity
+    val mixed = Joins.asOfMerge(evN, ord, "user_id", "o_custkey",
+      "ts", "o_ts", "o_orderkey").select("event_id", "o_orderkey")
+    assert(mixed.exceptAll(ref).isEmpty && ref.exceptAll(mixed).isEmpty,
+      "mixed NTZ/TIMESTAMP as-of diverged from the TIMESTAMP result")
+  }
+
   test("plans as the zipper exec — no Window, no pair-exploding join") {
     val (ev, ord) = sides
     val df = Joins.asOfMerge(ev, ord, "user_id", "o_custkey",

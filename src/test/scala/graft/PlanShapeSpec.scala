@@ -389,9 +389,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p)
   }
 
-  test("q_profile_table profiles every column in ONE scan — no join, no self-union") {
+  test("q_profile_table: single-row arms, NO Expand anywhere") {
+    // r9 split: one codegen base arm (counts+min/max), one plain
+    // two-phase HashAggregate per single countDistinct, one
+    // ObjectHashAggregate KMV arm — all 1-row, cross-joined. The
+    // pre-split single node multi-distinct-Expanded 4× rows into every
+    // KMV buffer and ran ~14 s at sf0.1; this shape has no Expand at
+    // all and each scan prunes to its arm's columns.
     val p = plan("q_profile_table")
+    assert(!p.contains("Expand"), s"profile must be Expand-free:\n$p")
+    assert(p.contains("ObjectHashAggregate"), p) // the KMV arm
+    // the only joins are the 1-row × 1-row arm combiners
+    assert("Join".r.findAllIn(p).size ==
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size, p)
+  }
+
+  test("q_profile_table_scale: ONE scan, one bounded aggregate, no Expand") {
+    val p = plan("q_profile_table_scale")
     assert(!p.contains("Join"), p)
+    assert(!p.contains("Expand"), p)
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected a single table scan, got $scans:\n$p")
   }
