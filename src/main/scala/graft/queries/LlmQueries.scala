@@ -143,6 +143,25 @@ object LlmQueries {
     s"""WITH ${duckMinhashCtes(threshold)}
        |SELECT id1, id2, round(j, 4) AS j4 FROM pairs""".stripMargin
 
+  /** sh→sig→bands CTE chain over a WHERE-slice of documents, with a name
+    * prefix so two slices (standing corpus / new batch) coexist in one
+    * WITH list — the frozen-near-dup-index oracles. Mirrors
+    * [[Dedup.minhashBandIndex]] exactly (same banding as
+    * [[duckMinhashCtes]]). */
+  private def duckBandCtes(prefix: String, where: String): String = {
+    val sigCols = (0 until Dedup.K)
+      .map(i => s"${duckMinhashSig("shset", i)} AS s$i").mkString(",\n    ")
+    val bandSelects = (0 until Dedup.BANDS).map { b =>
+      val key = (0 until Dedup.R).map(r => s"s${b * Dedup.R + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws(':', $key) AS band_key FROM ${prefix}sig"
+    }.mkString("\n    UNION ALL ")
+    s"""${prefix}sh AS (
+       |  SELECT doc_id, list_distinct(${duckShingles(duckTokens("text"), 3)}) AS shset
+       |  FROM documents WHERE $where),
+       |${prefix}sig AS (SELECT doc_id, $sigCols FROM ${prefix}sh),
+       |${prefix}bands AS ($bandSelects)""".stripMargin
+  }
+
   val NearDupJaccard = 0.2
   val SubstringW = 8 // repeated-span shingle width (words)
   val DecontamW = 3  // span-decontam shingle width (q_text_decontam's 3-gram)
@@ -574,6 +593,53 @@ object LlmQueries {
         NearDupJaccard),
       Some(duckMinhashOracle(NearDupJaccard)),
       "MinHash-LSH near-dup pairs, Jaccard-verified (band-bucket join)"),
+
+    // The FROZEN NEAR-DUP INDEX artifact (publish half): the standing
+    // corpus's banded MinHash table — the nightly batch artifact an
+    // ingest pipeline probes instead of self-joining corpus+batch.
+    // Oracle-exact bit-for-bit: the banding is pure portable arithmetic
+    // over the md5-derived token hashes, so DuckDB rebuilds every
+    // (band_idx, band_key, doc_id) row. Same publish/apply topology as
+    // the Bloom filter (q_bloom_fill is ITS artifact gate).
+    Q("q_dedup_index",
+      (s, d) => Dedup.minhashBandIndex(
+        t(s, d, "documents").filter(col("doc_id") % 5 =!= 0),
+        "text", "doc_id")
+        .select("band_idx", "band_key", "doc_id"),
+      Some(s"""WITH ${duckBandCtes("c", "doc_id % 5 <> 0")}
+           |SELECT band_idx, band_key, doc_id FROM cbands""".stripMargin),
+      "frozen near-dup index artifact: the corpus's banded MinHash table, bit-exact"),
+
+    // Apply half: new batch vs the FROZEN index — in-row signatures,
+    // broadcast band-key probe, exact shingle-Jaccard verify against the
+    // corpus shingle artifact; candidates only, never corpus×batch. The
+    // oracle rebuilds both sides' bands independently, so this entry
+    // pins publish+probe END TO END (links, not just candidates).
+    Q("q_dedup_index_probe",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        Dedup.nearDupsAgainstIndex(
+          docs.filter(col("doc_id") % 5 === 0), "text", "doc_id",
+          Dedup.minhashBandIndex(corpus, "text", "doc_id"),
+          Dedup.withShingleSet(corpus, "text", "doc_id"),
+          NearDupJaccard)
+      },
+      Some(s"""WITH ${duckBandCtes("c", "doc_id % 5 <> 0")},
+           |${duckBandCtes("n", "doc_id % 5 = 0")},
+           |cand AS (
+           |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+           |  FROM nbands n JOIN cbands c
+           |    ON n.band_idx = c.band_idx AND n.band_key = c.band_key)
+           |SELECT new_id, corpus_id, round(j, 4) AS j4 FROM (
+           |  SELECT cand.new_id, cand.corpus_id,
+           |    CASE WHEN len(list_distinct(list_concat(x.shset, y.shset))) = 0 THEN 0.0
+           |         ELSE len(list_intersect(x.shset, y.shset))::DOUBLE /
+           |              len(list_distinct(list_concat(x.shset, y.shset)))::DOUBLE END AS j
+           |  FROM cand JOIN nsh x ON cand.new_id = x.doc_id
+           |            JOIN csh y ON cand.corpus_id = y.doc_id)
+           |WHERE j >= $NearDupJaccard""".stripMargin),
+      "ingest near-dup gate: new batch probes the frozen band index + exact verify"),
 
     Q("q_dedup_simhash",
       (s, d) => Dedup.simhashTable(t(s, d, "documents"), "text", "doc_id"),
@@ -1292,9 +1358,20 @@ object LlmQueries {
           graft.operators.Bloom.dedupWithBloom(
             batch, seen, bloom, "text", "doc_id", p).select("doc_id"),
           "doc_id")
+        // 1b. NEAR-dup gate vs the frozen MinHash band index (publish/
+        // apply member #8): batch docs that near-dup the standing corpus
+        // are dropped before any further per-row work — in-row signature,
+        // broadcast band probe, exact-Jaccard verify on candidates only
+        val nearLinks = Dedup.nearDupsAgainstIndex(fresh, "text", "doc_id",
+          Dedup.minhashBandIndex(corpus, "text", "doc_id"),
+          Dedup.withShingleSet(corpus, "text", "doc_id"),
+          NearDupJaccard)
+        val unique = fresh.join(
+          nearLinks.select(col("new_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
         // 2. surgical span decontam vs the benchmark
         val clean = Dedup.removeBenchmarkSpans(
-          fresh, "text", "doc_id", benchmark, "text", DecontamW)
+          unique, "text", "doc_id", benchmark, "text", DecontamW)
         // 3. frozen per-language quality gate on the CLEANED text
         clean
           .join(docs.select(col("doc_id"), col("lang")), "doc_id")
@@ -1311,8 +1388,23 @@ object LlmQueries {
            |          WHERE n.doc_id % 5 = 0
            |            AND NOT EXISTS (SELECT 1 FROM hashed e
            |                            WHERE e.doc_id % 5 <> 0 AND e.h = n.h)),
+           |${duckBandCtes("c", "doc_id >= 10 AND doc_id % 5 <> 0")},
+           |${duckBandCtes("nb", "doc_id IN (SELECT doc_id FROM fresh)")},
+           |ndl AS (
+           |  SELECT DISTINCT cand.new_id FROM (
+           |    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+           |    FROM nbbands n JOIN cbands c
+           |      ON n.band_idx = c.band_idx AND n.band_key = c.band_key) cand
+           |  JOIN nbsh x ON cand.new_id = x.doc_id
+           |  JOIN csh y ON cand.corpus_id = y.doc_id
+           |  WHERE (CASE WHEN len(list_distinct(list_concat(x.shset, y.shset))) = 0 THEN 0.0
+           |              ELSE len(list_intersect(x.shset, y.shset))::DOUBLE /
+           |                   len(list_distinct(list_concat(x.shset, y.shset)))::DOUBLE END)
+           |        >= $NearDupJaccard),
+           |uniq AS (SELECT doc_id FROM fresh
+           |         WHERE doc_id NOT IN (SELECT new_id FROM ndl)),
            |${duckBenchmarkSpanCtes(DecontamW,
-               "doc_id IN (SELECT doc_id FROM fresh)")},
+               "doc_id IN (SELECT doc_id FROM uniq)")},
            |spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + $DecontamW AS se
            |          FROM isl GROUP BY doc_id, isl),
            |tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
@@ -1323,7 +1415,7 @@ object LlmQueries {
            |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
            |        FROM keep GROUP BY doc_id),
            |cleaned AS (SELECT f.doc_id, coalesce(a.ct, '') AS clean_text
-           |            FROM fresh f LEFT JOIN agg a USING (doc_id)),
+           |            FROM uniq f LEFT JOIN agg a USING (doc_id)),
            |scored AS (SELECT c.doc_id, d.lang,
            |             CAST(len(${duckTokens("clean_text")}) AS INT) AS n_words
            |           FROM cleaned c JOIN documents d USING (doc_id)),

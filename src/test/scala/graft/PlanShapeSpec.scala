@@ -412,6 +412,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected a single table scan, got $scans:\n$p")
   }
 
+  test("q_dedup_index_probe: broadcast band probe, no cartesian, no corpus×batch") {
+    val p = plan("q_dedup_index_probe")
+    assert(p.contains("BroadcastHashJoin"), p)      // the frozen-index probe
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("similarity broadcast guard refuses an oversized query side") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val guard = intercept[IllegalArgumentException] {

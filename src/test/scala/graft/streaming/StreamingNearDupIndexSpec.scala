@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Ingest-time near-dup gating against the FROZEN MinHash band index
+  * (publish/apply member #8): the index and the corpus shingle table are
+  * published once, batch-side; [[Dedup.nearDupsAgainstIndex]] applied per
+  * microbatch (foreachBatch — the batch gate shape: each ingest batch is
+  * probed and verified in full, dedup state lives in the artifacts, not
+  * the stream) must emit exactly the links the batch operator emits, and
+  * a RESTART from the checkpoint must pick up exactly the unprocessed
+  * files — no lost links, no duplicated links.
+  */
+class StreamingNearDupIndexSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("frozen index probe: streaming ≡ batch, across a restart") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    // frozen artifacts (published once from the standing corpus)
+    val index = Dedup.minhashBandIndex(corpus, "text", "doc_id").cache()
+    val cshingles = Dedup.withShingleSet(corpus, "text", "doc_id").cache()
+
+    val want = Dedup.nearDupsAgainstIndex(newDocs, "text", "doc_id",
+        index, cshingles, graft.queries.LlmQueries.NearDupJaccard)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "fixture produced no near-dup links")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(newDocs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          Dedup.nearDupsAgainstIndex(df, "text", "doc_id",
+              index, cshingles, graft.queries.LlmQueries.NearDupJaccard)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    // phase 1: half the batch arrives, gate runs, query STOPS
+    newDocs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    // phase 2: the other half lands; RESTART from the same checkpoint
+    // must process ONLY the new file
+    newDocs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} links, batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    index.unpersist(); cshingles.unpersist()
+  }
+}
