@@ -8,10 +8,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline set: one representative per operator family, weighted toward
-    * the shapes that dominate at 100 TB (scan+agg, joins, windows, dedup,
-    * similarity). Brute-force O(n²) variants are deliberately excluded —
-    * their LSH/blocked scale paths stand in for them. */
+  /** Headline set (median-of-5): one representative per operator family,
+    * weighted toward the shapes that dominate at 100 TB (scan+agg, joins,
+    * windows, dedup, similarity). Brute-force O(n²) variants are
+    * deliberately excluded from the HEADLINE — their LSH/blocked scale
+    * paths stand in for them — but every gated registry entry outside
+    * this list is still timed once per round by the sweep tier below, so
+    * no operator's cost is ever invisible. */
   val headline: Seq[String] = Seq(
     "q1_agg", "q_scan_project", "q_join_inner", "q_join_broadcast",
     "q_join_asof", "q_agg_distinct", "q_agg_rollup", "q_win_rank",
@@ -99,6 +102,30 @@ object Bench {
         // total — time-to-failure is not a timing
         name -> (if (times.isEmpty) None else Some(times.sorted.apply(times.size / 2)))
       }
+    // SWEEP tier: every gated registry entry NOT in the headline, timed
+    // ONCE after a sf0.001 warm — the bench's completeness guarantee.
+    // Median-of-5 on all ~200 entries would triple the round's bench
+    // (the long tail holds the declared brute-force demos: ngram-block
+    // O(n²), iterative pagerank/triangles); a single warmed shot per
+    // entry keeps every operator's cost VISIBLE each round without
+    // drowning the headline signal. Sweep rows are reported separately
+    // and excluded from the headline total so round-over-round
+    // comparisons stay apples-to-apples.
+    val sweepNames = qmap.keys.toSeq.sorted.filterNot(headline.contains)
+    sweepNames.foreach { name =>
+      try qmap(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val sweep: Seq[(String, Option[Double])] = sweepNames.map { name =>
+      val t0 = System.nanoTime()
+      try {
+        qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] $name: $e"); name -> None
+      }
+    }
+
     // the reference's own workload, apples-to-apples: 100k messages
     // (Producer.java:14) through the 3-stage adder pipeline with per-key
     // running counts per stage. The reference's floor is 1 s/record/stage
@@ -151,10 +178,15 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":" + v.map(d => f"$d%.3f").getOrElse("null") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failed = (results ++ sweep).collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${100000 / refSec}%.0f}"""
+    val sweepTotal = sweep.flatMap(_._2).sum
+    val sweepJson = sweep
+      .map { case (k, v) =>
+        "\"" + k + "\":" + v.map(d => f"$d%.3f").getOrElse("null") }
+      .mkString("{", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sweep":$sweepJson,"sweep_total":$sweepTotal%.3f,"sweep_n":${sweep.size},"sweep_reps":1,"failed":$failed,"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${100000 / refSec}%.0f}"""
     println(line)
     // also land the line in a file: the stdout copy sits inside sbt's log
     // stream between WARN lines, and harvesters scraping it have failed to
@@ -165,7 +197,7 @@ object Bench {
     // per-query entries) has outrun the driver's tail capture two rounds
     // running ("parsed": null in BENCH_r07/r08) — a short record at the
     // very end always survives a bounded tail.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${100000 / refSec}%.0f,"detail":"target/bench.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sweep_total":$sweepTotal%.3f,"sweep_n":${sweep.size},"n_failed":${(results ++ sweep).count(_._2.isEmpty)},"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${100000 / refSec}%.0f,"detail":"target/bench.json"}""")
     spark.stop()
   }
 }
