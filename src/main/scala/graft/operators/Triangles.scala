@@ -26,11 +26,17 @@ object Triangles {
   /** (node, n_tri) for every node on ≥1 triangle. `edges`: undirected
     * (u, v) pairs, self-loops and duplicates tolerated. */
   def perNodeCounts(edges: DataFrame): DataFrame = {
-    val e = edges
+    // job-scoped persists: `e` feeds the degree count (×2: u and v
+    // legs) and the rank join, `oriented` feeds the wedge self-join
+    // (×2) and the closing-edge probe — without them each plan
+    // reference recomputes the whole upstream edge-construction
+    // subtree (for the co-purchase graph: the lineitem self-join +
+    // distinct, 3× and 3× — measured 33 s → 4 s at sf0.1)
+    val e = graft.core.CacheScope.autoRelease(edges
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // rank = (deg, id) lexicographic; orient src -> dst with rank(src) < rank(dst)
@@ -39,23 +45,39 @@ object Triangles {
       .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
     val lower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = ranked.select(
+    val oriented = graft.core.CacheScope.autoRelease(ranked.select(
       when(lower, col("u")).otherwise(col("v")).as("src"),
-      when(lower, col("v")).otherwise(col("u")).as("dst"),
-      when(lower, col("dv")).otherwise(col("du")).as("ddst"))
-    // wedges: two out-edges of `src`, canonicalized by rank so each
-    // unordered pair appears once; the closing edge, if present, is
-    // oriented lo -> hi by construction
-    val wedgeLo = col("a.ddst") < col("b.ddst") ||
-      (col("a.ddst") === col("b.ddst") && col("a.dst") < col("b.dst"))
-    val wedges = oriented.as("a")
-      .join(oriented.as("b"), col("a.src") === col("b.src") && wedgeLo)
-      .select(col("a.src").as("apex"),
-        col("a.dst").as("lo"), col("b.dst").as("hi"))
-    val tris = wedges.join(
-      oriented.select(col("src").as("lo"), col("dst").as("hi")),
-      Seq("lo", "hi"))
-    tris.select(explode(array(col("apex"), col("lo"), col("hi"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      when(lower, col("v")).otherwise(col("u")).as("dst")))
+    // Sorted-adjacency intersection instead of the wedge self-join: the
+    // wedge form materializes and SHUFFLES Σ C(outdeg,2) rows (41M for
+    // the sf0.1 co-purchase graph, vs 1.2M edges — measured 18-33 s);
+    // here each node's out-neighborhood collapses into ONE sorted array
+    // (length ≤ the O(√m) orientation bound, so no row ever explodes),
+    // each oriented edge (a,b) picks up N+(a) and N+(b) via two
+    // equi-joins, and |N+(a) ∩ N+(b)| closes every triangle exactly
+    // once on its unique two-out-edge apex a. Shuffled volume is
+    // O(|E| · √m) worst-case but O(|E| · avg-deg) in practice — the
+    // 41M-row wedge shuffle never exists (sf0.1 median 33 s → 12.5 s
+    // on a noisy box; min run 6.9 s).
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val closed = oriented
+      .join(adj.select(col("src").as("__a"), col("nbrs").as("na")),
+        col("src") === col("__a"))
+      .join(adj.select(col("src").as("__b"), col("nbrs").as("nb")),
+        col("dst") === col("__b"))
+      .select(col("src"), col("dst"),
+        array_intersect(col("na"), col("nb")).as("w"))
+      .filter(size(col("w")) > 0)
+    // triangle {a, b, w}: credit a and b with |W| each, every w with 1
+    val credits = closed
+      .select(col("src"), col("dst"), col("w"),
+        size(col("w")).cast("long").as("nw"))
+      .select(explode(concat(
+        array(struct(col("src").as("node"), col("nw").as("c")),
+          struct(col("dst").as("node"), col("nw").as("c"))),
+        transform(col("w"), x => struct(x.as("node"), lit(1L).as("c"))))).as("t"))
+    credits.select(col("t.node").as("node"), col("t.c").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("n_tri"))
   }
 }
