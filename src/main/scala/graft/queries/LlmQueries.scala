@@ -1560,6 +1560,40 @@ object LlmQueries {
               FROM p"""),
       "REAL image decode (javax.imageio): PNG/BMP round-trip, pixel-sum-exact oracle"),
 
+    // REAL resize, gated end-to-end: decode → box-filter area-average →
+    // re-encode grayscale PNG → decode the THUMBNAIL and sum its pixels.
+    // The source gradient is y-constant, so each thumb pixel is
+    // floor(rowsum(x0..x1) / (x1-x0)) — the y-extent cancels exactly
+    // under integer truncation — and the oracle restates the whole
+    // decode→resize→encode→decode loop in closed form. A resize that
+    // mis-maps source rectangles, skips the max(x0+1) guard, or
+    // re-encodes lossily cannot hash-match.
+    Q("q_media_resize",
+      (s, d) => {
+        val thumbs = Multimodal.resizeImages(
+          Multimodal.toImages(t(s, d, "documents")), 8, 6).toDF()
+          .select(col("doc_id"), col("media_type"), col("thumb").as("payload"))
+        Multimodal.decodeImages(thumbs).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                  CAST(doc_id % 256 AS BIGINT) AS b,
+                  CAST(doc_id % 57 + 8 AS BIGINT) AS sw
+                FROM documents),
+              tx AS (SELECT doc_id, b, sw, unnest(range(0, 8)) AS tx FROM m),
+              xr AS (SELECT doc_id, b, sw, tx,
+                       (tx * sw) // 8 AS x0,
+                       greatest(((tx + 1) * sw) // 8, (tx * sw) // 8 + 1) AS x1
+                     FROM tx),
+              xs AS (SELECT doc_id, b, tx, x1 - x0 AS n,
+                       unnest(range(x0, x1)) AS x FROM xr),
+              pt AS (SELECT doc_id, tx, sum((b + x) % 256) // max(n) AS pv
+                     FROM xs GROUP BY doc_id, tx)
+              SELECT doc_id, 'png' AS media_type, CAST(8 AS INT) AS width,
+                CAST(6 AS INT) AS height, CAST(1 AS INT) AS channels,
+                CAST(6 * sum(pv) AS BIGINT) AS pixel_sum
+              FROM pt GROUP BY doc_id"""),
+      "REAL image resize (box filter): decode→resize→re-encode→decode, sum-exact oracle"),
+
     // REAL audio decode: toAudio writes genuine RIFF/WAVE payloads (mono
     // 16-bit signed PCM sawtooth, sample(i) = (i mod 256) − 128) and
     // decodeAudio parses them back with javax.sound.sampled. Frame count

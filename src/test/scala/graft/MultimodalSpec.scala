@@ -59,6 +59,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize UPSCALE pixel-exact: the min-one-column guard path") {
+    // q_media_resize's oracle always downsamples (sources are ≥8 wide,
+    // target 8), so the x1 = max(..., x0+1) guard never fires there.
+    // Upscaling 8×8 (doc 0) to 16×12 forces single-column cells on odd
+    // tx; expected value computed straight from the generator gradient
+    // with the same integer truncation (y-extent cancels exactly).
+    val img = Multimodal.toImages(Seq(0L).toDF("doc_id"))
+    val thumb = Multimodal.resizeImages(img, 16, 12).collect().head
+    val f = Multimodal.decodeImages(Seq(thumb).toDS().toDF()
+      .selectExpr("doc_id", "media_type", "thumb AS payload")).collect().head
+    assert(f.width == 16 && f.height == 12 && f.channels == 1)
+    val sw = 8
+    val expected = 12L * (0 until 16).map { tx =>
+      val x0 = tx * sw / 16
+      val x1 = math.max((tx + 1) * sw / 16, x0 + 1)
+      (x0 until x1).map(_ % 256).sum / (x1 - x0)
+    }.sum
+    assert(f.pixel_sum == expected, s"upscale sum ${f.pixel_sum} != $expected")
+  }
+
   test("audio decode round-trips the WAV generator exactly") {
     val feats = Multimodal.decodeAudio(Multimodal.toAudio(edgeDocs))
       .collect().map(f => f.doc_id -> f).toMap
