@@ -137,6 +137,17 @@ object Dedup {
                        idCol: String): DataFrame =
     bandRows(minhashSigs(withShingleSet(corpus, textCol, idCol)))
 
+  /** Both publish-half artifacts in one call — (band index, shingle-set
+    * table) — sharing ONE job-scoped persist of the corpus shingle
+    * relation, which otherwise shingles+hashes the corpus once per
+    * artifact (the two are always published together: the probe needs
+    * the index for candidates and the shingle table for the verify). */
+  def minhashIndexArtifacts(corpus: DataFrame, textCol: String,
+                            idCol: String): (DataFrame, DataFrame) = {
+    val sh = CacheScope.autoRelease(withShingleSet(corpus, textCol, idCol))
+    (bandRows(minhashSigs(sh)), sh)
+  }
+
   /** Apply half: which new documents are near-dups of the STANDING
     * corpus, without the batch self-join — each new doc computes its own
     * signature in-row, probes the frozen band index on (band_idx,

@@ -618,12 +618,11 @@ object LlmQueries {
     Q("q_dedup_index_probe",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val (idx, csh) = Dedup.minhashIndexArtifacts(
+          docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
         Dedup.nearDupsAgainstIndex(
           docs.filter(col("doc_id") % 5 === 0), "text", "doc_id",
-          Dedup.minhashBandIndex(corpus, "text", "doc_id"),
-          Dedup.withShingleSet(corpus, "text", "doc_id"),
-          NearDupJaccard)
+          idx, csh, NearDupJaccard)
       },
       Some(s"""WITH ${duckBandCtes("c", "doc_id % 5 <> 0")},
            |${duckBandCtes("n", "doc_id % 5 = 0")},
@@ -1362,10 +1361,9 @@ object LlmQueries {
         // apply member #8): batch docs that near-dup the standing corpus
         // are dropped before any further per-row work — in-row signature,
         // broadcast band probe, exact-Jaccard verify on candidates only
+        val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
         val nearLinks = Dedup.nearDupsAgainstIndex(fresh, "text", "doc_id",
-          Dedup.minhashBandIndex(corpus, "text", "doc_id"),
-          Dedup.withShingleSet(corpus, "text", "doc_id"),
-          NearDupJaccard)
+          ndIdx, ndSh, NearDupJaccard)
         val unique = fresh.join(
           nearLinks.select(col("new_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
