@@ -148,6 +148,23 @@ object Dedup {
     (bandRows(minhashSigs(sh)), sh)
   }
 
+  /** STREAMING-safe index builder: the same (band_idx, band_key, doc_id)
+    * rows as [[minhashBandIndex]] from a possibly-streaming `docs` —
+    * pure per-row compute (shingle → signature → band explode), no
+    * repartition probe (the batch builder's `ensureParallelism` touches
+    * `.rdd`, which a streaming Dataset forbids), no state. Appended to a
+    * file sink under a checkpoint this turns the nightly publish into
+    * CONTINUOUS index maintenance: each arriving document contributes
+    * its band rows exactly once across restarts, and because the rows
+    * are per-doc deterministic, stream-appended ≡ batch-rebuilt
+    * (StreamingIndexRefreshSpec pins it, including the probe result on
+    * the refreshed artifact). */
+  def minhashBandIndexStream(docs: DataFrame, textCol: String,
+                             idCol: String): DataFrame =
+    bandRows(minhashSigs(
+      docs.select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.shingles(col(textCol), 3)).as("shset"))))
+
   /** Apply half: which new documents are near-dups of the STANDING
     * corpus, without the batch self-join — each new doc computes its own
     * signature in-row, probes the frozen band index on (band_idx,

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** CONTINUOUS maintenance of the near-dup index artifact (the publish
+  * half of publish/apply member #8): corpus documents stream in and each
+  * appends its (band_idx, band_key, doc_id) rows to the index exactly
+  * once — across a kill/restart — via a checkpointed file-sink append of
+  * [[Dedup.minhashBandIndexStream]]. Band rows are per-document
+  * deterministic, so the stream-refreshed artifact must equal the batch
+  * rebuild bit-for-bit, and a probe against the refreshed artifact must
+  * emit exactly the links the batch-built index yields.
+  */
+class StreamingIndexRefreshSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("stream-appended index ≡ batch rebuild, across a restart; probe agrees") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxrefresh").toString
+    val idxDir = s"$dir/index"
+    val ckpt = s"$dir/ckpt"
+    def refreshOnce(): Unit = {
+      val src = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = Dedup.minhashBandIndexStream(src, "text", "doc_id")
+        .writeStream.format("parquet")
+        .option("path", idxDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    // phase 1: half the corpus arrives; phase 2: RESTART picks up the rest
+    corpus.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    refreshOnce()
+    corpus.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    refreshOnce()
+
+    val streamed = spark.read.parquet(idxDir)
+      .select("band_idx", "band_key", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Dedup.minhashBandIndex(corpus, "text", "doc_id")
+      .select("band_idx", "band_key", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"refreshed index diverged: streamed=${streamed.size} batch=${batch.size}")
+
+    // the probe on the REFRESHED artifact emits the batch-index links
+    val cshingles = Dedup.withShingleSet(corpus, "text", "doc_id").cache()
+    val j = graft.queries.LlmQueries.NearDupJaccard
+    def links(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupsAgainstIndex(newDocs, "text", "doc_id", idx, cshingles, j)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = links(spark.read.parquet(idxDir)
+      .select(col("band_idx"), col("band_key"), col("doc_id")))
+    val want = links(Dedup.minhashBandIndex(corpus, "text", "doc_id"))
+    assert(want.nonEmpty && got == want,
+      s"probe diverged on refreshed index: got=${got.size} want=${want.size}")
+    cshingles.unpersist()
+  }
+}
