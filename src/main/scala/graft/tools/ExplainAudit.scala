@@ -10,7 +10,11 @@ import graft.core.GraftSession
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else graft.Bench.headline
+    val names =
+      if (args.length > 1 && args(1) == "ALL")
+        SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
+      else graft.Bench.headline
     val spark = GraftSession.local("explain-audit")
     val qmap = SparkEntry.queries
     names.foreach { n =>
