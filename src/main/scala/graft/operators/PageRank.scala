@@ -34,7 +34,10 @@ object PageRank {
       .select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesD = e.join(deg, "src")
+    // pin the persisted edge layout to hashpartitioning(src): every
+    // round joins on src, so the big side never re-exchanges — only the
+    // node-scale rank table moves per round
+    val edgesD = e.join(deg, "src").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
