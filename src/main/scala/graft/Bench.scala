@@ -61,7 +61,7 @@ object Bench {
     "q_profile_table",
     // round-9: profiler scale mode, deliberate NTZ scan, frozen near-dup index
     "q_profile_table_scale", "q_scan_ntz", "q_dedup_index",
-    "q_dedup_index_probe", "q_media_resize")
+    "q_dedup_index_probe", "q_media_resize", "q_agg_histogram_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

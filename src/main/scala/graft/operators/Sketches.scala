@@ -67,3 +67,53 @@ object Sketches {
         least(ests: _*).cast("long").as("est"): _*)
   }
 }
+
+/** Equi-width histogram as a PUBLISHED, MERGEABLE table artifact — the
+  * quantile member of the sketch family (Bloom/CMS/HLL/MG/KMV all have
+  * publish/merge entries; this closes the set). Build per shard with one
+  * map-side-combinable aggregate, merge by bin-sum (addition is
+  * associative and commutative, so the merged artifact is bit-identical
+  * to the direct build under ANY sharding — the law `q_agg_histogram_
+  * merge` gates), estimate quantiles by walking the cumulative bin mass.
+  * All arithmetic is integer (counts, permille thresholds): both engines
+  * reproduce the artifact and the estimate exactly.
+  *
+  * 100 TB shape: the artifact is O(bins) rows regardless of input size,
+  * shards build independently (per day / per source), and a quantile
+  * read touches only the artifact — the classic pre-aggregated
+  * percentile serving pattern.
+  */
+object Histogram {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** floor-based bin id (width_bucket edge semantics differ across
+    * engines; floor is identical everywhere). */
+  def binOf(value: Column, width: Double): Column =
+    floor(value / width).cast("int")
+
+  /** (bin, n) histogram of `value` over `df` — ONE aggregate. */
+  def build(df: DataFrame, value: Column, width: Double): DataFrame =
+    df.select(binOf(value, width).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** Merge any number of (bin, n) artifacts by bin-sum. */
+  def merge(parts: DataFrame): DataFrame =
+    parts.groupBy("bin").agg(sum(col("n")).as("n"))
+
+  /** Quantile estimate from a (bin, n) artifact: the first bin whose
+    * cumulative count reaches `permille`/1000 of the total, with the
+    * cumulative and total reported for auditability. The running sum
+    * over O(bins) rows is a declared bounded single-partition window —
+    * the artifact is sketch-sized, never data-sized. */
+  def quantileBin(hist: DataFrame, permille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist.withColumn("cum",
+      sum(col("n")).over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(hist.agg(sum(col("n")).as("tot"))))
+      .filter(col("cum") * 1000 >= col("tot") * permille)
+      .orderBy("bin").limit(1)
+      .select(col("bin").as("q_bin"), col("cum").as("q_cum"), col("tot"))
+  }
+}

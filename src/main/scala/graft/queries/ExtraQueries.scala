@@ -399,6 +399,45 @@ object ExtraQueries {
               FROM orders GROUP BY 1"""),
       "histogram: binned count/sum/min/max over order totals"),
 
+    // The histogram as a PUBLISHED MERGEABLE artifact + quantile read —
+    // the quantile member of the sketch family's publish/merge laws
+    // (hll_merge, kmv_merge convention): per-shard (bin, n) artifacts
+    // merged by bin-sum must reproduce the direct build bit-for-bit
+    // (count addition is associative under ANY sharding — the law the
+    // merge CODE path must not break), and the p50/p90/p99 walk over
+    // the merged bins is integer-exact in both engines. The oracle
+    // deliberately builds UNsharded: merged ≡ direct IS the claim.
+    Q("q_agg_histogram_merge",
+      (s, d) => {
+        import graft.operators.Histogram
+        val o = t(s, d, "orders")
+        // 4 independent shard artifacts (per-day/per-source builds)
+        val parts = o
+          .groupBy((col("o_orderkey") % 4).as("shard"),
+            Histogram.binOf(col("o_totalprice"), 50000).as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .select("bin", "n")
+        val merged = Histogram.merge(parts)
+        Seq(500, 900, 990).map { p =>
+          Histogram.quantileBin(merged, p).select(
+            lit(p).as("p"), col("q_bin"), col("q_cum"), col("tot"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH h AS (SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin,
+                    count(*) AS n
+                  FROM orders GROUP BY 1),
+              c AS (SELECT bin, n,
+                      sum(n) OVER (ORDER BY bin) AS cum,
+                      sum(n) OVER () AS tot
+                    FROM h),
+              ps AS (SELECT unnest([500, 900, 990]) AS p)
+              SELECT p, bin AS q_bin, cum AS q_cum, tot FROM (
+                SELECT ps.p, c.bin, c.cum, c.tot,
+                  row_number() OVER (PARTITION BY ps.p ORDER BY c.bin) AS rn
+                FROM ps JOIN c ON c.cum * 1000 >= c.tot * ps.p)
+              WHERE rn = 1"""),
+      "mergeable histogram artifact: shard bin-sums ≡ direct build; integer quantile walk"),
+
     // Star-schema join (TPC-H Q5 flavor): fact lineitem through orders to
     // the customer→nation→region dimension chain, revenue per nation over
     // a date slice. Dims broadcast; the only real shuffles are the two
