@@ -4,6 +4,32 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump each query's result to `outDir/<name>` parquet; a query that
+    * THROWS writes an empty marker dir plus `<name>.err` instead of
+    * vanishing — round 8 proved that a correctness gate whose failure
+    * mode is absence can be passed by crashing (5 entries silently
+    * dropped). Returns the failure count. VerifyDumpSpec pins the marker
+    * contract. */
+  def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
+              queries: Map[String, (SparkSession, String) =>
+                org.apache.spark.sql.DataFrame]): Int = {
+    new java.io.File(outDir).mkdirs()
+    var failed = 0
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        new java.io.File(s"$outDir/$name").mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name.err"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
+      }
+    }
+    failed
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional trailing args: restrict the dump to these query names
@@ -19,24 +45,8 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    var failed = 0
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // fail LOUDLY: an absent dump dir reads as "never ran" in the
-        // correctness sweep — write a marker dir + .err file so a crashed
-        // query shows up as an err row instead of vanishing (r8 lesson)
-        failed += 1
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        new java.io.File(s"$outDir/$name").mkdirs()
-        Files.writeString(Paths.get(s"$outDir/$name.err"),
-          s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
-      }
-    }
+    val failed = dumpAll(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) })
     if (failed > 0)
       System.err.println(s"[verify] $failed quer${if (failed == 1) "y" else "ies"} FAILED — see *.err markers in $outDir")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The correctness dump must fail LOUDLY: round 8's NTZ incident dropped
+  * five gated entries because a crashed dump produced NO output at all —
+  * the sweep read absence as "never registered" and reported a clean
+  * 197/197. [[Verify.dumpAll]] now writes an empty marker dir plus a
+  * `<name>.err` file for every query that throws, so a crash surfaces as
+  * an err row. This spec pins that contract.
+  */
+class VerifyDumpSpec extends SparkSpec {
+
+  test("a crashing query leaves an .err marker; healthy ones still dump") {
+    val out = java.nio.file.Files.createTempDirectory("graft_vdump").toString
+    val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q_ok" -> ((s, _) => s.range(3).toDF("id")),
+      "q_boom" -> ((_, _) => throw new IllegalStateException("intentional")))
+    val failed = Verify.dumpAll(spark, "unused", out, qs)
+    assert(failed == 1)
+    // healthy query dumped as readable parquet
+    assert(spark.read.parquet(s"$out/q_ok").count() == 3)
+    // crashed query: empty marker dir + .err file naming the exception
+    val err = java.nio.file.Paths.get(s"$out/q_boom.err")
+    assert(java.nio.file.Files.exists(err), "missing .err marker")
+    val msg = java.nio.file.Files.readString(err)
+    assert(msg.contains("IllegalStateException") && msg.contains("intentional"))
+    assert(new java.io.File(s"$out/q_boom").isDirectory,
+      "missing marker dir for the crashed query")
+  }
+}
