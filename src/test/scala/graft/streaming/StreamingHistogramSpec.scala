@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Histogram
+
+/** The histogram artifact maintained LIVE: the build is a streaming
+  * aggregation over O(bins) keys — bounded state by construction, so
+  * complete-mode output is legal — and the live artifact must equal the
+  * batch build over the same rows at every point it's read. Quantile
+  * reads then run on the published table exactly as in batch
+  * (`q_agg_histogram_merge` gates the walk); merge-by-bin-sum composes
+  * the live artifact with nightly shards unchanged.
+  */
+class StreamingHistogramSpec extends SparkSpec {
+
+  test("streaming histogram build ≡ batch over the same orders") {
+    val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    val want = Histogram.build(orders, col("o_totalprice"), 50000)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_histstream").toString
+    orders.filter(col("o_orderkey") % 2 === 0).write.parquet(s"$dir/in/p0")
+    orders.filter(col("o_orderkey") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    val src = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = Histogram.build(src, col("o_totalprice"), 50000)
+      .writeStream.format("memory").queryName("hist_build")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.table("hist_build").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want, s"live histogram diverged: got=$got want=$want")
+  }
+}
