@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify mains print one machine-parsed JSON line; the default
+// LoggedOutput strategy prefixes every forked-stdout line with "[info] ",
+// which breaks a strict json.loads on the harvester side (BENCH "parsed":
+// null three rounds running). Inherit sbt's own streams instead so the
+// line lands bare.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

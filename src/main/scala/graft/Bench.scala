@@ -61,7 +61,13 @@ object Bench {
     "q_profile_table",
     // round-9: profiler scale mode, deliberate NTZ scan, frozen near-dup index
     "q_profile_table_scale", "q_scan_ntz", "q_dedup_index",
-    "q_dedup_index_probe", "q_media_resize", "q_agg_histogram_merge")
+    "q_dedup_index_probe", "q_media_resize", "q_agg_histogram_merge",
+    "q_agg_histogram_read",
+    // round-10: the two most expensive rows in the whole bench (r9 driver
+    // run: 21.9 s / 15.8 s) were living in the single-shot sweep, making
+    // round-over-round regression on them unmeasurable — promoted to the
+    // median-of-5 tier per the r9 verdict
+    "q_graph_pagerank", "q_graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -196,8 +202,15 @@ object Bench {
     // COMPACT summary as the LAST stdout line: the full line above (~110
     // per-query entries) has outrun the driver's tail capture two rounds
     // running ("parsed": null in BENCH_r07/r08) — a short record at the
-    // very end always survives a bounded tail.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sweep_total":$sweepTotal%.3f,"sweep_n":${sweep.size},"n_failed":${(results ++ sweep).count(_._2.isEmpty)},"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${100000 / refSec}%.0f,"detail":"target/bench.json"}""")
+    // very end always survives a bounded tail. Through r9 it arrived
+    // prefixed "[info] " by sbt's LoggedOutput and a strict json.loads
+    // failed; build.sbt now pins outputStrategy := StdoutOutput so the
+    // line lands BARE, and the stderr copy below covers a harvester that
+    // reads the other stream.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sweep_total":$sweepTotal%.3f,"sweep_n":${sweep.size},"n_failed":${(results ++ sweep).count(_._2.isEmpty)},"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${100000 / refSec}%.0f,"detail":"target/bench.json"}"""
+    println(compact)
+    System.out.flush()
+    System.err.println(compact)
     spark.stop()
   }
 }

@@ -6,15 +6,23 @@ import java.nio.file.{Files, Paths}
 object Verify {
 
   /** Dump each query's result to `outDir/<name>` parquet; a query that
-    * THROWS writes an empty marker dir plus `<name>.err` instead of
+    * THROWS writes an EMPTY marker dir plus `<name>.err` instead of
     * vanishing — round 8 proved that a correctness gate whose failure
     * mode is absence can be passed by crashing (5 entries silently
-    * dropped). Returns the failure count. VerifyDumpSpec pins the marker
-    * contract. */
+    * dropped). A failure DURING the write (not just at plan construction)
+    * can leave partial part-files/_temporary under the dir, which a
+    * harvester globbing parquet dirs would read as results — so the dir
+    * is wiped before the marker is planted. Returns the failure count.
+    * VerifyDumpSpec pins the marker contract for both failure phases. */
   def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
               queries: Map[String, (SparkSession, String) =>
                 org.apache.spark.sql.DataFrame]): Int = {
     new java.io.File(outDir).mkdirs()
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete()
+    }
     var failed = 0
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -22,7 +30,9 @@ object Verify {
       catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        new java.io.File(s"$outDir/$name").mkdirs()
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) rm(dir) // partial parquet from a mid-write crash
+        dir.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name.err"),
           s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
       }

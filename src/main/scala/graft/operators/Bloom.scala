@@ -40,7 +40,21 @@ object Bloom {
     require(bits >= 64 && (bits & (bits - 1)) == 0,
       s"bits must be a power of two >= 64, got $bits")
     def words: Int = bits / 64
+    /** Upper bound on the serialized artifact: buckets × words × 8 B of
+      * masks (the dominant term; bucket ids and row overhead are noise).
+      * Deterministic from the params — sizing the probe join needs no
+      * count job over the artifact. */
+    def maxArtifactBytes: Long = buckets.toLong * words * 8
   }
+
+  /** Broadcast ceiling for the filter-artifact probe in
+    * [[dedupWithBloom]]. A real 100 TB corpus sizes `buckets` to keep
+    * ~10 bits per distinct key (~1% FPR), which puts the artifact in the
+    * tens of GB — far past any sane broadcast. Below this bound the probe
+    * broadcasts; past it, the SAME equi-join runs on `bucket` without the
+    * hint (a shuffle join — `bucket` is already the join key, so the
+    * fallback is the identical plan minus the hint). */
+  val MaxBroadcastBytes: Long = 256L << 20
 
   /** Double hashing over the (non-negative) content hash: probe i sits at
     * `(h1 + i·h2) mod bits`. With bits a power of two, h2 is forced ODD so
@@ -101,10 +115,15 @@ object Bloom {
     * are both stateless per-batch plans. */
   def dedupWithBloom(newDocs: DataFrame, seenHashes: DataFrame,
                      bloom: DataFrame, textCol: String, idCol: String,
-                     p: Params = Params()): DataFrame = {
+                     p: Params = Params(),
+                     maxBroadcastBytes: Long = MaxBroadcastBytes): DataFrame = {
     val hashed = Dedup.contentHashes(newDocs, textCol, idCol)
+    // size-gated hint: the artifact's byte bound is a pure function of the
+    // params, so the guard costs nothing at plan time
+    val probe =
+      if (p.maxArtifactBytes <= maxBroadcastBytes) broadcast(bloom) else bloom
     val tagged = hashed
-      .join(broadcast(bloom), bucketOf(col("h"), p) === bloom("bucket"), "left")
+      .join(probe, bucketOf(col("h"), p) === bloom("bucket"), "left")
       .withColumn("maybe_seen", mightContain(col("h"), col("masks"), p))
     val definitelyNew = tagged.filter(!col("maybe_seen"))
       .select(col("doc_id"), col("h"))

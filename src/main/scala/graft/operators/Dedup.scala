@@ -26,6 +26,18 @@ object Dedup {
   val R = 4
   require(BANDS * R == K)
 
+  /** Broadcast ceiling (rows) for the frozen band-index probe
+    * ([[nearDupsAgainstIndex]]). The index is BANDS rows per corpus
+    * document (two ints, a short hash-string key, a doc id — ~50 B/row),
+    * so the default 8M rows ≈ 2M corpus docs ≈ 400 MB serialized — the
+    * upper edge of a sane executor broadcast. Past it the probe runs as a
+    * plain shuffle equi-join on (band_idx, band_key): the band key is
+    * already the join key, so the fallback is the identical plan minus
+    * the hint (the [[Similarity.MaxQueryRows]] guard convention, except
+    * here over-size degrades to a shuffle instead of failing — the
+    * shuffle join is semantically identical, just not broadcast-shaped). */
+  val MaxIndexBroadcastRows = 8000000L
+
   /** Exact dedup: content-hash groups with the representative (min id) and
     * multiplicity. Survivors = one row per distinct content. */
   def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -171,19 +183,27 @@ object Dedup {
     * band_key), and only bucket-collision candidates reach the exact
     * shingle-Jaccard verify against the corpus shingle artifact.
     *
-    * Every step is stateless per row or a stream-static equi-join, so
-    * the SAME call runs under Structured Streaming at ingest
-    * (StreamingNearDupIndexSpec pins batch ≡ streamed across a restart).
-    * Output: (new_id, corpus_id, j4) — the verified near-dup links; an
-    * ingest gate anti-joins its batch on new_id.
+    * Every step is stateless per row or a stream-static equi-join except
+    * the candidate `distinct()` (a per-batch aggregation), so at ingest
+    * the call runs PER MICROBATCH inside `foreachBatch`
+    * (StreamingNearDupIndexSpec pins batch ≡ streamed-via-foreachBatch
+    * across a restart). Output: (new_id, corpus_id, j4) — the verified
+    * near-dup links; an ingest gate anti-joins its batch on new_id.
     *
-    * 100 TB shape: index probe is a broadcast join on the bounded
-    * artifact (or a shuffle join on band_key past broadcast size); the
-    * corpus shingle join ships only candidate doc_ids; nothing explodes
-    * corpus×batch. */
+    * 100 TB shape: the index probe broadcasts the artifact only while it
+    * holds ≤ `maxIndexBroadcastRows` rows (counted once per call, or
+    * passed via `knownIndexRows` by ingest loops that already track the
+    * artifact's size); past the bound it is the same equi-join on
+    * (band_idx, band_key) without the hint — a shuffle join, never
+    * corpus×batch. The corpus shingle join ships only candidate doc_ids. */
   def nearDupsAgainstIndex(newDocs: DataFrame, textCol: String, idCol: String,
                            index: DataFrame, corpusShingles: DataFrame,
-                           threshold: Double): DataFrame = {
+                           threshold: Double,
+                           maxIndexBroadcastRows: Long = MaxIndexBroadcastRows,
+                           knownIndexRows: Option[Long] = None): DataFrame = {
+    val idxRows = knownIndexRows.getOrElse(index.count())
+    val probe =
+      if (idxRows <= maxIndexBroadcastRows) broadcast(index) else index
     val sh = withShingleSet(newDocs, textCol, idCol)
     // shset is referenced by the band explode AND the verify join; keep
     // it one plan so streaming stays a single stateless pipeline
@@ -198,7 +218,7 @@ object Dedup {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
     withBands
-      .join(broadcast(index), Seq("band_idx", "band_key"))
+      .join(probe, Seq("band_idx", "band_key"))
       .select(col("new_id"), col("doc_id").as("corpus_id"), col("s1"))
       .distinct()
       .join(corpusShingles.select(col("doc_id").as("corpus_id"),

@@ -46,6 +46,14 @@ object PageRank {
     // broadcast-exchanged one-row frame per round paid a broadcast job ×
     // iterations for a value that never changes
     val nn = nodes.count()
+    if (nn == 0) {
+      // empty edge input: no nodes, so the recurrence is vacuous — return
+      // the empty (id, r) frame instead of dividing by the node count at
+      // plan-build time below
+      edgesD.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      return nodes.select(col("id"), lit(0L).as("r"))
+    }
     val baseConst = 15L * Scale / 100
 
     var ranks = nodes.select(col("id"), lit(Scale / nn).as("r"))

@@ -431,12 +431,45 @@ object ExtraQueries {
                       sum(n) OVER () AS tot
                     FROM h),
               ps AS (SELECT unnest([500, 900, 990]) AS p)
-              SELECT p, bin AS q_bin, cum AS q_cum, tot FROM (
+              SELECT p, bin AS q_bin, CAST(cum AS BIGINT) AS q_cum,
+                     CAST(tot AS BIGINT) AS tot FROM (
                 SELECT ps.p, c.bin, c.cum, c.tot,
                   row_number() OVER (PARTITION BY ps.p ORDER BY c.bin) AS rn
                 FROM ps JOIN c ON c.cum * 1000 >= c.tot * ps.p)
               WHERE rn = 1"""),
       "mergeable histogram artifact: shard bin-sums ≡ direct build; integer quantile walk"),
+
+    // The quantile READ path as its own gate (r9 verdict item #7): p50/p99
+    // served straight off the published artifact — the serving-side half
+    // of the family (build/merge is q_agg_histogram_merge's claim). A
+    // read touches only the O(bins) table: at 100 TB this is the
+    // pre-aggregated percentile-serving pattern where the data is never
+    // rescanned. StreamingHistogramSpec runs the SAME walk over the
+    // live-built artifact.
+    Q("q_agg_histogram_read",
+      (s, d) => {
+        import graft.operators.Histogram
+        val hist = Histogram.build(t(s, d, "orders"), col("o_totalprice"), 50000)
+        Seq(500, 990).map { p =>
+          Histogram.quantileBin(hist, p).select(
+            lit(p).as("p"), col("q_bin"), col("q_cum"), col("tot"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH h AS (SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin,
+                    count(*) AS n
+                  FROM orders GROUP BY 1),
+              c AS (SELECT bin, n,
+                      sum(n) OVER (ORDER BY bin) AS cum,
+                      sum(n) OVER () AS tot
+                    FROM h),
+              ps AS (SELECT unnest([500, 990]) AS p)
+              SELECT p, bin AS q_bin, CAST(cum AS BIGINT) AS q_cum,
+                     CAST(tot AS BIGINT) AS tot FROM (
+                SELECT ps.p, c.bin, c.cum, c.tot,
+                  row_number() OVER (PARTITION BY ps.p ORDER BY c.bin) AS rn
+                FROM ps JOIN c ON c.cum * 1000 >= c.tot * ps.p)
+              WHERE rn = 1"""),
+      "histogram quantile read: p50/p99 walk over the published O(bins) artifact"),
 
     // Star-schema join (TPC-H Q5 flavor): fact lineitem through orders to
     // the customer→nation→region dimension chain, revenue per nation over

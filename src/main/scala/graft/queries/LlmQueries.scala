@@ -618,11 +618,16 @@ object LlmQueries {
     Q("q_dedup_index_probe",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val (idx, csh) = Dedup.minhashIndexArtifacts(
-          docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        // index rows = BANDS per corpus doc, exactly; counted BEFORE
+        // minhashIndexArtifacts registers its job-scoped cache listener
+        // (an action after registration would release the shared shingle
+        // cache early and force a recompute)
+        val nIdx = corpus.count() * Dedup.BANDS
+        val (idx, csh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
         Dedup.nearDupsAgainstIndex(
           docs.filter(col("doc_id") % 5 === 0), "text", "doc_id",
-          idx, csh, NearDupJaccard)
+          idx, csh, NearDupJaccard, knownIndexRows = Some(nIdx))
       },
       Some(s"""WITH ${duckBandCtes("c", "doc_id % 5 <> 0")},
            |${duckBandCtes("n", "doc_id % 5 = 0")},
@@ -1361,9 +1366,12 @@ object LlmQueries {
         // apply member #8): batch docs that near-dup the standing corpus
         // are dropped before any further per-row work — in-row signature,
         // broadcast band probe, exact-Jaccard verify on candidates only
+        // exact index size (BANDS rows per corpus doc), counted before the
+        // artifacts' job-scoped cache registers — feeds the broadcast guard
+        val nIdx = corpus.count() * Dedup.BANDS
         val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
         val nearLinks = Dedup.nearDupsAgainstIndex(fresh, "text", "doc_id",
-          ndIdx, ndSh, NearDupJaccard)
+          ndIdx, ndSh, NearDupJaccard, knownIndexRows = Some(nIdx))
         val unique = fresh.join(
           nearLinks.select(col("new_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")

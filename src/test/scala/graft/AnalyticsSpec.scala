@@ -61,6 +61,13 @@ class AnalyticsSpec extends SparkSpec {
       s"mass $total vs ${PageRank.Scale}")
   }
 
+  test("pagerank: empty edge input returns an empty frame, not a divide-by-zero") {
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = PageRank.ranks(none, 3)
+    assert(out.columns.toSeq == Seq("id", "r"))
+    assert(out.count() == 0)
+  }
+
   test("triangles: K4 gives every node 3 triangles; pendant node none") {
     // complete graph on {1,2,3,4} (4 triangles, each node on 3)
     // plus pendant 5-1 (no triangle), duplicate + reversed edges tolerated

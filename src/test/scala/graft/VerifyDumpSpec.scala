@@ -28,4 +28,23 @@ class VerifyDumpSpec extends SparkSpec {
     assert(new java.io.File(s"$out/q_boom").isDirectory,
       "missing marker dir for the crashed query")
   }
+
+  test("a MID-WRITE failure leaves no partial parquet behind the marker") {
+    // the plan constructs fine; the ANSI division throws only while the
+    // write action is executing, after the committer has already created
+    // _temporary scaffolding under the output dir — the round-9 advice
+    // case: a harvester globbing parquet dirs must find nothing readable
+    val out = java.nio.file.Files.createTempDirectory("graft_vdump2").toString
+    val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q_midwrite" -> ((s, _) =>
+        s.range(100).selectExpr("1 div (id - 99) as x")))
+    val failed = Verify.dumpAll(spark, "unused", out, qs)
+    assert(failed == 1)
+    val err = java.nio.file.Paths.get(s"$out/q_midwrite.err")
+    assert(java.nio.file.Files.exists(err), "missing .err marker")
+    val dir = new java.io.File(s"$out/q_midwrite")
+    assert(dir.isDirectory, "missing marker dir")
+    assert(dir.listFiles().isEmpty,
+      s"marker dir must be EMPTY, found: ${dir.listFiles().mkString(", ")}")
+  }
 }

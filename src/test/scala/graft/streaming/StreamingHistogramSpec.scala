@@ -36,5 +36,18 @@ class StreamingHistogramSpec extends SparkSpec {
     val got = spark.table("hist_build").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == want, s"live histogram diverged: got=$got want=$want")
+
+    // quantile READ over the LIVE artifact: the serving path
+    // (q_agg_histogram_read's walk) must give identical p50/p99 whether
+    // the artifact was live-maintained or batch-built
+    val batchHist = Histogram.build(orders, col("o_totalprice"), 50000)
+    for (p <- Seq(500, 990)) {
+      val live = Histogram.quantileBin(spark.table("hist_build"), p)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val batch = Histogram.quantileBin(batchHist, p)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(live == batch,
+        s"p$p read diverged on the live artifact: live=$live batch=$batch")
+    }
   }
 }
