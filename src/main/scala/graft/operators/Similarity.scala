@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.CacheScope
 import graft.functions.{PortableHash, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -271,6 +272,89 @@ object Similarity {
     val c = asCorpus(withBucket, "bucket" -> "cb")
     topK(scored(broadcast(q), c,
       col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** Product-quantization split: Dim=64 as PqM=4 subspaces × PqSubDim=16
+    * dims, PqCodes=16 centroids per subspace — a 4-bit code per subspace,
+    * 2 bytes per vector against 512 for raw doubles. That 256× shrink is
+    * the 100 TB point of PQ: the ADC scan streams the CODES table (and a
+    * per-query 64-entry distance table) instead of the embeddings, so the
+    * candidate sweep is memory-bandwidth-cheap; production composes it
+    * with IVF cell routing ([[ivfTopK]]) for sub-linear candidate counts. */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqCodes = 16
+
+  /** PQ-ADC top-k: corpus vectors are encoded once against a per-subspace
+    * codebook (argmin exact fixed-point L2, ties to the lowest code id —
+    * the [[KMeans.assignByCell]] packed-key convention), then each query
+    * scores candidates by Asymmetric Distance Computation: a 64-entry
+    * lookup table of subspace distances, summed via 4 array reads per
+    * candidate instead of a 64-dim dot. All arithmetic is int64
+    * fixed-point, so the oracle replays codebook, codes, and ADC sums
+    * bit-for-bit. Codebook seeding is the deterministic salted-hash
+    * sample (the [[sampleSeeds]] convention, salted per subspace).
+    * Output distances are approximate BY DESIGN (that is PQ's contract);
+    * the gate pins the quantization itself, and q_sim_recall_pq measures
+    * its recall against the exact ground truth. */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int,
+             maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val (_, qCnt) = sizes(emb, queryPred)
+    requireBroadcastable(qCnt, maxQueryRows)
+    val fp = emb.select(col("vec_id"),
+      graft.operators.KMeans.toFixedPoint(col("embedding")).as("fpv"))
+    // (vec_id, s, sub): one row per vector per subspace — persisted once,
+    // referenced by the codebook window, the corpus encode, and the query
+    // distance tables (job-scoped, single consuming action)
+    val subs = CacheScope.autoRelease(fp.select(col("vec_id"), posexplode(
+      array((0 until PqM).map(s1 =>
+        slice(col("fpv"), s1 * PqSubDim + 1, PqSubDim)): _*))
+      .as(Seq("s", "sub"))))
+    // per-subspace codebook: the PqCodes sub-vectors whose parent id has
+    // the smallest subspace-salted hash; cid = sample rank. PqM partitions
+    // of top-PqCodes — bounded model extraction (codebook TRAINING at real
+    // scale is an offline job, like any codebook).
+    val w = Window.partitionBy(col("s")).orderBy(
+      PortableHash.hashMod(concat(col("vec_id").cast("string"), lit(":"),
+        col("s").cast("string"))).asc, col("vec_id").asc)
+    val codebook = subs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PqCodes)
+      .select(col("s"), (col("rn") - 1).cast("int").as("cid"),
+        col("sub").as("coords"))
+    // distance of every (vector, subspace) to every code — feeds both the
+    // corpus encode (argmin) and the query tables (all 16 kept)
+    val dists = subs.join(broadcast(codebook), "s")
+      .select(col("vec_id"), col("s"), col("cid"),
+        graft.functions.ArraySqDist(col("sub"), col("coords")).as("d"))
+    val codes = dists
+      .groupBy("vec_id", "s")
+      .agg(min(col("d") * PqCodes + col("cid")).as("key"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"),
+        (col("key") % PqCodes).cast("int").as("code")))),
+        x => x.getField("code")).as("codes"))
+    val qids = fp.filter(queryPred).select(col("vec_id"))
+    val qdt = dists.join(broadcast(qids), "vec_id")
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(
+        (col("s") * PqCodes + col("cid")).as("idx"), col("d")))),
+        x => x.getField("d")).as("dt"))
+    // ADC: 4 table lookups per candidate, integer sum — the whole corpus
+    // side is the CODES relation, never the embeddings
+    val adist = (0 until PqM).map { s1 =>
+      element_at(col("dt"),
+        (lit(s1 * PqCodes) + element_at(col("codes"), s1 + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    broadcast(qdt.select(col("vec_id").as("query_id"), col("dt")))
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("codes")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rn").cast("int").as("rnk"), col("adist"))
   }
 
   /** Default file-bucket count for a persisted index. Must exceed the live

@@ -57,6 +57,50 @@ object ExtraQueries {
                      FROM scored)
                WHERE rn <= ${LlmQueries.TopK}"""
 
+  /** Shared by q_sim_topk_pq and q_sim_recall_pq — the full PQ chain
+    * (fixed-point subvectors, per-subspace salted-hash codebooks, packed
+    * argmin encode, integer ADC sums). Mirrors Similarity.pqTopK exactly:
+    * every intermediate is int64, so the top-k is bit-identical. */
+  private def duckPqTopKOracle: String = {
+    import Similarity.{PqCodes, PqM, PqSubDim}
+    val salt = graft.functions.PortableHash.duckHashMod(
+      "vec_id::VARCHAR || ':' || s::VARCHAR")
+    s"""WITH fp AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * ${graft.operators.KMeans.Scale} + 0.5) AS BIGINT)) AS fpv
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, s,
+       |    list_slice(fpv, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sub
+       |  FROM fp CROSS JOIN (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS s)),
+       |cb AS (
+       |  SELECT s, CAST(rn - 1 AS INT) AS cid, sub AS coords FROM (
+       |    SELECT s, vec_id, sub,
+       |      row_number() OVER (PARTITION BY s ORDER BY $salt, vec_id) AS rn
+       |    FROM subs)
+       |  WHERE rn <= $PqCodes),
+       |dist AS (
+       |  SELECT a.vec_id, a.s, c.cid,
+       |    CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> (a.sub[i] - c.coords[i]) * (a.sub[i] - c.coords[i]))) AS BIGINT) AS d
+       |  FROM subs a JOIN cb c ON a.s = c.s),
+       |codes AS (
+       |  SELECT vec_id, s, CAST(min(d * $PqCodes + cid) % $PqCodes AS INT) AS code
+       |  FROM dist GROUP BY vec_id, s),
+       |pairs AS (
+       |  SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id,
+       |    CAST(sum(qd.d) AS BIGINT) AS adist
+       |  FROM dist qd JOIN codes co ON qd.s = co.s AND qd.cid = co.code
+       |  WHERE qd.vec_id < ${LlmQueries.QueryVecs} AND qd.vec_id <> co.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, adist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adist, neighbor_id) AS rn
+       |      FROM pairs)
+       |WHERE rn <= ${LlmQueries.TopK}""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q_agg_groupingsets",
@@ -343,6 +387,42 @@ object ExtraQueries {
                      FROM scored)
                WHERE rn <= ${LlmQueries.TopK}"""),
       "IVF top-k with nprobe=2 (runner-up cell probed — recall at constant corpus cost)"),
+
+    // Product quantization + ADC: the codes-only candidate sweep (2 B per
+    // vector against 512 B of raw doubles — at 100 TB the scan that fits
+    // in memory bandwidth). Codebook = per-subspace salted-hash sample;
+    // encode = argmin exact fixed-point L2 with the packed-key tie rule;
+    // ADC = 4 table lookups per candidate, all int64 — DuckDB replays
+    // codebook, codes, and distance sums bit-for-bit.
+    Q("q_sim_topk_pq",
+      (s, d) => Similarity.pqTopK(t(s, d, "embeddings"),
+        col("vec_id") < LlmQueries.QueryVecs, LlmQueries.TopK),
+      Some(duckPqTopKOracle),
+      "PQ-ADC top-k: 4×16-dim codebooks, 4-bit codes, integer asymmetric distance"),
+
+    // Recall of the PQ sweep against the exact ground truth — the same
+    // exact-integer recall gate the LSH and IVF families carry, closing
+    // the ANN-variant checklist (brute/LSH/IVF/PQ each: top-k + recall).
+    Q("q_sim_recall_pq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val pred = col("vec_id") < LlmQueries.QueryVecs
+        val sz = Some(Similarity.sizes(emb, pred))
+        val brute = Similarity.bruteForceTopK(emb, pred, LlmQueries.TopK,
+            knownSizes = sz)
+          .select(col("query_id"), col("neighbor_id"))
+        val pq = Similarity.pqTopK(emb, pred, LlmQueries.TopK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+            count(lit(1)).as("n_truth"))
+      },
+      Some(s"""WITH brute AS (SELECT query_id, neighbor_id FROM (${LlmQueries.duckBruteTopKOracle})),
+           |pq AS (SELECT query_id, neighbor_id FROM ($duckPqTopKOracle))
+           |SELECT count(p.neighbor_id) AS n_hit, count(*) AS n_truth
+           |FROM brute b LEFT JOIN pq p
+           |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id""".stripMargin),
+      "ANN recall@k of the PQ-ADC sweep vs exact ground truth (exact integers)"),
 
     // CDC latest-wins merge: customer balances upserted by their orders'
     // totals — delta (orders) beats base (customer), latest order wins,

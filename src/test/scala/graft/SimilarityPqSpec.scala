@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Properties of the PQ-ADC sweep the differential oracle can't see:
+  * shape invariants (k rows per query, distinct neighbors, codes bounded),
+  * determinism across runs (the codebook is a salted-hash sample, not
+  * RNG), and the ADC-minimality of an exact-duplicate vector — a corpus
+  * vector with the query's own embedding quantizes to the query's argmin
+  * codes, so nothing can score a smaller asymmetric distance.
+  */
+class SimilarityPqSpec extends SparkSpec {
+
+  private lazy val emb =
+    graft.core.Tables.load(spark, sf0001, "embeddings")
+
+  test("k rows per query, distinct neighbors, rnk contiguous, no self") {
+    val k = 5
+    val out = Similarity.pqTopK(emb, col("vec_id") < 8, k).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == k, s"query $q: ${rows.length} rows")
+      assert(rows.map(_.getLong(1)).distinct.length == k)
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to k))
+      assert(!rows.exists(_.getLong(1) == q), s"query $q returned itself")
+      // adist is non-decreasing in rank and non-negative
+      val byRank = rows.sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(byRank.head >= 0L)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("deterministic: two runs produce identical rows") {
+    def run() = Similarity.pqTopK(emb, col("vec_id") < 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(run() == run())
+  }
+
+  test("an exact duplicate of the query achieves the minimal ADC sum") {
+    // plant vec_id=9000001 with vec 0's embedding: its codes are argmin
+    // against vec 0's own distance table, so no candidate can score a
+    // strictly smaller asymmetric distance. (Other vectors MAY tie by
+    // quantizing to the same argmin codes — ties sort by neighbor_id —
+    // so the pin is adist-minimality, not rank-1.)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(9000001L).as("vec_id"), col("embedding"))
+    val planted = emb.select(col("vec_id"), col("embedding")).unionByName(dup)
+    val top = Similarity.pqTopK(planted, col("vec_id") === 0, 50)
+      .orderBy(col("rnk")).collect()
+    val dupRow = top.find(_.getLong(1) == 9000001L)
+    assert(dupRow.isDefined,
+      s"duplicate missing from top-50: ${top.map(_.getLong(1)).mkString(",")}")
+    assert(dupRow.get.getLong(3) == top.head.getLong(3),
+      "duplicate's adist must equal the minimum")
+  }
+}
