@@ -297,50 +297,48 @@ object Similarity {
     * Output distances are approximate BY DESIGN (that is PQ's contract);
     * the gate pins the quantization itself, and q_sim_recall_pq measures
     * its recall against the exact ground truth. */
-  def pqTopK(emb: DataFrame, queryPred: Column, k: Int,
-             maxQueryRows: Long = MaxQueryRows): DataFrame = {
-    val (_, qCnt) = sizes(emb, queryPred)
-    requireBroadcastable(qCnt, maxQueryRows)
-    val fp = emb.select(col("vec_id"),
-      graft.operators.KMeans.toFixedPoint(col("embedding")).as("fpv"))
-    // (vec_id, s, sub): one row per vector per subspace — persisted once,
-    // referenced by the codebook window, the corpus encode, and the query
-    // distance tables (job-scoped, single consuming action)
-    val subs = CacheScope.autoRelease(fp.select(col("vec_id"), posexplode(
-      array((0 until PqM).map(s1 =>
-        slice(col("fpv"), s1 * PqSubDim + 1, PqSubDim)): _*))
-      .as(Seq("s", "sub"))))
-    // per-subspace codebook: the PqCodes sub-vectors whose parent id has
-    // the smallest subspace-salted hash; cid = sample rank. PqM partitions
-    // of top-PqCodes — bounded model extraction (codebook TRAINING at real
-    // scale is an offline job, like any codebook).
-    val w = Window.partitionBy(col("s")).orderBy(
-      PortableHash.hashMod(concat(col("vec_id").cast("string"), lit(":"),
-        col("s").cast("string"))).asc, col("vec_id").asc)
-    val codebook = subs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= PqCodes)
-      .select(col("s"), (col("rn") - 1).cast("int").as("cid"),
-        col("sub").as("coords"))
-    // distance of every (vector, subspace) to every code — feeds both the
-    // corpus encode (argmin) and the query tables (all 16 kept)
-    val dists = subs.join(broadcast(codebook), "s")
+  /** (vec_id, s, sub): fixed-point subvector rows, one per vector per
+    * subspace — the shared input of codebook training, corpus encode, and
+    * query distance tables. */
+  private def pqSubs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        graft.operators.KMeans.toFixedPoint(col("embedding")).as("fpv"))
+      .select(col("vec_id"), posexplode(
+        array((0 until PqM).map(s1 =>
+          slice(col("fpv"), s1 * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("s", "sub")))
+
+  /** Exact fixed-point distance of every (vector, subspace) row to every
+    * code of its subspace — feeds both the encode argmin and the query
+    * tables. */
+  private def pqDists(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook), "s")
       .select(col("vec_id"), col("s"), col("cid"),
         graft.functions.ArraySqDist(col("sub"), col("coords")).as("d"))
-    val codes = dists
+
+  /** Argmin code per (vector, subspace), packed-key tie rule, collected
+    * to the per-vector `codes` array (subspace order). */
+  private def pqCodesFromDists(dists: DataFrame): DataFrame =
+    dists
       .groupBy("vec_id", "s")
       .agg(min(col("d") * PqCodes + col("cid")).as("key"))
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("s"),
         (col("key") % PqCodes).cast("int").as("code")))),
         x => x.getField("code")).as("codes"))
-    val qids = fp.filter(queryPred).select(col("vec_id"))
-    val qdt = dists.join(broadcast(qids), "vec_id")
+
+  /** Per-query flattened 64-entry distance table (index = s·PqCodes+cid). */
+  private def pqDtFromDists(dists: DataFrame): DataFrame =
+    dists
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(
         (col("s") * PqCodes + col("cid")).as("idx"), col("d")))),
         x => x.getField("d")).as("dt"))
-    // ADC: 4 table lookups per candidate, integer sum — the whole corpus
-    // side is the CODES relation, never the embeddings
+
+  /** ADC sweep: broadcast the (guarded, small) query tables against the
+    * CODES relation — PqM integer lookups per candidate, per-query top-k
+    * by ascending asymmetric distance, ties to the lowest neighbor id. */
+  private def pqAdcTopK(qdt: DataFrame, codes: DataFrame, k: Int): DataFrame = {
     val adist = (0 until PqM).map { s1 =>
       element_at(col("dt"),
         (lit(s1 * PqCodes) + element_at(col("codes"), s1 + 1) + 1).cast("int"))
@@ -355,6 +353,67 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rn").cast("int").as("rnk"), col("adist"))
+  }
+
+  /** PUBLISH half #1 — the per-subspace codebook (s, cid, coords): the
+    * PqCodes sub-vectors whose parent id has the smallest subspace-salted
+    * hash; cid = sample rank. PqM partitions of top-PqCodes — bounded
+    * model extraction (codebook TRAINING at real scale is an offline
+    * job, like any codebook; the published table is PqM×PqCodes rows). */
+  def pqCodebook(emb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("s")).orderBy(
+      PortableHash.hashMod(concat(col("vec_id").cast("string"), lit(":"),
+        col("s").cast("string"))).asc, col("vec_id").asc)
+    pqSubs(emb).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PqCodes)
+      .select(col("s"), (col("rn") - 1).cast("int").as("cid"),
+        col("sub").as("coords"))
+  }
+
+  /** PUBLISH half #2 — the corpus CODES artifact (vec_id, codes): every
+    * vector encoded against a frozen codebook. One broadcast join + one
+    * map-side-combinable argmin: at 100 TB the artifact is O(corpus) rows
+    * of PqM small ints — the 256×-compressed searchable form. */
+  def pqEncode(emb: DataFrame, codebook: DataFrame): DataFrame =
+    pqCodesFromDists(pqDists(pqSubs(emb), codebook))
+
+  /** APPLY half — ADC top-k of NEW query vectors against the FROZEN
+    * (codebook, codes) artifacts: per-query distance tables computed
+    * in-row against the broadcast codebook, then the codes-only sweep —
+    * the corpus embeddings are never touched at probe time. Stateless
+    * per batch apart from the per-query aggregation, so at ingest it runs
+    * per microbatch via foreachBatch (StreamingPqIndexSpec pins batch ≡
+    * streamed across a restart). The query side is guarded like every
+    * broadcast query set ([[MaxQueryRows]]); pass `knownQueryRows` when
+    * the caller already counted the batch. */
+  def pqProbe(queries: DataFrame, codebook: DataFrame, codes: DataFrame,
+              k: Int, maxQueryRows: Long = MaxQueryRows,
+              knownQueryRows: Option[Long] = None): DataFrame = {
+    val qCnt = knownQueryRows.getOrElse(queries.count())
+    requireBroadcastable(qCnt, maxQueryRows)
+    pqAdcTopK(pqDtFromDists(pqDists(pqSubs(queries), codebook)), codes, k)
+  }
+
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int,
+             maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val (_, qCnt) = sizes(emb, queryPred)
+    requireBroadcastable(qCnt, maxQueryRows)
+    // one job-scoped persist of the subvector relation: it feeds the
+    // codebook window, the corpus encode, and the query tables inside a
+    // single consuming action
+    val subs = CacheScope.autoRelease(pqSubs(emb))
+    val w = Window.partitionBy(col("s")).orderBy(
+      PortableHash.hashMod(concat(col("vec_id").cast("string"), lit(":"),
+        col("s").cast("string"))).asc, col("vec_id").asc)
+    val codebook = subs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PqCodes)
+      .select(col("s"), (col("rn") - 1).cast("int").as("cid"),
+        col("sub").as("coords"))
+    val dists = pqDists(subs, codebook)
+    val codes = pqCodesFromDists(dists)
+    val qids = emb.filter(queryPred).select(col("vec_id"))
+    val qdt = pqDtFromDists(dists.join(broadcast(qids), "vec_id"))
+    pqAdcTopK(qdt, codes, k)
   }
 
   /** Default file-bucket count for a persisted index. Must exceed the live

@@ -57,19 +57,21 @@ object ExtraQueries {
                      FROM scored)
                WHERE rn <= ${LlmQueries.TopK}"""
 
-  /** Shared by q_sim_topk_pq and q_sim_recall_pq — the full PQ chain
-    * (fixed-point subvectors, per-subspace salted-hash codebooks, packed
-    * argmin encode, integer ADC sums). Mirrors Similarity.pqTopK exactly:
-    * every intermediate is int64, so the top-k is bit-identical. */
-  private def duckPqTopKOracle: String = {
+  /** PQ chain CTEs (fp → subs → cb → dist → codes) over `embeddings
+    * WHERE corpusWhere` — fixed-point subvectors, per-subspace
+    * salted-hash codebooks, exact int64 distances, packed argmin codes.
+    * Mirrors Similarity.pqCodebook/pqEncode exactly. Every sum that
+    * DuckDB would widen to HUGEINT is cast back to BIGINT (the engine's
+    * Long). */
+  private def duckPqCtes(corpusWhere: String): String = {
     import Similarity.{PqCodes, PqM, PqSubDim}
     val salt = graft.functions.PortableHash.duckHashMod(
       "vec_id::VARCHAR || ':' || s::VARCHAR")
-    s"""WITH fp AS (
+    s"""fp AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(x::DOUBLE * ${graft.operators.KMeans.Scale} + 0.5) AS BIGINT)) AS fpv
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $corpusWhere),
        |subs AS (
        |  SELECT vec_id, s,
        |    list_slice(fpv, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sub
@@ -86,20 +88,30 @@ object ExtraQueries {
        |      i -> (a.sub[i] - c.coords[i]) * (a.sub[i] - c.coords[i]))) AS BIGINT) AS d
        |  FROM subs a JOIN cb c ON a.s = c.s),
        |codes AS (
-       |  SELECT vec_id, s, CAST(min(d * $PqCodes + cid) % $PqCodes AS INT) AS code
-       |  FROM dist GROUP BY vec_id, s),
+       |  SELECT vec_id, s, CAST(min(d * ${PqCodes} + cid) % ${PqCodes} AS INT) AS code
+       |  FROM dist GROUP BY vec_id, s)""".stripMargin
+  }
+
+  /** Top-k tail shared by the PQ oracles: rank `pairs` (query_id,
+    * neighbor_id, adist) per query by ascending asymmetric distance. */
+  private def duckPqTopKTail: String =
+    s"""SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, adist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adist, neighbor_id) AS rn
+       |      FROM pairs)
+       |WHERE rn <= ${LlmQueries.TopK}""".stripMargin
+
+  /** Shared by q_sim_topk_pq and q_sim_recall_pq — codebook and codes
+    * from the WHOLE table, queries drawn from it (self excluded). */
+  private def duckPqTopKOracle: String =
+    s"""WITH ${duckPqCtes("TRUE")},
        |pairs AS (
        |  SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id,
        |    CAST(sum(qd.d) AS BIGINT) AS adist
        |  FROM dist qd JOIN codes co ON qd.s = co.s AND qd.cid = co.code
        |  WHERE qd.vec_id < ${LlmQueries.QueryVecs} AND qd.vec_id <> co.vec_id
        |  GROUP BY 1, 2)
-       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk, adist
-       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |        ORDER BY adist, neighbor_id) AS rn
-       |      FROM pairs)
-       |WHERE rn <= ${LlmQueries.TopK}""".stripMargin
-  }
+       |$duckPqTopKTail""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -423,6 +435,62 @@ object ExtraQueries {
            |FROM brute b LEFT JOIN pq p
            |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id""".stripMargin),
       "ANN recall@k of the PQ-ADC sweep vs exact ground truth (exact integers)"),
+
+    // The PQ index as a PUBLISHED artifact pair (publish/apply member #9):
+    // codebook + corpus CODES table built nightly from the standing
+    // corpus. This gate pins the CODES artifact bit-for-bit (DuckDB
+    // rebuilds every code from the same salted-hash codebook and packed
+    // argmin); the probe gate below pins publish+apply end to end, and
+    // StreamingPqIndexSpec runs the probe per microbatch over the frozen
+    // parquet artifacts across a restart.
+    Q("q_sim_index_pq",
+      (s, d) => {
+        val corpus = t(s, d, "embeddings").filter(col("vec_id") % 5 =!= 0)
+        Similarity.pqEncode(corpus, Similarity.pqCodebook(corpus))
+      },
+      Some(s"""WITH ${duckPqCtes("vec_id % 5 <> 0")}
+           |SELECT vec_id, list(code ORDER BY s) AS codes
+           |FROM codes GROUP BY vec_id""".stripMargin),
+      "frozen PQ index artifact: the corpus codes table, bit-exact"),
+
+    // Apply half: NEW vectors (vec_id % 5 = 0, bounded) probe the frozen
+    // artifacts — distance tables in-row against the broadcast codebook,
+    // then the codes-only ADC sweep. The corpus embeddings are never read
+    // at probe time; at 100 TB the probe streams the 256×-smaller codes.
+    Q("q_sim_index_pq_probe",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+        val queries = emb.filter(col("vec_id") % 5 === 0 &&
+          col("vec_id") < LlmQueries.QueryVecs * 5)
+        val cb = Similarity.pqCodebook(corpus)
+        Similarity.pqProbe(queries, cb, Similarity.pqEncode(corpus, cb),
+          LlmQueries.TopK)
+      },
+      Some(s"""WITH ${duckPqCtes("vec_id % 5 <> 0")},
+           |qfp AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(floor(x::DOUBLE * ${graft.operators.KMeans.Scale} + 0.5) AS BIGINT)) AS fpv
+           |  FROM embeddings
+           |  WHERE vec_id % 5 = 0 AND vec_id < ${LlmQueries.QueryVecs * 5}),
+           |qsubs AS (
+           |  SELECT vec_id, s,
+           |    list_slice(fpv, s * ${Similarity.PqSubDim} + 1,
+           |      s * ${Similarity.PqSubDim} + ${Similarity.PqSubDim}) AS sub
+           |  FROM qfp CROSS JOIN (SELECT unnest([${(0 until Similarity.PqM).mkString(", ")}]) AS s)),
+           |qdist AS (
+           |  SELECT a.vec_id, a.s, c.cid,
+           |    CAST(list_sum(list_transform(range(1, ${Similarity.PqSubDim + 1}),
+           |      i -> (a.sub[i] - c.coords[i]) * (a.sub[i] - c.coords[i]))) AS BIGINT) AS d
+           |  FROM qsubs a JOIN cb c ON a.s = c.s),
+           |pairs AS (
+           |  SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id,
+           |    CAST(sum(qd.d) AS BIGINT) AS adist
+           |  FROM qdist qd JOIN codes co ON qd.s = co.s AND qd.cid = co.code
+           |  GROUP BY 1, 2)
+           |$duckPqTopKTail""".stripMargin),
+      "ingest ANN probe: new vectors vs the frozen PQ codebook+codes artifacts"),
 
     // CDC latest-wins merge: customer balances upserted by their orders'
     // totals — delta (orders) beats base (customer), latest order wins,

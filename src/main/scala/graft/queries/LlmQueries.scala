@@ -1357,24 +1357,39 @@ object LlmQueries {
         val thr = corpus
           .select(col("lang"), TextFunctions.nWords(col("text")).as("n_words"))
           .groupBy("lang").agg(expr("percentile(n_words, 0.25)").as("thr"))
-        // 1. bloom-pruned exact dedup of the batch against the corpus
-        val fresh = batch.join(
+        // exact index size (BANDS rows per corpus doc) for the broadcast
+        // guard — counted FIRST: every job-scoped CacheScope below
+        // releases on the next completed execution, so this action must
+        // precede all of their registrations
+        val nIdx = corpus.count() * Dedup.BANDS
+        // 1. bloom-pruned exact dedup of the batch against the corpus.
+        // Job-scoped persist: `fresh` is referenced by the near-dup
+        // probe's shingles AND the keep side of the anti-join inside the
+        // single localCheckpoint execution below.
+        val fresh = graft.core.CacheScope.autoRelease(batch.join(
           graft.operators.Bloom.dedupWithBloom(
             batch, seen, bloom, "text", "doc_id", p).select("doc_id"),
-          "doc_id")
+          "doc_id"))
         // 1b. NEAR-dup gate vs the frozen MinHash band index (publish/
         // apply member #8): batch docs that near-dup the standing corpus
         // are dropped before any further per-row work — in-row signature,
         // broadcast band probe, exact-Jaccard verify on candidates only
-        // exact index size (BANDS rows per corpus doc), counted before the
-        // artifacts' job-scoped cache registers — feeds the broadcast guard
-        val nIdx = corpus.count() * Dedup.BANDS
         val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
         val nearLinks = Dedup.nearDupsAgainstIndex(fresh, "text", "doc_id",
           ndIdx, ndSh, NearDupJaccard, knownIndexRows = Some(nIdx))
+        // lineage truncation, the q_pipeline_llm_v2 pattern: the decontam
+        // cut-and-rejoin references `unique` TWICE, and the downstream
+        // stages re-run Catalyst analysis over the doubled bloom+near-dup
+        // tree at every Dataset construction (~2 s of pure driver-side
+        // analysis per reference, measured r10, IngestProfile method in
+        // BENCHFOCUS_r10.md) — localCheckpoint collapses it to a
+        // LogicalRDD and executes the dedup stages exactly once. Its
+        // eager job is also the single consuming execution that releases
+        // the two job-scoped persists above.
         val unique = fresh.join(
           nearLinks.select(col("new_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         // 2. surgical span decontam vs the benchmark
         val clean = Dedup.removeBenchmarkSpans(
           unique, "text", "doc_id", benchmark, "text", DecontamW)

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Ingest-time ANN probing against the FROZEN PQ artifacts (publish/apply
+  * member #9): codebook + corpus codes are published once as parquet
+  * tables, batch-side; [[Similarity.pqProbe]] applied per microbatch
+  * (foreachBatch — the per-query distance-table aggregation makes the
+  * probe a batch-gate shape, like the near-dup index) must emit exactly
+  * the neighbors the batch probe emits, and a RESTART from the checkpoint
+  * must pick up exactly the unprocessed query files.
+  */
+class StreamingPqIndexSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("frozen PQ probe: streaming ≡ batch, across a restart") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val queries = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 80)
+      .select("vec_id", "embedding")
+
+    // publish: artifacts land as parquet TABLES (the real topology — a
+    // probe reads yesterday's published files, not a live plan)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Similarity.pqCodebook(corpus).write.parquet(s"$dir/cb")
+    Similarity.pqEncode(corpus,
+      spark.read.parquet(s"$dir/cb")).write.parquet(s"$dir/codes")
+    val cb = spark.read.parquet(s"$dir/cb")
+    val codes = spark.read.parquet(s"$dir/codes")
+
+    val want = Similarity.pqProbe(queries, cb, codes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(want.nonEmpty, "fixture produced no neighbors")
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          Similarity.pqProbe(df, cb, codes, 5)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    // phase 1: half the query batch arrives, probe runs, query STOPS
+    queries.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    // phase 2: the rest lands; RESTART must process ONLY the new file
+    queries.filter(col("vec_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
