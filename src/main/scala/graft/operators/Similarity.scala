@@ -377,6 +377,37 @@ object Similarity {
   def pqEncode(emb: DataFrame, codebook: DataFrame): DataFrame =
     pqCodesFromDists(pqDists(pqSubs(emb), codebook))
 
+  /** Row-local encode against a frozen codebook: the whole codebook rides
+    * in as ONE broadcast row (PqM × PqCodes structs) joined on a constant
+    * key, and each vector computes its codes array entirely inside the
+    * row with higher-order functions — no aggregation, no shuffle, no
+    * state. The same call therefore runs UNCHANGED under Structured
+    * Streaming: appended to a file sink this is continuous PQ index
+    * refresh, each arriving vector contributing its codes row exactly
+    * once across restarts (StreamingPqEncodeSpec), and the result is
+    * row-identical to the batch [[pqEncode]] (same packed argmin, same
+    * tie rule — q_sim_index_pq_stream gates it against the same oracle). */
+  def pqEncodeInRow(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    val cbRow = codebook.groupBy()
+      .agg(collect_list(struct(col("s"), col("cid"), col("coords"))).as("cb"))
+      .withColumn("__one", lit(1))
+    emb.select(col("vec_id"),
+        graft.operators.KMeans.toFixedPoint(col("embedding")).as("fpv"),
+        lit(1).as("__one"))
+      .join(broadcast(cbRow), "__one")
+      .select(col("vec_id"),
+        array((0 until PqM).map { s1 =>
+          val sub = slice(col("fpv"), s1 * PqSubDim + 1, PqSubDim)
+          val packed = transform(
+            filter(col("cb"), e => e.getField("s") === s1),
+            e => aggregate(
+              zip_with(sub, e.getField("coords"),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x) * PqCodes + e.getField("cid"))
+          (array_min(packed) % PqCodes).cast("int")
+        }: _*).as("codes"))
+  }
+
   /** APPLY half — ADC top-k of NEW query vectors against the FROZEN
     * (codebook, codes) artifacts: per-query distance tables computed
     * in-row against the broadcast codebook, then the codes-only sweep —

@@ -453,6 +453,22 @@ object ExtraQueries {
            |FROM codes GROUP BY vec_id""".stripMargin),
       "frozen PQ index artifact: the corpus codes table, bit-exact"),
 
+    // The STREAMING-SAFE encode: the same codes artifact computed
+    // row-locally (codebook as one broadcast row, codes via higher-order
+    // functions — no aggregation, no state), the form a continuous index
+    // refresh appends per arriving vector. Result-invariance gate: the
+    // oracle is DELIBERATELY the batch artifact's SQL — in-row ≡ batch is
+    // the claim (StreamingPqEncodeSpec runs it as an actual stream).
+    Q("q_sim_index_pq_stream",
+      (s, d) => {
+        val corpus = t(s, d, "embeddings").filter(col("vec_id") % 5 =!= 0)
+        Similarity.pqEncodeInRow(corpus, Similarity.pqCodebook(corpus))
+      },
+      Some(s"""WITH ${duckPqCtes("vec_id % 5 <> 0")}
+           |SELECT vec_id, list(code ORDER BY s) AS codes
+           |FROM codes GROUP BY vec_id""".stripMargin),
+      "streaming-safe in-row PQ encode ≡ the batch codes artifact"),
+
     // Apply half: NEW vectors (vec_id % 5 = 0, bounded) probe the frozen
     // artifacts — distance tables in-row against the broadcast codebook,
     // then the codes-only ADC sweep. The corpus embeddings are never read

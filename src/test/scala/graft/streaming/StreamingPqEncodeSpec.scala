@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Continuous PQ index refresh: [[Similarity.pqEncodeInRow]] is a pure
+  * per-row map (codebook broadcast as one row, codes computed with
+  * higher-order functions), so it runs as a DIRECT streaming query — no
+  * foreachBatch, no state — appended to a file sink under a checkpoint.
+  * Stream-appended codes must equal the batch [[Similarity.pqEncode]]
+  * artifact row-for-row, across a restart.
+  */
+class StreamingPqEncodeSpec extends SparkSpec {
+
+  test("stream-appended in-row encode ≡ batch artifact, across a restart") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqenc").toString
+    // frozen codebook, published as a parquet table
+    Similarity.pqCodebook(emb).write.parquet(s"$dir/cb")
+    val cb = spark.read.parquet(s"$dir/cb")
+
+    val want = Similarity.pqEncode(emb, cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(want.nonEmpty)
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = Similarity.pqEncodeInRow(src, cb)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    emb.filter(col("vec_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got == want,
+      s"stream-appended index diverged: ${got.size} vs ${want.size} rows; " +
+        s"first diff=${(want.keySet ++ got.keySet).find(k => want.get(k) != got.get(k))}")
+  }
+}
