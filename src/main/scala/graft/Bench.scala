@@ -63,6 +63,7 @@ object Bench {
     "q_profile_table_scale", "q_scan_ntz", "q_dedup_index",
     "q_dedup_index_probe", "q_media_resize", "q_agg_histogram_merge",
     "q_agg_histogram_read", "q_sim_topk_pq", "q_sim_index_pq_probe",
+    "q_sim_topk_ivfpq",
     // round-10: the two most expensive rows in the whole bench (r9 driver
     // run: 21.9 s / 15.8 s) were living in the single-shot sweep, making
     // round-over-round regression on them unmeasurable — promoted to the

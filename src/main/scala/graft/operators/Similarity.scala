@@ -447,6 +447,60 @@ object Similarity {
     pqAdcTopK(qdt, codes, k)
   }
 
+  /** IVF + PQ — the production ANN shape at 100 TB: IVF cell routing
+    * bounds the candidate set (each query scores only its argmax-dot
+    * cell, the [[ivfTopK]] assignment), and within the cell the sweep is
+    * the codes-only integer ADC ([[pqTopK]]'s scoring) — so the probe
+    * cost is |cell| table lookups over 2-byte codes instead of |corpus|
+    * 64-dim float dots. Cell id is the partitioning/bucketing key; codes
+    * + cell ids together are the whole serving-side dataset. Both layers
+    * are oracle-exact: float argmax routing (IEEE-identical in DuckDB)
+    * and int64 quantization. */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int,
+                maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val (cnt, qCnt) = sizes(emb, queryPred)
+    requireBroadcastable(qCnt, maxQueryRows)
+    val nCells = 1 << planesFor(cnt)
+    val seeds = sampleSeeds(emb, nCells)
+    val assigned = emb.join(broadcast(seeds))
+      .withColumn("cdot", VectorFunctions.dot(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"),
+        struct(col("cdot"), (-col("cell")).as("nc"))).as("cell"))
+    val subs = CacheScope.autoRelease(pqSubs(emb))
+    val w = Window.partitionBy(col("s")).orderBy(
+      PortableHash.hashMod(concat(col("vec_id").cast("string"), lit(":"),
+        col("s").cast("string"))).asc, col("vec_id").asc)
+    val codebook = subs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PqCodes)
+      .select(col("s"), (col("rn") - 1).cast("int").as("cid"),
+        col("sub").as("coords"))
+    val dists = pqDists(subs, codebook)
+    val codes = pqCodesFromDists(dists)
+      .join(assigned, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("codes"),
+        col("cell").as("ccell"))
+    val qids = emb.filter(queryPred).select(col("vec_id"))
+    val qdt = pqDtFromDists(dists.join(broadcast(qids), "vec_id"))
+      .join(assigned, "vec_id")
+      .select(col("vec_id").as("query_id"), col("dt"),
+        col("cell").as("qcell"))
+    val adist = (0 until PqM).map { s1 =>
+      element_at(col("dt"),
+        (lit(s1 * PqCodes) + element_at(col("codes"), s1 + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    broadcast(qdt)
+      .join(codes, col("qcell") === col("ccell") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rn").cast("int").as("rnk"), col("adist"))
+  }
+
   /** Default file-bucket count for a persisted index. Must exceed the live
     * bucket-VALUE count a probe can touch for pruning to show; at real
     * scale pick it for the cluster (hundreds), like any bucketed table. */

@@ -469,6 +469,49 @@ object ExtraQueries {
            |FROM codes GROUP BY vec_id""".stripMargin),
       "streaming-safe in-row PQ encode ≡ the batch codes artifact"),
 
+    // IVF × PQ — the production serving shape: cell routing bounds the
+    // candidate set, the in-cell sweep is integer ADC over 2-byte codes.
+    // Both layers already gated alone (q_sim_topk_ivf, q_sim_topk_pq);
+    // this pins their COMPOSITION — same float argmax routing, same
+    // packed argmin codes, candidates = same-cell only. The probe join
+    // is an equi-join on the cell id (the bucketing key at scale), not
+    // the flat sweep's nested loop.
+    Q("q_sim_topk_ivfpq",
+      (s, d) => Similarity.ivfPqTopK(t(s, d, "embeddings"),
+        col("vec_id") < LlmQueries.QueryVecs, LlmQueries.TopK),
+      Some(s"""WITH params AS (
+           |  SELECT ${Similarity.duckCellsFor("cnt")} AS nc
+           |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+           |seeds AS (
+           |  SELECT vec_id AS cell, embedding AS centroid FROM (
+           |    SELECT vec_id, embedding,
+           |      row_number() OVER (ORDER BY
+           |        ${graft.functions.PortableHash.duckHashMod("vec_id::VARCHAR")},
+           |        vec_id) AS rn
+           |    FROM embeddings)
+           |  WHERE rn <= (SELECT nc FROM params)),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, s.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_dot_product(e.embedding::DOUBLE[], s.centroid::DOUBLE[]) DESC,
+           |                 s.cell) AS crn
+           |    FROM embeddings e CROSS JOIN seeds s)
+           |  WHERE crn = 1),
+           |${duckPqCtes("TRUE")},
+           |pairs AS (
+           |  SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id,
+           |    CAST(sum(qd.d) AS BIGINT) AS adist
+           |  FROM dist qd
+           |  JOIN codes co ON qd.s = co.s AND qd.cid = co.code
+           |  JOIN assigned qa ON qa.vec_id = qd.vec_id
+           |  JOIN assigned ca ON ca.vec_id = co.vec_id
+           |  WHERE qd.vec_id < ${LlmQueries.QueryVecs}
+           |    AND qd.vec_id <> co.vec_id AND qa.cell = ca.cell
+           |  GROUP BY 1, 2)
+           |$duckPqTopKTail""".stripMargin),
+      "IVF-routed PQ-ADC top-k: cell equi-join probe + codes-only integer sweep"),
+
     // Apply half: NEW vectors (vec_id % 5 = 0, bounded) probe the frozen
     // artifacts — distance tables in-row against the broadcast codebook,
     // then the codes-only ADC sweep. The corpus embeddings are never read

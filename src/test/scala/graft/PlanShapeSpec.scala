@@ -364,9 +364,16 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_pipeline_ingest composes artifact probes — no nested loop, no cartesian") {
+    // since r10 the dedup stages (bloom probe + near-dup gate + anti-join)
+    // execute inside a localCheckpoint and surface as a Scan ExistingRDD —
+    // the lineage truncation that killed the ~2 s-per-stage re-analysis
+    // (BENCHFOCUS_r10.md). Their join shapes are pinned directly by the
+    // q_dedup_bloom and frozen-index tests; what the composed plan must
+    // show is the truncation itself plus the frozen-threshold broadcast,
+    // and never a nested loop or cartesian.
     val p = plan("q_pipeline_ingest")
-    assert(p.contains("BroadcastHashJoin"), p) // bloom + threshold artifacts
-    assert(p.contains("LeftAnti"), p)          // candidate-only exact check
+    assert(p.contains("BroadcastHashJoin"), p) // frozen per-lang thresholds
+    assert(p.contains("ExistingRDD"), p)       // the declared truncation point
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
