@@ -101,6 +101,42 @@ object ExtraQueries {
        |      FROM pairs)
        |WHERE rn <= ${LlmQueries.TopK}""".stripMargin
 
+  /** Shared by q_sim_topk_ivfpq and q_sim_recall_ivfpq — IVF cell
+    * routing (float argmax, the q_sim_topk_ivf CTEs) composed with the
+    * PQ chain: candidates are same-cell only, scored by integer ADC. */
+  private def duckIvfPqTopKOracle: String =
+    s"""WITH params AS (
+       |  SELECT ${Similarity.duckCellsFor("cnt")} AS nc
+       |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |seeds AS (
+       |  SELECT vec_id AS cell, embedding AS centroid FROM (
+       |    SELECT vec_id, embedding,
+       |      row_number() OVER (ORDER BY
+       |        ${graft.functions.PortableHash.duckHashMod("vec_id::VARCHAR")},
+       |        vec_id) AS rn
+       |    FROM embeddings)
+       |  WHERE rn <= (SELECT nc FROM params)),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, s.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.embedding::DOUBLE[], s.centroid::DOUBLE[]) DESC,
+       |                 s.cell) AS crn
+       |    FROM embeddings e CROSS JOIN seeds s)
+       |  WHERE crn = 1),
+       |${duckPqCtes("TRUE")},
+       |pairs AS (
+       |  SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id,
+       |    CAST(sum(qd.d) AS BIGINT) AS adist
+       |  FROM dist qd
+       |  JOIN codes co ON qd.s = co.s AND qd.cid = co.code
+       |  JOIN assigned qa ON qa.vec_id = qd.vec_id
+       |  JOIN assigned ca ON ca.vec_id = co.vec_id
+       |  WHERE qd.vec_id < ${LlmQueries.QueryVecs}
+       |    AND qd.vec_id <> co.vec_id AND qa.cell = ca.cell
+       |  GROUP BY 1, 2)
+       |$duckPqTopKTail""".stripMargin
+
   /** Shared by q_sim_topk_pq and q_sim_recall_pq — codebook and codes
     * from the WHOLE table, queries drawn from it (self excluded). */
   private def duckPqTopKOracle: String =
@@ -479,38 +515,33 @@ object ExtraQueries {
     Q("q_sim_topk_ivfpq",
       (s, d) => Similarity.ivfPqTopK(t(s, d, "embeddings"),
         col("vec_id") < LlmQueries.QueryVecs, LlmQueries.TopK),
-      Some(s"""WITH params AS (
-           |  SELECT ${Similarity.duckCellsFor("cnt")} AS nc
-           |  FROM (SELECT count(*) AS cnt FROM embeddings)),
-           |seeds AS (
-           |  SELECT vec_id AS cell, embedding AS centroid FROM (
-           |    SELECT vec_id, embedding,
-           |      row_number() OVER (ORDER BY
-           |        ${graft.functions.PortableHash.duckHashMod("vec_id::VARCHAR")},
-           |        vec_id) AS rn
-           |    FROM embeddings)
-           |  WHERE rn <= (SELECT nc FROM params)),
-           |assigned AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT e.vec_id, s.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY list_dot_product(e.embedding::DOUBLE[], s.centroid::DOUBLE[]) DESC,
-           |                 s.cell) AS crn
-           |    FROM embeddings e CROSS JOIN seeds s)
-           |  WHERE crn = 1),
-           |${duckPqCtes("TRUE")},
-           |pairs AS (
-           |  SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id,
-           |    CAST(sum(qd.d) AS BIGINT) AS adist
-           |  FROM dist qd
-           |  JOIN codes co ON qd.s = co.s AND qd.cid = co.code
-           |  JOIN assigned qa ON qa.vec_id = qd.vec_id
-           |  JOIN assigned ca ON ca.vec_id = co.vec_id
-           |  WHERE qd.vec_id < ${LlmQueries.QueryVecs}
-           |    AND qd.vec_id <> co.vec_id AND qa.cell = ca.cell
-           |  GROUP BY 1, 2)
-           |$duckPqTopKTail""".stripMargin),
+      Some(duckIvfPqTopKOracle),
       "IVF-routed PQ-ADC top-k: cell equi-join probe + codes-only integer sweep"),
+
+    // Recall of the composed IVF×PQ serving path against the exact ground
+    // truth — the compounded loss (cell routing ∩ quantization) on record
+    // as exact integers, completing the recall ladder
+    // (LSH 18 / PQ 18 / IVF 37 of 160 on this near-random testdata).
+    Q("q_sim_recall_ivfpq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val pred = col("vec_id") < LlmQueries.QueryVecs
+        val sz = Some(Similarity.sizes(emb, pred))
+        val brute = Similarity.bruteForceTopK(emb, pred, LlmQueries.TopK,
+            knownSizes = sz)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivfpq = Similarity.ivfPqTopK(emb, pred, LlmQueries.TopK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+            count(lit(1)).as("n_truth"))
+      },
+      Some(s"""WITH brute AS (SELECT query_id, neighbor_id FROM (${LlmQueries.duckBruteTopKOracle})),
+           |ivfpq AS (SELECT query_id, neighbor_id FROM ($duckIvfPqTopKOracle))
+           |SELECT count(p.neighbor_id) AS n_hit, count(*) AS n_truth
+           |FROM brute b LEFT JOIN ivfpq p
+           |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id""".stripMargin),
+      "ANN recall@k of the composed IVF×PQ path vs exact ground truth"),
 
     // Apply half: NEW vectors (vec_id % 5 = 0, bounded) probe the frozen
     // artifacts — distance tables in-row against the broadcast codebook,
