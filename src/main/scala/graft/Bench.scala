@@ -68,7 +68,11 @@ object Bench {
     // run: 21.9 s / 15.8 s) were living in the single-shot sweep, making
     // round-over-round regression on them unmeasurable — promoted to the
     // median-of-5 tier per the r9 verdict
-    "q_graph_pagerank", "q_graph_triangles")
+    "q_graph_pagerank", "q_graph_triangles",
+    // round-10 continuation: BPE tokenizer family — training (K argmax
+    // rounds over the distinct-word table) and the stateless encode (the
+    // ingest hot path)
+    "q_text_bpe_merges", "q_text_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import scala.collection.mutable.ArrayBuffer
+
+/** Distributed BPE tokenizer: vocabulary training + stateless encode.
+  *
+  * A training-data engine needs token counts, fertility stats, and
+  * sequence packing in TOKENS, not words — which needs a tokenizer the
+  * engine can train and apply itself (the reference's surface stops at
+  * whitespace words; this is part of the SURVEY §2.B LLM-pipeline
+  * extension family, publish/apply member #10).
+  *
+  * Design for 100 TB:
+  *  - The ONLY corpus-scale pass is the word-frequency aggregation (one
+  *    map-side-combined shuffle). Every merge round then runs on the
+  *    DISTINCT-WORD table — O(vocabulary), corpus-size independent —
+  *    exactly how production BPE trainers scale (learn on word counts,
+  *    never on raw text). Each round is a tiny pair-count aggregate plus
+  *    a single-row argmax collect (bounded driver state: K rows total).
+  *  - Encode is a chain of 3·K `replace` calls — pure codegen'd string
+  *    built-ins, no UDF, no state, no shuffle. It runs unchanged as a
+  *    per-row streaming projection (continuous ingest tokenization) and
+  *    is applied per DISTINCT WORD here only as a demo corpus statistic.
+  *
+  * Merge application uses the separator-doubling trick so a single
+  * non-overlapping left-to-right `replace` implements exact BPE pair
+  * merging (the same left-to-right semantics as the canonical
+  * learn_bpe reference): tokens are kept SEP-joined (SEP = U+0001); to merge
+  * (l, r): double every SEP, replace "SEP l SEP SEP r SEP" with
+  * "SEP lr SEP", halve the SEPs back. "aaa" + (a,a) correctly yields
+  * [aa, a]. Both engines' `replace` scans left-to-right non-overlapping,
+  * so the oracle replays training and encode bit-for-bit.
+  *
+  * Precondition: tokens must not contain the reserved control chars
+  * U+0001/U+0002 — `cleanText` strips [\x00-\x08] up front on both the
+  * Spark and oracle sides, making the operator total on arbitrary input.
+  */
+object Tokenizer {
+
+  /** Token-boundary separator inside a word's symbol string. */
+  val Sep = "\u0001"
+  /** Pair-key separator (sorts below every printable char, so ordering
+    * by the joined pair string == ordering by (left, right)). */
+  val PairSep = "\u0002"
+
+  /** Default merge-round count for the gated entries (fixed so the
+    * unrolled oracle CTE chain is a literal program). */
+  val K = 12
+
+  final case class Merge(rank: Int, left: String, right: String, cnt: Long)
+
+  /** Strip the reserved control range so arbitrary input can't collide
+    * with the internal separators. */
+  def cleanText(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08]", "")
+
+  /** A word as its initial symbol string: SEP c1 SEP c2 ... SEP. */
+  def initTokStr(w: Column): Column =
+    concat(lit(Sep), array_join(regexp_extract_all(w, lit("."), lit(0)), Sep), lit(Sep))
+
+  /** Symbol list of a symbol string. */
+  def symbols(ts: Column): Column =
+    filter(split(ts, Sep), x => x =!= lit(""))
+
+  /** One BPE merge applied to a symbol string — exact left-to-right
+    * non-overlapping pair replacement via separator doubling. */
+  def applyMerge(ts: Column, l: String, r: String): Column = {
+    val doubled = replace(ts, lit(Sep), lit(Sep + Sep))
+    val merged = replace(doubled, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+    replace(merged, lit(Sep + Sep), lit(Sep))
+  }
+
+  /** All merges, in rank order, as one chained codegen expression. */
+  def applyMerges(ts: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(ts)((c, m) => applyMerge(c, m.left, m.right))
+
+  /** Adjacent symbol pairs of a symbol string, as "l PairSep r" keys. */
+  def pairKeys(ts: Column): Column = {
+    val tl = symbols(ts)
+    when(size(tl) >= 2,
+      transform(sequence(lit(1), size(tl) - 1),
+        i => concat(element_at(tl, i), lit(PairSep), element_at(tl, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The distinct-word working table: (w, freq, ts) with ts the initial
+    * per-character symbol string. localCheckpoint pins it (it is read
+    * K+1 times and its size is O(vocabulary), not O(corpus)) and
+    * truncates the per-round replace-chain lineage growth. */
+  def wordTable(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(TextFunctions.tokens(cleanText(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), initTokStr(col("w")).as("ts"))
+      .localCheckpoint()
+
+  /** Train k merge rounds on a prepared word table. Each round: count
+    * adjacent pairs weighted by word frequency (map-side-combined
+    * aggregate over O(vocab) rows), take the argmax with the
+    * deterministic (cnt DESC, left, right) tie-break — a bounded
+    * ONE-ROW collect — and fold the merge into every word's symbols. */
+  def trainOnWords(words: DataFrame, k: Int): Seq[Merge] = {
+    val out = ArrayBuffer.empty[Merge]
+    var cur = words
+    var r = 1
+    while (r <= k) {
+      val top = cur
+        .select(explode(pairKeys(col("ts"))).as("pr"), col("freq"))
+        .groupBy("pr").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pr")).limit(1).collect()
+      if (top.nonEmpty) {
+        val pr = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val i = pr.indexOf(PairSep)
+        val (l, rr) = (pr.substring(0, i), pr.substring(i + 1))
+        out += Merge(r, l, rr, cnt)
+        cur = cur.withColumn("ts", applyMerge(col("ts"), l, rr))
+      } else r = k // no pairs left (degenerate corpus): stop early
+      r += 1
+    }
+    out.toSeq
+  }
+
+  def train(docs: DataFrame, textCol: Column, k: Int): Seq[Merge] =
+    trainOnWords(wordTable(docs, textCol), k)
+
+  /** Encode a full text to its BPE token list — a stateless per-row
+    * expression (tokenize to words, run the 3·K replace chain per word,
+    * flatten). Streaming-safe: no aggregation, no state. */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    flatten(transform(TextFunctions.tokens(cleanText(text)),
+      w => symbols(applyMerges(initTokStr(w), merges))))
+}

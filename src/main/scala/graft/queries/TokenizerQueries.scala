@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Tokenizer
+import graft.functions.PortableHash
+
+/** BPE tokenizer family (SURVEY §2.B LLM-pipeline extensions,
+  * publish/apply member #10): distributed merge-rule training on the
+  * word-frequency table, plus the stateless chained-replace encode.
+  *
+  * The oracle replays the ENTIRE training program: K unrolled
+  * (pair-count → argmax → fold-merge) rounds as materialized CTEs, with
+  * the same (cnt DESC, left, right) tie-break and the same
+  * separator-doubling replace chain — merges, post-merge vocabulary,
+  * and the per-document encode (token count + rolling-hash fingerprint
+  * of the exact token sequence) are all pinned bit-for-bit.
+  */
+object TokenizerQueries {
+  import Tokenizer.K
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = Tables.load(s, dir, n)
+    if (n == "documents") Tables.ensureParallelism(df) else df
+  }
+
+  /** Rolling-hash fingerprint of a token ARRAY (array twin of
+    * TextFunctions.fingerprint, which takes raw text). */
+  private def tokenFingerprint(toks: org.apache.spark.sql.Column) =
+    aggregate(toks, lit(0L),
+      (acc, w) => (acc * 31L + PortableHash.hashMod(w)) % lit(PortableHash.MOD))
+
+  // ---------- DuckDB replay of the training program ----------
+
+  /** Cleaned text (strip the reserved control range, as cleanText). */
+  private val duckClean = "regexp_replace(text, '[\\x00-\\x08]', '', 'g')"
+
+  private val duckToks =
+    s"list_filter(string_split_regex($duckClean, '\\s+'), t -> t <> '')"
+
+  /** K unrolled training rounds. Every CTE is MATERIALIZED: inlined CTEs
+    * would re-expand the round-r token table 3^r times (tbpe_r references
+    * tbpe_{r-1} directly once and via the argmax twice). */
+  private def duckTrainCtes: String = {
+    val head = Seq(
+      s"""wbpe0 AS MATERIALIZED (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest($duckToks) AS w FROM documents) GROUP BY w)""".stripMargin,
+      """tbpe0 AS MATERIALIZED (
+        |  SELECT w, freq,
+        |    chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) AS ts
+        |  FROM wbpe0)""".stripMargin)
+    val rounds = (1 to K).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"""pbpe$r AS MATERIALIZED (
+           |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_transform(range(1, len(tl)),
+           |             i -> tl[i] || chr(2) || tl[i+1])) AS pr, freq
+           |    FROM (SELECT freq,
+           |            list_filter(string_split(ts, chr(1)), x -> x <> '') AS tl
+           |          FROM tbpe$p))
+           |  GROUP BY pr)""".stripMargin,
+        s"""mbpe$r AS MATERIALIZED (
+           |  SELECT split_part(pr, chr(2), 1) AS l, split_part(pr, chr(2), 2) AS r, cnt
+           |  FROM pbpe$r ORDER BY cnt DESC, pr LIMIT 1)""".stripMargin,
+        s"""tbpe$r AS MATERIALIZED (
+           |  SELECT w, freq,
+           |    replace(replace(replace(ts, chr(1), chr(1)||chr(1)),
+           |      (SELECT chr(1)||l||chr(1)||chr(1)||r||chr(1) FROM mbpe$r),
+           |      (SELECT chr(1)||l||r||chr(1) FROM mbpe$r)),
+           |      chr(1)||chr(1), chr(1)) AS ts
+           |  FROM tbpe$p)""".stripMargin)
+    }
+    (head ++ rounds).mkString(",\n")
+  }
+
+  private def duckMergesOracle: String = {
+    val union = (1 to K).map(r =>
+      s"SELECT CAST($r AS INT) AS mrank, l AS l_sym, r AS r_sym, cnt FROM mbpe$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $duckTrainCtes\n$union"
+  }
+
+  private def duckVocabOracle: String =
+    s"""WITH $duckTrainCtes
+       |SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occ FROM (
+       |  SELECT unnest(list_filter(string_split(ts, chr(1)), x -> x <> '')) AS sym, freq
+       |  FROM tbpe$K)
+       |GROUP BY sym""".stripMargin
+
+  private def duckEncodeOracle: String = {
+    // one-row pivot of the learned merges, so the in-row replace chain can
+    // reference them as plain scalars
+    val mtabCols = (1 to K).map(r =>
+      s"(SELECT l FROM mbpe$r) AS l$r, (SELECT r FROM mbpe$r) AS r$r").mkString(", ")
+    var chain = "chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1)"
+    for (r <- 1 to K)
+      chain = s"""replace(replace(replace($chain, chr(1), chr(1)||chr(1)),
+                 | chr(1)||l$r||chr(1)||chr(1)||r$r||chr(1), chr(1)||l$r||r$r||chr(1)),
+                 | chr(1)||chr(1), chr(1))""".stripMargin
+    s"""WITH $duckTrainCtes,
+       |mtab AS (SELECT $mtabCols),
+       |dtoks AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    flatten(list_transform(ws,
+       |      w -> list_filter(string_split($chain, chr(1)), x -> x <> ''))) AS toks
+       |  FROM (SELECT doc_id, $duckToks AS ws FROM documents), mtab)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(n_words AS INT) AS n_words,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(toks, w -> ${PortableHash.duckHashMod("w")})),
+       |    (acc, x) -> (acc * 31 + x) % ${PortableHash.MOD}) AS toks_fp
+       |FROM dtoks""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // The learned merge table IS the published artifact: K rows of
+    // (rank, left, right) + the pair count at selection time. Training
+    // runs K one-row argmax collects over the O(vocab) word table — the
+    // only corpus-scale pass is wordTable's single count shuffle.
+    Q("q_text_bpe_merges",
+      (s, d) => {
+        val merges = Tokenizer.train(t(s, d, "documents"), col("text"), K)
+        s.createDataFrame(merges).select(
+          col("rank").cast("int").as("mrank"),
+          col("left").as("l_sym"), col("right").as("r_sym"), col("cnt"))
+      },
+      Some(duckMergesOracle),
+      "BPE training: the K-merge artifact (pair-count argmax rounds, bit-exact)"),
+
+    // Corpus symbol vocabulary AFTER the K merges — the fold of every
+    // learned rule over every distinct word, weighted back by corpus
+    // frequency. Pins the distributed merge application (not just the
+    // argmax choices) end-to-end.
+    Q("q_text_bpe_vocab",
+      (s, d) => {
+        val words = Tokenizer.wordTable(t(s, d, "documents"), col("text"))
+        val merges = Tokenizer.trainOnWords(words, K)
+        words
+          .select(explode(Tokenizer.symbols(
+            Tokenizer.applyMerges(col("ts"), merges))).as("sym"), col("freq"))
+          .groupBy("sym").agg(sum("freq").as("n_occ"))
+      },
+      Some(duckVocabOracle),
+      "post-merge BPE symbol vocabulary with corpus occurrence counts"),
+
+    // Apply half: every document encoded by the frozen rules — token
+    // count, word count, and a rolling-hash fingerprint of the exact
+    // token sequence (order-sensitive, so the encode is pinned token by
+    // token without shipping whole token arrays). The encode expression
+    // is stateless chained replaces: the same column runs per-row under
+    // Structured Streaming for continuous ingest tokenization.
+    Q("q_text_bpe_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = Tokenizer.train(docs, col("text"), K)
+        val toks = Tokenizer.encode(col("text"), merges)
+        docs.select(
+          col("doc_id"),
+          size(toks).cast("int").as("n_tokens"),
+          size(graft.functions.TextFunctions.tokens(
+            Tokenizer.cleanText(col("text")))).cast("int").as("n_words"),
+          tokenFingerprint(toks).as("toks_fp"))
+      },
+      Some(duckEncodeOracle),
+      "stateless BPE encode of every document (count + exact-sequence fingerprint)"))
+}

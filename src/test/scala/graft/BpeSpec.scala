@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Tokenizer
+import graft.operators.Tokenizer.Merge
+
+/** BPE tokenizer: hand-computed merges on a known corpus, the
+  * left-to-right overlap rule, tie-break determinism, and
+  * encode ≡ trained-word-state. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("merges match the hand-computed BPE on a known corpus") {
+    // corpus: "low" x3, "lower" x1  → pair counts round 1:
+    // (l,o)=4 (o,w)=4 (w,e)=1 (e,r)=1 → tie (l,o) vs (o,w) broken by
+    // pair-string order: "l<P2>o" < "o<P2>w" → merge 1 = (l,o)
+    // round 2: (lo,w)=4 (w,e)=1 (e,r)=1 → merge 2 = (lo,w)
+    // round 3: (low,e)=1 (e,r)=1 → tie: "e<P2>r" < "low<P2>e" → (e,r)
+    val d = docs("low low lower", "low")
+    val merges = Tokenizer.train(d, col("text"), 3)
+    assert(merges === Seq(
+      Merge(1, "l", "o", 4L),
+      Merge(2, "lo", "w", 4L),
+      Merge(3, "e", "r", 1L)))
+  }
+
+  test("merge application is left-to-right non-overlapping (aaa + (a,a) = [aa, a])") {
+    val out = Seq("aaa", "aaaa", "aa", "a", "baab")
+      .toDF("w")
+      .select(col("w"), Tokenizer.symbols(
+        Tokenizer.applyMerge(Tokenizer.initTokStr(col("w")), "a", "a")).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("aaa") === Seq("aa", "a"))
+    assert(out("aaaa") === Seq("aa", "aa"))
+    assert(out("aa") === Seq("aa"))
+    assert(out("a") === Seq("a"))
+    assert(out("baab") === Seq("b", "aa", "b"))
+  }
+
+  test("merged symbols participate in later rounds but not within one pass") {
+    // after (a,a): "aaaa" -> [aa, aa]; then merge (aa,aa) -> [aaaa]
+    val ts = Tokenizer.applyMerge(
+      Tokenizer.applyMerge(Tokenizer.initTokStr(lit("aaaa")), "a", "a"), "aa", "aa")
+    val syms = Seq(1).toDF("x").select(Tokenizer.symbols(ts)).as[Seq[String]].head()
+    assert(syms === Seq("aaaa"))
+  }
+
+  test("encode equals the trained word-table state, concatenated per doc") {
+    val d = docs("spark shuffle spark scan", "shuffle shuffle spark")
+    val words = Tokenizer.wordTable(d, col("text"))
+    val merges = Tokenizer.trainOnWords(words, 5)
+    // state: word -> final symbols from the training fold
+    val state = words
+      .select(col("w"), Tokenizer.symbols(
+        Tokenizer.applyMerges(col("ts"), merges)).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    val enc = d.select(col("doc_id"), Tokenizer.encode(col("text"), merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val expect = Map(
+      0L -> Seq("spark", "shuffle", "spark", "scan").flatMap(state),
+      1L -> Seq("shuffle", "shuffle", "spark").flatMap(state))
+    assert(enc === expect)
+  }
+
+  test("reserved control chars are stripped before tokenization") {
+    val d = docs("ab\u0001cd ab\u0002cd abcd")
+    val words = Tokenizer.wordTable(d, col("text"))
+      .select("w").as[String].collect().sorted
+    assert(words === Array("abcd"))
+    val merges = Tokenizer.train(d, col("text"), 2)
+    val toks = d.select(Tokenizer.encode(col("text"), merges)).as[Seq[String]].head()
+    assert(toks.mkString === "abcdabcdabcd")
+  }
+
+  test("degenerate corpus (single-char words) stops early with no merges") {
+    val d = docs("a b c a b")
+    assert(Tokenizer.train(d, col("text"), 4) === Seq.empty)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Tokenizer
+
+/** Continuous ingest tokenization: [[Tokenizer.encode]] is a stateless
+  * chained-replace projection, so it runs as a DIRECT streaming query —
+  * no foreachBatch, no state. Frozen merge rules are published to
+  * parquet (the artifact half of publish/apply member #10), reloaded,
+  * and applied to arriving documents; stream output must equal the
+  * batch encode row-for-row, across a restart.
+  */
+class StreamingBpeEncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-encoded docs ≡ batch encode over frozen merges, across a restart") {
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+
+    // train once on the standing corpus; publish the merge table
+    val merges = Tokenizer.train(docs, col("text"), Tokenizer.K)
+    assert(merges.size == Tokenizer.K)
+    spark.createDataFrame(merges).write.parquet(s"$dir/merges")
+    // reload the frozen artifact the way an ingest job would (bounded:
+    // K rows), preserving rank order
+    val frozen = spark.read.parquet(s"$dir/merges")
+      .as[Tokenizer.Merge].collect().toSeq.sortBy(_.rank)
+    assert(frozen == merges.sortBy(_.rank))
+
+    val enc = (c: org.apache.spark.sql.DataFrame) => c.select(
+      col("doc_id"),
+      Tokenizer.encode(col("text"), frozen).as("toks"))
+    val want = enc(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = enc(src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got == want,
+      s"stream-encoded docs diverged: ${got.size} vs ${want.size} rows; " +
+        s"first diff=${(want.keySet ++ got.keySet).find(k => want.get(k) != got.get(k))}")
+  }
+}
