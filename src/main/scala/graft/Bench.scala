@@ -72,7 +72,9 @@ object Bench {
     // round-10 continuation: BPE tokenizer family — training (K argmax
     // rounds over the distinct-word table) and the stateless encode (the
     // ingest hot path)
-    "q_text_bpe_merges", "q_text_bpe_encode")
+    "q_text_bpe_merges", "q_text_bpe_encode",
+    // round-10 continuation: MMR diversity re-rank (serving path)
+    "q_sim_mmr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

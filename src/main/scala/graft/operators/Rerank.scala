@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Diversity re-ranking for retrieval serving: Maximal Marginal
+  * Relevance (Carbonell & Goldstein, SIGIR'98) over an embedding
+  * column, in exact fixed-point integer arithmetic.
+  *
+  * MMR picks results one at a time: step 1 takes the most relevant
+  * candidate; step i takes argmax of
+  * `LamNum·rel(q,d) − LamCompl·max_{s∈selected} sim(d,s)`
+  * (λ = 0.7 over a denominator of 10, kept as two integer weights so
+  * both engines score in exact int64 — no float drift). Ties break on
+  * the candidate id.
+  *
+  * Scale design: relevance prunes the corpus to a BOUNDED per-query
+  * pool of PoolC candidates first (one broadcast-query scored pass +
+  * per-query top-C window — the bruteForceTopK shape; swap in any ANN
+  * probe for the pool at 100 TB). All k selection rounds then run on
+  * O(queries · PoolC²) pairwise rows: the rounds are expressed as
+  * k unrolled join+argmax stages over the pooled tables — fully
+  * distributed across queries, NO driver-side loop over data, no
+  * collects. Pool and pairwise tables are localCheckpointed: they are
+  * read by every round and are O(Q·C²), query-set-sized, not
+  * corpus-sized.
+  */
+object Rerank {
+
+  /** Candidate pool size per query (relevance top-C before MMR). */
+  val PoolC = 16
+  /** λ = LamNum / (LamNum + LamCompl) = 0.7. */
+  val LamNum = 7L
+  val LamCompl = 3L
+
+  /** Exact integer dot product of two fixed-point (long) vectors. */
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** MMR-select k diverse results per query vector.
+    * Output: (query_id, neighbor_id, step, mmr_score) with
+    * mmr_score = LamNum·rel − LamCompl·maxRedundancy (step 1: red = 0). */
+  def mmrTopK(emb: DataFrame, queryPred: Column, k: Int,
+              poolC: Int = PoolC): DataFrame = {
+    val fp = emb.select(col("vec_id"),
+      KMeans.toFixedPoint(col("embedding")).as("fpv"))
+    val q = fp.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("fpv").as("qv"))
+
+    // relevance pool: top-C exact-integer dot per query
+    val cands = fp.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("fpv"),
+        dotL(col("qv"), col("fpv")).as("rel"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("rn") <= poolC).drop("rn")
+      .localCheckpoint()
+
+    // pairwise candidate-candidate similarity within each pool
+    val a = cands.select(col("query_id"), col("cand_id").as("a_id"),
+      col("fpv").as("av"))
+    val b = cands.select(col("query_id"), col("cand_id").as("b_id"),
+      col("fpv").as("bv"))
+    val pairwise = a.join(b, "query_id").where(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        dotL(col("av"), col("bv")).as("dd"))
+      .localCheckpoint()
+
+    val pool = cands.select("query_id", "cand_id", "rel")
+
+    // step 1: pure relevance (redundancy term is 0 on an empty set)
+    var sel = pool
+      .withColumn("score", lit(LamNum) * col("rel"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        lit(1).as("step"), col("score"))
+
+    for (r <- 2 to k) {
+      val selIds = sel.select(col("query_id"), col("neighbor_id"))
+      val red = pairwise
+        .join(selIds.withColumnRenamed("neighbor_id", "b_id"), Seq("query_id", "b_id"))
+        .groupBy("query_id", "a_id").agg(max("dd").as("red"))
+      val next = pool
+        .join(selIds.withColumnRenamed("neighbor_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(red.withColumnRenamed("a_id", "cand_id"), Seq("query_id", "cand_id"))
+        .withColumn("score", lit(LamNum) * col("rel") - lit(LamCompl) * col("red"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id").as("neighbor_id"),
+          lit(r).as("step"), col("score"))
+      sel = sel.unionByName(next)
+    }
+
+    sel.select(col("query_id"), col("neighbor_id"),
+      col("step").cast("int").as("step"), col("score").as("mmr_score"))
+  }
+}

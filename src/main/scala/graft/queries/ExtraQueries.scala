@@ -1074,5 +1074,80 @@ object ExtraQueries {
         s"""WITH ${renders.map { case (n, c, r) => bk(n, c, r) }.mkString(",\n")}
            |${renders.map { case (n, c, r) => arm(n, c, r) }.mkString(" UNION ALL ")}""".stripMargin
       },
-      "profiler scale mode: KMV-only distinct — one bounded-state pass, no Expand"))
+      "profiler scale mode: KMV-only distinct — one bounded-state pass, no Expand"),
+
+    // Maximal Marginal Relevance diversity re-rank (Carbonell &
+    // Goldstein '98): the serving-side answer to "top-k results that
+    // aren't five copies of the same document". Relevance prunes to a
+    // bounded per-query pool first; the k selection rounds are unrolled
+    // join+argmax stages over O(Q·C²) pairwise rows — distributed
+    // across queries, zero driver loops. All scoring is exact int64
+    // fixed point (λ=0.7 as integer weights 7/3), so DuckDB replays
+    // every selection round bit-for-bit.
+    Q("q_sim_mmr",
+      (s, d) => graft.operators.Rerank.mmrTopK(t(s, d, "embeddings"),
+        col("vec_id") < LlmQueries.QueryVecs, LlmQueries.MmrK),
+      Some(duckMmrOracle(LlmQueries.MmrK)),
+      "MMR diversity re-rank: λ·rel − (1−λ)·max-redundancy, exact integers"))
+
+  /** DuckDB replay of [[graft.operators.Rerank.mmrTopK]]: the pool,
+    * the pairwise table, and k unrolled (redundancy → score → argmax)
+    * selection rounds. MATERIALIZED throughout — inlined CTEs would
+    * re-expand the pool join tree once per round. */
+  private def duckMmrOracle(k: Int): String = {
+    import graft.operators.Rerank.{PoolC, LamNum, LamCompl}
+    val scale = graft.operators.KMeans.Scale
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 1 + len($a.fpv)), i -> $a.fpv[i] * $b.fpv[i])) AS BIGINT)"
+    val head = Seq(
+      s"""fpe AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * $scale + 0.5) AS BIGINT)) AS fpv
+         |  FROM embeddings)""".stripMargin,
+      s"""mcand AS MATERIALIZED (
+         |  SELECT query_id, cand_id, fpv, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+         |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.fpv AS fpv,
+         |            ${dot("q", "c")} AS rel
+         |          FROM fpe q JOIN fpe c ON q.vec_id <> c.vec_id
+         |          WHERE q.vec_id < ${LlmQueries.QueryVecs}))
+         |  WHERE rn <= $PoolC)""".stripMargin,
+      s"""mpw AS MATERIALIZED (
+         |  SELECT x.query_id, x.cand_id AS a_id, y.cand_id AS b_id, ${dot("x", "y")} AS dd
+         |  FROM mcand x JOIN mcand y
+         |    ON x.query_id = y.query_id AND x.cand_id <> y.cand_id)""".stripMargin,
+      s"""msel1 AS MATERIALIZED (
+         |  SELECT query_id, cand_id AS neighbor_id, 1 AS step, $LamNum * rel AS score
+         |  FROM (SELECT *, row_number() OVER
+         |          (PARTITION BY query_id ORDER BY $LamNum * rel DESC, cand_id) AS rn
+         |        FROM mcand)
+         |  WHERE rn = 1)""".stripMargin,
+      "mall1 AS MATERIALIZED (SELECT * FROM msel1)")
+    val rounds = (2 to k).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"""mred$r AS MATERIALIZED (
+           |  SELECT p.query_id, p.a_id, max(p.dd) AS red
+           |  FROM mpw p JOIN mall$p s
+           |    ON p.query_id = s.query_id AND p.b_id = s.neighbor_id
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""msel$r AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id, $r AS step, score FROM (
+           |    SELECT c.query_id, c.cand_id AS neighbor_id,
+           |      $LamNum * c.rel - $LamCompl * d.red AS score,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY $LamNum * c.rel - $LamCompl * d.red DESC, c.cand_id) AS rn
+           |    FROM mcand c JOIN mred$r d
+           |      ON c.query_id = d.query_id AND c.cand_id = d.a_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM mall$p s
+           |      WHERE s.query_id = c.query_id AND s.neighbor_id = c.cand_id))
+           |  WHERE rn = 1)""".stripMargin,
+        s"""mall$r AS MATERIALIZED (
+           |  SELECT * FROM mall$p UNION ALL SELECT * FROM msel$r)""".stripMargin)
+    }
+    s"""WITH ${(head ++ rounds).mkString(",\n")}
+       |SELECT query_id, neighbor_id, CAST(step AS INT) AS step,
+       |       CAST(score AS BIGINT) AS mmr_score
+       |FROM mall$k""".stripMargin
+  }
 }

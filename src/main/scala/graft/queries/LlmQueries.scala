@@ -508,6 +508,7 @@ object LlmQueries {
   val EmbedDupCos = 0.9
   val TopK = 10
   val QueryVecs = 16 // vec_id < 16 are the similarity-search query set
+  val MmrK = 5 // MMR diversity re-rank: results selected per query
 
   /** Stratified sampling rates (per-mille by language): downsample the
     * dominant language, keep the tail denser — the standard corpus

