@@ -90,16 +90,25 @@ object TokenizerQueries {
        |  FROM tbpe$K)
        |GROUP BY sym""".stripMargin
 
-  private def duckEncodeOracle: String = {
-    // one-row pivot of the learned merges, so the in-row replace chain can
-    // reference them as plain scalars
-    val mtabCols = (1 to K).map(r =>
-      s"(SELECT l FROM mbpe$r) AS l$r, (SELECT r FROM mbpe$r) AS r$r").mkString(", ")
+  /** One-row pivot of the learned merges (so the in-row replace chain
+    * can reference them as plain scalars) — `mtab AS (SELECT ...)`. */
+  private def duckMtabCols: String = (1 to K).map(r =>
+    s"(SELECT l FROM mbpe$r) AS l$r, (SELECT r FROM mbpe$r) AS r$r").mkString(", ")
+
+  /** The full K-round encode replace chain over a word column `w`,
+    * referencing mtab's l$r/r$r scalars. */
+  private def duckEncodeChain: String = {
     var chain = "chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1)"
     for (r <- 1 to K)
       chain = s"""replace(replace(replace($chain, chr(1), chr(1)||chr(1)),
                  | chr(1)||l$r||chr(1)||chr(1)||r$r||chr(1), chr(1)||l$r||r$r||chr(1)),
                  | chr(1)||chr(1), chr(1))""".stripMargin
+    chain
+  }
+
+  private def duckEncodeOracle: String = {
+    val mtabCols = duckMtabCols
+    val chain = duckEncodeChain
     s"""WITH $duckTrainCtes,
        |mtab AS (SELECT $mtabCols),
        |dtoks AS (
@@ -114,6 +123,10 @@ object TokenizerQueries {
        |    (acc, x) -> (acc * 31 + x) % ${PortableHash.MOD}) AS toks_fp
        |FROM dtoks""".stripMargin
   }
+
+  /** Token budget per packed chunk (tokens ≈ chars at K=12 merges, so a
+    * larger budget than the word-count entry's 512). */
+  private val PackTokBudget = 2048
 
   val all: Seq[Q] = Seq(
 
@@ -166,5 +179,42 @@ object TokenizerQueries {
           tokenFingerprint(toks).as("toks_fp"))
       },
       Some(duckEncodeOracle),
-      "stateless BPE encode of every document (count + exact-sequence fingerprint)"))
+      "stateless BPE encode of every document (count + exact-sequence fingerprint)"),
+
+    // Sequence packing in TOKENS: the reason the engine trains a
+    // tokenizer at all. Same concat-and-chunk shape as q_pack_chunks
+    // (per-shard running total, no global sort), but the budget is
+    // counted in BPE tokens from the frozen merge rules — what a
+    // training job actually packs context windows by.
+    Q("q_pack_tokens",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = Tokenizer.train(docs, col("text"), K)
+        graft.operators.Packing.chunkAssign(
+            docs.select(col("doc_id"), col("source"), col("text")),
+            "source", "doc_id",
+            size(Tokenizer.encode(col("text"), merges)), PackTokBudget)
+          .select(col("doc_id"), col("source"), col("n_tok").cast("int").as("n_tok"),
+            col("chunk_id"), col("pos_in_chunk"))
+      },
+      Some(s"""WITH $duckTrainCtes,
+           |mtab AS (SELECT $duckMtabCols),
+           |dtok AS (
+           |  SELECT doc_id, source,
+           |    CAST(list_sum(list_transform(ws,
+           |      w -> len(list_filter(string_split($duckEncodeChain, chr(1)), x -> x <> '')))) AS INT)
+           |      AS n_tok
+           |  FROM (SELECT doc_id, source, $duckToks AS ws FROM documents), mtab),
+           |cb AS (
+           |  SELECT doc_id, source, coalesce(n_tok, 0) AS n_tok,
+           |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           |  FROM dtok)
+           |SELECT doc_id, source, n_tok,
+           |  CAST(floor(cum_before / $PackTokBudget.0) AS BIGINT) AS chunk_id,
+           |  CAST(row_number() OVER (
+           |    PARTITION BY source, CAST(floor(cum_before / $PackTokBudget.0) AS BIGINT)
+           |    ORDER BY doc_id) AS INT) AS pos_in_chunk
+           |FROM cb""".stripMargin),
+      s"token-budget sequence packing: $PackTokBudget-BPE-token chunks per shard"))
 }
