@@ -73,8 +73,9 @@ object Bench {
     // rounds over the distinct-word table) and the stateless encode (the
     // ingest hot path)
     "q_text_bpe_merges", "q_text_bpe_encode",
-    // round-10 continuation: MMR diversity re-rank (serving path)
-    "q_sim_mmr")
+    // round-10 continuation: MMR diversity re-rank (serving path),
+    // temperature mixture factors
+    "q_sim_mmr", "q_mix_temperature")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -135,6 +135,29 @@ object Sampling {
       .drop("mx")
   }
 
+  /** Temperature-α mixture factors at α = 1/2: effective stratum weight
+    * ∝ n^α with the largest stratum pinned at factor 1, so
+    * factor = (mx/n)^(1−α) = sqrt(mx/n) — the standard multilingual
+    * compromise between the raw mix (α=1, factor 1 everywhere) and full
+    * flattening ([[epochFactors]], the α→0 limit): small strata are
+    * upweighted by the square ROOT of their imbalance, so rare languages
+    * get more epochs without the many-fold repetition a full balance
+    * inflicts. α = 1/2 specifically because sqrt (unlike pow/log) is
+    * IEEE-754 correctly-rounded, and the long→double casts are fully
+    * specified — the fixed-point ppm factor is bit-reproducible across
+    * engines even at 100 TB stratum counts. Same output schema as
+    * [[epochFactors]], so the frozen-factor apply/streaming path
+    * ([[withEpochRepeatsFrom]]) is shared. */
+  def temperatureFactors(df: DataFrame, stratum: Column): DataFrame = {
+    val cnt = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_docs"))
+    val mx = cnt.agg(max(col("n_docs")).as("mx"))
+    cnt.crossJoin(broadcast(mx))
+      .withColumn("factor_ppm",
+        expr(s"CAST(floor(sqrt(CAST(mx AS DOUBLE) / CAST(n_docs AS DOUBLE))" +
+          s" * $FactorScale + 0.5) AS BIGINT)"))
+      .drop("mx")
+  }
+
   /** Per-document repeat counts under [[epochFactors]]: the integer part
     * of the factor for every document, plus one more for the hash-selected
     * fraction — factor 2.5 means every doc appears twice and a

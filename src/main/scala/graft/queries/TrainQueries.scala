@@ -279,6 +279,34 @@ object TrainQueries {
                |FROM rep GROUP BY lang, factor_ppm""".stripMargin),
       "balanced-epoch mixture factors + exact per-language output counts"),
 
+    // Temperature-α mixture (α = 1/2): the multilingual-sampling middle
+    // ground — small languages upweighted by sqrt of the imbalance, not
+    // flattened. sqrt is IEEE correctly-rounded (pow/log are not), so
+    // the ppm factors replay bit-for-bit in the oracle. Flows through
+    // the same frozen-factor apply/streaming path as q_mix_rebalance.
+    Q("q_mix_temperature",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        Sampling.withEpochRepeatsFrom(docs, "doc_id", "lang",
+            Sampling.temperatureFactors(docs, col("lang")))
+          .groupBy(col("lang"), col("factor_ppm"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_rep")).as("n_out"))
+      },
+      Some(s"""WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents
+               |            GROUP BY lang),
+               |mx AS (SELECT max(n_docs) AS mx FROM cnt),
+               |fac AS (SELECT lang,
+               |          CAST(floor(sqrt(mx::DOUBLE / n_docs::DOUBLE)
+               |            * ${Sampling.FactorScale} + 0.5) AS BIGINT) AS factor_ppm
+               |        FROM cnt, mx),
+               |rep AS (SELECT d.doc_id, d.lang, factor_ppm,
+               |          ${Sampling.duckEpochRepeats("doc_id")} AS n_rep
+               |        FROM documents d JOIN fac USING (lang))
+               |SELECT lang, factor_ppm, count(*) AS n_docs,
+               |       CAST(sum(n_rep) AS BIGINT) AS n_out
+               |FROM rep GROUP BY lang, factor_ppm""".stripMargin),
+      "temperature-(1/2) mixture factors: sqrt-imbalance upsampling, exact ppm"),
+
     Q("q_mix_apply",
       (s, d) => Sampling.epochRebalance(
           t(s, d, "documents").select(col("doc_id"), col("lang")),
