@@ -75,7 +75,9 @@ object Bench {
     "q_text_bpe_merges", "q_text_bpe_encode",
     // round-10 continuation: MMR diversity re-rank (serving path),
     // temperature mixture factors
-    "q_sim_mmr", "q_mix_temperature")
+    "q_sim_mmr", "q_mix_temperature",
+    // round-10 continuation: label-propagation communities (graph family)
+    "q_graph_lpa")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Anomaly, Funnel, FuzzyJoin, GapFill, Incremental,
-  KMeans, Packing, PageRank, Triangles}
+  KMeans, LabelProp, Packing, PageRank, Triangles}
 
 /** Event-pipeline and graph analytics: ordered funnels, time-range rolling
   * windows, exact-integer z-score outliers, calendar gap-fill, LLM sequence
@@ -27,6 +27,7 @@ object AnalyticsQueries {
   private val PackBudget = 512
   private val FuzzyMaxDist = 2
   private val PrIters = 10
+  private val LpaIters = 4
 
   /** r0..rN chain of the fixed-point PageRank recurrence (mirrors
     * [[PageRank.ranks]] — same int64 truncating divisions, so the match is
@@ -319,6 +320,45 @@ object AnalyticsQueries {
               FROM (SELECT unnest([x, y, z]) AS node FROM tri)
               GROUP BY node"""),
       "per-node triangle counts, degree-ordered wedge join (co-purchase graph)"),
+
+    // Synchronous label propagation (fixed 4 rounds) on the same
+    // bipartite order-part graph as PageRank — the community-detection
+    // complement of q_dedup_cc's min-label components. Deterministic:
+    // per-round argmax is (neighbor-label count DESC, label ASC), and
+    // fixed-k synchronous rounds are exactly replayable (a convergence
+    // probe would not be, since LPA can 2-cycle on bipartite edges).
+    Q("q_graph_lpa",
+      (s, d) => {
+        val b = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+        LabelProp.communities(e, LpaIters)
+          .select(col("id").as("node_id"), col("lbl").as("comm"))
+      },
+      Some {
+        val rounds = (1 to LpaIters).map { r =>
+          val p = r - 1
+          s"""lpc$r AS MATERIALIZED (
+             |  SELECT e.dst AS id, l.lbl, count(*) AS cnt
+             |  FROM lpe e JOIN lp$p l ON e.src = l.id GROUP BY 1, 2),
+             |lp$r AS MATERIALIZED (
+             |  SELECT id, lbl FROM (
+             |    SELECT id, lbl, row_number() OVER
+             |      (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+             |    FROM lpc$r)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lpe AS MATERIALIZED (
+           |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+           |  UNION ALL
+           |  SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+           |lp0 AS MATERIALIZED (
+           |  SELECT DISTINCT src AS id, src AS lbl FROM lpe),
+           |$rounds
+           |SELECT id AS node_id, lbl AS comm FROM lp$LpaIters""".stripMargin
+      },
+      "label-propagation communities: 4 synchronous rounds, exact argmax replay"),
 
     // Materialized-view maintenance: the grouped aggregate refreshed by
     // merging PARTIAL states (base partial + delta partial), never

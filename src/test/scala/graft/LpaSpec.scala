@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LabelProp
+
+/** Label propagation: hand-computed communities on two triangles joined
+  * by a bridge, plus determinism. */
+class LpaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4
+  private def edges = {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    (und ++ und.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("two bridged triangles resolve to their own communities in 4 rounds") {
+    val got = LabelProp.communities(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("deterministic across runs and parallelism") {
+    val a = LabelProp.communities(edges.repartition(7), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = LabelProp.communities(edges.repartition(1), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}
