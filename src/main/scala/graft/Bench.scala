@@ -77,7 +77,9 @@ object Bench {
     // temperature mixture factors
     "q_sim_mmr", "q_mix_temperature",
     // round-10 continuation: label-propagation communities (graph family)
-    "q_graph_lpa")
+    "q_graph_lpa",
+    // round-10 continuation: leakage-proof cluster-keyed split
+    "q_split_leakproof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

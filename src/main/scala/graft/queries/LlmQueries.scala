@@ -750,6 +750,51 @@ object LlmQueries {
                      FROM reach GROUP BY u)"""),
       "near-dup clusters: connected components over MinHash pairs (min-label + pointer jumping)"),
 
+    // Leakage-proof train/val/test split: assignment hashes the NEAR-DUP
+    // CLUSTER id, not the document id, so near-duplicates can never
+    // straddle a split boundary (the classic eval-contamination bug a
+    // doc-hash split silently commits). Singletons key on their own id.
+    // 90/5/5 via the domain-separated portable hash — deterministic,
+    // engine-reproducible, retry-stable. At 100 TB the cluster table is
+    // the already-published dedup artifact; the split itself is then one
+    // stateless hash expression over a broadcast/equi join.
+    Q("q_split_leakproof",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = graft.operators.Connected.components(
+            Dedup.minhashNearDups(docs, "text", "doc_id", NearDupJaccard)
+              .select("id1", "id2"))
+          .select(col("doc_id").as("cid_doc"), col("cluster_id"))
+        val bucket = PortableHash.hashMod(
+          concat(lit("split:"), col("split_key").cast("string"))) % 100
+        docs.select(col("doc_id"))
+          .join(clusters, col("doc_id") === col("cid_doc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+          .withColumn("split",
+            when(bucket < 90, "train").when(bucket < 95, "val")
+              .otherwise("test"))
+      },
+      Some(s"""WITH RECURSIVE ${duckMinhashCtes(NearDupJaccard)},
+           |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |reach AS (
+           |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+           |  UNION
+           |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+           |cl AS (SELECT u AS doc_id, min(v) AS cluster_id
+           |       FROM reach GROUP BY u),
+           |keyed AS (
+           |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
+           |  FROM documents d LEFT JOIN cl USING (doc_id))
+           |SELECT doc_id, split_key,
+           |  CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, split_key,
+           |        ${PortableHash.duckHashMod("'split:' || split_key::VARCHAR")} % 100 AS hb
+           |      FROM keyed)""".stripMargin),
+      "cluster-keyed 90/5/5 split: near-dups never straddle a split boundary"),
+
     // ---------- similarity search ----------
     Q("q_sim_topk_brute",
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"),

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Leakage-proof split: the no-straddle property (every near-dup
+  * cluster lands entirely inside one split) and coverage/determinism. */
+class SplitSpec extends SparkSpec {
+
+  private def run() =
+    SparkEntry.queries("q_split_leakproof")(spark, sf0001)
+
+  test("every cluster lands in exactly one split; every doc is assigned") {
+    val out = run()
+    val docs = graft.core.Tables.load(spark, sf0001, "documents").count()
+    assert(out.count() === docs)
+    val straddles = out.groupBy("split_key")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(straddles === 0L)
+    val splits = out.select("split").distinct().collect().map(_.getString(0)).sorted
+    assert(splits.forall(Set("train", "val", "test")))
+    // 90/5/5 hash split: train must dominate
+    val byS = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.getOrElse("train", 0L) > byS.getOrElse("val", 0L))
+    assert(byS.getOrElse("train", 0L) > byS.getOrElse("test", 0L))
+  }
+
+  test("deterministic across runs") {
+    val a = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val b = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+}
