@@ -52,4 +52,37 @@ class StreamingMixSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(reported == actual, s"reported=$reported actual=$actual")
   }
+
+  test("temperature factors flow through the same frozen-factor streaming path") {
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val factors = Sampling.temperatureFactors(docs, col("lang"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_smt").toString
+    val dir = s"$base/in"
+    val outDir = s"$base/out"
+    val ckpt = s"$base/ck"
+    docs.coalesce(1).write.parquet(dir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = Sampling.epochRebalanceFrom(src, "doc_id", "lang", factors)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = Sampling.epochRebalanceFrom(spark.read.parquet(dir),
+      "doc_id", "lang", factors)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // sqrt-imbalance factors: every stratum's factor is ≥ 1 epoch and at
+    // most the full-flattening factor
+    val flat = Sampling.epochFactors(docs, col("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    Sampling.temperatureFactors(docs, col("lang")).collect().foreach { r =>
+      val (s, f) = (r.getString(0), r.getLong(2))
+      assert(f >= Sampling.FactorScale && f <= flat(s),
+        s"stratum $s: temperature factor $f outside [1e6, ${flat(s)}]")
+    }
+  }
 }
