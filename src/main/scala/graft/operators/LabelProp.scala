@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import graft.core.CacheScope
 
 /** Synchronous label propagation (Raghavan et al. 2007) — community
   * detection over an edge list, the clustering complement of
@@ -31,9 +31,12 @@ object LabelProp {
     * already contain both directions of every undirected edge
     * (src, dst). Output: (id, lbl). */
   def communities(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // every round joins the same edge table: job-scoped persist, released
+    // by the listener when the consuming action completes (the whole k-round
+    // recurrence is ONE declarative plan — no intermediate actions)
+    val e = CacheScope.autoRelease(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     for (_ <- 1 to iters) {
