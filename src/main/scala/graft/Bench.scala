@@ -79,7 +79,9 @@ object Bench {
     // round-10 continuation: label-propagation communities (graph family)
     "q_graph_lpa",
     // round-10 continuation: leakage-proof cluster-keyed split
-    "q_split_leakproof")
+    "q_split_leakproof",
+    // round-10 continuation: bigram LM artifact + interpolated scoring
+    "q_text_lm_bigram", "q_text_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1131,6 +1131,98 @@ object LlmQueries {
                GROUP BY doc_id"""),
       "unigram avg negative log-likelihood per doc (perplexity-proxy quality score)"),
 
+    // Bigram LM artifact — the conditional upgrade of q_text_logprob's
+    // unigram proxy. PUBLISH half: (w1, w2, c12, c1) — bigram counts
+    // joined with their history's unigram count, the table a nightly
+    // batch writes for ingest scoring. Bigrams are the existing
+    // 2-shingles; both aggregates are map-side-combined single shuffles.
+    // At 100 TB the artifact is O(distinct bigrams) and the score join
+    // below equi-joins on the bigram key (no broadcast assumption).
+    Q("q_text_lm_bigram",
+      (s, d) => {
+        val docs = Tables.ensureParallelism(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
+        val uni = docs.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c1"))
+        val big = docs.select(explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c12"))
+          .select(split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+            split_part(col("bg"), lit(" "), lit(2)).as("w2"), col("c12"))
+        big.join(uni.withColumnRenamed("term", "w1"), "w1")
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT doc_id, unnest(${duckTokens("text")}) AS term FROM documents),
+           |uni AS (SELECT term, count(*) AS c1 FROM toks GROUP BY term),
+           |big AS (
+           |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+           |         count(*) AS c12
+           |  FROM (SELECT unnest(${duckShingles(duckTokens("text"), 2)}) AS bg
+           |        FROM documents)
+           |  GROUP BY 1, 2)
+           |SELECT w1, w2, c12, c1
+           |FROM big JOIN uni ON big.w1 = uni.term""".stripMargin),
+      "bigram LM artifact: (w1, w2, c12, c1) counts table, bit-exact"),
+
+    // APPLY half: per-doc average negative log-likelihood under the
+    // interpolated bigram model p(w2|w1) = 3/4·c12/c1 + 1/4·c2/N — the
+    // Jelinek-Mercer smoothing every doc-scoring pipeline runs. The doc's
+    // bigrams equi-join the artifact (trained on the same corpus, so the
+    // join is total); transcendentals follow the house convention (one
+    // round(avg·,6) at the end, matching q_text_logprob).
+    Q("q_text_lm_score",
+      (s, d) => {
+        val docs = Tables.ensureParallelism(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
+        val toks = graft.core.CacheScope.autoRelease(
+          docs.select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term")))
+        val uni = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("ntok"))
+        val big = docs.select(explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c12"))
+        val docBg = docs.select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+          .select(col("doc_id"), col("bg"),
+            split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+            split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+        docBg
+          .join(big, "bg")
+          .join(uni.withColumnRenamed("term", "w1")
+            .withColumnRenamed("cnt", "c1"), "w1")
+          .join(uni.withColumnRenamed("term", "w2")
+            .withColumnRenamed("cnt", "c2"), "w2")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log(
+              lit(0.75) * col("c12").cast("double") / col("c1") +
+                lit(0.25) * col("c2").cast("double") / col("ntok"))), 6)
+              .as("avg_nll2"))
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT doc_id, unnest(${duckTokens("text")}) AS term FROM documents),
+           |uni AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+           |tot AS (SELECT count(*) AS ntok FROM toks),
+           |big AS (
+           |  SELECT bg, count(*) AS c12
+           |  FROM (SELECT unnest(${duckShingles(duckTokens("text"), 2)}) AS bg
+           |        FROM documents)
+           |  GROUP BY bg),
+           |docbg AS (
+           |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+           |         split_part(bg, ' ', 2) AS w2
+           |  FROM (SELECT doc_id, unnest(${duckShingles(duckTokens("text"), 2)}) AS bg
+           |        FROM documents))
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(avg(-ln(0.75 * CAST(c12 AS DOUBLE) / u1.cnt
+           |               + 0.25 * CAST(u2.cnt AS DOUBLE) / ntok)), 6) AS avg_nll2
+           |FROM docbg JOIN big USING (bg)
+           |  JOIN uni u1 ON docbg.w1 = u1.term
+           |  JOIN uni u2 ON docbg.w2 = u2.term
+           |  CROSS JOIN tot
+           |GROUP BY doc_id""".stripMargin),
+      "interpolated bigram avg NLL per doc (Jelinek-Mercer 3/4-1/4 smoothing)"),
+
     // Benchmark decontamination: flag corpus documents sharing any word
     // 3-gram with the benchmark set (stand-in: doc_id < 10). The
     // benchmark's distinct shingles BROADCAST — the corpus streams through
