@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Ingest-time LM scoring against FROZEN artifacts: the bigram/unigram
+  * count tables and the token total are published to parquet by a batch
+  * job over the reference corpus; arriving documents score via
+  * stream-static equi-joins + a stateless projection — no state, no
+  * watermark, so the whole score runs as a direct streaming query.
+  * Streamed scores must equal the batch scores row-for-row across a
+  * restart. (Unknown bigrams drop out of the inner join on both sides —
+  * same contract as the batch entry, whose artifact is total on its own
+  * training corpus.)
+  */
+class StreamingLmScoreSpec extends SparkSpec {
+
+  private def score(docs: DataFrame, big: DataFrame, uni: DataFrame,
+                    nTok: Long): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+      .select(col("doc_id"), col("bg"),
+        split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+      .join(big, "bg")
+      .join(uni.withColumnRenamed("term", "w1")
+        .withColumnRenamed("cnt", "c1"), "w1")
+      .join(uni.withColumnRenamed("term", "w2")
+        .withColumnRenamed("cnt", "c2"), "w2")
+      .select(col("doc_id"),
+        round(-log(lit(0.75) * col("c12").cast("double") / col("c1") +
+          lit(0.25) * col("c2").cast("double") / lit(nTok.toDouble)), 6)
+          .as("nll"))
+
+  test("stream-scored docs ≡ batch scoring over frozen LM artifacts, across a restart") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+
+    // publish: unigram counts, bigram counts, token total
+    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .write.parquet(s"$dir/uni")
+    docs.select(explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .write.parquet(s"$dir/big")
+    val nTok = toks.count()
+
+    val uni = spark.read.parquet(s"$dir/uni")
+    val big = spark.read.parquet(s"$dir/big")
+
+    val want = score(docs, big, uni, nTok)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = score(src, big, uni, nTok)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(got.toSeq == want.toSeq,
+      s"stream-scored rows diverged: ${got.length} vs ${want.length}")
+  }
+}
