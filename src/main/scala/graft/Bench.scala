@@ -81,7 +81,9 @@ object Bench {
     // round-10 continuation: leakage-proof cluster-keyed split
     "q_split_leakproof",
     // round-10 continuation: bigram LM artifact + interpolated scoring
-    "q_text_lm_bigram", "q_text_lm_score")
+    "q_text_lm_bigram", "q_text_lm_score",
+    // round-10 continuation: KMV set algebra (corpus-overlap estimate)
+    "q_agg_kmv_intersect")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -231,6 +231,62 @@ object TrainQueries {
                |FROM bk""".stripMargin),
       "per-shard KMV sketches union-merged — merged artifact equals direct, bit-for-bit"),
 
+    // KMV SET ALGEBRA: intersection cardinality from two sketches alone
+    // — |A∩B| ≈ ρ·|A∪B| with ρ = the Jaccard read off the union sketch
+    // (fraction of the union's bottom-k present in both sides), the
+    // Beyer et al. SIGMOD'07 estimator. Everything after the two
+    // bottom-k sketches is integer arithmetic on ≤2k longs, so the
+    // estimate itself is gated bit-exact — sketch set-operations are
+    // what let a 100 TB pipeline answer "how much do these two corpora
+    // overlap?" without ever joining them.
+    Q("q_agg_kmv_intersect",
+      (s, d) => {
+        val h = t(s, d, "documents")
+          .select(when(col("doc_id") % 2 === 0, "even").otherwise("odd").as("side"),
+            explode(TextFunctions.shingles(col("text"), 3)).as("tok"))
+          .select(col("side"), PortableHash.hashMod(col("tok")).as("h"))
+        val sk = h.groupBy("side")
+          .agg(graft.functions.KmvAgg(col("h"), KmvK).as("karr"))
+        val a = sk.filter(col("side") === "even").select(col("karr").as("ka"))
+        val b = sk.filter(col("side") === "odd").select(col("karr").as("kb"))
+        a.crossJoin(b) // declared 1-row × 1-row sketch combine
+          .select(col("ka"), col("kb"),
+            slice(array_sort(array_union(col("ka"), col("kb"))), 1, KmvK).as("ku"))
+          .select(
+            size(col("ku")).as("n_u"),
+            element_at(col("ku"), size(col("ku"))).as("kth"),
+            size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb")))
+              .as("n_both"),
+            expr(s"(${KmvK - 1} * ${MOD}L) div element_at(ku, size(ku))")
+              .as("est_union"))
+          .withColumn("est_intersect",
+            expr("(CAST(n_both AS BIGINT) * est_union) div n_u"))
+      },
+      Some(s"""WITH h AS (
+           |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS side,
+           |         ${PortableHash.duckHashMod("tok")} AS h
+           |  FROM (SELECT doc_id, unnest(${LlmQueries.duckShingles(LlmQueries.duckTokens("text"), 3)}) AS tok
+           |        FROM documents)),
+           |ka AS (SELECT h FROM (SELECT DISTINCT h FROM h WHERE side = 'even')
+           |       ORDER BY h LIMIT $KmvK),
+           |kb AS (SELECT h FROM (SELECT DISTINCT h FROM h WHERE side = 'odd')
+           |       ORDER BY h LIMIT $KmvK),
+           |ku AS (SELECT h FROM (SELECT DISTINCT h FROM
+           |         (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+           |       ORDER BY h LIMIT $KmvK)
+           |SELECT CAST((SELECT count(*) FROM ku) AS INT) AS n_u,
+           |  (SELECT max(h) FROM ku) AS kth,
+           |  CAST((SELECT count(*) FROM ku
+           |        WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS INT)
+           |    AS n_both,
+           |  CAST((${KmvK - 1}::BIGINT * $MOD) // (SELECT max(h) FROM ku) AS BIGINT)
+           |    AS est_union,
+           |  CAST(((SELECT count(*) FROM ku
+           |         WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))::BIGINT
+           |        * ((${KmvK - 1}::BIGINT * $MOD) // (SELECT max(h) FROM ku)))
+           |       // (SELECT count(*) FROM ku) AS BIGINT) AS est_intersect""".stripMargin),
+      "KMV set algebra: corpus-overlap estimate from two sketches, bit-exact integers"),
+
     // ---------- weighted sampling (quality-proportional) ----------
     // Sample WeightedK docs with probability proportional to word count,
     // WITHOUT replacement — the standard corpus-mixing draw (upweight
