@@ -83,7 +83,9 @@ object Bench {
     // round-10 continuation: bigram LM artifact + interpolated scoring
     "q_text_lm_bigram", "q_text_lm_score",
     // round-10 continuation: KMV set algebra (corpus-overlap estimate)
-    "q_agg_kmv_intersect")
+    "q_agg_kmv_intersect",
+    // round-10 continuation: keyframe selection (multimodal family)
+    "q_media_keyframes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

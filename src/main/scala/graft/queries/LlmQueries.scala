@@ -509,6 +509,7 @@ object LlmQueries {
   val TopK = 10
   val QueryVecs = 16 // vec_id < 16 are the similarity-search query set
   val MmrK = 5 // MMR diversity re-rank: results selected per query
+  val KeyframeDelta = 5000L // keyframe pixel-sum jump threshold
 
   /** Stratified sampling rates (per-mille by language): downsample the
     * dominant language, keep the tail denser — the standard corpus
@@ -1834,6 +1835,48 @@ object LlmQueries {
                           END) AS BIGINT) AS pixel_sum
               FROM fb"""),
       "REAL strided frame extraction: sampled frames decode, skipped frames seek past"),
+
+    // Keyframe selection (shot-boundary proxy): decode EVERY frame, keep
+    // frame 0 plus any frame whose band-0 pixel-sum jump from its
+    // predecessor is ≥ the threshold — the sampling step a captioning
+    // pipeline runs so it describes scene changes, not every frame. The
+    // detector is a per-video lag window over the real decoded sums; the
+    // oracle replays the same lag over the closed-form sums.
+    Q("q_media_keyframes",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("frame_idx")
+        Multimodal.extractVideoFrames(
+            Multimodal.toVideo(t(s, d, "documents")), stride = 1).toDF()
+          .withColumn("prev_sum", lag("pixel_sum", 1).over(w))
+          .withColumn("delta",
+            abs(col("pixel_sum") - coalesce(col("prev_sum"), col("pixel_sum"))))
+          .filter(col("frame_idx") === 0 || col("delta") >= KeyframeDelta)
+          .select(col("doc_id"), col("frame_idx"), col("pixel_sum"), col("delta"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+           |      CAST(doc_id % 37 + 8 AS BIGINT) AS w,
+           |      CAST(doc_id % 29 + 8 AS BIGINT) AS h,
+           |      CAST(doc_id % 7 + 2 AS BIGINT) AS nf
+           |    FROM documents),
+           |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM p),
+           |fb AS (SELECT doc_id, w, h, f, (doc_id + f) % 256 AS b FROM fr),
+           |rs AS (SELECT doc_id, f,
+           |         h * (CASE WHEN b + w <= 256
+           |              THEN w * b + w * (w - 1) // 2
+           |              ELSE (256 - b) * b + (256 - b) * (255 - b) // 2
+           |                   + (w - 256 + b) * (w - 257 + b) // 2
+           |              END) AS psum
+           |       FROM fb),
+           |lg AS (SELECT doc_id, f, psum,
+           |         lag(psum) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+           |       FROM rs)
+           |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           |  CAST(psum AS BIGINT) AS pixel_sum,
+           |  CAST(abs(psum - coalesce(prev, psum)) AS BIGINT) AS delta
+           |FROM lg
+           |WHERE f = 0 OR abs(psum - coalesce(prev, psum)) >= $KeyframeDelta""".stripMargin),
+      "keyframe selection: per-video lag over real decoded frame sums ≥ threshold"),
 
     // Frame fan-out: every stride-th fixed window of the payload becomes a
     // frame row — the flatMap layout per-frame ops need. The oracle
