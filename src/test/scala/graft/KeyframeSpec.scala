@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Keyframe selection: frame 0 always kept, every other kept frame
+  * clears the threshold, and the kept set matches a full-decode
+  * recompute. */
+class KeyframeSpec extends SparkSpec {
+
+  test("frame 0 kept per video; non-first keeps clear the threshold") {
+    val out = SparkEntry.queries("q_media_keyframes")(spark, sf0001)
+    val docs = graft.core.Tables.load(spark, sf0001, "documents").count()
+    assert(out.filter(col("frame_idx") === 0).count() === docs)
+    assert(out.filter(col("frame_idx") > 0 &&
+      col("delta") < graft.queries.LlmQueries.KeyframeDelta).count() === 0L)
+  }
+
+  test("kept set equals a full-decode lag recompute") {
+    val frames = Multimodal.extractVideoFrames(
+      Multimodal.toVideo(graft.core.Tables.load(spark, sf0001, "documents")),
+      stride = 1).toDF()
+    val byDoc = frames.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val expected = byDoc.toSeq.flatMap { case (doc, sums) =>
+      sums.zipWithIndex.collect {
+        case (s, 0) => (doc, 0)
+        case (s, i) if math.abs(s - sums(i - 1)) >=
+          graft.queries.LlmQueries.KeyframeDelta => (doc, i)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_media_keyframes")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === expected)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** KMV intersection estimate: internal consistency of the sketch
+  * algebra and agreement with the exact overlap on the small corpus
+  * (where k exceeds the distinct count, the sketch IS the set and the
+  * estimator must be exact-ish by construction). */
+class KmvIntersectSpec extends SparkSpec {
+
+  test("estimate is internally consistent and deterministic") {
+    val run1 = SparkEntry.queries("q_agg_kmv_intersect")(spark, sf0001).collect()
+    val run2 = SparkEntry.queries("q_agg_kmv_intersect")(spark, sf0001).collect()
+    assert(run1.length === 1 && run2.length === 1)
+    assert(run1.head.toSeq === run2.head.toSeq)
+    val r = run1.head
+    val (nU, nBoth, estUnion, estInter) =
+      (r.getAs[Int]("n_u"), r.getAs[Int]("n_both"),
+        r.getAs[Long]("est_union"), r.getAs[Long]("est_intersect"))
+    assert(nBoth >= 0 && nBoth <= nU)
+    assert(estInter <= estUnion)
+    assert(estInter === nBoth.toLong * estUnion / nU)
+  }
+
+  test("ballpark: estimator within 3x of the exact overlap at sf0.001") {
+    import graft.functions.{PortableHash, TextFunctions}
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+    val h = docs.select(
+        (col("doc_id") % 2 === 0).as("even"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("tok"))
+      .select(col("even"), PortableHash.hashMod(col("tok")).as("h"))
+    val a = h.filter(col("even")).select("h").distinct()
+    val b = h.filter(!col("even")).select("h").distinct()
+    val exact = a.intersect(b).count()
+    val est = SparkEntry.queries("q_agg_kmv_intersect")(spark, sf0001)
+      .collect().head.getAs[Long]("est_intersect")
+    assert(est > exact / 3 && est < exact * 3,
+      s"estimate $est vs exact $exact — outside the 3x sketch band")
+  }
+}
