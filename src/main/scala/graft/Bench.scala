@@ -85,7 +85,9 @@ object Bench {
     // round-10 continuation: KMV set algebra (corpus-overlap estimate)
     "q_agg_kmv_intersect",
     // round-10 continuation: keyframe selection (multimodal family)
-    "q_media_keyframes")
+    "q_media_keyframes",
+    // round-10 continuation: tokenizer-aware ingest composition
+    "q_pipeline_ingest_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Bloom, Dedup}
+
+/** The shared frozen-artifact ingest stages (bloom-pruned exact dedup →
+  * frozen near-dup index gate → surgical span decontam → frozen
+  * per-language quality gate), extracted so q_pipeline_ingest and the
+  * tokenizer-aware q_pipeline_ingest_v2 run the IDENTICAL stage code —
+  * v2 composes on top instead of re-implementing. */
+private[queries] object IngestStages {
+  import LlmQueries.{NearDupJaccard, DecontamW}
+
+  /** Runs stages 1–3 and the gate. `freeze` is applied to the CLEANED
+    * frame before the gate is built from it — identity for the v1 entry
+    * (single downstream consumer), localCheckpoint for v2 (clean is
+    * re-joined by the LM/tokenizer stages, and without the freeze every
+    * Dataset construction past decontam re-analyzes the whole dedup
+    * lineage — the measured ~2 s/reference cost in BENCHFOCUS_r10.md).
+    * Returns (cleanedFrozen (doc_id, clean_text), gated (doc_id, lang,
+    * n_words), corpus). */
+  def cleanGate(s: SparkSession, d: String,
+                freeze: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.ensureParallelism(Tables.load(s, d, "documents"))
+    val benchmark = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0)
+    val p = Bloom.Params(buckets = 8, bits = 1024, probes = 3)
+    // published artifacts (batch-side, from yesterday's corpus)
+    val seen = Dedup.contentHashes(corpus, "text", "doc_id")
+      .select(col("h")).distinct()
+    val bloom = Bloom.build(seen, p)
+    val thr = corpus
+      .select(col("lang"), TextFunctions.nWords(col("text")).as("n_words"))
+      .groupBy("lang").agg(expr("percentile(n_words, 0.25)").as("thr"))
+    // exact index size (BANDS rows per corpus doc) for the broadcast
+    // guard — counted FIRST: every job-scoped CacheScope below releases
+    // on the next completed execution, so this action must precede all
+    // of their registrations
+    val nIdx = corpus.count() * Dedup.BANDS
+    // 1. bloom-pruned exact dedup of the batch against the corpus.
+    // Job-scoped persist: `fresh` is referenced by the near-dup probe's
+    // shingles AND the keep side of the anti-join inside the single
+    // localCheckpoint execution below.
+    val fresh = graft.core.CacheScope.autoRelease(batch.join(
+      Bloom.dedupWithBloom(
+        batch, seen, bloom, "text", "doc_id", p).select("doc_id"),
+      "doc_id"))
+    // 1b. NEAR-dup gate vs the frozen MinHash band index (publish/apply
+    // member #8): batch docs that near-dup the standing corpus are
+    // dropped before any further per-row work — in-row signature,
+    // broadcast band probe, exact-Jaccard verify on candidates only
+    val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
+    val nearLinks = Dedup.nearDupsAgainstIndex(fresh, "text", "doc_id",
+      ndIdx, ndSh, NearDupJaccard, knownIndexRows = Some(nIdx))
+    // lineage truncation, the q_pipeline_llm_v2 pattern: the decontam
+    // cut-and-rejoin references `unique` TWICE, and the downstream
+    // stages re-run Catalyst analysis over the doubled bloom+near-dup
+    // tree at every Dataset construction (~2 s of pure driver-side
+    // analysis per reference, measured r10, IngestProfile method in
+    // BENCHFOCUS_r10.md) — localCheckpoint collapses it to a LogicalRDD
+    // and executes the dedup stages exactly once. Its eager job is also
+    // the single consuming execution that releases the two job-scoped
+    // persists above.
+    val unique = fresh.join(
+      nearLinks.select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 2. surgical span decontam vs the benchmark
+    val clean = freeze(Dedup.removeBenchmarkSpans(
+      unique, "text", "doc_id", benchmark, "text", DecontamW))
+    // 3. frozen per-language quality gate on the CLEANED text
+    val gated = clean
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.nWords(col("clean_text")).as("n_words"))
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("n_words") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("n_words"))
+    (clean, gated, corpus)
+  }
+}

@@ -510,6 +510,7 @@ object LlmQueries {
   val QueryVecs = 16 // vec_id < 16 are the similarity-search query set
   val MmrK = 5 // MMR diversity re-rank: results selected per query
   val KeyframeDelta = 5000L // keyframe pixel-sum jump threshold
+  val LmGateNll = 3.44 // v2 ingest LM admission ceiling (~p75: drops the worst-NLL quartile)
 
   /** Stratified sampling rates (per-mille by language): downsample the
     * dominant language, keep the tail denser — the standard corpus
@@ -579,6 +580,54 @@ object LlmQueries {
                (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
              FROM scored)
        WHERE rn <= $TopK"""
+
+  /** The v1 ingest oracle CTE chain (everything between WITH and the
+    * final select), shared by q_pipeline_ingest and the v2 composition. */
+  private def duckIngestCtes: String =
+    s"""hashed AS (SELECT doc_id,
+       |         ${TrainQueries.duckNormHash("text")} AS h
+       |       FROM documents WHERE doc_id >= 10),
+           |fresh AS (SELECT doc_id FROM hashed n
+           |          WHERE n.doc_id % 5 = 0
+           |            AND NOT EXISTS (SELECT 1 FROM hashed e
+           |                            WHERE e.doc_id % 5 <> 0 AND e.h = n.h)),
+           |${duckBandCtes("c", "doc_id >= 10 AND doc_id % 5 <> 0")},
+           |${duckBandCtes("nb", "doc_id IN (SELECT doc_id FROM fresh)")},
+           |ndl AS (
+           |  SELECT DISTINCT cand.new_id FROM (
+           |    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+           |    FROM nbbands n JOIN cbands c
+           |      ON n.band_idx = c.band_idx AND n.band_key = c.band_key) cand
+           |  JOIN nbsh x ON cand.new_id = x.doc_id
+           |  JOIN csh y ON cand.corpus_id = y.doc_id
+           |  WHERE (CASE WHEN len(list_distinct(list_concat(x.shset, y.shset))) = 0 THEN 0.0
+           |              ELSE len(list_intersect(x.shset, y.shset))::DOUBLE /
+           |                   len(list_distinct(list_concat(x.shset, y.shset)))::DOUBLE END)
+           |        >= $NearDupJaccard),
+           |uniq AS (SELECT doc_id FROM fresh
+           |         WHERE doc_id NOT IN (SELECT new_id FROM ndl)),
+           |${duckBenchmarkSpanCtes(DecontamW,
+               "doc_id IN (SELECT doc_id FROM uniq)")},
+           |spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + $DecontamW AS se
+           |          FROM isl GROUP BY doc_id, isl),
+           |tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
+           |tok AS (SELECT doc_id, CAST(p AS INT) AS p, ts[p+1] AS tok FROM tp),
+           |keep AS (SELECT t.doc_id, t.p, t.tok FROM tok t WHERE NOT EXISTS (
+           |           SELECT 1 FROM spans sp
+           |           WHERE sp.doc_id = t.doc_id AND t.p >= sp.ss AND t.p < sp.se)),
+           |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
+           |        FROM keep GROUP BY doc_id),
+           |cleaned AS (SELECT f.doc_id, coalesce(a.ct, '') AS clean_text
+           |            FROM uniq f LEFT JOIN agg a USING (doc_id)),
+           |scored AS (SELECT c.doc_id, d.lang,
+           |             CAST(len(${duckTokens("clean_text")}) AS INT) AS n_words
+           |           FROM cleaned c JOIN documents d USING (doc_id)),
+           |thr AS (SELECT lang, quantile_cont(n_words, 0.25) AS thr
+           |        FROM (SELECT lang,
+           |                CAST(len(${duckTokens("text")}) AS INT) AS n_words
+           |              FROM documents
+           |              WHERE doc_id >= 10 AND doc_id % 5 <> 0)
+           |        GROUP BY lang)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -1483,112 +1532,108 @@ object LlmQueries {
     // stage), and at 100 TB the ingest path never shuffles the batch —
     // only bloom-positive candidates reach the one anti-join.
     Q("q_pipeline_ingest",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val benchmark = docs.filter(col("doc_id") < 10)
-        val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 =!= 0)
-        val batch = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0)
-        val p = graft.operators.Bloom.Params(buckets = 8, bits = 1024, probes = 3)
-        // published artifacts (batch-side, from yesterday's corpus)
-        val seen = Dedup.contentHashes(corpus, "text", "doc_id")
-          .select(col("h")).distinct()
-        val bloom = graft.operators.Bloom.build(seen, p)
-        val thr = corpus
-          .select(col("lang"), TextFunctions.nWords(col("text")).as("n_words"))
-          .groupBy("lang").agg(expr("percentile(n_words, 0.25)").as("thr"))
-        // exact index size (BANDS rows per corpus doc) for the broadcast
-        // guard — counted FIRST: every job-scoped CacheScope below
-        // releases on the next completed execution, so this action must
-        // precede all of their registrations
-        val nIdx = corpus.count() * Dedup.BANDS
-        // 1. bloom-pruned exact dedup of the batch against the corpus.
-        // Job-scoped persist: `fresh` is referenced by the near-dup
-        // probe's shingles AND the keep side of the anti-join inside the
-        // single localCheckpoint execution below.
-        val fresh = graft.core.CacheScope.autoRelease(batch.join(
-          graft.operators.Bloom.dedupWithBloom(
-            batch, seen, bloom, "text", "doc_id", p).select("doc_id"),
-          "doc_id"))
-        // 1b. NEAR-dup gate vs the frozen MinHash band index (publish/
-        // apply member #8): batch docs that near-dup the standing corpus
-        // are dropped before any further per-row work — in-row signature,
-        // broadcast band probe, exact-Jaccard verify on candidates only
-        val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
-        val nearLinks = Dedup.nearDupsAgainstIndex(fresh, "text", "doc_id",
-          ndIdx, ndSh, NearDupJaccard, knownIndexRows = Some(nIdx))
-        // lineage truncation, the q_pipeline_llm_v2 pattern: the decontam
-        // cut-and-rejoin references `unique` TWICE, and the downstream
-        // stages re-run Catalyst analysis over the doubled bloom+near-dup
-        // tree at every Dataset construction (~2 s of pure driver-side
-        // analysis per reference, measured r10, IngestProfile method in
-        // BENCHFOCUS_r10.md) — localCheckpoint collapses it to a
-        // LogicalRDD and executes the dedup stages exactly once. Its
-        // eager job is also the single consuming execution that releases
-        // the two job-scoped persists above.
-        val unique = fresh.join(
-          nearLinks.select(col("new_id").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        // 2. surgical span decontam vs the benchmark
-        val clean = Dedup.removeBenchmarkSpans(
-          unique, "text", "doc_id", benchmark, "text", DecontamW)
-        // 3. frozen per-language quality gate on the CLEANED text
-        clean
-          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-          .select(col("doc_id"), col("lang"),
-            TextFunctions.nWords(col("clean_text")).as("n_words"))
-          .join(broadcast(thr), Seq("lang"))
-          .filter(col("n_words") >= col("thr"))
-          .select(col("doc_id"), col("lang"), col("n_words"))
-      },
-      Some(s"""WITH hashed AS (SELECT doc_id,
-           |         ${TrainQueries.duckNormHash("text")} AS h
-           |       FROM documents WHERE doc_id >= 10),
-           |fresh AS (SELECT doc_id FROM hashed n
-           |          WHERE n.doc_id % 5 = 0
-           |            AND NOT EXISTS (SELECT 1 FROM hashed e
-           |                            WHERE e.doc_id % 5 <> 0 AND e.h = n.h)),
-           |${duckBandCtes("c", "doc_id >= 10 AND doc_id % 5 <> 0")},
-           |${duckBandCtes("nb", "doc_id IN (SELECT doc_id FROM fresh)")},
-           |ndl AS (
-           |  SELECT DISTINCT cand.new_id FROM (
-           |    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-           |    FROM nbbands n JOIN cbands c
-           |      ON n.band_idx = c.band_idx AND n.band_key = c.band_key) cand
-           |  JOIN nbsh x ON cand.new_id = x.doc_id
-           |  JOIN csh y ON cand.corpus_id = y.doc_id
-           |  WHERE (CASE WHEN len(list_distinct(list_concat(x.shset, y.shset))) = 0 THEN 0.0
-           |              ELSE len(list_intersect(x.shset, y.shset))::DOUBLE /
-           |                   len(list_distinct(list_concat(x.shset, y.shset)))::DOUBLE END)
-           |        >= $NearDupJaccard),
-           |uniq AS (SELECT doc_id FROM fresh
-           |         WHERE doc_id NOT IN (SELECT new_id FROM ndl)),
-           |${duckBenchmarkSpanCtes(DecontamW,
-               "doc_id IN (SELECT doc_id FROM uniq)")},
-           |spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + $DecontamW AS se
-           |          FROM isl GROUP BY doc_id, isl),
-           |tp AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks),
-           |tok AS (SELECT doc_id, CAST(p AS INT) AS p, ts[p+1] AS tok FROM tp),
-           |keep AS (SELECT t.doc_id, t.p, t.tok FROM tok t WHERE NOT EXISTS (
-           |           SELECT 1 FROM spans sp
-           |           WHERE sp.doc_id = t.doc_id AND t.p >= sp.ss AND t.p < sp.se)),
-           |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct
-           |        FROM keep GROUP BY doc_id),
-           |cleaned AS (SELECT f.doc_id, coalesce(a.ct, '') AS clean_text
-           |            FROM uniq f LEFT JOIN agg a USING (doc_id)),
-           |scored AS (SELECT c.doc_id, d.lang,
-           |             CAST(len(${duckTokens("clean_text")}) AS INT) AS n_words
-           |           FROM cleaned c JOIN documents d USING (doc_id)),
-           |thr AS (SELECT lang, quantile_cont(n_words, 0.25) AS thr
-           |        FROM (SELECT lang,
-           |                CAST(len(${duckTokens("text")}) AS INT) AS n_words
-           |              FROM documents
-           |              WHERE doc_id >= 10 AND doc_id % 5 <> 0)
-           |        GROUP BY lang)
+      (s, d) => IngestStages.cleanGate(s, d, identity)._2,
+      Some(s"""WITH $duckIngestCtes
            |SELECT doc_id, scored.lang, n_words
            |FROM scored JOIN thr ON scored.lang = thr.lang
            |WHERE n_words >= thr""".stripMargin),
       "ingest composition: frozen artifacts only — bloom dedup → decontam → frozen gate"),
+
+    // Tokenizer-aware ingest v2: the SAME stages 1–3 and gate (shared
+    // code, IngestStages.cleanGate), then two more frozen artifacts from
+    // the standing corpus — the bigram LM (admission: interpolated
+    // avg-NLL ceiling, drops the worst tail) and the BPE merge
+    // rules (every admitted doc ships with its token count, what the
+    // downstream packer budgets by). Docs whose cleaned text shares no
+    // known bigram with the corpus drop at the LM join — deliberate:
+    // unknown-language admission is the gate's job, not backoff's.
+    Q("q_pipeline_ingest_v2",
+      (s, d) => {
+        val (clean, gated, corpus) =
+          IngestStages.cleanGate(s, d, _.localCheckpoint())
+        // frozen LM artifact from the standing corpus's raw text
+        val uni = corpus.select(
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = corpus.select(
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .agg(count(lit(1)).as("ntok"))
+        val big = corpus.select(
+            explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c12"))
+        // frozen BPE merge rules from the same corpus
+        val merges = graft.operators.Tokenizer.trainOnWords(
+          graft.operators.Tokenizer.wordTable(corpus, col("text")),
+          graft.operators.Tokenizer.K)
+        val g = gated.join(clean, "doc_id")
+        val db = g.select(col("doc_id"),
+            explode(TextFunctions.shingles(col("clean_text"), 2)).as("bg"))
+          .select(col("doc_id"), col("bg"),
+            split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+            split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+        val scoredLm = db.join(big, "bg")
+          .join(uni.withColumnRenamed("term", "w1")
+            .withColumnRenamed("cnt", "c1"), "w1")
+          .join(uni.withColumnRenamed("term", "w2")
+            .withColumnRenamed("cnt", "c2"), "w2")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(round(avg(-log(
+            lit(0.75) * col("c12").cast("double") / col("c1") +
+              lit(0.25) * col("c2").cast("double") / col("ntok"))), 6)
+            .as("avg_nll2"))
+        g.join(scoredLm, "doc_id")
+          .filter(col("avg_nll2") <= LmGateNll)
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            size(graft.operators.Tokenizer.encode(col("clean_text"), merges))
+              .cast("int").as("n_tok"),
+            col("avg_nll2"))
+      },
+      Some {
+        val cp = "doc_id >= 10 AND doc_id % 5 <> 0"
+        s"""WITH $duckIngestCtes,
+           |gated AS (SELECT doc_id, scored.lang AS lang, n_words
+           |          FROM scored JOIN thr ON scored.lang = thr.lang
+           |          WHERE n_words >= thr),
+           |lmuni AS (SELECT term, count(*) AS cnt
+           |          FROM (SELECT unnest(${duckTokens("text")}) AS term
+           |                FROM documents WHERE $cp) GROUP BY term),
+           |lmtot AS (SELECT count(*) AS ntok
+           |          FROM (SELECT unnest(${duckTokens("text")}) AS term
+           |                FROM documents WHERE $cp)),
+           |lmbig AS (SELECT bg, count(*) AS c12
+           |          FROM (SELECT unnest(${duckShingles(duckTokens("text"), 2)}) AS bg
+           |                FROM documents WHERE $cp) GROUP BY bg),
+           |lmdb AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+           |                split_part(bg, ' ', 2) AS w2
+           |         FROM (SELECT c.doc_id,
+           |                 unnest(${duckShingles(duckTokens("clean_text"), 2)}) AS bg
+           |               FROM cleaned c JOIN gated g USING (doc_id))),
+           |lmsc AS (SELECT doc_id,
+           |           round(avg(-ln(0.75 * CAST(c12 AS DOUBLE) / u1.cnt
+           |                         + 0.25 * CAST(u2.cnt AS DOUBLE) / ntok)), 6)
+           |             AS avg_nll2
+           |         FROM lmdb JOIN lmbig USING (bg)
+           |           JOIN lmuni u1 ON lmdb.w1 = u1.term
+           |           JOIN lmuni u2 ON lmdb.w2 = u2.term
+           |           CROSS JOIN lmtot
+           |         GROUP BY doc_id),
+           |${TokenizerQueries.duckTrainCtesWhere(cp)},
+           |mtab AS (SELECT ${TokenizerQueries.duckMtabCols}),
+           |btok AS (SELECT doc_id,
+           |           CAST(coalesce(list_sum(list_transform(ws,
+           |             w -> len(list_filter(string_split(${TokenizerQueries.duckEncodeChain},
+           |                    chr(1)), x -> x <> '')))), 0) AS INT) AS n_tok
+           |         FROM (SELECT doc_id,
+           |                 list_filter(string_split_regex(
+           |                   regexp_replace(clean_text, '[\\x00-\\x08]', '', 'g'),
+           |                   '\\s+'), t -> t <> '') AS ws
+           |               FROM cleaned), mtab)
+           |SELECT g.doc_id, g.lang, g.n_words, b.n_tok, s.avg_nll2
+           |FROM gated g JOIN lmsc s USING (doc_id) JOIN btok b USING (doc_id)
+           |WHERE s.avg_nll2 <= $LmGateNll""".stripMargin
+      },
+      "tokenizer-aware ingest: + frozen bigram-LM admission gate + BPE token counts"),
 
     // ---------- quality filtering / sampling / composed pipeline ----------
     Q("q_text_quality",

@@ -34,19 +34,24 @@ object TokenizerQueries {
   // ---------- DuckDB replay of the training program ----------
 
   /** Cleaned text (strip the reserved control range, as cleanText). */
-  private val duckClean = "regexp_replace(text, '[\\x00-\\x08]', '', 'g')"
+  private[queries] val duckClean = "regexp_replace(text, '[\\x00-\\x08]', '', 'g')"
 
-  private val duckToks =
+  private[queries] val duckToks =
     s"list_filter(string_split_regex($duckClean, '\\s+'), t -> t <> '')"
 
   /** K unrolled training rounds. Every CTE is MATERIALIZED: inlined CTEs
     * would re-expand the round-r token table 3^r times (tbpe_r references
     * tbpe_{r-1} directly once and via the argmax twice). */
-  private def duckTrainCtes: String = {
+  private[queries] def duckTrainCtes: String = duckTrainCtesWhere("TRUE")
+
+  /** Same chain trained only on rows matching `where` (a composed
+    * pipeline trains the artifact on its standing corpus, not the full
+    * table). */
+  private[queries] def duckTrainCtesWhere(where: String): String = {
     val head = Seq(
       s"""wbpe0 AS MATERIALIZED (
          |  SELECT w, count(*) AS freq
-         |  FROM (SELECT unnest($duckToks) AS w FROM documents) GROUP BY w)""".stripMargin,
+         |  FROM (SELECT unnest($duckToks) AS w FROM documents WHERE $where) GROUP BY w)""".stripMargin,
       """tbpe0 AS MATERIALIZED (
         |  SELECT w, freq,
         |    chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) AS ts
@@ -92,12 +97,12 @@ object TokenizerQueries {
 
   /** One-row pivot of the learned merges (so the in-row replace chain
     * can reference them as plain scalars) — `mtab AS (SELECT ...)`. */
-  private def duckMtabCols: String = (1 to K).map(r =>
+  private[queries] def duckMtabCols: String = (1 to K).map(r =>
     s"(SELECT l FROM mbpe$r) AS l$r, (SELECT r FROM mbpe$r) AS r$r").mkString(", ")
 
   /** The full K-round encode replace chain over a word column `w`,
     * referencing mtab's l$r/r$r scalars. */
-  private def duckEncodeChain: String = {
+  private[queries] def duckEncodeChain: String = {
     var chain = "chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1)"
     for (r <- 1 to K)
       chain = s"""replace(replace(replace($chain, chr(1), chr(1)||chr(1)),
