@@ -87,7 +87,9 @@ object Bench {
     // round-10 continuation: keyframe selection (multimodal family)
     "q_media_keyframes",
     // round-10 continuation: tokenizer-aware ingest composition
-    "q_pipeline_ingest_v2")
+    "q_pipeline_ingest_v2",
+    // round-10 continuation: as-of tolerance + parquet bloom point lookup
+    "q_join_asof_tol", "q_scan_bloomfilter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -179,6 +179,29 @@ object ExtraQueries {
       Some("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"),
       "CSV scan with explicit schema (round-trip from the parquet table)"),
 
+    // Parquet BLOOM-FILTER point lookup: the table is (re)written with a
+    // per-column bloom filter and small row groups, then probed with an
+    // equality predicate. At 100 TB this is the needle-in-haystack scan
+    // shape — the pushed predicate reaches the footer, and row groups
+    // whose bloom says "definitely absent" are skipped without reading a
+    // page (ScanBloomSpec pins PushedFilters in the plan).
+    Q("q_scan_bloomfilter",
+      (s, d) => {
+        val src = t(s, d, "orders")
+        val path = s"${sys.props("java.io.tmpdir")}/graft_pqbloom_${new java.io.File(d).getName}_orders"
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          src.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+            .option("parquet.block.size", (1 << 20).toString)
+            .parquet(path)
+        s.read.parquet(path).filter(col("o_custkey") === 7)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders WHERE o_custkey = 7"""),
+      "parquet bloom-filter point lookup: pushed equality + row-group skipping"),
+
     Q("q_zorder_key",
       (s, d) => t(s, d, "customer").select(col("c_custkey"),
         graft.operators.Layout.mortonKey(

@@ -258,6 +258,39 @@ object RelationalQueries {
               WHERE rn = 1"""),
       "as-of join: latest order at-or-before each event"),
 
+    // As-of with TOLERANCE: same nearest-match, but a match older than
+    // the tolerance is no match at all (the finance/telemetry contract —
+    // a stale quote must not price a trade). 8500 days splits THIS
+    // dataset's gap distribution (TPC-H order dates sit ~22-27 years
+    // before the synthetic 2024 events; p10-p90 of the nearest-order gap
+    // is 8224-8810 days), so the gate keeps roughly the closer half and
+    // rejects the rest — a 30-day band would trivially return nothing.
+    // The band predicate also
+    // bounds the join: where plain as-of is an unbounded inequality,
+    // the tolerance makes it a banded range join — the shape the binned
+    // range-join optimization and partition pruning can actually bound
+    // at 100 TB.
+    Q("q_join_asof_tol",
+      (s, d) => t(s, d, "events").filter(col("event_type") === "purchase")
+        .join(t(s, d, "orders"),
+          col("user_id") === col("o_custkey") &&
+            col("o_orderdate") <= col("ts") &&
+            col("o_orderdate") >= col("ts") - expr("INTERVAL 8500 DAYS"))
+        .groupBy("event_id")
+        .agg(max(col("o_orderdate")).as("asof_orderdate"),
+          max_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("asof_orderkey")),
+      Some("""SELECT event_id, o_orderdate AS asof_orderdate,
+                o_orderkey AS asof_orderkey
+              FROM (SELECT event_id, o_orderdate, o_orderkey,
+                      row_number() OVER (PARTITION BY event_id
+                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                    FROM events JOIN orders
+                      ON user_id = o_custkey AND o_orderdate <= ts
+                         AND o_orderdate >= ts - INTERVAL 8500 DAY
+                    WHERE event_type = 'purchase')
+              WHERE rn = 1"""),
+      "as-of join with tolerance: stale matches rejected, banded join shape"),
+
     // Same semantics through the custom zipper exec (AsOfJoin LogicalPlan
     // + AsOfJoinStrategy + AsOfMergeJoinExec): one clustered sort per
     // side, linear merge, no join+window pair explosion. Same oracle

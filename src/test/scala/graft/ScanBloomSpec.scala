@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bloom-filtered parquet scan: the equality predicate must reach the
+  * scan (footer-level skipping is the point), and the round-trip must
+  * equal the direct filter on the source table. */
+class ScanBloomSpec extends SparkSpec {
+
+  test("point predicate is pushed into the rewritten parquet scan") {
+    val df = SparkEntry.queries("q_scan_bloomfilter")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_custkey"),
+      s"predicate did not reach the scan:\n$plan")
+  }
+
+  test("round-trip equals the direct filter on the source table") {
+    val got = SparkEntry.queries("q_scan_bloomfilter")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val want = graft.core.Tables.load(spark, sf0001, "orders")
+      .filter(col("o_custkey") === 7)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(got === want && got.nonEmpty)
+  }
+}
