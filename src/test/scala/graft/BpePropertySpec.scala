@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.operators.Tokenizer
+
+/** Differential property check of the BPE column implementation against
+  * a direct list-based reference (the canonical learn_bpe semantics):
+  * the separator-doubling replace chain must produce EXACTLY the
+  * reference's left-to-right non-overlapping merges on arbitrary words
+  * — including adversarial shapes (runs like "aaaa", merged-symbol
+  * collisions, punctuation) the fixed-corpus oracle never generates.
+  */
+class BpePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- reference implementation: direct list manipulation ----
+  private def refApply(toks: List[String], l: String, r: String): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = toks
+    while (rest.nonEmpty) rest match {
+      case a :: b :: tl if a == l && b == r => out += (l + r); rest = tl
+      case a :: tl => out += a; rest = tl
+      case Nil => ()
+    }
+    out.result()
+  }
+
+  private def refTrain(words: Map[String, Long], k: Int): List[(String, String)] = {
+    var state = words.map { case (w, f) => (w.toList.map(_.toString), f) }
+    val merges = List.newBuilder[(String, String)]
+    var r = 0
+    var continue = true
+    while (r < k && continue) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (toks, f) =>
+        toks.zip(toks.drop(1)).foreach { p =>
+          pc.update(p, pc.getOrElse(p, 0L) + f)
+        }
+      }
+      if (pc.isEmpty) continue = false
+      else {
+        val best = pc.minBy { case ((l, rr), c) =>
+          (-c, l + Tokenizer.PairSep + rr)
+        }._1
+        merges += best
+        state = state.map { case (toks, f) =>
+          (refApply(toks, best._1, best._2), f)
+        }
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  private def refEncode(text: String, merges: List[(String, String)]): List[String] = {
+    text.split("\\s+").filter(_.nonEmpty).toList.flatMap { w =>
+      merges.foldLeft(w.toList.map(_.toString)) { case (toks, (l, r)) =>
+        refApply(toks, l, r)
+      }
+    }
+  }
+
+  // words over a tiny alphabet so runs and merge collisions are common
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", ".", "aa")).map(_.mkString))
+  private val corpusGen: Gen[List[String]] = for {
+    nw <- Gen.chooseNum(1, 12)
+    words <- Gen.listOfN(nw, wordGen)
+    reps <- Gen.listOfN(nw, Gen.chooseNum(1, 5))
+  } yield words.zip(reps).flatMap { case (w, n) => List.fill(n)(w) }
+
+  test("column BPE ≡ reference BPE on arbitrary corpora (train + encode)") {
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val text = corpus.mkString(" ")
+      val df = Seq(Tuple1(text)).toDF("text")
+      val k = 4
+      val got = Tokenizer.train(df, col("text"), k)
+        .map(m => (m.left, m.right))
+      val want = refTrain(
+        corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap, k)
+      val gotEnc = df.select(Tokenizer.encode(col("text"),
+          Tokenizer.train(df, col("text"), k))).as[Seq[String]].head().toList
+      val wantEnc = refEncode(text, want)
+      (got == want) :| s"merges: got $got want $want (corpus=$corpus)" &&
+        (gotEnc == wantEnc) :| s"encode: got $gotEnc want $wantEnc (corpus=$corpus)"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"bpe-differential: $res")
+  }
+}
