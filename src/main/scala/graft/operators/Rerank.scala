@@ -42,7 +42,16 @@ object Rerank {
     * Output: (query_id, neighbor_id, step, mmr_score) with
     * mmr_score = LamNum·rel − LamCompl·maxRedundancy (step 1: red = 0). */
   def mmrTopK(emb: DataFrame, queryPred: Column, k: Int,
-              poolC: Int = PoolC): DataFrame = {
+              poolC: Int = PoolC,
+              maxQueryRows: Long = Similarity.MaxQueryRows): DataFrame = {
+    // same broadcast guard as the ANN family (Similarity.MaxQueryRows):
+    // the query side is broadcast for the relevance pool pass, so refuse
+    // past the bound rather than OOM — at scale a too-large query set
+    // must be chunked or pooled via an ANN probe instead
+    val (_, qCnt) = Similarity.sizes(emb, queryPred)
+    require(qCnt <= maxQueryRows,
+      s"MMR query side has $qCnt rows (> maxQueryRows=$maxQueryRows): " +
+        "refusing to broadcast — narrow the predicate or feed an ANN pool")
     val fp = emb.select(col("vec_id"),
       KMeans.toFixedPoint(col("embedding")).as("fpv"))
     val q = fp.filter(queryPred)
