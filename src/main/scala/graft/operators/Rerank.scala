@@ -64,7 +64,29 @@ object Rerank {
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))))
       .filter(col("rn") <= poolC).drop("rn")
-      .localCheckpoint()
+    mmrRounds(cands, k)
+  }
+
+  /** MMR over an EXTERNAL candidate pool (query_id, neighbor_id) — the
+    * production composition: any ANN probe (LSH/IVF/PQ) bounds the pool,
+    * MMR diversifies it. Relevance is recomputed as the exact integer
+    * dot so the selection arithmetic is identical to [[mmrTopK]]. */
+  def mmrFromPool(emb: DataFrame, pool: DataFrame, k: Int): DataFrame = {
+    val fp = emb.select(col("vec_id"),
+      KMeans.toFixedPoint(col("embedding")).as("fpv"))
+    val cands = pool.select(col("query_id"), col("neighbor_id").as("cand_id"))
+      .join(fp.select(col("vec_id").as("query_id"), col("fpv").as("qv")),
+        "query_id")
+      .join(fp.select(col("vec_id").as("cand_id"), col("fpv")), "cand_id")
+      .select(col("query_id"), col("cand_id"), col("fpv"),
+        dotL(col("qv"), col("fpv")).as("rel"))
+    mmrRounds(cands, k)
+  }
+
+  /** The k unrolled selection rounds over a candidate pool
+    * (query_id, cand_id, fpv, rel). */
+  private def mmrRounds(cands0: DataFrame, k: Int): DataFrame = {
+    val cands = cands0.localCheckpoint()
 
     // pairwise candidate-candidate similarity within each pool
     val a = cands.select(col("query_id"), col("cand_id").as("a_id"),

@@ -1111,34 +1111,32 @@ object ExtraQueries {
       (s, d) => graft.operators.Rerank.mmrTopK(t(s, d, "embeddings"),
         col("vec_id") < LlmQueries.QueryVecs, LlmQueries.MmrK),
       Some(duckMmrOracle(LlmQueries.MmrK)),
-      "MMR diversity re-rank: λ·rel − (1−λ)·max-redundancy, exact integers"))
+      "MMR diversity re-rank: λ·rel − (1−λ)·max-redundancy, exact integers"),
 
-  /** DuckDB replay of [[graft.operators.Rerank.mmrTopK]]: the pool,
-    * the pairwise table, and k unrolled (redundancy → score → argmax)
-    * selection rounds. MATERIALIZED throughout — inlined CTEs would
-    * re-expand the pool join tree once per round. */
-  private def duckMmrOracle(k: Int): String = {
-    import graft.operators.Rerank.{PoolC, LamNum, LamCompl}
-    val scale = graft.operators.KMeans.Scale
-    def dot(a: String, b: String) =
-      s"CAST(list_sum(list_transform(range(1, 1 + len($a.fpv)), i -> $a.fpv[i] * $b.fpv[i])) AS BIGINT)"
+    // MMR over the LSH pool — the production serving composition: the
+    // bucketed ANN probe bounds the candidate set (no brute pass at
+    // all), MMR diversifies it. Both layers are already gated alone;
+    // this pins their composition, with the LSH oracle embedded
+    // verbatim as the pool CTE.
+    Q("q_sim_mmr_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.Rerank.mmrFromPool(emb,
+          Similarity.lshTopK(emb, col("vec_id") < LlmQueries.QueryVecs,
+            LlmQueries.TopK).select("query_id", "neighbor_id"),
+          LlmQueries.MmrK)
+      },
+      Some(duckMmrLshOracle(LlmQueries.MmrK)),
+      "MMR over the LSH candidate pool: ANN bounds, MMR diversifies"))
+
+  private def duckMmrDot(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, 1 + len($a.fpv)), i -> $a.fpv[i] * $b.fpv[i])) AS BIGINT)"
+
+  /** The k unrolled MMR selection rounds + final select (assumes mcand
+    * and mpw CTEs are in scope). */
+  private def duckMmrRoundTail(k: Int): String = {
+    import graft.operators.Rerank.{LamNum, LamCompl}
     val head = Seq(
-      s"""fpe AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * $scale + 0.5) AS BIGINT)) AS fpv
-         |  FROM embeddings)""".stripMargin,
-      s"""mcand AS MATERIALIZED (
-         |  SELECT query_id, cand_id, fpv, rel FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
-         |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.fpv AS fpv,
-         |            ${dot("q", "c")} AS rel
-         |          FROM fpe q JOIN fpe c ON q.vec_id <> c.vec_id
-         |          WHERE q.vec_id < ${LlmQueries.QueryVecs}))
-         |  WHERE rn <= $PoolC)""".stripMargin,
-      s"""mpw AS MATERIALIZED (
-         |  SELECT x.query_id, x.cand_id AS a_id, y.cand_id AS b_id, ${dot("x", "y")} AS dd
-         |  FROM mcand x JOIN mcand y
-         |    ON x.query_id = y.query_id AND x.cand_id <> y.cand_id)""".stripMargin,
       s"""msel1 AS MATERIALIZED (
          |  SELECT query_id, cand_id AS neighbor_id, 1 AS step, $LamNum * rel AS score
          |  FROM (SELECT *, row_number() OVER
@@ -1168,9 +1166,59 @@ object ExtraQueries {
         s"""mall$r AS MATERIALIZED (
            |  SELECT * FROM mall$p UNION ALL SELECT * FROM msel$r)""".stripMargin)
     }
-    s"""WITH ${(head ++ rounds).mkString(",\n")}
+    s"""${(head ++ rounds).mkString(",\n")}
        |SELECT query_id, neighbor_id, CAST(step AS INT) AS step,
        |       CAST(score AS BIGINT) AS mmr_score
        |FROM mall$k""".stripMargin
   }
+
+  private def duckMmrFpe: String = {
+    val scale = graft.operators.KMeans.Scale
+    s"""fpe AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * $scale + 0.5) AS BIGINT)) AS fpv
+       |  FROM embeddings)""".stripMargin
+  }
+
+  private def duckMmrPw: String =
+    s"""mpw AS MATERIALIZED (
+       |  SELECT x.query_id, x.cand_id AS a_id, y.cand_id AS b_id, ${duckMmrDot("x", "y")} AS dd
+       |  FROM mcand x JOIN mcand y
+       |    ON x.query_id = y.query_id AND x.cand_id <> y.cand_id)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Rerank.mmrTopK]]: the pool,
+    * the pairwise table, and k unrolled (redundancy → score → argmax)
+    * selection rounds. MATERIALIZED throughout — inlined CTEs would
+    * re-expand the pool join tree once per round. */
+  private def duckMmrOracle(k: Int): String = {
+    import graft.operators.Rerank.PoolC
+    s"""WITH $duckMmrFpe,
+       |mcand AS MATERIALIZED (
+       |  SELECT query_id, cand_id, fpv, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+       |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.fpv AS fpv,
+       |            ${duckMmrDot("q", "c")} AS rel
+       |          FROM fpe q JOIN fpe c ON q.vec_id <> c.vec_id
+       |          WHERE q.vec_id < ${LlmQueries.QueryVecs}))
+       |  WHERE rn <= $PoolC),
+       |$duckMmrPw,
+       |${duckMmrRoundTail(k)}""".stripMargin
+  }
+
+  /** MMR over the LSH pool — the production composition (ANN probe
+    * bounds the pool, MMR diversifies it). The pool CTE IS the LSH
+    * top-k oracle verbatim; rel is recomputed as the exact integer dot,
+    * matching [[graft.operators.Rerank.mmrFromPool]]. */
+  private def duckMmrLshOracle(k: Int): String =
+    s"""WITH $duckMmrFpe,
+       |lshpool AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${LlmQueries.duckLshTopKOracle})),
+       |mcand AS MATERIALIZED (
+       |  SELECT p.query_id, p.neighbor_id AS cand_id, c.fpv,
+       |    ${duckMmrDot("q", "c")} AS rel
+       |  FROM lshpool p JOIN fpe q ON p.query_id = q.vec_id
+       |                 JOIN fpe c ON p.neighbor_id = c.vec_id),
+       |$duckMmrPw,
+       |${duckMmrRoundTail(k)}""".stripMargin
 }

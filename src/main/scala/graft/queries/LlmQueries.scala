@@ -560,7 +560,7 @@ object LlmQueries {
   /** Shared by q_sim_topk_lsh (inline bucketing), q_sim_topk_lsh_idx
     * (persisted bucketed index) and q_sim_recall — all produce exactly
     * these rows. */
-  private def duckLshTopKOracle: String =
+  private[queries] def duckLshTopKOracle: String =
     s"""WITH params AS (
          SELECT ${Similarity.duckPlanesFor("cnt")} AS np
          FROM (SELECT count(*) AS cnt FROM embeddings)),
