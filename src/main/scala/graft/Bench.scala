@@ -91,7 +91,9 @@ object Bench {
     // round-10 continuation: as-of tolerance + parquet bloom point lookup
     "q_join_asof_tol", "q_scan_bloomfilter",
     // round-10 continuation: MMR over the LSH pool (serving composition)
-    "q_sim_mmr_lsh")
+    "q_sim_mmr_lsh",
+    // round-10 continuation: per-user EWMA (sequential-fold recurrence)
+    "q_ts_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -223,6 +223,37 @@ object AnalyticsQueries {
                 ON s.user_id = d.user_id AND s.day = d.day"""),
       "calendar-spine gap-fill with per-key forward fill (dense daily state)"),
 
+    // Per-user EWMA (α = 1/4): a sequential recurrence, so it folds the
+    // TIME-ORDERED value list per key — both engines run the identical
+    // IEEE double sequence (same order, same ops), so the result is
+    // bit-reproducible before the defensive round(6). Seed = first
+    // value (list_reduce's no-init convention, mirrored by folding from
+    // element 2 with element 1 as the zero). State is bounded per key;
+    // at 100 TB the shuffle is one hash by user and each key's fold is
+    // its own event count — the sessionized-recurrence shape.
+    Q("q_ts_ewma",
+      (s, d) => {
+        val lst = sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value"))))
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(lst.as("evs"))
+          .select(col("user_id"),
+            size(col("evs")).cast("int").as("n_events"),
+            round(aggregate(
+              expr("slice(evs, 2, greatest(size(evs) - 1, 0))"),
+              element_at(col("evs"), 1).getField("value"),
+              (acc, x) => lit(0.25) * x.getField("value") + lit(0.75) * acc), 6)
+              .as("ewma6"))
+      },
+      Some("""SELECT user_id, CAST(len(vs) AS INT) AS n_events,
+                     round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+                       AS ewma6
+              FROM (SELECT user_id,
+                      list(value ORDER BY ts, event_id) AS vs
+                    FROM events GROUP BY user_id)"""),
+      "per-user EWMA (α=1/4): ordered sequential fold, bit-reproducible"),
+
     // Concat-and-chunk sequence packing: per source shard, docs in doc_id
     // order fill fixed 512-token chunks. Parallel across shards; each
     // shard's window sorts only its own rows.
