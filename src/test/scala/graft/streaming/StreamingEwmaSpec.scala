@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Continuous per-key EWMA at ingest — the streaming stateful twin of
+  * q_ts_ewma's batch fold. State per user is (count, ewma); each
+  * microbatch folds its (time-sorted) arrivals into the carried state.
+  * Because EWMA is a left fold, feeding the same events in time order
+  * across ANY microbatch partitioning must land exactly the batch
+  * result — asserted as exact doubles, not a tolerance.
+  */
+object StreamingEwmaSpec {
+  case class Ev(user_id: Long, seq: Long, value: Double)
+  case class St(n: Long, ewma: Double)
+}
+
+class StreamingEwmaSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingEwmaSpec.{Ev, St}
+
+  test("streamed stateful EWMA ≡ the batch fold, exact doubles, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 40).map { i =>
+      Ev(i % 4, i.toLong, math.sin(i) * 10 + i)
+    }
+
+    val mem = MemoryStream[Ev]
+    val q = mem.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: org.apache.spark.sql.streaming.GroupState[St]) =>
+          val sorted = evs.toSeq.sortBy(_.seq)
+          var st = state.getOption.getOrElse(St(0L, 0.0))
+          sorted.foreach { e =>
+            st = if (st.n == 0L) St(1L, e.value)
+                 else St(st.n + 1, 0.25 * e.value + 0.75 * st.ewma)
+          }
+          state.update(st)
+          (user, st.n, st.ewma)
+      }
+      .toDF("user_id", "n", "ewma")
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // two time-ordered microbatches (seq 1-20, then 21-40)
+      mem.addData(events.filter(_.seq <= 20): _*)
+      q.processAllAvailable()
+      mem.addData(events.filter(_.seq > 20): _*)
+      q.processAllAvailable()
+
+      // latest state per user from the update-mode sink
+      val got = spark.table("ewma_out")
+        .groupBy("user_id").agg(max_by(struct(col("n"), col("ewma")), col("n")).as("m"))
+        .select(col("user_id"), col("m.n"), col("m.ewma"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+      // batch fold, same order, same arithmetic
+      val want = events.groupBy(_.user_id).map { case (u, evs) =>
+        val vs = evs.sortBy(_.seq).map(_.value)
+        u -> (vs.size.toLong, vs.tail.foldLeft(vs.head)((acc, x) => 0.25 * x + 0.75 * acc))
+      }
+      assert(got === want)
+    } finally q.stop()
+  }
+}
