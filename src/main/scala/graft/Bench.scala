@@ -93,7 +93,9 @@ object Bench {
     // round-10 continuation: MMR over the LSH pool (serving composition)
     "q_sim_mmr_lsh",
     // round-10 continuation: per-user EWMA (sequential-fold recurrence)
-    "q_ts_ewma")
+    "q_ts_ewma",
+    // round-10 continuation: structured-record entity resolution
+    "q_er_cluster")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -254,6 +254,44 @@ object AnalyticsQueries {
                     FROM events GROUP BY user_id)"""),
       "per-user EWMA (α=1/4): ordered sequential fold, bit-reproducible"),
 
+    // Entity resolution on STRUCTURED records — the catalog twin of the
+    // text near-dup pipeline: block part names on their noun token (the
+    // q_join_fuzzy blocking, so candidate pairs are per-block, never
+    // all-pairs), link records within edit distance 1, and cluster the
+    // links with the same min-label CC the text dedup uses. Output is
+    // one cluster id per linked record — the step before a catalog
+    // keeps one canonical row per entity.
+    Q("q_er_cluster",
+      (s, d) => {
+        val p = t(s, d, "part").select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(1).as("noun"))
+        val pairs = p.as("a").join(p.as("b"),
+          col("a.noun") === col("b.noun") &&
+            col("a.p_partkey") < col("b.p_partkey") &&
+            levenshtein(col("a.p_name"), col("b.p_name")) <= 1)
+          .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"))
+        graft.operators.Connected.components(pairs)
+      },
+      Some("""WITH RECURSIVE p AS (
+                SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun
+                FROM part),
+              pairs AS (
+                SELECT a.p_partkey AS id1, b.p_partkey AS id2
+                FROM p a JOIN p b
+                  ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+                     AND levenshtein(a.p_name, b.p_name) <= 1),
+              edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                        UNION ALL SELECT id2, id1 FROM pairs),
+              reach AS (
+                SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v)
+              SELECT doc_id, cluster_id,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_docs
+              FROM (SELECT u AS doc_id, min(v) AS cluster_id
+                    FROM reach GROUP BY u)"""),
+      "entity resolution: noun-blocked edit-distance links -> CC clusters"),
+
     // Concat-and-chunk sequence packing: per source shard, docs in doc_id
     // order fill fixed 512-token chunks. Parallel across shards; each
     // shard's window sorts only its own rows.
