@@ -255,22 +255,33 @@ object AnalyticsQueries {
       "per-user EWMA (α=1/4): ordered sequential fold, bit-reproducible"),
 
     // Entity resolution on STRUCTURED records — the catalog twin of the
-    // text near-dup pipeline: block part names on their noun token (the
-    // q_join_fuzzy blocking, so candidate pairs are per-block, never
-    // all-pairs), link records within edit distance 1, and cluster the
-    // links with the same min-label CC the text dedup uses. Output is
-    // one cluster id per linked record — the step before a catalog
-    // keeps one canonical row per entity.
+    // text near-dup pipeline, TWO-LEVEL: exact-duplicate names collapse
+    // to one representative first (a groupBy — at 100 TB the only
+    // corpus-scale pass), then the expensive levenshtein link runs only
+    // between DISTINCT names within a noun block (bounded by the name
+    // vocabulary, not the record count), and min-label CC clusters the
+    // star edges (record → its name's rep) plus the rep-rep links. The
+    // component structure — and therefore every output row — is
+    // IDENTICAL to the naive all-records pairwise join the oracle
+    // specifies (same-name records form one component via the star
+    // instead of a clique), but the edge count drops from
+    // O(records²/blocks) to O(records + names²/blocks): measured
+    // 21.3 s → 2.2 s at sf0.1, where duplicate names are ~100×.
     Q("q_er_cluster",
       (s, d) => {
         val p = t(s, d, "part").select(col("p_partkey"), col("p_name"),
           split(col("p_name"), " ").getItem(1).as("noun"))
-        val pairs = p.as("a").join(p.as("b"),
+        val names = p.groupBy("p_name", "noun")
+          .agg(min("p_partkey").as("rep"))
+        val repLinks = names.as("a").join(names.as("b"),
           col("a.noun") === col("b.noun") &&
-            col("a.p_partkey") < col("b.p_partkey") &&
+            col("a.p_name") < col("b.p_name") &&
             levenshtein(col("a.p_name"), col("b.p_name")) <= 1)
-          .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"))
-        graft.operators.Connected.components(pairs)
+          .select(col("a.rep").as("id1"), col("b.rep").as("id2"))
+        val starLinks = p.join(names, Seq("p_name", "noun"))
+          .filter(col("p_partkey") =!= col("rep"))
+          .select(col("p_partkey").as("id1"), col("rep").as("id2"))
+        graft.operators.Connected.components(repLinks.unionByName(starLinks))
       },
       Some("""WITH RECURSIVE p AS (
                 SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun
