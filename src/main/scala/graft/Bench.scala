@@ -95,7 +95,12 @@ object Bench {
     // round-10 continuation: per-user EWMA (sequential-fold recurrence)
     "q_ts_ewma",
     // round-10 continuation: structured-record entity resolution
-    "q_er_cluster")
+    "q_er_cluster",
+    // round-10 continuation: k-hop BFS (graph family), SemDeDup
+    // (kmeans-blocked semantic prune), split-contamination audit,
+    // margin-criterion pair mining
+    "q_graph_khop", "q_dedup_semantic", "q_split_contamination",
+    "q_sim_bitext_margin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

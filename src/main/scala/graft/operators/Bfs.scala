@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-round breadth-first distance labels over an edge list — the
+  * reachability member of the graph family (after [[Connected]],
+  * [[PageRank]], [[Triangles]], [[LabelProp]]). A data pipeline uses it to
+  * bound crawl/link neighborhoods: "every node within k hops of this seed
+  * set" (e.g. expanding a trusted-domain allowlist one or two link hops
+  * before sampling).
+  *
+  * Execution shape mirrors [[PageRank.ranks]]: the edge table is pinned to
+  * hashpartitioning(src) once, so each round's frontier join never
+  * re-exchanges the big side — only the node-scale distance table moves.
+  * Each round is one co-partitioned join plus one map-side-combinable
+  * `min`, and rounds are pipelined lazily (LogicalRDD re-rooting keeps the
+  * analyzed plan constant-depth; ONE action at the end runs every round's
+  * stages exactly once). Fixed `rounds` — not run-to-fixpoint — is the
+  * contract that lets an oracle replay the recurrence as unrolled CTEs.
+  *
+  * Determinism: hop counts are small exact integers; `min` is
+  * order-insensitive, so the result is independent of partitioning.
+  */
+object Bfs {
+
+  /** (id, hop) for every node within `rounds` hops of `seeds`.
+    * `edges` columns src/dst (integral, both directions for undirected
+    * graphs, duplicates dropped); `seeds` column id. Seeds not present in
+    * the graph still appear with hop 0 (they are valid BFS roots with no
+    * outgoing edges). */
+  def distances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var d: DataFrame = seeds.select(col("id").cast("long")).distinct()
+      .select(col("id"), lit(0).as("hop"))
+    for (_ <- 1 to rounds) {
+      val prop = e
+        .join(d.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("hop") + 1).as("hop"))
+      val stepped = d.unionByName(prop)
+        .groupBy("id").agg(min("hop").cast("int").as("hop"))
+      d = stepped.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
+    }
+    val frozen = d.localCheckpoint()
+    e.unpersist(blocking = false)
+    frozen
+  }
+}

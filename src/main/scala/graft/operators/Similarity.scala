@@ -551,4 +551,46 @@ object Similarity {
     topK(scored(broadcast(q), c,
       col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
   }
+
+  /** Margin-criterion cross-group pair mining (the ratio margin of
+    * Artetxe & Schwenk 2019, the CCMatrix/bitext-mining scorer): for
+    * every query-group vector, its best candidate-group match scored by
+    * cos(top1) / mean(cos of the top `mk`) — high only when the best
+    * match STANDS OUT from its kNN background, which suppresses the
+    * hub/generic matches a raw-cosine threshold admits. Output keeps
+    * every query with its margin (`mined` flags margin6 ≥ marginMin), so
+    * the caller picks the operating point without re-mining.
+    *
+    * Determinism: top-mk selection is (score DESC, neighbor_id); the mean
+    * is an ordered fold over the rn-sorted list, so both engines sum the
+    * same doubles in the same sequence; margin arithmetic is
+    * (cos·mk)/sum — one multiply, one divide, then round(6).
+    *
+    * Scale: the query side broadcasts under [[MaxQueryRows]]; the
+    * candidate pool here is the brute cross-group sweep (the declared
+    * ground-truth baseline, like bruteForceTopK) — at corpus scale any
+    * ANN probe (LSH/IVF/PQ) can supply the per-query top-mk pool and the
+    * margin fold is unchanged. */
+  def marginMine(emb: DataFrame, queryPred: Column, candPred: Column,
+                 mk: Int, marginMin: Double,
+                 maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val (_, qCnt) = sizes(emb, queryPred)
+    requireBroadcastable(qCnt, maxQueryRows)
+    val q = asQuery(emb.filter(queryPred))
+    val c = asCorpus(emb.filter(candPred))
+    val pairs = scored(broadcast(q), c, lit(true))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= mk)
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(
+        struct(col("rn"), col("neighbor_id"), col("score")))).as("t"))
+      .select(col("query_id"),
+        element_at(col("t"), 1).getField("neighbor_id").as("match_id"),
+        round(element_at(col("t"), 1).getField("score"), 6).as("cos6"),
+        round(element_at(col("t"), 1).getField("score") * mk /
+          aggregate(col("t"), lit(0.0d),
+            (a, x) => a + x.getField("score")), 6).as("margin6"))
+      .withColumn("mined", col("margin6") >= marginMin)
+  }
 }

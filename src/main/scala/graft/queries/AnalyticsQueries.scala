@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Anomaly, Funnel, FuzzyJoin, GapFill, Incremental,
+import graft.operators.{Anomaly, Bfs, Funnel, FuzzyJoin, GapFill, Incremental,
   KMeans, LabelProp, Packing, PageRank, Triangles}
 
 /** Event-pipeline and graph analytics: ordered funnels, time-range rolling
@@ -28,6 +28,8 @@ object AnalyticsQueries {
   private val FuzzyMaxDist = 2
   private val PrIters = 10
   private val LpaIters = 4
+  private val KhopRounds = 3
+  private val KhopSeedMaxPart = 5
 
   /** r0..rN chain of the fixed-point PageRank recurrence (mirrors
     * [[PageRank.ranks]] — same int64 truncating divisions, so the match is
@@ -59,36 +61,61 @@ object AnalyticsQueries {
   private val KmDims = 64
   private val IvfKmIters = 2
 
+  /** SemDeDup redundancy threshold — deliberately below near-dup cosine
+    * (0.9): prunes same-topic redundancy, not near-copies. */
+  private val SemDupCos = 0.35
+
+  /** Corpus seeds for the frozen SemDeDup model: ids < 10 with
+    * vec_id % 5 ≠ 0 — exactly [[KmK]] = 8 dense ids at every SF. */
+  private val SemProbeSeedMax = 10
+
+  /** Seed CTE for the corpus-fit centroid chain: corpus's first 8 ids,
+    * renumbered densely so cid covers 0..K-1 (mirrors the Spark side's
+    * zipWithIndex). */
+  private def semSeedSql =
+    s"""SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |       fp AS coords
+       |FROM fpt WHERE vec_id < $SemProbeSeedMax""".stripMargin
+
   /** The fixed-point Lloyd recurrence unrolled: a_i = assignment from
     * c_{i-1}, c_i = truncating per-dim mean of a_i; the last CTE
     * `a{iters+1}` is the assignment from c_iters (mirrors
     * [[KMeans.assign]] exactly — integer ops only, so bit-exact).
     * `c0Sql` supplies the seed CTE body (cid, coords); `kExpr` the cell
     * count (a literal or a scalar subquery). */
-  private def duckKmeansChain(c0Sql: String, kExpr: String, iters: Int): String = {
+  private def duckKmeansChain(c0Sql: String, kExpr: String, iters: Int,
+                              trainWhere: Option[String] = None): String = {
+    // trainWhere restricts the TRAINING rounds (and the seed CTE's `fpt`
+    // relation) to a subset; the final assignment a{iters+1} still covers
+    // every vector — the publish/apply shape, where centroids are fit on
+    // the standing corpus and a new batch is assigned statelessly.
+    val trainRel = if (trainWhere.isDefined) "fpt" else "fp"
     def sqdist = (1 to KmDims)
       .map(j => s"(f.fp[$j] - c.coords[$j]) * (f.fp[$j] - c.coords[$j])")
       .mkString("(", " + ", ")")
-    def aCte(i: Int) =
+    def aCte(i: Int, rel: String) =
       s"""a$i AS (SELECT f.vec_id, min($sqdist * $kExpr + c.cid) AS key
-         |        FROM fp f CROSS JOIN c${i - 1} c GROUP BY f.vec_id)""".stripMargin
+         |        FROM $rel f CROSS JOIN c${i - 1} c GROUP BY f.vec_id)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""${aCte(i)},
+      s"""${aCte(i, trainRel)},
          |s$i AS (SELECT CAST(a.key % $kExpr AS INT) AS cid, t.j,
          |          CAST(sum(f.fp[t.j]) AS BIGINT) AS sv, count(*) AS n
-         |        FROM a$i a JOIN fp f USING (vec_id)
+         |        FROM a$i a JOIN $trainRel f USING (vec_id)
          |        CROSS JOIN range(1, ${KmDims + 1}) t(j)
          |        GROUP BY 1, 2),
          |c$i AS (SELECT cid, list(sv // n ORDER BY j) AS coords
          |        FROM s$i GROUP BY cid)""".stripMargin
     }.mkString(",\n")
+    val fpt = trainWhere
+      .map(w => s"\nfpt AS (SELECT * FROM fp WHERE $w),")
+      .getOrElse("")
     s"""fp AS (SELECT vec_id, list_transform(embedding,
        |         x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.Scale} + 0.5)
        |              AS BIGINT)) AS fp
-       |       FROM embeddings),
+       |       FROM embeddings),$fpt
        |c0 AS ($c0Sql),
        |$steps,
-       |${aCte(iters + 1)}""".stripMargin
+       |${aCte(iters + 1, "fp")}""".stripMargin
   }
 
   private def duckKmeansCtes(): String = duckKmeansChain(
@@ -440,6 +467,45 @@ object AnalyticsQueries {
       },
       "label-propagation communities: 4 synchronous rounds, exact argmax replay"),
 
+    // k-hop reachability (fixed 3 BFS rounds) from a small part-side seed
+    // set on the same bipartite order-part graph — "everything within k
+    // link hops of these trusted nodes", the neighborhood-expansion step
+    // before allowlist sampling. Each round is a src-co-partitioned join
+    // + a map-side-combinable min; the frontier table is node-scale.
+    // Fixed rounds (not run-to-fixpoint) = the contract the oracle can
+    // replay as unrolled CTEs.
+    Q("q_graph_khop",
+      (s, d) => {
+        val b = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = t(s, d, "part")
+          .filter(col("p_partkey") <= KhopSeedMaxPart)
+          .select((col("p_partkey") * 2 + 1).as("id"))
+        Bfs.distances(e, seeds, KhopRounds)
+          .select(col("id").as("node_id"), col("hop"))
+      },
+      Some {
+        val rounds = (1 to KhopRounds).map { k =>
+          s"""d$k AS MATERIALIZED (
+             |  SELECT id, CAST(min(hop) AS INT) AS hop FROM (
+             |    SELECT id, hop FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS id, p.hop + 1 AS hop
+             |    FROM e JOIN d${k - 1} p ON e.src = p.id)
+             |  GROUP BY id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS (SELECT DISTINCT l_orderkey * 2 AS src,
+           |                  l_partkey * 2 + 1 AS dst FROM lineitem),
+           |e AS (SELECT src, dst FROM b UNION SELECT dst, src FROM b),
+           |d0 AS (SELECT DISTINCT p_partkey * 2 + 1 AS id, 0 AS hop
+           |       FROM part WHERE p_partkey <= $KhopSeedMaxPart),
+           |$rounds
+           |SELECT id AS node_id, hop FROM d$KhopRounds""".stripMargin
+      },
+      s"$KhopRounds-hop BFS distance labels from a seed set (co-partitioned frontier rounds)"),
+
     // Materialized-view maintenance: the grouped aggregate refreshed by
     // merging PARTIAL states (base partial + delta partial), never
     // rescanning the base — refresh is O(delta + groups). The oracle is
@@ -482,6 +548,156 @@ object AnalyticsQueries {
                       key // $KmK AS dist_fp
                FROM a${KmIters + 1}"""),
       "fixed-point Lloyd k-means over embeddings (exact int64 recurrence, MLlib-shaped)"),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): k-means cells are the
+    // BLOCKING — the expensive pairwise cosine runs only within a cell,
+    // never all-pairs — and any vector with a lower-id same-cell neighbor
+    // above the redundancy threshold is pruned. The threshold is
+    // deliberately LOWER than near-dup cosine (0.35 vs 0.9): this prunes
+    // same-topic redundancy, not near-copies — the curation step that
+    // shrinks web corpora ~2× with no quality loss. At 100 TB, K scales
+    // with the corpus (cells stay bounded-size), the centroid model stays
+    // O(K·dim), and per-cell pair work is Σ|cell|² — the same contract as
+    // the LSH-banded families. Cell assignment reuses the exact
+    // fixed-point Lloyd recurrence (bit-exact oracle replay).
+    Q("q_dedup_semantic",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val vecs = emb.select(col("vec_id"),
+          KMeans.toFixedPoint(col("embedding")).as("fp"))
+        val seeds = vecs.filter(col("vec_id") < KmK).orderBy("vec_id")
+          .collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toSeq)).toSeq
+        val cells = KMeans.assign(Tables.ensureParallelism(vecs), seeds,
+            KmIters)
+          .select(col("vec_id"), col("cid"))
+        // norms once per vector; job-scoped persist (self-join = 2 refs)
+        val base = graft.core.CacheScope.autoRelease(
+          cells.join(emb.select(col("vec_id"), col("embedding"),
+            graft.functions.VectorFunctions.norm2(col("embedding"))
+              .as("nrm")), "vec_id"))
+        val dropped = base.select(col("cid"), col("vec_id").as("id1"),
+            col("embedding").as("v1"), col("nrm").as("n1"))
+          .join(base.select(col("cid").as("c2"), col("vec_id").as("id2"),
+              col("embedding").as("v2"), col("nrm").as("n2")),
+            col("cid") === col("c2") && col("id1") < col("id2"))
+          .filter(graft.functions.VectorFunctions.cosinePrenormed(
+            graft.functions.VectorFunctions.dot(col("v1"), col("v2")),
+            col("n1"), col("n2")) >= SemDupCos)
+          .select(col("id2").as("vec_id")).distinct()
+        base.select("vec_id", "cid")
+          .join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"),
+            "left")
+          .select(col("vec_id"), col("cid"),
+            col("dropped").isNull.as("keep"))
+      },
+      Some {
+        def dp(a: String, b: String) = s"list_dot_product($a.v, $b.v)"
+        val cos =
+          s"""(CASE WHEN sqrt(${dp("a", "a")}) * sqrt(${dp("b", "b")}) = 0
+             | THEN 0.0 ELSE ${dp("a", "b")} /
+             |      (sqrt(${dp("a", "a")}) * sqrt(${dp("b", "b")})) END)""".stripMargin
+        s"""WITH ${duckKmeansCtes()},
+           |cells AS (SELECT vec_id, CAST(key % $KmK AS INT) AS cid
+           |          FROM a${KmIters + 1}),
+           |base AS (SELECT c.vec_id, c.cid, e.embedding::DOUBLE[] AS v
+           |         FROM cells c JOIN embeddings e USING (vec_id)),
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM base a JOIN base b
+           |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  WHERE $cos >= $SemDupCos)
+           |SELECT c.vec_id, c.cid, (d.vec_id IS NULL) AS keep
+           |FROM cells c LEFT JOIN dropped d USING (vec_id)""".stripMargin
+      },
+      "SemDeDup: k-means-cell blocking + within-cell cosine redundancy prune"),
+
+    // Publish half of the SemDeDup family (publish/apply member #11): the
+    // FROZEN CENTROID MODEL — K×dim int64 coordinates fit on the standing
+    // corpus (vec_id % 5 ≠ 0), the nightly artifact an ingest pipeline
+    // assigns new batches against without touching corpus vectors. The
+    // artifact is O(K·dim) — kilobytes at any corpus size — and bit-exact
+    // (the integer Lloyd recurrence replays in the oracle). Seeds are the
+    // corpus's first 8 ids renumbered densely so cid stays 0..K-1.
+    Q("q_dedup_semantic_index",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+          .filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id"), KMeans.toFixedPoint(col("embedding")).as("fp"))
+        val seeds = vecs.filter(col("vec_id") < SemProbeSeedMax)
+          .orderBy("vec_id").collect().zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Long](1).toSeq) }.toSeq
+        KMeans.centroidsDF(s,
+          KMeans.fit(Tables.ensureParallelism(vecs), seeds, KmIters))
+      },
+      Some(s"""WITH ${duckKmeansChain(semSeedSql, KmK.toString, KmIters,
+              Some("vec_id % 5 <> 0"))}
+           |SELECT cid, coords FROM c$KmIters""".stripMargin),
+      "frozen SemDeDup centroid model: corpus-fit int64 Lloyd artifact, bit-exact"),
+
+    // Apply half: the new batch (vec_id % 5 = 0) is assigned STATELESSLY
+    // to the frozen corpus-fit centroids, then cosine-checked against
+    // CORPUS members of its own cell only — candidates are cell-blocked,
+    // never batch×corpus. Mirrors the near-dup band-index probe
+    // (q_dedup_index_probe): at 100 TB both the centroid model and the
+    // per-cell corpus table are published artifacts; the probe is one
+    // broadcast (centroids) + one cell equi-join.
+    Q("q_dedup_semantic_probe",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val vecs = emb.select(col("vec_id"),
+          KMeans.toFixedPoint(col("embedding")).as("fp"))
+        val corpusVecs = vecs.filter(col("vec_id") % 5 =!= 0)
+        val seeds = corpusVecs.filter(col("vec_id") < SemProbeSeedMax)
+          .orderBy("vec_id").collect().zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Long](1).toSeq) }.toSeq
+        val cents = KMeans.centroidsDF(s,
+          KMeans.fit(Tables.ensureParallelism(corpusVecs), seeds, KmIters))
+        val cells = KMeans.assignByCell(Tables.ensureParallelism(vecs),
+          cents, KmK).select("vec_id", "cid")
+        val base = graft.core.CacheScope.autoRelease(
+          cells.join(emb.select(col("vec_id"), col("embedding"),
+            graft.functions.VectorFunctions.norm2(col("embedding"))
+              .as("nrm")), "vec_id"))
+        val dropped = base.filter(col("vec_id") % 5 === 0)
+          .select(col("cid"), col("vec_id").as("idn"),
+            col("embedding").as("v1"), col("nrm").as("n1"))
+          .join(base.filter(col("vec_id") % 5 =!= 0)
+            .select(col("cid").as("c2"), col("embedding").as("v2"),
+              col("nrm").as("n2")),
+            col("cid") === col("c2"))
+          .filter(graft.functions.VectorFunctions.cosinePrenormed(
+            graft.functions.VectorFunctions.dot(col("v1"), col("v2")),
+            col("n1"), col("n2")) >= SemDupCos)
+          .select(col("idn").as("vec_id")).distinct()
+        base.filter(col("vec_id") % 5 === 0).select("vec_id", "cid")
+          .join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"),
+            "left")
+          .select(col("vec_id"), col("cid"),
+            col("dropped").isNull.as("keep"))
+      },
+      Some {
+        def dp(a: String, b: String) = s"list_dot_product($a.v, $b.v)"
+        val cos =
+          s"""(CASE WHEN sqrt(${dp("n", "n")}) * sqrt(${dp("c", "c")}) = 0
+             | THEN 0.0 ELSE ${dp("n", "c")} /
+             |      (sqrt(${dp("n", "n")}) * sqrt(${dp("c", "c")})) END)""".stripMargin
+        s"""WITH ${duckKmeansChain(semSeedSql, KmK.toString, KmIters,
+              Some("vec_id % 5 <> 0"))},
+           |cells AS (SELECT vec_id, CAST(key % $KmK AS INT) AS cid
+           |          FROM a${KmIters + 1}),
+           |base AS (SELECT c.vec_id, c.cid, e.embedding::DOUBLE[] AS v
+           |         FROM cells c JOIN embeddings e USING (vec_id)),
+           |dropped AS (
+           |  SELECT DISTINCT n.vec_id
+           |  FROM base n JOIN base c
+           |    ON n.cid = c.cid AND n.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+           |  WHERE $cos >= $SemDupCos)
+           |SELECT b.vec_id, b.cid, (d.vec_id IS NULL) AS keep
+           |FROM base b LEFT JOIN dropped d USING (vec_id)
+           |WHERE b.vec_id % 5 = 0""".stripMargin
+      },
+      "SemDeDup ingest probe: frozen centroids route the batch, cell-blocked corpus check"),
 
     // IVF ANN with kmeans-REFINED cells: the hash-sample seeds are
     // improved by 2 Lloyd rounds before routing, so cells track the data

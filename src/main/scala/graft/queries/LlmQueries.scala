@@ -509,6 +509,10 @@ object LlmQueries {
   val TopK = 10
   val QueryVecs = 16 // vec_id < 16 are the similarity-search query set
   val MmrK = 5 // MMR diversity re-rank: results selected per query
+  val BitextSrcLabel = 0 // margin mining: source-group label
+  val BitextDstLabel = 1 // margin mining: target-group label
+  val BitextMarginK = 4 // margin denominator: mean cos of the top-4
+  val BitextMarginMin = 1.3 // mined-pair margin floor (~p60 on testdata)
   val KeyframeDelta = 5000L // keyframe pixel-sum jump threshold
   val LmGateNll = 3.44 // v2 ingest LM admission ceiling (~p75: drops the worst-NLL quartile)
 
@@ -845,6 +849,80 @@ object LlmQueries {
            |      FROM keyed)""".stripMargin),
       "cluster-keyed 90/5/5 split: near-dups never straddle a split boundary"),
 
+    // Contamination AUDIT of the two split schemes: over every near-dup
+    // pair, count pairs whose endpoints landed in different splits. The
+    // cluster-keyed scheme is straddle-free BY CONSTRUCTION (both
+    // endpoints share a cluster id, hence a hash bucket) — this query is
+    // the check a pipeline runs to PROVE it, and the doc-hash row
+    // quantifies the eval contamination the naive scheme silently ships.
+    // One pass over the pairs table (frozen once — 3 consumers), two
+    // equi-joins against the node-scale assignment table; at 100 TB the
+    // pairs/cluster tables are the already-published dedup artifacts.
+    Q("q_split_contamination",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+            NearDupJaccard)
+          .select("id1", "id2").localCheckpoint()
+        val clusters = graft.operators.Connected.components(pairs)
+          .select(col("doc_id").as("cid_doc"), col("cluster_id"))
+        def bucket(k: org.apache.spark.sql.Column) =
+          PortableHash.hashMod(concat(lit("split:"), k.cast("string"))) % 100
+        def splitOf(k: org.apache.spark.sql.Column) =
+          when(bucket(k) < 90, "train").when(bucket(k) < 95, "val")
+            .otherwise("test")
+        val assign = docs.select(col("doc_id"))
+          .join(clusters, col("doc_id") === col("cid_doc"), "left")
+          .select(col("doc_id"),
+            splitOf(col("doc_id")).as("ns"),
+            splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("ls"))
+        pairs
+          .join(assign.select(col("doc_id").as("id1"), col("ns").as("n1"),
+            col("ls").as("l1")), "id1")
+          .join(assign.select(col("doc_id").as("id2"), col("ns").as("n2"),
+            col("ls").as("l2")), "id2")
+          .agg(count(lit(1)).as("np"),
+            sum(when(col("n1") =!= col("n2"), 1L).otherwise(0L)).as("nsn"),
+            sum(when(col("l1") =!= col("l2"), 1L).otherwise(0L)).as("nsl"))
+          .selectExpr("""stack(2, 'doc_hash', np, nsn,
+                                  'cluster_hash', np, nsl)
+                         AS (scheme, n_pairs, n_straddling)""")
+      },
+      Some(s"""WITH RECURSIVE ${duckMinhashCtes(NearDupJaccard)},
+           |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |reach AS (
+           |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+           |  UNION
+           |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+           |cl AS (SELECT u AS doc_id, min(v) AS cluster_id
+           |       FROM reach GROUP BY u),
+           |assign AS (
+           |  SELECT doc_id,
+           |    CASE WHEN hn < 90 THEN 'train' WHEN hn < 95 THEN 'val'
+           |         ELSE 'test' END AS ns,
+           |    CASE WHEN hl < 90 THEN 'train' WHEN hl < 95 THEN 'val'
+           |         ELSE 'test' END AS ls
+           |  FROM (SELECT d.doc_id,
+           |          ${PortableHash.duckHashMod("'split:' || d.doc_id::VARCHAR")}
+           |            % 100 AS hn,
+           |          ${PortableHash.duckHashMod(
+              "'split:' || coalesce(cl.cluster_id, d.doc_id)::VARCHAR")}
+           |            % 100 AS hl
+           |        FROM documents d LEFT JOIN cl USING (doc_id))),
+           |ag AS (SELECT count(*) AS np,
+           |         CAST(sum(CASE WHEN a1.ns <> a2.ns THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS nsn,
+           |         CAST(sum(CASE WHEN a1.ls <> a2.ls THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS nsl
+           |       FROM pairs p JOIN assign a1 ON p.id1 = a1.doc_id
+           |                    JOIN assign a2 ON p.id2 = a2.doc_id)
+           |SELECT 'doc_hash' AS scheme, np AS n_pairs, nsn AS n_straddling
+           |FROM ag
+           |UNION ALL
+           |SELECT 'cluster_hash', np, nsl FROM ag""".stripMargin),
+      "split-contamination audit: near-dup pairs straddling each split scheme"),
+
     // ---------- similarity search ----------
     Q("q_sim_topk_brute",
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"),
@@ -941,6 +1019,44 @@ object LlmQueries {
                      FROM scored)
                WHERE rn <= $TopK"""),
       "multi-probe sign-LSH top-k (Hamming-1 buckets — recall at constant corpus cost)"),
+
+    // Cross-group pair mining with the RATIO margin (Artetxe & Schwenk
+    // 2019 — the CCMatrix bitext scorer): label-0 vectors are the source
+    // "language", label-1 the target; each source keeps its best target
+    // match scored by cos(top1)/mean(cos top-4). A raw-cosine threshold
+    // admits hub vectors that match everything; the margin only fires
+    // when the best match stands out from its own kNN background. The
+    // margin mean is an ordered fold over the rn-sorted top list — both
+    // engines sum identical doubles in sequence (see Similarity
+    // .marginMine scaladoc for the 100 TB pool story).
+    Q("q_sim_bitext_margin",
+      (s, d) => Similarity.marginMine(t(s, d, "embeddings"),
+        col("label") === BitextSrcLabel, col("label") === BitextDstLabel,
+        BitextMarginK, BitextMarginMin),
+      Some {
+        val cos = duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")
+        s"""WITH sc AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $cos AS cos
+           |  FROM (SELECT * FROM embeddings WHERE label = $BitextSrcLabel) q
+           |  CROSS JOIN (SELECT * FROM embeddings
+           |              WHERE label = $BitextDstLabel) c),
+           |top AS (SELECT query_id, cand_id, cos, row_number() OVER (
+           |          PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+           |        FROM sc),
+           |ag AS (SELECT query_id,
+           |         arg_min(cand_id, rn) AS match_id,
+           |         arg_min(cos, rn) AS cos1,
+           |         list(cos ORDER BY rn) AS cs
+           |       FROM top WHERE rn <= $BitextMarginK GROUP BY query_id)
+           |SELECT query_id, match_id, cos6, margin6,
+           |       (margin6 >= $BitextMarginMin) AS mined
+           |FROM (SELECT query_id, match_id, round(cos1, 6) AS cos6,
+           |        round(cos1 * $BitextMarginK /
+           |          list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
+           |          AS margin6
+           |      FROM ag)""".stripMargin
+      },
+      "margin-criterion cross-group pair mining (ratio margin over top-4 background)"),
 
     // ---------- int8 embedding quantization ----------
     // Per-vector symmetric int8: 4× memory cut for a float32 corpus. mse is

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bfs
+
+/** Fixed-round BFS distances: hand-computed hops on a path graph, the
+  * rounds cutoff, off-graph seeds, and partitioning-independence. */
+class BfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // undirected path 1-2-3-4-5
+  private def edges = {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    (und ++ und.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("path graph from seed 1: hop = distance, cut at the round limit") {
+    val got = Bfs.distances(edges, Seq(1L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // node 5 is 4 hops away — outside the 3-round frontier
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("two seeds take the min distance; off-graph seed stays at hop 0") {
+    val got = Bfs.distances(edges, Seq(1L, 5L, 99L).toDF("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0, 99L -> 0))
+  }
+
+  test("deterministic across parallelism") {
+    val a = Bfs.distances(edges.repartition(7), Seq(2L).toDF("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Bfs.distances(edges.repartition(1), Seq(2L).toDF("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+    assert(a === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 2))
+  }
+}

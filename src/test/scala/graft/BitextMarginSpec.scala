@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Margin-criterion pair mining: hand-computed ratio margins, and the
+  * hub-suppression property that motivates the margin over raw cosine. */
+class BitextMarginSpec extends SparkSpec {
+  import spark.implicits._
+
+  // label 0 = queries, label 1 = candidates. 2-D embeddings make the
+  // cosines exact by hand.
+  private def emb = Seq(
+    // q10: best match stands out (cos 1 vs cos ~0.7071)
+    (10L, Seq(1.0f, 0.0f), 0),
+    // q11: a "hub-like" query — its top TWO candidates both score cos 1,
+    // so the margin collapses to ~1 and the pair must NOT be mined
+    (11L, Seq(0.0f, 1.0f), 0),
+    (20L, Seq(2.0f, 0.0f), 1), // cos(q10)=1,      cos(q11)=0
+    (21L, Seq(1.0f, 1.0f), 1), // cos(q10)=0.7071, cos(q11)=0.7071
+    (22L, Seq(0.0f, 3.0f), 1), // cos(q10)=0,      cos(q11)=1
+    (23L, Seq(0.0f, 1.0f), 1)  // cos(q10)=0,      cos(q11)=1
+  ).toDF("vec_id", "embedding", "label")
+
+  private def run(marginMin: Double) =
+    Similarity.marginMine(emb, col("label") === 0, col("label") === 1,
+        mk = 2, marginMin = marginMin)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+
+  test("hand-computed margins: standout match mined, hub match suppressed") {
+    val got = run(1.1)
+    // q10: top-2 = (20, cos 1), (21, cos 0.707107); margin = 2/(1.707107)
+    val (m10, cos10, mar10, mined10) = got(10L)
+    assert(m10 === 20L)
+    assert(cos10 === 1.0)
+    assert(math.abs(mar10 - 2.0 / (1.0 + math.sqrt(0.5))) < 1e-5)
+    assert(mined10)
+    // q11: top-2 = (22, cos 1), (23, cos 1) — margin exactly 1, not mined
+    val (m11, cos11, mar11, mined11) = got(11L)
+    assert(m11 === 22L) // cos tie breaks to the lower candidate id
+    assert(cos11 === 1.0)
+    assert(mar11 === 1.0)
+    assert(!mined11)
+  }
+
+  test("raw cosine cannot separate the two: both top matches score 1.0") {
+    val got = run(1.1)
+    assert(got(10L)._2 === got(11L)._2) // identical top-1 cosine...
+    assert(got(10L)._4 && !got(11L)._4) // ...only the margin separates them
+  }
+
+  test("query side above the broadcast cap fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.marginMine(emb, col("label") === 0, col("label") === 1,
+        mk = 2, marginMin = 1.1, maxQueryRows = 1L)
+    }
+    assert(e.getMessage.contains("refusing to broadcast"))
+  }
+}

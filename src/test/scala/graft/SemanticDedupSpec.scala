@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SemDeDup invariants on the gated query: full coverage, the
+  * min-id-per-cell survivor rule, real pruning, and determinism. */
+class SemanticDedupSpec extends SparkSpec {
+
+  private def run() = SparkEntry.queries("q_dedup_semantic")(spark, sf0001)
+
+  test("covers every vector; the lowest id in each cell always survives") {
+    val out = run().cache()
+    val n = graft.core.Tables.load(spark, sf0001, "embeddings").count()
+    assert(out.count() === n)
+    // keep=false requires a LOWER-id same-cell neighbor — the cell's
+    // min id has none, so it can never be pruned
+    val prunedMins = out.groupBy("cid").agg(min("vec_id").as("m"))
+      .join(out.filter(!col("keep")),
+        col("m") === col("vec_id"))
+      .count()
+    assert(prunedMins === 0L)
+    // the threshold is calibrated to actually prune on the testdata
+    assert(out.filter(!col("keep")).count() > 0L)
+    out.unpersist()
+  }
+
+  test("deterministic across runs") {
+    def snap() = run().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1)
+    assert(snap().toSeq === snap().toSeq)
+  }
+}

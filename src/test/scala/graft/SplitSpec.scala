@@ -30,4 +30,15 @@ class SplitSpec extends SparkSpec {
     val b = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("contamination audit: cluster scheme straddle-free, doc scheme leaks") {
+    val rows = SparkEntry.queries("q_split_contamination")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val (npDoc, strDoc) = rows("doc_hash")
+    val (npCl, strCl) = rows("cluster_hash")
+    assert(npDoc === npCl) // same near-dup pair set audited for both
+    assert(strCl === 0L) // leakproof BY CONSTRUCTION — and now proven
+    assert(strDoc > 0L) // the naive scheme ships real contamination
+  }
 }
