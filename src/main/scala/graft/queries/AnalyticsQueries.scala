@@ -627,12 +627,17 @@ object AnalyticsQueries {
         val seeds = vecs.filter(col("vec_id") < SemProbeSeedMax)
           .orderBy("vec_id").collect().zipWithIndex
           .map { case (r, i) => (i, r.getSeq[Long](1).toSeq) }.toSeq
+        // CSV-canonicalized for the driver compare (pandas cannot sort an
+        // array column — the q_boilerplate_index convention); in-engine
+        // consumers (assignByCell) take the array-typed centroidsDF.
         KMeans.centroidsDF(s,
           KMeans.fit(Tables.ensureParallelism(vecs), seeds, KmIters))
+          .select(col("cid"), array_join(col("coords"), ",").as("coords_csv"))
       },
       Some(s"""WITH ${duckKmeansChain(semSeedSql, KmK.toString, KmIters,
               Some("vec_id % 5 <> 0"))}
-           |SELECT cid, coords FROM c$KmIters""".stripMargin),
+           |SELECT cid, array_to_string(coords, ',') AS coords_csv
+           |FROM c$KmIters""".stripMargin),
       "frozen SemDeDup centroid model: corpus-fit int64 Lloyd artifact, bit-exact"),
 
     // Apply half: the new batch (vec_id % 5 = 0) is assigned STATELESSLY

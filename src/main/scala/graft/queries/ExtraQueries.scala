@@ -502,15 +502,22 @@ object ExtraQueries {
     // argmin); the probe gate below pins publish+apply end to end, and
     // StreamingPqIndexSpec runs the probe per microbatch over the frozen
     // parquet artifacts across a restart.
+    // Driver-compare compatibility: the oracle harness canonicalizes rows
+    // with a pandas sort, which cannot order an array-typed column — so
+    // the gated entry renders the codes array as a CSV string on BOTH
+    // engines (the q_boilerplate_index convention). The artifact the
+    // probe consumes (pqEncode) stays array-typed; the CSV is a lossless
+    // rendering of identical contents.
     Q("q_sim_index_pq",
       (s, d) => {
         val corpus = t(s, d, "embeddings").filter(col("vec_id") % 5 =!= 0)
         Similarity.pqEncode(corpus, Similarity.pqCodebook(corpus))
+          .select(col("vec_id"), array_join(col("codes"), ",").as("codes_csv"))
       },
       Some(s"""WITH ${duckPqCtes("vec_id % 5 <> 0")}
-           |SELECT vec_id, list(code ORDER BY s) AS codes
+           |SELECT vec_id, array_to_string(list(code ORDER BY s), ',') AS codes_csv
            |FROM codes GROUP BY vec_id""".stripMargin),
-      "frozen PQ index artifact: the corpus codes table, bit-exact"),
+      "frozen PQ index artifact: the corpus codes table, bit-exact (CSV-canonicalized)"),
 
     // The STREAMING-SAFE encode: the same codes artifact computed
     // row-locally (codebook as one broadcast row, codes via higher-order
@@ -522,11 +529,12 @@ object ExtraQueries {
       (s, d) => {
         val corpus = t(s, d, "embeddings").filter(col("vec_id") % 5 =!= 0)
         Similarity.pqEncodeInRow(corpus, Similarity.pqCodebook(corpus))
+          .select(col("vec_id"), array_join(col("codes"), ",").as("codes_csv"))
       },
       Some(s"""WITH ${duckPqCtes("vec_id % 5 <> 0")}
-           |SELECT vec_id, list(code ORDER BY s) AS codes
+           |SELECT vec_id, array_to_string(list(code ORDER BY s), ',') AS codes_csv
            |FROM codes GROUP BY vec_id""".stripMargin),
-      "streaming-safe in-row PQ encode ≡ the batch codes artifact"),
+      "streaming-safe in-row PQ encode ≡ the batch codes artifact (CSV-canonicalized)"),
 
     // IVF × PQ — the production serving shape: cell routing bounds the
     // candidate set, the in-cell sweep is integer ADC over 2-byte codes.
