@@ -559,12 +559,18 @@ object Similarity {
     * match STANDS OUT from its kNN background, which suppresses the
     * hub/generic matches a raw-cosine threshold admits. Output keeps
     * every query with its margin (`mined` flags margin6 ≥ marginMin), so
-    * the caller picks the operating point without re-mining.
+    * the caller picks the operating point without re-mining. EVERY query
+    * row is preserved: a query whose candidate group is empty comes back
+    * with null match/margin and mined=false, and a query whose top-mk
+    * background sums to a non-positive cosine total (the ratio is
+    * meaningless there) gets a null margin and mined=false rather than an
+    * Inf/NaN that would compare true.
     *
     * Determinism: top-mk selection is (score DESC, neighbor_id); the mean
     * is an ordered fold over the rn-sorted list, so both engines sum the
     * same doubles in the same sequence; margin arithmetic is
-    * (cos·mk)/sum — one multiply, one divide, then round(6).
+    * (cos·n)/sum with n the ACTUAL background size (= mk except when the
+    * candidate group is smaller) — one multiply, one divide, round(6).
     *
     * Scale: the query side broadcasts under [[MaxQueryRows]]; the
     * candidate pool here is the brute cross-group sweep (the declared
@@ -581,16 +587,22 @@ object Similarity {
     val pairs = scored(broadcast(q), c, lit(true))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= mk)
+    val denom = aggregate(col("t"), lit(0.0d),
+      (a, x) => a + x.getField("score"))
+    val mined = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= mk)
       .groupBy("query_id")
       .agg(sort_array(collect_list(
         struct(col("rn"), col("neighbor_id"), col("score")))).as("t"))
       .select(col("query_id"),
         element_at(col("t"), 1).getField("neighbor_id").as("match_id"),
         round(element_at(col("t"), 1).getField("score"), 6).as("cos6"),
-        round(element_at(col("t"), 1).getField("score") * mk /
-          aggregate(col("t"), lit(0.0d),
-            (a, x) => a + x.getField("score")), 6).as("margin6"))
-      .withColumn("mined", col("margin6") >= marginMin)
+        when(denom > 0d,
+          round(element_at(col("t"), 1).getField("score") * size(col("t"))
+            / denom, 6)).as("margin6"))
+    q.select(col("query_id"))
+      .join(mined, Seq("query_id"), "left")
+      .withColumn("mined",
+        coalesce(col("margin6") >= marginMin, lit(false)))
   }
 }

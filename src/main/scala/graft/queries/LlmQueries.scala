@@ -1047,14 +1047,19 @@ object LlmQueries {
            |         arg_min(cand_id, rn) AS match_id,
            |         arg_min(cos, rn) AS cos1,
            |         list(cos ORDER BY rn) AS cs
-           |       FROM top WHERE rn <= $BitextMarginK GROUP BY query_id)
-           |SELECT query_id, match_id, cos6, margin6,
-           |       (margin6 >= $BitextMarginMin) AS mined
-           |FROM (SELECT query_id, match_id, round(cos1, 6) AS cos6,
-           |        round(cos1 * $BitextMarginK /
-           |          list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
-           |          AS margin6
-           |      FROM ag)""".stripMargin
+           |       FROM top WHERE rn <= $BitextMarginK GROUP BY query_id),
+           |m AS (SELECT query_id, match_id, round(cos1, 6) AS cos6,
+           |        CASE WHEN list_reduce(list_prepend(0.0, cs),
+           |                              (a, b) -> a + b) > 0
+           |          THEN round(cos1 * len(cs) /
+           |            list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 6)
+           |        END AS margin6
+           |      FROM ag)
+           |SELECT q.vec_id AS query_id, m.match_id, m.cos6, m.margin6,
+           |       coalesce(m.margin6 >= $BitextMarginMin, false) AS mined
+           |FROM (SELECT vec_id FROM embeddings
+           |      WHERE label = $BitextSrcLabel) q
+           |LEFT JOIN m ON m.query_id = q.vec_id""".stripMargin
       },
       "margin-criterion cross-group pair mining (ratio margin over top-4 background)"),
 

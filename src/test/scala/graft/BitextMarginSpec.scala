@@ -52,6 +52,41 @@ class BitextMarginSpec extends SparkSpec {
     assert(got(10L)._4 && !got(11L)._4) // ...only the margin separates them
   }
 
+  test("fewer candidates than mk: margin normalizes by the ACTUAL size") {
+    // one candidate only — margin must be cos*1/cos = 1 (not cos*2/cos = 2,
+    // which the old mk-literal numerator produced and spuriously mined)
+    val one = Seq(
+      (10L, Seq(1.0f, 0.0f), 0),
+      (20L, Seq(1.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.marginMine(one, col("label") === 0,
+      col("label") === 1, mk = 2, marginMin = 1.1).collect().head
+    assert(r.getDouble(3) === 1.0)
+    assert(!r.getBoolean(4))
+  }
+
+  test("non-positive cosine background: null margin, not mined (no Inf/NaN)") {
+    val neg = Seq(
+      (10L, Seq(1.0f, 0.0f), 0),
+      (20L, Seq(-1.0f, 0.0f), 1) // cos = -1 → denominator sum ≤ 0
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.marginMine(neg, col("label") === 0,
+      col("label") === 1, mk = 2, marginMin = 1.1).collect().head
+    assert(r.isNullAt(3))
+    assert(!r.getBoolean(4))
+  }
+
+  test("query with an empty candidate group is preserved with nulls") {
+    val lone = Seq((10L, Seq(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.marginMine(lone, col("label") === 0,
+      col("label") === 1, mk = 2, marginMin = 1.1).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 10L)
+    assert(r.head.isNullAt(1) && r.head.isNullAt(2) && r.head.isNullAt(3))
+    assert(!r.head.getBoolean(4))
+  }
+
   test("query side above the broadcast cap fails loudly") {
     val e = intercept[IllegalArgumentException] {
       Similarity.marginMine(emb, col("label") === 0, col("label") === 1,
