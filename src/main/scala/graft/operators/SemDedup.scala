@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** SemDeDup (Abbas et al. 2023) as a publish/apply pair over FROZEN
+  * artifacts — the ingest-time form of semantic dedup. The nightly batch
+  * job publishes two parquet tables: the O(K·dim) centroid model
+  * ([[KMeans.fit]] → [[KMeans.centroidsDF]]) and the per-cell corpus
+  * table ([[corpusCells]] — corpus vectors routed once, norms
+  * precomputed). The ingest path then calls [[probe]] per arriving batch:
+  * one broadcast (centroids) + one cell equi-join (corpus members of the
+  * batch row's own cell), never batch×corpus. Stateless per batch, so the
+  * identical call runs per microbatch under foreachBatch — batch ≡
+  * streamed across a restart is pinned by StreamingSemDedupSpec, and the
+  * batch semantics by the q_dedup_semantic_probe oracle gate.
+  *
+  * At 100 TB: the centroid model is kilobytes at any corpus size; the
+  * cell table is O(corpus) rows bucketed by cid (the blocking key), and
+  * per-batch work is Σ|batch∩cell|·|cell| — the same blocked-pairs
+  * contract as the LSH band index (Dedup.scala), with K grown so cells
+  * stay bounded.
+  */
+object SemDedup {
+
+  /** PUBLISH half #2 — the per-cell corpus table (vec_id, cid, embedding,
+    * nrm): every corpus vector routed to its frozen cell, with its norm
+    * precomputed so probe-time cosine is one dot product. */
+  def corpusCells(corpus: DataFrame, centroids: DataFrame,
+                  k: Int): DataFrame =
+    KMeans.assignByCell(
+        corpus.select(col("vec_id"),
+          KMeans.toFixedPoint(col("embedding")).as("fp")),
+        centroids, k)
+      .select("vec_id", "cid")
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm2(col("embedding")).as("nrm")), "vec_id")
+
+  /** APPLY half — route `batch` (vec_id, embedding) against the frozen
+    * centroids, then cosine-check each batch vector against CORPUS
+    * members of its own cell only: (vec_id, cid, keep) with keep=false
+    * iff some same-cell corpus vector scores ≥ minCos. */
+  def probe(batch: DataFrame, centroids: DataFrame, k: Int,
+            cells: DataFrame, minCos: Double): DataFrame = {
+    // routed feeds both the drop scan and the final select — job-scoped
+    // persist so the batch isn't re-routed (same policy as Dedup's bands)
+    val routed = graft.core.CacheScope.autoRelease(KMeans.assignByCell(
+        batch.select(col("vec_id"),
+          KMeans.toFixedPoint(col("embedding")).as("fp")),
+        centroids, k)
+      .select("vec_id", "cid")
+      .join(batch.select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm2(col("embedding")).as("nrm")), "vec_id"))
+    val dropped = routed
+      .select(col("cid"), col("vec_id").as("idn"),
+        col("embedding").as("v1"), col("nrm").as("n1"))
+      .join(cells.select(col("cid").as("c2"), col("embedding").as("v2"),
+          col("nrm").as("n2")),
+        col("cid") === col("c2"))
+      .filter(VectorFunctions.cosinePrenormed(
+        VectorFunctions.dot(col("v1"), col("v2")),
+        col("n1"), col("n2")) >= minCos)
+      .select(col("idn").as("vec_id")).distinct()
+    routed.select("vec_id", "cid")
+      .join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dropped").isNull.as("keep"))
+  }
+}

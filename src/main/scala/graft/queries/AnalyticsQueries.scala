@@ -650,36 +650,21 @@ object AnalyticsQueries {
     Q("q_dedup_semantic_probe",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val vecs = emb.select(col("vec_id"),
+        val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+        val batch = emb.filter(col("vec_id") % 5 === 0)
+          .select("vec_id", "embedding")
+        val corpusVecs = corpus.select(col("vec_id"),
           KMeans.toFixedPoint(col("embedding")).as("fp"))
-        val corpusVecs = vecs.filter(col("vec_id") % 5 =!= 0)
         val seeds = corpusVecs.filter(col("vec_id") < SemProbeSeedMax)
           .orderBy("vec_id").collect().zipWithIndex
           .map { case (r, i) => (i, r.getSeq[Long](1).toSeq) }.toSeq
         val cents = KMeans.centroidsDF(s,
           KMeans.fit(Tables.ensureParallelism(corpusVecs), seeds, KmIters))
-        val cells = KMeans.assignByCell(Tables.ensureParallelism(vecs),
-          cents, KmK).select("vec_id", "cid")
-        val base = graft.core.CacheScope.autoRelease(
-          cells.join(emb.select(col("vec_id"), col("embedding"),
-            graft.functions.VectorFunctions.norm2(col("embedding"))
-              .as("nrm")), "vec_id"))
-        val dropped = base.filter(col("vec_id") % 5 === 0)
-          .select(col("cid"), col("vec_id").as("idn"),
-            col("embedding").as("v1"), col("nrm").as("n1"))
-          .join(base.filter(col("vec_id") % 5 =!= 0)
-            .select(col("cid").as("c2"), col("embedding").as("v2"),
-              col("nrm").as("n2")),
-            col("cid") === col("c2"))
-          .filter(graft.functions.VectorFunctions.cosinePrenormed(
-            graft.functions.VectorFunctions.dot(col("v1"), col("v2")),
-            col("n1"), col("n2")) >= SemDupCos)
-          .select(col("idn").as("vec_id")).distinct()
-        base.filter(col("vec_id") % 5 === 0).select("vec_id", "cid")
-          .join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"),
-            "left")
-          .select(col("vec_id"), col("cid"),
-            col("dropped").isNull.as("keep"))
+        graft.operators.SemDedup.probe(Tables.ensureParallelism(batch),
+          cents, KmK,
+          graft.operators.SemDedup.corpusCells(
+            corpus.select("vec_id", "embedding"), cents, KmK),
+          SemDupCos)
       },
       Some {
         def dp(a: String, b: String) = s"list_dot_product($a.v, $b.v)"

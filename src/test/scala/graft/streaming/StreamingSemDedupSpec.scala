@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.{KMeans, SemDedup}
+
+/** Ingest-time SemDeDup against FROZEN artifacts (publish/apply member
+  * #11): the centroid model and the per-cell corpus table are published
+  * once as parquet, batch-side; [[SemDedup.probe]] applied per microbatch
+  * (foreachBatch — the cell-blocked cosine check is a batch-gate shape,
+  * like the near-dup band-index probe) must emit exactly the keep/drop
+  * verdicts the batch probe emits, and a RESTART from the checkpoint must
+  * pick up exactly the unprocessed batch files.
+  */
+class StreamingSemDedupSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+  private val K = 8
+  private val Iters = 3
+  private val MinCos = 0.35
+
+  test("frozen SemDeDup probe: streaming ≡ batch, across a restart") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      .select("vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id", "embedding")
+
+    // publish: centroid model fit on the corpus, then the per-cell corpus
+    // table routed against it — both land as parquet TABLES (the real
+    // topology: the ingest probe reads yesterday's published files)
+    val corpusVecs = corpus.select(col("vec_id"),
+      KMeans.toFixedPoint(col("embedding")).as("fp"))
+    val seeds = corpusVecs.filter(col("vec_id") < 10)
+      .orderBy("vec_id").collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toSeq) }.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdd").toString
+    KMeans.centroidsDF(spark, KMeans.fit(corpusVecs, seeds, Iters))
+      .write.parquet(s"$dir/centroids")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    SemDedup.corpusCells(corpus, cents, K).write.parquet(s"$dir/cells")
+    val cells = spark.read.parquet(s"$dir/cells")
+
+    val want = SemDedup.probe(batch, cents, K, cells, MinCos)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .toSet
+    assert(want.nonEmpty, "fixture produced no probe verdicts")
+    assert(want.exists(!_._3), "fixture never drops — threshold too high")
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          SemDedup.probe(df, cents, K, cells, MinCos)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    // phase 1: half the batch arrives, probe runs, query STOPS
+    batch.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    // phase 2: the rest lands; RESTART must process ONLY the new file
+    batch.filter(col("vec_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
