@@ -100,7 +100,25 @@ object Bench {
     // (kmeans-blocked semantic prune), split-contamination audit,
     // margin-criterion pair mining
     "q_graph_khop", "q_dedup_semantic", "q_split_contamination",
-    "q_sim_bitext_margin")
+    "q_sim_bitext_margin",
+    // round-11: the r9/r10 lesson applied to the next cohort — every
+    // sweep row that crossed ~2 s in the r10 driver run moves to the
+    // median-of-5 tier so round-over-round regression is adjudicatable
+    "q_text_bpe_vocab", "q_pack_tokens", "q_win_frame", "q_win_ntile",
+    // round-11: episode sentinels — cheap rows that have repeatedly
+    // flagged 2-7× in single-shot sweeps across r8-r10 (always traced to
+    // co-tenant noise by BenchFocus); at median-of-5 an inflated episode
+    // is visible in the headline itself without a focus run
+    "q_scan_partitioned", "q_text_langid", "q_ts_gapfill",
+    // round-11: SemDeDup publish/apply rows (family completed this round)
+    "q_dedup_semantic_index", "q_dedup_semantic_probe",
+    // round-11 continuation: the ≥2 s sweep rows the r10 tail truncation
+    // hid (BENCHFOCUS_r11 7-rep medians: ngram 11.2 → optimized, clip
+    // 3.2, apply 2.8, kmeans 2.7) — nothing ≥2 s lives outside the
+    // median-of-5 tier any more; q_dedup_embed rides along (1.26 median,
+    // single-shot inflated 2.1 in the r11 builder run)
+    "q_dedup_ngram", "q_clip_outliers", "q_dedup_apply",
+    "q_cluster_kmeans", "q_dedup_embed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

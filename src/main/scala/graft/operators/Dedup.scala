@@ -230,15 +230,37 @@ object Dedup {
   }
 
   /** Brute-force n-gram Jaccard near-dups inside a blocking key (full
-    * brute force is O(n²) — always block at scale). */
+    * brute force is O(n²) — always block at scale; the banded MinHash
+    * family is the declared scale path, this is the exact-pairs demo).
+    *
+    * Even the demo carries the standard set-similarity-join economies,
+    * all exact-preserving:
+    *   - shingles are pre-hashed to 60-bit longs ([[PortableHash.hash60]],
+    *     the repeatedSpans convention — the oracle replays the hash
+    *     bit-for-bit, so even collisions agree): per-pair set work runs
+    *     over 8-byte longs instead of 20-40-byte strings;
+    *   - |union| is derived as n1 + n2 − |∩| over the distinct sets, so
+    *     exactly ONE set operation runs per pair (no array_union);
+    *   - a size-ratio prune in the join condition (J ≥ t ⇒ t·max ≤ min)
+    *     rejects grossly mismatched pairs with two long compares before
+    *     any set work.
+    * Measured 11.2 → see BENCHFOCUS_r11.md at sf0.1. */
   def blockedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                           blockCol: String, threshold: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      array_distinct(TextFunctions.shingles(col(textCol), 3)).as("shset"))
-    val a = sh.select(col("blk"), col("doc_id").as("id1"), col("shset").as("s1"))
-    val b = sh.select(col("blk").as("blk2"), col("doc_id").as("id2"), col("shset").as("s2"))
-    a.join(b, col("blk") === col("blk2") && col("id1") < col("id2"))
-      .withColumn("jaccard", TextFunctions.jaccard(col("s1"), col("s2")))
+      array_distinct(transform(TextFunctions.shingles(col(textCol), 3),
+        s => PortableHash.hash60(s))).as("shset"))
+    val a = sh.select(col("blk"), col("doc_id").as("id1"),
+      col("shset").as("s1"), size(col("shset")).as("n1"))
+    val b = sh.select(col("blk").as("blk2"), col("doc_id").as("id2"),
+      col("shset").as("s2"), size(col("shset")).as("n2"))
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val uni = (col("n1") + col("n2")).cast("double") - inter
+    a.join(b, col("blk") === col("blk2") && col("id1") < col("id2") &&
+        col("n1") >= lit(threshold) * col("n2") &&
+        col("n2") >= lit(threshold) * col("n1"))
+      .withColumn("jaccard",
+        when(uni === 0, lit(0.0)).otherwise(inter / uni))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("blk").as("block"),
         round(col("jaccard"), 4).as("j4"))

@@ -711,16 +711,20 @@ object LlmQueries {
         "doc_id", "lang", NearDupJaccard),
       Some(s"""WITH sh AS (
                  SELECT doc_id, lang AS blk,
-                   list_distinct(${duckShingles(duckTokens("text"), 3)}) AS shset
+                   list_distinct(list_transform(
+                     ${duckShingles(duckTokens("text"), 3)},
+                     s -> ${PortableHash.duckHash60("s")})) AS shset
                  FROM documents)
                SELECT id1, id2, block, round(j, 4) AS j4 FROM (
                  SELECT a.doc_id AS id1, b.doc_id AS id2, a.blk AS block,
-                   CASE WHEN len(list_distinct(list_concat(a.shset, b.shset))) = 0 THEN 0.0
+                   CASE WHEN len(a.shset) + len(b.shset)
+                             - len(list_intersect(a.shset, b.shset)) = 0 THEN 0.0
                         ELSE len(list_intersect(a.shset, b.shset))::DOUBLE /
-                             len(list_distinct(list_concat(a.shset, b.shset)))::DOUBLE END AS j
+                             (len(a.shset) + len(b.shset)
+                              - len(list_intersect(a.shset, b.shset)))::DOUBLE END AS j
                  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
                WHERE j >= $NearDupJaccard"""),
-      "blocked brute-force n-gram Jaccard near-dups"),
+      "blocked brute-force n-gram Jaccard near-dups (hashed shingles, one set op per pair)"),
 
     // Cross-document repeated-substring spans: the contiguous word ranges
     // whose 8-word shingles recur in ≥2 documents — what a span-level

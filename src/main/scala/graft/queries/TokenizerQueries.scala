@@ -131,7 +131,7 @@ object TokenizerQueries {
 
   /** Token budget per packed chunk (tokens ≈ chars at K=12 merges, so a
     * larger budget than the word-count entry's 512). */
-  private val PackTokBudget = 2048
+  val PackTokBudget = 2048
 
   val all: Seq[Q] = Seq(
 

@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.core.Tables
+
+/** The end-to-end training-data GOLDEN PATH, one command:
+  *
+  *   sbt "runMain graft.tools.GoldenPath /root/testdata/sf0.01 /tmp/golden"
+  *
+  * Raw documents in, training-ready parquet out, every stage an
+  * already-oracle-gated operator composition:
+  *
+  *   1. INGEST  — the new batch (doc_id % 5 = 0) cleaned with FROZEN
+  *                artifacts published from the standing corpus: bloom
+  *                exact-dedup → near-dup band-index gate → surgical span
+  *                decontam → per-language quality gate → bigram-LM
+  *                admission → BPE token counts. This is exactly the
+  *                gated `q_pipeline_ingest_v2` plan.
+  *   2. SPLIT   — leak-proof train/val/test assignment keyed on the
+  *                NEAR-DUP CLUSTER id (near-duplicates can never
+  *                straddle an eval boundary) — the gated
+  *                `q_split_leakproof` plan, restricted to admitted docs.
+  *   3. PACK    — token-budget sequence packing of each split's admitted
+  *                docs into contiguous chunks, budgeted by the BPE token
+  *                counts stage 1 already computed — the
+  *                `q_pack_tokens` / `Packing.chunkAssign` shape with
+  *                (split) as the shard key.
+  *
+  * Output layout under <outDir>:
+  *   admitted/   (doc_id, lang, n_words, n_tok, avg_nll2)
+  *   splits/     (doc_id, split_key, split)         — all docs, audit use
+  *   corpus/     (doc_id, split, chunk_id, pos_in_chunk, n_tok, lang,
+  *                text) partitioned by split — what a trainer reads
+  *
+  * Self-check: the admitted and split tables are re-derived through
+  * `SparkEntry.queries` (the driver-gated registry entries) and
+  * anti-joined against what was written — any drift fails the run. The
+  * per-stage gates are the real correctness story (each stage's oracle
+  * runs every round); this check pins that the composition wrote exactly
+  * the gated results.
+  */
+object GoldenPath {
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+    // 1. INGEST — the gated tokenizer-aware composition, verbatim
+    val admitted = SparkEntry.queries("q_pipeline_ingest_v2")(spark, sfDir)
+    admitted.write.mode("overwrite").parquet(s"$outDir/admitted")
+
+    // 2. SPLIT — cluster-keyed leak-proof assignment, verbatim
+    val split = SparkEntry.queries("q_split_leakproof")(spark, sfDir)
+    split.write.mode("overwrite").parquet(s"$outDir/splits")
+
+    // 3. PACK + final corpus: admitted ∩ split, chunked per split by the
+    // BPE token budget stage 1 computed, text re-attached for the trainer
+    val adm = spark.read.parquet(s"$outDir/admitted")
+    val spl = spark.read.parquet(s"$outDir/splits")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val budget = graft.queries.TokenizerQueries.PackTokBudget
+    val corpus = graft.operators.Packing.chunkAssign(
+        adm.join(spl.select("doc_id", "split"), "doc_id"),
+        "split", "doc_id", col("n_tok"), budget)
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("split"), col("chunk_id"),
+        col("pos_in_chunk"), col("n_tok"), col("lang"), col("text"))
+    corpus.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/corpus")
+
+    // self-check: what landed on disk is exactly the gated results
+    val wroteAdm = spark.read.parquet(s"$outDir/admitted")
+    val drift1 = wroteAdm.unionByName(admitted).groupBy(wroteAdm.columns
+        .map(col).toSeq: _*)
+      .count().filter(col("count") =!= 2).count()
+    require(drift1 == 0, s"admitted/ drifted from q_pipeline_ingest_v2 ($drift1 rows)")
+    val wroteSpl = spark.read.parquet(s"$outDir/splits")
+    val drift2 = wroteSpl.unionByName(split).groupBy("doc_id", "split_key",
+        "split")
+      .count().filter(col("count") =!= 2).count()
+    require(drift2 == 0, s"splits/ drifted from q_split_leakproof ($drift2 rows)")
+
+    val out = spark.read.parquet(s"$outDir/corpus")
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Map(
+      "admitted" -> wroteAdm.count(),
+      "splits" -> wroteSpl.count(),
+      "chunks" -> out.select("split", "chunk_id").distinct().count()
+    ) ++ bySplit.map { case (k, v) => s"split_$k" -> v }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_golden")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stats = run(spark, sfDir, outDir)
+    println(stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }
+      .mkString("{\"golden_path\":\"ok\",", ",", s""","out":"$outDir"}"""))
+    spark.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** BenchFocus for the reference-workload STREAMING topologies: repeats
+  * the 100k-message 3-stage pipeline through the sequential file-channel
+  * path (and optionally the fused/concurrent variants) N times on a
+  * quiet box and prints per-rep times + the median — the adjudication
+  * instrument for swing flags on `ref_workload_100k_streaming`, which
+  * lives outside the query registry and so outside BenchFocus proper.
+  *
+  *   sbt "runMain graft.tools.StreamFocus 7 seq fused conc"
+  */
+object StreamFocus {
+
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(7)
+    val modes = if (args.length > 1) args.drop(1).toSeq else Seq("seq")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val spec = graft.streaming.PipelineSpec("focus", 2, 1, Seq(
+      graft.streaming.StageSpec(0, "adder"),
+      graft.streaming.StageSpec(1, "adder"),
+      graft.streaming.StageSpec(2, "adder")))
+
+    def once(mode: String): Double = {
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft_streamfocus_$mode").toString
+      val t0 = System.nanoTime()
+      graft.streaming.ProducerSim.batch(spark, 2, 100000).toDF()
+        .write.parquet(
+          graft.streaming.StagePipeline.channelDir(work, spec, 0))
+      mode match {
+        case "seq" => graft.streaming.StagePipeline.runAvailable(spark,
+          spec, work, s"$work/_ckpt", useTws = true,
+          statePartitions = Some(2))
+        case "fused" => graft.streaming.StagePipeline.runFused(spark,
+          spec, work, s"$work/_ckpt", statePartitions = Some(2))
+        case "conc" => graft.streaming.StagePipeline.runConcurrent(spark,
+          spec, work, s"$work/_ckpt", expectedRows = 100000,
+          statePartitions = Some(2))
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val out = modes.map { m =>
+      val ts = (1 to reps).map { i =>
+        val s = once(m); println(f"[streamfocus] $m rep $i: $s%.3f s"); s
+      }.sorted
+      val med = ts(ts.size / 2)
+      m -> (med, ts.head, ts.last)
+    }
+    println(out.map { case (m, (med, mn, mx)) =>
+      f""""$m":{"median":$med%.3f,"min":$mn%.3f,"max":$mx%.3f}"""
+    }.mkString(s"""{"metric":"streamfocus","reps":$reps,""", ",", "}"))
+    spark.stop()
+  }
+}
