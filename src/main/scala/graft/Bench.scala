@@ -118,7 +118,10 @@ object Bench {
     // median-of-5 tier any more; q_dedup_embed rides along (1.26 median,
     // single-shot inflated 2.1 in the r11 builder run)
     "q_dedup_ngram", "q_clip_outliers", "q_dedup_apply",
-    "q_cluster_kmeans", "q_dedup_embed")
+    "q_cluster_kmeans", "q_dedup_embed",
+    // round-11 continuation: DSIR importance scoring (publish/apply #12)
+    // and CCNet perplexity bucketing — the apply paths carry the cost
+    "q_dsir_weights", "q_quality_ppl_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

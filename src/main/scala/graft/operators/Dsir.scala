@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, TextFunctions}
+
+/** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling"): estimate how much each
+  * raw-corpus document looks like a small curated TARGET corpus, using
+  * hashed n-gram bag features, and keep the highest-importance docs.
+  *
+  * Publish/apply shape (member #12 of the frozen-artifact family):
+  *   - PUBLISH ([[bucketLogRatios]]): two O(corpus) counting passes fold
+  *     word unigram+bigram features through the portable hash into B
+  *     buckets; the artifact is the DENSE per-bucket table
+  *     (bucket, c_target, c_raw, λ) with λ the add-one-smoothed log
+  *     importance ratio ln p̂_target(b) − ln p̂_raw(b). O(B) rows —
+  *     kilobytes — at any corpus size.
+  *   - APPLY ([[weights]]): a document's importance log-weight is
+  *     Σ_b n_b(doc)·λ_b — one explode + broadcast join + per-doc sum,
+  *     a single map-side-combinable shuffle keyed by doc. Stateless per
+  *     document given the frozen λ table, so the identical call scores
+  *     per microbatch at ingest (StreamingDsirSpec).
+  *
+  * Selection on top is deterministic top-K by (rounded weight, doc_id)
+  * — no RNG; resampling pipelines that want stochastic draws can feed
+  * logw into the deterministic A-ES weighted sampler (Sampling).
+  *
+  * At 100 TB: B grows with the corpus (the paper uses 10^4; the gated
+  * demo pins B=64 so the oracle's bucket table is legible), both count
+  * passes are map-side-combined single shuffles, and the apply path
+  * never aggregates across documents.
+  */
+object Dsir {
+
+  /** Hash feature buckets (small here so the gated artifact is legible;
+    * grows with the corpus at scale). */
+  val B = 64
+
+  /** Hashed feature stream (doc_id, bucket): word unigrams + bigrams
+    * through the engine-portable hash into `b` buckets. */
+  def features(docs: DataFrame, textCol: String, idCol: String,
+               b: Int = B): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(concat(
+        TextFunctions.tokens(col(textCol)),
+        TextFunctions.shingles(col(textCol), 2))).as("feat"))
+      .select(col("doc_id"),
+        (PortableHash.hashMod(col("feat")) % b).cast("int").as("bucket"))
+
+  /** PUBLISH half — the frozen importance model: per-bucket feature
+    * counts on the target and raw corpora plus the add-one-smoothed log
+    * ratio λ_b = ln((c_t+1)/(N_t+b)) − ln((c_r+1)/(N_r+b)), over a DENSE
+    * 0..b-1 spine (so unseen buckets carry the smoothed ratio too).
+    * λ is left unrounded — the apply path consumes full precision; the
+    * gate entry rounds per the transcendental convention. */
+  def bucketLogRatios(target: DataFrame, raw: DataFrame, textCol: String,
+                      idCol: String, b: Int = B): DataFrame = {
+    val s = target.sparkSession
+    def cnt(df: DataFrame, as: String) =
+      features(df, textCol, idCol, b).groupBy("bucket")
+        .agg(count(lit(1)).as(as))
+    val nt = features(target, textCol, idCol, b)
+      .agg(count(lit(1)).as("nt"))
+    val nr = features(raw, textCol, idCol, b)
+      .agg(count(lit(1)).as("nr"))
+    s.range(b).select(col("id").cast("int").as("bucket"))
+      .join(cnt(target, "c_target"), Seq("bucket"), "left")
+      .join(cnt(raw, "c_raw"), Seq("bucket"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        coalesce(col("c_target"), lit(0L)).as("c_target"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw"),
+        (log((coalesce(col("c_target"), lit(0L)) + 1).cast("double") /
+            (col("nt") + b).cast("double"))
+          - log((coalesce(col("c_raw"), lit(0L)) + 1).cast("double") /
+            (col("nr") + b).cast("double"))).as("lam"))
+  }
+
+  /** APPLY half — per-doc importance log-weight against a frozen λ
+    * table: (doc_id, n_feats, logw6). Docs with no features are
+    * LEFT-PRESERVED (n_feats 0, logw6 0.0) — the marginMine lesson. */
+  def weights(docs: DataFrame, textCol: String, idCol: String,
+              lam: DataFrame, b: Int = B): DataFrame = {
+    val nb = features(docs, textCol, idCol, b)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("nb"))
+    val w = nb.join(broadcast(lam.select("bucket", "lam")), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("nb").as("n_feats"),
+        round(sum(col("nb") * col("lam")), 6).as("logw6"))
+    docs.select(col(idCol).as("doc_id")).join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw6"), lit(0.0)).as("logw6"))
+  }
+}

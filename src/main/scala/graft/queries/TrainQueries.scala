@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{PortableHash, TextFunctions}
-import graft.operators.{HeavyHitters, Sampling, Sketches}
+import graft.operators.{Dsir, HeavyHitters, Sampling, Sketches}
 
 /** Round-3 training-data-pipeline additions: corpus canonicalization,
   * per-domain quota sampling, overlapping chunking, incremental (cross-
@@ -48,6 +48,9 @@ object TrainQueries {
   val KmvK = 64           // KMV sketch size (k minimum distinct hashes)
   val ChunkSize = 24      // tokens per training chunk
   val ChunkStride = 16    // chunk start stride (ChunkSize − overlap)
+  val DsirB = graft.operators.Dsir.B // DSIR hash feature buckets
+  val DsirTargetMax = 100L // doc_id < 100 = the curated DSIR target corpus
+  val DsirK = 100          // DSIR selection size
 
   val all: Seq[Q] = Seq(
 
@@ -1673,6 +1676,202 @@ object TrainQueries {
                                   AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
               GROUP BY s_name
               ORDER BY numwait DESC, s_name LIMIT 20"""),
-      "TPC-H Q21-style waiting suppliers (EXISTS + NOT EXISTS pair, outer-column correlation)")
+      "TPC-H Q21-style waiting suppliers (EXISTS + NOT EXISTS pair, outer-column correlation)"),
+
+    // ---------- DSIR importance selection (publish/apply member #12) ----------
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every raw doc by how much its hashed n-gram distribution looks
+    // like a small curated TARGET corpus. See operators/Dsir.scala for
+    // the 100 TB shape (O(B) frozen artifact, broadcast apply).
+    // Target = doc_id < 100 (the curated seed), raw = the rest.
+
+    // PUBLISH: the dense per-bucket importance model. Counts are exact
+    // integers; λ is the one transcendental, rounded per convention.
+    Q("q_dsir_logratios",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dsir.bucketLogRatios(docs.filter(col("doc_id") < DsirTargetMax),
+            docs.filter(col("doc_id") >= DsirTargetMax), "text", "doc_id",
+            DsirB)
+          .select(col("bucket"), col("c_target"), col("c_raw"),
+            round(col("lam"), 6).as("lam6"))
+      },
+      Some(s"""WITH $duckDsirCtes
+           |SELECT bucket, c_target, c_raw,
+           |  round(ln((c_target + 1.0) / (nt + $DsirB))
+           |        - ln((c_raw + 1.0) / (nr + $DsirB)), 6) AS lam6
+           |FROM dense CROSS JOIN dtot""".stripMargin),
+      "frozen DSIR importance model: dense hashed-n-gram bucket log-ratios"),
+
+    // APPLY: per-doc importance log-weight Σ_b n_b·λ_b against the
+    // frozen model — one explode + broadcast join + per-doc sum. Docs
+    // with no features are left-preserved at weight 0.
+    Q("q_dsir_weights",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lam = Dsir.bucketLogRatios(
+          docs.filter(col("doc_id") < DsirTargetMax),
+          docs.filter(col("doc_id") >= DsirTargetMax), "text", "doc_id",
+          DsirB)
+        Dsir.weights(docs.filter(col("doc_id") >= DsirTargetMax), "text",
+          "doc_id", lam, DsirB)
+      },
+      Some(s"""WITH $duckDsirCtes,
+           |lam AS (SELECT bucket,
+           |          ln((c_target + 1.0) / (nt + $DsirB))
+           |          - ln((c_raw + 1.0) / (nr + $DsirB)) AS lam
+           |        FROM dense CROSS JOIN dtot),
+           |nb AS (SELECT doc_id, bucket, count(*) AS nb
+           |       FROM rfe GROUP BY doc_id, bucket),
+           |w AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_feats,
+           |        round(sum(nb * lam), 6) AS logw6
+           |      FROM nb JOIN lam USING (bucket) GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+           |       coalesce(w.logw6, 0.0) AS logw6
+           |FROM (SELECT doc_id FROM documents
+           |      WHERE doc_id >= $DsirTargetMax) d
+           |LEFT JOIN w USING (doc_id)""".stripMargin),
+      "DSIR apply: per-doc importance log-weight vs the frozen bucket model"),
+
+    // SELECT: deterministic top-K by (rounded weight, doc_id) — the
+    // bounded TakeOrderedAndProject shape (q_topk), THEN ranked within
+    // the K-row result; no global window over the corpus. Stochastic
+    // resampling callers feed logw into the A-ES weighted sampler
+    // instead.
+    Q("q_dsir_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lam = Dsir.bucketLogRatios(
+          docs.filter(col("doc_id") < DsirTargetMax),
+          docs.filter(col("doc_id") >= DsirTargetMax), "text", "doc_id",
+          DsirB)
+        Dsir.weights(docs.filter(col("doc_id") >= DsirTargetMax), "text",
+            "doc_id", lam, DsirB)
+          .orderBy(col("logw6").desc, col("doc_id")).limit(DsirK)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("logw6").desc, col("doc_id"))).cast("int"))
+      },
+      Some(s"""WITH $duckDsirCtes,
+           |lam AS (SELECT bucket,
+           |          ln((c_target + 1.0) / (nt + $DsirB))
+           |          - ln((c_raw + 1.0) / (nr + $DsirB)) AS lam
+           |        FROM dense CROSS JOIN dtot),
+           |nb AS (SELECT doc_id, bucket, count(*) AS nb
+           |       FROM rfe GROUP BY doc_id, bucket),
+           |w AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_feats,
+           |        round(sum(nb * lam), 6) AS logw6
+           |      FROM nb JOIN lam USING (bucket) GROUP BY doc_id),
+           |wall AS (SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+           |                coalesce(w.logw6, 0.0) AS logw6
+           |         FROM (SELECT doc_id FROM documents
+           |               WHERE doc_id >= $DsirTargetMax) d
+           |         LEFT JOIN w USING (doc_id))
+           |SELECT doc_id, n_feats, logw6,
+           |  CAST(row_number() OVER (ORDER BY logw6 DESC, doc_id) AS INT)
+           |    AS rnk
+           |FROM wall ORDER BY logw6 DESC, doc_id LIMIT $DsirK""".stripMargin),
+      s"DSIR select: deterministic top-$DsirK raw docs by importance weight"),
+
+    // ---------- CCNet-style perplexity bucketing ----------
+    // CCNet (Wenzek et al. 2020) splits each language's crawl into
+    // head/middle/tail by LM perplexity terciles — the standard
+    // quality stratification a curation pipeline publishes before
+    // sampling. The LM here is the gated unigram scorer
+    // (q_text_logprob); thresholds are per-language terciles of the
+    // ROUNDED score (both engines compare identical 6-decimal values).
+
+    // PUBLISH: the per-language tercile thresholds — O(langs) rows.
+    Q("q_quality_ppl_thresholds",
+      (s, d) => pplScores(s, d)
+        .groupBy("lang")
+        .agg(round(expr("percentile(nll6, 0.33333333)"), 6).as("p33_6"),
+          round(expr("percentile(nll6, 0.66666667)"), 6).as("p66_6")),
+      Some(s"""WITH $duckPplCtes
+           |SELECT lang,
+           |  round(quantile_cont(nll6, 0.33333333), 6) AS p33_6,
+           |  round(quantile_cont(nll6, 0.66666667), 6) AS p66_6
+           |FROM sc GROUP BY lang""".stripMargin),
+      "frozen CCNet thresholds: per-language perplexity terciles"),
+
+    // APPLY: stateless bucket assignment against the (broadcast)
+    // thresholds — head = lowest-NLL third. At ingest this joins the
+    // frozen threshold table exactly like the ingest quality gate.
+    Q("q_quality_ppl_buckets",
+      (s, d) => {
+        val sc = pplScores(s, d)
+        val thr = sc.groupBy("lang")
+          .agg(round(expr("percentile(nll6, 0.33333333)"), 6).as("p33"),
+            round(expr("percentile(nll6, 0.66666667)"), 6).as("p66"))
+        sc.join(broadcast(thr), "lang")
+          .select(col("doc_id"), col("lang"), col("nll6"),
+            when(col("nll6") <= col("p33"), "head")
+              .when(col("nll6") <= col("p66"), "middle")
+              .otherwise("tail").as("bucket"))
+      },
+      Some(s"""WITH $duckPplCtes,
+           |thr AS (SELECT lang,
+           |          round(quantile_cont(nll6, 0.33333333), 6) AS p33,
+           |          round(quantile_cont(nll6, 0.66666667), 6) AS p66
+           |        FROM sc GROUP BY lang)
+           |SELECT doc_id, sc.lang, nll6,
+           |  CASE WHEN nll6 <= p33 THEN 'head'
+           |       WHEN nll6 <= p66 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM sc JOIN thr ON sc.lang = thr.lang""".stripMargin),
+      "CCNet-style head/middle/tail perplexity buckets per language")
   )
+
+  // ---------- DSIR shared fragments ----------
+  /** Shared DuckDB CTE chain: hashed feature streams for target (tfe)
+    * and raw (rfe), per-bucket counts over the dense 0..B-1 spine
+    * (dense: bucket, c_target, c_raw), and totals (dtot: nt, nr). */
+  private def duckDsirFeats(where: String): String =
+    s"""SELECT doc_id,
+       |  CAST((${PortableHash.duckHashMod("feat")} % $DsirB) AS INT)
+       |    AS bucket
+       |FROM (SELECT doc_id,
+       |        unnest(list_concat(${LlmQueries.duckTokens("text")},
+       |          ${LlmQueries.duckShingles(LlmQueries.duckTokens("text"), 2)}))
+       |          AS feat
+       |      FROM documents WHERE $where)""".stripMargin
+  private def duckDsirCtes: String =
+    s"""tfe AS (${duckDsirFeats(s"doc_id < $DsirTargetMax")}),
+       |rfe AS (${duckDsirFeats(s"doc_id >= $DsirTargetMax")}),
+       |tc AS (SELECT bucket, count(*) AS c FROM tfe GROUP BY bucket),
+       |rc AS (SELECT bucket, count(*) AS c FROM rfe GROUP BY bucket),
+       |dtot AS (SELECT (SELECT count(*) FROM tfe) AS nt,
+       |                (SELECT count(*) FROM rfe) AS nr),
+       |dense AS (
+       |  SELECT spine.bucket,
+       |    CAST(coalesce(tc.c, 0) AS BIGINT) AS c_target,
+       |    CAST(coalesce(rc.c, 0) AS BIGINT) AS c_raw
+       |  FROM (SELECT CAST(range AS INT) AS bucket FROM range($DsirB)) spine
+       |  LEFT JOIN tc ON spine.bucket = tc.bucket
+       |  LEFT JOIN rc ON spine.bucket = rc.bucket)""".stripMargin
+
+  /** Per-doc unigram avg-NLL scores with lang attached — the
+    * q_text_logprob recurrence verbatim, rounded 6 (the value both
+    * engines bucket on). */
+  private def pplScores(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val toks = graft.core.CacheScope.autoRelease(
+      docs.select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("term")))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val tot = toks.agg(count(lit(1)).as("ntok"))
+    toks.join(tf, "term").crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang")
+      .agg(round(avg(-log(col("ctf").cast("double") / col("ntok"))), 6)
+        .as("nll6"))
+  }
+  private def duckPplCtes: String =
+    s"""toks AS (SELECT doc_id, lang,
+       |           unnest(${LlmQueries.duckTokens("text")}) AS term
+       |         FROM documents),
+       |tf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY term),
+       |tot AS (SELECT count(*) AS ntok FROM toks),
+       |sc AS (SELECT doc_id, lang,
+       |         round(avg(-ln(CAST(ctf AS DOUBLE) / ntok)), 6) AS nll6
+       |       FROM toks JOIN tf USING (term) CROSS JOIN tot
+       |       GROUP BY doc_id, lang)""".stripMargin
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+/** DSIR importance model contracts the oracle gate can't see: the dense
+  * spine, the smoothing direction, and the left-preserve on featureless
+  * docs. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "alpha beta alpha"),
+    (2L, "alpha gamma")
+  ).toDF("doc_id", "text")
+
+  private def raw = Seq(
+    (10L, "alpha beta"),
+    (11L, "delta epsilon zeta"),
+    (12L, "   ") // whitespace-only: zero features
+  ).toDF("doc_id", "text")
+
+  test("model is DENSE: exactly B rows, every bucket present once") {
+    val m = Dsir.bucketLogRatios(target, raw, "text", "doc_id").collect()
+    assert(m.length === Dsir.B)
+    assert(m.map(_.getInt(0)).sorted.toSeq === (0 until Dsir.B))
+  }
+
+  test("empty buckets carry the pure smoothing ratio ln((Nr+B)/(Nt+B))") {
+    val m = Dsir.bucketLogRatios(target, raw, "text", "doc_id")
+      .filter(col("c_target") === 0 && col("c_raw") === 0)
+      .select("lam").as[Double].head()
+    // target features: 3 uni + 2 bi + 2 uni + 1 bi = 8; raw: 2+1+3+2 = 8
+    assert(math.abs(m - math.log((8.0 + Dsir.B) / (8.0 + Dsir.B))) < 1e-12)
+    assert(m === 0.0) // equal totals here → empty buckets are neutral
+  }
+
+  test("target-heavy features score positive, raw-only negative") {
+    val lam = Dsir.bucketLogRatios(target, raw, "text", "doc_id")
+    val w = Dsir.weights(raw, "text", "doc_id", lam).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 10 shares all its features with target; doc 11 shares none
+    assert(w(10L)._2 > 0.0, s"target-like doc scored ${w(10L)._2}")
+    assert(w(11L)._2 < 0.0, s"raw-only doc scored ${w(11L)._2}")
+  }
+
+  test("featureless doc is LEFT-PRESERVED at (0, 0.0)") {
+    val lam = Dsir.bucketLogRatios(target, raw, "text", "doc_id")
+    val w = Dsir.weights(raw, "text", "doc_id", lam).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w.contains(12L))
+    assert(w(12L) === ((0L, 0.0)))
+  }
+}

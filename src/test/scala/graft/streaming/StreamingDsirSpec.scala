@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Dsir
+
+/** Ingest-time DSIR scoring against the FROZEN importance model
+  * (publish/apply member #12): the bucket log-ratio table is published
+  * once as parquet, batch-side; [[Dsir.weights]] applied per microbatch
+  * (foreachBatch — the per-doc sum is a batch-gate shape) must emit
+  * exactly the weights the batch scorer emits, and a RESTART from the
+  * checkpoint must pick up exactly the unprocessed batch files.
+  */
+class StreamingDsirSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("frozen DSIR model: streaming scores ≡ batch, across a restart") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val target = docs.filter(col("doc_id") < 100)
+    val raw = docs.filter(col("doc_id") >= 100)
+      .select("doc_id", "text")
+
+    // publish: the O(B) model lands as a parquet TABLE
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    Dsir.bucketLogRatios(target, raw, "text", "doc_id")
+      .write.parquet(s"$dir/lam")
+    val lam = spark.read.parquet(s"$dir/lam")
+
+    val want = Dsir.weights(raw, "text", "doc_id", lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty, "fixture produced no weights")
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          Dsir.weights(df, "text", "doc_id", lam)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    raw.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    raw.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
