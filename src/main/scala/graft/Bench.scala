@@ -121,7 +121,10 @@ object Bench {
     "q_cluster_kmeans", "q_dedup_embed",
     // round-11 continuation: DSIR importance scoring (publish/apply #12)
     // and CCNet perplexity bucketing — the apply paths carry the cost
-    "q_dsir_weights", "q_quality_ppl_buckets")
+    "q_dsir_weights", "q_quality_ppl_buckets",
+    // round-11 continuation: BM25 retrieval (publish/apply #13) and
+    // winnowing fingerprints
+    "q_text_bm25_topk", "q_text_winnow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

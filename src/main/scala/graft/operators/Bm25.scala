@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Okapi BM25 retrieval (Robertson & Zaragoza 2009) as a publish/apply
+  * pair — the lexical-search twin of the ANN family, and the scorer a
+  * curation pipeline uses for benchmark decontamination by retrieval,
+  * eval-set mining, and topical corpus slicing.
+  *
+  * PUBLISH ([[postings]] + [[dfTable]] + [[stats]]): the inverted index
+  * — postings (term, doc_id, tf, dl) from ONE token shuffle (the df
+  * table and corpus stats derive from the postings by map-side-combined
+  * reaggregation, never re-reading text). At 100 TB the postings table
+  * is the bucketed-by-term published artifact; df is O(vocab); stats is
+  * one row.
+  *
+  * APPLY ([[topK]]): the query side (small, guarded by the caller's
+  * workload shape) broadcasts into the postings equi-join on term —
+  * candidates are docs sharing ≥1 query term, never query×corpus — and
+  * the per-(query, doc) score is one map-side-combinable sum, then the
+  * per-query top-k window. Stateless given the frozen index, so the
+  * same call scores per microbatch (StreamingBm25Spec).
+  *
+  * Scoring: idf = ln(1 + (N − df + ½)/(df + ½)) (the Lucene-shaped
+  * non-negative idf), tf-saturation k1 = 1.2, length normalization
+  * b = 0.75 against avgdl = ntok/N. Both engines evaluate the identical
+  * expression order; the one rounding is round(score, 6) at the end.
+  * Docs with no tokens carry no postings, so N and avgdl are over
+  * token-bearing docs — stated contract of the index.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** PUBLISH — the postings table (term, doc_id, tf, dl). */
+  def postings(corpus: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = corpus.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(tf.groupBy("doc_id").agg(sum("tf").as("dl")), "doc_id")
+      .select("term", "doc_id", "tf", "dl")
+  }
+
+  /** Document frequencies from the postings (no text re-read). */
+  def dfTable(post: DataFrame): DataFrame =
+    post.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** One-row corpus stats (n_docs, ntok) from the postings. */
+  def stats(post: DataFrame): DataFrame =
+    post.agg(countDistinct("doc_id").as("n_docs"), sum("tf").as("ntok"))
+
+  /** The BM25 term contribution over joined (tf, dl, df, n_docs, ntok)
+    * columns — written once so the Spark plan and the Scaladoc'd formula
+    * can't drift. */
+  private def contrib: Column = {
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = col("tf") * (lit(K1) + lit(1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0) - lit(B) +
+        lit(B) * col("dl") * col("n_docs") / col("ntok")))
+    idf * tfn
+  }
+
+  /** APPLY — top-k corpus docs per query by BM25 over the frozen index:
+    * (query_id, doc_id, rnk, score6). Ranking is by the ROUNDED score
+    * with doc_id tiebreak, so both engines rank identical values. */
+  def topK(queries: DataFrame, textCol: String, idCol: String,
+           post: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol))))
+        .as("term"))
+    val scored = broadcast(qt).join(post, "term")
+      .join(dfTable(post), "term")
+      .crossJoin(broadcast(stats(post)))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib), 6).as("score6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score6").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("rn").cast("int").as("rnk"),
+        col("score6"))
+  }
+}

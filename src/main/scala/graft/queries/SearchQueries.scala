@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{PortableHash, TextFunctions}
+import graft.operators.Bm25
+
+/** Lexical search + local fingerprinting: the BM25 inverted-index family
+  * (publish/apply member #13) and winnowing document fingerprints
+  * (Schleimer et al. 2003, the MOSS algorithm) — retrieval-shaped
+  * curation: decontamination by retrieval, eval mining, and robust
+  * position-bearing fingerprints for plagiarism-style overlap detection.
+  */
+object SearchQueries {
+  import LlmQueries.{duckTokens, duckShingles}
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = Tables.load(s, dir, n)
+    if (n == "documents") Tables.ensureParallelism(df) else df
+  }
+
+  val Bm25K = 10        // results per query
+  val WinnowShingle = 4 // winnowing k-gram width (word 4-shingles)
+  val WinnowW = 4       // winnowing window (hashes per window)
+  private val PosPack = 1048576L // 2^20 — rightmost-argmin packing base
+
+  /** Queries = the benchmark docs (doc_id < 10, the decontam
+    * convention); corpus = the rest. */
+  private val QMax = 10
+
+  private def duckBm25Ctes: String =
+    s"""ctf AS (SELECT doc_id, term, count(*) AS tf
+       |        FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+       |              FROM documents WHERE doc_id >= $QMax)
+       |        GROUP BY doc_id, term),
+       |cdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |        FROM ctf GROUP BY doc_id),
+       |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+       |cst AS (SELECT count(DISTINCT doc_id) AS n_docs,
+       |               CAST(sum(tf) AS BIGINT) AS ntok FROM ctf)""".stripMargin
+
+  /** The BM25 term contribution — textual twin of Bm25.contrib. */
+  private val duckContrib =
+    s"""ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |tf * (${Bm25.K1} + 1.0) /
+       |(tf + ${Bm25.K1} * (1.0 - ${Bm25.B}
+       |  + ${Bm25.B} * dl * n_docs / ntok))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // PUBLISH: the per-term slice of the frozen index — df + rounded
+    // idf, O(vocab) rows, what the apply path joins on. (The postings
+    // table itself is gated through the topk entry's end-to-end scores;
+    // this entry pins the artifact's statistics bit-exactly.)
+    Q("q_text_bm25_index",
+      (s, d) => {
+        val post = Bm25.postings(
+          t(s, d, "documents").filter(col("doc_id") >= QMax),
+          "text", "doc_id")
+        Bm25.dfTable(post).crossJoin(broadcast(Bm25.stats(post)))
+          .select(col("term"), col("df"),
+            round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))), 6).as("idf6"))
+      },
+      Some(s"""WITH $duckBm25Ctes
+           |SELECT term, df,
+           |  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf6
+           |FROM cdf CROSS JOIN cst""".stripMargin),
+      "frozen BM25 index statistics: per-term df + idf (Lucene-shaped, non-negative)"),
+
+    // APPLY: top-k corpus docs per benchmark query. The query side
+    // broadcasts into the postings term equi-join — candidates share ≥1
+    // query term, never query×corpus.
+    Q("q_text_bm25_topk",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val post = graft.core.CacheScope.autoRelease(Bm25.postings(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
+        Bm25.topK(docs.filter(col("doc_id") < QMax), "text", "doc_id",
+          post, Bm25K)
+      },
+      Some(s"""WITH $duckBm25Ctes,
+           |qt AS (SELECT DISTINCT doc_id AS query_id, term
+           |       FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |             FROM documents WHERE doc_id < $QMax)),
+           |sc AS (SELECT qt.query_id, ctf.doc_id,
+           |         round(sum($duckContrib), 6) AS score6
+           |       FROM qt JOIN ctf USING (term)
+           |         JOIN cdf USING (term)
+           |         JOIN cdl ON ctf.doc_id = cdl.doc_id
+           |         CROSS JOIN cst
+           |       GROUP BY qt.query_id, ctf.doc_id)
+           |SELECT query_id, doc_id, CAST(rn AS INT) AS rnk, score6
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY query_id ORDER BY score6 DESC, doc_id)
+           |        AS rn
+           |      FROM sc)
+           |WHERE rn <= $Bm25K""".stripMargin),
+      s"BM25 top-$Bm25K retrieval of benchmark queries against the frozen inverted index"),
+
+    // Winnowing fingerprints (Schleimer et al. 2003): per document, the
+    // minimum k-gram hash in every sliding window of $WinnowW
+    // consecutive hashes, with the RIGHTMOST position on ties — the
+    // guarantee-bearing local fingerprinting scheme (any shared
+    // substring ≥ k+w−1 words yields a shared fingerprint). Rightmost
+    // argmin is one packed min — key = hash·2^20 + (2^20−1−pos) — so
+    // the window pass is a single min frame, no second argmax scan.
+    // Docs shorter than k+w−1 words have no full window and emit no
+    // fingerprints (the scheme's stated domain). At 100 TB: windows are
+    // per-doc (partition-local), output is the distinct fingerprint set
+    // — the compact artifact overlap detection joins on.
+    Q("q_text_winnow",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = t(s, d, "documents").select(col("doc_id"),
+          posexplode(TextFunctions.shingles(col("text"), WinnowShingle))
+            .as(Seq("pos", "s")))
+        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val keyed = sh.select(col("doc_id"), col("pos"),
+          (PortableHash.hashMod(col("s")) * PosPack +
+            (lit(PosPack - 1) - col("pos"))).as("key"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.currentRow, WinnowW - 1)
+        keyed.withColumn("fp", min("key").over(w))
+          .join(n, "doc_id")
+          .filter(col("pos") <= col("n_sh") - WinnowW)
+          .select(col("doc_id"),
+            expr(s"fp div $PosPack").as("fp_hash"),
+            (lit(PosPack - 1) - col("fp") % PosPack).cast("int").as("fp_pos"))
+          .distinct()
+      },
+      Some(s"""WITH shs AS (
+           |  SELECT doc_id,
+           |    ${duckShingles(duckTokens("text"), WinnowShingle)} AS sh
+           |  FROM documents),
+           |psh AS (SELECT doc_id, len(sh) AS n_sh,
+           |          CAST(unnest(range(0, len(sh))) AS INT) AS pos, sh
+           |        FROM shs),
+           |keyed AS (SELECT doc_id, n_sh, pos,
+           |            (${PortableHash.duckHashMod("sh[pos + 1]")})
+           |              * $PosPack + ($PosPack - 1 - pos) AS key
+           |          FROM psh),
+           |fps AS (SELECT doc_id, pos, n_sh,
+           |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+           |            AS fp
+           |        FROM keyed)
+           |SELECT DISTINCT doc_id, fp // $PosPack AS fp_hash,
+           |       CAST($PosPack - 1 - fp % $PosPack AS INT) AS fp_pos
+           |FROM fps WHERE pos <= n_sh - $WinnowW""".stripMargin),
+      "winnowing fingerprints: window-min k-gram hashes, rightmost-argmin packed")
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Winnowing guarantee properties the oracle gate can't see: shared
+  * fingerprints for long-enough shared substrings, the empty domain for
+  * short docs, and rightmost-argmin tie-breaking. Runs the gated query
+  * body through SparkEntry on a hand-built frame via a temp view swap —
+  * instead, the operator logic lives inline in the query, so this spec
+  * re-derives fingerprints through the same registry entry semantics on
+  * small fixtures written to a temp dir. */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def winnow(docs: org.apache.spark.sql.DataFrame) = {
+    // fixture-sized twin of the q_text_winnow plan (k=4, w=4)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{PortableHash, TextFunctions}
+    val PosPack = 1048576L
+    val sh = docs.select(col("doc_id"),
+      posexplode(TextFunctions.shingles(col("text"), 4))
+        .as(Seq("pos", "s")))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val keyed = sh.select(col("doc_id"), col("pos"),
+      (PortableHash.hashMod(col("s")) * PosPack +
+        (lit(PosPack - 1) - col("pos"))).as("key"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, 3)
+    keyed.withColumn("fp", min("key").over(w))
+      .join(n, "doc_id")
+      .filter(col("pos") <= col("n_sh") - 4)
+      .select(col("doc_id"),
+        expr(s"fp div $PosPack").as("fp_hash"),
+        (lit(PosPack - 1) - col("fp") % PosPack).cast("int").as("fp_pos"))
+      .distinct()
+  }
+
+  test("shared substring of k+w-1 words ⇒ shared fingerprint hash") {
+    val shared = "lorem ipsum dolor sit amet consectetur adipiscing"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon zeta eta theta"),
+      (2L, s"one two three $shared four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val fp = winnow(docs).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getLong(1)).toSet }
+    assert((fp(1L) intersect fp(2L)).nonEmpty,
+      "7-word shared substring produced no shared fingerprint")
+  }
+
+  test("docs below k+w-1 words emit no fingerprints") {
+    val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    assert(winnow(docs).count() === 0)
+  }
+
+  test("tie-breaking is rightmost: identical shingles pick the window tail") {
+    // every 4-shingle of "a a a a a a a a" is "a a a a" — same hash, so
+    // each full window's min key is its RIGHTMOST position
+    val docs = Seq((1L, "a a a a a a a a")).toDF("doc_id", "text")
+    val got = winnow(docs).collect().map(_.getInt(2)).sorted.toSeq
+    // 5 shingles (pos 0..4), full windows at pos 0..1 → picks pos 3, 4
+    assert(got === Seq(3, 4), s"got positions $got")
+  }
+}

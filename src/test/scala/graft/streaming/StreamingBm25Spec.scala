@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Bm25
+
+/** Ingest-time BM25 retrieval against the FROZEN inverted index
+  * (publish/apply member #13): the postings table is published once as
+  * parquet, batch-side; [[Bm25.topK]] applied per microbatch
+  * (foreachBatch — per-query aggregation + window make the probe a
+  * batch-gate shape, like the PQ probe) must emit exactly the ranked
+  * results the batch probe emits, and a RESTART from the checkpoint
+  * must pick up exactly the unprocessed query files.
+  */
+class StreamingBm25Spec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("frozen BM25 index: streaming retrieval ≡ batch, across a restart") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val queries = docs.filter(col("doc_id") < 10)
+      .select("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    Bm25.postings(docs.filter(col("doc_id") >= 10), "text", "doc_id")
+      .write.parquet(s"$dir/postings")
+    val post = spark.read.parquet(s"$dir/postings")
+
+    val want = Bm25.topK(queries, "text", "doc_id", post, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(want.nonEmpty, "fixture retrieved nothing")
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          Bm25.topK(df, "text", "doc_id", post, 10)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    queries.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    queries.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
