@@ -808,6 +808,32 @@ object LlmQueries {
                      FROM reach GROUP BY u)"""),
       "near-dup clusters: connected components over MinHash pairs (min-label + pointer jumping)"),
 
+    // Cluster-size distribution of the near-dup graph — the one-page
+    // observability artifact a dedup run publishes (how much mass sits
+    // in big duplicate families vs pairs). One groupBy over the CC
+    // output; O(distinct sizes) rows.
+    Q("q_dedup_cluster_stats",
+      (s, d) => graft.operators.Connected.components(
+          Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
+            NearDupJaccard).select("id1", "id2"))
+        .groupBy(col("n_docs").as("cluster_size"))
+        .agg(countDistinct("cluster_id").as("n_clusters"))
+        .select("cluster_size", "n_clusters"),
+      Some(s"""WITH RECURSIVE ${duckMinhashCtes(NearDupJaccard)},
+               edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                         UNION ALL SELECT id2, id1 FROM pairs),
+               reach AS (
+                 SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+               cl AS (SELECT u AS doc_id, min(v) AS cluster_id
+                      FROM reach GROUP BY u),
+               sz AS (SELECT cluster_id, count(*) AS cluster_size
+                      FROM cl GROUP BY cluster_id)
+               SELECT cluster_size, count(*) AS n_clusters
+               FROM sz GROUP BY cluster_size"""),
+      "near-dup cluster-size histogram (dedup observability artifact)"),
+
     // Leakage-proof train/val/test split: assignment hashes the NEAR-DUP
     // CLUSTER id, not the document id, so near-duplicates can never
     // straddle a split boundary (the classic eval-contamination bug a

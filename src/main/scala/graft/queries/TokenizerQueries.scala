@@ -221,5 +221,43 @@ object TokenizerQueries {
            |    PARTITION BY source, CAST(floor(cum_before / $PackTokBudget.0) AS BIGINT)
            |    ORDER BY doc_id) AS INT) AS pos_in_chunk
            |FROM cb""".stripMargin),
-      s"token-budget sequence packing: $PackTokBudget-BPE-token chunks per shard"))
+      s"token-budget sequence packing: $PackTokBudget-BPE-token chunks per shard"),
+
+    // Tokenizer FERTILITY per language: BPE tokens per whitespace word —
+    // the statistic a tokenizer report publishes to show which languages
+    // the vocab serves poorly (high fertility = over-segmentation, the
+    // signal for growing per-language vocab share). One encode pass
+    // reusing the frozen merge rules; per-doc token counts fold to one
+    // row per language.
+    Q("q_text_bpe_fertility",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = Tokenizer.train(docs, col("text"), Tokenizer.K)
+        docs.select(col("lang"),
+            size(Tokenizer.encode(col("text"), merges)).cast("long")
+              .as("n_tok"),
+            size(graft.functions.TextFunctions.tokens(
+              Tokenizer.cleanText(col("text")))).cast("long").as("n_words"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+            sum("n_tok").as("n_tok"),
+            round(sum(col("n_tok")).cast("double") / sum(col("n_words")), 6)
+              .as("fertility6"))
+      },
+      Some(s"""WITH $duckTrainCtes,
+           |mtab AS (SELECT $duckMtabCols),
+           |per AS (SELECT lang,
+           |          CAST(coalesce(list_sum(list_transform(ws,
+           |            w -> len(list_filter(string_split($duckEncodeChain,
+           |                   chr(1)), x -> x <> '')))), 0) AS BIGINT)
+           |            AS n_tok,
+           |          CAST(len(ws) AS BIGINT) AS n_words
+           |        FROM (SELECT lang, $duckToks AS ws FROM documents), mtab)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+           |  round(CAST(sum(n_tok) AS DOUBLE) / sum(n_words), 6)
+           |    AS fertility6
+           |FROM per GROUP BY lang""".stripMargin),
+      "per-language BPE fertility (tokens per word, the vocab-coverage report)"))
 }
