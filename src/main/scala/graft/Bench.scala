@@ -123,8 +123,10 @@ object Bench {
     // and CCNet perplexity bucketing — the apply paths carry the cost
     "q_dsir_weights", "q_quality_ppl_buckets",
     // round-11 continuation: BM25 retrieval (publish/apply #13) and
-    // winnowing fingerprints
-    "q_text_bm25_topk", "q_text_winnow")
+    // winnowing fingerprints (+ overlap apply), data cards, and the two
+    // rows the second r11 bench pass showed ≥~2 s in the sweep
+    "q_text_bm25_topk", "q_text_winnow", "q_text_winnow_overlap",
+    "q_profile_sources", "q_dedup_cluster_stats", "q_text_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

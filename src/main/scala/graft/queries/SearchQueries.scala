@@ -24,6 +24,8 @@ object SearchQueries {
   val Bm25K = 10        // results per query
   val WinnowShingle = 4 // winnowing k-gram width (word 4-shingles)
   val WinnowW = 4       // winnowing window (hashes per window)
+  val OverlapMin = 2    // min shared fingerprints for an overlap pair
+  val MaxFpDf = 50      // frequent-fingerprint cap (df over docs)
   private val PosPack = 1048576L // 2^20 — rightmost-argmin packing base
 
   /** Queries = the benchmark docs (doc_id < 10, the decontam
@@ -112,25 +114,7 @@ object SearchQueries {
     // per-doc (partition-local), output is the distinct fingerprint set
     // — the compact artifact overlap detection joins on.
     Q("q_text_winnow",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val sh = t(s, d, "documents").select(col("doc_id"),
-          posexplode(TextFunctions.shingles(col("text"), WinnowShingle))
-            .as(Seq("pos", "s")))
-        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val keyed = sh.select(col("doc_id"), col("pos"),
-          (PortableHash.hashMod(col("s")) * PosPack +
-            (lit(PosPack - 1) - col("pos"))).as("key"))
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(Window.currentRow, WinnowW - 1)
-        keyed.withColumn("fp", min("key").over(w))
-          .join(n, "doc_id")
-          .filter(col("pos") <= col("n_sh") - WinnowW)
-          .select(col("doc_id"),
-            expr(s"fp div $PosPack").as("fp_hash"),
-            (lit(PosPack - 1) - col("fp") % PosPack).cast("int").as("fp_pos"))
-          .distinct()
-      },
+      (s, d) => winnowFps(t(s, d, "documents")),
       Some(s"""WITH shs AS (
            |  SELECT doc_id,
            |    ${duckShingles(duckTokens("text"), WinnowShingle)} AS sh
@@ -150,6 +134,125 @@ object SearchQueries {
            |SELECT DISTINCT doc_id, fp // $PosPack AS fp_hash,
            |       CAST($PosPack - 1 - fp % $PosPack AS INT) AS fp_pos
            |FROM fps WHERE pos <= n_sh - $WinnowW""".stripMargin),
-      "winnowing fingerprints: window-min k-gram hashes, rightmost-argmin packed")
+      "winnowing fingerprints: window-min k-gram hashes, rightmost-argmin packed"),
+
+    // APPLY of the fingerprint artifact: document-pair overlap detection
+    // (the MOSS use-case) — pairs sharing ≥ $OverlapMin distinct
+    // fingerprint hashes, counted via the INVERTED fingerprint join
+    // (never all-pairs). Fingerprints appearing in more than $MaxFpDf
+    // docs are dropped first — the standard frequent-fingerprint cap
+    // (boilerplate chrome would otherwise pair every doc with every
+    // doc); at 100 TB that cap is what bounds the per-hash fan-out, the
+    // same Σf² contract as the LSH band join.
+    Q("q_text_winnow_overlap",
+      (s, d) => {
+        val fp = winnowFps(t(s, d, "documents"))
+          .select("doc_id", "fp_hash").distinct()
+        val rare = fp.groupBy("fp_hash")
+          .agg(count(lit(1)).as("fdf"))
+          .filter(col("fdf") <= MaxFpDf)
+          .select("fp_hash")
+        val pruned = fp.join(rare, "fp_hash")
+        pruned.select(col("fp_hash"), col("doc_id").as("id1"))
+          .join(pruned.select(col("fp_hash").as("h2"),
+            col("doc_id").as("id2")),
+            col("fp_hash") === col("h2") && col("id1") < col("id2"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= OverlapMin)
+      },
+      Some(s"""WITH $duckWinnowCtes,
+           |dfp AS (SELECT DISTINCT doc_id, fp // $PosPack AS fp_hash
+           |        FROM fps WHERE pos <= n_sh - $WinnowW),
+           |rare AS (SELECT fp_hash FROM dfp GROUP BY fp_hash
+           |         HAVING count(*) <= $MaxFpDf),
+           |pruned AS (SELECT dfp.doc_id, dfp.fp_hash
+           |           FROM dfp JOIN rare USING (fp_hash))
+           |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+           |FROM pruned a JOIN pruned b
+           |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           |GROUP BY id1, id2
+           |HAVING count(*) >= $OverlapMin""".stripMargin),
+      "fingerprint-overlap doc pairs (inverted join + frequent-fingerprint cap)"),
+
+    // Per-source data cards: the one-row-per-source summary a corpus
+    // release ships (docs, words, language spread, dominant language,
+    // mean size). Two map-side-combinable aggregations + the top-1
+    // window on the O(sources × langs) table — nothing scans text
+    // twice.
+    Q("q_profile_sources",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("text")))).as("n_words"),
+          countDistinct("lang").as("n_langs"),
+          round(avg(col("n_chars")), 6).as("avg_chars6"))
+        val top = docs.groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(Window.partitionBy("source")
+            .orderBy(col("c").desc, col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        base.join(top, "source")
+      },
+      Some(s"""WITH base AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    CAST(sum(len(${duckTokens("text")})) AS BIGINT) AS n_words,
+           |    count(DISTINCT lang) AS n_langs,
+           |    round(avg(n_chars), 6) AS avg_chars6
+           |  FROM documents GROUP BY source),
+           |top AS (
+           |  SELECT source, lang AS top_lang FROM (
+           |    SELECT source, lang, row_number() OVER (PARTITION BY source
+           |      ORDER BY count(*) DESC, lang) AS rn
+           |    FROM documents GROUP BY source, lang)
+           |  WHERE rn = 1)
+           |SELECT base.source, n_docs, n_words, n_langs, avg_chars6,
+           |       top_lang
+           |FROM base JOIN top ON base.source = top.source""".stripMargin),
+      "per-source data cards: docs/words/lang-spread/dominant-lang summary")
   )
+
+  /** The gated winnowing plan (k = [[WinnowShingle]], w = [[WinnowW]]):
+    * distinct (doc_id, fp_hash, fp_pos) per document. */
+  private def winnowFps(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"),
+      posexplode(TextFunctions.shingles(col("text"), WinnowShingle))
+        .as(Seq("pos", "s")))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val keyed = sh.select(col("doc_id"), col("pos"),
+      (PortableHash.hashMod(col("s")) * PosPack +
+        (lit(PosPack - 1) - col("pos"))).as("key"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    keyed.withColumn("fp", min("key").over(w))
+      .join(n, "doc_id")
+      .filter(col("pos") <= col("n_sh") - WinnowW)
+      .select(col("doc_id"),
+        expr(s"fp div $PosPack").as("fp_hash"),
+        (lit(PosPack - 1) - col("fp") % PosPack).cast("int").as("fp_pos"))
+      .distinct()
+  }
+
+  /** Shared winnowing CTE chain ending at `fps` (doc_id, pos, n_sh, fp —
+    * the packed window-min) — consumers select/unpack from it. */
+  private def duckWinnowCtes: String =
+    s"""shs AS (
+       |  SELECT doc_id,
+       |    ${duckShingles(duckTokens("text"), WinnowShingle)} AS sh
+       |  FROM documents),
+       |psh AS (SELECT doc_id, len(sh) AS n_sh,
+       |          CAST(unnest(range(0, len(sh))) AS INT) AS pos, sh
+       |        FROM shs),
+       |keyed AS (SELECT doc_id, n_sh, pos,
+       |            (${PortableHash.duckHashMod("sh[pos + 1]")})
+       |              * $PosPack + ($PosPack - 1 - pos) AS key
+       |          FROM psh),
+       |fps AS (SELECT doc_id, pos, n_sh,
+       |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+       |            AS fp
+       |        FROM keyed)""".stripMargin
 }
