@@ -237,6 +237,64 @@ object Multimodal {
     }
   }
 
+  case class ImageDHash(doc_id: Long, media_type: String, dhash_hex: String)
+
+  /** Perceptual difference hash (dHash, Krawetz): decode → 9×8 grayscale
+    * box-average thumbnail (the same exact-integer area filter as
+    * [[resizeImages]]) → 64 adjacent-pixel brighter-than comparisons,
+    * packed row-major into a 16-hex-char string (row byte r at chars
+    * 2r..2r+1, bit c of a row = thumb(c+1) > thumb(c)). Hex output
+    * sidesteps signed-64 packing overflow in the oracle. The standard
+    * image near-dup signature: robust to rescaling and small edits, and
+    * bucketable downstream exactly like SimHash (Hamming bands). The
+    * gate's oracle replays the thumbnail in closed form from the
+    * generated-gradient fixtures — the q_media_resize proof extended to
+    * the comparison bits. */
+  def dHashImages(media: DataFrame): Dataset[ImageDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val raster = img.getRaster
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val thumb = Array.ofDim[Int](8, 9)
+        var ty = 0
+        while (ty < 8) {
+          val y0 = ty * sh / 8; val y1 = math.max((ty + 1) * sh / 8, y0 + 1)
+          var tx = 0
+          while (tx < 9) {
+            val x0 = tx * sw / 9; val x1 = math.max((tx + 1) * sw / 9, x0 + 1)
+            var acc = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { acc += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            thumb(ty)(tx) = (acc / ((y1 - y0).toLong * (x1 - x0))).toInt
+            tx += 1
+          }
+          ty += 1
+        }
+        val hex = new StringBuilder(16)
+        var rr = 0
+        while (rr < 8) {
+          var rowBits = 0; var c = 0
+          while (c < 8) {
+            if (thumb(rr)(c + 1) > thumb(rr)(c)) rowBits |= (1 << c)
+            c += 1
+          }
+          hex.append(f"$rowBits%02x")
+          rr += 1
+        }
+        ImageDHash(r.doc_id, r.media_type, hex.toString)
+      }
+    }
+  }
+
   // ==================== REAL AUDIO CODEC (javax.sound) ====================
 
   /** Decoded-audio features: format fields from the WAV header, exact

@@ -1950,6 +1950,88 @@ object LlmQueries {
               FROM pt GROUP BY doc_id"""),
       "REAL image resize (box filter): decode→resize→re-encode→decode, sum-exact oracle"),
 
+    // Perceptual dHash: the standard image near-dup signature — 9×8
+    // box-average thumb, 64 adjacent-pixel comparisons, hex-packed. The
+    // oracle replays the thumbnail row in closed form from the gradient
+    // fixtures (y-constant ⇒ floor(k·A/(k·B)) = floor(A/B), the
+    // q_media_resize identity) and re-derives every comparison bit;
+    // bit-exact down to the hex rendering. Bucketable downstream like
+    // SimHash (Hamming bands) for image dedup at corpus scale.
+    Q("q_media_phash",
+      (s, d) => Multimodal.dHashImages(
+        Multimodal.toImages(t(s, d, "documents"))).toDF(),
+      Some("""WITH m AS (SELECT doc_id,
+                  CAST(doc_id % 256 AS BIGINT) AS b,
+                  CAST(doc_id % 57 + 8 AS BIGINT) AS sw
+                FROM documents),
+              tx AS (SELECT doc_id, b, sw, unnest(range(0, 9)) AS tx FROM m),
+              xr AS (SELECT doc_id, b, sw, tx,
+                       (tx * sw) // 9 AS x0,
+                       greatest(((tx + 1) * sw) // 9, (tx * sw) // 9 + 1) AS x1
+                     FROM tx),
+              xs AS (SELECT doc_id, b, tx, x1 - x0 AS n,
+                       unnest(range(x0, x1)) AS x FROM xr),
+              pt AS (SELECT doc_id, tx, sum((b + x) % 256) // max(n) AS pv
+                     FROM xs GROUP BY doc_id, tx),
+              bits AS (SELECT doc_id, tx, pv,
+                         lead(pv) OVER (PARTITION BY doc_id ORDER BY tx)
+                           AS nxt
+                       FROM pt),
+              rowb AS (SELECT doc_id,
+                         CAST(sum(CASE WHEN nxt > pv
+                                   THEN (1 << CAST(tx AS INT)) ELSE 0 END)
+                              AS BIGINT) AS rb
+                       FROM bits WHERE tx < 8 GROUP BY doc_id)
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END
+                  AS media_type,
+                repeat(printf('%02x', rb), 8) AS dhash_hex
+              FROM rowb"""),
+      "perceptual dHash (9×8 box thumb, 64 comparison bits), closed-form bit-exact oracle"),
+
+    // APPLY: image near-dup GROUPS by identical dHash — distinct source
+    // images whose perceptual signatures collide (the exact-bucket tier
+    // of image dedup; Hamming-band widening reuses the SimHash banding
+    // downstream). Member lists CSV-canonicalized per the array-output
+    // convention. One hash groupBy over the signature table — at corpus
+    // scale this is the image twin of exact text dedup on content hash.
+    Q("q_media_phash_dups",
+      (s, d) => Multimodal.dHashImages(
+          Multimodal.toImages(t(s, d, "documents"))).toDF()
+        .groupBy("dhash_hex")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(array_sort(collect_list(col("doc_id"))), ",")
+            .as("doc_ids_csv"))
+        .filter(col("n_docs") > 1),
+      Some("""WITH m AS (SELECT doc_id,
+                  CAST(doc_id % 256 AS BIGINT) AS b,
+                  CAST(doc_id % 57 + 8 AS BIGINT) AS sw
+                FROM documents),
+              tx AS (SELECT doc_id, b, sw, unnest(range(0, 9)) AS tx FROM m),
+              xr AS (SELECT doc_id, b, sw, tx,
+                       (tx * sw) // 9 AS x0,
+                       greatest(((tx + 1) * sw) // 9, (tx * sw) // 9 + 1) AS x1
+                     FROM tx),
+              xs AS (SELECT doc_id, b, tx, x1 - x0 AS n,
+                       unnest(range(x0, x1)) AS x FROM xr),
+              pt AS (SELECT doc_id, tx, sum((b + x) % 256) // max(n) AS pv
+                     FROM xs GROUP BY doc_id, tx),
+              bits AS (SELECT doc_id, tx, pv,
+                         lead(pv) OVER (PARTITION BY doc_id ORDER BY tx)
+                           AS nxt
+                       FROM pt),
+              rowb AS (SELECT doc_id,
+                         CAST(sum(CASE WHEN nxt > pv
+                                   THEN (1 << CAST(tx AS INT)) ELSE 0 END)
+                              AS BIGINT) AS rb
+                       FROM bits WHERE tx < 8 GROUP BY doc_id),
+              sig AS (SELECT doc_id, repeat(printf('%02x', rb), 8)
+                        AS dhash_hex FROM rowb)
+              SELECT dhash_hex, count(*) AS n_docs,
+                array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
+              FROM sig GROUP BY dhash_hex HAVING count(*) > 1"""),
+      "image near-dup groups by identical perceptual hash (exact-bucket tier)"),
+
     // REAL audio decode: toAudio writes genuine RIFF/WAVE payloads (mono
     // 16-bit signed PCM sawtooth, sample(i) = (i mod 256) − 128) and
     // decodeAudio parses them back with javax.sound.sampled. Frame count
