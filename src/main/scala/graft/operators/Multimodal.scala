@@ -372,6 +372,57 @@ object Multimodal {
     })
   }
 
+  case class AudioQuality(doc_id: Long, n_frames: Long, energy_sum: Long,
+                          zero_crossings: Long)
+
+  /** Time-domain audio quality features from the decoded PCM: total
+    * energy (Σ sample², the loudness/silence gate) and zero-crossing
+    * count (sign changes between consecutive samples, the cheap
+    * voiced/unvoiced + noisiness signal) — the two features an audio
+    * curation pass filters on before any spectral work. Sign uses
+    * signum ∈ {-1,0,1} with the first sample uncounted; byte reads
+    * carry a straddling half-sample across buffer boundaries. The
+    * fixtures' sawtooth makes both exactly replayable in the oracle. */
+  def audioQuality(media: DataFrame): Dataset[AudioQuality] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"expected 16-bit LE PCM, got $fmt")
+        val buf = new Array[Byte](4096)
+        var energy = 0L; var zc = 0L; var frames = 0L
+        var prevSign = 2 // sentinel: no previous sample yet
+        var lo = -1 // pending low byte of a straddling sample
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          if (lo >= 0 && n > 0) {
+            val s = ((lo & 0xff) | (buf(0) << 8)).toShort.toInt
+            energy += s.toLong * s
+            val sg = Integer.signum(s)
+            if (prevSign != 2 && sg != prevSign) zc += 1
+            prevSign = sg; frames += 1; lo = -1; i = 1
+          }
+          while (i + 1 < n) {
+            val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt
+            energy += s.toLong * s
+            val sg = Integer.signum(s)
+            if (prevSign != 2 && sg != prevSign) zc += 1
+            prevSign = sg; frames += 1
+            i += 2
+          }
+          if (i < n) lo = buf(i) & 0xff
+          n = in.read(buf)
+        }
+        AudioQuality(r.doc_id, frames, energy, zc)
+      } finally in.close()
+    })
+  }
+
   // ============== REAL VIDEO: motion-PNG container (GMPV) ==============
 
   /** GMPV container magic: 4 bytes, then version, fps, frameCount ints

@@ -2052,6 +2052,32 @@ object LlmQueries {
               FROM p"""),
       "REAL audio decode (javax.sound): WAV round-trip, amplitude-sum-exact oracle"),
 
+    // Audio quality features over the decoded PCM: energy (Σ sample² —
+    // the silence/loudness gate) and zero-crossing count (sign changes,
+    // the cheap noisiness signal). The sawtooth fixtures make both
+    // exactly replayable: the oracle regenerates every sample with
+    // range() and folds the identical integer recurrences — including
+    // signum-zero handling at the wrap samples.
+    Q("q_media_audio_quality",
+      (s, d) => Multimodal.audioQuality(
+        Multimodal.toAudio(t(s, d, "documents"))).toDF(),
+      Some("""WITH p AS (SELECT doc_id,
+                  CAST(doc_id % 1600 + 400 AS BIGINT) AS f
+                FROM documents),
+              smp AS (SELECT doc_id, f, unnest(range(0, f)) AS i FROM p),
+              sv AS (SELECT doc_id, f, i, (i % 256) - 128 AS v FROM smp),
+              sg AS (SELECT doc_id, f, v,
+                       sign(v) AS s,
+                       lag(sign(v)) OVER (PARTITION BY doc_id ORDER BY i)
+                         AS ps
+                     FROM sv)
+              SELECT doc_id, f AS n_frames,
+                CAST(sum(v * v) AS BIGINT) AS energy_sum,
+                CAST(sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                          THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+              FROM sg GROUP BY doc_id, f"""),
+      "audio energy + zero-crossing features, sample-exact sawtooth oracle"),
+
     // REAL video decode: toVideo writes genuine GMPV payloads (an
     // intra-only motion-PNG container — header + length-prefixed real PNG
     // frames; no interframe codec ships in the JDK) and decodeVideo
