@@ -216,7 +216,7 @@ object SearchQueries {
 
   /** The gated winnowing plan (k = [[WinnowShingle]], w = [[WinnowW]]):
     * distinct (doc_id, fp_hash, fp_pos) per document. */
-  private def winnowFps(docs: DataFrame): DataFrame = {
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col("doc_id"),
       posexplode(TextFunctions.shingles(col("text"), WinnowShingle))

@@ -1818,7 +1818,26 @@ object TrainQueries {
            |       WHEN nll6 <= p66 THEN 'middle'
            |       ELSE 'tail' END AS bucket
            |FROM sc JOIN thr ON sc.lang = thr.lang""".stripMargin),
-      "CCNet-style head/middle/tail perplexity buckets per language")
+      "CCNet-style head/middle/tail perplexity buckets per language"),
+
+    // Curriculum ordering: contiguous global training positions sorted
+    // easy-to-hard by the LM score (low NLL first) — the deterministic
+    // ordering a curriculum-learning run feeds batches in. Positions
+    // come from the range-partitioned two-pass global rank
+    // (GlobalRank — approxQuantile range ids + per-range offsets), NOT
+    // a single-partition window: the q_corpus_shuffle/q_sort_global
+    // scale shape.
+    Q("q_corpus_curriculum",
+      (s, d) => graft.operators.GlobalRank.withGlobalRowNumber(
+          pplScores(s, d), "nll6", Seq("doc_id"), "position")._1
+        .select(col("doc_id"), col("lang"), col("nll6"),
+          col("position").cast("long").as("position")),
+      Some(s"""WITH $duckPplCtes
+           |SELECT doc_id, lang, nll6,
+           |  CAST(row_number() OVER (ORDER BY nll6, doc_id) AS BIGINT)
+           |    AS position
+           |FROM sc""".stripMargin),
+      "curriculum ordering: easy-to-hard global positions by LM score")
   )
 
   // ---------- DSIR shared fragments ----------

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Continuous fingerprint-index maintenance: winnowing fingerprints are
+  * per-document deterministic (per-doc windows, no cross-doc state), so
+  * appending each arriving batch's fingerprints to the published index
+  * must equal the batch rebuild — the minhashBandIndexStream argument
+  * applied to the winnow artifact. foreachBatch (the per-doc window is a
+  * batch-gate shape), restart mid-stream, exactly-once per file.
+  */
+class StreamingWinnowSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("winnow fingerprint index: stream-appended ≡ batch-rebuilt, across a restart") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+
+    val want = graft.queries.SearchQueries.winnowFps(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          graft.queries.SearchQueries.winnowFps(df)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"streamed index ${got.size} rows, batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
