@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.operators.Bm25
+
+/** Differential property check of the DataFrame BM25 against a direct
+  * in-memory reference: identical postings statistics and identical
+  * ranked top-k on arbitrary tiny corpora — including shapes the fixed
+  * oracle corpus never generates (repeated words, all-docs-share-a-term
+  * idf floors, single-term queries, equal-score ties resolved by
+  * doc_id). The DuckDB oracle mirrors the formula TEXT; this spec pins
+  * the formula itself against an independently-written fold. */
+class Bm25PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(s: String): List[String] =
+    s.split("\\s+").filter(_.nonEmpty).toList
+
+  /** Reference: plain-Scala BM25 with the same evaluation order. */
+  private def refTopK(corpus: Map[Long, String], queries: Map[Long, String],
+                      k: Int): Set[(Long, Long, Int, Double)] = {
+    val tf = corpus.toList.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, g) => ((id, w), g.size.toLong) }
+    }.toMap
+    val dl = tf.toList.groupBy(_._1._1).map { case (id, l) => id -> l.map(_._2).sum }
+    val df = tf.toList.groupBy(_._1._2).map { case (w, l) => w -> l.size.toLong }
+    val n = dl.size.toLong
+    val ntok = dl.values.sum
+    def contrib(w: String, d: Long): Option[Double] =
+      tf.get((d, w)).map { f =>
+        val idf = math.log(1.0 + (n - df(w) + 0.5) / (df(w) + 0.5))
+        val tfn = f * (Bm25.K1 + 1.0) /
+          (f + Bm25.K1 * (1.0 - Bm25.B + Bm25.B * dl(d) * n / ntok))
+        idf * tfn
+      }
+    queries.toList.flatMap { case (qid, qt) =>
+      val qterms = toks(qt).distinct
+      val scored = corpus.keys.toList.flatMap { d =>
+        val cs = qterms.flatMap(contrib(_, d))
+        if (cs.isEmpty) None
+        else Some(d -> BigDecimal(cs.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      scored.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+        .map { case ((d, s), i) => (qid, d, i + 1, s) }
+    }.toSet
+  }
+
+  private val word = Gen.oneOf("apple", "bear", "cat", "dog", "elm",
+    "fox", "gnu", "hen")
+  private def doc(n: Int) = Gen.listOfN(n, word).map(_.mkString(" "))
+  private val corpusGen = for {
+    nc <- Gen.choose(3, 8)
+    lens <- Gen.listOfN(nc, Gen.choose(1, 12))
+    texts <- Gen.sequence[List[String], String](lens.map(doc))
+  } yield texts.zipWithIndex.map { case (t, i) => (i + 100L, t) }.toMap
+  private val queryGen = for {
+    nq <- Gen.choose(1, 3)
+    lens <- Gen.listOfN(nq, Gen.choose(1, 6))
+    texts <- Gen.sequence[List[String], String](lens.map(doc))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toMap
+
+  test("DataFrame BM25 top-k ≡ in-memory reference on random corpora") {
+    val prop = Prop.forAll(corpusGen, queryGen) { (corpus, queries) =>
+      val cdf = corpus.toSeq.toDF("doc_id", "text")
+      val qdf = queries.toSeq.toDF("doc_id", "text")
+      val post = Bm25.postings(cdf, "text", "doc_id")
+      val got = Bm25.topK(qdf, "text", "doc_id", post, 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      val want = refTopK(corpus, queries, 5)
+      (got == want) :| s"got=${got.toList.sorted.take(5)} want=${want.toList.sorted.take(5)}"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -434,4 +434,36 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(guard.getMessage.contains("refusing to broadcast"))
   }
+
+  test("q_text_bm25_topk broadcasts the query terms into the postings join — no cartesian") {
+    val p = plan("q_text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dsir_weights joins the frozen λ model via broadcast on the bucket id") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_winnow windows per document — no single-partition exchange") {
+    val p = plan("q_text_winnow")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_text_winnow_overlap pairs via the fp_hash equi-join — no nested-loop, no cartesian") {
+    val p = plan("q_text_winnow_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_corpus_curriculum ranks inside range partitions — no global window") {
+    // the one-row LM-total aggregate legitimately plans a SinglePartition
+    // exchange; the SCALE claim is that the row_number window itself is
+    // partitioned by the GlobalRank range id, never a global sort
+    val p = plan("q_corpus_curriculum")
+    assert(p.contains("__range"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
