@@ -48,6 +48,7 @@ object TrainQueries {
   val KmvK = 64           // KMV sketch size (k minimum distinct hashes)
   val ChunkSize = 24      // tokens per training chunk
   val ChunkStride = 16    // chunk start stride (ChunkSize − overlap)
+  val LenBatch = 32       // docs per length-adaptive batch
   val DsirB = graft.operators.Dsir.B // DSIR hash feature buckets
   val DsirTargetMax = 100L // doc_id < 100 = the curated DSIR target corpus
   val DsirK = 100          // DSIR selection size
@@ -1837,7 +1838,33 @@ object TrainQueries {
            |  CAST(row_number() OVER (ORDER BY nll6, doc_id) AS BIGINT)
            |    AS position
            |FROM sc""".stripMargin),
-      "curriculum ordering: easy-to-hard global positions by LM score")
+      "curriculum ordering: easy-to-hard global positions by LM score"),
+
+    // Length-adaptive batching: sort-by-length batch assignment — docs
+    // of similar token length share a batch, the standard padding-waste
+    // minimizer for sequence training. Same range-partitioned global
+    // rank as the curriculum (no single-partition sort); batch_id is
+    // pure arithmetic on the rank.
+    Q("q_batch_by_length",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"))
+        graft.operators.GlobalRank.withGlobalRowNumber(
+            docs, "n_words", Seq("doc_id"), "rn")._1
+          .select(col("doc_id"), col("n_words"),
+            expr(s"(rn - 1) div $LenBatch").as("batch_id"),
+            ((col("rn") - 1) % LenBatch + 1).cast("int").as("pos_in_batch"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id,
+           |  CAST(len(${LlmQueries.duckTokens("text")}) AS BIGINT)
+           |    AS n_words FROM documents)
+           |SELECT doc_id, n_words,
+           |  (rn - 1) // $LenBatch AS batch_id,
+           |  CAST((rn - 1) % $LenBatch + 1 AS INT) AS pos_in_batch
+           |FROM (SELECT doc_id, n_words, CAST(row_number() OVER
+           |        (ORDER BY n_words, doc_id) AS BIGINT) AS rn
+           |      FROM n)""".stripMargin),
+      s"length-adaptive batching: $LenBatch-doc batches of similar token length")
   )
 
   // ---------- DSIR shared fragments ----------
