@@ -1,0 +1,33 @@
+package graft
+
+import graft.tools.GoldenPath
+
+/** The golden-path demo must keep running end-to-end: raw docs →
+  * admitted/splits/corpus parquet, internal self-checks green (run()
+  * `require`s that what landed on disk equals the gated registry
+  * results), splits partitioned, every admitted doc packed exactly
+  * once. */
+class GoldenPathSpec extends SparkSpec {
+
+  test("GoldenPath.run produces a self-consistent training corpus at sf0.001") {
+    val out = java.nio.file.Files.createTempDirectory("graft_golden_spec")
+      .toString
+    val stats = GoldenPath.run(spark, "/root/testdata/sf0.001", out)
+    assert(stats("admitted") > 0, stats.toString)
+    assert(stats("splits") > 0, stats.toString)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    // every admitted doc appears exactly once, with a split and a chunk
+    assert(corpus.count() === stats("admitted"))
+    assert(corpus.select("doc_id").distinct().count() === stats("admitted"))
+    val splits = corpus.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")), splits.toString)
+    // chunk positions are contiguous from 1 within each (split, chunk)
+    import org.apache.spark.sql.functions._
+    val bad = corpus.groupBy("split", "chunk_id")
+      .agg(count(lit(1)).as("n"), max("pos_in_chunk").as("mx"),
+        min("pos_in_chunk").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() === 0, bad.collect().mkString(","))
+  }
+}
