@@ -126,7 +126,11 @@ object Bench {
     // winnowing fingerprints (+ overlap apply), data cards, and the two
     // rows the second r11 bench pass showed ≥~2 s in the sweep
     "q_text_bm25_topk", "q_text_winnow", "q_text_winnow_overlap",
-    "q_profile_sources", "q_dedup_cluster_stats", "q_text_bpe_fertility")
+    "q_profile_sources", "q_dedup_cluster_stats", "q_text_bpe_fertility",
+    // round-11 continuation: Hamming-banded near-dup applies (text
+    // SimHash pigeonhole bands, image dHash masked-bit buckets) —
+    // collision-dense fixtures put both near the 2 s line
+    "q_dedup_simhash_pairs", "q_media_phash_near")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -726,6 +726,51 @@ object LlmQueries {
                WHERE j >= $NearDupJaccard"""),
       "blocked brute-force n-gram Jaccard near-dups (hashed shingles, one set op per pair)"),
 
+    // SimHash near-dup PAIRS — the apply half the signature table
+    // (q_dedup_simhash) feeds: Hamming distance ≤ 2 over the 16-bit
+    // simhash, candidates by PIGEONHOLE BANDING (3 bands of 6/5/5 bits:
+    // ≤2 flips leave ≥1 band intact, so every qualifying pair shares an
+    // exact band key and arrives through an equi-join, never all-pairs).
+    // The Σf² per-bucket fan-out is the banded-join contract shared with
+    // MinHash-LSH.
+    Q("q_dedup_simhash_pairs",
+      (s, d) => {
+        val sig = Dedup.simhashTable(t(s, d, "documents"), "text", "doc_id")
+        val banded = sig.select(col("doc_id"), col("simhash"), explode(array(
+            struct(lit(0).as("b"), (col("simhash") % 64).as("k")),
+            struct(lit(1).as("b"),
+              (expr("simhash div 64") % 32).as("k")),
+            struct(lit(2).as("b"),
+              (expr("simhash div 2048") % 32).as("k")))).as("band"))
+          .select(col("doc_id"), col("simhash"),
+            col("band.b").as("b"), col("band.k").as("k"))
+        banded.select(col("b"), col("k"), col("doc_id").as("id1"),
+            col("simhash").as("h1"))
+          .join(banded.select(col("b").as("b2"), col("k").as("k2"),
+              col("doc_id").as("id2"), col("simhash").as("h2")),
+            col("b") === col("b2") && col("k") === col("k2") &&
+              col("id1") < col("id2"))
+          .select("id1", "id2", "h1", "h2").distinct()
+          .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("int"))
+          .filter(col("hamming") <= 2)
+          .select("id1", "id2", "hamming")
+      },
+      Some(s"""WITH shs AS (
+           |  SELECT doc_id, ${duckSimhash(duckTokens("text"), 16)} AS sh
+           |  FROM documents),
+           |bands AS (
+           |  SELECT doc_id, sh, 0 AS b, sh % 64 AS k FROM shs
+           |  UNION ALL SELECT doc_id, sh, 1, (sh // 64) % 32 FROM shs
+           |  UNION ALL SELECT doc_id, sh, 2, (sh // 2048) % 32 FROM shs),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+           |         a.sh AS h1, c.sh AS h2
+           |  FROM bands a JOIN bands c
+           |    ON a.b = c.b AND a.k = c.k AND a.doc_id < c.doc_id)
+           |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+           |FROM cand WHERE bit_count(xor(h1, h2)) <= 2""".stripMargin),
+      "SimHash near-dup pairs: Hamming ≤ 2 via pigeonhole banding (6/5/5), equi-join only"),
+
     // Cross-document repeated-substring spans: the contiguous word ranges
     // whose 8-word shingles recur in ≥2 documents — what a span-level
     // dedup would cut. Inverted index on the portable shingle hash →
@@ -2031,6 +2076,74 @@ object LlmQueries {
                 array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
               FROM sig GROUP BY dhash_hex HAVING count(*) > 1"""),
       "image near-dup groups by identical perceptual hash (exact-bucket tier)"),
+
+    // Hamming-widened image near-dup: pairs whose dHash row bytes differ
+    // in ≤ 1 bit (= perceptual distance ≤ 8 over the 64-bit hash, since
+    // rows repeat the byte). Candidates by MASKED-BIT bucketing — 8 keys
+    // per image, key i = the row byte with bit i cleared, so any pair
+    // differing only in bit i (and any equal pair) shares key i and
+    // arrives through an equi-join; the multiprobe-LSH shape with exact
+    // recall at the radius. Verification is one xor+popcount.
+    Q("q_media_phash_near",
+      (s, d) => {
+        val sig = Multimodal.dHashImages(
+            Multimodal.toImages(t(s, d, "documents"))).toDF()
+          .select(col("doc_id"),
+            conv(substring(col("dhash_hex"), 1, 2), 16, 10)
+              .cast("long").as("rb"))
+        val keyed = sig.select(col("doc_id"), col("rb"), explode(array(
+            (0 until 8).map(i => struct(lit(i).as("b"),
+              col("rb").bitwiseAND(lit(255L - (1L << i))).as("k"))): _*))
+            .as("mk"))
+          .select(col("doc_id"), col("rb"),
+            col("mk.b").as("b"), col("mk.k").as("k"))
+        keyed.select(col("b"), col("k"), col("doc_id").as("id1"),
+            col("rb").as("r1"))
+          .join(keyed.select(col("b").as("b2"), col("k").as("k2"),
+              col("doc_id").as("id2"), col("rb").as("r2")),
+            col("b") === col("b2") && col("k") === col("k2") &&
+              col("id1") < col("id2"))
+          .select("id1", "id2", "r1", "r2").distinct()
+          .withColumn("hamming64",
+            (expr("bit_count(r1 ^ r2)") * 8).cast("int"))
+          .filter(col("hamming64") <= 8)
+          .select("id1", "id2", "hamming64")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                  CAST(doc_id % 256 AS BIGINT) AS b,
+                  CAST(doc_id % 57 + 8 AS BIGINT) AS sw
+                FROM documents),
+              tx AS (SELECT doc_id, b, sw, unnest(range(0, 9)) AS tx FROM m),
+              xr AS (SELECT doc_id, b, sw, tx,
+                       (tx * sw) // 9 AS x0,
+                       greatest(((tx + 1) * sw) // 9, (tx * sw) // 9 + 1) AS x1
+                     FROM tx),
+              xs AS (SELECT doc_id, b, tx, x1 - x0 AS n,
+                       unnest(range(x0, x1)) AS x FROM xr),
+              pt AS (SELECT doc_id, tx, sum((b + x) % 256) // max(n) AS pv
+                     FROM xs GROUP BY doc_id, tx),
+              bits AS (SELECT doc_id, tx, pv,
+                         lead(pv) OVER (PARTITION BY doc_id ORDER BY tx)
+                           AS nxt
+                       FROM pt),
+              rowb AS (SELECT doc_id,
+                         CAST(sum(CASE WHEN nxt > pv
+                                   THEN (1 << CAST(tx AS INT)) ELSE 0 END)
+                              AS BIGINT) AS rb
+                       FROM bits WHERE tx < 8 GROUP BY doc_id),
+              keyed AS (
+                SELECT doc_id, rb, i AS bb, rb & (255 - (1 << CAST(i AS INT)))
+                         AS k
+                FROM rowb, (SELECT unnest(range(0, 8)) AS i)),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+                       a.rb AS r1, c.rb AS r2
+                FROM keyed a JOIN keyed c
+                  ON a.bb = c.bb AND a.k = c.k AND a.doc_id < c.doc_id)
+              SELECT id1, id2,
+                CAST(bit_count(xor(r1, r2)) * 8 AS INT) AS hamming64
+              FROM cand WHERE bit_count(xor(r1, r2)) * 8 <= 8"""),
+      "image near-dup pairs: dHash Hamming ≤ 8 via masked-bit buckets, exact recall"),
 
     // REAL audio decode: toAudio writes genuine RIFF/WAVE payloads (mono
     // 16-bit signed PCM sawtooth, sample(i) = (i mod 256) − 128) and
