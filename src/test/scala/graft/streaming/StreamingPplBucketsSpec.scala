@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Ingest-time CCNet bucketing against FROZEN artifacts: the unigram LM
+  * (term counts + total) and the per-language perplexity terciles are
+  * published once as parquet, batch-side; the per-microbatch apply
+  * (score each arriving doc against the frozen LM, bucket against the
+  * frozen thresholds — both broadcast joins, no corpus aggregation)
+  * must emit exactly the batch assignment, and a RESTART must pick up
+  * exactly the unprocessed files. */
+class StreamingPplBucketsSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def score(docs: DataFrame, tf: DataFrame,
+                    tot: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .join(broadcast(tf), "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang")
+      .agg(round(avg(-log(col("ctf").cast("double") / col("ntok"))), 6)
+        .as("nll6"))
+
+  private def bucket(scored: DataFrame, thr: DataFrame): DataFrame =
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("nll6"),
+        when(col("nll6") <= col("p33"), "head")
+          .when(col("nll6") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+
+  test("frozen LM + terciles: streaming bucket assignment ≡ batch, across a restart") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "lang", "text")
+
+    // publish: LM term counts, total, and per-lang thresholds as parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl").toString
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+      .write.parquet(s"$dir/tf")
+    toks.agg(count(lit(1)).as("ntok")).write.parquet(s"$dir/tot")
+    val tf = spark.read.parquet(s"$dir/tf")
+    val tot = spark.read.parquet(s"$dir/tot")
+    score(docs, tf, tot).groupBy("lang")
+      .agg(round(expr("percentile(nll6, 0.33333333)"), 6).as("p33"),
+        round(expr("percentile(nll6, 0.66666667)"), 6).as("p66"))
+      .write.parquet(s"$dir/thr")
+    val thr = spark.read.parquet(s"$dir/thr")
+
+    val want = bucket(score(docs, tf, tot), thr).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(want.nonEmpty)
+    assert(want.map(_._4).size > 1 || want.size < 3,
+      "fixture produced a single bucket — thresholds degenerate")
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          bucket(score(df, tf, tot), thr)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
