@@ -36,4 +36,35 @@ object Anomaly {
       .withColumn("z", (col(centsCol).cast("double") - col("mean_c")) / col("std_c"))
       .drop("sc", "scc", "n")
   }
+
+  /** Robust (median/MAD) outlier score — the modified z-score of Iglewicz &
+    * Hoaglin: mz = 0.6745·(x − median) / MAD. Unlike [[zscore]], a single
+    * extreme row cannot inflate the spread estimate and mask itself.
+    *
+    * Determinism: the input is exact integer cents, so the per-group median
+    * is a half-integer and the MAD (a median of half-integer absolute
+    * deviations) a quarter-integer — all exact binary fractions, and both
+    * engines' interpolating percentile (Spark `percentile`, DuckDB
+    * `quantile_cont`) lands on identical doubles. The final mz is one fixed
+    * IEEE expression written the same on both sides.
+    *
+    * Scale: two map-side-combined aggregates over O(groups) keys (exact
+    * percentile state is O(distinct values per group) — bounded for
+    * categorical groups; swap approx_percentile at true scale) plus two
+    * broadcast joins of the tiny stats tables. Groups with MAD = 0 (over
+    * half the mass on one value) are dropped by the caller's `mad_c > 0`
+    * guard rather than emitting ±Inf. */
+  def madScore(df: DataFrame, groupCol: String, centsCol: String): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($centsCol, 0.5)").as("med_c"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("adev", abs(col(centsCol).cast("double") - col("med_c")))
+    val mad = dev.groupBy(groupCol)
+      .agg(expr("percentile(adev, 0.5)").as("mad_c"))
+    dev.join(broadcast(mad), groupCol)
+      .withColumn("mz",
+        (lit(0.6745) * (col(centsCol).cast("double") - col("med_c"))) /
+          col("mad_c"))
+      .drop("adev")
+  }
 }

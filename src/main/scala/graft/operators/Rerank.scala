@@ -34,6 +34,35 @@ object Rerank {
   val LamNum = 7L
   val LamCompl = 3L
 
+  /** Reciprocal-rank-fusion constant (Cormack et al., SIGIR'09: k=60). */
+  val RrfC = 60
+
+  /** Reciprocal rank fusion of TWO ranked lists (lexical + semantic — the
+    * standard hybrid-retrieval combiner). Each input has columns
+    * (query_id, doc_id, rnk); a candidate's fused score is
+    * Σ 1/(RrfC + rnk) over the lists it appears in.
+    *
+    * Determinism: each (query, doc) has at most TWO addends, and IEEE
+    * addition of two doubles is commutative — so the fused score is exactly
+    * reproducible in any engine regardless of aggregation order (this is
+    * why the API is two-list, not variadic: 3+ addends would make the
+    * distributed sum order-sensitive). Final ranking orders by the exact
+    * unrounded score with doc_id as tiebreak.
+    *
+    * Scale: inputs are top-k lists — O(queries · k) rows — so the fusion
+    * is a union + one tiny aggregate, negligible next to the retrievals. */
+  def rrf(lex: DataFrame, sem: DataFrame, k: Int): DataFrame = {
+    val contrib = (df: DataFrame) => df.select(col("query_id"), col("doc_id"),
+      (lit(1.0) / (lit(RrfC.toDouble) + col("rnk").cast("double"))).as("rc"))
+    val fused = contrib(lex).unionByName(contrib(sem))
+      .groupBy("query_id", "doc_id").agg(sum(col("rc")).as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("rn").cast("int").as("rnk"),
+        round(col("rrf"), 6).as("rrf6"))
+  }
+
   /** Exact integer dot product of two fixed-point (long) vectors. */
   private def dotL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch gap-based sessionization — the batch twin of the streaming
+  * session window (`q_stream_session`): a user's events are split into
+  * sessions wherever the gap to the previous event exceeds `gapUs`.
+  * Session index is the running count of gap-breaks, so ids are dense
+  * per user (1, 2, 3, …) and independent of absolute time.
+  *
+  * Determinism: event order within a user is (ts, tieCol) — tied
+  * timestamps are broken by the unique event id, so lag/running-sum see
+  * one canonical order on any engine or partitioning.
+  *
+  * Scale: ONE hash shuffle on the user key feeds both windows (lag and
+  * the running sum share the same partitioning + sort); the per-session
+  * rollup then aggregates (user, session_idx) — map-side combined, and
+  * keyed by a superset of the window partition key, so no skew beyond
+  * the per-user event distribution. Nothing is ever globally sorted.
+  */
+object Sessionize {
+
+  /** Default gap: 30 minutes, in microseconds. */
+  val GapUs: Long = 1800L * 1000000L
+
+  /** Adds `session_idx` (1-based, dense per user) to `df`. `tsCol` must be
+    * numeric event-time (unix micros); `tieCol` a unique per-row id. */
+  def assign(df: DataFrame, userCol: String, tsCol: String, tieCol: String,
+             gapUs: Long = GapUs): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev", "__brk")
+  }
+
+  /** Per-session rollup: bounds, duration, event count and an exact-integer
+    * value sum (centsCol pre-converted by the caller). */
+  def stats(df: DataFrame, userCol: String, tsCol: String, tieCol: String,
+            centsCol: String, gapUs: Long = GapUs): DataFrame =
+    assign(df, userCol, tsCol, tieCol, gapUs)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_us"),
+        max(col(tsCol)).as("end_us"),
+        sum(col(centsCol)).as("value_cents"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+}

@@ -122,6 +122,20 @@ object Similarity {
     topK(scored(broadcast(q), c, col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Exact top-k cosine retrieval of `queries` against a SEPARATE corpus
+    * frame — the serving shape (query batch vs a frozen corpus snapshot),
+    * where [[bruteForceTopK]] is the self-join shape (dedup/recall over one
+    * table). The query side is broadcast under `maxQueryRows`; the corpus
+    * streams through the codegen'd scored pass, so at 100 TB this is one
+    * corpus scan + a per-query top-k window, no shuffle of the corpus. */
+  def corpusTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val qCnt = queries.count()
+    requireBroadcastable(qCnt, maxQueryRows)
+    topK(scored(broadcast(asQuery(queries)), asCorpus(corpus),
+      col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** Deterministic uniform seed sample: the nCells corpus vectors with the
     * smallest portable hash of their id. Hash-ordered top-k is a uniform
     * sample reproducible in oracle SQL (no RNG), unlike "first nCells ids"

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Anomaly, Bfs, Funnel, FuzzyJoin, GapFill, Incremental,
-  KMeans, LabelProp, Packing, PageRank, Triangles}
+  KMeans, LabelProp, Packing, PageRank, Sessionize, Triangles}
 
 /** Event-pipeline and graph analytics: ordered funnels, time-range rolling
   * windows, exact-integer z-score outliers, calendar gap-fill, LLM sequence
@@ -211,6 +211,76 @@ object AnalyticsQueries {
               SELECT event_id, event_type, value, round(zv, 6) AS z6
               FROM z WHERE abs(zv) > 2.5"""),
       "per-group z-score outliers from exact integer sums (broadcast stats, no window)"),
+
+    // Robust (median/MAD) outlier score — the modified z-score, immune to
+    // the masking that inflates a plain z's stddev when the outlier itself
+    // dominates the spread. Exact-integer cents in, interpolating
+    // percentiles land on exact binary fractions (half-/quarter-integers),
+    // and the 0.6745·dev/MAD expression is written identically on both
+    // engines. |mz| > 3.5 is the Iglewicz–Hoaglin convention.
+    Q("q_anomaly_mad",
+      (s, d) => {
+        val ec = t(s, d, "events").select(col("event_id"),
+          col("event_type"), col("value"), cents(col("value")).as("c"))
+        Anomaly.madScore(ec, "event_type", "c")
+          .filter(col("mad_c") > 0 && abs(col("mz")) > 3.5)
+          .select(col("event_id"), col("event_type"), col("value"),
+            round(col("mz"), 6).as("mz6"))
+      },
+      Some("""WITH ec AS (SELECT event_id, event_type, value,
+                            CAST(round(value * 100) AS BIGINT) AS c
+                          FROM events),
+              md AS (SELECT event_type, quantile_cont(c, 0.5) AS med_c
+                     FROM ec GROUP BY event_type),
+              dv AS (SELECT ec.*, md.med_c,
+                       abs(CAST(ec.c AS DOUBLE) - md.med_c) AS adev
+                     FROM ec JOIN md USING (event_type)),
+              m2 AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad_c
+                     FROM dv GROUP BY event_type),
+              z AS (SELECT dv.event_id, dv.event_type, dv.value,
+                      (0.6745 * (CAST(dv.c AS DOUBLE) - dv.med_c)) / m2.mad_c
+                        AS mz
+                    FROM dv JOIN m2 USING (event_type)
+                    WHERE m2.mad_c > 0)
+              SELECT event_id, event_type, value, round(mz, 6) AS mz6
+              FROM z WHERE abs(mz) > 3.5"""),
+      "robust median/MAD outliers (modified z-score; exact interpolated percentiles)"),
+
+    // Batch gap-based sessionization (30-min inactivity cut) — the batch
+    // twin of q_stream_session, producing the per-session rollup an
+    // engagement pipeline materializes nightly. One user-keyed shuffle
+    // feeds lag + running-sum (shared window sort); the rollup aggregates
+    // (user, session_idx) map-side. Ties in ts break on event_id, so the
+    // session assignment is canonical on any engine.
+    Q("q_events_sessionize",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("c"))
+        Sessionize.stats(ev, "user_id", "ts_us", "event_id", "c")
+          .select(col("user_id"), col("session_idx"), col("n_events"),
+            col("start_us"), col("end_us"), col("dur_us"), col("value_cents"))
+      },
+      Some(s"""WITH ev AS (SELECT event_id, user_id,
+           |                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           |                 CAST(round(value * 100) AS BIGINT) AS c
+           |               FROM events),
+           |lg AS (SELECT *, lag(ts_us) OVER
+           |         (PARTITION BY user_id ORDER BY ts_us, event_id) AS pts
+           |       FROM ev),
+           |fl AS (SELECT *, CASE WHEN pts IS NULL
+           |                        OR ts_us - pts > ${Sessionize.GapUs}
+           |                      THEN 1 ELSE 0 END AS brk
+           |       FROM lg),
+           |sx AS (SELECT *, CAST(sum(brk) OVER
+           |         (PARTITION BY user_id ORDER BY ts_us, event_id
+           |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           |       FROM fl)
+           |SELECT user_id, session_idx, count(*) AS n_events,
+           |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+           |       max(ts_us) - min(ts_us) AS dur_us,
+           |       CAST(sum(c) AS BIGINT) AS value_cents
+           |FROM sx GROUP BY user_id, session_idx""".stripMargin),
+      "gap-based sessionization: per-session rollup (batch twin of the session window)"),
 
     // Daily activity regularized onto a dense calendar: every (user, day)
     // in the observed range, gaps carrying the last active day's total

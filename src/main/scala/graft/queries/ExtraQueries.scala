@@ -16,6 +16,9 @@ object ExtraQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Rendezvous-sharding shard count (q_shard_rendezvous). */
+  val RvShards = 16
+
   /** Shared by q_sim_topk_ivf and q_sim_recall_ivf — the full IVF chain
     * (adaptive cell count, hash-seeded centroids, argmax-dot assignment,
     * in-cell scoring). */
@@ -212,6 +215,45 @@ object ExtraQueries {
                    "(c_custkey % 256)", "(c_nationkey % 256)", 8)} AS zval
                FROM customer"""),
       "Morton z-order interleave key (drives two-column file clustering — ZOrderSpec)"),
+
+    // Rendezvous (highest-random-weight) sharding: doc → argmax over
+    // shards of hash(doc, shard). The consistent-placement scheme for
+    // corpus shards / cache nodes: removing one shard relocates ONLY
+    // that shard's keys (the invariant: moved ⇒ shard_n = N−1, pinned in
+    // RendezvousSpec), where mod-N hashing would reshuffle (N−1)/N of a
+    // 100 TB corpus. Argmax is one packed max (key = hash·N + shard, so
+    // ties are impossible and both engines agree bit-exactly); the
+    // explode is a narrow ×N map with map-side-combined max — no join,
+    // one shuffle on doc_id.
+    Q("q_shard_rendezvous",
+      (s, d) => {
+        val keyed = t(s, d, "documents").select(col("doc_id"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(RvShards - 1))).as("sh"))
+          .withColumn("key", graft.functions.PortableHash.hashMod(
+            concat_ws(":", col("doc_id"), col("sh"))) * RvShards + col("sh"))
+        keyed.groupBy("doc_id").agg(
+            (max(col("key")) % RvShards).as("shard_n"),
+            (max(when(col("sh") < RvShards - 1, col("key")))
+              % RvShards).as("shard_n1"))
+          .withColumn("moved", col("shard_n") =!= col("shard_n1"))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(range(0, $RvShards)) AS sh
+           |            FROM documents),
+           |k AS (SELECT doc_id, sh,
+           |        ${graft.functions.PortableHash.duckHashMod(
+                      "doc_id::VARCHAR || ':' || sh::VARCHAR")}
+           |          * $RvShards + sh AS key
+           |      FROM sh)
+           |SELECT doc_id,
+           |  max(key) % $RvShards AS shard_n,
+           |  max(CASE WHEN sh < ${RvShards - 1} THEN key END)
+           |    % $RvShards AS shard_n1,
+           |  (max(key) % $RvShards) <>
+           |    (max(CASE WHEN sh < ${RvShards - 1} THEN key END)
+           |     % $RvShards) AS moved
+           |FROM k GROUP BY doc_id""".stripMargin),
+      "rendezvous-hash sharding: HRW placement + single-shard-removal stability"),
 
     Q("q_scan_orc",
       (s, d) => {

@@ -44,7 +44,7 @@ object LlmQueries {
     s"list_min(list_transform($shset, w -> ((${minhashA(i)} * ${duckHashMod("w")} + ${minhashB(i)}) % $MOD)))"
 
   /** 16-bit simhash over a tokens fragment (per-occurrence ±1 bit votes). */
-  private def duckSimhash(ts: String, bits: Int): String = {
+  private[queries] def duckSimhash(ts: String, bits: Int): String = {
     val hs = s"list_transform($ts, w -> ${duckHashMod("w")})"
     (0 until bits).map { j =>
       s"""(CASE WHEN coalesce(list_sum(list_transform($hs,
@@ -78,7 +78,7 @@ object LlmQueries {
 
   /** Cosine similarity of two DOUBLE[] fragments (0 when either norm is 0),
     * mirroring VectorFunctions.cosine. */
-  private def duckCosine(a: String, b: String): String =
+  private[queries] def duckCosine(a: String, b: String): String =
     s"""(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
        | THEN 0.0
        | ELSE list_dot_product($a, $b) /

@@ -27,6 +27,8 @@ object SearchQueries {
   val OverlapMin = 2    // min shared fingerprints for an overlap pair
   val MaxFpDf = 50      // frequent-fingerprint cap (df over docs)
   private val PosPack = 1048576L // 2^20 — rightmost-argmin packing base
+  val PmiMinCount = 5   // collocation support floor (bigram count)
+  val PmiTop = 50       // collocations reported
 
   /** Queries = the benchmark docs (doc_id < 10, the decontam
     * convention); corpus = the rest. */
@@ -211,7 +213,132 @@ object SearchQueries {
            |SELECT base.source, n_docs, n_words, n_langs, avg_chars6,
            |       top_lang
            |FROM base JOIN top ON base.source = top.source""".stripMargin),
-      "per-source data cards: docs/words/lang-spread/dominant-lang summary")
+      "per-source data cards: docs/words/lang-spread/dominant-lang summary"),
+
+    // Hybrid retrieval: reciprocal rank fusion (Cormack et al. 2009) of
+    // the BM25 lexical list and the exact-cosine semantic list over the
+    // SAME query set (id < $QMax) and corpus (id ≥ $QMax) — the standard
+    // RAG retrieval combiner. Fusion works on the two top-$Bm25K lists
+    // (O(queries·k) rows), so its cost is negligible next to the
+    // retrievals; each (query, doc) has at most two 1/(60+rank) addends,
+    // and two-addend IEEE addition is order-independent, so the fused
+    // score is bit-reproducible across engines. Both input rankings are
+    // themselves oracle-gated entries (q_text_bm25_topk, the brute-cosine
+    // family); at 100 TB either side swaps for its ANN/index form without
+    // touching the fusion.
+    Q("q_retrieval_rrf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val post = graft.core.CacheScope.autoRelease(Bm25.postings(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
+        val lex = Bm25.topK(docs.filter(col("doc_id") < QMax), "text",
+          "doc_id", post, Bm25K)
+        val sem = graft.operators.Similarity.corpusTopK(
+          emb.filter(col("vec_id") >= QMax),
+          emb.filter(col("vec_id") < QMax), Bm25K)
+        graft.operators.Rerank.rrf(
+          lex.select("query_id", "doc_id", "rnk"),
+          sem.select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk")), Bm25K)
+      },
+      Some(s"""WITH $duckBm25Ctes,
+           |qt AS (SELECT DISTINCT doc_id AS query_id, term
+           |       FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |             FROM documents WHERE doc_id < $QMax)),
+           |sc AS (SELECT qt.query_id, ctf.doc_id,
+           |         round(sum($duckContrib), 6) AS score6
+           |       FROM qt JOIN ctf USING (term)
+           |         JOIN cdf USING (term)
+           |         JOIN cdl ON ctf.doc_id = cdl.doc_id
+           |         CROSS JOIN cst
+           |       GROUP BY qt.query_id, ctf.doc_id),
+           |lex AS (SELECT query_id, doc_id, rn AS rnk
+           |        FROM (SELECT *, row_number() OVER
+           |                (PARTITION BY query_id
+           |                 ORDER BY score6 DESC, doc_id) AS rn
+           |              FROM sc)
+           |        WHERE rn <= $Bm25K),
+           |sem AS (SELECT query_id, doc_id, rn AS rnk FROM (
+           |          SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |              ${LlmQueries.duckCosine("q.embedding::DOUBLE[]",
+                            "c.embedding::DOUBLE[]")} DESC, c.vec_id) AS rn
+           |          FROM embeddings q JOIN embeddings c
+           |            ON c.vec_id >= $QMax
+           |          WHERE q.vec_id < $QMax)
+           |        WHERE rn <= $Bm25K),
+           |un AS (SELECT query_id, doc_id,
+           |         1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS rc FROM lex
+           |       UNION ALL
+           |       SELECT query_id, doc_id,
+           |         1.0 / (60.0 + CAST(rnk AS DOUBLE)) FROM sem),
+           |fs AS (SELECT query_id, doc_id, sum(rc) AS rrf
+           |       FROM un GROUP BY query_id, doc_id)
+           |SELECT query_id, doc_id, CAST(rn AS INT) AS rnk,
+           |       round(rrf, 6) AS rrf6
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+           |      FROM fs)
+           |WHERE rn <= $Bm25K""".stripMargin),
+      "hybrid retrieval: reciprocal rank fusion of BM25 + exact-cosine lists"),
+
+    // PMI collocations (Church & Hanks 1990): pointwise mutual
+    // information of adjacent word pairs, the corpus-release collocation
+    // report (and the classic phrase-mining signal feeding a tokenizer's
+    // multi-word vocab). Counts come from the two map-side-combined
+    // aggregates the bigram-LM artifact already uses; PMI is one fixed
+    // IEEE expression over exact integer counts (products ≤ ~6e12 « 2^53
+    // at bench scale), written identically on both engines. The ≥
+    // $PmiMinCount support floor is the standard guard against
+    // hapax-pair PMI explosion; output is the deterministic top
+    // $PmiTop (ordered by unrounded PMI with the unique (w1,w2) pair as
+    // tiebreak — TakeOrderedAndProject, no global sort).
+    Q("q_text_pmi",
+      (s, d) => {
+        val docs = graft.core.Tables.ensureParallelism(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
+        val uni = docs.select(explode(TextFunctions.tokens(col("text")))
+            .as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cw"))
+        val big = docs.select(explode(TextFunctions.shingles(col("text"), 2))
+            .as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("cab"))
+          .select(split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+            split_part(col("bg"), lit(" "), lit(2)).as("w2"), col("cab"))
+        val nu = uni.agg(sum(col("cw")).as("nu"))
+        val nb = big.agg(sum(col("cab")).as("nb"))
+        big.filter(col("cab") >= PmiMinCount)
+          .join(uni.select(col("term").as("w1"), col("cw").as("ca")), "w1")
+          .join(uni.select(col("term").as("w2"), col("cw").as("cb")), "w2")
+          .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+          .withColumn("pmi",
+            log(((col("cab") * col("nu")).cast("double") / col("nb")) /
+              ((col("ca") * col("cb")).cast("double") / col("nu"))))
+          .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(PmiTop)
+          .select(col("w1"), col("w2"), col("cab"),
+            round(col("pmi"), 6).as("pmi6"))
+      },
+      Some(s"""WITH toks AS (
+           |  SELECT unnest(${duckTokens("text")}) AS term FROM documents),
+           |uni AS (SELECT term, count(*) AS cw FROM toks GROUP BY term),
+           |nut AS (SELECT CAST(sum(cw) AS BIGINT) AS nu FROM uni),
+           |big AS (SELECT split_part(bg, ' ', 1) AS w1,
+           |               split_part(bg, ' ', 2) AS w2, count(*) AS cab
+           |        FROM (SELECT unnest(${duckShingles(duckTokens("text"), 2)})
+           |                AS bg FROM documents)
+           |        GROUP BY 1, 2),
+           |nbt AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM big),
+           |j AS (SELECT w1, w2, cab,
+           |        ln((CAST(cab * nu AS DOUBLE) / nb) /
+           |           (CAST(a.cw * b.cw AS DOUBLE) / nu)) AS pmi
+           |      FROM big JOIN uni a ON big.w1 = a.term
+           |                JOIN uni b ON big.w2 = b.term
+           |        CROSS JOIN nut CROSS JOIN nbt
+           |      WHERE cab >= $PmiMinCount)
+           |SELECT w1, w2, cab, round(pmi, 6) AS pmi6
+           |FROM j ORDER BY pmi DESC, w1, w2 LIMIT $PmiTop""".stripMargin),
+      "PMI collocations: top adjacent word pairs by pointwise mutual information")
   )
 
   /** The gated winnowing plan (k = [[WinnowShingle]], w = [[WinnowW]]):

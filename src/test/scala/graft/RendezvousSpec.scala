@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.ExtraQueries
+
+/** Rendezvous-hash sharding contracts: the single-shard-removal
+  * stability invariant (removing shard N−1 relocates ONLY its keys) and
+  * a sane placement spread. */
+class RendezvousSpec extends SparkSpec {
+
+  private lazy val assigned =
+    ExtraQueries.all.find(_.name == "q_shard_rendezvous").get
+      .run(spark, sf0001).cache()
+
+  test("moved ⇒ the doc was on the removed shard (HRW stability)") {
+    // any doc whose assignment changed when shard 15 was removed must
+    // have been ON shard 15 — HRW's defining property; mod-N hashing
+    // would move ~15/16 of all docs
+    assert(assigned.filter(col("moved") &&
+      col("shard_n") =!= (ExtraQueries.RvShards - 1)).isEmpty)
+    // and docs on shard 15 all moved (their winner disappeared)
+    assert(assigned.filter(
+      col("shard_n") === (ExtraQueries.RvShards - 1) && !col("moved")).isEmpty)
+  }
+
+  test("every shard receives keys and no shard dominates") {
+    val sizes = assigned.groupBy("shard_n").count()
+      .select("count").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    assert(sizes.length == ExtraQueries.RvShards)
+    val n = sizes.sum.toDouble
+    // uniform expectation n/16; allow a generous 3× spread at sf0.001
+    assert(sizes.max < 3.0 * n / ExtraQueries.RvShards)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Rerank
+
+/** Reciprocal-rank-fusion contracts: the 1/(60+r) sum for docs in both
+  * lists, single-list docs keep their lone term, and fused order prefers
+  * cross-list consensus over a single high rank. */
+class RrfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused score sums both lists' reciprocal ranks; consensus wins") {
+    // lex: d10 rank1, d20 rank2; sem: d20 rank1, d30 rank2.
+    // d20 = 1/61 + 1/62 ≈ 0.03252 beats d10 = 1/61 and d30 = 1/62.
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rnk")
+    val sem = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rnk")
+    val got = Rerank.rrf(lex, sem, 10)
+      .select("doc_id", "rnk", "rrf6").as[(Long, Int, Double)]
+      .collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 30L))
+    val expected20 = BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._3 == expected20)
+    // single-list docs carry exactly their lone reciprocal term
+    assert(got(1)._3 == BigDecimal(1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ties on fused score break on doc_id; k truncates") {
+    // two docs each appearing only in one list at rank 1 → equal rrf
+    val lex = Seq((1L, 50L, 1)).toDF("query_id", "doc_id", "rnk")
+    val sem = Seq((1L, 40L, 1)).toDF("query_id", "doc_id", "rnk")
+    val got = Rerank.rrf(lex, sem, 1)
+      .select("doc_id", "rnk").as[(Long, Int)].collect()
+    assert(got.toSeq == Seq((40L, 1))) // lower doc_id wins the tie, k=1 cuts
+  }
+
+  test("gated entry: fused list is within the union of its input lists") {
+    val rrf = queries.SearchQueries.all.find(_.name == "q_retrieval_rrf").get
+    val bm = queries.SearchQueries.all.find(_.name == "q_text_bm25_topk").get
+    val fused = rrf.run(spark, sf0001)
+    val lexDocs = bm.run(spark, sf0001)
+      .select(col("query_id"), col("doc_id"))
+    val semDocs = graft.operators.Similarity.corpusTopK(
+      graft.core.Tables.load(spark, sf0001, "embeddings")
+        .filter(col("vec_id") >= 10),
+      graft.core.Tables.load(spark, sf0001, "embeddings")
+        .filter(col("vec_id") < 10), 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    assert(fused.select("query_id", "doc_id")
+      .exceptAll(lexDocs.unionByName(semDocs).distinct()).isEmpty)
+    // every query with any candidates surfaces in the fused list
+    assert(fused.select("query_id").distinct().count() ==
+      lexDocs.select("query_id").unionByName(semDocs.select("query_id"))
+        .distinct().count())
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sessionize
+
+/** Gap-based sessionization contracts: split exactly at gaps > gapUs,
+  * dense 1-based ids, tie-on-ts determinism, and the rollup arithmetic. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 60L * 1000000L // one minute in micros
+
+  test("sessions split exactly where the gap exceeds gapUs") {
+    // user 1: events at 0, 10, 45, 46, 120 min with a 30-min gap rule →
+    // sessions {0,10}, {45,46}, {120}. A gap of EXACTLY gapUs (user 2:
+    // 0 and 30 min) does NOT split (strict >).
+    val df = Seq(
+      (1L, 1L, 0 * M), (2L, 1L, 10 * M), (3L, 1L, 45 * M),
+      (4L, 1L, 46 * M), (5L, 1L, 120 * M),
+      (6L, 2L, 0 * M), (7L, 2L, 30 * M)
+    ).toDF("event_id", "user_id", "ts_us")
+    val got = Sessionize.assign(df, "user_id", "ts_us", "event_id")
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L,
+      6L -> 1L, 7L -> 1L))
+  }
+
+  test("tied timestamps break on the id column, not partition order") {
+    val df = Seq((2L, 1L, 100 * M), (1L, 1L, 100 * M), (3L, 1L, 200 * M))
+      .toDF("event_id", "user_id", "ts_us").repartition(3)
+    val got = Sessionize.assign(df, "user_id", "ts_us", "event_id")
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    // 100-min gap between the tied pair and event 3 → two sessions
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("stats rollup: bounds, duration, counts and exact cents sum") {
+    val df = Seq(
+      (1L, 1L, 0 * M, 150L), (2L, 1L, 10 * M, 250L), (3L, 1L, 90 * M, 100L)
+    ).toDF("event_id", "user_id", "ts_us", "c")
+    val got = Sessionize.stats(df, "user_id", "ts_us", "event_id", "c")
+      .select("session_idx", "n_events", "start_us", "end_us", "dur_us",
+        "value_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 10 * M, 10 * M, 400L),
+      (2L, 1L, 90 * M, 90 * M, 0L, 100L)))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TrainQueries
+
+/** Contrastive-pair mining contracts: positives share a signature,
+  * negatives are valid corpus members distinct from both pair members,
+  * and the pair table is canonical (each unordered pair once). */
+class TrainPairsSpec extends SparkSpec {
+
+  private lazy val pairs =
+    TrainQueries.all.find(_.name == "q_train_pairs").get
+      .run(spark, sf0001).cache()
+
+  test("negatives differ from both pair members and are real doc ids") {
+    assert(pairs.filter(col("negative") === col("anchor") ||
+      col("negative") === col("positive")).isEmpty)
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id").as("negative"))
+    assert(pairs.select("negative").exceptAll(
+      pairs.select("negative").join(docs.distinct(), "negative")).isEmpty)
+  }
+
+  test("pairs are canonical (anchor < positive, no duplicates) and share a signature") {
+    assert(pairs.filter(col("anchor") >= col("positive")).isEmpty)
+    assert(pairs.groupBy("anchor", "positive").count()
+      .filter(col("count") > 1).isEmpty)
+    val sig = graft.operators.Dedup.simhashTable(
+      graft.core.Tables.load(spark, sf0001, "documents"), "text", "doc_id")
+    val mismatched = pairs
+      .join(sig.select(col("doc_id").as("anchor"), col("simhash").as("sa")),
+        "anchor")
+      .join(sig.select(col("doc_id").as("positive"), col("simhash").as("sp")),
+        "positive")
+      .filter(col("sa") =!= col("sp") || col("sa") =!= col("simhash"))
+    assert(mismatched.isEmpty)
+  }
+
+  test("determinism: two runs emit the identical pair table") {
+    val again = TrainQueries.all.find(_.name == "q_train_pairs").get
+      .run(spark, sf0001)
+    assert(pairs.exceptAll(again).isEmpty && again.exceptAll(pairs).isEmpty)
+  }
+}
