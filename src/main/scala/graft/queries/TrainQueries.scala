@@ -1868,24 +1868,29 @@ object TrainQueries {
 
     // Contrastive training pairs for embedding-model fine-tuning:
     // anchor/positive pairs are docs sharing a 16-bit SimHash signature
-    // (the near-dup collision buckets — never all-pairs: candidates
-    // arrive through the signature equi-join), and each pair gets a
-    // deterministic pseudo-random in-batch negative via the portable
-    // hash of the pair key mod corpus size (doc_id is dense 0..n−1 in
-    // the test tables; the 3-step CASE rehash guarantees the negative
-    // differs from both pair members — after excluding r and r+1, both
-    // members are spent, so r+2 is free). No RNG, so both engines and
-    // any re-run emit the identical pair table — the reproducibility a
-    // training-data release needs.
+    // (the near-dup collision buckets), paired as a RING — each doc with
+    // its successor in doc_id order within the bucket — so a bucket of g
+    // docs yields g−1 pairs, not g²/2: the all-pairs form blew up to
+    // 150k rows at sf0.1 already, and at 100 TB a boilerplate cluster
+    // makes any quadratic pairing intractable while the ring stays
+    // linear (and every cluster member still appears in ≥1 pair). Each
+    // pair gets a deterministic pseudo-random in-batch negative via the
+    // portable hash of the pair key mod corpus size (doc_id is dense
+    // 0..n−1 in the test tables; the 3-step CASE rehash guarantees the
+    // negative differs from both pair members — after excluding r and
+    // r+1, both members are spent, so r+2 is free). No RNG, so both
+    // engines and any re-run emit the identical pair table — the
+    // reproducibility a training-data release needs.
     Q("q_train_pairs",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val docs = t(s, d, "documents")
         val sig = graft.operators.Dedup.simhashTable(docs, "text", "doc_id")
         val nn = broadcast(docs.agg(count(lit(1)).as("n")))
-        sig.select(col("doc_id").as("anchor"), col("simhash"))
-          .join(sig.select(col("doc_id").as("positive"),
-            col("simhash").as("s2")),
-            col("simhash") === col("s2") && col("anchor") < col("positive"))
+        val w = Window.partitionBy("simhash").orderBy("doc_id")
+        sig.withColumn("positive", lead(col("doc_id"), 1).over(w))
+          .filter(col("positive").isNotNull)
+          .select(col("doc_id").as("anchor"), col("positive"), col("simhash"))
           .crossJoin(nn)
           .withColumn("r", PortableHash.hashMod(
             concat_ws(":", col("anchor"), col("positive"))) % col("n"))
@@ -1903,9 +1908,13 @@ object TrainQueries {
            |  ${LlmQueries.duckSimhash(LlmQueries.duckTokens("text"), 16)}
            |    AS simhash FROM documents),
            |nn AS (SELECT count(*) AS n FROM documents),
-           |pr AS (SELECT a.doc_id AS anchor, b.doc_id AS positive, a.simhash
-           |       FROM sig a JOIN sig b
-           |         ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
+           |pr AS (SELECT anchor, positive, simhash FROM (
+           |         SELECT doc_id AS anchor,
+           |           lead(doc_id) OVER (PARTITION BY simhash
+           |                              ORDER BY doc_id) AS positive,
+           |           simhash
+           |         FROM sig)
+           |       WHERE positive IS NOT NULL),
            |wr AS (SELECT anchor, positive, simhash,
            |         ${PortableHash.duckHashMod(
                        "anchor::VARCHAR || ':' || positive::VARCHAR")} % n

@@ -21,7 +21,7 @@ class TrainPairsSpec extends SparkSpec {
       pairs.select("negative").join(docs.distinct(), "negative")).isEmpty)
   }
 
-  test("pairs are canonical (anchor < positive, no duplicates) and share a signature") {
+  test("ring pairing: linear in bucket size, every cluster member covered") {
     assert(pairs.filter(col("anchor") >= col("positive")).isEmpty)
     assert(pairs.groupBy("anchor", "positive").count()
       .filter(col("count") > 1).isEmpty)
@@ -34,6 +34,18 @@ class TrainPairsSpec extends SparkSpec {
         "positive")
       .filter(col("sa") =!= col("sp") || col("sa") =!= col("simhash"))
     assert(mismatched.isEmpty)
+    // exactly g−1 pairs per signature bucket (g = bucket size): the
+    // linear-output contract that replaces the quadratic all-pairs form
+    val bucketSizes = sig.groupBy("simhash").count()
+      .filter(col("count") > 1)
+    val expected = bucketSizes.agg(sum(col("count") - 1)).head().getLong(0)
+    assert(pairs.count() == expected)
+    // every member of a multi-doc bucket appears in at least one pair
+    val members = sig.join(bucketSizes.select("simhash"), "simhash")
+      .select(col("doc_id"))
+    val inPairs = pairs.select(col("anchor").as("doc_id"))
+      .unionByName(pairs.select(col("positive").as("doc_id"))).distinct()
+    assert(members.exceptAll(inPairs).isEmpty)
   }
 
   test("determinism: two runs emit the identical pair table") {
