@@ -466,4 +466,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__range"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_events_sessionize: ONE user-keyed exchange feeds lag, running sum and rollup") {
+    // lag + running-sum share the (user_id) hash partitioning and sort;
+    // a second data-sized exchange for the (user, session) rollup is
+    // expected, but nothing may plan SinglePartition or a range sort
+    val p = plan("q_events_sessionize")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
+  test("q_shard_rendezvous: argmax by aggregate — no join, no window sort") {
+    val p = plan("q_shard_rendezvous")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_retrieval_rrf: both retrieval sides broadcast queries — no cartesian, no corpus nested-loop") {
+    val p = plan("q_retrieval_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    // the semantic side's query×corpus scoring join is the guarded
+    // broadcast nested-loop (query side ≤ MaxQueryRows) — count them:
+    // exactly the BM25 stats cross + the guarded scoring join, never a
+    // corpus-sized nested loop stack
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_anomaly_mad: stats join back via broadcast — the event stream is never re-shuffled") {
+    val p = plan("q_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

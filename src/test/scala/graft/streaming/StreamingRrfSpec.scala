@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.{Bm25, Rerank, Similarity}
+
+/** Ingest-time HYBRID retrieval against two frozen artifacts: the BM25
+  * postings parquet and the corpus-embedding snapshot. Per microbatch
+  * (foreachBatch) each query batch runs lexical top-k + semantic top-k +
+  * RRF; because fusion is strictly per-query, the union over microbatches
+  * must equal the batch fusion of the full query set — and a RESTART from
+  * the checkpoint picks up exactly the unprocessed query files.
+  */
+class StreamingRrfSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("frozen postings + corpus snapshot: streaming RRF ≡ batch, across a restart") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val queries = docs.filter(col("doc_id") < 10).select("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_rrf").toString
+    Bm25.postings(docs.filter(col("doc_id") >= 10), "text", "doc_id")
+      .write.parquet(s"$dir/postings")
+    emb.filter(col("vec_id") >= 10).write.parquet(s"$dir/corpus")
+    val post = spark.read.parquet(s"$dir/postings")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+
+    def fuse(qBatch: DataFrame): DataFrame = {
+      val lex = Bm25.topK(qBatch, "text", "doc_id", post, 10)
+      val sem = Similarity.corpusTopK(corpus,
+        emb.join(qBatch.select(col("doc_id").as("vec_id")), "vec_id"), 10)
+      Rerank.rrf(lex.select("query_id", "doc_id", "rnk"),
+        sem.select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk")), 10)
+    }
+
+    val want = fuse(queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(want.nonEmpty, "fixture fused nothing")
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          fuse(df).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    queries.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    queries.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
