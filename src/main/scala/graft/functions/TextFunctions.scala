@@ -118,6 +118,17 @@ object TextFunctions {
   def langScore(toks: Column, markers: Seq[String]): Column =
     markers.map(m => size(filter(toks, t => t === lit(m)))).reduce(_ + _)
 
+  /** Keyword lexicons for taxonomy/domain tagging (q_text_topics) — the
+    * FineWeb-style keyword classifier, declared over the corpus
+    * vocabulary the same way [[langMarkers]] is. Disjoint sets, so each
+    * token votes for at most one topic. */
+  val topicLexicons: Seq[(String, Seq[String])] = Seq(
+    "storage" -> Seq("table", "row", "column", "part", "line", "scan"),
+    "compute" -> Seq("agg", "join", "sort", "merge", "filter", "group",
+      "window"),
+    "streaming" -> Seq("stream", "batch", "key"),
+    "search" -> Seq("query", "hash", "vector", "value"))
+
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val scored = langMarkers.map { case (lang, ms) => (lang, langScore(toks, ms)) }

@@ -229,6 +229,43 @@ object Dedup {
         round(col("jaccard"), 4).as("j4"))
   }
 
+  /** Containment-similarity near-dups: C(A,B) = |A∩B| / min(|A|,|B|)
+    * over distinct 3-shingle hash sets — the asymmetric measure that
+    * catches a short document fully embedded in a long one, where
+    * Jaccard's union denominator dilutes the score below any near-dup
+    * threshold (a 50-shingle doc inside a 5000-shingle doc has J ≈ 0.01
+    * but containment 1.0).
+    *
+    * Shape (never all-pairs): the inverted shingle-hash index self-join
+    * computes |A∩B| directly; hashes appearing in more than `maxDf`
+    * docs are dropped first — the frequent-term cap that bounds the
+    * per-hash join fan-out (Σ df² work) at 100 TB, making the reported
+    * intersection the standard df-capped lower bound. Doc set sizes
+    * join back by id. Hashing is [[PortableHash.hash60]], so the DuckDB
+    * oracle replays even collisions bit-for-bit. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, maxDf: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(transform(
+        TextFunctions.shingles(col(textCol), 3),
+        sg => PortableHash.hash60(sg)))).as("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("hdf"))
+      .filter(col("hdf") <= maxDf).select("h")
+    val pruned = sh.join(rare, "h")
+    pruned.select(col("h"), col("doc_id").as("id1"))
+      .join(pruned.select(col("h").as("h2"), col("doc_id").as("id2")),
+        col("h") === col("h2") && col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id1"), col("nsh").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("nsh").as("n2")), "id2")
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("n1"), col("n2")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("inter"),
+        round(col("containment"), 4).as("c4"))
+  }
+
   /** Brute-force n-gram Jaccard near-dups inside a blocking key (full
     * brute force is O(n²) — always block at scale; the banded MinHash
     * family is the declared scale path, this is the exact-pairs demo).

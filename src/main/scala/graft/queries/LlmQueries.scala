@@ -163,6 +163,8 @@ object LlmQueries {
   }
 
   val NearDupJaccard = 0.2
+  val ContainThreshold = 0.8 // containment cut (|A∩B| / min set size)
+  val ContainMaxDf = 100     // frequent-shingle-hash cap (df over docs)
   val SubstringW = 8 // repeated-span shingle width (words)
   val DecontamW = 3  // span-decontam shingle width (q_text_decontam's 3-gram)
   val BoilerW = 5         // boilerplate shingle width (chrome lines are short)
@@ -725,6 +727,84 @@ object LlmQueries {
                  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
                WHERE j >= $NearDupJaccard"""),
       "blocked brute-force n-gram Jaccard near-dups (hashed shingles, one set op per pair)"),
+
+    // Containment-similarity dedup: C(A,B) = |A∩B| / min(|A|,|B|) over
+    // distinct 3-shingle hash sets — the asymmetric measure that catches
+    // a short doc fully embedded in a long one, where Jaccard's union
+    // denominator dilutes the signal below any near-dup threshold.
+    // Shape (never all-pairs): the inverted shingle-hash index self-join
+    // computes |A∩B| directly; hashes in more than $ContainMaxDf docs
+    // are dropped first (the frequent-term cap bounding per-hash fan-out
+    // at 100 TB — the same Σf² contract as the winnow overlap join), so
+    // the reported intersection is the standard df-capped lower bound.
+    // Doc sizes join back on id; both engines hash with the portable
+    // md5-60, so even collisions agree bit-for-bit.
+    Q("q_dedup_containment",
+      (s, d) => graft.operators.Dedup.containmentPairs(
+        Tables.ensureParallelism(
+          t(s, d, "documents").select(col("doc_id"), col("text"))),
+        "text", "doc_id", ContainThreshold, ContainMaxDf),
+      Some(s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    ${duckShingles(duckTokens("text"), 3)},
+           |    sg -> ${PortableHash.duckHash60("sg")}))) AS h
+           |  FROM documents),
+           |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+           |rare AS (SELECT h FROM sh GROUP BY h
+           |         HAVING count(*) <= $ContainMaxDf),
+           |pruned AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+           |iv AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |         count(*) AS inter
+           |       FROM pruned a JOIN pruned b
+           |         ON a.h = b.h AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2),
+           |j AS (SELECT id1, id2, inter,
+           |        CAST(inter AS DOUBLE) /
+           |          CAST(least(s1.nsh, s2.nsh) AS DOUBLE) AS containment
+           |      FROM iv JOIN sz s1 ON iv.id1 = s1.doc_id
+           |               JOIN sz s2 ON iv.id2 = s2.doc_id)
+           |SELECT id1, id2, inter, round(containment, 4) AS c4
+           |FROM j WHERE containment >= $ContainThreshold""".stripMargin),
+      "containment near-dups: short-inside-long via the inverted shingle index"),
+
+    // Keyword-taxonomy tagging (the FineWeb-style domain classifier):
+    // per-doc occurrence counts against the declared topic lexicons +
+    // declaration-order argmax ('none' when nothing matches) — the same
+    // marker-count construction as q_text_langid, applied to domain
+    // routing: downstream mixes re-weight by topic, and a 100 TB corpus
+    // tags in one stateless codegen'd map over the token array (no
+    // join, no shuffle; the lexicons live in the plan).
+    Q("q_text_topics",
+      (s, d) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val scored = TextFunctions.topicLexicons.map { case (tp, ks) =>
+          (tp, TextFunctions.langScore(toks, ks)) }
+        val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+        val pick = scored.foldRight(lit("none"): org.apache.spark.sql.Column) {
+          case ((tp, sc), acc) =>
+            when(sc === best && best > 0, lit(tp)).otherwise(acc)
+        }
+        t(s, d, "documents").select(col("doc_id") +:
+          scored.map { case (tp, sc) => sc.as(s"s_$tp") } :+
+          pick.as("topic"): _*)
+      },
+      Some {
+        val scores = TextFunctions.topicLexicons.map { case (tp, ks) =>
+          val set = ks.map(k => s"'$k'").mkString(", ")
+          tp -> s"CAST(len(list_filter(ts, t -> t IN ($set))) AS INT) AS s_$tp"
+        }
+        val names = scores.map(_._2).mkString(",\n       ")
+        val best = scores.map(x => s"s_${x._1}").mkString("greatest(", ", ", ")")
+        val cases = TextFunctions.topicLexicons.map { case (tp, _) =>
+          s"WHEN s_$tp = best AND best > 0 THEN '$tp'"
+        }.mkString(" ")
+        s"""SELECT doc_id, ${scores.map(x => s"s_${x._1}").mkString(", ")},
+           |  CASE $cases ELSE 'none' END AS topic
+           |FROM (SELECT doc_id, $names, $best AS best
+           |      FROM (SELECT doc_id, ${duckTokens("text")} AS ts
+           |            FROM documents))""".stripMargin
+      },
+      "keyword-taxonomy domain tags: lexicon counts + declaration-order argmax"),
 
     // SimHash near-dup PAIRS — the apply half the signature table
     // (q_dedup_simhash) feeds: Hamming distance ≤ 2 over the 16-bit

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Containment-dedup contracts: the asymmetric catch (short doc inside a
+  * long one scores 1.0 where Jaccard collapses), the df cap, and
+  * agreement with a brute-force set recomputation. */
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("short-inside-long: containment 1.0 while Jaccard is tiny") {
+    val short = (1 to 7).map(i => s"w$i").mkString(" ") // 5 3-shingles
+    val long = ((1 to 7) ++ (100 to 400)).map(i => s"w$i").mkString(" ")
+    val docs = mkDocs(1L -> short, 2L -> long)
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 0.8, 1000)
+      .select("id1", "id2", "c4").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair under Jaccard is far below the near-dup threshold
+    val j = Dedup.blockedJaccardPairs(
+      docs.withColumn("lang", lit("en")), "text", "doc_id", "lang", 0.2)
+    assert(j.isEmpty)
+  }
+
+  test("df cap drops ubiquitous shingles from the intersection count") {
+    // the shared shingle chain appears in ALL four docs → df 4 > cap 3
+    // → no pair survives; raising the cap restores them
+    val base = "a b c d e f"
+    val docs = mkDocs(1L -> base, 2L -> base, 3L -> base, 4L -> base)
+    assert(Dedup.containmentPairs(docs, "text", "doc_id", 0.8, 3).isEmpty)
+    val uncapped = Dedup.containmentPairs(docs, "text", "doc_id", 0.8, 10)
+    assert(uncapped.count() == 6) // all C(4,2) identical pairs
+    assert(uncapped.filter(col("c4") =!= 1.0).isEmpty)
+  }
+
+  test("gated entry matches a brute-force recomputation at sf0.001") {
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 0.8, 100)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(transform(TextFunctions.shingles(col("text"), 3),
+        s => graft.functions.PortableHash.hash60(s))).as("sh"))
+    val brute = sets.select(col("doc_id").as("id1"), col("sh").as("s1"))
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("s2")),
+        col("id1") < col("id2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("c", col("inter").cast("double") /
+        least(size(col("s1")), size(col("s2"))).cast("double"))
+      .filter(col("c") >= 0.8)
+      .select(col("id1"), col("id2"), col("inter").cast("long").as("inter"),
+        round(col("c"), 4).as("c4"))
+    // df-capped result ⊆ brute result, and every df-surviving pair agrees
+    assert(got.exceptAll(brute).isEmpty,
+      "capped pairs must be a subset of brute-force pairs")
+  }
+}

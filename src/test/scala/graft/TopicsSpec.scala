@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Keyword-taxonomy tagging contracts: counts are occurrence counts,
+  * argmax breaks ties in declaration order, and no-match docs tag
+  * 'none'. */
+class TopicsSpec extends SparkSpec {
+
+  private lazy val tagged =
+    queries.LlmQueries.all.find(_.name == "q_text_topics").get
+      .run(spark, sf0001).cache()
+
+  test("every doc is tagged; scores are consistent with the winning topic") {
+    val n = graft.core.Tables.load(spark, sf0001, "documents").count()
+    assert(tagged.count() == n)
+    // the picked topic's score equals the row max of all topic scores
+    val scoreCols = TextFunctions.topicLexicons.map(t => col(s"s_${t._1}"))
+    val best = scoreCols.reduce((a, b) => greatest(a, b))
+    val winnersScore = TextFunctions.topicLexicons.foldRight(lit(-1)) {
+      case ((tp, _), acc) => when(col("topic") === tp, col(s"s_$tp"))
+        .otherwise(acc)
+    }
+    assert(tagged.filter(col("topic") =!= "none" &&
+      winnersScore =!= best).isEmpty)
+    assert(tagged.filter(col("topic") === "none" && best > 0).isEmpty)
+  }
+
+  test("declaration order breaks ties (earlier lexicon wins)") {
+    import spark.implicits._
+    val toks = TextFunctions.tokens(col("text"))
+    // 'table' (storage) and 'join' (compute) once each → tie → storage
+    val df = Seq((1L, "table join")).toDF("doc_id", "text")
+      .select(col("doc_id"), toks.as("ts"))
+    val scored = TextFunctions.topicLexicons.map { case (tp, ks) =>
+      (tp, TextFunctions.langScore(col("ts"), ks)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("none"): org.apache.spark.sql.Column) {
+      case ((tp, sc), acc) => when(sc === best && best > 0, lit(tp))
+        .otherwise(acc)
+    }
+    assert(df.select(pick).as[String].head() == "storage")
+  }
+
+  test("lexicons are disjoint (each token votes once)") {
+    val all = TextFunctions.topicLexicons.flatMap(_._2)
+    assert(all.distinct.size == all.size)
+  }
+}
