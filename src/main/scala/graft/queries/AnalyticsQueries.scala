@@ -56,6 +56,29 @@ object AnalyticsQueries {
        |$steps""".stripMargin
   }
 
+  /** 15-min bins for the interval-overlap join (q_join_interval_overlap). */
+  private val IvBinUs = 900L * 1000000L
+
+  /** The gap-sessionization chain (ev → lag → break flags → running
+    * session ids), the textual twin of [[Sessionize.assign]] — shared by
+    * q_events_sessionize and q_join_interval_overlap. */
+  private def duckSessionCtes: String =
+    s"""ev AS (SELECT event_id, user_id,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |         CAST(round(value * 100) AS BIGINT) AS c
+       |       FROM events),
+       |lg AS (SELECT *, lag(ts_us) OVER
+       |         (PARTITION BY user_id ORDER BY ts_us, event_id) AS pts
+       |       FROM ev),
+       |fl AS (SELECT *, CASE WHEN pts IS NULL
+       |                        OR ts_us - pts > ${Sessionize.GapUs}
+       |                      THEN 1 ELSE 0 END AS brk
+       |       FROM lg),
+       |sx AS (SELECT *, CAST(sum(brk) OVER
+       |         (PARTITION BY user_id ORDER BY ts_us, event_id
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |       FROM fl)""".stripMargin
+
   private val KmK = 8
   private val KmIters = 3
   private val KmDims = 64
@@ -260,27 +283,72 @@ object AnalyticsQueries {
           .select(col("user_id"), col("session_idx"), col("n_events"),
             col("start_us"), col("end_us"), col("dur_us"), col("value_cents"))
       },
-      Some(s"""WITH ev AS (SELECT event_id, user_id,
-           |                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-           |                 CAST(round(value * 100) AS BIGINT) AS c
-           |               FROM events),
-           |lg AS (SELECT *, lag(ts_us) OVER
-           |         (PARTITION BY user_id ORDER BY ts_us, event_id) AS pts
-           |       FROM ev),
-           |fl AS (SELECT *, CASE WHEN pts IS NULL
-           |                        OR ts_us - pts > ${Sessionize.GapUs}
-           |                      THEN 1 ELSE 0 END AS brk
-           |       FROM lg),
-           |sx AS (SELECT *, CAST(sum(brk) OVER
-           |         (PARTITION BY user_id ORDER BY ts_us, event_id
-           |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-           |       FROM fl)
+      Some(s"""WITH $duckSessionCtes
            |SELECT user_id, session_idx, count(*) AS n_events,
            |       min(ts_us) AS start_us, max(ts_us) AS end_us,
            |       max(ts_us) - min(ts_us) AS dur_us,
            |       CAST(sum(c) AS BIGINT) AS value_cents
            |FROM sx GROUP BY user_id, session_idx""".stripMargin),
       "gap-based sessionization: per-session rollup (batch twin of the session window)"),
+
+    // Interval-overlap self-join, the binned form: per session, how many
+    // OTHER users' sessions overlap it in time. An interval×interval
+    // join has no equi-key, so the scalable plan materializes each
+    // interval into its covered ${IvBinUs / 60000000L}-min time buckets
+    // and equi-joins on the bucket — candidates are only co-bucketed
+    // pairs (the q_join_range_binned pattern applied to two interval
+    // sets), verified by the exact overlap predicate, deduped (a pair
+    // sharing several buckets counts once), counted, and
+    // LEFT-preserved so sessions with zero concurrency keep their row.
+    // Bin width trades explode fan-out against per-bucket pair volume;
+    // at 100 TB it is the knob matched to median interval length.
+    Q("q_join_interval_overlap",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("c"))
+        val sess = Sessionize.stats(ev, "user_id", "ts_us", "event_id", "c")
+          .select(col("user_id"), col("session_idx"),
+            col("start_us"), col("end_us"))
+        val binned = sess.withColumn("bucket",
+          explode(sequence(expr(s"start_us div $IvBinUs"),
+            expr(s"end_us div $IvBinUs"))))
+        val a = binned.select(col("bucket"), col("user_id").as("u1"),
+          col("session_idx").as("x1"), col("start_us").as("s1"),
+          col("end_us").as("e1"))
+        val b = binned.select(col("bucket"), col("user_id").as("u2"),
+          col("session_idx").as("x2"), col("start_us").as("s2"),
+          col("end_us").as("e2"))
+        val hits = a.join(b, Seq("bucket"))
+          .filter(col("u1") =!= col("u2") &&
+            col("s1") <= col("e2") && col("s2") <= col("e1"))
+          .select("u1", "x1", "u2", "x2").distinct()
+        val cnt = hits.groupBy("u1", "x1")
+          .agg(count(lit(1)).as("n_concurrent"))
+        sess.join(cnt, col("user_id") === col("u1") &&
+            col("session_idx") === col("x1"), "left")
+          .select(col("user_id"), col("session_idx"), col("start_us"),
+            col("end_us"),
+            coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      },
+      Some(s"""WITH $duckSessionCtes,
+           |ss AS (SELECT user_id, session_idx,
+           |         min(ts_us) AS start_us, max(ts_us) AS end_us
+           |       FROM sx GROUP BY user_id, session_idx),
+           |bn AS (SELECT user_id, session_idx, start_us, end_us,
+           |         unnest(range(start_us // $IvBinUs,
+           |                      end_us // $IvBinUs + 1)) AS bucket
+           |       FROM ss),
+           |hits AS (SELECT DISTINCT a.user_id AS u1, a.session_idx AS x1,
+           |                b.user_id AS u2, b.session_idx AS x2
+           |         FROM bn a JOIN bn b ON a.bucket = b.bucket
+           |         WHERE a.user_id <> b.user_id
+           |           AND a.start_us <= b.end_us AND b.start_us <= a.end_us),
+           |ct AS (SELECT u1, x1, count(*) AS n FROM hits GROUP BY u1, x1)
+           |SELECT ss.user_id, ss.session_idx, start_us, end_us,
+           |       CAST(coalesce(ct.n, 0) AS BIGINT) AS n_concurrent
+           |FROM ss LEFT JOIN ct
+           |  ON ss.user_id = ct.u1 AND ss.session_idx = ct.x1""".stripMargin),
+      "binned interval-overlap join: concurrent-session counts, left-preserved"),
 
     // Daily activity regularized onto a dense calendar: every (user, day)
     // in the observed range, gaps carrying the last active day's total

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Sessionize
+
+/** Binned interval-overlap join contracts: the bucket equi-join +
+  * exact-predicate verify must equal the unbinned brute-force overlap
+  * count, pairs sharing several buckets count once, and zero-concurrency
+  * sessions are left-preserved. */
+class IntervalOverlapSpec extends SparkSpec {
+
+  test("binned overlap counts ≡ brute-force interval join at sf0.001") {
+    val q = queries.AnalyticsQueries.all
+      .find(_.name == "q_join_interval_overlap").get
+    val got = q.run(spark, sf0001)
+
+    val ev = Tables.load(spark, sf0001, "events").select(col("event_id"),
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      lit(0L).as("c"))
+    val sess = Sessionize.stats(ev, "user_id", "ts_us", "event_id", "c")
+      .select(col("user_id"), col("session_idx"),
+        col("start_us"), col("end_us"))
+    val b = sess.select(col("user_id").as("u2"), col("session_idx").as("x2"),
+      col("start_us").as("s2"), col("end_us").as("e2"))
+    val brute = sess.join(b,
+        col("user_id") =!= col("u2") &&
+          col("start_us") <= col("e2") && col("s2") <= col("end_us"),
+        "left")
+      .groupBy("user_id", "session_idx", "start_us", "end_us")
+      .agg(sum(when(col("u2").isNotNull, 1L).otherwise(0L))
+        .as("n_concurrent"))
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    // fixture sanity: the comparison must exercise both zero and
+    // non-zero concurrency
+    assert(got.filter(col("n_concurrent") === 0).count() > 0)
+    assert(got.filter(col("n_concurrent") > 0).count() > 0)
+  }
+}
