@@ -165,6 +165,33 @@ object LlmQueries {
   val NearDupJaccard = 0.2
   val ContainThreshold = 0.8 // containment cut (|A∩B| / min set size)
   val ContainMaxDf = 100     // frequent-shingle-hash cap (df over docs)
+
+  /** Exploded micro-unit embedding components: (vec_id, dim,
+    * vl = round(v·1e6) as long) — the exact fixed-point spine the
+    * standardization family accumulates over. */
+  private def embedMicro(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        round(col("v").cast("double") * lit(1e6), 0).cast("long").as("vl"))
+
+  /** Per-dim exact sums over [[embedMicro]]: (dim, sc, scc, n). */
+  private def embedMicroStats(emb: DataFrame): DataFrame =
+    embedMicro(emb).groupBy("dim").agg(
+      sum(col("vl")).as("sc"),
+      sum(col("vl") * col("vl")).as("scc"),
+      count(lit(1)).as("n"))
+
+  /** DuckDB twin of [[embedMicro]] + [[embedMicroStats]] as CTEs ex/st. */
+  private def duckEmbedMicroCtes: String =
+    """ex AS (SELECT vec_id, CAST(pos AS INT) AS dim,
+      |         CAST(round(e[pos + 1] * 1e6) AS BIGINT) AS vl
+      |       FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |               unnest(range(0, len(embedding))) AS pos
+      |             FROM embeddings)),
+      |st AS (SELECT dim, CAST(sum(vl) AS BIGINT) AS sc,
+      |              CAST(sum(vl * vl) AS BIGINT) AS scc, count(*) AS n
+      |       FROM ex GROUP BY dim)""".stripMargin
   val SubstringW = 8 // repeated-span shingle width (words)
   val DecontamW = 3  // span-decontam shingle width (q_text_decontam's 3-gram)
   val BoilerW = 5         // boilerplate shingle width (chrome lines are short)
@@ -1257,6 +1284,61 @@ object LlmQueries {
                    / ${Similarity.Dim}, 12) AS mse12
                FROM qz"""),
       "per-vector symmetric int8 quantization (scale + qvec + reconstruction mse)"),
+
+    // ---------- per-dimension embedding standardization ----------
+    // PUBLISH: the per-dim mean/std artifact (O(dim) rows — kilobytes at
+    // any corpus size) a feature-normalization pass freezes. Components
+    // are fixed-pointed to micro-units (round(v·1e6) as long — the cents
+    // convention generalized; floats are in [−1,1], so vl ≤ 1e6 and the
+    // per-dim Σvl² stays ≪ 2^63 at bench scale — swap DECIMAL
+    // accumulation at true corpus scale), so the sums are EXACT integers
+    // on any partitioning and the derived mean/std are one fixed IEEE
+    // expression both engines evaluate on identical inputs.
+    Q("q_embed_standardize_stats",
+      (s, d) => {
+        embedMicroStats(t(s, d, "embeddings"))
+          .select(col("dim"), col("n"),
+            round(col("sc").cast("double") / col("n") / lit(1e6), 6)
+              .as("mean6"),
+            round(sqrt((col("scc").cast("double") -
+              col("sc").cast("double") * col("sc").cast("double") / col("n"))
+              / (col("n") - lit(1))) / lit(1e6), 6).as("std6"))
+      },
+      Some(s"""WITH $duckEmbedMicroCtes
+           |SELECT dim, n,
+           |  round(CAST(sc AS DOUBLE) / n / 1e6, 6) AS mean6,
+           |  round(sqrt((CAST(scc AS DOUBLE) -
+           |    CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1))
+           |    / 1e6, 6) AS std6
+           |FROM st""".stripMargin),
+      "frozen per-dim embedding mean/std artifact (exact micro-unit sums)"),
+
+    // APPLY: standardized components, long format (vec_id, dim, z6) — a
+    // broadcast join of the O(dim) artifact onto the exploded stream,
+    // stateless per row; the z formula runs in the fixed-point space
+    // (units cancel) and is written identically on both engines.
+    Q("q_embed_standardize",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val st = embedMicroStats(emb)
+        embedMicro(emb).join(broadcast(st), "dim")
+          .withColumn("z",
+            (col("vl").cast("double") -
+              col("sc").cast("double") / col("n")) /
+              sqrt((col("scc").cast("double") -
+                col("sc").cast("double") * col("sc").cast("double") /
+                  col("n")) / (col("n") - lit(1))))
+          .select(col("vec_id"), col("dim"), round(col("z"), 6).as("z6"))
+      },
+      Some(s"""WITH $duckEmbedMicroCtes,
+           |z AS (SELECT ex.vec_id, ex.dim,
+           |        (CAST(ex.vl AS DOUBLE) - CAST(st.sc AS DOUBLE) / st.n) /
+           |        sqrt((CAST(st.scc AS DOUBLE) -
+           |              CAST(st.sc AS DOUBLE) * CAST(st.sc AS DOUBLE) / st.n)
+           |             / (st.n - 1)) AS zv
+           |      FROM ex JOIN st USING (dim))
+           |SELECT vec_id, dim, round(zv, 6) AS z6 FROM z""".stripMargin),
+      "standardized embedding components via the frozen per-dim artifact"),
 
     // Quantized-dot first-pass top-k: candidate scoring on the int8
     // vectors (the compressed corpus an executor can hold 4× more of),

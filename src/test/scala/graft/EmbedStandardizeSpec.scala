@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Standardization contracts: per-dim z-scores have mean 0 / unit sample
+  * variance, and the fixed-point sums make the artifact partition-order
+  * independent. */
+class EmbedStandardizeSpec extends SparkSpec {
+
+  private lazy val z =
+    queries.LlmQueries.all.find(_.name == "q_embed_standardize").get
+      .run(spark, sf0001).cache()
+
+  test("per-dim standardized mean ≈ 0 and sample std ≈ 1") {
+    val stats = z.groupBy("dim").agg(
+      avg(col("z6")).as("m"), stddev_samp(col("z6")).as("s"))
+    assert(stats.filter(abs(col("m")) > 1e-4).isEmpty)
+    assert(stats.filter(abs(col("s") - 1.0) > 1e-4).isEmpty)
+  }
+
+  test("artifact is partition-order independent (exact integer sums)") {
+    val q = queries.LlmQueries.all
+      .find(_.name == "q_embed_standardize_stats").get
+    val a = q.run(spark, sf0001)
+    val b = q.run(spark, sf0001).repartition(7)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == graft.operators.Similarity.Dim)
+  }
+}
