@@ -26,4 +26,9 @@ class EmbedStandardizeSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     assert(a.count() == graft.operators.Similarity.Dim)
   }
+
+  override def afterAll(): Unit = {
+    z.unpersist(blocking = true)
+    super.afterAll()
+  }
 }

@@ -32,4 +32,9 @@ class RendezvousSpec extends SparkSpec {
     // uniform expectation n/16; allow a generous 3× spread at sf0.001
     assert(sizes.max < 3.0 * n / ExtraQueries.RvShards)
   }
+
+  override def afterAll(): Unit = {
+    assigned.unpersist(blocking = true)
+    super.afterAll()
+  }
 }

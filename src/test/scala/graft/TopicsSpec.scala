@@ -47,4 +47,9 @@ class TopicsSpec extends SparkSpec {
     val all = TextFunctions.topicLexicons.flatMap(_._2)
     assert(all.distinct.size == all.size)
   }
+
+  override def afterAll(): Unit = {
+    tagged.unpersist(blocking = true)
+    super.afterAll()
+  }
 }

@@ -53,4 +53,9 @@ class TrainPairsSpec extends SparkSpec {
       .run(spark, sf0001)
     assert(pairs.exceptAll(again).isEmpty && again.exceptAll(pairs).isEmpty)
   }
+
+  override def afterAll(): Unit = {
+    pairs.unpersist(blocking = true)
+    super.afterAll()
+  }
 }
