@@ -130,7 +130,12 @@ object Bench {
     // round-11 continuation: Hamming-banded near-dup applies (text
     // SimHash pigeonhole bands, image dHash masked-bit buckets) —
     // collision-dense fixtures put both near the 2 s line
-    "q_dedup_simhash_pairs", "q_media_phash_near")
+    "q_dedup_simhash_pairs", "q_media_phash_near",
+    // round-11 tail 3: the two new rows that crossed 2 s in the sweep —
+    // hybrid RRF retrieval (stage-sum of its two gated retrievals) and
+    // curriculum ordering (range-partitioned global rank over LM
+    // scores); both 7-rep adjudicated in BENCHFOCUS_r11's addendum
+    "q_retrieval_rrf", "q_corpus_curriculum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Ingest-time feature normalization against the FROZEN per-dim
+  * mean/std artifact (publish/apply member #14): the exact-sum stats
+  * table is published once as parquet, batch-side; each embedding
+  * microbatch standardizes statelessly (explode + broadcast join) and
+  * the union over microbatches must equal the batch apply — across a
+  * RESTART from the checkpoint.
+  */
+class StreamingStandardizeSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("frozen per-dim stats: streaming z-scores ≡ batch, across a restart") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_std").toString
+    // publish: exact micro-unit sums per dim (the artifact the gated
+    // q_embed_standardize_stats entry derives its mean/std from)
+    val micro = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        round(col("v").cast("double") * lit(1e6), 0).cast("long").as("vl"))
+    micro.groupBy("dim").agg(
+        sum(col("vl")).as("sc"),
+        sum(col("vl") * col("vl")).as("scc"),
+        count(lit(1)).as("n"))
+      .write.parquet(s"$dir/stats")
+    val st = spark.read.parquet(s"$dir/stats")
+
+    def standardize(batch: DataFrame): DataFrame =
+      batch.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"),
+          round(col("v").cast("double") * lit(1e6), 0).cast("long").as("vl"))
+        .join(broadcast(st), "dim")
+        .select(col("vec_id"), col("dim"),
+          round((col("vl").cast("double") -
+            col("sc").cast("double") / col("n")) /
+            sqrt((col("scc").cast("double") -
+              col("sc").cast("double") * col("sc").cast("double") /
+                col("n")) / (col("n") - lit(1))), 6).as("z6"))
+
+    val want = standardize(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty)
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          standardize(df).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    emb.filter(col("vec_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}")
+  }
+}
