@@ -79,6 +79,22 @@ object AnalyticsQueries {
        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
        |       FROM fl)""".stripMargin
 
+  /** Adjacent event pairs per user + transition counts/totals — shared by
+    * the transition-matrix publish and the Markov scoring apply. */
+  private def duckTransitionCtes: String =
+    """evt AS (SELECT event_id, user_id, event_type,
+      |          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |        FROM events),
+      |pr AS (SELECT user_id, event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts_us, event_id) AS to_type
+      |       FROM evt),
+      |tr AS (SELECT from_type, to_type, count(*) AS c
+      |       FROM pr WHERE to_type IS NOT NULL
+      |       GROUP BY from_type, to_type),
+      |tot AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS tc
+      |        FROM tr GROUP BY from_type)""".stripMargin
+
   private val KmK = 8
   private val KmIters = 3
   private val KmDims = 64
@@ -349,6 +365,78 @@ object AnalyticsQueries {
            |FROM ss LEFT JOIN ct
            |  ON ss.user_id = ct.u1 AND ss.session_idx = ct.x1""".stripMargin),
       "binned interval-overlap join: concurrent-session counts, left-preserved"),
+
+    // Markov transition matrix over the event stream — PUBLISH half of
+    // the next-event model (session simulation, funnel leak analysis,
+    // sequence-anomaly flagging). Adjacent pairs per user via one lead()
+    // over the user-keyed sort (ties break on event_id); counts and the
+    // per-source totals are two map-side-combined aggregates over
+    // O(types²) keys, and the artifact is O(types²) rows — kilobytes at
+    // any corpus size.
+    Q("q_events_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val tr = ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("c"))
+        val tot = tr.groupBy("from_type").agg(sum(col("c")).as("tc"))
+        tr.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("c"),
+            round(col("c").cast("double") / col("tc"), 6).as("p6"))
+      },
+      Some(s"""WITH $duckTransitionCtes
+           |SELECT tr.from_type, to_type, c,
+           |       round(CAST(c AS DOUBLE) / tc, 6) AS p6
+           |FROM tr JOIN tot USING (from_type)""".stripMargin),
+      "Markov transition matrix: next-event counts + probabilities per source type"),
+
+    // APPLY half: per-user mean negative log-likelihood of the user's
+    // observed transition sequence under the frozen matrix — the
+    // sequence-anomaly score (a user whose event order is improbable
+    // under the corpus model surfaces with a high nll). The user's
+    // transitions equi-join the O(types²) artifact (broadcast);
+    // transcendentals follow the house convention (one round(avg·, 6)
+    // at the end, the q_text_logprob shape).
+    Q("q_events_markov_score",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+        val pairs = ev
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .select(col("user_id"), col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+        val tr = pairs
+          .groupBy("from_type", "to_type").agg(count(lit(1)).as("c"))
+        val tot = tr.groupBy("from_type").agg(sum(col("c")).as("tc"))
+        val model = tr.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"),
+            (col("c").cast("double") / col("tc")).as("p"))
+        pairs.join(broadcast(model), Seq("from_type", "to_type"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_trans"),
+            round(avg(-log(col("p"))), 6).as("nll6"))
+      },
+      Some(s"""WITH $duckTransitionCtes,
+           |model AS (SELECT tr.from_type, to_type,
+           |            CAST(c AS DOUBLE) / tc AS p
+           |          FROM tr JOIN tot USING (from_type)),
+           |up AS (SELECT user_id, from_type, to_type FROM pr
+           |       WHERE to_type IS NOT NULL)
+           |SELECT user_id, count(*) AS n_trans,
+           |       round(avg(-ln(p)), 6) AS nll6
+           |FROM up JOIN model USING (from_type, to_type)
+           |GROUP BY user_id""".stripMargin),
+      "sequence-anomaly score: per-user mean nll under the frozen transition matrix"),
 
     // Daily activity regularized onto a dense calendar: every (user, day)
     // in the observed range, gaps carrying the last active day's total

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Markov-family contracts: the transition matrix is a proper
+  * conditional distribution, and the sequence score covers every user
+  * with ≥2 events (the model is trained on the same stream, so the
+  * apply join is total). */
+class MarkovSpec extends SparkSpec {
+
+  test("per-source probabilities sum to 1 and counts are conserved") {
+    val tr = queries.AnalyticsQueries.all
+      .find(_.name == "q_events_transitions").get.run(spark, sf0001)
+    val sums = tr.groupBy("from_type").agg(
+      sum(col("c")).as("tc"), round(sum(col("p6")), 3).as("psum"))
+    // rounded-prob sums land within rounding slack of 1
+    assert(sums.filter(abs(col("psum") - 1.0) > 0.001).isEmpty)
+    // total transitions = total events - users (one lead loss per user)
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(tr.agg(sum("c")).head().getLong(0) == expected)
+  }
+
+  test("every multi-event user gets a score; nll is non-negative") {
+    val sc = queries.AnalyticsQueries.all
+      .find(_.name == "q_events_markov_score").get.run(spark, sf0001)
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+    val multi = ev.groupBy("user_id").count().filter(col("count") >= 2)
+    assert(sc.count() == multi.count())
+    assert(sc.filter(col("nll6") < 0).isEmpty)
+  }
+}
