@@ -255,6 +255,50 @@ object ExtraQueries {
            |FROM k GROUP BY doc_id""".stripMargin),
       "rendezvous-hash sharding: HRW placement + single-shard-removal stability"),
 
+    // WEIGHTED rendezvous (capacity-aware HRW): shard s with weight w_s
+    // wins doc k when score = −w_s / ln(u) is maximal, u = (h+1)/MOD ∈
+    // (0,1] the hash draw — the standard weighted-HRW construction,
+    // which gives shard s an asymptotic share w_s/Σw (heterogeneous
+    // executor/volume capacities at 100 TB) while keeping the
+    // single-shard-removal stability of plain HRW. Weights here are the
+    // declared 1+(s mod 4) ramp. Scores are continuous doubles (one
+    // fixed IEEE expression both engines evaluate on the same exact
+    // integer h), so the argmax is tie-free up to hash equality; the
+    // deterministic two-step argmax (max score per doc, then min shard
+    // at that score) needs no window sort and closes even that corner.
+    Q("q_shard_rendezvous_weighted",
+      (s, d) => {
+        val keyed = t(s, d, "documents").select(col("doc_id"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(RvShards - 1))).as("sh"))
+          .withColumn("h", graft.functions.PortableHash.hashMod(
+            concat_ws(":", col("doc_id"), col("sh"))))
+          .withColumn("score",
+            (-(lit(1.0) + (col("sh") % 4).cast("double"))) /
+              log((col("h") + lit(1)).cast("double") /
+                lit(graft.functions.PortableHash.MOD.toDouble)))
+        val best = keyed.groupBy("doc_id").agg(max(col("score")).as("ms"))
+        keyed.join(best, "doc_id")
+          .filter(col("score") === col("ms"))
+          .groupBy("doc_id").agg(min(col("sh")).cast("long").as("shard_w"))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(range(0, $RvShards)) AS sh
+           |            FROM documents),
+           |k AS (SELECT doc_id, sh,
+           |        ${graft.functions.PortableHash.duckHashMod(
+                      "doc_id::VARCHAR || ':' || sh::VARCHAR")} AS h
+           |      FROM sh),
+           |sc AS (SELECT doc_id, sh,
+           |         (-(1.0 + CAST(sh % 4 AS DOUBLE))) /
+           |           ln(CAST(h + 1 AS DOUBLE) /
+           |              ${graft.functions.PortableHash.MOD}.0) AS score
+           |       FROM k),
+           |bs AS (SELECT doc_id, max(score) AS ms FROM sc GROUP BY doc_id)
+           |SELECT sc.doc_id, CAST(min(sh) AS BIGINT) AS shard_w
+           |FROM sc JOIN bs ON sc.doc_id = bs.doc_id AND sc.score = bs.ms
+           |GROUP BY sc.doc_id""".stripMargin),
+      "weighted rendezvous sharding: capacity-proportional HRW placement"),
+
     Q("q_scan_orc",
       (s, d) => {
         val cols = Seq("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")

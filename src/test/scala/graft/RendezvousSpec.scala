@@ -33,6 +33,27 @@ class RendezvousSpec extends SparkSpec {
     assert(sizes.max < 3.0 * n / ExtraQueries.RvShards)
   }
 
+  test("weighted HRW: shard shares track the declared weight ramp") {
+    val w = ExtraQueries.all.find(_.name == "q_shard_rendezvous_weighted")
+      .get.run(spark, sf0001)
+    val counts = w.groupBy("shard_w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    val totalWeight = (0 until ExtraQueries.RvShards).map(1 + _ % 4).sum
+    // expected share = w_s / Σw; at n=500 allow generous sampling slack,
+    // but weight-4 shards must clearly out-draw weight-1 shards
+    val byWeight = (1 to 4).map { wt =>
+      wt -> (0 until ExtraQueries.RvShards).filter(s => 1 + s % 4 == wt)
+        .map(s => counts.getOrElse(s.toLong, 0L)).sum.toDouble
+    }.toMap
+    assert(byWeight(4) > 2.0 * byWeight(1),
+      s"weight-4 shards drew ${byWeight(4)}, weight-1 drew ${byWeight(1)}")
+    val share4 = byWeight(4) / n
+    val expect4 = 4.0 * 4 / totalWeight // four weight-4 shards
+    assert(math.abs(share4 - expect4) < 0.15,
+      s"weight-4 share $share4 vs expected $expect4")
+  }
+
   override def afterAll(): Unit = {
     assigned.unpersist(blocking = true)
     super.afterAll()
