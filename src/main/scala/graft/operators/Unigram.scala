@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Unigram-LM tokenizer (the second SentencePiece algorithm, beside the
+  * BPE family in [[Tokenizer]]): a frozen piece vocabulary with
+  * log-probabilities, and Viterbi (max-likelihood) word segmentation
+  * under it.
+  *
+  * Training is the simplified frequency form: candidate pieces are all
+  * substrings up to [[MaxPiece]] chars weighted by word frequency; the
+  * vocabulary keeps every single character (coverage — any word can
+  * always be segmented) plus the top [[VocabTop]] multi-char pieces;
+  * piece log-prob is ln(cnt / Σcnt) over the kept vocabulary. (Full
+  * SentencePiece iterates EM prune rounds on top of exactly this seed —
+  * the artifact shape and the apply path are identical.)
+  *
+  * The Viterbi segmentation is computed by BOUNDED PATH ENUMERATION:
+  * [[MaxRounds]] unrolled extend-join rounds over the distinct-word
+  * table (each round extends incomplete prefixes by every matching
+  * vocab piece via a broadcast join), then an argmax per word by
+  * (score DESC, path ASC). For words of ≤ MaxRounds chars the
+  * all-singles path always completes, so enumeration is total and the
+  * path count is bounded by compositions of the word length into parts
+  * ≤ MaxPiece (108 paths at length 8) — tractable for the distinct-WORD
+  * table (O(vocab), not O(corpus); the corpus-side encode joins words
+  * to this frozen result exactly like the BPE encode). Scores
+  * accumulate left-to-right on both engines, so the DuckDB recursive
+  * CTE twin reproduces every double bit-for-bit and ties break on the
+  * path string.
+  */
+object Unigram {
+
+  /** Longest candidate piece (chars). */
+  val MaxPiece = 4
+
+  /** Multi-char vocabulary slots (single chars are always kept). */
+  val VocabTop = 24
+
+  /** Unrolled Viterbi rounds = longest segmentable word (the
+    * all-singles fallback needs one round per char). */
+  val MaxRounds = 8
+
+  /** Distinct words with occurrence counts. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** The frozen vocabulary: (piece, cnt) — all single chars + the top
+    * [[VocabTop]] multi-char substrings by weighted frequency
+    * (deterministic (cnt DESC, piece) order, TakeOrderedAndProject). */
+  def vocab(wc: DataFrame): DataFrame = {
+    val subs = wc
+      .withColumn("i", explode(sequence(lit(0), length(col("w")) - 1)))
+      .withColumn("l", explode(sequence(lit(1),
+        least(lit(MaxPiece), length(col("w")) - col("i")))))
+      .select(expr("substring(w, i + 1, l)").as("piece"), col("c"))
+    val cand = subs.groupBy("piece").agg(sum(col("c")).as("cnt"))
+    cand.filter(length(col("piece")) === 1)
+      .unionByName(cand.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(VocabTop))
+  }
+
+  /** Vocabulary with the UNROUNDED log-prob (piece, cnt, lp) — the
+    * scoring table the Viterbi joins; gates round at the edge. */
+  def vocabLp(v: DataFrame): DataFrame = {
+    val tv = v.agg(sum(col("cnt")).as("tv"))
+    v.crossJoin(broadcast(tv))
+      .withColumn("lp",
+        log(col("cnt").cast("double") / col("tv").cast("double")))
+      .select(col("piece"), col("cnt"), col("lp"))
+  }
+
+  /** Max-likelihood segmentation per distinct word (≤ [[MaxRounds]]
+    * chars): (w, c, pieces, n_pieces, score6). */
+  def encodeWords(wc: DataFrame, vlp: DataFrame): DataFrame = {
+    val bv = broadcast(vlp.select(col("piece"), col("lp")))
+    var state = wc.filter(length(col("w")) <= MaxRounds)
+      .select(col("w"), col("c"), lit(0).as("pos"),
+        lit(0.0).as("score"), lit("").as("path"))
+    for (_ <- 1 to MaxRounds) {
+      val done = state.filter(col("pos") >= length(col("w")))
+      val ext = state.filter(col("pos") < length(col("w")))
+        .withColumn("l", explode(sequence(lit(1),
+          least(lit(MaxPiece), length(col("w")) - col("pos")))))
+        .withColumn("piece", expr("substring(w, pos + 1, l)"))
+        .join(bv, "piece")
+        .select(col("w"), col("c"), (col("pos") + col("l")).as("pos"),
+          (col("score") + col("lp")).as("score"),
+          when(col("path") === "", col("piece"))
+            .otherwise(concat(col("path"), lit(" "), col("piece")))
+            .as("path"))
+      state = done.unionByName(ext)
+    }
+    val fin = state.filter(col("pos") === length(col("w")))
+    val win = Window.partitionBy("w").orderBy(col("score").desc, col("path"))
+    fin.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .select(col("w"), col("c"), col("path").as("pieces"),
+        size(split(col("path"), " ")).cast("int").as("n_pieces"),
+        round(col("score"), 6).as("score6"))
+  }
+}

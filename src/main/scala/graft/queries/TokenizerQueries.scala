@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Tokenizer
+import graft.operators.{Tokenizer, Unigram}
 import graft.functions.PortableHash
 
 /** BPE tokenizer family (SURVEY §2.B LLM-pipeline extensions,
@@ -259,5 +259,86 @@ object TokenizerQueries {
            |  round(CAST(sum(n_tok) AS DOUBLE) / sum(n_words), 6)
            |    AS fertility6
            |FROM per GROUP BY lang""".stripMargin),
-      "per-language BPE fertility (tokens per word, the vocab-coverage report)"))
+      "per-language BPE fertility (tokens per word, the vocab-coverage report)"),
+
+    // ---------- unigram-LM tokenizer (SentencePiece's second algorithm) ----------
+    // PUBLISH: the frozen piece vocabulary with log-probs — all single
+    // chars (coverage) + the top multi-char substrings by weighted
+    // frequency. O(pieces) rows; two map-side-combined aggregates +
+    // one TakeOrderedAndProject, no global sort.
+    Q("q_text_unigram_vocab",
+      (s, d) => {
+        val wc = Unigram.wordCounts(t(s, d, "documents"), "text")
+        Unigram.vocabLp(Unigram.vocab(wc))
+          .select(col("piece"), col("cnt"), round(col("lp"), 6).as("logp6"))
+      },
+      Some(s"""WITH $duckUnigramCtes
+           |SELECT piece, cnt,
+           |  round(ln(CAST(cnt AS DOUBLE) / CAST(tv AS DOUBLE)), 6) AS logp6
+           |FROM vocab CROSS JOIN tv""".stripMargin),
+      "frozen unigram-LM piece vocabulary: chars + top substrings with log-probs"),
+
+    // APPLY: Viterbi (max-likelihood) segmentation of every distinct
+    // word under the frozen vocabulary, via bounded path enumeration —
+    // 8 unrolled broadcast-join extend rounds on the O(vocab)
+    // distinct-word table, argmax by (score DESC, path). Scores
+    // accumulate left-to-right on both engines, so the DuckDB
+    // RECURSIVE-CTE twin replays every double bit-for-bit (ties break
+    // on the path string). The corpus-side encode equi-joins words to
+    // this frozen table, the BPE-encode shape.
+    Q("q_text_unigram_encode",
+      (s, d) => {
+        val wc = Unigram.wordCounts(t(s, d, "documents"), "text")
+        Unigram.encodeWords(wc, Unigram.vocabLp(Unigram.vocab(wc)))
+      },
+      Some(s"""WITH RECURSIVE $duckUnigramCtes,
+           |vlp AS (SELECT piece,
+           |          ln(CAST(cnt AS DOUBLE) / CAST(tv AS DOUBLE)) AS lp
+           |        FROM vocab CROSS JOIN tv),
+           |wce AS (SELECT w, c FROM wc
+           |        WHERE len(w) <= ${Unigram.MaxRounds}),
+           |r(w, c, pos, score, path) AS (
+           |  SELECT w, c, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), ''
+           |  FROM wce
+           |  UNION ALL
+           |  SELECT r.w, r.c, r.pos + len(v.piece), r.score + v.lp,
+           |         CASE WHEN r.path = '' THEN v.piece
+           |              ELSE r.path || ' ' || v.piece END
+           |  FROM r JOIN vlp v
+           |    ON r.pos < len(r.w)
+           |   AND len(v.piece) <= len(r.w) - r.pos
+           |   AND v.piece = substr(r.w, CAST(r.pos + 1 AS INT),
+           |                        CAST(len(v.piece) AS INT))),
+           |fin AS (SELECT * FROM r WHERE pos = len(w))
+           |SELECT w, c, path AS pieces,
+           |       CAST(len(string_split(path, ' ')) AS INT) AS n_pieces,
+           |       round(score, 6) AS score6
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY w ORDER BY score DESC, path) AS rn
+           |      FROM fin)
+           |WHERE rn = 1""".stripMargin),
+      "unigram-LM Viterbi segmentation per word (frozen vocab, enumerated argmax)"))
+
+  /** Word counts → candidate substrings → vocabulary (singles + top
+    * multi) → total, as DuckDB CTEs (toks/wc/s1/s2/cand/vocab/tv) — the
+    * textual twin of [[Unigram.vocab]]. */
+  private def duckUnigramCtes: String =
+    s"""toks AS (SELECT unnest(${LlmQueries.duckTokens("text")}) AS w
+       |         FROM documents),
+       |wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+       |s1 AS (SELECT w, c, CAST(unnest(range(0, len(w))) AS INT) AS i
+       |       FROM wc),
+       |s2 AS (SELECT w, c, i,
+       |         CAST(unnest(range(1, least(${Unigram.MaxPiece},
+       |                                    len(w) - i) + 1)) AS INT) AS l
+       |       FROM s1),
+       |cand AS (SELECT substr(w, i + 1, l) AS piece,
+       |           CAST(sum(c) AS BIGINT) AS cnt
+       |         FROM s2 GROUP BY piece),
+       |vocab AS (SELECT piece, cnt FROM cand WHERE len(piece) = 1
+       |          UNION ALL
+       |          SELECT piece, cnt FROM (
+       |            SELECT * FROM cand WHERE len(piece) >= 2
+       |            ORDER BY cnt DESC, piece LIMIT ${Unigram.VocabTop})),
+       |tv AS (SELECT CAST(sum(cnt) AS BIGINT) AS tv FROM vocab)""".stripMargin
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Unigram
+
+/** Unigram-tokenizer contracts: single-char coverage makes segmentation
+  * total, pieces reconstruct the word exactly, and the returned path is
+  * score-optimal (≥ the all-singles fallback, and ≥ every enumerated
+  * alternative on a hand fixture). */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("coverage: every distinct word (≤ MaxRounds chars) gets exactly one segmentation") {
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+    val wc = Unigram.wordCounts(docs, "text")
+    val enc = Unigram.encodeWords(wc, Unigram.vocabLp(Unigram.vocab(wc)))
+    val eligible = wc.filter(length(col("w")) <= Unigram.MaxRounds)
+    assert(enc.count() == eligible.count())
+    assert(enc.groupBy("w").count().filter(col("count") > 1).isEmpty)
+    // reconstruction: concatenating the pieces yields the word
+    assert(enc.filter(
+      regexp_replace(col("pieces"), " ", "") =!= col("w")).isEmpty)
+  }
+
+  test("optimality on a hand corpus: frequent multi-char piece beats singles") {
+    // 'abab' dominates, so pieces 'ab'/'abab' are high-probability; the
+    // best segmentation of 'abab' must use multi-char pieces, and its
+    // score must be >= the all-singles path score
+    val docs = docsOf(Seq.fill(20)("abab").mkString(" ") + " xy q")
+    val wc = Unigram.wordCounts(docs, "text")
+    val vlp = Unigram.vocabLp(Unigram.vocab(wc))
+    val enc = Unigram.encodeWords(wc, vlp)
+    val row = enc.filter(col("w") === "abab")
+      .select("pieces", "n_pieces", "score6").head()
+    assert(row.getInt(1) < 4, s"expected multi-char pieces, got $row")
+    // all-singles score for 'abab': 2*lp(a) + 2*lp(b)
+    val lps = vlp.select("piece", "lp").as[(String, Double)].collect().toMap
+    val singles = 2 * lps("a") + 2 * lps("b")
+    assert(row.getDouble(2) >=
+      BigDecimal(singles).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble - 1e-9)
+  }
+
+  test("vocab keeps every single char plus at most VocabTop multi-char pieces") {
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+    val wc = Unigram.wordCounts(docs, "text")
+    val v = Unigram.vocab(wc).cache()
+    try {
+      val chars = wc
+        .withColumn("i", explode(sequence(lit(0), length(col("w")) - 1)))
+        .select(expr("substring(w, i + 1, 1)").as("ch")).distinct()
+      assert(chars.join(v.filter(length(col("piece")) === 1),
+        col("ch") === col("piece"), "left_anti").isEmpty)
+      assert(v.filter(length(col("piece")) >= 2).count() <= Unigram.VocabTop)
+    } finally v.unpersist(blocking = true)
+  }
+}
