@@ -317,7 +317,61 @@ object TokenizerQueries {
            |        (PARTITION BY w ORDER BY score DESC, path) AS rn
            |      FROM fin)
            |WHERE rn = 1""".stripMargin),
-      "unigram-LM Viterbi segmentation per word (frozen vocab, enumerated argmax)"))
+      "unigram-LM Viterbi segmentation per word (frozen vocab, enumerated argmax)"),
+
+    // Corpus-level apply + the BPE-comparison report: per-language
+    // pieces-per-word under the frozen unigram segmentation (the
+    // n_pieces table is O(vocab); the corpus stream equi-joins it by
+    // word — the same shape as the BPE encode/fertility pair, so the
+    // two tokenizers' fertility is directly comparable row-for-row).
+    Q("q_text_unigram_fertility",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val wc = Unigram.wordCounts(docs, "text")
+        val enc = Unigram.encodeWords(wc,
+            Unigram.vocabLp(Unigram.vocab(wc)))
+          .select(col("w"), col("n_pieces"))
+        docs.select(col("lang"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("w"))
+          .join(enc, "w")
+          .groupBy("lang").agg(count(lit(1)).as("n_words"),
+            sum(col("n_pieces")).as("n_pieces"),
+            round(sum(col("n_pieces")).cast("double") / count(lit(1)), 6)
+              .as("fertility6"))
+      },
+      Some(s"""WITH RECURSIVE $duckUnigramCtes,
+           |vlp AS (SELECT piece,
+           |          ln(CAST(cnt AS DOUBLE) / CAST(tv AS DOUBLE)) AS lp
+           |        FROM vocab CROSS JOIN tv),
+           |wce AS (SELECT w, c FROM wc
+           |        WHERE len(w) <= ${Unigram.MaxRounds}),
+           |r(w, c, pos, score, path) AS (
+           |  SELECT w, c, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), ''
+           |  FROM wce
+           |  UNION ALL
+           |  SELECT r.w, r.c, r.pos + len(v.piece), r.score + v.lp,
+           |         CASE WHEN r.path = '' THEN v.piece
+           |              ELSE r.path || ' ' || v.piece END
+           |  FROM r JOIN vlp v
+           |    ON r.pos < len(r.w)
+           |   AND len(v.piece) <= len(r.w) - r.pos
+           |   AND v.piece = substr(r.w, CAST(r.pos + 1 AS INT),
+           |                        CAST(len(v.piece) AS INT))),
+           |best AS (SELECT w,
+           |           CAST(len(string_split(path, ' ')) AS INT) AS n_pieces
+           |         FROM (SELECT *, row_number() OVER
+           |                 (PARTITION BY w ORDER BY score DESC, path) AS rn
+           |               FROM r WHERE pos = len(w))
+           |         WHERE rn = 1),
+           |tokl AS (SELECT lang, unnest(${LlmQueries.duckTokens("text")})
+           |           AS w FROM documents)
+           |SELECT lang, count(*) AS n_words,
+           |       CAST(sum(b.n_pieces) AS BIGINT) AS n_pieces,
+           |       round(CAST(sum(b.n_pieces) AS DOUBLE) / count(*), 6)
+           |         AS fertility6
+           |FROM tokl JOIN best b USING (w) GROUP BY lang""".stripMargin),
+      "per-language unigram fertility (pieces per word, comparable to the BPE report)"))
 
   /** Word counts → candidate substrings → vocabulary (singles + top
     * multi) → total, as DuckDB CTEs (toks/wc/s1/s2/cand/vocab/tv) — the

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.Unigram
+
+/** Ingest-time unigram tokenization against the FROZEN per-word
+  * segmentation artifact: the (word → pieces, n_pieces) table is
+  * published once as parquet (trained batch-side), and each document
+  * microbatch tokenizes by exploding its words into the equi-join —
+  * stateless, so the union over microbatches must equal the batch
+  * result, across a RESTART from the checkpoint.
+  */
+class StreamingUnigramSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("frozen segmentation table: streaming tokenize ≡ batch, across a restart") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni").toString
+    val wc = Unigram.wordCounts(docs, "text")
+    Unigram.encodeWords(wc, Unigram.vocabLp(Unigram.vocab(wc)))
+      .select("w", "n_pieces").write.parquet(s"$dir/seg")
+    val seg = spark.read.parquet(s"$dir/seg")
+
+    def tokenize(batch: DataFrame): DataFrame =
+      batch.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .join(broadcast(seg), "w")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_tokens"))
+
+    val want = tokenize(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          tokenize(df).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}")
+  }
+}
