@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition (fixed-k form): the maximal subgraph in which
+  * every node has degree ≥ k, computed by iterative peeling — drop
+  * nodes below k, restrict edges to survivors, repeat. The standard
+  * community-density primitive (spam-farm detection, dense-cluster
+  * extraction over the doc/link graph).
+  *
+  * Like [[PageRank]]'s fixed iteration count, the peel count is a
+  * DECLARED constant ([[Peels]]) rather than a driver-side
+  * loop-until-fixpoint: each round is two semi-joins + one map-side-
+  * combined degree count, the plan is statically unrolled (no driver
+  * collect decides termination), and the spec asserts the fixture
+  * converges within the declared rounds (peeling is monotone — once
+  * stable, further rounds are identity). At 100 TB each round shuffles
+  * on the node key only; the edge set only ever shrinks.
+  */
+object KCore {
+
+  /** Core threshold (degree ≥ K survives). */
+  val K = 3
+
+  /** Declared peel rounds (converged at bench scale — KCoreSpec pins a
+    * further peel is identity). */
+  val Peels = 6
+
+  /** Input: symmetric edge list (src, dst). Output: (node, deg) for the
+    * nodes of the k-core, deg = degree within the core. */
+  def core(edges: DataFrame, k: Int = K, peels: Int = Peels): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+    for (_ <- 1 to peels) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      e = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+}

@@ -79,6 +79,28 @@ object AnalyticsQueries {
        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
        |       FROM fl)""".stripMargin
 
+  /** Unrolled k-core peel chain over the order-part bipartite graph —
+    * the textual twin of [[graft.operators.KCore.core]]. Every CTE is
+    * MATERIALIZED: round r references e_{r-1} three times (the degree
+    * count + both join sides), so inlined CTEs would re-expand the
+    * edge table 3^r times — at sf0.1 that spilled DuckDB to disk until
+    * ENOSPC (the duckTrainCtes lesson, relearned). */
+  private def duckKcoreCtes(k: Int, peels: Int): String = {
+    val rounds = (1 to peels).map { r =>
+      val p = r - 1
+      s"""kk$r AS MATERIALIZED (SELECT src FROM (SELECT src, count(*) AS deg
+         |           FROM e$p GROUP BY src) WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT e$p.src, e$p.dst FROM e$p
+         |        JOIN kk$r ka ON e$p.src = ka.src
+         |        JOIN kk$r kb ON e$p.dst = kb.src)""".stripMargin
+    }.mkString(",\n")
+    s"""b AS MATERIALIZED (SELECT DISTINCT l_orderkey * 2 AS src,
+       |        l_partkey * 2 + 1 AS dst FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM b
+       |       UNION SELECT dst AS src, src AS dst FROM b),
+       |$rounds""".stripMargin
+  }
+
   /** Adjacent event pairs per user + transition counts/totals — shared by
     * the transition-matrix publish and the Markov scoring apply. */
   private def duckTransitionCtes: String =
@@ -625,6 +647,28 @@ object AnalyticsQueries {
       Some(s"""WITH ${duckPageRankCtes(PrIters)}
                SELECT id AS node_id, r AS r_fp FROM r$PrIters"""),
       "fixed-point PageRank over the order-part graph (exact int64 recurrence)"),
+
+    // k-core decomposition (k = 3): iterative peel — drop nodes under
+    // degree k, restrict edges to survivors, repeat for the DECLARED
+    // round count (the PageRank fixed-iteration convention: statically
+    // unrolled plan, no driver loop; KCoreSpec asserts a further peel
+    // is identity on the fixture). Each round is one map-side-combined
+    // degree count + two node-keyed semi-joins over an edge set that
+    // only shrinks — the dense-cluster primitive (spam farms, heavy
+    // co-purchase cores) at any scale.
+    Q("q_graph_kcore",
+      (s, d) => {
+        val b = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+        val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.KCore.core(e)
+      },
+      Some(s"""WITH ${duckKcoreCtes(graft.operators.KCore.K,
+                 graft.operators.KCore.Peels)}
+           |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           |FROM e${graft.operators.KCore.Peels} GROUP BY src""".stripMargin),
+      "k-core decomposition: declared-round peel to the degree>=3 core"),
 
     // Per-part triangle counts on the co-purchase graph (parts sharing an
     // order). Spark side runs the degree-ordered orientation (out-degree

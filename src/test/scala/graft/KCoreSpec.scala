@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KCore
+
+/** k-core contracts: every surviving node meets the degree bound, the
+  * declared peel count reaches the fixpoint on the fixture (a further
+  * peel is identity), and a hand graph peels exactly as the definition
+  * says. */
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand graph: the triangle chain peels down to the 4-clique at k=3") {
+    // a 4-clique (nodes 1-4) with a pendant path 5-6 attached: the path
+    // (and nothing else) must peel away at k = 3
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val tail = Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L))
+    val e = (clique ++ tail).toDF("src", "dst")
+    val got = KCore.core(e, k = 3, peels = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("gated entry: degree bound holds and the declared rounds reach the fixpoint") {
+    val b = graft.core.Tables.load(spark, sf0001, "lineitem").select(
+      (col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst")).distinct()
+    val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+    val core = KCore.core(e)
+    assert(core.filter(col("deg") < KCore.K).isEmpty)
+    // one more peel changes nothing: the declared constant suffices
+    val more = KCore.core(e, KCore.K, KCore.Peels + 1)
+    assert(core.exceptAll(more).isEmpty && more.exceptAll(core).isEmpty)
+  }
+}
