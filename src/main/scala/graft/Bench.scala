@@ -135,7 +135,11 @@ object Bench {
     // hybrid RRF retrieval (stage-sum of its two gated retrievals) and
     // curriculum ordering (range-partitioned global rank over LM
     // scores); both 7-rep adjudicated in BENCHFOCUS_r11's addendum
-    "q_retrieval_rrf", "q_corpus_curriculum")
+    "q_retrieval_rrf", "q_corpus_curriculum",
+    // round-11 tail 5: k-core peel — genuine iterative graph work over
+    // 1.2M edges (7-rep baseline 3.1 s after the LogicalRDD re-rooting
+    // fix took it from 32 s; BENCHFOCUS_r11 addendum 2)
+    "q_graph_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

