@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Ingest-time sequence scoring against the FROZEN Markov transition
+  * matrix: the (from_type, to_type, p) model is published to parquet by
+  * the batch job; arriving TRANSITION rows (the lag-paired stream a
+  * sessionizing upstream emits) score statelessly via the broadcast
+  * equi-join — per-row, no state, so streamed scores must equal the
+  * batch scores row-for-row across a restart (the per-user rollup is
+  * the batch consumer's aggregation, same as the LM-score twin's
+  * per-bigram contract).
+  */
+class StreamingMarkovSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("frozen transition matrix: streamed per-transition scores ≡ batch, across a restart") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sf001, "events").select(col("event_id"),
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val pairs = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("event_type").as("from_type"), col("to_type"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_mkv").toString
+    val tr = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("c"))
+    val tot = tr.groupBy("from_type").agg(sum(col("c")).as("tc"))
+    tr.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"),
+        (col("c").cast("double") / col("tc")).as("p"))
+      .write.parquet(s"$dir/model")
+    val model = spark.read.parquet(s"$dir/model")
+
+    def scoreRows(batch: DataFrame): DataFrame =
+      batch.join(broadcast(model), Seq("from_type", "to_type"))
+        .select(col("event_id"), col("user_id"),
+          round(-log(col("p")), 6).as("nll6"))
+
+    val want = scoreRows(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty)
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(pairs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          scoreRows(df).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    pairs.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    pairs.filter(col("event_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}")
+  }
+}
