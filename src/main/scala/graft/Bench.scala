@@ -139,7 +139,10 @@ object Bench {
     // round-11 tail 5: k-core peel — genuine iterative graph work over
     // 1.2M edges (7-rep baseline 3.1 s after the LogicalRDD re-rooting
     // fix took it from 32 s; BENCHFOCUS_r11 addendum 2)
-    "q_graph_kcore")
+    "q_graph_kcore",
+    // round-11 tail 6: SymSpell deletion-variant join (7-rep baseline
+    // 3.4 s — 285k variant index + 262k result pairs at sf0.1)
+    "q_join_fuzzy_symdel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

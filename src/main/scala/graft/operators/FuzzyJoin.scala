@@ -52,4 +52,34 @@ object FuzzyJoin {
         col("a.nm").as("name1"), col("b.nm").as("name2"),
         col("dist").cast("int").as("dist"))
   }
+
+  /** Symmetric-delete (SymSpell) self-join: EVERY pair within edit
+    * distance 1, exactly — no blocking key, no recall dial. Each name
+    * expands to itself + its single-character deletions; two names are
+    * within one edit iff they share a variant (substitution: delete the
+    * differing position from both; insert/delete: the longer's deletion
+    * IS the shorter; equality: the identity variant), so the equi-join
+    * on the variant has EXACT recall at d = 1 and the levenshtein
+    * verify only discards the few false candidates. At 100 TB this is
+    * the shape that replaces blockedLevenshtein's recall/cost dial:
+    * the index is O(n·len) rows and per-variant fan-out is bounded by
+    * the alphabet (names agreeing everywhere but one position), not by
+    * a block size. d = 2 is the same construction with two deletions. */
+  def symDeletePairs(df: DataFrame, keyCol: String, nameCol: String): DataFrame = {
+    val v = df.select(col(keyCol).as("k"), col(nameCol).as("nm"))
+      .withColumn("i", explode(sequence(lit(0), length(col("nm")))))
+      .withColumn("variant", when(col("i") === 0, col("nm"))
+        .otherwise(concat(expr("substring(nm, 1, i - 1)"),
+          expr("substring(nm, i + 1, length(nm))"))))
+      .select(col("k"), col("nm"), col("variant")).distinct()
+    v.select(col("variant"), col("k").as("k1"), col("nm").as("n1"))
+      .join(v.select(col("variant").as("v2"), col("k").as("k2"),
+        col("nm").as("n2")),
+        col("variant") === col("v2") && col("k1") < col("k2"))
+      .select(col("k1"), col("n1"), col("k2"), col("n2")).distinct()
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 1)
+      .select(col("k1"), col("n1"), col("k2"), col("n2"),
+        col("dist").cast("int").as("dist"))
+  }
 }

@@ -631,6 +631,34 @@ object AnalyticsQueries {
                WHERE levenshtein(p.p_name, d.canon) <= $FuzzyMaxDist"""),
       "fuzzy dictionary match: broadcast canonical names, block on noun, verify by edit distance"),
 
+    // Symmetric-delete (SymSpell) self-join: every customer-name pair
+    // within ONE edit, with EXACT recall — names sharing a deletion
+    // variant (identity included) are the complete lev≤1 candidate set,
+    // so there is no blocking-key recall dial; the variant index is
+    // O(n·len) and per-variant fan-out is alphabet-bounded (names equal
+    // everywhere but one position), the property that holds at any
+    // corpus size where blockedLevenshtein's block dial does not.
+    Q("q_join_fuzzy_symdel",
+      (s, d) => FuzzyJoin.symDeletePairs(
+        t(s, d, "customer"), "c_custkey", "c_name"),
+      Some("""WITH base AS (SELECT c_custkey AS k, c_name AS nm,
+                              CAST(unnest(range(0, len(c_name) + 1)) AS INT)
+                                AS i
+                            FROM customer),
+              dv AS (SELECT DISTINCT k, nm,
+                       CASE WHEN i = 0 THEN nm
+                            ELSE substr(nm, 1, i - 1) ||
+                                 substr(nm, i + 1, len(nm)) END AS variant
+                     FROM base),
+              cand AS (SELECT DISTINCT a.k AS k1, a.nm AS n1,
+                              b.k AS k2, b.nm AS n2
+                       FROM dv a JOIN dv b
+                         ON a.variant = b.variant AND a.k < b.k)
+              SELECT k1, n1, k2, n2,
+                     CAST(levenshtein(n1, n2) AS INT) AS dist
+              FROM cand WHERE levenshtein(n1, n2) <= 1"""),
+      "SymSpell deletion-variant join: exact-recall edit-distance-1 pairs, no blocking dial"),
+
     // Fixed-point PageRank over the bipartite order<->part purchase graph
     // (order node = 2k, part node = 2k+1, both edge directions). 10
     // iterations of exact int64 arithmetic — bit-identical to the oracle's

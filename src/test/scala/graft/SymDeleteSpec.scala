@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyJoin
+
+/** Symmetric-delete join contracts: EXACT recall at edit distance 1 —
+  * the variant equi-join finds precisely the pairs a brute-force
+  * levenshtein cross join finds, covering substitution, insertion/
+  * deletion, and equal-name cases. */
+class SymDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand fixture: substitution, indel, equality and a miss") {
+    val df = Seq(
+      (1L, "spark"), (2L, "spork"),  // substitution → dist 1
+      (3L, "spar"),                  // deletion of 'k' → dist 1 to spark
+      (4L, "spark"),                 // equal → dist 0
+      (5L, "flink")                  // dist > 1 to everything
+    ).toDF("k", "nm")
+    val got = FuzzyJoin.symDeletePairs(df, "k", "nm")
+      .select("k1", "k2", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 0),
+      (2L, 4L, 1), (3L, 4L, 1)))
+  }
+
+  test("exact recall: symdel ≡ brute-force lev≤1 cross join at sf0.001") {
+    val cust = graft.core.Tables.load(spark, sf0001, "customer")
+    val got = FuzzyJoin.symDeletePairs(cust, "c_custkey", "c_name")
+    val n = cust.select(col("c_custkey").as("k"), col("c_name").as("nm"))
+    val brute = n.as("a").join(n.as("b"), col("a.k") < col("b.k"))
+      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
+      .filter(col("dist") <= 1)
+      .select(col("a.k").as("k1"), col("a.nm").as("n1"),
+        col("b.k").as("k2"), col("b.nm").as("n2"),
+        col("dist").cast("int").as("dist"))
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+}
