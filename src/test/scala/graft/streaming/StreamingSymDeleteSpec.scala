@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The SymSpell SERVING shape: the deletion-variant index over the
+  * canonical dictionary is published once as parquet; arriving query
+  * names expand to their own variants per microbatch and probe the
+  * index (equi-join + levenshtein ≤ 1 verify) — stateless, so the
+  * union over microbatches must equal the batch probe, across a
+  * RESTART from the checkpoint.
+  */
+class StreamingSymDeleteSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def variants(df: DataFrame, keyCol: String, nameCol: String) =
+    df.select(col(keyCol).as("k"), col(nameCol).as("nm"))
+      .withColumn("i", explode(sequence(lit(0), length(col("nm")))))
+      .withColumn("variant", when(col("i") === 0, col("nm"))
+        .otherwise(concat(expr("substring(nm, 1, i - 1)"),
+          expr("substring(nm, i + 1, length(nm))"))))
+      .select(col("k"), col("nm"), col("variant")).distinct()
+
+  test("frozen variant index: streaming probe ≡ batch, across a restart") {
+    val cust = Tables.load(spark, sf001, "customer")
+    // dictionary = even keys, queries = odd keys (disjoint sides)
+    val dict = cust.filter(col("c_custkey") % 2 === 0)
+    val queries = cust.filter(col("c_custkey") % 2 =!= 0)
+      .select(col("c_custkey").as("qk"), col("c_name").as("qnm"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sym").toString
+    variants(dict, "c_custkey", "c_name").write.parquet(s"$dir/index")
+    val index = spark.read.parquet(s"$dir/index")
+
+    def probe(q: DataFrame): DataFrame =
+      variants(q, "qk", "qnm")
+        .withColumnRenamed("k", "qk").withColumnRenamed("nm", "qnm")
+        .join(index, "variant")
+        .select(col("qk"), col("qnm"), col("k"), col("nm")).distinct()
+        .withColumn("dist", levenshtein(col("qnm"), col("nm")))
+        .filter(col("dist") <= 1)
+
+    val want = probe(queries).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    assert(want.nonEmpty, "fixture matched nothing")
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          probe(df).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    queries.filter(col("qk") % 4 === 1).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    queries.filter(col("qk") % 4 === 3).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}")
+  }
+}
