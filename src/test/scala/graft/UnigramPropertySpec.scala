@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.operators.Unigram
+
+/** Differential property check of the unigram tokenizer against a
+  * direct in-memory reference: vocabulary selection (singles + top
+  * multi-char by (cnt DESC, piece)) and the Viterbi argmax (score DESC,
+  * path ASC, scores accumulated LEFT-TO-RIGHT so doubles match the
+  * engine bit-for-bit) on arbitrary corpora — including tie-heavy
+  * shapes (tiny alphabets, repeated runs) the fixed-corpus oracle
+  * never generates.
+  */
+class UnigramPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- reference: direct maps + exhaustive segmentation ----
+  private def refVocab(wc: Map[String, Long]): Map[String, Long] = {
+    val cand = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      for (i <- 0 until w.length;
+           l <- 1 to math.min(Unigram.MaxPiece, w.length - i))
+        cand.update(w.substring(i, i + l),
+          cand.getOrElse(w.substring(i, i + l), 0L) + c)
+    }
+    val singles = cand.filter(_._1.length == 1)
+    val multi = cand.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(Unigram.VocabTop)
+    (singles ++ multi).toMap
+  }
+
+  private def refBest(w: String, lp: Map[String, Double]): (String, Double) = {
+    def paths(pos: Int): Seq[List[String]] =
+      if (pos == w.length) Seq(Nil)
+      else for {
+        l <- 1 to math.min(Unigram.MaxPiece, w.length - pos)
+        piece = w.substring(pos, pos + l)
+        if lp.contains(piece)
+        rest <- paths(pos + l)
+      } yield piece :: rest
+    val scored = paths(0).map { p =>
+      // LEFT-TO-RIGHT fold — the engine's exact addition order
+      (p.mkString(" "), p.foldLeft(0.0)((acc, x) => acc + lp(x)))
+    }
+    // argmax by (score DESC, path ASC) — exact double comparison
+    scored.minBy { case (path, s) => (-s, path) }
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, Unigram.MaxRounds).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+  private val corpusGen: Gen[List[String]] = for {
+    nw <- Gen.chooseNum(1, 10)
+    words <- Gen.listOfN(nw, wordGen)
+    reps <- Gen.listOfN(nw, Gen.chooseNum(1, 5))
+  } yield words.zip(reps).flatMap { case (w, n) => List.fill(n)(w) }
+
+  test("column unigram ≡ reference on arbitrary corpora (vocab + Viterbi)") {
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = Seq(Tuple1(corpus.mkString(" "))).toDF("text")
+      val wc = Unigram.wordCounts(df, "text")
+      val vlpDf = Unigram.vocabLp(Unigram.vocab(wc))
+      val gotVocab = vlpDf.select("piece", "cnt")
+        .as[(String, Long)].collect().toMap
+      val wantWc = corpus.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val wantVocab = refVocab(wantWc)
+      val tv = wantVocab.values.sum.toDouble
+      val wantLp = wantVocab.map { case (p, c) =>
+        p -> math.log(c.toDouble / tv) }
+      val gotEnc = Unigram.encodeWords(wc, vlpDf)
+        .select("w", "pieces", "score6")
+        .as[(String, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val wantEnc = wantWc.keys.map { w =>
+        val (path, s) = refBest(w, wantLp)
+        w -> ((path, BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+      (gotVocab == wantVocab) :|
+        s"vocab: got $gotVocab want $wantVocab (corpus=$corpus)" &&
+        (gotEnc == wantEnc) :|
+          s"encode: got $gotEnc want $wantEnc (corpus=$corpus)"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"unigram-differential: $res")
+  }
+}
