@@ -659,6 +659,84 @@ object AnalyticsQueries {
               FROM cand WHERE levenshtein(n1, n2) <= 1"""),
       "SymSpell deletion-variant join: exact-recall edit-distance-1 pairs, no blocking dial"),
 
+    // Pairwise Pearson correlation matrix over the four lineitem
+    // measures in ONE pass: 15 exact integer sums (n, Σx, Σx², Σxy for
+    // all 6 pairs) in a single map-side-combined aggregate — the
+    // all-pairs feature-correlation report a training pipeline runs per
+    // snapshot without 6 separate corr() scans. Accumulation is
+    // DECIMAL(38,0) on the Spark side / HUGEINT on DuckDB (Σ(cents²)
+    // overflows int64 at 6e5 rows, let alone 100 TB), so the sums are
+    // exact and order-independent; the correlation formula then runs
+    // once in doubles over identical integers on both engines.
+    Q("q_agg_corr_matrix",
+      (s, d) => {
+        val vars = Seq("x1" -> "quantity", "x2" -> "extendedprice",
+          "x3" -> "discount", "x4" -> "tax")
+        val pairs = for {
+          ((a, na), i) <- vars.zipWithIndex
+          (b, nb) <- vars.drop(i + 1)
+        } yield ((a, na), (b, nb))
+        val li = t(s, d, "lineitem").select(
+          col("l_quantity").cast("long").as("x1"),
+          cents(col("l_extendedprice")).as("x2"),
+          cents(col("l_discount")).as("x3"),
+          cents(col("l_tax")).as("x4"))
+        val aggs =
+          Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+            vars.flatMap { case (c, _) => Seq(
+              sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
+              sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"ss_$c")) } ++
+            pairs.map { case ((a, _), (b, _)) =>
+              sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_${a}_$b") }
+        val g0 = li.agg(aggs.head, aggs.tail: _*)
+        // all six correlations as columns of the ONE aggregate row, then
+        // stack() to long format — union-of-selects would re-plan (and
+        // re-scan) the aggregate per pair (CorrMatrixSpec pins 1 scan)
+        val g = pairs.foldLeft(g0) { case (df, ((a, _), (b, _))) =>
+          df.withColumn(s"c_${a}_$b",
+            round((col("n") * col(s"sp_${a}_$b") -
+                col(s"s_$a") * col(s"s_$b")).cast("double") /
+              (sqrt((col("n") * col(s"ss_$a") -
+                col(s"s_$a") * col(s"s_$a")).cast("double")) *
+               sqrt((col("n") * col(s"ss_$b") -
+                 col(s"s_$b") * col(s"s_$b")).cast("double"))), 6))
+        }
+        val arms = pairs.map { case ((a, na), (b, nb)) =>
+          s"'$na', '$nb', c_${a}_$b" }.mkString(", ")
+        g.select(expr(
+          s"stack(${pairs.size}, $arms) as (var1, var2, corr6)"))
+      },
+      Some {
+        val vars = Seq("x1" -> "quantity", "x2" -> "extendedprice",
+          "x3" -> "discount", "x4" -> "tax")
+        val pairs = for {
+          ((a, na), i) <- vars.zipWithIndex
+          (b, nb) <- vars.drop(i + 1)
+        } yield ((a, na), (b, nb))
+        val sums = vars.flatMap { case (c, _) => Seq(
+          s"CAST(sum($c) AS HUGEINT) AS s_$c",
+          s"CAST(sum($c * $c) AS HUGEINT) AS ss_$c") } ++
+          pairs.map { case ((a, _), (b, _)) =>
+            s"CAST(sum($a * $b) AS HUGEINT) AS sp_${a}_$b" }
+        val arms = pairs.map { case ((a, na), (b, nb)) =>
+          s"""SELECT '$na' AS var1, '$nb' AS var2,
+             |  round(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+             |    (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+             |     sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))), 6)
+             |    AS corr6
+             |FROM g""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+           |  CAST(round(l_extendedprice * 100) AS BIGINT) AS x2,
+           |  CAST(round(l_discount * 100) AS BIGINT) AS x3,
+           |  CAST(round(l_tax * 100) AS BIGINT) AS x4 FROM lineitem),
+           |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |  ${sums.mkString(",\n  ")}
+           |  FROM b)
+           |$arms""".stripMargin
+      },
+      "one-pass pairwise correlation matrix (15 exact decimal sums, no per-pair scans)"),
+
     // Fixed-point PageRank over the bipartite order<->part purchase graph
     // (order node = 2k, part node = 2k+1, both edge directions). 10
     // iterations of exact int64 arithmetic — bit-identical to the oracle's

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-pass correlation-matrix contracts: values agree with Spark's own
+  * corr() to rounding, and the plan scans lineitem exactly once. */
+class CorrMatrixSpec extends SparkSpec {
+
+  test("matches built-in corr() per pair (to the 6-dp rounding)") {
+    val got = queries.AnalyticsQueries.all
+      .find(_.name == "q_agg_corr_matrix").get.run(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val li = graft.core.Tables.load(spark, sf0001, "lineitem").select(
+      col("l_quantity").cast("long").cast("double").as("quantity"),
+      round(col("l_extendedprice") * 100).as("extendedprice"),
+      round(col("l_discount") * 100).as("discount"),
+      round(col("l_tax") * 100).as("tax"))
+    got.foreach { case ((a, b), c6) =>
+      val ref = li.agg(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(c6 - ref) < 1e-5, s"($a,$b): $c6 vs corr()=$ref")
+    }
+    assert(got.size == 6)
+  }
+
+  test("single scan: one aggregate, no per-pair re-reads") {
+    val p = queries.AnalyticsQueries.all
+      .find(_.name == "q_agg_corr_matrix").get.run(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"$scans lineitem scans:\n$p")
+  }
+}
