@@ -307,6 +307,66 @@ object AnalyticsQueries {
               FROM z WHERE abs(mz) > 3.5"""),
       "robust median/MAD outliers (modified z-score; exact interpolated percentiles)"),
 
+    // Equal-frequency binning, PUBLISH half: exact per-group quartile
+    // boundaries over integer cents (interpolated percentiles land on
+    // exact binary fractions — the q_anomaly_mad argument), the frozen
+    // O(groups) bucketizer artifact an ML feature pipeline trains
+    // nightly. One exact-percentile aggregate over O(groups) keys.
+    Q("q_feature_bins",
+      (s, d) => {
+        val ec = t(s, d, "events").select(col("event_type"),
+          cents(col("value")).as("c"))
+        ec.groupBy("event_type").agg(
+          expr("percentile(c, 0.25)").as("q25"),
+          expr("percentile(c, 0.5)").as("q50"),
+          expr("percentile(c, 0.75)").as("q75"))
+      },
+      Some("""SELECT event_type,
+                     quantile_cont(c, 0.25) AS q25,
+                     quantile_cont(c, 0.5) AS q50,
+                     quantile_cont(c, 0.75) AS q75
+              FROM (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS c FROM events)
+              GROUP BY event_type"""),
+      "frozen equal-frequency bucketizer: exact per-group quartile boundaries"),
+
+    // APPLY half: quartile bucket per event via the broadcast
+    // boundaries — bucket = 1 + (c>q25) + (c>q50) + (c>q75), integer
+    // comparisons against exact boundary doubles, stateless per row (no
+    // window, no re-sort of the stream; the artifact join is the only
+    // non-map step).
+    Q("q_feature_bins_apply",
+      (s, d) => {
+        val ec = t(s, d, "events").select(col("event_id"),
+          col("event_type"), cents(col("value")).as("c"))
+        val bins = ec.groupBy("event_type").agg(
+          expr("percentile(c, 0.25)").as("q25"),
+          expr("percentile(c, 0.5)").as("q50"),
+          expr("percentile(c, 0.75)").as("q75"))
+        ec.join(broadcast(bins), "event_type")
+          .select(col("event_id"), col("event_type"),
+            (lit(1) +
+              when(col("c").cast("double") > col("q25"), 1).otherwise(0) +
+              when(col("c").cast("double") > col("q50"), 1).otherwise(0) +
+              when(col("c").cast("double") > col("q75"), 1).otherwise(0))
+              .cast("int").as("bucket"))
+      },
+      Some("""WITH ec AS (SELECT event_id, event_type,
+                            CAST(round(value * 100) AS BIGINT) AS c
+                          FROM events),
+              bins AS (SELECT event_type,
+                         quantile_cont(c, 0.25) AS q25,
+                         quantile_cont(c, 0.5) AS q50,
+                         quantile_cont(c, 0.75) AS q75
+                       FROM ec GROUP BY event_type)
+              SELECT event_id, ec.event_type,
+                CAST(1 + (CASE WHEN CAST(c AS DOUBLE) > q25 THEN 1 ELSE 0 END)
+                       + (CASE WHEN CAST(c AS DOUBLE) > q50 THEN 1 ELSE 0 END)
+                       + (CASE WHEN CAST(c AS DOUBLE) > q75 THEN 1 ELSE 0 END)
+                     AS INT) AS bucket
+              FROM ec JOIN bins USING (event_type)"""),
+      "equal-frequency bucket assignment against the frozen quartile artifact"),
+
     // Batch gap-based sessionization (30-min inactivity cut) — the batch
     // twin of q_stream_session, producing the per-session rollup an
     // engagement pipeline materializes nightly. One user-keyed shuffle

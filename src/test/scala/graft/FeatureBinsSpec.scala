@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Equal-frequency bucketizer contracts: buckets are balanced to the
+  * interpolation boundary, and every event lands in exactly one of the
+  * four buckets. */
+class FeatureBinsSpec extends SparkSpec {
+
+  test("buckets are near-equal-mass per group and exhaustive") {
+    val got = queries.AnalyticsQueries.all
+      .find(_.name == "q_feature_bins_apply").get.run(spark, sf0001)
+      .cache()
+    try {
+      assert(got.filter(col("bucket") < 1 || col("bucket") > 4).isEmpty)
+      val n = graft.core.Tables.load(spark, sf0001, "events").count()
+      assert(got.count() == n)
+      // per (group, bucket) mass within 2x of the ideal quarter (ties at
+      // the boundary can skew small groups; exact quartiles bound it)
+      val sizes = got.groupBy("event_type", "bucket").count()
+        .join(got.groupBy("event_type").count()
+          .withColumnRenamed("count", "tot"), "event_type")
+      assert(sizes.filter(col("count") > col("tot") / 2).isEmpty)
+      // all four buckets occupied in every group
+      val perGroup = got.select("event_type", "bucket").distinct()
+        .groupBy("event_type").count()
+      assert(perGroup.filter(col("count") =!= 4).isEmpty)
+    } finally got.unpersist(blocking = true)
+  }
+}
