@@ -904,6 +904,35 @@ object ExtraQueries {
     // interpolation at q·(n-1)). Exact percentile holds full group values:
     // right for bounded groups; the sketch path (q_agg_approx_pct) is the
     // 100 TB default.
+    // GLOBAL exact median at corpus scale: the per-group percentile()
+    // (next entry) holds each group's values in one aggregation buffer —
+    // fine for bounded groups, impossible for a single 100 TB-wide
+    // group. This is the scale path: the two-pass range-partitioned
+    // GlobalRank assigns global row numbers (per-range windows +
+    // broadcast offsets, no single-partition sort), and the median is
+    // the mean of the ≤2 middle-ranked rows — exact integer cents, so
+    // the interpolated value matches quantile_cont bit-for-bit.
+    Q("q_agg_median_scale",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(
+          round(col("l_extendedprice") * 100, 0).cast("long").as("c"),
+          col("l_orderkey"), col("l_linenumber"))
+        val (ranked, n) = graft.operators.GlobalRank.withGlobalRowNumber(
+          li, "c", Seq("l_orderkey", "l_linenumber"), "rn", numRanges = 32)
+        val lo = (n + 1) / 2
+        val hi = n / 2 + 1
+        ranked.filter(col("rn") === lo || col("rn") === hi)
+          .agg(round(sum(col("c")).cast("double") / count(lit(1)) / 100.0, 6)
+            .as("median6"))
+          .select(lit(n).as("n"), col("median6"))
+      },
+      Some("""SELECT count(*) AS n,
+                     round(quantile_cont(
+                       CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+                       / 100.0, 6) AS median6
+              FROM lineitem"""),
+      "exact GLOBAL median via range-partitioned rank (no single-node value buffer)"),
+
     Q("q_agg_median",
       (s, d) => {
         Tables.registerAll(s, d)

@@ -502,4 +502,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_agg_median_scale ranks inside range partitions — no global window sort") {
+    // the one-row final aggregate legitimately plans SinglePartition;
+    // the scale claim is the ranking pass: range id + per-range window,
+    // never a global ORDER BY row_number
+    val p = plan("q_agg_median_scale")
+    assert(p.contains("__range"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
