@@ -933,6 +933,52 @@ object ExtraQueries {
               FROM lineitem"""),
       "exact GLOBAL median via range-partitioned rank (no single-node value buffer)"),
 
+    // Snapshot diff — the nightly corpus-ops primitive: added / removed
+    // / changed / unchanged between two table versions via ONE full
+    // outer join on the key with an exact-cents value compare (at 100 TB
+    // the compare column is a row hash; the join shape is identical).
+    // Synthetic snapshots are carved deterministically from orders:
+    // "yesterday" drops keys ≡0 (mod 20), "today" drops ≡0 (mod 17) and
+    // bumps the price on ≡0 (mod 13) — so all four statuses are
+    // exercised with exact expected counts.
+    Q("q_snapshot_diff",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val cents = (c: org.apache.spark.sql.Column) =>
+          round(c * 100, 0).cast("long")
+        val a = o.filter(col("o_orderkey") % 20 =!= 0)
+          .select(col("o_orderkey").as("ka"),
+            cents(col("o_totalprice")).as("va"))
+        val b = o.filter(col("o_orderkey") % 17 =!= 0)
+          .select(col("o_orderkey").as("kb"),
+            cents(when(col("o_orderkey") % 13 === 0,
+              col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+              .as("vb"))
+        a.join(b, col("ka") === col("kb"), "full_outer")
+          .select(when(col("ka").isNull, "added")
+            .when(col("kb").isNull, "removed")
+            .when(col("va") =!= col("vb"), "changed")
+            .otherwise("unchanged").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS ka,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS va
+                         FROM orders WHERE o_orderkey % 20 <> 0),
+              b AS (SELECT o_orderkey AS kb,
+                      CAST(round((CASE WHEN o_orderkey % 13 = 0
+                                       THEN o_totalprice + 1.0
+                                       ELSE o_totalprice END) * 100)
+                           AS BIGINT) AS vb
+                    FROM orders WHERE o_orderkey % 17 <> 0)
+              SELECT CASE WHEN ka IS NULL THEN 'added'
+                          WHEN kb IS NULL THEN 'removed'
+                          WHEN va <> vb THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     count(*) AS n
+              FROM a FULL OUTER JOIN b ON a.ka = b.kb
+              GROUP BY 1"""),
+      "snapshot diff: added/removed/changed/unchanged via one full outer join"),
+
     Q("q_agg_median",
       (s, d) => {
         Tables.registerAll(s, d)

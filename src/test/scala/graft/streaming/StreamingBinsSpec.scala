@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Ingest-time bucketizing against the FROZEN quartile artifact: the
+  * per-group boundary table is published once as parquet; arriving
+  * events bucket statelessly via the broadcast join — union over
+  * microbatches ≡ batch, across a RESTART.
+  */
+class StreamingBinsSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("frozen quartiles: streaming buckets ≡ batch, across a restart") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_bins").toString
+    ev.groupBy("event_type").agg(
+        expr("percentile(c, 0.25)").as("q25"),
+        expr("percentile(c, 0.5)").as("q50"),
+        expr("percentile(c, 0.75)").as("q75"))
+      .write.parquet(s"$dir/bins")
+    val bins = spark.read.parquet(s"$dir/bins")
+
+    def bucket(batch: DataFrame): DataFrame =
+      batch.join(broadcast(bins), "event_type")
+        .select(col("event_id"), col("event_type"),
+          (lit(1) +
+            when(col("c").cast("double") > col("q25"), 1).otherwise(0) +
+            when(col("c").cast("double") > col("q50"), 1).otherwise(0) +
+            when(col("c").cast("double") > col("q75"), 1).otherwise(0))
+            .cast("int").as("bucket"))
+
+    val want = bucket(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          bucket(df).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/in/p0")
+    runAvailable()
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(s"$dir/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got == want,
+      s"streaming emitted ${got.size} rows, batch ${want.size}")
+  }
+}
