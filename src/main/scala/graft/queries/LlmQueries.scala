@@ -61,7 +61,7 @@ object LlmQueries {
 
   /** Full lang-id oracle query (mirrors TextFunctions.langId ordering:
     * first lang in declaration order whose score equals the max wins). */
-  private def duckLangIdQuery: String = {
+  private[queries] def duckLangIdQuery: String = {
     val scores = TextFunctions.langMarkers.map { case (lang, ms) =>
       val set = ms.map(m => s"'$m'").mkString(", ")
       lang -> s"len(list_filter(ts, t -> t IN ($set))) AS s_$lang"
@@ -1418,6 +1418,34 @@ object LlmQueries {
         TextFunctions.langId(col("text")).as("lang_pred")),
       Some(duckLangIdQuery),
       "stopword-evidence language ID"),
+
+    // Classifier evaluation report for the heuristic language ID: the
+    // (label, prediction) confusion matrix with per-cell share of the
+    // label's mass — the measurement a pipeline publishes before
+    // trusting a router/gate built on the predictor (the ANN family's
+    // recall ladder, applied to the text classifier). Two map-side-
+    // combined aggregates over O(langs²) keys.
+    Q("q_text_langid_eval",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cm = docs.select(col("lang"),
+            TextFunctions.langId(col("text")).as("lang_pred"))
+          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        val tot = cm.groupBy("lang").agg(sum(col("n")).as("tn"))
+        cm.join(broadcast(tot), "lang")
+          .select(col("lang"), col("lang_pred"), col("n"),
+            round(col("n").cast("double") / col("tn"), 6).as("share6"))
+      },
+      Some(s"""WITH pred AS ($duckLangIdQuery),
+           |cm AS (SELECT d.lang, p.lang_pred, count(*) AS n
+           |       FROM documents d JOIN pred p USING (doc_id)
+           |       GROUP BY d.lang, p.lang_pred),
+           |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tn
+           |        FROM cm GROUP BY lang)
+           |SELECT cm.lang, lang_pred, n,
+           |       round(CAST(n AS DOUBLE) / tn, 6) AS share6
+           |FROM cm JOIN tot USING (lang)""".stripMargin),
+      "language-ID confusion matrix with per-label shares (classifier eval report)"),
 
     Q("q_text_ngrams",
       (s, d) => t(s, d, "documents")
