@@ -19,6 +19,9 @@ object ExtraQueries {
   /** Rendezvous-sharding shard count (q_shard_rendezvous). */
   val RvShards = 16
 
+  /** k-anonymity threshold (q_privacy_kanon). */
+  val KAnonK = 5
+
   /** Shared by q_sim_topk_ivf and q_sim_recall_ivf — the full IVF chain
     * (adaptive cell count, hash-seeded centroids, argmax-dot assignment,
     * in-cell scoring). */
@@ -978,6 +981,49 @@ object ExtraQueries {
               FROM a FULL OUTER JOIN b ON a.ka = b.kb
               GROUP BY 1"""),
       "snapshot diff: added/removed/changed/unchanged via one full outer join"),
+
+    // k-anonymity audit — the data-governance gate a release runs
+    // before publishing user-adjacent tables: quasi-identifier cells
+    // (nation × segment × $1k balance band) with fewer than k members
+    // re-identify; the audit lists the violating cells. One map-side-
+    // combined aggregate over O(cells) keys; at 100 TB the cell table
+    // is the only shuffle and the violating slice is tiny.
+    Q("q_privacy_kanon",
+      (s, d) => {
+        t(s, d, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(floor(c_acctbal / 1000) AS INT)").as("bal_band"))
+          .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") < KAnonK)
+      },
+      Some(s"""SELECT c_nationkey, c_mktsegment,
+           |       CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+           |       count(*) AS n
+           |FROM customer
+           |GROUP BY 1, 2, 3
+           |HAVING count(*) < $KAnonK""".stripMargin),
+      "k-anonymity audit: quasi-identifier cells below the k threshold"),
+
+    // Degree histogram over the order-part graph — the one-line graph
+    // observability report (degree → node count) that sizes skew before
+    // a traversal job runs: two map-side-combined aggregates, O(degrees)
+    // output.
+    Q("q_graph_degrees",
+      (s, d) => {
+        val b = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+        val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+        e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey * 2 AS src,
+                           l_partkey * 2 + 1 AS dst FROM lineitem),
+              e AS (SELECT src, dst FROM b
+                    UNION SELECT dst AS src, src AS dst FROM b),
+              d AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+              SELECT deg, count(*) AS n_nodes FROM d GROUP BY deg"""),
+      "graph degree histogram (skew sizing before traversals)"),
 
     Q("q_agg_median",
       (s, d) => {
