@@ -69,6 +69,40 @@ object GoldenPath {
     corpus.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/corpus")
 
+    // 4. CARDS — the release's per-source data cards over the ADMITTED
+    // corpus (docs, tokens, language spread, dominant language, topic
+    // spread): the q_profile_sources / q_text_topics shapes applied to
+    // what actually shipped, so the card describes the artifact, not
+    // the raw pool.
+    val admDocs = Tables.load(spark, sfDir, "documents")
+      .join(adm.select("doc_id"), "doc_id")
+    val topics = admDocs.select(col("doc_id"), col("source"), {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val scored = graft.functions.TextFunctions.topicLexicons.map {
+        case (tp, ks) =>
+          (tp, graft.functions.TextFunctions.langScore(toks, ks)) }
+      val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+      scored.foldRight(lit("none"): org.apache.spark.sql.Column) {
+        case ((tp, sc), acc) =>
+          when(sc === best && best > 0, lit(tp)).otherwise(acc)
+      }.as("topic")
+    })
+    val topTopic = {
+      import org.apache.spark.sql.expressions.Window
+      topics.groupBy("source", "topic").agg(count(lit(1)).as("tc"))
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(col("tc").desc, col("topic"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("topic").as("top_topic"))
+    }
+    val cards = admDocs.join(adm.select("doc_id", "n_tok"), "doc_id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct("lang").as("n_langs"))
+      .join(topTopic, "source")
+    cards.write.mode("overwrite").parquet(s"$outDir/cards")
+
     // self-check: what landed on disk is exactly the gated results
     val wroteAdm = spark.read.parquet(s"$outDir/admitted")
     val drift1 = wroteAdm.unionByName(admitted).groupBy(wroteAdm.columns
@@ -84,10 +118,17 @@ object GoldenPath {
     val out = spark.read.parquet(s"$outDir/corpus")
     val bySplit = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wroteCards = spark.read.parquet(s"$outDir/cards")
+    // card totals must reconcile with the admitted table exactly
+    val cardDocs = wroteCards.agg(sum("n_docs")).head().getLong(0)
+    require(cardDocs == wroteAdm.count(),
+      s"cards/ docs ($cardDocs) != admitted (${wroteAdm.count()})")
+
     Map(
       "admitted" -> wroteAdm.count(),
       "splits" -> wroteSpl.count(),
-      "chunks" -> out.select("split", "chunk_id").distinct().count()
+      "chunks" -> out.select("split", "chunk_id").distinct().count(),
+      "sources" -> wroteCards.count()
     ) ++ bySplit.map { case (k, v) => s"split_$k" -> v }
   }
 

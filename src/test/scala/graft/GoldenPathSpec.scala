@@ -29,5 +29,18 @@ class GoldenPathSpec extends SparkSpec {
         min("pos_in_chunk").as("mn"))
       .filter(col("mx") =!= col("n") || col("mn") =!= 1)
     assert(bad.count() === 0, bad.collect().mkString(","))
+    // data cards reconcile with the shipped corpus: per-source doc and
+    // token totals equal the admitted table's own rollup
+    val cards = spark.read.parquet(s"$out/cards")
+    assert(cards.count() === stats("sources"))
+    val admitted = spark.read.parquet(s"$out/admitted")
+    val docsTbl = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+        "documents").select("doc_id", "source")
+    val roll = admitted.join(docsTbl, "doc_id").groupBy("source")
+      .agg(count(lit(1)).as("n_docs2"), sum("n_tok").as("n_tokens2"))
+    val drift = cards.join(roll, "source")
+      .filter(col("n_docs") =!= col("n_docs2") ||
+        col("n_tokens") =!= col("n_tokens2"))
+    assert(drift.count() === 0, drift.collect().mkString(","))
   }
 }
