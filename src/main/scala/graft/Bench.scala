@@ -142,7 +142,10 @@ object Bench {
     "q_graph_kcore",
     // round-11 tail 6: SymSpell deletion-variant join (7-rep baseline
     // 3.4 s — 285k variant index + 262k result pairs at sf0.1)
-    "q_join_fuzzy_symdel")
+    "q_join_fuzzy_symdel",
+    // round-11 tail 9: the LSH-backed hybrid (7-rep baseline 2.5 s —
+    // BM25 stage-sum dominates, same as q_retrieval_rrf)
+    "q_retrieval_rrf_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -264,6 +264,27 @@ object Similarity {
       col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Sign-LSH top-k of `queries` against a SEPARATE corpus frame — the
+    * serving twin of [[lshTopK]] (as [[corpusTopK]] is of
+    * [[bruteForceTopK]]): plane count adapts to the CORPUS size, both
+    * sides bucket with the corpus's planes, and each query scores only
+    * its own bucket's corpus slice. At 100 TB the bucket is the corpus
+    * bucketing key; a query batch ships to matching buckets only. */
+  def corpusLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    maxQueryRows: Long = MaxQueryRows): DataFrame = {
+    val cnt = corpus.count()
+    requireBroadcastable(queries.count(), maxQueryRows)
+    val planes = VectorFunctions.hyperplanes(MaxPlanes, Dim)
+      .take(planesFor(cnt))
+    val qb = queries.withColumn("bucket",
+      VectorFunctions.lshBucket(col("embedding"), planes))
+    val cb = corpus.withColumn("bucket",
+      VectorFunctions.lshBucket(col("embedding"), planes))
+    topK(scored(broadcast(asQuery(qb, "bucket" -> "qb")),
+      asCorpus(cb, "bucket" -> "cb"),
+      col("qb") === col("cb") && col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** Multi-probe sign-LSH: each query probes its own bucket PLUS every
     * bucket at Hamming distance 1 (one sign bit flipped) — the standard
     * recall fix for points near a hyperplane, whose true neighbors sit

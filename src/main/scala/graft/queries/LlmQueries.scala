@@ -89,7 +89,7 @@ object LlmQueries {
     * with the plane count taken from a joined `params(np)` relation — the
     * bit for plane i only contributes when i < np, exactly like the Spark
     * side's planes.take(planesFor(n))). */
-  private def duckLshBucketAdaptive(e: String): String = {
+  private[queries] def duckLshBucketAdaptive(e: String): String = {
     val planes = VectorFunctions.hyperplanes(Similarity.MaxPlanes, Similarity.Dim)
     planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN $i < np AND ${VectorFunctions.duckDotConst(e, p)} >= 0 THEN ${1L << i} ELSE 0 END)"

@@ -283,6 +283,77 @@ object SearchQueries {
            |WHERE rn <= $Bm25K""".stripMargin),
       "hybrid retrieval: reciprocal rank fusion of BM25 + exact-cosine lists"),
 
+    // The SCALE form of the hybrid: same fusion, but the semantic side
+    // is the sign-LSH bucketed retrieval (plane count adapted to the
+    // corpus, query scores only its own bucket) — the concrete
+    // demonstration that either retrieval side swaps for its index form
+    // without touching the fusion. Recall differences vs q_retrieval_rrf
+    // are the LSH family's measured trade (the q_sim_recall ladder).
+    Q("q_retrieval_rrf_lsh",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val post = graft.core.CacheScope.autoRelease(Bm25.postings(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
+        val lex = Bm25.topK(docs.filter(col("doc_id") < QMax), "text",
+          "doc_id", post, Bm25K)
+        val sem = graft.operators.Similarity.corpusLshTopK(
+          emb.filter(col("vec_id") >= QMax),
+          emb.filter(col("vec_id") < QMax), Bm25K)
+        graft.operators.Rerank.rrf(
+          lex.select("query_id", "doc_id", "rnk"),
+          sem.select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk")), Bm25K)
+      },
+      Some(s"""WITH $duckBm25Ctes,
+           |qt AS (SELECT DISTINCT doc_id AS query_id, term
+           |       FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |             FROM documents WHERE doc_id < $QMax)),
+           |sc AS (SELECT qt.query_id, ctf.doc_id,
+           |         round(sum($duckContrib), 6) AS score6
+           |       FROM qt JOIN ctf USING (term)
+           |         JOIN cdf USING (term)
+           |         JOIN cdl ON ctf.doc_id = cdl.doc_id
+           |         CROSS JOIN cst
+           |       GROUP BY qt.query_id, ctf.doc_id),
+           |lex AS (SELECT query_id, doc_id, rn AS rnk
+           |        FROM (SELECT *, row_number() OVER
+           |                (PARTITION BY query_id
+           |                 ORDER BY score6 DESC, doc_id) AS rn
+           |              FROM sc)
+           |        WHERE rn <= $Bm25K),
+           |params AS (SELECT ${graft.operators.Similarity
+                        .duckPlanesFor("cnt")} AS np
+           |           FROM (SELECT count(*) AS cnt FROM embeddings
+           |                 WHERE vec_id >= $QMax)),
+           |lbase AS (SELECT vec_id, embedding,
+           |            ${LlmQueries.duckLshBucketAdaptive("embedding")}
+           |              AS bucket
+           |          FROM embeddings, params),
+           |sem AS (SELECT query_id, doc_id, rn AS rnk FROM (
+           |          SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |              ${LlmQueries.duckCosine("q.embedding::DOUBLE[]",
+                            "c.embedding::DOUBLE[]")} DESC, c.vec_id) AS rn
+           |          FROM lbase q JOIN lbase c
+           |            ON q.bucket = c.bucket AND c.vec_id >= $QMax
+           |          WHERE q.vec_id < $QMax)
+           |        WHERE rn <= $Bm25K),
+           |un AS (SELECT query_id, doc_id,
+           |         1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS rc FROM lex
+           |       UNION ALL
+           |       SELECT query_id, doc_id,
+           |         1.0 / (60.0 + CAST(rnk AS DOUBLE)) FROM sem),
+           |fs AS (SELECT query_id, doc_id, sum(rc) AS rrf
+           |       FROM un GROUP BY query_id, doc_id)
+           |SELECT query_id, doc_id, CAST(rn AS INT) AS rnk,
+           |       round(rrf, 6) AS rrf6
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+           |      FROM fs)
+           |WHERE rn <= $Bm25K""".stripMargin),
+      "hybrid retrieval, scale form: RRF of BM25 + sign-LSH bucketed cosine"),
+
     // PMI collocations (Church & Hanks 1990): pointwise mutual
     // information of adjacent word pairs, the corpus-release collocation
     // report (and the classic phrase-mining signal feeding a tokenizer's
