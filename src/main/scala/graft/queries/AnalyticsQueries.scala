@@ -589,6 +589,70 @@ object AnalyticsQueries {
                     FROM events GROUP BY user_id)"""),
       "per-user EWMA (α=1/4): ordered sequential fold, bit-reproducible"),
 
+    // Holt's linear trend (double exponential smoothing) — the 2-state
+    // upgrade of the EWMA fold: level l' = α·v + (1−α)(l+b), trend
+    // b' = β(l'−l) + (1−β)b, α=β=1/4 (binary fractions; the fold order
+    // is the per-key event order on BOTH engines, so every double is
+    // bit-reproducible before the defensive round). Seed: l₁ = first
+    // value, b₁ = 0. Same one-hash-shuffle shape as q_ts_ewma; l+b is
+    // the one-step forecast a capacity monitor reads.
+    Q("q_ts_holt",
+      (s, d) => {
+        val lst = sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("value"))))
+        val lNew = (acc: org.apache.spark.sql.Column,
+                    x: org.apache.spark.sql.Column) =>
+          lit(0.25) * x.getField("l") +
+            lit(0.75) * (acc.getField("l") + acc.getField("b"))
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(lst.as("evs"))
+          .select(col("user_id"),
+            size(col("evs")).cast("int").as("n_events"),
+            aggregate(
+              transform(expr("slice(evs, 2, greatest(size(evs) - 1, 0))"),
+                e => struct(e.getField("value").as("l"),
+                  lit(0.0).as("b"))),
+              struct(element_at(col("evs"), 1).getField("value").as("l"),
+                lit(0.0).as("b")),
+              (acc, x) => struct(lNew(acc, x).as("l"),
+                (lit(0.25) * (lNew(acc, x) - acc.getField("l")) +
+                  lit(0.75) * acc.getField("b")).as("b"))).as("st"))
+          .select(col("user_id"), col("n_events"),
+            round(col("st").getField("l"), 6).as("level6"),
+            round(col("st").getField("b"), 6).as("trend6"),
+            round(col("st").getField("l") + col("st").getField("b"), 6)
+              .as("forecast6"))
+      },
+      // NOTE the oracle folds via a RECURSIVE CTE, not list_reduce:
+      // DuckDB's list_reduce mis-evaluates multi-field struct
+      // accumulators (probed: two fields with the IDENTICAL expression
+      // return different values — field cross-talk during evaluation),
+      // so the 2-state recurrence is replayed as per-(user, step) rows.
+      Some("""WITH RECURSIVE ev AS (
+                SELECT user_id, value, row_number() OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+                FROM events),
+              nn AS (SELECT user_id, max(idx) AS mx FROM ev
+                     GROUP BY user_id),
+              r AS (
+                SELECT user_id, 1 AS idx, CAST(value AS DOUBLE) AS l,
+                       CAST(0.0 AS DOUBLE) AS b
+                FROM ev WHERE idx = 1
+                UNION ALL
+                SELECT r.user_id, r.idx + 1,
+                       0.25 * e.value + 0.75 * (r.l + r.b),
+                       0.25 * ((0.25 * e.value + 0.75 * (r.l + r.b)) - r.l)
+                         + 0.75 * r.b
+                FROM r JOIN ev e
+                  ON e.user_id = r.user_id AND e.idx = r.idx + 1)
+              SELECT r.user_id, CAST(nn.mx AS INT) AS n_events,
+                     round(l, 6) AS level6, round(b, 6) AS trend6,
+                     round(l + b, 6) AS forecast6
+              FROM r JOIN nn
+                ON r.user_id = nn.user_id AND r.idx = nn.mx"""),
+      "per-user Holt linear trend (α=β=1/4): 2-state ordered fold + 1-step forecast"),
+
     // Entity resolution on STRUCTURED records — the catalog twin of the
     // text near-dup pipeline, TWO-LEVEL: exact-duplicate names collapse
     // to one representative first (a groupBy — at 100 TB the only
