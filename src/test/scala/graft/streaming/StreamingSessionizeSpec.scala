@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Sessionize
+
+/** Cross-validation of the two session implementations: the batch
+  * gap-fold ([[Sessionize]], strict `gap >` break) must produce exactly
+  * the session intervals Spark's own session_window produces — with the
+  * boundary aligned: session_window merges while ts < last + gap'
+  * (strict <), so gap' = gapUs + 1µs makes "merge iff ts − prev ≤ gap"
+  * match the fold's convention exactly. Proven on the real events table
+  * (timestamps collide and chain across the boundary at sf0.01).
+  */
+class StreamingSessionizeSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("batch gap-fold sessions ≡ session_window(gap + 1µs) intervals") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+
+    val fold = Sessionize.stats(
+        ev.withColumn("c", lit(0L)), "user_id", "ts_us", "event_id", "c")
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+
+    val gapPlusOne = s"${Sessionize.GapUs + 1} microseconds"
+    val sw = ev.groupBy(col("user_id"),
+        session_window(col("ts"), gapPlusOne).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        // session_window end = last event + gap'; the fold's end is the
+        // last event itself
+        (unix_micros(col("w.end")) - (Sessionize.GapUs + 1)).as("end_us"),
+        col("n_events"))
+
+    assert(fold.exceptAll(sw).isEmpty && sw.exceptAll(fold).isEmpty,
+      s"fold sessions=${fold.count()} window sessions=${sw.count()}")
+    assert(fold.count() > 0)
+  }
+}
