@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.operators.Sessionize
+
+/** Differential property check of the sessionize fold against a direct
+  * in-memory reference on random event streams — including adversarial
+  * shapes (timestamp collisions, exact-gap boundaries, singleton users)
+  * the fixed events table under-samples. */
+class SessionizePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Gap = 100L
+
+  private def refAssign(evs: Seq[(Long, Long, Long)]) // (id, user, ts)
+      : Map[Long, Long] = {
+    evs.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      var idx = 0L
+      var prev = Long.MinValue
+      ordered.map { case (id, _, ts) =>
+        if (prev == Long.MinValue || ts - prev > Gap) idx += 1
+        prev = ts
+        id -> idx
+      }
+    }
+  }
+
+  // small ts range + exact-gap offsets force collisions and boundaries
+  private val evGen: Gen[(Long, Long, Long)] = for {
+    user <- Gen.chooseNum(1L, 3L)
+    base <- Gen.chooseNum(0L, 500L)
+    bump <- Gen.oneOf(0L, Gap, Gap + 1, 2 * Gap)
+  } yield (0L, user, base + bump)
+  private val streamGen: Gen[List[(Long, Long, Long)]] =
+    Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, evGen))
+      .map(_.zipWithIndex.map { case ((_, u, t), i) => (i.toLong, u, t) })
+
+  test("sessionize fold ≡ in-memory reference on random streams") {
+    val prop = Prop.forAll(streamGen) { evs =>
+      val df = evs.toDF("event_id", "user_id", "ts_us").repartition(3)
+      val got = Sessionize.assign(df, "user_id", "ts_us", "event_id", Gap)
+        .select("event_id", "session_idx").as[(Long, Long)]
+        .collect().toMap
+      val want = refAssign(evs)
+      (got == want) :| s"got $got want $want (evs=$evs)"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"sessionize-differential: $res")
+  }
+}
