@@ -163,6 +163,7 @@ object LlmQueries {
   }
 
   val NearDupJaccard = 0.2
+  val KFolds = 5 // q_split_kfold CV folds
   val ContainThreshold = 0.8 // containment cut (|A∩B| / min set size)
   val ContainMaxDf = 100     // frequent-shingle-hash cap (df over docs)
 
@@ -1030,6 +1031,45 @@ object LlmQueries {
            |        ${PortableHash.duckHashMod("'split:' || split_key::VARCHAR")} % 100 AS hb
            |      FROM keyed)""".stripMargin),
       "cluster-keyed 90/5/5 split: near-dups never straddle a split boundary"),
+
+    // k-fold cross-validation assignment, leak-proof: folds key on the
+    // SAME near-dup cluster id as q_split_leakproof (a domain-separated
+    // hash mod k), so no fold's held-out set ever contains a near-dup of
+    // another fold's training data — the CV form of the straddle-free
+    // guarantee. Same artifacts, same one-hash-expression apply.
+    Q("q_split_kfold",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = graft.operators.Connected.components(
+            Dedup.minhashNearDups(docs, "text", "doc_id", NearDupJaccard)
+              .select("id1", "id2"))
+          .select(col("doc_id").as("cid_doc"), col("cluster_id"))
+        docs.select(col("doc_id"))
+          .join(clusters, col("doc_id") === col("cid_doc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+          .withColumn("fold", (PortableHash.hashMod(
+            concat(lit("fold:"), col("split_key").cast("string")))
+            % KFolds).cast("int"))
+      },
+      Some(s"""WITH RECURSIVE ${duckMinhashCtes(NearDupJaccard)},
+           |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+           |          UNION ALL SELECT id2, id1 FROM pairs),
+           |reach AS (
+           |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+           |  UNION
+           |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+           |cl AS (SELECT u AS doc_id, min(v) AS cluster_id
+           |       FROM reach GROUP BY u),
+           |keyed AS (
+           |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
+           |  FROM documents d LEFT JOIN cl USING (doc_id))
+           |SELECT doc_id, split_key,
+           |  CAST(${PortableHash.duckHashMod(
+                   "'fold:' || split_key::VARCHAR")} % $KFolds AS INT)
+           |    AS fold
+           |FROM keyed""".stripMargin),
+      s"leak-proof $KFolds-fold CV assignment keyed on the near-dup cluster id"),
 
     // Contamination AUDIT of the two split schemes: over every near-dup
     // pair, count pairs whose endpoints landed in different splits. The
