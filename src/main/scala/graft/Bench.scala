@@ -145,7 +145,14 @@ object Bench {
     "q_join_fuzzy_symdel",
     // round-11 tail 9: the LSH-backed hybrid (7-rep baseline 2.5 s —
     // BM25 stage-sum dominates, same as q_retrieval_rrf)
-    "q_retrieval_rrf_lsh")
+    "q_retrieval_rrf_lsh",
+    // round-12: the four rows that crossed 2 s in the r11 driver sweep
+    // (landed after the tail-6 "no sweep row ≥2 s" validation — the
+    // check is now part of round-CLOSING validation) plus the two at
+    // the line; all six 7-rep adjudicated in BENCHFOCUS_r12 at
+    // 1.1-1.8 s medians, so the sweep values were single-shot noise
+    "q_text_unigram_fertility", "q_split_kfold", "q_agg_median_scale",
+    "q_join_interval_overlap", "q_dedup_containment", "q_text_langid_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -171,7 +178,12 @@ object Bench {
     // adjudicated one noise) — 5 reps costs ~2 min and makes the median
     // robust to two outliers instead of one
     val Reps = 5
-    val results: Seq[(String, Option[Double])] =
+    // keep the full per-rep vector, not just the median: the r11
+    // q_text_langid flag (10.4 s median vs 0.6 s baseline, code
+    // unchanged) was unadjudicatable post-hoc because only medians were
+    // recorded — with the raw reps on disk, "episode spanned ≥3 of the
+    // 5 contiguous reps" vs "genuine regression" is one file read
+    val rawRuns: Seq[(String, Seq[Double])] =
       headline.filter(qmap.contains).map { name =>
         val times = (1 to Reps).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -182,10 +194,13 @@ object Bench {
             case e: Throwable => System.err.println(s"[bench] $name: $e"); None
           }
         }
-        // a query that threw is reported as null and EXCLUDED from the
-        // total — time-to-failure is not a timing
-        name -> (if (times.isEmpty) None else Some(times.sorted.apply(times.size / 2)))
+        name -> times
       }
+    // a query that threw every rep is reported as null and EXCLUDED
+    // from the total — time-to-failure is not a timing
+    val results: Seq[(String, Option[Double])] = rawRuns.map { case (name, times) =>
+      name -> (if (times.isEmpty) None else Some(times.sorted.apply(times.size / 2)))
+    }
     // SWEEP tier: every gated registry entry NOT in the headline, timed
     // ONCE after a sf0.001 warm — the bench's completeness guarantee.
     // Median-of-5 on all ~200 entries would triple the round's bench
@@ -277,6 +292,15 @@ object Bench {
     // parse it before — the file is the reliable channel
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // per-rep raw runs in their own file (kept out of the stdout line,
+    // which already strains the driver's tail capture) — the post-hoc
+    // adjudication channel for anomalous medians
+    val runsJson = rawRuns.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_runs.json"),
+      (s"""{"reps":$Reps,"sf":"$sfDir","runs":$runsJson}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // COMPACT summary as the LAST stdout line: the full line above (~110
     // per-query entries) has outrun the driver's tail capture two rounds
     // running ("parsed": null in BENCH_r07/r08) — a short record at the

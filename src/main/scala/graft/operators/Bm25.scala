@@ -17,8 +17,9 @@ import graft.functions.TextFunctions
   * is the bucketed-by-term published artifact; df is O(vocab); stats is
   * one row.
   *
-  * APPLY ([[topK]]): the query side (small, guarded by the caller's
-  * workload shape) broadcasts into the postings equi-join on term —
+  * APPLY ([[topK]]): the query side (small, refused past
+  * [[Similarity.MaxQueryRows]]) broadcasts into the postings equi-join
+  * on term —
   * candidates are docs sharing ≥1 query term, never query×corpus — and
   * the per-(query, doc) score is one map-side-combinable sum, then the
   * per-query top-k window. Stateless given the frozen index, so the
@@ -26,8 +27,11 @@ import graft.functions.TextFunctions
   *
   * Scoring: idf = ln(1 + (N − df + ½)/(df + ½)) (the Lucene-shaped
   * non-negative idf), tf-saturation k1 = 1.2, length normalization
-  * b = 0.75 against avgdl = ntok/N. Both engines evaluate the identical
-  * expression order; the one rounding is round(score, 6) at the end.
+  * b = 0.75 against avgdl = ntok/N. Both engines evaluate the same
+  * per-term association (idf · ((tf·(k1+1))/denom)); the per-(query,
+  * doc) SUM of contributions is partition-order dependent in the
+  * distributed engine, so cross-engine agreement relies on the
+  * round(score, 6) tolerance, not bit-identity of the sum.
   * Docs with no tokens carry no postings, so N and avgdl are over
   * token-bearing docs — stated contract of the index.
   */
@@ -69,8 +73,18 @@ object Bm25 {
     * (query_id, doc_id, rnk, score6). Ranking is by the ROUNDED score
     * with doc_id tiebreak, so both engines rank identical values. */
   def topK(queries: DataFrame, textCol: String, idCol: String,
-           post: DataFrame, k: Int): DataFrame = {
+           post: DataFrame, k: Int,
+           maxQueryRows: Long = Similarity.MaxQueryRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same broadcast guard as the ANN/MMR family: the query-term table
+    // is broadcast into the postings join, so refuse past the bound
+    // with a loud message rather than OOM the driver — at scale a
+    // too-large query set must be chunked or shuffled instead
+    val qCnt = queries.count()
+    require(qCnt <= maxQueryRows,
+      s"BM25 query side has $qCnt rows (> maxQueryRows=$maxQueryRows): " +
+        "refusing to broadcast the query-term table — chunk the query " +
+        "set or join without the broadcast hint")
     val qt = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col(textCol))))
         .as("term"))

@@ -259,8 +259,11 @@ object ExtraQueries {
       "rendezvous-hash sharding: HRW placement + single-shard-removal stability"),
 
     // WEIGHTED rendezvous (capacity-aware HRW): shard s with weight w_s
-    // wins doc k when score = −w_s / ln(u) is maximal, u = (h+1)/MOD ∈
-    // (0,1] the hash draw — the standard weighted-HRW construction,
+    // wins doc k when score = −w_s / ln(u) is maximal, u =
+    // (h+1)/(MOD+1) ∈ (0,1) the hash draw — OPEN at 1: with /MOD the
+    // best possible draw h = MOD−1 gave u = 1, ln(u) = 0 and score =
+    // −Inf, deterministically disqualifying the draw the construction
+    // says should always win — the standard weighted-HRW construction,
     // which gives shard s an asymptotic share w_s/Σw (heterogeneous
     // executor/volume capacities at 100 TB) while keeping the
     // single-shard-removal stability of plain HRW. Weights here are the
@@ -279,7 +282,7 @@ object ExtraQueries {
           .withColumn("score",
             (-(lit(1.0) + (col("sh") % 4).cast("double"))) /
               log((col("h") + lit(1)).cast("double") /
-                lit(graft.functions.PortableHash.MOD.toDouble)))
+                lit(graft.functions.PortableHash.MOD.toDouble + 1.0)))
         val best = keyed.groupBy("doc_id").agg(max(col("score")).as("ms"))
         keyed.join(best, "doc_id")
           .filter(col("score") === col("ms"))
@@ -294,7 +297,7 @@ object ExtraQueries {
            |sc AS (SELECT doc_id, sh,
            |         (-(1.0 + CAST(sh % 4 AS DOUBLE))) /
            |           ln(CAST(h + 1 AS DOUBLE) /
-           |              ${graft.functions.PortableHash.MOD}.0) AS score
+           |              (${graft.functions.PortableHash.MOD}.0 + 1.0)) AS score
            |       FROM k),
            |bs AS (SELECT doc_id, max(score) AS ms FROM sc GROUP BY doc_id)
            |SELECT sc.doc_id, CAST(min(sh) AS BIGINT) AS shard_w

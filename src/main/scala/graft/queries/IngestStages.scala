@@ -4,58 +4,67 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Bloom, Dedup}
+import graft.operators.{Bloom, Dedup, Tokenizer}
 
 /** The shared frozen-artifact ingest stages (bloom-pruned exact dedup →
   * frozen near-dup index gate → surgical span decontam → frozen
   * per-language quality gate), extracted so q_pipeline_ingest and the
   * tokenizer-aware q_pipeline_ingest_v2 run the IDENTICAL stage code —
-  * v2 composes on top instead of re-implementing. */
-private[queries] object IngestStages {
-  import LlmQueries.{NearDupJaccard, DecontamW}
+  * v2 composes on top instead of re-implementing.
+  *
+  * Round 12 split the stages into a PUBLISH half (artifact derivation
+  * from the standing corpus) and an APPLY half parameterized by the
+  * artifact frames ([[applyClean]] / [[applyLmBpe]]), so the
+  * incremental golden path (tools/GoldenPathIncremental) can run the
+  * apply half against DISK-persisted artifacts across a session
+  * restart while the gated entries keep byte-identical plans — the
+  * gated compositions call the same apply functions with in-plan
+  * artifacts.
+  */
+private[graft] object IngestStages {
+  import LlmQueries.{NearDupJaccard, DecontamW, LmGateNll}
 
-  /** Runs stages 1–3 and the gate. `freeze` is applied to the CLEANED
-    * frame before the gate is built from it — identity for the v1 entry
-    * (single downstream consumer), localCheckpoint for v2 (clean is
-    * re-joined by the LM/tokenizer stages, and without the freeze every
-    * Dataset construction past decontam re-analyzes the whole dedup
-    * lineage — the measured ~2 s/reference cost in BENCHFOCUS_r10.md).
-    * Returns (cleanedFrozen (doc_id, clean_text), gated (doc_id, lang,
-    * n_words), corpus). */
-  def cleanGate(s: SparkSession, d: String,
-                freeze: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val docs = Tables.ensureParallelism(Tables.load(s, d, "documents"))
-    val benchmark = docs.filter(col("doc_id") < 10)
-    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 =!= 0)
-    val batch = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0)
-    val p = Bloom.Params(buckets = 8, bits = 1024, probes = 3)
-    // published artifacts (batch-side, from yesterday's corpus)
-    val seen = Dedup.contentHashes(corpus, "text", "doc_id")
-      .select(col("h")).distinct()
-    val bloom = Bloom.build(seen, p)
-    val thr = corpus
-      .select(col("lang"), TextFunctions.nWords(col("text")).as("n_words"))
-      .groupBy("lang").agg(expr("percentile(n_words, 0.25)").as("thr"))
-    // exact index size (BANDS rows per corpus doc) for the broadcast
-    // guard — counted FIRST: every job-scoped CacheScope below releases
-    // on the next completed execution, so this action must precede all
-    // of their registrations
-    val nIdx = corpus.count() * Dedup.BANDS
+  /** The v1/v2 ingest bloom parameters — part of the artifact contract:
+    * the apply half must probe with the same (buckets, bits, probes)
+    * the publish half built with. */
+  val BloomP: Bloom.Params = Bloom.Params(buckets = 8, bits = 1024, probes = 3)
+
+  /** The frozen publish-side artifacts of the v2 ingest. Every member
+    * is a bounded table (hashes O(corpus), bloom O(buckets), thresholds
+    * O(langs), band index O(corpus·BANDS), shingle sets O(corpus),
+    * LM tables O(vocab)+O(bigrams)+1 row, merges O(K) rows) — at 100 TB
+    * these are the published parquet artifacts a nightly job refreshes
+    * and every ingest worker reads, never re-derives. */
+  final case class Artifacts(seen: DataFrame, bloom: DataFrame,
+                             thr: DataFrame, ndIdx: DataFrame,
+                             ndSh: DataFrame, ndIdxRows: Option[Long],
+                             uni: DataFrame, total: DataFrame,
+                             big: DataFrame, merges: Seq[Tokenizer.Merge])
+
+  /** APPLY half of stages 1–3 + the gate, given published artifacts.
+    * Stateless per batch: bloom-pruned exact dedup → frozen band-index
+    * near-dup gate → surgical span decontam vs the benchmark → frozen
+    * per-language length gate. `langs` supplies (doc_id, lang) for the
+    * gate join; `freeze` as in [[cleanGate]]. Returns (cleanedFrozen
+    * (doc_id, clean_text), gated (doc_id, lang, n_words)). */
+  def applyClean(batch: DataFrame, benchmark: DataFrame, langs: DataFrame,
+                 seen: DataFrame, bloom: DataFrame, thr: DataFrame,
+                 ndIdx: DataFrame, ndSh: DataFrame, ndIdxRows: Option[Long],
+                 freeze: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     // 1. bloom-pruned exact dedup of the batch against the corpus.
     // Job-scoped persist: `fresh` is referenced by the near-dup probe's
     // shingles AND the keep side of the anti-join inside the single
     // localCheckpoint execution below.
     val fresh = graft.core.CacheScope.autoRelease(batch.join(
       Bloom.dedupWithBloom(
-        batch, seen, bloom, "text", "doc_id", p).select("doc_id"),
+        batch, seen, bloom, "text", "doc_id", BloomP).select("doc_id"),
       "doc_id"))
     // 1b. NEAR-dup gate vs the frozen MinHash band index (publish/apply
     // member #8): batch docs that near-dup the standing corpus are
     // dropped before any further per-row work — in-row signature,
     // broadcast band probe, exact-Jaccard verify on candidates only
-    val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
     val nearLinks = Dedup.nearDupsAgainstIndex(fresh, "text", "doc_id",
-      ndIdx, ndSh, NearDupJaccard, knownIndexRows = Some(nIdx))
+      ndIdx, ndSh, NearDupJaccard, knownIndexRows = ndIdxRows)
     // lineage truncation, the q_pipeline_llm_v2 pattern: the decontam
     // cut-and-rejoin references `unique` TWICE, and the downstream
     // stages re-run Catalyst analysis over the doubled bloom+near-dup
@@ -63,7 +72,7 @@ private[queries] object IngestStages {
     // analysis per reference, measured r10, IngestProfile method in
     // BENCHFOCUS_r10.md) — localCheckpoint collapses it to a LogicalRDD
     // and executes the dedup stages exactly once. Its eager job is also
-    // the single consuming execution that releases the two job-scoped
+    // the single consuming execution that releases the job-scoped
     // persists above.
     val unique = fresh.join(
       nearLinks.select(col("new_id").as("doc_id")).distinct(),
@@ -74,12 +83,101 @@ private[queries] object IngestStages {
       unique, "text", "doc_id", benchmark, "text", DecontamW))
     // 3. frozen per-language quality gate on the CLEANED text
     val gated = clean
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .join(langs, "doc_id")
       .select(col("doc_id"), col("lang"),
         TextFunctions.nWords(col("clean_text")).as("n_words"))
       .join(broadcast(thr), Seq("lang"))
       .filter(col("n_words") >= col("thr"))
       .select(col("doc_id"), col("lang"), col("n_words"))
+    (clean, gated)
+  }
+
+  /** APPLY half of the v2 extras: the frozen bigram-LM admission gate
+    * (interpolated avg-NLL ceiling) + BPE token counts, given the LM
+    * artifact tables and the frozen merge rules. Output: (doc_id, lang,
+    * n_words, n_tok, avg_nll2) — the admitted table. */
+  def applyLmBpe(clean: DataFrame, gated: DataFrame,
+                 uni: DataFrame, total: DataFrame, big: DataFrame,
+                 merges: Seq[Tokenizer.Merge]): DataFrame = {
+    val g = gated.join(clean, "doc_id")
+    val db = g.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("clean_text"), 2)).as("bg"))
+      .select(col("doc_id"), col("bg"),
+        split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+    val scoredLm = db.join(big, "bg")
+      .join(uni.withColumnRenamed("term", "w1")
+        .withColumnRenamed("cnt", "c1"), "w1")
+      .join(uni.withColumnRenamed("term", "w2")
+        .withColumnRenamed("cnt", "c2"), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(
+        lit(0.75) * col("c12").cast("double") / col("c1") +
+          lit(0.25) * col("c2").cast("double") / col("ntok"))), 6)
+        .as("avg_nll2"))
+    g.join(scoredLm, "doc_id")
+      .filter(col("avg_nll2") <= LmGateNll)
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        size(Tokenizer.encode(col("clean_text"), merges))
+          .cast("int").as("n_tok"),
+        col("avg_nll2"))
+  }
+
+  /** PUBLISH half of the v2 extras: the bigram-LM tables and the BPE
+    * merge rules from the standing corpus's raw text. NOTE:
+    * [[Tokenizer.trainOnWords]] runs K argmax ACTIONS — callers that
+    * interleave this with job-scoped persists (CacheScope) must publish
+    * BEFORE registering them or AFTER the consuming action, exactly as
+    * the gated v2 entry does (it trains after cleanGate's
+    * localCheckpoint has already fired). */
+  def publishLmBpe(corpus: DataFrame): (DataFrame, DataFrame, DataFrame,
+      Seq[Tokenizer.Merge]) = {
+    val uni = corpus.select(
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = corpus.select(
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .agg(count(lit(1)).as("ntok"))
+    val big = corpus.select(
+        explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val merges = Tokenizer.trainOnWords(
+      Tokenizer.wordTable(corpus, col("text")), Tokenizer.K)
+    (uni, total, big, merges)
+  }
+
+  /** Runs stages 1–3 and the gate with artifacts derived IN-PLAN from
+    * the standing corpus (the gated q_pipeline_ingest/v2 path). `freeze`
+    * is applied to the CLEANED frame before the gate is built from it —
+    * identity for the v1 entry (single downstream consumer),
+    * localCheckpoint for v2 (clean is re-joined by the LM/tokenizer
+    * stages, and without the freeze every Dataset construction past
+    * decontam re-analyzes the whole dedup lineage — the measured
+    * ~2 s/reference cost in BENCHFOCUS_r10.md). Returns (cleanedFrozen
+    * (doc_id, clean_text), gated (doc_id, lang, n_words), corpus). */
+  def cleanGate(s: SparkSession, d: String,
+                freeze: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.ensureParallelism(Tables.load(s, d, "documents"))
+    val benchmark = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0)
+    // published artifacts (batch-side, from yesterday's corpus)
+    val seen = Dedup.contentHashes(corpus, "text", "doc_id")
+      .select(col("h")).distinct()
+    val bloom = Bloom.build(seen, BloomP)
+    val thr = corpus
+      .select(col("lang"), TextFunctions.nWords(col("text")).as("n_words"))
+      .groupBy("lang").agg(expr("percentile(n_words, 0.25)").as("thr"))
+    // exact index size (BANDS rows per corpus doc) for the broadcast
+    // guard — counted FIRST: every job-scoped CacheScope below releases
+    // on the next completed execution, so this action must precede all
+    // of their registrations
+    val nIdx = corpus.count() * Dedup.BANDS
+    val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
+    val (clean, gated) = applyClean(batch, benchmark,
+      docs.select(col("doc_id"), col("lang")),
+      seen, bloom, thr, ndIdx, ndSh, Some(nIdx), freeze)
     (clean, gated, corpus)
   }
 }

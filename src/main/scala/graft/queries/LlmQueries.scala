@@ -1977,43 +1977,11 @@ object LlmQueries {
       (s, d) => {
         val (clean, gated, corpus) =
           IngestStages.cleanGate(s, d, _.localCheckpoint())
-        // frozen LM artifact from the standing corpus's raw text
-        val uni = corpus.select(
-            explode(TextFunctions.tokens(col("text"))).as("term"))
-          .groupBy("term").agg(count(lit(1)).as("cnt"))
-        val total = corpus.select(
-            explode(TextFunctions.tokens(col("text"))).as("term"))
-          .agg(count(lit(1)).as("ntok"))
-        val big = corpus.select(
-            explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
-          .groupBy("bg").agg(count(lit(1)).as("c12"))
-        // frozen BPE merge rules from the same corpus
-        val merges = graft.operators.Tokenizer.trainOnWords(
-          graft.operators.Tokenizer.wordTable(corpus, col("text")),
-          graft.operators.Tokenizer.K)
-        val g = gated.join(clean, "doc_id")
-        val db = g.select(col("doc_id"),
-            explode(TextFunctions.shingles(col("clean_text"), 2)).as("bg"))
-          .select(col("doc_id"), col("bg"),
-            split_part(col("bg"), lit(" "), lit(1)).as("w1"),
-            split_part(col("bg"), lit(" "), lit(2)).as("w2"))
-        val scoredLm = db.join(big, "bg")
-          .join(uni.withColumnRenamed("term", "w1")
-            .withColumnRenamed("cnt", "c1"), "w1")
-          .join(uni.withColumnRenamed("term", "w2")
-            .withColumnRenamed("cnt", "c2"), "w2")
-          .crossJoin(broadcast(total))
-          .groupBy("doc_id")
-          .agg(round(avg(-log(
-            lit(0.75) * col("c12").cast("double") / col("c1") +
-              lit(0.25) * col("c2").cast("double") / col("ntok"))), 6)
-            .as("avg_nll2"))
-        g.join(scoredLm, "doc_id")
-          .filter(col("avg_nll2") <= LmGateNll)
-          .select(col("doc_id"), col("lang"), col("n_words"),
-            size(graft.operators.Tokenizer.encode(col("clean_text"), merges))
-              .cast("int").as("n_tok"),
-            col("avg_nll2"))
+        // frozen LM artifact + BPE merge rules from the standing corpus
+        // (publish half — trains AFTER cleanGate's localCheckpoint has
+        // released the job-scoped persists, see publishLmBpe scaladoc)
+        val (uni, total, big, merges) = IngestStages.publishLmBpe(corpus)
+        IngestStages.applyLmBpe(clean, gated, uni, total, big, merges)
       },
       Some {
         val cp = "doc_id >= 10 AND doc_id % 5 <> 0"

@@ -45,12 +45,16 @@ object SearchQueries {
        |cst AS (SELECT count(DISTINCT doc_id) AS n_docs,
        |               CAST(sum(tf) AS BIGINT) AS ntok FROM ctf)""".stripMargin
 
-  /** The BM25 term contribution — textual twin of Bm25.contrib. */
+  /** The BM25 term contribution — textual twin of Bm25.contrib,
+    * parenthesized to Spark's association: idf * ((tf*(k1+1))/denom).
+    * Without the explicit group, SQL's left-association would compute
+    * ((idf*tf)*(k1+1))/denom — same real value, different IEEE
+    * rounding, which can flip the round(,6) gate on knife-edge sums. */
   private val duckContrib =
     s"""ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-       |tf * (${Bm25.K1} + 1.0) /
-       |(tf + ${Bm25.K1} * (1.0 - ${Bm25.B}
-       |  + ${Bm25.B} * dl * n_docs / ntok))""".stripMargin
+       |(tf * (${Bm25.K1} + 1.0) /
+       | (tf + ${Bm25.K1} * (1.0 - ${Bm25.B}
+       |   + ${Bm25.B} * dl * n_docs / ntok)))""".stripMargin
 
   val all: Seq[Q] = Seq(
 

@@ -103,16 +103,22 @@ object GoldenPath {
       .join(topTopic, "source")
     cards.write.mode("overwrite").parquet(s"$outDir/cards")
 
-    // self-check: what landed on disk is exactly the gated results
+    // self-check: what landed on disk is exactly the gated results —
+    // exceptAll in BOTH directions is multiplicity-exact, where the
+    // earlier union+groupBy+count==2 check missed a 2-vs-0 duplication
+    // (count exactly 2 from one side alone) and false-failed on a row
+    // legitimately duplicated on both sides (count 4)
     val wroteAdm = spark.read.parquet(s"$outDir/admitted")
-    val drift1 = wroteAdm.unionByName(admitted).groupBy(wroteAdm.columns
-        .map(col).toSeq: _*)
-      .count().filter(col("count") =!= 2).count()
+    val drift1 = wroteAdm.exceptAll(admitted.select(wroteAdm.columns
+        .map(col).toSeq: _*)).count() +
+      admitted.select(wroteAdm.columns.map(col).toSeq: _*)
+        .exceptAll(wroteAdm).count()
     require(drift1 == 0, s"admitted/ drifted from q_pipeline_ingest_v2 ($drift1 rows)")
     val wroteSpl = spark.read.parquet(s"$outDir/splits")
-    val drift2 = wroteSpl.unionByName(split).groupBy("doc_id", "split_key",
-        "split")
-      .count().filter(col("count") =!= 2).count()
+      .select("doc_id", "split_key", "split")
+    val splCols = split.select("doc_id", "split_key", "split")
+    val drift2 = wroteSpl.exceptAll(splCols).count() +
+      splCols.exceptAll(wroteSpl).count()
     require(drift2 == 0, s"splits/ drifted from q_split_leakproof ($drift2 rows)")
 
     val out = spark.read.parquet(s"$outDir/corpus")

@@ -79,4 +79,14 @@ class Bm25PropertySpec extends SparkSpec {
       prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("query side above the broadcast cap fails loudly") {
+    val cdf = Seq((100L, "apple bear"), (101L, "cat dog")).toDF("doc_id", "text")
+    val qdf = Seq((0L, "apple"), (1L, "cat")).toDF("doc_id", "text")
+    val post = Bm25.postings(cdf, "text", "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Bm25.topK(qdf, "text", "doc_id", post, 5, maxQueryRows = 1L)
+    }
+    assert(e.getMessage.contains("refusing to broadcast"))
+  }
 }
