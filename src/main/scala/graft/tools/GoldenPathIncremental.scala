@@ -1,0 +1,157 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Tokenizer}
+import graft.queries.IngestStages
+
+/** The INCREMENTAL golden path: the v2 ingest run as a production
+  * nightly would run it — artifacts published ONCE to parquet, then
+  * successive new batches cleaned against those frozen files, across a
+  * full SparkSession restart between batches. This is the pipeline-level
+  * streaming twin of `q_pipeline_ingest_v2`: the gated entry derives
+  * artifacts in-plan and ingests one batch; this tool pins that
+  *
+  *   admit(batchA | disk artifacts)  ∪  admit(batchB | disk artifacts)
+  *     ≡  the gated q_pipeline_ingest_v2 result over batchA ∪ batchB
+  *
+  * with the session STOPPED and rebuilt between batch A and batch B —
+  * so the equivalence also proves the artifacts round-trip through
+  * parquet losslessly (no schema drift, no precision loss in the bloom
+  * masks / band keys / LM counts / merge rules).
+  *
+  *   sbt "runMain graft.tools.GoldenPathIncremental /root/testdata/sf0.01 /tmp/golden_inc"
+  *
+  * Output: one JSON line with the per-phase counts and "incremental":"ok".
+  *
+  * 100 TB shape: this IS the production topology — the publish half is
+  * the nightly artifact-refresh job; the apply half is stateless per
+  * batch (bloom probe, band-index probe, span cut, threshold gate, LM
+  * score, BPE encode — every step a broadcast/equi-join against a
+  * bounded artifact or a per-row expression), so each day's batch runs
+  * in its own job, or per-microbatch inside foreachBatch, with no state
+  * carried between batches except the published files.
+  */
+object GoldenPathIncremental {
+
+  /** Disk layout of the frozen artifact set under `artDir`. */
+  private val Dirs = Seq("seen", "bloom", "thr", "nd_index", "nd_shingles",
+    "lm_uni", "lm_total", "lm_big", "bpe_merges")
+
+  /** PUBLISH: derive every v2 artifact from the standing corpus and land
+    * each as parquet. The merges (a driver-side Seq — K bounded argmax
+    * rows) persist as a (rank, left, right, cnt) table. */
+  def publish(spark: SparkSession, sfDir: String, artDir: String): Unit = {
+    val docs = Tables.ensureParallelism(Tables.load(spark, sfDir, "documents"))
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 =!= 0)
+    val seen = Dedup.contentHashes(corpus, "text", "doc_id")
+      .select(col("h")).distinct()
+    seen.write.mode("overwrite").parquet(s"$artDir/seen")
+    graft.operators.Bloom.build(seen, IngestStages.BloomP)
+      .write.mode("overwrite").parquet(s"$artDir/bloom")
+    corpus
+      .select(col("lang"),
+        graft.functions.TextFunctions.nWords(col("text")).as("n_words"))
+      .groupBy("lang").agg(expr("percentile(n_words, 0.25)").as("thr"))
+      .write.mode("overwrite").parquet(s"$artDir/thr")
+    val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
+    ndIdx.write.mode("overwrite").parquet(s"$artDir/nd_index")
+    ndSh.write.mode("overwrite").parquet(s"$artDir/nd_shingles")
+    val (uni, total, big, merges) = IngestStages.publishLmBpe(corpus)
+    uni.write.mode("overwrite").parquet(s"$artDir/lm_uni")
+    total.write.mode("overwrite").parquet(s"$artDir/lm_total")
+    big.write.mode("overwrite").parquet(s"$artDir/lm_big")
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.cnt))
+      .toDF("rank", "left", "right", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$artDir/bpe_merges")
+  }
+
+  /** Read the frozen artifact set back. ndIdxRows = None: the apply
+    * path counts the index once per call for its broadcast guard — the
+    * publish-side count is not persisted, by design (a stale count is
+    * worse than a one-scan count of a bounded artifact). */
+  def readArtifacts(spark: SparkSession, artDir: String): IngestStages.Artifacts = {
+    def rd(n: String) = spark.read.parquet(s"$artDir/$n")
+    val merges = rd("bpe_merges").orderBy("rank").collect().toSeq
+      .map(r => Tokenizer.Merge(r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3)))
+    IngestStages.Artifacts(rd("seen"), rd("bloom"), rd("thr"),
+      rd("nd_index"), rd("nd_shingles"), None,
+      rd("lm_uni"), rd("lm_total"), rd("lm_big"), merges)
+  }
+
+  /** APPLY: clean + gate + LM-admit + token-count ONE batch against the
+    * frozen disk artifacts. Identical stage code to the gated entry
+    * (IngestStages.applyClean / applyLmBpe). */
+  def ingestBatch(spark: SparkSession, sfDir: String, a: IngestStages.Artifacts,
+                  batchPred: org.apache.spark.sql.Column): DataFrame = {
+    val docs = Tables.ensureParallelism(Tables.load(spark, sfDir, "documents"))
+    val benchmark = docs.filter(col("doc_id") < 10)
+    val batch = docs.filter(col("doc_id") >= 10 && batchPred)
+    val (clean, gated) = IngestStages.applyClean(batch, benchmark,
+      docs.select(col("doc_id"), col("lang")),
+      a.seen, a.bloom, a.thr, a.ndIdx, a.ndSh, a.ndIdxRows,
+      _.localCheckpoint())
+    IngestStages.applyLmBpe(clean, gated, a.uni, a.total, a.big, a.merges)
+  }
+
+  /** Multiplicity-exact equality (exceptAll both ways — the GoldenPath
+    * drift-check convention). */
+  private def assertSame(got: DataFrame, want: DataFrame, what: String): Unit = {
+    val w = want.select(got.columns.map(col).toSeq: _*)
+    val d = got.exceptAll(w).count() + w.exceptAll(got).count()
+    require(d == 0, s"$what drifted ($d rows differ)")
+  }
+
+  private def session(cpus: String): SparkSession = {
+    val s = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_golden_inc")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val artDir = s"$outDir/artifacts"
+
+    // ---- session 1: nightly publish + batch A (doc_id % 10 == 0) ----
+    val s1 = session(cpus)
+    publish(s1, sfDir, artDir)
+    val a1 = readArtifacts(s1, artDir)
+    val admitA = ingestBatch(s1, sfDir, a1, col("doc_id") % 10 === 0)
+    admitA.write.mode("overwrite").parquet(s"$outDir/admitted_a")
+    val nA = s1.read.parquet(s"$outDir/admitted_a").count()
+    s1.stop()
+    // a restarted process builds a NEW SparkContext; clear the stale
+    // default so the second builder doesn't hand back the stopped one
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // ---- session 2 (the RESTART): batch B (doc_id % 10 == 5) against
+    // the same files, then the equivalence pin vs the gated entry ----
+    val s2 = session(cpus)
+    val a2 = readArtifacts(s2, artDir)
+    val admitB = ingestBatch(s2, sfDir, a2, col("doc_id") % 10 === 5)
+    admitB.write.mode("overwrite").parquet(s"$outDir/admitted_b")
+    val nB = s2.read.parquet(s"$outDir/admitted_b").count()
+
+    // the gated one-shot over the FULL batch (in-plan artifacts)
+    val oneShot = graft.SparkEntry.queries("q_pipeline_ingest_v2")(s2, sfDir)
+    val union = s2.read.parquet(s"$outDir/admitted_a")
+      .unionByName(s2.read.parquet(s"$outDir/admitted_b"))
+    assertSame(union, oneShot,
+      "incremental admit(A)+admit(B) vs gated q_pipeline_ingest_v2")
+
+    println(s"""{"incremental":"ok","admitted_a":$nA,"admitted_b":$nB,""" +
+      s""""total":${nA + nB},"sf":"$sfDir","out":"$outDir"}""")
+    s2.stop()
+  }
+}

@@ -1,0 +1,190 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.Sampling
+
+/** The MULTILINGUAL golden-path profile — the second end-to-end recipe
+  * over the same gated operator set (the base profile is
+  * [[GoldenPath]]): ingest → CCNet perplexity stratification (frozen
+  * per-language thresholds, tail dropped) → temperature-α=1/2 mixture
+  * (sqrt-imbalance upsampling of small languages) → leak-proof split →
+  * per-(split) token packing of the UPSAMPLED units.
+  *
+  *   sbt "runMain graft.tools.GoldenPathML /root/testdata/sf0.01 /tmp/golden_ml"
+  *
+  * Output layout under <outDir>:
+  *   admitted/   — stage-1 ingest result (≡ q_pipeline_ingest_v2)
+  *   kept/       — admitted minus the per-language perplexity tail
+  *   mixture/    — the frozen factor table (lang, n_docs, factor_ppm)
+  *   corpus/     — (doc_id, rep, split, chunk_id, pos_in_chunk, n_tok,
+  *                  lang) partitioned by split — each upsampled unit a row
+  *   mlcards/    — per-language release card (docs, units, tokens, factor)
+  *
+  * Stage semantics and their gated twins:
+  *  - ingest: verbatim `q_pipeline_ingest_v2` (exceptAll-pinned here).
+  *  - stratify: `q_quality_ppl_{thresholds,buckets}` semantics with the
+  *    publish/apply split made explicit — unigram-LM stats AND tercile
+  *    thresholds frozen from the STANDING corpus, applied statelessly
+  *    to the admitted batch. Admitted docs sharing no term with the
+  *    corpus drop at the stats join (same contract as the v2 LM gate:
+  *    unknown-language admission is the gate's job, not backoff's).
+  *  - mixture: `q_mix_temperature` / `q_mix_apply` operator code
+  *    (Sampling.temperatureFactors + epochRebalanceFrom), factors
+  *    frozen over the KEPT batch's language counts.
+  *  - split: verbatim `q_split_leakproof` restricted to kept docs.
+  *  - pack: `q_pack_tokens`' chunkAssign with (split) as the shard key
+  *    and each (doc, rep) unit ordered by a numeric unit key.
+  *
+  * Self-checks (all `require`): ingest ≡ the gated entry
+  * (multiplicity-exact), no tail unit shipped, per-language shipped
+  * units equal the exact ppm-arithmetic repeat sums, and every factor
+  * equals the driver-side sqrt recomputation bit-for-bit.
+  *
+  * 100 TB shape: thresholds and factors are O(langs) broadcast
+  * artifacts; the stratify join, repeat explode, and pack windows are
+  * the already-audited shapes of their gated twins (one corpus-token
+  * shuffle for the frozen stats, narrow fan-out for repeats, bounded
+  * per-shard windows for packing).
+  */
+object GoldenPathML {
+
+  /** Upsampled units get a numeric unit key (doc_id · RepBase + rep) so
+    * chunk packing orders deterministically without a string concat;
+    * RepBase bounds the per-doc repeat count, enforced below. */
+  val RepBase = 1024L
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+    // ---- 1. INGEST — the gated tokenizer-aware composition, verbatim
+    val admitted = SparkEntry.queries("q_pipeline_ingest_v2")(spark, sfDir)
+    admitted.write.mode("overwrite").parquet(s"$outDir/admitted")
+    val adm = spark.read.parquet(s"$outDir/admitted")
+    val drift = adm.exceptAll(admitted.select(adm.columns.map(col).toSeq: _*))
+      .count() +
+      admitted.select(adm.columns.map(col).toSeq: _*).exceptAll(adm).count()
+    require(drift == 0, s"admitted/ drifted from q_pipeline_ingest_v2 ($drift rows)")
+
+    // ---- 2. STRATIFY — frozen unigram-LM stats + per-language tercile
+    // thresholds from the STANDING corpus; tail bucket dropped
+    val docs = Tables.ensureParallelism(Tables.load(spark, sfDir, "documents"))
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 =!= 0)
+    val ctoks = graft.core.CacheScope.autoRelease(
+      corpus.select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("term")))
+    val tf = ctoks.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val tot = ctoks.agg(count(lit(1)).as("ntok"))
+    def nllOf(scored: DataFrame): DataFrame = scored
+      .join(tf, "term").crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang")
+      .agg(round(avg(-log(col("ctf").cast("double") / col("ntok"))), 6)
+        .as("nll6"))
+    // publish: thresholds over the corpus's own scores (one action —
+    // also the execution that releases the ctoks job-scoped persist)
+    val thr = nllOf(ctoks).groupBy("lang")
+      .agg(round(expr("percentile(nll6, 0.33333333)"), 6).as("p33"),
+        round(expr("percentile(nll6, 0.66666667)"), 6).as("p66"))
+      .localCheckpoint()
+    // apply: score the ADMITTED batch against the frozen stats
+    val batchScores = nllOf(docs.join(adm.select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("term")))
+    val kept = batchScores.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("nll6"),
+        when(col("nll6") <= col("p33"), "head")
+          .when(col("nll6") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+      .filter(col("bucket") =!= "tail")
+      .join(adm.select("doc_id", "n_tok"), "doc_id")
+    kept.write.mode("overwrite").parquet(s"$outDir/kept")
+    val keptD = spark.read.parquet(s"$outDir/kept")
+
+    // ---- 3. MIXTURE — temperature-α=1/2 factors over the kept batch's
+    // language counts, frozen, then the stateless repeat explode
+    val fac = Sampling.temperatureFactors(keptD, col("lang"))
+    fac.write.mode("overwrite").parquet(s"$outDir/mixture")
+    val facD = spark.read.parquet(s"$outDir/mixture")
+    val units = Sampling.epochRebalanceFrom(
+      keptD.select("doc_id", "lang"), "doc_id", "lang",
+      facD.select(col("stratum"), col("n_docs"), col("factor_ppm")))
+
+    // ---- 4. SPLIT — leak-proof assignment, verbatim, kept docs only
+    val split = SparkEntry.queries("q_split_leakproof")(spark, sfDir)
+      .select("doc_id", "split")
+
+    // ---- 5. PACK — per-(split) token packing of the upsampled units
+    val budget = graft.queries.TokenizerQueries.PackTokBudget
+    val packed = graft.operators.Packing.chunkAssign(
+        units.join(split, "doc_id")
+          .join(keptD.select("doc_id", "n_tok"), "doc_id")
+          .withColumn("unit_key",
+            col("doc_id") * lit(RepBase) + col("rep")),
+        "split", "unit_key", col("n_tok"), budget)
+      .select(col("doc_id"), col("rep"), col("split"), col("chunk_id"),
+        col("pos_in_chunk"), col("n_tok"), col("lang"))
+    packed.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/corpus")
+    val out = spark.read.parquet(s"$outDir/corpus")
+
+    // ---- 6. CARDS — per-language release card
+    val cards = out.groupBy("lang").agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_units"),
+        sum("n_tok").as("n_tokens"))
+      .join(facD.select(col("stratum").as("lang"), col("factor_ppm")), "lang")
+    cards.write.mode("overwrite").parquet(s"$outDir/mlcards")
+
+    // ---- self-checks
+    // factors ≡ the driver-side sqrt recomputation, bit-for-bit
+    val cnts = facD.collect().map(r => (r.getAs[String]("stratum"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("factor_ppm")))
+    val mxN = cnts.map(_._2).max
+    cnts.foreach { case (lang, n, ppm) =>
+      val want = math.floor(math.sqrt(mxN.toDouble / n.toDouble) *
+        Sampling.FactorScale + 0.5).toLong
+      require(ppm == want, s"factor drift for $lang: got $ppm want $want")
+      require(ppm / Sampling.FactorScale + 1 < RepBase,
+        s"repeat count for $lang exceeds RepBase")
+    }
+    // per-language shipped units == the exact ppm-arithmetic repeat sums
+    val wantUnits = units.groupBy("lang").count()
+      .withColumnRenamed("count", "want")
+    val gotUnits = out.groupBy("lang").count()
+    val unitDrift = gotUnits.join(wantUnits, "lang")
+      .filter(col("count") =!= col("want")).count()
+    require(unitDrift == 0, s"shipped units drift in $unitDrift languages")
+    // no tail unit shipped
+    val tailShipped = out.join(
+      spark.read.parquet(s"$outDir/kept").filter(col("bucket") === "tail")
+        .select("doc_id"), "doc_id").count()
+    require(tailShipped == 0, s"$tailShipped tail units shipped")
+
+    Map(
+      "admitted" -> adm.count(),
+      "kept" -> keptD.count(),
+      "langs" -> facD.count(),
+      "units" -> out.count(),
+      "chunks" -> out.select("split", "chunk_id").distinct().count()
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_golden_ml")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stats = run(spark, sfDir, outDir)
+    println(stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }
+      .mkString("{\"golden_path_ml\":\"ok\",", ",", s""","out":"$outDir"}"""))
+    spark.stop()
+  }
+}

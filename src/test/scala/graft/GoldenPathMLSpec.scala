@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tools.GoldenPathML
+
+/** The multilingual golden-path profile must keep running end-to-end:
+  * ingest → perplexity-tail drop → temperature mixture → split → pack,
+  * internal self-checks green (run() `require`s factor bit-equality,
+  * unit-count arithmetic, and no-tail-shipped), upsampled units packed
+  * with contiguous positions. */
+class GoldenPathMLSpec extends SparkSpec {
+
+  test("GoldenPathML.run produces a self-consistent multilingual corpus at sf0.001") {
+    val out = java.nio.file.Files.createTempDirectory("graft_golden_ml_spec")
+      .toString
+    val stats = GoldenPathML.run(spark, sf0001, out)
+    assert(stats("admitted") > 0, stats.toString)
+    assert(stats("kept") > 0 && stats("kept") <= stats("admitted"),
+      stats.toString)
+    // temperature mixture only UPsamples: units >= kept, and every kept
+    // doc ships at least once (factor >= 1 for every language)
+    assert(stats("units") >= stats("kept"), stats.toString)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.select("doc_id").distinct().count() === stats("kept"))
+    // rep ordinals are contiguous from 1 per doc
+    val badRep = corpus.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rep").as("mx"), min("rep").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(badRep.count() === 0, badRep.collect().mkString(","))
+    // chunk positions are contiguous from 1 within each (split, chunk)
+    val bad = corpus.groupBy("split", "chunk_id")
+      .agg(count(lit(1)).as("n"), max("pos_in_chunk").as("mx"),
+        min("pos_in_chunk").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() === 0, bad.collect().mkString(","))
+    // language cards reconcile with the shipped corpus
+    val cards = spark.read.parquet(s"$out/mlcards")
+    assert(cards.count() === stats("langs"))
+    val roll = corpus.groupBy("lang").agg(count(lit(1)).as("n_units2"))
+    val drift = cards.join(roll, "lang")
+      .filter(col("n_units") =!= col("n_units2"))
+    assert(drift.count() === 0, drift.collect().mkString(","))
+  }
+}

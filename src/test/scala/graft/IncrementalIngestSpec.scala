@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tools.GoldenPathIncremental
+
+/** Pipeline-level incremental composition pin: the v2 ingest run as two
+  * half-batches against DISK-persisted frozen artifacts must admit
+  * exactly the rows the gated one-shot `q_pipeline_ingest_v2` admits
+  * (multiplicity-exact). The full-session-RESTART variant of this pin
+  * lives in `tools/GoldenPathIncremental.main` (run per round — specs
+  * share one JVM-wide session, so they can't stop it); this spec keeps
+  * the disk round-trip + batch-split equivalence under `sbt test`. */
+class IncrementalIngestSpec extends SparkSpec {
+
+  test("admit(A)+admit(B) over disk artifacts ≡ gated one-shot ingest_v2") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_inc_ingest").toString
+    val artDir = s"$out/artifacts"
+    GoldenPathIncremental.publish(spark, sf0001, artDir)
+    val a = GoldenPathIncremental.readArtifacts(spark, artDir)
+    val admitA = GoldenPathIncremental
+      .ingestBatch(spark, sf0001, a, col("doc_id") % 10 === 0)
+    val admitB = GoldenPathIncremental
+      .ingestBatch(spark, sf0001, a, col("doc_id") % 10 === 5)
+    val got = admitA.unionByName(admitB)
+    val want = SparkEntry.queries("q_pipeline_ingest_v2")(spark, sf0001)
+      .select(got.columns.map(col).toSeq: _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the split must be a real partition of the gated batch: both halves
+    // non-trivially exercised at this SF would be ideal, but sf0.001 is
+    // tiny — require at least that the union is non-empty and the halves
+    // are disjoint
+    assert(got.count() > 0)
+    assert(admitA.join(admitB, "doc_id").isEmpty)
+  }
+}
