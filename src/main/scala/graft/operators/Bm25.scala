@@ -71,16 +71,25 @@ object Bm25 {
 
   /** APPLY — top-k corpus docs per query by BM25 over the frozen index:
     * (query_id, doc_id, rnk, score6). Ranking is by the ROUNDED score
-    * with doc_id tiebreak, so both engines rank identical values. */
+    * with doc_id tiebreak, so both engines rank identical values.
+    *
+    * Pass `knownQueryRows` when the caller has already counted the query
+    * side (the [[Similarity.corpusTopK]] convention): the eager count()
+    * here is itself a query execution, so a caller that registered a
+    * [[graft.core.CacheScope.autoRelease]] persist (e.g. on the postings,
+    * consumed 3× below) BEFORE calling topK would see its one-shot
+    * release listener fire on the guard count, silently defeating the
+    * job-scoped persist. Count first, then register persists. */
   def topK(queries: DataFrame, textCol: String, idCol: String,
            post: DataFrame, k: Int,
-           maxQueryRows: Long = Similarity.MaxQueryRows): DataFrame = {
+           maxQueryRows: Long = Similarity.MaxQueryRows,
+           knownQueryRows: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // same broadcast guard as the ANN/MMR family: the query-term table
     // is broadcast into the postings join, so refuse past the bound
     // with a loud message rather than OOM the driver — at scale a
     // too-large query set must be chunked or shuffled instead
-    val qCnt = queries.count()
+    val qCnt = knownQueryRows.getOrElse(queries.count())
     require(qCnt <= maxQueryRows,
       s"BM25 query side has $qCnt rows (> maxQueryRows=$maxQueryRows): " +
         "refusing to broadcast the query-term table — chunk the query " +

@@ -84,10 +84,14 @@ object SearchQueries {
     Q("q_text_bm25_topk",
       (s, d) => {
         val docs = t(s, d, "documents")
+        // count the query side FIRST: the guard count is a query
+        // execution and would pop CacheScope's one-shot release listener
+        val qs = docs.filter(col("doc_id") < QMax)
+        val qCnt = qs.count()
         val post = graft.core.CacheScope.autoRelease(Bm25.postings(
           docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
-        Bm25.topK(docs.filter(col("doc_id") < QMax), "text", "doc_id",
-          post, Bm25K)
+        Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt))
       },
       Some(s"""WITH $duckBm25Ctes,
            |qt AS (SELECT DISTINCT doc_id AS query_id, term
@@ -234,10 +238,14 @@ object SearchQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val emb = t(s, d, "embeddings")
+        // count FIRST (see q_text_bm25_topk): the guard count is a query
+        // execution and would pop CacheScope's one-shot release listener
+        val qs = docs.filter(col("doc_id") < QMax)
+        val qCnt = qs.count()
         val post = graft.core.CacheScope.autoRelease(Bm25.postings(
           docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
-        val lex = Bm25.topK(docs.filter(col("doc_id") < QMax), "text",
-          "doc_id", post, Bm25K)
+        val lex = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt))
         val sem = graft.operators.Similarity.corpusTopK(
           emb.filter(col("vec_id") >= QMax),
           emb.filter(col("vec_id") < QMax), Bm25K)
@@ -297,10 +305,14 @@ object SearchQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val emb = t(s, d, "embeddings")
+        // count FIRST (see q_text_bm25_topk): the guard count is a query
+        // execution and would pop CacheScope's one-shot release listener
+        val qs = docs.filter(col("doc_id") < QMax)
+        val qCnt = qs.count()
         val post = graft.core.CacheScope.autoRelease(Bm25.postings(
           docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
-        val lex = Bm25.topK(docs.filter(col("doc_id") < QMax), "text",
-          "doc_id", post, Bm25K)
+        val lex = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt))
         val sem = graft.operators.Similarity.corpusLshTopK(
           emb.filter(col("vec_id") >= QMax),
           emb.filter(col("vec_id") < QMax), Bm25K)

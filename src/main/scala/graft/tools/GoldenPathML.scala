@@ -156,10 +156,15 @@ object GoldenPathML {
     val unitDrift = gotUnits.join(wantUnits, "lang")
       .filter(col("count") =!= col("want")).count()
     require(unitDrift == 0, s"shipped units drift in $unitDrift languages")
-    // no tail unit shipped
-    val tailShipped = out.join(
-      spark.read.parquet(s"$outDir/kept").filter(col("bucket") === "tail")
-        .select("doc_id"), "doc_id").count()
+    // no tail unit shipped — recompute the tail set from the FULL
+    // bucketed score frame (kept/ was written post-filter, so reading
+    // it back for tail rows would be vacuously empty) and assert the
+    // shipped corpus is disjoint from it
+    val tailDocs = batchScores.join(broadcast(thr), "lang")
+      .filter(col("nll6") > col("p66")).select("doc_id")
+    require(tailDocs.count() > 0,
+      "tail bucket empty at this SF — the disjointness check would be vacuous")
+    val tailShipped = out.join(tailDocs, "doc_id").count()
     require(tailShipped == 0, s"$tailShipped tail units shipped")
 
     Map(

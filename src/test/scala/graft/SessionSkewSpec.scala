@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Joins, Sessionize}
+
+/** Hot-key (skew) validation for the sessionize + binned interval-join
+  * shapes — the one 100×-scale risk class the suite didn't yet pin: a
+  * single user holding ~50% of all events, and a single time bucket
+  * holding ~50% of all session intervals.
+  *
+  * Two distinct skew mechanics are in play:
+  *
+  *  - The SESSION FOLD is a per-user ordered window (lag + running sum
+  *    over one user-keyed sort). A window partition cannot be split by
+  *    AQE — the fold needs every row of the user IN ORDER in one place,
+  *    so `OptimizeSkewedJoin` (a join-only rule) never applies and no
+  *    skew rule could. The scale bound is therefore the per-user event
+  *    count (a domain bound: events/user grows with user activity, not
+  *    corpus size), and the correctness obligation under skew is that
+  *    the fold stays EXACT when one partition dwarfs the others — pinned
+  *    here against an in-memory reference fold.
+  *
+  *  - The BINNED INTERVAL JOIN is an equi-join on the time bucket, so a
+  *    hot bucket is ordinary join-key skew and AQE's OptimizeSkewedJoin
+  *    CAN split it (the join's output feeds a distinct on different
+  *    keys, so splitting introduces no extra shuffle). Pinned here:
+  *    skew=true in the executed SMJ on a hot-bucket fixture, and result
+  *    identity against a brute-force O(n²) overlap count.
+  */
+class SessionSkewSpec extends SparkSpec {
+
+  private val GapUs = 1800L * 1000000L
+
+  /** Skewed event fixture: `n` events, ~half on user 0 when `hot`,
+    * otherwise spread over 200 users; deterministic pseudo-random
+    * timestamps (murmur3 of the id, fixed seed) over a 4-day span so
+    * per-user gaps straddle the 30-min session cut both ways. */
+  private def events(s: SparkSession, n: Int, hot: Boolean): DataFrame = {
+    import s.implicits._
+    val user = if (hot)
+      when($"id" % 2 === 0, 0L).otherwise($"id" % 200 + 1)
+    else $"id" % 200 + 1
+    s.range(0, n, 1, 8).select(
+      $"id".as("event_id"),
+      user.cast("long").as("user_id"),
+      pmod(hash($"id").cast("long") * 16384L, lit(4L * 86400L * 1000000L))
+        .as("ts_us"),
+      ($"id" % 1000).as("c"))
+  }
+
+  /** In-memory reference fold: per user sort by (ts, id), break on
+    * gap > GapUs, roll up (n, start, end, sum). */
+  private def refStats(rows: Seq[(Long, Long, Long, Long)])
+      : Map[(Long, Long), (Long, Long, Long, Long)] = {
+    rows.groupBy(_._2).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._1))
+      var idx = 0L
+      var prev = Long.MinValue
+      sorted.map { case (_, _, ts, c) =>
+        if (prev == Long.MinValue || ts - prev > GapUs) idx += 1
+        prev = ts
+        ((u, idx), (ts, c))
+      }
+    }.groupBy(_._1).map { case (k, g) =>
+      val ts = g.map(_._2._1)
+      k -> (g.size.toLong, ts.min, ts.max, g.map(_._2._2).sum)
+    }
+  }
+
+  test("session fold is exact when one user holds ~50% of all events") {
+    val ev = events(spark, 20000, hot = true)
+    val hotShare = ev.filter(col("user_id") === 0).count()
+    assert(hotShare > 9000, s"fixture lost its skew: $hotShare/20000 on user 0")
+
+    val got = Sessionize.stats(ev, "user_id", "ts_us", "event_id", "c")
+      .collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("value_cents"))))
+      .toMap
+    val want = refStats(ev.collect().map(r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("ts_us"), r.getAs[Long]("c"))).toSeq)
+    assert(got.size == want.size,
+      s"session count drift: got ${got.size} want ${want.size}")
+    want.foreach { case (k, v) =>
+      assert(got.get(k).contains(v), s"session $k: got ${got.get(k)} want $v")
+    }
+  }
+
+  /** Interval fixture: `nHot` intervals all inside time bucket 0 (each on
+    * its own user, mutually overlapping by construction), `nCold`
+    * intervals each alone in a distant bucket. binUs=1s for the test. */
+  private val BinUs = 1000000L
+  private def intervals(s: SparkSession, nHot: Int, nCold: Int): DataFrame = {
+    import s.implicits._
+    val hot = s.range(0, nHot, 1, 4).select(
+      $"id".as("u"), lit(1L).as("x"),
+      ($"id" % 500).as("s_us"), ($"id" % 500 + 1000L).as("e_us"))
+    val cold = s.range(0, nCold, 1, 4).select(
+      ($"id" + 1000000L).as("u"), lit(1L).as("x"),
+      (($"id" + 1) * BinUs * 3).as("s_us"),
+      (($"id" + 1) * BinUs * 3 + 500L).as("e_us"))
+    hot.unionAll(cold)
+  }
+
+  /** The q_join_interval_overlap shape verbatim: explode covered buckets,
+    * self-join on bucket, exact overlap predicate, distinct pairs,
+    * left-preserved per-interval counts. */
+  private def binnedOverlapCounts(iv: DataFrame): DataFrame = {
+    val binned = iv.withColumn("bucket",
+      explode(sequence(expr(s"s_us div $BinUs"), expr(s"e_us div $BinUs"))))
+    val a = binned.select(col("bucket"), col("u").as("u1"), col("x").as("x1"),
+      col("s_us").as("s1"), col("e_us").as("e1"))
+    val b = binned.select(col("bucket"), col("u").as("u2"), col("x").as("x2"),
+      col("s_us").as("s2"), col("e_us").as("e2"))
+    val hits = a.join(b, Seq("bucket"))
+      .filter(col("u1") =!= col("u2") &&
+        col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select("u1", "x1", "u2", "x2").distinct()
+    val cnt = hits.groupBy("u1", "x1").agg(count(lit(1)).as("n_concurrent"))
+    iv.join(cnt, col("u") === col("u1") && col("x") === col("x1"), "left")
+      .select(col("u"), col("x"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+  }
+
+  test("hot-bucket interval join: AQE splits the skewed partition (skew=true)") {
+    val s2 = Joins.freshSkewTunedSession(spark, thresholdBytes = 2048,
+      advisoryBytes = 8192)
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    val df = binnedOverlapCounts(intervals(s2, nHot = 1000, nCold = 1000))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"plan never finalized:\n$p")
+    assert(p.contains("skew=true"),
+      s"no skew split in the executed binned interval join:\n$p")
+  }
+
+  test("hot-bucket interval join result ≡ brute-force O(n²) overlap count") {
+    val s2 = Joins.freshSkewTunedSession(spark, thresholdBytes = 2048,
+      advisoryBytes = 8192)
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    val iv = intervals(s2, nHot = 1000, nCold = 1000)
+    val got = binnedOverlapCounts(iv).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("n_concurrent"))).toMap
+
+    val rows = iv.collect().map(r => (r.getAs[Long]("u"),
+      r.getAs[Long]("s_us"), r.getAs[Long]("e_us")))
+    val want = rows.map { case (u, s, e) =>
+      u -> rows.count { case (u2, s2b, e2) =>
+        u2 != u && s <= e2 && s2b <= e }.toLong
+    }.toMap
+    assert(got.size == want.size)
+    // the hot block must actually overlap heavily or the fixture is dead
+    assert(want.values.max > 500, s"fixture lost its overlap density")
+    want.foreach { case (u, n) =>
+      assert(got.get(u).contains(n), s"interval $u: got ${got.get(u)} want $n")
+    }
+  }
+
+  test("skewed vs uniform fixture timing (recorded in BENCHFOCUS_r13)") {
+    // not an assert — a measurement the round's BENCHFOCUS record cites.
+    // Uniform twin: same row count, hot block scattered over 1000 buckets.
+    val s2 = Joins.freshSkewTunedSession(spark, thresholdBytes = 2048,
+      advisoryBytes = 8192)
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    import s2.implicits._
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val skewT = time(binnedOverlapCounts(
+      intervals(s2, nHot = 1000, nCold = 1000)).collect())
+    val uniform = s2.range(0, 2000, 1, 8).select(
+      $"id".as("u"), lit(1L).as("x"),
+      ($"id" * BinUs * 3).as("s_us"), ($"id" * BinUs * 3 + 500L).as("e_us"))
+    val unifT = time(binnedOverlapCounts(uniform).collect())
+    info(f"skewed-hot-bucket: $skewT%.2fs; uniform: $unifT%.2fs")
+    assert(skewT > 0 && unifT > 0)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.queries.IngestStages
+import graft.tools.GoldenPathIncremental
+
+/** The STREAMING form of the incremental golden path — pins
+  * [[GoldenPathIncremental]]'s scaladoc claim that the apply half "runs
+  * per-microbatch inside foreachBatch with no state carried between
+  * batches except the published files": batch B is replayed as a stream
+  * of several microbatches (file source, one file per trigger) through
+  * the SAME frozen parquet artifacts, and the appended result is pinned
+  * multiplicity-exact against the one-shot batch apply of B.
+  *
+  * This is only sound because the apply path is per-doc given the
+  * artifacts — no within-batch interaction — which is exactly what
+  * GoldenPathIncremental's A∪B ≡ one-shot pin establishes; this spec
+  * extends that equivalence down to arbitrary microbatch boundaries,
+  * closing the last composition not yet exercised as a stream.
+  */
+class IncrementalStreamingSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("batch B streamed as microbatches through frozen artifacts ≡ batch apply") {
+    val work = Files.createTempDirectory("graft_inc_stream").toString
+    val artDir = s"$work/artifacts"
+
+    // publish ONCE from the standing corpus (the nightly half)
+    GoldenPathIncremental.publish(spark, sfDir, artDir)
+    val a = GoldenPathIncremental.readArtifacts(spark, artDir)
+
+    // the one-shot batch apply of B — the reference result
+    val want = GoldenPathIncremental.ingestBatch(spark, sfDir, a,
+      col("doc_id") % 10 === 5)
+
+    // replay B as a stream: 3 parquet files, one per trigger
+    val docs = Tables.ensureParallelism(Tables.load(spark, sfDir, "documents"))
+    val batchB = docs.filter(col("doc_id") >= 10 && col("doc_id") % 10 === 5)
+    assert(batchB.count() > 3, "fixture too small to form 3 microbatches")
+    batchB.repartition(3).write.parquet(s"$work/stream_in")
+    val nFiles = new java.io.File(s"$work/stream_in").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 2, s"need ≥2 input files for a multi-microbatch replay, got $nFiles")
+
+    val benchmark = docs.filter(col("doc_id") < 10)
+    val langs = docs.select(col("doc_id"), col("lang"))
+    val batchIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stream = spark.readStream.schema(batchB.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/stream_in")
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          batchIds.add(id)
+          // identical stage code to the gated entry and the batch tool —
+          // per-microbatch, stateless given the frozen artifacts
+          val (clean, gated) = IngestStages.applyClean(df, benchmark, langs,
+            a.seen, a.bloom, a.thr, a.ndIdx, a.ndSh, a.ndIdxRows,
+            _.localCheckpoint())
+          IngestStages.applyLmBpe(clean, gated, a.uni, a.total, a.big, a.merges)
+            .write.mode("append").parquet(s"$work/stream_out")
+        }
+      }
+      .option("checkpointLocation", s"$work/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(batchIds.size >= 2,
+      s"replay collapsed to ${batchIds.size} microbatch(es) — nothing streamed")
+
+    val got = spark.read.parquet(s"$work/stream_out")
+    val w = want.select(got.columns.map(col).toSeq: _*)
+    val drift = got.exceptAll(w).count() + w.exceptAll(got).count()
+    assert(drift == 0,
+      s"streamed apply drifted from the batch apply ($drift rows differ)")
+    assert(got.count() > 0, "vacuous: the streamed apply admitted nothing")
+  }
+}
