@@ -187,6 +187,23 @@ object Bench {
     else Some("scattered")
   }
 
+  /** The full `target/bench_runs.json` line — extracted so its shape is
+    * spec-pinned (BenchForensicsSpec) and can't silently rot: top-level
+    * `reps`/`sf`/`runs`/`flags`, runs mapping each query to its raw
+    * per-rep vector, flags carrying [[classifyReps]]'s classification
+    * for exactly the flagged queries. */
+  private[graft] def benchRunsJson(reps: Int, sfDir: String,
+                                   rawRuns: Seq[(String, Seq[Double])]): String = {
+    val runsJson = rawRuns.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val flagsJson = rawRuns
+      .flatMap { case (k, ts) => classifyReps(ts).map(c => k -> c) }
+      .map { case (k, c) => "\"" + k + "\":\"" + c + "\"" }
+      .mkString("{", ",", "}")
+    s"""{"reps":$reps,"sf":"$sfDir","runs":$runsJson,"flags":$flagsJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -339,15 +356,8 @@ object Bench {
     // adjudication channel for anomalous medians; `flags` carries the
     // episode classification so a contiguous co-tenant run is named in
     // the artifact itself, not re-derived by hand
-    val runsJson = rawRuns.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val flagsJson = rawRuns
-      .flatMap { case (k, ts) => classifyReps(ts).map(c => k -> c) }
-      .map { case (k, c) => "\"" + k + "\":\"" + c + "\"" }
-      .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_runs.json"),
-      (s"""{"reps":$Reps,"sf":"$sfDir","runs":$runsJson,"flags":$flagsJson}""" + "\n")
+      (benchRunsJson(Reps, sfDir, rawRuns) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // COMPACT summary as the LAST stdout line: the full line above (~110
     // per-query entries) has outrun the driver's tail capture two rounds

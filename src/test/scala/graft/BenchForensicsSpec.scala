@@ -56,6 +56,22 @@ class BenchForensicsSpec extends AnyFunSuite {
     assert(Bench.classifyReps(Nil).isEmpty)
   }
 
+  test("bench_runs.json shape: reps/sf/runs/flags, flags only for flagged vectors") {
+    val line = Bench.benchRunsJson(5, "/root/testdata/sf0.1", Seq(
+      "q_clean" -> Seq(0.61, 0.58, 0.63, 0.60, 0.59),
+      "q_hit" -> Seq(0.62, 10.3, 11.1, 10.8, 0.64),
+      "q_spread" -> Seq(4.2, 0.62, 0.61, 4.4, 0.63)))
+    // strict shape pin: parseable JSON with exactly the contract keys —
+    // the driver and post-hoc adjudication both json.load this file
+    assert(line ==
+      """{"reps":5,"sf":"/root/testdata/sf0.1","runs":{"q_clean":[0.610,0.580,0.630,0.600,0.590],"q_hit":[0.620,10.300,11.100,10.800,0.640],"q_spread":[4.200,0.620,0.610,4.400,0.630]},"flags":{"q_hit":"episode","q_spread":"scattered"}}""")
+  }
+
+  test("bench_runs.json with zero flagged queries emits an empty flags object") {
+    val line = Bench.benchRunsJson(5, "x", Seq("q" -> Seq(0.1, 0.1, 0.1)))
+    assert(line.endsWith(""""flags":{}}"""))
+  }
+
   test("f3 emits dot-decimal under a comma-decimal default locale") {
     val saved = java.util.Locale.getDefault
     try {
