@@ -60,20 +60,26 @@ object Dsir {
     def cnt(df: DataFrame, as: String) =
       features(df, textCol, idCol, b).groupBy("bucket")
         .agg(count(lit(1)).as(as))
-    val nt = features(target, textCol, idCol, b)
-      .agg(count(lit(1)).as("nt"))
-    val nr = features(raw, textCol, idCol, b)
-      .agg(count(lit(1)).as("nr"))
-    s.range(b).select(col("id").cast("int").as("bucket"))
-      .join(cnt(target, "c_target"), Seq("bucket"), "left")
-      .join(cnt(raw, "c_raw"), Seq("bucket"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-      .select(col("bucket"),
-        coalesce(col("c_target"), lit(0L)).as("c_target"),
-        coalesce(col("c_raw"), lit(0L)).as("c_raw"),
-        (log((coalesce(col("c_target"), lit(0L)) + 1).cast("double") /
+    // the corpus totals N_t/N_r are exactly the sums of the per-bucket
+    // counts, so derive them from the O(b)-row dense table instead of a
+    // second full feature scan per corpus (the r13 fix: publish used to
+    // tokenize+shingle each corpus TWICE — at 100 TB the raw-side scan
+    // is the whole cost). The dense table is referenced twice (rows +
+    // totals) inside the one consuming action, hence the job-scoped
+    // persist; values are bit-identical to the two-scan form.
+    val dense = graft.core.CacheScope.autoRelease(
+      s.range(b).select(col("id").cast("int").as("bucket"))
+        .join(cnt(target, "c_target"), Seq("bucket"), "left")
+        .join(cnt(raw, "c_raw"), Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("c_target"), lit(0L)).as("c_target"),
+          coalesce(col("c_raw"), lit(0L)).as("c_raw")))
+    val tot = dense.agg(sum("c_target").as("nt"), sum("c_raw").as("nr"))
+    dense.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_target"), col("c_raw"),
+        (log((col("c_target") + 1).cast("double") /
             (col("nt") + b).cast("double"))
-          - log((coalesce(col("c_raw"), lit(0L)) + 1).cast("double") /
+          - log((col("c_raw") + 1).cast("double") /
             (col("nr") + b).cast("double"))).as("lam"))
   }
 

@@ -1,0 +1,79 @@
+#!/usr/bin/env bash
+# Round-CLOSING validation gate — run after the final code commit of a
+# round, on a quiet box (no concurrent sbt/bench). Mechanizes the three
+# checks the last four verdicts asked for by hand:
+#   1. full test suite green
+#   2. every oracle gate hash-matched at BOTH sf0.01 and sf0.1 (the
+#      double-SF sweep that caught the r8 NTZ incident)
+#   3. fresh bench with NO unadjudicated sweep row >= 2 s (sweep rows are
+#      single-shot; a >=2 s row must either be promoted to the
+#      median-of-5 headline tier or adjudicated in BENCHFOCUS_r{N}.md)
+# Exit code 0 = round may close. Any failure prints the offending check.
+set -u
+cd "$(dirname "$0")/.."
+rc=0
+
+echo "== 1/4 full test suite =="
+if ! sbt -batch test > /tmp/roundclose_test.log 2>&1; then
+  echo "FAIL: sbt test (tail of /tmp/roundclose_test.log):"
+  tail -20 /tmp/roundclose_test.log
+  rc=1
+else
+  grep -E "^\[info\] (Tests:|Suites:)" /tmp/roundclose_test.log | tail -2
+fi
+
+for sf in 0.01 0.1; do
+  echo "== correctness sf$sf =="
+  out=/tmp/roundclose_vout_$sf
+  rm -rf "$out"
+  if ! SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf$sf $out" \
+      > /tmp/roundclose_verify_$sf.log 2>&1; then
+    echo "FAIL: Verify main at sf$sf crashed"; rc=1; continue
+  fi
+  errs=$(ls "$out"/*.err 2>/dev/null | wc -l)
+  if [ "$errs" -gt 0 ]; then
+    echo "FAIL: $errs query dump(s) crashed at sf$sf:"; ls "$out"/*.err; rc=1
+  fi
+  if ! python3 tools/selfcheck.py "/root/testdata/sf$sf" "$out" \
+      | tee /tmp/roundclose_selfcheck_$sf.log | tail -3; then
+    echo "FAIL: selfcheck at sf$sf"; rc=1
+  fi
+  if grep -q "^FAIL" /tmp/roundclose_selfcheck_$sf.log; then
+    echo "FAIL: oracle mismatches at sf$sf:"
+    grep "^FAIL" /tmp/roundclose_selfcheck_$sf.log; rc=1
+  fi
+done
+
+echo "== 4/4 bench + sweep gate (sf0.1) =="
+if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" > /tmp/roundclose_bench.log 2>&1; then
+  echo "FAIL: Bench crashed (tail of /tmp/roundclose_bench.log):"
+  tail -10 /tmp/roundclose_bench.log; rc=1
+else
+  python3 - <<'PY' || rc=1
+import json, sys
+d = json.load(open("target/bench.json"))
+assert d["n_queries"] + d["ref_n"] == len(d["queries"]), "count drift"
+hot = sorted(((v, k) for k, v in d["sweep"].items() if v and v >= 2.0),
+             reverse=True)
+runs = json.load(open("target/bench_runs.json"))
+flagged = runs.get("flags", {})
+print(f'headline {d["value"]}s/{d["n_queries"]} rows, '
+      f'sweep {d["sweep_total"]}s/{d["sweep_n"]}, failed {d["failed"]}')
+if flagged:
+    print("episode flags (adjudicate from bench_runs.json):", flagged)
+if d["failed"] != "[]" and d["failed"] != []:
+    print("FAIL: bench rows failed:", d["failed"]); sys.exit(1)
+if hot:
+    print("FAIL: unadjudicated sweep rows >= 2 s (promote to headline "
+          "or adjudicate in BENCHFOCUS):")
+    for v, k in hot:
+        print(f"  {k}: {v}s")
+    sys.exit(1)
+print("sweep gate clean: no row >= 2 s")
+PY
+fi
+
+if [ $rc -eq 0 ]; then echo "ROUND CLOSE: ALL GATES GREEN"; else
+  echo "ROUND CLOSE: GATES FAILED (rc=$rc)"; fi
+exit $rc
