@@ -40,14 +40,24 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** PUBLISH — the postings table (term, doc_id, tf, dl). */
-  def postings(corpus: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = corpus.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    tf.join(tf.groupBy("doc_id").agg(sum("tf").as("dl")), "doc_id")
+  /** PUBLISH — the postings table (term, doc_id, tf, dl).
+    *
+    * dl (doc length in tokens) is `size(tokens)` attached BEFORE the
+    * explode, not `sum(tf)` recovered by a self-join after it — the two
+    * are identical by construction, but the self-join form tokenizes
+    * the corpus twice and adds a doc_id join (observed in the executed
+    * plan: two Generate subtrees; at 100 TB the second full tokenize
+    * pass is the dominant waste). This shape is one scan → one explode
+    * → one (doc_id, term) shuffle; dl rides along as a
+    * functionally-dependent grouping column (determined by doc_id, so
+    * the shuffle distribution is unchanged). */
+  def postings(corpus: DataFrame, textCol: String, idCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
       .select("term", "doc_id", "tf", "dl")
-  }
 
   /** Document frequencies from the postings (no text re-read). */
   def dfTable(post: DataFrame): DataFrame =

@@ -64,9 +64,14 @@ object SearchQueries {
     // this entry pins the artifact's statistics bit-exactly.)
     Q("q_text_bm25_index",
       (s, d) => {
-        val post = Bm25.postings(
+        // job-scoped persist: post feeds BOTH the df table and the stats
+        // aggregate below; uncached, Catalyst prunes the two subtrees
+        // differently (stats needs only distinct doc_id), which defeats
+        // exchange reuse and tokenizes the corpus twice (observed in the
+        // executed plan)
+        val post = graft.core.CacheScope.autoRelease(Bm25.postings(
           t(s, d, "documents").filter(col("doc_id") >= QMax),
-          "text", "doc_id")
+          "text", "doc_id"))
         Bm25.dfTable(post).crossJoin(broadcast(Bm25.stats(post)))
           .select(col("term"), col("df"),
             round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Execute a gated query and dump the AQE FINAL physical plan with
+  * exchange-reuse / explode / scan node counts — the runtime complement
+  * of [[ExplainAudit]] (whose formatted plan is pre-execution: it shows
+  * duplicate subtrees that `ReuseExchange` and AQE stage reuse may or
+  * may not dedupe at runtime; only the executed plan says which).
+  *
+  * Found the r13 BM25 publish waste: the formatted plan showed four
+  * token-explode subtrees, the executed plan showed only one reused
+  * exchange among them — i.e. the corpus really was tokenized more than
+  * once per publish.
+  *
+  * Usage: `runMain graft.tools.ReuseProbe <query> [sfDir]`
+  */
+object ReuseProbe {
+  def main(args: Array[String]): Unit = {
+    val name = if (args.nonEmpty) args(0) else "q_text_bm25_index"
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    println("=== " + name)
+    println("GENERATE_NODES=" + "\\bGenerate\\b".r.findAllIn(p).size)
+    println("EXCHANGE_NODES=" + "(?m)\\+- Exchange ".r.findAllIn(p).size)
+    println("REUSED=" + "ReusedExchange".r.findAllIn(p).size)
+    println("SCANS=" + "FileScan|Scan parquet".r.findAllIn(p).size)
+    println(p)
+    spark.stop()
+  }
+}
