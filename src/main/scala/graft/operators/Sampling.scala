@@ -127,12 +127,23 @@ object Sampling {
     *
     * Output: (stratum, n_docs, factor_ppm). Stratum-cardinality relation —
     * a map-side-combinable count plus a one-row broadcast max. */
-  def epochFactors(df: DataFrame, stratum: Column): DataFrame = {
-    val cnt = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_docs"))
-    val mx = cnt.agg(max(col("n_docs")).as("mx"))
-    cnt.crossJoin(broadcast(mx))
+  def epochFactors(df: DataFrame, stratum: Column): DataFrame =
+    countsWithMax(df, stratum)
       .withColumn("factor_ppm", expr(s"(mx * $FactorScale) div n_docs"))
       .drop("mx")
+
+  /** Per-stratum counts with the global max attached — via a
+    * single-partition window over the O(strata) count relation, NOT a
+    * `crossJoin(broadcast(cnt.agg(max)))`: the latter references the
+    * count subtree twice, and uncached that re-aggregates the RAW corpus
+    * twice (observed in the executed plans of the q_mix_* entries — the
+    * same duplicate-subtree class as the r13 BM25 publish fix). One full
+    * scan derives the factors; the window moves only stratum-cardinality
+    * rows to one partition. */
+  private def countsWithMax(df: DataFrame, stratum: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("mx", max(col("n_docs")).over(Window.partitionBy()))
   }
 
   /** Temperature-α mixture factors at α = 1/2: effective stratum weight
@@ -148,15 +159,12 @@ object Sampling {
     * engines even at 100 TB stratum counts. Same output schema as
     * [[epochFactors]], so the frozen-factor apply/streaming path
     * ([[withEpochRepeatsFrom]]) is shared. */
-  def temperatureFactors(df: DataFrame, stratum: Column): DataFrame = {
-    val cnt = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_docs"))
-    val mx = cnt.agg(max(col("n_docs")).as("mx"))
-    cnt.crossJoin(broadcast(mx))
+  def temperatureFactors(df: DataFrame, stratum: Column): DataFrame =
+    countsWithMax(df, stratum)
       .withColumn("factor_ppm",
         expr(s"CAST(floor(sqrt(CAST(mx AS DOUBLE) / CAST(n_docs AS DOUBLE))" +
           s" * $FactorScale + 0.5) AS BIGINT)"))
       .drop("mx")
-  }
 
   /** Per-document repeat counts under [[epochFactors]]: the integer part
     * of the factor for every document, plus one more for the hash-selected

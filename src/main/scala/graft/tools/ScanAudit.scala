@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Execute gated queries and report, from the AQE FINAL plan only, how
+  * many times each parquet table is physically scanned (FileScan nodes
+  * not replaced by ReusedExchange / not under an InMemoryRelation
+  * print), plus explode and reuse counts — the batch form of
+  * [[ReuseProbe]]. A table scanned N>1 times in one action without a
+  * persist is a candidate for the DSIR/BM25 class of fix (r13): derive
+  * the second use from the first, or persist.
+  *
+  * Heuristic, not exact: the printed final plan repeats an
+  * InMemoryRelation's child under every InMemoryTableScan, so scans
+  * under a cache print are excluded by subtracting scans inside
+  * InMemoryRelation blocks (approximated by counting only up to the
+  * first InMemoryRelation line per branch print — we instead count
+  * `FileScan` lines minus those in lines following an InMemoryRelation
+  * marker at deeper indentation; good enough to rank suspects for
+  * manual [[ReuseProbe]] follow-up).
+  *
+  * Usage: `runMain graft.tools.ScanAudit <sfDir> [ALL | q_a q_b ...]`
+  */
+object ScanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1 && args(1) != "ALL") args.drop(1).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qmap = graft.SparkEntry.queries
+    names.foreach { n =>
+      try {
+        val df = qmap(n)(spark, dir)
+        df.collect()
+        val full = df.queryExecution.executedPlan.toString
+        val fin = full.split("== Initial Plan ==")(0)
+        // strip cache-internal prints: lines deeper than an
+        // InMemoryRelation marker belong to the cached plan's build,
+        // which executed once regardless of print count
+        val lines = fin.linesIterator.toVector
+        var cacheDepth = -1
+        val live = lines.filter { l =>
+          val ind = l.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
+          val d = if (ind < 0) 0 else ind
+          if (cacheDepth >= 0 && d <= cacheDepth) cacheDepth = -1
+          if (l.contains("InMemoryRelation")) { if (cacheDepth < 0) cacheDepth = d; true }
+          else cacheDepth < 0
+        }
+        val scans = live.count(_.contains("FileScan "))
+        val paths = "file:[^\\],]*\\.(?:parquet|csv|json|orc)".r
+          .findAllIn(live.filter(_.contains("FileScan ")).mkString("\n"))
+          .map(_.split('/').last).toVector
+        val dup = paths.groupBy(identity).collect { case (p, v) if v.size > 1 => s"$p×${v.size}" }
+        val gen = live.count(_.contains("Generate "))
+        val reused = fin.linesIterator.count(_.contains("ReusedExchange"))
+        val flag = if (dup.nonEmpty) "  DUP:" + dup.mkString(",") else ""
+        println(f"$n%-28s scans=$scans gen=$gen reused=$reused$flag")
+      } catch { case e: Throwable => println(s"$n ERROR ${e.getClass.getSimpleName}") }
+    }
+    spark.stop()
+  }
+}
