@@ -187,18 +187,58 @@ object Bench {
     else Some("scattered")
   }
 
+  /** Cross-round comparator bar: a vector whose MINIMUM exceeds the
+    * row's quiet-box adjudicated baseline by more than this factor is
+    * flagged "regression" — the r13 pagerank/triangles signature, which
+    * the intra-vector [[classifyReps]] detector is constitutionally
+    * blind to (a uniformly shifted vector is its own baseline; episode
+    * theory cannot explain an inflated MIN). */
+  private[graft] val RegressionBar = 1.25
+
+  /** Full classification of one per-rep vector: intra-vector episode
+    * shape ([[classifyReps]]) and/or cross-round regression vs the
+    * adjudicated baseline, "+"-joined when both fire. */
+  private[graft] def classifyRow(ts: Seq[Double],
+                                 baseline: Option[Double]): Option[String] = {
+    val intra = classifyReps(ts)
+    val cross = baseline.collect {
+      case b if ts.nonEmpty && ts.min > RegressionBar * b => "regression"
+    }
+    (intra, cross) match {
+      case (Some(a), Some(b)) => Some(s"$a+$b")
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Quiet-box adjudicated per-row baselines (seconds at sf0.1), the
+    * cross-round comparator's reference. Flat `{"q_x": 6.3, ...}` map,
+    * maintained by BENCHFOCUS rounds; absent file or row = no cross
+    * check for it. Parsed with a flat-map regex so the bench main stays
+    * dependency-free (format pinned in BenchForensicsSpec). */
+  private[graft] def loadAdjudicated(
+      path: String = "tools/adjudicated.json"): Map[String, Double] =
+    try parseAdjudicated(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => Map.empty }
+
+  private[graft] def parseAdjudicated(txt: String): Map[String, Double] =
+    """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   /** The full `target/bench_runs.json` line — extracted so its shape is
     * spec-pinned (BenchForensicsSpec) and can't silently rot: top-level
     * `reps`/`sf`/`runs`/`flags`, runs mapping each query to its raw
-    * per-rep vector, flags carrying [[classifyReps]]'s classification
+    * per-rep vector, flags carrying [[classifyRow]]'s classification
     * for exactly the flagged queries. */
   private[graft] def benchRunsJson(reps: Int, sfDir: String,
-                                   rawRuns: Seq[(String, Seq[Double])]): String = {
+                                   rawRuns: Seq[(String, Seq[Double])],
+                                   baselines: Map[String, Double] = Map.empty): String = {
     val runsJson = rawRuns.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val flagsJson = rawRuns
-      .flatMap { case (k, ts) => classifyReps(ts).map(c => k -> c) }
+      .flatMap { case (k, ts) => classifyRow(ts, baselines.get(k)).map(c => k -> c) }
       .map { case (k, c) => "\"" + k + "\":\"" + c + "\"" }
       .mkString("{", ",", "}")
     s"""{"reps":$reps,"sf":"$sfDir","runs":$runsJson,"flags":$flagsJson}"""
@@ -357,7 +397,7 @@ object Bench {
     // episode classification so a contiguous co-tenant run is named in
     // the artifact itself, not re-derived by hand
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_runs.json"),
-      (benchRunsJson(Reps, sfDir, rawRuns) + "\n")
+      (benchRunsJson(Reps, sfDir, rawRuns, loadAdjudicated()) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // COMPACT summary as the LAST stdout line: the full line above (~110
     // per-query entries) has outrun the driver's tail capture two rounds

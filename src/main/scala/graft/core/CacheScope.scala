@@ -5,6 +5,8 @@ import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 import org.apache.spark.storage.StorageLevel
 
+import scala.jdk.CollectionConverters._
+
 /** Job-scoped persistence for plan subtrees referenced more than once
   * (self-joins duplicate the whole upstream subtree otherwise).
   *
@@ -19,23 +21,52 @@ import org.apache.spark.storage.StorageLevel
   * the consumer recomputes the subtree (correctness is unaffected, only
   * the dedup-speed optimization is lost). That failure mode beats the
   * alternative (unbounded storage growth across corpora).
+  *
+  * EXPLAIN-ONLY flows (construct the query, print the plan, never run an
+  * action) never complete a query execution, so the one-shot listener
+  * never fires and the persist outlives the construction. Every
+  * registration is therefore also tracked in a JVM-wide registry;
+  * [[releaseAll]] is the drain point — plan-audit tools and test suites
+  * that build gated queries without executing them call it when done.
+  * In a live session the leak window is already bounded (the next action
+  * on the session, whatever it is, pops every outstanding listener).
   */
 object CacheScope {
+
+  /** One auto-release registration: the one-shot listener AND the
+    * registry entry, releasable from either path exactly once. */
+  private final class Registration(shared: DataFrame)
+      extends QueryExecutionListener {
+    private val spark = shared.sparkSession
+    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def release(): Unit = if (done.compareAndSet(false, true)) {
+      shared.unpersist(blocking = false)
+      spark.listenerManager.unregister(this)
+      outstanding.remove(this)
+    }
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit = release()
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           exception: Exception): Unit = release()
+  }
+
+  private val outstanding = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[Registration, java.lang.Boolean]())
 
   def autoRelease(shared: DataFrame): DataFrame = {
     val spark = shared.sparkSession
     shared.persist(StorageLevel.MEMORY_AND_DISK)
-    val listener = new QueryExecutionListener {
-      private def release(): Unit = {
-        shared.unpersist(blocking = false)
-        spark.listenerManager.unregister(this)
-      }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = release()
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = release()
-    }
-    spark.listenerManager.register(listener)
+    val reg = new Registration(shared)
+    outstanding.add(reg)
+    spark.listenerManager.register(reg)
     shared
   }
+
+  /** Unpersist every outstanding [[autoRelease]] frame NOW — the drain
+    * for explain-only constructions whose listeners can never fire. */
+  def releaseAll(): Unit = outstanding.asScala.toList.foreach(_.release())
+
+  /** Outstanding registrations (diagnostics / test pins). */
+  def pending: Int = outstanding.size()
 }

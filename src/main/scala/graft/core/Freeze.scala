@@ -1,0 +1,64 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Conf-selected lineage-truncation ("freeze") strategy for the engine's
+  * fixed-point loops and composed pipelines (Connected/PageRank/BFS round
+  * frames, the ingest pipelines' cleaned frame, tokenizer symbol tables,
+  * rerank pools).
+  *
+  * Why freeze at all: these frames are re-read by MORE than one downstream
+  * action, and their recompute path walks an expensive upstream chain
+  * (minhash band joins, K training rounds) whose job-scoped caches release
+  * after the first action — without truncation every later action re-runs
+  * the chain (measured 19–90 s vs ~6 s for q_pipeline_llm_v2 at sf0.1,
+  * BENCHFOCUS_r10.md).
+  *
+  * Two profiles, chosen by `spark.graft.freeze.mode`:
+  *
+  *  - `local` (default): `Dataset.localCheckpoint()` — blocks pinned to
+  *    executor storage, zero distributed-FS traffic. The right trade
+  *    single-JVM / bench-local, and acceptable on clusters for frames
+  *    whose loss merely recomputes (the truncated parent is gone, so loss
+  *    of a block FAILS the job rather than recomputing — hence the
+  *    cluster caveat).
+  *  - `reliable`: `Dataset.checkpoint()` to `spark.graft.freeze.dir` on
+  *    the cluster's fault-tolerant FS — survives executor loss, the right
+  *    profile for 1000-executor runs where losing one node mid-pipeline
+  *    must not kill a multi-hour job. Costs one write+read of the frozen
+  *    frame (all freeze sites are metadata-scale tables: labels, ranks,
+  *    vocab — not the corpus).
+  *
+  * Both profiles produce byte-identical RESULTS (pinned by
+  * FreezeProfileSpec); the choice is purely a durability/IO trade.
+  */
+object Freeze {
+
+  /** `local` (default) | `reliable`. */
+  val ModeConf = "spark.graft.freeze.mode"
+
+  /** Fault-tolerant checkpoint directory, required when mode=reliable.
+    * An externally pre-set SparkContext checkpoint dir wins. */
+  val DirConf = "spark.graft.freeze.dir"
+
+  /** The session's freeze function — pass where a `freeze: DataFrame =>
+    * DataFrame` parameter is taken (IngestStages.cleanGate/applyClean). */
+  def lineage(spark: SparkSession): DataFrame => DataFrame =
+    spark.conf.get(ModeConf, "local") match {
+      case "local" => _.localCheckpoint()
+      case "reliable" =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty) {
+          val dir = spark.conf.getOption(DirConf).getOrElse(
+            throw new IllegalArgumentException(
+              s"$ModeConf=reliable requires $DirConf (or a pre-set " +
+                "SparkContext checkpoint dir)"))
+          spark.sparkContext.setCheckpointDir(dir)
+        }
+        _.checkpoint()
+      case other => throw new IllegalArgumentException(
+        s"$ModeConf must be 'local' or 'reliable', got '$other'")
+    }
+
+  /** Freeze `df` under the session's configured profile. */
+  def apply(df: DataFrame): DataFrame = lineage(df.sparkSession)(df)
+}

@@ -46,7 +46,7 @@ object Bfs {
         .groupBy("id").agg(min("hop").cast("int").as("hop"))
       d = stepped.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
     }
-    val frozen = d.localCheckpoint()
+    val frozen = graft.core.Freeze(d)
     e.unpersist(blocking = false)
     frozen
   }

@@ -95,12 +95,12 @@ object Connected {
     // two-pass global rank) would otherwise re-run the entire minhash +
     // upstream chain once per action after the job-scoped cache released
     // early (measured: 19-90 s for q_pipeline_llm_v2 at sf0.1 vs ~6 s
-    // frozen). localCheckpoint materializes the tiny (id, lbl, chg)
-    // relation eagerly and truncates lineage; its blocks are freed by the
-    // ContextCleaner when the result is garbage collected. On a cluster
-    // this trades executor-loss recoverability for not recomputing the
-    // graph — the right trade for a metadata-scale label table.
-    val frozen = labels.localCheckpoint()
+    // frozen). The freeze materializes the tiny (id, lbl, chg) relation
+    // eagerly and truncates lineage; under the default local profile its
+    // blocks are freed by the ContextCleaner when the result is garbage
+    // collected, and spark.graft.freeze.mode=reliable swaps in a
+    // fault-tolerant checkpoint for cluster runs (graft.core.Freeze).
+    val frozen = graft.core.Freeze(labels)
     labels.unpersist(blocking = false)
     p.unpersist(blocking = false)
     edges.unpersist(blocking = false)

@@ -82,7 +82,7 @@ object PageRank {
     // BENCHFOCUS_r7.md: a job-scoped release could re-run the whole
     // iteration on the consumer's next action). The rank table is
     // metadata-scale; the ContextCleaner frees it with the result.
-    val frozen = ranks.localCheckpoint()
+    val frozen = graft.core.Freeze(ranks)
     edgesD.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     frozen

@@ -115,7 +115,7 @@ object Rerank {
   /** The k unrolled selection rounds over a candidate pool
     * (query_id, cand_id, fpv, rel). */
   private def mmrRounds(cands0: DataFrame, k: Int): DataFrame = {
-    val cands = cands0.localCheckpoint()
+    val cands = graft.core.Freeze(cands0)
 
     // pairwise candidate-candidate similarity within each pool
     val a = cands.select(col("query_id"), col("cand_id").as("a_id"),
@@ -128,7 +128,7 @@ object Rerank {
     val pairwise = a.join(b, "query_id").where(col("a_id") =!= col("b_id"))
       .select(col("query_id"), col("a_id"), col("b_id"),
         dotL(col("av"), col("bv")).as("dd"))
-      .localCheckpoint()
+      .transform(graft.core.Freeze.apply)
 
     val pool = cands.select("query_id", "cand_id", "rel")
 

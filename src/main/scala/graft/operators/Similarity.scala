@@ -129,8 +129,14 @@ object Similarity {
     * streams through the codegen'd scored pass, so at 100 TB this is one
     * corpus scan + a per-query top-k window, no shuffle of the corpus. */
   def corpusTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 maxQueryRows: Long = MaxQueryRows): DataFrame = {
-    val qCnt = queries.count()
+                 maxQueryRows: Long = MaxQueryRows,
+                 knownQueryRows: Option[Long] = None): DataFrame = {
+    // knownQueryRows lets callers hoist the guard count ABOVE any
+    // CacheScope.autoRelease registration — an eager count() here is a
+    // query execution and would pop the caller's one-shot release
+    // listener, silently unpersisting the shared frame before its
+    // consuming action (ADVICE r13).
+    val qCnt = knownQueryRows.getOrElse(queries.count())
     requireBroadcastable(qCnt, maxQueryRows)
     topK(scored(broadcast(asQuery(queries)), asCorpus(corpus),
       col("query_id") =!= col("neighbor_id")), k)
@@ -271,9 +277,14 @@ object Similarity {
     * its own bucket's corpus slice. At 100 TB the bucket is the corpus
     * bucketing key; a query batch ships to matching buckets only. */
   def corpusLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    maxQueryRows: Long = MaxQueryRows): DataFrame = {
-    val cnt = corpus.count()
-    requireBroadcastable(queries.count(), maxQueryRows)
+                    maxQueryRows: Long = MaxQueryRows,
+                    knownQueryRows: Option[Long] = None,
+                    knownCorpusRows: Option[Long] = None): DataFrame = {
+    // both eager counts are hoistable (see corpusTopK): construction
+    // under a CacheScope must not execute queries of its own
+    val cnt = knownCorpusRows.getOrElse(corpus.count())
+    requireBroadcastable(knownQueryRows.getOrElse(queries.count()),
+      maxQueryRows)
     val planes = VectorFunctions.hyperplanes(MaxPlanes, Dim)
       .take(planesFor(cnt))
     val qb = queries.withColumn("bucket",

@@ -94,7 +94,7 @@ object Tokenizer {
     docs.select(explode(TextFunctions.tokens(cleanText(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), initTokStr(col("w")).as("ts"))
-      .localCheckpoint()
+      .transform(graft.core.Freeze.apply)
 
   /** Train k merge rounds on a prepared word table. Each round: count
     * adjacent pairs weighted by word frequency (map-side-combined

@@ -81,7 +81,8 @@ object Unigram {
     // freeze the O(pieces) scoring table ONCE: an unfrozen vlp would
     // re-run the whole vocab-training chain (a corpus pass) per round —
     // measured ~8 corpus passes / 4.2 s at sf0.1 before this
-    val bv = broadcast(vlp.select(col("piece"), col("lp")).localCheckpoint())
+    val bv = broadcast(vlp.select(col("piece"), col("lp"))
+      .transform(graft.core.Freeze.apply))
     var state = wc.filter(length(col("w")) <= MaxRounds)
       .select(col("w"), col("c"), lit(0).as("pos"),
         lit(0.0).as("score"), lit("").as("path"))

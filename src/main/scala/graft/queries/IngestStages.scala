@@ -77,7 +77,7 @@ private[graft] object IngestStages {
     val unique = fresh.join(
       nearLinks.select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .transform(graft.core.Freeze.apply)
     // 2. surgical span decontam vs the benchmark
     val clean = freeze(Dedup.removeBenchmarkSpans(
       unique, "text", "doc_id", benchmark, "text", DecontamW))

@@ -1085,7 +1085,7 @@ object LlmQueries {
         val docs = t(s, d, "documents")
         val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
             NearDupJaccard)
-          .select("id1", "id2").localCheckpoint()
+          .select("id1", "id2").transform(graft.core.Freeze.apply)
         val clusters = graft.operators.Connected.components(pairs)
           .select(col("doc_id").as("cid_doc"), col("cluster_id"))
         def bucket(k: org.apache.spark.sql.Column) =
@@ -1915,7 +1915,7 @@ object LlmQueries {
         // are ContextCleaner-freed when the result is GC'd.
         val nonEmpty = clean.filter(
             TextFunctions.nWords(col("clean_text")) >= PipelineV2MinWords)
-          .localCheckpoint()
+          .transform(graft.core.Freeze.apply)
         val pairs = Dedup.minhashNearDups(nonEmpty, "clean_text", "doc_id",
           NearDupJaccard).select("id1", "id2")
         val cc = graft.operators.Connected.components(pairs)
@@ -1976,7 +1976,7 @@ object LlmQueries {
     Q("q_pipeline_ingest_v2",
       (s, d) => {
         val (clean, gated, corpus) =
-          IngestStages.cleanGate(s, d, _.localCheckpoint())
+          IngestStages.cleanGate(s, d, graft.core.Freeze.lineage(s))
         // frozen LM artifact + BPE merge rules from the standing corpus
         // (publish half — trains AFTER cleanGate's localCheckpoint has
         // released the job-scoped persists, see publishLmBpe scaladoc)

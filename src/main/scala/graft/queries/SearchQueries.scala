@@ -243,17 +243,21 @@ object SearchQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val emb = t(s, d, "embeddings")
-        // count FIRST (see q_text_bm25_topk): the guard count is a query
-        // execution and would pop CacheScope's one-shot release listener
+        // ALL eager guard counts FIRST (lexical and semantic sides): each
+        // count is a query execution and would pop CacheScope's one-shot
+        // release listener, unpersisting the postings before the
+        // consuming action
         val qs = docs.filter(col("doc_id") < QMax)
         val qCnt = qs.count()
+        val semQ = emb.filter(col("vec_id") < QMax)
+        val semQCnt = semQ.count()
         val post = graft.core.CacheScope.autoRelease(Bm25.postings(
           docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
         val lex = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
           knownQueryRows = Some(qCnt))
         val sem = graft.operators.Similarity.corpusTopK(
-          emb.filter(col("vec_id") >= QMax),
-          emb.filter(col("vec_id") < QMax), Bm25K)
+          emb.filter(col("vec_id") >= QMax), semQ, Bm25K,
+          knownQueryRows = Some(semQCnt))
         graft.operators.Rerank.rrf(
           lex.select("query_id", "doc_id", "rnk"),
           sem.select(col("query_id"), col("neighbor_id").as("doc_id"),
@@ -310,17 +314,23 @@ object SearchQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val emb = t(s, d, "embeddings")
-        // count FIRST (see q_text_bm25_topk): the guard count is a query
-        // execution and would pop CacheScope's one-shot release listener
+        // ALL eager guard counts FIRST (lexical and semantic sides, incl.
+        // the LSH corpus count feeding the adaptive plane choice): each
+        // count is a query execution and would pop CacheScope's one-shot
+        // release listener
         val qs = docs.filter(col("doc_id") < QMax)
         val qCnt = qs.count()
+        val semC = emb.filter(col("vec_id") >= QMax)
+        val semQ = emb.filter(col("vec_id") < QMax)
+        val semCCnt = semC.count()
+        val semQCnt = semQ.count()
         val post = graft.core.CacheScope.autoRelease(Bm25.postings(
           docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
         val lex = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
           knownQueryRows = Some(qCnt))
         val sem = graft.operators.Similarity.corpusLshTopK(
-          emb.filter(col("vec_id") >= QMax),
-          emb.filter(col("vec_id") < QMax), Bm25K)
+          semC, semQ, Bm25K,
+          knownQueryRows = Some(semQCnt), knownCorpusRows = Some(semCCnt))
         graft.operators.Rerank.rrf(
           lex.select("query_id", "doc_id", "rnk"),
           sem.select(col("query_id"), col("neighbor_id").as("doc_id"),

@@ -48,11 +48,13 @@ object BenchFocus {
       }
       val sorted = times.sorted
       // all-reps-failed renders null, not NaN — bare NaN is not valid
-      // JSON and would break the adjudication tooling reading this line
-      def j(v: Option[Double]): String = v.map(d => f"$d%.3f").getOrElse("null")
+      // JSON and would break the adjudication tooling reading this line.
+      // Locale-rooted formatting (Bench.f3): the f-interpolator under a
+      // comma-decimal default locale would emit invalid JSON here too.
+      def j(v: Option[Double]): String = v.map(graft.Bench.f3).getOrElse("null")
       val med = if (sorted.isEmpty) None else Some(sorted(sorted.size / 2))
       // ok < reps makes a partial sample visible to the adjudication
-      s""""$n":{"median":${j(med)},"min":${j(sorted.headOption)},"max":${j(sorted.lastOption)},"ok":${sorted.size},"runs":${sorted.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+      s""""$n":{"median":${j(med)},"min":${j(sorted.headOption)},"max":${j(sorted.lastOption)},"ok":${sorted.size},"runs":${sorted.map(graft.Bench.f3).mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"focus","sf":"$sfDir","reps":$reps,"queries":$out}""")
     spark.stop()

@@ -94,7 +94,7 @@ object GoldenPathIncremental {
     val (clean, gated) = IngestStages.applyClean(batch, benchmark,
       docs.select(col("doc_id"), col("lang")),
       a.seen, a.bloom, a.thr, a.ndIdx, a.ndSh, a.ndIdxRows,
-      _.localCheckpoint())
+      graft.core.Freeze.apply)
     IngestStages.applyLmBpe(clean, gated, a.uni, a.total, a.big, a.merges)
   }
 

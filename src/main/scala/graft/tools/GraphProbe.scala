@@ -29,7 +29,7 @@ object GraphProbe {
     // entry's localCheckpoint (BENCHFOCUS_r7.md)
     val nonEmpty = clean
       .filter(TextFunctions.nWords(col("clean_text")) >= minWords)
-      .localCheckpoint()
+      .transform(graft.core.Freeze.apply)
     println(s"[probe] cleaned docs: ${nonEmpty.count()}")
     val pairs = Dedup.minhashNearDups(nonEmpty, "clean_text", "doc_id", thr)
       .select("id1", "id2")

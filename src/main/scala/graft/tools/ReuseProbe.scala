@@ -28,7 +28,9 @@ object ReuseProbe {
     val p = df.queryExecution.executedPlan.toString
     println("=== " + name)
     println("GENERATE_NODES=" + "\\bGenerate\\b".r.findAllIn(p).size)
-    println("EXCHANGE_NODES=" + "(?m)\\+- Exchange ".r.findAllIn(p).size)
+    // tree printer prefixes the LAST child with "+- " but earlier
+    // siblings with ":- " — match both or branch exchanges undercount
+    println("EXCHANGE_NODES=" + "(?m)[+:]- Exchange ".r.findAllIn(p).size)
     println("REUSED=" + "ReusedExchange".r.findAllIn(p).size)
     println("SCANS=" + "FileScan|Scan parquet".r.findAllIn(p).size)
     println(p)

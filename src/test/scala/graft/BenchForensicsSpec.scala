@@ -72,6 +72,45 @@ class BenchForensicsSpec extends AnyFunSuite {
     assert(line.endsWith(""""flags":{}}"""))
   }
 
+  test("cross-round comparator: an inflated MIN flags regression, episode theory can't") {
+    // the r13 pagerank signature: whole vector shifted, min 7.25 vs an
+    // adjudicated 6.3 baseline — intra-vector clean (uniform shift), but
+    // min > 1.25× baseline is the one thing co-tenant noise cannot do
+    assert(Bench.classifyRow(Seq(8.1, 7.9, 8.3, 7.25, 8.0), Some(5.0))
+      .contains("regression"))
+    // min within 1.25× of baseline — no flag even with inflated medians
+    assert(Bench.classifyRow(Seq(6.0, 9.9, 6.1, 6.2, 6.0), Some(5.0)).isEmpty)
+    // no baseline on file — no cross check, intra-vector rules alone
+    assert(Bench.classifyRow(Seq(8.1, 7.9, 8.3, 7.25, 8.0), None).isEmpty)
+  }
+
+  test("cross-round comparator composes with the episode detector") {
+    // vector is episodic AND its min exceeds the baseline bar
+    assert(Bench.classifyRow(Seq(7.0, 30.0, 31.0, 7.1, 7.2), Some(5.0))
+      .contains("episode+regression"))
+    // episodic but min at baseline — episode alone
+    assert(Bench.classifyRow(Seq(5.0, 30.0, 31.0, 5.1, 5.2), Some(5.0))
+      .contains("episode"))
+  }
+
+  test("adjudicated.json parse: flat name->seconds map") {
+    val m = Bench.parseAdjudicated(
+      """{"q_graph_pagerank": 6.3, "q_graph_triangles":4.4, "q_x": 2}""")
+    assert(m == Map("q_graph_pagerank" -> 6.3, "q_graph_triangles" -> 4.4,
+      "q_x" -> 2.0))
+    assert(Bench.parseAdjudicated("{}").isEmpty)
+  }
+
+  test("the committed adjudicated.json (when present) parses and covers headline rows only") {
+    val p = java.nio.file.Paths.get("tools/adjudicated.json")
+    if (java.nio.file.Files.exists(p)) {
+      val m = Bench.loadAdjudicated()
+      assert(m.nonEmpty, "committed adjudicated.json parsed to an empty map")
+      val unknown = m.keySet -- SparkEntry.queries.keySet
+      assert(unknown.isEmpty, s"baselines for unregistered queries: $unknown")
+    }
+  }
+
   test("f3 emits dot-decimal under a comma-decimal default locale") {
     val saved = java.util.Locale.getDefault
     try {

@@ -1,0 +1,88 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench tier contract so tier drift can't silently change the
+  * headline total (r13 verdict #7b):
+  *
+  *  1. every name declared in [[Bench.headline]] is actually a
+  *     registered gated query — `headline.filter(qmap.contains)` means
+  *     a typo'd or renamed row would otherwise VANISH from the total
+  *     without any signal, shrinking it and faking an improvement;
+  *  2. the latest committed `BENCH_r{N}.json` artifact's headline row
+  *     set contains no row that is NOT in the current registry tier —
+  *     a renamed/demoted row still present in the artifact means the
+  *     recorded total was composed of different rows than the tier
+  *     declares. (Registry rows absent from the artifact are expected
+  *     mid-round — new promotions land before the next bench runs —
+  *     and are reported, not failed.)
+  */
+class BenchTierSpec extends AnyFunSuite {
+
+  test("every declared headline row is a registered gated query") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty,
+      s"headline names not in the registry (silently dropped from the total): $missing")
+    val dup = Bench.headline.groupBy(identity).collect {
+      case (k, vs) if vs.size > 1 => k
+    }
+    assert(dup.isEmpty, s"headline rows listed twice (double-counted): $dup")
+  }
+
+  test("local bench detail's headline rows are all in the current tier") {
+    // target/bench.json is the FULL line (per-row map); the committed
+    // BENCH_r{N}.json wraps only the compact summary, so the row-set
+    // check runs against the most recent local bench run when present
+    val p = java.nio.file.Paths.get("target/bench.json")
+    assume(Files.exists(p), "no local bench detail yet (run graft.Bench)")
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    import org.json4s._
+    val json = org.json4s.jackson.JsonMethods.parse(txt)
+    val artRows = (json \ "queries") match {
+      case JObject(fields) => fields.map(_._1).toSet
+      case other => fail(s"target/bench.json: no queries object ($other)")
+    }
+    val headlineRows = artRows.filterNot(_.startsWith("ref_workload"))
+    val tier = Bench.headline.toSet
+    val rogue = headlineRows -- tier
+    assert(rogue.isEmpty,
+      "target/bench.json carries headline rows no longer in the declared " +
+        s"tier (total composed of undeclared rows): $rogue")
+    val pending = tier -- headlineRows
+    if (pending.nonEmpty)
+      info(s"tier rows not yet benched (expected mid-round promotions; " +
+        s"next bench picks them up): ${pending.toSeq.sorted}")
+  }
+
+  test("committed BENCH_r artifact's headline row count never exceeds the tier") {
+    // the driver artifact carries only counts — but a row REMOVED or
+    // renamed in the registry while the artifact still counts it shows
+    // as n_queries > tier size, which is exactly the silent-total-drift
+    // direction (growth mid-round is expected and only reported)
+    val arts = new File(".").listFiles()
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+    assume(arts.nonEmpty, "no committed bench artifact yet")
+    val latest = arts.last
+    val txt = new String(Files.readAllBytes(latest.toPath), "UTF-8")
+    import org.json4s._
+    val json = org.json4s.jackson.JsonMethods.parse(txt)
+    val n = (json \ "parsed" \ "n_queries") match {
+      case JInt(v) => v.toInt
+      case JNothing => (json \ "n_queries") match {
+        case JInt(v) => v.toInt
+        case _ => fail(s"${latest.getName}: no n_queries")
+      }
+      case other => fail(s"${latest.getName}: unexpected n_queries ($other)")
+    }
+    val tierSize = Bench.headline.count(SparkEntry.queries.contains)
+    assert(n <= tierSize,
+      s"${latest.getName} counted $n headline rows but the tier declares " +
+        s"$tierSize — rows were removed/renamed after the artifact landed")
+    if (n < tierSize)
+      info(s"tier grew since ${latest.getName} ($n -> $tierSize rows)")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Freeze, Tables}
+import graft.operators.Connected
+import graft.queries.IngestStages
+
+/** Pins the checkpoint-profile contract (graft.core.Freeze): the freeze
+  * mode is a durability/IO trade ONLY — `local` (localCheckpoint, the
+  * bench/local default) and `reliable` (fault-tolerant checkpoint(dir),
+  * the cluster profile surviving executor loss) must produce identical
+  * results from every freeze site. Exercised through the two consumers
+  * the r13 verdict named: the Connected fixed-point and the ingest
+  * pipeline's cleanGate.
+  */
+class FreezeProfileSpec extends SparkSpec {
+
+  private lazy val ckptDir =
+    Files.createTempDirectory("graft_freeze_reliable").toString
+
+  private def inMode[T](mode: String)(body: => T): T = {
+    spark.conf.set(Freeze.ModeConf, mode)
+    spark.conf.set(Freeze.DirConf, ckptDir)
+    try body finally {
+      spark.conf.unset(Freeze.ModeConf)
+      spark.conf.unset(Freeze.DirConf)
+    }
+  }
+
+  private def drift(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  // freezes pin RDDs (local mode) until GC — release this suite's delta
+  // so the shared JVM-wide session stays clean for later suites
+  private var rddBaseline: Set[Int] = Set.empty
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    rddBaseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+  }
+  override def afterAll(): Unit = {
+    graft.core.CacheScope.releaseAll()
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!rddBaseline.contains(id)) rdd.unpersist(blocking = false)
+    }
+    super.afterAll()
+  }
+
+  test("an unknown freeze mode is refused") {
+    val e = intercept[IllegalArgumentException] {
+      inMode("ether") { Freeze.lineage(spark) }
+    }
+    assert(e.getMessage.contains("freeze.mode"))
+  }
+
+  test("connected components: local and reliable freezes agree exactly") {
+    // 7-stride chains over fixture ids — multi-round convergence, so the
+    // freeze really is load-bearing (the fixpoint frame is re-read by the
+    // count window AND the comparison actions below)
+    val ids = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id")).limit(60)
+    val pairs = ids.select(col("doc_id").as("id1"),
+      (col("doc_id") + 7).as("id2"))
+    val local = inMode("local") { Connected.components(pairs) }
+    val reliable = inMode("reliable") { Connected.components(pairs) }
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+      new java.io.File(ckptDir).getName)),
+      "reliable mode did not install the configured checkpoint dir")
+    assert(drift(local, reliable) == 0,
+      "freeze profiles diverged on the connected-components fixpoint")
+    assert(local.count() > 0, "vacuous: empty component table")
+  }
+
+  test("ingest cleanGate: local and reliable freezes agree exactly") {
+    val (cL, gL, _) =
+      inMode("local") { IngestStages.cleanGate(spark, sf0001, Freeze.lineage(spark)) }
+    val (cR, gR, _) =
+      inMode("reliable") { IngestStages.cleanGate(spark, sf0001, Freeze.lineage(spark)) }
+    assert(drift(cL, cR) == 0, "freeze profiles diverged on the cleaned frame")
+    assert(drift(gL, gR) == 0, "freeze profiles diverged on the gated frame")
+    assert(gL.count() > 0, "vacuous: the gate admitted nothing")
+  }
+}

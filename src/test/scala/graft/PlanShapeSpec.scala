@@ -11,6 +11,15 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  // plan() constructs gated queries WITHOUT executing them, so any
+  // CacheScope.autoRelease persist made during construction has no
+  // query-completion to pop its one-shot listener — drain explicitly
+  // rather than leak into whichever suite runs next on the shared session
+  override def afterAll(): Unit = {
+    graft.core.CacheScope.releaseAll()
+    super.afterAll()
+  }
+
   test("q_dedup_embed generates candidates via equi-join — no nested-loop over the corpus") {
     val p = plan("q_dedup_embed")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
@@ -213,16 +222,26 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("minhash caches are released once the consuming action completes") {
+    // the session is JVM-wide shared: other suites' localCheckpoint
+    // frames (IngestStages/Connected freezes) legitimately stay in
+    // getPersistentRDDs until GC, and this suite's own explain-only
+    // constructions leave CacheScope persists whose listeners never
+    // fired. Drain the latter, snapshot the rest, and assert on the
+    // DELTA — no NEW cached RDD may survive this test's action.
+    graft.core.CacheScope.releaseAll()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
     df.write.format("noop").mode("overwrite").save()
     // CacheScope's listener fires on the async listener bus — wait for it
+    def fresh = spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
     val deadline = System.currentTimeMillis() + 30000
-    var n = spark.sparkContext.getPersistentRDDs.size
+    var n = fresh.size
     while (n > 0 && System.currentTimeMillis() < deadline) {
       Thread.sleep(100)
-      n = spark.sparkContext.getPersistentRDDs.size
+      n = fresh.size
     }
-    assert(n == 0, s"$n cached RDDs still registered after the action finished")
+    assert(n == 0,
+      s"$n cached RDDs introduced by this action still registered: $fresh")
   }
 
   test("q_join_asof plans as a hash aggregate — the top-1 window is rewritten away") {

@@ -9,7 +9,10 @@
 #      single-shot; a >=2 s row must either be promoted to the
 #      median-of-5 headline tier or adjudicated in BENCHFOCUS_r{N}.md)
 # Exit code 0 = round may close. Any failure prints the offending check.
-set -u
+# pipefail: the selfcheck gate pipes through tee|tail — without it the
+# `if !` tests tail's exit status (always 0) and a crashed selfcheck.py
+# (traceback, no ^FAIL lines) would read as a green correctness gate
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 rc=0
 
