@@ -136,9 +136,11 @@ private[graft] object IngestStages {
     val uni = corpus.select(
         explode(TextFunctions.tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = corpus.select(
-        explode(TextFunctions.tokens(col("text"))).as("term"))
-      .agg(count(lit(1)).as("ntok"))
+    // the corpus token total is the sum of the unigram counts — deriving
+    // it from `uni` drops a second full tokenize+explode corpus scan
+    // (the r13 DSIR bucket-totals pattern; value bit-identical since the
+    // unigram counts partition the token stream)
+    val total = uni.agg(sum(col("cnt")).cast("long").as("ntok"))
     val big = corpus.select(
         explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
