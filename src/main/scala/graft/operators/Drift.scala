@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus drift / slice-divergence diagnostics — the monitoring layer a
+  * 100 TB training-data pipeline runs between corpus snapshots and
+  * across slices (per-source, per-crawl, per-day): token-distribution
+  * divergence (KL and Jensen-Shannon vs the corpus reference) and the
+  * per-slice divergent-term report (Monroe et al. 2008's log-odds with
+  * a smoothing prior — "what words make this slice different"). The
+  * reference engine has no analytics surface at all (its scope ends at
+  * per-key counts, /root/reference/v1/Kafka/Streamer.java:113-120);
+  * this family is part of the declared LLM-pipeline extension.
+  *
+  * Scale shape: everything derives from ONE tokenize+explode corpus
+  * pass (the per-slice count aggregate, map-side-combinable); the
+  * reference distribution is the per-slice table re-aggregated
+  * (O(slices·vocab) input, never the corpus again — the
+  * publishLmBpe/DSIR totals pattern). The divergence pass joins
+  * O(slices·vocab) rows; the slice-totals relation (O(slices)) is the
+  * only broadcast. At 100 TB the published artifact is the per-slice
+  * distribution table — yesterday's snapshot is the `ref` side and
+  * drift is computed without touching yesterday's corpus.
+  *
+  * Determinism: counts are exact longs; per-term contributions are
+  * fixed IEEE expressions over exact counts written identically in the
+  * oracle; slice-level sums follow the house round(,6) convention
+  * (noise ~1e-12 absolute vs a 1e-6 rounding grid).
+  */
+object Drift {
+
+  /** Per-slice token distribution: (slice, term, c_s, n_s) — c_s the
+    * term's count in the slice, n_s the slice's token total (derived
+    * from the counts, not a second scan). One corpus pass. */
+  def sliceDist(docs: DataFrame, textCol: String, sliceCol: String): DataFrame = {
+    val cnt = docs
+      .select(col(sliceCol).as("slice"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("slice", "term").agg(count(lit(1)).as("c_s"))
+    // slice totals from the counts: O(slices·vocab) input, and the
+    // count aggregate's exchange is reused by Catalyst (both subtrees
+    // are identical) — the corpus is tokenized exactly once
+    val tot = cnt.groupBy("slice").agg(sum(col("c_s")).cast("long").as("n_s"))
+    cnt.join(tot, "slice")
+  }
+
+  /** Corpus reference distribution from the per-slice table:
+    * (term, c_c, n_c). No corpus access. */
+  def refDist(slice: DataFrame): DataFrame = {
+    val cnt = slice.groupBy("term").agg(sum(col("c_s")).cast("long").as("c_c"))
+    val tot = cnt.agg(sum(col("c_c")).cast("long").as("n_c"))
+    cnt.crossJoin(broadcast(tot))
+  }
+
+  /** Per-slice KL(P_slice ‖ P_ref) and Jensen-Shannon divergence vs the
+    * reference distribution: (slice, n_tokens, kl6, js6).
+    *
+    * The dense frame enumerates every (slice, ref-term) pair — the JS
+    * sum needs ref terms ABSENT from the slice (their mixture term is
+    * q·ln(2q/(p+q)) with p = 0) — via a broadcast of the O(slices)
+    * totals relation; slice terms missing from the ref would make KL
+    * infinite and cannot arise when ref ⊇ slices (the snapshot
+    * contract; enforced by the inner derivation here). */
+  def klJs(slice: DataFrame, ref: DataFrame): DataFrame = {
+    val slices = slice.select(col("slice"), col("n_s")).distinct()
+    val dense = ref.crossJoin(broadcast(slices))
+      .join(slice.select(col("slice"), col("term"), col("c_s")),
+        Seq("slice", "term"), "left")
+      .select(col("slice"), col("n_s"),
+        col("c_s").isNotNull.as("has"),
+        (coalesce(col("c_s"), lit(0L)).cast("double") / col("n_s")).as("p"),
+        (col("c_c").cast("double") / col("n_c")).as("q"))
+    val p = col("p"); val q = col("q")
+    dense.groupBy(col("slice"), col("n_s").as("n_tokens"))
+      .agg(
+        round(sum(when(col("has"), p * log(p / q)).otherwise(lit(0.0))), 6)
+          .as("kl6"),
+        round(
+          sum(when(col("has"), p * log(lit(2.0) * p / (p + q)))
+            .otherwise(lit(0.0))) * lit(0.5) +
+            sum(q * log(lit(2.0) * q / (p + q))) * lit(0.5), 6).as("js6"))
+  }
+
+  /** Per-slice divergent terms: log-odds-ratio z-score of each term's
+    * slice-vs-rest odds with Haldane–Anscombe +0.5 smoothing (the
+    * informative-prior variant of Monroe et al. 2008's weighted
+    * log-odds), rounded 6 per row (one transcendental chain per row —
+    * no cross-row float sums). Output: the top `k` overrepresented
+    * terms per slice with support ≥ `minCount`, ranked on the ROUNDED
+    * score with the term as total tiebreak (cross-engine determinism).
+    */
+  def divergentTerms(slice: DataFrame, ref: DataFrame,
+                     minCount: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def l(c: Column): Column = c.cast("double")
+    val j = slice.join(ref, "term")
+      .select(col("slice"), col("term"), col("c_s"),
+        l(col("c_s")).as("ys"), l(col("n_s")).as("ns"),
+        (l(col("c_c")) - l(col("c_s"))).as("yr"),
+        (l(col("n_c")) - l(col("n_s"))).as("nr"))
+    val delta = log((col("ys") + 0.5) / (col("ns") - col("ys") + 0.5)) -
+      log((col("yr") + 0.5) / (col("nr") - col("yr") + 0.5))
+    val variance = lit(1.0) / (col("ys") + 0.5) +
+      lit(1.0) / (col("ns") - col("ys") + 0.5) +
+      lit(1.0) / (col("yr") + 0.5) +
+      lit(1.0) / (col("nr") - col("yr") + 0.5)
+    val w = Window.partitionBy(col("slice"))
+      .orderBy(col("z6").desc, col("term"))
+    j.filter(col("c_s") >= minCount)
+      .withColumn("z6", round(delta / sqrt(variance), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("slice"), col("term"), col("c_s"), col("z6"),
+        col("rnk").cast("int").as("rnk"))
+  }
+}

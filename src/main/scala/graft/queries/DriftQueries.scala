@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Drift
+
+/** Corpus drift / slice-divergence diagnostics (operators/Drift.scala):
+  * the between-snapshot and between-slice monitoring layer of a
+  * training-data pipeline. Slices here are the fixture's `source`
+  * column; at 100 TB the same operators run per-crawl or per-day with
+  * yesterday's published distribution table as the reference.
+  */
+object DriftQueries {
+  import LlmQueries.duckTokens
+
+  val DriftMinCount = 5 // divergent-term support floor
+  val DriftTopK = 15    // divergent terms reported per slice
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = Tables.load(s, dir, n)
+    if (n == "documents") Tables.ensureParallelism(df) else df
+  }
+
+  /** Shared CTE chain: per-slice counts `sc`, slice totals `st`, corpus
+    * reference `cc`/`ct` — the refDist-from-sliceDist derivation. */
+  private def duckDriftCtes: String =
+    s"""toks AS (SELECT source, unnest(${duckTokens("text")}) AS term
+       |         FROM documents),
+       |sc AS (SELECT source, term, count(*) AS c_s
+       |       FROM toks GROUP BY source, term),
+       |st AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s
+       |       FROM sc GROUP BY source),
+       |cc AS (SELECT term, CAST(sum(c_s) AS BIGINT) AS c_c
+       |       FROM sc GROUP BY term),
+       |ct AS (SELECT CAST(sum(c_c) AS BIGINT) AS n_c FROM cc)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // PUBLISH: the per-slice token distribution artifact — exact longs
+    // only, the table a nightly snapshot writes and every drift check
+    // reads (yesterday's copy is the `ref` side, so day-over-day drift
+    // never touches yesterday's corpus).
+    Q("q_drift_dist",
+      (s, d) => Drift.sliceDist(
+          t(s, d, "documents"), "text", "source")
+        .withColumnRenamed("slice", "source"),
+      Some(s"""WITH $duckDriftCtes
+           |SELECT sc.source, sc.term, sc.c_s, st.n_s
+           |FROM sc JOIN st USING (source)""".stripMargin),
+      "per-slice token distribution artifact (exact counts + slice totals)"),
+
+    // APPLY: per-slice KL and Jensen-Shannon divergence vs the corpus
+    // reference. The dense pass enumerates (slice × ref-term) via a
+    // broadcast of the O(slices) totals relation — JS needs ref terms
+    // the slice lacks (p = 0 mixture contributions).
+    Q("q_drift_kl",
+      (s, d) => {
+        val sd = Drift.sliceDist(t(s, d, "documents"), "text", "source")
+        Drift.klJs(sd, Drift.refDist(sd))
+          .withColumnRenamed("slice", "source")
+      },
+      Some(s"""WITH $duckDriftCtes,
+           |dense AS (
+           |  SELECT st.source, st.n_s,
+           |         sc.c_s IS NOT NULL AS has,
+           |         CAST(coalesce(sc.c_s, 0) AS DOUBLE) / st.n_s AS p,
+           |         CAST(cc.c_c AS DOUBLE) / ct.n_c AS q
+           |  FROM cc CROSS JOIN ct CROSS JOIN st
+           |  LEFT JOIN sc ON sc.source = st.source AND sc.term = cc.term)
+           |SELECT source, n_s AS n_tokens,
+           |  round(sum(CASE WHEN has THEN p * ln(p / q) ELSE 0.0 END), 6)
+           |    AS kl6,
+           |  round(sum(CASE WHEN has THEN p * ln(2.0 * p / (p + q))
+           |            ELSE 0.0 END) * 0.5
+           |        + sum(q * ln(2.0 * q / (p + q))) * 0.5, 6) AS js6
+           |FROM dense GROUP BY source, n_s""".stripMargin),
+      "per-slice KL + Jensen-Shannon divergence vs the corpus reference"),
+
+    // Divergent-term report: top overrepresented terms per slice by
+    // smoothed log-odds z-score (Monroe et al. 2008 family) — one
+    // transcendental chain per row, ranked on the ROUNDED score with
+    // the term as total tiebreak.
+    Q("q_drift_terms",
+      (s, d) => {
+        val sd = Drift.sliceDist(t(s, d, "documents"), "text", "source")
+        Drift.divergentTerms(sd, Drift.refDist(sd), DriftMinCount, DriftTopK)
+          .withColumnRenamed("slice", "source")
+      },
+      Some(s"""WITH $duckDriftCtes,
+           |j AS (SELECT sc.source, sc.term, sc.c_s,
+           |        CAST(sc.c_s AS DOUBLE) AS ys,
+           |        CAST(st.n_s AS DOUBLE) AS ns,
+           |        CAST(cc.c_c AS DOUBLE) - CAST(sc.c_s AS DOUBLE) AS yr,
+           |        CAST(ct.n_c AS DOUBLE) - CAST(st.n_s AS DOUBLE) AS nr
+           |      FROM sc JOIN st USING (source) JOIN cc USING (term)
+           |        CROSS JOIN ct
+           |      WHERE sc.c_s >= $DriftMinCount),
+           |z AS (SELECT source, term, c_s,
+           |        round((ln((ys + 0.5) / (ns - ys + 0.5))
+           |               - ln((yr + 0.5) / (nr - yr + 0.5)))
+           |              / sqrt(1.0 / (ys + 0.5) + 1.0 / (ns - ys + 0.5)
+           |                     + 1.0 / (yr + 0.5) + 1.0 / (nr - yr + 0.5)),
+           |              6) AS z6
+           |      FROM j)
+           |SELECT source, term, c_s, z6, CAST(rn AS INT) AS rnk
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY source ORDER BY z6 DESC, term) AS rn
+           |      FROM z)
+           |WHERE rn <= $DriftTopK""".stripMargin),
+      "top divergent terms per slice (smoothed log-odds z-score)")
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Drift
+
+/** Information-theoretic invariants of the drift family — properties the
+  * oracle hash-gate can't state: KL non-negativity (Gibbs), the JS
+  * divergence's ln 2 bound, and the zero-divergence fixed point when a
+  * slice IS the reference. */
+class DriftSpec extends SparkSpec {
+
+  test("KL is non-negative and JS is within [0, ln 2] on every slice") {
+    val sd = Drift.sliceDist(
+      Tables.ensureParallelism(Tables.load(spark, sf0001, "documents")),
+      "text", "source")
+    val rows = Drift.klJs(sd, Drift.refDist(sd)).collect()
+    assert(rows.nonEmpty, "vacuous: no slices")
+    rows.foreach { r =>
+      val kl = r.getAs[Double]("kl6"); val js = r.getAs[Double]("js6")
+      assert(kl >= 0.0, s"Gibbs violated on ${r.get(0)}: kl=$kl")
+      assert(js >= -1e-9 && js <= math.log(2.0) + 1e-6,
+        s"JS out of [0, ln2] on ${r.get(0)}: js=$js")
+    }
+  }
+
+  test("a single-slice corpus diverges from itself by exactly zero") {
+    val docs = Tables.ensureParallelism(
+      Tables.load(spark, sf0001, "documents"))
+    val one = docs.filter(col("source") ===
+      docs.select("source").head().getString(0))
+    val sd = Drift.sliceDist(one, "text", "source")
+    val r = Drift.klJs(sd, Drift.refDist(sd)).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("kl6") == 0.0)
+    assert(r(0).getAs[Double]("js6") == 0.0)
+  }
+
+  test("divergent terms rank on the rounded score with the term tiebreak") {
+    val sd = Drift.sliceDist(
+      Tables.ensureParallelism(Tables.load(spark, sf0001, "documents")),
+      "text", "source")
+    val out = Drift.divergentTerms(sd, Drift.refDist(sd), 5L, 15)
+      .collect().groupBy(_.getAs[String]("slice"))
+    assert(out.nonEmpty, "vacuous: no divergent terms at the support floor")
+    out.foreach { case (slice, rows) =>
+      val ordered = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(ordered.map(_.getAs[Int]("rnk")).toSeq ==
+        (1 to ordered.length), s"$slice: rank sequence broken")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val (za, zb) = (a.getAs[Double]("z6"), b.getAs[Double]("z6"))
+          assert(za > zb ||
+            (za == zb && a.getAs[String]("term") < b.getAs[String]("term")),
+            s"$slice: ordering contract broken at ${a.get(1)}/${b.get(1)}")
+        case _ => ()
+      }
+    }
+  }
+}

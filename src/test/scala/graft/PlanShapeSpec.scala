@@ -522,6 +522,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_drift_kl: only the bounded totals relations nested-loop — vocab joins are equi") {
+    // the declared nested loops are the 1-row corpus total and the
+    // O(slices) totals broadcast; the slice×ref-term dense join and the
+    // count joins are hash equi-joins
+    val p = plan("q_drift_kl")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_drift_terms joins distributions on the term key — no cartesian") {
+    val p = plan("q_drift_terms")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q_agg_median_scale ranks inside range partitions — no global window sort") {
     // the one-row final aggregate legitimately plans SinglePartition;
     // the scale claim is the ranking pass: range id + per-range window,

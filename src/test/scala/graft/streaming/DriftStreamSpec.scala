@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Drift
+
+/** The streaming form of the drift monitor — the production topology:
+  * the reference distribution is a FROZEN parquet artifact published
+  * from the standing corpus; each incoming microbatch's slice
+  * distribution is scored against it inside foreachBatch, stateless
+  * between batches. Pinned: every per-batch (kl6, js6) row equals the
+  * batch-mode recomputation over exactly that batch's documents — the
+  * apply half is per-batch-deterministic given the artifact. */
+class DriftStreamSpec extends SparkSpec {
+
+  test("per-microbatch drift scoring against the frozen reference ≡ batch scoring") {
+    val work = Files.createTempDirectory("graft_drift_stream").toString
+    val docs = Tables.ensureParallelism(Tables.load(spark, sf0001, "documents"))
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // PUBLISH once from the standing corpus
+    val sd = Drift.sliceDist(docs, "text", "source")
+    Drift.refDist(sd).write.parquet(s"$work/ref")
+    val ref = spark.read.parquet(s"$work/ref")
+
+    docs.repartition(3).write.parquet(s"$work/in")
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          batches.add(id ->
+            df.select("doc_id").collect().map(_.getLong(0)).toSeq)
+          Drift.klJs(Drift.sliceDist(df, "text", "source"), ref)
+            .withColumn("batch", lit(id))
+            .write.mode("append").parquet(s"$work/out")
+        }
+      }
+      .option("checkpointLocation", s"$work/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(batches.size >= 2,
+      s"replay collapsed to ${batches.size} microbatch(es) — nothing streamed")
+    val got = spark.read.parquet(s"$work/out")
+    assert(got.count() > 0, "vacuous: the monitor emitted nothing")
+    batches.asScala.foreach { case (id, ids) =>
+      val want = Drift.klJs(
+        Drift.sliceDist(docs.filter(col("doc_id").isin(ids: _*)),
+          "text", "source"), ref)
+      val g = got.filter(col("batch") === id).drop("batch")
+      val w = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(w).count() + w.exceptAll(g).count()
+      assert(drift == 0,
+        s"batch $id: streamed drift scores differ from batch scores ($drift rows)")
+    }
+  }
+}
