@@ -84,6 +84,53 @@ object Drift {
             sum(q * log(lit(2.0) * q / (p + q))) * lit(0.5), 6).as("js6"))
   }
 
+  /** Snapshot-over-snapshot divergence — the day-over-day drift check
+    * between two corpus snapshots `a` and `b` taken from one per-slice
+    * distribution table (slice = snapshot id). Unlike [[klJs]] (whose
+    * reference provably covers every slice term), either snapshot can
+    * hold terms the other lacks, so both distributions take
+    * Haldane–Anscombe +0.5 additive smoothing over the UNION vocabulary
+    * — each smoothed distribution sums to exactly 1 and every log is
+    * finite. Output is one row: union/intersection vocabulary stats
+    * (exact longs + Jaccard) and the smoothed KL(a‖b) and JS.
+    *
+    * Scale shape: one vocab-scale full-outer equi-join on the term key,
+    * one six-number scalar aggregate broadcast back, one
+    * map-side-combinable sum. Both inputs are published artifact tables
+    * — the corpora are never re-read. */
+  def snapshotDivergence(dist: DataFrame, a: String, b: String): DataFrame = {
+    val da = dist.filter(col("slice") === a)
+      .select(col("term"), col("c_s").as("c_a"))
+    val db = dist.filter(col("slice") === b)
+      .select(col("term"), col("c_s").as("c_b"))
+    val u = da.join(db, Seq("term"), "full_outer")
+      .select(coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val scalars = u.agg(
+      sum(col("c_a")).cast("long").as("n_a"),
+      sum(col("c_b")).cast("long").as("n_b"),
+      count(lit(1)).as("v_union"),
+      sum(when(col("c_a") > 0 && col("c_b") > 0, 1L).otherwise(0L))
+        .cast("long").as("v_both"),
+      sum(when(col("c_a") > 0, 1L).otherwise(0L)).cast("long").as("v_a"),
+      sum(when(col("c_b") > 0, 1L).otherwise(0L)).cast("long").as("v_b"))
+    val p = col("p"); val q = col("q")
+    u.crossJoin(broadcast(scalars))
+      .select(
+        ((col("c_a").cast("double") + lit(0.5)) /
+          (col("n_a") + lit(0.5) * col("v_union"))).as("p"),
+        ((col("c_b").cast("double") + lit(0.5)) /
+          (col("n_b") + lit(0.5) * col("v_union"))).as("q"),
+        col("v_a"), col("v_b"), col("v_both"), col("v_union"))
+      .groupBy(col("v_a").as("n_vocab_a"), col("v_b").as("n_vocab_b"),
+        round(col("v_both").cast("double") / col("v_union"), 6)
+          .as("vocab_jaccard6"))
+      .agg(
+        round(sum(p * log(p / q)), 6).as("kl6"),
+        round(sum(p * log(lit(2.0) * p / (p + q))) * lit(0.5) +
+          sum(q * log(lit(2.0) * q / (p + q))) * lit(0.5), 6).as("js6"))
+  }
+
   /** Per-slice divergent terms: log-odds-ratio z-score of each term's
     * slice-vs-rest odds with Haldane–Anscombe +0.5 smoothing (the
     * informative-prior variant of Monroe et al. 2008's weighted

@@ -78,6 +78,55 @@ object DriftQueries {
            |FROM dense GROUP BY source, n_s""".stripMargin),
       "per-slice KL + Jensen-Shannon divergence vs the corpus reference"),
 
+    // Day-over-day shape: divergence BETWEEN two snapshots (doc_id
+    // parity stands in for yesterday/today), where either side can hold
+    // terms the other lacks — +0.5 additive smoothing over the union
+    // vocabulary keeps every log finite and both distributions summing
+    // to exactly 1. One full-outer term join of two artifact tables;
+    // the corpora are never re-read.
+    Q("q_drift_snapshot",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("snap",
+            when(col("doc_id") % 2 === 0, "prev").otherwise("curr"))
+        Drift.snapshotDivergence(
+          Drift.sliceDist(docs, "text", "snap"), "curr", "prev")
+      },
+      Some(s"""WITH ca_ AS (
+           |  SELECT term, count(*) AS c_a
+           |  FROM (SELECT unnest(${duckTokens("text")}) AS term
+           |        FROM documents WHERE doc_id % 2 <> 0)
+           |  GROUP BY term),
+           |cb_ AS (
+           |  SELECT term, count(*) AS c_b
+           |  FROM (SELECT unnest(${duckTokens("text")}) AS term
+           |        FROM documents WHERE doc_id % 2 = 0)
+           |  GROUP BY term),
+           |u AS (SELECT coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+           |      FROM ca_ FULL OUTER JOIN cb_ USING (term)),
+           |sc AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+           |              CAST(sum(c_b) AS BIGINT) AS n_b,
+           |              count(*) AS v_union,
+           |              CAST(sum(CASE WHEN c_a > 0 AND c_b > 0 THEN 1
+           |                       ELSE 0 END) AS BIGINT) AS v_both,
+           |              CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END)
+           |                AS BIGINT) AS v_a,
+           |              CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END)
+           |                AS BIGINT) AS v_b
+           |       FROM u),
+           |pq AS (SELECT
+           |         (CAST(c_a AS DOUBLE) + 0.5) / (n_a + 0.5 * v_union) AS p,
+           |         (CAST(c_b AS DOUBLE) + 0.5) / (n_b + 0.5 * v_union) AS q,
+           |         v_a, v_b, v_both, v_union
+           |       FROM u CROSS JOIN sc)
+           |SELECT v_a AS n_vocab_a, v_b AS n_vocab_b,
+           |  round(CAST(v_both AS DOUBLE) / v_union, 6) AS vocab_jaccard6,
+           |  round(sum(p * ln(p / q)), 6) AS kl6,
+           |  round(sum(p * ln(2.0 * p / (p + q))) * 0.5
+           |        + sum(q * ln(2.0 * q / (p + q))) * 0.5, 6) AS js6
+           |FROM pq GROUP BY v_a, v_b, v_both, v_union""".stripMargin),
+      "smoothed snapshot-over-snapshot divergence (union-vocab stats + KL + JS)"),
+
     // Divergent-term report: top overrepresented terms per slice by
     // smoothed log-odds z-score (Monroe et al. 2008 family) — one
     // transcendental chain per row, ranked on the ROUNDED score with

@@ -37,6 +37,33 @@ class DriftSpec extends SparkSpec {
     assert(r(0).getAs[Double]("js6") == 0.0)
   }
 
+  test("snapshot divergence: JS and vocab stats symmetric, KL directional, all finite") {
+    // the sf0.001 fixture's vocabulary is tiny enough that both parity
+    // snapshots share all of it — append a snapshot-unique marker token
+    // so each side provably holds a term the other lacks and the
+    // smoothed unseen-mass path is genuinely exercised
+    val docs = Tables.ensureParallelism(
+        Tables.load(spark, sf0001, "documents"))
+      .withColumn("snap",
+        when(col("doc_id") % 2 === 0, "prev").otherwise("curr"))
+      .withColumn("text", concat(col("text"), lit(" xonly_"), col("snap")))
+    val dist = Drift.sliceDist(docs, "text", "snap")
+    val ab = Drift.snapshotDivergence(dist, "curr", "prev").head()
+    val ba = Drift.snapshotDivergence(dist, "prev", "curr").head()
+    // smoothing must keep every term finite even though each snapshot
+    // holds terms the other lacks
+    assert(ab.getAs[Double]("vocab_jaccard6") < 1.0,
+      "marker injection failed: snapshots share the whole vocabulary")
+    assert(!ab.getAs[Double]("kl6").isNaN && !ab.getAs[Double]("kl6").isInfinite)
+    assert(ab.getAs[Double]("kl6") >= 0.0 && ba.getAs[Double]("kl6") >= 0.0)
+    // JS and the vocab stats are symmetric in the pair; KL is not
+    assert(ab.getAs[Double]("js6") == ba.getAs[Double]("js6"))
+    assert(ab.getAs[Double]("vocab_jaccard6") ==
+      ba.getAs[Double]("vocab_jaccard6"))
+    assert(ab.getAs[Long]("n_vocab_a") == ba.getAs[Long]("n_vocab_b"))
+    assert(ab.getAs[Double]("js6") <= math.log(2.0) + 1e-6)
+  }
+
   test("divergent terms rank on the rounded score with the term tiebreak") {
     val sd = Drift.sliceDist(
       Tables.ensureParallelism(Tables.load(spark, sf0001, "documents")),
