@@ -36,13 +36,18 @@ object Drift {
     * term's count in the slice, n_s the slice's token total (derived
     * from the counts, not a second scan). One corpus pass. */
   def sliceDist(docs: DataFrame, textCol: String, sliceCol: String): DataFrame = {
+    // the distribution is consumed by its own totals join here plus, in
+    // the divergence queries, the reference derivation, the slices
+    // relation and the dense join — all identical subtrees, so runtime
+    // ReuseExchange dedupes the tokenize+explode+aggregate to ONE
+    // execution (measured: an explicit CacheScope persist here was
+    // ~0.2 s SLOWER at sf0.1 — pure cache-write overhead on top of a
+    // reuse Catalyst already performs; the executed plan's ReusedExchange
+    // on the (slice, term) hashpartitioning is spec-pinned)
     val cnt = docs
       .select(col(sliceCol).as("slice"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("slice", "term").agg(count(lit(1)).as("c_s"))
-    // slice totals from the counts: O(slices·vocab) input, and the
-    // count aggregate's exchange is reused by Catalyst (both subtrees
-    // are identical) — the corpus is tokenized exactly once
     val tot = cnt.groupBy("slice").agg(sum(col("c_s")).cast("long").as("n_s"))
     cnt.join(tot, "slice")
   }

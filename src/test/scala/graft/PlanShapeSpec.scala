@@ -531,6 +531,20 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q_drift_kl tokenizes the corpus ONCE — the (slice,term) aggregate exchange reuses") {
+    // the distribution subtree is referenced by the totals join, the
+    // reference derivation, the slices relation and the dense join;
+    // runtime ReuseExchange must dedupe them to one tokenize+aggregate
+    // (an explicit persist measured SLOWER — see Drift.sliceDist).
+    // Execute through the df's own QueryExecution: reuse lands in the
+    // FINAL adaptive plan, not the pre-execution one.
+    val df = SparkEntry.queries("q_drift_kl")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange \\[[^\\]]*\\], Exchange hashpartitioning\\(slice"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_drift_terms joins distributions on the term key — no cartesian") {
     val p = plan("q_drift_terms")
     assert(!p.contains("CartesianProduct"), p)
