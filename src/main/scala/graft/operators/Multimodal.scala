@@ -237,6 +237,112 @@ object Multimodal {
     }
   }
 
+  case class FlippedImage(doc_id: Long, media_type: String, width: Int,
+                          height: Int, pixel_sum: Long, first_px: Int,
+                          last_px: Int)
+
+  /** REAL horizontal flip (the canonical augmentation): decode → mirror
+    * band 0 into a fresh raster → re-encode grayscale PNG → re-decode,
+    * emitting verification columns from the ROUND-TRIPPED image. A flip
+    * is a per-row permutation, so `pixel_sum` must equal the source's;
+    * `first_px`/`last_px` pin the mirroring itself — on the gradient
+    * fixtures the first column becomes (b + w − 1) mod 256 and the last
+    * becomes b, so a flip that drops, duplicates, or mis-strides a
+    * column cannot match the oracle. */
+  def flipImages(media: DataFrame): Dataset[FlippedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val or = out.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            or.setSample(x, y, 0, raster.getSample(w - 1 - x, y, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val br = back.getRaster
+        var sum = 0L
+        var yy = 0
+        while (yy < back.getHeight) {
+          var xx = 0
+          while (xx < back.getWidth) { sum += br.getSample(xx, yy, 0); xx += 1 }
+          yy += 1
+        }
+        FlippedImage(r.doc_id, "png", back.getWidth, back.getHeight, sum,
+          br.getSample(0, 0, 0), br.getSample(back.getWidth - 1, 0, 0))
+      }
+    }
+  }
+
+  case class CroppedImage(doc_id: Long, media_type: String, width: Int,
+                          height: Int, channels: Int, pixel_sum: Long,
+                          first_px: Int)
+
+  /** REAL center crop (the other canonical augmentation): decode → copy
+    * the centered w/2 × h/2 window of band 0 (origin (w/4, h/4)) →
+    * re-encode grayscale PNG → re-decode. On the gradient fixtures the
+    * cropped row is the (b + x0) mod 256 gradient of width w/2, so the
+    * oracle states the crop's dimensions, pixel sum and first pixel in
+    * closed form — an off-by-one origin or window cannot match. */
+  def cropImages(media: DataFrame): Dataset[CroppedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val raster = img.getRaster
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val x0 = sw / 4; val cw = sw / 2
+        val y0 = sh / 4; val ch = sh / 2
+        val out = new java.awt.image.BufferedImage(cw, ch,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val or = out.getRaster
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            or.setSample(x, y, 0, raster.getSample(x0 + x, y0 + y, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val br = back.getRaster
+        var sum = 0L
+        var yy = 0
+        while (yy < back.getHeight) {
+          var xx = 0
+          while (xx < back.getWidth) { sum += br.getSample(xx, yy, 0); xx += 1 }
+          yy += 1
+        }
+        CroppedImage(r.doc_id, "png", back.getWidth, back.getHeight,
+          br.getNumBands, sum, br.getSample(0, 0, 0))
+      }
+    }
+  }
+
   case class ImageDHash(doc_id: Long, media_type: String, dhash_hex: String)
 
   /** Perceptual difference hash (dHash, Krawetz): decode → 9×8 grayscale

@@ -2193,6 +2193,50 @@ object LlmQueries {
               FROM pt GROUP BY doc_id"""),
       "REAL image resize (box filter): decode→resize→re-encode→decode, sum-exact oracle"),
 
+    // REAL horizontal flip (augmentation): a per-row permutation, so the
+    // round-tripped pixel_sum must equal the source's, while first/last
+    // pixel pin the mirroring itself — (b+w−1) mod 256 and b on the
+    // gradient fixtures (an off-by-one or dropped column cannot match).
+    Q("q_media_flip",
+      (s, d) => Multimodal.flipImages(
+        Multimodal.toImages(t(s, d, "documents"))).toDF(),
+      Some("""WITH m AS (SELECT doc_id,
+                  CAST(doc_id % 256 AS BIGINT) AS b,
+                  CAST(doc_id % 57 + 8 AS BIGINT) AS w,
+                  CAST(doc_id % 41 + 8 AS BIGINT) AS h
+                FROM documents),
+              xs AS (SELECT doc_id, b, w, h, unnest(range(0, w)) AS x FROM m)
+              SELECT doc_id, 'png' AS media_type, CAST(w AS INT) AS width,
+                CAST(h AS INT) AS height,
+                CAST(h * sum((b + x) % 256) AS BIGINT) AS pixel_sum,
+                CAST((b + w - 1) % 256 AS INT) AS first_px,
+                CAST(b AS INT) AS last_px
+              FROM xs GROUP BY doc_id, b, w, h"""),
+      "REAL horizontal flip: decode→mirror→re-encode→decode, sum-invariant + edge-pixel-exact"),
+
+    // REAL center crop (augmentation): the w/2 × h/2 window at origin
+    // (w/4, h/4) — the cropped row is the (b+x0) mod 256 gradient of
+    // width w/2, so dimensions, sum and first pixel are closed-form.
+    Q("q_media_crop",
+      (s, d) => Multimodal.cropImages(
+        Multimodal.toImages(t(s, d, "documents"))).toDF(),
+      Some("""WITH m AS (SELECT doc_id,
+                  CAST(doc_id % 256 AS BIGINT) AS b,
+                  CAST(doc_id % 57 + 8 AS BIGINT) AS w,
+                  CAST(doc_id % 41 + 8 AS BIGINT) AS h
+                FROM documents),
+              c AS (SELECT doc_id, b, w // 4 AS x0, w // 2 AS cw,
+                      h // 2 AS ch
+                    FROM m),
+              xs AS (SELECT doc_id, b, x0, cw, ch,
+                       unnest(range(x0, x0 + cw)) AS x FROM c)
+              SELECT doc_id, 'png' AS media_type, CAST(cw AS INT) AS width,
+                CAST(ch AS INT) AS height, CAST(1 AS INT) AS channels,
+                CAST(ch * sum((b + x) % 256) AS BIGINT) AS pixel_sum,
+                CAST((b + x0) % 256 AS INT) AS first_px
+              FROM xs GROUP BY doc_id, b, x0, cw, ch"""),
+      "REAL center crop: decode→window-copy→re-encode→decode, closed-form dims/sum/origin"),
+
     // Perceptual dHash: the standard image near-dup signature — 9×8
     // box-average thumb, 64 adjacent-pixel comparisons, hex-packed. The
     // oracle replays the thumbnail row in closed form from the gradient
