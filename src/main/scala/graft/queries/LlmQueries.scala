@@ -1452,6 +1452,49 @@ object LlmQueries {
                FROM (SELECT doc_id, text, ${duckTokens("text")} AS ts FROM documents)"""),
       "quality-scoring text features"),
 
+    // Flesch reading-ease — the classic readability quality gate, with
+    // the standard vowel-run syllable heuristic clamped to ≥1 per word
+    // (so vowel-less tokens — numbers, initialisms — count one
+    // syllable). Stays per-row codegen'd: syllables fold over the token
+    // array with transform+aggregate, no explode, no shuffle; one
+    // transcendental-free expression per row rounded 6.
+    Q("q_text_readability",
+      (s, d) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val syl = aggregate(
+          transform(toks, tk =>
+            greatest(regexp_count(lower(tk), lit("[aeiouy]+")), lit(1))),
+          lit(0L), (acc, x) => acc + x)
+        t(s, d, "documents").select(
+            col("doc_id"),
+            TextFunctions.nWords(col("text")).as("n_words"),
+            greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+              .cast("int").as("n_sentences"),
+            syl.as("n_syllables"))
+          .filter(col("n_words") >= 1)
+          .withColumn("flesch6", round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+            6))
+      },
+      Some(s"""WITH b AS (
+           |  SELECT doc_id,
+           |    CAST(len(ts) AS INT) AS n_words,
+           |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           |      AS INT) AS n_sentences,
+           |    CAST(list_sum(list_transform(ts, tk ->
+           |      greatest(len(regexp_extract_all(lower(tk), '[aeiouy]+')), 1)))
+           |      AS BIGINT) AS n_syllables
+           |  FROM (SELECT doc_id, text, ${duckTokens("text")} AS ts
+           |        FROM documents))
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  round(206.835
+           |        - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+           |        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+           |    AS flesch6
+           |FROM b WHERE n_words >= 1""".stripMargin),
+      "Flesch reading-ease readability gate (vowel-run syllables, per-row fold)"),
+
     Q("q_text_langid",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"),
