@@ -152,7 +152,10 @@ object Bench {
     // the line; all six 7-rep adjudicated in BENCHFOCUS_r12 at
     // 1.1-1.8 s medians, so the sweep values were single-shot noise
     "q_text_unigram_fertility", "q_split_kfold", "q_agg_median_scale",
-    "q_join_interval_overlap", "q_dedup_containment", "q_text_langid_eval")
+    "q_join_interval_overlap", "q_dedup_containment", "q_text_langid_eval",
+    // round-14: personalized PageRank is genuine ~6 s iterative work —
+    // straight to the median-of-5 tier (the sweep gate's ≥2 s rule)
+    "q_graph_ppr")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

@@ -87,4 +87,54 @@ object PageRank {
     nodes.unpersist(blocking = false)
     frozen
   }
+
+  /** PERSONALIZED (seeded) PageRank: the restart mass concentrates on
+    * the seed set instead of spreading uniformly — importance RELATIVE
+    * to a trusted set (TrustRank-style quality propagation, topic-
+    * conditioned sampling weights). Same exact int64 recurrence as
+    * [[ranks]] with the reset vector swapped:
+    *   r0(v)  = Scale div |S| if v ∈ S else 0
+    *   r_k(v) = ((15·Scale div 100) div |S|)·[v ∈ S]
+    *            + (85 · Σ_{u→v} (r_{k-1}(u) div deg(u))) div 100
+    * `seeds` must be graph-node ids ((id) column; duplicates dropped).
+    * Execution shape identical to [[ranks]]: the seed flag rides the
+    * persisted node table, so per round it's still one src join + one
+    * map-side-combined sum + one node-keyed left join. */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+                        iters: Int): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = e.join(deg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col("id").cast("long")).distinct()
+    // node table CARRIES the seed flag — joined once, reused every round
+    val nodes = e.select(col("src").as("id")).distinct()
+      .join(sd.withColumn("isS", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("isS"), lit(0L)).as("isS"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ns = sd.count()
+    require(ns > 0, "personalized PageRank needs a non-empty seed set")
+    val baseConst = 15L * Scale / 100
+
+    var ranks = nodes.select(col("id"),
+      (lit(Scale / ns) * col("isS")).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesD
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").cast("long").as("s"))
+      val stepped = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), col("isS"),
+          (lit(baseConst / ns) * col("isS") +
+            expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
+      ranks = stepped.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
+    }
+    val frozen = graft.core.Freeze(ranks.select(col("id"), col("r")))
+    edgesD.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    frozen
+  }
 }

@@ -27,6 +27,9 @@ object AnalyticsQueries {
   private val PackBudget = 512
   private val FuzzyMaxDist = 2
   private val PrIters = 10
+  /** Personalized-PageRank seed predicate: order nodes whose orderkey is
+    * a multiple of this (≈1% of order nodes — a sparse trusted set). */
+  private val PprSeedMod = 97
   private val LpaIters = 4
   private val KhopRounds = 3
   private val KhopSeedMaxPart = 5
@@ -53,6 +56,36 @@ object AnalyticsQueries {
        |nn AS (SELECT count(*) AS nn FROM nodes),
        |r0 AS (SELECT id, ${PageRank.Scale} // nn.nn AS r
        |       FROM nodes CROSS JOIN nn),
+       |$steps""".stripMargin
+  }
+
+  /** Unrolled PERSONALIZED PageRank recurrence: same graph as
+    * [[duckPageRankCtes]], restart mass on the seed set only
+    * (order nodes with l_orderkey % [[PprSeedMod]] = 0). */
+  private def duckPprCtes(iters: Int): String = {
+    val base = 15L * PageRank.Scale / 100
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT sn.id,
+         |  ($base // ns.ns) * sn.isS +
+         |  ((85 * coalesce(c.s, 0)) // 100) AS r
+         |FROM sn CROSS JOIN ns
+         |LEFT JOIN (SELECT ed.dst, CAST(sum(p.r // ed.deg) AS BIGINT) AS s
+         |           FROM ed JOIN r${k - 1} p ON ed.src = p.id
+         |           GROUP BY ed.dst) c ON sn.id = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""b AS (SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |       FROM lineitem),
+       |e AS (SELECT src, dst FROM b UNION SELECT dst AS src, src AS dst FROM b),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |seeds AS (SELECT DISTINCT l_orderkey * 2 AS id FROM lineitem
+       |          WHERE l_orderkey % $PprSeedMod = 0),
+       |ns AS (SELECT count(*) AS ns FROM seeds),
+       |sn AS (SELECT n.id, CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS isS
+       |       FROM nodes n LEFT JOIN seeds s ON n.id = s.id),
+       |r0 AS (SELECT id, (${PageRank.Scale} // ns.ns) * isS AS r
+       |       FROM sn CROSS JOIN ns),
        |$steps""".stripMargin
   }
 
@@ -877,6 +910,27 @@ object AnalyticsQueries {
       Some(s"""WITH ${duckPageRankCtes(PrIters)}
                SELECT id AS node_id, r AS r_fp FROM r$PrIters"""),
       "fixed-point PageRank over the order-part graph (exact int64 recurrence)"),
+
+    // PERSONALIZED PageRank: restart mass on a seed set (every ~97th
+    // order node) — importance relative to trusted documents (TrustRank
+    // quality propagation / topic-conditioned sampling weights). Same
+    // int64 recurrence and execution shape as q_graph_pagerank; the
+    // seed flag rides the persisted node table.
+    Q("q_graph_ppr",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val b = li.select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = li.filter(col("l_orderkey") % PprSeedMod === 0)
+          .select((col("l_orderkey") * 2).as("id"))
+        PageRank.personalizedRanks(e, seeds, PrIters)
+          .select(col("id").as("node_id"), col("r").as("r_fp"))
+      },
+      Some(s"""WITH ${duckPprCtes(PrIters)}
+               SELECT id AS node_id, r AS r_fp FROM r$PrIters"""),
+      "personalized PageRank: seeded restart vector, exact int64 recurrence"),
 
     // k-core decomposition (k = 3): iterative peel — drop nodes under
     // degree k, restrict edges to survivors, repeat for the DECLARED
