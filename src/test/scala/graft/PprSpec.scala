@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.PageRank
+
+/** Invariants of the personalized restart the oracle hash-gate can't
+  * state: probability-mass conservation up to integer truncation, the
+  * seed-concentration property, and the non-empty-seed contract. */
+class PprSpec extends SparkSpec {
+
+  private def graph() = {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val b = li.select((col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = li.filter(col("l_orderkey") % 97 === 0)
+      .select((col("l_orderkey") * 2).as("id"))
+    (e, seeds)
+  }
+
+  test("personalized restart conserves probability mass up to truncation") {
+    val (e, seeds) = graph()
+    val r = PageRank.personalizedRanks(e, seeds, 5)
+    val total = r.agg(sum("r")).head().getLong(0)
+    assert(total <= PageRank.Scale,
+      s"mass created from nothing: $total > ${PageRank.Scale}")
+    assert(total > (PageRank.Scale * 9L) / 10L,
+      s"integer truncation lost >10% of the mass: $total")
+  }
+
+  test("restart mass concentrates on the seed set") {
+    val (e, seeds) = graph()
+    val r = PageRank.personalizedRanks(e, seeds, 5)
+    val tagged = r.join(seeds.withColumn("isS", lit(1)), Seq("id"), "left")
+      .select(col("r"), coalesce(col("isS"), lit(0)).as("isS"))
+    val avg = tagged.groupBy("isS").agg(expr("avg(r)").as("m"))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    // a seed keeps its 15% restart share every round; with a ~1% seed
+    // set its mean rank must dominate the non-seed mean decisively
+    assert(avg(1) > 10.0 * avg(0),
+      s"seed mean ${avg(1)} not dominating non-seed mean ${avg(0)}")
+  }
+
+  test("an empty seed set is refused") {
+    val (e, seeds) = graph()
+    val err = intercept[IllegalArgumentException] {
+      PageRank.personalizedRanks(e, seeds.filter(lit(false)), 2)
+    }
+    assert(err.getMessage.contains("seed"))
+  }
+}
