@@ -198,6 +198,14 @@ object Bench {
     * theory cannot explain an inflated MIN). */
   private[graft] val RegressionBar = 1.25
 
+  /** Sub-second rows sit in the documented 2–7× co-tenant swing band
+    * (BENCHFOCUS_r9/r10) where even the MIN of five reps routinely
+    * doubles in a degraded window — a min-based bar has no signal
+    * there (first exercise: the r14 roundclose bench false-flagged
+    * q1_agg, min 0.44 vs focus-min 0.21 the same day). The comparator
+    * only engages for rows whose baseline is at least this. */
+  private[graft] val RegressionFloor = 0.5
+
   /** Full classification of one per-rep vector: intra-vector episode
     * shape ([[classifyReps]]) and/or cross-round regression vs the
     * adjudicated baseline, "+"-joined when both fire. */
@@ -205,7 +213,8 @@ object Bench {
                                  baseline: Option[Double]): Option[String] = {
     val intra = classifyReps(ts)
     val cross = baseline.collect {
-      case b if ts.nonEmpty && ts.min > RegressionBar * b => "regression"
+      case b if b >= RegressionFloor && ts.nonEmpty &&
+        ts.min > RegressionBar * b => "regression"
     }
     (intra, cross) match {
       case (Some(a), Some(b)) => Some(s"$a+$b")

@@ -84,6 +84,19 @@ class BenchForensicsSpec extends AnyFunSuite {
     assert(Bench.classifyRow(Seq(8.1, 7.9, 8.3, 7.25, 8.0), None).isEmpty)
   }
 
+  test("sub-second baselines never engage the regression comparator") {
+    // the r14 roundclose false positive: q1_agg min 0.44 vs baseline
+    // 0.25 — a degraded-window swing inside the documented 2-7x
+    // sub-second co-tenant band, not a regression
+    assert(Bench.classifyRow(Seq(0.56, 0.44, 0.45, 0.46, 1.89),
+      Some(0.25)).contains("episode")) // episode only, no +regression
+    assert(Bench.classifyRow(Seq(0.44, 0.45, 0.46, 0.45, 0.44),
+      Some(0.25)).isEmpty)
+    // at the floor the comparator engages
+    assert(Bench.classifyRow(Seq(0.9, 0.95, 0.91, 0.93, 0.92),
+      Some(0.5)).contains("regression"))
+  }
+
   test("cross-round comparator composes with the episode detector") {
     // vector is episodic AND its min exceeds the baseline bar
     assert(Bench.classifyRow(Seq(7.0, 30.0, 31.0, 7.1, 7.2), Some(5.0))
