@@ -42,6 +42,7 @@ object TrainQueries {
   val DomainCap = 10      // per-source quota (docs kept per domain)
   val ShuffleSeed = 42L   // seeded corpus-shuffle draw
   val WeightedK = 100     // weighted-sample size
+  val QtK = 20            // quantile-table resolution (21 points, 5% steps)
   val HeavyPerMille = 30  // heavy-hitter threshold (3% of the token stream)
   val CmsDepth = 3        // count-min rows (independent hash functions)
   val CmsWidth = 2048     // count-min buckets per row
@@ -651,6 +652,70 @@ object TrainQueries {
                FROM scored JOIN thr ON scored.lang = thr.lang
                WHERE n_words >= thr"""),
       "per-language p25 quality gate (group percentiles broadcast back; no corpus window)"),
+
+    // Quantile-normalization PUBLISH: the per-language 21-point quantile
+    // table of a feature (n_chars) — the frozen artifact an ECDF/
+    // quantile feature transform ships (rank-based normalization robust
+    // to outliers, the classic per-group feature scaler). O(langs·21)
+    // rows; one exact-percentile aggregate per group.
+    Q("q_feature_quantiles",
+      (s, d) => {
+        val ps = (0 to QtK).map(i => i.toDouble / QtK)
+        t(s, d, "documents")
+          .select(col("lang"), col("n_chars"))
+          .groupBy("lang")
+          .agg(expr(s"percentile(n_chars, array(${ps.mkString(", ")}))")
+            .as("qs"))
+          .select(col("lang"), posexplode(col("qs")).as(Seq("qi", "qv")))
+          .select(col("lang"), col("qi").cast("int").as("qi"),
+            round(col("qv"), 6).as("qv6"))
+      },
+      Some(s"""WITH q AS (SELECT lang,
+           |  quantile_cont(n_chars, [${(0 to QtK)
+                .map(i => i.toDouble / QtK).mkString(", ")}]) AS qs
+           |  FROM documents GROUP BY lang)
+           |SELECT lang, CAST(r AS INT) AS qi, round(qs[r + 1], 6) AS qv6
+           |FROM (SELECT lang, qs, unnest(range(0, ${QtK + 1})) AS r
+           |      FROM q)""".stripMargin),
+      "per-language quantile table artifact (21-point exact percentiles)"),
+
+    // Quantile-normalization APPLY: each doc's feature maps to its
+    // step-ECDF percentile FROM the frozen table — max published point
+    // at or below the value, over a broadcast of the O(langs·21)
+    // artifact (lang equi-join + range residual; the corpus never
+    // shuffles). New batches score against yesterday's table without
+    // recomputing any percentile.
+    Q("q_feature_quantiles_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ps = (0 to QtK).map(i => i.toDouble / QtK)
+        val pub = docs.select(col("lang"), col("n_chars"))
+          .groupBy("lang")
+          .agg(expr(s"percentile(n_chars, array(${ps.mkString(", ")}))")
+            .as("qs"))
+          .select(col("lang"), posexplode(col("qs")).as(Seq("qi", "qv")))
+          .select(col("lang").as("plang"), col("qi").cast("int").as("qi"),
+            round(col("qv"), 6).as("qv6"))
+        docs.select(col("doc_id"), col("lang"), col("n_chars"))
+          .join(broadcast(pub),
+            col("lang") === col("plang") && col("n_chars") >= col("qv6"))
+          .groupBy("doc_id", "lang", "n_chars")
+          .agg(round(max(col("qi")).cast("double") / QtK, 6).as("pct6"))
+      },
+      Some(s"""WITH q AS (SELECT lang,
+           |  quantile_cont(n_chars, [${(0 to QtK)
+                .map(i => i.toDouble / QtK).mkString(", ")}]) AS qs
+           |  FROM documents GROUP BY lang),
+           |pub AS (SELECT lang, CAST(r AS INT) AS qi,
+           |          round(qs[r + 1], 6) AS qv6
+           |        FROM (SELECT lang, qs, unnest(range(0, ${QtK + 1})) AS r
+           |              FROM q))
+           |SELECT b.doc_id, b.lang, b.n_chars,
+           |  round(CAST(max(p.qi) AS DOUBLE) / $QtK, 6) AS pct6
+           |FROM documents b JOIN pub p
+           |  ON b.lang = p.lang AND b.n_chars >= p.qv6
+           |GROUP BY b.doc_id, b.lang, b.n_chars""".stripMargin),
+      "step-ECDF percentile of each doc's feature vs the frozen quantile table"),
 
     // ---------- cumulative-distribution windows ----------
     Q("q_win_cume",

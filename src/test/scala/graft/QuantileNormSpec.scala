@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Order/range invariants of the quantile-normalization apply that the
+  * oracle hash-gate can't state: percentiles live in [0,1], every
+  * language's minimum doc maps to 0 and maximum to 1, and the
+  * transform is monotone in the feature within a language. */
+class QuantileNormSpec extends SparkSpec {
+
+  test("step-ECDF percentiles are in [0,1], hit both ends, and are monotone per lang") {
+    val rows = SparkEntry.queries("q_feature_quantiles_apply")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("pct6")
+      assert(p >= 0.0 && p <= 1.0, s"percentile out of range: $p")
+    }
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byChars = rs.sortBy(_.getAs[Long]("n_chars"))
+      assert(byChars.last.getAs[Double]("pct6") == 1.0,
+        s"$lang: max doc not at percentile 1.0")
+      // monotone: pct never decreases as n_chars grows
+      byChars.map(_.getAs[Double]("pct6")).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"$lang: ECDF not monotone")
+        case _ => ()
+      }
+    }
+  }
+}
