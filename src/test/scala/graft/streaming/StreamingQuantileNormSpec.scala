@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming twin of the quantile-normalization apply: the per-language
+  * quantile table is a FROZEN parquet artifact published from the
+  * standing corpus; each incoming microbatch maps its docs to step-ECDF
+  * percentiles against it, stateless between batches. Pinned
+  * multiplicity-exact against the batch apply over the same docs —
+  * sound because the apply is per-doc given the artifact. */
+class StreamingQuantileNormSpec extends SparkSpec {
+
+  private val QtK = graft.queries.TrainQueries.QtK
+
+  private def applyPub(batch: DataFrame, pub: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(pub),
+        col("lang") === col("plang") && col("n_chars") >= col("qv6"))
+      .groupBy("doc_id", "lang", "n_chars")
+      .agg(round(max(col("qi")).cast("double") / QtK, 6).as("pct6"))
+
+  test("per-microbatch ECDF scoring against the frozen quantile table ≡ batch apply") {
+    val work = Files.createTempDirectory("graft_qnorm_stream").toString
+    val docs = Tables.ensureParallelism(Tables.load(spark, sf0001, "documents"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+    // PUBLISH once from the standing corpus
+    val ps = (0 to QtK).map(i => i.toDouble / QtK)
+    docs.groupBy("lang")
+      .agg(expr(s"percentile(n_chars, array(${ps.mkString(", ")}))").as("qs"))
+      .select(col("lang").as("plang"),
+        posexplode(col("qs")).as(Seq("qi", "qv")))
+      .select(col("plang"), col("qi").cast("int").as("qi"),
+        round(col("qv"), 6).as("qv6"))
+      .write.parquet(s"$work/pub")
+    val pub = spark.read.parquet(s"$work/pub")
+
+    val want = applyPub(docs, pub)
+
+    docs.repartition(3).write.parquet(s"$work/in")
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          batches += 1
+          applyPub(df, pub)
+            .write.mode("append").parquet(s"$work/out")
+        }
+      }
+      .option("checkpointLocation", s"$work/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(batches >= 2, s"replay collapsed to $batches microbatch(es)")
+    val got = spark.read.parquet(s"$work/out")
+    val w = want.select(got.columns.map(col).toSeq: _*)
+    val drift = got.exceptAll(w).count() + w.exceptAll(got).count()
+    assert(drift == 0, s"streamed ECDF drifted from batch apply ($drift rows)")
+    assert(got.count() > 0, "vacuous: nothing scored")
+  }
+}
