@@ -14,7 +14,8 @@ object SparkEntry {
     RelationalQueries.all ++ ScalarQueries.all ++ ReferenceQueries.all ++
       StreamingBatchQueries.all ++ LlmQueries.all ++ ExtraQueries.all ++
       AnalyticsQueries.all ++ TrainQueries.all ++ WebQueries.all ++
-      TokenizerQueries.all ++ SearchQueries.all ++ DriftQueries.all
+      TokenizerQueries.all ++ SearchQueries.all ++ DriftQueries.all ++
+      EmbedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-style aggregate — scan, filter pushdown, hash aggregate. */

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PCA over the embedding corpus — the dimension-reduction publish/apply
+  * a 100 TB pipeline runs before ANN indexing (project to the leading
+  * components, then bucket/quantize in the smaller space).
+  *
+  * The distributed work is ONE pass: per-row upper-triangle outer
+  * products in exact micro-unit fixed point (vl = round(v·1e6) as long —
+  * the q_embed_standardize convention; vl ≤ 1e6 so each product ≤ 1e12
+  * and the per-cell sum stays ≪ 2^63 at bench scale; swap DECIMAL
+  * accumulation at true corpus scale), map-side-combined down to
+  * O(d²) cells. Everything after — the d×d covariance, power iteration,
+  * deflation — is driver-side on a 64×64 matrix: O(d²·iters) scalar
+  * work, independent of corpus size (the [[KMeans]] bounded-collect
+  * convention).
+  *
+  * Power iteration is deterministic: v₀ = 1/√d, `Iters` matvec+normalize
+  * steps, sign fixed so the dim with the largest round(|v|, 6) (smallest
+  * dim on ties) is positive — a recipe an unrolled SQL oracle replays
+  * step for step (the q_graph_ppr unrolled-recurrence pattern).
+  * Iteration drift does not compound: normalization is contractive
+  * toward the dominant eigenvector, so engine-order float noise stays
+  * at matvec rounding scale and the round(,6) gate holds.
+  */
+object Pca {
+
+  val Iters = 30
+
+  /** Exact upper-triangle second-moment cells: (i, j ≥ i, sxy) with
+    * sxy = Σ_rows vlᵢ·vlⱼ in micro² units, plus per-dim first moments
+    * (i, sc, n) — everything the covariance needs, one corpus pass
+    * each, both map-side combinable. */
+  def moments(emb: DataFrame): (DataFrame, DataFrame) = {
+    val ml = emb.select(transform(col("embedding"),
+      v => round(v.cast("double") * lit(1e6), 0).cast("long")).as("ml"))
+    val pairs = ml
+      .select(col("ml"), posexplode(col("ml")).as(Seq("i", "x")))
+      .select(col("i"), col("x"),
+        posexplode(slice(col("ml"), col("i") + lit(1), size(col("ml")) - col("i")))
+          .as(Seq("j0", "y")))
+      .select(col("i"), (col("i") + col("j0")).as("j"),
+        (col("x") * col("y")).as("xy"))
+      .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
+    val firsts = ml.select(posexplode(col("ml")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("sc"), count(lit(1)).as("n"))
+    (pairs, firsts)
+  }
+
+  /** Sample covariance in micro² as a dense driver-side matrix, plus
+    * per-dim micro means and n. Bounded collect: O(d²) rows. */
+  def covMatrix(emb: DataFrame): (Array[Array[Double]], Array[Double], Long) = {
+    val (pairs, firsts) = moments(emb)
+    val fm = firsts.collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val d = fm.size
+    val n = fm(0)._2
+    val sc = Array.tabulate(d)(i => fm(i)._1.toDouble)
+    val c = Array.ofDim[Double](d, d)
+    pairs.collect().foreach { r =>
+      val (i, j, sxy) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val cov = (sxy - sc(i) * sc(j) / n) / (n - 1.0)
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    (c, sc.map(_ / n), n)
+  }
+
+  private def matvec(c: Array[Array[Double]], v: Array[Double]) = {
+    val d = v.length
+    Array.tabulate(d) { i =>
+      var s = 0.0; var j = 0
+      while (j < d) { s += c(i)(j) * v(j); j += 1 }; s
+    }
+  }
+
+  /** One power-iteration eigenpair of `c` (the oracle-replayable
+    * recipe described above). Returns (unit eigenvector, eigenvalue as
+    * v·Cv). */
+  def powerIter(c: Array[Array[Double]], iters: Int = Iters)
+      : (Array[Double], Double) = {
+    val d = c.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val w = matvec(c, v)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val cv = matvec(c, v)
+    val lambda = v.zip(cv).map { case (a, b) => a * b }.sum
+    // sign: the dim with the largest rounded |loading| (smallest dim on
+    // ties) must be positive — both engines agree on rounded values
+    val ref = v.indices.minBy(i => (-math.rint(math.abs(v(i)) * 1e6), i))
+    if (v(ref) < 0) (v.map(-_), lambda) else (v, lambda)
+  }
+
+  /** Leading k eigenpairs by power iteration + Hotelling deflation
+    * (C ← C − λ vvᵀ). Components beyond the first are spec-pinned, not
+    * SQL-gated (the oracle replays only the undeflated recurrence). */
+  def topComponents(c: Array[Array[Double]], k: Int, iters: Int = Iters)
+      : Seq[(Array[Double], Double)] = {
+    val d = c.length
+    val work = c.map(_.clone())
+    (1 to k).map { _ =>
+      val (v, l) = powerIter(work, iters)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { work(i)(j) -= l * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      (v, l)
+    }
+  }
+
+  /** APPLY — project centered micro components onto a driver-computed
+    * component: (vec_id, score) with score in real (1/1e6) units.
+    * The component and means enter as a broadcast O(d) relation. */
+  def project(spark: SparkSession, emb: DataFrame,
+              v: Array[Double], meansMicro: Array[Double]): DataFrame = {
+    import spark.implicits._
+    val comp = v.indices.map(i => (i, v(i), meansMicro(i)))
+      .toDF("dim", "loading", "mc")
+    emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        round(col("x").cast("double") * lit(1e6), 0).as("vl"))
+      .join(broadcast(comp), "dim")
+      .groupBy("vec_id")
+      .agg((sum((col("vl") - col("mc")) * col("loading")) / lit(1e6))
+        .as("score"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Positional phrase search — the exact-phrase layer the BM25 family
+  * (bag-of-words) cannot express: an inverted index that keeps token
+  * POSITIONS, probed by positional-adjacency matching (the classic
+  * positional-postings phrase query of Lucene/Manning-IR ch. 2, here as
+  * pure relational algebra).
+  *
+  * PUBLISH ([[posPostings]]): (term, doc_id, positions) from ONE
+  * tokenize pass — posexplode, then a (doc_id, term) map-side-combined
+  * group collecting the sorted position list. At 100 TB this is the
+  * bucketed-by-term published artifact, a constant factor over the
+  * BM25 postings (positions add one int per token occurrence).
+  *
+  * APPLY ([[occurrences]]): a phrase t₀…t_{k−1} occurs at base position
+  * b iff term t_q sits at position b+q for every offset q. Instead of
+  * per-doc array intersections, each matched posting position p for the
+  * phrase's q-th term votes for base b = p − q; a (query, doc, base)
+  * group with count(distinct q) = k is one phrase occurrence —
+  * overlapping occurrences included (phrase "a a" matches twice in
+  * "a a a"), which is what the shingle-equality oracle counts too.
+  * Every step is an equi-join or a map-side-combinable aggregate: the
+  * query side broadcasts into the postings term join (guarded by
+  * [[Similarity.MaxQueryRows]]), candidates are docs sharing ≥1 phrase
+  * term, never query×corpus. Stateless given the frozen index, so the
+  * same call scores per microbatch.
+  */
+object Phrase {
+
+  /** PUBLISH — positional postings (term, doc_id, positions: sorted
+    * array<int> of 0-based token offsets). */
+  def posPostings(corpus: DataFrame, textCol: String, idCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(sort_array(collect_list(col("pos").cast("int"))).as("positions"))
+      .select("term", "doc_id", "positions")
+
+  /** APPLY — phrase occurrence counts: (query_id, doc_id, n_occ,
+    * first_pos) for every corpus doc containing the full phrase at
+    * least once. `queries` carries (idCol, phraseCol); phrases shorter
+    * than one token match nothing (no postings row joins).
+    *
+    * Count the query side before registering caller persists (the
+    * [[Bm25.topK]] `knownQueryRows` convention — the guard count is a
+    * query execution and pops CacheScope's one-shot release listener).
+    */
+  def occurrences(queries: DataFrame, phraseCol: String, idCol: String,
+                  post: DataFrame,
+                  maxQueryRows: Long = Similarity.MaxQueryRows,
+                  knownQueryRows: Option[Long] = None): DataFrame = {
+    val qCnt = knownQueryRows.getOrElse(queries.count())
+    require(qCnt <= maxQueryRows,
+      s"phrase query side has $qCnt rows (> maxQueryRows=$maxQueryRows): " +
+        "refusing to broadcast the query-term table — chunk the query set")
+    // (query_id, phrase_len, qpos, term): one row per phrase token slot
+    val qt = queries.select(col(idCol).as("query_id"),
+        TextFunctions.tokens(col(phraseCol)).as("qts"))
+      .select(col("query_id"), size(col("qts")).as("phrase_len"),
+        posexplode(col("qts")).as(Seq("qpos", "term")))
+    // each matched position votes for base = p − qpos; a base backed by
+    // every distinct slot is one occurrence of the whole phrase
+    val votes = broadcast(qt).join(post, "term")
+      .select(col("query_id"), col("phrase_len"), col("doc_id"),
+        col("qpos"), explode(col("positions")).as("p"))
+      .select(col("query_id"), col("phrase_len"), col("doc_id"),
+        col("qpos"), (col("p") - col("qpos")).as("base"))
+    votes.groupBy("query_id", "phrase_len", "doc_id", "base")
+      .agg(countDistinct(col("qpos")).as("hit"))
+      .filter(col("hit") === col("phrase_len"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"),
+        min(col("base")).cast("int").as("first_pos"))
+  }
+}

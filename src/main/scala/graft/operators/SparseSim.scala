@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Sparse lexical vector similarity: tf-idf cosine top-k via the
+  * inverted index — the all-pairs-similarity shape (Baraglia et al.'s
+  * DISCO / Anand et al.) where document vectors never materialize:
+  * the dot product decomposes over the postings term equi-join
+  * (candidates share ≥1 term, never query×corpus) and the norms are
+  * one map-side-combined reaggregation of the weight table.
+  *
+  * Weighting matches the house tf-idf (q_text_tfidf):
+  * w = tf · ln((N+1)/(df+1)), df over the corpus. Query terms outside
+  * the corpus vocabulary take df = 0 (max idf): they count toward the
+  * query norm but contribute nothing to any dot product — cosine over
+  * the full vocabulary space, not just the matched subspace.
+  *
+  * [[MaxDf]]-style pruning (drop terms with df above a cap before the
+  * join — the frequent-term quadratic blowup guard every all-pairs
+  * system ships) is a parameter: capped terms vanish from the corpus
+  * weights (dots and corpus norms); on the query side they become
+  * indistinguishable from unknown terms (df = 0, norm-only) — a stated
+  * semantics change both engines apply identically. The default keeps
+  * everything (the bench fixture's
+  * vocabulary is deliberately dense); at 100 TB a cap (or a
+  * stop-term list) is the difference between a postings join and a
+  * near-cartesian one.
+  */
+object SparseSim {
+
+  /** Corpus tf-idf weight table (doc_id, term, w) + df table + n_docs,
+    * from one token shuffle. maxDf ≤ 0 disables the cap. */
+  def weights(corpus: DataFrame, textCol: String, idCol: String,
+              maxDf: Long = 0L): DataFrame = {
+    val tf = corpus.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = if (maxDf > 0) df0.filter(col("df") <= maxDf) else df0
+    val n = tf.agg(countDistinct("doc_id").as("n_docs"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+          .as("w"), col("df"), col("n_docs"))
+  }
+
+  /** Top-k corpus docs per query by tf-idf cosine: (query_id, doc_id,
+    * rnk, cos6). Ranking on the ROUNDED score with doc_id tiebreak so
+    * both engines rank identical values. The corpus weight table `cw`
+    * (from [[weights]]) should be persisted by the caller when it also
+    * feeds other consumers; here it feeds the norms and the dot join.
+    */
+  def topK(queries: DataFrame, textCol: String, idCol: String,
+           cw: DataFrame, k: Int,
+           maxQueryRows: Long = Similarity.MaxQueryRows,
+           knownQueryRows: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qCnt = knownQueryRows.getOrElse(queries.count())
+    require(qCnt <= maxQueryRows,
+      s"sparse-cosine query side has $qCnt rows (> maxQueryRows=" +
+        s"$maxQueryRows): refusing to broadcast — chunk the query set")
+    val cn = cw.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("cnorm"))
+    // df/n_docs ride the corpus weight table (functionally dependent on
+    // term); the O(vocab) df slice is recovered by reaggregation — no
+    // text re-read — and the query side LEFT-joins it so unknown terms
+    // keep df = 0
+    val dfT = cw.groupBy("term")
+      .agg(first(col("df")).as("df"), first(col("n_docs")).as("n_docs"))
+    val qtf = queries.select(col(idCol).as("query_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
+    val nOne = cw.agg(max(col("n_docs")).as("n_docs"))
+    val qw = broadcast(qtf)
+      .join(dfT.select("term", "df"), Seq("term"), "left")
+      .crossJoin(broadcast(nOne))
+      .select(col("query_id"), col("term"),
+        (col("tf") * log((col("n_docs") + lit(1.0)) /
+          (coalesce(col("df"), lit(0L)) + lit(1.0)))).as("wq"))
+    val qn = qw.groupBy("query_id")
+      .agg(sqrt(sum(col("wq") * col("wq"))).as("qnorm"))
+    val dot = broadcast(qw).join(cw, "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wq") * col("w")).as("dot"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cos6").desc, col("doc_id"))
+    dot.join(cn, "doc_id").join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(col("dot") / (col("qnorm") * col("cnorm")), 6).as("cos6"))
+      .withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rn").cast("int").as("rnk"), col("cos6"))
+  }
+}

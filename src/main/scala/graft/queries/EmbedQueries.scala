@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Pca
+
+/** PCA over the embedding corpus (publish/apply #18): exact micro-unit
+  * covariance (the distributed pass), a driver-side 64×64 power
+  * iteration (bounded O(d²) work — the KMeans collect convention), and
+  * the distributed projection apply. The DuckDB oracle replays the
+  * WHOLE recipe — exact integer moments, the covariance formula, and
+  * all [[Pca.Iters]] matvec+normalize steps UNROLLED as CTEs (the
+  * q_graph_ppr unrolled-recurrence pattern) — so the gate pins the
+  * numerics end to end, not just the plumbing.
+  */
+object EmbedQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Spark-side covariance cells from the exact moments — the same
+    * arithmetic [[Pca.covMatrix]] runs on the driver, kept distributed
+    * here (the gate must pin the scale shape, not the collect). */
+  private def covCells(emb: DataFrame): DataFrame = {
+    val (pairs, firsts) = Pca.moments(emb)
+    pairs
+      .join(firsts.select(col("i"), col("sc").as("sci"), col("n")), "i")
+      .join(firsts.select(col("i").as("j"), col("sc").as("scj")), "j")
+      .select(col("i").cast("int").as("dim_i"),
+        col("j").cast("int").as("dim_j"),
+        (round((col("sxy").cast("double") -
+          col("sci").cast("double") * col("scj").cast("double") / col("n"))
+          / (col("n") - lit(1.0)) / lit(1e12), 6) + lit(0.0)).as("cov6"))
+  }
+
+  /** DuckDB CTEs: upper-triangle exact second moments + the mirrored
+    * full covariance matrix in micro² units (pairs from a vec_id
+    * self-join — oracle-side O(n·d²) is fine; the ENGINE side never
+    * joins on vec_id). Requires ex/st from duckEmbedMicroCtes. */
+  private def duckCovCtes: String =
+    """pu AS (SELECT a.dim AS i, b.dim AS j,
+      |         CAST(sum(a.vl * b.vl) AS BIGINT) AS sxy
+      |       FROM ex a JOIN ex b USING (vec_id)
+      |       WHERE a.dim <= b.dim GROUP BY 1, 2),
+      |cvu AS MATERIALIZED (SELECT i, j,
+      |          (CAST(sxy AS DOUBLE)
+      |            - CAST(si.sc AS DOUBLE) * CAST(sj.sc AS DOUBLE) / si.n)
+      |          / (si.n - 1.0) AS c
+      |        FROM pu JOIN st si ON pu.i = si.dim
+      |                JOIN st sj ON pu.j = sj.dim),
+      |cov AS MATERIALIZED (SELECT i, j, c FROM cvu
+      |        UNION ALL SELECT j, i, c FROM cvu WHERE i < j)""".stripMargin
+
+  /** The unrolled power iteration: v0 = 1/√d, then `iters` rounds of
+    * matvec + L2 normalize, ending at CTE v`iters`. Requires cov/st. */
+  private def duckPowerCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """dd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM st),
+        |v0 AS (SELECT dim AS i, 1.0 / sqrt(nd) AS v
+        |       FROM st CROSS JOIN dd)""".stripMargin)
+    // every v$t is MATERIALIZED: DuckDB 1.0's default CTE inlining
+    // re-expands each recurrence step into its consumer, so the plan
+    // doubles per iteration (measured: 0.1 s at depth 12 → 27 s at 22 →
+    // hours at 30); materializing pins each 64-row step to one evaluation
+    // and the whole chain back to O(iters)
+    for (t <- 1 to iters) {
+      sb.append(s""",
+        |w$t AS (SELECT cov.i, sum(cov.c * p.v) AS w
+        |       FROM cov JOIN v${t - 1} p ON cov.j = p.i GROUP BY cov.i),
+        |v$t AS MATERIALIZED (SELECT i, w / sqrt(sum(w * w) OVER ()) AS v
+        |       FROM w$t)"""
+        .stripMargin)
+    }
+    sb.append(s""",
+      |vf AS MATERIALIZED (SELECT i, v FROM v$iters),
+      |sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+      |        FROM vf ORDER BY round(abs(v), 6) DESC, i LIMIT 1),
+      |lam AS (SELECT sum(p.v * cv.w) AS l
+      |        FROM vf p JOIN
+      |          (SELECT cov.i, sum(cov.c * p2.v) AS w
+      |           FROM cov JOIN vf p2 ON cov.j = p2.i GROUP BY cov.i) cv
+      |          ON p.i = cv.i)""".stripMargin)
+    sb.toString
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // The exact sample-covariance cells (upper triangle, real units):
+    // the published second-moment artifact PCA / whitening / Mahalanobis
+    // all start from. Engine side: per-row outer products map-side-
+    // combined to O(d²) cells — no vec_id join, one corpus pass.
+    Q("q_embed_cov",
+      (s, d) => covCells(t(s, d, "embeddings")),
+      Some(s"""WITH ${LlmQueries.duckEmbedMicroCtes(true)},
+           |$duckCovCtes
+           |SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+           |       round(c / 1e12, 6) + 0.0 AS cov6
+           |FROM cvu""".stripMargin),
+      "exact embedding covariance cells (micro-unit fixed point, one corpus pass)"),
+
+    // PUBLISH: the leading principal component — deterministic power
+    // iteration on the driver's d×d matrix, replayed step for step by
+    // the unrolled oracle. Sign fixed on the largest rounded |loading|.
+    Q("q_embed_pca",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val (c, _, _) = Pca.covMatrix(t(s, d, "embeddings"))
+        val (v, l) = Pca.powerIter(c)
+        v.indices.map(i => (i, v(i), l / 1e12)).toDF("dim", "loading", "ev")
+          .select(col("dim"),
+            (round(col("loading"), 6) + lit(0.0)).as("loading6"),
+            (round(col("ev"), 6) + lit(0.0)).as("eigval6"))
+      },
+      Some(s"""WITH ${LlmQueries.duckEmbedMicroCtes(true)},
+           |$duckCovCtes,
+           |${duckPowerCtes(Pca.Iters)}
+           |SELECT CAST(p.i AS INT) AS dim, round(p.v * s, 6) + 0.0 AS loading6,
+           |       round(l / 1e12, 6) + 0.0 AS eigval6
+           |FROM vf p CROSS JOIN sgn CROSS JOIN lam""".stripMargin),
+      s"leading principal component (${Pca.Iters}-step power iteration, unrolled oracle)"),
+
+    // APPLY: the PC1 projection of every vector — centered micro
+    // components against the broadcast O(d) component relation; the
+    // corpus never shuffles on vec_id.
+    Q("q_embed_pca_apply",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val (c, means, _) = Pca.covMatrix(emb)
+        val (v, _) = Pca.powerIter(c)
+        Pca.project(s, emb, v, means)
+          .select(col("vec_id"),
+            (round(col("score"), 6) + lit(0.0)).as("pc1_6"))
+      },
+      Some(s"""WITH ${LlmQueries.duckEmbedMicroCtes(true)},
+           |$duckCovCtes,
+           |${duckPowerCtes(Pca.Iters)}
+           |SELECT ex.vec_id,
+           |       round(sum((CAST(ex.vl AS DOUBLE)
+           |           - CAST(st.sc AS DOUBLE) / st.n) * (p.v * s)) / 1e6, 6)
+           |         + 0.0 AS pc1_6
+           |FROM ex JOIN st USING (dim) JOIN vf p ON ex.dim = p.i
+           |  CROSS JOIN sgn
+           |GROUP BY ex.vec_id""".stripMargin),
+      "PC1 scores for every embedding via the frozen component (broadcast apply)")
+  )
+}

@@ -183,16 +183,23 @@ object LlmQueries {
       sum(col("vl") * col("vl")).as("scc"),
       count(lit(1)).as("n"))
 
-  /** DuckDB twin of [[embedMicro]] + [[embedMicroStats]] as CTEs ex/st. */
-  private def duckEmbedMicroCtes: String =
-    """ex AS (SELECT vec_id, CAST(pos AS INT) AS dim,
+  /** DuckDB twin of [[embedMicro]] + [[embedMicroStats]] as CTEs ex/st.
+    * `materialized` forces DuckDB to evaluate each CTE once — required
+    * by consumers that reference ex/st many times (the PCA unrolled
+    * recurrence), where default CTE inlining re-opens the parquet per
+    * reference and blows the fd limit. */
+  private[queries] def duckEmbedMicroCtes: String = duckEmbedMicroCtes(false)
+  private[queries] def duckEmbedMicroCtes(materialized: Boolean): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
+    s"""ex AS $m(SELECT vec_id, CAST(pos AS INT) AS dim,
       |         CAST(round(e[pos + 1] * 1e6) AS BIGINT) AS vl
       |       FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
       |               unnest(range(0, len(embedding))) AS pos
       |             FROM embeddings)),
-      |st AS (SELECT dim, CAST(sum(vl) AS BIGINT) AS sc,
+      |st AS $m(SELECT dim, CAST(sum(vl) AS BIGINT) AS sc,
       |              CAST(sum(vl * vl) AS BIGINT) AS scc, count(*) AS n
       |       FROM ex GROUP BY dim)""".stripMargin
+  }
   val SubstringW = 8 // repeated-span shingle width (words)
   val DecontamW = 3  // span-decontam shingle width (q_text_decontam's 3-gram)
   val BoilerW = 5         // boilerplate shingle width (chrome lines are short)

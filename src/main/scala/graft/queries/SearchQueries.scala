@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{PortableHash, TextFunctions}
-import graft.operators.Bm25
+import graft.operators.{Bm25, Phrase, SparseSim}
 
 /** Lexical search + local fingerprinting: the BM25 inverted-index family
   * (publish/apply member #13) and winnowing document fingerprints
@@ -29,6 +29,7 @@ object SearchQueries {
   private val PosPack = 1048576L // 2^20 — rightmost-argmin packing base
   val PmiMinCount = 5   // collocation support floor (bigram count)
   val PmiTop = 50       // collocations reported
+  val PhraseLen = 3     // gated phrase width (first 3 tokens of each query doc)
 
   /** Queries = the benchmark docs (doc_id < 10, the decontam
     * convention); corpus = the rest. */
@@ -440,7 +441,120 @@ object SearchQueries {
            |      WHERE cab >= $PmiMinCount)
            |SELECT w1, w2, cab, round(pmi, 6) AS pmi6
            |FROM j ORDER BY pmi DESC, w1, w2 LIMIT $PmiTop""".stripMargin),
-      "PMI collocations: top adjacent word pairs by pointwise mutual information")
+      "PMI collocations: top adjacent word pairs by pointwise mutual information"),
+
+    // PUBLISH: positional postings — the exact-phrase layer BM25's
+    // bag-of-words index cannot express (publish/apply #17). One
+    // tokenize pass; positions canonicalized to CSV (the q_agg_collect
+    // convention — the driver's compare cannot sort raw array cells).
+    Q("q_search_phrase_index",
+      (s, d) => Phrase.posPostings(
+          t(s, d, "documents").filter(col("doc_id") >= QMax),
+          "text", "doc_id")
+        .select(col("term"), col("doc_id"),
+          size(col("positions")).as("tf"),
+          concat_ws(",", transform(col("positions"), _.cast("string")))
+            .as("positions_csv")),
+      Some(s"""SELECT term, doc_id, CAST(len(ps) AS INT) AS tf,
+           |       array_to_string(ps, ',') AS positions_csv
+           |FROM (SELECT doc_id, term, list_sort(list(p)) AS ps
+           |      FROM (SELECT doc_id, unnest(ts) AS term,
+           |              CAST(generate_subscripts(ts, 1) - 1 AS INT) AS p
+           |            FROM (SELECT doc_id, ${duckTokens("text")} AS ts
+           |                  FROM documents WHERE doc_id >= $QMax))
+           |      GROUP BY doc_id, term)""".stripMargin),
+      "frozen positional postings: per-(term, doc) sorted token offsets"),
+
+    // APPLY: exact-phrase occurrence counts by positional adjacency —
+    // each matched position votes base = p − qpos; a (query, doc, base)
+    // group backed by every phrase slot is one occurrence (overlapping
+    // occurrences included). The oracle counts the same thing by a
+    // DIFFERENT formulation — shingle equality — so agreement
+    // cross-checks the adjacency algebra, not just the arithmetic.
+    Q("q_search_phrase",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // guard count FIRST (the knownQueryRows convention)
+        val qs = docs.filter(col("doc_id") < QMax)
+          .select(col("doc_id").as("query_id"),
+            TextFunctions.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= PhraseLen)
+          .select(col("query_id"),
+            concat_ws(" ", slice(col("ts"), 1, PhraseLen)).as("phrase"))
+        val qCnt = qs.count()
+        val post = Phrase.posPostings(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id")
+        Phrase.occurrences(qs, "phrase", "query_id", post,
+          knownQueryRows = Some(qCnt))
+      },
+      Some(s"""WITH q AS (
+           |  SELECT doc_id AS query_id, array_to_string(ts[1:$PhraseLen], ' ')
+           |           AS phrase
+           |  FROM (SELECT doc_id, ${duckTokens("text")} AS ts
+           |        FROM documents WHERE doc_id < $QMax)
+           |  WHERE len(ts) >= $PhraseLen),
+           |sh AS (
+           |  SELECT doc_id, unnest(s3) AS s,
+           |         CAST(generate_subscripts(s3, 1) - 1 AS INT) AS p
+           |  FROM (SELECT doc_id,
+           |          ${duckShingles(duckTokens("text"), PhraseLen)} AS s3
+           |        FROM documents WHERE doc_id >= $QMax))
+           |SELECT query_id, sh.doc_id, count(*) AS n_occ,
+           |       CAST(min(p) AS INT) AS first_pos
+           |FROM q JOIN sh ON sh.s = q.phrase
+           |GROUP BY query_id, sh.doc_id""".stripMargin),
+      "exact-phrase search over the positional index (adjacency votes vs shingle oracle)"),
+
+    // Sparse tf-idf cosine top-k: the all-pairs-similarity shape where
+    // document vectors never materialize — dots decompose over the
+    // postings term equi-join, norms are one reaggregation of the
+    // weight table. The lexical twin of q_sim_topk_brute.
+    Q("q_sim_sparse_topk",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = docs.filter(col("doc_id") < QMax)
+        val qCnt = qs.count()
+        // job-scoped persist: cw feeds the corpus norms, the df slice,
+        // and the dot join — uncached, the corpus tokenizes three times
+        val cw = graft.core.CacheScope.autoRelease(SparseSim.weights(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
+        SparseSim.topK(qs, "text", "doc_id", cw, Bm25K,
+          knownQueryRows = Some(qCnt))
+      },
+      Some(s"""WITH ctf AS (
+           |  SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |        FROM documents WHERE doc_id >= $QMax)
+           |  GROUP BY doc_id, term),
+           |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+           |cst AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ctf),
+           |cw AS (SELECT doc_id, term,
+           |         tf * ln((n_docs + 1.0) / (df + 1.0)) AS w
+           |       FROM ctf JOIN cdf USING (term) CROSS JOIN cst),
+           |cn AS (SELECT doc_id, sqrt(sum(w * w)) AS cnorm
+           |       FROM cw GROUP BY doc_id),
+           |qtf AS (SELECT doc_id AS query_id, term, count(*) AS tf
+           |        FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |              FROM documents WHERE doc_id < $QMax)
+           |        GROUP BY 1, 2),
+           |qw AS (SELECT query_id, qtf.term,
+           |         tf * ln((n_docs + 1.0) / (coalesce(df, 0) + 1.0)) AS wq
+           |       FROM qtf LEFT JOIN cdf ON qtf.term = cdf.term
+           |         CROSS JOIN cst),
+           |qn AS (SELECT query_id, sqrt(sum(wq * wq)) AS qnorm
+           |       FROM qw GROUP BY query_id),
+           |dt AS (SELECT query_id, cw.doc_id, sum(wq * w) AS dot
+           |       FROM qw JOIN cw ON qw.term = cw.term
+           |       GROUP BY 1, 2),
+           |sc AS (SELECT query_id, doc_id,
+           |         round(dot / (qnorm * cnorm), 6) AS cos6
+           |       FROM dt JOIN cn USING (doc_id) JOIN qn USING (query_id))
+           |SELECT query_id, doc_id, CAST(rn AS INT) AS rnk, cos6
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY query_id ORDER BY cos6 DESC, doc_id) AS rn
+           |      FROM sc)
+           |WHERE rn <= $Bm25K""".stripMargin),
+      s"tf-idf cosine top-$Bm25K via the inverted index (sparse vectors never materialize)")
   )
 
   /** The gated winnowing plan (k = [[WinnowShingle]], w = [[WinnowW]]):

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Pca
+
+/** PCA invariants beyond the oracle gate: recovery of a planted
+  * dominant direction, eigenpair residuals, orthonormal deflated
+  * components, ordered eigenvalues, and projection variance ≈ λ. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 400 vectors in R⁴ with a planted dominant direction u = (.5,.5,.5,.5):
+  // x = s·u + small deterministic off-axis wiggle
+  private lazy val emb = {
+    val rows = (0 until 400).map { k =>
+      val s = ((k % 21) - 10) * 0.08              // strong spread along u
+      val w1 = ((k % 5) - 2) * 0.02               // weak off-axis noise...
+      val w2 = ((k % 7) - 3) * 0.004              // ...with separated scales
+      (k.toLong, Array(
+        (s * 0.5 + w1).toFloat, (s * 0.5 - w1).toFloat,
+        (s * 0.5 + w2).toFloat, (s * 0.5 - w2).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private lazy val (cov, means, n) = Pca.covMatrix(emb)
+
+  test("covariance matrix is symmetric with positive diagonal") {
+    val d = cov.length
+    assert(d === 4 && n === 400L)
+    for (i <- 0 until d; j <- 0 until d) {
+      assert(cov(i)(j) === cov(j)(i))
+      assert(cov(i)(i) > 0.0)
+    }
+  }
+
+  test("power iteration recovers the planted dominant direction") {
+    val (v, l) = Pca.powerIter(cov)
+    val u = Array(0.5, 0.5, 0.5, 0.5)
+    val align = math.abs(v.zip(u).map { case (a, b) => a * b }.sum)
+    assert(align > 0.999, s"|v·u| = $align")
+    assert(l > 0.0)
+    // eigenpair residual: ||Cv − λv|| ≪ λ
+    val cv = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val res = math.sqrt(cv.zip(v).map { case (a, b) =>
+      val r = a - l * b; r * r }.sum)
+    assert(res < 1e-6 * l, s"residual $res vs λ $l")
+  }
+
+  test("deflated components are orthonormal with descending eigenvalues") {
+    // deflation is exact only at converged eigenvectors: use enough
+    // iterations that the separated test spectrum fully converges
+    val comps = Pca.topComponents(cov, 3, iters = 200)
+    val ls = comps.map(_._2)
+    assert(ls === ls.sortBy(-_), s"eigenvalues not descending: $ls")
+    for (a <- comps.indices; b <- comps.indices) {
+      val dot = comps(a)._1.zip(comps(b)._1)
+        .map { case (x, y) => x * y }.sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-6,
+        s"v${a}.v${b} = $dot (expected $expect)")
+    }
+  }
+
+  test("projection variance matches the leading eigenvalue") {
+    val (v, l) = Pca.powerIter(cov)
+    val scores = Pca.project(spark, emb, v, means)
+      .as[(Long, Double)].collect().map(_._2)
+    val m = scores.sum / scores.length
+    val sampleVar = scores.map(x => (x - m) * (x - m)).sum /
+      (scores.length - 1)
+    val lReal = l / 1e12 // covMatrix works in micro² units
+    assert(math.abs(sampleVar - lReal) < 1e-6 * math.max(lReal, 1e-9),
+      s"var(PC1 scores) = $sampleVar vs λ = $lReal")
+  }
+
+  test("sign convention: the largest-|loading| dim is positive") {
+    val (v, _) = Pca.powerIter(cov)
+    val ref = v.indices.minBy(i => (-math.rint(math.abs(v(i)) * 1e6), i))
+    assert(v(ref) > 0.0)
+  }
+}

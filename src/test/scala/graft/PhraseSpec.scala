@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Phrase
+
+/** Positional phrase search: adjacency-vote semantics pinned on hand
+  * workable examples — overlap, duplicate phrase terms, order
+  * sensitivity, and the broadcast guard. */
+class PhraseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def run(corpus: Seq[(Long, String)], queries: Seq[(Long, String)]) = {
+    val post = Phrase.posPostings(docs(corpus: _*), "text", "doc_id")
+    Phrase.occurrences(queries.toDF("query_id", "phrase"), "phrase",
+        "query_id", post)
+      .select("query_id", "doc_id", "n_occ", "first_pos")
+      .as[(Long, Long, Long, Int)].collect().toSet
+  }
+
+  test("overlapping occurrences count (phrase 'a a' in 'a a a' = 2)") {
+    assert(run(Seq(1L -> "a a a"), Seq(10L -> "a a")) ===
+      Set((10L, 1L, 2L, 0)))
+  }
+
+  test("phrase match is order-sensitive and position-exact") {
+    val corpus = Seq(1L -> "a b c d", 2L -> "c b a", 3L -> "x b c y b c")
+    assert(run(corpus, Seq(10L -> "b c")) ===
+      Set((10L, 1L, 1L, 1), (10L, 3L, 2L, 1)))
+    // reversed phrase only matches the reversed doc
+    assert(run(corpus, Seq(11L -> "c b")) === Set((11L, 2L, 1L, 0)))
+  }
+
+  test("duplicate-term phrase uses distinct slot votes ('a b a')") {
+    // 'a b a b a' contains 'a b a' at 0 and 2 (overlapping), and a doc
+    // with the right bag but wrong order contains none
+    assert(run(Seq(1L -> "a b a b a", 2L -> "a a b"),
+      Seq(10L -> "a b a")) === Set((10L, 1L, 2L, 0)))
+  }
+
+  test("single-token phrase = term lookup; no partial-phrase rows") {
+    val corpus = Seq(1L -> "p q r p")
+    assert(run(corpus, Seq(10L -> "p")) === Set((10L, 1L, 2L, 0)))
+    // 'p z' shares term p with doc 1 but never completes the phrase
+    assert(run(corpus, Seq(11L -> "p z")) === Set.empty[(Long, Long, Long, Int)])
+  }
+
+  test("positional postings carry sorted, complete offsets") {
+    val post = Phrase.posPostings(docs(1L -> "w v w w"), "text", "doc_id")
+      .select(col("term"), col("positions"))
+      .as[(String, Seq[Int])].collect().toMap
+    assert(post("w") === Seq(0, 2, 3))
+    assert(post("v") === Seq(1))
+  }
+
+  test("query-side broadcast guard refuses past maxQueryRows") {
+    val post = Phrase.posPostings(docs(1L -> "a b"), "text", "doc_id")
+    val qs = (1L to 10L).map(i => (i, "a b")).toDF("query_id", "phrase")
+    val e = intercept[IllegalArgumentException] {
+      Phrase.occurrences(qs, "phrase", "query_id", post, maxQueryRows = 5)
+    }
+    assert(e.getMessage.contains("maxQueryRows"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.SparseSim
+
+/** Sparse tf-idf cosine: self-similarity, candidate generation via
+  * shared terms only, the df cap's pruning semantics, and the
+  * broadcast guard. */
+class SparseSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (100L, "apple banana cherry"),
+    (101L, "apple banana date"),
+    (102L, "elder fig grape"),
+    (103L, "apple apple apple")).toDF("doc_id", "text")
+
+  private def topk(qs: Seq[(Long, String)], maxDf: Long = 0L, k: Int = 10) = {
+    val cw = SparseSim.weights(corpus, "text", "doc_id", maxDf)
+    SparseSim.topK(qs.toDF("doc_id", "text"), "text", "doc_id", cw, k)
+      .select("query_id", "doc_id", "rnk", "cos6")
+      .as[(Long, Long, Int, Double)].collect()
+  }
+
+  test("an identical document ranks first with cosine 1") {
+    val r = topk(Seq(1L -> "apple banana cherry"))
+    val byRank = r.filter(_._1 == 1L).sortBy(_._3)
+    assert(byRank.head._2 === 100L)
+    assert(math.abs(byRank.head._4 - 1.0) < 1e-9)
+    // shares no term with 102 → 102 is not a candidate at all
+    assert(!byRank.exists(_._2 == 102L))
+  }
+
+  test("disjoint-vocabulary queries produce no rows") {
+    assert(topk(Seq(2L -> "kiwi lemon")).isEmpty)
+  }
+
+  test("df cap prunes frequent terms from dots and corpus norms") {
+    // 'apple' has df 3 (docs 100, 101, 103); cap at 2 removes it, so a
+    // pure-apple query loses every candidate
+    assert(topk(Seq(3L -> "apple"), maxDf = 2).isEmpty)
+    // and a mixed query still reaches 100/101 through the surviving terms
+    val r = topk(Seq(4L -> "banana"), maxDf = 2).filter(_._1 == 4L)
+    assert(r.map(_._2).toSet === Set(100L, 101L))
+  }
+
+  test("ranking is deterministic: rounded score desc, doc_id tiebreak") {
+    // docs 100 and 101 are symmetric w.r.t. the query 'apple banana' —
+    // identical scores, so doc_id must break the tie
+    val r = topk(Seq(5L -> "apple banana")).filter(_._1 == 5L).sortBy(_._3)
+    val tied = r.filter(x => x._2 == 100L || x._2 == 101L)
+    assert(tied.map(_._4).distinct.length === 1)
+    assert(tied.sortBy(_._3).map(_._2) === Seq(100L, 101L))
+  }
+
+  test("query-side broadcast guard refuses past maxQueryRows") {
+    val cw = SparseSim.weights(corpus, "text", "doc_id")
+    val qs = (1L to 9L).map(i => (i, "apple")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SparseSim.topK(qs, "text", "doc_id", cw, 5, maxQueryRows = 4)
+    }
+    assert(e.getMessage.contains("maxQueryRows"))
+  }
+}
