@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Anomaly, Bfs, Funnel, FuzzyJoin, GapFill, Incremental,
-  KMeans, LabelProp, Packing, PageRank, Sessionize, Triangles}
+  KMeans, LabelProp, LinkPred, Packing, PageRank, Sessionize, Triangles}
 
 /** Event-pipeline and graph analytics: ordered funnels, time-range rolling
   * windows, exact-integer z-score outliers, calendar gap-fill, LLM sequence
@@ -981,6 +981,54 @@ object AnalyticsQueries {
               FROM (SELECT unnest([x, y, z]) AS node FROM tri)
               GROUP BY node"""),
       "per-node triangle counts, degree-ordered wedge join (co-purchase graph)"),
+
+    // Link prediction on the same co-purchase graph: top-5 distance-2
+    // pairs per part by (common neighbors, resource-allocation index,
+    // Jaccard). Candidates come only from the hub-capped wedge join
+    // (LinkPred.MaxWedgeDeg — part of the declared semantics, mirrored
+    // by the oracle); the RA weight 1/deg folds to exact fixed point
+    // (RaScale div deg), so ranks and hashes are engine-independent.
+    Q("q_graph_linkpred",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        LinkPred.topLinks(e)
+      },
+      Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |             FROM lineitem),
+           |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+           |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+           |adj AS (SELECT u AS w, v AS x FROM e
+           |        UNION ALL SELECT v AS w, u AS x FROM e),
+           |deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+           |ctr AS (SELECT a.w, a.x, ${LinkPred.RaScale} // d.deg AS ra_w
+           |        FROM adj a JOIN deg d USING (w)
+           |        WHERE d.deg <= ${LinkPred.MaxWedgeDeg}),
+           |wed AS (SELECT a.x AS u, b.x AS v, a.ra_w
+           |        FROM ctr a JOIN ctr b ON a.w = b.w AND a.x < b.x),
+           |cand AS (SELECT u, v, ra_w FROM wed
+           |         WHERE NOT EXISTS (SELECT 1 FROM e
+           |                           WHERE e.u = wed.u AND e.v = wed.v)),
+           |sc AS (SELECT u, v, count(*) AS cn,
+           |         CAST(sum(ra_w) AS BIGINT) AS ra_fp
+           |       FROM cand GROUP BY u, v),
+           |j AS (SELECT sc.u, sc.v, sc.cn, sc.ra_fp,
+           |        du.deg AS du, dv.deg AS dv
+           |      FROM sc JOIN deg du ON du.w = sc.u
+           |        JOIN deg dv ON dv.w = sc.v)
+           |SELECT u, v, cn,
+           |  round(CAST(cn AS DOUBLE) / (du + dv - cn), 6) AS jaccard6,
+           |  round(CAST(ra_fp AS DOUBLE) / ${LinkPred.RaScale}, 6) AS ra6,
+           |  CAST(rn AS INT) AS rnk
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY u ORDER BY cn DESC, ra_fp DESC, v) AS rn
+           |      FROM j)
+           |WHERE rn <= ${LinkPred.TopK}""".stripMargin),
+      "link prediction: hub-capped wedge candidates, CN/Jaccard/RA top-5 per node"),
 
     // Synchronous label propagation (fixed 4 rounds) on the same
     // bipartite order-part graph as PageRank — the community-detection

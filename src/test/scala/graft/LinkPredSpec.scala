@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LinkPred
+
+/** Pins the link-prediction semantics on a hand-computed fixture:
+  * distance-2 candidates only, exact CN/Jaccard/RA scores, the hub cap's
+  * generate-vs-score asymmetry, and the canonical top-k cut. */
+class LinkPredSpec extends SparkSpec {
+  import spark.implicits._
+
+  // path graph 1-2-3 plus 2-4: candidates through center 2 are
+  // {1,3},{1,4},{3,4}; deg = (1:1, 2:3, 3:1, 4:1)
+  private val path = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+
+  test("distance-2 candidates with exact CN/Jaccard/RA on a path graph") {
+    val out = LinkPred.topLinks(path).orderBy("u", "v").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 3L), (1L, 4L), (3L, 4L)))
+    val r13 = out.head
+    assert(r13.getLong(2) === 1L) // cn: center 2 only
+    // jaccard = 1 / (1 + 1 - 1) = 1.0 ; ra = 1/deg(2) = 1/3 at 1e9 fp,
+    // rounded to 6 decimals on output
+    assert(r13.getDouble(3) === 1.0)
+    assert(r13.getDouble(4) === math.round(
+      (LinkPred.RaScale / 3) / 1e9 * 1e6) / 1e6.toDouble)
+  }
+
+  test("existing edges are excluded even when a wedge spans them") {
+    // triangle 1-2-3 plus pendant 3-4: (1,3) is an edge, so the only
+    // candidates are the distance-2 pairs (1,4) and (2,4) via center 3
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = LinkPred.topLinks(tri)
+      .select("u", "v").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 4L), (2L, 4L)))
+  }
+
+  test("hub cap stops wedge GENERATION but hub degree still scores") {
+    // star center 0 with leaves 1..5, plus a 2-path 1-9-2. With
+    // maxDeg=3 the star center (deg 5) generates NO wedges, so the ten
+    // leaf-leaf pairs vanish; survivors are (1,2) via center 9 and
+    // (0,9) via centers 1 and 2. deg(1)=deg(2)=2 stay uncapped in the
+    // scores: Jaccard(1,2) = 1 / (2 + 2 - 1) = 1/3.
+    val star = ((1 to 5).map(i => (0L, i.toLong)) ++
+      Seq((1L, 9L), (9L, 2L))).toDF("u", "v")
+    val out = LinkPred.topLinks(star, maxDeg = 3)
+      .select("u", "v", "cn", "jaccard6")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet === Set((0L, 9L), (1L, 2L)))
+    val p12 = out.find(r => (r._1, r._2) == ((1L, 2L))).get
+    assert(p12._3 === 1L)
+    assert(math.abs(p12._4 - 0.333333) < 1e-9)
+    // (0,9) has TWO shared centers
+    assert(out.find(r => (r._1, r._2) == ((0L, 9L))).get._3 === 2L)
+  }
+
+  test("top-k cut ranks (cn desc, ra_fp desc, v asc) per source node") {
+    // node 1 reaches 3,4,5 each through disjoint centers; with topK=2
+    // the tie on (cn=1, ra) breaks on v ascending -> keep 3 and 4
+    val fan = Seq((1L, 20L), (20L, 3L), (1L, 21L), (21L, 4L),
+      (1L, 22L), (22L, 5L)).toDF("u", "v")
+    val kept = LinkPred.topLinks(fan, topK = 2)
+      .filter(col("u") === 1L).select("v", "rnk")
+      .as[(Long, Int)].collect().sortBy(_._2)
+    assert(kept.toSeq === Seq((3L, 1), (4L, 2)))
+  }
+}
