@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
@@ -31,6 +32,8 @@ object AnalyticsQueries {
     * a multiple of this (≈1% of order nodes — a sparse trusted set). */
   private val PprSeedMod = 97
   private val LpaIters = 4
+  /** Autocorrelation probe depth (hourly lags). */
+  private val AcfMaxLag = 6
   private val KhopRounds = 3
   private val KhopSeedMaxPart = 5
 
@@ -685,6 +688,129 @@ object AnalyticsQueries {
               FROM r JOIN nn
                 ON r.user_id = nn.user_id AND r.idx = nn.mx"""),
       "per-user Holt linear trend (α=β=1/4): 2-state ordered fold + 1-step forecast"),
+
+    // Autocorrelation of the hourly revenue series at lags 1..AcfMaxLag —
+    // the seasonality probe a forecasting pipeline runs per snapshot.
+    // ONE corpus pass buckets events to O(hours) exact-cents rows; all
+    // downstream work (lag self-join, moment sums) is O(hours·lags),
+    // independent of the corpus size. Every aggregate is an exact
+    // integer (DECIMAL(38,0) here / HUGEINT in the oracle — Σx² and
+    // Σx·x_lag overflow int64 long before 100 TB); the ACF formula then
+    // runs ONCE in doubles over identical integers on both engines
+    // (the q_agg_corr_matrix determinism argument), so round(6) seals a
+    // bit-identical value. Semantics: textbook estimator with the
+    // GLOBAL mean/variance, numerator over observed (h, h+lag) pairs.
+    Q("q_ts_acf",
+      (s, d) => {
+        val ser = t(s, d, "events")
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+          .agg(sum(cents(col("value"))).as("x"))
+        val tot = ser.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("t"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+            .as("q"))
+        val lags = s.range(1, AcfMaxLag + 1).select(col("id").as("lag"))
+        val pairs = lags.crossJoin(ser.as("a"))
+          .join(ser.as("b"), col("b.h") === col("a.h") + col("lag"))
+          .groupBy("lag").agg(
+            count(lit(1)).as("n_pairs"),
+            sum((col("a.x") * col("b.x")).cast("decimal(38,0)"))
+              .cast("double").as("sab"),
+            sum(col("a.x").cast("decimal(38,0)")).cast("double").as("sa"),
+            sum(col("b.x").cast("decimal(38,0)")).cast("double").as("sb"))
+        pairs.crossJoin(tot).select(
+          col("lag").cast("int").as("lag"), col("n_pairs"),
+          round((col("sab") - col("t") * (col("sa") + col("sb")) / col("n")
+              + col("n_pairs").cast("double") * col("t") * col("t")
+                / col("n") / col("n"))
+            / (col("q") - col("t") * col("t") / col("n")), 6).as("acf6"))
+      },
+      Some(s"""WITH ser AS (
+           |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+           |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |           AS x
+           |  FROM events GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS t,
+           |          CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS q
+           |        FROM ser),
+           |pr AS (SELECT l.lag, count(*) AS n_pairs,
+           |         CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS DOUBLE) AS sab,
+           |         CAST(CAST(sum(a.x) AS HUGEINT) AS DOUBLE) AS sa,
+           |         CAST(CAST(sum(b.x) AS HUGEINT) AS DOUBLE) AS sb
+           |       FROM (SELECT unnest(generate_series(1, $AcfMaxLag))
+           |               AS lag) l
+           |       JOIN ser a ON true
+           |       JOIN ser b ON b.h = a.h + l.lag
+           |       GROUP BY l.lag)
+           |SELECT CAST(lag AS INT) AS lag, n_pairs,
+           |  round((sab - t * (sa + sb) / n
+           |         + CAST(n_pairs AS DOUBLE) * t * t / n / n)
+           |        / (q - t * t / n), 6) AS acf6
+           |FROM pr CROSS JOIN tot""".stripMargin),
+      "hourly-series autocorrelation at lags 1..6 (exact integer moments)"),
+
+    // CUSUM changepoint per event type over the daily cents series: the
+    // day t maximizing |n·prefix_t − t·total| — the classic offline
+    // level-shift detector, kept EXACT by clearing the mean's /n
+    // denominator (s_t = n·Σ_{i≤t}x_i − t·Σx is pure int64; argmax and
+    // tiebreak (earliest day) rank on integers, so the winner is
+    // canonical). The corpus pass is the map-side-combined daily
+    // rollup; the windows run over O(types·days) rows.
+    Q("q_ts_cusum",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val daily = t(s, d, "events")
+          .select(col("event_type"), col("ts").cast("date").as("day"),
+            cents(col("value")).as("c"))
+          .groupBy("event_type", "day").agg(sum("c").as("x"))
+        val pre = daily.select(col("event_type"), col("day"),
+          sum("x").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("prefix"),
+          row_number().over(w).cast("long").as("idx"))
+        val tot = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("t"))
+        val sc = pre.join(broadcast(tot), "event_type")
+          .withColumn("s", col("n") * col("prefix") - col("idx") * col("t"))
+        sc.withColumn("rn", row_number().over(Window
+            .partitionBy("event_type").orderBy(abs(col("s")).desc, col("day"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("n").as("n_days"),
+            col("day").as("cp_day"), abs(col("s")).as("cusum_abs"),
+            round(col("prefix").cast("double") / col("idx"), 6)
+              .as("mean_before6"),
+            when(col("idx") === col("n"), lit(null).cast("double"))
+              .otherwise(round((col("t") - col("prefix")).cast("double")
+                / (col("n") - col("idx")), 6)).as("mean_after6"))
+      },
+      Some("""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |pre AS (SELECT event_type, day,
+           |          CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS prefix,
+           |          CAST(row_number() OVER (PARTITION BY event_type
+           |            ORDER BY day) AS BIGINT) AS idx
+           |        FROM daily),
+           |tot AS (SELECT event_type, count(*) AS n,
+           |          CAST(sum(x) AS BIGINT) AS t
+           |        FROM daily GROUP BY 1),
+           |sc AS (SELECT pre.event_type, day, prefix, idx, n, t,
+           |         n * prefix - idx * t AS s
+           |       FROM pre JOIN tot USING (event_type))
+           |SELECT event_type, n AS n_days, day AS cp_day,
+           |  abs(s) AS cusum_abs,
+           |  round(CAST(prefix AS DOUBLE) / idx, 6) AS mean_before6,
+           |  CASE WHEN idx = n THEN NULL
+           |       ELSE round(CAST(t - prefix AS DOUBLE) / (n - idx), 6)
+           |  END AS mean_after6
+           |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+           |        ORDER BY abs(s) DESC, day) AS rn FROM sc)
+           |WHERE rn = 1""".stripMargin),
+      "CUSUM changepoint per event type: exact-integer argmax of |n·prefix − t·total|"),
 
     // Entity resolution on STRUCTURED records — the catalog twin of the
     // text near-dup pipeline, TWO-LEVEL: exact-duplicate names collapse

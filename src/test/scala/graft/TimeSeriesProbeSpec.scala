@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the q_ts_acf / q_ts_cusum gates, driven
+  * through the registered queries on a synthetic events table (their
+  * sf-data behavior is oracle-checked; this pins the SEMANTICS).
+  */
+class TimeSeriesProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Timestamp, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("tsprobe").toString
+    rows.toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def hour(h: Int): Timestamp =
+    new Timestamp(3600L * 1000 * h)
+
+  test("acf: alternating hourly series gives -(n-1-..)/n at odd lags, + at even") {
+    // 48 hours alternating $10/$20: mean exactly 15, every lag-1 product
+    // -25, every lag-2 product +25 (in $²) -> acf1 = -47/48, acf2 = 46/48
+    val rows = (0 until 48).map(h =>
+      (hour(h), "e", if (h % 2 == 0) 10.0 else 20.0))
+    val out = SparkEntry.queries("q_ts_acf")(spark, writeEvents(rows))
+      .orderBy("lag").collect()
+    assert(out.length === 6)
+    val byLag = out.map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byLag(1) === ((47L, math.round(-47.0 / 48 * 1e6) / 1e6)))
+    assert(byLag(2) === ((46L, math.round(46.0 / 48 * 1e6) / 1e6)))
+    assert(byLag(3)._2 < 0 && byLag(4)._2 > 0)
+  }
+
+  test("cusum: level shift lands the changepoint on the last pre-shift day") {
+    // type a: 10 daily events, $10 for days 0-4 then $20 for days 5-9.
+    // s_t = 10*prefix_t - t*15000 peaks at |s_5| = 25000 (cents).
+    // type b: constant -> every s_t = 0, tie broken to the FIRST day.
+    val rows =
+      (0 until 10).map(d => (hour(d * 24), "a",
+        if (d < 5) 10.0 else 20.0)) ++
+      (0 until 10).map(d => (hour(d * 24), "b", 7.0))
+    val out = SparkEntry.queries("q_ts_cusum")(spark, writeEvents(rows))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) === 10L)                       // n_days
+    assert(a.getDate(2).toString === "1970-01-05")     // cp_day = 5th day
+    assert(a.getLong(3) === 25000L)                    // |s| in n*cents
+    assert(a.getDouble(4) === 1000.0)                  // mean before (cents)
+    assert(a.getDouble(5) === 2000.0)                  // mean after (cents)
+    val b = out("b")
+    assert(b.getLong(3) === 0L)
+    assert(b.getDate(2).toString === "1970-01-01")     // earliest-day tiebreak
+  }
+}
