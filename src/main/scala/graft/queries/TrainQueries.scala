@@ -53,6 +53,40 @@ object TrainQueries {
   val DsirB = graft.operators.Dsir.B // DSIR hash feature buckets
   val DsirTargetMax = 100L // doc_id < 100 = the curated DSIR target corpus
   val DsirK = 100          // DSIR selection size
+  val EncSmooth = 20       // target-encoding shrinkage weight m
+  val EncSliceYear = 1995  // the "new batch" year the apply halves score
+
+  /** orders ⋈ customer fact rolled up to the O(categories) target-encoding
+    * stats table: exact-cents Σy and n per (segment, nation). */
+  private def encodeStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n_cat"),
+        sum(cents(col("o_totalprice"))).as("sum_cat"))
+
+  /** The scored batch: one order year with its category and exact-cents
+    * target attached. */
+  private def encodeSlice(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").filter(year(col("o_orderdate")) === EncSliceYear)
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("c_nationkey"),
+        cents(col("o_totalprice")).as("y"))
+
+  /** oc/g/tot CTE chain: DuckDB twin of [[encodeStats]] + derived totals. */
+  private val duckEncCtes =
+    """oc AS (SELECT o_orderkey, o_orderdate, c_mktsegment, c_nationkey,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |       FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n_cat,
+      |        CAST(sum(y) AS BIGINT) AS sum_cat
+      |      FROM oc GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n_cat) AS BIGINT) AS nn,
+      |          CAST(sum(sum_cat) AS BIGINT) AS tt FROM g)""".stripMargin
+
+  private val duckEncSlice =
+    s"""SELECT o_orderkey, c_mktsegment, c_nationkey, y FROM oc
+       | WHERE year(o_orderdate) = $EncSliceYear""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -716,6 +750,85 @@ object TrainQueries {
            |  ON b.lang = p.lang AND b.n_chars >= p.qv6
            |GROUP BY b.doc_id, b.lang, b.n_chars""".stripMargin),
       "step-ECDF percentile of each doc's feature vs the frozen quantile table"),
+
+    // Smoothed target encoding, PUBLISH half: the per-(segment, nation)
+    // empirical-Bayes mean of order value — enc = (Σy + m·ȳ)/(n + m),
+    // m = EncSmooth (Micci-Barreca 2001, the standard high-cardinality
+    // categorical encoder). ONE corpus pass groups the joined fact; the
+    // global mean derives from the GROUPED artifact (no second scan —
+    // the Dsir totals trick). Sums are exact cents; the shrinkage
+    // formula runs once in doubles over identical integers both sides.
+    Q("q_encode_target",
+      (s, d) => {
+        val g = encodeStats(s, d)
+        val tot = g.agg(sum("n_cat").as("nn"), sum("sum_cat").as("tt"))
+        g.crossJoin(broadcast(tot)).select(
+          col("c_mktsegment"), col("c_nationkey"), col("n_cat"),
+          round((col("sum_cat").cast("double") +
+              lit(EncSmooth) * (col("tt").cast("double") / col("nn").cast("double")))
+            / (col("n_cat").cast("double") + EncSmooth), 6).as("enc6"))
+      },
+      Some(s"""WITH $duckEncCtes
+           |SELECT c_mktsegment, c_nationkey, n_cat,
+           |  round((CAST(sum_cat AS DOUBLE) +
+           |         $EncSmooth * (CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)))
+           |        / (CAST(n_cat AS DOUBLE) + $EncSmooth), 6) AS enc6
+           |FROM g CROSS JOIN tot""".stripMargin),
+      "smoothed target encoding artifact: per-category shrunk mean (m=20)"),
+
+    // APPLY half: a new batch (one order year) picks up its encoded
+    // feature via a broadcast of the O(categories) artifact — the
+    // stateless inference join; the batch never shuffles.
+    Q("q_encode_target_apply",
+      (s, d) => {
+        val g = encodeStats(s, d)
+        val tot = g.agg(sum("n_cat").as("nn"), sum("sum_cat").as("tt"))
+        val enc = g.crossJoin(broadcast(tot)).select(
+          col("c_mktsegment"), col("c_nationkey"),
+          round((col("sum_cat").cast("double") +
+              lit(EncSmooth) * (col("tt").cast("double") / col("nn").cast("double")))
+            / (col("n_cat").cast("double") + EncSmooth), 6).as("enc6"))
+        encodeSlice(s, d)
+          .join(broadcast(enc), Seq("c_mktsegment", "c_nationkey"))
+          .select(col("o_orderkey"), col("c_mktsegment"),
+            col("c_nationkey"), col("enc6"))
+      },
+      Some(s"""WITH $duckEncCtes,
+           |enc AS (SELECT c_mktsegment, c_nationkey,
+           |  round((CAST(sum_cat AS DOUBLE) +
+           |         $EncSmooth * (CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)))
+           |        / (CAST(n_cat AS DOUBLE) + $EncSmooth), 6) AS enc6
+           |  FROM g CROSS JOIN tot)
+           |SELECT s.o_orderkey, s.c_mktsegment, s.c_nationkey, enc6
+           |FROM ($duckEncSlice) s
+           |JOIN enc USING (c_mktsegment, c_nationkey)""".stripMargin),
+      "target-encoded feature for a new batch via the broadcast artifact"),
+
+    // Leave-one-out variant on the training slice itself: each row's
+    // own target leaves the numerator and count — the leakage-free
+    // train-time encoding (loo = (Σy − yᵢ + m·ȳ)/(n − 1 + m)). Same
+    // broadcast-artifact shape; the subtraction is exact cents per row.
+    Q("q_encode_target_loo",
+      (s, d) => {
+        val g = encodeStats(s, d)
+        val tot = g.agg(sum("n_cat").as("nn"), sum("sum_cat").as("tt"))
+        encodeSlice(s, d)
+          .join(broadcast(g.crossJoin(broadcast(tot))),
+            Seq("c_mktsegment", "c_nationkey"))
+          .select(col("o_orderkey"), col("c_mktsegment"), col("c_nationkey"),
+            round(((col("sum_cat") - col("y")).cast("double") +
+                lit(EncSmooth) * (col("tt").cast("double") / col("nn").cast("double")))
+              / ((col("n_cat") - 1).cast("double") + EncSmooth), 6)
+              .as("loo6"))
+      },
+      Some(s"""WITH $duckEncCtes
+           |SELECT s.o_orderkey, s.c_mktsegment, s.c_nationkey,
+           |  round((CAST(sum_cat - s.y AS DOUBLE) +
+           |         $EncSmooth * (CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)))
+           |        / (CAST(n_cat - 1 AS DOUBLE) + $EncSmooth), 6) AS loo6
+           |FROM ($duckEncSlice) s
+           |JOIN g USING (c_mktsegment, c_nationkey) CROSS JOIN tot""".stripMargin),
+      "leave-one-out target encoding on the training slice (leakage-free)"),
 
     // ---------- cumulative-distribution windows ----------
     Q("q_win_cume",

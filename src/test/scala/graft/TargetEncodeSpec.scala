@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Date
+
+/** Hand-computed fixture for the target-encoding gates: shrinkage toward
+  * the global mean, and the leave-one-out leakage guarantee (a singleton
+  * category's LOO row sees ONLY the prior). */
+class TargetEncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("tenc").toString
+    // cat A (seg A, nation 0): orders $10 + $20; cat B: one order $40
+    Seq((1L, "A", 0L), (2L, "A", 0L), (3L, "B", 0L))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+      .write.parquet(s"$d/customer.parquet")
+    Seq((101L, 1L, 10.0, Date.valueOf("1995-03-01")),
+        (102L, 2L, 20.0, Date.valueOf("1995-06-01")),
+        (103L, 3L, 40.0, Date.valueOf("1995-09-01")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.parquet(s"$d/orders.parquet")
+    d
+  }
+
+  private val m = 20.0
+  private val gmean = 7000.0 / 3 // cents
+
+  test("publish shrinks each category mean toward the global mean") {
+    val enc = SparkEntry.queries("q_encode_target")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(enc("A")._1 === 2L)
+    assert(enc("A")._2 ===
+      math.round((3000.0 + m * gmean) / (2 + m) * 1e6) / 1e6)
+    // the singleton category sits MUCH closer to the prior than its raw 4000
+    assert(enc("B")._2 ===
+      math.round((4000.0 + m * gmean) / (1 + m) * 1e6) / 1e6)
+    assert(math.abs(enc("B")._2 - gmean) < math.abs(4000.0 - gmean) / 10)
+  }
+
+  test("LOO drops the row's own target; a singleton sees only the prior") {
+    val loo = SparkEntry.queries("q_encode_target_loo")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(loo(101L) ===
+      math.round((3000.0 - 1000.0 + m * gmean) / (1 + m) * 1e6) / 1e6)
+    assert(loo(102L) ===
+      math.round((3000.0 - 2000.0 + m * gmean) / (1 + m) * 1e6) / 1e6)
+    // order 103 is category B's only member: its LOO is exactly the prior
+    assert(loo(103L) === math.round(gmean * 1e6) / 1e6)
+  }
+
+  test("apply scores the year slice through the broadcast artifact") {
+    val ap = SparkEntry.queries("q_encode_target_apply")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ap.keySet === Set(101L, 102L, 103L))
+    // apply uses the FULL-corpus artifact (row's own y included)
+    assert(ap(101L) === ap(102L))
+    assert(ap(103L) ===
+      math.round((4000.0 + m * gmean) / (1 + m) * 1e6) / 1e6)
+  }
+}
