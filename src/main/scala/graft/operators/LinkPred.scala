@@ -54,12 +54,16 @@ object LinkPred {
       .distinct())
     val adj = e.select(col("u").as("w"), col("v").as("x"))
       .union(e.select(col("v").as("w"), col("u").as("x")))
-    val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    // deg is read 3x (wedge centers + both score-side lookups): persist
+    // the O(nodes) table or the adjacency shuffle repeats per reference
+    val deg = graft.core.CacheScope.autoRelease(
+      adj.groupBy("w").agg(count(lit(1)).as("deg")))
     // wedge centers carry their own degree; the RA weight is computed
-    // per adjacency row BEFORE the self-join so the join only moves longs
-    val ctr = adj.join(deg, "w")
+    // per adjacency row BEFORE the self-join so the join only moves
+    // longs. Persisted: the self-join reads it from both sides.
+    val ctr = graft.core.CacheScope.autoRelease(adj.join(deg, "w")
       .filter(col("deg") <= maxDeg)
-      .select(col("w"), col("x"), expr(s"$RaScale div deg").as("ra_w"))
+      .select(col("w"), col("x"), expr(s"$RaScale div deg").as("ra_w")))
     val cand = ctr.as("a")
       .join(ctr.as("b"),
         col("a.w") === col("b.w") && col("a.x") < col("b.x"))

@@ -702,9 +702,12 @@ object AnalyticsQueries {
     // GLOBAL mean/variance, numerator over observed (h, h+lag) pairs.
     Q("q_ts_acf",
       (s, d) => {
-        val ser = t(s, d, "events")
+        // ser is read 3x (both lag-join sides + totals): persist the
+        // O(hours) bucketed series or the corpus pass repeats per
+        // reference (ExplainAudit showed 3 parquet scans unpersisted)
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
           .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
-          .agg(sum(cents(col("value"))).as("x"))
+          .agg(sum(cents(col("value"))).as("x")))
         val tot = ser.agg(
           count(lit(1)).cast("double").as("n"),
           sum(col("x").cast("decimal(38,0)")).cast("double").as("t"),
@@ -761,10 +764,12 @@ object AnalyticsQueries {
     Q("q_ts_cusum",
       (s, d) => {
         val w = Window.partitionBy("event_type").orderBy("day")
-        val daily = t(s, d, "events")
+        // daily feeds both the prefix window and the totals: persist the
+        // O(types·days) rollup so the corpus pass runs once
+        val daily = graft.core.CacheScope.autoRelease(t(s, d, "events")
           .select(col("event_type"), col("ts").cast("date").as("day"),
             cents(col("value")).as("c"))
-          .groupBy("event_type", "day").agg(sum("c").as("x"))
+          .groupBy("event_type", "day").agg(sum("c").as("x")))
         val pre = daily.select(col("event_type"), col("day"),
           sum("x").over(w.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)).as("prefix"),

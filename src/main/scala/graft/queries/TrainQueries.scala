@@ -57,13 +57,15 @@ object TrainQueries {
   val EncSliceYear = 1995  // the "new batch" year the apply halves score
 
   /** orders ⋈ customer fact rolled up to the O(categories) target-encoding
-    * stats table: exact-cents Σy and n per (segment, nation). */
+    * stats table: exact-cents Σy and n per (segment, nation). Persisted —
+    * every caller reads it at least twice (stats + derived totals), and
+    * each unpersisted reference would repeat the corpus join. */
   private def encodeStats(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
+    graft.core.CacheScope.autoRelease(t(s, d, "orders")
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "c_nationkey")
       .agg(count(lit(1)).as("n_cat"),
-        sum(cents(col("o_totalprice"))).as("sum_cat"))
+        sum(cents(col("o_totalprice"))).as("sum_cat")))
 
   /** The scored batch: one order year with its category and exact-cents
     * target attached. */
