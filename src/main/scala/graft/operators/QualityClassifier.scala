@@ -46,20 +46,25 @@ object QualityClassifier {
     w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Stateless scoring of `docs` (needs doc_id, text) against frozen
-    * weights: (doc_id, score_ppm, keep). Documents with no tokens are
-    * dropped (no denominator). */
-  def score(wmap: Map[Long, Long], docs: DataFrame): DataFrame = {
+    * weights: (doc_id[, carry...], score_ppm, keep). Documents with no
+    * tokens are dropped (no denominator). `carry` columns of `docs` ride
+    * through unchanged — an evaluation caller keeps its label column
+    * without a corpus-scale doc_id re-join. */
+  def score(wmap: Map[Long, Long], docs: DataFrame,
+            carry: Seq[String] = Nil): DataFrame = {
     val m = typedLit(wmap)
+    val cs = carry.map(col)
     docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: cs :+
+        TextFunctions.tokens(col("text")).as("toks"): _*)
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: cs :+
         aggregate(col("toks"), lit(0L),
           (acc, tk) => acc + coalesce(element_at(m, bucketOf(tk)), lit(0L)))
-          .as("tot_ppm"),
-        size(col("toks")).cast("long").as("n_toks"))
-      .selectExpr("doc_id", "tot_ppm div n_toks AS score_ppm")
-      .select(col("doc_id"), col("score_ppm"),
-        (col("score_ppm") >= KeepPpm).as("keep"))
+          .as("tot_ppm") :+
+        size(col("toks")).cast("long").as("n_toks"): _*)
+      .withColumn("score_ppm", expr("tot_ppm div n_toks"))
+      .select(col("doc_id") +: cs :+ col("score_ppm") :+
+        (col("score_ppm") >= KeepPpm).as("keep"): _*)
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -96,6 +97,30 @@ object WebQueries {
        |       score_ppm >= $KeepPpm AS keep
        |FROM sc""".stripMargin
 
+  /** Held-out evaluation CTE chain: frozen weights from the history
+    * slice, scores + labels on the batch, per-distinct-score
+    * positive/negative counts (`bys`) and their totals (`tots`) —
+    * the shared prefix of the three q_eval_* oracles. */
+  private val duckEvalCtes: String =
+    s"""${duckWeights(s"doc_id < $ApplySplit")},
+       |dtoks AS (SELECT doc_id, lang = 'en' AS label,
+       |            unnest(${LlmQueries.duckTokens("text")}) AS tok
+       |          FROM documents WHERE doc_id >= $ApplySplit),
+       |sc AS (SELECT doc_id, label,
+       |         CAST(sum(coalesce(w_ppm, 0)) // count(*) AS BIGINT)
+       |           AS score_ppm
+       |       FROM (SELECT doc_id, label, ${duckBucket("tok")} AS bucket
+       |             FROM dtoks) d
+       |       LEFT JOIN w USING (bucket) GROUP BY doc_id, label),
+       |bys AS (SELECT score_ppm,
+       |          CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS p_s,
+       |          CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT)
+       |            AS q_s
+       |        FROM sc GROUP BY score_ppm),
+       |tots AS (SELECT CAST(sum(p_s) AS BIGINT) AS pp,
+       |           CAST(sum(q_s) AS BIGINT) AS nn FROM bys)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---------- URL canonicalization ----------
@@ -150,5 +175,135 @@ object WebQueries {
       Some(s"""WITH ${duckWeights(s"doc_id < $ApplySplit")},
                ${duckScore(s"doc_id >= $ApplySplit")}"""),
       "frozen quality-classifier weights applied statelessly to a new batch"),
+
+    // ---------- classifier evaluation: AUC / ROC / calibration ----------
+    // The eval layer every quality filter needs before its threshold
+    // ships: weights frozen on the history slice, scored on the HELD-OUT
+    // batch, labels = the reference predicate the weights were trained
+    // toward. All three gates aggregate the scored batch to a stats
+    // table whose size is bounded by the ppm GRID (≤ WeightScale+1
+    // distinct scores) — corpus-size-independent, so the global windows
+    // below never sort more than ~1e6 rows at any SF. Every count is an
+    // exact long; the single rate division runs once in doubles over
+    // identical integers on both engines.
+
+    // Tie-corrected Mann-Whitney AUC: 2U = Σ_s p_s·(2·q_below + q_s)
+    // over distinct scores s ascending (ties contribute half — the
+    // midrank convention), AUC = U / (P·N). One row.
+    Q("q_eval_auc",
+      (s, d) => {
+        val bys = evalByScore(s, d)
+        val wAsc = Window.orderBy("score_ppm")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val u2 = bys
+          .withColumn("qb", coalesce(sum("q_s").over(wAsc), lit(0L)))
+          .agg(sum((col("p_s") * (lit(2) * col("qb") + col("q_s")))
+            .cast("decimal(38,0)")).cast("double").as("u2"))
+        val tots = bys.agg(sum("p_s").as("pp"), sum("q_s").as("nn"))
+        u2.crossJoin(broadcast(tots)).select(
+          col("pp").as("n_pos"), col("nn").as("n_neg"),
+          round(col("u2") / (lit(2) * col("pp").cast("double")
+            * col("nn").cast("double")), 6).as("auc6"))
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |cb AS (SELECT p_s, q_s,
+           |         coalesce(sum(q_s) OVER (ORDER BY score_ppm
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |           0) AS qb
+           |       FROM bys)
+           |SELECT pp AS n_pos, nn AS n_neg,
+           |  round(CAST(sum(p_s * (2 * qb + q_s)) AS DOUBLE)
+           |        / (2 * CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+           |    AS auc6
+           |FROM cb CROSS JOIN tots GROUP BY pp, nn""".stripMargin),
+      "held-out AUC of the frozen quality classifier (tie-corrected Mann-Whitney)"),
+
+    // Full ROC curve: one point per distinct score threshold (predict
+    // positive at score ≥ t), cumulative TP/FP descending + exact-
+    // integer-fed rates. O(distinct ppm scores) rows.
+    Q("q_eval_roc",
+      (s, d) => {
+        val bys = evalByScore(s, d)
+        val wDesc = Window.orderBy(col("score_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tots = bys.agg(sum("p_s").as("pp"), sum("q_s").as("nn"))
+        bys
+          .withColumn("cum_tp", sum("p_s").over(wDesc))
+          .withColumn("cum_fp", sum("q_s").over(wDesc))
+          .crossJoin(broadcast(tots))
+          .select(col("score_ppm").as("thr_ppm"),
+            col("cum_tp"), col("cum_fp"),
+            round(col("cum_tp").cast("double") / col("pp"), 6).as("tpr6"),
+            round(col("cum_fp").cast("double") / col("nn"), 6).as("fpr6"))
+      },
+      Some(s"""WITH $duckEvalCtes
+           |SELECT score_ppm AS thr_ppm,
+           |  CAST(sum(p_s) OVER wd AS BIGINT) AS cum_tp,
+           |  CAST(sum(q_s) OVER wd AS BIGINT) AS cum_fp,
+           |  round(CAST(sum(p_s) OVER wd AS DOUBLE) / pp, 6) AS tpr6,
+           |  round(CAST(sum(q_s) OVER wd AS DOUBLE) / nn, 6) AS fpr6
+           |FROM bys CROSS JOIN tots
+           |WINDOW wd AS (ORDER BY score_ppm DESC
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+      "held-out ROC curve: cumulative TP/FP per distinct score threshold"),
+
+    // Reliability diagram: 10 equal-width bins over the OBSERVED score
+    // range (the hashed classifier's per-doc means concentrate in a few
+    // percent of the ppm axis, so fixed deciles would collapse to one
+    // bin) — per bin, observed positive rate vs mean predicted score.
+    // Derived entirely from the bounded per-score table: bin index
+    // `(s − mn)·10 div (mx − mn + 1)` is pure integer arithmetic, so
+    // bins are engine-exact; the corpus is never re-read.
+    Q("q_eval_calibration",
+      (s, d) => {
+        val bys = evalByScore(s, d)
+        val rng = bys.agg(min("score_ppm").as("mn"), max("score_ppm").as("mx"))
+        bys.crossJoin(broadcast(rng))
+          .groupBy(expr("((score_ppm - mn) * 10) div (mx - mn + 1)")
+            .cast("int").as("bin"))
+          .agg(sum(col("p_s") + col("q_s")).as("n"),
+            sum("p_s").as("n_pos"),
+            sum(col("score_ppm") * (col("p_s") + col("q_s"))).as("ss"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            round(col("ss").cast("double") / col("n") / WeightScale, 6)
+              .as("mean_pred6"),
+            round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate6"))
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |rng AS (SELECT min(score_ppm) AS mn, max(score_ppm) AS mx
+           |        FROM bys),
+           |gb AS (SELECT CAST(((score_ppm - mn) * 10) // (mx - mn + 1)
+           |           AS INT) AS bin,
+           |         CAST(sum(p_s + q_s) AS BIGINT) AS n,
+           |         CAST(sum(p_s) AS BIGINT) AS n_pos,
+           |         CAST(sum(score_ppm * (p_s + q_s)) AS BIGINT) AS ss
+           |       FROM bys CROSS JOIN rng GROUP BY 1)
+           |SELECT bin, n, n_pos,
+           |  round(CAST(ss AS DOUBLE) / n / $WeightScale, 6) AS mean_pred6,
+           |  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate6
+           |FROM gb""".stripMargin),
+      "reliability diagram: observed positive rate vs mean prediction, range-binned"),
   )
+
+  /** Held-out scored batch with labels: frozen weights from the history
+    * slice applied to doc_id ≥ ApplySplit, label riding through the
+    * stateless scorer (no doc_id re-join). */
+  private def evalScored(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val frozen = QualityClassifier.collectWeights(QualityClassifier.weights(
+      docs.filter(col("doc_id") < ApplySplit), col("lang") === "en"))
+    QualityClassifier.score(frozen,
+      docs.filter(col("doc_id") >= ApplySplit)
+        .withColumn("label", col("lang") === "en"),
+      carry = Seq("label"))
+  }
+
+  /** Per-distinct-score (p_s, q_s) counts — ≤ WeightScale+1 rows at any
+    * corpus size (the ppm grid bounds it). Persisted: AUC/ROC read it
+    * twice (cumulative window + totals). */
+  private def evalByScore(s: SparkSession, d: String): DataFrame =
+    graft.core.CacheScope.autoRelease(evalScored(s, d)
+      .groupBy("score_ppm")
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("p_s"),
+        sum(when(col("label"), 0L).otherwise(1L)).as("q_s")))
 }

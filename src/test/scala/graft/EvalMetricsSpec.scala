@@ -1,0 +1,62 @@
+package graft
+
+/** Classifier-evaluation semantics: a perfectly separable corpus must
+  * score AUC 1.0 end-to-end, and on real data the trapezoidal area under
+  * the gate's own ROC points must equal the tie-corrected Mann-Whitney
+  * AUC (the midrank convention makes these IDENTICAL, not approximate —
+  * a differential between two independent formulations). */
+class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sepDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("evalfix").toString
+    // train slice (doc_id < 400): en docs say alpha/beta, de docs
+    // gamma/delta; held-out (>= 400) repeats the pattern -> en scores
+    // 1e6 ppm, de scores 0 (assuming the 4 tokens land in >=2 buckets
+    // with no en/de collision — asserted via the AUC itself)
+    val docs =
+      (0 until 10).map(i => (i.toLong, "alpha beta alpha", "en")) ++
+      (10 until 20).map(i => (i.toLong, "gamma delta gamma", "de")) ++
+      (400 until 410).map(i => (i.toLong, "beta alpha", "en")) ++
+      (410 until 420).map(i => (i.toLong, "delta gamma", "de"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("perfectly separable held-out batch scores AUC 1.0 with a 2-point ROC") {
+    val auc = SparkEntry.queries("q_eval_auc")(spark, sepDir).collect()
+    assert(auc.length === 1)
+    assert(auc.head.getLong(0) === 10L) // n_pos
+    assert(auc.head.getLong(1) === 10L) // n_neg
+    assert(auc.head.getDouble(2) === 1.0)
+    val roc = SparkEntry.queries("q_eval_roc")(spark, sepDir)
+      .orderBy("thr_ppm").collect()
+    assert(roc.length === 2)
+    // descending-threshold cut at the en score: TP=10 FP=0
+    assert(roc.last.getLong(1) === 10L && roc.last.getLong(2) === 0L)
+    assert(roc.head.getDouble(3) === 1.0 && roc.head.getDouble(4) === 1.0)
+  }
+
+  test("calibration bins partition the held-out batch; extremes calibrate") {
+    val cal = SparkEntry.queries("q_eval_calibration")(spark, sepDir)
+      .orderBy("bin").collect()
+    assert(cal.map(_.getLong(1)).sum === 20L)
+    assert(cal.head.getInt(0) === 0 && cal.head.getDouble(4) === 0.0)
+    assert(cal.last.getInt(0) === 9 && cal.last.getDouble(4) === 1.0)
+  }
+
+  test("trapezoidal area under q_eval_roc equals the Mann-Whitney AUC (sf0.001)") {
+    val auc = SparkEntry.queries("q_eval_auc")(spark, sf0001)
+      .collect().head.getDouble(2)
+    val pts = SparkEntry.queries("q_eval_roc")(spark, sf0001)
+      .select("fpr6", "tpr6").as[(Double, Double)].collect()
+      .sortBy(identity)
+    val withOrigin = ((0.0, 0.0) +: pts.toSeq).toVector
+    val trap = withOrigin.sliding(2).collect {
+      case Vector((x0, y0), (x1, y1)) => (x1 - x0) * (y0 + y1) / 2
+    }.sum
+    // both sides round @6 per point, so allow accumulated rounding only
+    assert(math.abs(trap - auc) < 1e-3, s"trap=$trap auc=$auc")
+  }
+}
