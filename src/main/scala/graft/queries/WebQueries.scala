@@ -100,26 +100,36 @@ object WebQueries {
   /** Held-out evaluation CTE chain: frozen weights from the history
     * slice, scores + labels on the batch, per-distinct-score
     * positive/negative counts (`bys`) and their totals (`tots`) —
-    * the shared prefix of the three q_eval_* oracles. */
-  private val duckEvalCtes: String =
+    * the shared prefix of the q_eval_* oracles. `extra` threads an
+    * additional slice column (e.g. `source`) through every level,
+    * turning the whole chain per-slice. */
+  private def duckEvalChain(extra: String): String = {
+    val sel = if (extra.isEmpty) "" else s"$extra, "
+    val grp = if (extra.isEmpty) "" else s", $extra"
     s"""${duckWeights(s"doc_id < $ApplySplit")},
-       |dtoks AS (SELECT doc_id, lang = 'en' AS label,
+       |dtoks AS (SELECT doc_id, ${sel}lang = 'en' AS label,
        |            unnest(${LlmQueries.duckTokens("text")}) AS tok
        |          FROM documents WHERE doc_id >= $ApplySplit),
-       |sc AS (SELECT doc_id, label,
+       |sc AS (SELECT doc_id, ${sel}label,
        |         CAST(sum(coalesce(w_ppm, 0)) // count(*) AS BIGINT)
        |           AS score_ppm
-       |       FROM (SELECT doc_id, label, ${duckBucket("tok")} AS bucket
+       |       FROM (SELECT doc_id, ${sel}label, ${duckBucket("tok")}
+       |               AS bucket
        |             FROM dtoks) d
-       |       LEFT JOIN w USING (bucket) GROUP BY doc_id, label),
-       |bys AS (SELECT score_ppm,
+       |       LEFT JOIN w USING (bucket) GROUP BY doc_id, label$grp),
+       |bys AS (SELECT ${sel}score_ppm,
        |          CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
        |            AS p_s,
        |          CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT)
        |            AS q_s
-       |        FROM sc GROUP BY score_ppm),
-       |tots AS (SELECT CAST(sum(p_s) AS BIGINT) AS pp,
-       |           CAST(sum(q_s) AS BIGINT) AS nn FROM bys)""".stripMargin
+       |        FROM sc GROUP BY score_ppm$grp),
+       |tots AS (SELECT ${sel}CAST(sum(p_s) AS BIGINT) AS pp,
+       |           CAST(sum(q_s) AS BIGINT) AS nn FROM bys
+       |         ${if (extra.isEmpty) "" else s"GROUP BY $extra"})"""
+      .stripMargin
+  }
+
+  private val duckEvalCtes: String = duckEvalChain("")
 
   val all: Seq[Q] = Seq(
 
@@ -283,20 +293,117 @@ object WebQueries {
            |  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate6
            |FROM gb""".stripMargin),
       "reliability diagram: observed positive rate vs mean prediction, range-binned"),
+
+    // Best-F1 operating point: sweep every distinct score threshold
+    // (predict positive at score ≥ t) and keep the F1 argmax. TP/FP/FN
+    // are exact longs from the cumulative windows; precision/recall/F1
+    // are one double division each over identical integers, and the
+    // argmax ranks on (rounded F1 desc, threshold asc) — the house
+    // rounded-score ranking convention, canonical on both engines.
+    Q("q_eval_f1",
+      (s, d) => {
+        val bys = evalByScore(s, d)
+        val wDesc = Window.orderBy(col("score_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tots = bys.agg(sum("p_s").as("pp"), sum("q_s").as("nn"))
+        val pts = bys
+          .withColumn("tp", sum("p_s").over(wDesc))
+          .withColumn("fp", sum("q_s").over(wDesc))
+          .crossJoin(broadcast(tots))
+          .select(col("score_ppm").as("thr_ppm"), col("tp"), col("fp"),
+            (col("pp") - col("tp")).as("fn"), col("pp"))
+        val f = pts.select(col("thr_ppm"), col("tp"), col("fp"), col("fn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+            .as("prec6"),
+          round(col("tp").cast("double") / col("pp"), 6).as("rec6"),
+          round((col("tp") * 2).cast("double")
+            / (col("tp") * 2 + col("fp") + col("fn")).cast("double"), 6)
+            .as("f16"))
+        f.withColumn("rn", row_number().over(
+            Window.orderBy(col("f16").desc, col("thr_ppm"))))
+          .filter(col("rn") === 1).drop("rn")
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |pts AS (SELECT score_ppm AS thr_ppm,
+           |          CAST(sum(p_s) OVER wd AS BIGINT) AS tp,
+           |          CAST(sum(q_s) OVER wd AS BIGINT) AS fp
+           |        FROM bys
+           |        WINDOW wd AS (ORDER BY score_ppm DESC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |f AS (SELECT thr_ppm, tp, fp, pp - tp AS fn,
+           |        round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec6,
+           |        round(CAST(tp AS DOUBLE) / pp, 6) AS rec6,
+           |        round(CAST(tp * 2 AS DOUBLE)
+           |              / CAST(tp * 2 + fp + (pp - tp) AS DOUBLE), 6)
+           |          AS f16
+           |      FROM pts CROSS JOIN tots)
+           |SELECT thr_ppm, tp, fp, fn, prec6, rec6, f16
+           |FROM (SELECT *, row_number() OVER
+           |        (ORDER BY f16 DESC, thr_ppm) AS rn FROM f)
+           |WHERE rn = 1""".stripMargin),
+      "best-F1 operating point over the full threshold sweep (exact counts)"),
+
+    // Slice evaluation: the SAME frozen classifier scored per source —
+    // the fairness/robustness report a filter ships with (a global AUC
+    // can hide a slice where the classifier is a coin flip). The whole
+    // chain (scores → per-score counts → windows → totals) is keyed by
+    // slice, so the windows parallelize across slices; degenerate
+    // slices (no positives or no negatives) are excluded on BOTH sides.
+    Q("q_eval_auc_sliced",
+      (s, d) => {
+        val bys = graft.core.CacheScope.autoRelease(
+          evalScoredWith(s, d, Seq("label", "source"))
+            .groupBy("source", "score_ppm")
+            .agg(sum(when(col("label"), 1L).otherwise(0L)).as("p_s"),
+              sum(when(col("label"), 0L).otherwise(1L)).as("q_s")))
+        val wAsc = Window.partitionBy("source").orderBy("score_ppm")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tots = bys.groupBy("source")
+          .agg(sum("p_s").as("pp"), sum("q_s").as("nn"))
+        bys
+          .withColumn("qb", coalesce(sum("q_s").over(wAsc), lit(0L)))
+          .join(broadcast(tots), "source")
+          .filter(col("pp") > 0 && col("nn") > 0)
+          .groupBy("source", "pp", "nn")
+          .agg(sum((col("p_s") * (lit(2) * col("qb") + col("q_s")))
+            .cast("decimal(38,0)")).cast("double").as("u2"))
+          .select(col("source"), col("pp").as("n_pos"), col("nn").as("n_neg"),
+            round(col("u2") / (lit(2) * col("pp").cast("double")
+              * col("nn").cast("double")), 6).as("auc6"))
+      },
+      Some(s"""WITH ${duckEvalChain("source")},
+           |cb AS (SELECT source, p_s, q_s,
+           |         coalesce(sum(q_s) OVER (PARTITION BY source
+           |           ORDER BY score_ppm
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |           0) AS qb
+           |       FROM bys)
+           |SELECT cb.source, pp AS n_pos, nn AS n_neg,
+           |  round(CAST(sum(p_s * (2 * qb + q_s)) AS DOUBLE)
+           |        / (2 * CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+           |    AS auc6
+           |FROM cb JOIN tots USING (source)
+           |WHERE pp > 0 AND nn > 0
+           |GROUP BY cb.source, pp, nn""".stripMargin),
+      "per-slice AUC of the frozen classifier (degenerate slices excluded)"),
   )
 
   /** Held-out scored batch with labels: frozen weights from the history
-    * slice applied to doc_id ≥ ApplySplit, label riding through the
-    * stateless scorer (no doc_id re-join). */
-  private def evalScored(s: SparkSession, d: String): DataFrame = {
+    * slice applied to doc_id ≥ ApplySplit, label (and any extra slice
+    * columns) riding through the stateless scorer (no doc_id re-join). */
+  private def evalScoredWith(s: SparkSession, d: String,
+                             carry: Seq[String]): DataFrame = {
     val docs = t(s, d, "documents")
     val frozen = QualityClassifier.collectWeights(QualityClassifier.weights(
       docs.filter(col("doc_id") < ApplySplit), col("lang") === "en"))
     QualityClassifier.score(frozen,
       docs.filter(col("doc_id") >= ApplySplit)
         .withColumn("label", col("lang") === "en"),
-      carry = Seq("label"))
+      carry = carry)
   }
+
+  private def evalScored(s: SparkSession, d: String): DataFrame =
+    evalScoredWith(s, d, Seq("label"))
 
   /** Per-distinct-score (p_s, q_s) counts — ≤ WeightScale+1 rows at any
     * corpus size (the ppm grid bounds it). Persisted: AUC/ROC read it

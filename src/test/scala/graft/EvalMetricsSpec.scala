@@ -15,11 +15,13 @@ class EvalMetricsSpec extends SparkSpec {
     // 1e6 ppm, de scores 0 (assuming the 4 tokens land in >=2 buckets
     // with no en/de collision — asserted via the AUC itself)
     val docs =
-      (0 until 10).map(i => (i.toLong, "alpha beta alpha", "en")) ++
-      (10 until 20).map(i => (i.toLong, "gamma delta gamma", "de")) ++
-      (400 until 410).map(i => (i.toLong, "beta alpha", "en")) ++
-      (410 until 420).map(i => (i.toLong, "delta gamma", "de"))
-    docs.toDF("doc_id", "text", "lang")
+      (0 until 10).map(i => (i.toLong, "alpha beta alpha", "en", "s1")) ++
+      (10 until 20).map(i => (i.toLong, "gamma delta gamma", "de", "s1")) ++
+      (400 until 410).map(i =>
+        (i.toLong, "beta alpha", "en", if (i < 405) "s1" else "s2")) ++
+      (410 until 420).map(i =>
+        (i.toLong, "delta gamma", "de", if (i < 415) "s1" else "s2"))
+    docs.toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$d/documents.parquet")
     d
   }
@@ -44,6 +46,24 @@ class EvalMetricsSpec extends SparkSpec {
     assert(cal.map(_.getLong(1)).sum === 20L)
     assert(cal.head.getInt(0) === 0 && cal.head.getDouble(4) === 0.0)
     assert(cal.last.getInt(0) === 9 && cal.last.getDouble(4) === 1.0)
+  }
+
+  test("best-F1 point on the separable corpus is the perfect cut") {
+    val f1 = SparkEntry.queries("q_eval_f1")(spark, sepDir).collect().head
+    assert(f1.getLong(1) === 10L) // tp
+    assert(f1.getLong(2) === 0L)  // fp
+    assert(f1.getLong(3) === 0L)  // fn
+    assert(f1.getDouble(4) === 1.0 && f1.getDouble(5) === 1.0 &&
+      f1.getDouble(6) === 1.0)
+  }
+
+  test("sliced AUC evaluates each source independently (both separable)") {
+    val sl = SparkEntry.queries("q_eval_auc_sliced")(spark, sepDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(sl.keySet === Set("s1", "s2"))
+    assert(sl("s1") === ((5L, 5L, 1.0)))
+    assert(sl("s2") === ((5L, 5L, 1.0)))
   }
 
   test("trapezoidal area under q_eval_roc equals the Mann-Whitney AUC (sf0.001)") {
