@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming twin of the target-encoding apply: the encoding table is a
+  * FROZEN parquet artifact published by the batch half; each incoming
+  * microbatch of orders picks up its category via a stream-static join
+  * with the customer dimension and its encoded feature via a broadcast
+  * of the O(categories) artifact — stateless between batches. Pinned:
+  * per-batch output equals the batch-mode join over exactly that
+  * batch's orders. */
+class EncodeStreamSpec extends SparkSpec {
+
+  test("per-microbatch encoded features from the frozen artifact ≡ batch join") {
+    val work = Files.createTempDirectory("graft_enc_stream").toString
+
+    // PUBLISH once from the standing corpus (the gate itself)
+    graft.SparkEntry.queries("q_encode_target")(spark, sf0001)
+      .write.parquet(s"$work/enc")
+    val enc = spark.read.parquet(s"$work/enc")
+      .select("c_mktsegment", "c_nationkey", "enc6")
+    val customer = Tables.load(spark, sf0001, "customer")
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey")
+    orders.repartition(3).write.parquet(s"$work/in")
+
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def encode(df: DataFrame): DataFrame =
+      df.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(enc), Seq("c_mktsegment", "c_nationkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          col("c_nationkey"), col("enc6"))
+
+    val stream = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          batches.add(id ->
+            df.select("o_orderkey").collect().map(_.getLong(0)).toSeq)
+          encode(df).withColumn("batch", lit(id))
+            .write.mode("append").parquet(s"$work/out")
+        }
+      }
+      .option("checkpointLocation", s"$work/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(batches.size >= 2,
+      s"replay collapsed to ${batches.size} microbatch(es) — nothing streamed")
+    val got = spark.read.parquet(s"$work/out")
+    assert(got.count() > 0, "vacuous: the encoder emitted nothing")
+    batches.asScala.foreach { case (id, ids) =>
+      val want = encode(orders.filter(col("o_orderkey").isin(ids: _*)))
+      val g = got.filter(col("batch") === id).drop("batch")
+      val w = want.select(g.columns.map(col).toSeq: _*)
+      val diff = g.exceptAll(w).count() + w.exceptAll(g).count()
+      assert(diff == 0,
+        s"batch $id: streamed encodings differ from batch join ($diff rows)")
+    }
+  }
+}
