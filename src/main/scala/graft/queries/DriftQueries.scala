@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.TextFunctions
 import graft.operators.Drift
 
 /** Corpus drift / slice-divergence diagnostics (operators/Drift.scala):
@@ -15,6 +17,7 @@ import graft.operators.Drift
 object DriftQueries {
   import LlmQueries.duckTokens
 
+  val ZipfK = 1000      // rank-frequency fit depth
   val DriftMinCount = 5 // divergent-term support floor
   val DriftTopK = 15    // divergent terms reported per slice
 
@@ -158,6 +161,113 @@ object DriftQueries {
            |        (PARTITION BY source ORDER BY z6 DESC, term) AS rn
            |      FROM z)
            |WHERE rn <= $DriftTopK""".stripMargin),
-      "top divergent terms per slice (smoothed log-odds z-score)")
+      "top divergent terms per slice (smoothed log-odds z-score)"),
+
+    // Zipf rank-frequency fit over the top-K terms: least-squares slope
+    // of ln(count) on ln(rank) — the one-row corpus-health signature
+    // (natural text ≈ −1; template/boilerplate floods flatten it, spam
+    // tails steepen it). Top-K is a TakeOrdered (per-partition heap +
+    // merge, never a full vocab sort); each ln is rounded to 1e-6 fixed
+    // point PER ROW (the house per-row-transcendental convention), so
+    // the regression's moment sums are exact integers and the slope
+    // formula runs once in doubles over identical values on both
+    // engines.
+    Q("q_corpus_zipf",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c"))
+        val ranked = counts.orderBy(col("c").desc, col("term")).limit(ZipfK)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("c").desc, col("term"))))
+          .select(
+            round(log(col("r").cast("double")) * 1e6).cast("long").as("x"),
+            round(log(col("c").cast("double")) * 1e6).cast("long").as("y"))
+        val g = ranked.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+            .as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double")
+            .as("sxy"))
+        g.withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")))
+          .select(col("n").as("n_terms"),
+            round(col("slope"), 6).as("slope6"),
+            round((col("sy") - col("slope") * col("sx")) / col("n")
+              / lit(1000000), 6).as("intercept6"))
+      },
+      Some(s"""WITH tz AS (SELECT unnest(${duckTokens("text")}) AS term
+           |            FROM documents),
+           |cnt AS (SELECT term, count(*) AS c FROM tz GROUP BY term),
+           |top AS (SELECT term, c FROM cnt ORDER BY c DESC, term
+           |        LIMIT $ZipfK),
+           |rk AS (SELECT
+           |         CAST(round(ln(row_number() OVER (ORDER BY c DESC, term))
+           |           * 1000000) AS BIGINT) AS x,
+           |         CAST(round(ln(c) * 1000000) AS BIGINT) AS y
+           |       FROM top),
+           |g AS (SELECT count(*) AS n,
+           |        CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS sx,
+           |        CAST(CAST(sum(y) AS HUGEINT) AS DOUBLE) AS sy,
+           |        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+           |        CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+           |      FROM rk),
+           |sl AS (SELECT n, sx, sy,
+           |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+           |       FROM g)
+           |SELECT CAST(n AS BIGINT) AS n_terms, round(slope, 6) AS slope6,
+           |  round((sy - slope * sx) / n / 1000000, 6) AS intercept6
+           |FROM sl""".stripMargin),
+      "Zipf rank-frequency slope over the top-1000 terms (fixed-point ln regression)"),
+
+    // Heaps' law vocabulary-growth curve: cumulative distinct terms vs
+    // cumulative tokens across doc-id deciles — sublinear growth is
+    // healthy; a linear tail means unbounded novel junk (spam, binary
+    // noise), a flat tail means the corpus stopped adding information.
+    // Exact by construction: a term's "first seen" is min(bucket) (one
+    // map-side-combined group over the token stream — never a running
+    // distinct), and cumulative vocab at b = #terms with first bucket
+    // ≤ b. The windows run over the 10-row bucket spine.
+    Q("q_corpus_heaps",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val mx = docs.agg(max("doc_id").as("mxid"))
+        val db = docs.crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div (mxid + 1)").cast("int").as("b"),
+            col("text"))
+        val tk = db.groupBy("b")
+          .agg(sum(size(TextFunctions.tokens(col("text")))).as("toks"))
+        val nv = db
+          .select(col("b"), explode(TextFunctions.tokens(col("text")))
+            .as("term"))
+          .groupBy("term").agg(min("b").as("fb"))
+          .groupBy(col("fb").as("b")).agg(count(lit(1)).as("new_terms"))
+        val wc = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tk.join(nv, Seq("b"), "left")
+          .select(col("b").as("bucket"),
+            sum("toks").over(wc).as("cum_tokens"),
+            sum(coalesce(col("new_terms"), lit(0L))).over(wc).as("cum_vocab"))
+      },
+      Some(s"""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+           |db AS (SELECT CAST((doc_id * 10) // (mxid + 1) AS INT) AS b,
+           |         text
+           |       FROM documents CROSS JOIN mx),
+           |tk AS (SELECT b, CAST(sum(len(${duckTokens("text")})) AS BIGINT)
+           |           AS toks
+           |       FROM db GROUP BY b),
+           |tb AS (SELECT b, unnest(${duckTokens("text")}) AS term FROM db),
+           |fb AS (SELECT term, min(b) AS fb FROM tb GROUP BY term),
+           |nv AS (SELECT fb AS b, count(*) AS new_terms FROM fb GROUP BY fb)
+           |SELECT tk.b AS bucket,
+           |  CAST(sum(toks) OVER wc AS BIGINT) AS cum_tokens,
+           |  CAST(sum(coalesce(new_terms, 0)) OVER wc AS BIGINT)
+           |    AS cum_vocab
+           |FROM tk LEFT JOIN nv ON tk.b = nv.b
+           |WINDOW wc AS (ORDER BY tk.b
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+      "Heaps vocabulary-growth curve: cumulative vocab vs tokens by doc deciles")
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+/** Hand-computed fixtures for the corpus-law diagnostics: a two-point
+  * rank-frequency corpus has a CLOSED-FORM least-squares slope, and a
+  * ten-doc corpus has a fully enumerable vocabulary-growth curve. */
+class CorpusLawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("laws").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("zipf: two-point corpus (counts 8 and 2) fits slope exactly -2") {
+    // x = ln rank in {0, ln 2}, y = ln count in {ln 8, ln 2}:
+    // slope = (ln 2 - ln 8) / (ln 2 - 0) = -2, intercept = ln 8
+    val d = writeDocs(Seq((1L, "aa aa aa aa aa aa aa aa"), (2L, "bb bb")))
+    val r = SparkEntry.queries("q_corpus_zipf")(spark, d).collect().head
+    assert(r.getLong(0) === 2L)
+    assert(math.abs(r.getDouble(1) - (-2.0)) < 1e-4)
+    assert(math.abs(r.getDouble(2) - math.log(8.0)) < 1e-4)
+  }
+
+  test("heaps: enumerable ten-doc growth curve") {
+    // bucket b = doc_id for ids 0..9 (max+1 = 10); new terms appear in
+    // buckets 0 (a,b), 3 (c), 7 (d); tokens: 2,1,1,2,1,1,1,2,1,1
+    val texts = Seq("a b", "a", "b", "c a", "a", "b", "c", "d a", "d", "c")
+    val d = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val got = SparkEntry.queries("q_corpus_heaps")(spark, d)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val tokens = texts.map(_.split(" ").length.toLong)
+    val cumTok = tokens.scanLeft(0L)(_ + _).tail
+    val cumVocab = Seq(2L, 2L, 2L, 3L, 3L, 3L, 3L, 4L, 4L, 4L)
+    assert(got.toSeq === (0 until 10).map(i =>
+      (i, cumTok(i), cumVocab(i))))
+  }
+
+  test("corpus-level invariants on sf0.001: negative slope, monotone growth") {
+    val z = SparkEntry.queries("q_corpus_zipf")(spark, sf0001).collect().head
+    assert(z.getDouble(1) < 0, "rank-frequency slope must be negative")
+    val h = SparkEntry.queries("q_corpus_heaps")(spark, sf0001)
+      .orderBy("bucket").collect()
+    assert(h.length === 10)
+    val vocab = h.map(_.getLong(2))
+    val toks = h.map(_.getLong(1))
+    assert(toks.zip(toks.tail).forall { case (a, b) => b > a })
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => b >= a })
+    assert(vocab.last <= toks.last)
+  }
+}
