@@ -155,7 +155,11 @@ object Bench {
     "q_join_interval_overlap", "q_dedup_containment", "q_text_langid_eval",
     // round-14: personalized PageRank is genuine ~6 s iterative work —
     // straight to the median-of-5 tier (the sweep gate's ≥2 s rule)
-    "q_graph_ppr")
+    "q_graph_ppr",
+    // round-14 tail: link prediction's wedge join over the co-purchase
+    // graph is genuine ~3 s work (BenchFocus 3-rep: 3.0-3.2 s median) —
+    // promoted at birth per the same ≥2 s rule
+    "q_graph_linkpred")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
