@@ -34,6 +34,14 @@ object AnalyticsQueries {
   private val LpaIters = 4
   /** Autocorrelation probe depth (hourly lags). */
   private val AcfMaxLag = 6
+  /** Association-rule support floor (co-purchase pair count): 2, because
+    * TPC-H's basket co-occurrence DILUTES as SF grows (parts scale with
+    * SF, basket size doesn't) — at sf0.1 no pair reaches 5. */
+  private val AssocMinSupport = 2
+  /** Association rules kept (top by lift). */
+  private val AssocTopK = 50
+  /** Candidate join-key columns the skew profile reports on. */
+  private val SkewCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
   private val KhopRounds = 3
   private val KhopSeedMaxPart = 5
 
@@ -1160,6 +1168,122 @@ object AnalyticsQueries {
            |      FROM j)
            |WHERE rn <= ${LinkPred.TopK}""".stripMargin),
       "link prediction: hub-capped wedge candidates, CN/Jaccard/RA top-5 per node"),
+
+    // Market-basket association rules over the order baskets: for each
+    // co-purchased part pair, support / directed confidences / lift,
+    // top-AssocTopK by lift. All statistics are exact-integer ratios
+    // (counts only), the per-order self-join is bounded by basket size
+    // (never item×item), and the final cut is a TakeOrdered on the
+    // rounded lift with (u, v) tiebreak — canonical on both engines.
+    Q("q_assoc_rules",
+      (s, d) => {
+        // baskets feed N (order count), item counts, and the pair join —
+        // persist or the lineitem distinct repeats 4x
+        val b = graft.core.CacheScope.autoRelease(t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct())
+        val nOrders = b.agg(countDistinct("ok").as("n_orders"))
+        val items = b.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+        val pairs = b.as("a")
+          .join(b.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("n_uv"))
+          .filter(col("n_uv") >= AssocMinSupport)
+        pairs
+          .join(items.select(col("pk").as("u"), col("n_i").as("n_u")), "u")
+          .join(items.select(col("pk").as("v"), col("n_i").as("n_v")), "v")
+          .crossJoin(broadcast(nOrders))
+          .select(col("u"), col("v"), col("n_uv"),
+            round(col("n_uv").cast("double") / col("n_orders"), 6)
+              .as("supp6"),
+            round(col("n_uv").cast("double") / col("n_u"), 6).as("conf_uv6"),
+            round(col("n_uv").cast("double") / col("n_v"), 6).as("conf_vu6"),
+            round(col("n_uv").cast("double") * col("n_orders")
+              / (col("n_u").cast("double") * col("n_v")), 6).as("lift6"))
+          .orderBy(col("lift6").desc, col("u"), col("v"))
+          .limit(AssocTopK)
+      },
+      Some(s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |            FROM lineitem),
+           |no AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+           |items AS (SELECT pk, count(*) AS n_i FROM b GROUP BY pk),
+           |pairs AS (SELECT a.pk AS u, b2.pk AS v, count(*) AS n_uv
+           |          FROM b a JOIN b b2
+           |            ON a.ok = b2.ok AND a.pk < b2.pk
+           |          GROUP BY 1, 2
+           |          HAVING count(*) >= $AssocMinSupport)
+           |SELECT u, v, n_uv,
+           |  round(CAST(n_uv AS DOUBLE) / n_orders, 6) AS supp6,
+           |  round(CAST(n_uv AS DOUBLE) / iu.n_i, 6) AS conf_uv6,
+           |  round(CAST(n_uv AS DOUBLE) / iv.n_i, 6) AS conf_vu6,
+           |  round(CAST(n_uv AS DOUBLE) * n_orders
+           |        / (CAST(iu.n_i AS DOUBLE) * iv.n_i), 6) AS lift6
+           |FROM pairs JOIN items iu ON iu.pk = u
+           |  JOIN items iv ON iv.pk = v CROSS JOIN no
+           |ORDER BY lift6 DESC, u, v LIMIT $AssocTopK""".stripMargin),
+      "association rules: support/confidence/lift top-k over order baskets"),
+
+    // Join-key skew profile: per candidate key column, the Gini
+    // coefficient of the key-frequency distribution plus the heaviest
+    // key's share — the report that decides WHERE salting / AQE skew
+    // hints are needed before a 100 TB join. Scale trick: Gini needs the
+    // keys SORTED by count, but sorting a billion-key table is exactly
+    // what this tool must avoid — so it sorts the COUNT-OF-COUNTS
+    // histogram instead (O(#distinct frequencies) rows): a block of m
+    // keys sharing count c, starting after s smaller keys, contributes
+    // c·(m·s + m(m+1)/2) to Σ i·c₍ᵢ₎ exactly. All integer arithmetic
+    // (DECIMAL(38,0)/HUGEINT for the rank-weighted sum); one double
+    // division chain at the end, identical on both engines.
+    Q("q_profile_skew",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def skewOf(c: String): DataFrame = {
+          val hist = li.groupBy(col(c).as("k"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy("cnt").agg(count(lit(1)).as("m"))
+          val wAsc = Window.orderBy("cnt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          hist
+            .withColumn("s", coalesce(sum("m").over(wAsc), lit(0L)))
+            .agg(sum("m").as("n"), sum(col("cnt") * col("m")).as("t"),
+              sum(expr(
+                "CAST(cnt * (m * s + (m * (m + 1)) div 2) AS DECIMAL(38,0))"))
+                .cast("double").as("ss"),
+              max("cnt").as("mx"))
+            .select(lit(c).as("key_col"), col("n").as("n_keys"),
+              col("t").as("n_rows"),
+              round(col("mx").cast("double") / col("t").cast("double"), 6)
+                .as("max_share6"),
+              round((lit(2) * col("ss")
+                  - (col("n").cast("double") + 1) * col("t").cast("double"))
+                / (col("n").cast("double") * col("t").cast("double")), 6)
+                .as("gini6"))
+        }
+        SkewCols.map(skewOf).reduce(_ union _)
+      },
+      Some(SkewCols.map { c =>
+        s"""SELECT '$c' AS key_col, n AS n_keys, t AS n_rows,
+           |  round(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6)
+           |    AS max_share6,
+           |  round((2 * ss - (CAST(n AS DOUBLE) + 1) * CAST(t AS DOUBLE))
+           |        / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini6
+           |FROM (
+           |  SELECT CAST(sum(m) AS BIGINT) AS n,
+           |         CAST(sum(cnt * m) AS BIGINT) AS t,
+           |         CAST(sum(CAST(cnt AS HUGEINT)
+           |           * (m * s + (m * (m + 1)) // 2)) AS DOUBLE) AS ss,
+           |         max(cnt) AS mx
+           |  FROM (SELECT cnt, m,
+           |          coalesce(sum(m) OVER (ORDER BY cnt
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |            0) AS s
+           |        FROM (SELECT cnt, count(*) AS m
+           |              FROM (SELECT count(*) AS cnt FROM lineitem
+           |                    GROUP BY $c)
+           |              GROUP BY cnt)))""".stripMargin
+      }.mkString("\nUNION ALL\n")),
+      "join-key skew profile: Gini + max share per key column, histogram-sorted"),
 
     // Synchronous label propagation (fixed 4 rounds) on the same
     // bipartite order-part graph as PageRank — the community-detection

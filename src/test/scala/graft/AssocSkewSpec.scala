@@ -1,0 +1,55 @@
+package graft
+
+/** Hand fixtures for the basket-rules and key-skew gates: exact
+  * support/confidence/lift on a three-order corpus, and closed-form
+  * Gini values (uniform = 0; one dominant key = 1/3). */
+class AssocSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeLineitem(rows: Seq[(Long, Long, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("askew").toString
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("association rules: exact support/confidence/lift, floor excludes singletons") {
+    // baskets: {A,B}, {A,B}, {A,C} -> only (A,B) reaches support 2;
+    // supp 2/3, conf A->B 2/3, conf B->A 1, lift 2*3/(3*2) = 1
+    val d = writeLineitem(Seq(
+      (1L, 1L, 9L), (1L, 2L, 9L),
+      (2L, 1L, 9L), (2L, 2L, 9L),
+      (3L, 1L, 9L), (3L, 3L, 9L)))
+    val out = SparkEntry.queries("q_assoc_rules")(spark, d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 2L)))
+    assert(r.getDouble(3) === 0.666667) // supp6
+    assert(r.getDouble(4) === 0.666667) // conf A->B
+    assert(r.getDouble(5) === 1.0)      // conf B->A
+    assert(r.getDouble(6) === 1.0)      // lift
+  }
+
+  test("skew profile: dominant key gives Gini 1/3, uniform keys give 0") {
+    // l_orderkey counts {4,1,1}: sorted [1,1,4], S = 1+2+12 = 15,
+    // G = (2*15 - 4*6)/(3*6) = 1/3, max share 4/6.
+    // l_partkey counts {2,2,2} and l_suppkey counts all 1: G = 0.
+    val d = writeLineitem(Seq(
+      (1L, 1L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
+      (1L, 2L, 4L), (2L, 3L, 5L), (3L, 3L, 6L)))
+    val out = SparkEntry.queries("q_profile_skew")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("l_orderkey") === ((3L, 6L, 0.666667, 0.333333)))
+    assert(out("l_partkey") === ((3L, 6L, 0.333333, 0.0)))
+    assert(out("l_suppkey") === ((6L, 6L, 0.166667, 0.0)))
+  }
+
+  test("skew profile on sf0.001 ranks partkey as the more skewed join side") {
+    val out = SparkEntry.queries("q_profile_skew")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out.keySet ===
+      Set("l_orderkey", "l_partkey", "l_suppkey"))
+    out.values.foreach(g => assert(g >= 0.0 && g < 1.0))
+  }
+}
