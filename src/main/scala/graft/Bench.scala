@@ -158,8 +158,10 @@ object Bench {
     "q_graph_ppr",
     // round-14 tail: link prediction's wedge join over the co-purchase
     // graph is genuine ~3 s work (BenchFocus 3-rep: 3.0-3.2 s median) —
-    // promoted at birth per the same ≥2 s rule
-    "q_graph_linkpred")
+    // promoted at birth per the same ≥2 s rule; association rules
+    // (1.74 s quiet median) promoted proactively — close enough to the
+    // line that one co-tenant driver sweep would flag it anyway
+    "q_graph_linkpred", "q_assoc_rules")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
