@@ -34,6 +34,8 @@ object SearchQueries {
   /** Queries = the benchmark docs (doc_id < 10, the decontam
     * convention); corpus = the rest. */
   private val QMax = 10
+  /** Hard negatives mined per query (after the dup exclusion). */
+  val HardNegK = 5
 
   private def duckBm25Ctes: String =
     s"""ctf AS (SELECT doc_id, term, count(*) AS tf
@@ -117,6 +119,76 @@ object SearchQueries {
            |      FROM sc)
            |WHERE rn <= $Bm25K""".stripMargin),
       s"BM25 top-$Bm25K retrieval of benchmark queries against the frozen inverted index"),
+
+    // Hard-negative mining for contrastive training: per query doc, the
+    // top BM25 hits that are NOT the query's exact duplicate — lexically
+    // close (high BM25) but not the positive, exactly the negatives a
+    // bi-encoder needs. Composes the frozen BM25 index with the exact-
+    // dedup key: candidates come only from the postings equi-join (the
+    // topk path), the dup guard is one portable-hash equality on the
+    // O(queries·k) candidate set (candidate texts fetched via a
+    // broadcast of that set into the corpus scan — never a corpus
+    // shuffle), and the re-rank windows are per-query.
+    Q("q_train_hardneg",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = docs.filter(col("doc_id") < QMax)
+        val qCnt = qs.count() // guard count BEFORE the CacheScope persist
+        val post = graft.core.CacheScope.autoRelease(Bm25.postings(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
+        val top = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt)).drop("rnk")
+        val qh = qs.select(col("doc_id").as("query_id"),
+          PortableHash.hashMod(TextFunctions.normalize(col("text")))
+            .as("qh"))
+        val cand = docs
+          .join(broadcast(top), "doc_id")
+          .withColumn("chh",
+            PortableHash.hashMod(TextFunctions.normalize(col("text"))))
+          .join(broadcast(qh), "query_id")
+          .filter(col("qh") =!= col("chh"))
+        cand
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(col("score6").desc, col("doc_id"))))
+          .filter(col("rnk") <= HardNegK)
+          .select(col("query_id"), col("doc_id"),
+            col("rnk").cast("int").as("rnk"), col("score6"))
+      },
+      Some(s"""WITH $duckBm25Ctes,
+           |qt AS (SELECT DISTINCT doc_id AS query_id, term
+           |       FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |             FROM documents WHERE doc_id < $QMax)),
+           |sc AS (SELECT qt.query_id, ctf.doc_id,
+           |         round(sum($duckContrib), 6) AS score6
+           |       FROM qt JOIN ctf USING (term)
+           |         JOIN cdf USING (term)
+           |         JOIN cdl ON ctf.doc_id = cdl.doc_id
+           |         CROSS JOIN cst
+           |       GROUP BY qt.query_id, ctf.doc_id),
+           |topk AS (SELECT query_id, doc_id, score6
+           |         FROM (SELECT *, row_number() OVER
+           |                 (PARTITION BY query_id
+           |                  ORDER BY score6 DESC, doc_id) AS rn
+           |               FROM sc)
+           |         WHERE rn <= $Bm25K),
+           |qh AS (SELECT doc_id AS query_id,
+           |         ${TrainQueries.duckNormHash("text")} AS qh
+           |       FROM documents WHERE doc_id < $QMax),
+           |chh AS (SELECT doc_id,
+           |          ${TrainQueries.duckNormHash("text")} AS chh
+           |        FROM documents WHERE doc_id >= $QMax),
+           |fil AS (SELECT t.query_id, t.doc_id, t.score6
+           |        FROM topk t JOIN qh USING (query_id)
+           |          JOIN chh USING (doc_id)
+           |        WHERE qh <> chh)
+           |SELECT query_id, doc_id, CAST(rn AS INT) AS rnk, score6
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY query_id ORDER BY score6 DESC, doc_id)
+           |        AS rn
+           |      FROM fil)
+           |WHERE rn <= $HardNegK""".stripMargin),
+      s"hard-negative mining: top-$HardNegK BM25 hits per query minus exact dups"),
 
     // Winnowing fingerprints (Schleimer et al. 2003): per document, the
     // minimum k-gram hash in every sliding window of $WinnowW

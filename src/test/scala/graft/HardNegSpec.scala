@@ -1,0 +1,29 @@
+package graft
+
+/** Pins the hard-negative miner's exclusion semantics: the query's
+  * exact duplicate (after normalization) is the strongest BM25 hit and
+  * must NOT appear among the negatives; lexically close non-dups must. */
+class HardNegSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dup (normalization-aware) is excluded; close non-dups mined") {
+    val dir = java.nio.file.Files.createTempDirectory("hneg").toString
+    Seq(
+      (0L, "apple banana cherry"),          // the query (doc_id < 10)
+      (100L, "Apple, BANANA cherry!"),      // normalizes to the query: dup
+      (101L, "apple banana plum"),          // 2 shared terms: hard negative
+      (102L, "apple kiwi melon"),           // 1 shared term: weaker negative
+      (103L, "unrelated words entirely"))   // no shared term: not a candidate
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_train_hardneg")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.forall(_._1 == 0L))
+    val byRank = out.sortBy(_._3).map(_._2).toSeq
+    assert(!byRank.contains(100L),
+      "the exact duplicate leaked into the negatives")
+    assert(!byRank.contains(103L), "a zero-overlap doc became a candidate")
+    assert(byRank === Seq(101L, 102L),
+      "negatives must rank by BM25 score descending")
+  }
+}
