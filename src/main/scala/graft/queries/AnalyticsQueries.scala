@@ -1285,6 +1285,80 @@ object AnalyticsQueries {
       }.mkString("\nUNION ALL\n")),
       "join-key skew profile: Gini + max share per key column, histogram-sorted"),
 
+    // A/B experiment readout: Welch's t on revenue-per-user between two
+    // deterministic arms (user_id parity — the hash-split assignment an
+    // experimentation pipeline uses). Per-user metric and both arms'
+    // (n, Σm, Σm²) come from ONE corpus pass (conditional sums,
+    // map-side combined; Σm² in DECIMAL(38,0)/HUGEINT); the t statistic
+    // and Welch–Satterthwaite df then run once in doubles over
+    // identical integers — bit-equal on both engines before round(6).
+    Q("q_ab_welch",
+      (s, d) => {
+        val u = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(sum(cents(col("value"))).as("m"))
+          .withColumn("arm", pmod(col("user_id"), lit(2)))
+        val g = u.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === 0, col("m")).otherwise(0L)).as("sa"),
+          sum(when(col("arm") === 1, col("m")).otherwise(0L)).as("sb"),
+          sum(when(col("arm") === 0, col("m") * col("m")).otherwise(0L)
+            .cast("decimal(38,0)")).cast("double").as("qa"),
+          sum(when(col("arm") === 1, col("m") * col("m")).otherwise(0L)
+            .cast("decimal(38,0)")).cast("double").as("qb"))
+        val st = g.select(col("na"), col("nb"),
+          (col("sa").cast("double") / col("na")).as("ma"),
+          (col("sb").cast("double") / col("nb")).as("mb"),
+          ((col("qa") - col("sa").cast("double") * col("sa") / col("na"))
+            / (col("na") - 1)).as("va"),
+          ((col("qb") - col("sb").cast("double") * col("sb") / col("nb"))
+            / (col("nb") - 1)).as("vb"))
+        st.select(col("na").as("n_a"), col("nb").as("n_b"),
+          round(col("ma"), 6).as("mean_a6"),
+          round(col("mb"), 6).as("mean_b6"),
+          round((col("ma") - col("mb"))
+            / sqrt(col("va") / col("na") + col("vb") / col("nb")), 6)
+            .as("t6"),
+          round((col("va") / col("na") + col("vb") / col("nb"))
+              * (col("va") / col("na") + col("vb") / col("nb"))
+            / ((col("va") / col("na")) * (col("va") / col("na"))
+                / (col("na") - 1)
+              + (col("vb") / col("nb")) * (col("vb") / col("nb"))
+                / (col("nb") - 1)), 6).as("df6"))
+      },
+      Some("""WITH u AS (SELECT user_id, user_id % 2 AS arm,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+           |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+           |g AS (SELECT
+           |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS na,
+           |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS nb,
+           |    CAST(sum(CASE WHEN arm = 0 THEN m ELSE 0 END) AS BIGINT)
+           |      AS sa,
+           |    CAST(sum(CASE WHEN arm = 1 THEN m ELSE 0 END) AS BIGINT)
+           |      AS sb,
+           |    CAST(sum(CASE WHEN arm = 0 THEN CAST(m AS HUGEINT) * m
+           |             ELSE 0 END) AS DOUBLE) AS qa,
+           |    CAST(sum(CASE WHEN arm = 1 THEN CAST(m AS HUGEINT) * m
+           |             ELSE 0 END) AS DOUBLE) AS qb
+           |  FROM u),
+           |st AS (SELECT na, nb,
+           |    CAST(sa AS DOUBLE) / na AS ma,
+           |    CAST(sb AS DOUBLE) / nb AS mb,
+           |    (qa - CAST(sa AS DOUBLE) * sa / na) / (na - 1) AS va,
+           |    (qb - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb
+           |  FROM g)
+           |SELECT na AS n_a, nb AS n_b,
+           |  round(ma, 6) AS mean_a6, round(mb, 6) AS mean_b6,
+           |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t6,
+           |  round((va / na + vb / nb) * (va / na + vb / nb)
+           |        / ((va / na) * (va / na) / (na - 1)
+           |           + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df6
+           |FROM st""".stripMargin),
+      "Welch t-test on revenue-per-user between hash-split arms (one-pass moments)"),
+
     // Synchronous label propagation (fixed 4 rounds) on the same
     // bipartite order-part graph as PageRank — the community-detection
     // complement of q_dedup_cc's min-label components. Deterministic:

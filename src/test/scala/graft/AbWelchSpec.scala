@@ -1,0 +1,26 @@
+package graft
+
+/** Hand-computed Welch t-test fixture: two users per arm with known
+  * revenue, non-purchase events ignored. */
+class AbWelchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("welch t and df match the closed-form two-by-two fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("abwelch").toString
+    val ts = new java.sql.Timestamp(0L) // unused by the gate; schema needs it
+    Seq(
+      (0L, "purchase", 10.0, ts), (2L, "purchase", 20.0, ts), // arm 0
+      (1L, "purchase", 30.0, ts), (3L, "purchase", 50.0, ts), // arm 1
+      (0L, "error", 99999.0, ts))                             // ignored
+      .toDF("user_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_ab_welch")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDouble(2) === 1500.0) // mean arm 0 (cents)
+    assert(r.getDouble(3) === 4000.0) // mean arm 1
+    // t = -2500 / sqrt(500000/2 + 2000000/2) = -2.236068
+    assert(math.abs(r.getDouble(4) - (-2.236068)) < 1e-6)
+    // df = 1250000^2 / (250000^2 + 1000000^2) = 1.470588
+    assert(math.abs(r.getDouble(5) - 1.470588) < 1e-6)
+  }
+}
