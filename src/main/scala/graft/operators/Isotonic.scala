@@ -1,0 +1,50 @@
+package graft.operators
+
+/** Isotonic (monotone non-decreasing) calibration by pool-adjacent-
+  * violators — the standard post-hoc classifier calibrator (Zadrozny &
+  * Elkan 2002). The input is the BINNED per-score table (≤ [[Bins]]
+  * rows at any corpus size — the QualityClassifier bounded-collect
+  * convention), so the sequential merge runs on the driver; all pooling
+  * decisions compare exact rationals by cross-multiplication, never
+  * doubles, so the block structure is deterministic.
+  *
+  * The oracle cross-checks via the minimax characterization
+  * fit(i) = max_{a ≤ i} min_{b ≥ i} mean(y[a..b]) — a closed form a SQL
+  * engine can evaluate directly (O(bins³) pairs, trivial at 64); both
+  * formulations yield the pooled block mean, and int→double conversion
+  * is monotone, so the rounded fits agree bit-exactly.
+  */
+object Isotonic {
+
+  /** Calibration bins over the observed score range. */
+  val Bins = 64
+
+  private final case class Block(lo: Int, hi: Int, n: Long, pos: Long)
+
+  /** PAV fit: for each (bin, n, pos) row (any order), the fitted
+    * monotone rate of its pooled block, rounded half-up @6. */
+  def pavFit(rows: Seq[(Int, Long, Long)]): Seq[(Int, Long, Long, Double)] = {
+    val sorted = rows.sortBy(_._1)
+    var blocks = List.empty[Block] // head = rightmost block
+    sorted.foreach { case (b, n, p) =>
+      var blk = Block(b, b, n, p)
+      // pool while the previous block's rate >= the new block's rate
+      // (exact cross-multiplied compare; pooling on equality is
+      // value-neutral and keeps the block list canonical)
+      while (blocks.nonEmpty &&
+          blocks.head.pos * blk.n >= blk.pos * blocks.head.n) {
+        val t = blocks.head
+        blocks = blocks.tail
+        blk = Block(t.lo, blk.hi, t.n + blk.n, t.pos + blk.pos)
+      }
+      blocks = blk :: blocks
+    }
+    val byBin = blocks.reverse
+    sorted.map { case (b, n, p) =>
+      val blk = byBin.find(k => k.lo <= b && b <= k.hi).get
+      val fit = BigDecimal(blk.pos.toDouble / blk.n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (b, n, p, fit)
+    }
+  }
+}

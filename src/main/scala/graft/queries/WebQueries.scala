@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{PortableHash, UrlFunctions}
-import graft.operators.QualityClassifier
+import graft.operators.{Isotonic, QualityClassifier}
 
 /** Web-corpus curation operators: URL canonicalization + URL-level dedup
   * (the stage every crawl pipeline runs before content dedup — per-row,
@@ -386,6 +386,53 @@ object WebQueries {
            |WHERE pp > 0 AND nn > 0
            |GROUP BY cb.source, pp, nn""".stripMargin),
       "per-slice AUC of the frozen classifier (degenerate slices excluded)"),
+
+    // Isotonic calibration of the held-out scores: PAV over the binned
+    // per-score table (≤ Isotonic.Bins rows at any corpus size — the
+    // bounded driver-collect convention), published as the monotone
+    // step-function artifact an inference path applies by bin lookup.
+    // The oracle recomputes the fit INDEPENDENTLY via the minimax
+    // characterization max_{a≤i} min_{b≥i} mean(a..b) — two different
+    // algorithms that provably meet at the pooled block mean.
+    Q("q_eval_isotonic",
+      (s, d) => {
+        val bys = evalByScore(s, d)
+        val rng = bys.agg(min("score_ppm").as("mn"), max("score_ppm").as("mx"))
+        val binned = bys.crossJoin(broadcast(rng))
+          .groupBy(expr(s"((score_ppm - mn) * ${Isotonic.Bins})" +
+            " div (mx - mn + 1)").cast("int").as("bin"))
+          .agg(sum(col("p_s") + col("q_s")).as("n"), sum("p_s").as("pos"))
+        val rows = binned.collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        s.createDataFrame(Isotonic.pavFit(rows))
+          .toDF("bin", "n", "n_pos", "fit6")
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |rng AS (SELECT min(score_ppm) AS mn, max(score_ppm) AS mx
+           |        FROM bys),
+           |bb AS (SELECT CAST(((score_ppm - mn) * ${Isotonic.Bins})
+           |           // (mx - mn + 1) AS INT) AS bin,
+           |         CAST(sum(p_s + q_s) AS BIGINT) AS n,
+           |         CAST(sum(p_s) AS BIGINT) AS pos
+           |       FROM bys CROSS JOIN rng GROUP BY 1),
+           |cum AS (SELECT bin, n, pos,
+           |          CAST(sum(n) OVER wc AS BIGINT) AS cn,
+           |          CAST(sum(pos) OVER wc AS BIGINT) AS cp
+           |        FROM bb WINDOW wc AS (ORDER BY bin
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |base AS (SELECT bin, cn, cp FROM cum
+           |         UNION ALL SELECT -1, 0, 0),
+           |mins AS (SELECT i.bin, la.bin AS ab,
+           |           min(CAST(b.cp - la.cp AS DOUBLE) / (b.cn - la.cn))
+           |             AS mn_
+           |         FROM cum i JOIN base la ON la.bin < i.bin
+           |           JOIN cum b ON b.bin >= i.bin
+           |         GROUP BY i.bin, la.bin)
+           |SELECT m.bin, bb.n, bb.pos AS n_pos,
+           |  round(max(mn_), 6) AS fit6
+           |FROM mins m JOIN bb ON bb.bin = m.bin
+           |GROUP BY m.bin, bb.n, bb.pos""".stripMargin),
+      "isotonic (PAV) calibration artifact; oracle via the minimax characterization"),
   )
 
   /** Held-out scored batch with labels: frozen weights from the history

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Isotonic
+
+/** PAV semantics on hand fixtures plus the gate-level monotonicity
+  * property (the oracle already cross-checks values via minimax). */
+class IsotonicSpec extends SparkSpec {
+
+  test("no violations: fits equal raw rates") {
+    val f = Isotonic.pavFit(Seq((0, 4L, 1L), (1, 4L, 2L), (2, 4L, 3L)))
+    assert(f.map(_._4) === Seq(0.25, 0.5, 0.75))
+  }
+
+  test("a single violation pools the two offending bins") {
+    // rates 0, 1, 0.5 -> bins 1 and 2 pool to 3/4; bin 0 stays
+    val f = Isotonic.pavFit(Seq((0, 2L, 0L), (1, 2L, 2L), (2, 2L, 1L)))
+    assert(f.map(_._4) === Seq(0.0, 0.75, 0.75))
+  }
+
+  test("fully decreasing input pools to the global mean") {
+    val f = Isotonic.pavFit(Seq((0, 2L, 2L), (1, 2L, 1L), (2, 2L, 0L)))
+    assert(f.map(_._4) === Seq(0.5, 0.5, 0.5))
+  }
+
+  test("cascading pool: a late low bin drags earlier pooled blocks down") {
+    // rates 0.2, 0.8, 0.8, 0 -> last three pool to (2+2+0)/6 = 2/3 > 0.2
+    val f = Isotonic.pavFit(
+      Seq((0, 5L, 1L), (1, 2L, 2L), (2, 2L, 2L), (3, 2L, 0L)))
+    assert(f.map(_._4) === Seq(0.2, 0.666667, 0.666667, 0.666667))
+  }
+
+  test("gate output is monotone non-decreasing in the bin (sf0.001)") {
+    val rows = SparkEntry.queries("q_eval_isotonic")(spark, sf0001)
+      .orderBy("bin").collect()
+    assert(rows.length > 1)
+    val fits = rows.map(_.getDouble(3))
+    assert(fits.zip(fits.tail).forall { case (a, b) => b >= a },
+      s"non-monotone fit: ${fits.mkString(",")}")
+    val n = rows.map(_.getLong(1)).sum
+    val pos = rows.map(_.getLong(2)).sum
+    // mass conservation: pooled means weight-average to the global rate
+    val wavg = rows.map(r => r.getDouble(3) * r.getLong(1)).sum / n
+    assert(math.abs(wavg - pos.toDouble / n) < 1e-4)
+  }
+}
