@@ -37,6 +37,7 @@ object WebQueries {
 
   import QualityClassifier.{KeepPpm, WeightBuckets, WeightScale}
   val ApplySplit = 400         // doc_id < split trains; ≥ split is the batch
+  val LossClampPpm = 1000L     // log-loss probability clamp (ppm)
 
   // ---------- fixture: deterministic messy raw URL ----------
 
@@ -433,6 +434,108 @@ object WebQueries {
            |FROM mins m JOIN bb ON bb.bin = m.bin
            |GROUP BY m.bin, bb.n, bb.pos""".stripMargin),
       "isotonic (PAV) calibration artifact; oracle via the minimax characterization"),
+
+    // APPLY half: every held-out doc picks up its calibrated probability
+    // from the O(bins) artifact by bin lookup — one broadcast join, the
+    // corpus never re-sorts. (The inference path a production filter
+    // runs after the nightly PAV publish.)
+    Q("q_eval_isotonic_apply",
+      (s, d) => {
+        val scored = graft.core.CacheScope.autoRelease(evalScored(s, d))
+        val bys = scored.groupBy("score_ppm")
+          .agg(sum(when(col("label"), 1L).otherwise(0L)).as("p_s"),
+            sum(when(col("label"), 0L).otherwise(1L)).as("q_s"))
+        val rng = bys.agg(min("score_ppm").as("mn"), max("score_ppm").as("mx"))
+        val binExpr = s"((score_ppm - mn) * ${Isotonic.Bins}) div (mx - mn + 1)"
+        val binned = bys.crossJoin(broadcast(rng))
+          .groupBy(expr(binExpr).cast("int").as("bin"))
+          .agg(sum(col("p_s") + col("q_s")).as("n"), sum("p_s").as("pos"))
+        val rows = binned.collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        val art = s.createDataFrame(
+          Isotonic.pavFit(rows).map(t => (t._1, t._4)))
+          .toDF("bin", "calib6")
+        scored.crossJoin(broadcast(rng))
+          .withColumn("bin", expr(binExpr).cast("int"))
+          .join(broadcast(art), "bin")
+          .select(col("doc_id"), col("score_ppm"), col("bin"), col("calib6"))
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |rng AS (SELECT min(score_ppm) AS mn, max(score_ppm) AS mx
+           |        FROM bys),
+           |bb AS (SELECT CAST(((score_ppm - mn) * ${Isotonic.Bins})
+           |           // (mx - mn + 1) AS INT) AS bin,
+           |         CAST(sum(p_s + q_s) AS BIGINT) AS n,
+           |         CAST(sum(p_s) AS BIGINT) AS pos
+           |       FROM bys CROSS JOIN rng GROUP BY 1),
+           |cum AS (SELECT bin, n, pos,
+           |          CAST(sum(n) OVER wc AS BIGINT) AS cn,
+           |          CAST(sum(pos) OVER wc AS BIGINT) AS cp
+           |        FROM bb WINDOW wc AS (ORDER BY bin
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |base AS (SELECT bin, cn, cp FROM cum
+           |         UNION ALL SELECT -1, 0, 0),
+           |mins AS (SELECT i.bin, la.bin AS ab,
+           |           min(CAST(b.cp - la.cp AS DOUBLE) / (b.cn - la.cn))
+           |             AS mn_
+           |         FROM cum i JOIN base la ON la.bin < i.bin
+           |           JOIN cum b ON b.bin >= i.bin
+           |         GROUP BY i.bin, la.bin),
+           |fit AS (SELECT bin, round(max(mn_), 6) AS calib6
+           |        FROM mins GROUP BY bin)
+           |SELECT sc.doc_id, sc.score_ppm,
+           |  CAST(((sc.score_ppm - mn) * ${Isotonic.Bins})
+           |    // (mx - mn + 1) AS INT) AS bin,
+           |  calib6
+           |FROM sc CROSS JOIN rng
+           |JOIN fit ON fit.bin = CAST(((sc.score_ppm - mn)
+           |  * ${Isotonic.Bins}) // (mx - mn + 1) AS INT)""".stripMargin),
+      "calibrated probability per held-out doc via the broadcast PAV artifact"),
+
+    // Proper-scoring summary of the same held-out batch: Brier score
+    // (EXACT — (score_ppm − y·1e6)² is a pure long per row, summed in
+    // DECIMAL(38,0)/HUGEINT) and clamped log-loss (per-row ln folded to
+    // 1e-6 fixed point — the house per-row-transcendental convention —
+    // then summed exactly). One corpus pass, one output row.
+    Q("q_eval_brier",
+      (s, d) => {
+        val p = greatest(least(col("score_ppm"), lit(1000000L - LossClampPpm)),
+          lit(LossClampPpm)).cast("double") / 1000000d
+        evalScored(s, d)
+          .select(col("score_ppm"),
+            when(col("label"), 1000000L).otherwise(0L).as("y6"),
+            when(col("label"), round(-log(p) * 1e6).cast("long"))
+              .otherwise(round(-log(lit(1.0) - p) * 1e6).cast("long"))
+              .as("ll_fp"))
+          .agg(count(lit(1)).as("n"),
+            sum(((col("score_ppm") - col("y6")) * (col("score_ppm")
+              - col("y6"))).cast("decimal(38,0)")).cast("double").as("sq"),
+            sum(col("ll_fp").cast("decimal(38,0)")).cast("double").as("ll"))
+          .select(col("n"),
+            round(col("sq") / col("n") / lit(1000000000000L), 6).as("brier6"),
+            round(col("ll") / col("n") / lit(1000000), 6).as("logloss6"))
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |pr AS (SELECT score_ppm,
+           |         CASE WHEN label THEN 1000000 ELSE 0 END AS y6,
+           |         CAST(greatest(least(score_ppm, ${1000000L - LossClampPpm}),
+           |           $LossClampPpm) AS DOUBLE) / 1000000 AS p,
+           |         label
+           |       FROM sc),
+           |rowed AS (SELECT score_ppm, y6,
+           |            CASE WHEN label
+           |              THEN CAST(round(-ln(p) * 1000000) AS BIGINT)
+           |              ELSE CAST(round(-ln(1.0 - p) * 1000000) AS BIGINT)
+           |            END AS ll_fp
+           |          FROM pr)
+           |SELECT count(*) AS n,
+           |  round(CAST(sum(CAST(score_ppm - y6 AS HUGEINT)
+           |          * (score_ppm - y6)) AS DOUBLE)
+           |        / count(*) / 1000000000000, 6) AS brier6,
+           |  round(CAST(CAST(sum(ll_fp) AS HUGEINT) AS DOUBLE)
+           |        / count(*) / 1000000, 6) AS logloss6
+           |FROM rowed""".stripMargin),
+      "Brier score (exact) + clamped log-loss (fixed-point ln) of the held-out batch"),
   )
 
   /** Held-out scored batch with labels: frozen weights from the history

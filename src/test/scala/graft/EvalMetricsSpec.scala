@@ -66,6 +66,30 @@ class EvalMetricsSpec extends SparkSpec {
     assert(sl("s2") === ((5L, 5L, 1.0)))
   }
 
+  test("brier is exactly 0 on the separable corpus; log-loss equals the clamp") {
+    val r = SparkEntry.queries("q_eval_brier")(spark, sepDir).collect().head
+    assert(r.getLong(0) === 20L)
+    assert(r.getDouble(1) === 0.0)
+    // every doc predicts its label at the clamp boundary (0.999 / 0.001):
+    // per-row loss -ln(0.999), folded to 1e-6 fixed point per row
+    val perRow = math.round(-math.log(0.999) * 1e6) / 1e6
+    assert(math.abs(r.getDouble(2) - perRow) < 1e-6)
+  }
+
+  test("isotonic apply assigns each doc its bin's published fit (sf0.001)") {
+    val pub = SparkEntry.queries("q_eval_isotonic")(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val ap = SparkEntry.queries("q_eval_isotonic_apply")(spark, sf0001)
+      .collect()
+    assert(ap.length > 0)
+    ap.foreach { r =>
+      val (bin, calib) = (r.getInt(2), r.getDouble(3))
+      assert(calib >= 0.0 && calib <= 1.0)
+      assert(pub(bin) === calib,
+        s"doc ${r.getLong(0)} bin $bin: calib $calib != published ${pub(bin)}")
+    }
+  }
+
   test("trapezoidal area under q_eval_roc equals the Mann-Whitney AUC (sf0.001)") {
     val auc = SparkEntry.queries("q_eval_auc")(spark, sf0001)
       .collect().head.getDouble(2)
