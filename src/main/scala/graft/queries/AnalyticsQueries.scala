@@ -42,6 +42,21 @@ object AnalyticsQueries {
   private val AssocTopK = 50
   /** Candidate join-key columns the skew profile reports on. */
   private val SkewCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+  /** Bootstrap replicas. */
+  private val BootB = 32
+  /** Cumulative Poisson(1) CDF thresholds in ppm for weights 0..8 (else
+    * 9) — computed ONCE here and inlined verbatim into both the Spark
+    * when-chain and the DuckDB CASE, so the row path has no libm. */
+  private val PoisCumPpm: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 8).map { k =>
+      if (k > 0) fact *= k
+      cum += e1 / fact
+      math.round(cum * 1e6)
+    }
+  }
   private val KhopRounds = 3
   private val KhopSeedMaxPart = 5
 
@@ -1358,6 +1373,96 @@ object AnalyticsQueries {
            |           + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS df6
            |FROM st""".stripMargin),
       "Welch t-test on revenue-per-user between hash-split arms (one-pass moments)"),
+
+    // Online (Poisson) bootstrap CI for mean revenue — the resampling
+    // trick that works on a stream/at scale: instead of materializing B
+    // resamples, each row gets an independent Poisson(1) weight per
+    // replica, drawn from a HASH of (event_id, replica) against
+    // precomputed CDF thresholds (the same ppm constants are inlined in
+    // both engines — no RNG, no libm in the row path, fully replayable).
+    // Replica means fold to exact 1e-6 fixed point via the widening
+    // div/mod split (no Σwx·1e6 overflow); the spread statistics then
+    // run once in doubles over identical integers. Map work scales ×B;
+    // the only shuffle is B-keyed partial sums.
+    Q("q_boot_ci",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), cents(col("value")).as("x"))
+        val base = ev.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        val u = pmod(graft.functions.PortableHash.hashMod(
+          concat_ws("#", col("event_id").cast("string"),
+            col("r").cast("string"))), lit(1000000L))
+        val w = PoisCumPpm.zipWithIndex.tail
+          .foldLeft(when(u < PoisCumPpm.head, 0L)) {
+            case (acc, (thr, k)) => acc.when(u < thr, k.toLong)
+          }.otherwise(PoisCumPpm.size.toLong)
+        val rm = ev
+          .crossJoin(s.range(BootB).select(col("id").as("r")))
+          .withColumn("w", w)
+          .groupBy("r")
+          .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
+          .filter(col("sw") > 0)
+          .select(expr("(swx div sw) * 1000000" +
+            " + ((swx % sw) * 1000000) div sw").as("m_fp"))
+        // keep Σm and Σm² in DECIMAL and clear the /b denominator so the
+        // variance numerator b·Σm² − (Σm)² is EXACT — in doubles the
+        // g²/b cancellation leaves ~1e-5 phantom variance on a
+        // zero-spread sample (m_fp² ~1e22 is far above 2^53). Cast
+        // BEFORE the square: m_fp² also overflows long.
+        val bs = rm.agg(count(lit(1)).as("b"),
+          sum(col("m_fp").cast("decimal(38,0)")).as("g"),
+          sum(col("m_fp").cast("decimal(38,0)") * col("m_fp")).as("g2"))
+        val mean = col("sx").cast("double") / col("n")
+        val se = sqrt((col("b") * col("g2") - col("g") * col("g"))
+          .cast("double") / col("b") / (col("b") - 1)) / lit(1000000)
+        bs.crossJoin(broadcast(base)).select(
+          col("n").as("n_events"), col("b"),
+          round(mean, 6).as("mean6"), round(se, 6).as("se6"),
+          round(mean - lit(1.96) * se, 6).as("lo6"),
+          round(mean + lit(1.96) * se, 6).as("hi6"))
+      },
+      Some {
+        val caseArms = PoisCumPpm.zipWithIndex.map { case (thr, k) =>
+          s"WHEN u < $thr THEN $k" }.mkString(" ")
+        s"""WITH ev AS (SELECT event_id,
+           |    CAST(round(value * 100) AS BIGINT) AS x
+           |  FROM events WHERE event_type = 'purchase'),
+           |base AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx
+           |         FROM ev),
+           |reps AS (SELECT r, x,
+           |    (${graft.functions.PortableHash.duckHashMod(
+                  "CAST(event_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)")})
+           |      % 1000000 AS u
+           |  FROM ev CROSS JOIN
+           |    (SELECT unnest(range(0, $BootB)) AS r)),
+           |rm AS (SELECT (swx // sw) * 1000000
+           |         + ((swx % sw) * 1000000) // sw AS m_fp
+           |       FROM (SELECT r, CAST(sum(w * x) AS BIGINT) AS swx,
+           |               CAST(sum(w) AS BIGINT) AS sw
+           |             FROM (SELECT r, x,
+           |                     CASE $caseArms
+           |                       ELSE ${PoisCumPpm.size} END AS w
+           |                   FROM reps)
+           |             GROUP BY r)
+           |       WHERE sw > 0),
+           |bs AS (SELECT count(*) AS b,
+           |    CAST(sum(m_fp) AS HUGEINT) AS g,
+           |    sum(CAST(m_fp AS HUGEINT) * m_fp) AS g2
+           |  FROM rm)
+           |SELECT n AS n_events, b,
+           |  round(CAST(sx AS DOUBLE) / n, 6) AS mean6,
+           |  round(sqrt(CAST(b * g2 - g * g AS DOUBLE) / b / (b - 1))
+           |    / 1000000, 6) AS se6,
+           |  round(CAST(sx AS DOUBLE) / n - 1.96
+           |    * (sqrt(CAST(b * g2 - g * g AS DOUBLE) / b / (b - 1))
+           |       / 1000000), 6) AS lo6,
+           |  round(CAST(sx AS DOUBLE) / n + 1.96
+           |    * (sqrt(CAST(b * g2 - g * g AS DOUBLE) / b / (b - 1))
+           |       / 1000000), 6) AS hi6
+           |FROM bs CROSS JOIN base""".stripMargin
+      },
+      "online Poisson-bootstrap CI for mean revenue (hash-seeded, replayable)"),
 
     // Synchronous label propagation (fixed 4 rounds) on the same
     // bipartite order-part graph as PageRank — the community-detection

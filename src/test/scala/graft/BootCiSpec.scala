@@ -1,0 +1,35 @@
+package graft
+
+/** Online-bootstrap semantics: a single-value sample has zero-width CI
+  * regardless of the Poisson weights; the gate is hash-seeded and thus
+  * exactly replayable; the CI brackets the sample mean on real data. */
+class BootCiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(rows: Seq[(Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("bootci").toString
+    val ts = new java.sql.Timestamp(0L)
+    rows.map(r => (r._1, r._2, r._3, ts))
+      .toDF("event_id", "event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("single-value sample: every replica mean equals it, CI width 0") {
+    val d = writeEvents(Seq((1L, "purchase", 25.0), (2L, "error", 1.0)))
+    val r = SparkEntry.queries("q_boot_ci")(spark, d).collect().head
+    assert(r.getLong(0) === 1L)          // n_events: error excluded
+    assert(r.getDouble(2) === 2500.0)    // mean cents
+    assert(r.getDouble(3) === 0.0)       // se
+    assert(r.getDouble(4) === 2500.0 && r.getDouble(5) === 2500.0)
+  }
+
+  test("hash-seeded draws are exactly replayable; CI brackets the mean") {
+    val a = SparkEntry.queries("q_boot_ci")(spark, sf0001).collect().head
+    val b = SparkEntry.queries("q_boot_ci")(spark, sf0001).collect().head
+    assert(a === b, "bootstrap must be deterministic across runs")
+    assert(a.getLong(1) === 32L) // all replicas survive at this size
+    assert(a.getDouble(3) > 0.0)
+    assert(a.getDouble(4) < a.getDouble(2) && a.getDouble(2) < a.getDouble(5))
+  }
+}
