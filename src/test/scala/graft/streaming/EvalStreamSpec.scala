@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.QualityClassifier
+
+/** Streaming twin of the classifier-evaluation surface: weights frozen
+  * once from the history slice, each incoming microbatch scored
+  * statelessly inside foreachBatch. Pinned: per-batch (doc_id,
+  * score_ppm, keep) equals the batch-mode scoring of exactly that
+  * batch's documents under the same frozen weights. */
+class EvalStreamSpec extends SparkSpec {
+
+  test("per-microbatch scoring under frozen weights ≡ batch scoring") {
+    val work = Files.createTempDirectory("graft_eval_stream").toString
+    val docs = Tables.ensureParallelism(Tables.load(spark, sf0001, "documents"))
+      .select(col("doc_id"), col("lang"), col("text"))
+
+    // PUBLISH once (history slice = doc_id < 400, the eval convention)
+    val frozen = QualityClassifier.collectWeights(QualityClassifier.weights(
+      docs.filter(col("doc_id") < 400), col("lang") === "en"))
+
+    val batch = docs.filter(col("doc_id") >= 400)
+    batch.repartition(3).write.parquet(s"$work/in")
+
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          batches.add(id ->
+            df.select("doc_id").collect().map(_.getLong(0)).toSeq)
+          QualityClassifier.score(frozen, df)
+            .withColumn("batch", lit(id))
+            .write.mode("append").parquet(s"$work/out")
+        }
+      }
+      .option("checkpointLocation", s"$work/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(batches.size >= 2,
+      s"replay collapsed to ${batches.size} microbatch(es) — nothing streamed")
+    val got = spark.read.parquet(s"$work/out")
+    assert(got.count() > 0, "vacuous: the scorer emitted nothing")
+    batches.asScala.foreach { case (id, ids) =>
+      val want = QualityClassifier.score(frozen,
+        batch.filter(col("doc_id").isin(ids: _*)))
+      val g = got.filter(col("batch") === id).drop("batch")
+      val w = want.select(g.columns.map(col).toSeq: _*)
+      val diff = g.exceptAll(w).count() + w.exceptAll(g).count()
+      assert(diff == 0,
+        s"batch $id: streamed scores differ from batch scoring ($diff rows)")
+    }
+  }
+}
