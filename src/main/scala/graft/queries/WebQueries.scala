@@ -536,6 +536,44 @@ object WebQueries {
            |        / count(*) / 1000000, 6) AS logloss6
            |FROM rowed""".stripMargin),
       "Brier score (exact) + clamped log-loss (fixed-point ln) of the held-out batch"),
+
+    // Expected calibration error over the same range bins as the
+    // reliability diagram. EXACT: the per-bin gap |pos/n − ss/(n·1e6)|
+    // has common denominator n·1e6, so the weighted sum telescopes to
+    // Σ_b |pos_b·1e6 − ss_b| / (N·1e6) — a pure integer numerator
+    // (DECIMAL/HUGEINT), one double division at the end.
+    Q("q_eval_ece",
+      (s, d) => {
+        val bys = evalByScore(s, d)
+        val rng = bys.agg(min("score_ppm").as("mn"), max("score_ppm").as("mx"))
+        val gb = bys.crossJoin(broadcast(rng))
+          .groupBy(expr("((score_ppm - mn) * 10) div (mx - mn + 1)")
+            .cast("int").as("bin"))
+          .agg(sum(col("p_s") + col("q_s")).as("n"),
+            sum("p_s").as("pos"),
+            sum(col("score_ppm") * (col("p_s") + col("q_s"))).as("ss"))
+        gb.agg(count(lit(1)).as("n_bins"), sum("n").as("n"),
+            sum(abs(col("pos") * 1000000L - col("ss"))
+              .cast("decimal(38,0)")).cast("double").as("gap"))
+          .select(col("n_bins"), col("n"),
+            round(col("gap") / col("n").cast("double") / lit(1000000), 6)
+              .as("ece6"))
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |rng AS (SELECT min(score_ppm) AS mn, max(score_ppm) AS mx
+           |        FROM bys),
+           |gb AS (SELECT CAST(((score_ppm - mn) * 10) // (mx - mn + 1)
+           |           AS INT) AS bin,
+           |         CAST(sum(p_s + q_s) AS BIGINT) AS n,
+           |         CAST(sum(p_s) AS BIGINT) AS pos,
+           |         CAST(sum(score_ppm * (p_s + q_s)) AS BIGINT) AS ss
+           |       FROM bys CROSS JOIN rng GROUP BY 1)
+           |SELECT count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS n,
+           |  round(CAST(sum(abs(CAST(pos AS HUGEINT) * 1000000 - ss))
+           |          AS DOUBLE)
+           |        / CAST(sum(n) AS BIGINT) / 1000000, 6) AS ece6
+           |FROM gb""".stripMargin),
+      "expected calibration error (exact integer numerator over range bins)"),
   )
 
   /** Held-out scored batch with labels: frozen weights from the history

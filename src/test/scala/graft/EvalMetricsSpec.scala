@@ -76,6 +76,25 @@ class EvalMetricsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - perRow) < 1e-6)
   }
 
+  test("ece is exactly 0 on the separable corpus (both bins perfectly calibrated)") {
+    val r = SparkEntry.queries("q_eval_ece")(spark, sepDir).collect().head
+    assert(r.getLong(1) === 20L)
+    assert(r.getDouble(2) === 0.0)
+  }
+
+  test("ece equals the weighted reliability-diagram gap (sf0.001 differential)") {
+    val cal = SparkEntry.queries("q_eval_calibration")(spark, sf0001).collect()
+    val n = cal.map(_.getLong(1)).sum
+    val want = cal.map(r =>
+      r.getLong(1).toDouble / n *
+        math.abs(r.getDouble(4) - r.getDouble(3))).sum
+    val got = SparkEntry.queries("q_eval_ece")(spark, sf0001)
+      .collect().head.getDouble(2)
+    // the gate's integer form is exact; the recomputation from rounded
+    // per-bin columns carries their rounding
+    assert(math.abs(got - want) < 1e-4, s"got=$got want=$want")
+  }
+
   test("isotonic apply assigns each doc its bin's published fit (sf0.001)") {
     val pub = SparkEntry.queries("q_eval_isotonic")(spark, sf0001)
       .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
