@@ -574,6 +574,45 @@ object WebQueries {
            |        / CAST(sum(n) AS BIGINT) / 1000000, 6) AS ece6
            |FROM gb""".stripMargin),
       "expected calibration error (exact integer numerator over range bins)"),
+
+    // Average precision (PR-AUC, the step-function convention shared by
+    // the standard toolkits): AP = Σ_s (p_s/P)·precision@s over distinct
+    // thresholds descending. The per-threshold term is one double over
+    // exact integers, folded to 1e-9 fixed point PER ROW (the log-loss
+    // convention) so the cross-row sum is exact; windows run over the
+    // ppm-grid-bounded table.
+    Q("q_eval_pr_auc",
+      (s, d) => {
+        val bys = evalByScore(s, d)
+        val wDesc = Window.orderBy(col("score_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tots = bys.agg(sum("p_s").as("pp"), sum("q_s").as("nn"))
+        bys
+          .withColumn("tp", sum("p_s").over(wDesc))
+          .withColumn("fp", sum("q_s").over(wDesc))
+          .select(round(col("p_s").cast("double") * col("tp")
+              / (col("tp") + col("fp")) * 1e9).cast("long").as("t9"))
+          .agg(sum(col("t9").cast("decimal(38,0)")).cast("double").as("ts"))
+          .crossJoin(broadcast(tots))
+          .select(col("pp").as("n_pos"), col("nn").as("n_neg"),
+            round(col("ts") / col("pp").cast("double") / lit(1000000000L), 6)
+              .as("ap6"))
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |pts AS (SELECT p_s,
+           |          CAST(sum(p_s) OVER wd AS BIGINT) AS tp,
+           |          CAST(sum(q_s) OVER wd AS BIGINT) AS fp
+           |        FROM bys
+           |        WINDOW wd AS (ORDER BY score_ppm DESC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |t AS (SELECT CAST(round(CAST(p_s AS DOUBLE) * tp / (tp + fp)
+           |          * 1000000000) AS BIGINT) AS t9
+           |      FROM pts)
+           |SELECT pp AS n_pos, nn AS n_neg,
+           |  round(CAST(CAST(sum(t9) AS HUGEINT) AS DOUBLE)
+           |        / CAST(pp AS DOUBLE) / 1000000000, 6) AS ap6
+           |FROM t CROSS JOIN tots GROUP BY pp, nn""".stripMargin),
+      "average precision (PR-AUC): step convention, fixed-point per-threshold terms"),
   )
 
   /** Held-out scored batch with labels: frozen weights from the history

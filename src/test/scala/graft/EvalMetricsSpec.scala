@@ -76,6 +76,12 @@ class EvalMetricsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - perRow) < 1e-6)
   }
 
+  test("average precision is exactly 1.0 on the separable corpus") {
+    val r = SparkEntry.queries("q_eval_pr_auc")(spark, sepDir).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((10L, 10L)))
+    assert(r.getDouble(2) === 1.0)
+  }
+
   test("ece is exactly 0 on the separable corpus (both bins perfectly calibrated)") {
     val r = SparkEntry.queries("q_eval_ece")(spark, sepDir).collect().head
     assert(r.getLong(1) === 20L)
