@@ -20,6 +20,9 @@ object EmbedQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** JL projection output dims — 16, so 1/√k is an exact /4. */
+  val ProjK = 16
+
   /** Spark-side covariance cells from the exact moments — the same
     * arithmetic [[Pca.covMatrix]] runs on the driver, kept distributed
     * here (the gate must pin the scale shape, not the collect). */
@@ -145,6 +148,44 @@ object EmbedQueries {
            |FROM ex JOIN st USING (dim) JOIN vf p ON ex.dim = p.i
            |  CROSS JOIN sgn
            |GROUP BY ex.vec_id""".stripMargin),
-      "PC1 scores for every embedding via the frozen component (broadcast apply)")
+      "PC1 scores for every embedding via the frozen component (broadcast apply)"),
+
+    // Johnson–Lindenstrauss random projection 64 → ProjK dims: the cheap
+    // dimensionality reducer that runs BEFORE an ANN index build. The
+    // ±1 projection matrix is IMPLICIT — sign(j,d) = 1 − 2·(hash(j#d)
+    // mod 2), derived identically by both engines, so nothing is
+    // published or shuffled; each output coordinate is an exact integer
+    // sum of micro-unit values, and ProjK = 16 makes the 1/√k scale an
+    // exact /4. Stateless per row (O(k·d) map work, no shuffle at all).
+    Q("q_embed_project",
+      (s, d) => {
+        val e = col("embedding")
+        val sign = (j: org.apache.spark.sql.Column,
+                    dd: org.apache.spark.sql.Column) =>
+          lit(1L) - lit(2L) * pmod(graft.functions.PortableHash.hashMod(
+            concat(j.cast("string"), lit("#"), dd.cast("string"))), lit(2L))
+        val projs = transform(sequence(lit(0), lit(ProjK - 1)), j =>
+          aggregate(sequence(lit(0), size(e) - 1), lit(0L),
+            (acc, dd) => acc +
+              round(element_at(e, dd + 1).cast("double") * 1e6).cast("long")
+                * sign(j, dd)))
+        t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(projs).as(Seq("j", "p")))
+          .select(col("vec_id"), col("j").cast("int").as("j"),
+            round(col("p").cast("double") / lit(4000000L), 6).as("proj6"))
+      },
+      Some(s"""WITH ${LlmQueries.duckEmbedMicroCtes},
+           |pj AS (SELECT vec_id, j,
+           |         CAST(sum(vl * (1 - 2 * (${graft.functions.PortableHash
+                      .duckHashMod(
+                        "CAST(j AS VARCHAR) || '#' || CAST(dim AS VARCHAR)")}
+           |           % 2))) AS BIGINT) AS p
+           |       FROM ex CROSS JOIN
+           |         (SELECT unnest(range(0, $ProjK)) AS j)
+           |       GROUP BY vec_id, j)
+           |SELECT vec_id, CAST(j AS INT) AS j,
+           |  round(CAST(p AS DOUBLE) / 4000000, 6) AS proj6
+           |FROM pj""".stripMargin),
+      s"JL ±1 random projection to $ProjK dims (implicit hash matrix, exact integers)")
   )
 }
