@@ -55,11 +55,20 @@ object CacheScope {
     new java.util.concurrent.ConcurrentHashMap[Registration, java.lang.Boolean]())
 
   def autoRelease(shared: DataFrame): DataFrame = {
-    val spark = shared.sparkSession
     shared.persist(StorageLevel.MEMORY_AND_DISK)
+    arm(shared)
+  }
+
+  /** Register ONLY the one-shot release listener on an already-persisted
+    * frame. For query constructions that run a driver-side action (e.g.
+    * collect an O(bins) artifact) BEFORE returning the plan that reuses
+    * the persisted frame: persist first, run the construction action
+    * (which populates the cache but must not pop the listener), then arm
+    * — so the release fires on the CALLER's action, not the builder's. */
+  def arm(shared: DataFrame): DataFrame = {
     val reg = new Registration(shared)
     outstanding.add(reg)
-    spark.listenerManager.register(reg)
+    shared.sparkSession.listenerManager.register(reg)
     shared
   }
 

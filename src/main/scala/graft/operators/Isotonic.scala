@@ -30,9 +30,11 @@ object Isotonic {
       var blk = Block(b, b, n, p)
       // pool while the previous block's rate >= the new block's rate
       // (exact cross-multiplied compare; pooling on equality is
-      // value-neutral and keeps the block list canonical)
+      // value-neutral and keeps the block list canonical). BigInt keeps
+      // the compare exact past pos·n > 2^63 (~3e9+ rows per side);
+      // ≤ Bins compares per input row, so driver cost is nil.
       while (blocks.nonEmpty &&
-          blocks.head.pos * blk.n >= blk.pos * blocks.head.n) {
+          BigInt(blocks.head.pos) * blk.n >= BigInt(blk.pos) * blocks.head.n) {
         val t = blocks.head
         blocks = blocks.tail
         blk = Block(t.lo, blk.hi, t.n + blk.n, t.pos + blk.pos)

@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * The distributed work is ONE pass: per-row upper-triangle outer
   * products in exact micro-unit fixed point (vl = round(v·1e6) as long —
   * the q_embed_standardize convention; vl ≤ 1e6 so each product ≤ 1e12
-  * and the per-cell sum stays ≪ 2^63 at bench scale; swap DECIMAL
-  * accumulation at true corpus scale), map-side-combined down to
+  * never wraps, and the per-cell SUM accumulates in DECIMAL(38,0) so the
+  * moments stay exact at any corpus size), map-side-combined down to
   * O(d²) cells. Everything after — the d×d covariance, power iteration,
   * deflation — is driver-side on a 64×64 matrix: O(d²·iters) scalar
   * work, independent of corpus size (the [[KMeans]] bounded-collect
@@ -43,9 +43,15 @@ object Pca {
           .as(Seq("j0", "y")))
       .select(col("i"), (col("i") + col("j0")).as("j"),
         (col("x") * col("y")).as("xy"))
-      .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
+      // per-row products stay long (vl ≤ 1e6 ⇒ xy ≤ 1e12, never wraps);
+      // the SUM widens to DECIMAL(38,0) — int64 accumulation wraps
+      // silently past ~9e6 rows per cell (ADVICE r14), while the oracle's
+      // HUGEINT does not
+      .groupBy("i", "j")
+      .agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
     val firsts = ml.select(posexplode(col("ml")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum(col("x")).as("sc"), count(lit(1)).as("n"))
+      .groupBy("i").agg(sum(col("x").cast("decimal(38,0)")).as("sc"),
+        count(lit(1)).as("n"))
     (pairs, firsts)
   }
 
@@ -54,13 +60,14 @@ object Pca {
   def covMatrix(emb: DataFrame): (Array[Array[Double]], Array[Double], Long) = {
     val (pairs, firsts) = moments(emb)
     val fm = firsts.collect().map(r =>
-      r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      r.getInt(0) -> (r.getDecimal(1).doubleValue(), r.getLong(2))).toMap
     val d = fm.size
     val n = fm(0)._2
-    val sc = Array.tabulate(d)(i => fm(i)._1.toDouble)
+    val sc = Array.tabulate(d)(i => fm(i)._1)
     val c = Array.ofDim[Double](d, d)
     pairs.collect().foreach { r =>
-      val (i, j, sxy) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val (i, j, sxy) =
+        (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue())
       val cov = (sxy - sc(i) * sc(j) / n) / (n - 1.0)
       c(i)(j) = cov; c(j)(i) = cov
     }

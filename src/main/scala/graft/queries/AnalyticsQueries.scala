@@ -734,14 +734,16 @@ object AnalyticsQueries {
         val tot = ser.agg(
           count(lit(1)).cast("double").as("n"),
           sum(col("x").cast("decimal(38,0)")).cast("double").as("t"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+          // widen BEFORE multiplying (q_boot_ci convention) — x*x in
+          // int64 wraps at scale while the oracle's HUGEINT does not
+          sum(col("x").cast("decimal(38,0)") * col("x")).cast("double")
             .as("q"))
         val lags = s.range(1, AcfMaxLag + 1).select(col("id").as("lag"))
         val pairs = lags.crossJoin(ser.as("a"))
           .join(ser.as("b"), col("b.h") === col("a.h") + col("lag"))
           .groupBy("lag").agg(
             count(lit(1)).as("n_pairs"),
-            sum((col("a.x") * col("b.x")).cast("decimal(38,0)"))
+            sum(col("a.x").cast("decimal(38,0)") * col("b.x"))
               .cast("double").as("sab"),
             sum(col("a.x").cast("decimal(38,0)")).cast("double").as("sa"),
             sum(col("b.x").cast("decimal(38,0)")).cast("double").as("sb"))
@@ -1261,16 +1263,20 @@ object AnalyticsQueries {
             .rowsBetween(Window.unboundedPreceding, -1)
           hist
             .withColumn("s", coalesce(sum("m").over(wAsc), lit(0L)))
+            // ss2 = 2·Σ cnt·(m·s + m(m+1)/2), widened to DECIMAL(38,0)
+            // BEFORE every multiply (int64 products wrap at scale) and
+            // ×2-cleared so no integral divide runs on the wide type
             .agg(sum("m").as("n"), sum(col("cnt") * col("m")).as("t"),
-              sum(expr(
-                "CAST(cnt * (m * s + (m * (m + 1)) div 2) AS DECIMAL(38,0))"))
-                .cast("double").as("ss"),
+              sum(col("cnt").cast("decimal(38,0)")
+                  * (lit(2) * col("m").cast("decimal(38,0)") * col("s")
+                    + col("m").cast("decimal(38,0)") * (col("m") + 1)))
+                .cast("double").as("ss2"),
               max("cnt").as("mx"))
             .select(lit(c).as("key_col"), col("n").as("n_keys"),
               col("t").as("n_rows"),
               round(col("mx").cast("double") / col("t").cast("double"), 6)
                 .as("max_share6"),
-              round((lit(2) * col("ss")
+              round((col("ss2")
                   - (col("n").cast("double") + 1) * col("t").cast("double"))
                 / (col("n").cast("double") * col("t").cast("double")), 6)
                 .as("gini6"))
@@ -1281,13 +1287,14 @@ object AnalyticsQueries {
         s"""SELECT '$c' AS key_col, n AS n_keys, t AS n_rows,
            |  round(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6)
            |    AS max_share6,
-           |  round((2 * ss - (CAST(n AS DOUBLE) + 1) * CAST(t AS DOUBLE))
+           |  round((ss2 - (CAST(n AS DOUBLE) + 1) * CAST(t AS DOUBLE))
            |        / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini6
            |FROM (
            |  SELECT CAST(sum(m) AS BIGINT) AS n,
            |         CAST(sum(cnt * m) AS BIGINT) AS t,
            |         CAST(sum(CAST(cnt AS HUGEINT)
-           |           * (m * s + (m * (m + 1)) // 2)) AS DOUBLE) AS ss,
+           |           * (2 * CAST(m AS HUGEINT) * s
+           |              + CAST(m AS HUGEINT) * (m + 1))) AS DOUBLE) AS ss2,
            |         max(cnt) AS mx
            |  FROM (SELECT cnt, m,
            |          coalesce(sum(m) OVER (ORDER BY cnt
@@ -1318,10 +1325,16 @@ object AnalyticsQueries {
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
           sum(when(col("arm") === 0, col("m")).otherwise(0L)).as("sa"),
           sum(when(col("arm") === 1, col("m")).otherwise(0L)).as("sb"),
-          sum(when(col("arm") === 0, col("m") * col("m")).otherwise(0L)
-            .cast("decimal(38,0)")).cast("double").as("qa"),
-          sum(when(col("arm") === 1, col("m") * col("m")).otherwise(0L)
-            .cast("decimal(38,0)")).cast("double").as("qb"))
+          // m² widened BEFORE the multiply (oracle squares in HUGEINT;
+          // int64 m·m wraps once per-user revenue passes ~3e9 cents)
+          sum(when(col("arm") === 0,
+              col("m").cast("decimal(38,0)") * col("m"))
+            .otherwise(lit(0L).cast("decimal(38,0)")))
+            .cast("double").as("qa"),
+          sum(when(col("arm") === 1,
+              col("m").cast("decimal(38,0)") * col("m"))
+            .otherwise(lit(0L).cast("decimal(38,0)")))
+            .cast("double").as("qb"))
         val st = g.select(col("na"), col("nb"),
           (col("sa").cast("double") / col("na")).as("ma"),
           (col("sb").cast("double") / col("nb")).as("mb"),

@@ -44,7 +44,7 @@ object EmbedQueries {
     * joins on vec_id). Requires ex/st from duckEmbedMicroCtes. */
   private def duckCovCtes: String =
     """pu AS (SELECT a.dim AS i, b.dim AS j,
-      |         CAST(sum(a.vl * b.vl) AS BIGINT) AS sxy
+      |         sum(a.vl * b.vl) AS sxy
       |       FROM ex a JOIN ex b USING (vec_id)
       |       WHERE a.dim <= b.dim GROUP BY 1, 2),
       |cvu AS MATERIALIZED (SELECT i, j,
@@ -171,8 +171,15 @@ object EmbedQueries {
                 * sign(j, dd)))
         t(s, d, "embeddings")
           .select(col("vec_id"), posexplode(projs).as(Seq("j", "p")))
+          // p is an exact integer sum of micro-units; the true projection
+          // is p / 4e6 (the 1/√16 scale folded into the 1e6 micro-unit).
+          // Emitting p·25 = p/4e6 in 1e-8 units keeps the gate in exact
+          // BIGINT on both engines — round(p/4e6, 6) hits a dense class of
+          // exact decimal ties (every p ≡ 2 mod 4) where Spark's
+          // shortest-string HALF_UP and DuckDB's binary-double rounding
+          // disagree.
           .select(col("vec_id"), col("j").cast("int").as("j"),
-            round(col("p").cast("double") / lit(4000000L), 6).as("proj6"))
+            (col("p") * lit(25L)).as("proj8"))
       },
       Some(s"""WITH ${LlmQueries.duckEmbedMicroCtes},
            |pj AS (SELECT vec_id, j,
@@ -184,7 +191,7 @@ object EmbedQueries {
            |         (SELECT unnest(range(0, $ProjK)) AS j)
            |       GROUP BY vec_id, j)
            |SELECT vec_id, CAST(j AS INT) AS j,
-           |  round(CAST(p AS DOUBLE) / 4000000, 6) AS proj6
+           |  CAST(p * 25 AS BIGINT) AS proj8
            |FROM pj""".stripMargin),
       s"JL ±1 random projection to $ProjK dims (implicit hash matrix, exact integers)")
   )

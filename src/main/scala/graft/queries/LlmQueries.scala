@@ -176,11 +176,14 @@ object LlmQueries {
       .select(col("vec_id"), col("dim"),
         round(col("v").cast("double") * lit(1e6), 0).cast("long").as("vl"))
 
-  /** Per-dim exact sums over [[embedMicro]]: (dim, sc, scc, n). */
+  /** Per-dim exact sums over [[embedMicro]]: (dim, sc, scc, n). The
+    * sums accumulate in DECIMAL(38,0) (the per-row vl² ≤ 1e12 never
+    * wraps, but the int64 SUM would past ~9e6 rows per dim); consumers
+    * only ever CAST them to DOUBLE, mirroring the oracle's HUGEINT. */
   private def embedMicroStats(emb: DataFrame): DataFrame =
     embedMicro(emb).groupBy("dim").agg(
-      sum(col("vl")).as("sc"),
-      sum(col("vl") * col("vl")).as("scc"),
+      sum(col("vl").cast("decimal(38,0)")).as("sc"),
+      sum((col("vl") * col("vl")).cast("decimal(38,0)")).as("scc"),
       count(lit(1)).as("n"))
 
   /** DuckDB twin of [[embedMicro]] + [[embedMicroStats]] as CTEs ex/st.
@@ -196,8 +199,8 @@ object LlmQueries {
       |       FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
       |               unnest(range(0, len(embedding))) AS pos
       |             FROM embeddings)),
-      |st AS $m(SELECT dim, CAST(sum(vl) AS BIGINT) AS sc,
-      |              CAST(sum(vl * vl) AS BIGINT) AS scc, count(*) AS n
+      |st AS $m(SELECT dim, sum(vl) AS sc,
+      |              sum(vl * vl) AS scc, count(*) AS n
       |       FROM ex GROUP BY dim)""".stripMargin
   }
   val SubstringW = 8 // repeated-span shingle width (words)
@@ -1336,9 +1339,9 @@ object LlmQueries {
     // PUBLISH: the per-dim mean/std artifact (O(dim) rows — kilobytes at
     // any corpus size) a feature-normalization pass freezes. Components
     // are fixed-pointed to micro-units (round(v·1e6) as long — the cents
-    // convention generalized; floats are in [−1,1], so vl ≤ 1e6 and the
-    // per-dim Σvl² stays ≪ 2^63 at bench scale — swap DECIMAL
-    // accumulation at true corpus scale), so the sums are EXACT integers
+    // convention generalized; floats are in [−1,1], so vl ≤ 1e6, the
+    // per-row vl² ≤ 1e12 never wraps, and the per-dim sums accumulate in
+    // DECIMAL(38,0)/HUGEINT), so the sums are EXACT integers
     // on any partitioning and the derived mean/std are one fixed IEEE
     // expression both engines evaluate on identical inputs.
     Q("q_embed_standardize_stats",

@@ -208,8 +208,11 @@ object WebQueries {
           .rowsBetween(Window.unboundedPreceding, -1)
         val u2 = bys
           .withColumn("qb", coalesce(sum("q_s").over(wAsc), lit(0L)))
-          .agg(sum((col("p_s") * (lit(2) * col("qb") + col("q_s")))
-            .cast("decimal(38,0)")).cast("double").as("u2"))
+          // widen BEFORE multiplying: p_s·qb is O(n_pos·n_neg) — int64
+          // wraps at ~3e9 rows per side while the gate claims exactness
+          .agg(sum(col("p_s").cast("decimal(38,0)")
+              * (lit(2) * col("qb").cast("decimal(38,0)") + col("q_s")))
+            .cast("double").as("u2"))
         val tots = bys.agg(sum("p_s").as("pp"), sum("q_s").as("nn"))
         u2.crossJoin(broadcast(tots)).select(
           col("pp").as("n_pos"), col("nn").as("n_neg"),
@@ -223,7 +226,8 @@ object WebQueries {
            |           0) AS qb
            |       FROM bys)
            |SELECT pp AS n_pos, nn AS n_neg,
-           |  round(CAST(sum(p_s * (2 * qb + q_s)) AS DOUBLE)
+           |  round(CAST(sum(CAST(p_s AS HUGEINT)
+           |              * (2 * CAST(qb AS HUGEINT) + q_s)) AS DOUBLE)
            |        / (2 * CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
            |    AS auc6
            |FROM cb CROSS JOIN tots GROUP BY pp, nn""".stripMargin),
@@ -366,8 +370,9 @@ object WebQueries {
           .join(broadcast(tots), "source")
           .filter(col("pp") > 0 && col("nn") > 0)
           .groupBy("source", "pp", "nn")
-          .agg(sum((col("p_s") * (lit(2) * col("qb") + col("q_s")))
-            .cast("decimal(38,0)")).cast("double").as("u2"))
+          .agg(sum(col("p_s").cast("decimal(38,0)")
+              * (lit(2) * col("qb").cast("decimal(38,0)") + col("q_s")))
+            .cast("double").as("u2"))
           .select(col("source"), col("pp").as("n_pos"), col("nn").as("n_neg"),
             round(col("u2") / (lit(2) * col("pp").cast("double")
               * col("nn").cast("double")), 6).as("auc6"))
@@ -380,7 +385,8 @@ object WebQueries {
            |           0) AS qb
            |       FROM bys)
            |SELECT cb.source, pp AS n_pos, nn AS n_neg,
-           |  round(CAST(sum(p_s * (2 * qb + q_s)) AS DOUBLE)
+           |  round(CAST(sum(CAST(p_s AS HUGEINT)
+           |              * (2 * CAST(qb AS HUGEINT) + q_s)) AS DOUBLE)
            |        / (2 * CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
            |    AS auc6
            |FROM cb JOIN tots USING (source)
@@ -441,7 +447,12 @@ object WebQueries {
     // runs after the nightly PAV publish.)
     Q("q_eval_isotonic_apply",
       (s, d) => {
-        val scored = graft.core.CacheScope.autoRelease(evalScored(s, d))
+        // persist now (the construction-time binned.collect() populates
+        // the cache) but arm the one-shot release only AFTER that collect
+        // — autoRelease here would pop on the collect and the returned
+        // apply query would re-score the corpus (ADVICE r14).
+        val scored = evalScored(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bys = scored.groupBy("score_ppm")
           .agg(sum(when(col("label"), 1L).otherwise(0L)).as("p_s"),
             sum(when(col("label"), 0L).otherwise(1L)).as("q_s"))
@@ -455,6 +466,7 @@ object WebQueries {
         val art = s.createDataFrame(
           Isotonic.pavFit(rows).map(t => (t._1, t._4)))
           .toDF("bin", "calib6")
+        graft.core.CacheScope.arm(scored)
         scored.crossJoin(broadcast(rng))
           .withColumn("bin", expr(binExpr).cast("int"))
           .join(broadcast(art), "bin")

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.queries.EmbedQueries
+
+/** JL projection gate invariants (q_embed_project).
+  *
+  * The r14 gate failed on an exact decimal-tie class: the true value
+  * p/4e6 ends in ...5 at the 7th digit for every p ≡ 2 (mod 4), and
+  * Spark's shortest-string HALF_UP `round(_, 6)` resolves those ties
+  * opposite to DuckDB's binary-double rounding. The fix emits the exact
+  * integer proj8 = p·25 (= p/4e6 in 1e-8 units). This spec pins:
+  *   1. proj8 equals a driver-side replay of the exact integer recipe
+  *      on a controlled fixture, INCLUDING constructed p ≡ 2 (mod 4)
+  *      tie-class rows (the class that broke the rounded form);
+  *   2. every output is a multiple of 25 (i.e. genuinely p·25);
+  *   3. the tie class is actually present in the real sf0.001 corpus,
+  *      so the gate exercises it every round.
+  */
+class JlProjectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val q = EmbedQueries.all.find(_.name == "q_embed_project").get
+
+  /** Driver-side replay of PortableHash.hashMod(s) % 2. */
+  private def signBit(j: Int, d: Int): Long = {
+    val md5 = MessageDigest.getInstance("MD5")
+      .digest(s"$j#$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h60 = java.lang.Long.parseLong(md5.take(15), 16)
+    1L - 2L * ((h60 % PortableHash.MOD) % 2L)
+  }
+
+  test("proj8 replays the exact integer recipe, tie class included") {
+    // vec 0: single micro-unit entry of 2 at dim 0 → p = ±2 for every j,
+    // the exact p ≡ 2 (mod 4) tie class that broke round(p/4e6, 6).
+    // vec 1: mixed micro values exercising the general sum.
+    val fixture = Seq(
+      (0L, Array(2e-6f, 0f, 0f, 0f)),
+      (1L, Array(0.25f, -0.5f, 1.25f, 3e-6f)))
+    val dir = Files.createTempDirectory("jlproj").toString
+    fixture.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = q.run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    val micro = fixture.map { case (id, arr) =>
+      id -> arr.map(v => Math.round(v.toDouble * 1e6))
+    }.toMap
+    var tieSeen = false
+    for ((id, m) <- micro; j <- 0 until EmbedQueries.ProjK) {
+      val p = m.indices.map(d => m(d) * signBit(j, d)).sum
+      if (Math.floorMod(p, 4L) == 2L) tieSeen = true
+      assert(got((id, j)) === p * 25L,
+        s"vec $id j $j: got ${got((id, j))}, want ${p * 25L} (p=$p)")
+    }
+    assert(tieSeen, "fixture must include a p ≡ 2 (mod 4) tie-class row")
+    assert(got.size === fixture.size * EmbedQueries.ProjK)
+  }
+
+  test("real corpus output is exact p·25 and hits the tie class") {
+    val out = q.run(spark, sf0001)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("proj8") % 25 =!= 0, 1).otherwise(0)).as("bad"),
+        // p ≡ 2 (mod 4)  ⟺  25p ≡ 50 (mod 100), negatives included
+        sum(when(pmod(col("proj8"), lit(100)) === 50, 1).otherwise(0))
+          .as("ties"))
+      .head()
+    assert(out.getLong(0) > 0)
+    assert(out.getLong(1) === 0L, "every proj8 must be a multiple of 25")
+    assert(out.getLong(2) > 0L, "tie class p ≡ 2 (mod 4) must occur")
+  }
+}
