@@ -161,7 +161,12 @@ object Bench {
     // promoted at birth per the same ≥2 s rule; association rules
     // (1.74 s quiet median) promoted proactively — close enough to the
     // line that one co-tenant driver sweep would flag it anyway
-    "q_graph_linkpred", "q_assoc_rules")
+    "q_graph_linkpred", "q_assoc_rules",
+    // round-15: the three rows the r14 driver sweep showed ≥2 s (sweep
+    // gate rule) — sparse tf-idf cosine and hard-negative mining are
+    // genuine multi-second term-join work; embed_project rides in after
+    // its exact-integer re-gate. 7-rep adjudicated in BENCHFOCUS_r15.
+    "q_sim_sparse_topk", "q_train_hardneg", "q_embed_project")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

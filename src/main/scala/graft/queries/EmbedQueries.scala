@@ -159,17 +159,29 @@ object EmbedQueries {
     // exact /4. Stateless per row (O(k·d) map work, no shuffle at all).
     Q("q_embed_project",
       (s, d) => {
-        val e = col("embedding")
-        val sign = (j: org.apache.spark.sql.Column,
-                    dd: org.apache.spark.sql.Column) =>
-          lit(1L) - lit(2L) * pmod(graft.functions.PortableHash.hashMod(
-            concat(j.cast("string"), lit("#"), dd.cast("string"))), lit(2L))
-        val projs = transform(sequence(lit(0), lit(ProjK - 1)), j =>
-          aggregate(sequence(lit(0), size(e) - 1), lit(0L),
+        // sign(j,dim) = 1 − 2·((hash60("j#dim") mod MOD) mod 2) is a pure
+        // function of CONSTANTS: replay it once on the driver and inline
+        // the ProjK×Dim matrix as a literal (the PoisCumPpm inlined-
+        // constants pattern). The previous per-row hashMod form digested
+        // an md5 per row×j×dim — ~82M digests at sf0.1 for a 16×64
+        // constant. The oracle derives the identical signs from the same
+        // public recipe in SQL (oracle-side cost only).
+        val signs: Seq[Seq[Long]] = (0 until ProjK).map { j =>
+          (0 until graft.operators.Similarity.Dim).map { dd =>
+            1L - 2L * (graft.functions.Md5Hash60.hash60Bytes(
+              s"$j#$dd".getBytes("UTF-8"))
+              % graft.functions.PortableHash.MOD % 2L)
+          }
+        }
+        val projs = transform(sequence(lit(0), lit(ProjK - 1)), j => {
+          val sj = element_at(typedlit(signs), j + 1)
+          aggregate(sequence(lit(0), size(col("ml")) - 1), lit(0L),
             (acc, dd) => acc +
-              round(element_at(e, dd + 1).cast("double") * 1e6).cast("long")
-                * sign(j, dd)))
+              element_at(col("ml"), dd + 1) * element_at(sj, dd + 1))
+        })
         t(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"),
+            v => round(v.cast("double") * 1e6).cast("long")).as("ml"))
           .select(col("vec_id"), posexplode(projs).as(Seq("j", "p")))
           // p is an exact integer sum of micro-units; the true projection
           // is p / 4e6 (the 1/√16 scale folded into the 1e6 micro-unit).
