@@ -16,6 +16,24 @@ set -u -o pipefail
 cd "$(dirname "$0")/.."
 rc=0
 
+echo "== 0/4 snapshot-gap pin =="
+# The r14 incident: the gate ran green at 297 gates, then 32 more landed
+# before the end-of-round snapshot (one red, three over the sweep rule).
+# Pin: the gate must run on EXACTLY the tree that will be snapshotted —
+# refuse a dirty working tree, and record HEAD + the full registry name
+# list so the transcript proves which Q( entries were covered. Any commit
+# after this gate (other than docs/artifacts) voids the run: re-run it.
+if [ -n "$(git status --porcelain -- src build.sbt project 2>/dev/null)" ]; then
+  echo "FAIL: uncommitted src/build changes — the gate must run on the"
+  echo "      exact tree being snapshotted. Commit first, then re-run."
+  git status --porcelain -- src build.sbt project
+  rc=1
+fi
+echo "HEAD: $(git rev-parse HEAD 2>/dev/null)"
+grep -rhoE 'Q\("q[a-z_0-9]*"' src/main/scala --include=*.scala \
+  | sed 's/Q("//; s/"//' | sort -u > target/roundclose_registry.txt 2>/dev/null || true
+echo "registry Q( entries: $(wc -l < target/roundclose_registry.txt)"
+
 echo "== 1/4 full test suite =="
 if ! sbt -batch test > /tmp/roundclose_test.log 2>&1; then
   echo "FAIL: sbt test (tail of /tmp/roundclose_test.log):"
@@ -44,6 +62,16 @@ for sf in 0.01 0.1; do
   if grep -q "^FAIL" /tmp/roundclose_selfcheck_$sf.log; then
     echo "FAIL: oracle mismatches at sf$sf:"
     grep "^FAIL" /tmp/roundclose_selfcheck_$sf.log; rc=1
+  fi
+  # registry pin (mechanical form of VERDICT r14 #2/#7a): every Q( entry
+  # in the source tree must have produced a dump dir in THIS gate run —
+  # a Q written but never registered in a .all list (or crashed into an
+  # .err) would otherwise escape the correctness board
+  missing=$(comm -23 target/roundclose_registry.txt \
+    <(ls "$out" | grep -v '\.' | sort -u) | grep -v '^$' || true)
+  if [ -n "$missing" ]; then
+    echo "FAIL: Q( entries with no dump in this gate run at sf$sf:"
+    echo "$missing"; rc=1
   fi
 done
 
