@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.{Isotonic, QualityClassifier}
+
+/** Streaming twin of the isotonic-calibration APPLY half
+  * (q_eval_isotonic_apply): the PAV step-function artifact — (bin,
+  * calib6) plus the frozen (mn, mx) bin range — is published ONCE from
+  * the standing held-out corpus; each incoming microbatch is then
+  * scored under the frozen classifier weights, mapped to its bin with
+  * the FROZEN range constants, and probed against the broadcast O(bins)
+  * artifact, stateless between batches (the
+  * StreamingQuantileNormSpec frozen-table-probe pattern, VERDICT r14
+  * #5). Pinned multiplicity-exact against the batch apply over the same
+  * documents — sound because the apply is per-doc given the artifact. */
+class StreamingIsotonicSpec extends SparkSpec {
+
+  private def calibrate(batch: DataFrame, wmap: Map[Long, Long],
+                        mn: Long, mx: Long, art: DataFrame): DataFrame =
+    QualityClassifier.score(wmap, batch)
+      .withColumn("bin", expr(s"CAST(((score_ppm - $mn) * " +
+        s"${Isotonic.Bins}) div ${mx - mn + 1} AS INT)"))
+      .join(broadcast(art), "bin")
+      .select(col("doc_id"), col("score_ppm"), col("bin"), col("calib6"))
+
+  test("per-microbatch PAV-artifact probe ≡ batch apply") {
+    val work = Files.createTempDirectory("graft_iso_stream").toString
+    val docs = Tables.ensureParallelism(Tables.load(spark, sf0001, "documents"))
+      .select(col("doc_id"), col("lang"), col("text"))
+
+    // PUBLISH once: frozen weights from the history slice, then the PAV
+    // artifact + bin range from the full held-out batch (the
+    // q_eval_isotonic_apply recipe)
+    val split = graft.queries.WebQueries.ApplySplit
+    val wmap = QualityClassifier.collectWeights(QualityClassifier.weights(
+      docs.filter(col("doc_id") < split), col("lang") === "en"))
+    val heldout = docs.filter(col("doc_id") >= split)
+    val bys = QualityClassifier.score(wmap,
+        heldout.withColumn("label", col("lang") === "en"),
+        carry = Seq("label"))
+      .groupBy("score_ppm")
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("p_s"),
+        sum(when(col("label"), 0L).otherwise(1L)).as("q_s"))
+    val Array(mn, mx) = bys
+      .agg(min("score_ppm"), max("score_ppm")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val binRows = bys
+      .groupBy(expr(s"CAST(((score_ppm - $mn) * ${Isotonic.Bins}) div " +
+        s"${mx - mn + 1} AS INT)").as("bin"))
+      .agg(sum(col("p_s") + col("q_s")).as("n"), sum("p_s").as("pos"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val art = spark.createDataFrame(
+        Isotonic.pavFit(binRows).map(t => (t._1, t._4)))
+      .toDF("bin", "calib6")
+    art.write.parquet(s"$work/art") // the frozen published artifact
+    val frozenArt = spark.read.parquet(s"$work/art")
+
+    val want = calibrate(heldout, wmap, mn, mx, frozenArt)
+
+    // STREAM the same held-out docs in >=2 microbatches
+    heldout.repartition(3).write.parquet(s"$work/in")
+    var batches = 0
+    val stream = spark.readStream.schema(heldout.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          batches += 1
+          calibrate(df, wmap, mn, mx, frozenArt)
+            .write.mode("append").parquet(s"$work/out")
+        }
+      }
+      .option("checkpointLocation", s"$work/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(batches >= 2, s"replay collapsed to $batches microbatch(es)")
+    val got = spark.read.parquet(s"$work/out")
+    val w = want.select(got.columns.map(col).toSeq: _*)
+    val drift = got.exceptAll(w).count() + w.exceptAll(got).count()
+    assert(drift == 0, s"streamed calibration drifted from batch ($drift rows)")
+    // the artifact is a genuine step function probe, not a passthrough
+    assert(got.select("calib6").distinct().count() > 1,
+      "vacuous: calibration collapsed to one value")
+  }
+}
