@@ -23,6 +23,52 @@ object EmbedQueries {
   /** JL projection output dims — 16, so 1/√k is an exact /4. */
   val ProjK = 16
 
+  /** The inlined ±1 JL sign matrix: sign(j,dim) = 1 − 2·((hash60("j#dim")
+    * mod MOD) mod 2) — a pure function of constants, replayed once on
+    * the driver (the PoisCumPpm inlined-constants pattern; per-row
+    * hashing of a 16×64 constant cost ~82M md5 digests at sf0.1). */
+  private[queries] lazy val jlSigns: Seq[Seq[Long]] =
+    (0 until ProjK).map { j =>
+      (0 until graft.operators.Similarity.Dim).map { dd =>
+        1L - 2L * (graft.functions.Md5Hash60.hash60Bytes(
+          s"$j#$dd".getBytes("UTF-8"))
+          % graft.functions.PortableHash.MOD % 2L)
+      }
+    }
+
+  /** Exact JL coordinates per vector: (vec_id, pvec array<long>) with
+    * pvec(j) = Σ_d round(v_d·1e6)·sign(j,d) — stateless per-row map
+    * work (O(k·d) multiply-adds), no shuffle; the dimensionality
+    * reducer that runs before an ANN index build. */
+  private[queries] def jlVec(emb: DataFrame): DataFrame = {
+    val projs = transform(sequence(lit(0), lit(ProjK - 1)), j => {
+      val sj = element_at(typedlit(jlSigns), j + 1)
+      aggregate(sequence(lit(0), size(col("ml")) - 1), lit(0L),
+        (acc, dd) => acc +
+          element_at(col("ml"), dd + 1) * element_at(sj, dd + 1))
+    })
+    emb
+      .select(col("vec_id"), transform(col("embedding"),
+        v => round(v.cast("double") * 1e6).cast("long")).as("ml"))
+      .select(col("vec_id"), projs.as("pvec"))
+  }
+
+  /** DuckDB CTE `pemb(vec_id, embedding DOUBLE[])`: the JL-projected
+    * corpus, signs derived from the same public md5 recipe in SQL.
+    * Requires `ex` from [[LlmQueries.duckEmbedMicroCtes]]. */
+  private[queries] def duckJlVecCte: String =
+    s"""pj AS (SELECT vec_id, j,
+       |         CAST(sum(vl * (1 - 2 * (${graft.functions.PortableHash
+                  .duckHashMod(
+                    "CAST(j AS VARCHAR) || '#' || CAST(dim AS VARCHAR)")}
+       |           % 2))) AS BIGINT) AS p
+       |       FROM ex CROSS JOIN
+       |         (SELECT unnest(range(0, $ProjK)) AS j)
+       |       GROUP BY vec_id, j),
+       |pemb AS (SELECT vec_id,
+       |           list(CAST(p AS DOUBLE) ORDER BY j) AS embedding
+       |         FROM pj GROUP BY vec_id)""".stripMargin
+
   /** Spark-side covariance cells from the exact moments — the same
     * arithmetic [[Pca.covMatrix]] runs on the driver, kept distributed
     * here (the gate must pin the scale shape, not the collect). */
@@ -159,30 +205,8 @@ object EmbedQueries {
     // exact /4. Stateless per row (O(k·d) map work, no shuffle at all).
     Q("q_embed_project",
       (s, d) => {
-        // sign(j,dim) = 1 − 2·((hash60("j#dim") mod MOD) mod 2) is a pure
-        // function of CONSTANTS: replay it once on the driver and inline
-        // the ProjK×Dim matrix as a literal (the PoisCumPpm inlined-
-        // constants pattern). The previous per-row hashMod form digested
-        // an md5 per row×j×dim — ~82M digests at sf0.1 for a 16×64
-        // constant. The oracle derives the identical signs from the same
-        // public recipe in SQL (oracle-side cost only).
-        val signs: Seq[Seq[Long]] = (0 until ProjK).map { j =>
-          (0 until graft.operators.Similarity.Dim).map { dd =>
-            1L - 2L * (graft.functions.Md5Hash60.hash60Bytes(
-              s"$j#$dd".getBytes("UTF-8"))
-              % graft.functions.PortableHash.MOD % 2L)
-          }
-        }
-        val projs = transform(sequence(lit(0), lit(ProjK - 1)), j => {
-          val sj = element_at(typedlit(signs), j + 1)
-          aggregate(sequence(lit(0), size(col("ml")) - 1), lit(0L),
-            (acc, dd) => acc +
-              element_at(col("ml"), dd + 1) * element_at(sj, dd + 1))
-        })
-        t(s, d, "embeddings")
-          .select(col("vec_id"), transform(col("embedding"),
-            v => round(v.cast("double") * 1e6).cast("long")).as("ml"))
-          .select(col("vec_id"), posexplode(projs).as(Seq("j", "p")))
+        jlVec(t(s, d, "embeddings"))
+          .select(col("vec_id"), posexplode(col("pvec")).as(Seq("j", "p")))
           // p is an exact integer sum of micro-units; the true projection
           // is p / 4e6 (the 1/√16 scale folded into the 1e6 micro-unit).
           // Emitting p·25 = p/4e6 in 1e-8 units keeps the gate in exact
@@ -194,14 +218,7 @@ object EmbedQueries {
             (col("p") * lit(25L)).as("proj8"))
       },
       Some(s"""WITH ${LlmQueries.duckEmbedMicroCtes},
-           |pj AS (SELECT vec_id, j,
-           |         CAST(sum(vl * (1 - 2 * (${graft.functions.PortableHash
-                      .duckHashMod(
-                        "CAST(j AS VARCHAR) || '#' || CAST(dim AS VARCHAR)")}
-           |           % 2))) AS BIGINT) AS p
-           |       FROM ex CROSS JOIN
-           |         (SELECT unnest(range(0, $ProjK)) AS j)
-           |       GROUP BY vec_id, j)
+           |$duckJlVecCte
            |SELECT vec_id, CAST(j AS INT) AS j,
            |  CAST(p * 25 AS BIGINT) AS proj8
            |FROM pj""".stripMargin),

@@ -22,20 +22,21 @@ object ExtraQueries {
   /** k-anonymity threshold (q_privacy_kanon). */
   val KAnonK = 5
 
-  /** Shared by q_sim_topk_ivf and q_sim_recall_ivf — the full IVF chain
-    * (adaptive cell count, hash-seeded centroids, argmax-dot assignment,
-    * in-cell scoring). */
-  private def duckIvfTopKOracle: String =
-    s"""WITH params AS (
+  /** Shared by q_sim_topk_ivf / q_sim_recall_ivf / q_sim_recall_jl — the
+    * IVF chain CTEs (adaptive cell count, hash-seeded centroids,
+    * argmax-dot assignment, in-cell scoring → `scored`) over any
+    * `src(vec_id, embedding)` relation (a CTE name works). */
+  private def duckIvfCtesFrom(src: String): String =
+    s"""params AS (
                  SELECT ${Similarity.duckCellsFor("cnt")} AS nc
-                 FROM (SELECT count(*) AS cnt FROM embeddings)),
+                 FROM (SELECT count(*) AS cnt FROM $src)),
                seeds AS (
                  SELECT vec_id AS cell, embedding AS centroid FROM (
                    SELECT vec_id, embedding,
                      row_number() OVER (ORDER BY
                        ${graft.functions.PortableHash.duckHashMod("vec_id::VARCHAR")},
                        vec_id) AS rn
-                   FROM embeddings)
+                   FROM $src)
                  WHERE rn <= (SELECT nc FROM params)),
                assigned AS (
                  SELECT vec_id, embedding, cell FROM (
@@ -43,7 +44,7 @@ object ExtraQueries {
                      row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY list_dot_product(e.embedding::DOUBLE[], s.centroid::DOUBLE[]) DESC,
                                 s.cell) AS crn
-                   FROM embeddings e CROSS JOIN seeds s)
+                   FROM $src e CROSS JOIN seeds s)
                  WHERE crn = 1),
                scored AS (
                  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -55,7 +56,10 @@ object ExtraQueries {
                               sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) END AS score
                  FROM assigned q JOIN assigned c
                    ON q.cell = c.cell AND q.vec_id <> c.vec_id
-                 WHERE q.vec_id < ${LlmQueries.QueryVecs})
+                 WHERE q.vec_id < ${LlmQueries.QueryVecs})"""
+
+  private def duckIvfTopKOracle: String =
+    s"""WITH ${duckIvfCtesFrom("embeddings")}
                SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
                       round(score, 6) AS score6
                FROM (SELECT *, row_number() OVER
@@ -504,6 +508,46 @@ object ExtraQueries {
            |FROM brute b LEFT JOIN ivf i
            |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin),
       "ANN recall@k of the IVF index vs exact ground truth (exact integers)"),
+
+    // JL-project → IVF: the composed scale path q_embed_project was
+    // written for — project the corpus to ProjK exact-integer
+    // coordinates (stateless per-row map, no shuffle), build the IVF
+    // index IN THE PROJECTED SPACE (4× cheaper dots, 4× smaller
+    // centroids/broadcast), and measure recall@k against the exact
+    // 64-dim ground truth. The gate therefore prices the whole
+    // dimensionality-reduction tradeoff as exact integers — routing,
+    // in-cell scoring, and ranking all happen on projected vectors; only
+    // the truth side touches the full-width corpus.
+    Q("q_sim_recall_jl",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val pred = col("vec_id") < LlmQueries.QueryVecs
+        val sz = Some(Similarity.sizes(emb, pred))
+        val brute = Similarity.bruteForceTopK(emb, pred, LlmQueries.TopK,
+            knownSizes = sz)
+          .select(col("query_id"), col("neighbor_id"))
+        val proj = EmbedQueries.jlVec(emb)
+          .select(col("vec_id"), col("pvec").cast("array<double>")
+            .as("embedding"))
+        val jl = Similarity.ivfTopK(proj, pred, LlmQueries.TopK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(jl, Seq("query_id", "neighbor_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+            count(lit(1)).as("n_truth"))
+      },
+      Some(s"""WITH ${LlmQueries.duckEmbedMicroCtes},
+           |${EmbedQueries.duckJlVecCte},
+           |brute AS (SELECT query_id, neighbor_id FROM (${LlmQueries.duckBruteTopKOracle})),
+           |${duckIvfCtesFrom("pemb")},
+           |jl AS (SELECT query_id, neighbor_id
+           |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |               ORDER BY score DESC, neighbor_id) AS rn
+           |             FROM scored)
+           |       WHERE rn <= ${LlmQueries.TopK})
+           |SELECT count(i.neighbor_id) AS n_hit, count(*) AS n_truth
+           |FROM brute b LEFT JOIN jl i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin),
+      "recall@k of the IVF index built on JL-projected vectors vs 64-dim ground truth"),
 
     Q("q_sim_topk_ivf_probe",
       (s, d) => Similarity.ivfProbeTopK(t(s, d, "embeddings"),
