@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration HITS (hubs & authorities, Kleinberg 1999) over a
+  * DIRECTED edge list — the link-analysis complement to [[PageRank]]: on
+  * a bipartite source→item graph, hub scores rank "collectors" and
+  * authority scores rank "endorsed" items (a training-data pipeline uses
+  * authorities to weight documents by who links to them, hubs to find
+  * catalog/hub pages to down-sample).
+  *
+  * Determinism: the textbook L2 normalization would make low-order
+  * digits reduction-order-dependent, so each half-round normalizes by
+  * the MAX instead (a standard HITS variant — same ranking fixpoint):
+  *   auth_k(v) = (Σ_{u→v} hub_{k-1}(u)) · Scale div max_v(Σ ...)
+  *   hub_k(u)  = (Σ_{u→v} auth_k(v))   · Scale div max_u(Σ ...)
+  * Sums accumulate in DECIMAL(38,0) (a per-node sum is ≤ deg·Scale —
+  * int64 wraps past ~9e9 in-edges on one node); the max is ONE bounded
+  * number per half-round, collected to the driver and folded back as a
+  * literal (the PageRank node-count / KMeans bounded-collect policy), so
+  * every round's scores are exact integers in [0, Scale] the oracle
+  * replays bit-for-bit.
+  *
+  * Execution shape: per round, one join of the rank table into the
+  * src-partitioned edge copy and one into the dst-partitioned copy, each
+  * map-side-combinable — the [[Connected]]/[[PageRank]] co-partitioned
+  * round shape. Round frames are node-scale, persisted per round (the
+  * driver max collect materializes them, so each round's join runs
+  * exactly once), and lineage is re-rooted so plan depth stays constant.
+  */
+object Hits {
+
+  /** One fixed-point score unit = 1e-9 of the per-round max. */
+  val Scale = 1000000000L
+
+  /** Declared round count (the LPA/k-core fixed-iteration convention). */
+  val Iters = 4
+
+  /** (node_id, kind ∈ {hub, auth}, score_fp) after [[Iters]] rounds.
+    * `edges` columns: src, dst (integral); duplicates dropped. Hubs are
+    * edge sources, authorities edge destinations. */
+  def scores(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    // the auth half-round joins on src, the hub half-round on dst: pin
+    // one persisted copy per join key so neither re-exchanges per round
+    if (e.isEmpty) // vacuous recurrence: no per-round max to divide by
+      return e.select(col("src").as("node_id"), lit("hub").as("kind"),
+        lit(0L).as("score_fp"))
+    val eS = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eD = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var cached = List.empty[DataFrame]
+    def root(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached ::= p
+      p.sparkSession.createDataFrame(p.rdd, p.schema)
+    }
+    var hubs = root(eS.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(Scale).as("h")))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = root(eS
+        .join(hubs.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst").agg(sum(col("h").cast("decimal(38,0)")).as("a")))
+      val am = araw.agg(max("a")).head().getDecimal(0).toBigInteger
+      auth = root(araw.select(col("dst").as("id"),
+        expr(s"(a * $Scale) div $am").as("a")))
+      val hraw = root(eD
+        .join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(sum(col("a").cast("decimal(38,0)")).as("hh")))
+      val hm = hraw.agg(max("hh")).head().getDecimal(0).toBigInteger
+      hubs = root(hraw.select(col("src").as("id"),
+        expr(s"(hh * $Scale) div $hm").as("h")))
+    }
+    val out = hubs
+      .select(col("id").as("node_id"), lit("hub").as("kind"),
+        col("h").as("score_fp"))
+      .unionByName(auth.select(col("id").as("node_id"),
+        lit("auth").as("kind"), col("a").as("score_fp")))
+    // ONE freeze materializes the union; every per-round cache can then
+    // release (same rationale as PageRank's end-of-loop freeze)
+    val frozen = graft.core.Freeze(out)
+    cached.foreach(_.unpersist(blocking = false))
+    eS.unpersist(blocking = false)
+    eD.unpersist(blocking = false)
+    frozen
+  }
+}

