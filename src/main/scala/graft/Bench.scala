@@ -166,7 +166,12 @@ object Bench {
     // gate rule) — sparse tf-idf cosine and hard-negative mining are
     // genuine multi-second term-join work; embed_project rides in after
     // its exact-integer re-gate. 7-rep adjudicated in BENCHFOCUS_r15.
-    "q_sim_sparse_topk", "q_train_hardneg", "q_embed_project")
+    "q_sim_sparse_topk", "q_train_hardneg", "q_embed_project",
+    // round-15 births: HITS is genuine ~6 s iterative graph work (4
+    // max-normalized rounds, 2 edge joins each) — promoted at birth per
+    // the ≥2 s rule; spearman (1.76 s quiet median, 2.6 s max) promoted
+    // proactively per the q_assoc_rules precedent
+    "q_graph_hits", "q_agg_spearman")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
