@@ -22,6 +22,9 @@ object ExtraQueries {
   /** k-anonymity threshold (q_privacy_kanon). */
   val KAnonK = 5
 
+  /** l-diversity threshold (q_privacy_ldiversity). */
+  val LDivL = 3
+
   /** Shared by q_sim_topk_ivf / q_sim_recall_ivf / q_sim_recall_jl — the
     * IVF chain CTEs (adaptive cell count, hash-seeded centroids,
     * argmax-dot assignment, in-cell scoring → `scored`) over any
@@ -1050,6 +1053,33 @@ object ExtraQueries {
            |GROUP BY 1, 2, 3
            |HAVING count(*) < $KAnonK""".stripMargin),
       "k-anonymity audit: quasi-identifier cells below the k threshold"),
+
+    // l-diversity audit — the companion check k-anonymity misses: a
+    // cell can hold ≥ k rows yet expose everyone's sensitive attribute
+    // if they all share it. Reports quasi-identifier cells (nation ×
+    // balance band) that PASS the k threshold but carry fewer than
+    // [[LDivL]] distinct sensitive values (market segment). Two
+    // map-side-combinable aggregates over the same one-pass cell rollup.
+    Q("q_privacy_ldiversity",
+      (s, d) => {
+        t(s, d, "customer").select(col("c_nationkey"),
+            expr("CAST(floor(c_acctbal / 1000) AS INT)").as("bal_band"),
+            col("c_mktsegment"))
+          .groupBy("c_nationkey", "bal_band")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("c_mktsegment").as("n_sensitive"))
+          .filter(col("n") >= KAnonK && col("n_sensitive") < LDivL)
+      },
+      Some(s"""SELECT c_nationkey,
+           |       CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+           |       count(*) AS n,
+           |       CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+           |         AS n_sensitive
+           |FROM customer
+           |GROUP BY 1, 2
+           |HAVING count(*) >= $KAnonK
+           |   AND count(DISTINCT c_mktsegment) < $LDivL""".stripMargin),
+      s"l-diversity audit: k-anonymous cells with < $LDivL distinct sensitive values"),
 
     // Degree histogram over the order-part graph — the one-line graph
     // observability report (degree → node count) that sizes skew before

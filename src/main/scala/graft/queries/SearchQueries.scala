@@ -190,6 +190,90 @@ object SearchQueries {
            |WHERE rn <= $HardNegK""".stripMargin),
       s"hard-negative mining: top-$HardNegK BM25 hits per query minus exact dups"),
 
+    // NDCG@k of the BM25 ranking — the graded ranking-quality metric a
+    // retrieval pipeline publishes next to recall. Relevance is the
+    // deterministic grade both engines derive from the data itself:
+    // rel(q,d) = min(3, #distinct query terms in d), computed on the
+    // O(queries·k) candidate set by broadcasting it into the postings
+    // scan (never a corpus shuffle). Each gain term
+    // (2^rel − 1)/log2(rank+1) is one double expression over exact
+    // integers, rounded to 1e-9 fixed point PER ROW, so DCG/IDCG are
+    // exact integer sums; IDCG > 0 always (candidates share ≥1 term).
+    Q("q_eval_ndcg",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = docs.filter(col("doc_id") < QMax)
+        val qCnt = qs.count() // guard count BEFORE the CacheScope persist
+        val post = graft.core.CacheScope.autoRelease(Bm25.postings(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
+        val top = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt))
+          .select(col("query_id"), col("doc_id"), col("rnk"))
+        val qt = qs.select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("term"))
+        val rel = broadcast(top)
+          .join(post.select(col("doc_id"), col("term")), "doc_id")
+          .join(broadcast(qt), Seq("query_id", "term"))
+          .groupBy("query_id", "doc_id", "rnk")
+          .agg(least(countDistinct("term"), lit(3L)).as("rel"))
+        def gain(r: org.apache.spark.sql.Column) =
+          round((pow(lit(2.0), col("rel")) - 1.0)
+            / log2(r.cast("double") + 1.0) * 1e9).cast("long")
+        val wIdeal = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("rel").desc, col("rnk"))
+        rel
+          .withColumn("irnk", row_number().over(wIdeal))
+          .select(col("query_id"), gain(col("rnk")).as("dg"),
+            gain(col("irnk")).as("ig"))
+          .groupBy("query_id")
+          .agg(count(lit(1)).cast("int").as("k_eval"),
+            sum("dg").as("dcg_nano"), sum("ig").as("idcg_nano"))
+          .withColumn("ndcg6", round(col("dcg_nano").cast("double")
+            / col("idcg_nano"), 6))
+      },
+      Some(s"""WITH $duckBm25Ctes,
+           |qt AS (SELECT DISTINCT doc_id AS query_id, term
+           |       FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |             FROM documents WHERE doc_id < $QMax)),
+           |sc AS (SELECT qt.query_id, ctf.doc_id,
+           |         round(sum($duckContrib), 6) AS score6
+           |       FROM qt JOIN ctf USING (term)
+           |         JOIN cdf USING (term)
+           |         JOIN cdl ON ctf.doc_id = cdl.doc_id
+           |         CROSS JOIN cst
+           |       GROUP BY qt.query_id, ctf.doc_id),
+           |topk AS (SELECT query_id, doc_id, rn AS rnk
+           |         FROM (SELECT *, row_number() OVER
+           |                 (PARTITION BY query_id
+           |                  ORDER BY score6 DESC, doc_id) AS rn
+           |               FROM sc)
+           |         WHERE rn <= $Bm25K),
+           |rel AS (SELECT tk.query_id, tk.doc_id, tk.rnk,
+           |          least(count(DISTINCT qt.term), 3) AS rel
+           |        FROM topk tk JOIN ctf c ON c.doc_id = tk.doc_id
+           |          JOIN qt ON qt.query_id = tk.query_id
+           |            AND qt.term = c.term
+           |        GROUP BY 1, 2, 3),
+           |g AS (SELECT query_id, rel, rnk,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY rel DESC, rnk) AS irnk
+           |      FROM rel),
+           |tm AS (SELECT query_id,
+           |         CAST(round((pow(2.0, rel) - 1)
+           |           / log2(CAST(rnk AS DOUBLE) + 1.0) * 1e9) AS BIGINT)
+           |           AS dg,
+           |         CAST(round((pow(2.0, rel) - 1)
+           |           / log2(CAST(irnk AS DOUBLE) + 1.0) * 1e9) AS BIGINT)
+           |           AS ig
+           |       FROM g)
+           |SELECT query_id, CAST(count(*) AS INT) AS k_eval,
+           |  CAST(sum(dg) AS BIGINT) AS dcg_nano,
+           |  CAST(sum(ig) AS BIGINT) AS idcg_nano,
+           |  round(CAST(sum(dg) AS DOUBLE) / sum(ig), 6) AS ndcg6
+           |FROM tm GROUP BY query_id""".stripMargin),
+      s"NDCG@$Bm25K of BM25 against term-overlap graded relevance (fixed-point gains)"),
+
     // Winnowing fingerprints (Schleimer et al. 2003): per document, the
     // minimum k-gram hash in every sliding window of $WinnowW
     // consecutive hashes, with the RIGHTMOST position on ties — the

@@ -348,6 +348,61 @@ object WebQueries {
            |WHERE rn = 1""".stripMargin),
       "best-F1 operating point over the full threshold sweep (exact counts)"),
 
+    // Confusion matrix at the PRODUCTION threshold (KeepPpm — the `keep`
+    // cut the filter actually ships with, vs q_eval_f1's best-sweep
+    // point): all four cells plus accuracy/precision/recall, exact
+    // integers off the bounded per-score table. Degenerate denominators
+    // (no predicted positives / no actual positives) yield NULL on both
+    // engines (the Spark-ANSI/DuckDB division contract).
+    Q("q_eval_confusion",
+      (s, d) => {
+        val bys = evalByScore(s, d)
+        val thr = graft.operators.QualityClassifier.KeepPpm
+        bys.agg(
+            sum(when(col("score_ppm") >= thr, col("p_s")).otherwise(0L))
+              .as("tp"),
+            sum(when(col("score_ppm") >= thr, col("q_s")).otherwise(0L))
+              .as("fp"),
+            sum(when(col("score_ppm") < thr, col("p_s")).otherwise(0L))
+              .as("fn"),
+            sum(when(col("score_ppm") < thr, col("q_s")).otherwise(0L))
+              .as("tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            round((col("tp") + col("tn")).cast("double")
+              / (col("tp") + col("fp") + col("fn") + col("tn")), 6)
+              .as("acc6"),
+            round(when(col("tp") + col("fp") > 0,
+              col("tp").cast("double") / (col("tp") + col("fp"))), 6)
+              .as("prec6"),
+            round(when(col("tp") + col("fn") > 0,
+              col("tp").cast("double") / (col("tp") + col("fn"))), 6)
+              .as("rec6"))
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |cm AS (SELECT
+           |    CAST(sum(CASE WHEN score_ppm >= ${
+              graft.operators.QualityClassifier.KeepPpm} THEN p_s
+           |             ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN score_ppm >= ${
+              graft.operators.QualityClassifier.KeepPpm} THEN q_s
+           |             ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(sum(CASE WHEN score_ppm < ${
+              graft.operators.QualityClassifier.KeepPpm} THEN p_s
+           |             ELSE 0 END) AS BIGINT) AS fn,
+           |    CAST(sum(CASE WHEN score_ppm < ${
+              graft.operators.QualityClassifier.KeepPpm} THEN q_s
+           |             ELSE 0 END) AS BIGINT) AS tn
+           |  FROM bys)
+           |SELECT tp, fp, fn, tn,
+           |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+           |    AS acc6,
+           |  round(CASE WHEN tp + fp > 0
+           |        THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS prec6,
+           |  round(CASE WHEN tp + fn > 0
+           |        THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS rec6
+           |FROM cm""".stripMargin),
+      "confusion matrix + accuracy/precision/recall at the production keep threshold"),
+
     // Slice evaluation: the SAME frozen classifier scored per source —
     // the fairness/robustness report a filter ships with (a global AUC
     // can hide a slice where the classifier is a coin flip). The whole
