@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming form of the KS drift monitor (q_drift_ks's production
+  * topology): the reference doc-length distribution is a FROZEN
+  * per-value count table published from the standing corpus; each
+  * incoming microbatch's length ECDF is tested against it inside
+  * foreachBatch — one exact cross-multiplied sup distance per batch,
+  * stateless between batches. Pinned: every per-batch (n_a, n_b, ks6)
+  * row equals the batch-mode recomputation over exactly that batch's
+  * documents, and a batch drawn from the reference itself scores near
+  * zero while a length-shifted batch scores high. */
+class StreamingKsSpec extends SparkSpec {
+
+  /** Exact two-sample KS of `batch` lengths vs the frozen `ref`
+    * per-value count table — sup over the union support, numerator in
+    * DECIMAL(38,0) (the q_drift_ks recipe against a published artifact
+    * instead of slice-vs-rest). */
+  private def ksAgainst(batch: DataFrame, ref: DataFrame): DataFrame = {
+    val bc = batch.groupBy("n_chars").agg(count(lit(1)).as("ca0"))
+    val pts = ref.select("n_chars").union(bc.select("n_chars")).distinct()
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pts
+      .join(bc, Seq("n_chars"), "left").na.fill(0L, Seq("ca0"))
+      .join(ref.withColumnRenamed("c", "cb0"), Seq("n_chars"), "left")
+      .na.fill(0L, Seq("cb0"))
+      .select(col("n_chars"), sum("ca0").over(w).as("ca"),
+        sum("cb0").over(w).as("cb"))
+    val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    cum
+      .crossJoin(broadcast(bc.agg(sum("ca0").as("na"))))
+      .crossJoin(broadcast(ref.agg(sum("c").as("nb"))))
+      .select(col("na"), col("nb"),
+        abs(dc(col("ca")) * col("nb") - dc(col("cb")) * col("na")).as("num"))
+      .groupBy("na", "nb").agg(max("num").as("dnum"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("dnum").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("ks6"))
+  }
+
+  test("per-microbatch KS against the frozen reference ≡ batch + detects shift") {
+    val work = Files.createTempDirectory("graft_ks_stream").toString
+    val docs = Tables.ensureParallelism(Tables.load(spark, sf0001, "documents"))
+      .select(col("doc_id"), col("n_chars"))
+
+    // PUBLISH once: the reference per-value count artifact
+    docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      .write.parquet(s"$work/ref")
+    val ref = spark.read.parquet(s"$work/ref")
+
+    // incoming stream: the same corpus PLUS a length-shifted batch
+    val shifted = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      (col("n_chars") + 100000L).as("n_chars"))
+    docs.repartition(2).write.parquet(s"$work/in")
+    shifted.coalesce(1).write.mode("append").parquet(s"$work/in")
+
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          batches.add(id ->
+            df.select("doc_id").collect().map(_.getLong(0)).toSeq)
+          ksAgainst(df, ref).withColumn("batch", lit(id))
+            .write.mode("append").parquet(s"$work/out")
+        }
+      }
+      .option("checkpointLocation", s"$work/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val got = spark.read.parquet(s"$work/out")
+    batches.asScala.foreach { case (id, ids) =>
+      val want = ksAgainst(docs.unionByName(shifted)
+        .filter(col("doc_id").isin(ids: _*)), ref)
+      val g = got.filter(col("batch") === id).drop("batch")
+      val w = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(w).count() + w.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed KS differs from batch mode")
+    }
+    // sensitivity: in-distribution batches score low, the shifted one high
+    val scores = got.select("ks6").collect().map(_.getDouble(0))
+    assert(scores.min < 0.2, s"in-distribution batch scored ${scores.min}")
+    assert(scores.max === 1.0,
+      s"disjoint-support shifted batch must score 1.0, got ${scores.max}")
+  }
+}
