@@ -80,12 +80,14 @@ object Hits {
         col("h").as("score_fp"))
       .unionByName(auth.select(col("id").as("node_id"),
         lit("auth").as("kind"), col("a").as("score_fp")))
-    // ONE freeze materializes the union; every per-round cache can then
-    // release (same rationale as PageRank's end-of-loop freeze)
-    val frozen = graft.core.Freeze(out)
-    cached.foreach(_.unpersist(blocking = false))
-    eS.unpersist(blocking = false)
-    eD.unpersist(blocking = false)
-    frozen
+    // no Freeze: unlike PageRank's single lazy pipeline, every round
+    // here is ALREADY materialized into its persisted frame by the max
+    // collects, so the consumer's one action just reads node-scale
+    // caches. Arm a job-scoped release on each (CacheScope one-shot):
+    // the consumer's action drops all of them, nothing outlives it —
+    // a retained localCheckpoint block here would trip the session-wide
+    // cache-release pins (ConnectedSpec/AnalyticsSpec).
+    (eS :: eD :: cached).foreach(graft.core.CacheScope.arm)
+    out
   }
 }

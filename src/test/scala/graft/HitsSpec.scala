@@ -5,47 +5,46 @@ import graft.operators.Hits
 /** HITS invariants beyond the oracle gate: score range, the bipartite
   * kind split, and that a planted super-hub structure ranks as expected
   * (the star's center part is the top authority; orders covering many
-  * parts out-hub single-part orders). */
+  * parts out-hub single-part orders).
+  *
+  * Results are collected to driver maps IMMEDIATELY and the frozen
+  * DataFrame is never retained (the PprSpec/LpaSpec convention): holding
+  * it in a suite-level val would pin its localCheckpoint block for the
+  * rest of the run and break the cache-release pins in
+  * ConnectedSpec/AnalyticsSpec, which assert the session-wide persisted
+  * count. */
 class HitsSpec extends SparkSpec {
   import spark.implicits._
 
   // star + tail: orders 0..9 all buy part 100 (center); order 0 also
   // buys parts 101..105 (a collector); order 9 buys only the center.
-  private lazy val edges = (
-    (0 to 9).map(o => (o.toLong * 2, 100L * 2 + 1)) ++
-      (101 to 105).map(p => (0L, p.toLong * 2 + 1))
-  ).toDF("src", "dst")
-
-  private lazy val out = Hits.scores(edges).cache()
+  private lazy val rows: Array[(Long, String, Long)] = {
+    val edges = (
+      (0 to 9).map(o => (o.toLong * 2, 100L * 2 + 1)) ++
+        (101 to 105).map(p => (0L, p.toLong * 2 + 1))
+    ).toDF("src", "dst")
+    Hits.scores(edges)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+  }
 
   test("scores are exact integers in [0, Scale] with a max at Scale") {
-    import org.apache.spark.sql.functions._
-    val bad = out.filter(col("score_fp") < 0 || col("score_fp") > Hits.Scale)
-    assert(bad.isEmpty)
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= Hits.Scale))
     // max-normalization pins each kind's top score to exactly Scale
     Seq("hub", "auth").foreach { k =>
-      val mx = out.filter(col("kind") === k)
-        .agg(max("score_fp")).head().getLong(0)
+      val mx = rows.filter(_._2 == k).map(_._3).max
       assert(mx === Hits.Scale, s"$k max $mx")
     }
   }
 
   test("kinds split by side and the planted structure ranks correctly") {
-    import org.apache.spark.sql.functions._
-    assert(out.filter(col("kind") === "hub" && col("node_id") % 2 =!= 0)
-      .isEmpty, "hubs must be source (even) nodes")
-    assert(out.filter(col("kind") === "auth" && col("node_id") % 2 === 0)
-      .isEmpty, "authorities must be destination (odd) nodes")
-    val topAuth = out.filter(col("kind") === "auth")
-      .orderBy(col("score_fp").desc, col("node_id")).head().getLong(0)
+    assert(rows.filter(_._2 == "hub").forall(_._1 % 2 == 0),
+      "hubs must be source (even) nodes")
+    assert(rows.filter(_._2 == "auth").forall(_._1 % 2 == 1),
+      "authorities must be destination (odd) nodes")
+    val topAuth = rows.filter(_._2 == "auth")
+      .sortBy(r => (-r._3, r._1)).head._1
     assert(topAuth === 100L * 2 + 1, "star center must be top authority")
-    val hubs = out.filter(col("kind") === "hub")
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hubs = rows.filter(_._2 == "hub").map(r => r._1 -> r._3).toMap
     assert(hubs(0L) > hubs(18L), "6-part order must out-hub 1-part order")
-  }
-
-  override def afterAll(): Unit = {
-    out.unpersist(blocking = true)
-    super.afterAll()
   }
 }
