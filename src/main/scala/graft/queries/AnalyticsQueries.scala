@@ -1985,6 +1985,205 @@ object AnalyticsQueries {
               GROUP BY 1, 2"""),
       "cohort retention matrix (first-activity cohort × active-day offset)"),
 
+    // RFM segmentation — the classic user-value rollup (recency ×
+    // frequency × monetary quintiles) a sampling pipeline uses to
+    // stratify users. ONE corpus pass to the per-user metric table;
+    // each metric's quintile comes from the exact tie-midrank ECDF on
+    // the ppm grid (the q_agg_spearman machinery — value-level rank
+    // tables are O(distinct values), and ppm quantization keeps every
+    // integer bounded at any user count). Output is the bounded
+    // ≤ 5³-row segment histogram.
+    Q("q_events_rfm",
+      (s, d) => {
+        val pur = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(
+            max(col("ts").cast("date")).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(cents(col("value"))).as("mon"))
+        val mx = broadcast(pur.agg(max("last_day").as("mx")))
+        val u = pur.crossJoin(mx)
+          .select(col("user_id"),
+            datediff(col("mx"), col("last_day")).cast("long").as("rec"),
+            col("freq"), col("mon"))
+        val nn = broadcast(u.agg(count(lit(1)).as("nn")))
+        def quint(v: String): DataFrame = {
+          val w = Window.orderBy(v)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          u.groupBy(v).agg(count(lit(1)).as("cnt"))
+            .select(col(v),
+              (lit(2L) * coalesce(sum("cnt").over(w), lit(0L))
+                + col("cnt") + lit(1L)).as("ar2"))
+            .crossJoin(nn)
+            .select(col(v),
+              (least(expr("(ar2 * 500000) div (2 * nn) div 200000"),
+                lit(4L)) + 1L).cast("int").as(s"q_$v"))
+        }
+        u.join(quint("rec"), "rec")
+          .join(quint("freq"), "freq")
+          .join(quint("mon"), "mon")
+          .groupBy(col("q_rec"), col("q_freq"), col("q_mon"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH pur AS (
+           |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+           |    count(*) AS freq,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS mon
+           |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+           |mx AS (SELECT max(last_day) AS mx FROM pur),
+           |u AS (SELECT user_id,
+           |        CAST(mx - last_day AS BIGINT) AS rec, freq, mon
+           |      FROM pur CROSS JOIN mx),
+           |nn AS (SELECT count(*) AS nn FROM u),
+           |qr AS (SELECT rec, CAST(least(((2 * coalesce(sum(cnt) OVER
+           |           (ORDER BY rec ROWS BETWEEN UNBOUNDED PRECEDING
+           |            AND 1 PRECEDING), 0) + cnt + 1) * 500000)
+           |           // (2 * nn.nn) // 200000, 4) + 1 AS INT) AS q_rec
+           |       FROM (SELECT rec, count(*) AS cnt FROM u GROUP BY rec)
+           |         CROSS JOIN nn),
+           |qf AS (SELECT freq, CAST(least(((2 * coalesce(sum(cnt) OVER
+           |           (ORDER BY freq ROWS BETWEEN UNBOUNDED PRECEDING
+           |            AND 1 PRECEDING), 0) + cnt + 1) * 500000)
+           |           // (2 * nn.nn) // 200000, 4) + 1 AS INT) AS q_freq
+           |       FROM (SELECT freq, count(*) AS cnt FROM u GROUP BY freq)
+           |         CROSS JOIN nn),
+           |qm AS (SELECT mon, CAST(least(((2 * coalesce(sum(cnt) OVER
+           |           (ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING
+           |            AND 1 PRECEDING), 0) + cnt + 1) * 500000)
+           |           // (2 * nn.nn) // 200000, 4) + 1 AS INT) AS q_mon
+           |       FROM (SELECT mon, count(*) AS cnt FROM u GROUP BY mon)
+           |         CROSS JOIN nn)
+           |SELECT q_rec, q_freq, q_mon, count(*) AS n_users
+           |FROM u JOIN qr USING (rec) JOIN qf USING (freq)
+           |  JOIN qm USING (mon)
+           |GROUP BY 1, 2, 3""".stripMargin),
+      "RFM user segmentation: exact midrank-ECDF quintiles, bounded segment histogram"),
+
+    // Seasonality strength of daily revenue by day-of-week: the
+    // correlation ratio η² = SS_between / SS_total over the O(days)
+    // exact-cents daily series — the one-number "is there weekly
+    // structure" probe next to q_ts_acf. Day-of-week has exactly 7
+    // groups, so the per-group sums PIVOT into one aggregate row (the
+    // q_agg_corr_matrix pattern) and the whole η² formula — including
+    // the Σ_d s_d²/n_d between-term — is ONE double expression with a
+    // fixed written evaluation order; a cross-row double SUM of the
+    // group terms would be reduction-order-sensitive across engines.
+    Q("q_ts_seasonality",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .select(col("ts").cast("date").as("day"),
+            cents(col("value")).as("c"))
+          .groupBy("day").agg(sum("c").as("x"))
+          .select(col("x"), dayofweek(col("day")).as("dow"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val aggs =
+          Seq(count(lit(1)).as("n"), sum(dc(col("x"))).as("s"),
+            sum(dc(col("x")) * col("x")).as("ss")) ++
+            (1 to 7).flatMap { dw => Seq(
+              sum(when(col("dow") === dw, 1L).otherwise(0L)).as(s"n$dw"),
+              sum(when(col("dow") === dw, col("x")).otherwise(0L)
+                .cast("decimal(38,0)")).as(s"s$dw")) }
+        val g = daily.agg(aggs.head, aggs.tail: _*)
+        val sb = (1 to 7).map { dw =>
+          when(col(s"n$dw") > 0,
+            col(s"s$dw").cast("double") * col(s"s$dw").cast("double")
+              / col(s"n$dw")).otherwise(lit(0.0))
+        }.reduce(_ + _)
+        g.select(col("n").as("n_days"),
+          round((sb - col("s").cast("double") * col("s").cast("double")
+              / col("n"))
+            / (col("ss").cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("n")),
+            6).as("eta2_6"))
+      },
+      Some {
+        val sb = (1 to 7).map { dw =>
+          s"CASE WHEN n$dw > 0 THEN CAST(s$dw AS DOUBLE)" +
+            s" * CAST(s$dw AS DOUBLE) / n$dw ELSE 0.0 END"
+        }.mkString("(", " + ", ")")
+        val cols = (1 to 7).map { dw =>
+          // DuckDB dayofweek: 0 = Sunday; Spark: 1 = Sunday
+          s"""CAST(sum(CASE WHEN dayofweek(day) + 1 = $dw THEN 1
+             |  ELSE 0 END) AS BIGINT) AS n$dw,
+             |sum(CASE WHEN dayofweek(day) + 1 = $dw
+             |  THEN CAST(x AS HUGEINT) ELSE 0 END) AS s$dw""".stripMargin
+        }.mkString(",\n")
+        s"""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS day,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+           |  FROM events GROUP BY 1),
+           |g AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS s,
+           |        sum(CAST(x AS HUGEINT) * x) AS ss,
+           |$cols
+           |      FROM daily)
+           |SELECT CAST(n AS BIGINT) AS n_days,
+           |  round(($sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           |        / (CAST(ss AS DOUBLE)
+           |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+           |    AS eta2_6
+           |FROM g""".stripMargin
+      },
+      "weekly seasonality strength η² of daily revenue (pivoted one-row formula)"),
+
+    // Higher-moment profile of a bounded-range column: skewness and
+    // excess kurtosis of l_quantity from ONE pass of exact power sums
+    // (Σq..Σq⁴ DECIMAL-widened — q ≤ 50, so q⁴ ≤ 6.25e6 per row and the
+    // widened sums hold to ~1e31 rows). The standardized-moment formulas
+    // run once in doubles over identical integers.
+    Q("q_agg_moments",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val q = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"))
+        q.agg(count(lit(1)).as("n"),
+            sum(dc(col("q"))).as("s1"),
+            sum(dc(col("q") * col("q"))).as("s2"),
+            sum(dc(col("q") * col("q")) * col("q")).as("s3"),
+            sum(dc(col("q") * col("q")) * col("q") * col("q")).as("s4"))
+          // every power is written as explicit multiplication (v^1.5 =
+          // v·sqrt(v)) — pow() routes through each engine's libm, whose
+          // last-ulp disagreements are exactly the tie class the ln/
+          // Adamic-Adar precedent avoids; ·/sqrt are IEEE-exact
+          .select(col("n"),
+            (col("s1").cast("double") / col("n")).as("a"),
+            (col("s2").cast("double") / col("n")).as("b"),
+            (col("s3").cast("double") / col("n")).as("c3"),
+            (col("s4").cast("double") / col("n")).as("c4"))
+          .withColumn("v", col("b") - col("a") * col("a"))
+          .select(col("n"),
+            round((col("c3") - lit(3.0) * col("a") * col("b")
+              + lit(2.0) * col("a") * col("a") * col("a"))
+              / (col("v") * sqrt(col("v"))), 6).as("skew6"),
+            round((col("c4") - lit(4.0) * col("a") * col("c3")
+              + lit(6.0) * col("a") * col("a") * col("b")
+              - lit(3.0) * col("a") * col("a") * col("a") * col("a"))
+              / (col("v") * col("v")) - lit(3.0), 6).as("kurt6"))
+      },
+      Some("""WITH g AS (SELECT count(*) AS n,
+           |    sum(CAST(l_quantity AS HUGEINT)) AS s1,
+           |    sum(CAST(l_quantity AS HUGEINT) * l_quantity) AS s2,
+           |    sum(CAST(l_quantity AS HUGEINT) * l_quantity * l_quantity)
+           |      AS s3,
+           |    sum(CAST(l_quantity AS HUGEINT) * l_quantity * l_quantity
+           |        * l_quantity) AS s4
+           |  FROM (SELECT CAST(l_quantity AS BIGINT) AS l_quantity
+           |        FROM lineitem)),
+           |m AS (SELECT n, CAST(s1 AS DOUBLE) / n AS a,
+           |        CAST(s2 AS DOUBLE) / n AS b,
+           |        CAST(s3 AS DOUBLE) / n AS c3,
+           |        CAST(s4 AS DOUBLE) / n AS c4
+           |      FROM g),
+           |v AS (SELECT *, b - a * a AS v FROM m)
+           |SELECT n,
+           |  round((c3 - 3.0 * a * b + 2.0 * a * a * a)
+           |        / (v * sqrt(v)), 6) AS skew6,
+           |  round((c4 - 4.0 * a * c3 + 6.0 * a * a * b
+           |         - 3.0 * a * a * a * a)
+           |        / (v * v) - 3.0, 6) AS kurt6
+           |FROM v""".stripMargin),
+      "skewness + excess kurtosis from one pass of exact DECIMAL power sums"),
+
     // Rolling exact median over a bounded frame: per user, the median of
     // the last 10 event values (exact interpolation over cents so both
     // engines sort identical integers; frame bounded ⇒ per-row cost is
