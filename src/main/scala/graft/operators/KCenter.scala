@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{ArraySqDist, PortableHash}
+
+/** Greedy k-center selection (Gonzalez 1985) over the embedding corpus —
+  * the coreset / diversity-sampling primitive: each round keeps the
+  * vector FARTHEST from everything already kept, so the selected set
+  * covers the embedding space with the smallest max-distance radius
+  * (2-approximation). A curation pipeline uses it to pick maximally
+  * diverse exemplars per cluster/shard before expensive labeling.
+  *
+  * Determinism: coordinates are [[KMeans.Scale]] micro-unit longs
+  * ([[KMeans.toFixedPoint]]) and distances exact int64 squared L2
+  * ([[ArraySqDist]]); the seed is the vector with the smallest
+  * (portable hash, id) — the [[Similarity]] seed convention — and
+  * argmax ties break to the LOWEST vec_id. Every value the oracle
+  * replays is an exact integer.
+  *
+  * Execution shape: the chosen centers are the MODEL — O(k·dim) longs
+  * held on the driver and folded into each round's plan as a literal
+  * (the KMeans bounded-collect policy). Each round is ONE corpus pass:
+  * a codegen'd min-over-centers distance + a map-side-combinable
+  * max_by, so k rounds cost k scans of the persisted fixed-point
+  * corpus and nothing ever shuffles by vector.
+  */
+object KCenter {
+
+  /** Default selection size. */
+  val K = 8
+
+  /** (rnd 1..k, vec_id, d2) — d2 is the exact squared micro-distance
+    * from the chosen vector to the nearest earlier center (the coverage
+    * radius sequence; 0 for the seed). */
+  def select(emb: DataFrame, k: Int = K): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
+        KMeans.toFixedPoint(col("embedding")).cast("array<long>").as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val first = vecs
+      .select(col("vec_id"), col("fp"),
+        PortableHash.hashMod(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("fp")).head()
+    var centers = List(first.getSeq[Long](1).toIndexedSeq)
+    var picks = List((1, first.getLong(0), 0L))
+    for (r <- 2 to k) {
+      val cLit = typedlit(centers)
+      val row = vecs
+        .select(col("vec_id"), col("fp"),
+          array_min(transform(cLit, c => ArraySqDist(col("fp"), c)))
+            .as("dm"))
+        .agg(max_by(struct(col("vec_id"), col("dm"), col("fp")),
+          struct(col("dm"), (-col("vec_id")).as("nid"))).as("p"))
+        .select(col("p.vec_id"), col("p.dm"), col("p.fp")).head()
+      centers ::= row.getSeq[Long](2).toIndexedSeq
+      picks ::= ((r, row.getLong(0), row.getLong(1)))
+    }
+    vecs.unpersist(blocking = false)
+    picks.reverse.toDF("rnd", "vec_id", "d2")
+      .select(col("rnd").cast("int").as("rnd"), col("vec_id"), col("d2"))
+  }
+}

@@ -552,6 +552,53 @@ object ExtraQueries {
            |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin),
       "recall@k of the IVF index built on JL-projected vectors vs 64-dim ground truth"),
 
+    // Greedy k-center coreset (operators/KCenter.scala) — diversity
+    // sampling: 8 exemplars chosen farthest-first over exact micro-unit
+    // squared L2, the pick a labeling pipeline makes before spending
+    // annotation budget. The centers are the driver-held model (the
+    // KMeans bounded-collect policy); each round is one corpus pass.
+    // The oracle replays all 8 rounds as unrolled MATERIALIZED CTEs —
+    // every radius is an exact integer both engines agree on.
+    Q("q_sample_kcenter",
+      (s, d) => graft.operators.KCenter.select(t(s, d, "embeddings")),
+      Some {
+        val k = graft.operators.KCenter.K
+        def dist(a: String, b: String) =
+          s"list_sum(list_transform(range(1, ${Similarity.Dim + 1}), " +
+            s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+        val rounds = (2 to k).map { r =>
+          val prev = (1 until r).map(j => s"p$j")
+          val least =
+            if (prev.size == 1) dist("f.fpv", "p1.fpv")
+            else prev.map(p => dist("f.fpv", s"$p.fpv"))
+              .mkString("least(", ", ", ")")
+          val joins = prev.map(p => s"CROSS JOIN $p").mkString(" ")
+          s"""m$r AS (SELECT f.vec_id, f.fpv, $least AS dm
+             |  FROM fp f $joins),
+             |p$r AS MATERIALIZED (SELECT vec_id, fpv, dm FROM m$r
+             |  ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val sel = (2 to k).map(r =>
+          s"SELECT $r AS rnd, vec_id, CAST(dm AS BIGINT) AS d2 FROM p$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH fp AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+           |    x -> CAST(floor(x * ${graft.operators.KMeans.Scale} + 0.5)
+           |         AS BIGINT)) AS fpv
+           |  FROM embeddings),
+           |p1 AS MATERIALIZED (SELECT vec_id, fpv FROM (
+           |    SELECT vec_id, fpv,
+           |      ${graft.functions.PortableHash.duckHashMod(
+                  "vec_id::VARCHAR")} AS h
+           |    FROM fp)
+           |  ORDER BY h, vec_id LIMIT 1),
+           |$rounds
+           |SELECT 1 AS rnd, vec_id, CAST(0 AS BIGINT) AS d2 FROM p1
+           |UNION ALL
+           |$sel""".stripMargin
+      },
+      "greedy k-center coreset: 8 farthest-first exemplars, exact integer radii"),
+
     Q("q_sim_topk_ivf_probe",
       (s, d) => Similarity.ivfProbeTopK(t(s, d, "embeddings"),
         col("vec_id") < LlmQueries.QueryVecs, LlmQueries.TopK, probes = 2),

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.KCenter
+
+/** k-center invariants beyond the oracle gate: farthest-first radii are
+  * non-increasing (the Gonzalez property the 2-approximation rests on),
+  * picks are distinct, and a planted far outlier is selected second.
+  * Results collect to driver tuples immediately (no retained frames). */
+class KCenterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("radii non-increasing, picks distinct, outlier found") {
+    // 50 vectors in a tight cluster near the origin + one far outlier
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(4)(j => ((i + j) % 5) * 0.001f))
+    } :+ (99L, Array(0.9f, 0.9f, 0.9f, 0.9f))
+    val out = KCenter.select(rows.toDF("vec_id", "embedding"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.length === 5)
+    assert(out.map(_._2).distinct.length === 5, "picks must be distinct")
+    // rnd 2 must grab the planted outlier (it is farthest from anything)
+    assert(out(1)._2 === 99L, s"outlier not picked second: ${out.toSeq}")
+    // selection radii never increase after the outlier round
+    val radii = out.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radii increased: ${radii.toSeq}")
+    assert(out.head._3 === 0L, "seed radius must be 0")
+  }
+}
