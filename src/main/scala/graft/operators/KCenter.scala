@@ -32,24 +32,26 @@ object KCenter {
   /** Default selection size. */
   val K = 8
 
-  /** (rnd 1..k, vec_id, d2) — d2 is the exact squared micro-distance
-    * from the chosen vector to the nearest earlier center (the coverage
-    * radius sequence; 0 for the seed). */
-  def select(emb: DataFrame, k: Int = K): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
-        KMeans.toFixedPoint(col("embedding")).cast("array<long>").as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** The fixed-point vector table every k-center pass runs over. */
+  def fixedVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+      KMeans.toFixedPoint(col("embedding")).cast("array<long>").as("fp"))
+
+  /** PUBLISH — the driver-held model: (rnd 1..k, vec_id, coords, d2)
+    * in selection order; d2 is the exact squared micro-distance from
+    * the pick to the nearest earlier center (0 for the seed). */
+  def model(emb: DataFrame, k: Int = K)
+      : Seq[(Int, Long, IndexedSeq[Long], Long)] = {
+    val vecs = fixedVecs(emb).persist(StorageLevel.MEMORY_AND_DISK)
     val first = vecs
       .select(col("vec_id"), col("fp"),
         PortableHash.hashMod(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(1)
       .select(col("vec_id"), col("fp")).head()
-    var centers = List(first.getSeq[Long](1).toIndexedSeq)
-    var picks = List((1, first.getLong(0), 0L))
+    var picks =
+      List((1, first.getLong(0), first.getSeq[Long](1).toIndexedSeq, 0L))
     for (r <- 2 to k) {
-      val cLit = typedlit(centers)
+      val cLit = typedlit(picks.map(_._3))
       val row = vecs
         .select(col("vec_id"), col("fp"),
           array_min(transform(cLit, c => ArraySqDist(col("fp"), c)))
@@ -57,11 +59,18 @@ object KCenter {
         .agg(max_by(struct(col("vec_id"), col("dm"), col("fp")),
           struct(col("dm"), (-col("vec_id")).as("nid"))).as("p"))
         .select(col("p.vec_id"), col("p.dm"), col("p.fp")).head()
-      centers ::= row.getSeq[Long](2).toIndexedSeq
-      picks ::= ((r, row.getLong(0), row.getLong(1)))
+      picks ::= ((r, row.getLong(0), row.getSeq[Long](2).toIndexedSeq,
+        row.getLong(1)))
     }
     vecs.unpersist(blocking = false)
-    picks.reverse.toDF("rnd", "vec_id", "d2")
+    picks.reverse
+  }
+
+  /** (rnd 1..k, vec_id, d2) — the selection sequence as a frame. */
+  def select(emb: DataFrame, k: Int = K): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    model(emb, k).map(p => (p._1, p._2, p._4)).toDF("rnd", "vec_id", "d2")
       .select(col("rnd").cast("int").as("rnd"), col("vec_id"), col("d2"))
   }
 }

@@ -61,6 +61,43 @@ object ExtraQueries {
                    ON q.cell = c.cell AND q.vec_id <> c.vec_id
                  WHERE q.vec_id < ${LlmQueries.QueryVecs})"""
 
+  /** Exact fixed-point squared L2 between two BIGINT-list columns. */
+  private def duckSqDist(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Similarity.Dim + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** Shared k-center CTEs: fixed-point corpus `fp` + the unrolled
+    * farthest-first picks p1..p[[graft.operators.KCenter.K]] (each a
+    * MATERIALIZED one-row table mirroring
+    * [[graft.operators.KCenter.model]] round for round). */
+  private def duckKcenterCtes: String = {
+    val k = graft.operators.KCenter.K
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(j => s"p$j")
+      val least =
+        if (prev.size == 1) duckSqDist("f.fpv", "p1.fpv")
+        else prev.map(p => duckSqDist("f.fpv", s"$p.fpv"))
+          .mkString("least(", ", ", ")")
+      val joins = prev.map(p => s"CROSS JOIN $p").mkString(" ")
+      s"""m$r AS (SELECT f.vec_id, f.fpv, $least AS dm
+         |  FROM fp f $joins),
+         |p$r AS MATERIALIZED (SELECT vec_id, fpv, dm FROM m$r
+         |  ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""fp AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x * ${graft.operators.KMeans.Scale} + 0.5)
+       |         AS BIGINT)) AS fpv
+       |  FROM embeddings),
+       |p1 AS MATERIALIZED (SELECT vec_id, fpv FROM (
+       |    SELECT vec_id, fpv,
+       |      ${graft.functions.PortableHash.duckHashMod(
+              "vec_id::VARCHAR")} AS h
+       |    FROM fp)
+       |  ORDER BY h, vec_id LIMIT 1),
+       |$rounds""".stripMargin
+  }
+
   private def duckIvfTopKOracle: String =
     s"""WITH ${duckIvfCtesFrom("embeddings")}
                SELECT query_id, neighbor_id, CAST(rn AS INT) AS rnk,
@@ -563,41 +600,44 @@ object ExtraQueries {
       (s, d) => graft.operators.KCenter.select(t(s, d, "embeddings")),
       Some {
         val k = graft.operators.KCenter.K
-        def dist(a: String, b: String) =
-          s"list_sum(list_transform(range(1, ${Similarity.Dim + 1}), " +
-            s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-        val rounds = (2 to k).map { r =>
-          val prev = (1 until r).map(j => s"p$j")
-          val least =
-            if (prev.size == 1) dist("f.fpv", "p1.fpv")
-            else prev.map(p => dist("f.fpv", s"$p.fpv"))
-              .mkString("least(", ", ", ")")
-          val joins = prev.map(p => s"CROSS JOIN $p").mkString(" ")
-          s"""m$r AS (SELECT f.vec_id, f.fpv, $least AS dm
-             |  FROM fp f $joins),
-             |p$r AS MATERIALIZED (SELECT vec_id, fpv, dm FROM m$r
-             |  ORDER BY dm DESC, vec_id LIMIT 1)""".stripMargin
-        }.mkString(",\n")
         val sel = (2 to k).map(r =>
           s"SELECT $r AS rnd, vec_id, CAST(dm AS BIGINT) AS d2 FROM p$r")
           .mkString("\nUNION ALL\n")
-        s"""WITH fp AS MATERIALIZED (
-           |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-           |    x -> CAST(floor(x * ${graft.operators.KMeans.Scale} + 0.5)
-           |         AS BIGINT)) AS fpv
-           |  FROM embeddings),
-           |p1 AS MATERIALIZED (SELECT vec_id, fpv FROM (
-           |    SELECT vec_id, fpv,
-           |      ${graft.functions.PortableHash.duckHashMod(
-                  "vec_id::VARCHAR")} AS h
-           |    FROM fp)
-           |  ORDER BY h, vec_id LIMIT 1),
-           |$rounds
+        s"""WITH $duckKcenterCtes
            |SELECT 1 AS rnd, vec_id, CAST(0 AS BIGINT) AS d2 FROM p1
            |UNION ALL
            |$sel""".stripMargin
       },
       "greedy k-center coreset: 8 farthest-first exemplars, exact integer radii"),
+
+    // APPLY half: every vector routed to its nearest selected center —
+    // the coreset partition a stratified sampler draws from (and the
+    // serving shape: the O(k·dim) model broadcasts, the corpus streams
+    // through one codegen'd argmin pass, exactly KMeans.assignByCell).
+    Q("q_sample_kcenter_assign",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val m = graft.operators.KCenter.model(emb)
+        graft.operators.KMeans.assignByCell(
+          graft.operators.KCenter.fixedVecs(emb),
+          graft.operators.KMeans.centroidsDF(s,
+            m.map(p => (p._1 - 1, p._3))),
+          graft.operators.KCenter.K)
+      },
+      Some {
+        val k = graft.operators.KCenter.K
+        val cents = (1 to k).map(r =>
+          s"SELECT ${r - 1} AS cid, fpv FROM p$r").mkString("\nUNION ALL\n")
+        s"""WITH $duckKcenterCtes,
+           |cents AS ($cents),
+           |ky AS (SELECT v.vec_id,
+           |         min(${duckSqDist("v.fpv", "c.fpv")} * $k + c.cid) AS key
+           |       FROM fp v CROSS JOIN cents c GROUP BY v.vec_id)
+           |SELECT vec_id, CAST(key % $k AS INT) AS cid,
+           |       CAST(key // $k AS BIGINT) AS dist_fp
+           |FROM ky""".stripMargin
+      },
+      "coreset assignment: corpus routed to its nearest k-center exemplar"),
 
     Q("q_sim_topk_ivf_probe",
       (s, d) => Similarity.ivfProbeTopK(t(s, d, "embeddings"),
