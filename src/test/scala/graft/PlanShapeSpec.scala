@@ -559,4 +559,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__range"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_agg_spearman joins rank tables by value key — no cartesian over rows") {
+    // value-level midrank tables join back on the value columns; the
+    // only nested-loops are the 1-row nn total broadcast
+    val p = plan("q_agg_spearman")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_drift_ks windows partition by slice — the corpus collapses to value counts first") {
+    val p = plan("q_drift_ks")
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-(source, n_chars) count aggregate must sit below the grid
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_embed_project is one stateless map pass — no join, no shuffle exchange") {
+    val p = plan("q_embed_project")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_sample_kcenter_assign broadcasts the O(k·dim) model — corpus never shuffles by vector") {
+    val p = plan("q_sample_kcenter_assign")
+    // the assignment pass reaches the corpus through a broadcast of the
+    // 8-row centroid table; the only exchange is the final argmin agg
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q_eval_ndcg derives relevance on the broadcast candidate set — no corpus re-shuffle") {
+    val p = plan("q_eval_ndcg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
