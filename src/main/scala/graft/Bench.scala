@@ -171,7 +171,11 @@ object Bench {
     // max-normalized rounds, 2 edge joins each) — promoted at birth per
     // the ≥2 s rule; spearman (1.76 s quiet median, 2.6 s max) promoted
     // proactively per the q_assoc_rules precedent
-    "q_graph_hits", "q_agg_spearman")
+    "q_graph_hits", "q_agg_spearman",
+    // round-15 tail: NDCG composes the already-priced BM25 top-k with
+    // the candidate relevance join — genuine 2.7 s (7-rep median), the
+    // q_train_hardneg cost class; promoted at birth per the ≥2 s rule
+    "q_eval_ndcg")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

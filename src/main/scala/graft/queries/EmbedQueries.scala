@@ -205,8 +205,16 @@ object EmbedQueries {
     // exact /4. Stateless per row (O(k·d) map work, no shuffle at all).
     Q("q_embed_project",
       (s, d) => {
+        // posexplode_OUTER: pvec is a transform over a literal 16-seq,
+        // so it can never be empty and outer ≡ inner — but the inner
+        // form triggers InferFiltersFromGenerate, which pushes a
+        // size(pvec) > 0 filter below BOTH projections with ml
+        // re-inlined into every element access (16·64·64 interpreted
+        // ops/row just to check a constant; measured 0.45 s → 41 s at
+        // sf0.1). The outer form plans no inferred filter.
         jlVec(t(s, d, "embeddings"))
-          .select(col("vec_id"), posexplode(col("pvec")).as(Seq("j", "p")))
+          .select(col("vec_id"),
+            posexplode_outer(col("pvec")).as(Seq("j", "p")))
           // p is an exact integer sum of micro-units; the true projection
           // is p / 4e6 (the 1/√16 scale folded into the 1e6 micro-unit).
           // Emitting p·25 = p/4e6 in 1e-8 units keeps the gate in exact
