@@ -599,6 +599,89 @@ object SearchQueries {
            |FROM j ORDER BY pmi DESC, w1, w2 LIMIT $PmiTop""".stripMargin),
       "PMI collocations: top adjacent word pairs by pointwise mutual information"),
 
+    // Dunning log-likelihood (G², Dunning 1993) collocations — the
+    // robust sibling of PMI (PMI explodes on rare pairs even above a
+    // support floor; G² weights by evidence, the standard phrase-mining
+    // ranker). The 2×2 table per bigram comes from the bigram stream
+    // itself (marginals = vocab-scale reaggregations of the SAME
+    // counts, no second tokenize); each bigram's G² is one double chain
+    // in a FIXED written order over exact integers (every product is
+    // cast to double before multiplying — an int64 k·N wraps at scale),
+    // ranked on the unrounded score with the pair tiebreak.
+    Q("q_text_g2",
+      (s, d) => {
+        val docs = graft.core.Tables.ensureParallelism(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
+        // big feeds both marginals + the totals + the scoring join
+        val big = graft.core.CacheScope.autoRelease(
+          docs.select(explode(TextFunctions.shingles(col("text"), 2))
+              .as("bg"))
+            .groupBy("bg").agg(count(lit(1)).as("cab"))
+            .select(split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+              split_part(col("bg"), lit(" "), lit(2)).as("w2"), col("cab")))
+        val r1 = big.groupBy("w1").agg(sum("cab").as("r1"))
+        val c1 = big.groupBy("w2").agg(sum("cab").as("c1"))
+        val nb = big.agg(sum("cab").as("nn"))
+        def term(k: org.apache.spark.sql.Column,
+                 row: org.apache.spark.sql.Column,
+                 colm: org.apache.spark.sql.Column) =
+          when(k > 0, k.cast("double") *
+            log(k.cast("double") * col("nn").cast("double")
+              / (row.cast("double") * colm.cast("double")))).otherwise(0.0)
+        big.filter(col("cab") >= PmiMinCount)
+          .join(r1, "w1").join(c1, "w2").crossJoin(broadcast(nb))
+          .withColumn("g2", lit(2.0) * (
+            term(col("cab"), col("r1"), col("c1"))
+              + term(col("r1") - col("cab"), col("r1"),
+                col("nn") - col("c1"))
+              + term(col("c1") - col("cab"), col("nn") - col("r1"),
+                col("c1"))
+              + term(col("nn") - col("r1") - col("c1") + col("cab"),
+                col("nn") - col("r1"), col("nn") - col("c1"))))
+          .orderBy(col("g2").desc, col("w1"), col("w2")).limit(PmiTop)
+          .select(col("w1"), col("w2"), col("cab"),
+            round(col("g2"), 6).as("g2_6"))
+      },
+      Some(s"""WITH big AS (SELECT split_part(bg, ' ', 1) AS w1,
+           |               split_part(bg, ' ', 2) AS w2, count(*) AS cab
+           |        FROM (SELECT unnest(${duckShingles(duckTokens("text"), 2)})
+           |                AS bg FROM documents)
+           |        GROUP BY 1, 2),
+           |r1 AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS r1
+           |       FROM big GROUP BY w1),
+           |c1 AS (SELECT w2, CAST(sum(cab) AS BIGINT) AS c1
+           |       FROM big GROUP BY w2),
+           |nbt AS (SELECT CAST(sum(cab) AS BIGINT) AS nn FROM big),
+           |j AS (SELECT w1, w2, cab,
+           |        2.0 * (
+           |          (CASE WHEN cab > 0 THEN CAST(cab AS DOUBLE) *
+           |            ln(CAST(cab AS DOUBLE) * CAST(nn AS DOUBLE)
+           |               / (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)))
+           |            ELSE 0.0 END)
+           |          + (CASE WHEN r1 - cab > 0
+           |            THEN CAST(r1 - cab AS DOUBLE) *
+           |              ln(CAST(r1 - cab AS DOUBLE) * CAST(nn AS DOUBLE)
+           |                 / (CAST(r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE)))
+           |            ELSE 0.0 END)
+           |          + (CASE WHEN c1 - cab > 0
+           |            THEN CAST(c1 - cab AS DOUBLE) *
+           |              ln(CAST(c1 - cab AS DOUBLE) * CAST(nn AS DOUBLE)
+           |                 / (CAST(nn - r1 AS DOUBLE) * CAST(c1 AS DOUBLE)))
+           |            ELSE 0.0 END)
+           |          + (CASE WHEN nn - r1 - c1 + cab > 0
+           |            THEN CAST(nn - r1 - c1 + cab AS DOUBLE) *
+           |              ln(CAST(nn - r1 - c1 + cab AS DOUBLE)
+           |                 * CAST(nn AS DOUBLE)
+           |                 / (CAST(nn - r1 AS DOUBLE)
+           |                    * CAST(nn - c1 AS DOUBLE)))
+           |            ELSE 0.0 END)) AS g2
+           |      FROM big JOIN r1 USING (w1) JOIN c1 USING (w2)
+           |        CROSS JOIN nbt
+           |      WHERE cab >= $PmiMinCount)
+           |SELECT w1, w2, cab, round(g2, 6) AS g2_6
+           |FROM j ORDER BY g2 DESC, w1, w2 LIMIT $PmiTop""".stripMargin),
+      "Dunning log-likelihood (G²) collocations over the 2×2 bigram table"),
+
     // PUBLISH: positional postings — the exact-phrase layer BM25's
     // bag-of-words index cannot express (publish/apply #17). One
     // tokenize pass; positions canonicalized to CSV (the q_agg_collect

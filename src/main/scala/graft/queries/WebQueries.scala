@@ -37,6 +37,7 @@ object WebQueries {
 
   import QualityClassifier.{KeepPpm, WeightBuckets, WeightScale}
   val ApplySplit = 400         // doc_id < split trains; ≥ split is the batch
+  val KappaLenThr = 300L       // the length heuristic's keep cut (chars)
   val LossClampPpm = 1000L     // log-loss probability clamp (ppm)
 
   // ---------- fixture: deterministic messy raw URL ----------
@@ -402,6 +403,74 @@ object WebQueries {
            |        THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS rec6
            |FROM cm""".stripMargin),
       "confusion matrix + accuracy/precision/recall at the production keep threshold"),
+
+    // Cohen's kappa between two INDEPENDENT keep-filters — the frozen
+    // classifier's production cut vs the cheap length heuristic — the
+    // chance-corrected agreement a curation pipeline reports before
+    // replacing one filter with the other (raw agreement is inflated
+    // when both raters mostly say "keep"). Counts are exact from one
+    // pass over the held-out scores (n_chars rides the stateless scorer
+    // as a carry column — no doc_id re-join); po/pe/kappa is one double
+    // chain; pe = 1 (degenerate constant raters) yields NULL on both
+    // engines.
+    Q("q_eval_kappa",
+      (s, d) => {
+        val scored = evalScoredWith(s, d, Seq("n_chars"))
+        val g = scored.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("keep") && col("n_chars") >= KappaLenThr, 1L)
+            .otherwise(0L)).as("n11"),
+          sum(when(col("keep") && col("n_chars") < KappaLenThr, 1L)
+            .otherwise(0L)).as("n10"),
+          sum(when(!col("keep") && col("n_chars") >= KappaLenThr, 1L)
+            .otherwise(0L)).as("n01"),
+          sum(when(!col("keep") && col("n_chars") < KappaLenThr, 1L)
+            .otherwise(0L)).as("n00"))
+        g.withColumn("po",
+            (col("n11") + col("n00")).cast("double") / col("n"))
+          .withColumn("pe",
+            ((col("n11") + col("n10")).cast("double")
+              * (col("n11") + col("n01")) +
+              (col("n01") + col("n00")).cast("double")
+                * (col("n10") + col("n00")))
+              / (col("n").cast("double") * col("n")))
+          .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            round(col("po"), 6).as("po6"),
+            round(when(col("pe") =!= 1.0,
+              (col("po") - col("pe")) / (lit(1.0) - col("pe"))), 6)
+              .as("kappa6"))
+      },
+      Some(s"""WITH ${duckEvalChain("n_chars")},
+           |cm AS (SELECT
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN score_ppm >= ${
+              graft.operators.QualityClassifier.KeepPpm}
+           |             AND n_chars >= $KappaLenThr THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n11,
+           |    CAST(sum(CASE WHEN score_ppm >= ${
+              graft.operators.QualityClassifier.KeepPpm}
+           |             AND n_chars < $KappaLenThr THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n10,
+           |    CAST(sum(CASE WHEN score_ppm < ${
+              graft.operators.QualityClassifier.KeepPpm}
+           |             AND n_chars >= $KappaLenThr THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n01,
+           |    CAST(sum(CASE WHEN score_ppm < ${
+              graft.operators.QualityClassifier.KeepPpm}
+           |             AND n_chars < $KappaLenThr THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n00
+           |  FROM sc),
+           |k AS (SELECT *,
+           |        CAST(n11 + n00 AS DOUBLE) / n AS po,
+           |        (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+           |         + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+           |          / (CAST(n AS DOUBLE) * n) AS pe
+           |      FROM cm)
+           |SELECT n, n11, n10, n01, n00, round(po, 6) AS po6,
+           |  round(CASE WHEN pe <> 1.0
+           |        THEN (po - pe) / (1.0 - pe) END, 6) AS kappa6
+           |FROM k""".stripMargin),
+      "Cohen's kappa between the frozen classifier cut and the length heuristic"),
 
     // Slice evaluation: the SAME frozen classifier scored per source —
     // the fairness/robustness report a filter ships with (a global AUC
