@@ -405,27 +405,31 @@ object WebQueries {
       "confusion matrix + accuracy/precision/recall at the production keep threshold"),
 
     // Cohen's kappa between two INDEPENDENT keep-filters — the frozen
-    // classifier's production cut vs the cheap length heuristic — the
-    // chance-corrected agreement a curation pipeline reports before
-    // replacing one filter with the other (raw agreement is inflated
-    // when both raters mostly say "keep"). Counts are exact from one
-    // pass over the held-out scores (n_chars rides the stateless scorer
-    // as a carry column — no doc_id re-join); po/pe/kappa is one double
-    // chain; pe = 1 (degenerate constant raters) yields NULL on both
-    // engines.
+    // classifier's ABOVE-MEDIAN cut (the relative operating point that
+    // splits any batch; the absolute KeepPpm cut can degenerate to a
+    // constant rater on a shifted corpus, making kappa vacuous) vs the
+    // cheap length heuristic — the chance-corrected agreement a
+    // curation pipeline reports before replacing one filter with the
+    // other (raw agreement is inflated when both raters mostly agree by
+    // chance). Counts are exact from one pass over the held-out scores
+    // (n_chars rides the stateless scorer as a carry column — no doc_id
+    // re-join); the median is the same exact-integer interpolation the
+    // q_win_median pair pins; po/pe/kappa is one double chain; pe = 1
+    // (still-degenerate raters) yields NULL on both engines.
     Q("q_eval_kappa",
       (s, d) => {
-        val scored = evalScoredWith(s, d, Seq("n_chars"))
-        val g = scored.agg(
+        val scored = graft.core.CacheScope.autoRelease(
+          evalScoredWith(s, d, Seq("n_chars")))
+        val med = scored.agg(
+          expr("percentile(score_ppm, 0.5)").as("med"))
+        val a = col("score_ppm").cast("double") >= col("med")
+        val b = col("n_chars") >= KappaLenThr
+        val g = scored.crossJoin(broadcast(med)).agg(
           count(lit(1)).as("n"),
-          sum(when(col("keep") && col("n_chars") >= KappaLenThr, 1L)
-            .otherwise(0L)).as("n11"),
-          sum(when(col("keep") && col("n_chars") < KappaLenThr, 1L)
-            .otherwise(0L)).as("n10"),
-          sum(when(!col("keep") && col("n_chars") >= KappaLenThr, 1L)
-            .otherwise(0L)).as("n01"),
-          sum(when(!col("keep") && col("n_chars") < KappaLenThr, 1L)
-            .otherwise(0L)).as("n00"))
+          sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+          sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+          sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+          sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
         g.withColumn("po",
             (col("n11") + col("n00")).cast("double") / col("n"))
           .withColumn("pe",
@@ -441,25 +445,22 @@ object WebQueries {
               .as("kappa6"))
       },
       Some(s"""WITH ${duckEvalChain("n_chars")},
+           |md AS (SELECT quantile_cont(score_ppm, 0.5) AS med FROM sc),
            |cm AS (SELECT
            |    CAST(count(*) AS BIGINT) AS n,
-           |    CAST(sum(CASE WHEN score_ppm >= ${
-              graft.operators.QualityClassifier.KeepPpm}
+           |    CAST(sum(CASE WHEN CAST(score_ppm AS DOUBLE) >= med
            |             AND n_chars >= $KappaLenThr THEN 1 ELSE 0 END)
            |      AS BIGINT) AS n11,
-           |    CAST(sum(CASE WHEN score_ppm >= ${
-              graft.operators.QualityClassifier.KeepPpm}
+           |    CAST(sum(CASE WHEN CAST(score_ppm AS DOUBLE) >= med
            |             AND n_chars < $KappaLenThr THEN 1 ELSE 0 END)
            |      AS BIGINT) AS n10,
-           |    CAST(sum(CASE WHEN score_ppm < ${
-              graft.operators.QualityClassifier.KeepPpm}
+           |    CAST(sum(CASE WHEN CAST(score_ppm AS DOUBLE) < med
            |             AND n_chars >= $KappaLenThr THEN 1 ELSE 0 END)
            |      AS BIGINT) AS n01,
-           |    CAST(sum(CASE WHEN score_ppm < ${
-              graft.operators.QualityClassifier.KeepPpm}
+           |    CAST(sum(CASE WHEN CAST(score_ppm AS DOUBLE) < med
            |             AND n_chars < $KappaLenThr THEN 1 ELSE 0 END)
            |      AS BIGINT) AS n00
-           |  FROM sc),
+           |  FROM sc CROSS JOIN md),
            |k AS (SELECT *,
            |        CAST(n11 + n00 AS DOUBLE) / n AS po,
            |        (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
