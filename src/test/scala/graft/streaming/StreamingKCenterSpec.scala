@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.{KCenter, KMeans}
+
+/** Streaming twin of the k-center assignment (q_sample_kcenter_assign's
+  * production topology): the exemplar model is published ONCE from the
+  * standing corpus (a parquet artifact of k coordinate rows); each
+  * incoming microbatch routes its vectors to their nearest exemplar
+  * with the same broadcast argmin pass, stateless between batches.
+  * Pinned multiplicity-exact against the batch assignment over the same
+  * vectors — sound because assignment is per-row given the model. */
+class StreamingKCenterSpec extends SparkSpec {
+
+  test("per-microbatch assignment against the frozen exemplars ≡ batch") {
+    val work = Files.createTempDirectory("graft_kcenter_stream").toString
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+
+    // PUBLISH once: the k-exemplar model as a parquet artifact
+    import spark.implicits._
+    KCenter.model(emb)
+      .map(p => (p._1 - 1, p._3))
+      .toDF("cid", "coords")
+      .write.parquet(s"$work/model")
+    val model = spark.read.parquet(s"$work/model")
+
+    def assign(batch: DataFrame): DataFrame =
+      KMeans.assignByCell(KCenter.fixedVecs(batch), broadcast(model),
+        KCenter.K)
+
+    val want = assign(emb)
+
+    emb.repartition(3).write.parquet(s"$work/in")
+    var batches = 0
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in")
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          batches += 1
+          assign(df).write.mode("append").parquet(s"$work/out")
+        }
+      }
+      .option("checkpointLocation", s"$work/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(batches >= 2, s"replay collapsed to $batches microbatch(es)")
+    val got = spark.read.parquet(s"$work/out")
+    val w = want.select(got.columns.map(col).toSeq: _*)
+    val drift = got.exceptAll(w).count() + w.exceptAll(got).count()
+    assert(drift == 0, s"streamed assignment drifted from batch ($drift rows)")
+    // the partition is genuine: more than one exemplar receives vectors
+    assert(got.select("cid").distinct().count() > 1,
+      "vacuous: every vector routed to one exemplar")
+  }
+}
