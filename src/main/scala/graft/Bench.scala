@@ -175,7 +175,11 @@ object Bench {
     // round-15 tail: NDCG composes the already-priced BM25 top-k with
     // the candidate relevance join — genuine 2.7 s (7-rep median), the
     // q_train_hardneg cost class; promoted at birth per the ≥2 s rule
-    "q_eval_ndcg")
+    "q_eval_ndcg",
+    // round-15 tail 2: modularity re-runs the full LPA recurrence plus
+    // the label joins — genuine ~7.8 s (5-rep median at birth), the
+    // heaviest legitimate composition on the board; promoted at birth
+    "q_graph_modularity")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

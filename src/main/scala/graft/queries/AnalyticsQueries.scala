@@ -66,6 +66,32 @@ object AnalyticsQueries {
   /** r0..rN chain of the fixed-point PageRank recurrence (mirrors
     * [[PageRank.ranks]] — same int64 truncating divisions, so the match is
     * bit-exact, not tolerance-based). */
+  /** Unrolled LPA recurrence over the multiset order↔part edge list:
+    * lpe (UNION ALL both directions), lp0 = own id, lp1..lp`iters`
+    * synchronous argmax rounds — shared by q_graph_lpa and the
+    * modularity gate. */
+  private def duckLpaCtes: String = {
+    val rounds = (1 to LpaIters).map { r =>
+      val p = r - 1
+      s"""lpc$r AS MATERIALIZED (
+         |  SELECT e.dst AS id, l.lbl, count(*) AS cnt
+         |  FROM lpe e JOIN lp$p l ON e.src = l.id GROUP BY 1, 2),
+         |lp$r AS MATERIALIZED (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER
+         |      (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+         |    FROM lpc$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""lpe AS MATERIALIZED (
+       |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+       |  UNION ALL
+       |  SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+       |lp0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id, src AS lbl FROM lpe),
+       |$rounds""".stripMargin
+  }
+
   private def duckPageRankCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""r$k AS (SELECT n.id,
@@ -1630,29 +1656,129 @@ object AnalyticsQueries {
         LabelProp.communities(e, LpaIters)
           .select(col("id").as("node_id"), col("lbl").as("comm"))
       },
-      Some {
-        val rounds = (1 to LpaIters).map { r =>
-          val p = r - 1
-          s"""lpc$r AS MATERIALIZED (
-             |  SELECT e.dst AS id, l.lbl, count(*) AS cnt
-             |  FROM lpe e JOIN lp$p l ON e.src = l.id GROUP BY 1, 2),
-             |lp$r AS MATERIALIZED (
-             |  SELECT id, lbl FROM (
-             |    SELECT id, lbl, row_number() OVER
-             |      (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
-             |    FROM lpc$r)
-             |  WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH lpe AS MATERIALIZED (
-           |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
-           |  UNION ALL
-           |  SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
-           |lp0 AS MATERIALIZED (
-           |  SELECT DISTINCT src AS id, src AS lbl FROM lpe),
-           |$rounds
-           |SELECT id AS node_id, lbl AS comm FROM lp$LpaIters""".stripMargin
-      },
+      Some(s"""WITH $duckLpaCtes
+           |SELECT id AS node_id, lbl AS comm FROM lp$LpaIters""".stripMargin),
       "label-propagation communities: 4 synchronous rounds, exact argmax replay"),
+
+    // Modularity of the LPA communities — the partition-quality number
+    // a community detection publishes with its labels (Newman 2004):
+    // Q = Σ_c (in_c/M − (d_c/M)²) over the DISTINCT symmetrized edge
+    // set (M = directed edge count = 2m; labels come from the identical
+    // multiset recurrence q_graph_lpa gates). in_c/d_c/M are exact
+    // integers; each community's term is one double expression rounded
+    // to 1e-12 fixed point PER COMMUNITY (community count is unbounded,
+    // so a cross-row double SUM would be reduction-order-sensitive —
+    // the q_drift_chi2 convention), making Q an exact integer sum.
+    Q("q_graph_modularity",
+      (s, d) => {
+        val bm = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val em = bm.union(bm.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val lbl = LabelProp.communities(em, LpaIters)
+        val ed = em.distinct()
+        val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+        val dC = deg
+          .join(lbl.withColumnRenamed("id", "src"), "src")
+          .groupBy("lbl").agg(sum("deg").as("dc"))
+        val inC = ed
+          .join(lbl.withColumnRenamed("id", "src")
+            .withColumnRenamed("lbl", "ls"), "src")
+          .join(lbl.withColumnRenamed("id", "dst")
+            .withColumnRenamed("lbl", "ld"), "dst")
+          .filter(col("ls") === col("ld"))
+          .groupBy(col("ls").as("lbl")).agg(count(lit(1)).as("inc"))
+        dC.join(inC, Seq("lbl"), "left").na.fill(0L, Seq("inc"))
+          .crossJoin(broadcast(ed.agg(count(lit(1)).as("mm"))))
+          .select(col("mm"),
+            round((col("inc").cast("double") / col("mm")
+              - (col("dc").cast("double") / col("mm"))
+                * (col("dc").cast("double") / col("mm"))) * 1e12)
+              .cast("long").as("tp"))
+          .groupBy("mm").agg(count(lit(1)).as("n_comms"),
+            sum("tp").as("mod_pico"))
+          .select(col("n_comms"), col("mm").as("m_directed"),
+            col("mod_pico"))
+      },
+      Some(s"""WITH $duckLpaCtes,
+           |ed AS (SELECT DISTINCT src, dst FROM lpe),
+           |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+           |dc AS (SELECT l.lbl, CAST(sum(deg) AS BIGINT) AS dc
+           |       FROM deg JOIN lp$LpaIters l ON deg.src = l.id
+           |       GROUP BY l.lbl),
+           |ic AS (SELECT a.lbl, count(*) AS inc
+           |       FROM ed JOIN lp$LpaIters a ON ed.src = a.id
+           |         JOIN lp$LpaIters b ON ed.dst = b.id
+           |       WHERE a.lbl = b.lbl GROUP BY a.lbl),
+           |mm AS (SELECT count(*) AS mm FROM ed),
+           |tm AS (SELECT dc.lbl, mm.mm,
+           |         CAST(round((CAST(coalesce(ic.inc, 0) AS DOUBLE) / mm.mm
+           |           - (CAST(dc.dc AS DOUBLE) / mm.mm)
+           |             * (CAST(dc.dc AS DOUBLE) / mm.mm)) * 1e12)
+           |           AS BIGINT) AS tp
+           |       FROM dc LEFT JOIN ic USING (lbl) CROSS JOIN mm)
+           |SELECT CAST(count(*) AS BIGINT) AS n_comms,
+           |  CAST(any_value(mm) AS BIGINT) AS m_directed,
+           |  CAST(sum(tp) AS BIGINT) AS mod_pico
+           |FROM tm""".stripMargin),
+      "modularity of the LPA partition (per-community fixed-point terms)"),
+
+    // Degree assortativity (Newman 2002): Pearson correlation of the
+    // endpoint degrees over the directed edge list — the one-number
+    // "do hubs link to hubs" structure probe (strongly negative on
+    // bipartite order↔part graphs). Exact DECIMAL moments over integer
+    // degrees; one double chain; same-degree-everywhere degenerates to
+    // NULL on both engines.
+    Q("q_graph_assort",
+      (s, d) => {
+        val bm = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+        val ed = bm.union(bm.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val j = ed
+          .join(deg.select(col("src"), col("deg").as("dx")), "src")
+          .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+        j.agg(count(lit(1)).as("n_edges"),
+            sum(dc(col("dx"))).as("sx"), sum(dc(col("dy"))).as("sy"),
+            sum(dc(col("dx")) * col("dx")).as("sxx"),
+            sum(dc(col("dy")) * col("dy")).as("syy"),
+            sum(dc(col("dx")) * col("dy")).as("sxy"))
+          .withColumn("den",
+            sqrt((dc(col("n_edges")) * col("sxx")
+              - col("sx") * col("sx")).cast("double"))
+              * sqrt((dc(col("n_edges")) * col("syy")
+                - col("sy") * col("sy")).cast("double")))
+          .select(col("n_edges"),
+            round(when(col("den") =!= 0.0,
+              (dc(col("n_edges")) * col("sxy") - col("sx") * col("sy"))
+                .cast("double") / col("den")), 6).as("assort6"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey * 2 AS src,
+           |              l_partkey * 2 + 1 AS dst FROM lineitem),
+           |ed AS (SELECT src, dst FROM b
+           |       UNION ALL SELECT dst, src FROM b),
+           |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+           |j AS (SELECT a.deg AS dx, c.deg AS dy
+           |      FROM ed JOIN deg a ON ed.src = a.src
+           |        JOIN deg c ON ed.dst = c.src),
+           |m AS (SELECT count(*) AS n_edges,
+           |        sum(CAST(dx AS HUGEINT)) AS sx,
+           |        sum(CAST(dy AS HUGEINT)) AS sy,
+           |        sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+           |        sum(CAST(dy AS HUGEINT) * dy) AS syy,
+           |        sum(CAST(dx AS HUGEINT) * dy) AS sxy
+           |      FROM j)
+           |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           |  round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+           |        / nullif(sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE))
+           |           * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE)),
+           |           0.0), 6) AS assort6
+           |FROM m""".stripMargin),
+      "degree assortativity over the symmetrized edge list (exact moments)"),
 
     // HITS hubs & authorities over the DIRECTED order→part graph — the
     // link-analysis complement to PageRank (authorities weight endorsed
