@@ -689,6 +689,35 @@ object LlmQueries {
       Some(duckMinhashOracle(NearDupJaccard)),
       "MinHash-LSH near-dup pairs, Jaccard-verified (band-bucket join)"),
 
+    // Threshold sweep — the tuning readout a dedup rollout publishes
+    // BEFORE fixing its Jaccard cut: how many verified candidate pairs
+    // survive at each 5%-wide threshold step. One banded-candidate pass
+    // (threshold 0 keeps every verified candidate), the 5%-bin bucketing
+    // runs on the 4-decimal ROUNDED jaccard (identical doubles ⇒
+    // identical floor on both engines), and the cumulative ≥-τ counts
+    // come from one window over ≤ 21 bin rows.
+    Q("q_dedup_threshold_sweep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("tau_pct").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id", 0.0)
+          .select((floor(col("j4") * 20) * 5).cast("int").as("tau_pct"))
+          .groupBy("tau_pct").agg(count(lit(1)).as("n_bin"))
+          .select(col("tau_pct"),
+            sum("n_bin").over(w).as("n_pairs_ge"))
+      },
+      Some(s"""WITH p AS (SELECT * FROM (${duckMinhashOracle(0.0)})),
+           |b AS (SELECT CAST(floor(j4 * 20) * 5 AS INT) AS tau_pct,
+           |        count(*) AS n_bin
+           |      FROM p GROUP BY 1)
+           |SELECT tau_pct,
+           |  CAST(sum(n_bin) OVER (ORDER BY tau_pct DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS n_pairs_ge
+           |FROM b""".stripMargin),
+      "near-dup threshold sweep: verified pairs surviving each 5% Jaccard cut"),
+
     // The FROZEN NEAR-DUP INDEX artifact (publish half): the standing
     // corpus's banded MinHash table — the nightly batch artifact an
     // ingest pipeline probes instead of self-joining corpus+batch.
