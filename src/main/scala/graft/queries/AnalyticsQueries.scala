@@ -2216,12 +2216,14 @@ object AnalyticsQueries {
             col(s"s$dw").cast("double") * col(s"s$dw").cast("double")
               / col(s"n$dw")).otherwise(lit(0.0))
         }.reduce(_ + _)
-        g.select(col("n").as("n_days"),
-          round((sb - col("s").cast("double") * col("s").cast("double")
-              / col("n"))
-            / (col("ss").cast("double")
-              - col("s").cast("double") * col("s").cast("double") / col("n")),
-            6).as("eta2_6"))
+        // constant series ⇒ SS_total = 0 ⇒ η² undefined ⇒ NULL on both
+        // engines (the Spark-ANSI/DuckDB division contract)
+        g.withColumn("sst", col("ss").cast("double")
+            - col("s").cast("double") * col("s").cast("double") / col("n"))
+          .select(col("n").as("n_days"),
+            round(when(col("sst") =!= 0.0,
+              (sb - col("s").cast("double") * col("s").cast("double")
+                / col("n")) / col("sst")), 6).as("eta2_6"))
       },
       Some {
         val sb = (1 to 7).map { dw =>
@@ -2245,8 +2247,8 @@ object AnalyticsQueries {
            |      FROM daily)
            |SELECT CAST(n AS BIGINT) AS n_days,
            |  round(($sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-           |        / (CAST(ss AS DOUBLE)
-           |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+           |        / nullif(CAST(ss AS DOUBLE)
+           |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0.0), 6)
            |    AS eta2_6
            |FROM g""".stripMargin
       },

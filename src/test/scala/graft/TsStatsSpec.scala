@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Closed-form invariants for the time-series statistics, through the
+  * real query entry points on constructed event fixtures:
+  *   - q_ts_mase: a linear daily series has |y_t − y_{t−1}| = slope and
+  *     |y_t − y_{t−7}| = 7·slope, so MASE = exactly 1/7;
+  *   - q_ts_seasonality: a pure day-of-week pattern ⇒ η² = 1; a
+  *     constant series ⇒ SS_total = 0 ⇒ NULL (the ANSI/DuckDB division
+  *     contract — an unguarded double 0/0 THROWS under Spark 4 ANSI).
+  */
+class TsStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mase =
+    queries.AnalyticsQueries.all.find(_.name == "q_ts_mase").get
+  private val seas =
+    queries.AnalyticsQueries.all.find(_.name == "q_ts_seasonality").get
+
+  /** One purchase event per day (28 days) with the given cent values. */
+  private def eventsDir(vals: Seq[Long]): String = {
+    require(vals.size <= 28)
+    val dir = Files.createTempDirectory("tsstats").toString
+    vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf(f"2026-01-${i + 1}%02d 12:00:00"),
+        i.toLong, "purchase", v / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("mase of a linear daily series is exactly 1/7") {
+    val dir = eventsDir((0 until 28).map(i => 1000L + 700L * i))
+    val r = mase.run(spark, dir).head()
+    // |Δ1| = 7.00, |Δ7| = 49.00 per day ⇒ ratio (7/7)/(49/7)·7 = 1/7
+    assert(math.abs(r.getAs[Double]("mase6") - 0.142857) < 1e-6,
+      s"linear-series MASE ${r.getAs[Double]("mase6")}")
+  }
+
+  test("pure day-of-week pattern has eta2 = 1; constant series is NULL") {
+    val weekly = eventsDir((0 until 28).map(i => 100L * (i % 7 + 1)))
+    val r1 = seas.run(spark, weekly).head()
+    assert(r1.getAs[Double]("eta2_6") === 1.0)
+    val const = eventsDir(Seq.fill(28)(500L))
+    val r2 = seas.run(spark, const).head()
+    assert(r2.isNullAt(r2.fieldIndex("eta2_6")),
+      "zero-variance series must yield NULL, not throw")
+  }
+}
