@@ -473,6 +473,58 @@ object WebQueries {
            |FROM k""".stripMargin),
       "Cohen's kappa between the frozen classifier cut and the length heuristic"),
 
+    // Cumulative gains + lift by score decile — "keep the top d/10 of
+    // the batch by classifier score: what fraction of the good docs do
+    // you capture, and at what enrichment over random?" — the capacity-
+    // planning readout next to ROC (ROC answers thresholds, gains
+    // answers budgets). Deciles are by cumulative POPULATION over the
+    // bounded per-score table (score ties stay unsplit: a score-row
+    // belongs to the decile its END position lands in — exact integer
+    // div); each decile reports its last row's exact cumulative counts.
+    Q("q_eval_gains",
+      (s, d) => {
+        val bys = evalByScore(s, d)
+        val wDesc = Window.orderBy(col("score_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tots = bys.agg(sum(col("p_s") + col("q_s")).as("nn"),
+          sum("p_s").as("pp"))
+        bys
+          .withColumn("cum_n", sum(col("p_s") + col("q_s")).over(wDesc))
+          .withColumn("cum_p", sum("p_s").over(wDesc))
+          .crossJoin(broadcast(tots))
+          .withColumn("decile",
+            (expr("((cum_n - 1) * 10) div nn") + 1).cast("int"))
+          .groupBy("decile", "nn", "pp")
+          .agg(max("cum_n").as("cum_n"),
+            max_by(col("cum_p"), col("cum_n")).as("cum_p"))
+          .select(col("decile"), col("cum_n"), col("cum_p"),
+            round(col("cum_p").cast("double") / col("pp"), 6).as("gain6"),
+            round((col("cum_p").cast("double") / col("cum_n"))
+              / (col("pp").cast("double") / col("nn")), 6).as("lift6"))
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |cum AS (SELECT score_ppm,
+           |          CAST(sum(p_s + q_s) OVER wd AS BIGINT) AS cum_n,
+           |          CAST(sum(p_s) OVER wd AS BIGINT) AS cum_p
+           |        FROM bys
+           |        WINDOW wd AS (ORDER BY score_ppm DESC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |tt AS (SELECT CAST(sum(p_s + q_s) AS BIGINT) AS nn,
+           |         CAST(sum(p_s) AS BIGINT) AS pp FROM bys),
+           |dk AS (SELECT CAST(((cum_n - 1) * 10) // nn + 1 AS INT)
+           |         AS decile, cum_n, cum_p, nn, pp
+           |       FROM cum CROSS JOIN tt),
+           |g AS (SELECT decile, nn, pp, max(cum_n) AS cum_n,
+           |        max_by(cum_p, cum_n) AS cum_p
+           |      FROM dk GROUP BY decile, nn, pp)
+           |SELECT decile, CAST(cum_n AS BIGINT) AS cum_n,
+           |  CAST(cum_p AS BIGINT) AS cum_p,
+           |  round(CAST(cum_p AS DOUBLE) / pp, 6) AS gain6,
+           |  round((CAST(cum_p AS DOUBLE) / cum_n)
+           |        / (CAST(pp AS DOUBLE) / nn), 6) AS lift6
+           |FROM g""".stripMargin),
+      "cumulative gains + lift by score decile (budget-style filter readout)"),
+
     // Slice evaluation: the SAME frozen classifier scored per source —
     // the fairness/robustness report a filter ships with (a global AUC
     // can hide a slice where the classifier is a coin flip). The whole
