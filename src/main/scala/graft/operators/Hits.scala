@@ -42,6 +42,9 @@ object Hits {
     * `edges` columns: src, dst (integral); duplicates dropped. Hubs are
     * edge sources, authorities edge destinations. */
   def scores(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    // the hub/auth coverage argument (and the final unionByName on
+    // `auth`) assumes at least one full round
+    require(iters >= 1, s"HITS needs iters >= 1, got $iters")
     val e = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()

@@ -2142,7 +2142,7 @@ object AnalyticsQueries {
                 + col("cnt") + lit(1L)).as("ar2"))
             .crossJoin(nn)
             .select(col(v),
-              (least(expr("(ar2 * 500000) div (2 * nn) div 200000"),
+              (least(expr("(ar2 * 500000) div nn div 200000"),
                 lit(4L)) + 1L).cast("int").as(s"q_$v"))
         }
         u.join(quint("rec"), "rec")
@@ -2165,19 +2165,19 @@ object AnalyticsQueries {
            |qr AS (SELECT rec, CAST(least(((2 * coalesce(sum(cnt) OVER
            |           (ORDER BY rec ROWS BETWEEN UNBOUNDED PRECEDING
            |            AND 1 PRECEDING), 0) + cnt + 1) * 500000)
-           |           // (2 * nn.nn) // 200000, 4) + 1 AS INT) AS q_rec
+           |           // nn.nn // 200000, 4) + 1 AS INT) AS q_rec
            |       FROM (SELECT rec, count(*) AS cnt FROM u GROUP BY rec)
            |         CROSS JOIN nn),
            |qf AS (SELECT freq, CAST(least(((2 * coalesce(sum(cnt) OVER
            |           (ORDER BY freq ROWS BETWEEN UNBOUNDED PRECEDING
            |            AND 1 PRECEDING), 0) + cnt + 1) * 500000)
-           |           // (2 * nn.nn) // 200000, 4) + 1 AS INT) AS q_freq
+           |           // nn.nn // 200000, 4) + 1 AS INT) AS q_freq
            |       FROM (SELECT freq, count(*) AS cnt FROM u GROUP BY freq)
            |         CROSS JOIN nn),
            |qm AS (SELECT mon, CAST(least(((2 * coalesce(sum(cnt) OVER
            |           (ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING
            |            AND 1 PRECEDING), 0) + cnt + 1) * 500000)
-           |           // (2 * nn.nn) // 200000, 4) + 1 AS INT) AS q_mon
+           |           // nn.nn // 200000, 4) + 1 AS INT) AS q_mon
            |       FROM (SELECT mon, count(*) AS cnt FROM u GROUP BY mon)
            |         CROSS JOIN nn)
            |SELECT q_rec, q_freq, q_mon, count(*) AS n_users
@@ -2279,14 +2279,18 @@ object AnalyticsQueries {
             (col("s3").cast("double") / col("n")).as("c3"),
             (col("s4").cast("double") / col("n")).as("c4"))
           .withColumn("v", col("b") - col("a") * col("a"))
+          // constant column ⇒ v = 0 ⇒ moments undefined ⇒ NULL on both
+          // engines (the ANSI double-÷0 contract, q_ts_seasonality style)
           .select(col("n"),
-            round((col("c3") - lit(3.0) * col("a") * col("b")
-              + lit(2.0) * col("a") * col("a") * col("a"))
-              / (col("v") * sqrt(col("v"))), 6).as("skew6"),
-            round((col("c4") - lit(4.0) * col("a") * col("c3")
-              + lit(6.0) * col("a") * col("a") * col("b")
-              - lit(3.0) * col("a") * col("a") * col("a") * col("a"))
-              / (col("v") * col("v")) - lit(3.0), 6).as("kurt6"))
+            round(when(col("v") =!= 0.0,
+              (col("c3") - lit(3.0) * col("a") * col("b")
+                + lit(2.0) * col("a") * col("a") * col("a"))
+                / (col("v") * sqrt(col("v")))), 6).as("skew6"),
+            round(when(col("v") =!= 0.0,
+              (col("c4") - lit(4.0) * col("a") * col("c3")
+                + lit(6.0) * col("a") * col("a") * col("b")
+                - lit(3.0) * col("a") * col("a") * col("a") * col("a"))
+                / (col("v") * col("v")) - lit(3.0)), 6).as("kurt6"))
       },
       Some("""WITH g AS (SELECT count(*) AS n,
            |    sum(CAST(l_quantity AS HUGEINT)) AS s1,
@@ -2305,10 +2309,10 @@ object AnalyticsQueries {
            |v AS (SELECT *, b - a * a AS v FROM m)
            |SELECT n,
            |  round((c3 - 3.0 * a * b + 2.0 * a * a * a)
-           |        / (v * sqrt(v)), 6) AS skew6,
+           |        / nullif(v * sqrt(v), 0.0), 6) AS skew6,
            |  round((c4 - 4.0 * a * c3 + 6.0 * a * a * b
            |         - 3.0 * a * a * a * a)
-           |        / (v * v) - 3.0, 6) AS kurt6
+           |        / nullif(v * v, 0.0) - 3.0, 6) AS kurt6
            |FROM v""".stripMargin),
       "skewness + excess kurtosis from one pass of exact DECIMAL power sums"),
 

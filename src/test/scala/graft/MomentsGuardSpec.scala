@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** q_agg_moments degenerate-variance contract: a constant column makes
+  * v = 0 and the unguarded double 0/0 THROWS under Spark 4 ANSI while
+  * DuckDB returns NULL — skew6/kurt6 must be guarded to NULL on both
+  * engines (the q_ts_seasonality / q_agg_spearman contract).
+  */
+class MomentsGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val moments =
+    queries.AnalyticsQueries.all.find(_.name == "q_agg_moments").get
+
+  test("constant column yields NULL skew/kurtosis, not ANSI throw") {
+    val dir = Files.createTempDirectory("moments").toString
+    Seq.fill(50)(7.0).toDF("l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = moments.run(spark, dir).head()
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.isNullAt(r.fieldIndex("skew6")) &&
+      r.isNullAt(r.fieldIndex("kurt6")),
+      "zero-variance column must yield NULL moments, not throw")
+  }
+
+  test("non-degenerate column still computes (bernoulli closed form)") {
+    val dir = Files.createTempDirectory("moments2").toString
+    // 25 zeros + 75 ones: p = 0.75, skew = (1-2p)/sqrt(p(1-p)) = -1.1547,
+    // excess kurtosis = (1-6p(1-p))/(p(1-p)) = -0.6667
+    (Seq.fill(25)(0.0) ++ Seq.fill(75)(1.0)).toDF("l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = moments.run(spark, dir).head()
+    assert(math.abs(r.getAs[Double]("skew6") + 1.154701) < 1e-5)
+    assert(math.abs(r.getAs[Double]("kurt6") + 0.666667) < 1e-5)
+  }
+}

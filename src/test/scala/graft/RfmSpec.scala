@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** q_events_rfm quintile semantics on a constructed fixture. The r15
+  * formula `(ar2 * 500000) div (2*nn) div 200000` collapsed the labels
+  * to 1..3 (ar2 ≤ 2·nn bounds the first div at 500000); the fixed ppm
+  * grid `(ar2 * 500000) div nn div 200000` spans the full 1..5 — this
+  * spec pins that on 100 distinct-valued users (where the midrank ECDF
+  * is exactly uniform: user of rank r gets label min(r div 20, 4) + 1).
+  */
+class RfmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rfm =
+    queries.AnalyticsQueries.all.find(_.name == "q_events_rfm").get
+
+  test("monetary quintiles span all five labels on 100 distinct users") {
+    val dir = Files.createTempDirectory("rfm").toString
+    // 100 users, one purchase each on the same day: recency and
+    // frequency are constant (single label), monetary is 100 distinct
+    // values — the quintile axis under test.
+    (0 until 100).map { i =>
+      (i.toLong, Timestamp.valueOf("2026-01-15 12:00:00"),
+        i.toLong, "purchase", (1000L + 17L * i) / 100.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val seg = rfm.run(spark, dir)
+      .groupBy("q_mon").agg(sum("n_users").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(seg.keySet == Set(1, 2, 3, 4, 5),
+      s"monetary labels must span 1..5, got ${seg.keySet.toSeq.sorted}")
+    // midrank ECDF on 100 uniform ranks: label 1 = ranks 1..19,
+    // 2..4 = 20 ranks each, label 5 = ranks 80..100
+    assert(seg(1) == 19L && seg(2) == 20L && seg(3) == 20L &&
+      seg(4) == 20L && seg(5) == 21L, s"band sizes $seg")
+    // constant axes stay single-label (rank 1 of 1 distinct value)
+    val recLabels = rfm.run(spark, dir).select("q_rec").distinct().count()
+    assert(recLabels == 1L)
+  }
+}
