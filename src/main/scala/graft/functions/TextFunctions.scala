@@ -140,6 +140,22 @@ object TextFunctions {
     pick
   }
 
+  /** Sentence segmentation: split after runs of terminal punctuation
+    * ([.!?]+) that are followed by whitespace or end-of-text. The
+    * punctuation stays with its sentence, mid-token punctuation
+    * (decimals, URLs, abbrev-dots with no following space) never
+    * splits, and a trailing unpunctuated fragment counts as a sentence.
+    * Stateless codegen'd regexp+split — no UDF, no explode — so it runs
+    * per-row inside whole-stage codegen at corpus scale. The pattern is
+    * RE2-compatible (no lookbehind: boundaries are MARKED with a 
+    * sentinel via capture-group replacement, then split) so the DuckDB
+    * oracle twin segments byte-identically. */
+  def sentences(text: Column): Column = {
+    val marked = regexp_replace(text, "([.!?]+)(\\s+|$)", "$1\u0001")
+    filter(transform(split(marked, "\u0001"), t => trim(t)),
+      t => t =!= lit(""))
+  }
+
   /** Canonical text normalization: lowercase, non-alphanumeric runs
     * collapsed to one space, trimmed — the form exact-dedup keys on
     * (oracle twin: TrainQueries.duckNorm). */

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Approximate betweenness centrality: Brandes' dependency accumulation
+  * from a FIXED sample of source nodes, truncated at a declared BFS
+  * depth — the standard sampling estimator (Brandes/Pich 2007) shaped
+  * for a cluster: per layer, one co-partitioned join of the frontier
+  * into the src-pinned edge copy (the PageRank/Hits round shape), so a
+  * 100 TB edge list runs as `2·depth` shuffle rounds whose moving side
+  * is only the frontier. The sample size is CONSTANT in the corpus
+  * (seed count doesn't grow with data), so total work is
+  * O(seeds · reachable-within-depth) — linear in edge density, never
+  * all-pairs.
+  *
+  * Determinism (the oracle replays the identical recurrence):
+  *  - forward: σ(seed, v) = Σ_parents σ — exact integer path counts,
+  *    layers are first-reach frontiers (anti-join against visited);
+  *  - backward, in ppm fixed point: δ_l(v) = Σ_{v→w ∈ layer l+1}
+  *    (σ_v · (1e6 + δ_{l+1}(w))) div σ_w, with the product widened to
+  *    DECIMAL(38,0) BEFORE multiplying (σ·δ overflows int64 at scale)
+  *    and `div` truncating identically on both engines;
+  *  - bc_ppm(v) = Σ over seeds and layers ≥ 1 of δ (the seed's own
+  *    layer-0 row is excluded, per Brandes).
+  * A float formulation would make low-order digits depend on the
+  * cross-partition reduction order; fixed-point `div` does not.
+  */
+object Betweenness {
+
+  /** One dependency unit = 1e-6 (ppm). */
+  val Ppm = 1000000L
+
+  /** (node_id, bc_ppm) for every node reached within `depth` of a seed.
+    * `edges` columns: src, dst (integral, both directions for
+    * undirected graphs); duplicates dropped. `seeds` is the declared
+    * bounded sample — callers collect it deterministically. */
+  def approx(edges: DataFrame, seeds: Seq[Long], depth: Int): DataFrame = {
+    require(depth >= 1, s"betweenness needs depth >= 1, got $depth")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    if (seeds.isEmpty)
+      return e.limit(0).select(col("src").as("node_id"),
+        lit(0L).as("bc_ppm"))
+    // every round joins frontier.node = e.src: pin the persisted edge
+    // layout to hashpartitioning(src) so the big side never re-exchanges
+    val eS = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    import spark.implicits._
+    val f0 = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+    // forward: first-reach layers with exact path counts. Layers are
+    // persisted (each is consumed by the NEXT layer's expansion, the
+    // backward pass, and the final union — three actions over frames
+    // that would otherwise replay the whole BFS per use).
+    var pinned = List.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      pinned ::= p
+      p
+    }
+    var layers = Vector(pin(f0))
+    var visited = pin(f0.select(col("seed"), col("node")))
+    for (_ <- 1 to depth) {
+      val expand = layers.last.join(eS, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("nxt"), col("sigma"))
+      val layer = expand
+        .join(visited.withColumnRenamed("node", "nxt"),
+          Seq("seed", "nxt"), "left_anti")
+        .groupBy(col("seed"), col("nxt"))
+        .agg(sum("sigma").as("sigma"))
+        .select(col("seed"), col("nxt").as("node"), col("sigma"))
+      val p = pin(layer)
+      layers :+= p
+      visited = pin(visited.unionByName(p.select(col("seed"), col("node"))))
+    }
+    // backward: ppm dependency accumulation, deepest layer first. Stops
+    // at layer 1 — δ_0 lands on the seed's own row, which Brandes
+    // excludes from the centrality sum, so it's never computed.
+    var delta = layers(depth).select(col("seed"), col("node"),
+      lit(0L).as("delta"))
+    var acc = delta
+    for (l <- (depth - 1) to 1 by -1) {
+      val next = layers(l + 1).join(delta
+          .withColumnRenamed("node", "nd").withColumnRenamed("seed", "sd"),
+          col("node") === col("nd") && col("seed") === col("sd"))
+        .select(col("seed"), col("node").as("wnode"),
+          col("sigma").as("wsigma"), col("delta").as("wdelta"))
+      val contrib = layers(l).join(eS, col("node") === col("src"))
+        .join(next.withColumnRenamed("wnode", "dst"), Seq("seed", "dst"))
+        .select(col("seed"), col("node"),
+          expr(s"CAST(sigma AS DECIMAL(38,0)) * ($Ppm + wdelta) div wsigma")
+            .as("c"))
+        .groupBy(col("seed"), col("node")).agg(sum("c").as("s"))
+      delta = layers(l)
+        .join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          coalesce(col("s"), lit(0L)).cast("long").as("delta"))
+      acc = acc.unionByName(delta)
+    }
+    // bc: sum the per-seed dependencies over layers 1..depth (delta_0 is
+    // the seed's own row — excluded, per Brandes)
+    val bc = acc.groupBy(col("node"))
+      .agg(sum("delta").as("bc_ppm"))
+      .select(col("node").as("node_id"), col("bc_ppm"))
+    val frozen = graft.core.Freeze(bc)
+    eS.unpersist(blocking = false)
+    pinned.foreach(_.unpersist(blocking = false))
+    frozen
+  }
+}

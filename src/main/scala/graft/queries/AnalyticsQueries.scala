@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Anomaly, Bfs, Funnel, FuzzyJoin, GapFill, Hits,
-  Incremental, KMeans, LabelProp, LinkPred, Packing, PageRank, Sessionize,
-  Triangles}
+import graft.operators.{Anomaly, Betweenness, Bfs, Funnel, FuzzyJoin,
+  GapFill, Hits, Incremental, KMeans, LabelProp, LinkPred, Packing,
+  PageRank, Sessionize, Triangles}
 
 /** Event-pipeline and graph analytics: ordered funnels, time-range rolling
   * windows, exact-integer z-score outliers, calendar gap-fill, LLM sequence
@@ -33,6 +33,9 @@ object AnalyticsQueries {
     * a multiple of this (≈1% of order nodes — a sparse trusted set). */
   private val PprSeedMod = 97
   private val LpaIters = 4
+  private val BtwDepth = 3
+  private val BtwSeedMod = 97
+  private val BtwSeedCount = 12
   /** Autocorrelation probe depth (hourly lags). */
   private val AcfMaxLag = 6
   /** MASE seasonal-naive lag (days). */
@@ -1779,6 +1782,77 @@ object AnalyticsQueries {
            |           0.0), 6) AS assort6
            |FROM m""".stripMargin),
       "degree assortativity over the symmetrized edge list (exact moments)"),
+
+    // Approximate betweenness centrality: Brandes dependency
+    // accumulation from a FIXED 12-seed sample (every node ≡ 0 mod 97,
+    // smallest 12 — a bounded deterministic collect), BFS truncated at
+    // depth 3 — the sampling estimator whose work is
+    // O(seeds · reachable), constant in seed count as the corpus grows
+    // (operators/Betweenness.scala). Forward σ are exact integer path
+    // counts; backward δ is ppm fixed point with the σ·δ product
+    // DECIMAL-widened and `div`-truncated identically on both engines.
+    Q("q_graph_betweenness",
+      (s, d) => {
+        val bm = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+        val ed = bm.union(bm.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val seeds = ed.select(col("src")).distinct()
+          .filter(col("src") % BtwSeedMod === 0)
+          .orderBy(col("src")).limit(BtwSeedCount)
+          .collect().map(_.getLong(0)).toSeq
+        Betweenness.approx(ed, seeds, BtwDepth)
+      },
+      Some {
+        val fwd = (1 to BtwDepth).map { l =>
+          s"""f$l AS (SELECT f.seed, e.dst AS node,
+             |  CAST(sum(f.sigma) AS BIGINT) AS sigma
+             |FROM f${l - 1} f JOIN e ON f.node = e.src
+             |WHERE NOT EXISTS (SELECT 1 FROM v${l - 1} v
+             |                  WHERE v.seed = f.seed AND v.node = e.dst)
+             |GROUP BY f.seed, e.dst),
+             |v$l AS (SELECT seed, node FROM v${l - 1}
+             |        UNION ALL SELECT seed, node FROM f$l)""".stripMargin
+        }.mkString(",\n")
+        val bwd = ((BtwDepth - 1) to 1 by -1).map { l =>
+          s"""c$l AS (SELECT f.seed, f.node,
+             |  sum((CAST(f.sigma AS HUGEINT) * (1000000 + n.delta))
+             |      // n.sigma) AS sc
+             |FROM f$l f JOIN e ON f.node = e.src
+             |  JOIN (SELECT fn.seed, fn.node, fn.sigma, dn.delta
+             |        FROM f${l + 1} fn JOIN d${l + 1} dn
+             |          ON fn.seed = dn.seed AND fn.node = dn.node) n
+             |    ON n.seed = f.seed AND n.node = e.dst
+             |GROUP BY f.seed, f.node),
+             |d$l AS (SELECT f.seed, f.node,
+             |  CAST(coalesce(c.sc, 0) AS BIGINT) AS delta
+             |FROM f$l f LEFT JOIN c$l c
+             |  ON c.seed = f.seed AND c.node = f.node)""".stripMargin
+        }.mkString(",\n")
+        val layerUnion = (1 to BtwDepth)
+          .map(l => s"SELECT seed, node, delta FROM d$l")
+          .mkString(" UNION ALL ")
+        s"""WITH b AS (SELECT DISTINCT l_orderkey * 2 AS src,
+           |             l_partkey * 2 + 1 AS dst FROM lineitem),
+           |e AS (SELECT src, dst FROM b
+           |      UNION SELECT dst AS src, src AS dst FROM b),
+           |seeds AS (SELECT src AS seed
+           |          FROM (SELECT DISTINCT src FROM e)
+           |          WHERE src % $BtwSeedMod = 0
+           |          ORDER BY src LIMIT $BtwSeedCount),
+           |f0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+           |       FROM seeds),
+           |v0 AS (SELECT seed, node FROM f0),
+           |$fwd,
+           |d$BtwDepth AS (SELECT seed, node, CAST(0 AS BIGINT) AS delta
+           |               FROM f$BtwDepth),
+           |$bwd
+           |SELECT node AS node_id, CAST(sum(delta) AS BIGINT) AS bc_ppm
+           |FROM ($layerUnion)
+           |GROUP BY node""".stripMargin
+      },
+      "approx betweenness: 12-seed Brandes sample, depth-3 ppm dependency fixpoint"),
 
     // HITS hubs & authorities over the DIRECTED order→part graph — the
     // link-analysis complement to PageRank (authorities weight endorsed

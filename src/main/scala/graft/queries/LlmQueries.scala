@@ -1491,6 +1491,117 @@ object LlmQueries {
                FROM (SELECT doc_id, text, ${duckTokens("text")} AS ts FROM documents)"""),
       "quality-scoring text features"),
 
+    // Sentence segmentation + per-sentence quality stats: the FineWeb-
+    // style filters (terminal-punctuation ratio, mean sentence length)
+    // need a sentence SPLITTER, which the inventory lacked —
+    // TextFunctions.sentences is the stateless codegen'd regexp+split
+    // (RE2-compatible: boundaries marked by capture-group replacement,
+    // no lookbehind, so the DuckDB twin segments byte-identically). The
+    // synthetic corpus is punctuation-free, so the gate first
+    // deterministically punctuates it (every token ≥ 6 chars gets a
+    // terminal '.') — on a real corpus the splitter applies to the raw
+    // text directly; SentencesSpec pins the raw splitter semantics
+    // (mid-token dots never split, trailing fragments count, the
+    // punctuation stays with its sentence). Every stat is an exact
+    // integer (ppm via BIGINT div, guarded) — no cross-engine doubles.
+    Q("q_text_sentences",
+      (s, d) => {
+        val punct = concat_ws(" ", transform(
+          TextFunctions.tokens(col("text")),
+          tk => when(length(tk) >= 6, concat(tk, lit("."))).otherwise(tk)))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextFunctions.nWords(col("text")).as("n_words"),
+            TextFunctions.sentences(punct).as("sents"))
+          .select(col("doc_id"),
+            size(col("sents")).as("n_sent"),
+            when(size(col("sents")) > 0, expr(
+              "(CAST(n_words AS BIGINT) * 1000000) div size(sents)"))
+              .as("mean_words_ppm"),
+            when(size(col("sents")) > 0,
+              (size(filter(col("sents"), x => x.rlike("[.!?]$")))
+                .cast("long") * 1000000L)
+              .cast("long")).as("term_num"),
+            array_max(transform(col("sents"),
+              x => size(TextFunctions.tokens(x)))).cast("int")
+              .as("max_sent_words"))
+          .withColumn("term_ppm",
+            when(col("n_sent") > 0, expr("term_num div n_sent")))
+          .drop("term_num")
+      },
+      Some(s"""WITH p AS (
+           |  SELECT doc_id, CAST(len(ts) AS INT) AS n_words,
+           |    array_to_string(list_transform(ts, t ->
+           |      CASE WHEN length(t) >= 6 THEN t || '.' ELSE t END), ' ')
+           |      AS ptext
+           |  FROM (SELECT doc_id, ${duckTokens("text")} AS ts
+           |        FROM documents)),
+           |s AS (
+           |  SELECT doc_id, n_words,
+           |    list_filter(list_transform(string_split(
+           |      regexp_replace(ptext, '([.!?]+)(\\s+|$$)',
+           |                     '\\1' || chr(1), 'g'), chr(1)),
+           |      x -> trim(x)), x -> x <> '') AS sents
+           |  FROM p)
+           |SELECT doc_id, CAST(len(sents) AS INT) AS n_sent,
+           |  CASE WHEN len(sents) > 0 THEN
+           |    CAST((CAST(n_words AS BIGINT) * 1000000) // len(sents)
+           |         AS BIGINT) END AS mean_words_ppm,
+           |  CAST(list_max(list_transform(sents, x ->
+           |    len(${duckTokens("x")}))) AS INT) AS max_sent_words,
+           |  CASE WHEN len(sents) > 0 THEN
+           |    CAST((CAST(len(list_filter(sents, x ->
+           |            regexp_matches(x, '[.!?]$$'))) AS BIGINT)
+           |          * 1000000) // len(sents) AS BIGINT) END AS term_ppm
+           |FROM s""".stripMargin),
+      "sentence segmentation + per-sentence stats (FineWeb-style quality features)"),
+
+    // Per-sentence dedup: the fraction of a document's sentences that
+    // also appear in ANOTHER document — the FineWeb/C4 duplicated-
+    // sentence quality signal, and the sentence-level sibling of
+    // q_dedup_substring. Scale shape: explode → hash-agg on the
+    // sentence (map-side combinable min/max, never a distinct-count
+    // state) → equi-join back on the agg's own partitioning — linear in
+    // corpus sentences, no pair enumeration anywhere. Docs with zero
+    // sentences have no rows to group and drop (both engines).
+    Q("q_text_sentence_dedup",
+      (s, d) => {
+        val punct = concat_ws(" ", transform(
+          TextFunctions.tokens(col("text")),
+          tk => when(length(tk) >= 6, concat(tk, lit("."))).otherwise(tk)))
+        val sents = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.sentences(punct)).as("sent"))
+        val spread = sents.groupBy("sent")
+          .agg((min("doc_id") =!= max("doc_id")).as("dup"))
+        sents.join(spread, "sent")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sent"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_sent"),
+            expr("(n_dup * 1000000) div n_sent").as("dup_ppm"))
+      },
+      Some(s"""WITH p AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_transform(${duckTokens("text")}, t ->
+           |      CASE WHEN length(t) >= 6 THEN t || '.' ELSE t END), ' ')
+           |      AS ptext
+           |  FROM documents),
+           |sents AS (
+           |  SELECT doc_id, unnest(list_filter(list_transform(
+           |    string_split(regexp_replace(ptext, '([.!?]+)(\\s+|$$)',
+           |                 '\\1' || chr(1), 'g'), chr(1)),
+           |    x -> trim(x)), x -> x <> '')) AS sent
+           |  FROM p),
+           |spread AS (SELECT sent, min(doc_id) <> max(doc_id) AS dup
+           |           FROM sents GROUP BY sent)
+           |SELECT doc_id, count(*) AS n_sent,
+           |  CAST((CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+           |        * 1000000) // count(*) AS BIGINT) AS dup_ppm
+           |FROM sents JOIN spread USING (sent)
+           |GROUP BY doc_id""".stripMargin),
+      "duplicated-sentence fraction per doc (sentence-level corpus dedup signal)"),
+
     // Flesch reading-ease — the classic readability quality gate, with
     // the standard vowel-run syllable heuristic clamped to ≥1 per word
     // (so vowel-less tokens — numbers, initialisms — count one

@@ -261,6 +261,68 @@ object TokenizerQueries {
            |FROM per GROUP BY lang""".stripMargin),
       "per-language BPE fertility (tokens per word, the vocab-coverage report)"),
 
+    // Vocab COVERAGE holes on a held-out slice — fertility reports the
+    // AVERAGE encode cost; this reports the OOV tail: symbols the
+    // frozen vocab has never seen, which a byte-fallback tokenizer
+    // would spill to bytes. Train on the standing corpus
+    // (doc_id % 5 <> 0), evaluate on the held-out batch (% 5 = 0) run
+    // through a deterministic case shift (every word's initial
+    // upper-cased — the synthetic corpus is all-lowercase, so cased
+    // initials are REAL unseen symbols; on production data the raw
+    // held-out text goes in directly). The vocab artifact is bounded
+    // (≤ alphabet + K symbols — merges only mint K new symbol types),
+    // so the membership probe is one broadcast left-join over the
+    // exploded encode — linear in held-out tokens at any corpus size.
+    Q("q_text_bpe_coverage",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val words = Tokenizer.wordTable(
+          docs.filter(col("doc_id") % 5 =!= 0), col("text"))
+        val merges = Tokenizer.trainOnWords(words, K)
+        val vocab = words
+          .select(explode(Tokenizer.symbols(
+            Tokenizer.applyMerges(col("ts"), merges))).as("sym"))
+          .distinct().withColumn("known", lit(1))
+        val cased = expr("""concat_ws(' ', transform(
+          filter(split(text, '\\s+'), t -> t <> ''),
+          w -> concat(upper(substr(w, 1, 1)), substr(w, 2))))""")
+        val enc = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("lang"),
+            explode(Tokenizer.encode(cased, merges)).as("sym"))
+        enc.join(broadcast(vocab), Seq("sym"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("lang"), col("n_tok"), col("n_oov"),
+            expr("(n_oov * 1000000) div n_tok").as("oov_ppm"))
+      },
+      Some {
+        s"""WITH ${duckTrainCtesWhere("doc_id % 5 <> 0")},
+           |mtab AS (SELECT $duckMtabCols),
+           |vs AS (SELECT DISTINCT unnest(list_filter(
+           |         string_split(ts, chr(1)), x -> x <> '')) AS sym
+           |       FROM tbpe$K),
+           |held AS (SELECT lang,
+           |    list_transform($duckToks,
+           |      w2 -> upper(substr(w2, 1, 1)) || substr(w2, 2)) AS ws
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |enc AS (SELECT lang,
+           |    flatten(list_transform(ws, w -> list_filter(
+           |      string_split($duckEncodeChain, chr(1)), x -> x <> '')))
+           |      AS toks
+           |  FROM held, mtab),
+           |ex AS (SELECT lang, unnest(toks) AS sym FROM enc)
+           |SELECT lang, count(*) AS n_tok,
+           |  CAST(sum(CASE WHEN vs.sym IS NULL THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_oov,
+           |  CAST((CAST(sum(CASE WHEN vs.sym IS NULL THEN 1 ELSE 0 END)
+           |             AS BIGINT) * 1000000) // count(*) AS BIGINT)
+           |    AS oov_ppm
+           |FROM ex LEFT JOIN vs ON ex.sym = vs.sym
+           |GROUP BY lang""".stripMargin
+      },
+      "held-out OOV/byte-fallback rate of the frozen BPE vocab per language"),
+
     // ---------- unigram-LM tokenizer (SentencePiece's second algorithm) ----------
     // PUBLISH: the frozen piece vocabulary with log-probs — all single
     // chars (coverage) + the top multi-char substrings by weighted

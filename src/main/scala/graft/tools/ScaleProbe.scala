@@ -1,0 +1,184 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.{GraftSession, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale probe: runs the most expensive headline rows on a
+  * seeded K× replication of a base scale factor and asserts the two
+  * claims every "100×-safe" plan pin makes structurally:
+  *
+  *   (a) plan SHAPE is unchanged — the normalized physical-operator
+  *       tree at K× equals the base tree (modulo AQE's runtime
+  *       broadcast↔SMJ re-plans, which are reported, and hard-flagged
+  *       only when a scale anti-pattern APPEARS at K× that the base
+  *       plan didn't have: CartesianProduct, BroadcastNestedLoopJoin,
+  *       single-partition exchange);
+  *   (b) runtime growth is within an O(n log n) band — t(K×)/t(1×) ≤
+  *       K · log(K·n)/log(n) · slack. A row outside the band is a
+  *       measured super-linearity, exactly what structural plan audits
+  *       (ExplainAudit) cannot see.
+  *
+  * Replication is copy-disjoint BY CONSTRUCTION so that K× data means
+  * K× work, not K²×: key columns are offset per copy (the offset is
+  * divisible by 10 so `% 5` / `% 2` corpus-split predicates keep their
+  * per-copy meaning, and larger than every base key so graph copies are
+  * vertex-disjoint), and text columns are token-suffixed per copy so
+  * shingle/minhash/edit-distance candidates never collide across copies
+  * (10 identical copies of a corpus would put K copies of every doc in
+  * the same LSH bucket → K² candidate pairs — a super-linearity of the
+  * DATA, not the plan; suffixing keeps each copy's candidate structure
+  * isomorphic to the base corpus instead). Copy 0 is the base data
+  * verbatim, so the benchmark-doc set (doc_id < 10) stays fixed — at
+  * 100 TB the decontam reference list doesn't grow with the corpus.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [workDir] [K] [q...]
+  * Writes target/scaleprobe.json and prints one PROBE line per query.
+  */
+object ScaleProbe {
+
+  /** The top-10 most expensive headline rows of the r15 bench — the
+    * rows whose scale behavior dominates the engine's 100 TB story.
+    * `q_dedup_ngram` (r15 rank 10) is deliberately NOT here: it is the
+    * registry's DECLARED blocked brute-force foil (all pairs within a
+    * language block — quadratic in block size by construction; measured
+    * at K=3 in SCALEPROBE_r16.md, aborted at K=10 after 100× growth).
+    * Its 100 TB path is the banded family — `q_dedup_minhash` probes in
+    * its place. */
+  val DefaultQueries: Seq[String] = Seq(
+    "q_pipeline_ingest_v2", "q_graph_ppr", "q_graph_modularity",
+    "q_graph_triangles", "q_graph_hits", "q_graph_pagerank",
+    "q_pipeline_llm_v2", "q_er_cluster", "q_text_bpe_encode",
+    "q_dedup_minhash")
+
+  /** Per-copy key offset: > every base key at sf0.1 (orderkey ≤ 600k),
+    * divisible by 10 so `key % 5` and `key % 2` splits are copy-stable. */
+  val KeyOffset = 10000000L
+
+  def replicate(spark: SparkSession, baseDir: String, workDir: String,
+                k: Int): Unit = {
+    val done = new java.io.File(s"$workDir/_SCALEPROBE_OK")
+    if (done.exists()) { println(s"[scaleprobe] reuse $workDir"); return }
+    new java.io.File(workDir).mkdirs()
+    def copies(df: DataFrame): DataFrame =
+      df.withColumn("__c", explode(lit((0 until k).toArray)))
+    def offset(c: org.apache.spark.sql.Column) =
+      c + col("__c").cast("long") * KeyOffset
+    // token-wise copy suffix: kills cross-copy shingle/minhash/substring
+    // collisions while keeping each copy's within-copy structure
+    // isomorphic to the base corpus (word counts preserved; copy 0 kept
+    // verbatim so base-only predicates like the benchmark set hold)
+    def suffixTokens(c: org.apache.spark.sql.Column) =
+      when(col("__c") === 0, c).otherwise(
+        concat_ws(" ", transform(
+          filter(split(c, "\\s+"), t => length(t) > 0),
+          t => concat(t, lit("·c"), col("__c")))))
+
+    val docs = copies(Tables.load(spark, baseDir, "documents"))
+      .select(offset(col("doc_id")).as("doc_id"),
+        suffixTokens(col("text")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.repartition(16).write.mode("overwrite")
+      .parquet(s"$workDir/documents.parquet")
+
+    val li = copies(Tables.load(spark, baseDir, "lineitem"))
+      .select(offset(col("l_orderkey")).as("l_orderkey"),
+        offset(col("l_partkey")).as("l_partkey"),
+        offset(col("l_suppkey")).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    li.repartition(32).write.mode("overwrite")
+      .parquet(s"$workDir/lineitem.parquet")
+
+    // ER blocks on the 2nd p_name token and edit-distances DISTINCT
+    // names within a block: suffix the block token per copy so blocks
+    // (and the distinct-name table) scale K× with per-copy structure
+    // identical to base — identical names across copies would collapse
+    // the distinct-name table and hide the quadratic-risk stage
+    val part = copies(Tables.load(spark, baseDir, "part"))
+      .select(offset(col("p_partkey")).as("p_partkey"),
+        when(col("__c") === 0, col("p_name")).otherwise(
+          concat_ws(" ", transform(split(col("p_name"), " "),
+            (t, i) => when(i === 1, concat(t, lit("c"), col("__c")))
+              .otherwise(t)))).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    part.repartition(8).write.mode("overwrite")
+      .parquet(s"$workDir/part.parquet")
+
+    java.nio.file.Files.writeString(done.toPath, s"k=$k base=$baseDir\n")
+    println(s"[scaleprobe] generated $workDir (k=$k)")
+  }
+
+  /** Normalized operator tree: one token per plan line, data/paths/ids
+    * stripped — equal trees ⇒ same physical strategy at both scales. */
+  def shape(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.toString.linesIterator.map { l =>
+      l.dropWhile(c => " :+-*(".contains(c)).takeWhile(c =>
+        c.isLetterOrDigit || c == '_')
+    }.filter(_.nonEmpty).toSeq
+
+  private def antiPatterns(p: String): Set[String] =
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")
+      .filter(p.contains).toSet
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/scaleprobe_x10")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val names = if (args.length > 3) args.drop(3).toSeq else DefaultQueries
+    val spark = GraftSession.local("scale-probe")
+    replicate(spark, baseDir, workDir, k)
+
+    val warmDir = "/root/testdata/sf0.001"
+    val qmap = SparkEntry.queries
+    // O(n log n) band with generous noise slack: local[32] co-tenant
+    // swings are 1.2-1.5× even on quiet boxes at these durations
+    val nBase = 600000.0 // lineitem rows at sf0.1, the largest input
+    val band = k * math.log(k * nBase) / math.log(nBase) * 1.5
+    val results = names.map { name =>
+      try {
+        qmap(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
+        val shapeBase = shape(qmap(name)(spark, baseDir))
+        val shapeBig = shape(qmap(name)(spark, workDir))
+        val newAnti = antiPatterns(shapeBig.mkString("\n")) --
+          antiPatterns(shapeBase.mkString("\n"))
+        val tb = (1 to 3).map(_ => time(spark, name, baseDir)).min
+        val tg = (1 to 2).map(_ => time(spark, name, workDir)).min
+        val ratio = tg / tb
+        val flag =
+          if (newAnti.nonEmpty) s"ANTI:${newAnti.mkString("+")}"
+          else if (ratio > band) "SUPERLINEAR"
+          else "OK"
+        val shapeEq = shapeBase == shapeBig
+        println(f"PROBE $name%-24s base=$tb%7.2fs x$k=$tg%7.2fs " +
+          f"ratio=$ratio%5.2f band=$band%5.2f shape=${if (shapeEq) "same" else "DIFF"} $flag")
+        Map("q" -> name, "base_s" -> f"$tb%.3f", "xk_s" -> f"$tg%.3f",
+          "ratio" -> f"$ratio%.3f", "shape_same" -> shapeEq.toString,
+          "flag" -> flag)
+      } catch { case e: Throwable =>
+        println(s"PROBE $name ERROR ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200))
+        Map("q" -> name, "flag" -> s"ERROR:${e.getClass.getSimpleName}")
+      }
+    }
+    val json = results.map(m => m.map { case (a, b) =>
+      s""""$a":"$b"""" }.mkString("{", ",", "}")).mkString(
+      s"""{"k":$k,"band":${f"$band%.2f"},"rows":[""", ",", "]}")
+    new java.io.File("target").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/scaleprobe.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Betweenness
+
+/** Closed forms for the sampled Brandes accumulation (ppm fixed point):
+  * on a path graph the dependencies are exact integers; on a diamond the
+  * σ_v/σ_w ratio exercises the truncating `div`.
+  */
+class BetweennessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  private def run(edges: org.apache.spark.sql.DataFrame,
+                  seeds: Seq[Long], depth: Int): Map[Long, Long] =
+    Betweenness.approx(edges, seeds, depth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph from one end: delta counts downstream nodes exactly") {
+    // 1-2-3-4-5, seed 1, depth 4: unique shortest paths (sigma = 1), so
+    // delta(v) = 1e6 * (#nodes strictly beyond v)
+    val bc = run(sym(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L), Seq(1L), 4)
+    assert(bc == Map(2L -> 3000000L, 3L -> 2000000L,
+      4L -> 1000000L, 5L -> 0L))
+  }
+
+  test("diamond: sigma ratio halves the dependency via truncating div") {
+    // 1-2, 1-3, 2-4, 3-4: sigma(4) = 2, so each middle node gets
+    // (1 * (1e6 + 0)) div 2 = 500000
+    val bc = run(sym(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L), Seq(1L), 2)
+    assert(bc == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
+  }
+
+  test("truncated depth ignores nodes beyond the horizon") {
+    val bc = run(sym(1L -> 2L, 2L -> 3L, 3L -> 4L), Seq(1L), 2)
+    // node 4 is never reached; node 3 is the frontier (delta 0)
+    assert(bc == Map(2L -> 1000000L, 3L -> 0L))
+  }
+
+  test("empty seed sample yields an empty frame") {
+    assert(run(sym(1L -> 2L), Seq.empty, 3).isEmpty)
+  }
+}

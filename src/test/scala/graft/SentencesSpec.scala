@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Raw splitter semantics of TextFunctions.sentences (the gate runs it
+  * over a deterministically punctuated corpus; this pins the splitter
+  * itself on punctuated fixtures): terminal-punctuation runs end a
+  * sentence and stay with it, mid-token punctuation never splits, and a
+  * trailing unpunctuated fragment is a sentence of its own.
+  */
+class SentencesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def split(text: String): Seq[String] =
+    Seq(text).toDF("t")
+      .select(TextFunctions.sentences(col("t")).as("s"))
+      .head().getSeq[String](0)
+
+  test("terminal punctuation splits; punctuation stays with its sentence") {
+    assert(split("Hello world. How are you? Fine!") ==
+      Seq("Hello world.", "How are you?", "Fine!"))
+  }
+
+  test("punctuation runs (ellipsis, ?!) are single boundaries") {
+    assert(split("Wait... what?! Yes.") == Seq("Wait...", "what?!", "Yes."))
+  }
+
+  test("mid-token dots (decimals, URLs) never split") {
+    assert(split("Pi is 3.14 about. See a.b.c next") ==
+      Seq("Pi is 3.14 about.", "See a.b.c next"))
+  }
+
+  test("trailing unpunctuated fragment counts as a sentence") {
+    assert(split("Done. still going") == Seq("Done.", "still going"))
+    assert(split("no punctuation at all") == Seq("no punctuation at all"))
+  }
+
+  test("empty and whitespace-only text yield no sentences") {
+    assert(split("") == Seq.empty)
+    assert(split("   ") == Seq.empty)
+  }
+}
