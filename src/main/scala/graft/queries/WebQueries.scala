@@ -571,6 +571,69 @@ object WebQueries {
            |GROUP BY cb.source, pp, nn""".stripMargin),
       "per-slice AUC of the frozen classifier (degenerate slices excluded)"),
 
+    // Per-slice gains curve: q_eval_gains × source — the budget readout
+    // the data-mixing decisions actually consume ("keeping the top 30%
+    // by score, what fraction of each source's positives survive?").
+    // Same decile machinery as the global curve, but every window and
+    // total is keyed by slice, so the windows parallelize across
+    // sources and deciles are WITHIN-slice (each source gets its own
+    // 10-point curve). Slices with no positives have no curve (both
+    // engines drop them); integer decile assignment keeps score ties
+    // unsplit.
+    Q("q_eval_gains_sliced",
+      (s, d) => {
+        val bys = graft.core.CacheScope.autoRelease(
+          evalScoredWith(s, d, Seq("label", "source"))
+            .groupBy("source", "score_ppm")
+            .agg(sum(when(col("label"), 1L).otherwise(0L)).as("p_s"),
+              sum(when(col("label"), 0L).otherwise(1L)).as("q_s")))
+        val wDesc = Window.partitionBy("source")
+          .orderBy(col("score_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tots = bys.groupBy("source")
+          .agg(sum(col("p_s") + col("q_s")).as("nn"), sum("p_s").as("pp"))
+        bys
+          .withColumn("cum_n", sum(col("p_s") + col("q_s")).over(wDesc))
+          .withColumn("cum_p", sum("p_s").over(wDesc))
+          .join(broadcast(tots), "source")
+          .filter(col("pp") > 0)
+          .withColumn("decile",
+            (expr("((cum_n - 1) * 10) div nn") + 1).cast("int"))
+          .groupBy("source", "decile", "nn", "pp")
+          .agg(max("cum_n").as("cum_n"),
+            max_by(col("cum_p"), col("cum_n")).as("cum_p"))
+          .select(col("source"), col("decile"), col("cum_n"), col("cum_p"),
+            round(col("cum_p").cast("double") / col("pp"), 6).as("gain6"),
+            round((col("cum_p").cast("double") / col("cum_n"))
+              / (col("pp").cast("double") / col("nn")), 6).as("lift6"))
+      },
+      Some(s"""WITH ${duckEvalChain("source")},
+           |cum AS (SELECT source, score_ppm,
+           |          CAST(sum(p_s + q_s) OVER wd AS BIGINT) AS cum_n,
+           |          CAST(sum(p_s) OVER wd AS BIGINT) AS cum_p
+           |        FROM bys
+           |        WINDOW wd AS (PARTITION BY source
+           |          ORDER BY score_ppm DESC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |tt AS (SELECT source, CAST(sum(p_s + q_s) AS BIGINT) AS nn,
+           |         CAST(sum(p_s) AS BIGINT) AS pp
+           |       FROM bys GROUP BY source),
+           |dk AS (SELECT cum.source AS source,
+           |         CAST(((cum_n - 1) * 10) // nn + 1 AS INT) AS decile,
+           |         cum_n, cum_p, nn, pp
+           |       FROM cum JOIN tt ON cum.source = tt.source
+           |       WHERE pp > 0),
+           |g AS (SELECT source, decile, nn, pp, max(cum_n) AS cum_n,
+           |        max_by(cum_p, cum_n) AS cum_p
+           |      FROM dk GROUP BY source, decile, nn, pp)
+           |SELECT source, decile, CAST(cum_n AS BIGINT) AS cum_n,
+           |  CAST(cum_p AS BIGINT) AS cum_p,
+           |  round(CAST(cum_p AS DOUBLE) / pp, 6) AS gain6,
+           |  round((CAST(cum_p AS DOUBLE) / cum_n)
+           |        / (CAST(pp AS DOUBLE) / nn), 6) AS lift6
+           |FROM g""".stripMargin),
+      "per-source cumulative gains + lift (the slice-keyed budget readout)"),
+
     // Isotonic calibration of the held-out scores: PAV over the binned
     // per-score table (≤ Isotonic.Bins rows at any corpus size — the
     // bounded driver-collect convention), published as the monotone

@@ -163,6 +163,18 @@ object ScaleProbe {
         val shapeEq = shapeBase == shapeBig
         println(f"PROBE $name%-24s base=$tb%7.2fs x$k=$tg%7.2fs " +
           f"ratio=$ratio%5.2f band=$band%5.2f shape=${if (shapeEq) "same" else "DIFF"} $flag")
+        if (!shapeEq) {
+          // operator-count delta: which operators appear a different
+          // number of times at K× (order-insensitive; enough to tell an
+          // AQE broadcast flip from a genuine strategy change)
+          val cb = shapeBase.groupBy(identity).view.mapValues(_.size).toMap
+          val cg = shapeBig.groupBy(identity).view.mapValues(_.size).toMap
+          val delta = (cb.keySet ++ cg.keySet).toSeq.sorted.flatMap { op =>
+            val (a, b) = (cb.getOrElse(op, 0), cg.getOrElse(op, 0))
+            if (a == b) None else Some(s"$op:$a->$b")
+          }
+          println(s"  SHAPEDIFF $name ${delta.mkString(" ")}")
+        }
         Map("q" -> name, "base_s" -> f"$tb%.3f", "xk_s" -> f"$tg%.3f",
           "ratio" -> f"$ratio%.3f", "shape_same" -> shapeEq.toString,
           "flag" -> flag)

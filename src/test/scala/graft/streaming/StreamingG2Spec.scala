@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Streaming form of the G² collocation publish (q_text_g2's production
+  * topology): the frozen artifact is the top-scored collocation table
+  * (w1, w2, g2_6) published once from the standing corpus; each
+  * incoming microbatch is annotated statelessly against it — per doc,
+  * the number of bigram occurrences that hit a published collocation
+  * and the best hit's score (explode → broadcast equi-join on the
+  * O(top-K) artifact, the frozen-index ingest discipline). Pinned:
+  * per-batch rows ≡ the batch-mode recomputation on exactly that
+  * batch's documents, across a restart.
+  */
+class StreamingG2Spec extends SparkSpec {
+
+  /** Annotate a doc batch against the frozen collocation table. */
+  private def annotate(batch: DataFrame, colloc: DataFrame): DataFrame =
+    batch
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+      .select(col("doc_id"),
+        split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+        split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+      .join(broadcast(colloc), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_colloc"), max("g2_6").as("top_g2_6"))
+
+  test("per-microbatch collocation hits vs frozen G2 table ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_g2_stream").toString
+    val docs = Tables.ensureParallelism(
+      Tables.load(spark, sf0001, "documents"))
+      .select("doc_id", "text")
+
+    // PUBLISH once: the G² artifact from the standing corpus, via the
+    // real gate entry point (the spec freezes what production freezes)
+    val g2 = graft.queries.SearchQueries.all
+      .find(_.name == "q_text_g2").get.run(spark, sf0001)
+    g2.select("w1", "w2", "g2_6").write.parquet(s"$work/colloc")
+    val colloc = spark.read.parquet(s"$work/colloc")
+    assert(colloc.count() > 0, "fixture published no collocations")
+
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("doc_id").collect().map(_.getLong(0)).toSeq)
+            annotate(df, colloc)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    docs.filter(col("doc_id") % 2 === 0).repartition(2)
+      .write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    docs.filter(col("doc_id") % 2 =!= 0).repartition(2)
+      .write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 2, s"replay collapsed to ${batches.size} batches")
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = annotate(docs.filter(col("doc_id").isin(ids: _*)), colloc)
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed G2 annotate differs from batch")
+    }
+    // the per-doc annotate is batch-split-invariant (stateless apply):
+    // the union across batches equals one batch-mode pass over all docs
+    val whole = annotate(docs, colloc)
+    val union = got.drop("batch")
+    val drift = union.exceptAll(whole).count() + whole.exceptAll(union).count()
+    assert(drift == 0, "union of streamed batches differs from whole-corpus batch")
+    val runsSeen = got.select((col("batch") / 1000).cast("int"))
+      .distinct().count()
+    assert(runsSeen == 2, s"expected hits from both runs, got $runsSeen")
+  }
+}

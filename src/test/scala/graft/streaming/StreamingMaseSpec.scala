@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming form of the MASE monitor (q_ts_mase's production
+  * topology): the frozen artifacts are (a) the per-(event_type, day)
+  * daily history table and (b) the per-event_type seasonal-naive scale
+  * (n7, sae7) — both published once from the standing window. Each
+  * incoming microbatch of HOLD-OUT events is scored statelessly against
+  * them: per observed (event_type, day), the absolute scaled error of
+  * the frozen seasonal-naive forecast (history value at day − 7),
+  * |x − fc| · n7 / sae7 — exact integers up to the single double
+  * division. Pinned: per-batch rows ≡ the batch-mode recomputation on
+  * exactly that batch's events, across a restart.
+  */
+class StreamingMaseSpec extends SparkSpec {
+
+  private val cents = expr("CAST(round(value * 100) AS BIGINT)")
+
+  private def dailyOf(events: DataFrame): DataFrame =
+    events.select(col("event_type"), col("ts").cast("date").as("day"),
+        cents.as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("x"))
+
+  /** Score a batch of raw events against the frozen history + scale. */
+  private def score(batch: DataFrame, hist: DataFrame,
+                    scale: DataFrame): DataFrame =
+    dailyOf(batch)
+      .join(hist.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("x").as("fc")),
+        Seq("event_type", "day"))
+      .join(broadcast(scale), Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        round((abs(col("x") - col("fc")) * col("n7")).cast("double")
+          / col("sae7"), 6).as("ase6"))
+
+  test("per-microbatch scaled errors vs frozen forecast ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_mase_stream").toString
+    val events = Tables.load(spark, sf0001, "events")
+    val daily = dailyOf(events)
+    val cutoff = java.sql.Date.valueOf("2024-01-23")
+
+    // PUBLISH once: frozen daily history + the seasonal-naive scale
+    daily.filter(col("day") <= cutoff).write.parquet(s"$work/hist")
+    val hist = spark.read.parquet(s"$work/hist")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    hist.select(col("event_type"),
+        abs(col("x") - lag("x", 7).over(w)).as("e7"))
+      .groupBy("event_type")
+      .agg(count(col("e7")).as("n7"), sum("e7").as("sae7"))
+      .filter(col("n7") > 0 && col("sae7") > 0)
+      .write.parquet(s"$work/scale")
+    val scale = spark.read.parquet(s"$work/scale")
+
+    // hold-out stream: the last 7 days of raw events, two file groups
+    // with a stream restart between them (the BM25 twin's discipline)
+    val hold = events.filter(col("ts").cast("date") > cutoff)
+      .select("event_id", "ts", "event_type", "value")
+    assert(hold.count() > 0, "fixture has no hold-out events")
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("event_id").collect().map(_.getLong(0)).toSeq)
+            score(df, hist, scale)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.filter(col("event_id") % 2 === 0).repartition(2)
+      .write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    hold.filter(col("event_id") % 2 =!= 0).repartition(2)
+      .write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 2, s"replay collapsed to ${batches.size} batches")
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = score(hold.filter(col("event_id").isin(ids: _*)),
+        hist, scale)
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed MASE differs from batch mode")
+    }
+    // both runs emitted scored cells (the restart resumed, not replayed:
+    // batch ids from run 0 and run 1 are disjoint by construction)
+    val runsSeen = got.select((col("batch") / 1000).cast("int"))
+      .distinct().count()
+    assert(runsSeen == 2, s"expected scored cells from both runs, got $runsSeen")
+  }
+}
