@@ -179,7 +179,11 @@ object Bench {
     // round-15 tail 2: modularity re-runs the full LPA recurrence plus
     // the label joins — genuine ~7.8 s (5-rep median at birth), the
     // heaviest legitimate composition on the board; promoted at birth
-    "q_graph_modularity")
+    "q_graph_modularity",
+    // round-16 birth: sampled Brandes betweenness — 2·depth BFS-layer
+    // joins from 12 seeds, genuine 5.7 s (7-rep quiet median at birth,
+    // BENCHFOCUS_r16); promoted at birth per the ≥2 s rule
+    "q_graph_betweenness")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

@@ -1569,9 +1569,15 @@ object LlmQueries {
         val punct = concat_ws(" ", transform(
           TextFunctions.tokens(col("text")),
           tk => when(length(tk) >= 6, concat(tk, lit("."))).otherwise(tk)))
+        // explode_outer, not explode: InferFiltersFromGenerate would
+        // re-evaluate the whole regexp+split+transform chain in an
+        // inferred size(...)>0 filter below the generate (the r15
+        // q_embed_project incident class); the null rows from empty
+        // docs are dropped by the cheap post-generate filter instead
         val sents = t(s, d, "documents")
           .select(col("doc_id"),
-            explode(TextFunctions.sentences(punct)).as("sent"))
+            explode_outer(TextFunctions.sentences(punct)).as("sent"))
+          .filter(col("sent").isNotNull)
         val spread = sents.groupBy("sent")
           .agg((min("doc_id") =!= max("doc_id")).as("dup"))
         sents.join(spread, "sent")

@@ -286,9 +286,13 @@ object TokenizerQueries {
         val cased = expr("""concat_ws(' ', transform(
           filter(split(text, '\\s+'), t -> t <> ''),
           w -> concat(upper(substr(w, 1, 1)), substr(w, 2))))""")
+        // explode_outer + null filter: an inferred size(encode)>0 filter
+        // would run the K-round replace chain twice per row (the
+        // InferFiltersFromGenerate trap)
         val enc = docs.filter(col("doc_id") % 5 === 0)
           .select(col("lang"),
-            explode(Tokenizer.encode(cased, merges)).as("sym"))
+            explode_outer(Tokenizer.encode(cased, merges)).as("sym"))
+          .filter(col("sym").isNotNull)
         enc.join(broadcast(vocab), Seq("sym"), "left")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_tok"),
