@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sampled harmonic (closeness-family) centrality: h(v) = Σ_s 1/d(s,v)
+  * over a FIXED seed sample, BFS truncated at a declared depth — the
+  * estimator of Eppstein–Wang shaped like the engine's other iterative
+  * graph operators: per layer one co-partitioned join of the frontier
+  * into the src-pinned edge copy; the seed count is constant in the
+  * corpus, so total work is O(seeds · reachable-within-depth).
+  *
+  * Determinism: distances are exact BFS layers (first-reach anti-join);
+  * each (seed, v) at distance l contributes the INTEGER `1e6 div l`, so
+  * h_ppm is an exact integer sum — no doubles anywhere. The oracle
+  * replays the identical unrolled layer recurrence.
+  */
+object Closeness {
+
+  /** One centrality unit = 1e-6 (ppm). */
+  val Ppm = 1000000L
+
+  /** (node_id, h_ppm) for every node within `depth` of a seed (the
+    * seed's own distance-0 row is excluded — 1/0 is not a term). */
+  def harmonic(edges: DataFrame, seeds: Seq[Long], depth: Int): DataFrame = {
+    require(depth >= 1, s"closeness needs depth >= 1, got $depth")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    if (seeds.isEmpty)
+      return e.limit(0).select(col("src").as("node_id"),
+        lit(0L).as("h_ppm"))
+    val eS = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    import spark.implicits._
+    var pinned = List.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      pinned ::= p
+      p
+    }
+    val f0 = pin(seeds.toDF("seed").select(col("seed"),
+      col("seed").as("node")))
+    var layers = Vector(f0)
+    var visited = f0
+    for (_ <- 1 to depth) {
+      val layer = layers.last.join(eS, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("nxt"))
+        .join(visited.withColumnRenamed("node", "nxt"),
+          Seq("seed", "nxt"), "left_anti")
+        .select(col("seed"), col("nxt").as("node")).distinct()
+      val p = pin(layer)
+      layers :+= p
+      visited = pin(visited.unionByName(p))
+    }
+    val contrib = (1 to depth).map { l =>
+      layers(l).select(col("node"), lit(Ppm / l).as("c"))
+    }.reduce(_ unionByName _)
+    val h = contrib.groupBy("node").agg(sum("c").as("h_ppm"))
+      .select(col("node").as("node_id"), col("h_ppm"))
+    val frozen = graft.core.Freeze(h)
+    eS.unpersist(blocking = false)
+    pinned.foreach(_.unpersist(blocking = false))
+    frozen
+  }
+}

@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Anomaly, Betweenness, Bfs, Funnel, FuzzyJoin,
-  GapFill, Hits, Incremental, KMeans, LabelProp, LinkPred, Packing,
-  PageRank, Sessionize, Triangles}
+import graft.operators.{Anomaly, Betweenness, Bfs, Closeness, Funnel,
+  FuzzyJoin, GapFill, Hits, Incremental, KMeans, LabelProp, LinkPred,
+  Packing, PageRank, Sessionize, Triangles}
 
 /** Event-pipeline and graph analytics: ordered funnels, time-range rolling
   * windows, exact-integer z-score outliers, calendar gap-fill, LLM sequence
@@ -1853,6 +1853,54 @@ object AnalyticsQueries {
            |GROUP BY node""".stripMargin
       },
       "approx betweenness: 12-seed Brandes sample, depth-3 ppm dependency fixpoint"),
+
+    // Sampled harmonic centrality — the closeness member of the
+    // centrality family (degree / PageRank / PPR / HITS / betweenness /
+    // closeness): h(v) = Σ_seeds 1e6 div d(s,v), exact BFS layers from
+    // the SAME declared 12-seed sample and depth as betweenness, pure
+    // integer arithmetic (no doubles anywhere — the layer distance is
+    // the only denominator and it's a literal).
+    Q("q_graph_closeness",
+      (s, d) => {
+        val bm = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+        val ed = bm.union(bm.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val seeds = ed.select(col("src")).distinct()
+          .filter(col("src") % BtwSeedMod === 0)
+          .orderBy(col("src")).limit(BtwSeedCount)
+          .collect().map(_.getLong(0)).toSeq
+        Closeness.harmonic(ed, seeds, BtwDepth)
+      },
+      Some {
+        val fwd = (1 to BtwDepth).map { l =>
+          s"""f$l AS (SELECT DISTINCT f.seed, e.dst AS node
+             |FROM f${l - 1} f JOIN e ON f.node = e.src
+             |WHERE NOT EXISTS (SELECT 1 FROM v${l - 1} v
+             |                  WHERE v.seed = f.seed AND v.node = e.dst)),
+             |v$l AS (SELECT seed, node FROM v${l - 1}
+             |        UNION ALL SELECT seed, node FROM f$l)""".stripMargin
+        }.mkString(",\n")
+        val contrib = (1 to BtwDepth)
+          .map(l => s"SELECT node, ${Closeness.Ppm / l} AS c FROM f$l")
+          .mkString(" UNION ALL ")
+        s"""WITH b AS (SELECT DISTINCT l_orderkey * 2 AS src,
+           |             l_partkey * 2 + 1 AS dst FROM lineitem),
+           |e AS (SELECT src, dst FROM b
+           |      UNION SELECT dst AS src, src AS dst FROM b),
+           |seeds AS (SELECT src AS seed
+           |          FROM (SELECT DISTINCT src FROM e)
+           |          WHERE src % $BtwSeedMod = 0
+           |          ORDER BY src LIMIT $BtwSeedCount),
+           |f0 AS (SELECT seed, seed AS node FROM seeds),
+           |v0 AS (SELECT seed, node FROM f0),
+           |$fwd
+           |SELECT node AS node_id, CAST(sum(c) AS BIGINT) AS h_ppm
+           |FROM ($contrib)
+           |GROUP BY node""".stripMargin
+      },
+      "sampled harmonic closeness: 12-seed truncated-BFS 1e6 div dist sums"),
 
     // HITS hubs & authorities over the DIRECTED order→part graph — the
     // link-analysis complement to PageRank (authorities weight endorsed

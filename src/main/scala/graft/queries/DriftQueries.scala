@@ -420,6 +420,80 @@ object DriftQueries {
            |  CAST((nr - 1) * (nc - 1) AS INT) AS df,
            |  CAST(sum(t) AS BIGINT) AS chi2_micro
            |FROM cells GROUP BY nn, nr, nc""".stripMargin),
-      "chi-square slice-homogeneity over hash-bucketed terms (fixed-point cell terms)")
+      "chi-square slice-homogeneity over hash-bucketed terms (fixed-point cell terms)"),
+
+    // Population Stability Index — the industry-standard drift score a
+    // model monitor publishes next to KL/JS/KS: Σ_bins (q−p)·ln(q/p)
+    // over B=10 fixed-width bins of the REFERENCE snapshot's value
+    // range (doc-parity snapshot convention, as q_drift_snapshot).
+    // Binning is exact integer (reference min/max are one broadcast
+    // row; out-of-range current values clamp into the end bins), each
+    // side gets +0.5/bin additive smoothing so every log is finite, and
+    // the 10 bins PIVOT into one aggregate row so the PSI sum is a
+    // single written-order double chain (the q_ts_seasonality
+    // discipline — a cross-row double SUM would be reduction-order-
+    // sensitive across engines).
+    Q("q_drift_psi",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            (col("event_id") % 2 === 0).as("prev"))
+        val rng = ev.filter(col("prev"))
+          .agg(min("c").as("mn"), max("c").as("mx"))
+        val binned = ev.crossJoin(broadcast(rng))
+          .select(col("prev"),
+            least(greatest(expr("((c - mn) * 10) div (mx - mn + 1)"),
+              lit(0L)), lit(9L)).as("bin"))
+        val aggs = (0 until 10).flatMap { i => Seq(
+          sum(when(col("prev") && col("bin") === i, 1L).otherwise(0L))
+            .as(s"a$i"),
+          sum(when(!col("prev") && col("bin") === i, 1L).otherwise(0L))
+            .as(s"b$i")) } ++ Seq(
+          sum(when(col("prev"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("prev"), 1L).otherwise(0L)).as("nb"))
+        val g = binned.agg(aggs.head, aggs.tail: _*)
+        val terms = (0 until 10).map { i =>
+          val p = (col(s"a$i").cast("double") + lit(0.5)) /
+            (col("na").cast("double") + lit(5.0))
+          val q = (col(s"b$i").cast("double") + lit(0.5)) /
+            (col("nb").cast("double") + lit(5.0))
+          (q - p) * log(q / p)
+        }.reduce(_ + _)
+        g.select(col("na").as("n_prev"), col("nb").as("n_curr"),
+          round(terms, 6).as("psi6"))
+      },
+      Some {
+        val sums = (0 until 10).map { i =>
+          s"""CAST(sum(CASE WHEN prev AND bin = $i THEN 1 ELSE 0 END)
+             |  AS BIGINT) AS a$i,
+             |CAST(sum(CASE WHEN NOT prev AND bin = $i THEN 1 ELSE 0 END)
+             |  AS BIGINT) AS b$i""".stripMargin
+        }.mkString(",\n")
+        val terms = (0 until 10).map { i =>
+          s"""((CAST(b$i AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0)
+             | - (CAST(a$i AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0))
+             | * ln(((CAST(b$i AS DOUBLE) + 0.5)
+             |        / (CAST(nb AS DOUBLE) + 5.0))
+             |      / ((CAST(a$i AS DOUBLE) + 0.5)
+             |         / (CAST(na AS DOUBLE) + 5.0)))""".stripMargin
+        }.mkString("(", "\n + ", ")")
+        s"""WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+           |              event_id % 2 = 0 AS prev FROM events),
+           |rng AS (SELECT min(c) AS mn, max(c) AS mx FROM ev WHERE prev),
+           |bnd AS (SELECT prev,
+           |          least(greatest(((c - mn) * 10) // (mx - mn + 1), 0),
+           |                9) AS bin
+           |        FROM ev CROSS JOIN rng),
+           |g AS (SELECT
+           |$sums,
+           |  CAST(sum(CASE WHEN prev THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |  CAST(sum(CASE WHEN NOT prev THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS nb
+           |FROM bnd)
+           |SELECT na AS n_prev, nb AS n_curr,
+           |  round($terms, 6) AS psi6
+           |FROM g""".stripMargin
+      },
+      "PSI drift over 10 reference-range bins (pivoted one-row double chain)")
   )
 }

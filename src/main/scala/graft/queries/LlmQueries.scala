@@ -1608,6 +1608,111 @@ object LlmQueries {
            |GROUP BY doc_id""".stripMargin),
       "duplicated-sentence fraction per doc (sentence-level corpus dedup signal)"),
 
+    // Sentence-level decontamination report: corpus docs sharing a
+    // whole sentence with any benchmark doc (doc_id < 10, the decontam
+    // convention) — the sentence-grain sibling of the span-hash
+    // decontam family, built on the new splitter. The benchmark
+    // sentence set is a BOUNDED artifact (the benchmark suite doesn't
+    // grow with the corpus), so the probe is one broadcast left-join
+    // over the exploded corpus sentences — linear at 100 TB. Only
+    // contaminated docs are reported (the actionable removal list).
+    Q("q_decontam_sentences",
+      (s, d) => {
+        def punct(c: org.apache.spark.sql.Column) =
+          concat_ws(" ", transform(TextFunctions.tokens(c),
+            tk => when(length(tk) >= 6, concat(tk, lit("."))).otherwise(tk)))
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(col("doc_id") < 10)
+          .select(explode_outer(
+            TextFunctions.sentences(punct(col("text")))).as("sent"))
+          .filter(col("sent").isNotNull)
+          .distinct().withColumn("hit", lit(1))
+        val corpus = docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode_outer(
+            TextFunctions.sentences(punct(col("text")))).as("sent"))
+          .filter(col("sent").isNotNull)
+        corpus.join(broadcast(bench), Seq("sent"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sent"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contam"))
+          .filter(col("n_contam") > 0)
+          .select(col("doc_id"), col("n_sent"), col("n_contam"),
+            expr("(n_contam * 1000000) div n_sent").as("contam_ppm"))
+      },
+      Some(s"""WITH p AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_transform(${duckTokens("text")}, t ->
+           |      CASE WHEN length(t) >= 6 THEN t || '.' ELSE t END), ' ')
+           |      AS ptext
+           |  FROM documents),
+           |sents AS (
+           |  SELECT doc_id, unnest(list_filter(list_transform(
+           |    string_split(regexp_replace(ptext, '([.!?]+)(\\s+|$$)',
+           |                 '\\1' || chr(1), 'g'), chr(1)),
+           |    x -> trim(x)), x -> x <> '')) AS sent
+           |  FROM p),
+           |bench AS (SELECT DISTINCT sent FROM sents WHERE doc_id < 10)
+           |SELECT doc_id, count(*) AS n_sent,
+           |  CAST(sum(CASE WHEN b.sent IS NOT NULL THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_contam,
+           |  CAST((CAST(sum(CASE WHEN b.sent IS NOT NULL THEN 1 ELSE 0
+           |                 END) AS BIGINT) * 1000000) // count(*)
+           |       AS BIGINT) AS contam_ppm
+           |FROM (SELECT doc_id, sent FROM sents WHERE doc_id >= 10) c
+           |  LEFT JOIN bench b ON c.sent = b.sent
+           |GROUP BY doc_id
+           |HAVING sum(CASE WHEN b.sent IS NOT NULL THEN 1 ELSE 0 END) > 0""".stripMargin),
+      "sentence-grain decontam report vs the benchmark docs (broadcast sentence-set probe)"),
+
+    // Character-entropy quality signal: Shannon entropy (nats) of each
+    // document's character distribution over the FIXED 36-symbol
+    // alphabet [a-z0-9] — the cheap gibberish/boilerplate detector
+    // (uniform-random junk scores near ln 36, template spam scores
+    // low). The fixed alphabet pivots the histogram into 36 per-row
+    // counts (length-difference counting, codegen'd — no explode, no
+    // shuffle), so the entropy is a single written-order double chain
+    // per row: exactly reproducible cross-engine, the q_ts_seasonality
+    // pivot discipline at row grain. Docs with no alphabet chars yield
+    // NULL on both engines.
+    Q("q_text_entropy",
+      (s, d) => {
+        val alphabet = ('a' to 'z') ++ ('0' to '9')
+        val cnts = alphabet.zipWithIndex.map { case (ch, i) =>
+          expr(s"length(text) - length(replace(text, '$ch', ''))")
+            .cast("long").as(s"c$i") }
+        val df = t(s, d, "documents")
+          .select(col("doc_id") +: cnts: _*)
+          .withColumn("n_alpha",
+            alphabet.indices.map(i => col(s"c$i")).reduce(_ + _))
+        val h = alphabet.indices.map { i =>
+          when(col(s"c$i") > 0,
+            (col(s"c$i").cast("double") / col("n_alpha"))
+              * log(col(s"c$i").cast("double") / col("n_alpha")))
+            .otherwise(lit(0.0))
+        }.reduce(_ + _)
+        df.select(col("doc_id"), col("n_alpha"),
+          round(when(col("n_alpha") > 0, -h), 6).as("ent6"))
+      },
+      Some {
+        val alphabet = ('a' to 'z') ++ ('0' to '9')
+        val cs = alphabet.zipWithIndex.map { case (ch, i) =>
+          s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS c$i"
+        }.mkString(",\n  ")
+        val n = alphabet.indices.map(i => s"c$i").mkString(" + ")
+        val h = alphabet.indices.map { i =>
+          s"""CASE WHEN c$i > 0 THEN (CAST(c$i AS DOUBLE) / n_alpha)
+             | * ln(CAST(c$i AS DOUBLE) / n_alpha) ELSE 0.0 END""".stripMargin
+        }.mkString("(", "\n + ", ")")
+        s"""WITH c AS (SELECT doc_id,
+           |  $cs
+           |  FROM documents),
+           |nn AS (SELECT *, $n AS n_alpha FROM c)
+           |SELECT doc_id, CAST(n_alpha AS BIGINT) AS n_alpha,
+           |  round(CASE WHEN n_alpha > 0 THEN -$h END, 6) AS ent6
+           |FROM nn""".stripMargin
+      },
+      "per-doc character entropy over the fixed [a-z0-9] alphabet (gibberish gate)"),
+
     // Flesch reading-ease — the classic readability quality gate, with
     // the standard vowel-run syllable heuristic clamped to ≥1 per word
     // (so vowel-less tokens — numbers, initialisms — count one
