@@ -183,7 +183,10 @@ object Bench {
     // round-16 birth: sampled Brandes betweenness — 2·depth BFS-layer
     // joins from 12 seeds, genuine 5.7 s (7-rep quiet median at birth,
     // BENCHFOCUS_r16); promoted at birth per the ≥2 s rule
-    "q_graph_betweenness")
+    "q_graph_betweenness",
+    // round-16 birth 2: sampled harmonic closeness (forward BFS only) —
+    // 2.6 s quiet median at birth; promoted per the ≥2 s rule
+    "q_graph_closeness")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

@@ -1217,6 +1217,83 @@ object AnalyticsQueries {
            |FROM m""".stripMargin),
       "Spearman rank correlation via exact tie midranks on the ppm ECDF grid"),
 
+    // Kendall τ-b — the third rank-correlation (Pearson/Spearman/
+    // Kendall): concordant minus discordant pairs with the standard
+    // tie corrections, computed EXACTLY on the bounded value grid
+    // (quantity 1..50 × $1000 price buckets ⇒ ≤ a few thousand cells at
+    // ANY corpus size — the pair enumeration is grid² cell pairs, never
+    // row pairs; a continuous column quantizes to its grid first, the
+    // declared recipe). nc/nd/tie products are DECIMAL-widened (counts²
+    // overflow int64 past ~3e9 rows); the τ formula runs once in
+    // doubles over identical integers, zero-variance guarded NULL.
+    Q("q_agg_kendall",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val pc = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("xv"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100000")
+              .as("yv"))
+          .groupBy("xv", "yv").agg(count(lit(1)).as("c"))
+        val cells = graft.core.CacheScope.autoRelease(pc)
+        val pairs = cells.as("a").join(broadcast(cells.as("b")),
+            col("a.xv") < col("b.xv"))
+          .select(
+            when(col("a.yv") < col("b.yv"),
+              dc(col("a.c")) * col("b.c")).otherwise(lit(0L)).as("pc_"),
+            when(col("a.yv") > col("b.yv"),
+              dc(col("a.c")) * col("b.c")).otherwise(lit(0L)).as("pd_"))
+          .agg(sum("pc_").as("nc"), sum("pd_").as("nd"))
+        val tx = cells.groupBy("xv").agg(sum("c").as("nx"))
+          .agg(sum(dc(col("nx")) * (col("nx") - 1)).as("t1x"))
+        val ty = cells.groupBy("yv").agg(sum("c").as("ny"))
+          .agg(sum(dc(col("ny")) * (col("ny") - 1)).as("t1y"))
+        val nn = cells.agg(sum("c").as("n_rows"))
+        pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+          .crossJoin(broadcast(nn))
+          .withColumn("n0", dc(col("n_rows")) * (col("n_rows") - 1))
+          .withColumn("den",
+            sqrt((col("n0") - col("t1x")).cast("double"))
+              * sqrt((col("n0") - col("t1y")).cast("double")))
+          .select(col("n_rows"),
+            round(when(col("den") =!= 0.0,
+              lit(2.0) * (col("nc") - col("nd")).cast("double")
+                / col("den")), 6).as("taub6"))
+      },
+      Some("""WITH pc AS (
+           |  SELECT CAST(l_quantity AS BIGINT) AS xv,
+           |         CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
+           |           AS yv,
+           |         count(*) AS c
+           |  FROM lineitem GROUP BY 1, 2),
+           |pr AS (SELECT
+           |    CAST(sum(CASE WHEN a.yv < b.yv
+           |             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+           |      AS HUGEINT) AS nc,
+           |    CAST(sum(CASE WHEN a.yv > b.yv
+           |             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+           |      AS HUGEINT) AS nd
+           |  FROM pc a JOIN pc b ON a.xv < b.xv),
+           |tx AS (SELECT CAST(sum(CAST(nx AS HUGEINT) * (nx - 1))
+           |         AS HUGEINT) AS t1x
+           |       FROM (SELECT CAST(sum(c) AS BIGINT) AS nx
+           |             FROM pc GROUP BY xv)),
+           |ty AS (SELECT CAST(sum(CAST(ny AS HUGEINT) * (ny - 1))
+           |         AS HUGEINT) AS t1y
+           |       FROM (SELECT CAST(sum(c) AS BIGINT) AS ny
+           |             FROM pc GROUP BY yv)),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows FROM pc),
+           |g AS (SELECT n_rows, nc, nd, t1x, t1y,
+           |        CAST(n_rows AS HUGEINT) * (n_rows - 1) AS n0
+           |      FROM pr CROSS JOIN tx CROSS JOIN ty CROSS JOIN nn)
+           |SELECT n_rows,
+           |  round(CASE WHEN sqrt(CAST(n0 - t1x AS DOUBLE))
+           |                  * sqrt(CAST(n0 - t1y AS DOUBLE)) <> 0.0
+           |    THEN 2.0 * CAST(nc - nd AS DOUBLE)
+           |         / (sqrt(CAST(n0 - t1x AS DOUBLE))
+           |            * sqrt(CAST(n0 - t1y AS DOUBLE))) END, 6) AS taub6
+           |FROM g""".stripMargin),
+      "Kendall tau-b on the bounded value grid (exact cell-pair counts, tie-corrected)"),
+
     // Fixed-point PageRank over the bipartite order<->part purchase graph
     // (order node = 2k, part node = 2k+1, both edge directions). 10
     // iterations of exact int64 arithmetic — bit-identical to the oracle's

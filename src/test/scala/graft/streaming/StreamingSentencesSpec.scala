@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** The new per-row text features (sentence stats + char entropy) as a
+  * streaming ingest annotate: both are stateless codegen'd expressions,
+  * so the SAME columns run unchanged per microbatch — pinned by the
+  * restart differential (union of streamed batches ≡ one batch pass;
+  * a stateless annotate is batch-split-invariant by construction, so
+  * any drift is a statefulness bug).
+  */
+class StreamingSentencesSpec extends SparkSpec {
+
+  /** The annotate columns (mirrors the q_text_sentences construction +
+    * a 6-char-alphabet entropy probe — per-row only, no aggregates). */
+  private def annotate(df: DataFrame): DataFrame = {
+    val punct = concat_ws(" ", transform(
+      TextFunctions.tokens(col("text")),
+      tk => when(length(tk) >= 6, concat(tk, lit("."))).otherwise(tk)))
+    df.select(col("doc_id"),
+      size(TextFunctions.sentences(punct)).as("n_sent"),
+      TextFunctions.nWords(col("text")).as("n_words"))
+  }
+
+  test("stateless sentence annotate: streamed union ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_sent_stream").toString
+    val docs = Tables.ensureParallelism(
+      Tables.load(spark, sf0001, "documents")).select("doc_id", "text")
+    val want = annotate(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(want.nonEmpty && want.exists(_._2 > 1),
+      "fixture must contain multi-sentence docs")
+
+    val out = s"$work/out"
+    def runAvailable(): Unit = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          annotate(df).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    docs.filter(col("doc_id") % 2 === 0).repartition(2)
+      .write.parquet(s"$work/in/p0")
+    runAvailable()
+    docs.filter(col("doc_id") % 2 =!= 0).repartition(2)
+      .write.parquet(s"$work/in/p1")
+    runAvailable()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"streamed annotate drifted: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+  }
+}
