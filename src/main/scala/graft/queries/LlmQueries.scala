@@ -1664,6 +1664,38 @@ object LlmQueries {
            |HAVING sum(CASE WHEN b.sent IS NOT NULL THEN 1 ELSE 0 END) > 0""".stripMargin),
       "sentence-grain decontam report vs the benchmark docs (broadcast sentence-set probe)"),
 
+    // N-gram repetition / lexical-diversity features — the FineWeb
+    // "fraction of duplicated n-grams" filter plus the type-token
+    // ratio: per-row HOF arithmetic only (shingle → distinct → size),
+    // exact integer ppm, no explode, no shuffle — embarrassingly
+    // parallel at any corpus size.
+    Q("q_text_diversity",
+      (s, d) => {
+        val sh3 = TextFunctions.shingles(col("text"), 3)
+        val toks = TextFunctions.tokens(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(sh3).as("n3"), size(array_distinct(sh3)).as("d3"),
+            size(toks).as("nw"), size(array_distinct(toks)).as("dw"))
+          .select(col("doc_id"), col("n3"),
+            when(col("n3") > 0, expr(
+              "(CAST(n3 - d3 AS BIGINT) * 1000000) div n3"))
+              .as("dup3_ppm"),
+            when(col("nw") > 0, expr(
+              "(CAST(dw AS BIGINT) * 1000000) div nw")).as("ttr_ppm"))
+      },
+      Some(s"""SELECT doc_id, CAST(len(s3) AS INT) AS n3,
+           |  CASE WHEN len(s3) > 0 THEN
+           |    CAST((CAST(len(s3) - len(list_distinct(s3)) AS BIGINT)
+           |          * 1000000) // len(s3) AS BIGINT) END AS dup3_ppm,
+           |  CASE WHEN len(ts) > 0 THEN
+           |    CAST((CAST(len(list_distinct(ts)) AS BIGINT) * 1000000)
+           |         // len(ts) AS BIGINT) END AS ttr_ppm
+           |FROM (SELECT doc_id, ${duckTokens("text")} AS ts,
+           |        ${duckShingles(duckTokens("text"), 3)} AS s3
+           |      FROM documents)""".stripMargin),
+      "per-doc duplicated-trigram fraction + type-token ratio (FineWeb repetition filters)"),
+
     // Character-entropy quality signal: Shannon entropy (nats) of each
     // document's character distribution over the FIXED 36-symbol
     // alphabet [a-z0-9] — the cheap gibberish/boilerplate detector

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming form of the PSI monitor (q_drift_psi's production
+  * topology): the frozen artifact is the reference snapshot's one-row
+  * bin table (range + 10 bin counts + total); each incoming microbatch
+  * is binned with the frozen range and scored statelessly — one PSI per
+  * batch, the q_drift_psi formula with the batch as the "current" side.
+  * Pinned: per-batch PSI ≡ the batch-mode recomputation on exactly that
+  * batch's events, across a restart; a reference-drawn batch scores
+  * near zero and a shifted batch scores high.
+  */
+class StreamingPsiSpec extends SparkSpec {
+
+  private val cents = expr("CAST(round(value * 100) AS BIGINT)")
+
+  private def psiAgainst(batch: DataFrame, ref: DataFrame): DataFrame = {
+    val binned = batch.select(cents.as("c")).crossJoin(broadcast(ref))
+      .withColumn("bin",
+        least(greatest(expr("((c - mn) * 10) div (mx - mn + 1)"),
+          lit(0L)), lit(9L)))
+    val aggs = (0 until 10).map { i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"b$i")
+    } :+ count(lit(1)).as("nb")
+    val g = binned.groupBy((0 until 10).map(i => col(s"a$i")) :+
+        col("na"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val terms = (0 until 10).map { i =>
+      val p = (col(s"a$i").cast("double") + lit(0.5)) /
+        (col("na").cast("double") + lit(5.0))
+      val q = (col(s"b$i").cast("double") + lit(0.5)) /
+        (col("nb").cast("double") + lit(5.0))
+      (q - p) * log(q / p)
+    }.reduce(_ + _)
+    g.select(col("na").as("n_ref"), col("nb").as("n_batch"),
+      round(terms, 6).as("psi6"))
+  }
+
+  test("per-microbatch PSI vs frozen reference bins ≡ batch + detects shift") {
+    val work = Files.createTempDirectory("graft_psi_stream").toString
+    val events = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("value"))
+
+    // PUBLISH once: the reference one-row bin artifact (range + counts)
+    val refRows = events.filter(col("event_id") % 2 === 0)
+      .select(cents.as("c"))
+    val rng = refRows.agg(min("c").as("mn"), max("c").as("mx"))
+    val refBinned = refRows.crossJoin(broadcast(rng))
+      .withColumn("bin",
+        least(greatest(expr("((c - mn) * 10) div (mx - mn + 1)"),
+          lit(0L)), lit(9L)))
+    val refAggs = (0 until 10).map { i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"a$i")
+    } :+ count(lit(1)).as("na")
+    refBinned.groupBy("mn", "mx").agg(refAggs.head, refAggs.tail: _*)
+      .write.parquet(s"$work/ref")
+    val ref = spark.read.parquet(s"$work/ref")
+
+    // incoming: the odd-parity events plus a value-shifted batch
+    val hold = events.filter(col("event_id") % 2 =!= 0)
+    val shifted = hold.select((col("event_id") + 1000000L).as("event_id"),
+      (col("value") + lit(10000.0)).as("value"))
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("event_id").collect().map(_.getLong(0)).toSeq)
+            psiAgainst(df, ref)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.repartition(2).write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    shifted.coalesce(1).write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val all = events.unionByName(shifted)
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = psiAgainst(all.filter(col("event_id").isin(ids: _*)), ref)
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed PSI differs from batch mode")
+    }
+    // sensitivity: in-distribution batches score low; the shifted batch
+    // (all mass clamped into bin 9) scores decisively high
+    val scores = got.select("psi6").collect().map(_.getDouble(0))
+    assert(scores.min < 0.5, s"in-distribution batch scored ${scores.min}")
+    assert(scores.max > 2.0, s"shifted batch must spike PSI, got ${scores.max}")
+  }
+}
