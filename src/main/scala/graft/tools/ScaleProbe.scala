@@ -119,7 +119,7 @@ object ScaleProbe {
     df.queryExecution.executedPlan.toString.linesIterator.map { l =>
       l.dropWhile(c => " :+-*(".contains(c)).takeWhile(c =>
         c.isLetterOrDigit || c == '_')
-    }.filter(_.nonEmpty).toSeq
+    }.filter(t => t.nonEmpty && !t.forall(_.isDigit)).toSeq
 
   private def antiPatterns(p: String): Set[String] =
     Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")
