@@ -109,6 +109,33 @@ object ScaleProbe {
     part.repartition(8).write.mode("overwrite")
       .parquet(s"$workDir/part.parquet")
 
+    // Embedding copies must be DECORRELATED, not duplicated: K identical
+    // vectors would make every ANN bucket / semantic-dedup cluster hold
+    // K exact copies → K² candidate pairs, a data artifact. A per-copy
+    // CYCLIC SHIFT of the dimensions preserves norms and every
+    // within-copy distance exactly (each copy is isometric to the base
+    // set) while making cross-copy vectors look like unrelated points.
+    val emb = copies(Tables.load(spark, baseDir, "embeddings"))
+      .select(offset(col("vec_id")).as("vec_id"),
+        expr(s"""transform(sequence(0, size(embedding) - 1),
+                 i -> embedding[(i + __c) % size(embedding)])""")
+          .as("embedding"),
+        col("label"))
+    emb.repartition(8).write.mode("overwrite")
+      .parquet(s"$workDir/embeddings.parquet")
+
+    // Remaining tables ride along VERBATIM so every registry query can
+    // run against the workDir (region/nation are fixed enums that don't
+    // grow in reality; probes over events/orders-shaped growth would
+    // extend the replication the same way documents/lineitem do).
+    Tables.names.filterNot(Set("documents", "lineitem", "part",
+        "embeddings")).foreach { t =>
+      val src = new java.io.File(s"$baseDir/$t.parquet")
+      if (src.exists())
+        Tables.load(spark, baseDir, t).write.mode("overwrite")
+          .parquet(s"$workDir/$t.parquet")
+    }
+
     java.nio.file.Files.writeString(done.toPath, s"k=$k base=$baseDir\n")
     println(s"[scaleprobe] generated $workDir (k=$k)")
   }
