@@ -186,7 +186,10 @@ object Bench {
     "q_graph_betweenness",
     // round-16 birth 2: sampled harmonic closeness (forward BFS only) —
     // 2.6 s quiet median at birth; promoted per the ≥2 s rule
-    "q_graph_closeness")
+    "q_graph_closeness",
+    // round-16 birth 3: edge-weighted PageRank (6 widened rounds) —
+    // 4.5 s quiet median at birth; promoted per the ≥2 s rule
+    "q_graph_pagerank_weighted")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

@@ -137,4 +137,54 @@ object PageRank {
     nodes.unpersist(blocking = false)
     frozen
   }
+
+  /** EDGE-WEIGHTED PageRank: mass splits proportionally to edge weight
+    * instead of uniformly over out-edges — link multiplicity (how many
+    * lineitems tie an order to a part) or any affinity score becomes
+    * rank flow. Same execution shape and exact int64 fixed point as
+    * [[ranks]], with the recurrence
+    *   r_k(v) = (15·Scale div 100) div N
+    *            + (85 · Σ_{u→v} ((r_{k-1}(u) · w_uv) div sw_u)) div 100
+    * where sw_u = Σ_out w. The r·w product is DECIMAL-widened before
+    * multiplying (r ≈ 1e12 fixed-point units; any realistic weight
+    * overflows int64) and `div` truncates identically on both engines.
+    * `edges` columns: src, dst, w (positive integral); duplicate
+    * (src, dst) rows collapse by summing w. */
+  def ranksWeighted(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val sw = e.groupBy("src").agg(sum("w").as("sw"))
+    val edgesD = e.join(sw, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nn = nodes.count()
+    if (nn == 0) {
+      edgesD.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      return nodes.select(col("id"), lit(0L).as("r"))
+    }
+    val baseConst = 15L * Scale / 100
+
+    var ranks = nodes.select(col("id"), lit(Scale / nn).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesD
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          expr("CAST(r AS DECIMAL(38,0)) * w div sw").as("c"))
+        .groupBy("dst").agg(sum("c").cast("long").as("s"))
+      val stepped = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(baseConst / nn) +
+            expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
+      ranks = stepped.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
+    }
+    val frozen = graft.core.Freeze(ranks)
+    edgesD.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    frozen
+  }
 }

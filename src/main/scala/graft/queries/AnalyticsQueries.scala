@@ -29,6 +29,7 @@ object AnalyticsQueries {
   private val PackBudget = 512
   private val FuzzyMaxDist = 2
   private val PrIters = 10
+  private val WPrIters = 6
   /** Personalized-PageRank seed predicate: order nodes whose orderkey is
     * a multiple of this (≈1% of order nodes — a sparse trusted set). */
   private val PprSeedMod = 97
@@ -1310,6 +1311,56 @@ object AnalyticsQueries {
       Some(s"""WITH ${duckPageRankCtes(PrIters)}
                SELECT id AS node_id, r AS r_fp FROM r$PrIters"""),
       "fixed-point PageRank over the order-part graph (exact int64 recurrence)"),
+
+    // EDGE-WEIGHTED PageRank: rank mass splits proportionally to link
+    // multiplicity (lineitem count per order-part pair) instead of
+    // uniformly — the variant a dedup/quality pipeline uses when link
+    // strength matters (domain co-citation counts, click weights). Same
+    // co-partitioned round shape as q_graph_pagerank; the r·w product
+    // is DECIMAL/HUGEINT-widened (r ≈ 1e12 units · weight overflows
+    // int64), `div` truncates identically, and the declared round count
+    // is 6 (operators/PageRank.ranksWeighted).
+    Q("q_graph_pagerank_weighted",
+      (s, d) => {
+        val b = t(s, d, "lineitem")
+          .groupBy((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val e = b.unionByName(b.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+        PageRank.ranksWeighted(e, WPrIters)
+          .select(col("id").as("node_id"), col("r").as("r_fp"))
+      },
+      Some {
+        val steps = (1 to WPrIters).map { k =>
+          s"""r$k AS (SELECT n.id,
+             |  (${15L * PageRank.Scale / 100} // nn.nn) +
+             |  ((85 * coalesce(c.s, 0)) // 100) AS r
+             |FROM nodes n CROSS JOIN nn
+             |LEFT JOIN (SELECT ed.dst,
+             |             CAST(sum((CAST(p.r AS HUGEINT) * ed.w) // ed.sw)
+             |               AS BIGINT) AS s
+             |           FROM ed JOIN r${k - 1} p ON ed.src = p.id
+             |           GROUP BY ed.dst) c ON n.id = c.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS (SELECT l_orderkey * 2 AS src,
+           |             l_partkey * 2 + 1 AS dst,
+           |             CAST(count(*) AS BIGINT) AS w
+           |           FROM lineitem GROUP BY 1, 2),
+           |e AS (SELECT src, dst, w FROM b
+           |      UNION ALL SELECT dst, src, w FROM b),
+           |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw
+           |       FROM e GROUP BY src),
+           |ed AS (SELECT e.src, e.dst, e.w, sw.sw
+           |       FROM e JOIN sw USING (src)),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |nn AS (SELECT count(*) AS nn FROM nodes),
+           |r0 AS (SELECT id, ${PageRank.Scale} // nn.nn AS r
+           |       FROM nodes CROSS JOIN nn),
+           |$steps
+           |SELECT id AS node_id, r AS r_fp FROM r$WPrIters""".stripMargin
+      },
+      "edge-weighted PageRank (proportional mass split, widened exact fixed point)"),
 
     // PERSONALIZED PageRank: restart mass on a seed set (every ~97th
     // order node) — importance relative to trusted documents (TrustRank

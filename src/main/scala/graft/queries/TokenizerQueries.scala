@@ -437,7 +437,79 @@ object TokenizerQueries {
            |       round(CAST(sum(b.n_pieces) AS DOUBLE) / count(*), 6)
            |         AS fertility6
            |FROM tokl JOIN best b USING (w) GROUP BY lang""".stripMargin),
-      "per-language unigram fertility (pieces per word, comparable to the BPE report)"))
+      "per-language unigram fertility (pieces per word, comparable to the BPE report)"),
+
+    // Unigram-vocab COVERAGE holes — the q_text_bpe_coverage sibling
+    // for the second tokenizer: the fraction of (≤ MaxRounds-char) word
+    // occurrences the frozen piece vocabulary CANNOT segment at all (no
+    // complete Viterbi path ⇒ the whole word byte-falls-back — unigram
+    // OOV is per-WORD, unlike BPE's per-symbol fallback). The
+    // deterministic case shift supplies the unseen symbols, applied
+    // only to words ≥ 6 chars (shifting every word would make the rate
+    // a constant 100%: ONE unknown char kills the whole path); shorter
+    // words stay in-vocabulary, so the per-language rate is the
+    // informative mix. Segmentability is decided on the DISTINCT-word
+    // table (the tokenizer family's bounded artifact) and joined back
+    // to per-language occurrence counts. The oracle decides
+    // reachability with a recursive position CTE — equivalent to the
+    // bounded Spark enumeration because a ≤ MaxRounds-char word needs
+    // at most MaxRounds pieces.
+    Q("q_text_unigram_coverage",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val wc = Unigram.wordCounts(docs, "text")
+        val vlp = Unigram.vocabLp(Unigram.vocab(wc))
+        val cased = expr("""concat_ws(' ', transform(
+          filter(split(text, '\\s+'), t -> t <> ''),
+          w -> if(length(w) >= 6,
+                  concat(upper(substr(w, 1, 1)), substr(w, 2)), w)))""")
+        val lw = docs.select(col("lang"),
+            explode_outer(graft.functions.TextFunctions.tokens(cased))
+              .as("w"))
+          .filter(col("w").isNotNull &&
+            length(col("w")) <= Unigram.MaxRounds)
+          .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        val cwc = lw.groupBy("w").agg(sum("c").as("c"))
+        val seg = Unigram.encodeWords(cwc, vlp)
+          .select(col("w")).withColumn("okk", lit(1))
+        lw.join(seg, Seq("w"), "left")
+          .groupBy("lang")
+          .agg(sum("c").as("n_tok"),
+            sum(when(col("okk").isNull, col("c")).otherwise(0L))
+              .as("n_oov"))
+          .select(col("lang"), col("n_tok"), col("n_oov"),
+            expr("(n_oov * 1000000) div n_tok").as("oov_ppm"))
+      },
+      Some(s"""WITH RECURSIVE $duckUnigramCtes,
+           |casedw AS (
+           |  SELECT lang, w, count(*) AS c FROM (
+           |    SELECT lang, unnest(list_transform(
+           |      ${LlmQueries.duckTokens("text")},
+           |      w2 -> CASE WHEN length(w2) >= 6
+           |              THEN upper(substr(w2, 1, 1)) || substr(w2, 2)
+           |              ELSE w2 END)) AS w
+           |    FROM documents)
+           |  WHERE length(w) <= ${Unigram.MaxRounds}
+           |  GROUP BY lang, w),
+           |reach(w, pos) AS (
+           |  SELECT DISTINCT w, CAST(0 AS BIGINT) FROM casedw
+           |  UNION
+           |  SELECT r.w, r.pos + len(v.piece)
+           |  FROM reach r JOIN vocab v
+           |    ON r.pos < len(r.w)
+           |   AND len(v.piece) <= len(r.w) - r.pos
+           |   AND v.piece = substr(r.w, CAST(r.pos + 1 AS INT),
+           |                        CAST(len(v.piece) AS INT))),
+           |seg AS (SELECT DISTINCT w FROM reach WHERE pos = len(w))
+           |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok,
+           |  CAST(sum(CASE WHEN s.w IS NULL THEN c ELSE 0 END)
+           |       AS BIGINT) AS n_oov,
+           |  CAST((CAST(sum(CASE WHEN s.w IS NULL THEN c ELSE 0 END)
+           |             AS BIGINT) * 1000000) // sum(c) AS BIGINT)
+           |    AS oov_ppm
+           |FROM casedw cw LEFT JOIN seg s ON cw.w = s.w
+           |GROUP BY lang""".stripMargin),
+      "held-out OOV rate of the frozen unigram vocab per language (no-path words)"))
 
   /** Word counts → candidate substrings → vocabulary (singles + top
     * multi) → total, as DuckDB CTEs (toks/wc/s1/s2/cand/vocab/tv) — the
