@@ -596,4 +596,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_text_sentence_dedup: hash-agg equi-join shape, no pair enumeration, no global window") {
+    val p = plan("q_text_sentence_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_text_bpe_coverage probes the bounded vocab via broadcast — corpus never shuffles by symbol twice") {
+    val p = plan("q_text_bpe_coverage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_decontam_sentences probes the bounded benchmark sentence set via broadcast") {
+    val p = plan("q_decontam_sentences")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_agg_kendall enumerates GRID cell pairs only — the NLJ is the declared bounded broadcast") {
+    val p = plan("q_agg_kendall")
+    // the inequality join over the O(grid) cell table IS a broadcast
+    // NLJ by design; the corpus side must reduce to the grid first
+    // (the one-row final aggregate's SinglePartition is fine — it
+    // reduces O(grid) rows, not the corpus)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_eval_gains_sliced windows are slice-keyed — no single-partition sort") {
+    val p = plan("q_eval_gains_sliced")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_drift_psi reads the corpus once against a one-row broadcast range") {
+    val p = plan("q_drift_psi")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_text_entropy and q_text_diversity are pure per-row projections — no join, no aggregate") {
+    for (n <- Seq("q_text_entropy", "q_text_diversity")) {
+      val p = plan(n)
+      // the only exchange allowed is ensureParallelism's deliberate
+      // round-robin fan-out of the single-file scan
+      assert(!p.contains("Join"), s"$n planned a join:\n$p")
+      assert(!p.contains("Aggregate"), s"$n planned an aggregate:\n$p")
+      assert(!p.contains("hashpartitioning"), s"$n planned a shuffle:\n$p")
+    }
+  }
 }
