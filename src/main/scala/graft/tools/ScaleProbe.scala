@@ -124,12 +124,44 @@ object ScaleProbe {
     emb.repartition(8).write.mode("overwrite")
       .parquet(s"$workDir/embeddings.parquet")
 
-    // Remaining tables ride along VERBATIM so every registry query can
-    // run against the workDir (region/nation are fixed enums that don't
-    // grow in reality; probes over events/orders-shaped growth would
-    // extend the replication the same way documents/lineitem do).
+    // The relational star scales too: orders/customer/supplier re-key
+    // with the SAME offset as lineitem, so every TPC-H join edge
+    // (l_orderkey→o_orderkey, o_custkey→c_custkey, l_suppkey→s_suppkey,
+    // l_partkey→p_partkey) stays copy-consistent; nation/region stay
+    // verbatim below (fixed enums — they don't grow in reality, and
+    // *_nationkey survives untouched).
+    val orders = copies(Tables.load(spark, baseDir, "orders"))
+      .select(offset(col("o_orderkey")).as("o_orderkey"),
+        offset(col("o_custkey")).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    orders.repartition(16).write.mode("overwrite")
+      .parquet(s"$workDir/orders.parquet")
+    val cust = copies(Tables.load(spark, baseDir, "customer"))
+      .select(offset(col("c_custkey")).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    cust.repartition(8).write.mode("overwrite")
+      .parquet(s"$workDir/customer.parquet")
+    val supp = copies(Tables.load(spark, baseDir, "supplier"))
+      .select(offset(col("s_suppkey")).as("s_suppkey"), col("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+    supp.repartition(4).write.mode("overwrite")
+      .parquet(s"$workDir/supplier.parquet")
+
+    // events: copy-disjoint actors and event ids; timestamps stay, so
+    // per-day/window aggregates see K× rows per bucket — exactly the
+    // 100 TB shape for the funnel/sessionize/RFM/time-series families.
+    val events = copies(Tables.load(spark, baseDir, "events"))
+      .select(offset(col("event_id")).as("event_id"), col("ts"),
+        offset(col("user_id")).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+    events.repartition(16).write.mode("overwrite")
+      .parquet(s"$workDir/events.parquet")
+
+    // Remaining tables ride along VERBATIM (region/nation: fixed enums).
     Tables.names.filterNot(Set("documents", "lineitem", "part",
-        "embeddings")).foreach { t =>
+        "embeddings", "orders", "customer", "supplier",
+        "events")).foreach { t =>
       val src = new java.io.File(s"$baseDir/$t.parquet")
       if (src.exists())
         Tables.load(spark, baseDir, t).write.mode("overwrite")
