@@ -115,7 +115,17 @@ object Unigram {
             .as("path"))
     }
     val fin = state.filter(col("pos") === length(col("w")))
-    val win = Window.partitionBy("w").orderBy(col("score").desc, col("path"))
+    // argmax at the declared 6-decimal granularity, NOT on raw doubles:
+    // two mathematically-equal paths (same piece multiset, different
+    // order) accumulate in different addition orders, and ln itself is
+    // only 1-ulp-reproducible (java's Math.log may round differently
+    // between call sites/JITs, and DuckDB's libm differs too) — a raw
+    // double tie-break flips the chosen path per engine/run. Rounding
+    // first makes such ties EXACT ties, and the path ASC tie-break is
+    // then engine-independent (found by UnigramPropertySpec's
+    // tie-heavy corpora, the q_embed_project tie-class lesson).
+    val win = Window.partitionBy("w")
+      .orderBy(round(col("score"), 6).desc, col("path"))
     fin.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
       .select(col("w"), col("c"), col("path").as("pieces"),
         size(split(col("path"), " ")).cast("int").as("n_pieces"),

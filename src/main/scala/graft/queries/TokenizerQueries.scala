@@ -380,7 +380,7 @@ object TokenizerQueries {
            |       CAST(len(string_split(path, ' ')) AS INT) AS n_pieces,
            |       round(score, 6) AS score6
            |FROM (SELECT *, row_number() OVER
-           |        (PARTITION BY w ORDER BY score DESC, path) AS rn
+           |        (PARTITION BY w ORDER BY round(score, 6) DESC, path) AS rn
            |      FROM fin)
            |WHERE rn = 1""".stripMargin),
       "unigram-LM Viterbi segmentation per word (frozen vocab, enumerated argmax)"),
@@ -427,7 +427,7 @@ object TokenizerQueries {
            |best AS (SELECT w,
            |           CAST(len(string_split(path, ' ')) AS INT) AS n_pieces
            |         FROM (SELECT *, row_number() OVER
-           |                 (PARTITION BY w ORDER BY score DESC, path) AS rn
+           |                 (PARTITION BY w ORDER BY round(score, 6) DESC, path) AS rn
            |               FROM r WHERE pos = len(w))
            |         WHERE rn = 1),
            |tokl AS (SELECT lang, unnest(${LlmQueries.duckTokens("text")})
