@@ -283,9 +283,14 @@ object TokenizerQueries {
           .select(explode(Tokenizer.symbols(
             Tokenizer.applyMerges(col("ts"), merges))).as("sym"))
           .distinct().withColumn("known", lit(1))
-        val cased = expr("""concat_ws(' ', transform(
-          filter(split(text, '\\s+'), t -> t <> ''),
-          w -> concat(upper(substr(w, 1, 1)), substr(w, 2))))""")
+        // clean BEFORE casing (the oracle's duckToks cleans first too):
+        // a control char followed by a letter would otherwise get a
+        // different first symbol per engine — casing raw text here and
+        // cleaning inside encode afterwards reorders the two steps
+        val cased = concat_ws(" ", transform(
+          filter(split(Tokenizer.cleanText(col("text")), "\\s+"),
+            t => t =!= lit("")),
+          w => concat(upper(substring(w, 1, 1)), w.substr(lit(2), length(w)))))
         // explode_outer + null filter: an inferred size(encode)>0 filter
         // would run the K-round replace chain twice per row (the
         // InferFiltersFromGenerate trap)

@@ -173,16 +173,46 @@ object ScaleProbe {
   }
 
   /** Normalized operator tree: one token per plan line, data/paths/ids
-    * stripped — equal trees ⇒ same physical strategy at both scales. */
-  def shape(df: DataFrame): Seq[String] =
-    df.queryExecution.executedPlan.toString.linesIterator.map { l =>
-      l.dropWhile(c => " :+-*(".contains(c)).takeWhile(c =>
-        c.isLetterOrDigit || c == '_')
-    }.filter(t => t.nonEmpty && !t.forall(_.isDigit)).toSeq
+    * stripped — equal trees ⇒ same physical strategy at both scales.
+    * InMemory- and Subquery-rooted subtrees are stripped WHOLE (the line and
+    * everything indented under it): artifact-adaptive rows cache
+    * intermediate frames whose materialization state differs between
+    * the base and K× constructions, and 4 of the 6 r16 DIFF flags were
+    * exactly that cache-state noise, not strategy changes. */
+  def shapeOf(raw: String): Seq[String] = {
+    def prefixLen(l: String) = {
+      val i = l.indexWhere(c => !" :+-*(".contains(c))
+      if (i < 0) Int.MaxValue else i
+    }
+    val out = scala.collection.mutable.Buffer[String]()
+    var skipDepth = -1
+    for (l <- raw.linesIterator) {
+      val d = prefixLen(l)
+      if (skipDepth < 0 || d <= skipDepth) {
+        skipDepth = -1
+        val tok = l.dropWhile(c => " :+-*(".contains(c)).takeWhile(c =>
+          c.isLetterOrDigit || c == '_')
+        if (tok.startsWith("InMemory") || tok.startsWith("Subquery") ||
+            tok.startsWith("ReusedSubquery")) skipDepth = d
+        else if (tok.nonEmpty && !tok.forall(_.isDigit)) out += tok
+      }
+    }
+    out.toSeq
+  }
 
-  private def antiPatterns(p: String): Set[String] =
-    Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")
-      .filter(p.contains).toSet
+  def shape(df: DataFrame): Seq[String] =
+    shapeOf(df.queryExecution.executedPlan.toString)
+
+  /** Scale anti-patterns, matched against the RAW executed-plan string
+    * (NOT the normalized shape — shape() keeps only each line's leading
+    * operator token, so 'Exchange SinglePartition' normalizes to just
+    * 'Exchange' and the check would be dead code, the r16 ADVICE
+    * finding). 'Coalesce 1' is in the set because CoalesceExec is not
+    * an Exchange — the exact class the r16 unigram defect hid in. */
+  def antiPatterns(raw: String): Set[String] =
+    Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition",
+        "Coalesce 1")
+      .filter(raw.contains).toSet
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
@@ -208,10 +238,16 @@ object ScaleProbe {
     val results = names.map { name =>
       try {
         qmap(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
-        val shapeBase = shape(qmap(name)(spark, baseDir))
-        val shapeBig = shape(qmap(name)(spark, workDir))
-        val newAnti = antiPatterns(shapeBig.mkString("\n")) --
-          antiPatterns(shapeBase.mkString("\n"))
+        val rawBase = qmap(name)(spark, baseDir)
+          .queryExecution.executedPlan.toString
+        val rawBig = qmap(name)(spark, workDir)
+          .queryExecution.executedPlan.toString
+        val shapeBase = shapeOf(rawBase)
+        val shapeBig = shapeOf(rawBig)
+        // anti-patterns diff on the RAW strings: flag only what APPEARS
+        // at K× (a SinglePartition present at both scales is the
+        // declared bounded one-row reduce, not a scale defect)
+        val newAnti = antiPatterns(rawBig) -- antiPatterns(rawBase)
         val tb = (1 to 3).map(_ => time(spark, name, baseDir)).min
         val tg = (1 to 2).map(_ => time(spark, name, workDir)).min
         val ratio = tg / tb

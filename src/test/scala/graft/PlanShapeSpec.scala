@@ -637,7 +637,24 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_drift_psi")
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("unigram Viterbi fans out over the word-hash partitions — no coalesce(1), no single-partition stage") {
+    // the r16 verdict's one scale defect: encodeWords serialized the
+    // distinct-word table (corpus-growing, Heaps' law) through ONE task
+    // for 8 rounds via coalesce(1) — invisible to the Exchange-based
+    // SinglePartition pins because Coalesce is not an Exchange. Pin the
+    // raw executed plan free of both.
+    // (vocabLp's one-row Σcnt total over the O(pieces) vocab is the one
+    // legitimate SinglePartition in these plans — bounded input, so the
+    // pin here is the Coalesce, which the Exchange-based pins can't see)
+    for (n <- Seq("q_text_unigram_encode", "q_text_unigram_coverage")) {
+      val p = plan(n)
+      assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
   }
 
   test("q_text_entropy and q_text_diversity are pure per-row projections — no join, no aggregate") {
