@@ -47,6 +47,10 @@ object Unigram {
     * all-singles fallback needs one round per char). */
   val MaxRounds = 8
 
+  /** Multi-char pieces surviving the EM prune round (from [[VocabTop]]
+    * seed slots — SentencePiece prunes a fixed fraction per round). */
+  val EmTop = 16
+
   /** Distinct words with occurrence counts. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
@@ -140,5 +144,43 @@ object Unigram {
       .select(col("w"), col("c"), col("path").as("pieces"),
         size(split(col("path"), " ")).cast("int").as("n_pieces"),
         round(col("score"), 6).as("score6"))
+  }
+
+  /** One EM prune round — the half of SentencePiece the seed-vocab form
+    * omits (see the class docstring): given the Viterbi segmentations
+    * [[encodeWords]] already computed, the E-step re-estimates each
+    * piece's expected count as its occurrence count across the chosen
+    * (max-likelihood) segmentations weighted by word frequency (hard /
+    * Viterbi EM — the enumeration is already exact, so the posterior
+    * mass sits on the argmax path); the M-step prunes the multi-char
+    * pieces to the top [[EmTop]] by expected count (single chars always
+    * survive — coverage, as in training) and rescores with plus-one
+    * smoothing so pieces never chosen by any segmentation (expected
+    * count 0 — possible even for singles when a char only ever rides
+    * inside multi-char pieces) keep a finite log-prob.
+    *
+    * Scale shape: `enc` is the O(distinct words) table, the path
+    * explode is ≤ [[MaxRounds]] pieces per word, and everything after
+    * the first aggregate is O(pieces) — one hash aggregate, one
+    * broadcast join against the seed vocab, one TakeOrderedAndProject.
+    *
+    * Output: (piece, cnt_em, logp6) — the rescored artifact, the same
+    * shape [[vocabLp]] publishes, so a second Viterbi round applies it
+    * unchanged. */
+  def emPrune(enc: DataFrame, seedVocab: DataFrame): DataFrame = {
+    val em = enc
+      .select(col("c"), explode(split(col("pieces"), " ")).as("piece"))
+      .groupBy("piece").agg(sum(col("c")).as("cnt_em"))
+    val kept = seedVocab.select(col("piece"))
+      .join(em, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt_em"), lit(0L)).as("cnt_em"))
+    val pruned = kept.filter(length(col("piece")) === 1)
+      .unionByName(kept.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt_em").desc, col("piece")).limit(EmTop))
+    val tot = pruned.agg(sum(col("cnt_em") + lit(1L)).as("t"))
+    pruned.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt_em"),
+        round(log((col("cnt_em").cast("double") + lit(1.0)) /
+          col("t").cast("double")), 6).as("logp6"))
   }
 }

@@ -514,7 +514,65 @@ object TokenizerQueries {
            |    AS oov_ppm
            |FROM casedw cw LEFT JOIN seg s ON cw.w = s.w
            |GROUP BY lang""".stripMargin),
-      "held-out OOV rate of the frozen unigram vocab per language (no-path words)"))
+      "held-out OOV rate of the frozen unigram vocab per language (no-path words)"),
+
+    // One EM PRUNE round — the half of SentencePiece the seed-vocab
+    // form omits: E-step re-estimates each piece's expected count from
+    // the Viterbi segmentations (hard EM — the bounded enumeration is
+    // exact, so posterior mass sits on the argmax path); M-step prunes
+    // the multi-char slots to the top EmTop by expected count (singles
+    // always survive — coverage) and rescores with plus-one smoothing
+    // so never-chosen pieces keep a finite log-prob. The E-step explode
+    // is ≤ MaxRounds pieces per DISTINCT word; everything after the
+    // first aggregate is O(pieces). The oracle replays the same round
+    // on top of the recursive-CTE Viterbi.
+    Q("q_text_unigram_em",
+      (s, d) => {
+        val wc = Unigram.wordCounts(t(s, d, "documents"), "text")
+        val vlp = graft.core.Freeze(
+          Unigram.vocabLp(Unigram.vocab(wc)))
+        Unigram.emPrune(Unigram.encodeWords(wc, vlp), vlp)
+      },
+      Some(s"""WITH RECURSIVE $duckUnigramCtes,
+           |vlp AS (SELECT piece,
+           |          ln(CAST(cnt AS DOUBLE) / CAST(tv AS DOUBLE)) AS lp
+           |        FROM vocab CROSS JOIN tv),
+           |wce AS (SELECT w, c FROM wc
+           |        WHERE len(w) <= ${Unigram.MaxRounds}),
+           |r(w, c, pos, score, path) AS (
+           |  SELECT w, c, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), ''
+           |  FROM wce
+           |  UNION ALL
+           |  SELECT r.w, r.c, r.pos + len(v.piece), r.score + v.lp,
+           |         CASE WHEN r.path = '' THEN v.piece
+           |              ELSE r.path || ' ' || v.piece END
+           |  FROM r JOIN vlp v
+           |    ON r.pos < len(r.w)
+           |   AND len(v.piece) <= len(r.w) - r.pos
+           |   AND v.piece = substr(r.w, CAST(r.pos + 1 AS INT),
+           |                        CAST(len(v.piece) AS INT))),
+           |best AS (SELECT w, c, path
+           |         FROM (SELECT *, row_number() OVER
+           |                 (PARTITION BY w ORDER BY round(score, 6) DESC, path) AS rn
+           |               FROM r WHERE pos = len(w))
+           |         WHERE rn = 1),
+           |em AS (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt_em
+           |       FROM (SELECT c, unnest(string_split(path, ' ')) AS piece
+           |             FROM best)
+           |       GROUP BY piece),
+           |kept AS (SELECT v.piece, coalesce(em.cnt_em, 0) AS cnt_em
+           |         FROM vocab v LEFT JOIN em ON v.piece = em.piece),
+           |keptv AS (SELECT piece, cnt_em FROM kept WHERE len(piece) = 1
+           |          UNION ALL
+           |          SELECT piece, cnt_em FROM (
+           |            SELECT piece, cnt_em FROM kept WHERE len(piece) >= 2
+           |            ORDER BY cnt_em DESC, piece LIMIT ${Unigram.EmTop})),
+           |tot AS (SELECT sum(cnt_em + 1) AS t FROM keptv)
+           |SELECT piece, cnt_em,
+           |  round(ln((CAST(cnt_em AS DOUBLE) + 1) / CAST(t AS DOUBLE)), 6)
+           |    AS logp6
+           |FROM keptv CROSS JOIN tot""".stripMargin),
+      "one unigram-LM EM prune round: expected piece counts from the Viterbi paths, pruned + rescored"))
 
   /** Word counts → candidate substrings → vocabulary (singles + top
     * multi) → total, as DuckDB CTEs (toks/wc/s1/s2/cand/vocab/tv) — the

@@ -45,6 +45,35 @@ class UnigramSpec extends SparkSpec {
         .toDouble - 1e-9)
   }
 
+  test("emPrune: expected counts match the hand-computed Viterbi path counts; singles survive; ≤ EmTop multi kept") {
+    // 'abab' ×20, 'xy' ×1, 'q' ×1: the best path for 'abab' is the
+    // single piece 'abab' (one factor beats any product of sub-one
+    // probabilities), so cnt_em('abab') = 20, 'xy' segments as the
+    // 'xy' piece (cnt_em = 1), 'q' as the single (cnt_em = 1); every
+    // other seed piece rides in NO chosen path → cnt_em = 0
+    val docs = docsOf(Seq.fill(20)("abab").mkString(" ") + " xy q")
+    val wc = Unigram.wordCounts(docs, "text")
+    val vlp = Unigram.vocabLp(Unigram.vocab(wc))
+    val enc = Unigram.encodeWords(wc, vlp)
+    val pruned = Unigram.emPrune(enc, vlp).cache()
+    try {
+      val byPiece = pruned.select("piece", "cnt_em")
+        .as[(String, Long)].collect().toMap
+      assert(byPiece("abab") == 20L, byPiece)
+      assert(byPiece("xy") == 1L, byPiece)
+      assert(byPiece("q") == 1L, byPiece)
+      // singles always survive the prune, even at cnt_em = 0
+      for (ch <- Seq("a", "b", "x", "y", "q"))
+        assert(byPiece.contains(ch), s"single '$ch' pruned: $byPiece")
+      assert(pruned.filter(length(col("piece")) >= 2).count()
+        <= Unigram.EmTop)
+      // plus-one smoothing: every logp6 finite, and Σ exp(lp) ≤ 1 over
+      // the UNSMOOTHED masses means each lp < 0
+      assert(pruned.filter(!col("logp6").isNotNull ||
+        col("logp6") >= 0.0).isEmpty)
+    } finally pruned.unpersist(blocking = true)
+  }
+
   test("vocab keeps every single char plus at most VocabTop multi-char pieces") {
     val docs = graft.core.Tables.load(spark, sf0001, "documents")
     val wc = Unigram.wordCounts(docs, "text")
