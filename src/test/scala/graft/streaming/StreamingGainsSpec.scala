@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.QualityClassifier
+
+/** Streaming form of the per-slice gains readout (q_eval_gains_sliced's
+  * production topology): the frozen artifacts are the classifier
+  * weights plus the per-(source, decile) score-threshold table derived
+  * from the reference split's gains computation (the decile cut points
+  * of the gate's formula — ≤ 10 rows per slice at any corpus size).
+  * Each incoming microbatch is scored with the frozen weights and
+  * decile-assigned by broadcast threshold lookup, publishing per-batch
+  * (source, decile, n, n_pos) counts — the budget readout applied to
+  * live traffic. Pinned: per-batch output ≡ the batch-mode
+  * recomputation on exactly that batch's docs, across a restart.
+  */
+class StreamingGainsSpec extends SparkSpec {
+
+  test("per-microbatch decile counts vs frozen thresholds ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_gains_stream").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val split = 400
+
+    // PUBLISH once: frozen weights + the per-(source, decile) threshold
+    // table from half the apply split (the reference snapshot). The
+    // halving key is (doc_id div 20) parity, NOT doc_id parity: the
+    // synthetic source column is doc_id % 20, so a parity split would
+    // give the two halves DISJOINT sources and the threshold join
+    // nothing to match (found the hard way)
+    val refHalf = (col("doc_id") / 20).cast("long") % 2 === 0
+    val frozen = QualityClassifier.collectWeights(QualityClassifier
+      .weights(docs.filter(col("doc_id") < split), col("lang") === "en"))
+    def scoreOf(df: DataFrame): DataFrame =
+      QualityClassifier.score(frozen,
+        df.withColumn("label", col("lang") === "en"),
+        carry = Seq("label", "source"))
+    val refScored = scoreOf(
+      docs.filter(col("doc_id") >= split && refHalf))
+    val bys = refScored.groupBy("source", "score_ppm")
+      .agg(count(lit(1)).as("n_s"))
+    val wDesc = Window.partitionBy("source").orderBy(col("score_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tots = bys.groupBy("source").agg(sum("n_s").as("nn"))
+    bys.withColumn("cum_n", sum("n_s").over(wDesc))
+      .join(broadcast(tots), "source")
+      .withColumn("decile",
+        (expr("((cum_n - 1) * 10) div nn") + 1).cast("int"))
+      .groupBy("source", "decile")
+      .agg(min("score_ppm").as("lo_ppm"))
+      .write.parquet(s"$work/thr")
+    val thr = spark.read.parquet(s"$work/thr")
+    assert(thr.groupBy("source").count()
+      .filter(col("count") > 10).isEmpty, "artifact must be ≤ 10 rows/slice")
+
+    // APPLY: score a batch with the frozen weights, assign each doc the
+    // smallest decile whose cut point it clears (thresholds fall with
+    // decile; anything below every cut clamps to the slice's last one)
+    def gainsAgainst(batch: DataFrame): DataFrame =
+      scoreOf(batch)
+        .join(broadcast(thr), Seq("source"))
+        .groupBy("doc_id", "source", "label")
+        .agg(coalesce(
+          min(when(col("score_ppm") >= col("lo_ppm"), col("decile"))),
+          max(col("decile"))).as("decile"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+
+    // incoming traffic: the other apply half, then a second wave after
+    // a restart (new docs re-keyed past the corpus)
+    val hold = docs.filter(col("doc_id") >= split && !refHalf)
+    val wave2 = hold.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("doc_id").collect().map(_.getLong(0)).toSeq)
+            gainsAgainst(df)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.repartition(2).write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    wave2.coalesce(1).write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val all = docs.unionByName(wave2)
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = gainsAgainst(all.filter(col("doc_id").isin(ids: _*)))
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed gains differ from batch mode")
+    }
+    // every scored doc of every batch landed in exactly one decile
+    val totGot = got.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    val totWant = batches.asScala.map(_._2.size).sum
+    assert(totGot == totWant, s"decile assignment lost rows: $totGot/$totWant")
+  }
+}
