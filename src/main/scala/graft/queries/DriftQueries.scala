@@ -348,6 +348,90 @@ object DriftQueries {
            |FROM num WHERE nb > 0 GROUP BY source, na, nb""".stripMargin),
       "two-sample KS on doc length, each slice vs rest (exact cross-multiplied sup)"),
 
+    // Two-sample Wasserstein-1 (earth-mover) on doc length, each slice
+    // vs rest — the INTEGRAL companion to q_drift_ks's sup statistic: KS
+    // sees the single worst CDF gap, W1 sees the total transported mass
+    // ∫|F_a − F_b| dx, so a broad small shift that never spikes the sup
+    // still registers. Same exact-arithmetic discipline as KS: per grid
+    // value, |ca·nb − cb·na| · Δx over cross-multiplied DECIMAL-widened
+    // integers (Δx = gap to the next grid value), ONE double division at
+    // the end. The grid is O(distinct lengths) — bounded, so the
+    // unpartitioned lead() window over it is the declared bounded sort,
+    // not a corpus sort.
+    Q("q_drift_wasserstein",
+      (s, d) => {
+        val vc = t(s, d, "documents").select(col("source"), col("n_chars"))
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val wG = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dx = vc.select("n_chars").distinct()
+          .withColumn("dx", coalesce(
+            lead("n_chars", 1).over(Window.orderBy("n_chars"))
+              - col("n_chars"), lit(0L)))
+        val grid = vc.select("source").distinct()
+          .crossJoin(vc.select("n_chars").distinct())
+          .join(vc, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+        val gcum = vc.groupBy("n_chars").agg(sum("c").as("cg"))
+          .select(col("n_chars"), sum("cg").over(wG).as("cg"))
+        val na = vc.groupBy("source").agg(sum("c").as("na"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        grid
+          .select(col("source"), col("n_chars"),
+            sum("c").over(Window.partitionBy("source").orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("ca"))
+          .join(gcum, "n_chars").join(dx, "n_chars").join(na, "source")
+          .crossJoin(broadcast(vc.agg(sum("c").as("nn"))))
+          .select(col("source"), col("na"), (col("nn") - col("na")).as("nb"),
+            (abs(dc(col("ca")) * (col("nn") - col("na"))
+              - dc(col("cg") - col("ca")) * col("na"))
+              * dc(col("dx"))).as("num"))
+          .filter(col("nb") > 0)
+          .groupBy("source", "na", "nb").agg(sum("num").as("wnum"))
+          .select(col("source"), col("na").as("n_a"), col("nb").as("n_b"),
+            round(col("wnum").cast("double")
+              / (col("na").cast("double") * col("nb").cast("double")), 6)
+              .as("w1_6"))
+      },
+      Some("""WITH vc AS (SELECT source, n_chars, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |dx AS (SELECT n_chars,
+           |         coalesce(lead(n_chars) OVER (ORDER BY n_chars)
+           |                  - n_chars, 0) AS dx
+           |       FROM (SELECT DISTINCT n_chars FROM vc)),
+           |grid AS (SELECT s.source, v.n_chars, coalesce(vc.c, 0) AS c
+           |         FROM (SELECT DISTINCT source FROM vc) s
+           |         CROSS JOIN (SELECT DISTINCT n_chars FROM vc) v
+           |         LEFT JOIN vc ON vc.source = s.source
+           |           AND vc.n_chars = v.n_chars),
+           |cum AS (SELECT source, n_chars,
+           |          CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS ca
+           |        FROM grid),
+           |gcum AS (SELECT n_chars,
+           |           CAST(sum(cg) OVER (ORDER BY n_chars
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |             AS BIGINT) AS cg
+           |         FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS cg
+           |               FROM vc GROUP BY n_chars)),
+           |na AS (SELECT source, CAST(sum(c) AS BIGINT) AS na
+           |       FROM vc GROUP BY source),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM vc),
+           |num AS (SELECT cum.source, na.na, nn.nn - na.na AS nb,
+           |          abs(CAST(cum.ca AS HUGEINT) * (nn.nn - na.na)
+           |            - CAST(gcum.cg - cum.ca AS HUGEINT) * na.na)
+           |            * CAST(dx.dx AS HUGEINT) AS num
+           |        FROM cum JOIN gcum USING (n_chars)
+           |          JOIN dx USING (n_chars)
+           |          JOIN na USING (source) CROSS JOIN nn)
+           |SELECT source, na AS n_a, nb AS n_b,
+           |  round(CAST(sum(num) AS DOUBLE)
+           |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS w1_6
+           |FROM num WHERE nb > 0 GROUP BY source, na, nb""".stripMargin),
+      "two-sample Wasserstein-1 on doc length, each slice vs rest (exact cross-multiplied integral)"),
+
     // Chi-square homogeneity across (slice × term-hash-bucket) — the
     // one-number categorical drift test over a BOUNDED contingency
     // table (terms hashed to Chi2Buckets cells, so the grid is

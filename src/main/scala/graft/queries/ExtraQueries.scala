@@ -1168,6 +1168,73 @@ object ExtraQueries {
            |   AND count(DISTINCT c_mktsegment) < $LDivL""".stripMargin),
       s"l-diversity audit: k-anonymous cells with < $LDivL distinct sensitive values"),
 
+    // t-closeness profile — the third rung of the release-governance
+    // ladder (k-anonymity: cells big enough; l-diversity: enough
+    // distinct sensitive values; t-closeness: the cell's sensitive
+    // DISTRIBUTION must stay close to the global one, or the cell still
+    // leaks via skew). Distance is the variational form of EMD for
+    // categorical sensitive attributes with uniform ground distance:
+    // ½ Σ_s |p_cell(s) − p_global(s)|, computed EXACTLY as
+    // Σ|n_cs·N − N_s·n_c| over cross-multiplied integers (the
+    // q_drift_ks discipline — DECIMAL-widened before multiplying) with
+    // ONE final division. Published as the full per-cell profile over
+    // the k-anonymous cells: O(cells × segments) grid rows in, O(cells)
+    // out — two bounded aggregates and a broadcast of the O(segments)
+    // global table at any corpus size.
+    Q("q_privacy_tcloseness",
+      (s, d) => {
+        val cust = t(s, d, "customer").select(col("c_nationkey"),
+          expr("CAST(floor(c_acctbal / 1000) AS INT)").as("bal_band"),
+          col("c_mktsegment"))
+        val cells = cust
+          .groupBy("c_nationkey", "bal_band", "c_mktsegment")
+          .agg(count(lit(1)).as("n_cs"))
+        val ct = cells.groupBy("c_nationkey", "bal_band")
+          .agg(sum("n_cs").as("n_c"))
+        val gl = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("n_s"))
+        val nn = gl.agg(sum("n_s").as("n"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        ct.crossJoin(broadcast(gl)).crossJoin(broadcast(nn))
+          .join(cells, Seq("c_nationkey", "bal_band", "c_mktsegment"),
+            "left")
+          .na.fill(0L, Seq("n_cs"))
+          .groupBy("c_nationkey", "bal_band", "n_c", "n")
+          .agg(sum(abs(dc(col("n_cs")) * col("n")
+            - dc(col("n_s")) * col("n_c"))).as("num"))
+          .filter(col("n_c") >= KAnonK)
+          .select(col("c_nationkey"), col("bal_band"),
+            col("n_c").as("n"),
+            round(col("num").cast("double")
+              / (lit(2.0) * col("n_c").cast("double")
+                 * col("n").cast("double")), 6).as("tdist6"))
+      },
+      Some(s"""WITH cells AS (SELECT c_nationkey,
+           |    CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+           |    c_mktsegment, count(*) AS n_cs
+           |  FROM customer GROUP BY 1, 2, 3),
+           |ct AS (SELECT c_nationkey, bal_band,
+           |         CAST(sum(n_cs) AS BIGINT) AS n_c
+           |       FROM cells GROUP BY 1, 2),
+           |gl AS (SELECT c_mktsegment, count(*) AS n_s
+           |       FROM customer GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM customer),
+           |grid AS (SELECT ct.c_nationkey, ct.bal_band, ct.n_c,
+           |           gl.c_mktsegment, gl.n_s, nn.n,
+           |           coalesce(cells.n_cs, 0) AS n_cs
+           |         FROM ct CROSS JOIN gl CROSS JOIN nn
+           |         LEFT JOIN cells
+           |           ON cells.c_nationkey = ct.c_nationkey
+           |          AND cells.bal_band = ct.bal_band
+           |          AND cells.c_mktsegment = gl.c_mktsegment)
+           |SELECT c_nationkey, bal_band, n_c AS n,
+           |  round(CAST(sum(abs(CAST(n_cs AS HUGEINT) * n
+           |                   - CAST(n_s AS HUGEINT) * n_c)) AS DOUBLE)
+           |        / (2.0 * n_c * max(n)), 6) AS tdist6
+           |FROM grid
+           |GROUP BY 1, 2, n_c
+           |HAVING n_c >= $KAnonK""".stripMargin),
+      "t-closeness profile: per k-anonymous cell, exact EMD of its sensitive distribution vs global"),
+
     // Degree histogram over the order-part graph — the one-line graph
     // observability report (degree → node count) that sizes skew before
     // a traversal job runs: two map-side-combined aggregates, O(degrees)

@@ -562,6 +562,10 @@ object LlmQueries {
   val SampleRates = Seq("en" -> 100, "de" -> 250)
   val SampleDefaultPerMille = 500
 
+  /** Total sample budget the Neyman allocation distributes
+    * (q_sample_neyman). */
+  val NeymanBudget = 1000L
+
   /** Per-row quality/text stats shared by the quality-filter and pipeline
     * oracles (mirrors TextFunctions.{nWords,avgWordLen,stopwordRatio,
     * punctRatio}; ratios pre-rounded to 6 like QualityFilter.rules). */
@@ -2392,6 +2396,61 @@ object LlmQueries {
                WHERE ${Sampling.duckStratifiedPred("lang", "doc_id",
                  SampleRates, SampleDefaultPerMille)}"""),
       "deterministic stratified hash sampling (per-language per-mille rates)"),
+
+    // Neyman allocation — the OTHER half of stratified sampling:
+    // q_sample_stratified applies per-stratum rates, this gate COMPUTES
+    // them optimally (n_h ∝ N_h·σ_h minimizes the estimator variance at
+    // fixed budget — Neyman 1934). Exactness discipline: per-stratum
+    // (N_h, Σx, Σx²) are exact integers over cents; the weight
+    // N_h·σ_h = √(N_h·Σx² − (Σx)²) is one sqrt per stratum (sqrt is
+    // correctly-rounded IEEE on BOTH engines, unlike pow/ln — the one
+    // transcendental that needs no fixed-point guard) over a
+    // DECIMAL-widened integer, immediately re-fixed to ppm; shares and
+    // allocations are then pure integer div arithmetic — no
+    // reduction-order-sensitive double sum anywhere. O(strata) rows
+    // after one map-side-combined pass.
+    Q("q_sample_neyman",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+        val st = t(s, d, "customer")
+          .select(col("c_mktsegment"), cents.as("x"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"))
+          .withColumn("w_ppm",
+            round(sqrt((dc(col("n_h")) * dc(col("s2"))
+              - dc(col("s1")) * dc(col("s1"))).cast("double")) * 1e6)
+              .cast("long"))
+        st.crossJoin(broadcast(st.agg(sum("w_ppm").as("tw"))))
+          .select(col("c_mktsegment"), col("n_h"), col("w_ppm"),
+            expr(s"(CAST(w_ppm AS DECIMAL(38,0)) * 1000000) div tw")
+              .as("share_ppm"),
+            expr(s"(CAST(w_ppm AS DECIMAL(38,0)) * $NeymanBudget) div tw")
+              .as("alloc"))
+      },
+      Some(s"""WITH st AS (
+           |  SELECT c_mktsegment, count(*) AS n_h,
+           |    CAST(sum(x) AS BIGINT) AS s1,
+           |    CAST(sum(x * x) AS BIGINT) AS s2
+           |  FROM (SELECT c_mktsegment,
+           |          CAST(round(c_acctbal * 100) AS BIGINT) AS x
+           |        FROM customer)
+           |  GROUP BY c_mktsegment),
+           |w AS (SELECT c_mktsegment, n_h,
+           |        CAST(round(sqrt(CAST(CAST(n_h AS HUGEINT) * s2
+           |                             - CAST(s1 AS HUGEINT) * s1
+           |                             AS DOUBLE)) * 1e6) AS BIGINT)
+           |          AS w_ppm
+           |      FROM st),
+           |tw AS (SELECT sum(w_ppm) AS tw FROM w)
+           |SELECT c_mktsegment, n_h, w_ppm,
+           |  CAST((CAST(w_ppm AS HUGEINT) * 1000000) // tw AS BIGINT)
+           |    AS share_ppm,
+           |  CAST((CAST(w_ppm AS HUGEINT) * $NeymanBudget) // tw AS BIGINT)
+           |    AS alloc
+           |FROM w CROSS JOIN tw""".stripMargin),
+      "Neyman-optimal stratified allocation (n_h ∝ N_h·σ_h, exact integer arithmetic to the sqrt)"),
 
     // The composed training-data pipeline: quality filter → exact dedup
     // (min-doc_id row per content hash — ONE hash aggregate with map-side

@@ -274,6 +274,83 @@ object SearchQueries {
            |FROM tm GROUP BY query_id""".stripMargin),
       s"NDCG@$Bm25K of BM25 against term-overlap graded relevance (fixed-point gains)"),
 
+    // MRR + hit@5 of the BM25 ranking — the binary-relevance companion
+    // to q_eval_ndcg's graded metric (the pair every retrieval eval
+    // publishes together). Relevance binarizes the same deterministic
+    // grade (rel ≥ 2: the candidate shares ≥ 2 distinct query terms —
+    // rel ≥ 1 is vacuous, every BM25 candidate shares one by
+    // construction). Per query: the relevant count, the first relevant
+    // rank (0 = none), the reciprocal rank (1/first, one exact double
+    // division), and whether the first relevant hit lands in the top 5.
+    // Same scale shape as NDCG: all work on the O(queries·k) candidate
+    // set, broadcast into the postings scan.
+    Q("q_eval_mrr",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = docs.filter(col("doc_id") < QMax)
+        val qCnt = qs.count()
+        val post = graft.core.CacheScope.autoRelease(Bm25.postings(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
+        val top = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt))
+          .select(col("query_id"), col("doc_id"), col("rnk"))
+        val qt = qs.select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("term"))
+        val rel = broadcast(top)
+          .join(post.select(col("doc_id"), col("term")), "doc_id")
+          .join(broadcast(qt), Seq("query_id", "term"))
+          .groupBy("query_id", "doc_id", "rnk")
+          .agg(least(countDistinct("term"), lit(3L)).as("rel"))
+        rel.groupBy("query_id")
+          .agg(sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("n_rel"),
+            coalesce(min(when(col("rel") >= 2, col("rnk"))), lit(0))
+              .cast("int").as("first_rank"))
+          .select(col("query_id"), col("n_rel"), col("first_rank"),
+            when(col("first_rank") > 0,
+              round(lit(1.0) / col("first_rank").cast("double"), 6))
+              .otherwise(0.0).as("rr6"),
+            (col("first_rank") >= 1 && col("first_rank") <= 5)
+              .cast("int").as("hit5"))
+      },
+      Some(s"""WITH $duckBm25Ctes,
+           |qt AS (SELECT DISTINCT doc_id AS query_id, term
+           |       FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |             FROM documents WHERE doc_id < $QMax)),
+           |sc AS (SELECT qt.query_id, ctf.doc_id,
+           |         round(sum($duckContrib), 6) AS score6
+           |       FROM qt JOIN ctf USING (term)
+           |         JOIN cdf USING (term)
+           |         JOIN cdl ON ctf.doc_id = cdl.doc_id
+           |         CROSS JOIN cst
+           |       GROUP BY qt.query_id, ctf.doc_id),
+           |topk AS (SELECT query_id, doc_id, rn AS rnk
+           |         FROM (SELECT *, row_number() OVER
+           |                 (PARTITION BY query_id
+           |                  ORDER BY score6 DESC, doc_id) AS rn
+           |               FROM sc)
+           |         WHERE rn <= $Bm25K),
+           |rel AS (SELECT tk.query_id, tk.doc_id, tk.rnk,
+           |          least(count(DISTINCT qt.term), 3) AS rel
+           |        FROM topk tk JOIN ctf c ON c.doc_id = tk.doc_id
+           |          JOIN qt ON qt.query_id = tk.query_id
+           |            AND qt.term = c.term
+           |        GROUP BY 1, 2, 3),
+           |fr AS (SELECT query_id,
+           |         CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS n_rel,
+           |         CAST(coalesce(min(CASE WHEN rel >= 2 THEN rnk END), 0)
+           |              AS INT) AS first_rank
+           |       FROM rel GROUP BY query_id)
+           |SELECT query_id, n_rel, first_rank,
+           |  round(CASE WHEN first_rank > 0
+           |             THEN 1.0 / CAST(first_rank AS DOUBLE)
+           |             ELSE 0.0 END, 6) AS rr6,
+           |  CAST(CASE WHEN first_rank BETWEEN 1 AND 5 THEN 1 ELSE 0 END
+           |       AS INT) AS hit5
+           |FROM fr""".stripMargin),
+      s"MRR + hit@5 of BM25 against binary term-overlap relevance (rel ≥ 2)"),
+
     // Winnowing fingerprints (Schleimer et al. 2003): per document, the
     // minimum k-gram hash in every sliding window of $WinnowW
     // consecutive hashes, with the RIGHTMOST position on ties — the

@@ -572,7 +572,87 @@ object TokenizerQueries {
            |  round(ln((CAST(cnt_em AS DOUBLE) + 1) / CAST(t AS DOUBLE)), 6)
            |    AS logp6
            |FROM keptv CROSS JOIN tot""".stripMargin),
-      "one unigram-LM EM prune round: expected piece counts from the Viterbi paths, pruned + rescored"))
+      "one unigram-LM EM prune round: expected piece counts from the Viterbi paths, pruned + rescored"),
+
+    // Viterbi RE-segmentation under the EM-pruned vocabulary — the
+    // apply half of the EM round (train → prune → re-encode, the full
+    // SentencePiece iteration): the same bounded enumeration as
+    // q_text_unigram_encode, scored with the EM artifact's smoothed
+    // 6-dp log-probs (the DECLARED granularity — both engines
+    // accumulate identical rounded doubles left-to-right, so the
+    // recursive-CTE twin reproduces every sum bit-for-bit). Totality is
+    // preserved by construction: single chars survive the prune, so the
+    // all-singles path always completes. Segmentations shift where the
+    // prune dropped a piece the seed vocab used — the observable effect
+    // of the EM round.
+    Q("q_text_unigram_refit",
+      (s, d) => {
+        val wc = Unigram.wordCounts(t(s, d, "documents"), "text")
+        val vlp = graft.core.Freeze(
+          Unigram.vocabLp(Unigram.vocab(wc)))
+        val em = Unigram.emPrune(Unigram.encodeWords(wc, vlp), vlp)
+        Unigram.encodeWords(wc,
+          em.select(col("piece"), col("logp6").as("lp")))
+      },
+      Some(s"""WITH RECURSIVE $duckUnigramCtes,
+           |vlp AS (SELECT piece,
+           |          ln(CAST(cnt AS DOUBLE) / CAST(tv AS DOUBLE)) AS lp
+           |        FROM vocab CROSS JOIN tv),
+           |wce AS (SELECT w, c FROM wc
+           |        WHERE len(w) <= ${Unigram.MaxRounds}),
+           |r(w, c, pos, score, path) AS (
+           |  SELECT w, c, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), ''
+           |  FROM wce
+           |  UNION ALL
+           |  SELECT r.w, r.c, r.pos + len(v.piece), r.score + v.lp,
+           |         CASE WHEN r.path = '' THEN v.piece
+           |              ELSE r.path || ' ' || v.piece END
+           |  FROM r JOIN vlp v
+           |    ON r.pos < len(r.w)
+           |   AND len(v.piece) <= len(r.w) - r.pos
+           |   AND v.piece = substr(r.w, CAST(r.pos + 1 AS INT),
+           |                        CAST(len(v.piece) AS INT))),
+           |best AS (SELECT w, c, path
+           |         FROM (SELECT *, row_number() OVER
+           |                 (PARTITION BY w ORDER BY round(score, 6) DESC, path) AS rn
+           |               FROM r WHERE pos = len(w))
+           |         WHERE rn = 1),
+           |em AS (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt_em
+           |       FROM (SELECT c, unnest(string_split(path, ' ')) AS piece
+           |             FROM best)
+           |       GROUP BY piece),
+           |kept AS (SELECT v.piece, coalesce(em.cnt_em, 0) AS cnt_em
+           |         FROM vocab v LEFT JOIN em ON v.piece = em.piece),
+           |keptv AS (SELECT piece, cnt_em FROM kept WHERE len(piece) = 1
+           |          UNION ALL
+           |          SELECT piece, cnt_em FROM (
+           |            SELECT piece, cnt_em FROM kept WHERE len(piece) >= 2
+           |            ORDER BY cnt_em DESC, piece LIMIT ${Unigram.EmTop})),
+           |tot AS (SELECT sum(cnt_em + 1) AS t FROM keptv),
+           |vlp2 AS (SELECT piece,
+           |           round(ln((CAST(cnt_em AS DOUBLE) + 1)
+           |                    / CAST(t AS DOUBLE)), 6) AS lp
+           |         FROM keptv CROSS JOIN tot),
+           |r2(w, c, pos, score, path) AS (
+           |  SELECT w, c, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), ''
+           |  FROM wce
+           |  UNION ALL
+           |  SELECT r2.w, r2.c, r2.pos + len(v.piece), r2.score + v.lp,
+           |         CASE WHEN r2.path = '' THEN v.piece
+           |              ELSE r2.path || ' ' || v.piece END
+           |  FROM r2 JOIN vlp2 v
+           |    ON r2.pos < len(r2.w)
+           |   AND len(v.piece) <= len(r2.w) - r2.pos
+           |   AND v.piece = substr(r2.w, CAST(r2.pos + 1 AS INT),
+           |                        CAST(len(v.piece) AS INT)))
+           |SELECT w, c, path AS pieces,
+           |       CAST(len(string_split(path, ' ')) AS INT) AS n_pieces,
+           |       round(score, 6) AS score6
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY w ORDER BY round(score, 6) DESC, path) AS rn
+           |      FROM r2 WHERE pos = len(w))
+           |WHERE rn = 1""".stripMargin),
+      "unigram-LM Viterbi re-segmentation under the EM-pruned vocab (the apply half of the EM round)"))
 
   /** Word counts → candidate substrings → vocabulary (singles + top
     * multi) → total, as DuckDB CTEs (toks/wc/s1/s2/cand/vocab/tv) — the

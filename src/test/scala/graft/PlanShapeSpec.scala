@@ -597,6 +597,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_eval_mrr shares the ndcg candidate shape — broadcast relevance, no corpus re-shuffle") {
+    val p = plan("q_eval_mrr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_drift_wasserstein collapses to value counts before the bounded grid windows (the ks shape)") {
+    val p = plan("q_drift_wasserstein")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_privacy_tcloseness reaches the corpus once — cell rollup, then O(segments) broadcast grid") {
+    val p = plan("q_privacy_tcloseness")
+    // the two Cross BNLJs are the declared bounded broadcasts (the
+    // 5-row global segment table and the 1-row total); the corpus-side
+    // work is the one partial-combined cell aggregate
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sample_neyman is one map-side-combined pass to O(strata) rows") {
+    val p = plan("q_sample_neyman")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_text_sentence_dedup: hash-agg equi-join shape, no pair enumeration, no global window") {
     val p = plan("q_text_sentence_dedup")
     assert(!p.contains("CartesianProduct"), p)
