@@ -2566,6 +2566,146 @@ object AnalyticsQueries {
            |FROM v""".stripMargin),
       "skewness + excess kurtosis from one pass of exact DECIMAL power sums"),
 
+    // Gini concentration of doc length per slice — the inequality
+    // readout a corpus-balance report publishes next to the skew
+    // profile (how concentrated is the token budget in few documents?).
+    // EXACT via the grouped mean-difference identity on the bounded
+    // value grid: Σ_{i<j} c_i c_j (x_j − x_i) = Σ_j c_j·(x_j·C_j − S_j)
+    // where C_j/S_j are the cumulative count/value-sum strictly below
+    // x_j — so two bounded grid windows (the q_drift_ks shape), all
+    // integers DECIMAL-widened, and gini = num / (N·S) in ONE final
+    // division. No corpus sort, no pair enumeration.
+    Q("q_stats_gini",
+      (s, d) => {
+        val vc = t(s, d, "documents").select(col("source"), col("n_chars"))
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        vc
+          .withColumn("cc", coalesce(sum("c").over(w), lit(0L)))
+          .withColumn("cs",
+            coalesce(sum(col("c") * col("n_chars")).over(w), lit(0L)))
+          .groupBy("source")
+          .agg(sum("c").as("n"),
+            sum(dc(col("c")) * col("n_chars")).as("s"),
+            sum(dc(col("c")) * (dc(col("n_chars")) * col("cc")
+              - dc(col("cs")))).as("num"))
+          .select(col("source"), col("n"),
+            round(col("num").cast("double")
+              / (col("n").cast("double") * col("s").cast("double")), 6)
+              .as("gini6"))
+      },
+      Some("""WITH vc AS (SELECT source, n_chars, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |cum AS (SELECT source, n_chars, c,
+           |          coalesce(CAST(sum(c) OVER wp AS BIGINT), 0) AS cc,
+           |          coalesce(CAST(sum(c * n_chars) OVER wp AS BIGINT), 0)
+           |            AS cs
+           |        FROM vc
+           |        WINDOW wp AS (PARTITION BY source ORDER BY n_chars
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+           |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+           |  round(CAST(sum(CAST(c AS HUGEINT)
+           |               * (CAST(n_chars AS HUGEINT) * cc - cs))
+           |             AS DOUBLE)
+           |        / (CAST(sum(c) AS DOUBLE)
+           |           * CAST(sum(CAST(c AS HUGEINT) * n_chars) AS DOUBLE)),
+           |        6) AS gini6
+           |FROM cum GROUP BY source""".stripMargin),
+      "Gini concentration of doc length per slice (exact grouped mean-difference, no pair enumeration)"),
+
+    // Benford first-digit audit of order totals — the forensic
+    // data-quality screen for fabricated or truncated numeric columns.
+    // The expected ppm shares are the NINE log10(1+1/d) constants
+    // INLINED as literals on both engines (no libm at runtime at all —
+    // the pow/ln call-site-variance trap has zero surface); observed
+    // shares are exact integer div ppm. O(9) output rows from one
+    // map-side-combined pass.
+    Q("q_quality_benford",
+      (s, d) => {
+        val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)
+        val expCol = element_at(typedLit(exp), col("digit").cast("int"))
+        t(s, d, "orders")
+          .select(expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(
+            t(s, d, "orders").agg(count(lit(1)).as("nt"))))
+          .select(col("digit"), col("n"),
+            expr("(n * 1000000) div nt").as("obs_ppm"),
+            expCol.as("exp_ppm"),
+            (expr("(n * 1000000) div nt") - expCol).as("dev_ppm"))
+      },
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+           |                 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           |           FROM orders),
+           |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+           |nt AS (SELECT count(*) AS nt FROM orders),
+           |e AS (SELECT unnest(range(1, 10)) AS digit,
+           |        unnest([301030, 176091, 124939, 96910, 79181,
+           |                66947, 57992, 51153, 45757]) AS exp_ppm)
+           |SELECT g.digit, g.n,
+           |  CAST((g.n * 1000000) // nt.nt AS BIGINT) AS obs_ppm,
+           |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           |  CAST((g.n * 1000000) // nt.nt - e.exp_ppm AS BIGINT)
+           |    AS dev_ppm
+           |FROM g JOIN e USING (digit) CROSS JOIN nt""".stripMargin),
+      "Benford first-digit audit of order totals (inlined log10 constants, exact ppm shares)"),
+
+    // 10%-trimmed mean of balance per segment WITHOUT a corpus sort:
+    // trimming on the bounded cents grid — per value, the kept weight
+    // is the overlap of its cumulative rank span with (k, n−k], so one
+    // grid window + clamped interval arithmetic replaces the per-group
+    // ORDER BY that would sort the corpus at 100 TB. All integers until
+    // the single final division.
+    Q("q_agg_trimmed",
+      (s, d) => {
+        val vc = t(s, d, "customer")
+          .select(col("c_mktsegment"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("v"))
+          .groupBy("c_mktsegment", "v").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("c_mktsegment").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        vc
+          .withColumn("cp", coalesce(sum("c").over(w), lit(0L)))
+          .withColumn("n", sum("c").over(
+            Window.partitionBy("c_mktsegment")))
+          .withColumn("k", expr("n div 10"))
+          .withColumn("kept",
+            greatest(least(col("cp") + col("c"), col("n") - col("k"))
+              - greatest(col("cp"), col("k")), lit(0L)))
+          .groupBy("c_mktsegment")
+          .agg(max("n").as("n"), max("k").as("n_trim"),
+            sum(dc(col("kept")) * col("v")).as("ks"),
+            sum("kept").as("kn"))
+          .select(col("c_mktsegment"), col("n"), col("n_trim"),
+            round(col("ks").cast("double") / col("kn") / 100.0, 6)
+              .as("tmean6"))
+      },
+      Some("""WITH vc AS (SELECT c_mktsegment,
+           |    CAST(round(c_acctbal * 100) AS BIGINT) AS v, count(*) AS c
+           |  FROM customer GROUP BY 1, 2),
+           |cum AS (SELECT c_mktsegment, v, c,
+           |          coalesce(CAST(sum(c) OVER (PARTITION BY c_mktsegment
+           |            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+           |            AND 1 PRECEDING) AS BIGINT), 0) AS cp,
+           |          CAST(sum(c) OVER (PARTITION BY c_mktsegment)
+           |            AS BIGINT) AS n
+           |        FROM vc),
+           |kk AS (SELECT *, n // 10 AS k,
+           |         greatest(least(cp + c, n - (n // 10))
+           |                  - greatest(cp, n // 10), 0) AS kept
+           |       FROM cum)
+           |SELECT c_mktsegment, max(n) AS n, max(k) AS n_trim,
+           |  round(CAST(sum(CAST(kept AS HUGEINT) * v) AS DOUBLE)
+           |        / CAST(sum(kept) AS BIGINT) / 100.0, 6) AS tmean6
+           |FROM kk GROUP BY c_mktsegment""".stripMargin),
+      "10%-trimmed mean per segment on the bounded value grid (no corpus sort)"),
+
     // Rolling exact median over a bounded frame: per user, the median of
     // the last 10 event values (exact interpolation over cents so both
     // engines sort identical integers; frame bounded ⇒ per-row cost is

@@ -619,6 +619,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_stats_gini collapses to value counts before the bounded grid windows (no pair enumeration)") {
+    val p = plan("q_stats_gini")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_quality_benford is one map-side-combined digit pass against a broadcast total") {
+    val p = plan("q_quality_benford")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_agg_trimmed trims on the value grid — no per-group corpus sort, no single partition") {
+    val p = plan("q_agg_trimmed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
   test("q_sample_neyman is one map-side-combined pass to O(strata) rows") {
     val p = plan("q_sample_neyman")
     assert(!p.contains("CartesianProduct"), p)

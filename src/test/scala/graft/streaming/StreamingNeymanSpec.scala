@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.PortableHash
+
+/** Streaming form of the Neyman-allocation publish (q_sample_neyman's
+  * production topology): the frozen artifact is the O(strata) table of
+  * ppm shares the allocation computed on the reference snapshot; each
+  * incoming microbatch of customers is sampled at its stratum's ppm
+  * rate by the deterministic portable hash — the stratified sampler a
+  * 100 TB ingest runs against a FIXED allocation, not one it recomputes
+  * per batch. Pinned: per-batch (stratum, n_in, n_kept) ≡ the
+  * batch-mode recomputation on exactly that batch's rows, across a
+  * restart; the kept set is a pure function of (key, artifact), so a
+  * replayed row lands identically.
+  */
+class StreamingNeymanSpec extends SparkSpec {
+
+  test("per-microbatch hash sampling at frozen Neyman shares ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_neyman_stream").toString
+    val cust = Tables.load(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+
+    // PUBLISH once: the allocation artifact from the reference half
+    // (the gate's exact-integer chain: N_h·σ_h weights → ppm shares)
+    val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val st = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_mktsegment"), cents.as("x"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .withColumn("w_ppm",
+        round(sqrt((dc(col("n_h")) * dc(col("s2"))
+          - dc(col("s1")) * dc(col("s1"))).cast("double")) * 1e6)
+          .cast("long"))
+    st.crossJoin(broadcast(st.agg(sum("w_ppm").as("tw"))))
+      .select(col("c_mktsegment"),
+        expr("(CAST(w_ppm AS DECIMAL(38,0)) * 1000000) div tw")
+          .as("share_ppm"))
+      .write.parquet(s"$work/alloc")
+    val alloc = spark.read.parquet(s"$work/alloc")
+
+    // APPLY: keep a row iff its key hash lands under the stratum's ppm
+    // share — deterministic, replay-stable, artifact-driven
+    def sampleAgainst(batch: DataFrame): DataFrame =
+      batch.join(broadcast(alloc), Seq("c_mktsegment"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(PortableHash.hashMod(col("c_custkey").cast("string"))
+            % 1000000L < col("share_ppm"), 1L).otherwise(0L)).as("n_kept"))
+
+    val hold = cust.filter(col("c_custkey") % 2 =!= 0)
+    val wave2 = hold.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("c_custkey").collect().map(_.getLong(0)).toSeq)
+            sampleAgainst(df)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.repartition(2).write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    wave2.coalesce(1).write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val all = cust.unionByName(wave2)
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = sampleAgainst(all.filter(col("c_custkey").isin(ids: _*)))
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed sample differs from batch mode")
+    }
+    // the sampler kept something and never more than it saw
+    val sums = got.agg(sum("n_in"), sum("n_kept")).head()
+    assert(sums.getLong(1) > 0, "frozen shares kept nothing")
+    assert(sums.getLong(1) <= sums.getLong(0))
+  }
+}
