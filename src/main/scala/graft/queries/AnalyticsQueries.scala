@@ -972,6 +972,120 @@ object AnalyticsQueries {
                     FROM reach GROUP BY u)"""),
       "entity resolution: noun-blocked edit-distance links -> CC clusters"),
 
+    // Fellegi-Sunter probabilistic record linkage over the document
+    // corpus — the SCORED companion to q_er_cluster's hard links: each
+    // blocked candidate pair gets a log-likelihood-ratio weight from
+    // per-field agreement, the decision-theoretic foundation (Fellegi &
+    // Sunter 1969) every production linker (Splink et al.) implements.
+    // u-probabilities (chance agreement among non-matches) are
+    // estimated EXACTLY from the data as Σ c_v·(c_v−1) / (N·(N−1)) over
+    // each field's value counts — integers until one division;
+    // m-probabilities use the standard 0.95 initialization prior (the
+    // corpus has no labeled matches — exactly the state a linker starts
+    // EM from, and the declared contract here). Per-field weights
+    // ln(m/u), ln((1−m)/(1−u)) are computed ONCE on a one-row broadcast
+    // table and fixed to ppm longs, so every pair score is an exact
+    // integer sum — no per-pair transcendental, no double accumulation.
+    // Blocking on (lang, 100-char length band) bounds the pair
+    // enumeration per block (the er_cluster discipline; at 100 TB the
+    // candidate generator swaps for the minhash band join — the scoring
+    // side is unchanged). Output: the accepted pairs (score > 0).
+    Q("q_er_fellegi",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val toks = TextFunctions.tokens(col("text"))
+        val dd = graft.core.CacheScope.autoRelease(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            col("lang"), expr("n_chars div 100").as("cband"),
+            element_at(toks, 1).as("tok1"),
+            expr("size(filter(split(text, '\\\\s+'), t -> t <> '')) div 50")
+              .as("wband")))
+        def uNum(c: String, as: String) =
+          dd.groupBy(c).agg(count(lit(1)).as("c"))
+            .agg(sum(dc(col("c")) * (col("c") - 1)).as(as))
+        def uOf(un: org.apache.spark.sql.Column) =
+          (un.cast("double") + lit(0.5)) /
+            ((dc(col("n")) * (col("n") - 1) + 1).cast("double"))
+        def waOf(u: org.apache.spark.sql.Column) =
+          round(log(lit(0.95) / u) * 1e6).cast("long")
+        def wdOf(u: org.apache.spark.sql.Column) =
+          round(log(lit(0.05) / (lit(1.0) - u)) * 1e6).cast("long")
+        val w = dd.agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(uNum("source", "un_s")))
+          .crossJoin(broadcast(uNum("tok1", "un_t")))
+          .crossJoin(broadcast(uNum("wband", "un_w")))
+          .select(
+            waOf(uOf(col("un_s"))).as("sa"), wdOf(uOf(col("un_s"))).as("sd"),
+            waOf(uOf(col("un_t"))).as("ta"), wdOf(uOf(col("un_t"))).as("td"),
+            waOf(uOf(col("un_w"))).as("wa"), wdOf(uOf(col("un_w"))).as("wd"))
+        dd.as("a").join(dd.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.cband") === col("b.cband") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .crossJoin(broadcast(w))
+          .select(col("a.doc_id").as("i1"), col("b.doc_id").as("i2"),
+            (col("a.source") === col("b.source")).cast("int").as("src_eq"),
+            (col("a.tok1") === col("b.tok1")).cast("int").as("tok_eq"),
+            (col("a.wband") === col("b.wband")).cast("int").as("band_eq"),
+            (when(col("a.source") === col("b.source"), col("sa"))
+              .otherwise(col("sd"))
+              + when(col("a.tok1") === col("b.tok1"), col("ta"))
+                .otherwise(col("td"))
+              + when(col("a.wband") === col("b.wband"), col("wa"))
+                .otherwise(col("wd"))).as("score_ppm"))
+          .filter(col("score_ppm") > 0)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, lang,
+           |    n_chars // 100 AS cband,
+           |    ${LlmQueries.duckTokens("text")}[1] AS tok1,
+           |    len(${LlmQueries.duckTokens("text")}) // 50 AS wband
+           |  FROM documents),
+           |nn AS (SELECT count(*) n FROM d),
+           |us AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS BIGINT)
+           |         un FROM (SELECT count(*) c FROM d GROUP BY source)),
+           |ut AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS BIGINT)
+           |         un FROM (SELECT count(*) c FROM d GROUP BY tok1)),
+           |uw AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS BIGINT)
+           |         un FROM (SELECT count(*) c FROM d GROUP BY wband)),
+           |w AS (SELECT
+           |  CAST(round(ln(0.95 / ((us.un + 0.5)
+           |    / (CAST(nn.n AS HUGEINT) * (nn.n - 1) + 1))) * 1e6)
+           |    AS BIGINT) sa,
+           |  CAST(round(ln(0.05 / (1 - (us.un + 0.5)
+           |    / (CAST(nn.n AS HUGEINT) * (nn.n - 1) + 1))) * 1e6)
+           |    AS BIGINT) sd,
+           |  CAST(round(ln(0.95 / ((ut.un + 0.5)
+           |    / (CAST(nn.n AS HUGEINT) * (nn.n - 1) + 1))) * 1e6)
+           |    AS BIGINT) ta,
+           |  CAST(round(ln(0.05 / (1 - (ut.un + 0.5)
+           |    / (CAST(nn.n AS HUGEINT) * (nn.n - 1) + 1))) * 1e6)
+           |    AS BIGINT) td,
+           |  CAST(round(ln(0.95 / ((uw.un + 0.5)
+           |    / (CAST(nn.n AS HUGEINT) * (nn.n - 1) + 1))) * 1e6)
+           |    AS BIGINT) wa,
+           |  CAST(round(ln(0.05 / (1 - (uw.un + 0.5)
+           |    / (CAST(nn.n AS HUGEINT) * (nn.n - 1) + 1))) * 1e6)
+           |    AS BIGINT) wd
+           |  FROM nn, us, ut, uw),
+           |sc AS (SELECT a.doc_id i1, b.doc_id i2,
+           |         a.source = b.source se, a.tok1 = b.tok1 te,
+           |         a.wband = b.wband we
+           |       FROM d a JOIN d b
+           |         ON a.lang = b.lang AND a.cband = b.cband
+           |        AND a.doc_id < b.doc_id)
+           |SELECT i1, i2,
+           |  CAST(CASE WHEN se THEN 1 ELSE 0 END AS INT) AS src_eq,
+           |  CAST(CASE WHEN te THEN 1 ELSE 0 END AS INT) AS tok_eq,
+           |  CAST(CASE WHEN we THEN 1 ELSE 0 END AS INT) AS band_eq,
+           |  (CASE WHEN se THEN w.sa ELSE w.sd END
+           |   + CASE WHEN te THEN w.ta ELSE w.td END
+           |   + CASE WHEN we THEN w.wa ELSE w.wd END) AS score_ppm
+           |FROM sc, w
+           |WHERE (CASE WHEN se THEN w.sa ELSE w.sd END
+           |       + CASE WHEN te THEN w.ta ELSE w.td END
+           |       + CASE WHEN we THEN w.wa ELSE w.wd END) > 0""".stripMargin),
+      "Fellegi-Sunter linkage: exact u-estimation, ppm log-ratio weights, blocked pair scoring"),
+
     // Concat-and-chunk sequence packing: per source shard, docs in doc_id
     // order fill fixed 512-token chunks. Parallel across shards; each
     // shard's window sorts only its own rows.

@@ -619,6 +619,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_er_fellegi enumerates pairs only inside (lang, band) blocks — an equi-join, never a cartesian") {
+    val p = plan("q_er_fellegi")
+    // the weight-table crossjoins are the declared bounded one-row
+    // broadcasts; the PAIR join must key on the block columns
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_stats_gini collapses to value counts before the bounded grid windows (no pair enumeration)") {
     val p = plan("q_stats_gini")
     assert(!p.contains("CartesianProduct"), p)
