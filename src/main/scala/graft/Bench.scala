@@ -189,7 +189,12 @@ object Bench {
     "q_graph_closeness",
     // round-16 birth 3: edge-weighted PageRank (6 widened rounds) —
     // 4.5 s quiet median at birth; promoted per the ≥2 s rule
-    "q_graph_pagerank_weighted")
+    "q_graph_pagerank_weighted",
+    // round-17 births over the 2 s line: MRR composes the BM25 top-k +
+    // relevance join (the q_eval_ndcg cost class); the unigram refit
+    // runs the bounded Viterbi twice (seed + EM vocab) — promoted at
+    // birth per the ≥2 s rule, 7-rep quiet medians in BENCHFOCUS_r17
+    "q_eval_mrr", "q_text_unigram_refit")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
