@@ -194,7 +194,11 @@ object Bench {
     // relevance join (the q_eval_ndcg cost class); the unigram refit
     // runs the bounded Viterbi twice (seed + EM vocab) — promoted at
     // birth per the ≥2 s rule, 7-rep quiet medians in BENCHFOCUS_r17
-    "q_eval_mrr", "q_text_unigram_refit")
+    "q_eval_mrr", "q_text_unigram_refit",
+    // round-17 tail: RBO runs BOTH retrievals (BM25 top-k + exact
+    // cosine top-k) before the cheap list compare — genuine ~3.1 s
+    // (5-rep median at birth); promoted per the ≥2 s rule
+    "q_eval_rbo")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

@@ -34,6 +34,20 @@ object SearchQueries {
   /** Queries = the benchmark docs (doc_id < 10, the decontam
     * convention); corpus = the rest. */
   private val QMax = 10
+
+  /** RBO persistence parameter (Webber et al.'s standard choice). */
+  val RboP = 0.9
+
+  /** RBO tail sums S(m) = (1−p)·Σ_{d=m..K} p^(d−1)/d in ppb — a common
+    * doc at ranks (rA, rB) contributes S(max(rA, rB)). Precomputed here
+    * (Scala, build-time) and embedded as identical literals in BOTH
+    * engines' plans, so runtime arithmetic is pure integer sums. */
+  val RboTail: Seq[Long] = {
+    val c = (1 to Bm25K).map(dd =>
+      (1.0 - RboP) * math.pow(RboP, dd - 1) / dd)
+    (1 to Bm25K).map(m =>
+      math.round(c.drop(m - 1).sum * 1e9))
+  }
   /** Hard negatives mined per query (after the dup exclusion). */
   val HardNegK = 5
 
@@ -350,6 +364,90 @@ object SearchQueries {
            |       AS INT) AS hit5
            |FROM fr""".stripMargin),
       s"MRR + hit@5 of BM25 against binary term-overlap relevance (rel ≥ 2)"),
+
+    // Rank-biased overlap (Webber et al. 2010) between the lexical and
+    // semantic top-$Bm25K lists — the ranking-agreement diagnostic a
+    // hybrid-retrieval stack publishes next to the RRF fusion: low RBO
+    // means the two systems surface genuinely different evidence (and
+    // fusion has something to add). Truncated RBO@k =
+    // (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d regrouped PER COMMON DOC: a doc
+    // at ranks (rA, rB) contributes the tail sum S(max(rA,rB)) where
+    // S(m) = (1−p)·Σ_{d=m..k} p^(d−1)/d — the k tail sums are
+    // PRECOMPUTED ppb literals shared verbatim by both engines (the
+    // q_quality_benford discipline: zero runtime libm surface), so each
+    // query's RBO is an exact integer sum over its ≤ k common docs.
+    // All work is on the two O(queries·k) lists.
+    Q("q_eval_rbo",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val qs = docs.filter(col("doc_id") < QMax)
+        val qCnt = qs.count()
+        val semQ = emb.filter(col("vec_id") < QMax)
+        val semQCnt = semQ.count()
+        val post = graft.core.CacheScope.autoRelease(Bm25.postings(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
+        val lex = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt))
+          .select(col("query_id"), col("doc_id"), col("rnk").as("ra"))
+        val sem = graft.operators.Similarity.corpusTopK(
+          emb.filter(col("vec_id") >= QMax), semQ, Bm25K,
+          knownQueryRows = Some(semQCnt))
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk").as("rb"))
+        val ov = lex.join(sem, Seq("query_id", "doc_id"))
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_common"),
+            sum(element_at(typedLit(RboTail),
+              greatest(col("ra"), col("rb")).cast("int"))).as("rbo_ppb"))
+        val qids = lex.select("query_id").distinct()
+          .join(sem.select("query_id").distinct(), "query_id")
+        qids.join(ov, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            coalesce(col("rbo_ppb"), lit(0L)).as("rbo_ppb"),
+            round(coalesce(col("rbo_ppb"), lit(0L)).cast("double")
+              / 1e9, 6).as("rbo6"))
+      },
+      Some(s"""WITH $duckBm25Ctes,
+           |qt AS (SELECT DISTINCT doc_id AS query_id, term
+           |       FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |             FROM documents WHERE doc_id < $QMax)),
+           |sc AS (SELECT qt.query_id, ctf.doc_id,
+           |         round(sum($duckContrib), 6) AS score6
+           |       FROM qt JOIN ctf USING (term)
+           |         JOIN cdf USING (term)
+           |         JOIN cdl ON ctf.doc_id = cdl.doc_id
+           |         CROSS JOIN cst
+           |       GROUP BY qt.query_id, ctf.doc_id),
+           |lex AS (SELECT query_id, doc_id, rn AS ra
+           |        FROM (SELECT *, row_number() OVER
+           |                (PARTITION BY query_id
+           |                 ORDER BY score6 DESC, doc_id) AS rn
+           |              FROM sc)
+           |        WHERE rn <= $Bm25K),
+           |sem AS (SELECT query_id, doc_id, rn AS rb FROM (
+           |          SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |              ${LlmQueries.duckCosine("q.embedding::DOUBLE[]",
+                            "c.embedding::DOUBLE[]")} DESC, c.vec_id) AS rn
+           |          FROM embeddings q JOIN embeddings c
+           |            ON c.vec_id >= $QMax
+           |          WHERE q.vec_id < $QMax)
+           |        WHERE rn <= $Bm25K),
+           |ov AS (SELECT l.query_id, count(*) AS n_common,
+           |         CAST(sum((${RboTail.mkString("[", ", ", "]")})
+           |           [greatest(l.ra, s.rb)]) AS BIGINT) AS rbo_ppb
+           |       FROM lex l JOIN sem s USING (query_id, doc_id)
+           |       GROUP BY l.query_id),
+           |qids AS (SELECT DISTINCT query_id FROM lex
+           |         INTERSECT SELECT DISTINCT query_id FROM sem)
+           |SELECT q.query_id,
+           |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+           |  coalesce(rbo_ppb, 0) AS rbo_ppb,
+           |  round(CAST(coalesce(rbo_ppb, 0) AS DOUBLE) / 1e9, 6) AS rbo6
+           |FROM qids q LEFT JOIN ov ON q.query_id = ov.query_id""".stripMargin),
+      s"rank-biased overlap (p=$RboP) between the BM25 and cosine top-$Bm25K lists (ppb tail-sum literals)"),
 
     // Winnowing fingerprints (Schleimer et al. 2003): per document, the
     // minimum k-gram hash in every sliding window of $WinnowW

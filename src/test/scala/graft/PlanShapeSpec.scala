@@ -628,6 +628,11 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_eval_rbo compares the two O(queries·k) lists — no corpus-side cartesian") {
+    val p = plan("q_eval_rbo")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_stats_gini collapses to value counts before the bounded grid windows (no pair enumeration)") {
     val p = plan("q_stats_gini")
     assert(!p.contains("CartesianProduct"), p)
