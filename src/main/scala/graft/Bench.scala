@@ -198,7 +198,10 @@ object Bench {
     // round-17 tail: RBO runs BOTH retrievals (BM25 top-k + exact
     // cosine top-k) before the cheap list compare — genuine ~3.1 s
     // (5-rep median at birth); promoted per the ≥2 s rule
-    "q_eval_rbo")
+    "q_eval_rbo",
+    // round-17 tail 2: the hop plot runs the closeness-family sampled
+    // BFS (depth layers × frontier joins) — 2.8 s at birth; promoted
+    "q_graph_hopplot")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

@@ -65,4 +65,57 @@ object Closeness {
     pinned.foreach(_.unpersist(blocking = false))
     frozen
   }
+
+  /** Hop plot from the same sampled truncated BFS: per hop l ∈
+    * [0, depth], the number of (seed, node) pairs first reached at
+    * exactly l, with the cumulative count and its ppm share of all
+    * reached pairs — the table the effective-diameter readout (smallest
+    * l with cum_ppm ≥ 900000) is read straight off. Same cost shape as
+    * [[harmonic]] (one co-partitioned frontier join per layer); the
+    * result is O(depth) rows, frozen so the cum/total second pass never
+    * re-runs the BFS. */
+  def hopPlot(edges: DataFrame, seeds: Seq[Long], depth: Int): DataFrame = {
+    require(depth >= 1, s"hop plot needs depth >= 1, got $depth")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val eS = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    var pinned = List.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      pinned ::= p
+      p
+    }
+    val f0 = pin(seeds.toDF("seed").select(col("seed"),
+      col("seed").as("node")))
+    var layers = Vector(f0)
+    var visited = f0
+    for (_ <- 1 to depth) {
+      val layer = layers.last.join(eS, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("nxt"))
+        .join(visited.withColumnRenamed("node", "nxt"),
+          Seq("seed", "nxt"), "left_anti")
+        .select(col("seed"), col("nxt").as("node")).distinct()
+      val p = pin(layer)
+      layers :+= p
+      visited = pin(visited.unionByName(p))
+    }
+    val perHop = (0 to depth).map { l =>
+      layers(l).agg(count(lit(1)).as("n_pairs"))
+        .select(lit(l).as("hop"), col("n_pairs"))
+    }.reduce(_ unionByName _)
+    val frozen = graft.core.Freeze(perHop)
+    eS.unpersist(blocking = false)
+    pinned.foreach(_.unpersist(blocking = false))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hop")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    frozen
+      .withColumn("cum_pairs", sum("n_pairs").over(w))
+      .crossJoin(broadcast(frozen.agg(sum("n_pairs").as("tot"))))
+      .select(col("hop"), col("n_pairs"), col("cum_pairs"),
+        expr("(cum_pairs * 1000000) div tot").as("cum_ppm"))
+  }
 }

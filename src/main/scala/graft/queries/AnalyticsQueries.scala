@@ -2144,6 +2144,63 @@ object AnalyticsQueries {
       },
       "sampled harmonic closeness: 12-seed truncated-BFS 1e6 div dist sums"),
 
+    // Hop plot + effective diameter of the order–part graph from the
+    // SAME sampled truncated BFS the closeness gate runs (seeds, depth,
+    // layer recurrence all shared): per hop, how many (seed, node)
+    // pairs are first reached at exactly that distance, cumulatively,
+    // with the ppm share of all reached pairs — the neighborhood-
+    // function readout (ANF, Palmer et al. 2002) whose 90th-percentile
+    // row IS the effective diameter. O(depth) output rows; the per-hop
+    // counts are frozen before the cum/total pass so the BFS runs once.
+    Q("q_graph_hopplot",
+      (s, d) => {
+        val bm = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+        val ed = bm.union(bm.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val seeds = ed.select(col("src")).distinct()
+          .filter(col("src") % BtwSeedMod === 0)
+          .orderBy(col("src")).limit(BtwSeedCount)
+          .collect().map(_.getLong(0)).toSeq
+        Closeness.hopPlot(ed, seeds, BtwDepth)
+      },
+      Some {
+        val fwd = (1 to BtwDepth).map { l =>
+          s"""f$l AS (SELECT DISTINCT f.seed, e.dst AS node
+             |FROM f${l - 1} f JOIN e ON f.node = e.src
+             |WHERE NOT EXISTS (SELECT 1 FROM v${l - 1} v
+             |                  WHERE v.seed = f.seed AND v.node = e.dst)),
+             |v$l AS (SELECT seed, node FROM v${l - 1}
+             |        UNION ALL SELECT seed, node FROM f$l)""".stripMargin
+        }.mkString(",\n")
+        val counts = (0 to BtwDepth)
+          .map(l => s"SELECT $l AS hop, count(*) AS n_pairs FROM f$l")
+          .mkString(" UNION ALL ")
+        s"""WITH b AS (SELECT DISTINCT l_orderkey * 2 AS src,
+           |             l_partkey * 2 + 1 AS dst FROM lineitem),
+           |e AS (SELECT src, dst FROM b
+           |      UNION SELECT dst AS src, src AS dst FROM b),
+           |seeds AS (SELECT src AS seed
+           |          FROM (SELECT DISTINCT src FROM e)
+           |          WHERE src % $BtwSeedMod = 0
+           |          ORDER BY src LIMIT $BtwSeedCount),
+           |f0 AS (SELECT seed, seed AS node FROM seeds),
+           |v0 AS (SELECT seed, node FROM f0),
+           |$fwd,
+           |ph AS ($counts),
+           |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM ph),
+           |cum AS (SELECT hop, CAST(n_pairs AS BIGINT) AS n_pairs,
+           |          CAST(sum(n_pairs) OVER (ORDER BY hop
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS cum_pairs
+           |        FROM ph)
+           |SELECT hop, n_pairs, cum_pairs,
+           |  CAST((cum_pairs * 1000000) // tot AS BIGINT) AS cum_ppm
+           |FROM cum CROSS JOIN tot""".stripMargin
+      },
+      "hop plot / effective diameter from the sampled truncated BFS (ANF readout)"),
+
     // HITS hubs & authorities over the DIRECTED order→part graph — the
     // link-analysis complement to PageRank (authorities weight endorsed
     // items, hubs find collector pages to down-sample). Max-normalized

@@ -628,6 +628,17 @@ class PlanShapeSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_graph_hopplot: cum/total pass reads the frozen O(depth) table — the BFS never re-runs") {
+    val p = plan("q_graph_hopplot")
+    // the BFS side is pre-frozen (localCheckpoint), so the executed
+    // plan here is the bounded readout: scans of the frozen RDD, the
+    // 1-row total broadcast (its BNLJ is the declared bounded scalar),
+    // and no cartesian/corpus work
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
   test("q_eval_rbo compares the two O(queries·k) lists — no corpus-side cartesian") {
     val p = plan("q_eval_rbo")
     assert(!p.contains("CartesianProduct"), p)
