@@ -201,7 +201,11 @@ object Bench {
     "q_eval_rbo",
     // round-17 tail 2: the hop plot runs the closeness-family sampled
     // BFS (depth layers × frontier joins) — 2.8 s at birth; promoted
-    "q_graph_hopplot")
+    "q_graph_hopplot",
+    // round-17 tail 3: the 4-way multi-distinct ANALYZE pass sits ON
+    // the 2 s line (1.98 s 5-rep median) — promoted proactively per
+    // the q_assoc_rules precedent
+    "q_stats_analyze")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

@@ -2737,6 +2737,48 @@ object AnalyticsQueries {
            |FROM v""".stripMargin),
       "skewness + excess kurtosis from one pass of exact DECIMAL power sums"),
 
+    // ANALYZE-style column statistics publish — the (ndv, nulls, min,
+    // max) artifact a cost-based optimizer and a data catalog both
+    // consume, computed for the four lineitem measures in ONE corpus
+    // pass (Spark plans the multi-distinct aggregate via Expand) and
+    // unpivoted to a row per column. Values are fixed to cents so both
+    // engines compare integers. Exact NDV is the oracle-checkable form
+    // pinned here; at 100 TB the same shape swaps countDistinct for the
+    // already-gated HLL sketch (q_agg_approx) without touching the
+    // artifact schema.
+    Q("q_stats_analyze",
+      (s, d) => {
+        def c100(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val li = t(s, d, "lineitem")
+          .select(cols.map(c => c100(c).as(c)): _*)
+        val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+          countDistinct(col(c)).as(s"ndv_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nl_$c"),
+          min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+        val stack = cols.map(c =>
+          s"'$c', n, ndv_$c, nl_$c, mn_$c, mx_$c").mkString(", ")
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${cols.size}, $stack) AS " +
+            "(col_name, n_rows, ndv, n_nulls, min_c, max_c)"))
+      },
+      Some {
+        val parts = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax").map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(count(DISTINCT CAST(round($c * 100) AS BIGINT))
+             |       AS BIGINT) AS ndv,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_nulls,
+             |  min(CAST(round($c * 100) AS BIGINT)) AS min_c,
+             |  max(CAST(round($c * 100) AS BIGINT)) AS max_c
+             |FROM lineitem""".stripMargin
+        }
+        parts.mkString("\nUNION ALL\n")
+      },
+      "ANALYZE-style column stats (ndv/nulls/min/max in cents) for the lineitem measures, one pass"),
+
     // Gini concentration of doc length per slice — the inequality
     // readout a corpus-balance report publishes next to the skew
     // profile (how concentrated is the token budget in few documents?).

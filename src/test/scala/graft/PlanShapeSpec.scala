@@ -639,6 +639,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), p)
   }
 
+  test("q_stats_analyze is one Expand-planned multi-distinct pass — no join, no repeated scans") {
+    val p = plan("q_stats_analyze")
+    assert(!p.contains("Join"), p)
+    assert(p.split("Scan parquet").length - 1 == 1,
+      s"lineitem must scan exactly once:\n$p")
+  }
+
   test("q_eval_rbo compares the two O(queries·k) lists — no corpus-side cartesian") {
     val p = plan("q_eval_rbo")
     assert(!p.contains("CartesianProduct"), p)

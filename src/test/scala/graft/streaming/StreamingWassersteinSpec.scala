@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming form of the Wasserstein-1 drift monitor (q_drift_
+  * wasserstein's production topology, the PSI sibling): the frozen
+  * artifact is the reference snapshot's value-count grid (bounded by
+  * distinct cents); each microbatch is scored statelessly against it —
+  * one exact W1 per batch over the merged grid, integers until the one
+  * final division. Pinned: per-batch W1 ≡ the batch-mode recomputation
+  * on exactly that batch's events, across a restart; an
+  * in-distribution batch scores near zero and a location-shifted batch
+  * scores ≈ its shift.
+  */
+class StreamingWassersteinSpec extends SparkSpec {
+
+  private val cents = expr("CAST(round(value * 100) AS BIGINT)")
+
+  private def w1Against(batch: DataFrame, ref: DataFrame): DataFrame = {
+    val bc = batch.select(cents.as("v")).groupBy("v")
+      .agg(count(lit(1)).as("cb"))
+    val grid = ref.select(col("v")).unionByName(bc.select("v")).distinct()
+    val j = grid.join(ref, Seq("v"), "left").na.fill(0L, Seq("ca"))
+      .join(bc, Seq("v"), "left").na.fill(0L, Seq("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val tot = j.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    j.withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .withColumn("dx", coalesce(
+        lead("v", 1).over(Window.orderBy("v")) - col("v"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(max("na").as("na"), max("nb").as("nb"),
+        sum(abs(dc(col("cuma")) * col("nb")
+          - dc(col("cumb")) * col("na")) * dc(col("dx"))).as("num"))
+      .select(col("na"), col("nb"),
+        round(col("num").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double"))
+          / 100.0, 6).as("w1_dollars6"))
+  }
+
+  test("per-microbatch W1 vs frozen reference grid ≡ batch + detects shift") {
+    val work = Files.createTempDirectory("graft_w1_stream").toString
+    val events = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("value"))
+
+    // PUBLISH once: the reference value-count grid
+    events.filter(col("event_id") % 2 === 0)
+      .select(cents.as("v")).groupBy("v").agg(count(lit(1)).as("ca"))
+      .write.parquet(s"$work/ref")
+    val ref = spark.read.parquet(s"$work/ref")
+
+    val hold = events.filter(col("event_id") % 2 =!= 0)
+    val shifted = hold.select((col("event_id") + 1000000L).as("event_id"),
+      (col("value") + lit(500.0)).as("value"))
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("event_id").collect().map(_.getLong(0)).toSeq)
+            w1Against(df, ref)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.repartition(2).write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    shifted.coalesce(1).write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val all = events.unionByName(shifted)
+    val got = spark.read.parquet(out)
+    assert(got.count() == batches.size.toLong)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = w1Against(all.filter(col("event_id").isin(ids: _*)), ref)
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed W1 differs from batch mode")
+    }
+    // sensitivity: W1 is in dollars of transported mass — the $500
+    // location shift must read back as ≈ 500, in-dist batches far less
+    val scores = got.select("w1_dollars6").collect().map(_.getDouble(0))
+    assert(scores.min < 100.0, s"in-distribution batch scored ${scores.min}")
+    assert(scores.max > 400.0, s"shifted batch must move ≈ its shift, got ${scores.max}")
+  }
+}
