@@ -2039,6 +2039,83 @@ object LlmQueries {
            |GROUP BY doc_id""".stripMargin),
       "interpolated bigram avg NLL per doc (Jelinek-Mercer 3/4-1/4 smoothing)"),
 
+    // Kneser-Ney upgrade of the bigram score — the smoothing every
+    // production n-gram LM (KenLM) actually ships: absolute discounting
+    // with the CONTINUATION unigram ("how many contexts does w2
+    // follow?" — the fix for Francisco-after-San). All model counts are
+    // exact integers from three map-side-combined aggregates over the
+    // same bigram table: c12/c1 as in JM, N1+(w1·) = distinct
+    // continuations of w1, N1+(·w2) = distinct histories of w2,
+    // N1+(··) = distinct bigrams. D = 3/4 (exact in binary);
+    //   p_KN(w2|w1) = max(c12 − D, 0)/c1 + (D·nf(w1)/c1)·(np(w2)/nb)
+    // is one per-row double expression over identical integers on both
+    // engines, with the house round(avg(−ln·), 6) at the end. At
+    // 100 TB: the artifact stays O(distinct bigrams) + two O(vocab)
+    // side tables; the score path is the same equi-join chain as JM.
+    Q("q_text_lm_kn",
+      (s, d) => {
+        val docs = Tables.ensureParallelism(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
+        val big = graft.core.CacheScope.autoRelease(
+          docs.select(explode(TextFunctions.shingles(col("text"), 2))
+            .as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c12"))
+          .select(split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+            split_part(col("bg"), lit(" "), lit(2)).as("w2"),
+            col("c12")))
+        val c1 = big.groupBy("w1").agg(sum("c12").as("c1"),
+          count(lit(1)).as("nf"))
+        val np = big.groupBy("w2").agg(count(lit(1)).as("np"))
+        val nb = big.agg(count(lit(1)).as("nb"))
+        val docBg = docs.select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+          .select(col("doc_id"), col("bg"),
+            split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+            split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+        docBg
+          .join(big.select(col("w1"), col("w2"), col("c12")),
+            Seq("w1", "w2"))
+          .join(c1, "w1").join(np, "w2")
+          .crossJoin(broadcast(nb))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log(
+              greatest(col("c12").cast("double") - lit(0.75), lit(0.0))
+                / col("c1")
+                + lit(0.75) * col("nf").cast("double") / col("c1")
+                  * (col("np").cast("double") / col("nb")))), 6)
+              .as("avg_nll_kn"))
+      },
+      Some(s"""WITH big AS (
+           |  SELECT split_part(bg, ' ', 1) AS w1,
+           |         split_part(bg, ' ', 2) AS w2, count(*) AS c12
+           |  FROM (SELECT unnest(${duckShingles(duckTokens("text"), 2)})
+           |          AS bg FROM documents)
+           |  GROUP BY 1, 2),
+           |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+           |         count(*) AS nf
+           |       FROM big GROUP BY w1),
+           |np AS (SELECT w2, count(*) AS np FROM big GROUP BY w2),
+           |nb AS (SELECT count(*) AS nb FROM big),
+           |docbg AS (
+           |  SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+           |         split_part(bg, ' ', 2) AS w2
+           |  FROM (SELECT doc_id,
+           |          unnest(${duckShingles(duckTokens("text"), 2)}) AS bg
+           |        FROM documents))
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(avg(-ln(
+           |    greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / c1.c1
+           |    + 0.75 * CAST(nf AS DOUBLE) / c1.c1
+           |      * (CAST(np.np AS DOUBLE) / nb.nb))), 6) AS avg_nll_kn
+           |FROM docbg
+           |  JOIN big USING (w1, w2)
+           |  JOIN c1 USING (w1)
+           |  JOIN np USING (w2)
+           |  CROSS JOIN nb
+           |GROUP BY doc_id""".stripMargin),
+      "Kneser-Ney bigram avg NLL per doc (absolute discount + continuation unigram, exact counts)"),
+
     // Benchmark decontamination: flag corpus documents sharing any word
     // 3-gram with the benchmark set (stand-in: doc_id < 10). The
     // benchmark's distinct shingles BROADCAST — the corpus streams through
