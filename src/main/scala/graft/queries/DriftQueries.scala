@@ -432,6 +432,117 @@ object DriftQueries {
            |FROM num WHERE nb > 0 GROUP BY source, na, nb""".stripMargin),
       "two-sample Wasserstein-1 on doc length, each slice vs rest (exact cross-multiplied integral)"),
 
+    // Mann-Whitney U on doc length, each slice vs rest — the
+    // NON-PARAMETRIC sibling of q_ab_welch (rank test: no normality
+    // assumption, the robust default for skewed size distributions).
+    // Doubled-U form keeps everything integer: U2 = Σ_v ca_v·(2·cb_<v
+    // + cb_v) counts each cross pair twice (ties once each way), so
+    // E[U2] = na·nb exactly; the tie-corrected variance numerator
+    // S = na·nb·((n+1)·n·(n−1) − Σ(t³−t)) is DECIMAL-widened exact and
+    // z = (U2 − na·nb) / (2·√(S/(12·n·(n−1)))) is one double
+    // expression over identical integers (sqrt is IEEE-exact). A
+    // fully-tied grid (S = 0) NULLs z on both engines — the ANSI-÷0
+    // contract.
+    Q("q_ab_mannwhitney",
+      (s, d) => {
+        val vc = t(s, d, "documents").select(col("source"), col("n_chars"))
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val grid = vc.select("source").distinct()
+          .crossJoin(vc.select("n_chars").distinct())
+          .join(vc, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+        val wG = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gcum = vc.groupBy("n_chars").agg(sum("c").as("ct"))
+          .select(col("n_chars"), col("ct"),
+            sum("ct").over(wG).as("cumt"))
+        val na = vc.groupBy("source").agg(sum("c").as("na"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val ties = vc.groupBy("n_chars").agg(sum("c").as("t"))
+          .agg(sum(dc(col("t")) * col("t") * col("t") - col("t")).as("tt"))
+        grid
+          .select(col("source"), col("n_chars"),
+            col("c").as("ca"),
+            sum("c").over(Window.partitionBy("source").orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("cuma"))
+          .join(gcum, "n_chars").join(na, "source")
+          .crossJoin(broadcast(vc.agg(sum("c").as("nn"))))
+          .crossJoin(broadcast(ties))
+          // cb below v = (cumt − ct) − (cuma − ca); cb at v = ct − ca
+          .select(col("source"), col("na"), (col("nn") - col("na")).as("nb"),
+            col("nn"), col("tt"),
+            (dc(col("ca")) * (lit(2) * ((col("cumt") - col("ct"))
+              - (col("cuma") - col("ca"))) + (col("ct") - col("ca"))))
+              .as("u2v"))
+          .filter(col("nb") > 0)
+          .groupBy("source", "na", "nb", "nn", "tt")
+          .agg(sum("u2v").as("u2"))
+          .select(col("source"), col("na").as("n_a"), col("nb").as("n_b"),
+            col("u2").cast("long").as("u2"),
+            round(when(
+              dc(col("na")) * col("nb")
+                * ((dc(col("nn")) + 1) * col("nn") * (col("nn") - 1)
+                   - col("tt")) > 0,
+              (col("u2").cast("double")
+                - col("na").cast("double") * col("nb").cast("double"))
+                / (lit(2.0) * sqrt(
+                  (dc(col("na")) * col("nb")
+                    * ((dc(col("nn")) + 1) * col("nn") * (col("nn") - 1)
+                       - col("tt"))).cast("double")
+                    / (lit(12.0) * col("nn").cast("double")
+                       * (col("nn").cast("double") - 1.0))))), 6)
+              .as("z6"))
+      },
+      Some("""WITH vc AS (SELECT source, n_chars, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |grid AS (SELECT s.source, v.n_chars, coalesce(vc.c, 0) AS c
+           |         FROM (SELECT DISTINCT source FROM vc) s
+           |         CROSS JOIN (SELECT DISTINCT n_chars FROM vc) v
+           |         LEFT JOIN vc ON vc.source = s.source
+           |           AND vc.n_chars = v.n_chars),
+           |cum AS (SELECT source, n_chars, c AS ca,
+           |          CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS cuma
+           |        FROM grid),
+           |gcum AS (SELECT n_chars, ct,
+           |           CAST(sum(ct) OVER (ORDER BY n_chars
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |             AS BIGINT) AS cumt
+           |         FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS ct
+           |               FROM vc GROUP BY n_chars)),
+           |na AS (SELECT source, CAST(sum(c) AS BIGINT) AS na
+           |       FROM vc GROUP BY source),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM vc),
+           |tt AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+           |              AS BIGINT) AS tt
+           |       FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS t
+           |             FROM vc GROUP BY n_chars)),
+           |u AS (SELECT cum.source, na.na, nn.nn - na.na AS nb, nn.nn,
+           |        tt.tt,
+           |        CAST(cum.ca AS HUGEINT)
+           |          * (2 * ((gcum.cumt - gcum.ct) - (cum.cuma - cum.ca))
+           |             + (gcum.ct - cum.ca)) AS u2v
+           |      FROM cum JOIN gcum USING (n_chars)
+           |        JOIN na USING (source) CROSS JOIN nn CROSS JOIN tt)
+           |SELECT source, na AS n_a, nb AS n_b,
+           |  CAST(sum(u2v) AS BIGINT) AS u2,
+           |  round(CASE WHEN CAST(na AS HUGEINT) * nb
+           |          * ((CAST(nn AS HUGEINT) + 1) * nn * (nn - 1) - tt) > 0
+           |        THEN (CAST(sum(u2v) AS DOUBLE)
+           |              - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+           |          / (2.0 * sqrt(
+           |              CAST(CAST(na AS HUGEINT) * nb
+           |                * ((CAST(nn AS HUGEINT) + 1) * nn * (nn - 1)
+           |                   - tt) AS DOUBLE)
+           |              / (12.0 * CAST(nn AS DOUBLE)
+           |                 * (CAST(nn AS DOUBLE) - 1.0))))
+           |        END, 6) AS z6
+           |FROM u WHERE nb > 0
+           |GROUP BY source, na, nb, nn, tt""".stripMargin),
+      "Mann-Whitney U per slice vs rest (doubled-U exact integers, tie-corrected z)"),
+
     // Chi-square homogeneity across (slice × term-hash-bucket) — the
     // one-number categorical drift test over a BOUNDED contingency
     // table (terms hashed to Chi2Buckets cells, so the grid is
