@@ -205,7 +205,14 @@ object Bench {
     // round-17 tail 3: the 4-way multi-distinct ANALYZE pass sits ON
     // the 2 s line (1.98 s 5-rep median) — promoted proactively per
     // the q_assoc_rules precedent
-    "q_stats_analyze")
+    "q_stats_analyze",
+    // round-17 tail 4: the three coverage/EM rows whose quiet medians
+    // sit at 1.4-1.7 s but whose single-shot sweep tails cross 2 s
+    // (r17 pre-flight: 2.05-2.24 single-shot vs 1.37/1.63/1.72 7-rep
+    // quiet) — promoted proactively so the median tier absorbs the
+    // tail instead of the sweep gate flagging it every co-tenant run
+    "q_text_bpe_coverage", "q_text_unigram_coverage",
+    "q_text_unigram_em")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

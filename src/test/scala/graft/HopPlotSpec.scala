@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Closeness
+
+/** Closed-form contracts for the hop-plot readout (q_graph_hopplot's
+  * operator): exact layer counts on a hand path graph, cumulative ppm
+  * shares, and first-reach semantics (a node is counted at its
+  * SHORTEST distance only). */
+class HopPlotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesOf(pairs: (Long, Long)*) = {
+    val b = pairs.toDF("src", "dst")
+    b.unionByName(b.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("path graph 1-2-3-4-5 from seed 1: one pair per hop, exact cum ppm") {
+    val ed = edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = Closeness.hopPlot(ed, Seq(1L), 3)
+      .orderBy("hop")
+      .select("hop", "n_pairs", "cum_pairs", "cum_ppm")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, 1L, 1L, 250000L),
+      (1, 1L, 2L, 500000L),
+      (2, 1L, 3L, 750000L),
+      (3, 1L, 4L, 1000000L)), got)
+  }
+
+  test("diamond 1-{2,3}-4: node 4 counts once at its shortest distance") {
+    val ed = edgesOf((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val got = Closeness.hopPlot(ed, Seq(1L), 3)
+      .orderBy("hop").select("hop", "n_pairs")
+      .as[(Int, Long)].collect().toSeq
+    // hop 0: seed; hop 1: nodes 2 and 3; hop 2: node 4 (once); hop 3: none
+    assert(got == Seq((0, 1L), (1, 2L), (2, 1L), (3, 0L)), got)
+  }
+
+  test("two seeds: pairs are per (seed, node) — shared reachability double-counts by design") {
+    val ed = edgesOf((1L, 2L), (2L, 3L))
+    val got = Closeness.hopPlot(ed, Seq(1L, 3L), 2)
+      .orderBy("hop").select("hop", "n_pairs")
+      .as[(Int, Long)].collect().toSeq
+    // from 1: d(2)=1, d(3)=2; from 3: d(2)=1, d(1)=2; plus two hop-0 rows
+    assert(got == Seq((0, 2L), (1, 2L), (2, 2L)), got)
+  }
+}
