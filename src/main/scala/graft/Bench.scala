@@ -212,7 +212,11 @@ object Bench {
     // quiet) — promoted proactively so the median tier absorbs the
     // tail instead of the sweep gate flagging it every co-tenant run
     "q_text_bpe_coverage", "q_text_unigram_coverage",
-    "q_text_unigram_em")
+    "q_text_unigram_em",
+    // round-17 close: chi2's bounded contingency pass is 1.48 s quiet
+    // (7-rep) but single-shots tail past 2 s (2.10 in the first close
+    // window) — same class, same remedy
+    "q_drift_chi2")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
