@@ -216,7 +216,16 @@ object Bench {
     // round-17 close: chi2's bounded contingency pass is 1.48 s quiet
     // (7-rep) but single-shots tail past 2 s (2.10 in the first close
     // window) — same class, same remedy
-    "q_drift_chi2")
+    "q_drift_chi2",
+    // round-17 wave 2: AP runs the full MRR candidate build plus the
+    // per-relevant-rank window — 4.0 s quiet median at birth (7-rep);
+    // promoted per the ≥2 s rule. kruskal/richclub/conformal sit at
+    // 0.7-1.5 s quiet → sweep tier
+    "q_eval_map",
+    // round-17 wave 3: the 2-round EM schedule runs the bounded Viterbi
+    // twice plus both prunes — 2.8 s quiet median at birth; promoted
+    // per the ≥2 s rule. wordpiece/levene/woe (1.5/0.5/0.5) sweep tier
+    "q_text_unigram_em2")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

@@ -51,6 +51,11 @@ object Unigram {
     * seed slots — SentencePiece prunes a fixed fraction per round). */
   val EmTop = 16
 
+  /** Round-2 prune target — the declared 2-round schedule 24 → 16 → 12
+    * (SentencePiece's shrinking_factor discipline: a fixed fraction of
+    * multi-char slots drops each round; singles always survive). */
+  val EmTop2 = 12
+
   /** Distinct words with occurrence counts. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
@@ -167,7 +172,8 @@ object Unigram {
     * Output: (piece, cnt_em, logp6) — the rescored artifact, the same
     * shape [[vocabLp]] publishes, so a second Viterbi round applies it
     * unchanged. */
-  def emPrune(enc: DataFrame, seedVocab: DataFrame): DataFrame = {
+  def emPrune(enc: DataFrame, seedVocab: DataFrame,
+              top: Int = EmTop): DataFrame = {
     val em = enc
       .select(col("c"), explode(split(col("pieces"), " ")).as("piece"))
       .groupBy("piece").agg(sum(col("c")).as("cnt_em"))
@@ -176,7 +182,7 @@ object Unigram {
       .select(col("piece"), coalesce(col("cnt_em"), lit(0L)).as("cnt_em"))
     val pruned = kept.filter(length(col("piece")) === 1)
       .unionByName(kept.filter(length(col("piece")) >= 2)
-        .orderBy(col("cnt_em").desc, col("piece")).limit(EmTop))
+        .orderBy(col("cnt_em").desc, col("piece")).limit(top))
     val tot = pruned.agg(sum(col("cnt_em") + lit(1L)).as("t"))
     pruned.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt_em"),

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WordPiece-style greedy tokenizer (the BERT encode algorithm): a
+  * frozen piece vocabulary applied by LONGEST-MATCH-FIRST scanning —
+  * at each position take the longest vocab piece that prefixes the
+  * remainder, or emit `<unk>` and advance one char (Wu et al. 2016;
+  * the third classic subword algorithm beside the BPE family in
+  * [[Tokenizer]] and the unigram-LM family in [[Unigram]] — same
+  * artifact shape, no scores, pure string recursion).
+  *
+  * Scale shape: the vocabulary is BOUNDED (all single chars + the top
+  * [[Unigram.VocabTop]] multi-char pieces), so it rides into the scan
+  * as a map LITERAL and the whole encode is ONE narrow codegen stage
+  * over the hash-partitioned distinct-word table — zero joins, zero
+  * exchanges, [[Unigram.MaxRounds]] column rewrites. Greedy needs no
+  * argmax join because "longest first" is a fixed ≤ [[Unigram.MaxPiece]]
+  * when-chain per round. 100 TB of text costs one corpus pass for the
+  * word counts and O(distinct words) for everything else.
+  */
+object WordPiece {
+
+  /** Collect the bounded piece artifact for the map literal (singles +
+    * VocabTop multi-char — the [[Unigram.vocab]] output shape). */
+  def collectVocab(v: DataFrame): Set[String] =
+    v.select("piece").collect().map(_.getString(0)).toSet
+
+  /** Greedy longest-match segmentation per distinct word (≤
+    * [[Unigram.MaxRounds]] chars): (w, c, pieces, n_pieces, n_unk). */
+  def encodeWords(wc: DataFrame, vocab: Set[String]): DataFrame = {
+    require(vocab.nonEmpty, "WordPiece vocab must be non-empty")
+    val vm = typedLit(vocab.iterator.map(_ -> 1).toMap)
+    var st = wc.filter(length(col("w")) <= Unigram.MaxRounds)
+      .select(col("w"), col("c"), lit(0).as("pos"),
+        lit("").as("path"), lit(0).as("unk"))
+    for (_ <- 1 to Unigram.MaxRounds) {
+      val rem = length(col("w")) - col("pos")
+      // try_element_at, not element_at: a miss is the signal greedy
+      // backs off on, and ANSI element_at throws on missing map keys
+      def hit(l: Int) = rem >= l &&
+        try_element_at(vm, col("w").substr(col("pos") + 1, lit(l)))
+          .isNotNull
+      val step = (Unigram.MaxPiece to 1 by -1)
+        .foldLeft(lit(null).cast("int")) { (acc, l) =>
+          coalesce(acc, when(hit(l), lit(l)))
+        }
+      val done = col("pos") >= length(col("w"))
+      val adv = when(done, lit(0)).otherwise(coalesce(step, lit(1)))
+      val piece = when(done, lit(null).cast("string"))
+        .when(step.isNotNull, col("w").substr(col("pos") + 1, step))
+        .otherwise(lit("<unk>"))
+      st = st.select(col("w"), col("c"),
+        (col("pos") + adv).as("pos"),
+        when(piece.isNull, col("path"))
+          .when(col("path") === "", piece)
+          .otherwise(concat(col("path"), lit(" "), piece)).as("path"),
+        (col("unk") + when(!done && step.isNull, 1).otherwise(0))
+          .as("unk"))
+    }
+    st.select(col("w"), col("c"), col("path").as("pieces"),
+      size(split(col("path"), " ")).cast("int").as("n_pieces"),
+      col("unk").cast("int").as("n_unk"))
+  }
+}

@@ -422,6 +422,79 @@ object AnalyticsQueries {
               GROUP BY event_type"""),
       "frozen equal-frequency bucketizer: exact per-group quartile boundaries"),
 
+    // Weight-of-evidence / information-value scorecard for a candidate
+    // feature (n_chars, capped width-200 bins) against the lang='en'
+    // target — the credit-scoring-style feature-screening readout a
+    // quality-classifier pipeline publishes before training (IV < 0.02
+    // = useless, > 0.3 = strong). Counts are exact integers; each
+    // bin's WoE/IV term is one double expression over identical
+    // integers (ln rounded @6 per row — the house per-row-
+    // transcendental convention), and the GLOBAL IV is the sum of the
+    // per-bin terms carried as 1e-6 fixed point, so no cross-engine
+    // double reduction exists. O(bins) everything after one corpus
+    // aggregate; +0.5 cell smoothing keeps empty bins finite.
+    Q("q_feature_woe",
+      (s, d) => {
+        val cells = t(s, d, "documents")
+          .select(least(expr("n_chars div 200"), lit(9)).cast("int")
+            .as("bin"), (col("lang") === "en").as("lab"))
+          .groupBy("bin")
+          .agg(sum(when(col("lab"), 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("lab"), 0L).otherwise(1L)).as("n_bad"))
+        val tots = cells.agg(sum("n_good").as("gg"), sum("n_bad").as("bb"))
+        val scored = graft.core.CacheScope.autoRelease(
+          cells.crossJoin(broadcast(tots))
+            .select(col("bin"), col("n_good"), col("n_bad"),
+              log(((col("n_good").cast("double") + 0.5)
+                / col("gg").cast("double"))
+                / ((col("n_bad").cast("double") + 0.5)
+                  / col("bb").cast("double"))).as("woe"),
+              (((col("n_good").cast("double") + 0.5)
+                / col("gg").cast("double"))
+                - ((col("n_bad").cast("double") + 0.5)
+                  / col("bb").cast("double"))).as("dp"))
+            .select(col("bin"), col("n_good"), col("n_bad"),
+              col("woe"), (col("dp") * col("woe")).as("ivt"))
+            .select(col("bin"), col("n_good"), col("n_bad"),
+              round(col("woe"), 6).as("woe6"),
+              round(col("ivt"), 6).as("ivt6"),
+              round(col("ivt") * 1000000.0).cast("long").as("t_ppm")))
+        scored
+          .crossJoin(broadcast(scored.agg(sum("t_ppm").as("iv_ppm"))))
+          .select(col("bin"), col("n_good"), col("n_bad"), col("woe6"),
+            col("ivt6"),
+            round(col("iv_ppm").cast("double") / 1000000.0, 6).as("iv6"))
+      },
+      Some("""WITH cells AS (SELECT CAST(least(n_chars // 200, 9) AS INT)
+           |                 AS bin,
+           |               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+           |                    AS BIGINT) AS n_good,
+           |               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+           |                    AS BIGINT) AS n_bad
+           |        FROM documents GROUP BY 1),
+           |tots AS (SELECT CAST(sum(n_good) AS BIGINT) AS gg,
+           |           CAST(sum(n_bad) AS BIGINT) AS bb FROM cells),
+           |raw AS (SELECT bin, n_good, n_bad,
+           |          ln(((CAST(n_good AS DOUBLE) + 0.5)
+           |              / CAST(gg AS DOUBLE))
+           |             / ((CAST(n_bad AS DOUBLE) + 0.5)
+           |                / CAST(bb AS DOUBLE))) AS woe,
+           |          ((CAST(n_good AS DOUBLE) + 0.5) / CAST(gg AS DOUBLE))
+           |            - ((CAST(n_bad AS DOUBLE) + 0.5)
+           |               / CAST(bb AS DOUBLE)) AS dp
+           |        FROM cells CROSS JOIN tots),
+           |scored AS (SELECT bin, n_good, n_bad,
+           |             round(woe, 6) AS woe6,
+           |             round(dp * woe, 6) AS ivt6,
+           |             CAST(round(dp * woe * 1000000.0) AS BIGINT)
+           |               AS t_ppm
+           |           FROM raw),
+           |iv AS (SELECT CAST(sum(t_ppm) AS BIGINT) AS iv_ppm FROM scored)
+           |SELECT bin, n_good, n_bad, woe6, ivt6,
+           |  round(CAST(iv_ppm AS DOUBLE) / 1000000.0, 6) AS iv6
+           |FROM scored CROSS JOIN iv""".stripMargin),
+      "weight-of-evidence + information value per feature bin (fixed-point IV sum)"),
+
     // APPLY half: quartile bucket per event via the broadcast
     // boundaries — bucket = 1 + (c>q25) + (c>q50) + (c>q75), integer
     // comparisons against exact boundary doubles, stateless per row (no

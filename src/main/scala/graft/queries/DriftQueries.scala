@@ -543,6 +543,168 @@ object DriftQueries {
            |GROUP BY source, na, nb, nn, tt""".stripMargin),
       "Mann-Whitney U per slice vs rest (doubled-U exact integers, tie-corrected z)"),
 
+    // Kruskal-Wallis H across ALL slices at once — the k-group
+    // extension of q_ab_mannwhitney (one omnibus rank test instead of
+    // k one-vs-rest passes; the ANOVA-shaped question "do the slices
+    // share a length distribution?" without the normality assumption).
+    // Rank algebra on the value-count grid only: with doubled average
+    // ranks 2·r̄_v = 2·cumt_<v + t_v + 1 every per-slice rank sum
+    // R2_g = Σ_v ca_v·(2·cumt_<v + t_v + 1) is an exact integer
+    // (DECIMAL-widened), so Σ_g R_g²/n_g = Σ_g R2_g²/(4·n_g) is one
+    // double expression over identical integers per group, carried as
+    // 1e-3 fixed point (the per-row-transcendental convention — a
+    // cross-engine double SUM over groups would be reduction-order-
+    // sensitive; at 1e-3 granularity the worst-case Σ error is
+    // k·5e-4, i.e. < 1e-9 on H after the 12/(n(n+1)) scale). The tie
+    // correction 1 − Σ(t³−t)/(n³−n) reuses the exact tt integer; a
+    // fully-tied corpus (tt = n³−n) NULLs hc6 — the ANSI-÷0 contract.
+    // O(slices·distinct-values) work at any corpus size.
+    Q("q_stats_kruskal",
+      (s, d) => {
+        val vc = t(s, d, "documents").select(col("source"), col("n_chars"))
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val wG = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gc = vc.groupBy("n_chars").agg(sum("c").as("t"))
+          .select(col("n_chars"), col("t"), sum("t").over(wG).as("cumt"))
+        val tots = vc.agg(sum("c").as("nn"))
+          .crossJoin(vc.groupBy("n_chars").agg(sum("c").as("t"))
+            .agg(sum(dc(col("t")) * col("t") * col("t") - col("t"))
+              .as("tt")))
+        val fp = vc.join(gc, "n_chars")
+          .groupBy("source")
+          .agg(sum(dc(col("c")) * (lit(2) * (col("cumt") - col("t"))
+              + col("t") + 1)).as("r2"),
+            sum("c").as("ng"))
+          .select(round(col("r2").cast("double") * col("r2").cast("double")
+            / (lit(4.0) * col("ng").cast("double")) * 1000.0)
+            .cast("long").as("fp"))
+        fp.agg(count(lit(1)).as("k"), sum("fp").as("sfp"))
+          .crossJoin(broadcast(tots))
+          .select(col("k"), col("nn"), col("tt"),
+            (lit(12.0) / (col("nn").cast("double")
+              * (col("nn").cast("double") + 1.0))
+              * (col("sfp").cast("double") / 1000.0)
+              - lit(3.0) * (col("nn").cast("double") + 1.0)).as("hr"))
+          .select(col("k"), col("nn"), round(col("hr"), 6).as("h6"),
+            when(dc(col("tt")) < dc(col("nn")) * col("nn") * col("nn")
+                - col("nn"),
+              round(col("hr") / (lit(1.0) - col("tt").cast("double")
+                / (col("nn").cast("double") * col("nn").cast("double")
+                  * col("nn").cast("double")
+                  - col("nn").cast("double"))), 6))
+              .as("hc6"))
+      },
+      Some("""WITH vc AS (SELECT source, n_chars, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |gt AS (SELECT n_chars, CAST(sum(c) AS BIGINT) AS t
+           |       FROM vc GROUP BY 1),
+           |gc AS (SELECT n_chars, t,
+           |         CAST(sum(t) OVER (ORDER BY n_chars
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS BIGINT) AS cumt
+           |       FROM gt),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM vc),
+           |tt AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+           |       FROM gt),
+           |fp AS (SELECT CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+           |              / (4.0 * CAST(ng AS DOUBLE)) * 1000.0)
+           |              AS BIGINT) AS fp
+           |       FROM (SELECT source,
+           |               sum(CAST(c AS HUGEINT)
+           |                   * (2 * (cumt - t) + t + 1)) AS r2,
+           |               CAST(sum(c) AS BIGINT) AS ng
+           |             FROM vc JOIN gc USING (n_chars) GROUP BY source)),
+           |agg AS (SELECT count(*) AS k, CAST(sum(fp) AS BIGINT) AS sfp
+           |        FROM fp),
+           |hr AS (SELECT k, nn, tt,
+           |         12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+           |           * (CAST(sfp AS DOUBLE) / 1000.0)
+           |           - 3.0 * (CAST(nn AS DOUBLE) + 1.0) AS hr
+           |       FROM agg CROSS JOIN nn CROSS JOIN tt)
+           |SELECT k, nn, round(hr, 6) AS h6,
+           |  CASE WHEN tt < CAST(nn AS HUGEINT) * nn * nn - nn
+           |       THEN round(hr / (1.0 - CAST(tt AS DOUBLE)
+           |              / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+           |                 * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))), 6)
+           |  END AS hc6
+           |FROM hr""".stripMargin),
+      "Kruskal-Wallis H over all slices (doubled-rank exact integers, tie-corrected)"),
+
+    // Brown-Forsythe (median-based Levene) test across all slices: do
+    // the slices share a VARIANCE? — the dispersion companion to the
+    // location tests above (Welch/Mann-Whitney/Kruskal ask about
+    // centers; a drifted crawl often changes spread first). One-way
+    // ANOVA F on z = |x − median_g|. Determinism is free here, no
+    // fixed-point gymnastics needed for the sums: medians of integer
+    // n_chars interpolate to exact halves, so every z is a multiple of
+    // 0.5 (and z² of 0.25) far below 2^53 — Σz and Σz² are EXACT in
+    // double regardless of reduction order on both engines. Only the
+    // per-group S_g²/n_g terms need the 1e-3 fixed-point carry (the
+    // q_stats_kruskal convention), and F is one double expression over
+    // the resulting identical values. ANSI-÷0: k ≤ 1, N ≤ k or a zero
+    // within-group sum NULLs f6.
+    Q("q_stats_levene",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("source", "n_chars")
+        val md = docs.groupBy("source")
+          .agg(expr("percentile(n_chars, 0.5)").as("med"))
+        val g = docs.join(broadcast(md), "source")
+          .select(col("source"),
+            abs(col("n_chars") - col("med")).as("z"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("ng"), sum("z").as("sg"),
+            sum(col("z") * col("z")).as("qg"))
+        g.select(col("ng"), col("sg"), col("qg"),
+            round(col("sg") * col("sg") / col("ng").cast("double")
+              * 1000.0).cast("long").as("fp"))
+          .agg(count(lit(1)).as("k"), sum("ng").as("nn"),
+            sum("sg").as("stot"), sum("qg").as("sz2"),
+            sum("fp").as("sfp"))
+          .select(col("k"), col("nn"),
+            (col("sfp").cast("double") / 1000.0
+              - col("stot") * col("stot") / col("nn").cast("double"))
+              .as("ssb"),
+            (col("sz2") - col("sfp").cast("double") / 1000.0).as("ssw"))
+          .select(col("k"), col("nn"),
+            round(col("ssb"), 6).as("ssb6"), round(col("ssw"), 6).as("ssw6"),
+            when(col("k") > 1 && col("nn") > col("k") && col("ssw") > 0.0,
+              round((col("ssb") / (col("k").cast("double") - 1.0))
+                / (col("ssw") / (col("nn").cast("double")
+                  - col("k").cast("double"))), 6)).as("f6"))
+      },
+      Some("""WITH md AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+           |            FROM documents GROUP BY source),
+           |g AS (SELECT d.source, CAST(count(*) AS BIGINT) AS ng,
+           |        sum(abs(d.n_chars - md.med)) AS sg,
+           |        sum(abs(d.n_chars - md.med)
+           |            * abs(d.n_chars - md.med)) AS qg
+           |      FROM documents d JOIN md USING (source)
+           |      GROUP BY d.source),
+           |fp AS (SELECT ng, sg, qg,
+           |         CAST(round(sg * sg / CAST(ng AS DOUBLE) * 1000.0)
+           |              AS BIGINT) AS fp
+           |       FROM g),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |          CAST(sum(ng) AS BIGINT) AS nn,
+           |          sum(sg) AS stot, sum(qg) AS sz2,
+           |          CAST(sum(fp) AS BIGINT) AS sfp
+           |        FROM fp),
+           |ss AS (SELECT k, nn,
+           |         CAST(sfp AS DOUBLE) / 1000.0
+           |           - stot * stot / CAST(nn AS DOUBLE) AS ssb,
+           |         sz2 - CAST(sfp AS DOUBLE) / 1000.0 AS ssw
+           |       FROM agg)
+           |SELECT k, nn, round(ssb, 6) AS ssb6, round(ssw, 6) AS ssw6,
+           |  CASE WHEN k > 1 AND nn > k AND ssw > 0.0
+           |       THEN round((ssb / (CAST(k AS DOUBLE) - 1.0))
+           |              / (ssw / (CAST(nn AS DOUBLE)
+           |                        - CAST(k AS DOUBLE))), 6)
+           |  END AS f6
+           |FROM ss""".stripMargin),
+      "Brown-Forsythe variance-homogeneity F across slices (median absolute deviations)"),
+
     // Chi-square homogeneity across (slice × term-hash-bucket) — the
     // one-number categorical drift test over a BOUNDED contingency
     // table (terms hashed to Chi2Buckets cells, so the grid is

@@ -1256,6 +1256,74 @@ object ExtraQueries {
               SELECT deg, count(*) AS n_nodes FROM d GROUP BY deg"""),
       "graph degree histogram (skew sizing before traversals)"),
 
+    // Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over a fixed
+    // degree-threshold grid — "do the hubs preferentially link to each
+    // other?" (Colizza et al. 2006), the one-table structural readout
+    // that decides whether hub-capped wedge bounds (q_graph_linkpred's
+    // MaxWedgeDeg) are safe on a corpus graph. Scale shape: both sums
+    // come from BOUNDED histograms — the degree histogram for N_k and
+    // the per-edge min-endpoint-degree histogram for E_k — so the
+    // threshold grid crosses O(distinct degrees) rows, never nodes or
+    // edges; the only corpus-sized work is the two broadcast-ready
+    // degree joins onto the edge list. Exact integers into one double
+    // ratio; N_k < 2 NULLs φ (the ANSI-÷0 contract).
+    Q("q_graph_richclub",
+      (s, d) => {
+        val b = t(s, d, "lineitem").select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+        val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = graft.core.CacheScope.autoRelease(
+          e.groupBy("src").agg(count(lit(1)).as("deg")))
+        val dh = deg.groupBy("deg").agg(count(lit(1)).as("n"))
+        val mh = b
+          .join(deg.select(col("src"), col("deg").as("du")), "src")
+          .join(deg.select(col("src").as("dst"), col("deg").as("dv")), "dst")
+          .select(least(col("du"), col("dv")).as("m"))
+          .groupBy("m").agg(count(lit(1)).as("ec"))
+        val grid = s.range(1).select(explode(array(
+          lit(1), lit(2), lit(4), lit(8), lit(16), lit(32))).as("k"))
+        val nk = grid.crossJoin(dh).filter(col("deg") > col("k"))
+          .groupBy("k").agg(sum("n").as("n_k"))
+        val ek = grid.crossJoin(mh).filter(col("m") > col("k"))
+          .groupBy("k").agg(sum("ec").as("e_k"))
+        grid.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+          .select(col("k"),
+            coalesce(col("n_k"), lit(0L)).as("n_k"),
+            coalesce(col("e_k"), lit(0L)).as("e_k"))
+          .select(col("k"), col("n_k"), col("e_k"),
+            when(col("n_k") >= 2,
+              round(lit(2.0) * col("e_k").cast("double")
+                / (col("n_k").cast("double")
+                  * (col("n_k").cast("double") - 1.0)), 6)).as("phi6"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey * 2 AS src,
+           |             l_partkey * 2 + 1 AS dst FROM lineitem),
+           |e AS (SELECT src, dst FROM b
+           |      UNION SELECT dst AS src, src AS dst FROM b),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           |        FROM e GROUP BY src),
+           |dh AS (SELECT deg, CAST(count(*) AS BIGINT) AS n
+           |       FROM deg GROUP BY deg),
+           |mh AS (SELECT m, CAST(count(*) AS BIGINT) AS ec
+           |       FROM (SELECT least(du.deg, dv.deg) AS m
+           |             FROM b JOIN deg du ON du.src = b.src
+           |               JOIN deg dv ON dv.src = b.dst)
+           |       GROUP BY m),
+           |grid AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS INT) AS k),
+           |nk AS (SELECT k, CAST(sum(n) AS BIGINT) AS n_k
+           |       FROM grid JOIN dh ON dh.deg > grid.k GROUP BY k),
+           |ek AS (SELECT k, CAST(sum(ec) AS BIGINT) AS e_k
+           |       FROM grid JOIN mh ON mh.m > grid.k GROUP BY k)
+           |SELECT k, coalesce(n_k, 0) AS n_k, coalesce(e_k, 0) AS e_k,
+           |  CASE WHEN coalesce(n_k, 0) >= 2
+           |       THEN round(2.0 * CAST(coalesce(e_k, 0) AS DOUBLE)
+           |              / (CAST(n_k AS DOUBLE)
+           |                 * (CAST(n_k AS DOUBLE) - 1.0)), 6)
+           |  END AS phi6
+           |FROM grid LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)""".stripMargin),
+      "rich-club coefficient over a degree-threshold grid (bounded histogram sums)"),
+
     Q("q_agg_median",
       (s, d) => {
         Tables.registerAll(s, d)

@@ -365,6 +365,97 @@ object SearchQueries {
            |FROM fr""".stripMargin),
       s"MRR + hit@5 of BM25 against binary term-overlap relevance (rel ≥ 2)"),
 
+    // Mean-average-precision companion to q_eval_mrr on the SAME
+    // frozen relevance (term-overlap rel ≥ 2 over the BM25 top-k):
+    // where MRR scores only the first hit, AP integrates precision at
+    // every relevant rank — AP = (1/R)·Σ_i i/rank_i over the i-th
+    // relevant doc. Each i/rank term is one double over two small
+    // integers carried as 1e-9 fixed point (the per-row-transcendental
+    // convention: the per-query sum is then an exact integer both
+    // engines agree on, no double reduction order in play), plus
+    // precision@5 as an exact ratio. Per-query rows — the macro mean
+    // is one trivial avg away and slicing stays possible downstream.
+    // Same scale shape as MRR: all work on the O(queries·k) lists.
+    Q("q_eval_map",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = docs.filter(col("doc_id") < QMax)
+        val qCnt = qs.count()
+        val post = graft.core.CacheScope.autoRelease(Bm25.postings(
+          docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
+        val top = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt))
+          .select(col("query_id"), col("doc_id"), col("rnk"))
+        val qt = qs.select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("term"))
+        val rel = graft.core.CacheScope.autoRelease(broadcast(top)
+          .join(post.select(col("doc_id"), col("term")), "doc_id")
+          .join(broadcast(qt), Seq("query_id", "term"))
+          .groupBy("query_id", "doc_id", "rnk")
+          .agg(least(countDistinct("term"), lit(3L)).as("rel")))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rnk")
+        val ap = rel.filter(col("rel") >= 2)
+          .withColumn("i", row_number().over(wq))
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_rel"),
+            sum(round(lit(1.0e9) * col("i").cast("double")
+              / col("rnk").cast("double")).cast("long")).as("sfp"),
+            sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("h5"))
+        rel.select("query_id").distinct()
+          .join(ap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+            when(coalesce(col("n_rel"), lit(0L)) > 0,
+              round(col("sfp").cast("double") / 1.0e9
+                / col("n_rel").cast("double"), 6)).otherwise(0.0).as("ap6"),
+            round(coalesce(col("h5"), lit(0L)).cast("double") / 5.0, 6)
+              .as("p5_6"))
+      },
+      Some(s"""WITH $duckBm25Ctes,
+           |qt AS (SELECT DISTINCT doc_id AS query_id, term
+           |       FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS term
+           |             FROM documents WHERE doc_id < $QMax)),
+           |sc AS (SELECT qt.query_id, ctf.doc_id,
+           |         round(sum($duckContrib), 6) AS score6
+           |       FROM qt JOIN ctf USING (term)
+           |         JOIN cdf USING (term)
+           |         JOIN cdl ON ctf.doc_id = cdl.doc_id
+           |         CROSS JOIN cst
+           |       GROUP BY qt.query_id, ctf.doc_id),
+           |topk AS (SELECT query_id, doc_id, rn AS rnk
+           |         FROM (SELECT *, row_number() OVER
+           |                 (PARTITION BY query_id
+           |                  ORDER BY score6 DESC, doc_id) AS rn
+           |               FROM sc)
+           |         WHERE rn <= $Bm25K),
+           |rel AS (SELECT tk.query_id, tk.doc_id, tk.rnk,
+           |          least(count(DISTINCT qt.term), 3) AS rel
+           |        FROM topk tk JOIN ctf c ON c.doc_id = tk.doc_id
+           |          JOIN qt ON qt.query_id = tk.query_id
+           |            AND qt.term = c.term
+           |        GROUP BY 1, 2, 3),
+           |hits AS (SELECT query_id, rnk, row_number() OVER
+           |           (PARTITION BY query_id ORDER BY rnk) AS i
+           |         FROM rel WHERE rel >= 2),
+           |ap AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+           |         CAST(sum(CAST(round(1000000000.0 * CAST(i AS DOUBLE)
+           |              / CAST(rnk AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           |           AS sfp,
+           |         CAST(sum(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS h5
+           |       FROM hits GROUP BY query_id)
+           |SELECT query_id, coalesce(n_rel, 0) AS n_rel,
+           |  CASE WHEN coalesce(n_rel, 0) > 0
+           |       THEN round(CAST(sfp AS DOUBLE) / 1000000000.0
+           |              / CAST(n_rel AS DOUBLE), 6)
+           |       ELSE 0.0 END AS ap6,
+           |  round(CAST(coalesce(h5, 0) AS DOUBLE) / 5.0, 6) AS p5_6
+           |FROM (SELECT DISTINCT query_id FROM rel) q
+           |LEFT JOIN ap USING (query_id)""".stripMargin),
+      s"average precision + P@5 per query (fixed-point i/rank terms, exact sums)"),
+
     // Rank-biased overlap (Webber et al. 2010) between the lexical and
     // semantic top-$Bm25K lists — the ranking-agreement diagnostic a
     // hybrid-retrieval stack publishes next to the RRF fusion: low RBO

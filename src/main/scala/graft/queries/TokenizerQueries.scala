@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Tokenizer, Unigram}
+import graft.operators.{Tokenizer, Unigram, WordPiece}
 import graft.functions.PortableHash
 
 /** BPE tokenizer family (SURVEY §2.B LLM-pipeline extensions,
@@ -652,7 +652,191 @@ object TokenizerQueries {
            |        (PARTITION BY w ORDER BY round(score, 6) DESC, path) AS rn
            |      FROM r2 WHERE pos = len(w))
            |WHERE rn = 1""".stripMargin),
-      "unigram-LM Viterbi re-segmentation under the EM-pruned vocab (the apply half of the EM round)"))
+      "unigram-LM Viterbi re-segmentation under the EM-pruned vocab (the apply half of the EM round)"),
+
+    // The full 2-round EM schedule (the round-18 starter pulled in):
+    // seed Viterbi → prune to EmTop → RE-segment under the pruned vocab
+    // (exactly q_text_unigram_refit) → prune again to EmTop2 and
+    // rescore — SentencePiece's shrinking-factor iteration at the
+    // declared 24 → 16 → 12 multi-char schedule. Round 2's expected
+    // counts come from the ROUND-2 segmentations, so a piece that
+    // survived round 1 but lost all its words to re-segmentation is
+    // pruned here — the observable effect of iterating. The oracle
+    // chains THREE recursive-CTE blocks (two Viterbi enumerations +
+    // both prunes); scores stay at the declared 6-dp granularity end
+    // to end, so every double is bit-reproducible cross-engine. Scale
+    // shape identical to refit: two bounded enumerations over the
+    // hash-partitioned distinct-word table, O(pieces) everything else.
+    Q("q_text_unigram_em2",
+      (s, d) => {
+        val wc = Unigram.wordCounts(t(s, d, "documents"), "text")
+        val vlp = graft.core.Freeze(
+          Unigram.vocabLp(Unigram.vocab(wc)))
+        val em1 = graft.core.Freeze(
+          Unigram.emPrune(Unigram.encodeWords(wc, vlp), vlp))
+        val enc2 = Unigram.encodeWords(wc,
+          em1.select(col("piece"), col("logp6").as("lp")))
+        Unigram.emPrune(enc2, em1, Unigram.EmTop2)
+      },
+      Some(s"""WITH RECURSIVE $duckUnigramCtes,
+           |vlp AS (SELECT piece,
+           |          ln(CAST(cnt AS DOUBLE) / CAST(tv AS DOUBLE)) AS lp
+           |        FROM vocab CROSS JOIN tv),
+           |wce AS (SELECT w, c FROM wc
+           |        WHERE len(w) <= ${Unigram.MaxRounds}),
+           |r(w, c, pos, score, path) AS (
+           |  SELECT w, c, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), ''
+           |  FROM wce
+           |  UNION ALL
+           |  SELECT r.w, r.c, r.pos + len(v.piece), r.score + v.lp,
+           |         CASE WHEN r.path = '' THEN v.piece
+           |              ELSE r.path || ' ' || v.piece END
+           |  FROM r JOIN vlp v
+           |    ON r.pos < len(r.w)
+           |   AND len(v.piece) <= len(r.w) - r.pos
+           |   AND v.piece = substr(r.w, CAST(r.pos + 1 AS INT),
+           |                        CAST(len(v.piece) AS INT))),
+           |best AS (SELECT w, c, path
+           |         FROM (SELECT *, row_number() OVER
+           |                 (PARTITION BY w ORDER BY round(score, 6) DESC, path) AS rn
+           |               FROM r WHERE pos = len(w))
+           |         WHERE rn = 1),
+           |em AS (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt_em
+           |       FROM (SELECT c, unnest(string_split(path, ' ')) AS piece
+           |             FROM best)
+           |       GROUP BY piece),
+           |kept AS (SELECT v.piece, coalesce(em.cnt_em, 0) AS cnt_em
+           |         FROM vocab v LEFT JOIN em ON v.piece = em.piece),
+           |keptv AS (SELECT piece, cnt_em FROM kept WHERE len(piece) = 1
+           |          UNION ALL
+           |          SELECT piece, cnt_em FROM (
+           |            SELECT piece, cnt_em FROM kept WHERE len(piece) >= 2
+           |            ORDER BY cnt_em DESC, piece LIMIT ${Unigram.EmTop})),
+           |tot AS (SELECT sum(cnt_em + 1) AS t FROM keptv),
+           |vlp2 AS (SELECT piece,
+           |           round(ln((CAST(cnt_em AS DOUBLE) + 1)
+           |                    / CAST(t AS DOUBLE)), 6) AS lp
+           |         FROM keptv CROSS JOIN tot),
+           |r2(w, c, pos, score, path) AS (
+           |  SELECT w, c, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), ''
+           |  FROM wce
+           |  UNION ALL
+           |  SELECT r2.w, r2.c, r2.pos + len(v.piece), r2.score + v.lp,
+           |         CASE WHEN r2.path = '' THEN v.piece
+           |              ELSE r2.path || ' ' || v.piece END
+           |  FROM r2 JOIN vlp2 v
+           |    ON r2.pos < len(r2.w)
+           |   AND len(v.piece) <= len(r2.w) - r2.pos
+           |   AND v.piece = substr(r2.w, CAST(r2.pos + 1 AS INT),
+           |                        CAST(len(v.piece) AS INT))),
+           |best2 AS (SELECT w, c, path
+           |          FROM (SELECT *, row_number() OVER
+           |                  (PARTITION BY w ORDER BY round(score, 6) DESC, path) AS rn
+           |                FROM r2 WHERE pos = len(w))
+           |          WHERE rn = 1),
+           |em2 AS (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt_em
+           |        FROM (SELECT c, unnest(string_split(path, ' ')) AS piece
+           |              FROM best2)
+           |        GROUP BY piece),
+           |kept2 AS (SELECT v.piece, coalesce(em2.cnt_em, 0) AS cnt_em
+           |          FROM keptv v LEFT JOIN em2 ON v.piece = em2.piece),
+           |keptv2 AS (SELECT piece, cnt_em FROM kept2 WHERE len(piece) = 1
+           |           UNION ALL
+           |           SELECT piece, cnt_em FROM (
+           |             SELECT piece, cnt_em FROM kept2 WHERE len(piece) >= 2
+           |             ORDER BY cnt_em DESC, piece
+           |             LIMIT ${Unigram.EmTop2})),
+           |tot2 AS (SELECT sum(cnt_em + 1) AS t FROM keptv2)
+           |SELECT piece, cnt_em,
+           |  round(ln((CAST(cnt_em AS DOUBLE) + 1) / CAST(t AS DOUBLE)), 6)
+           |    AS logp6
+           |FROM keptv2 CROSS JOIN tot2""".stripMargin),
+      "two EM prune rounds on the declared 24 -> 16 -> 12 schedule (re-segment between prunes)"),
+
+    // WordPiece greedy encode — the THIRD classic subword algorithm
+    // (BERT's longest-match-first scan) beside BPE and unigram-LM,
+    // on the corpus-split convention of the coverage gates: vocab
+    // trained on doc_id % 5 ≠ 0, held-out words (% 5 = 0) encoded
+    // against it, so unseen characters genuinely exercise the <unk>
+    // path. No scores, no argmax join: "longest first" is a fixed
+    // ≤ MaxPiece when-chain per round over a BOUNDED map literal, so
+    // the engine side is one narrow codegen stage (zero exchanges past
+    // the word count — plan-pinned). The oracle's recursive CTE picks
+    // the same longest match via a NOT-EXISTS-longer filter on a LEFT
+    // join (exactly one row per step: one string per length can match,
+    // and only the longest survives), with the NULL side advancing one
+    // <unk> char — greedy is single-path, so both engines walk the
+    // identical segmentation with no tie-break needed anywhere. The
+    // longest match is resolved OUTSIDE the recursion (a per-(word,
+    // pos) step table via row_number, then a plain inner join each
+    // round — DuckDB refuses outer joins on subqueries inside a
+    // recursive term).
+    Q("q_text_wordpiece",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = WordPiece.collectVocab(Unigram.vocab(
+          Unigram.wordCounts(docs.filter(col("doc_id") % 5 =!= 0),
+            "text")))
+        WordPiece.encodeWords(
+          Unigram.wordCounts(docs.filter(col("doc_id") % 5 === 0),
+            "text"), vocab)
+      },
+      Some(s"""WITH RECURSIVE
+           |toks AS (SELECT unnest(${LlmQueries.duckTokens("text")}) AS w
+           |         FROM documents WHERE doc_id % 5 <> 0),
+           |wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+           |s1 AS (SELECT w, c, CAST(unnest(range(0, len(w))) AS INT) AS i
+           |       FROM wc),
+           |s2 AS (SELECT w, c, i,
+           |         CAST(unnest(range(1, least(${Unigram.MaxPiece},
+           |                                    len(w) - i) + 1)) AS INT) AS l
+           |       FROM s1),
+           |cand AS (SELECT substr(w, i + 1, l) AS piece,
+           |           CAST(sum(c) AS BIGINT) AS cnt
+           |         FROM s2 GROUP BY piece),
+           |vocab AS (SELECT piece, cnt FROM cand WHERE len(piece) = 1
+           |          UNION ALL
+           |          SELECT piece, cnt FROM (
+           |            SELECT * FROM cand WHERE len(piece) >= 2
+           |            ORDER BY cnt DESC, piece
+           |            LIMIT ${Unigram.VocabTop})),
+           |hw AS (SELECT w, count(*) AS c
+           |       FROM (SELECT unnest(${LlmQueries.duckTokens("text")}) AS w
+           |             FROM documents WHERE doc_id % 5 = 0)
+           |       GROUP BY w),
+           |hwe AS (SELECT w, c FROM hw
+           |        WHERE len(w) <= ${Unigram.MaxRounds}),
+           |positions AS (SELECT w, CAST(unnest(range(0, len(w)))
+           |                AS BIGINT) AS pos
+           |              FROM hwe),
+           |mt AS (SELECT w, pos, piece FROM (
+           |         SELECT p.w, p.pos, v.piece, row_number() OVER
+           |           (PARTITION BY p.w, p.pos
+           |            ORDER BY len(v.piece) DESC, v.piece) AS rn
+           |         FROM positions p JOIN vocab v
+           |           ON len(v.piece) <= len(p.w) - p.pos
+           |          AND v.piece = substr(p.w, CAST(p.pos + 1 AS INT),
+           |                               CAST(len(v.piece) AS INT)))
+           |       WHERE rn = 1),
+           |step AS (SELECT p.w, p.pos,
+           |           coalesce(m.piece, '<unk>') AS piece,
+           |           coalesce(len(m.piece), 1) AS adv,
+           |           CASE WHEN m.piece IS NULL THEN 1 ELSE 0 END AS u
+           |         FROM positions p LEFT JOIN mt m
+           |           ON p.w = m.w AND p.pos = m.pos),
+           |r(w, c, pos, path, unk) AS (
+           |  SELECT w, c, CAST(0 AS BIGINT), '', 0 FROM hwe
+           |  UNION ALL
+           |  SELECT r.w, r.c, r.pos + s.adv,
+           |         CASE WHEN r.path = '' THEN s.piece
+           |              ELSE r.path || ' ' || s.piece END,
+           |         r.unk + s.u
+           |  FROM r JOIN step s ON s.w = r.w AND s.pos = r.pos)
+           |SELECT w, c, path AS pieces,
+           |       CAST(len(string_split(path, ' ')) AS INT) AS n_pieces,
+           |       CAST(unk AS INT) AS n_unk
+           |FROM r WHERE pos = len(w)""".stripMargin),
+      "WordPiece greedy longest-match encode of held-out words (<unk> on unseen chars)"))
 
   /** Word counts → candidate substrings → vocabulary (singles + top
     * multi) → total, as DuckDB CTEs (toks/wc/s1/s2/cand/vocab/tv) — the

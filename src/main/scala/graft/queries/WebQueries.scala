@@ -234,6 +234,85 @@ object WebQueries {
            |FROM cb CROSS JOIN tots GROUP BY pp, nn""".stripMargin),
       "held-out AUC of the frozen quality classifier (tie-corrected Mann-Whitney)"),
 
+    // Split-conformal calibration of the same frozen classifier: the
+    // distribution-free coverage readout a selection pipeline publishes
+    // next to AUC/ECE — "at α = 0.1, what score threshold admits true
+    // positives with ≥ 90% coverage, and how big is the admitted set?"
+    // Calibration/test split alternates doc_id blocks of 20 so both
+    // halves see every synthetic source (source = doc_id % 20 — the
+    // StreamingGainsSpec parity-split trap, dodged by construction).
+    // The conformal quantile index ⌈(n+1)(1−α)⌉ is one integer
+    // expression; the threshold is read off the DESCENDING cumulative
+    // of the bounded per-distinct-score histogram (≤ WeightScale+1
+    // rows at any corpus size — the q_eval_auc shape), so no
+    // corpus-scale sort exists anywhere. Counts are exact integers;
+    // the two ratios are one guarded double division each.
+    Q("q_eval_conformal",
+      (s, d) => {
+        val sc0 = graft.core.CacheScope.autoRelease(evalScored(s, d))
+        val calib = sc0.filter(col("label")
+          && expr("(doc_id div 20) % 2") === 0)
+        val ch = graft.core.CacheScope.autoRelease(
+          calib.groupBy("score_ppm").agg(count(lit(1)).as("cc")))
+        val wD = Window.orderBy(col("score_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = ch.select(col("score_ppm"), sum("cc").over(wD).as("cum"))
+        val ncal = ch.agg(sum("cc").as("n_cal"))
+        val thr = cum.crossJoin(broadcast(ncal))
+          .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+          .agg(max("score_ppm").as("thr_ppm"))
+        sc0.filter(expr("(doc_id div 20) % 2") === 1)
+          .crossJoin(broadcast(thr))
+          .agg(max(col("thr_ppm")).as("thr_ppm"),
+            count(lit(1)).as("n_test"),
+            sum(when(col("label"), 1L).otherwise(0L)).as("n_test_pos"),
+            sum(when(col("label") && col("score_ppm") >= col("thr_ppm"),
+              1L).otherwise(0L)).as("cov_n"),
+            sum(when(col("score_ppm") >= col("thr_ppm"), 1L).otherwise(0L))
+              .as("eff_n"))
+          .crossJoin(broadcast(ncal))
+          .select(col("n_cal"), col("thr_ppm"), col("n_test_pos"),
+            when(col("n_test_pos") > 0,
+              round(col("cov_n").cast("double")
+                / col("n_test_pos").cast("double"), 6)).as("cov6"),
+            col("n_test"),
+            when(col("n_test") > 0,
+              round(col("eff_n").cast("double")
+                / col("n_test").cast("double"), 6)).as("eff6"))
+      },
+      Some(s"""WITH $duckEvalCtes,
+           |ch AS (SELECT score_ppm, CAST(count(*) AS BIGINT) AS cc
+           |       FROM sc WHERE label AND (doc_id // 20) % 2 = 0
+           |       GROUP BY score_ppm),
+           |cum AS (SELECT score_ppm,
+           |          CAST(sum(cc) OVER (ORDER BY score_ppm DESC
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS cum
+           |        FROM ch),
+           |ncal AS (SELECT CAST(sum(cc) AS BIGINT) AS n_cal FROM ch),
+           |thr AS (SELECT max(score_ppm) AS thr_ppm
+           |        FROM cum CROSS JOIN ncal
+           |        WHERE cum >= (9 * (n_cal + 1) + 9) // 10),
+           |tst AS (SELECT max(thr_ppm) AS thr_ppm,
+           |          CAST(count(*) AS BIGINT) AS n_test,
+           |          CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+           |            AS n_test_pos,
+           |          CAST(sum(CASE WHEN label AND score_ppm >= thr_ppm
+           |                   THEN 1 ELSE 0 END) AS BIGINT) AS cov_n,
+           |          CAST(sum(CASE WHEN score_ppm >= thr_ppm
+           |                   THEN 1 ELSE 0 END) AS BIGINT) AS eff_n
+           |        FROM sc CROSS JOIN thr WHERE (doc_id // 20) % 2 = 1)
+           |SELECT n_cal, thr_ppm, n_test_pos,
+           |  CASE WHEN n_test_pos > 0
+           |       THEN round(CAST(cov_n AS DOUBLE)
+           |              / CAST(n_test_pos AS DOUBLE), 6) END AS cov6,
+           |  n_test,
+           |  CASE WHEN n_test > 0
+           |       THEN round(CAST(eff_n AS DOUBLE)
+           |              / CAST(n_test AS DOUBLE), 6) END AS eff6
+           |FROM tst CROSS JOIN ncal""".stripMargin),
+      "split-conformal threshold + held-out coverage/efficiency at alpha = 0.1"),
+
     // Full ROC curve: one point per distinct score threshold (predict
     // positive at score ≥ t), cumulative TP/FP descending + exact-
     // integer-fed rates. O(distinct ppm scores) rows.

@@ -665,6 +665,63 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_count"), p)
   }
 
+  test("q_stats_kruskal ranks on the value-count grid — no corpus sort, no cartesian") {
+    val p = plan("q_stats_kruskal")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Coalesce 1"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_graph_richclub sums bounded histograms — grid nested-loops never touch the edge list") {
+    val p = plan("q_graph_richclub")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 6-row threshold grid crosses the DEGREE HISTOGRAMS (bounded),
+    // never the corpus-sized edge list: every BNLJ must sit above an
+    // aggregate, which the histogram-first construction guarantees by
+    // feeding only post-groupBy plans into the crossJoins
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_eval_map shares the mrr candidate shape — broadcast relevance, no corpus re-shuffle") {
+    val p = plan("q_eval_map")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_eval_conformal reads the bounded score histogram — broadcast threshold, no corpus sort") {
+    val p = plan("q_eval_conformal")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
+  test("q_stats_levene is two corpus aggregates against a broadcast median artifact") {
+    val p = plan("q_stats_levene")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_feature_woe is one corpus aggregate; everything after is O(bins)") {
+    val p = plan("q_feature_woe")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.toLowerCase.contains("partial_sum"), p)
+  }
+
+  test("q_text_wordpiece encode is joinless — the vocab rides as a map literal") {
+    val p = plan("q_text_wordpiece")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
+  test("q_text_unigram_em2 keeps the Viterbi on word-hash partitions through both rounds") {
+    val p = plan("q_text_unigram_em2")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
   test("q_agg_trimmed trims on the value grid — no per-group corpus sort, no single partition") {
     val p = plan("q_agg_trimmed")
     assert(!p.contains("CartesianProduct"), p)

@@ -1,0 +1,191 @@
+package graft
+
+/** Hand-computed closed forms + cross-gate differentials for the
+  * round-17 stats births: Kruskal-Wallis H (q_stats_kruskal), the
+  * rich-club coefficient (q_graph_richclub), split-conformal
+  * calibration (q_eval_conformal), and average precision (q_eval_map).
+  */
+class StatsGatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val kwDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("kwfix").toString
+    // two groups, values {1,2} vs {3,4}: ranks 1..4 with no ties,
+    // R_A = 3, R_B = 7 -> H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 2.4
+    Seq((0L, "a", 1), (1L, "a", 2), (2L, "b", 3), (3L, "b", 4))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Kruskal-Wallis H matches the hand-computed no-tie closed form") {
+    val r = SparkEntry.queries("q_stats_kruskal")(spark, kwDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 2L)          // k groups
+    assert(r.head.getLong(1) === 4L)          // n
+    assert(math.abs(r.head.getDouble(2) - 2.4) < 1e-9)  // h6
+    assert(r.head.getDouble(3) === r.head.getDouble(2)) // no ties: hc = h
+  }
+
+  private lazy val kwTieDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("kwtie").toString
+    // fully tied: every rank average -> H = 0 and tt = n^3 - n, so the
+    // correction denominator is 0 and hc6 must be NULL (ANSI contract)
+    Seq((0L, "a", 5), (1L, "a", 5), (2L, "b", 5), (3L, "b", 5))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("fully-tied corpus NULLs the tie-corrected H") {
+    val r = SparkEntry.queries("q_stats_kruskal")(spark, kwTieDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getDouble(2) === 0.0) // h6: all ranks equal
+    assert(r.head.isNullAt(3))          // hc6: tt = n^3 - n
+  }
+
+  private lazy val rcDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("rcfix").toString
+    // bipartite o1-{p1,p2,p3}, o2-{p1,p2}: degrees o1=3, o2=2, p1=2,
+    // p2=2, p3=1. k=1: N=4 (deg>1), E=4 (both endpoints deg>1) ->
+    // phi = 2*4/(4*3) = 0.666667; k=2: N=1 -> NULL; k>=4: N=0 -> NULL
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("rich-club phi matches the hand-built 5-node graph") {
+    val r = SparkEntry.queries("q_graph_richclub")(spark, rcDir)
+      .orderBy("k").collect()
+    assert(r.length === 6)
+    assert(r(0).getInt(0) === 1 && r(0).getLong(1) === 4L
+      && r(0).getLong(2) === 4L)
+    assert(math.abs(r(0).getDouble(3) - 0.666667) < 1e-6)
+    assert(r(1).getInt(0) === 2 && r(1).getLong(1) === 1L && r(1).isNullAt(3))
+    assert(r(5).getLong(1) === 0L && r(5).getLong(2) === 0L
+      && r(5).isNullAt(3))
+  }
+
+  private lazy val confDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("conffix").toString
+    // separable corpus with held-out docs spanning an even block
+    // (400..419, calibration) and an odd block (420..439, test):
+    // calibration positives all score 1e6 ppm -> idx = ceil(0.9*11) =
+    // 10 of 10 -> thr = 1e6; test positives all admitted (cov 1.0) and
+    // the admitted set is exactly the positive half (eff 0.5)
+    val docs =
+      (0 until 10).map(i => (i.toLong, "alpha beta alpha", "en", "s1")) ++
+      (10 until 20).map(i => (i.toLong, "gamma delta gamma", "de", "s1")) ++
+      (400 until 410).map(i => (i.toLong, "beta alpha", "en", "s1")) ++
+      (410 until 420).map(i => (i.toLong, "delta gamma", "de", "s1")) ++
+      (420 until 430).map(i => (i.toLong, "alpha beta", "en", "s2")) ++
+      (430 until 440).map(i => (i.toLong, "gamma delta", "de", "s2"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("conformal threshold admits all separable positives at alpha 0.1") {
+    val r = SparkEntry.queries("q_eval_conformal")(spark, confDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 10L)        // n_cal
+    assert(r.head.getLong(1) === 1000000L)   // thr_ppm
+    assert(r.head.getLong(2) === 10L)        // n_test_pos
+    assert(r.head.getDouble(3) === 1.0)      // cov6
+    assert(r.head.getLong(4) === 20L)        // n_test
+    assert(r.head.getDouble(5) === 0.5)      // eff6
+  }
+
+  private lazy val bfDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("bffix").toString
+    // group a: {0, 10, 1} (med 1 -> z = 1, 9, 0; S=10, Q=82)
+    // group b: {4, 6}     (med 5 -> z = 1, 1;   S=2,  Q=2)
+    // fp_a = round(100/3*1000) = 33333, fp_b = 2000; ssb = 35.333-28.8,
+    // ssw = 84-35.333 -> F = 6.533 / (48.667/3) = 0.4027165...
+    Seq((0L, "a", 0), (1L, "a", 10), (2L, "a", 1),
+      (3L, "b", 4), (4L, "b", 6))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Brown-Forsythe F matches the hand-computed two-group closed form") {
+    val r = SparkEntry.queries("q_stats_levene")(spark, bfDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 2L && r.head.getLong(1) === 5L)
+    assert(math.abs(r.head.getDouble(2) - 6.533) < 1e-9)    // ssb6
+    assert(math.abs(r.head.getDouble(3) - 48.667) < 1e-9)   // ssw6
+    assert(math.abs(r.head.getDouble(4) - 0.402717) < 1e-4) // f6
+  }
+
+  test("zero within-group spread NULLs the Brown-Forsythe F") {
+    val d = java.nio.file.Files.createTempDirectory("bfnull").toString
+    // both groups symmetric around their medians with equal |dev| ->
+    // every z within a group is identical -> ssw = 0 exactly
+    Seq((0L, "a", 0), (1L, "a", 10), (2L, "b", 4), (3L, "b", 6))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_stats_levene")(spark, d).collect()
+    assert(r.head.isNullAt(4))
+  }
+
+  private lazy val woeDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("woefix").toString
+    // bin 0 (n_chars 100): 3 en / 1 de; bin 1 (n_chars 250): 1 en / 3 de
+    // woe0 = ln(3.5/1.5) = 0.847298, ivt0 = 0.5*woe0 = 0.423649; bin 1
+    // mirrors it -> iv = 0.847298 (sum of the two ppm terms, exact)
+    val docs =
+      (0 until 3).map(i => (i.toLong, "en", 100)) ++ Seq((3L, "de", 100)) ++
+      Seq((4L, "en", 250)) ++ (5 until 8).map(i => (i.toLong, "de", 250))
+    docs.toDF("doc_id", "lang", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("WoE/IV matches the hand-computed two-bin scorecard") {
+    val r = SparkEntry.queries("q_feature_woe")(spark, woeDir)
+      .orderBy("bin").collect()
+    assert(r.length === 2)
+    assert(r(0).getInt(0) === 0 && r(0).getLong(1) === 3L
+      && r(0).getLong(2) === 1L)
+    assert(math.abs(r(0).getDouble(3) - 0.847298) < 1e-6)
+    assert(math.abs(r(1).getDouble(3) + 0.847298) < 1e-6)
+    assert(math.abs(r(0).getDouble(4) - 0.423649) < 1e-6)
+    assert(r(0).getDouble(5) === r(1).getDouble(5)) // one global IV
+    assert(math.abs(r(0).getDouble(5) - 0.847298) < 1e-6)
+  }
+
+  test("round-2 EM prune keeps at most EmTop2 multi-char pieces, a subset of round 1") {
+    val em1 = SparkEntry.queries("q_text_unigram_em")(spark, sf0001)
+      .collect().map(_.getString(0)).toSet
+    val em2 = SparkEntry.queries("q_text_unigram_em2")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(em2.map(_._1).toSet.subsetOf(em1))
+    assert(em2.count(_._1.length >= 2) <= graft.operators.Unigram.EmTop2)
+    assert(em2.forall(_._2 < 0.0)) // log-probs
+    // singles survive both prunes (coverage invariant)
+    assert(em1.filter(_.length == 1) ===
+      em2.map(_._1).filter(_.length == 1).toSet)
+  }
+
+  test("AP reduces to the reciprocal rank when exactly one doc is relevant") {
+    // cross-gate differential on the real fixture: q_eval_map and
+    // q_eval_mrr share the frozen relevance, so n_rel must agree per
+    // query, and a single-relevant query's AP IS its reciprocal rank
+    val map = SparkEntry.queries("q_eval_map")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val mrr = SparkEntry.queries("q_eval_mrr")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(map.keySet === mrr.keySet && map.nonEmpty)
+    map.foreach { case (q, (nRel, ap, p5)) =>
+      assert(nRel === mrr(q)._1, s"n_rel mismatch for query $q")
+      assert(ap >= 0.0 && ap <= 1.0 && p5 >= 0.0 && p5 <= 1.0)
+      if (nRel == 1) assert(math.abs(ap - mrr(q)._3) < 1e-6,
+        s"single-relevant AP != RR for query $q")
+      if (nRel > 0) assert(ap > 0.0)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Unigram, WordPiece}
+
+/** Greedy longest-match semantics of the WordPiece encoder: hand-built
+  * vocabularies where the greedy choice, the backoff-to-<unk> path, and
+  * the greedy-vs-optimal divergence are all known in closed form.
+  */
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wc(ws: (String, Long)*) = ws.toSeq.toDF("w", "c")
+
+  test("longest match wins at every position") {
+    // vocab has both "ab" and "abc": greedy at pos 0 of "abcd" must
+    // take "abc" (longest), then "d"
+    val out = WordPiece.encodeWords(wc("abcd" -> 3L),
+      Set("a", "b", "c", "d", "ab", "abc")).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(2) === "abc d")
+    assert(out.head.getInt(3) === 2 && out.head.getInt(4) === 0)
+  }
+
+  test("greedy diverges from optimal when a long prefix strands the tail") {
+    // classic WordPiece trap: vocab {a, ab, cd, c, d} on "abcd" -> greedy
+    // takes "ab" then "cd" (2 pieces); but vocab {a, abc, d, bc} on
+    // "abcd" -> greedy takes "abc"+"d" even though "a"+"bc"+"d" exists —
+    // the algorithm is longest-match, not fewest-pieces
+    val out = WordPiece.encodeWords(wc("abcd" -> 1L),
+      Set("a", "abc", "d", "bc")).collect()
+    assert(out.head.getString(2) === "abc d")
+  }
+
+  test("unseen characters emit <unk> and advance one char") {
+    // vocab covers only a/b: "axb" -> a, <unk>, b
+    val out = WordPiece.encodeWords(wc("axb" -> 2L),
+      Set("a", "b")).collect()
+    assert(out.head.getString(2) === "a <unk> b")
+    assert(out.head.getInt(3) === 3 && out.head.getInt(4) === 1)
+  }
+
+  test("words longer than the round budget are dropped; bound words complete") {
+    val out = WordPiece.encodeWords(
+      wc("aaaaaaaa" -> 1L, "aaaaaaaaa" -> 1L), Set("a"))
+      .collect()
+    assert(out.length === 1) // the 9-char word exceeds MaxRounds = 8
+    assert(out.head.getString(0) === "aaaaaaaa")
+    assert(out.head.getInt(3) === Unigram.MaxRounds)
+  }
+
+  test("encode is one narrow stage: no exchange past the word-count input") {
+    val df = WordPiece.encodeWords(
+      wc("abcd" -> 1L, "xy" -> 2L), Set("a", "b", "c", "d", "x", "y"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+}
