@@ -685,6 +685,90 @@ object AnalyticsQueries {
            |GROUP BY user_id""".stripMargin),
       "sequence-anomaly score: per-user mean nll under the frozen transition matrix"),
 
+    // Kaplan-Meier survival curve over per-user activity spans — the
+    // time-to-churn readout of the events table (survival analysis is
+    // the missing member of the retention family: q_cohort_retention
+    // buckets calendar time, KM handles CENSORING — users still active
+    // at the corpus edge are right-censored at 3 days, not counted as
+    // churned). Per user: t = days(first→last event), censored iff the
+    // last event lands within 3 days of the corpus max date. The curve
+    // is computed entirely on the BOUNDED duration histogram (≤ span
+    // days): at-risk n_t is a descending cumulative, each death step's
+    // ln((n−d)/n) is carried as 1e-6 fixed point so the cumulative
+    // log-survival is an exact integer sum both engines agree on, and
+    // S(t) = exp of that identical double. An all-die step (n = d)
+    // takes a −1e12 ppm sentinel: exp(−1e6) underflows to exactly 0.0
+    // on both engines — S hits hard zero, as KM defines.
+    Q("q_events_survival",
+      (s, d) => {
+        val spans = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(to_date(min(col("ts"))).as("d0"),
+            to_date(max(col("ts"))).as("d1"))
+        val mx = spans.agg(max(col("d1")).as("dm"))
+        val ut = spans.crossJoin(broadcast(mx))
+          .select(datediff(col("d1"), col("d0")).as("t"),
+            (datediff(col("dm"), col("d1")) < 3).as("cen"))
+        val ht = graft.core.CacheScope.autoRelease(ut.groupBy("t")
+          .agg(sum(when(col("cen"), 0L).otherwise(1L)).as("d"),
+            sum(when(col("cen"), 1L).otherwise(0L)).as("cnsr")))
+        val wAsc = Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ht.crossJoin(broadcast(ht.agg(sum(col("d") + col("cnsr"))
+            .as("nu"))))
+          .select(col("t"), col("d"), col("cnsr"),
+            (col("nu") - coalesce(sum(col("d") + col("cnsr"))
+              .over(Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, -1)), lit(0L))).as("n_risk"))
+          .select(col("t"), col("n_risk"), col("d"), col("cnsr"),
+            when(col("d") === 0, lit(0L))
+              .when(col("n_risk") > col("d"),
+                round(log((col("n_risk") - col("d")).cast("double")
+                  / col("n_risk").cast("double")) * 1e6).cast("long"))
+              .otherwise(lit(-1000000000000L)).as("step_ppm"))
+          .select(col("t"), col("n_risk"), col("d"), col("cnsr"),
+            sum("step_ppm").over(wAsc).as("lns_ppm"))
+          .select(col("t"), col("n_risk"), col("d"), col("cnsr"),
+            col("lns_ppm"),
+            round(exp(col("lns_ppm").cast("double") / 1e6), 6).as("s6"))
+      },
+      Some("""WITH spans AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0,
+           |                 CAST(max(ts) AS DATE) AS d1
+           |               FROM events GROUP BY user_id),
+           |mx AS (SELECT max(d1) AS dm FROM spans),
+           |ut AS (SELECT CAST(date_diff('day', d0, d1) AS INT) AS t,
+           |         date_diff('day', d1, dm) < 3 AS cen
+           |       FROM spans CROSS JOIN mx),
+           |ht AS (SELECT t,
+           |         CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT)
+           |           AS d,
+           |         CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS cnsr
+           |       FROM ut GROUP BY t),
+           |nu AS (SELECT CAST(sum(d + cnsr) AS BIGINT) AS nu FROM ht),
+           |rk AS (SELECT t, d, cnsr,
+           |         nu - coalesce(CAST(sum(d + cnsr) OVER (ORDER BY t
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |           AS BIGINT), 0) AS n_risk
+           |       FROM ht CROSS JOIN nu),
+           |st AS (SELECT t, n_risk, d, cnsr,
+           |         CASE WHEN d = 0 THEN 0
+           |              WHEN n_risk > d THEN CAST(round(
+           |                ln(CAST(n_risk - d AS DOUBLE)
+           |                   / CAST(n_risk AS DOUBLE)) * 1000000)
+           |                AS BIGINT)
+           |              ELSE -1000000000000 END AS step_ppm
+           |       FROM rk)
+           |SELECT t, n_risk, d, cnsr,
+           |  CAST(sum(step_ppm) OVER (ORDER BY t
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS lns_ppm,
+           |  round(exp(CAST(sum(step_ppm) OVER (ORDER BY t
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS DOUBLE) / 1000000.0), 6) AS s6
+           |FROM st""".stripMargin),
+      "Kaplan-Meier survival over user activity spans (right-censored at the corpus edge)"),
+
     // Daily activity regularized onto a dense calendar: every (user, day)
     // in the observed range, gaps carrying the last active day's total
     // forward. Spine = sequence+explode (narrow); fill = per-user window.

@@ -543,6 +543,135 @@ object DriftQueries {
            |GROUP BY source, na, nb, nn, tt""".stripMargin),
       "Mann-Whitney U per slice vs rest (doubled-U exact integers, tie-corrected z)"),
 
+    // Cliff's delta per slice vs rest — the EFFECT-SIZE companion the
+    // Mann-Whitney z is reported with (a z says "significant at this
+    // n"; delta says "how separated", n-free: P(x>y) − P(x<y)). The
+    // doubled-U identity makes it one division on the SAME exact
+    // integers q_ab_mannwhitney builds: U2 = 2·#(a>b) + #ties and
+    // na·nb = #(a>b) + #(a<b) + #ties give δ = U2/(na·nb) − 1, so the
+    // whole gate is the U2 grid chain minus the variance arm. |δ| <
+    // 0.147 reads "negligible" (Romano et al.) — the triage line a
+    // slice monitor applies before escalating a drift alarm.
+    Q("q_ab_cliffs",
+      (s, d) => {
+        val vc = t(s, d, "documents").select(col("source"), col("n_chars"))
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val grid = vc.select("source").distinct()
+          .crossJoin(vc.select("n_chars").distinct())
+          .join(vc, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+        val wG = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gcum = vc.groupBy("n_chars").agg(sum("c").as("ct"))
+          .select(col("n_chars"), col("ct"),
+            sum("ct").over(wG).as("cumt"))
+        val na = vc.groupBy("source").agg(sum("c").as("na"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        grid
+          .select(col("source"), col("n_chars"),
+            col("c").as("ca"),
+            sum("c").over(Window.partitionBy("source").orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("cuma"))
+          .join(gcum, "n_chars").join(na, "source")
+          .crossJoin(broadcast(vc.agg(sum("c").as("nn"))))
+          .select(col("source"), col("na"), (col("nn") - col("na")).as("nb"),
+            (dc(col("ca")) * (lit(2) * ((col("cumt") - col("ct"))
+              - (col("cuma") - col("ca"))) + (col("ct") - col("ca"))))
+              .as("u2v"))
+          .filter(col("nb") > 0)
+          .groupBy("source", "na", "nb")
+          .agg(sum("u2v").as("u2"))
+          .select(col("source"), col("na").as("n_a"), col("nb").as("n_b"),
+            col("u2").cast("long").as("u2"),
+            round(col("u2").cast("double")
+              / (col("na").cast("double") * col("nb").cast("double"))
+              - 1.0, 6).as("delta6"))
+      },
+      Some("""WITH vc AS (SELECT source, n_chars, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |grid AS (SELECT s.source, v.n_chars, coalesce(vc.c, 0) AS c
+           |         FROM (SELECT DISTINCT source FROM vc) s
+           |         CROSS JOIN (SELECT DISTINCT n_chars FROM vc) v
+           |         LEFT JOIN vc ON vc.source = s.source
+           |           AND vc.n_chars = v.n_chars),
+           |cum AS (SELECT source, n_chars, c AS ca,
+           |          CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS cuma
+           |        FROM grid),
+           |gcum AS (SELECT n_chars, ct,
+           |           CAST(sum(ct) OVER (ORDER BY n_chars
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |             AS BIGINT) AS cumt
+           |         FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS ct
+           |               FROM vc GROUP BY n_chars)),
+           |na AS (SELECT source, CAST(sum(c) AS BIGINT) AS na
+           |       FROM vc GROUP BY source),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM vc),
+           |u AS (SELECT cum.source, na.na, nn.nn - na.na AS nb,
+           |        CAST(cum.ca AS HUGEINT)
+           |          * (2 * ((gcum.cumt - gcum.ct) - (cum.cuma - cum.ca))
+           |             + (gcum.ct - cum.ca)) AS u2v
+           |      FROM cum JOIN gcum USING (n_chars)
+           |        JOIN na USING (source) CROSS JOIN nn)
+           |SELECT source, na AS n_a, nb AS n_b,
+           |  CAST(sum(u2v) AS BIGINT) AS u2,
+           |  round(CAST(sum(u2v) AS DOUBLE)
+           |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6)
+           |    AS delta6
+           |FROM u WHERE nb > 0
+           |GROUP BY source, na, nb""".stripMargin),
+      "Cliff's delta per slice vs rest (doubled-U identity, n-free effect size)"),
+
+    // Term burstiness (Church & Gale): variance-to-mean ratio of the
+    // per-document count of each top-DriftTopK·2 term, zeros included.
+    // VMR ≈ 1 reads Poisson ("function word"); VMR ≫ 1 reads bursty
+    // ("content word") — the lexical statistic that separates topical
+    // drift from boilerplate drift when q_drift_terms fires. The
+    // zeros-included identity keeps it one aggregate: with N docs,
+    // tot = Σx and sx2 = Σx², VMR = (N·sx2 − tot²)/(N·tot) — exact
+    // DECIMAL-widened integers into one double division. Work is
+    // O(term·doc pairs) then O(vocab); the cut is a TakeOrdered on
+    // (tot DESC, term).
+    Q("q_text_burstiness",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val tc = docs
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+            .as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("x"))
+        tc.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("x").as("tot"),
+            sum(dc(col("x")) * col("x")).as("sx2"))
+          .crossJoin(broadcast(
+            docs.agg(count(lit(1)).as("nd"))))
+          .select(col("term"), col("df"), col("tot"),
+            round((dc(col("nd")) * col("sx2") - dc(col("tot")) * col("tot"))
+              .cast("double")
+              / (col("nd").cast("double") * col("tot").cast("double")), 6)
+              .as("vmr6"))
+          .orderBy(col("tot").desc, col("term"))
+          .limit(DriftTopK * 2)
+      },
+      Some(s"""WITH tc AS (SELECT term, doc_id, count(*) AS x
+           |            FROM (SELECT doc_id,
+           |                    unnest(${duckTokens("text")}) AS term
+           |                  FROM documents)
+           |            GROUP BY term, doc_id),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+           |SELECT term, CAST(count(*) AS BIGINT) AS df,
+           |  CAST(sum(x) AS BIGINT) AS tot,
+           |  round(CAST(nd * sum(CAST(x AS HUGEINT) * x)
+           |             - CAST(sum(x) AS HUGEINT) * sum(x) AS DOUBLE)
+           |        / (CAST(nd AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6)
+           |    AS vmr6
+           |FROM tc CROSS JOIN nd
+           |GROUP BY term, nd
+           |ORDER BY tot DESC, term LIMIT ${DriftTopK * 2}""".stripMargin),
+      "term burstiness: variance-to-mean of per-doc counts, zeros included (Church-Gale)"),
+
     // Kruskal-Wallis H across ALL slices at once — the k-group
     // extension of q_ab_mannwhitney (one omnibus rank test instead of
     // k one-vs-rest passes; the ANOVA-shaped question "do the slices

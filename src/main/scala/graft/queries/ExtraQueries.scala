@@ -1324,6 +1324,64 @@ object ExtraQueries {
            |FROM grid LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)""".stripMargin),
       "rich-club coefficient over a degree-threshold grid (bounded histogram sums)"),
 
+    // Horvitz-Thompson estimation under unequal-probability sampling —
+    // the inverse-inclusion-probability readout that closes the
+    // sampling family (q_sample_hash/stratified/weighted/neyman draw
+    // samples; HT answers "what does the sample say the CORPUS total
+    // is, and how far off is it per stratum?"). Inclusion is a
+    // deterministic tenth-rate per stratum, π = (2 + len(source) % 3)
+    // / 10, keyed on (doc_id div 20) % 10 — div 20 FIRST because
+    // source ≡ doc_id % 20 in the fixture (the parity-split trap: a
+    // bare doc_id % 10 would make inclusion constant per stratum and
+    // keep all-or-none). Everything is exact integers into two double
+    // expressions: HT total = Σ_kept x · 10/π10 and its relative
+    // error vs the true stratum total the estimator never saw.
+    Q("q_sample_horvitz",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("source"), col("n_chars"),
+            (lit(2) + length(col("source")) % 3).as("pi10"),
+            (expr("(doc_id div 20) % 10")
+              < lit(2) + length(col("source")) % 3).as("kept"))
+        base.groupBy("source", "pi10")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum("n_chars").as("x_true"),
+            sum(when(col("kept"), col("n_chars")).otherwise(0L))
+              .as("x_kept"))
+          .select(col("source"), col("pi10").cast("int").as("pi10"),
+            col("n"), col("n_kept"), col("x_true"),
+            round(col("x_kept").cast("double") * 10.0
+              / col("pi10").cast("double"), 6).as("ht6"),
+            when(col("x_true") > 0,
+              round((col("x_kept").cast("double") * 10.0
+                / col("pi10").cast("double")
+                - col("x_true").cast("double"))
+                / col("x_true").cast("double"), 6)).as("err6"))
+      },
+      Some("""WITH base AS (SELECT source, n_chars,
+           |                2 + length(source) % 3 AS pi10,
+           |                (doc_id // 20) % 10 < 2 + length(source) % 3
+           |                  AS kept
+           |              FROM documents),
+           |g AS (SELECT source, pi10, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS n_kept,
+           |        CAST(sum(n_chars) AS BIGINT) AS x_true,
+           |        CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END)
+           |             AS BIGINT) AS x_kept
+           |      FROM base GROUP BY source, pi10)
+           |SELECT source, CAST(pi10 AS INT) AS pi10, n, n_kept, x_true,
+           |  round(CAST(x_kept AS DOUBLE) * 10.0
+           |        / CAST(pi10 AS DOUBLE), 6) AS ht6,
+           |  CASE WHEN x_true > 0
+           |       THEN round((CAST(x_kept AS DOUBLE) * 10.0
+           |              / CAST(pi10 AS DOUBLE)
+           |              - CAST(x_true AS DOUBLE))
+           |              / CAST(x_true AS DOUBLE), 6) END AS err6
+           |FROM g""".stripMargin),
+      "Horvitz-Thompson stratum totals from an unequal-probability sample + relative error"),
+
     Q("q_agg_median",
       (s, d) => {
         Tables.registerAll(s, d)

@@ -722,6 +722,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Coalesce 1"), p)
   }
 
+  test("q_ab_cliffs rides the mannwhitney grid — no corpus sort, no cartesian") {
+    val p = plan("q_ab_cliffs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_events_survival works the bounded duration histogram after one span aggregate") {
+    val p = plan("q_events_survival")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
+  test("q_text_burstiness is two hash aggregates and a bounded top-k") {
+    val p = plan("q_text_burstiness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_sample_horvitz is one map-side-combined pass — no joins at all") {
+    val p = plan("q_sample_horvitz")
+    assert(!p.contains("Join"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
   test("q_agg_trimmed trims on the value grid — no per-group corpus sort, no single partition") {
     val p = plan("q_agg_trimmed")
     assert(!p.contains("CartesianProduct"), p)

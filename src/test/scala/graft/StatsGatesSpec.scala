@@ -169,6 +169,79 @@ class StatsGatesSpec extends SparkSpec {
       em2.map(_._1).filter(_.length == 1).toSet)
   }
 
+  test("Cliff's delta hits the +/-1 bounds on fully separated slices and 0 on ties") {
+    // kwDir: a = {1,2}, b = {3,4} — every b beats every a
+    val sep = SparkEntry.queries("q_ab_cliffs")(spark, kwDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(sep("a") === -1.0 && sep("b") === 1.0)
+    // kwTieDir: everything tied -> delta 0 for both slices
+    val tie = SparkEntry.queries("q_ab_cliffs")(spark, kwTieDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(tie("a") === 0.0 && tie("b") === 0.0)
+  }
+
+  private lazy val kmDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("kmfix").toString
+    // u1 spans day0..10 (death, t=10), u2 day0..20 (death, t=20),
+    // u3 day15..29 (last = corpus max -> censored, t=14):
+    // S(10) = 2/3; t=14 censors only; at t=20 n=d=1 -> S hits 0
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 12:00:00")
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"), (2L, ts(10), 1L, "a", 1.0, "{}"),
+      (3L, ts(0), 2L, "a", 1.0, "{}"), (4L, ts(20), 2L, "a", 1.0, "{}"),
+      (5L, ts(15), 3L, "a", 1.0, "{}"), (6L, ts(29), 3L, "a", 1.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("Kaplan-Meier matches the hand-computed censored three-user curve") {
+    val r = SparkEntry.queries("q_events_survival")(spark, kmDir)
+      .orderBy("t").collect()
+    assert(r.map(_.getInt(0)).toSeq === Seq(10, 14, 20))
+    assert(r.map(_.getLong(1)).toSeq === Seq(3L, 2L, 1L)) // n_risk
+    assert(r.map(_.getLong(2)).toSeq === Seq(1L, 0L, 1L)) // deaths
+    assert(r.map(_.getLong(3)).toSeq === Seq(0L, 1L, 0L)) // censored
+    assert(math.abs(r(0).getDouble(5) - 0.666667) < 1e-6) // S(10) = 2/3
+    assert(r(1).getDouble(5) === r(0).getDouble(5))       // censor: no step
+    assert(r(2).getDouble(5) === 0.0)                     // n = d -> S = 0
+  }
+
+  test("burstiness is 0 for a once-per-doc term and (N-1) for a fully bursty one") {
+    val d = java.nio.file.Files.createTempDirectory("burst").toString
+    // 4 docs: "even" appears once in every doc (VMR = 0 — constant);
+    // "burst" appears 4 times in ONE doc (tot 4, sx2 16:
+    // VMR = (4*16 - 16)/(4*4) = 3 = N-1, the maximal concentration)
+    Seq((0L, "even burst burst burst burst"), (1L, "even"),
+      (2L, "even"), (3L, "even"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_text_burstiness")(spark, d)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("even") === ((4L, 4L, 0.0)))
+    assert(r("burst") === ((1L, 4L, 3.0)))
+  }
+
+  test("Horvitz-Thompson is exactly unbiased when a stratum's kept tenths are uniform") {
+    val d = java.nio.file.Files.createTempDirectory("htfix").toString
+    // one stratum "abc" (pi10 = 2 + 3%3 = 2): doc_ids 0,20,40,...,180
+    // cover each (doc_id div 20) % 10 tenth exactly once with equal
+    // n_chars -> kept tenths {0,1}, x_kept = 2x, HT = 2x*10/2 = 10x =
+    // x_true -> err6 = 0 exactly
+    (0 until 10).map(i => (i * 20L, "abc", 100))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_sample_horvitz")(spark, d).collect()
+    assert(r.length === 1)
+    assert(r.head.getInt(1) === 2)        // pi10
+    assert(r.head.getLong(3) === 2L)      // n_kept
+    assert(r.head.getLong(4) === 1000L)   // x_true
+    assert(r.head.getDouble(5) === 1000.0) // ht6
+    assert(r.head.getDouble(6) === 0.0)   // err6
+  }
+
   test("AP reduces to the reciprocal rank when exactly one doc is relevant") {
     // cross-gate differential on the real fixture: q_eval_map and
     // q_eval_mrr share the frozen relevance, so n_rel must agree per

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.QualityClassifier
+
+/** Streaming form of the split-conformal publish (q_eval_conformal's
+  * production topology): the frozen artifact is (classifier weights,
+  * conformal score threshold) — the weights from the train split, the
+  * threshold read off the calibration half's bounded score histogram
+  * at α = 0.1. Each incoming microbatch is scored statelessly and its
+  * admission counts (n, positives, admitted, covered positives) are
+  * published — the coverage monitor a 100 TB selection pipeline runs
+  * against a FIXED threshold, not one it recomputes per batch. Pinned:
+  * per-batch counts ≡ the batch-mode recomputation on exactly that
+  * batch's rows, across a restart (admission is a pure function of
+  * (text, artifact), so a replayed row lands identically).
+  */
+class StreamingConformalSpec extends SparkSpec {
+
+  test("per-microbatch conformal admission at a frozen threshold ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_conf_stream").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+
+    // PUBLISH once: weights from the train split, threshold from the
+    // calibration half (the gate's exact chain — descending cumulative
+    // of the bounded score histogram at index ceil(0.9·(n+1)))
+    val wmap = QualityClassifier.collectWeights(QualityClassifier.weights(
+      docs.filter(col("doc_id") < 400), col("lang") === "en"))
+    val calib = QualityClassifier.score(wmap,
+      docs.filter(col("doc_id") >= 400)
+        .withColumn("label", col("lang") === "en"), carry = Seq("label"))
+      .filter(col("label") && expr("(doc_id div 20) % 2") === 0)
+      .groupBy("score_ppm").agg(count(lit(1)).as("cc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    val nCal = calib.map(_._2).sum
+    val idx = (9 * (nCal + 1) + 9) / 10
+    val thrPpm: Long = {
+      var cum = 0L; var ans = Long.MinValue
+      for ((s, c) <- calib) { cum += c; if (cum >= idx && ans == Long.MinValue) ans = s }
+      ans
+    }
+    assert(thrPpm != Long.MinValue, "calibration produced no threshold")
+
+    // APPLY: stateless scoring + admission counts against the artifact
+    def admit(batch: DataFrame): DataFrame =
+      QualityClassifier.score(wmap,
+        batch.withColumn("label", col("lang") === "en"),
+        carry = Seq("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("score_ppm") >= thrPpm, 1L).otherwise(0L))
+            .as("n_admit"),
+          sum(when(col("label") && col("score_ppm") >= thrPpm, 1L)
+            .otherwise(0L)).as("n_cov"))
+
+    val hold = docs.filter(col("doc_id") >= 400
+      && expr("(doc_id div 20) % 2") === 1)
+    val wave2 = hold.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("doc_id").collect().map(_.getLong(0)).toSeq)
+            admit(df)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.repartition(2).write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    wave2.coalesce(1).write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val all = docs.unionByName(wave2)
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = admit(all.filter(col("doc_id").isin(ids: _*)))
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed admission differs from batch mode")
+    }
+    // the frozen threshold admits something, never more than it saw,
+    // and covered positives never exceed either margin
+    val sums = got.agg(sum("n"), sum("n_pos"), sum("n_admit"), sum("n_cov"))
+      .head()
+    assert(sums.getLong(2) > 0, "frozen threshold admitted nothing")
+    assert(sums.getLong(2) <= sums.getLong(0))
+    assert(sums.getLong(3) <= sums.getLong(1)
+      && sums.getLong(3) <= sums.getLong(2))
+  }
+}
