@@ -3076,6 +3076,67 @@ object AnalyticsQueries {
            |FROM kk GROUP BY c_mktsegment""".stripMargin),
       "10%-trimmed mean per segment on the bounded value grid (no corpus sort)"),
 
+    // Winsorized mean — q_agg_trimmed's clamping sibling (drop the k
+    // tail values vs CLAMP them to the boundary order statistics; the
+    // robust-mean pair every outlier policy chooses between). Same
+    // value-grid discipline: the middle multiplicities reuse the
+    // trimmed overlap identity, and the two boundary values are one
+    // conditional min/max each on the same cumulative — the (k+1)-th
+    // and (n−k)-th order statistics read off the grid, no corpus sort.
+    // wmean = (Σ_mid c·v + k·(v_lo + v_hi)) / n, exact DECIMAL cents.
+    Q("q_agg_winsorized",
+      (s, d) => {
+        val vc = t(s, d, "customer")
+          .select(col("c_mktsegment"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("v"))
+          .groupBy("c_mktsegment", "v").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("c_mktsegment").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        vc
+          .withColumn("cp", coalesce(sum("c").over(w), lit(0L)))
+          .withColumn("n", sum("c").over(
+            Window.partitionBy("c_mktsegment")))
+          .withColumn("k", expr("n div 10"))
+          .withColumn("kept",
+            greatest(least(col("cp") + col("c"), col("n") - col("k"))
+              - greatest(col("cp"), col("k")), lit(0L)))
+          .groupBy("c_mktsegment")
+          .agg(max("n").as("n"), max("k").as("n_wins"),
+            sum(dc(col("kept")) * col("v")).as("ks"),
+            min(when(col("cp") + col("c") > col("k"), col("v")))
+              .as("v_lo"),
+            max(when(col("cp") < col("n") - col("k"), col("v")))
+              .as("v_hi"))
+          .select(col("c_mktsegment"), col("n"), col("n_wins"),
+            round((col("ks") + dc(col("n_wins"))
+              * (col("v_lo") + col("v_hi"))).cast("double")
+              / col("n") / 100.0, 6).as("wmean6"))
+      },
+      Some("""WITH vc AS (SELECT c_mktsegment,
+           |    CAST(round(c_acctbal * 100) AS BIGINT) AS v, count(*) AS c
+           |  FROM customer GROUP BY 1, 2),
+           |cum AS (SELECT c_mktsegment, v, c,
+           |          coalesce(CAST(sum(c) OVER (PARTITION BY c_mktsegment
+           |            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+           |            AND 1 PRECEDING) AS BIGINT), 0) AS cp,
+           |          CAST(sum(c) OVER (PARTITION BY c_mktsegment)
+           |            AS BIGINT) AS n
+           |        FROM vc),
+           |kk AS (SELECT *, n // 10 AS k,
+           |         greatest(least(cp + c, n - (n // 10))
+           |                  - greatest(cp, n // 10), 0) AS kept
+           |       FROM cum)
+           |SELECT c_mktsegment, max(n) AS n, max(k) AS n_wins,
+           |  round(CAST(sum(CAST(kept AS HUGEINT) * v)
+           |          + CAST(max(k) AS HUGEINT)
+           |            * (min(CASE WHEN cp + c > k THEN v END)
+           |               + max(CASE WHEN cp < n - k THEN v END))
+           |          AS DOUBLE)
+           |        / max(n) / 100.0, 6) AS wmean6
+           |FROM kk GROUP BY c_mktsegment""".stripMargin),
+      "winsorized mean per segment: tail values clamped to the grid's boundary order stats"),
+
     // Rolling exact median over a bounded frame: per user, the median of
     // the last 10 event values (exact interpolation over cents so both
     // engines sort identical integers; frame bounded ⇒ per-row cost is

@@ -834,6 +834,78 @@ object DriftQueries {
            |FROM ss""".stripMargin),
       "Brown-Forsythe variance-homogeneity F across slices (median absolute deviations)"),
 
+    // Friedman test across slices with length-bins as BLOCKS — the
+    // repeated-measures member of the rank-test family (Kruskal asks
+    // "same distribution?" pooling everything; Friedman blocks by a
+    // nuisance axis first, so a length-confounded corpus can't fake a
+    // slice effect). Cell value = doc count per (bin, slice) on the
+    // zero-filled complete grid; within-block average ranks use the
+    // doubled-rank trick on the block's value histogram (2·cum_< + t
+    // + 1 — exact integers, ties averaged), R2_j = Σ_blocks avg2 stays
+    // integer, and χ²_F = 3·ΣR2²/(n·k·(k+1)) − 3·n·(k+1) is one double
+    // expression over identical integers (uncorrected-for-ties form,
+    // documented). O(bins·slices) everything after one corpus pass.
+    Q("q_stats_friedman",
+      (s, d) => {
+        val cells = t(s, d, "documents")
+          .select(least(expr("n_chars div 200"), lit(9)).cast("int")
+            .as("bin"), col("source"))
+          .groupBy("bin", "source").agg(count(lit(1)).as("x"))
+        val grid = graft.core.CacheScope.autoRelease(
+          cells.select("bin").distinct()
+            .crossJoin(cells.select("source").distinct())
+            .join(cells, Seq("bin", "source"), "left")
+            .na.fill(0L, Seq("x")))
+        val vh = grid.groupBy("bin", "x").agg(count(lit(1)).as("t"))
+        val wB = Window.partitionBy("bin").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val rk = vh.select(col("bin"), col("x"),
+          (lit(2) * coalesce(sum("t").over(wB), lit(0L))
+            + col("t") + 1).as("avg2"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val r2 = grid.join(rk, Seq("bin", "x"))
+          .groupBy("source").agg(sum("avg2").as("r2"))
+        r2.agg(count(lit(1)).as("k"),
+            sum(dc(col("r2")) * col("r2")).as("sr2"))
+          .crossJoin(broadcast(grid.select("bin").distinct()
+            .agg(count(lit(1)).as("nb"))))
+          .select(col("k"), col("nb"),
+            round(lit(3.0) * col("sr2").cast("double")
+              / (col("nb").cast("double") * col("k").cast("double")
+                * (col("k").cast("double") + 1.0))
+              - lit(3.0) * col("nb").cast("double")
+              * (col("k").cast("double") + 1.0), 6).as("chi2_6"))
+      },
+      Some("""WITH cells AS (SELECT CAST(least(n_chars // 200, 9) AS INT)
+           |                 AS bin, source, count(*) AS x
+           |        FROM documents GROUP BY 1, 2),
+           |grid AS (SELECT b.bin, s.source, coalesce(c.x, 0) AS x
+           |         FROM (SELECT DISTINCT bin FROM cells) b
+           |         CROSS JOIN (SELECT DISTINCT source FROM cells) s
+           |         LEFT JOIN cells c ON c.bin = b.bin
+           |           AND c.source = s.source),
+           |vh AS (SELECT bin, x, CAST(count(*) AS BIGINT) AS t
+           |       FROM grid GROUP BY bin, x),
+           |rk AS (SELECT bin, x,
+           |         2 * coalesce(CAST(sum(t) OVER (PARTITION BY bin
+           |           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+           |           AND 1 PRECEDING) AS BIGINT), 0) + t + 1 AS avg2
+           |       FROM vh),
+           |r2 AS (SELECT source, CAST(sum(avg2) AS BIGINT) AS r2
+           |       FROM grid JOIN rk USING (bin, x) GROUP BY source),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |          sum(CAST(r2 AS HUGEINT) * r2) AS sr2 FROM r2),
+           |nb AS (SELECT CAST(count(DISTINCT bin) AS BIGINT) AS nb
+           |       FROM grid)
+           |SELECT k, nb,
+           |  round(3.0 * CAST(sr2 AS DOUBLE)
+           |        / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+           |           * (CAST(k AS DOUBLE) + 1.0))
+           |        - 3.0 * CAST(nb AS DOUBLE)
+           |        * (CAST(k AS DOUBLE) + 1.0), 6) AS chi2_6
+           |FROM agg CROSS JOIN nb""".stripMargin),
+      "Friedman rank test: slices as treatments, length-bins as blocks (doubled ranks)"),
+
     // Chi-square homogeneity across (slice × term-hash-bucket) — the
     // one-number categorical drift test over a BOUNDED contingency
     // table (terms hashed to Chi2Buckets cells, so the grid is

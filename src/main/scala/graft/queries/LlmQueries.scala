@@ -1841,6 +1841,106 @@ object LlmQueries {
                      FROM documents)"""),
       "word bigram extraction (tokenize/n-gram surface, exploded)"),
 
+    // Corpus-scale BLEU-2 between adjacent-id document pairs — the
+    // n-gram-overlap MT/summarization metric as a distributed join
+    // chain (candidate = every doc_id % 5 = 0 doc, reference = its
+    // +1 neighbor: the deterministic pair fixture; in production the
+    // pairs come from an alignment table). Clipped n-gram precision
+    // is Σ min(count_cand, count_ref) — exact integers from two
+    // token/bigram aggregates joined per pair — and the geometric
+    // mean of TWO precisions is a plain sqrt (IEEE-exact, no ln/exp
+    // chain); only the brevity penalty carries one per-row exp,
+    // rounded @6 per the house convention. All work is O(pair
+    // tokens), shuffled on (doc_id, gram) — no corpus-wide state.
+    Q("q_eval_bleu",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.core.CacheScope.autoRelease(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("text").as("ctext"))
+            .join(docs.select((col("doc_id") - 1).as("doc_id"),
+              col("text").as("rtext")), "doc_id"))
+        def grams(c: org.apache.spark.sql.Column, n: Int) =
+          if (n == 1) TextFunctions.tokens(c)
+          else TextFunctions.shingles(c, n)
+        def clipped(n: Int, out: String) = {
+          val cu = pairs.select(col("doc_id"),
+            explode(grams(col("ctext"), n)).as("g"))
+            .groupBy("doc_id", "g").agg(count(lit(1)).as("cc"))
+          val ru = pairs.select(col("doc_id"),
+            explode(grams(col("rtext"), n)).as("g"))
+            .groupBy("doc_id", "g").agg(count(lit(1)).as("rc"))
+          cu.join(ru, Seq("doc_id", "g"))
+            .groupBy("doc_id")
+            .agg(sum(least(col("cc"), col("rc"))).as(out))
+        }
+        pairs
+          .select(col("doc_id"),
+            size(TextFunctions.tokens(col("ctext"))).as("c_len"),
+            size(TextFunctions.tokens(col("rtext"))).as("r_len"))
+          .join(clipped(1, "m1"), Seq("doc_id"), "left")
+          .join(clipped(2, "m2"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("c_len"), col("r_len"),
+            coalesce(col("m1"), lit(0L)).as("m1"),
+            coalesce(col("m2"), lit(0L)).as("m2"))
+          .select(col("doc_id"), col("c_len"), col("r_len"), col("m1"),
+            col("m2"),
+            when(col("m1") > 0 && col("m2") > 0 && col("c_len") > 1,
+              round(
+                when(col("c_len") >= col("r_len"), lit(1.0))
+                  .otherwise(exp(lit(1.0) - col("r_len").cast("double")
+                    / col("c_len").cast("double")))
+                * sqrt((col("m1").cast("double")
+                    / col("c_len").cast("double"))
+                  * (col("m2").cast("double")
+                    / (col("c_len").cast("double") - 1.0))), 6))
+              .otherwise(0.0).as("bleu6"))
+      },
+      Some(s"""WITH pairs AS (SELECT c.doc_id, c.text AS ctext,
+           |                 r.text AS rtext
+           |               FROM documents c JOIN documents r
+           |                 ON r.doc_id = c.doc_id + 1
+           |               WHERE c.doc_id % 5 = 0),
+           |cu1 AS (SELECT doc_id, g, count(*) AS cc
+           |        FROM (SELECT doc_id, unnest(${duckTokens("ctext")}) AS g
+           |              FROM pairs) GROUP BY 1, 2),
+           |ru1 AS (SELECT doc_id, g, count(*) AS rc
+           |        FROM (SELECT doc_id, unnest(${duckTokens("rtext")}) AS g
+           |              FROM pairs) GROUP BY 1, 2),
+           |m1 AS (SELECT doc_id, CAST(sum(least(cc, rc)) AS BIGINT) AS m1
+           |       FROM cu1 JOIN ru1 USING (doc_id, g) GROUP BY 1),
+           |cu2 AS (SELECT doc_id, g, count(*) AS cc
+           |        FROM (SELECT doc_id,
+           |                unnest(${duckShingles(duckTokens("ctext"), 2)})
+           |                  AS g
+           |              FROM pairs) GROUP BY 1, 2),
+           |ru2 AS (SELECT doc_id, g, count(*) AS rc
+           |        FROM (SELECT doc_id,
+           |                unnest(${duckShingles(duckTokens("rtext"), 2)})
+           |                  AS g
+           |              FROM pairs) GROUP BY 1, 2),
+           |m2 AS (SELECT doc_id, CAST(sum(least(cc, rc)) AS BIGINT) AS m2
+           |       FROM cu2 JOIN ru2 USING (doc_id, g) GROUP BY 1),
+           |lens AS (SELECT doc_id,
+           |           CAST(len(${duckTokens("ctext")}) AS INT) AS c_len,
+           |           CAST(len(${duckTokens("rtext")}) AS INT) AS r_len
+           |         FROM pairs)
+           |SELECT doc_id, c_len, r_len,
+           |  coalesce(m1, 0) AS m1, coalesce(m2, 0) AS m2,
+           |  CASE WHEN coalesce(m1, 0) > 0 AND coalesce(m2, 0) > 0
+           |            AND c_len > 1
+           |       THEN round(
+           |         (CASE WHEN c_len >= r_len THEN 1.0
+           |               ELSE exp(1.0 - CAST(r_len AS DOUBLE)
+           |                        / CAST(c_len AS DOUBLE)) END)
+           |         * sqrt((CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE))
+           |             * (CAST(m2 AS DOUBLE)
+           |                / (CAST(c_len AS DOUBLE) - 1.0))), 6)
+           |       ELSE 0.0 END AS bleu6
+           |FROM lens LEFT JOIN m1 USING (doc_id)
+           |LEFT JOIN m2 USING (doc_id)""".stripMargin),
+      "BLEU-2 per candidate/reference pair (clipped n-gram joins, sqrt geometric mean)"),
+
     // Gopher-style repetition signals: fraction of tokens covered by the
     // most frequent token / bigram. High values = template spam.
     Q("q_text_repetition",

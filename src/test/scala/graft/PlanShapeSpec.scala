@@ -748,6 +748,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_count"), p)
   }
 
+  test("q_agg_winsorized stays on the value grid like trimmed — no corpus sort") {
+    val p = plan("q_agg_winsorized")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Coalesce 1"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_stats_friedman ranks the bounded bin-slice grid only") {
+    val p = plan("q_stats_friedman")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
+  test("q_eval_bleu shuffles on (doc_id, gram) — no cartesian, no single partition") {
+    val p = plan("q_eval_bleu")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
   test("q_agg_trimmed trims on the value grid — no per-group corpus sort, no single partition") {
     val p = plan("q_agg_trimmed")
     assert(!p.contains("CartesianProduct"), p)

@@ -242,6 +242,54 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.head.getDouble(6) === 0.0)   // err6
   }
 
+  test("winsorized mean clamps exactly one tail value each side at n = 10") {
+    val d = java.nio.file.Files.createTempDirectory("winsfix").toString
+    // values 1..10 dollars, k = n div 10 = 1: bottom 1 -> 2, top 10 -> 9
+    // -> wmean = (sum(2..9) + 2 + 9)/10 = 5.5
+    (1 to 10).map(i => ("SEG", i.toDouble))
+      .toDF("c_mktsegment", "c_acctbal")
+      .write.parquet(s"$d/customer.parquet")
+    val r = SparkEntry.queries("q_agg_winsorized")(spark, d).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 10L && r.head.getLong(2) === 1L)
+    assert(r.head.getDouble(3) === 5.5)
+  }
+
+  test("Friedman chi2 hits n(k-1) when one slice wins every block and 0 when balanced") {
+    val d1 = java.nio.file.Files.createTempDirectory("fried1").toString
+    // a outnumbers b in BOTH length bins -> ranks (2,1) twice:
+    // chi2 = 3*(64+16)/(2*2*3) - 3*2*3 = 2 = n(k-1), the k=2 maximum
+    ((0 until 3).map(i => (i.toLong, "a", 100)) ++ Seq((3L, "b", 100)) ++
+      (4 until 7).map(i => (i.toLong, "a", 250)) ++ Seq((7L, "b", 250)))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d1/documents.parquet")
+    val r1 = SparkEntry.queries("q_stats_friedman")(spark, d1).collect()
+    assert(r1.head.getLong(0) === 2L && r1.head.getLong(1) === 2L)
+    assert(r1.head.getDouble(2) === 2.0)
+    val d2 = java.nio.file.Files.createTempDirectory("fried2").toString
+    // the win flips between bins -> rank sums equal -> chi2 = 0
+    ((0 until 3).map(i => (i.toLong, "a", 100)) ++ Seq((3L, "b", 100)) ++
+      Seq((4L, "a", 250)) ++ (5 until 8).map(i => (i.toLong, "b", 250)))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val r2 = SparkEntry.queries("q_stats_friedman")(spark, d2).collect()
+    assert(r2.head.getDouble(2) === 0.0)
+  }
+
+  test("BLEU-2 is 1 on identical pairs, 0 on disjoint, sqrt(1/3) on the hand case") {
+    val d = java.nio.file.Files.createTempDirectory("bleufix").toString
+    Seq((0L, "a b c d"), (1L, "a b c d"),      // identical -> 1.0
+      (5L, "x y"), (6L, "p q"),                // disjoint -> 0.0
+      (10L, "a b c"), (11L, "a b z"))          // m1=2/3, m2=1/2 -> sqrt(1/3)
+      .toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_eval_bleu")(spark, d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(5)).toMap
+    assert(r(0L) === 1.0)
+    assert(r(5L) === 0.0)
+    assert(math.abs(r(10L) - 0.57735) < 1e-5)
+  }
+
   test("AP reduces to the reciprocal rank when exactly one doc is relevant") {
     // cross-gate differential on the real fixture: q_eval_map and
     // q_eval_mrr share the frozen relevance, so n_rel must agree per
