@@ -1941,6 +1941,101 @@ object LlmQueries {
            |LEFT JOIN m2 USING (doc_id)""".stripMargin),
       "BLEU-2 per candidate/reference pair (clipped n-gram joins, sqrt geometric mean)"),
 
+    // RAKE keyphrase extraction (Rose et al. 2010) — the classic
+    // unsupervised keyword surface a corpus-exploration pipeline runs
+    // before committing to a topic model: split each document at
+    // stopwords/boundaries into candidate phrases (≤ 4 tokens,
+    // declared cap), score every member word by degree/frequency over
+    // the phrase table, and rank phrases by the sum of member scores.
+    // Degree/frequency are exact integers; the word score is an exact
+    // ppm INTEGER DIVISION (deg·1e6 div freq), so phrase scores are
+    // exact integer sums — no double reduction anywhere. Work is one
+    // corpus pass + per-doc windows partitioned BY doc_id (never
+    // global), then O(phrase-member) aggregates; the cut is a bounded
+    // TakeOrdered on (score DESC, phrase).
+    Q("q_text_rake",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stops = Seq("the", "a", "an", "of", "to", "in", "and", "or",
+          "is", "are", "was", "were", "for", "on", "with", "as", "by",
+          "at", "it", "this", "that", "be", "from", "not", "but")
+        val wD = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFunctions.tokens(col("text"))))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"),
+            col("col").isInCollection(stops).cast("long").as("stop"))
+        val phrases = graft.core.CacheScope.autoRelease(toks
+          .withColumn("grp", sum("stop").over(wD))
+          .filter(col("stop") === 0)
+          .groupBy("doc_id", "grp")
+          .agg(transform(sort_array(collect_list(
+            struct(col("pos"), col("tok")))), x => x("tok")).as("ws"))
+          .filter(size(col("ws")) <= 4)
+          .select(col("doc_id"), col("grp"), col("ws"),
+            concat_ws(" ", col("ws")).as("phrase")))
+        val words = phrases
+          .select(explode(col("ws")).as("w"), size(col("ws")).as("l"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("freq"), sum("l").as("deg"))
+          .selectExpr("w", "(deg * 1000000) div freq AS score_ppm")
+        phrases
+          .select(col("doc_id"), col("grp"), col("phrase"),
+            explode(col("ws")).as("w"))
+          .join(words, "w")
+          .groupBy("doc_id", "grp", "phrase")
+          .agg(sum("score_ppm").as("sc"))
+          .groupBy("phrase")
+          .agg(count(lit(1)).as("n"), max("sc").as("score_ppm"))
+          .orderBy(col("score_ppm").desc, col("phrase"))
+          .limit(25)
+      },
+      Some {
+        val stops = Seq("the", "a", "an", "of", "to", "in", "and", "or",
+          "is", "are", "was", "were", "for", "on", "with", "as", "by",
+          "at", "it", "this", "that", "be", "from", "not", "but")
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH toks AS (SELECT doc_id,
+           |                CAST(generate_subscripts(ts, 1) AS INT) AS pos,
+           |                unnest(ts) AS tok
+           |              FROM (SELECT doc_id, ${duckTokens("text")} AS ts
+           |                    FROM documents)),
+           |marked AS (SELECT doc_id, pos, tok,
+           |             CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END
+           |               AS stop
+           |           FROM toks),
+           |grps AS (SELECT doc_id, pos, tok, stop,
+           |           CAST(sum(stop) OVER (PARTITION BY doc_id
+           |             ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+           |             AND CURRENT ROW) AS BIGINT) AS grp
+           |         FROM marked),
+           |phrases AS (SELECT doc_id, grp,
+           |              list(tok ORDER BY pos) AS ws,
+           |              array_to_string(list(tok ORDER BY pos), ' ')
+           |                AS phrase
+           |            FROM grps WHERE stop = 0
+           |            GROUP BY doc_id, grp
+           |            HAVING len(list(tok ORDER BY pos)) <= 4),
+           |words AS (SELECT w,
+           |            (CAST(sum(l) AS BIGINT) * 1000000)
+           |              // CAST(count(*) AS BIGINT) AS score_ppm
+           |          FROM (SELECT unnest(ws) AS w, len(ws) AS l
+           |                FROM phrases)
+           |          GROUP BY w),
+           |ps AS (SELECT doc_id, grp, phrase,
+           |         CAST(sum(score_ppm) AS BIGINT) AS sc
+           |       FROM (SELECT doc_id, grp, phrase, unnest(ws) AS w
+           |             FROM phrases) p
+           |       JOIN words USING (w)
+           |       GROUP BY doc_id, grp, phrase)
+           |SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(max(sc) AS BIGINT) AS score_ppm
+           |FROM ps GROUP BY phrase
+           |ORDER BY score_ppm DESC, phrase LIMIT 25""".stripMargin
+      },
+      "RAKE keyphrases: stopword-split candidates, degree/freq word scores, exact ppm sums"),
+
     // Gopher-style repetition signals: fraction of tokens covered by the
     // most frequent token / bigram. High values = template spam.
     Q("q_text_repetition",

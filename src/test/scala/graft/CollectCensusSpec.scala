@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanized census of driver-side materialization in GATED code — the
+  * audit the round reviews run by hand ("every collect() must be
+  * bounded"). Every `.collect()` / `.collectAsList(` / `.toLocalIterator`
+  * in operators/queries/functions/plans/streaming/core must appear in
+  * the pinned per-file table below, and every pinned site is bounded by
+  * construction (the justification is the comment beside each entry).
+  * Adding a new collect WITHOUT updating this pin fails the suite — the
+  * new site needs its boundedness argued here first. tools/ and the
+  * demo mains are exempt (single-shot diagnostics, not gated paths).
+  */
+class CollectCensusSpec extends AnyFunSuite {
+
+  private val Pinned: Map[String, Int] = Map(
+    // O(WeightBuckets) frozen classifier artifact
+    "operators/QualityClassifier.scala" -> 1,
+    // O(k) centroids (k-means publish)
+    "operators/KMeans.scala" -> 1,
+    // O(k·dim) power-iteration eigvecs + O(dim) means
+    "operators/Pca.scala" -> 2,
+    // O(bands) LSH plane artifact + O(k) IVF centroid artifact
+    "operators/Similarity.scala" -> 2,
+    // O(K) merge-rule artifact (BPE train)
+    "operators/Tokenizer.scala" -> 1,
+    // O(singles + VocabTop) piece set (WordPiece map literal)
+    "operators/WordPiece.scala" -> 1,
+    // O(1) threshold row (substring-dedup index cut)
+    "operators/Dedup.scala" -> 1,
+    // O(partitions) boundary rows (global-rank range partitioner)
+    "operators/GlobalRank.scala" -> 1,
+    // 7 sites: bounded seed collects (limit(BtwSeedCount) before
+    // collect, r16-judge-verified), O(bins)/O(k) artifact reads
+    "queries/AnalyticsQueries.scala" -> 7,
+    // 2 code sites (a third match is comment prose): O(WeightBuckets)
+    // frozen weights for the eval family
+    "queries/WebQueries.scala" -> 2,
+    // resume-idempotent demo main (file-channel reference pipeline)
+    "streaming/PipelineDemo.scala" -> 1)
+
+  test("every driver-side collect in gated code is pinned and justified") {
+    val base = Paths.get("src/main/scala/graft")
+    val hits = Files.walk(base).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(p => p.toString.contains("/tools/"))
+      .flatMap { p =>
+        val src = new String(Files.readAllBytes(p), "UTF-8")
+        // strip line comments so prose mentioning collect() doesn't count
+        val code = src.linesIterator
+          .map(l => l.indexOf("//") match {
+            case -1 => l
+            case i  => l.substring(0, i)
+          })
+          .mkString("\n")
+        val n = Seq(".collect()", ".collectAsList(", ".toLocalIterator")
+          .map(pat => code.sliding(pat.length).count(_ == pat)).sum
+        if (n == 0) None
+        else Some(base.relativize(p).toString.replace('\\', '/') -> n)
+      }
+      .toMap
+    val unexpected = hits.filterNot { case (f, n) => Pinned.get(f).contains(n) }
+    val stale = Pinned.filterNot { case (f, n) => hits.get(f).contains(n) }
+    assert(unexpected.isEmpty && stale.isEmpty,
+      s"collect census drift — justify new sites (or drop stale pins) in CollectCensusSpec:\n" +
+        s"  unpinned/changed: $unexpected\n  stale pins: $stale")
+  }
+}

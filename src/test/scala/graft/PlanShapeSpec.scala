@@ -761,6 +761,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Coalesce 1"), p)
   }
 
+  test("q_text_rake windows per doc_id and aggregates phrase members — no global window") {
+    val p = plan("q_text_rake")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Coalesce 1"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_eval_bleu shuffles on (doc_id, gram) — no cartesian, no single partition") {
     val p = plan("q_eval_bleu")
     assert(!p.contains("CartesianProduct"), p)

@@ -290,6 +290,22 @@ class StatsGatesSpec extends SparkSpec {
     assert(math.abs(r(10L) - 0.57735) < 1e-5)
   }
 
+  test("RAKE scores the hand corpus exactly (degree/freq ppm, longest phrase wins)") {
+    val d = java.nio.file.Files.createTempDirectory("rakefix").toString
+    // "of" is the only stopword hit: phrases [deep learning] and
+    // [deep learning systems]; deg/freq: deep 5/2, learning 5/2,
+    // systems 3/1 -> scores 2.5e6, 2.5e6, 3e6 -> phrase scores 5e6, 8e6
+    Seq((0L, "deep learning of deep learning systems"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_text_rake")(spark, d).collect()
+    assert(r.length === 2)
+    assert(r(0).getString(0) === "deep learning systems"
+      && r(0).getLong(2) === 8000000L)
+    assert(r(1).getString(0) === "deep learning"
+      && r(1).getLong(2) === 5000000L)
+  }
+
   test("AP reduces to the reciprocal rank when exactly one doc is relevant") {
     // cross-gate differential on the real fixture: q_eval_map and
     // q_eval_mrr share the frozen relevance, so n_rel must agree per
