@@ -906,6 +906,119 @@ object DriftQueries {
            |FROM agg CROSS JOIN nb""".stripMargin),
       "Friedman rank test: slices as treatments, length-bins as blocks (doubled ranks)"),
 
+    // One-way ANOVA F on doc length across all slices — the textbook
+    // mean-comparison omnibus (Welch is its 2-group unequal-variance
+    // special case; Kruskal its rank-free cousin; Brown-Forsythe runs
+    // the SAME decomposition on |x − med|). Raw values are INTEGERS,
+    // so ΣX and ΣX² per group are exact at any reduction order; only
+    // the S_g²/n_g terms carry the 1e-3 fixed point (the family
+    // convention) and F is one double expression over identical
+    // values. ANSI-÷0: k ≤ 1, N ≤ k or zero within-group variance
+    // NULLs f6.
+    Q("q_stats_anova",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        t(s, d, "documents").select(col("source"), col("n_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("ng"), sum(dc(col("n_chars"))).as("sg"),
+            sum(dc(col("n_chars")) * col("n_chars")).as("qg"))
+          .select(col("ng"), col("sg"), col("qg"),
+            round(col("sg").cast("double") * col("sg").cast("double")
+              / col("ng").cast("double") * 1000.0).cast("long").as("fp"))
+          .agg(count(lit(1)).as("k"), sum("ng").as("nn"),
+            sum("sg").as("stot"), sum(col("qg").cast("double")).as("sz2"),
+            sum("fp").as("sfp"))
+          .select(col("k"), col("nn"),
+            (col("sfp").cast("double") / 1000.0
+              - col("stot").cast("double") * col("stot").cast("double")
+              / col("nn").cast("double")).as("ssb"),
+            (col("sz2") - col("sfp").cast("double") / 1000.0).as("ssw"))
+          .select(col("k"), col("nn"),
+            round(col("ssb"), 6).as("ssb6"), round(col("ssw"), 6).as("ssw6"),
+            when(col("k") > 1 && col("nn") > col("k") && col("ssw") > 0.0,
+              round((col("ssb") / (col("k").cast("double") - 1.0))
+                / (col("ssw") / (col("nn").cast("double")
+                  - col("k").cast("double"))), 6)).as("f6"))
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+           |        sum(CAST(n_chars AS HUGEINT)) AS sg,
+           |        sum(CAST(n_chars AS HUGEINT) * n_chars) AS qg
+           |      FROM documents GROUP BY source),
+           |fp AS (SELECT ng, sg, qg,
+           |         CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+           |              / CAST(ng AS DOUBLE) * 1000.0) AS BIGINT) AS fp
+           |       FROM g),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |          CAST(sum(ng) AS BIGINT) AS nn,
+           |          sum(sg) AS stot, sum(CAST(qg AS DOUBLE)) AS sz2,
+           |          CAST(sum(fp) AS BIGINT) AS sfp
+           |        FROM fp),
+           |ss AS (SELECT k, nn,
+           |         CAST(sfp AS DOUBLE) / 1000.0
+           |           - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+           |           / CAST(nn AS DOUBLE) AS ssb,
+           |         sz2 - CAST(sfp AS DOUBLE) / 1000.0 AS ssw
+           |       FROM agg)
+           |SELECT k, nn, round(ssb, 6) AS ssb6, round(ssw, 6) AS ssw6,
+           |  CASE WHEN k > 1 AND nn > k AND ssw > 0.0
+           |       THEN round((ssb / (CAST(k AS DOUBLE) - 1.0))
+           |              / (ssw / (CAST(nn AS DOUBLE)
+           |                        - CAST(k AS DOUBLE))), 6)
+           |  END AS f6
+           |FROM ss""".stripMargin),
+      "one-way ANOVA F across slices (exact integer moments, fixed-point between-group terms)"),
+
+    // Two-proportion z-test per slice vs rest on the lang='en' share —
+    // the binary-metric member of the A/B family (Welch compares a
+    // continuous mean, Mann-Whitney a distribution, THIS the simplest
+    // thing a slice monitor actually tracks: a rate). Pooled-variance
+    // form: z = (p̂₁ − p̂₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) — four exact
+    // integers per slice into ONE double expression rounded @6; an
+    // all-true or all-false pool (p̂(1−p̂) = 0) NULLs z (ANSI contract).
+    // O(slices) after one corpus aggregate.
+    Q("q_ab_proportions",
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n1"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("y1"))
+        g.crossJoin(broadcast(g.agg(sum("n1").as("nt"), sum("y1").as("yt"))))
+          .select(col("source"), col("n1"), col("y1"),
+            (col("nt") - col("n1")).as("n2"),
+            (col("yt") - col("y1")).as("y2"), col("nt"), col("yt"))
+          .filter(col("n2") > 0)
+          .select(col("source"), col("n1"), col("y1"), col("n2"),
+            col("y2"),
+            when(col("yt") > 0 && col("yt") < col("nt"),
+              round((col("y1").cast("double") / col("n1").cast("double")
+                - col("y2").cast("double") / col("n2").cast("double"))
+                / sqrt(col("yt").cast("double") / col("nt").cast("double")
+                  * (lit(1.0) - col("yt").cast("double")
+                    / col("nt").cast("double"))
+                  * (lit(1.0) / col("n1").cast("double")
+                    + lit(1.0) / col("n2").cast("double"))), 6))
+              .as("z6"))
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n1,
+           |        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+           |             AS BIGINT) AS y1
+           |      FROM documents GROUP BY source),
+           |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nt,
+           |          CAST(sum(y1) AS BIGINT) AS yt FROM g)
+           |SELECT source, n1, y1, nt - n1 AS n2, yt - y1 AS y2,
+           |  CASE WHEN yt > 0 AND yt < nt
+           |       THEN round((CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           |              - CAST(yt - y1 AS DOUBLE)
+           |                / CAST(nt - n1 AS DOUBLE))
+           |              / sqrt(CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)
+           |                * (1.0 - CAST(yt AS DOUBLE)
+           |                   / CAST(nt AS DOUBLE))
+           |                * (1.0 / CAST(n1 AS DOUBLE)
+           |                   + 1.0 / CAST(nt - n1 AS DOUBLE))), 6)
+           |  END AS z6
+           |FROM g CROSS JOIN tot WHERE nt - n1 > 0""".stripMargin),
+      "two-proportion z per slice vs rest on the lang='en' rate (pooled variance)"),
+
     // Chi-square homogeneity across (slice × term-hash-bucket) — the
     // one-number categorical drift test over a BOUNDED contingency
     // table (terms hashed to Chi2Buckets cells, so the grid is

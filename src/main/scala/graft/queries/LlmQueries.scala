@@ -1941,6 +1941,83 @@ object LlmQueries {
            |LEFT JOIN m2 USING (doc_id)""".stripMargin),
       "BLEU-2 per candidate/reference pair (clipped n-gram joins, sqrt geometric mean)"),
 
+    // chrF (character-trigram F1, Popović 2015 at the declared n=3
+    // single-order form) on the same candidate/reference pairs — the
+    // tokenization-free companion BLEU is usually reported with
+    // (robust to morphology/segmentation differences BLEU's word
+    // grams punish). Whitespace is stripped, trigrams counted, and
+    // with clipped matches m the F1 collapses to the EXACT RATIONAL
+    // 2m/(nc + nr) — no transcendental anywhere, unlike BLEU's
+    // brevity exp. Same (doc_id, gram) shuffle shape.
+    Q("q_eval_chrf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.core.CacheScope.autoRelease(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("text").as("ctext"))
+            .join(docs.select((col("doc_id") - 1).as("doc_id"),
+              col("text").as("rtext")), "doc_id"))
+        def sq(c: org.apache.spark.sql.Column) =
+          regexp_replace(c, "\\s+", "")
+        def tg(c: org.apache.spark.sql.Column) = {
+          val str = sq(c)
+          when(length(str) >= 3,
+            transform(sequence(lit(1), length(str) - 2),
+              i => str.substr(i, lit(3))))
+            .otherwise(array().cast("array<string>"))
+        }
+        def counts(src: String, out: String) = pairs
+          .select(col("doc_id"), explode(tg(col(src))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as(out))
+        val m = counts("ctext", "cc")
+          .join(counts("rtext", "rc"), Seq("doc_id", "g"))
+          .groupBy("doc_id")
+          .agg(sum(least(col("cc"), col("rc"))).as("m"))
+        pairs
+          .select(col("doc_id"),
+            greatest(length(sq(col("ctext"))) - 2, lit(0)).as("nc"),
+            greatest(length(sq(col("rtext"))) - 2, lit(0)).as("nr"))
+          .join(m, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("nc"), col("nr"),
+            coalesce(col("m"), lit(0L)).as("m"))
+          .select(col("doc_id"), col("nc"), col("nr"), col("m"),
+            when(col("m") > 0,
+              round(lit(2.0) * col("m").cast("double")
+                / (col("nc").cast("double") + col("nr").cast("double")),
+                6)).otherwise(0.0).as("chrf6"))
+      },
+      Some("""WITH pairs AS (SELECT c.doc_id,
+           |                 regexp_replace(c.text, '\s+', '', 'g')
+           |                   AS cs,
+           |                 regexp_replace(r.text, '\s+', '', 'g')
+           |                   AS rs
+           |               FROM documents c JOIN documents r
+           |                 ON r.doc_id = c.doc_id + 1
+           |               WHERE c.doc_id % 5 = 0),
+           |cg AS (SELECT doc_id, g, count(*) AS cc
+           |       FROM (SELECT doc_id, unnest(list_transform(
+           |               range(1, greatest(len(cs) - 2, 0) + 1),
+           |               i -> substr(cs, CAST(i AS INT), 3))) AS g
+           |             FROM pairs) GROUP BY 1, 2),
+           |rg AS (SELECT doc_id, g, count(*) AS rc
+           |       FROM (SELECT doc_id, unnest(list_transform(
+           |               range(1, greatest(len(rs) - 2, 0) + 1),
+           |               i -> substr(rs, CAST(i AS INT), 3))) AS g
+           |             FROM pairs) GROUP BY 1, 2),
+           |m AS (SELECT doc_id, CAST(sum(least(cc, rc)) AS BIGINT) AS m
+           |      FROM cg JOIN rg USING (doc_id, g) GROUP BY 1),
+           |lens AS (SELECT doc_id,
+           |           CAST(greatest(len(cs) - 2, 0) AS INT) AS nc,
+           |           CAST(greatest(len(rs) - 2, 0) AS INT) AS nr
+           |         FROM pairs)
+           |SELECT doc_id, nc, nr, coalesce(m, 0) AS m,
+           |  CASE WHEN coalesce(m, 0) > 0
+           |       THEN round(2.0 * CAST(m AS DOUBLE)
+           |              / (CAST(nc AS DOUBLE) + CAST(nr AS DOUBLE)), 6)
+           |       ELSE 0.0 END AS chrf6
+           |FROM lens LEFT JOIN m USING (doc_id)""".stripMargin),
+      "chrF: character-trigram F1 per pair — exact rational 2m/(nc+nr), no transcendentals"),
+
     // RAKE keyphrase extraction (Rose et al. 2010) — the classic
     // unsupervised keyword surface a corpus-exploration pipeline runs
     // before committing to a topic model: split each document at

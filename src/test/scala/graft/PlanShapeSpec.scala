@@ -761,6 +761,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Coalesce 1"), p)
   }
 
+  test("q_stats_anova is one map-side-combined moment pass") {
+    val p = plan("q_stats_anova")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_ab_proportions is one aggregate against a broadcast one-row total") {
+    val p = plan("q_ab_proportions")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_eval_chrf shuffles on (doc_id, trigram) — no cartesian, no single partition") {
+    val p = plan("q_eval_chrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
   test("q_text_rake windows per doc_id and aggregates phrase members — no global window") {
     val p = plan("q_text_rake")
     assert(!p.contains("CartesianProduct"), p)

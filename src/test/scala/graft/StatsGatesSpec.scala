@@ -306,6 +306,45 @@ class StatsGatesSpec extends SparkSpec {
       && r(1).getLong(2) === 5000000L)
   }
 
+  test("one-way ANOVA F matches the hand-computed two-group closed form") {
+    // bfDir raw values: a {0,10,1} (S=11, Q=101), b {4,6} (S=10, Q=52):
+    // fp = 40333 + 50000, ssb = 90.333-88.2, ssw = 153-90.333
+    // -> F = 2.133/(62.667/3) = 0.1021117...
+    val r = SparkEntry.queries("q_stats_anova")(spark, bfDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 2L && r.head.getLong(1) === 5L)
+    assert(math.abs(r.head.getDouble(2) - 2.133) < 1e-9)
+    assert(math.abs(r.head.getDouble(3) - 62.667) < 1e-9)
+    assert(math.abs(r.head.getDouble(4) - 0.102112) < 1e-4)
+  }
+
+  test("two-proportion z is +/-sqrt(2) on the symmetric 3/4-vs-1/4 fixture") {
+    val d = java.nio.file.Files.createTempDirectory("propfix").toString
+    // a: 3/4 en, b: 1/4 en; pooled p = 1/2 ->
+    // z_a = 0.5/sqrt(0.25*0.5) = sqrt(2), z_b mirrors it
+    (Seq(("a", "en"), ("a", "en"), ("a", "en"), ("a", "de"),
+      ("b", "en"), ("b", "de"), ("b", "de"), ("b", "de"))
+      .zipWithIndex.map { case ((s0, l), i) => (i.toLong, s0, l) })
+      .toDF("doc_id", "source", "lang")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_ab_proportions")(spark, d)
+      .collect().map(x => x.getString(0) -> x.getDouble(5)).toMap
+    assert(math.abs(r("a") - 1.414214) < 1e-6)
+    assert(math.abs(r("b") + 1.414214) < 1e-6)
+  }
+
+  test("chrF is 1 on identical pairs, 0 on disjoint, 0.5 on the one-mismatch case") {
+    val d = java.nio.file.Files.createTempDirectory("chrffix").toString
+    Seq((0L, "abcd"), (1L, "abcd"),   // identical -> 1.0
+      (5L, "xyz"), (6L, "pqr"),       // disjoint -> 0.0
+      (10L, "abcd"), (11L, "abcz"))   // m=1 of nc=nr=2 -> 0.5
+      .toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_eval_chrf")(spark, d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(4)).toMap
+    assert(r(0L) === 1.0 && r(5L) === 0.0 && r(10L) === 0.5)
+  }
+
   test("AP reduces to the reciprocal rank when exactly one doc is relevant") {
     // cross-gate differential on the real fixture: q_eval_map and
     // q_eval_mrr share the frozen relevance, so n_rel must agree per
