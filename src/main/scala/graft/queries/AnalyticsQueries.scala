@@ -769,6 +769,194 @@ object AnalyticsQueries {
            |FROM st""".stripMargin),
       "Kaplan-Meier survival over user activity spans (right-censored at the corpus edge)"),
 
+    // CUPED (controlled-experiment using pre-experiment data, Deng et
+    // al. 2013) — the variance-reduction readout every modern A/B
+    // platform publishes before powering an experiment: with x = a
+    // user's PRE-period spend and y = POST-period spend, the adjusted
+    // metric y − θ(x − x̄) at θ = cov(x,y)/var(x) has variance
+    // var(y)·(1 − ρ²), so the whole gate is five exact DECIMAL cent
+    // moments (Σx, Σy, Σx², Σy², Σxy) folded through the n-scaled
+    // covariance identities — no per-user adjusted column ever
+    // materializes. Zero pre-period variance NULLs θ (ANSI contract).
+    Q("q_ab_cuped",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val u = t(s, d, "events")
+          .select(col("user_id"),
+            when(col("ts") < lit("2024-01-16").cast("timestamp"),
+              cents(col("value"))).otherwise(0L).as("xc"),
+            when(col("ts") >= lit("2024-01-16").cast("timestamp"),
+              cents(col("value"))).otherwise(0L).as("yc"))
+          .groupBy("user_id")
+          .agg(sum("xc").as("x"), sum("yc").as("y"))
+        u.agg(count(lit(1)).as("n"),
+            sum(dc(col("x"))).as("sx"), sum(dc(col("y"))).as("sy"),
+            sum(dc(col("x")) * col("x")).as("sxx"),
+            sum(dc(col("y")) * col("y")).as("syy"),
+            sum(dc(col("x")) * col("y")).as("sxy"))
+          .select(col("n"),
+            (dc(col("n")) * col("sxy") - col("sx") * col("sy"))
+              .cast("double").as("cxy"),
+            (dc(col("n")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double").as("cxx"),
+            (dc(col("n")) * col("syy") - col("sy") * col("sy"))
+              .cast("double").as("cyy"))
+          .select(col("n"),
+            when(col("cxx") > 0.0, round(col("cxy") / col("cxx"), 6))
+              .as("theta6"),
+            when(col("cxx") > 0.0 && col("cyy") > 0.0,
+              round(col("cxy") * col("cxy")
+                / (col("cxx") * col("cyy")), 6)).as("rho2_6"),
+            when(col("cxx") > 0.0 && col("cyy") > 0.0,
+              round(lit(1.0) - col("cxy") * col("cxy")
+                / (col("cxx") * col("cyy")), 6)).as("var_ratio6"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+           |        CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+           |             THEN CAST(round(value * 100) AS BIGINT)
+           |             ELSE 0 END) AS BIGINT) AS x,
+           |        CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+           |             THEN CAST(round(value * 100) AS BIGINT)
+           |             ELSE 0 END) AS BIGINT) AS y
+           |      FROM events GROUP BY user_id),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        sum(CAST(x AS HUGEINT)) AS sx,
+           |        sum(CAST(y AS HUGEINT)) AS sy,
+           |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |        sum(CAST(y AS HUGEINT) * y) AS syy,
+           |        sum(CAST(x AS HUGEINT) * y) AS sxy
+           |      FROM u),
+           |c AS (SELECT n,
+           |        CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+           |        CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+           |        CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+           |      FROM m)
+           |SELECT n,
+           |  CASE WHEN cxx > 0.0 THEN round(cxy / cxx, 6) END AS theta6,
+           |  CASE WHEN cxx > 0.0 AND cyy > 0.0
+           |       THEN round(cxy * cxy / (cxx * cyy), 6) END AS rho2_6,
+           |  CASE WHEN cxx > 0.0 AND cyy > 0.0
+           |       THEN round(1.0 - cxy * cxy / (cxx * cyy), 6)
+           |  END AS var_ratio6
+           |FROM c""".stripMargin),
+      "CUPED: theta, rho^2, and the adjusted-variance ratio from exact cent moments"),
+
+    // Difference-in-differences per event type vs the rest of the
+    // corpus across the same pre/post cut — the quasi-experimental
+    // companion to CUPED (no randomization required: each slice's
+    // post-minus-pre mean shift nets out the corpus-wide shift).
+    // Four exact cent sums + four counts per slice into one double
+    // expression; slices missing either period NULL out (ANSI).
+    Q("q_ab_did",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_type"),
+            (col("ts") < lit("2024-01-16").cast("timestamp")).as("pre"),
+            cents(col("value")).as("c"))
+        val g = e.groupBy("event_type")
+          .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("n_pre"),
+            sum(when(col("pre"), col("c")).otherwise(0L)).as("s_pre"),
+            sum(when(col("pre"), 0L).otherwise(1L)).as("n_post"),
+            sum(when(col("pre"), 0L).otherwise(col("c"))).as("s_post"))
+        g.crossJoin(broadcast(g.agg(
+            sum("n_pre").as("tn1"), sum("s_pre").as("ts1"),
+            sum("n_post").as("tn2"), sum("s_post").as("ts2"))))
+          .select(col("event_type"), col("n_pre"), col("n_post"),
+            when(col("n_pre") > 0 && col("n_post") > 0
+                && col("tn1") - col("n_pre") > 0
+                && col("tn2") - col("n_post") > 0,
+              round(((col("s_post").cast("double")
+                / col("n_post").cast("double")
+                - col("s_pre").cast("double")
+                / col("n_pre").cast("double"))
+                - ((col("ts2") - col("s_post")).cast("double")
+                  / (col("tn2") - col("n_post")).cast("double")
+                  - (col("ts1") - col("s_pre")).cast("double")
+                  / (col("tn1") - col("n_pre")).cast("double")))
+                / 100.0, 6)).as("did6"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+           |        ts < TIMESTAMP '2024-01-16' AS pre,
+           |        CAST(round(value * 100) AS BIGINT) AS c
+           |      FROM events),
+           |g AS (SELECT event_type,
+           |        CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS n_pre,
+           |        CAST(sum(CASE WHEN pre THEN c ELSE 0 END) AS BIGINT)
+           |          AS s_pre,
+           |        CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT)
+           |          AS n_post,
+           |        CAST(sum(CASE WHEN pre THEN 0 ELSE c END) AS BIGINT)
+           |          AS s_post
+           |      FROM e GROUP BY event_type),
+           |tot AS (SELECT CAST(sum(n_pre) AS BIGINT) AS tn1,
+           |          CAST(sum(s_pre) AS BIGINT) AS ts1,
+           |          CAST(sum(n_post) AS BIGINT) AS tn2,
+           |          CAST(sum(s_post) AS BIGINT) AS ts2 FROM g)
+           |SELECT event_type, n_pre, n_post,
+           |  CASE WHEN n_pre > 0 AND n_post > 0
+           |            AND tn1 - n_pre > 0 AND tn2 - n_post > 0
+           |       THEN round(((CAST(s_post AS DOUBLE)
+           |              / CAST(n_post AS DOUBLE)
+           |              - CAST(s_pre AS DOUBLE)
+           |                / CAST(n_pre AS DOUBLE))
+           |              - (CAST(ts2 - s_post AS DOUBLE)
+           |                / CAST(tn2 - n_post AS DOUBLE)
+           |                - CAST(ts1 - s_pre AS DOUBLE)
+           |                  / CAST(tn1 - n_pre AS DOUBLE)))
+           |              / 100.0, 6)
+           |  END AS did6
+           |FROM g CROSS JOIN tot""".stripMargin),
+      "difference-in-differences per event type vs rest across the pre/post cut (dollars)"),
+
+    // Minimum detectable effect per event type at alpha = 0.05 /
+    // power = 0.8 — the sizing readout run BEFORE an experiment:
+    // MDE = (z_{0.975} + z_{0.8})·√(2s²/n) with the two normal
+    // quantiles inlined as one shared 6-dp literal on both engines
+    // (2.801585 — the q_quality_benford zero-runtime-libm discipline;
+    // a seventh decimal moves MDE by < 1e-6 of s). s² is the exact
+    // unbiased cent variance from DECIMAL moments; n < 2 or zero
+    // variance NULLs the row (ANSI contract).
+    Q("q_ab_mde",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        t(s, d, "events")
+          .select(col("event_type"), cents(col("value")).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(dc(col("c"))).as("s1"),
+            sum(dc(col("c")) * col("c")).as("s2"))
+          .select(col("event_type"), col("n"),
+            when(col("n") > 1,
+              (dc(col("n")) * col("s2") - col("s1") * col("s1"))
+                .cast("double")
+                / (col("n").cast("double")
+                  * (col("n").cast("double") - 1.0))).as("s2c"))
+          .select(col("event_type"), col("n"),
+            when(col("s2c") > 0.0, round(lit(2.801585)
+              * sqrt(lit(2.0) * col("s2c") / col("n").cast("double"))
+              / 100.0, 6)).as("mde6"))
+      },
+      Some("""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |        sum(CAST(CAST(round(value * 100) AS BIGINT)
+           |            AS HUGEINT)) AS s1,
+           |        sum(CAST(CAST(round(value * 100) AS BIGINT)
+           |            AS HUGEINT)
+           |            * CAST(round(value * 100) AS BIGINT)) AS s2
+           |      FROM events GROUP BY event_type),
+           |v AS (SELECT event_type, n,
+           |        CASE WHEN n > 1
+           |             THEN CAST(n * s2 - s1 * s1 AS DOUBLE)
+           |               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+           |        END AS s2c
+           |      FROM g)
+           |SELECT event_type, n,
+           |  CASE WHEN s2c > 0.0
+           |       THEN round(2.801585
+           |              * sqrt(2.0 * s2c / CAST(n AS DOUBLE)) / 100.0, 6)
+           |  END AS mde6
+           |FROM v""".stripMargin),
+      "minimum detectable effect per event type at alpha 0.05 / power 0.8 (inlined z literals)"),
+
     // Daily activity regularized onto a dense calendar: every (user, day)
     // in the observed range, gaps carrying the last active day's total
     // forward. Spine = sequence+explode (narrow); fill = per-user window.

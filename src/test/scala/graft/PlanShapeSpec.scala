@@ -761,6 +761,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Coalesce 1"), p)
   }
 
+  test("q_ab_cuped is two hash aggregates — per-user rollup then one moment row") {
+    val p = plan("q_ab_cuped")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.toLowerCase.contains("partial_sum"), p)
+  }
+
+  test("q_ab_did is one aggregate against a broadcast one-row total") {
+    val p = plan("q_ab_did")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_ab_mde is one map-side-combined moment pass — no joins") {
+    val p = plan("q_ab_mde")
+    assert(!p.contains("Join"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
   test("q_stats_anova is one map-side-combined moment pass") {
     val p = plan("q_stats_anova")
     assert(!p.contains("CartesianProduct"), p)

@@ -345,6 +345,50 @@ class StatsGatesSpec extends SparkSpec {
     assert(r(0L) === 1.0 && r(5L) === 0.0 && r(10L) === 0.5)
   }
 
+  private def evRow(id: Long, day: Int, uid: Long, tp: String, v: Double) =
+    (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+      uid, tp, v, "{}")
+
+  test("CUPED collapses to theta=1, rho2=1, var ratio 0 on a perfectly correlated fixture") {
+    val d = java.nio.file.Files.createTempDirectory("cupedfix").toString
+    // u1: pre 1.00 -> post 2.00; u2: pre 3.00 -> post 4.00 (y = x + 100c)
+    Seq(evRow(1, 5, 1, "a", 1.0), evRow(2, 20, 1, "a", 2.0),
+      evRow(3, 5, 2, "a", 3.0), evRow(4, 20, 2, "a", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("q_ab_cuped")(spark, d).collect()
+    assert(r.length === 1 && r.head.getLong(0) === 2L)
+    assert(r.head.getDouble(1) === 1.0)  // theta
+    assert(r.head.getDouble(2) === 1.0)  // rho^2
+    assert(r.head.getDouble(3) === 0.0)  // adjusted-variance ratio
+  }
+
+  test("DiD nets the corpus shift out of each slice's pre/post delta") {
+    val d = java.nio.file.Files.createTempDirectory("didfix").toString
+    // A: $1 -> $3 (+2); B: $2 -> $2.50 (+0.5): did_A = +1.5, did_B = -1.5
+    Seq(evRow(1, 5, 1, "A", 1.0), evRow(2, 20, 1, "A", 3.0),
+      evRow(3, 5, 2, "B", 2.0), evRow(4, 20, 2, "B", 2.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("q_ab_did")(spark, d)
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r("A") === 1.5 && r("B") === -1.5)
+  }
+
+  test("MDE matches the closed form and NULLs a single-observation slice") {
+    val d = java.nio.file.Files.createTempDirectory("mdefix").toString
+    // A: {1.00, 3.00} -> s2c = 20000 c^2, mde = 2.801585*sqrt(20000)/100
+    Seq(evRow(1, 5, 1, "A", 1.0), evRow(2, 20, 1, "A", 3.0),
+      evRow(3, 10, 2, "B", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val rows = SparkEntry.queries("q_ab_mde")(spark, d).collect()
+    val a = rows.find(_.getString(0) == "A").get
+    val b = rows.find(_.getString(0) == "B").get
+    assert(math.abs(a.getDouble(2) - 3.962039) < 1e-4)
+    assert(b.isNullAt(2)) // n = 1: variance undefined
+  }
+
   test("AP reduces to the reciprocal rank when exactly one doc is relevant") {
     // cross-gate differential on the real fixture: q_eval_map and
     // q_eval_mrr share the frozen relevance, so n_rel must agree per
