@@ -225,7 +225,11 @@ object Bench {
     // round-17 wave 3: the 2-round EM schedule runs the bounded Viterbi
     // twice plus both prunes — 2.8 s quiet median at birth; promoted
     // per the ≥2 s rule. wordpiece/levene/woe (1.5/0.5/0.5) sweep tier
-    "q_text_unigram_em2")
+    "q_text_unigram_em2",
+    // round-17 wave 9: local clustering coefficient runs the full
+    // sorted-adjacency triangle pass plus the degree join — 8.9 s
+    // quiet median at birth; promoted per the ≥2 s rule
+    "q_graph_clustercoef")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

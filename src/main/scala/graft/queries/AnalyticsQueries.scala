@@ -1892,6 +1892,79 @@ object AnalyticsQueries {
               GROUP BY node"""),
       "per-node triangle counts, degree-ordered wedge join (co-purchase graph)"),
 
+    // Local clustering coefficient + global transitivity on the same
+    // co-purchase graph — the "how cliquish is each hub" readout that
+    // decides between community detection (high cc) and pure
+    // hub-and-spoke treatment (low cc). Reuses the sorted-adjacency
+    // triangle operator (per-node counts sum to 3T); wedges come from
+    // the exact degree identity Σ d(d−1)/2, so transitivity 3T/W =
+    // 2·Σn_tri / Σd(d−1) is one double division over exact integers,
+    // and each node's cc = 2·T_i/(d_i(d_i−1)) likewise. Bounded
+    // TakeOrdered cut on (n_tri DESC, node).
+    Q("q_graph_clustercoef",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e0 = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        val e = graft.core.CacheScope.autoRelease(e0.distinct())
+        val tri = Triangles.perNodeCounts(e)
+        val deg = e.select(col("u").as("id"))
+          .union(e.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val nodes = graft.core.CacheScope.autoRelease(
+          deg.join(tri.withColumnRenamed("node", "id"), Seq("id"), "left")
+            .select(col("id"), col("deg"),
+              coalesce(col("n_tri"), lit(0L)).as("n_tri")))
+        nodes
+          .crossJoin(broadcast(nodes.agg(sum("n_tri").as("tt"),
+            sum(dc(col("deg")) * (col("deg") - 1)).as("ww"))))
+          .select(col("id").as("node"), col("deg"), col("n_tri"),
+            when(col("deg") >= 2,
+              round(lit(2.0) * col("n_tri").cast("double")
+                / (col("deg").cast("double")
+                  * (col("deg").cast("double") - 1.0)), 6)).as("cc6"),
+            when(col("ww") > 0,
+              round(lit(2.0) * col("tt").cast("double")
+                / col("ww").cast("double"), 6)).as("trans6"))
+          .orderBy(col("n_tri").desc, col("node"))
+          .limit(50)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |            FROM lineitem),
+           |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+           |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+           |d AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+           |      FROM (SELECT u AS id FROM e
+           |            UNION ALL SELECT v AS id FROM e)
+           |      GROUP BY id),
+           |tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
+           |        FROM e ab
+           |        JOIN e bc ON ab.v = bc.u
+           |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+           |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+           |       FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+           |       GROUP BY node),
+           |nodes AS (SELECT d.id, d.deg, coalesce(pn.n_tri, 0) AS n_tri
+           |          FROM d LEFT JOIN pn ON pn.node = d.id),
+           |tot AS (SELECT CAST(sum(n_tri) AS BIGINT) AS tt,
+           |          sum(CAST(deg AS HUGEINT) * (deg - 1)) AS ww
+           |        FROM nodes)
+           |SELECT id AS node, deg, n_tri,
+           |  CASE WHEN deg >= 2
+           |       THEN round(2.0 * CAST(n_tri AS DOUBLE)
+           |              / (CAST(deg AS DOUBLE)
+           |                 * (CAST(deg AS DOUBLE) - 1.0)), 6) END AS cc6,
+           |  CASE WHEN ww > 0
+           |       THEN round(2.0 * CAST(tt AS DOUBLE)
+           |              / CAST(ww AS DOUBLE), 6) END AS trans6
+           |FROM nodes CROSS JOIN tot
+           |ORDER BY n_tri DESC, node LIMIT 50""".stripMargin),
+      "local clustering coefficient top-50 + global transitivity (sorted-adjacency triangles)"),
+
     // Link prediction on the same co-purchase graph: top-5 distance-2
     // pairs per part by (common neighbors, resource-allocation index,
     // Jaccard). Candidates come only from the hub-capped wedge join

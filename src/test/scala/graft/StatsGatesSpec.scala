@@ -389,6 +389,25 @@ class StatsGatesSpec extends SparkSpec {
     assert(b.isNullAt(2)) // n = 1: variance undefined
   }
 
+  test("clustering coefficient is 1 on a triangle-with-tail, transitivity 3/5") {
+    val d = java.nio.file.Files.createTempDirectory("ccfix").toString
+    // co-purchase projection: order 1 = {p1,p2,p3} (a triangle),
+    // order 2 = {p3,p4} (a tail). deg: p1=2 p2=2 p3=3 p4=1;
+    // T=1 -> cc(p1)=cc(p2)=1, cc(p3)=1/3, p4 NULL;
+    // transitivity = 2*3/(2+2+6+0) = 0.6
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("q_graph_clustercoef")(spark, d)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), if (x.isNullAt(3)) -1.0 else x.getDouble(3),
+          x.getDouble(4))).toMap
+    assert(r(1L) === ((2L, 1L, 1.0, 0.6)))
+    assert(r(2L) === ((2L, 1L, 1.0, 0.6)))
+    assert(math.abs(r(3L)._3 - 0.333333) < 1e-6)
+    assert(r(4L)._3 === -1.0) // deg 1: cc undefined
+  }
+
   test("AP reduces to the reciprocal rank when exactly one doc is relevant") {
     // cross-gate differential on the real fixture: q_eval_map and
     // q_eval_mrr share the frozen relevance, so n_rel must agree per
