@@ -229,7 +229,10 @@ object Bench {
     // round-17 wave 9: local clustering coefficient runs the full
     // sorted-adjacency triangle pass plus the degree join — 8.9 s
     // quiet median at birth; promoted per the ≥2 s rule
-    "q_graph_clustercoef")
+    "q_graph_clustercoef",
+    // round-17 wave 10: edge embeddedness runs the same closure with
+    // the per-edge credit explode — 10.6 s quiet median at birth
+    "q_graph_embeddedness")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a

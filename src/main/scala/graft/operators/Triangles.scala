@@ -80,4 +80,52 @@ object Triangles {
     credits.select(col("t.node").as("node"), col("t.c").as("c"))
       .groupBy("node").agg(sum(col("c")).as("n_tri"))
   }
+
+  /** Per-EDGE triangle counts (u < v canonical): how many triangles
+    * contain each edge — the edge-embeddedness numerator (tie
+    * strength). Same sorted-adjacency closure as [[perNodeCounts]]
+    * (identical plan shape and the same O(|E|·√m) bound); each closed
+    * (a, b, W) credits edge (a,b) with |W| and edges (a,w)/(b,w) with
+    * 1 apiece — every triangle lands on its three edges exactly once
+    * because the apex closure is unique. */
+  def perEdgeCounts(edges: DataFrame): DataFrame = {
+    val e = graft.core.CacheScope.autoRelease(edges
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ranked = e
+      .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.core.CacheScope.autoRelease(ranked.select(
+      when(lower, col("u")).otherwise(col("v")).as("src"),
+      when(lower, col("v")).otherwise(col("u")).as("dst")))
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val closed = oriented
+      .join(adj.select(col("src").as("__a"), col("nbrs").as("na")),
+        col("src") === col("__a"))
+      .join(adj.select(col("src").as("__b"), col("nbrs").as("nb")),
+        col("dst") === col("__b"))
+      .select(col("src"), col("dst"),
+        array_intersect(col("na"), col("nb")).as("w"))
+      .filter(size(col("w")) > 0)
+    closed
+      .select(explode(concat(
+        array(struct(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"),
+          size(col("w")).cast("long").as("c"))),
+        transform(col("w"), x =>
+          struct(least(col("src"), x).as("u"),
+            greatest(col("src"), x).as("v"), lit(1L).as("c"))),
+        transform(col("w"), x =>
+          struct(least(col("dst"), x).as("u"),
+            greatest(col("dst"), x).as("v"), lit(1L).as("c"))))).as("t"))
+      .select(col("t.u").as("u"), col("t.v").as("v"), col("t.c").as("c"))
+      .groupBy("u", "v").agg(sum(col("c")).as("cn"))
+  }
 }

@@ -1965,6 +1965,68 @@ object AnalyticsQueries {
            |ORDER BY n_tri DESC, node LIMIT 50""".stripMargin),
       "local clustering coefficient top-50 + global transitivity (sorted-adjacency triangles)"),
 
+    // Edge embeddedness — per-EDGE triangle support + neighborhood
+    // Jaccard, the Granovetter tie-strength readout (an edge inside a
+    // community sits in many triangles; a bridge sits in none — the
+    // cut a community-aware sampler protects). cn comes from the
+    // sorted-adjacency closure (Triangles.perEdgeCounts, same plan
+    // shape and O(|E|·√m) bound as the node gate); the Jaccard
+    // denominator is the exact identity |N(u) ∪ N(v)| − 2 =
+    // du + dv − 2 − cn. Bounded TakeOrdered on (cn DESC, u, v).
+    Q("q_graph_embeddedness",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e0 = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        val e = graft.core.CacheScope.autoRelease(e0.distinct())
+        val cn = Triangles.perEdgeCounts(e)
+        val deg = e.select(col("u").as("id"))
+          .union(e.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        e.join(cn, Seq("u", "v"), "left")
+          .select(col("u"), col("v"), coalesce(col("cn"), lit(0L)).as("cn"))
+          .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+          .select(col("u"), col("v"), col("cn"),
+            when(col("du") + col("dv") - 2 - col("cn") > 0,
+              round(col("cn").cast("double")
+                / (col("du") + col("dv") - 2 - col("cn")).cast("double"),
+                6)).otherwise(lit(1.0)).as("jacc6"))
+          .orderBy(col("cn").desc, col("u"), col("v"))
+          .limit(50)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |            FROM lineitem),
+           |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+           |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+           |d AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+           |      FROM (SELECT u AS id FROM e
+           |            UNION ALL SELECT v AS id FROM e)
+           |      GROUP BY id),
+           |tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
+           |        FROM e ab
+           |        JOIN e bc ON ab.v = bc.u
+           |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+           |pe AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn
+           |       FROM (SELECT x AS u, y AS v FROM tri
+           |             UNION ALL SELECT x AS u, z AS v FROM tri
+           |             UNION ALL SELECT y AS u, z AS v FROM tri)
+           |       GROUP BY u, v)
+           |SELECT e.u, e.v, coalesce(pe.cn, 0) AS cn,
+           |  CASE WHEN du.deg + dv.deg - 2 - coalesce(pe.cn, 0) > 0
+           |       THEN round(CAST(coalesce(pe.cn, 0) AS DOUBLE)
+           |              / CAST(du.deg + dv.deg - 2 - coalesce(pe.cn, 0)
+           |                     AS DOUBLE), 6)
+           |       ELSE 1.0 END AS jacc6
+           |FROM e LEFT JOIN pe ON pe.u = e.u AND pe.v = e.v
+           |JOIN d du ON du.id = e.u
+           |JOIN d dv ON dv.id = e.v
+           |ORDER BY cn DESC, e.u, e.v LIMIT 50""".stripMargin),
+      "edge embeddedness: per-edge triangle support + neighborhood Jaccard, top-50 ties"),
+
     // Link prediction on the same co-purchase graph: top-5 distance-2
     // pairs per part by (common neighbors, resource-allocation index,
     // Jaccard). Candidates come only from the hub-capped wedge join

@@ -729,6 +729,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_graph_embeddedness reuses the sorted-adjacency closure — no cartesian") {
+    val p = plan("q_graph_embeddedness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Coalesce 1"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_ab_cliffs rides the mannwhitney grid — no corpus sort, no cartesian") {
     val p = plan("q_ab_cliffs")
     assert(!p.contains("CartesianProduct"), p)

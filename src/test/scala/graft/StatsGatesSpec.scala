@@ -408,6 +408,23 @@ class StatsGatesSpec extends SparkSpec {
     assert(r(4L)._3 === -1.0) // deg 1: cc undefined
   }
 
+  test("edge embeddedness separates intra-triangle ties from the bridge") {
+    val d = java.nio.file.Files.createTempDirectory("embfix").toString
+    // same triangle-with-tail: (1,2),(1,3),(2,3) sit in the triangle,
+    // (3,4) is the bridge. cn = 1,1,1,0; jacc = 1/(2+2-2-1)=1,
+    // 1/(2+3-2-1)=0.5 twice, and 0 for the bridge
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("q_graph_embeddedness")(spark, d)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    assert(r((1L, 2L)) === ((1L, 1.0)))
+    assert(r((1L, 3L)) === ((1L, 0.5)))
+    assert(r((2L, 3L)) === ((1L, 0.5)))
+    assert(r((3L, 4L)) === ((0L, 0.0)))
+  }
+
   test("AP reduces to the reciprocal rank when exactly one doc is relevant") {
     // cross-gate differential on the real fixture: q_eval_map and
     // q_eval_mrr share the frozen relevance, so n_rel must agree per
