@@ -232,7 +232,12 @@ object Bench {
     "q_graph_clustercoef",
     // round-17 wave 10: edge embeddedness runs the same closure with
     // the per-edge credit explode — 10.6 s quiet median at birth
-    "q_graph_embeddedness")
+    "q_graph_embeddedness",
+    // round-17 close: wordpiece's quiet median is 1.49 s (7-rep,
+    // BENCHFOCUS_r17 wave 3) but its single-shot sweep tail crosses
+    // 2 s (2.08 in the first close window) — the bpe_coverage class,
+    // same remedy: median tier absorbs the tail
+    "q_text_wordpiece")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
