@@ -21,19 +21,21 @@ object Closeness {
   /** One centrality unit = 1e-6 (ppm). */
   val Ppm = 1000000L
 
-  /** (node_id, h_ppm) for every node within `depth` of a seed (the
-    * seed's own distance-0 row is excluded — 1/0 is not a term). */
-  def harmonic(edges: DataFrame, seeds: Seq[Long], depth: Int): DataFrame = {
-    require(depth >= 1, s"closeness needs depth >= 1, got $depth")
+  /** The shared truncated-BFS layering (r17 verdict "what's wrong" #2
+    * factored it out of [[harmonic]] and [[hopPlot]]): run `depth`
+    * frontier expansions from the seeds over the src-pinned edge copy
+    * (one co-partitioned join + first-reach anti-join per layer), hand
+    * the per-layer (seed, node) frames — `layers(l)` = pairs FIRST
+    * reached at exactly hop l, `layers(0)` = the seeds themselves — to
+    * `consume`, freeze its result (so downstream passes never re-run
+    * the BFS), then release every job-scoped persist. */
+  private def layeredBfs(edges: DataFrame, seeds: Seq[Long], depth: Int)(
+      consume: IndexedSeq[DataFrame] => DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val e = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
-    if (seeds.isEmpty)
-      return e.limit(0).select(col("src").as("node_id"),
-        lit(0L).as("h_ppm"))
     val eS = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-
     import spark.implicits._
     var pinned = List.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = {
@@ -55,15 +57,27 @@ object Closeness {
       layers :+= p
       visited = pin(visited.unionByName(p))
     }
-    val contrib = (1 to depth).map { l =>
-      layers(l).select(col("node"), lit(Ppm / l).as("c"))
-    }.reduce(_ unionByName _)
-    val h = contrib.groupBy("node").agg(sum("c").as("h_ppm"))
-      .select(col("node").as("node_id"), col("h_ppm"))
-    val frozen = graft.core.Freeze(h)
+    val frozen = graft.core.Freeze(consume(layers))
     eS.unpersist(blocking = false)
     pinned.foreach(_.unpersist(blocking = false))
     frozen
+  }
+
+  /** (node_id, h_ppm) for every node within `depth` of a seed (the
+    * seed's own distance-0 row is excluded — 1/0 is not a term). */
+  def harmonic(edges: DataFrame, seeds: Seq[Long], depth: Int): DataFrame = {
+    require(depth >= 1, s"closeness needs depth >= 1, got $depth")
+    if (seeds.isEmpty)
+      return edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(0).select(col("src").as("node_id"), lit(0L).as("h_ppm"))
+    layeredBfs(edges, seeds, depth) { layers =>
+      val contrib = (1 to depth).map { l =>
+        layers(l).select(col("node"), lit(Ppm / l).as("c"))
+      }.reduce(_ unionByName _)
+      contrib.groupBy("node").agg(sum("c").as("h_ppm"))
+        .select(col("node").as("node_id"), col("h_ppm"))
+    }
   }
 
   /** Hop plot from the same sampled truncated BFS: per hop l ∈
@@ -76,39 +90,12 @@ object Closeness {
     * re-runs the BFS. */
   def hopPlot(edges: DataFrame, seeds: Seq[Long], depth: Int): DataFrame = {
     require(depth >= 1, s"hop plot needs depth >= 1, got $depth")
-    val spark = edges.sparkSession
-    val e = edges
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct()
-    val eS = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    import spark.implicits._
-    var pinned = List.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      pinned ::= p
-      p
+    val frozen = layeredBfs(edges, seeds, depth) { layers =>
+      (0 to depth).map { l =>
+        layers(l).agg(count(lit(1)).as("n_pairs"))
+          .select(lit(l).as("hop"), col("n_pairs"))
+      }.reduce(_ unionByName _)
     }
-    val f0 = pin(seeds.toDF("seed").select(col("seed"),
-      col("seed").as("node")))
-    var layers = Vector(f0)
-    var visited = f0
-    for (_ <- 1 to depth) {
-      val layer = layers.last.join(eS, col("node") === col("src"))
-        .select(col("seed"), col("dst").as("nxt"))
-        .join(visited.withColumnRenamed("node", "nxt"),
-          Seq("seed", "nxt"), "left_anti")
-        .select(col("seed"), col("nxt").as("node")).distinct()
-      val p = pin(layer)
-      layers :+= p
-      visited = pin(visited.unionByName(p))
-    }
-    val perHop = (0 to depth).map { l =>
-      layers(l).agg(count(lit(1)).as("n_pairs"))
-        .select(lit(l).as("hop"), col("n_pairs"))
-    }.reduce(_ unionByName _)
-    val frozen = graft.core.Freeze(perHop)
-    eS.unpersist(blocking = false)
-    pinned.foreach(_.unpersist(blocking = false))
     val w = org.apache.spark.sql.expressions.Window.orderBy("hop")
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)

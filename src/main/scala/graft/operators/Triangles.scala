@@ -23,15 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** (node, n_tri) for every node on ≥1 triangle. `edges`: undirected
-    * (u, v) pairs, self-loops and duplicates tolerated. */
-  def perNodeCounts(edges: DataFrame): DataFrame = {
-    // job-scoped persists: `e` feeds the degree count (×2: u and v
-    // legs) and the rank join, `oriented` feeds the wedge self-join
-    // (×2) and the closing-edge probe — without them each plan
-    // reference recomputes the whole upstream edge-construction
-    // subtree (for the co-purchase graph: the lineitem self-join +
-    // distinct, 3× and 3× — measured 33 s → 4 s at sf0.1)
+  /** The shared orient + sorted-adjacency + closure kernel (r17 verdict
+    * "what's wrong" #2 factored it out of the two public entry points):
+    * canonicalize/dedup the undirected edges, orient each from its
+    * lower-(deg, id) endpoint, collapse out-neighborhoods into ONE
+    * sorted array each, and close every triangle exactly once on its
+    * unique two-out-edge apex. Returns (src, dst, w): the oriented edge
+    * plus the array of third vertices completing a triangle on it.
+    *
+    * Job-scoped persists: `e` feeds the degree count (×2: u and v legs)
+    * and the rank join, `oriented` feeds the adjacency build and the
+    * closure probes — without them each plan reference recomputes the
+    * whole upstream edge-construction subtree (for the co-purchase
+    * graph: the lineitem self-join + distinct, 3× and 3× — measured
+    * 33 s → 4 s at sf0.1).
+    *
+    * Why sorted-adjacency intersection instead of the wedge self-join:
+    * the wedge form materializes and SHUFFLES Σ C(outdeg,2) rows (41M
+    * for the sf0.1 co-purchase graph, vs 1.2M edges — measured
+    * 18-33 s); here each node's out-neighborhood collapses into one
+    * sorted array (length ≤ the O(√m) orientation bound, so no row
+    * ever explodes), each oriented edge (a,b) picks up N+(a) and N+(b)
+    * via two equi-joins, and |N+(a) ∩ N+(b)| closes every triangle
+    * exactly once. Shuffled volume is O(|E| · √m) worst-case but
+    * O(|E| · avg-deg) in practice — the 41M-row wedge shuffle never
+    * exists (sf0.1 median 33 s → 12.5 s on a noisy box; min 6.9 s). */
+  private def closedTriangles(edges: DataFrame): DataFrame = {
     val e = graft.core.CacheScope.autoRelease(edges
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
@@ -48,20 +65,9 @@ object Triangles {
     val oriented = graft.core.CacheScope.autoRelease(ranked.select(
       when(lower, col("u")).otherwise(col("v")).as("src"),
       when(lower, col("v")).otherwise(col("u")).as("dst")))
-    // Sorted-adjacency intersection instead of the wedge self-join: the
-    // wedge form materializes and SHUFFLES Σ C(outdeg,2) rows (41M for
-    // the sf0.1 co-purchase graph, vs 1.2M edges — measured 18-33 s);
-    // here each node's out-neighborhood collapses into ONE sorted array
-    // (length ≤ the O(√m) orientation bound, so no row ever explodes),
-    // each oriented edge (a,b) picks up N+(a) and N+(b) via two
-    // equi-joins, and |N+(a) ∩ N+(b)| closes every triangle exactly
-    // once on its unique two-out-edge apex a. Shuffled volume is
-    // O(|E| · √m) worst-case but O(|E| · avg-deg) in practice — the
-    // 41M-row wedge shuffle never exists (sf0.1 median 33 s → 12.5 s
-    // on a noisy box; min run 6.9 s).
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val closed = oriented
+    oriented
       .join(adj.select(col("src").as("__a"), col("nbrs").as("na")),
         col("src") === col("__a"))
       .join(adj.select(col("src").as("__b"), col("nbrs").as("nb")),
@@ -69,8 +75,13 @@ object Triangles {
       .select(col("src"), col("dst"),
         array_intersect(col("na"), col("nb")).as("w"))
       .filter(size(col("w")) > 0)
+  }
+
+  /** (node, n_tri) for every node on ≥1 triangle. `edges`: undirected
+    * (u, v) pairs, self-loops and duplicates tolerated. */
+  def perNodeCounts(edges: DataFrame): DataFrame = {
     // triangle {a, b, w}: credit a and b with |W| each, every w with 1
-    val credits = closed
+    val credits = closedTriangles(edges)
       .select(col("src"), col("dst"), col("w"),
         size(col("w")).cast("long").as("nw"))
       .select(explode(concat(
@@ -83,38 +94,13 @@ object Triangles {
 
   /** Per-EDGE triangle counts (u < v canonical): how many triangles
     * contain each edge — the edge-embeddedness numerator (tie
-    * strength). Same sorted-adjacency closure as [[perNodeCounts]]
+    * strength). Same [[closedTriangles]] kernel as [[perNodeCounts]]
     * (identical plan shape and the same O(|E|·√m) bound); each closed
     * (a, b, W) credits edge (a,b) with |W| and edges (a,w)/(b,w) with
     * 1 apiece — every triangle lands on its three edges exactly once
     * because the apex closure is unique. */
   def perEdgeCounts(edges: DataFrame): DataFrame = {
-    val e = graft.core.CacheScope.autoRelease(edges
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
-    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val ranked = e
-      .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
-      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
-    val lower = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = graft.core.CacheScope.autoRelease(ranked.select(
-      when(lower, col("u")).otherwise(col("v")).as("src"),
-      when(lower, col("v")).otherwise(col("u")).as("dst")))
-    val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val closed = oriented
-      .join(adj.select(col("src").as("__a"), col("nbrs").as("na")),
-        col("src") === col("__a"))
-      .join(adj.select(col("src").as("__b"), col("nbrs").as("nb")),
-        col("dst") === col("__b"))
-      .select(col("src"), col("dst"),
-        array_intersect(col("na"), col("nb")).as("w"))
-      .filter(size(col("w")) > 0)
-    closed
+    closedTriangles(edges)
       .select(explode(concat(
         array(struct(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"),

@@ -114,14 +114,36 @@ class BenchForensicsSpec extends AnyFunSuite {
     assert(Bench.parseAdjudicated("{}").isEmpty)
   }
 
-  test("the committed adjudicated.json (when present) parses and covers headline rows only") {
+  test("the committed adjudicated.json (when present) parses and covers headline + ref rows only") {
     val p = java.nio.file.Paths.get("tools/adjudicated.json")
     if (java.nio.file.Files.exists(p)) {
       val m = Bench.loadAdjudicated()
       assert(m.nonEmpty, "committed adjudicated.json parsed to an empty map")
-      val unknown = m.keySet -- SparkEntry.queries.keySet
+      // the four ref_workload_* rows are bench-main emissions, not
+      // registry queries (r17 verdict #1 put them under the comparator)
+      val refKeys = Set("ref_workload_100k", "ref_workload_100k_streaming",
+        "ref_workload_100k_streaming_concurrent",
+        "ref_workload_100k_streaming_fused")
+      assert(refKeys.subsetOf(m.keySet),
+        s"ref workload baselines missing: ${refKeys -- m.keySet}")
+      val unknown = m.keySet -- SparkEntry.queries.keySet -- refKeys
       assert(unknown.isEmpty, s"baselines for unregistered queries: $unknown")
     }
+  }
+
+  test("ref workload rows: single-shot vectors flag regression-only through the comparator") {
+    // r17 verdict #1 — the flagged-row path, exercised: a ref row is a
+    // 1-element vector (classifyReps needs >=3 so episode theory never
+    // fires); the cross-round min > 1.25x check is its only detector
+    assert(Bench.classifyRow(Seq(5.3), Some(3.9)).contains("regression"))
+    assert(Bench.classifyRow(Seq(4.5), Some(3.9)).isEmpty) // within 1.25x
+    // and end-to-end through the artifact emission: the flag lands in
+    // bench_runs.json keyed by the ref row name
+    val line = Bench.benchRunsJson(5, "x", Seq(
+      "q_clean" -> Seq(0.61, 0.58, 0.63, 0.60, 0.59),
+      "ref_workload_100k_streaming" -> Seq(5.3)),
+      Map("ref_workload_100k_streaming" -> 3.9))
+    assert(line.endsWith(""""flags":{"ref_workload_100k_streaming":"regression"}}"""))
   }
 
   test("f3 emits dot-decimal under a comma-decimal default locale") {

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming form of the Kaplan-Meier publish (q_events_survival's
+  * production topology): the frozen artifact is the O(distinct-days)
+  * survival curve (t, s6) computed by the gate's exact chain (bounded
+  * duration histogram, descending-cumulative at-risk counts, 1e-6
+  * fixed-point log-survival steps) on the reference half of a
+  * lifetime table; each incoming microbatch of (key, duration) rows is
+  * scored with the step-function value S(largest curve step ≤
+  * duration) via one broadcast non-equi join — the curve is bounded at
+  * ANY corpus size, so the apply is a map-side lookup a 100 TB stream
+  * runs without touching the curve's training data again. Duration
+  * below the first published step scores the KM-defined S=1. Pinned:
+  * per-batch (key, t, s6) ≡ the batch-mode scoring of exactly that
+  * batch's rows, across a restart — the score is a pure function of
+  * (duration, artifact), so a replayed row lands identically.
+  *
+  * Lifetimes here are order-fulfillment lags (orderdate → last
+  * shipdate, clamped at 0 — the synthetic fixture's dates are
+  * uncorrelated so raw lags go negative) with open orders (status
+  * O/P) right-censored and fulfilled ones (F) as deaths — the
+  * q_events_survival fixture (user spans censored at the corpus edge)
+  * is degenerate at sf0.001 (all 15 users span the full corpus, so
+  * every span is censored and the curve is flat 1.0; verified), while
+  * this one has 484 deaths and ~990 at-risk at birth.
+  */
+class StreamingSurvivalSpec extends SparkSpec {
+
+  test("per-microbatch KM step-function scoring vs the frozen curve ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_survival_stream").toString
+    val spans = Tables.load(spark, sf0001, "orders")
+      .join(Tables.load(spark, sf0001, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey").as("key"), col("o_orderstatus"))
+      .agg(greatest(datediff(to_date(max(col("l_shipdate"))),
+        to_date(first(col("o_orderdate")))), lit(0)).as("t"))
+      .select(col("key"), col("t"),
+        (col("o_orderstatus") =!= "F").as("cen"))
+
+    // PUBLISH once: the KM curve from the reference half
+    val ref = spans.filter(col("key") % 2 === 0)
+    val ut = ref.select(col("t"), col("cen"))
+    val ht = ut.groupBy("t")
+      .agg(sum(when(col("cen"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("cen"), 1L).otherwise(0L)).as("cnsr"))
+    val wAsc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ht.crossJoin(broadcast(ht.agg(sum(col("d") + col("cnsr")).as("nu"))))
+      .select(col("t"), col("d"),
+        (col("nu") - coalesce(sum(col("d") + col("cnsr"))
+          .over(Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L))).as("n_risk"))
+      .select(col("t"),
+        when(col("d") === 0, lit(0L))
+          .when(col("n_risk") > col("d"),
+            round(log((col("n_risk") - col("d")).cast("double")
+              / col("n_risk").cast("double")) * 1e6).cast("long"))
+          .otherwise(lit(-1000000000000L)).as("step_ppm"))
+      .select(col("t").as("at"),
+        round(exp(sum("step_ppm").over(wAsc).cast("double") / 1e6), 6)
+          .as("s6a"))
+      .write.parquet(s"$work/curve")
+    val curve = spark.read.parquet(s"$work/curve")
+
+    // APPLY: step-function lookup — S at the largest published step ≤
+    // the row's tenure; the curve's at values are unique, so the
+    // max-by-struct pick is deterministic
+    def scoreAgainst(batch: DataFrame): DataFrame =
+      batch.join(broadcast(curve), curve("at") <= batch("t"), "left")
+        .groupBy("key", "t")
+        .agg(coalesce(max(struct(col("at"), col("s6a"))).getField("s6a"),
+          lit(1.0)).as("s6"))
+
+    val hold = spans.filter(col("key") % 2 =!= 0)
+      .select(col("key"), col("t"))
+    val wave2 = hold.filter(col("key") % 3 === 0)
+      .withColumn("key", col("key") + 1000000L)
+      .withColumn("t", col("t") + 1)
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("key").collect().map(_.getLong(0)).toSeq)
+            scoreAgainst(df)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.repartition(2).write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    wave2.coalesce(1).write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val all = hold.unionByName(wave2)
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = scoreAgainst(all.filter(col("key").isin(ids: _*)))
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed KM score differs from batch mode")
+    }
+    // the curve actually engaged: some score is strictly inside (0, 1)
+    // (a flat all-1.0 output would mean the non-equi join never matched)
+    assert(got.filter(col("s6") < 1.0 && col("s6") > 0.0).count() > 0,
+      "no row scored strictly inside (0,1) — the curve lookup is dead")
+  }
+}

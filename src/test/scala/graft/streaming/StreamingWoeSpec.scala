@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming form of the WoE-scorecard publish (q_feature_woe's
+  * production topology): the frozen artifact is the O(bins) table of
+  * per-bin weight-of-evidence values computed on the reference half of
+  * the corpus (+0.5 smoothing, ln rounded @6 and carried as 1e-6 fixed
+  * point); each incoming microbatch of documents is bin-assigned by the
+  * same capped width-200 rule and scored by one broadcast lookup,
+  * publishing per-batch (bin, n, s_ppm = n · woe_ppm) — the
+  * feature-transform a trained scorecard applies to live traffic
+  * without ever re-reading its training data. A bin the reference
+  * snapshot never saw scores the conventional neutral WoE 0. Pinned:
+  * per-batch output ≡ the batch-mode scoring of exactly that batch's
+  * docs, across a restart; the score is a pure function of
+  * (n_chars, artifact), so a replayed row lands identically.
+  *
+  * The halving key is (doc_id div 20) parity, not doc_id parity — the
+  * synthetic lang/source columns are doc_id-modulus-correlated and a
+  * parity split would hand the two halves disjoint label mixes (the
+  * documented fixture trap).
+  */
+class StreamingWoeSpec extends SparkSpec {
+
+  test("per-microbatch WoE scoring vs the frozen scorecard ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_woe_stream").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    val refHalf = (col("doc_id") / 20).cast("long") % 2 === 0
+
+    // PUBLISH once: the scorecard from the reference half (the gate's
+    // exact per-bin chain; woe_ppm carries the @6-rounded ln as an
+    // exact integer so every downstream sum is order-independent)
+    val cells = docs.filter(refHalf)
+      .select(least(expr("n_chars div 200"), lit(9)).cast("int").as("bin"),
+        (col("lang") === "en").as("lab"))
+      .groupBy("bin")
+      .agg(sum(when(col("lab"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("lab"), 0L).otherwise(1L)).as("n_bad"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum("n_good").as("gg"), sum("n_bad").as("bb"))))
+      .select(col("bin"),
+        round(log(((col("n_good").cast("double") + 0.5)
+          / col("gg").cast("double"))
+          / ((col("n_bad").cast("double") + 0.5)
+            / col("bb").cast("double"))) * 1e6).cast("long").as("woe_ppm"))
+      .write.parquet(s"$work/card")
+    val card = spark.read.parquet(s"$work/card")
+
+    // APPLY: bin-assign + broadcast lookup, per-batch integer rollup
+    def scoreAgainst(batch: DataFrame): DataFrame =
+      batch
+        .select(least(expr("n_chars div 200"), lit(9)).cast("int").as("bin"))
+        .join(broadcast(card), Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("woe_ppm"), lit(0L)).as("w"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("w").as("s_ppm"))
+
+    val hold = docs.filter(!refHalf)
+    val wave2 = hold.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("n_chars", col("n_chars") + 137)
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("doc_id").collect().map(_.getLong(0)).toSeq)
+            scoreAgainst(df)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.repartition(2).write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    wave2.coalesce(1).write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val all = docs.unionByName(wave2)
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = scoreAgainst(all.filter(col("doc_id").isin(ids: _*)))
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed WoE rollup differs from batch mode")
+    }
+    // the scorecard engaged: at least one bin carries a nonzero score
+    assert(got.filter(col("s_ppm") =!= 0L).count() > 0,
+      "every batch scored 0 — the scorecard lookup is dead")
+  }
+}
