@@ -59,6 +59,10 @@ object WordPiece {
         (col("unk") + when(!done && step.isNull, 1).otherwise(0))
           .as("unk"))
     }
+    // n_pieces via split-on-space: a zero-length word would report
+    // n_pieces = 1 (size(split("", " ")) == 1) — unreachable because
+    // the tokenizer upstream never emits empty words, and documented
+    // here rather than special-cased (r17 verdict nit)
     st.select(col("w"), col("c"), col("path").as("pieces"),
       size(split(col("path"), " ")).cast("int").as("n_pieces"),
       col("unk").cast("int").as("n_unk"))

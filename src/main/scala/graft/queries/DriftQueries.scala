@@ -823,7 +823,8 @@ object DriftQueries {
            |ss AS (SELECT k, nn,
            |         CAST(sfp AS DOUBLE) / 1000.0
            |           - stot * stot / CAST(nn AS DOUBLE) AS ssb,
-           |         sz2 - CAST(sfp AS DOUBLE) / 1000.0 AS ssw
+           |         CAST(sz2 AS DOUBLE) - CAST(sfp AS DOUBLE) / 1000.0
+           |           AS ssw
            |       FROM agg)
            |SELECT k, nn, round(ssb, 6) AS ssb6, round(ssw, 6) AS ssw6,
            |  CASE WHEN k > 1 AND nn > k AND ssw > 0.0
@@ -913,8 +914,11 @@ object DriftQueries {
     // so ΣX and ΣX² per group are exact at any reduction order; only
     // the S_g²/n_g terms carry the 1e-3 fixed point (the family
     // convention) and F is one double expression over identical
-    // values. ANSI-÷0: k ≤ 1, N ≤ k or zero within-group variance
-    // NULLs f6.
+    // values. The CROSS-group ΣX² stays DECIMAL(38,0)/HUGEINT too and
+    // casts to double once at the end (r17 ADVICE: a double sum of
+    // per-group ΣX² holds the exactness claim only below 2^53 — the
+    // q_ab_cuped discipline). ANSI-÷0: k ≤ 1, N ≤ k or zero
+    // within-group variance NULLs f6.
     Q("q_stats_anova",
       (s, d) => {
         val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
@@ -926,13 +930,14 @@ object DriftQueries {
             round(col("sg").cast("double") * col("sg").cast("double")
               / col("ng").cast("double") * 1000.0).cast("long").as("fp"))
           .agg(count(lit(1)).as("k"), sum("ng").as("nn"),
-            sum("sg").as("stot"), sum(col("qg").cast("double")).as("sz2"),
+            sum("sg").as("stot"), sum("qg").as("sz2"),
             sum("fp").as("sfp"))
           .select(col("k"), col("nn"),
             (col("sfp").cast("double") / 1000.0
               - col("stot").cast("double") * col("stot").cast("double")
               / col("nn").cast("double")).as("ssb"),
-            (col("sz2") - col("sfp").cast("double") / 1000.0).as("ssw"))
+            (col("sz2").cast("double")
+              - col("sfp").cast("double") / 1000.0).as("ssw"))
           .select(col("k"), col("nn"),
             round(col("ssb"), 6).as("ssb6"), round(col("ssw"), 6).as("ssw6"),
             when(col("k") > 1 && col("nn") > col("k") && col("ssw") > 0.0,
@@ -950,14 +955,15 @@ object DriftQueries {
            |       FROM g),
            |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
            |          CAST(sum(ng) AS BIGINT) AS nn,
-           |          sum(sg) AS stot, sum(CAST(qg AS DOUBLE)) AS sz2,
+           |          sum(sg) AS stot, sum(qg) AS sz2,
            |          CAST(sum(fp) AS BIGINT) AS sfp
            |        FROM fp),
            |ss AS (SELECT k, nn,
            |         CAST(sfp AS DOUBLE) / 1000.0
            |           - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
            |           / CAST(nn AS DOUBLE) AS ssb,
-           |         sz2 - CAST(sfp AS DOUBLE) / 1000.0 AS ssw
+           |         CAST(sz2 AS DOUBLE) - CAST(sfp AS DOUBLE) / 1000.0
+           |           AS ssw
            |       FROM agg)
            |SELECT k, nn, round(ssb, 6) AS ssb6, round(ssw, 6) AS ssw6,
            |  CASE WHEN k > 1 AND nn > k AND ssw > 0.0

@@ -395,6 +395,11 @@ object TokenizerQueries {
     // n_pieces table is O(vocab); the corpus stream equi-joins it by
     // word — the same shape as the BPE encode/fertility pair, so the
     // two tokenizers' fertility is directly comparable row-for-row).
+    // Probe mechanism note (r17 verdict #3): this gate explodes the
+    // FULL corpus token stream and joins it to the O(words) encode
+    // table, so its 10× ratio (~3.3×) is corpus-data-bound, while its
+    // encode/coverage siblings are distinct-word-bound (~1.2×) — the
+    // asymmetry is the design, not a regression.
     Q("q_text_unigram_fertility",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -275,7 +275,19 @@ object ScaleProbe {
           "ResultQueryStage")
         val xchOnly = !shapeEq && deltaOps.nonEmpty &&
           deltaOps.forall(benignXch.contains)
-        val shapeTag = if (shapeEq) "same" else if (xchOnly) "xch~" else "DIFF"
+        // r17 ADVICE: a strictly-GROWN plain `Exchange` count at K× is a
+        // genuinely added shuffle (e.g. a lost partitioning reuse), not
+        // AQE reuse/stage bookkeeping — it must not hide inside the
+        // benign class. Tag it `xch+` (its own class: join strategies
+        // unchanged, so not DIFF either) so the adjudication table sees
+        // it without a hand-diff of the XCHDELTA line.
+        val exchangeGrew =
+          cg.getOrElse("Exchange", 0) > cb.getOrElse("Exchange", 0)
+        val shapeTag =
+          if (shapeEq) "same"
+          else if (xchOnly && exchangeGrew) "xch+"
+          else if (xchOnly) "xch~"
+          else "DIFF"
         println(f"PROBE $name%-24s base=$tb%7.2fs x$k=$tg%7.2fs " +
           f"ratio=$ratio%5.2f band=$band%5.2f shape=$shapeTag $flag")
         if (!shapeEq) {

@@ -52,11 +52,27 @@ class CollectCensusSpec extends AnyFunSuite {
       .flatMap { p =>
         val src = new String(Files.readAllBytes(p), "UTF-8")
         // strip line comments so prose mentioning collect() doesn't count
+        // — but only a `//` OUTSIDE string literals starts a comment:
+        // the embedded DuckDB oracle SQL uses `//` for integer division
+        // inside quoted strings, and naive first-index stripping would
+        // blind the census to any collect AFTER such a literal on the
+        // same line (r17 ADVICE). Quote tracking here is line-local and
+        // ignores escapes — good enough because the house style never
+        // splits a string across the comment boundary with \" in gated
+        // code; triple-quoted SQL blocks contain no `"` at all.
         val code = src.linesIterator
-          .map(l => l.indexOf("//") match {
-            case -1 => l
-            case i  => l.substring(0, i)
-          })
+          .map { l =>
+            var inStr = false
+            var cut = -1
+            var i = 0
+            while (cut < 0 && i < l.length - 1) {
+              if (l.charAt(i) == '"') inStr = !inStr
+              else if (!inStr && l.charAt(i) == '/' && l.charAt(i + 1) == '/')
+                cut = i
+              i += 1
+            }
+            if (cut < 0) l else l.substring(0, cut)
+          }
           .mkString("\n")
         val n = Seq(".collect()", ".collectAsList(", ".toLocalIterator")
           .map(pat => code.sliding(pat.length).count(_ == pat)).sum
