@@ -1027,6 +1027,229 @@ object DriftQueries {
 
     // Chi-square homogeneity across (slice × term-hash-bucket) — the
     // one-number categorical drift test over a BOUNDED contingency
+    // Cohen's d + Hedges' g per slice vs rest on doc length — the
+    // PARAMETRIC effect size completing the A/B readout family
+    // (Welch/proportions give significance, Cliff's δ the ordinal
+    // effect; d/g are what a power calculation and the MDE gate
+    // actually consume). Everything reduces to five exact DECIMAL
+    // moments per side via the n-scaled identities: with
+    // A = s1·n2 − s2·n1 (the cross-multiplied mean difference) and
+    // B = n2·(n1·q1 − s1²) + n1·(n2·q2 − s2²) (the cross-multiplied
+    // pooled SS), d = (A/(n1·n2)) / √(B/((n1+n2−2)·n1·n2)) is ONE
+    // double expression over identical integers on both engines, and
+    // g = d·(1 − 3/(4(n1+n2) − 9)) the small-sample correction.
+    // ANSI-÷0: n1+n2 ≤ 2 or zero pooled variance NULLs both.
+    Q("q_ab_cohend",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val g = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n1"), sum(dc(col("n_chars"))).as("s1"),
+            sum(dc(col("n_chars")) * col("n_chars")).as("q1"))
+        g.crossJoin(broadcast(g.agg(sum("n1").as("nt"),
+            sum("s1").as("st"), sum("q1").as("qt"))))
+          .select(col("source"), col("n1"), (col("nt") - col("n1")).as("n2"),
+            col("s1"), (col("st") - col("s1")).as("s2"),
+            col("q1"), (col("qt") - col("q1")).as("q2"))
+          .filter(col("n2") > 0)
+          .select(col("source"), col("n1"), col("n2"),
+            (col("s1") * dc(col("n2")) - col("s2") * dc(col("n1"))).as("a"),
+            (dc(col("n2")) * (dc(col("n1")) * col("q1") - col("s1") * col("s1"))
+              + dc(col("n1")) * (dc(col("n2")) * col("q2")
+                - col("s2") * col("s2"))).as("b"))
+          .select(col("source"), col("n1"), col("n2"),
+            when(col("n1") + col("n2") > 2 && col("b") > 0,
+              round((col("a").cast("double")
+                / (col("n1").cast("double") * col("n2").cast("double")))
+                / sqrt(col("b").cast("double")
+                  / ((col("n1").cast("double") + col("n2").cast("double")
+                    - 2.0) * col("n1").cast("double")
+                    * col("n2").cast("double"))), 6)).as("d6"))
+          .select(col("source"), col("n1"), col("n2"), col("d6"),
+            round(col("d6") * (lit(1.0) - lit(3.0)
+              / (lit(4.0) * (col("n1").cast("double")
+                + col("n2").cast("double")) - 9.0)), 6).as("g6"))
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n1,
+           |        sum(CAST(n_chars AS HUGEINT)) AS s1,
+           |        sum(CAST(n_chars AS HUGEINT) * n_chars) AS q1
+           |      FROM documents GROUP BY source),
+           |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nt,
+           |          sum(s1) AS st, sum(q1) AS qt FROM g),
+           |sides AS (SELECT source, n1, nt - n1 AS n2, s1, st - s1 AS s2,
+           |            q1, qt - q1 AS q2
+           |          FROM g CROSS JOIN tot WHERE nt - n1 > 0),
+           |ab AS (SELECT source, n1, n2,
+           |         s1 * CAST(n2 AS HUGEINT)
+           |           - s2 * CAST(n1 AS HUGEINT) AS a,
+           |         CAST(n2 AS HUGEINT)
+           |           * (CAST(n1 AS HUGEINT) * q1 - s1 * s1)
+           |           + CAST(n1 AS HUGEINT)
+           |           * (CAST(n2 AS HUGEINT) * q2 - s2 * s2) AS b
+           |       FROM sides),
+           |dd AS (SELECT source, n1, n2,
+           |         CASE WHEN n1 + n2 > 2 AND b > 0
+           |              THEN round((CAST(a AS DOUBLE)
+           |                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+           |                / sqrt(CAST(b AS DOUBLE)
+           |                  / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+           |                    - 2.0) * CAST(n1 AS DOUBLE)
+           |                    * CAST(n2 AS DOUBLE))), 6)
+           |         END AS d6
+           |       FROM ab)
+           |SELECT source, n1, n2, d6,
+           |  round(d6 * (1.0 - 3.0
+           |    / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+           |       - 9.0)), 6) AS g6
+           |FROM dd""".stripMargin),
+      "Cohen's d + Hedges' g per slice vs rest (exact cross-multiplied pooled variance)"),
+
+    // McNemar's test per slice: do two admission heuristics (char-length
+    // ≥ 400 vs token-count ≥ 80) disagree ASYMMETRICALLY on the same
+    // documents? — the paired-binary companion to the kappa agreement
+    // readout (q_quality_kappa measures how often they agree; McNemar
+    // whether the disagreements lean one way, which is what decides if
+    // swapping filters changes the corpus). Only the discordant counts
+    // matter: b = kept-by-length-only, c = kept-by-tokens-only,
+    // χ² = (b−c)²/(b+c) plus the Edwards continuity-corrected
+    // (max(|b−c|−1, 0))²/(b+c) — four exact integers into one double
+    // division each. ANSI-÷0: b+c = 0 NULLs both.
+    Q("q_stats_mcnemar",
+      (s, d) => {
+        val keep1 = col("n_chars") >= 400
+        val keep2 = size(TextFunctions.tokens(col("text"))) >= 80
+        t(s, d, "documents")
+          .select(col("source"), keep1.as("k1"), keep2.as("k2"))
+          .groupBy("source")
+          .agg(sum(when(col("k1") && !col("k2"), 1L).otherwise(0L)).as("b"),
+            sum(when(!col("k1") && col("k2"), 1L).otherwise(0L)).as("c"))
+          .select(col("source"), col("b"), col("c"),
+            when(col("b") + col("c") > 0,
+              round((col("b") - col("c")).cast("double")
+                * (col("b") - col("c")).cast("double")
+                / (col("b") + col("c")).cast("double"), 6)).as("chi2_6"),
+            when(col("b") + col("c") > 0,
+              round(greatest(abs(col("b") - col("c")) - 1L, lit(0L))
+                .cast("double")
+                * greatest(abs(col("b") - col("c")) - 1L, lit(0L))
+                .cast("double")
+                / (col("b") + col("c")).cast("double"), 6)).as("chi2cc_6"))
+      },
+      Some(s"""WITH p AS (SELECT source,
+           |        (n_chars >= 400) AS k1,
+           |        (len(${LlmQueries.duckTokens("text")}) >= 80) AS k2
+           |      FROM documents),
+           |bc AS (SELECT source,
+           |         CAST(sum(CASE WHEN k1 AND NOT k2 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS b,
+           |         CAST(sum(CASE WHEN NOT k1 AND k2 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS c
+           |       FROM p GROUP BY source)
+           |SELECT source, b, c,
+           |  CASE WHEN b + c > 0
+           |       THEN round(CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+           |              / CAST(b + c AS DOUBLE), 6) END AS chi2_6,
+           |  CASE WHEN b + c > 0
+           |       THEN round(CAST(greatest(abs(b - c) - 1, 0) AS DOUBLE)
+           |              * CAST(greatest(abs(b - c) - 1, 0) AS DOUBLE)
+           |              / CAST(b + c AS DOUBLE), 6) END AS chi2cc_6
+           |FROM bc""".stripMargin),
+      "McNemar paired-binary test between two admission heuristics per slice"),
+
+    // Bartlett's variance-homogeneity χ² across slices — completes the
+    // dispersion-test trio (Brown-Forsythe is the robust median form;
+    // Bartlett the classical normal-theory one, more powerful when
+    // lengths are near-normal and the textbook cross-check against it).
+    // Per-group variances are doubles built from exact DECIMAL moments
+    // (identical on both engines); their logs follow the house per-row
+    // @6 fixed-point carry (ppm BIGINTs, so the Σ(n_i−1)·ln s_i² side
+    // is an exact integer sum); the pooled SS uses the ANOVA family's
+    // 1e-3 carry; and BOTH reciprocal sums in the Bartlett correction
+    // C = 1 + (Σ1/(n_i−1) − 1/(N−k))/(3(k−1)) are carried as exact
+    // 1e-9 fixed point via integer division (1000000000 div (n_i−1)) —
+    // zero runtime libm besides the per-group ln, zero double
+    // reductions. Groups need n_i ≥ 2 and positive variance; k counts
+    // qualifying groups. ANSI-÷0: k ≤ 1 or zero pooled SS NULLs χ².
+    Q("q_stats_bartlett",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val g = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("ng"), sum(dc(col("n_chars"))).as("sg"),
+            sum(dc(col("n_chars")) * col("n_chars")).as("qg"))
+          .filter(col("ng") >= 2 &&
+            dc(col("ng")) * col("qg") > col("sg") * col("sg"))
+          .select(col("ng"),
+            ((dc(col("ng")) * col("qg") - col("sg") * col("sg"))
+              .cast("double")
+              / (col("ng").cast("double") * (col("ng").cast("double") - 1.0)))
+              .as("vg"),
+            (col("qg") * 1000 - round(col("sg").cast("double")
+              * col("sg").cast("double") / col("ng").cast("double")
+              * 1000.0).cast("long")).cast("decimal(38,0)").as("ss_mil"))
+          .select(col("ng"), col("ss_mil"),
+            round(log(col("vg")) * 1e6).cast("long").as("l_ppm"),
+            expr("1000000000 div (ng - 1)").as("inv_ppb"))
+        g.agg(count(lit(1)).as("k"), sum("ng").as("nn"),
+            sum("ss_mil").as("sstot_mil"),
+            sum((col("ng") - 1) * col("l_ppm")).as("wl_ppm"),
+            sum("inv_ppb").as("sinv_ppb"))
+          .select(col("k"), col("nn"),
+            when(col("k") > 1 && col("nn") > col("k") && col("sstot_mil") > 0,
+              round(log(col("sstot_mil").cast("double") / 1000.0
+                / (col("nn").cast("double") - col("k").cast("double")))
+                * 1e6).cast("long")).as("lnsp_ppm"),
+            col("sstot_mil"), col("wl_ppm"), col("sinv_ppb"))
+          .select(col("k"), col("nn"),
+            when(col("lnsp_ppm").isNotNull,
+              round((((col("nn") - col("k")) * col("lnsp_ppm")
+                - col("wl_ppm")).cast("double") / 1e6)
+                / (lit(1.0) + (col("sinv_ppb").cast("double") / 1e9
+                  - expr("1000000000 div (nn - k)").cast("double") / 1e9)
+                  / (lit(3.0) * (col("k").cast("double") - 1.0))), 6))
+              .as("chi2_6"))
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+           |        sum(CAST(n_chars AS HUGEINT)) AS sg,
+           |        sum(CAST(n_chars AS HUGEINT) * n_chars) AS qg
+           |      FROM documents GROUP BY source),
+           |q AS (SELECT ng,
+           |        CAST(CAST(ng AS HUGEINT) * qg - sg * sg AS DOUBLE)
+           |          / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0))
+           |          AS vg,
+           |        qg * 1000 - CAST(round(CAST(sg AS DOUBLE)
+           |          * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) * 1000.0)
+           |          AS HUGEINT) AS ss_mil
+           |      FROM g
+           |      WHERE ng >= 2 AND CAST(ng AS HUGEINT) * qg > sg * sg),
+           |r AS (SELECT ng, ss_mil,
+           |        CAST(round(ln(vg) * 1000000) AS BIGINT) AS l_ppm,
+           |        1000000000 // (ng - 1) AS inv_ppb
+           |      FROM q),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |          CAST(sum(ng) AS BIGINT) AS nn,
+           |          sum(ss_mil) AS sstot_mil,
+           |          CAST(sum((ng - 1) * l_ppm) AS BIGINT) AS wl_ppm,
+           |          CAST(sum(inv_ppb) AS BIGINT) AS sinv_ppb
+           |        FROM r),
+           |sp AS (SELECT k, nn, sstot_mil, wl_ppm, sinv_ppb,
+           |         CASE WHEN k > 1 AND nn > k AND sstot_mil > 0
+           |              THEN CAST(round(ln(CAST(sstot_mil AS DOUBLE)
+           |                / 1000.0 / (CAST(nn AS DOUBLE)
+           |                  - CAST(k AS DOUBLE))) * 1000000) AS BIGINT)
+           |         END AS lnsp_ppm
+           |       FROM agg)
+           |SELECT k, nn,
+           |  CASE WHEN lnsp_ppm IS NOT NULL
+           |       THEN round((CAST((nn - k) * lnsp_ppm - wl_ppm AS DOUBLE)
+           |              / 1000000.0)
+           |              / (1.0 + (CAST(sinv_ppb AS DOUBLE) / 1e9
+           |                - CAST(1000000000 // (nn - k) AS DOUBLE) / 1e9)
+             |                / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
+           |  END AS chi2_6
+           |FROM sp""".stripMargin),
+      "Bartlett variance-homogeneity chi-square across slices (fixed-point log carries)"),
+
     // table (terms hashed to Chi2Buckets cells, so the grid is
     // O(slices·buckets) at any vocabulary size). Counts and margins are
     // exact integers; each cell's (O−E)²/E term is one double

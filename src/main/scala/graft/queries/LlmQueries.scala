@@ -1700,6 +1700,51 @@ object LlmQueries {
            |      FROM documents)""".stripMargin),
       "per-doc duplicated-trigram fraction + type-token ratio (FineWeb repetition filters)"),
 
+    // Chao1 vocabulary-richness estimate per language — the
+    // species-richness estimator ecology built and corpus linguistics
+    // adopted: how many word types WOULD the corpus show with infinite
+    // sampling? S_chao1 = S_obs + f1(f1−1)/(2(f2+1)) (the
+    // bias-corrected form, defined even when no doubletons exist),
+    // where f1/f2 are the singleton/doubleton counts of the per-lang
+    // word-frequency table. The number a dedup/selection pipeline
+    // publishes per slice to show how much lexical headroom remains —
+    // rising coverage (S_obs/S_chao1) means new data stops adding
+    // vocabulary. One distinct-word aggregate (hash-partitioned by
+    // word at any scale) then an O(vocab) rollup; S_obs/f1/f2 are
+    // exact integers, the estimate one double division rounded @6.
+    Q("q_text_chao1",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("s_obs"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+          .select(col("lang"), col("s_obs"), col("f1"), col("f2"),
+            round(col("s_obs").cast("double")
+              + col("f1").cast("double") * (col("f1").cast("double") - 1.0)
+              / (lit(2.0) * (col("f2").cast("double") + 1.0)), 6)
+              .as("chao1_6"))
+      },
+      Some(s"""WITH wc AS (SELECT lang, w, count(*) AS c
+           |      FROM (SELECT lang, unnest(${duckTokens("text")}) AS w
+           |            FROM documents)
+           |      GROUP BY lang, w),
+           |fr AS (SELECT lang, CAST(count(*) AS BIGINT) AS s_obs,
+           |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS f1,
+           |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS f2
+           |       FROM wc GROUP BY lang)
+           |SELECT lang, s_obs, f1, f2,
+           |  round(CAST(s_obs AS DOUBLE)
+           |    + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+           |    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1_6
+           |FROM fr""".stripMargin),
+      "Chao1 vocabulary-richness estimate per language (singleton/doubleton closed form)"),
+
     // Character-entropy quality signal: Shannon entropy (nats) of each
     // document's character distribution over the FIXED 36-symbol
     // alphabet [a-z0-9] — the cheap gibberish/boilerplate detector

@@ -912,4 +912,30 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("hashpartitioning"), s"$n planned a shuffle:\n$p")
     }
   }
+
+  test("q_ab_cohend is one moment aggregate against a broadcast one-row total") {
+    val p = plan("q_ab_cohend")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_stats_mcnemar and q_stats_bartlett are joinless aggregates") {
+    for (n <- Seq("q_stats_mcnemar", "q_stats_bartlett")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("Join"), s"$n planned a join:\n$p")
+      assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")
+    }
+  }
+
+  test("q_text_chao1 shuffles on the distinct-word grain — no cartesian, no coalesce(1)") {
+    val p = plan("q_text_chao1")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Coalesce 1"), p)
+    // two-level rollup: (lang, w) counts then per-lang frequency-of-
+    // frequencies — both hash aggregates, never a corpus sort
+    assert(!p.contains("Sort "), p)
+  }
 }

@@ -444,4 +444,86 @@ class StatsGatesSpec extends SparkSpec {
       if (nRel > 0) assert(ap > 0.0)
     }
   }
+
+  private lazy val cdDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("cdfix").toString
+    // {1,2,3} vs {3,4,5}: means 2 vs 4, SS = 2 each, pooled s² =
+    // (2+2)/4 = 1 -> d = ∓2; Hedges g = d·(1 − 3/(4·6 − 9)) = ∓1.6
+    Seq((0L, "a", 1), (1L, "a", 2), (2L, "a", 3),
+      (3L, "b", 3), (4L, "b", 4), (5L, "b", 5))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Cohen's d and Hedges' g match the two-group hand case") {
+    val r = SparkEntry.queries("q_ab_cohend")(spark, cdDir)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r("a") === ((3L, 3L, -2.0, -1.6)))
+    assert(r("b") === ((3L, 3L, 2.0, 1.6)))
+  }
+
+  private lazy val mcDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("mcfix").toString
+    val longText = Seq.fill(80)("w").mkString(" ") // 80 tokens, 159 chars
+    // keep1 = n_chars >= 400, keep2 = tokens >= 80. Two length-only
+    // keeps (b), one tokens-only keep (c), one both, one neither ->
+    // chi2 = (2−1)²/3 = 0.333333, Edwards cc = (|1|−1)²/3 = 0
+    Seq((0L, "a", "x y", 500L), (1L, "a", "x y", 450L),
+      (2L, "a", longText, 159L),
+      (3L, "a", longText, 400L), (4L, "a", "x", 1L))
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("McNemar chi-square (plain and continuity-corrected) matches the hand table") {
+    val r = SparkEntry.queries("q_stats_mcnemar")(spark, mcDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 2L) // b: length-only keeps
+    assert(r.head.getLong(2) === 1L) // c: tokens-only keep
+    assert(math.abs(r.head.getDouble(3) - 0.333333) < 1e-9)
+    assert(r.head.getDouble(4) === 0.0) // |b−c| = 1 -> corrected 0
+  }
+
+  private lazy val btDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("btfix").toString
+    // {1,2,3} and {4,5,6}: equal variances (1 each) -> every log term
+    // is 0 and chi2 = 0 exactly; the singleton group "c" (n=1, no
+    // variance) must be EXCLUDED so k=2, nn=6
+    Seq((0L, "a", 1), (1L, "a", 2), (2L, "a", 3),
+      (3L, "b", 4), (4L, "b", 5), (5L, "b", 6),
+      (6L, "c", 9))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Bartlett chi-square is exactly 0 on equal variances; underpowered groups drop") {
+    val r = SparkEntry.queries("q_stats_bartlett")(spark, btDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 2L) // k: singleton group excluded
+    assert(r.head.getLong(1) === 6L) // nn counts qualifying groups only
+    assert(r.head.getDouble(2) === 0.0)
+  }
+
+  private lazy val chDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("chfix").toString
+    // counts a:1 b:1 c:2 d:2 e:3 -> S=5, f1=2, f2=2,
+    // chao1 = 5 + 2·1/(2·(2+1)) = 5.333333
+    Seq((0L, "xx", "a b c c", 7L), (1L, "xx", "d d e e e", 9L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Chao1 matches the hand-counted singleton/doubleton closed form") {
+    val r = SparkEntry.queries("q_text_chao1")(spark, chDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 5L) // s_obs
+    assert(r.head.getLong(2) === 2L) // f1
+    assert(r.head.getLong(3) === 2L) // f2
+    assert(math.abs(r.head.getDouble(4) - 5.333333) < 1e-9)
+  }
 }
