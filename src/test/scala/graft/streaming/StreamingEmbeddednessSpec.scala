@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Triangles
+
+/** Streaming form of the edge-embeddedness publish
+  * (q_graph_embeddedness's production topology): the frozen artifact is
+  * the FULL per-edge table (u, v, cn, jacc6) — per-edge triangle
+  * support plus neighborhood Jaccard from the exact du+dv−2−cn union
+  * identity, the gate's chain without its top-50 display cut — computed
+  * once on the co-purchase graph snapshot. Each incoming microbatch of
+  * edge events is scored by one stream-static EQUI-join against the
+  * frozen table (O(|E|) artifact, so the apply is the co-partitioned
+  * hash join a 100 TB deployment runs — NOT a broadcast; unknown edges
+  * score a 0-support miss row). Pinned: per-batch
+  * (n_edges, n_known, sum_cn, n_strong) ≡ the batch-mode scoring of
+  * exactly that batch's rows, across a restart.
+  */
+class StreamingEmbeddednessSpec extends SparkSpec {
+
+  test("per-microbatch edge scoring vs the frozen embeddedness table ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_embed_stream").toString
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e0 = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val e = graft.core.CacheScope.autoRelease(e0.distinct())
+
+    // PUBLISH once: the gate's exact chain, full table (no top-50 cut)
+    val cn = Triangles.perEdgeCounts(e)
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    e.join(cn, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("cn"), lit(0L)).as("cn"))
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        when(col("du") + col("dv") - 2 - col("cn") > 0,
+          round(col("cn").cast("double")
+            / (col("du") + col("dv") - 2 - col("cn")).cast("double"), 6))
+          .otherwise(lit(1.0)).as("jacc6"))
+      .write.parquet(s"$work/emb")
+    val emb = spark.read.parquet(s"$work/emb")
+
+    // APPLY: stream-static equi-join + per-batch integer rollup; a
+    // miss (an edge the snapshot never saw) counts n_known=0 rows
+    def scoreAgainst(batch: DataFrame): DataFrame =
+      batch.join(emb, Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("cn").isNotNull, 1L).otherwise(0L)).as("n_known"),
+          sum(coalesce(col("cn"), lit(0L))).as("sum_cn"),
+          sum(when(col("jacc6") >= 0.5, 1L).otherwise(0L)).as("n_strong"))
+
+    // the live traffic: known edges (even endpoint-sum half) + a wave
+    // of unseen re-keyed edges exercising the miss path
+    val hold = e.filter((col("u") + col("v")) % 2 === 0)
+    val wave2 = e.filter((col("u") + col("v")) % 3 === 0)
+      .select((col("u") + 10000000L).as("u"), (col("v") + 10000000L).as("v"))
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[(Long, Long)])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("u", "v").collect()
+                .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+            scoreAgainst(df)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.repartition(2).write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    wave2.coalesce(1).write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val all = hold.unionByName(wave2)
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, edges) =>
+      val ids = edges.map { case (u, v) => u * 100000000L + v }
+      val want = scoreAgainst(all.filter(
+        (col("u") * 100000000L + col("v")).isin(ids: _*)))
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed embeddedness rollup differs from batch mode")
+    }
+    val sums = got.agg(sum("n_edges"), sum("n_known"), sum("sum_cn")).head()
+    assert(sums.getLong(1) > 0, "no edge matched the frozen table")
+    assert(sums.getLong(1) < sums.getLong(0), "the miss path never exercised")
+    assert(sums.getLong(2) > 0, "every matched edge had zero support")
+  }
+}

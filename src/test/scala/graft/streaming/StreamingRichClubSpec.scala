@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming form of the rich-club publish (q_graph_richclub's
+  * production topology): the frozen artifact is the O(grid) table of
+  * φ(k) coefficients the gate computes on the graph snapshot — six
+  * rows at ANY corpus size, so the apply is a pure broadcast
+  * step-function lookup. Each incoming microbatch of (node, degree)
+  * observations is club-assigned to the LARGEST grid threshold k
+  * strictly below its degree (the gate's deg > k membership rule) and
+  * annotated with that club's φ — the "how elite is this node's
+  * neighborhood" readout a graph monitor serves against live degree
+  * updates. Degree-1 nodes fall below the whole grid and land in the
+  * k=0 bucket with a NULL φ. Pinned: per-batch (k, n, phi6) ≡ the
+  * batch-mode scoring of exactly that batch's rows, across a restart.
+  */
+class StreamingRichClubSpec extends SparkSpec {
+
+  test("per-microbatch club assignment vs the frozen phi(k) table ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_richclub_stream").toString
+
+    // PUBLISH once: the gate's own artifact (k, phi6), frozen
+    SparkEntry_richclub(s"$work/phi")
+    val phi = spark.read.parquet(s"$work/phi")
+      .select(col("k").as("ck"), col("phi6"))
+
+    // the live traffic: the same bipartite graph's degree table
+    val b = Tables.load(spark, sf0001, "lineitem").select(
+      (col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst")).distinct()
+    val nodes = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+
+    // APPLY: broadcast non-equi step lookup (largest grid k < deg; the
+    // grid ks are unique so the max-by-struct pick is deterministic)
+    def scoreAgainst(batch: DataFrame): DataFrame =
+      batch.join(broadcast(phi), col("ck") < col("deg"), "left")
+        .groupBy("node", "deg")
+        .agg(max(struct(col("ck"), col("phi6"))).as("top"))
+        .select(col("node"),
+          coalesce(col("top.ck"), lit(0)).as("k"),
+          col("top.phi6").as("phi6"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), min("phi6").as("phi6"))
+
+    val hold = nodes.filter(col("node") % 2 === 0)
+    val wave2 = nodes.filter(col("node") % 3 === 0)
+      .select((col("node") + 10000000L).as("node"),
+        (col("deg") + 1L).as("deg"))
+    val out = s"$work/out"
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def runAvailable(run: Int): Unit = {
+      val src = spark.readStream.schema(hold.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            batches.add((run * 1000L + id) ->
+              df.select("node").collect().map(_.getLong(0)).toSeq)
+            scoreAgainst(df)
+              .withColumn("batch", lit(run * 1000L + id))
+              .write.mode("append").parquet(out)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    hold.repartition(2).write.parquet(s"$work/in/p0")
+    runAvailable(0)
+    wave2.coalesce(1).write.parquet(s"$work/in/p1")
+    runAvailable(1)
+
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    val all = hold.unionByName(wave2)
+    val got = spark.read.parquet(out)
+    batches.asScala.foreach { case (id, ids) =>
+      val want = scoreAgainst(all.filter(col("node").isin(ids: _*)))
+      val g = got.filter(col("batch") === id).drop("batch")
+      val wsel = want.select(g.columns.map(col).toSeq: _*)
+      val drift = g.exceptAll(wsel).count() + wsel.exceptAll(g).count()
+      assert(drift == 0, s"batch $id: streamed club rollup differs from batch mode")
+    }
+    // the grid engaged: some batch assigned a club above the floor
+    assert(got.filter(col("k") > 0).count() > 0,
+      "every node fell below the whole grid — the phi lookup is dead")
+  }
+
+  /** Freeze the registered gate's output — the artifact IS the gate. */
+  private def SparkEntry_richclub(path: String): Unit =
+    graft.SparkEntry.queries("q_graph_richclub")(spark, sf0001)
+      .select(col("k"), col("phi6")).write.parquet(path)
+}
