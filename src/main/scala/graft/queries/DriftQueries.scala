@@ -1250,6 +1250,67 @@ object DriftQueries {
            |FROM sp""".stripMargin),
       "Bartlett variance-homogeneity chi-square across slices (fixed-point log carries)"),
 
+    // Cochran-Armitage trend test: is the lang='en' rate MONOTONICALLY
+    // trending across ordered doc-length bins? — the ordered-alternative
+    // member of the proportion family (q_ab_proportions compares one
+    // slice vs rest; a drifting crawl usually shows a trend across a
+    // covariate before any single slice flips). Scores w_i = bin index
+    // over the capped width-200 bins; with the n-scaled identities
+    // A = N·Σwy − Y·Σwn and B = Y·(N−Y)·(N·Σw²n − (Σwn)²), the
+    // statistic z = A·√(N/B) is ONE double expression over exact
+    // DECIMAL integers — no p̄ ever materializes, no double reduction
+    // exists. Joinless two-level aggregate, O(bins) intermediate.
+    // ANSI-÷0: an all-true or all-false corpus (or a single bin) NULLs z.
+    Q("q_stats_catrend",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        t(s, d, "documents")
+          .select(least(expr("n_chars div 200"), lit(9)).cast("long")
+            .as("w"), when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("n"), sum("y").as("yy"))
+          .agg(sum("n").as("nn"), sum("yy").as("y"),
+            sum(dc(col("w")) * col("yy")).as("swy"),
+            sum(dc(col("w")) * col("n")).as("swn"),
+            sum(dc(col("w")) * col("w") * col("n")).as("sw2n"))
+          .select(col("nn"), col("y"),
+            (dc(col("nn")) * col("swy") - dc(col("y")) * col("swn")).as("a"),
+            (dc(col("y")) * (col("nn") - col("y"))
+              * (dc(col("nn")) * col("sw2n") - col("swn") * col("swn")))
+              .as("b"))
+          .select(col("nn"), col("y"),
+            when(col("b") > 0,
+              round(col("a").cast("double")
+                * sqrt(col("nn").cast("double") / col("b").cast("double")),
+                6)).as("z6"))
+      },
+      Some("""WITH p AS (SELECT CAST(least(n_chars // 200, 9) AS BIGINT)
+           |                 AS w,
+           |               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |        FROM documents),
+           |bins AS (SELECT w, CAST(count(*) AS BIGINT) AS n,
+           |           CAST(sum(y) AS BIGINT) AS yy
+           |         FROM p GROUP BY w),
+           |agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+           |          CAST(sum(yy) AS BIGINT) AS y,
+           |          sum(CAST(w AS HUGEINT) * yy) AS swy,
+           |          sum(CAST(w AS HUGEINT) * n) AS swn,
+           |          sum(CAST(w AS HUGEINT) * w * n) AS sw2n
+           |        FROM bins),
+           |ab AS (SELECT nn, y,
+           |         CAST(nn AS HUGEINT) * swy
+           |           - CAST(y AS HUGEINT) * swn AS a,
+           |         CAST(y AS HUGEINT) * (nn - y)
+           |           * (CAST(nn AS HUGEINT) * sw2n - swn * swn) AS b
+           |       FROM agg)
+           |SELECT nn, y,
+           |  CASE WHEN b > 0
+           |       THEN round(CAST(a AS DOUBLE)
+           |              * sqrt(CAST(nn AS DOUBLE) / CAST(b AS DOUBLE)), 6)
+           |  END AS z6
+           |FROM ab""".stripMargin),
+      "Cochran-Armitage trend z for the en-rate across ordered length bins"),
+
     // table (terms hashed to Chi2Buckets cells, so the grid is
     // O(slices·buckets) at any vocabulary size). Counts and margins are
     // exact integers; each cell's (O−E)²/E term is one double

@@ -1745,6 +1745,56 @@ object LlmQueries {
            |FROM fr""".stripMargin),
       "Chao1 vocabulary-richness estimate per language (singleton/doubleton closed form)"),
 
+    // Simpson diversity per language — Chao1's concentration-side
+    // companion: λ = Σc(c−1)/(N(N−1)) is the exact probability two
+    // tokens drawn without replacement are the SAME word type, and
+    // 1/λ the "effective vocabulary size" a selection pipeline tracks
+    // to catch template collapse (boilerplate floods push λ up long
+    // before the type count moves). Same distinct-word aggregate as
+    // q_text_chao1 (hash-partitioned by word at any scale), O(vocab)
+    // rollup; both numerator and denominator are exact DECIMAL
+    // integers, each readout one double division rounded @6.
+    // ANSI-÷0: N ≤ 1 NULLs λ; λ = 0 (all singletons) NULLs 1/λ.
+    Q("q_text_simpson",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        t(s, d, "documents")
+          .select(col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+          .groupBy("lang")
+          .agg(sum("c").as("n_tok"), count(lit(1)).as("s_obs"),
+            sum(dc(col("c")) * (col("c") - 1)).as("rep2"))
+          .select(col("lang"), col("n_tok"), col("s_obs"),
+            when(col("n_tok") > 1,
+              round(col("rep2").cast("double")
+                / (col("n_tok").cast("double")
+                  * (col("n_tok").cast("double") - 1.0)), 6)).as("lambda6"))
+          .select(col("lang"), col("n_tok"), col("s_obs"), col("lambda6"),
+            when(col("lambda6") > 0.0,
+              round(lit(1.0) / col("lambda6"), 6)).as("invsimp6"))
+      },
+      Some(s"""WITH wc AS (SELECT lang, w, count(*) AS c
+           |      FROM (SELECT lang, unnest(${duckTokens("text")}) AS w
+           |            FROM documents)
+           |      GROUP BY lang, w),
+           |fr AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok,
+           |         CAST(count(*) AS BIGINT) AS s_obs,
+           |         sum(CAST(c AS HUGEINT) * (c - 1)) AS rep2
+           |       FROM wc GROUP BY lang),
+           |lam AS (SELECT lang, n_tok, s_obs,
+           |          CASE WHEN n_tok > 1
+           |               THEN round(CAST(rep2 AS DOUBLE)
+           |                 / (CAST(n_tok AS DOUBLE)
+           |                   * (CAST(n_tok AS DOUBLE) - 1.0)), 6)
+           |          END AS lambda6
+           |        FROM fr)
+           |SELECT lang, n_tok, s_obs, lambda6,
+           |  CASE WHEN lambda6 > 0.0
+           |       THEN round(1.0 / lambda6, 6) END AS invsimp6
+           |FROM lam""".stripMargin),
+      "Simpson concentration + effective vocabulary size per language"),
+
     // Character-entropy quality signal: Shannon entropy (nats) of each
     // document's character distribution over the FIXED 36-symbol
     // alphabet [a-z0-9] — the cheap gibberish/boilerplate detector

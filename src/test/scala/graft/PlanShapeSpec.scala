@@ -920,8 +920,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_count"), p)
   }
 
-  test("q_stats_mcnemar and q_stats_bartlett are joinless aggregates") {
-    for (n <- Seq("q_stats_mcnemar", "q_stats_bartlett")) {
+  test("q_stats_mcnemar, q_stats_bartlett, and q_stats_catrend are joinless aggregates") {
+    for (n <- Seq("q_stats_mcnemar", "q_stats_bartlett", "q_stats_catrend")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(!p.contains("Join"), s"$n planned a join:\n$p")
@@ -929,13 +929,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_text_chao1 shuffles on the distinct-word grain — no cartesian, no coalesce(1)") {
-    val p = plan("q_text_chao1")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("Join"), p)
-    assert(!p.contains("Coalesce 1"), p)
-    // two-level rollup: (lang, w) counts then per-lang frequency-of-
-    // frequencies — both hash aggregates, never a corpus sort
-    assert(!p.contains("Sort "), p)
+  test("q_text_chao1 and q_text_simpson shuffle on the distinct-word grain — no cartesian, no coalesce(1)") {
+    for (n <- Seq("q_text_chao1", "q_text_simpson")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("Join"), s"$n:\n$p")
+      assert(!p.contains("Coalesce 1"), s"$n:\n$p")
+      // two-level rollup: (lang, w) counts then per-lang frequency-of-
+      // frequencies — both hash aggregates, never a corpus sort
+      assert(!p.contains("Sort "), s"$n:\n$p")
+    }
   }
 }

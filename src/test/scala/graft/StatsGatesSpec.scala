@@ -526,4 +526,40 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.head.getLong(3) === 2L) // f2
     assert(math.abs(r.head.getDouble(4) - 5.333333) < 1e-9)
   }
+
+  private lazy val caDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("cafix").toString
+    // bin 0 (n_chars < 200): 2 docs, 0 en; bin 1: 2 docs, 2 en ->
+    // N=4, Y=2, A = 4·2 − 2·2 = 4, B = 2·2·(4·2 − 2²) = 16,
+    // z = 4·√(4/16) = 2 exactly (a perfect upward trend)
+    Seq((0L, "de", 10L), (1L, "fr", 20L), (2L, "en", 200L), (3L, "en", 210L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Cochran-Armitage z matches the perfect-trend hand case") {
+    val r = SparkEntry.queries("q_stats_catrend")(spark, caDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 4L && r.head.getLong(1) === 2L)
+    assert(r.head.getDouble(2) === 2.0)
+  }
+
+  private lazy val spDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("spfix").toString
+    // counts a:3, b:1 -> N=4, Σc(c−1)=6, λ = 6/12 = 0.5, 1/λ = 2
+    Seq((0L, "xx", "a a a b", 7L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Simpson concentration and effective vocabulary match the hand counts") {
+    val r = SparkEntry.queries("q_text_simpson")(spark, spDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 4L) // n_tok
+    assert(r.head.getLong(2) === 2L) // s_obs
+    assert(r.head.getDouble(3) === 0.5)
+    assert(r.head.getDouble(4) === 2.0)
+  }
 }
