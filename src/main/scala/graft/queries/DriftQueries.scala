@@ -1311,6 +1311,105 @@ object DriftQueries {
            |FROM ab""".stripMargin),
       "Cochran-Armitage trend z for the en-rate across ordered length bins"),
 
+    // Cramér's V + mutual information between the lang and source
+    // categoricals — the association readout q_drift_chi2 cannot give
+    // (that gate tests one slice's term distribution against the
+    // corpus; THIS asks how much two metadata axes determine each
+    // other, the check that catches a crawl where language is secretly
+    // a function of the source). Complete zero-filled r×c grid from
+    // the two margin tables (bounded: langs × sources, broadcast
+    // everywhere); each cell's χ² term (N·O − R·C)²/(N·R·C) and MI
+    // term (O/N)·ln(O·N/(R·C)) is one double expression over exact
+    // integers carried as 1e-9 fixed point per cell (O=0 cells add
+    // E to χ² and 0 to MI), so both statistics are exact integer sums;
+    // V = √(χ²/(N·min(r−1, c−1))). ANSI-÷0: a single-category axis
+    // NULLs V. O(r·c) everything after one corpus aggregate.
+    Q("q_stats_cramersv",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val cells = graft.core.CacheScope.autoRelease(
+          t(s, d, "documents").groupBy("lang", "source")
+            .agg(count(lit(1)).as("o")))
+        val rm = cells.groupBy("lang").agg(sum("o").as("rr"))
+        val cm = cells.groupBy("source").agg(sum("o").as("cc"))
+        val tot = cells.agg(sum("o").as("nn"),
+          count_distinct(col("lang")).as("r"),
+          count_distinct(col("source")).as("c"))
+        rm.crossJoin(cm)
+          .join(cells, Seq("lang", "source"), "left")
+          .select(col("lang"), col("source"), col("rr"), col("cc"),
+            coalesce(col("o"), lit(0L)).as("o"))
+          .crossJoin(broadcast(tot))
+          .select(col("nn"), col("r"), col("c"),
+            round((dc(col("nn")) * col("o") - dc(col("rr")) * col("cc"))
+              .cast("double")
+              * (dc(col("nn")) * col("o") - dc(col("rr")) * col("cc"))
+              .cast("double")
+              / (col("nn").cast("double") * col("rr").cast("double")
+                * col("cc").cast("double")) * 1e9).cast("long").as("x_ppb"),
+            when(col("o") > 0,
+              round(col("o").cast("double") / col("nn").cast("double")
+                * log(col("o").cast("double") * col("nn").cast("double")
+                  / (col("rr").cast("double") * col("cc").cast("double")))
+                * 1e9).cast("long")).otherwise(lit(0L)).as("mi_ppb"))
+          .groupBy("nn", "r", "c")
+          .agg(sum("x_ppb").as("chi_ppb"), sum("mi_ppb").as("mis_ppb"))
+          .select(col("nn"), col("r"), col("c"),
+            round(col("chi_ppb").cast("double") / 1e9, 6).as("chi2_6"),
+            when(least(col("r"), col("c")) > 1,
+              round(sqrt(col("chi_ppb").cast("double") / 1e9
+                / (col("nn").cast("double")
+                  * (least(col("r"), col("c")).cast("double") - 1.0))), 6))
+              .as("v6"),
+            round(col("mis_ppb").cast("double") / 1e9, 6).as("mi6"))
+      },
+      Some("""WITH cells AS (SELECT lang, source,
+           |                 CAST(count(*) AS BIGINT) AS o
+           |        FROM documents GROUP BY lang, source),
+           |rm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rr
+           |       FROM cells GROUP BY lang),
+           |cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS cc
+           |       FROM cells GROUP BY source),
+           |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+           |          CAST(count(DISTINCT lang) AS BIGINT) AS r,
+           |          CAST(count(DISTINCT source) AS BIGINT) AS c
+           |        FROM cells),
+           |grid AS (SELECT rm.lang, cm.source, rm.rr, cm.cc,
+           |           coalesce(cells.o, 0) AS o
+           |         FROM rm CROSS JOIN cm
+           |         LEFT JOIN cells ON cells.lang = rm.lang
+           |           AND cells.source = cm.source),
+           |terms AS (SELECT nn, r, c,
+           |            CAST(round(CAST(CAST(nn AS HUGEINT) * o
+           |                - CAST(rr AS HUGEINT) * cc AS DOUBLE)
+           |              * CAST(CAST(nn AS HUGEINT) * o
+           |                - CAST(rr AS HUGEINT) * cc AS DOUBLE)
+           |              / (CAST(nn AS DOUBLE) * CAST(rr AS DOUBLE)
+           |                * CAST(cc AS DOUBLE)) * 1e9) AS BIGINT)
+           |              AS x_ppb,
+           |            CASE WHEN o > 0
+           |                 THEN CAST(round(CAST(o AS DOUBLE)
+           |                   / CAST(nn AS DOUBLE)
+           |                   * ln(CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+           |                     / (CAST(rr AS DOUBLE)
+           |                       * CAST(cc AS DOUBLE))) * 1e9) AS BIGINT)
+           |                 ELSE 0 END AS mi_ppb
+           |          FROM grid CROSS JOIN tot),
+           |agg AS (SELECT nn, r, c,
+           |          CAST(sum(x_ppb) AS BIGINT) AS chi_ppb,
+           |          CAST(sum(mi_ppb) AS BIGINT) AS mis_ppb
+           |        FROM terms GROUP BY nn, r, c)
+           |SELECT nn, r, c,
+           |  round(CAST(chi_ppb AS DOUBLE) / 1e9, 6) AS chi2_6,
+           |  CASE WHEN least(r, c) > 1
+           |       THEN round(sqrt(CAST(chi_ppb AS DOUBLE) / 1e9
+           |              / (CAST(nn AS DOUBLE)
+           |                 * (CAST(least(r, c) AS DOUBLE) - 1.0))), 6)
+           |  END AS v6,
+           |  round(CAST(mis_ppb AS DOUBLE) / 1e9, 6) AS mi6
+           |FROM agg""".stripMargin),
+      "Cramér's V + mutual information on the lang x source contingency grid"),
+
     // table (terms hashed to Chi2Buckets cells, so the grid is
     // O(slices·buckets) at any vocabulary size). Counts and margins are
     // exact integers; each cell's (O−E)²/E term is one double

@@ -929,6 +929,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_cramersv builds its bounded grid with broadcasts only") {
+    val p = plan("q_stats_cramersv")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
   test("q_text_chao1 and q_text_simpson shuffle on the distinct-word grain — no cartesian, no coalesce(1)") {
     for (n <- Seq("q_text_chao1", "q_text_simpson")) {
       val p = plan(n)

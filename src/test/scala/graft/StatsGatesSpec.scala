@@ -562,4 +562,24 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.head.getDouble(3) === 0.5)
     assert(r.head.getDouble(4) === 2.0)
   }
+
+  private lazy val cvDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("cvfix").toString
+    // perfect 2×2 association: every cell term is 1 (filled: (8−4)²/16,
+    // zero-filled: 4²/16) -> χ² = 4 = N·min(r−1, c−1) -> V = 1 exactly;
+    // MI = 2·(1/2)·ln 2 = ln 2 = 0.693147
+    Seq((0L, "en", "x"), (1L, "en", "x"), (2L, "de", "y"), (3L, "de", "y"))
+      .toDF("doc_id", "lang", "source")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Cramér's V hits exactly 1 on a perfectly associated 2×2 grid, MI = ln 2") {
+    val r = SparkEntry.queries("q_stats_cramersv")(spark, cvDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 4L) // nn
+    assert(r.head.getDouble(3) === 4.0)       // chi2
+    assert(r.head.getDouble(4) === 1.0)       // V
+    assert(math.abs(r.head.getDouble(5) - 0.693147) < 1e-9) // MI = ln 2
+  }
 }
