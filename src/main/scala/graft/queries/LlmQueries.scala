@@ -1795,6 +1795,193 @@ object LlmQueries {
            |FROM lam""".stripMargin),
       "Simpson concentration + effective vocabulary size per language"),
 
+    // Heaps' law vocabulary-growth curve: V(n) at six geometric corpus
+    // prefixes (doc_id < N/32 … N) plus the fitted growth exponent β
+    // (V ≈ K·n^β) — the trajectory readout telling a data-selection
+    // pipeline whether new data still buys vocabulary (β near its
+    // English ~0.5 text value) or has flattened into repetition. ONE
+    // corpus pass at any scale: each word carries min(doc_id) (its
+    // first sighting), each doc its token count; both collapse to ≤7
+    // prefix buckets whose cumulative sums give (n_j, V_j) — the 6×
+    // word-grid join never exists. The log-log slope is least squares
+    // over ≤6 points with each ln carried @6 as ppm BIGINTs and the
+    // normal-equation products exact in DECIMAL — one double division
+    // at the end. Prefixes with an empty vocabulary drop out; β NULLs
+    // below 2 usable points.
+    Q("q_text_heaps",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val docs = t(s, d, "documents")
+        val nn = docs.agg((max(col("doc_id")) + 1).as("nd"))
+        def bucket(idCol: org.apache.spark.sql.Column) = {
+          // smallest j with id < nd div 2^(5-j); j=6 = past every cutoff
+          (0 to 5).foldRight(lit(6)) { (j, acc) =>
+            when(idCol < expr(s"nd div ${1 << (5 - j)}"), lit(j))
+              .otherwise(acc)
+          }
+        }
+        val wFirst = docs
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(min(col("doc_id")).as("first"))
+          .crossJoin(broadcast(nn))
+          .groupBy(bucket(col("first")).as("j"))
+          .agg(count(lit(1)).as("dv"))
+        val dTok = docs
+          .select(col("doc_id"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("tk"))
+          .crossJoin(broadcast(nn))
+          .groupBy(bucket(col("doc_id")).as("j"))
+          .agg(sum("tk").as("dn"))
+        val wCum = org.apache.spark.sql.expressions.Window.orderBy("j")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val pts = graft.core.CacheScope.autoRelease(
+          s.range(6).select(col("id").cast("int").as("j"))
+            .join(wFirst, Seq("j"), "left")
+            .join(dTok, Seq("j"), "left")
+            .select(col("j"), coalesce(col("dv"), lit(0L)).as("dv"),
+              coalesce(col("dn"), lit(0L)).as("dn"))
+            .select(col("j"), sum("dv").over(wCum).as("v"),
+              sum("dn").over(wCum).as("n_tok"))
+            .filter(col("v") > 0 && col("n_tok") > 0)
+            .select(col("j"), col("n_tok"), col("v"),
+              round(log(col("n_tok").cast("double")) * 1e6).cast("long")
+                .as("x_ppm"),
+              round(log(col("v").cast("double")) * 1e6).cast("long")
+                .as("y_ppm")))
+        val fit = pts.agg(count(lit(1)).as("k"),
+            sum(dc(col("x_ppm"))).as("sx"), sum(dc(col("y_ppm"))).as("sy"),
+            sum(dc(col("x_ppm")) * col("x_ppm")).as("sxx"),
+            sum(dc(col("x_ppm")) * col("y_ppm")).as("sxy"))
+          .select(when(dc(col("k")) * col("sxx") - col("sx") * col("sx") > 0,
+            round((dc(col("k")) * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / (dc(col("k")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 6)).as("beta6"))
+        pts.select(col("j"), col("n_tok"), col("v"))
+          .crossJoin(broadcast(fit))
+      },
+      Some(s"""WITH nn AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+           |wf AS (SELECT w, min(doc_id) AS first
+           |       FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS w
+           |             FROM documents)
+           |       GROUP BY w),
+           |wb AS (SELECT CASE WHEN first < nd // 32 THEN 0
+           |                   WHEN first < nd // 16 THEN 1
+           |                   WHEN first < nd // 8 THEN 2
+           |                   WHEN first < nd // 4 THEN 3
+           |                   WHEN first < nd // 2 THEN 4
+           |                   WHEN first < nd THEN 5 ELSE 6 END AS j,
+           |              count(*) AS dv
+           |       FROM wf CROSS JOIN nn GROUP BY 1),
+           |db AS (SELECT CASE WHEN doc_id < nd // 32 THEN 0
+           |                   WHEN doc_id < nd // 16 THEN 1
+           |                   WHEN doc_id < nd // 8 THEN 2
+           |                   WHEN doc_id < nd // 4 THEN 3
+           |                   WHEN doc_id < nd // 2 THEN 4
+           |                   WHEN doc_id < nd THEN 5 ELSE 6 END AS j,
+           |              sum(len(${duckTokens("text")})) AS dn
+           |       FROM documents CROSS JOIN nn GROUP BY 1),
+           |cum AS (SELECT g.j,
+           |          sum(coalesce(wb.dv, 0)) OVER (ORDER BY g.j
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS v,
+           |          sum(coalesce(db.dn, 0)) OVER (ORDER BY g.j
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS n_tok
+           |        FROM (SELECT unnest(range(0, 6)) AS j) g
+           |        LEFT JOIN wb ON wb.j = g.j
+           |        LEFT JOIN db ON db.j = g.j),
+           |-- the v > 0 filter sits BELOW the ln so an empty prefix never
+           |-- evaluates ln(0)
+           |pos AS (SELECT j, CAST(n_tok AS BIGINT) AS n_tok,
+           |          CAST(v AS BIGINT) AS v
+           |        FROM cum WHERE v > 0 AND n_tok > 0),
+           |pts AS (SELECT j, n_tok, v,
+           |          CAST(round(ln(CAST(n_tok AS DOUBLE)) * 1000000)
+           |               AS BIGINT) AS x_ppm,
+           |          CAST(round(ln(CAST(v AS DOUBLE)) * 1000000)
+           |               AS BIGINT) AS y_ppm
+           |        FROM pos),
+           |fit AS (SELECT CASE WHEN CAST(count(*) AS HUGEINT)
+           |            * sum(CAST(x_ppm AS HUGEINT) * x_ppm)
+           |            - sum(CAST(x_ppm AS HUGEINT))
+           |            * sum(CAST(x_ppm AS HUGEINT)) > 0
+           |          THEN round(CAST(CAST(count(*) AS HUGEINT)
+           |            * sum(CAST(x_ppm AS HUGEINT) * y_ppm)
+           |            - sum(CAST(x_ppm AS HUGEINT))
+           |            * sum(CAST(y_ppm AS HUGEINT)) AS DOUBLE)
+           |            / CAST(CAST(count(*) AS HUGEINT)
+           |            * sum(CAST(x_ppm AS HUGEINT) * x_ppm)
+           |            - sum(CAST(x_ppm AS HUGEINT))
+           |            * sum(CAST(x_ppm AS HUGEINT)) AS DOUBLE), 6)
+           |          END AS beta6
+           |        FROM pts)
+           |SELECT j, n_tok, v, beta6 FROM pts CROSS JOIN fit""".stripMargin),
+      "Heaps-law vocabulary growth at geometric prefixes + fitted exponent"),
+
+    // Good-Turing adjusted counts per language — the smoothing table
+    // (r* = (r+1)·f_{r+1}/f_r for r ≤ 5, plus the unseen mass
+    // p₀ = f₁/N) every count-based LM derives from the frequency-of-
+    // frequencies histogram; alongside q_text_chao1 (which reads the
+    // same f₁/f₂ as a richness estimate) it is the canonical consumer
+    // of the word-count histogram. All counts exact integers off the
+    // distinct-word aggregate; r* and p₀ are single double divisions
+    // rounded @6. Rows with f_r = 0 drop; r* NULLs when f_{r+1} = 0.
+    Q("q_text_goodturing",
+      (s, d) => {
+        // f_{r+1} comes from a LEFT SELF-JOIN on (lang, r+1), never a
+        // lead() — a gap at f_{r+1} (no words of that count) must read
+        // as 0/NULL, not skip ahead to the next present bucket
+        val ff = graft.core.CacheScope.autoRelease(
+          t(s, d, "documents")
+            .select(col("lang"),
+              explode(TextFunctions.tokens(col("text"))).as("w"))
+            .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+            .groupBy(col("lang"), least(col("c"), lit(7L)).as("r"))
+            .agg(sum(when(col("c") <= 7, 1L).otherwise(0L)).as("fr"),
+              sum("c").as("mass")))
+        val nxt = ff.select(col("lang"), (col("r") - 1).as("r"),
+          col("fr").as("fnext"))
+        ff.join(nxt, Seq("lang", "r"), "left")
+          .select(col("lang"), col("r"), col("fr"), col("fnext"),
+            sum("mass").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("lang")).as("n_tok"))
+          .filter(col("r") <= 5 && col("fr") > 0)
+          .select(col("lang"), col("r").cast("int").as("r"), col("fr"),
+            when(col("fnext").isNotNull && col("fnext") > 0,
+              round((col("r") + 1).cast("double")
+                * col("fnext").cast("double") / col("fr").cast("double"),
+                6)).as("rstar6"),
+            when(col("r") === 1,
+              round(col("fr").cast("double") / col("n_tok").cast("double"),
+                6)).as("p0_6"))
+      },
+      Some(s"""WITH wc AS (SELECT lang, w, count(*) AS c
+           |      FROM (SELECT lang, unnest(${duckTokens("text")}) AS w
+           |            FROM documents)
+           |      GROUP BY lang, w),
+           |ff AS (SELECT lang, least(c, 7) AS r,
+           |         CAST(sum(CASE WHEN c <= 7 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS fr,
+           |         CAST(sum(c) AS BIGINT) AS mass
+           |       FROM wc GROUP BY lang, least(c, 7)),
+           |led AS (SELECT ff.lang, ff.r, ff.fr, nx.fr AS fnext,
+           |          CAST(sum(ff.mass) OVER (PARTITION BY ff.lang)
+           |               AS BIGINT) AS n_tok
+           |        FROM ff LEFT JOIN ff nx
+           |          ON nx.lang = ff.lang AND nx.r = ff.r + 1)
+           |SELECT lang, CAST(r AS INT) AS r, fr,
+           |  CASE WHEN fnext IS NOT NULL AND fnext > 0
+           |       THEN round(CAST(r + 1 AS DOUBLE) * CAST(fnext AS DOUBLE)
+           |              / CAST(fr AS DOUBLE), 6) END AS rstar6,
+           |  CASE WHEN r = 1
+           |       THEN round(CAST(fr AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+           |  END AS p0_6
+           |FROM led WHERE r <= 5 AND fr > 0""".stripMargin),
+      "Good-Turing adjusted counts + unseen mass per language (frequency-of-frequencies)"),
+
     // Character-entropy quality signal: Shannon entropy (nats) of each
     // document's character distribution over the FIXED 36-symbol
     // alphabet [a-z0-9] — the cheap gibberish/boilerplate detector

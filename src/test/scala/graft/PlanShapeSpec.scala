@@ -936,6 +936,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Coalesce 1"), p)
   }
 
+  test("q_text_heaps collapses to prefix buckets — no word-grid join, no cartesian") {
+    val p = plan("q_text_heaps")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
+  test("q_text_goodturing joins only the bounded f-of-f table to itself") {
+    val p = plan("q_text_goodturing")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Coalesce 1"), p)
+  }
+
   test("q_text_chao1 and q_text_simpson shuffle on the distinct-word grain — no cartesian, no coalesce(1)") {
     for (n <- Seq("q_text_chao1", "q_text_simpson")) {
       val p = plan(n)

@@ -582,4 +582,53 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.head.getDouble(4) === 1.0)       // V
     assert(math.abs(r.head.getDouble(5) - 0.693147) < 1e-9) // MI = ln 2
   }
+
+  private lazy val gtDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("gtfix").toString
+    // counts a:1 b:1 c:2 -> f1=2, f2=1, N=4:
+    // r=1: r* = 2·f2/f1 = 1.0, p0 = f1/N = 0.5
+    // r=2: f3 = 0 (a GAP - the lead() trap this gate must not fall
+    // into) -> r* NULL
+    Seq((0L, "xx", "a b c c", 7L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Good-Turing adjusted counts match hand f-of-f; a frequency gap NULLs r*") {
+    val r = SparkEntry.queries("q_text_goodturing")(spark, gtDir)
+      .collect().map(x => x.getInt(1) ->
+        (x.getLong(2), if (x.isNullAt(3)) None else Some(x.getDouble(3)),
+          if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+    assert(r.keySet === Set(1, 2))
+    assert(r(1) === ((2L, Some(1.0), Some(0.5))))
+    assert(r(2) === ((1L, None, None))) // f3 = 0: gap -> NULL r*
+  }
+
+  private lazy val hpDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("hpfix").toString
+    // 32 docs, doc i = "the w<i>": V(prefix c) = c + 1, n_tok = 2c at
+    // every cutoff c in {1,2,4,8,16,32} - vocabulary growth near-linear
+    // in tokens, so the fitted Heaps exponent sits in (0.5, 1)
+    val rows = (0 until 32).map(i => (i.toLong, "xx", s"the w$i", 8L))
+    rows.toDF("doc_id", "lang", "text", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Heaps curve matches the hand prefix table; exponent lands in the growth band") {
+    val r = SparkEntry.queries("q_text_heaps")(spark, hpDir)
+      .collect().map(x => x.getInt(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    val expected = Map(0 -> (2L, 2L), 1 -> (4L, 3L), 2 -> (8L, 5L),
+      3 -> (16L, 9L), 4 -> (32L, 17L), 5 -> (64L, 33L))
+    assert(r.keySet === expected.keySet)
+    expected.foreach { case (j, (n, v)) =>
+      assert(r(j)._1 === n, s"n_tok at prefix $j")
+      assert(r(j)._2 === v, s"vocab at prefix $j")
+    }
+    val beta = r(0)._3
+    assert(r.values.forall(_._3 == beta), "beta must be a global")
+    assert(beta > 0.5 && beta < 1.0, s"beta $beta outside the growth band")
+  }
 }
