@@ -1205,6 +1205,106 @@ object AnalyticsQueries {
            |FROM pr CROSS JOIN tot""".stripMargin),
       "hourly-series autocorrelation at lags 1..6 (exact integer moments)"),
 
+    // Theil-Sen robust trend over the daily cents series — the
+    // median-of-pairwise-slopes estimator (29% breakdown point) the
+    // monitoring layer publishes when a single spiked day would bend an
+    // OLS fit; the robust-regression companion to q_ts_cusum's level
+    // shift. The series is O(days) — BOUNDED at any corpus size after
+    // the map-side daily rollup — so the non-equi pair join is O(days²)
+    // tiny rows and the bounded BroadcastNestedLoopJoin it plans is the
+    // declared shape, never a corpus-scale cartesian. Every slope is a
+    // double from exact integers; both engines sort identical double
+    // arrays, so the interpolated medians agree bit-for-bit; the
+    // intercept is the median residual against the @6-rounded slope.
+    // ANSI: a single-day corpus NULLs both.
+    Q("q_ts_theilsen",
+      (s, d) => {
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val sx = graft.core.CacheScope.autoRelease(
+          ser.crossJoin(broadcast(ser.agg(min("day").as("d0"))))
+            .select(datediff(col("day"), col("d0")).cast("long").as("x"),
+              col("y")))
+        // broadcast() is LOAD-BEARING: the series is O(days) rows but
+        // its SIZE ESTIMATE scales with the corpus behind it, and at
+        // 10× AQE flips the non-equi join from BNLJ to CartesianProduct
+        // (caught by the birth probe's raw-plan anti-pattern check) —
+        // pinning the broadcast keeps the declared bounded shape at any
+        // corpus size
+        val m = sx.as("a").join(broadcast(sx.as("b")),
+            col("b.x") > col("a.x"))
+          .select(((col("b.y") - col("a.y")).cast("double")
+            / (col("b.x") - col("a.x")).cast("double")).as("sl"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(expr("percentile(sl, 0.5)"), 6).as("slope6"))
+        sx.crossJoin(broadcast(m))
+          .select(col("n_pairs"), col("slope6"),
+            (col("y").cast("double")
+              - col("slope6") * col("x").cast("double")).as("r"))
+          .groupBy("n_pairs", "slope6")
+          .agg(count(lit(1)).as("n_days"),
+            round(expr("percentile(r, 0.5)"), 6).as("intercept6"))
+          .select(col("n_days"), col("n_pairs"), col("slope6"),
+            col("intercept6"))
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |d0 AS (SELECT min(day) AS d0 FROM ser),
+           |sx AS (SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS x, y
+           |       FROM ser CROSS JOIN d0),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |        round(quantile_cont(CAST(b.y - a.y AS DOUBLE)
+           |          / CAST(b.x - a.x AS DOUBLE), 0.5), 6) AS slope6
+           |      FROM sx a JOIN sx b ON b.x > a.x)
+           |SELECT CAST(count(*) AS BIGINT) AS n_days, n_pairs, slope6,
+           |  round(quantile_cont(CAST(y AS DOUBLE)
+           |    - slope6 * CAST(x AS DOUBLE), 0.5), 6) AS intercept6
+           |FROM sx CROSS JOIN m GROUP BY n_pairs, slope6""".stripMargin),
+      "Theil-Sen robust slope + intercept over the bounded daily series"),
+
+    // Median-of-means robust location for the event value — the
+    // heavy-tail estimator sketching theory reaches for when a plain
+    // mean is one adversarial record away from garbage: k=16
+    // deterministic hash buckets (the portable hash on event_id, so
+    // membership is replay-stable), one exact DECIMAL cents sum per
+    // bucket, and the published estimate is the interpolated median of
+    // the 16 bucket means next to the plain mean it robustifies. The
+    // corpus pass is one map-side-combined aggregate to O(k) rows.
+    Q("q_agg_medianmeans",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        t(s, d, "events")
+          .select((graft.functions.PortableHash
+            .hashMod(col("event_id").cast("string")) % 16).as("b"),
+            cents(col("value")).as("c"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n"), sum(dc(col("c"))).as("sc"))
+          .agg(count(lit(1)).as("k"), sum("n").as("nn"),
+            round(expr("percentile(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE),"
+              + " 0.5)") / 100.0, 2).as("mom2"),
+            round(sum("sc").cast("double") / sum("n").cast("double")
+              / 100.0, 2).as("mean2"))
+      },
+      Some(s"""WITH ev AS (SELECT
+           |        (${graft.functions.PortableHash.duckHashMod(
+                      "event_id::VARCHAR")}) % 16 AS b,
+           |        CAST(round(value * 100) AS BIGINT) AS c
+           |      FROM events),
+           |bk AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+           |         sum(CAST(c AS HUGEINT)) AS sc
+           |       FROM ev GROUP BY b)
+           |SELECT CAST(count(*) AS BIGINT) AS k,
+           |  CAST(sum(n) AS BIGINT) AS nn,
+           |  round(quantile_cont(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE),
+           |    0.5) / 100.0, 2) AS mom2,
+           |  round(CAST(sum(sc) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+           |    / 100.0, 2) AS mean2
+           |FROM bk""".stripMargin),
+      "median-of-means robust location (16 deterministic hash buckets) vs the plain mean"),
+
     // CUSUM changepoint per event type over the daily cents series: the
     // day t maximizing |n·prefix_t − t·total| — the classic offline
     // level-shift detector, kept EXACT by clearing the mean's /n

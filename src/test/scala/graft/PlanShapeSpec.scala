@@ -936,6 +936,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Coalesce 1"), p)
   }
 
+  test("q_ts_theilsen pairs only the bounded daily series; q_agg_medianmeans is one aggregate") {
+    // the BroadcastNestedLoopJoin is the DECLARED shape here: the
+    // non-equi pair join runs over the O(days) rollup, never the corpus
+    val p1 = plan("q_ts_theilsen")
+    assert(!p1.contains("CartesianProduct"), p1)
+    assert(!p1.contains("Coalesce 1"), p1)
+    val p2 = plan("q_agg_medianmeans")
+    assert(!p2.contains("Join"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(p2.toLowerCase.contains("partial_count"), p2)
+  }
+
   test("q_text_heaps collapses to prefix buckets — no word-grid join, no cartesian") {
     val p = plan("q_text_heaps")
     assert(!p.contains("CartesianProduct"), p)

@@ -631,4 +631,43 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.values.forall(_._3 == beta), "beta must be a global")
     assert(beta > 0.5 && beta < 1.0, s"beta $beta outside the growth band")
   }
+
+  private lazy val tsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("tsfix").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 12:00:00")
+    // daily cents 100, 300, 500 on days 0..2: every pairwise slope is
+    // exactly 200 cents/day, intercept = median(y - 200x) = 100
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"),
+      (2L, ts(1), 1L, "a", 3.0, "{}"),
+      (3L, ts(2), 1L, "a", 5.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("Theil-Sen recovers the exact slope and intercept of a noiseless line") {
+    val r = SparkEntry.queries("q_ts_theilsen")(spark, tsDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 3L) // n_days
+    assert(r.head.getLong(1) === 3L) // n_pairs
+    assert(r.head.getDouble(2) === 200.0)
+    assert(r.head.getDouble(3) === 100.0)
+  }
+
+  test("median-of-means agrees with the plain mean on the real fixture and buckets cover it") {
+    // cross-check on real data: both estimators see the same corpus;
+    // the bucket count is pinned and every row lands in some bucket
+    val r = SparkEntry.queries("q_agg_medianmeans")(spark, sf0001).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 16L, "k buckets")
+    assert(r.head.getLong(1) > 0L)
+    val mom = r.head.getDouble(2)
+    val mean = r.head.getDouble(3)
+    // same-order sanity: on the benign synthetic fixture the robust
+    // estimate must sit near the mean (not a formal bound — a smoke
+    // check that bucket means were actually averaged, not summed)
+    assert(mom > 0 && mean > 0 && mom < 2 * mean && mean < 2 * mom)
+  }
 }
