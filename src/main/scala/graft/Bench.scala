@@ -237,7 +237,16 @@ object Bench {
     // BENCHFOCUS_r17 wave 3) but its single-shot sweep tail crosses
     // 2 s (2.08 in the first close window) — the bpe_coverage class,
     // same remedy: median tier absorbs the tail
-    "q_text_wordpiece")
+    "q_text_wordpiece",
+    // round-18 close: four sweep one-shots crossed 2 s in the close
+    // window (2.41/2.28/2.17/2.06) with quiet 7-rep medians all well
+    // under (1.32/1.04/0.92/1.23, pagerank control 6.35 — BENCHFOCUS_r18
+    // addendum) — the bpe_coverage/wordpiece single-shot-tail class,
+    // same remedy: the median tier absorbs the tail
+    "q_sim_recall_jl",
+    "q_search_phrase",
+    "q_graph_assort",
+    "q_graph_richclub")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
