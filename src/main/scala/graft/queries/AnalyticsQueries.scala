@@ -1216,7 +1216,17 @@ object AnalyticsQueries {
     // double from exact integers; both engines sort identical double
     // arrays, so the interpolated medians agree bit-for-bit; the
     // intercept is the median residual against the @6-rounded slope.
-    // ANSI: a single-day corpus NULLs both.
+    // The median is NOT the engines' interpolating percentile — Spark's
+    // (1-g)·a+g·b and DuckDB's a+(b-a)·g round differently (1 ulp on an
+    // even-count set, r18 ADVICE) — but an explicit order-statistic
+    // pick: sort the bounded slope list, take elements ⌈n/2⌉ and
+    // ⌊n/2⌋+1, and average via the ONE shared expression (a+b)/2
+    // (IEEE add + exact halving ⇒ bit-identical; odd n makes it
+    // (a+a)/2 = a exactly). The collected list is the O(days²) bounded
+    // pair set — the same single-buffer boundedness the percentile
+    // aggregate already had, never corpus-scale.
+    // ANSI: a single-day corpus NULLs both (try_element_at / DuckDB
+    // out-of-range list index both read NULL on the empty list).
     Q("q_ts_theilsen",
       (s, d) => {
         val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
@@ -1237,16 +1247,22 @@ object AnalyticsQueries {
           .select(((col("b.y") - col("a.y")).cast("double")
             / (col("b.x") - col("a.x")).cast("double")).as("sl"))
           .agg(count(lit(1)).as("n_pairs"),
-            round(expr("percentile(sl, 0.5)"), 6).as("slope6"))
+            sort_array(collect_list(col("sl"))).as("ls"))
+          .select(col("n_pairs"),
+            round((expr("try_element_at(ls, CAST((n_pairs + 1) div 2 AS INT))")
+              + expr("try_element_at(ls, CAST((n_pairs + 2) div 2 AS INT))"))
+              / 2.0, 6).as("slope6"))
         sx.crossJoin(broadcast(m))
           .select(col("n_pairs"), col("slope6"),
             (col("y").cast("double")
               - col("slope6") * col("x").cast("double")).as("r"))
           .groupBy("n_pairs", "slope6")
           .agg(count(lit(1)).as("n_days"),
-            round(expr("percentile(r, 0.5)"), 6).as("intercept6"))
+            sort_array(collect_list(col("r"))).as("lr"))
           .select(col("n_days"), col("n_pairs"), col("slope6"),
-            col("intercept6"))
+            round((expr("try_element_at(lr, CAST((n_days + 1) div 2 AS INT))")
+              + expr("try_element_at(lr, CAST((n_days + 2) div 2 AS INT))"))
+              / 2.0, 6).as("intercept6"))
       },
       Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
            |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -1255,14 +1271,28 @@ object AnalyticsQueries {
            |d0 AS (SELECT min(day) AS d0 FROM ser),
            |sx AS (SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS x, y
            |       FROM ser CROSS JOIN d0),
-           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           |        round(quantile_cont(CAST(b.y - a.y AS DOUBLE)
-           |          / CAST(b.x - a.x AS DOUBLE), 0.5), 6) AS slope6
-           |      FROM sx a JOIN sx b ON b.x > a.x)
-           |SELECT CAST(count(*) AS BIGINT) AS n_days, n_pairs, slope6,
-           |  round(quantile_cont(CAST(y AS DOUBLE)
-           |    - slope6 * CAST(x AS DOUBLE), 0.5), 6) AS intercept6
-           |FROM sx CROSS JOIN m GROUP BY n_pairs, slope6""".stripMargin),
+           |sl AS (SELECT CAST(b.y - a.y AS DOUBLE)
+           |         / CAST(b.x - a.x AS DOUBLE) AS sl
+           |       FROM sx a JOIN sx b ON b.x > a.x),
+           |m0 AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |         list_sort(list(sl)) AS ls FROM sl),
+           |m AS (SELECT n_pairs,
+           |        round((ls[CAST((n_pairs + 1) // 2 AS INT)]
+           |          + ls[CAST((n_pairs + 2) // 2 AS INT)]) / 2.0, 6)
+           |          AS slope6
+           |      FROM m0),
+           |res AS (SELECT n_pairs, slope6, CAST(y AS DOUBLE)
+           |          - slope6 * CAST(x AS DOUBLE) AS r
+           |        FROM sx CROSS JOIN m),
+           |ragg AS (SELECT n_pairs, slope6,
+           |           CAST(count(*) AS BIGINT) AS n_days,
+           |           list_sort(list(r)) AS lr
+           |         FROM res GROUP BY n_pairs, slope6)
+           |SELECT n_days, n_pairs, slope6,
+           |  round((lr[CAST((n_days + 1) // 2 AS INT)]
+           |    + lr[CAST((n_days + 2) // 2 AS INT)]) / 2.0, 6)
+           |    AS intercept6
+           |FROM ragg""".stripMargin),
       "Theil-Sen robust slope + intercept over the bounded daily series"),
 
     // Median-of-means robust location for the event value — the

@@ -1025,8 +1025,6 @@ object DriftQueries {
            |FROM g CROSS JOIN tot WHERE nt - n1 > 0""".stripMargin),
       "two-proportion z per slice vs rest on the lang='en' rate (pooled variance)"),
 
-    // Chi-square homogeneity across (slice × term-hash-bucket) — the
-    // one-number categorical drift test over a BOUNDED contingency
     // Cohen's d + Hedges' g per slice vs rest on doc length — the
     // PARAMETRIC effect size completing the A/B readout family
     // (Welch/proportions give significance, Cliff's δ the ordinal
@@ -1410,6 +1408,8 @@ object DriftQueries {
            |FROM agg""".stripMargin),
       "Cramér's V + mutual information on the lang x source contingency grid"),
 
+    // Chi-square homogeneity across (slice × term-hash-bucket) — the
+    // one-number categorical drift test over a BOUNDED contingency
     // table (terms hashed to Chi2Buckets cells, so the grid is
     // O(slices·buckets) at any vocabulary size). Counts and margins are
     // exact integers; each cell's (O−E)²/E term is one double

@@ -214,6 +214,36 @@ object ScaleProbe {
         "Coalesce 1")
       .filter(raw.contains).toSet
 
+  /** Count plain shuffle Exchanges whose child chain (through codegen /
+    * ColumnarToRow / InputAdapter wrappers only) bottoms out in a file
+    * scan. Base dirs hold 1 parquet file where replicated dirs hold
+    * 8-32, so scan fan-out legitimately adds such exchanges at K× —
+    * reporting how many of a grown Exchange count are scan-adjacent
+    * lets an `xch+` tag be adjudicated without a hand plan-diff
+    * (a grown Exchange that is NOT scan-adjacent is the genuine
+    * lost-partitioning-reuse candidate; r18 ADVICE). */
+  def scanAdjacentExchanges(raw: String): Int = {
+    def tok(l: String) = l.dropWhile(c => " :+-".contains(c))
+      .replaceFirst("^\\*\\(\\d+\\)\\s*", "")
+    val wrappers = Seq("WholeStageCodegen", "InputAdapter", "ColumnarToRow",
+      "AQEShuffleRead", "ShuffleQueryStage", "TableCacheQueryStage")
+    val lines = raw.linesIterator.toVector
+    lines.indices.count { i =>
+      tok(lines(i)).startsWith("Exchange") && {
+        var j = i + 1
+        var verdict: Option[Boolean] = None
+        while (j < lines.length && verdict.isEmpty) {
+          val t = tok(lines(j))
+          if (t.startsWith("Scan") || t.startsWith("FileScan") ||
+              t.startsWith("BatchScan")) verdict = Some(true)
+          else if (wrappers.exists(t.startsWith)) j += 1
+          else verdict = Some(false)
+        }
+        verdict.contains(true)
+      }
+    }
+  }
+
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir)
@@ -293,7 +323,16 @@ object ScaleProbe {
         if (!shapeEq) {
           val delta = deltaOps.map(op =>
             s"$op:${cb.getOrElse(op, 0)}->${cg.getOrElse(op, 0)}")
-          println(s"  ${if (xchOnly) "XCHDELTA" else "SHAPEDIFF"} $name ${delta.mkString(" ")}")
+          // for a grown Exchange count, say how many of the grown
+          // exchanges sit directly above a file scan (replication-dir
+          // fan-out, benign) vs elsewhere (lost-reuse candidates)
+          val fanNote =
+            if (exchangeGrew)
+              s" scan_fanout=${scanAdjacentExchanges(rawBig) -
+                scanAdjacentExchanges(rawBase)}/${cg.getOrElse("Exchange", 0) -
+                cb.getOrElse("Exchange", 0)}"
+            else ""
+          println(s"  ${if (xchOnly) "XCHDELTA" else "SHAPEDIFF"} $name ${delta.mkString(" ")}$fanNote")
         }
         Map("q" -> name, "base_s" -> f"$tb%.3f", "xk_s" -> f"$tg%.3f",
           "ratio" -> f"$ratio%.3f", "shape_same" -> shapeEq.toString,
