@@ -41,6 +41,119 @@ object AnalyticsQueries {
   private val AcfMaxLag = 6
   /** MASE seasonal-naive lag (days). */
   private val MaseSeason = 7
+
+  /** Durbin-Levinson recursion over micro-unit (1e-6 fixed point) ACF
+    * columns `r1..rK`: returns (colName, sqlExpr) pairs in dependency
+    * order — `p{k}_{j}` is φ_{k,j} in micro units, so `p{k}_{k}` is
+    * PACF(k). Generated ONCE and rendered for BOTH engines (`idiv` is
+    * the only dialect difference: Spark `div` truncates toward zero,
+    * DuckDB `//` floors, so the half-away-from-zero rounding below is
+    * written sign-symmetrically and both reduce to floor on the
+    * non-negative operand). Every inter-step quantity is integer
+    * arithmetic on BIGINTs — products of micros are pico (1e-12)
+    * units, |pico| ≤ ~6e13 ≪ 2^63 — and the ONE double op per step
+    * (the φ_kk division) is the same expression over identical
+    * integers on both engines, rounded straight back to micro. */
+  private[queries] def durbinLevinson(k: Int,
+                                      idiv: String): Seq[(String, String)] = {
+    def mRound(p: String) =
+      s"(CASE WHEN ($p) >= 0 THEN (($p) + 500000) $idiv 1000000 " +
+        s"ELSE -((-($p) + 500000) $idiv 1000000) END)"
+    def microDiv(num: String, den: String) =
+      s"(CASE WHEN ($den) <> 0 THEN CAST(round(CAST($num AS DOUBLE) " +
+        s"/ CAST($den AS DOUBLE) * 1000000.0) AS BIGINT) END)"
+    val steps = scala.collection.mutable.Buffer[(String, String)]()
+    steps += ("p1_1" -> "r1")
+    for (kk <- 2 to k) {
+      val num = s"r$kk * 1000000 - (${(1 until kk)
+        .map(j => s"p${kk - 1}_$j * r${kk - j}").mkString(" + ")})"
+      val den = s"1000000000000 - (${(1 until kk)
+        .map(j => s"p${kk - 1}_$j * r$j").mkString(" + ")})"
+      steps += (s"p${kk}_$kk" -> microDiv(num, den))
+      for (j <- 1 until kk)
+        steps += (s"p${kk}_$j" ->
+          s"p${kk - 1}_$j - ${mRound(s"p${kk}_$kk * p${kk - 1}_${kk - j}")}")
+    }
+    steps.toSeq
+  }
+
+  /** The classical (global-mean, c_k/c_0) autocorrelation at lags
+    * 1..[[AcfMaxLag]] as micro-unit BIGINTs — the estimator
+    * Durbin-Levinson and Ljung-Box are defined over (q_ts_acf's
+    * per-lag-mean variant is the drift-monitoring flavor; this one
+    * guarantees the Toeplitz positive-definiteness the recursion
+    * needs). num/den are n²-scaled exact integers; the single double
+    * division is shared. Rendered for DuckDB here; the Spark side
+    * mirrors it with DataFrame ops. */
+  private def duckClassicalRho: String =
+    s"""ser AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |           AS x
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |          CAST(sum(x) AS HUGEINT) AS tt,
+       |          sum(CAST(x AS HUGEINT) * x) AS q2
+       |        FROM ser),
+       |pr AS (SELECT l.lag, CAST(count(*) AS HUGEINT) AS m,
+       |         sum(CAST(a.x AS HUGEINT) * b.x) AS sab,
+       |         CAST(sum(a.x) AS HUGEINT) AS sa,
+       |         CAST(sum(b.x) AS HUGEINT) AS sb
+       |       FROM (SELECT unnest(generate_series(1, $AcfMaxLag))
+       |               AS lag) l
+       |       JOIN ser a ON true
+       |       JOIN ser b ON b.h = a.h + l.lag
+       |       GROUP BY l.lag),
+       |rho AS (SELECT lag,
+       |          CASE WHEN n * n * q2 - n * tt * tt <> 0 THEN
+       |            CAST(round(CAST(n * n * sab - n * tt * (sa + sb)
+       |                            + m * tt * tt AS DOUBLE)
+       |                       / CAST(n * n * q2 - n * tt * tt AS DOUBLE)
+       |                       * 1000000.0) AS BIGINT)
+       |          END AS rho_u
+       |        FROM pr CROSS JOIN tot),
+       |piv AS (SELECT ${(1 to AcfMaxLag).map(i =>
+                  s"max(CASE WHEN lag = $i THEN rho_u END) AS r$i")
+                  .mkString(", ")} FROM rho)""".stripMargin
+
+  /** Spark twin of [[duckClassicalRho]]: one row per lag 1..AcfMaxLag
+    * with `rho_u` (the classical autocorrelation in 1e-6 fixed point)
+    * and `nd` (series length). Exact decimal moments, one double
+    * division, rounded once — identical integers on both engines. */
+  private def classicalRho(s: SparkSession, d: String): DataFrame = {
+    val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(sum(cents(col("value"))).as("x")))
+    val tot = ser.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dc(col("x"))).as("tt"),
+      sum(dc(col("x")) * col("x")).as("q2"),
+      count(lit(1)).as("nd"))
+    val lags = s.range(1, AcfMaxLag + 1).select(col("id").as("lag"))
+    val pairs = lags.crossJoin(ser.as("a"))
+      .join(ser.as("b"), col("b.h") === col("a.h") + col("lag"))
+      .groupBy("lag").agg(
+        count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(dc(col("a.x")) * col("b.x")).as("sab"),
+        sum(dc(col("a.x"))).as("sa"),
+        sum(dc(col("b.x"))).as("sb"))
+    // broadcast() pin: tot is ONE row but carries the corpus scan's
+    // size estimate (the theilsen lesson — at K× AQE would flip the
+    // non-equi/cross join to a corpus-scale plan without it)
+    pairs.crossJoin(broadcast(tot))
+      .select(col("lag"),
+        (col("n") * col("n") * col("sab")
+          - col("n") * col("tt") * (col("sa") + col("sb"))
+          + col("m") * col("tt") * col("tt")).as("numr"),
+        (col("n") * col("n") * col("q2")
+          - col("n") * col("tt") * col("tt")).as("denr"),
+        col("nd"))
+      .select(col("lag"),
+        when(col("denr") =!= 0,
+          round(col("numr").cast("double") / col("denr").cast("double")
+            * 1e6, 0).cast("long")).as("rho_u"),
+        col("nd"))
+  }
   /** Association-rule support floor (co-purchase pair count): 2, because
     * TPC-H's basket co-occurrence DILUTES as SF grows (parts scale with
     * SF, basket size doesn't) — at sf0.1 no pair reaches 5. */
@@ -1294,6 +1407,228 @@ object AnalyticsQueries {
            |    AS intercept6
            |FROM ragg""".stripMargin),
       "Theil-Sen robust slope + intercept over the bounded daily series"),
+
+    // Partial autocorrelation at lags 1..AcfMaxLag via the
+    // Durbin-Levinson recursion — the lag-order diagnostic an AR(p)
+    // fit reads (PACF cuts off at p where ACF tails): the r18 verdict's
+    // named completion of the time-series family next to q_ts_acf.
+    // Inputs are the CLASSICAL c_k/c_0 autocorrelations (global mean —
+    // the estimator whose Toeplitz matrix is positive semi-definite,
+    // which the recursion requires; q_ts_acf's per-lag-mean variant is
+    // the drift-monitoring flavor) as exact n²-scaled integer ratios
+    // rounded once to 1e-6 fixed point. The recursion itself
+    // ([[durbinLevinson]]) is integer arithmetic on BIGINT micros with
+    // ONE shared double division per step, generated from the same
+    // template for both engines — so the whole φ table is bit-exact
+    // cross-engine by construction. Corpus work is the O(hours) rollup
+    // + the 6-lag self-join (the q_ts_acf shape); the recursion runs
+    // on ONE pivoted row.
+    Q("q_ts_pacf",
+      (s, d) => {
+        val rho = classicalRho(s, d)
+        val aggs = (1 to AcfMaxLag).map(i =>
+          max(when(col("lag") === i, col("rho_u"))).as(s"r$i"))
+        val piv = rho.groupBy().agg(aggs.head, aggs.tail: _*)
+        val solved = durbinLevinson(AcfMaxLag, "div").foldLeft(piv) {
+          case (df, (name, sql)) => df.withColumn(name, expr(sql)) }
+        solved.selectExpr(s"stack($AcfMaxLag, ${(1 to AcfMaxLag)
+            .map(i => s"$i, p${i}_$i").mkString(", ")}) AS (lag, pu)")
+          .select(col("lag").cast("int").as("lag"),
+            round(col("pu").cast("double") / 1e6, 6).as("pacf6"))
+      },
+      Some {
+        val steps = durbinLevinson(AcfMaxLag, "//")
+        val ctes = steps.zipWithIndex.map { case ((name, sql), i) =>
+          s"d${i + 1} AS (SELECT *, $sql AS $name FROM d$i)" }
+          .mkString(",\n")
+        val last = s"d${steps.size}"
+        val sel = (1 to AcfMaxLag).map(i =>
+          s"SELECT CAST($i AS INT) AS lag, round(CAST(p${i}_$i AS DOUBLE)" +
+            s" / 1000000.0, 6) AS pacf6 FROM $last")
+          .mkString("\nUNION ALL ")
+        s"WITH $duckClassicalRho,\nd0 AS (SELECT * FROM piv),\n$ctes\n$sel"
+      },
+      "partial autocorrelation (Durbin-Levinson over the bounded ACF table)"),
+
+    // Ljung-Box portmanteau Q at cumulative lags 1..AcfMaxLag — "is
+    // this series white noise?", the pre-test every AR/forecast fit
+    // runs before trusting its residual story. Same classical ACF
+    // inputs as q_ts_pacf; each rho²/(n-k) term is rounded once to
+    // 1e-9 fixed point (per-row-transcendental convention — the
+    // cumulative sum is then exact integers both engines agree on)
+    // and Q(K) = n(n+2)·Σ. The cumulative step is a ≤6×6 self-join on
+    // the bounded lag table, never a window over the corpus.
+    Q("q_ts_ljungbox",
+      (s, d) => {
+        val rho = graft.core.CacheScope.autoRelease(classicalRho(s, d))
+        val terms = rho.select(col("lag"), col("nd"),
+          when(col("nd") > col("lag"),
+            round(col("rho_u").cast("double") * col("rho_u").cast("double")
+              / (col("nd") - col("lag")).cast("double") / 1000.0, 0)
+              .cast("long")).as("t_n"))
+        terms.as("a").join(broadcast(terms.as("b")),
+            col("b.lag") <= col("a.lag"))
+          .groupBy(col("a.lag").as("lag"), col("a.nd").as("nd"))
+          .agg(sum(col("b.t_n")).as("cum"))
+          .select(col("lag").cast("int").as("lag"),
+            round((col("nd") * (col("nd") + 2)).cast("double")
+              * col("cum").cast("double") / 1e9, 6).as("lb6"))
+      },
+      Some(s"""WITH $duckClassicalRho,
+           |trm AS (SELECT lag, CAST(n AS BIGINT) AS nd,
+           |          CASE WHEN CAST(n AS BIGINT) > lag THEN
+           |            CAST(round(CAST(rho_u AS DOUBLE)
+           |                 * CAST(rho_u AS DOUBLE)
+           |                 / CAST(CAST(n AS BIGINT) - lag AS DOUBLE)
+           |                 / 1000.0) AS BIGINT)
+           |          END AS t_n
+           |        FROM rho CROSS JOIN tot)
+           |SELECT CAST(a.lag AS INT) AS lag,
+           |  round(CAST(a.nd * (a.nd + 2) AS DOUBLE)
+           |    * CAST(sum(b.t_n) AS DOUBLE) / 1000000000.0, 6) AS lb6
+           |FROM trm a JOIN trm b ON b.lag <= a.lag
+           |GROUP BY a.lag, a.nd""".stripMargin),
+      "Ljung-Box white-noise portmanteau over the bounded ACF table"),
+
+    // Mann-Kendall trend test over the daily cents series — the
+    // SIGNIFICANCE companion to q_ts_theilsen's slope (the monitoring
+    // pairing every hydrology/SLA textbook ships): S = Σ sign(y_j−y_i)
+    // over the O(days²) bounded pair join (same broadcast-pinned shape
+    // as theilsen — the rollup's corpus-scaled size estimate must not
+    // flip AQE to a cartesian), tie-corrected Var(S) as an exact
+    // 18-scaled integer, and the ±1-continuity-corrected z as one
+    // shared double expression (IEEE sqrt is exactly rounded, so both
+    // engines agree bit-for-bit). ANSI: a single-day corpus NULLs z.
+    Q("q_ts_mannkendall",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val pairs = ser.as("a").join(broadcast(ser.as("b")),
+            col("b.day") > col("a.day"))
+          .agg(sum(when(col("b.y") > col("a.y"), 1L)
+            .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s_stat"))
+        val nrow = ser.agg(count(lit(1)).as("n"))
+        val ties = ser.groupBy("y").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(coalesce(sum(dc(col("c")) * (col("c") - 1)
+            * (lit(2L) * col("c") + 5)), lit(0L).cast("decimal(38,0)"))
+            .as("tie18"))
+        pairs.crossJoin(broadcast(nrow)).crossJoin(broadcast(ties))
+          .select(col("n").as("n_days"), col("s_stat"),
+            (dc(col("n")) * (col("n") - 1) * (lit(2L) * col("n") + 5)
+              - col("tie18")).as("var18"))
+          .select(col("n_days"), col("s_stat"),
+            when(col("var18") > 0,
+              when(col("s_stat") > 0,
+                round((col("s_stat") - 1).cast("double")
+                  / sqrt(col("var18").cast("double") / 18.0), 6))
+              .when(col("s_stat") < 0,
+                round((col("s_stat") + 1).cast("double")
+                  / sqrt(col("var18").cast("double") / 18.0), 6))
+              .otherwise(lit(0.0))).as("z6"))
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |pr AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+           |                            WHEN b.y < a.y THEN -1
+           |                            ELSE 0 END) AS BIGINT) AS s_stat
+           |       FROM ser a JOIN ser b ON b.day > a.day),
+           |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser),
+           |ti AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * (c - 1)
+           |                 * (2 * c + 5)), 0) AS tie18
+           |       FROM (SELECT count(*) AS c FROM ser GROUP BY y)
+           |       WHERE c > 1),
+           |vr AS (SELECT n AS n_days, s_stat,
+           |         CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie18
+           |           AS var18
+           |       FROM pr CROSS JOIN nr CROSS JOIN ti)
+           |SELECT n_days, s_stat,
+           |  CASE WHEN var18 > 0 THEN
+           |    CASE WHEN s_stat > 0 THEN
+           |           round(CAST(s_stat - 1 AS DOUBLE)
+           |             / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+           |         WHEN s_stat < 0 THEN
+           |           round(CAST(s_stat + 1 AS DOUBLE)
+           |             / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+           |         ELSE 0.0 END
+           |  END AS z6
+           |FROM vr""".stripMargin),
+      "Mann-Kendall tie-corrected trend z over the bounded daily series"),
+
+    // Wald-Wolfowitz runs test on the daily series' above-mean
+    // indicator — "is the sign sequence random?", the cheap
+    // serial-dependence check that catches regime stretches a mean
+    // test can't see. The split is above-MEAN (y·n > T is an exact
+    // integer compare; a median split would re-open the interpolation
+    // trap). Rank positions and adjacent transitions come from
+    // bounded O(days²) self-joins — no window, no corpus shuffle —
+    // and z is one shared double expression over exact integer
+    // (runs, n1, n2). ANSI: all-one-side or 2·n1·n2 ≤ n NULLs z.
+    Q("q_ts_runs",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val tot = ser.agg(count(lit(1)).as("n"), sum(dc(col("y"))).as("tt"))
+        val b = graft.core.CacheScope.autoRelease(
+          ser.crossJoin(broadcast(tot))
+            .select(col("day"),
+              when(dc(col("y")) * col("n") > col("tt"), 1L).otherwise(0L)
+                .as("b")))
+        val rn = graft.core.CacheScope.autoRelease(
+          b.as("a").join(broadcast(b.as("b2")), col("b2.day") <= col("a.day"))
+            .groupBy(col("a.day").as("day"), col("a.b").as("bit"))
+            .agg(count(lit(1)).as("rn")))
+        val ch = rn.as("x").join(broadcast(rn.as("y")),
+            col("y.rn") === col("x.rn") + 1 && col("y.bit") =!= col("x.bit"))
+          .agg(count(lit(1)).as("ch"))
+        val stats = b.agg(count(lit(1)).as("n"), sum(col("b")).as("n1"))
+        val p = lit(2L) * col("n1") * (col("n") - col("n1"))
+        stats.crossJoin(broadcast(ch))
+          .select(col("n").as("n_days"), col("n1"),
+            (col("n") - col("n1")).as("n2"), (col("ch") + 1).as("runs"),
+            when(col("n1") > 0 && col("n") - col("n1") > 0 &&
+                p > col("n"),
+              round(((col("ch") + 1).cast("double") - 1.0
+                - p.cast("double") / col("n").cast("double"))
+                / sqrt(p.cast("double") * (p - col("n")).cast("double")
+                  / (col("n").cast("double") * col("n").cast("double")
+                    * (col("n") - 1).cast("double"))), 6)).as("z6"))
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |          CAST(sum(y) AS HUGEINT) AS tt FROM ser),
+           |b AS (SELECT day,
+           |        CASE WHEN CAST(y AS HUGEINT) * n > tt THEN 1 ELSE 0 END
+           |          AS b
+           |      FROM ser CROSS JOIN tot),
+           |rn AS (SELECT a.day AS day, a.b AS bit, count(*) AS rn
+           |       FROM b a JOIN b b2 ON b2.day <= a.day GROUP BY 1, 2),
+           |ch AS (SELECT CAST(count(*) AS BIGINT) AS ch
+           |       FROM rn x JOIN rn y
+           |       ON y.rn = x.rn + 1 AND y.bit <> x.bit),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(b) AS BIGINT) AS n1 FROM b)
+           |SELECT n AS n_days, n1, n - n1 AS n2, ch + 1 AS runs,
+           |  CASE WHEN n1 > 0 AND n - n1 > 0
+           |            AND 2 * n1 * (n - n1) > n THEN
+           |    round((CAST(ch + 1 AS DOUBLE) - 1.0
+           |      - CAST(2 * n1 * (n - n1) AS DOUBLE) / CAST(n AS DOUBLE))
+           |      / sqrt(CAST(2 * n1 * (n - n1) AS DOUBLE)
+           |        * CAST(2 * n1 * (n - n1) - n AS DOUBLE)
+           |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           |          * CAST(n - 1 AS DOUBLE))), 6)
+           |  END AS z6
+           |FROM st CROSS JOIN ch""".stripMargin),
+      "Wald-Wolfowitz runs test on the daily above-mean sign sequence"),
 
     // Median-of-means robust location for the event value — the
     // heavy-tail estimator sketching theory reaches for when a plain

@@ -1408,6 +1408,227 @@ object DriftQueries {
            |FROM agg""".stripMargin),
       "Cramér's V + mutual information on the lang x source contingency grid"),
 
+    // Cochran's Q per language — "do k matched binary raters differ?",
+    // the k-rater generalization of the r18 McNemar gate (k=2) the
+    // verdict named for this round. Raters here are three
+    // deterministic binary checks evaluated on every document (three
+    // pseudo-independent bits of n_chars — in production: three
+    // quality filters voting on the same doc). Q = (k−1)(kΣG_j² − N²)
+    // / (kN − ΣL_i²) is integer-exact by construction: G_j per-rater
+    // totals, L_i per-doc row sums, one map-side-combined aggregate
+    // per slice, bounded output, ONE double division rounded @6.
+    // ANSI: all-zero or all-k rows (denominator 0) NULL Q.
+    Q("q_stats_cochranq",
+      (s, d) => {
+        val r1 = (col("n_chars") % 2).as("r1")
+        val r2 = (expr("(n_chars div 3) % 2")).as("r2")
+        val r3 = (expr("(n_chars div 7) % 2")).as("r3")
+        val li = (col("n_chars") % 2 + expr("(n_chars div 3) % 2")
+          + expr("(n_chars div 7) % 2"))
+        t(s, d, "documents")
+          .select(col("lang"), r1, r2, r3, li.as("li"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("r1")).as("g1"), sum(col("r2")).as("g2"),
+            sum(col("r3")).as("g3"), sum(col("li")).as("nn"),
+            sum(col("li") * col("li")).as("sl2"))
+          .select(col("lang"), col("n_docs"),
+            when(lit(3L) * col("nn") - col("sl2") > 0,
+              round(lit(2.0)
+                * (lit(3L) * (col("g1") * col("g1") + col("g2") * col("g2")
+                  + col("g3") * col("g3")) - col("nn") * col("nn"))
+                  .cast("double")
+                / (lit(3L) * col("nn") - col("sl2")).cast("double"), 6))
+              .as("q6"))
+      },
+      Some("""WITH r AS (SELECT lang,
+           |        n_chars % 2 AS r1,
+           |        (n_chars // 3) % 2 AS r2,
+           |        (n_chars // 7) % 2 AS r3,
+           |        n_chars % 2 + (n_chars // 3) % 2 + (n_chars // 7) % 2
+           |          AS li
+           |      FROM documents),
+           |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |        CAST(sum(r1) AS BIGINT) AS g1,
+           |        CAST(sum(r2) AS BIGINT) AS g2,
+           |        CAST(sum(r3) AS BIGINT) AS g3,
+           |        CAST(sum(li) AS BIGINT) AS nn,
+           |        CAST(sum(li * li) AS BIGINT) AS sl2
+           |      FROM r GROUP BY lang)
+           |SELECT lang, n_docs,
+           |  CASE WHEN 3 * nn - sl2 > 0 THEN
+           |    round(2.0 * CAST(3 * (g1 * g1 + g2 * g2 + g3 * g3)
+           |                     - nn * nn AS DOUBLE)
+           |          / CAST(3 * nn - sl2 AS DOUBLE), 6)
+           |  END AS q6
+           |FROM g""".stripMargin),
+      "Cochran's Q across 3 matched binary raters per language slice"),
+
+    // Jarque-Bera normality per source slice on doc length — the
+    // skewness/kurtosis-based test a monitoring layer runs before
+    // trusting any z-threshold rule. Everything reduces to the four
+    // exact raw moments S1..S4 (one map-side-combined DECIMAL38 pass)
+    // via the n-scaled central-moment identities:
+    //   A2 = n·S2 − S1²                                  (n²·m2)
+    //   A3 = n²·S3 − 3n·S2·S1 + 2S1³                     (n³·m3)
+    //   A4 = n³·S4 − 4n²·S3·S1 + 6n·S2·S1² − 3S1⁴        (n⁴·m4)
+    // whose scale factors CANCEL in skew = A3/A2^1.5 and kurt = A4/A2²
+    // — so skew/kurt/JB are each ONE double expression over identical
+    // exact integers (IEEE sqrt/÷ are exactly rounded ⇒ bit-equal).
+    // DECIMAL38 bound (documented per the r18 verdict): |A4| ≲
+    // n⁴·max(x)⁴ must stay < 10³⁸, i.e. n·max(x) < ~3·10⁹ per slice —
+    // ~10⁶ docs/slice at n_chars ≤ 10³·³; beyond that the 100 TB path
+    // is per-partition centering (two-pass) before the moment sums,
+    // which this fixture does not need. ANSI: A2 ≤ 0 NULLs all three.
+    Q("q_stats_jarquebera",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(dc(col("n_chars"))).as("s1"),
+            sum(dc(col("n_chars")) * col("n_chars")).as("s2"),
+            sum(dc(col("n_chars")) * col("n_chars") * col("n_chars"))
+              .as("s3"),
+            sum(dc(col("n_chars")) * col("n_chars") * col("n_chars")
+              * col("n_chars")).as("s4"))
+          .select(col("source"), col("n"),
+            (dc(col("n")) * col("s2") - col("s1") * col("s1")).as("a2"),
+            (dc(col("n")) * col("n") * col("s3")
+              - lit(3L) * col("n") * col("s2") * col("s1")
+              + lit(2L) * col("s1") * col("s1") * col("s1")).as("a3"),
+            (dc(col("n")) * col("n") * col("n") * col("s4")
+              - lit(4L) * dc(col("n")) * col("n") * col("s3") * col("s1")
+              + lit(6L) * dc(col("n")) * col("s2") * col("s1") * col("s1")
+              - lit(3L) * col("s1") * col("s1") * col("s1") * col("s1"))
+              .as("a4"))
+          .select(col("source"), col("n").as("n_docs"),
+            when(col("a2") > 0, round(col("a3").cast("double")
+              / sqrt(col("a2").cast("double") * col("a2").cast("double")
+                * col("a2").cast("double")), 6)).as("skew6"),
+            when(col("a2") > 0, round(col("a4").cast("double")
+              / (col("a2").cast("double") * col("a2").cast("double")), 6))
+              .as("kurt6"),
+            when(col("a2") > 0, round(col("n").cast("double")
+              * (col("a3").cast("double") * col("a3").cast("double")
+                  / (col("a2").cast("double") * col("a2").cast("double")
+                    * col("a2").cast("double")) / 6.0
+                + (col("a4").cast("double")
+                    / (col("a2").cast("double") * col("a2").cast("double"))
+                  - 3.0) * (col("a4").cast("double")
+                    / (col("a2").cast("double") * col("a2").cast("double"))
+                  - 3.0) / 24.0), 6)).as("jb6"))
+      },
+      Some("""WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s1,
+           |        sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+           |        sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars)
+           |          AS s3,
+           |        sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars
+           |            * n_chars) AS s4
+           |      FROM documents GROUP BY source),
+           |a AS (SELECT source, n,
+           |        CAST(n AS HUGEINT) * s2 - s1 * s1 AS a2,
+           |        CAST(n AS HUGEINT) * n * s3
+           |          - 3 * CAST(n AS HUGEINT) * s2 * s1
+           |          + 2 * s1 * s1 * s1 AS a3,
+           |        CAST(n AS HUGEINT) * n * n * s4
+           |          - 4 * CAST(n AS HUGEINT) * n * s3 * s1
+           |          + 6 * CAST(n AS HUGEINT) * s2 * s1 * s1
+           |          - 3 * s1 * s1 * s1 * s1 AS a4
+           |      FROM m)
+           |SELECT source, n AS n_docs,
+           |  CASE WHEN a2 > 0 THEN
+           |    round(CAST(a3 AS DOUBLE)
+           |      / sqrt(CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)
+           |        * CAST(a2 AS DOUBLE)), 6) END AS skew6,
+           |  CASE WHEN a2 > 0 THEN
+           |    round(CAST(a4 AS DOUBLE)
+           |      / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)), 6)
+           |  END AS kurt6,
+           |  CASE WHEN a2 > 0 THEN
+           |    round(CAST(n AS DOUBLE)
+           |      * (CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)
+           |          / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)
+           |            * CAST(a2 AS DOUBLE)) / 6.0
+           |        + (CAST(a4 AS DOUBLE)
+           |            / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0)
+           |          * (CAST(a4 AS DOUBLE)
+           |            / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0)
+           |          / 24.0), 6)
+           |  END AS jb6
+           |FROM a""".stripMargin),
+      "Jarque-Bera normality (exact 4th-moment expansion) per source"),
+
+    // Cronbach's alpha per language — internal-consistency of k=3
+    // integer item scores per document (here: three deterministic
+    // sub-fields of n_chars; in production: k quality sub-scores the
+    // classifier family emits). α = k/(k−1)·(1 − Σvar_j / var_total)
+    // where every variance is the exact n²-scaled integer n·Q − S²,
+    // so the ratio is ONE double division over identical integers.
+    // One corpus pass, map-side combine, bounded O(langs) output.
+    // ANSI: zero total variance NULLs α.
+    Q("q_stats_cronbach",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val i1 = col("n_chars") % 100
+        val i2 = expr("(n_chars div 100) % 100")
+        val i3 = expr("(n_chars div 7) % 100")
+        t(s, d, "documents")
+          .select(col("lang"), i1.as("i1"), i2.as("i2"), i3.as("i3"),
+            (i1 + i2 + i3).as("st"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(dc(col("i1"))).as("u1"),
+            sum(dc(col("i1")) * col("i1")).as("q1"),
+            sum(dc(col("i2"))).as("u2"),
+            sum(dc(col("i2")) * col("i2")).as("q2"),
+            sum(dc(col("i3"))).as("u3"),
+            sum(dc(col("i3")) * col("i3")).as("q3"),
+            sum(dc(col("st"))).as("ut"),
+            sum(dc(col("st")) * col("st")).as("qt"))
+          .select(col("lang"), col("n").as("n_docs"),
+            ((dc(col("n")) * col("q1") - col("u1") * col("u1"))
+              + (dc(col("n")) * col("q2") - col("u2") * col("u2"))
+              + (dc(col("n")) * col("q3") - col("u3") * col("u3")))
+              .as("vsum"),
+            (dc(col("n")) * col("qt") - col("ut") * col("ut")).as("vtot"))
+          .select(col("lang"), col("n_docs"),
+            when(col("vtot") > 0,
+              round(lit(1.5) * (lit(1.0) - col("vsum").cast("double")
+                / col("vtot").cast("double")), 6)).as("alpha6"))
+      },
+      Some("""WITH it AS (SELECT lang,
+           |        n_chars % 100 AS i1,
+           |        (n_chars // 100) % 100 AS i2,
+           |        (n_chars // 7) % 100 AS i3,
+           |        n_chars % 100 + (n_chars // 100) % 100
+           |          + (n_chars // 7) % 100 AS st
+           |      FROM documents),
+           |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(i1) AS HUGEINT) AS u1,
+           |        sum(CAST(i1 AS HUGEINT) * i1) AS q1,
+           |        CAST(sum(i2) AS HUGEINT) AS u2,
+           |        sum(CAST(i2 AS HUGEINT) * i2) AS q2,
+           |        CAST(sum(i3) AS HUGEINT) AS u3,
+           |        sum(CAST(i3 AS HUGEINT) * i3) AS q3,
+           |        CAST(sum(st) AS HUGEINT) AS ut,
+           |        sum(CAST(st AS HUGEINT) * st) AS qt
+           |      FROM it GROUP BY lang),
+           |v AS (SELECT lang, n AS n_docs,
+           |        (CAST(n AS HUGEINT) * q1 - u1 * u1)
+           |          + (CAST(n AS HUGEINT) * q2 - u2 * u2)
+           |          + (CAST(n AS HUGEINT) * q3 - u3 * u3) AS vsum,
+           |        CAST(n AS HUGEINT) * qt - ut * ut AS vtot
+           |      FROM g)
+           |SELECT lang, n_docs,
+           |  CASE WHEN vtot > 0 THEN
+           |    round(1.5 * (1.0 - CAST(vsum AS DOUBLE)
+           |          / CAST(vtot AS DOUBLE)), 6)
+           |  END AS alpha6
+           |FROM v""".stripMargin),
+      "Cronbach's alpha over 3 integer item scores per language slice"),
+
     // Chi-square homogeneity across (slice × term-hash-bucket) — the
     // one-number categorical drift test over a BOUNDED contingency
     // table (terms hashed to Chi2Buckets cells, so the grid is

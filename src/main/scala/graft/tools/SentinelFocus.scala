@@ -1,0 +1,29 @@
+package graft.tools
+
+import graft.core.GraftSession
+
+/** Quiet-box calibration for the bench's load-gauge sentinel
+  * ([[graft.Bench.sentinelOnce]]): runs the fixed-work sentinel N
+  * times after a warm and prints the vector + median/min/max. The
+  * median of a QUIET run is what `_sentinel_quiet` in
+  * tools/adjudicated.json should carry — re-run this (like any
+  * BENCHFOCUS re-base) if the box or the sentinel's work constant
+  * ever changes.
+  *
+  * Usage: `runMain graft.tools.SentinelFocus [reps]`
+  */
+object SentinelFocus {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(7)
+    val spark = GraftSession.local("sentinel-focus")
+    graft.Bench.sentinelOnce(spark) // warm: codegen compile out of band
+    val ts = (1 to n).map(_ => graft.Bench.sentinelOnce(spark))
+    val sorted = ts.sorted
+    println("SENTINEL reps=" + n +
+      " median=" + graft.Bench.f3(sorted(n / 2)) +
+      " min=" + graft.Bench.f3(sorted.head) +
+      " max=" + graft.Bench.f3(sorted.last) +
+      " all=[" + ts.map(graft.Bench.f3).mkString(",") + "]")
+    spark.stop()
+  }
+}

@@ -62,9 +62,10 @@ class BenchForensicsSpec extends AnyFunSuite {
       "q_hit" -> Seq(0.62, 10.3, 11.1, 10.8, 0.64),
       "q_spread" -> Seq(4.2, 0.62, 0.61, 4.4, 0.63)))
     // strict shape pin: parseable JSON with exactly the contract keys —
-    // the driver and post-hoc adjudication both json.load this file
+    // the driver and post-hoc adjudication both json.load this file.
+    // No sentinel vector = window "unknown" (fail open: flags stand).
     assert(line ==
-      """{"reps":5,"sf":"/root/testdata/sf0.1","runs":{"q_clean":[0.610,0.580,0.630,0.600,0.590],"q_hit":[0.620,10.300,11.100,10.800,0.640],"q_spread":[4.200,0.620,0.610,4.400,0.630]},"flags":{"q_hit":"episode","q_spread":"scattered"}}""")
+      """{"reps":5,"sf":"/root/testdata/sf0.1","window":"unknown","sentinel":[],"runs":{"q_clean":[0.610,0.580,0.630,0.600,0.590],"q_hit":[0.620,10.300,11.100,10.800,0.640],"q_spread":[4.200,0.620,0.610,4.400,0.630]},"flags":{"q_hit":"episode","q_spread":"scattered"}}""")
   }
 
   test("bench_runs.json with zero flagged queries emits an empty flags object") {
@@ -137,8 +138,14 @@ class BenchForensicsSpec extends AnyFunSuite {
           "quiet median sits at the RegressionFloor and single-shots " +
           "swing 2-3x with window noise")
       val refAll = refKeys + "ref_workload_100k"
-      val unknown = m.keySet -- SparkEntry.queries.keySet -- refAll
+      // "_"-prefixed rows are instrument constants, not query baselines
+      // (today: _sentinel_quiet, the load-gauge sentinel's quiet median)
+      val unknown = (m.keySet -- SparkEntry.queries.keySet -- refAll)
+        .filterNot(_.startsWith("_"))
       assert(unknown.isEmpty, s"baselines for unregistered queries: $unknown")
+      assert(m.contains("_sentinel_quiet"),
+        "the load-gauge sentinel needs its quiet baseline " +
+          "(_sentinel_quiet) or uniform load is undetectable")
     }
   }
 
@@ -155,6 +162,56 @@ class BenchForensicsSpec extends AnyFunSuite {
       "ref_workload_100k_streaming" -> Seq(5.3)),
       Map("ref_workload_100k_streaming" -> 3.9))
     assert(line.endsWith(""""flags":{"ref_workload_100k_streaming":"regression"}}"""))
+  }
+
+  test("window gauge: sentinel spread or uniform lift classifies the window loaded") {
+    // r18 verdict #1 — the load-gauge classification itself
+    val quiet = Some(0.7)
+    // quiet run: flat sentinel vector near baseline
+    assert(Bench.windowState(Seq(0.68, 0.71, 0.69, 0.70), quiet) == "quiet")
+    // co-tenant episode somewhere in the window: spread > 2x
+    assert(Bench.windowState(Seq(0.68, 2.1, 0.70, 0.69), quiet) == "loaded")
+    // UNIFORM load (spread-blind: every sample ~2x) — only the quiet
+    // baseline can see it, which is why _sentinel_quiet is carried
+    assert(Bench.windowState(Seq(1.4, 1.5, 1.45, 1.38), quiet) == "loaded")
+    assert(Bench.windowState(Seq(1.4, 1.5, 1.45, 1.38), None) == "quiet")
+    // no gauge = no demotion: fail open to the flag
+    assert(Bench.windowState(Seq(0.7), quiet) == "unknown")
+    assert(Bench.windowState(Nil, quiet) == "unknown")
+  }
+
+  test("loaded window demotes regression flags to window-suspect in the artifact") {
+    // the r18 incident end-to-end: a row whose MIN exceeds 1.25x its
+    // baseline would read "regression" — but the interleaved sentinel
+    // shows the window was loaded, so the emitted flag self-adjudicates
+    val runs = Seq("q_slow" -> Seq(9.0, 9.2, 9.1, 9.3, 9.4))
+    val base = Map("q_slow" -> 6.0, "_sentinel_quiet" -> 0.7)
+    val loadedLine = Bench.benchRunsJson(5, "x", runs, base,
+      sentinels = Seq(0.7, 2.2, 0.71, 0.69))
+    assert(loadedLine.contains(""""window":"loaded""""), loadedLine)
+    assert(loadedLine.contains(""""q_slow":"window-suspect""""), loadedLine)
+    assert(!loadedLine.contains("regression"), loadedLine)
+    // same vectors, quiet sentinel: the regression flag stands
+    val quietLine = Bench.benchRunsJson(5, "x", runs, base,
+      sentinels = Seq(0.7, 0.68, 0.71, 0.69))
+    assert(quietLine.contains(""""window":"quiet""""), quietLine)
+    assert(quietLine.contains(""""q_slow":"regression""""), quietLine)
+    // composite classifications demote only their regression half
+    assert(Bench.demoteForWindow("episode+regression")
+      == "episode+window-suspect")
+    assert(Bench.demoteForWindow("episode") == "episode")
+    // the sentinel vector itself lands in the artifact for adjudication
+    assert(loadedLine.contains(""""sentinel":[0.700,2.200,0.710,0.690]"""),
+      loadedLine)
+  }
+
+  test("tail tier: sub-1.6s adjudicated rows run 3 reps, everything else 5") {
+    // r18 verdict #6 — the promoted single-shot-tail class pays 3 reps
+    val base = Map("q_tail" -> 1.1, "q_heavy" -> 8.9, "q_edge" -> 1.6)
+    assert(Bench.repsFor("q_tail", base) == 3)
+    assert(Bench.repsFor("q_heavy", base) == 5)
+    assert(Bench.repsFor("q_edge", base) == 5)      // bar is exclusive
+    assert(Bench.repsFor("q_nobase", base) == 5)    // unadjudicated: full
   }
 
   test("f3 emits dot-decimal under a comma-decimal default locale") {

@@ -948,6 +948,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p2.toLowerCase.contains("partial_count"), p2)
   }
 
+  test("r19 joinless stats gates: cochranq, jarquebera, cronbach are one aggregate each") {
+    for (n <- Seq("q_stats_cochranq", "q_stats_jarquebera",
+        "q_stats_cronbach")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("Join"), s"$n planned a join:\n$p")
+      assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")
+      assert(p.toLowerCase.contains("partial_count"),
+        s"$n lost map-side combine:\n$p")
+    }
+  }
+
+  test("r19 bounded-series gates join only O(days/hours/lags) rollups — no cartesian, no coalesce(1)") {
+    // the non-equi pair/prefix joins over the BOUNDED rollups plan as
+    // BroadcastNestedLoopJoin — the DECLARED theilsen shape (broadcast
+    // pinned against the corpus-scaled size-estimate AQE flip)
+    for (n <- Seq("q_ts_pacf", "q_ts_ljungbox", "q_ts_mannkendall",
+        "q_ts_runs")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")
+    }
+  }
+
   test("q_text_heaps collapses to prefix buckets — no word-grid join, no cartesian") {
     val p = plan("q_text_heaps")
     assert(!p.contains("CartesianProduct"), p)

@@ -656,6 +656,165 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.head.getDouble(3) === 100.0)
   }
 
+  test("Mann-Kendall recovers the all-increasing hand case with no ties") {
+    // tsDir: daily cents 100, 300, 500 — all 3 pairs increase so S = 3;
+    // no ties, Var(S)·18 = 3·2·11 = 66, z = (3−1)/√(66/18) = 1.044466
+    val r = SparkEntry.queries("q_ts_mannkendall")(spark, tsDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 3L)  // n_days
+    assert(r.head.getLong(1) === 3L)  // s_stat
+    val exp = BigDecimal(2.0 / math.sqrt(66.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
+  }
+
+  test("runs test counts the 0,0,1 above-mean sequence as 2 runs") {
+    // tsDir: y = 100, 300, 500, mean 300 — above-mean bits (0,0,1),
+    // n1 = 1, n2 = 2, runs = 2; z = (2 − 1 − 4/3)/√(4·1/(9·2)) = −1/√2
+    val r = SparkEntry.queries("q_ts_runs")(spark, tsDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 3L)  // n_days
+    assert(r.head.getLong(1) === 1L)  // n1
+    assert(r.head.getLong(2) === 2L)  // n2
+    assert(r.head.getLong(3) === 2L)  // runs
+    val exp = BigDecimal((2.0 - 1.0 - 4.0 / 3.0)
+        / math.sqrt(4.0 * 1.0 / (3.0 * 3.0 * 2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(4) - exp) < 1e-12, r.head.toString)
+  }
+
+  private lazy val acfDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("acffix").toString
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // hourly cents alternate 100, 300 over 6 hours: classical rho_k =
+    // (6−k)·(−1)^k/6 exactly → micro ints −833333, 666667, −500000,
+    // 333333, −166667; lag 6 has no pairs (absent row / NULL pacf)
+    val ev = (0 until 6).map(h =>
+      (h.toLong, ts(h), 1L, "a", if (h % 2 == 0) 1.0 else 3.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  /** Reference Durbin-Levinson on micro-unit longs — the same
+    * fixed-point recursion both engines run, re-implemented
+    * independently in plain Scala so the gate's SQL rendering is
+    * checked against a second derivation, not against itself. */
+  private def dlReference(r: Vector[Long]): Vector[Long] = {
+    def halfAway(x: Double): Long =
+      (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+    def mRound(p: Long): Long =
+      if (p >= 0) (p + 500000L) / 1000000L else -((-p + 500000L) / 1000000L)
+    var phi = Vector(r(0))
+    var out = Vector(r(0))
+    for (k <- 2 to r.size) {
+      val num = r(k - 1) * 1000000L -
+        (1 until k).map(j => phi(j - 1) * r(k - 1 - j)).sum
+      val den = 1000000000000L -
+        (1 until k).map(j => phi(j - 1) * r(j - 1)).sum
+      val pkk = halfAway(num.toDouble / den.toDouble * 1e6)
+      phi = (1 until k).map(j => phi(j - 1) - mRound(pkk * phi(k - 1 - j)))
+        .toVector :+ pkk
+      out :+= pkk
+    }
+    out
+  }
+
+  test("PACF matches an independent Durbin-Levinson on the alternating series") {
+    val rhoMicro = Vector(-833333L, 666667L, -500000L, 333333L, -166667L)
+    val exp = dlReference(rhoMicro)
+    val r = SparkEntry.queries("q_ts_pacf")(spark, acfDir)
+      .orderBy("lag").collect()
+    assert(r.length === 6)
+    // lag 1 is rho_1 itself: −0.833333
+    assert(math.abs(r(0).getDouble(1) - (-0.833333)) < 1e-12)
+    for (k <- 1 to 5)
+      assert(math.abs(r(k - 1).getDouble(1) - exp(k - 1).toDouble / 1e6)
+        < 1e-9, s"pacf lag $k: got ${r(k - 1).getDouble(1)} want ${exp(k - 1)}")
+    assert(r(5).isNullAt(1), "lag 6 has no pairs on a 6-hour series")
+  }
+
+  test("Ljung-Box accumulates the hand-rounded nano terms of the alternating series") {
+    // t_k = round(rho_u²/(n−k)/10³) nano: 138888778, 111111222,
+    // 83333333, 55555444, 27777889; Q(K) = 48·cum/10⁹
+    val cums = Seq(138888778L, 250000000L, 333333333L, 388888777L,
+      416666666L)
+    val r = SparkEntry.queries("q_ts_ljungbox")(spark, acfDir)
+      .orderBy("lag").collect()
+    assert(r.length === 5, "lag 6 has no pairs on a 6-hour series")
+    for (k <- 1 to 5) {
+      val exp = BigDecimal(48.0 * cums(k - 1).toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r(k - 1).getDouble(1) - exp) < 1e-12,
+        s"lb lag $k: got ${r(k - 1).getDouble(1)} want $exp")
+    }
+  }
+
+  private lazy val cqDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("cqfix").toString
+    // n_chars 1, 3, 7, 6 → rater bits (n%2, (n÷3)%2, (n÷7)%2):
+    // (1,0,0), (1,1,0), (1,0,1), (0,0,0) → G = (3,1,1), N = 5,
+    // ΣL² = 1+4+4+0 = 9 → Q = 2·(3·11 − 25)/(15 − 9) = 16/6
+    Seq((0L, "en", 1L), (1L, "en", 3L), (2L, "en", 7L), (3L, "en", 6L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Cochran's Q matches the hand-built 4-doc, 3-rater table") {
+    val r = SparkEntry.queries("q_stats_cochranq")(spark, cqDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 4L) // n_docs
+    assert(math.abs(r.head.getDouble(2) - 2.666667) < 1e-12)
+  }
+
+  private lazy val jbDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("jbfix").toString
+    // n_chars 1, 2, 3, 10: S = (16, 114, 1036, 10098) →
+    // A2 = 200, A3 = 2880, A4 = 89216 (hand-expanded identities)
+    Seq((0L, "w", 1L), (1L, "w", 2L), (2L, "w", 3L), (3L, "w", 10L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Jarque-Bera matches the hand-expanded moment identities") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (a2, a3, a4) = (200.0, 2880.0, 89216.0)
+    val r = SparkEntry.queries("q_stats_jarquebera")(spark, jbDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 4L)
+    assert(math.abs(r.head.getDouble(2)
+      - r6(a3 / math.sqrt(a2 * a2 * a2))) < 1e-12)       // skew6
+    assert(math.abs(r.head.getDouble(3) - r6(a4 / (a2 * a2))) < 1e-12)
+    val jb = 4.0 * (a3 * a3 / (a2 * a2 * a2) / 6.0
+      + (a4 / (a2 * a2) - 3.0) * (a4 / (a2 * a2) - 3.0) / 24.0)
+    assert(math.abs(r.head.getDouble(4) - r6(jb)) < 1e-12)
+    // kurt is exactly 89216/40000 = 2.2304 — a second, closed check
+    assert(r.head.getDouble(3) === 2.2304)
+  }
+
+  private lazy val cbDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("cbfix").toString
+    // n_chars 107, 214, 321 → items (7,1,15), (14,2,30), (21,3,45):
+    // A-vars 294, 6, 1350; row sums 23, 46, 69 → A_tot = 3174;
+    // α = 1.5·(1 − 1650/3174)
+    Seq((0L, "en", 107L), (1L, "en", 214L), (2L, "en", 321L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Cronbach's alpha matches the hand-built 3-item variance table") {
+    val r = SparkEntry.queries("q_stats_cronbach")(spark, cbDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 3L)
+    val exp = BigDecimal(1.5 * (1.0 - 1650.0 / 3174.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12)
+  }
+
   test("median-of-means agrees with the plain mean on the real fixture and buckets cover it") {
     // cross-check on real data: both estimators see the same corpus;
     // the bucket count is pinned and every row lands in some bucket

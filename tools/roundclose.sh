@@ -6,8 +6,9 @@
 #   2. every oracle gate hash-matched at BOTH sf0.01 and sf0.1 (the
 #      double-SF sweep that caught the r8 NTZ incident)
 #   3. fresh bench with NO unadjudicated sweep row >= 2 s (sweep rows are
-#      single-shot; a >=2 s row must either be promoted to the
-#      median-of-5 headline tier or adjudicated in BENCHFOCUS_r{N}.md)
+#      single-shot; a >=2 s row must either be promoted to the median
+#      tier — 5-rep, or the 3-rep tail tier when its quiet median is
+#      sub-1.6 s — or adjudicated in BENCHFOCUS_r{N}.md)
 # Exit code 0 = round may close. Any failure prints the offending check.
 # pipefail: the selfcheck gate pipes through tee|tail — without it the
 # `if !` tests tail's exit status (always 0) and a crashed selfcheck.py
@@ -91,8 +92,18 @@ runs = json.load(open("target/bench_runs.json"))
 flagged = runs.get("flags", {})
 print(f'headline {d["value"]}s/{d["n_queries"]} rows, '
       f'sweep {d["sweep_total"]}s/{d["sweep_n"]}, failed {d["failed"]}')
+# r18 verdict #1: the load-gauge sentinel stamps the run; in a "loaded"
+# window Bench has already demoted "regression" flags to
+# "window-suspect" (the artifact carries its own adjudication)
+print(f'window: {runs.get("window", "?")} '
+      f'sentinel: {runs.get("sentinel", [])}')
 ref_fl = {k: v for k, v in flagged.items() if k.startswith("ref_")}
 q_fl = {k: v for k, v in flagged.items() if not k.startswith("ref_")}
+ws_fl = {k: v for k, v in q_fl.items() if "window-suspect" in v}
+q_fl = {k: v for k, v in q_fl.items() if "window-suspect" not in v}
+if ws_fl:
+    print("window-suspect flags (loaded window, pre-demoted - re-run "
+          "on a quiet box ONLY if the row is on a watch list):", ws_fl)
 if q_fl:
     print("episode flags (adjudicate from bench_runs.json):", q_fl)
 if ref_fl:
@@ -104,8 +115,9 @@ if ref_fl:
 if d["failed"] != "[]" and d["failed"] != []:
     print("FAIL: bench rows failed:", d["failed"]); sys.exit(1)
 if hot:
-    print("FAIL: unadjudicated sweep rows >= 2 s (promote to headline "
-          "or adjudicate in BENCHFOCUS):")
+    print("FAIL: unadjudicated sweep rows >= 2 s (promote to the median "
+          "tier - 5-rep, or the 3-rep tail tier when the quiet median "
+          "is sub-1.6 s - or adjudicate in BENCHFOCUS):")
     for v, k in hot:
         print(f"  {k}: {v}s")
     sys.exit(1)
