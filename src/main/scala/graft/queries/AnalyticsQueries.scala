@@ -1630,6 +1630,118 @@ object AnalyticsQueries {
            |FROM st CROSS JOIN ch""".stripMargin),
       "Wald-Wolfowitz runs test on the daily above-mean sign sequence"),
 
+    // Durbin-Watson serial-correlation statistic on the daily OLS
+    // residuals — the d≈2 whiteness check every regression report
+    // prints next to its slope; completes the trend-diagnostics trio
+    // with q_ts_theilsen (robust slope) and q_ts_mannkendall
+    // (significance). The OLS fit never leaves integers: with
+    // A = nΣxy − ΣxΣy and B = nΣx² − (Σx)², the nB-scaled residual
+    // E_t = nB·y_t − B·Σy + A·Σx − nA·x_t is EXACT (the common nB
+    // denominator cancels in d), and each residual is rounded ONCE to
+    // 1e-6 fixed point so the two quadratic sums are exact DECIMAL38
+    // integers both engines agree on (bound: |e|·10⁶ < √(10³⁸/days) —
+    // ~10¹⁶ cents of daily residual, far past any real series).
+    // Adjacency comes from the bounded rank self-join (q_ts_runs
+    // shape), never a window. ANSI: a perfectly-fit or constant
+    // series (zero residual SS, or B = 0) NULLs d; slope6 = A/B is
+    // emitted alongside as the OLS companion readout.
+    Q("q_ts_durbinwatson",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val sx = graft.core.CacheScope.autoRelease(
+          ser.crossJoin(broadcast(ser.agg(min("day").as("d0"))))
+            .select(datediff(col("day"), col("d0")).cast("long").as("x"),
+              col("y")))
+        val tot = sx.agg(count(lit(1)).as("n"),
+          sum(dc(col("x"))).as("sxs"), sum(dc(col("y"))).as("sys"),
+          sum(dc(col("x")) * col("x")).as("sxx"),
+          sum(dc(col("x")) * col("y")).as("sxy"))
+        val ab = tot.select(col("n"),
+          (dc(col("n")) * col("sxy") - col("sxs") * col("sys")).as("aa"),
+          (dc(col("n")) * col("sxx") - col("sxs") * col("sxs")).as("bb"),
+          col("sxs"), col("sys"))
+        val e6 = graft.core.CacheScope.autoRelease(
+          sx.crossJoin(broadcast(ab))
+            .select(col("x"), col("n"), col("aa"), col("bb"),
+              when(col("bb") =!= 0,
+                round((dc(col("n")) * col("bb") * col("y")
+                  - col("bb") * col("sys") + col("aa") * col("sxs")
+                  - dc(col("n")) * col("aa") * col("x")).cast("double")
+                  / (dc(col("n")) * col("bb")).cast("double") * 1e6, 0)
+                  .cast("long")).as("e6")))
+        val rn = graft.core.CacheScope.autoRelease(
+          e6.as("a").join(broadcast(e6.as("b2")),
+              col("b2.x") <= col("a.x"))
+            .groupBy(col("a.x").as("x"), col("a.e6").as("e"),
+              col("a.n").as("n"), col("a.aa").as("aa"),
+              col("a.bb").as("bb"))
+            .agg(count(lit(1)).as("rn")))
+        val num = rn.as("p").join(broadcast(rn.as("q")),
+            col("q.rn") === col("p.rn") + 1)
+          .agg(coalesce(sum((dc(col("q.e")) - col("p.e"))
+            * (dc(col("q.e")) - col("p.e"))),
+            lit(0L).cast("decimal(38,0)")).as("num"))
+        val den = rn.groupBy(col("n"), col("aa"), col("bb"))
+          .agg(sum(dc(col("e")) * col("e")).as("den"))
+        den.crossJoin(broadcast(num))
+          .select(col("n").as("n_days"),
+            when(col("bb") =!= 0,
+              round(col("aa").cast("double") / col("bb").cast("double"),
+                6)).as("slope6"),
+            when(col("den") > 0,
+              round(col("num").cast("double") / col("den").cast("double"),
+                6)).as("dw6"))
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |d0 AS (SELECT min(day) AS d0 FROM ser),
+           |sx AS (SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS x, y
+           |       FROM ser CROSS JOIN d0),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |          CAST(sum(x) AS HUGEINT) AS sxs,
+           |          CAST(sum(y) AS HUGEINT) AS sys,
+           |          sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |          sum(CAST(x AS HUGEINT) * y) AS sxy
+           |        FROM sx),
+           |ab AS (SELECT n,
+           |         CAST(n AS HUGEINT) * sxy - sxs * sys AS aa,
+           |         CAST(n AS HUGEINT) * sxx - sxs * sxs AS bb,
+           |         sxs, sys
+           |       FROM tot),
+           |e AS (SELECT x, n, aa, bb,
+           |        CASE WHEN bb <> 0 THEN
+           |          CAST(round(CAST(CAST(n AS HUGEINT) * bb * y
+           |                 - bb * sys + aa * sxs
+           |                 - CAST(n AS HUGEINT) * aa * x AS DOUBLE)
+           |               / CAST(CAST(n AS HUGEINT) * bb AS DOUBLE)
+           |               * 1000000.0) AS BIGINT)
+           |        END AS e6
+           |      FROM sx CROSS JOIN ab),
+           |rn AS (SELECT a.x AS x, a.e6 AS e, a.n AS n, a.aa AS aa,
+           |         a.bb AS bb, count(*) AS rn
+           |       FROM e a JOIN e b2 ON b2.x <= a.x
+           |       GROUP BY 1, 2, 3, 4, 5),
+           |nm AS (SELECT coalesce(sum(CAST(q.e - p.e AS HUGEINT)
+           |           * (q.e - p.e)), 0) AS num
+           |       FROM rn p JOIN rn q ON q.rn = p.rn + 1),
+           |dn AS (SELECT n, aa, bb,
+           |         sum(CAST(e AS HUGEINT) * e) AS den
+           |       FROM rn GROUP BY n, aa, bb)
+           |SELECT n AS n_days,
+           |  CASE WHEN bb <> 0 THEN
+           |    round(CAST(aa AS DOUBLE) / CAST(bb AS DOUBLE), 6)
+           |  END AS slope6,
+           |  CASE WHEN den > 0 THEN
+           |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+           |  END AS dw6
+           |FROM dn CROSS JOIN nm""".stripMargin),
+      "Durbin-Watson on the daily OLS residuals (+ the exact OLS slope)"),
+
     // Median-of-means robust location for the event value — the
     // heavy-tail estimator sketching theory reaches for when a plain
     // mean is one adversarial record away from garbage: k=16

@@ -1560,6 +1560,146 @@ object DriftQueries {
            |FROM a""".stripMargin),
       "Jarque-Bera normality (exact 4th-moment expansion) per source"),
 
+    // Fleiss' kappa per language — chance-corrected agreement of the
+    // SAME k=3 matched binary raters q_stats_cochranq tests for
+    // marginal differences: Q asks "do the raters differ?", kappa asks
+    // "when they agree, is it more than chance?" — the two numbers a
+    // rater-audit dashboard shows side by side. Everything reduces to
+    // three integers per slice (n, N1 = Σ positive votes, SP = Σ per-doc
+    // same-pair counts li(li−1)+(k−li)(k−li−1)), and for k = 3, 2
+    // categories, κ = (3n·SP − 2·PeN)/(2·(9n² − PeN)) with
+    // PeN = N1² + (3n−N1)² — exact integers, ONE double division @6.
+    // ANSI: a unanimous-everywhere slice (9n² = PeN) NULLs κ.
+    Q("q_stats_fleiss",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val li = (col("n_chars") % 2 + expr("(n_chars div 3) % 2")
+          + expr("(n_chars div 7) % 2"))
+        t(s, d, "documents")
+          .select(col("lang"), li.as("li"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("li")).as("n1"),
+            sum(col("li") * (col("li") - 1)
+              + (lit(3L) - col("li")) * (lit(2L) - col("li"))).as("sp"))
+          .select(col("lang"), col("n").as("n_docs"),
+            (dc(col("n1")) * col("n1")
+              + (lit(3L) * dc(col("n")) - col("n1"))
+                * (lit(3L) * dc(col("n")) - col("n1"))).as("pen"),
+            col("n"), col("sp"))
+          .select(col("lang"), col("n_docs"),
+            when(lit(9L) * dc(col("n")) * col("n") - col("pen") =!= 0,
+              round((lit(3L) * dc(col("n")) * col("sp")
+                - lit(2L) * col("pen")).cast("double")
+                / (lit(2L) * (lit(9L) * dc(col("n")) * col("n")
+                  - col("pen"))).cast("double"), 6)).as("kappa6"))
+      },
+      Some("""WITH r AS (SELECT lang,
+           |        n_chars % 2 + (n_chars // 3) % 2 + (n_chars // 7) % 2
+           |          AS li
+           |      FROM documents),
+           |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(li) AS BIGINT) AS n1,
+           |        CAST(sum(li * (li - 1) + (3 - li) * (2 - li))
+           |          AS BIGINT) AS sp
+           |      FROM r GROUP BY lang),
+           |p AS (SELECT lang, n AS n_docs, n, sp,
+           |        CAST(n1 AS HUGEINT) * n1
+           |          + (3 * CAST(n AS HUGEINT) - n1)
+           |            * (3 * CAST(n AS HUGEINT) - n1) AS pen
+           |      FROM g)
+           |SELECT lang, n_docs,
+           |  CASE WHEN 9 * CAST(n AS HUGEINT) * n - pen <> 0 THEN
+           |    round(CAST(3 * CAST(n AS HUGEINT) * sp - 2 * pen AS DOUBLE)
+           |      / CAST(2 * (9 * CAST(n AS HUGEINT) * n - pen) AS DOUBLE),
+           |      6)
+           |  END AS kappa6
+           |FROM p""".stripMargin),
+      "Fleiss' kappa across 3 matched binary raters per language slice"),
+
+    // Kendall's W (coefficient of concordance) — do k=3 per-source
+    // metrics (total chars, doc count, a third derived score) RANK the
+    // sources the same way? The multi-rater rank agreement the
+    // source-quality dashboard reads before trusting any one metric's
+    // ordering. Average ranks carried as exact 2-scaled integers
+    // (R2 = 2·count(<) + count(=) + 1 from a bounded O(sources²)
+    // self-join — ties are exact halves), per-metric tie terms
+    // Σ(t³−t) exact, and W = S2/(3(n³−n) − ΣT) with S2 the 4-scaled
+    // squared deviation sum — ONE double division @6. The corpus pass
+    // is one groupBy(source); everything after runs on the bounded
+    // O(sources) table. ANSI: all-tied-on-every-metric NULLs W.
+    Q("q_stats_kendallw",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val m = graft.core.CacheScope.autoRelease(t(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(col("n_chars")).as("m1"),
+            count(lit(1)).as("m2"),
+            sum(col("n_chars") % 7).as("m3")))
+        def r2(j: Int) =
+          (lit(2L) * sum(when(col(s"b.m$j") < col(s"a.m$j"), 1L)
+            .otherwise(0L))
+            + sum(when(col(s"b.m$j") === col(s"a.m$j"), 1L).otherwise(0L))
+            + 1L).as(s"r$j")
+        val ranks = m.as("a").join(broadcast(m.as("b")), lit(true))
+          .groupBy(col("a.source").as("source"))
+          .agg(r2(1), r2(2), r2(3))
+        def tie(j: Int) = m.groupBy(s"m$j").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c") * col("c") * col("c") - col("c")),
+            lit(0L)).as(s"t$j"))
+        val nrow = m.agg(count(lit(1)).as("n"))
+        val s2 = ranks.crossJoin(broadcast(nrow))
+          .select((col("r1") + col("r2") + col("r3")
+            - lit(3L) * (col("n") + 1)).as("dev"), col("n"))
+          .groupBy("n")
+          .agg(sum(dc(col("dev")) * col("dev")).as("s2"))
+        s2.crossJoin(broadcast(tie(1))).crossJoin(broadcast(tie(2)))
+          .crossJoin(broadcast(tie(3)))
+          .select(col("n").as("n_items"),
+            (lit(3L) * (dc(col("n")) * col("n") * col("n") - col("n"))
+              - (col("t1") + col("t2") + col("t3"))).as("den"),
+            col("s2"))
+          .select(col("n_items"),
+            when(col("den") > 0,
+              round(col("s2").cast("double") / col("den").cast("double"),
+                6)).as("w6"))
+      },
+      Some("""WITH m AS (SELECT source,
+           |        CAST(sum(n_chars) AS BIGINT) AS m1,
+           |        CAST(count(*) AS BIGINT) AS m2,
+           |        CAST(sum(n_chars % 7) AS BIGINT) AS m3
+           |      FROM documents GROUP BY source),
+           |rk AS (SELECT a.source AS source,
+           |         2 * sum(CASE WHEN b.m1 < a.m1 THEN 1 ELSE 0 END)
+           |           + sum(CASE WHEN b.m1 = a.m1 THEN 1 ELSE 0 END) + 1
+           |           AS r1,
+           |         2 * sum(CASE WHEN b.m2 < a.m2 THEN 1 ELSE 0 END)
+           |           + sum(CASE WHEN b.m2 = a.m2 THEN 1 ELSE 0 END) + 1
+           |           AS r2,
+           |         2 * sum(CASE WHEN b.m3 < a.m3 THEN 1 ELSE 0 END)
+           |           + sum(CASE WHEN b.m3 = a.m3 THEN 1 ELSE 0 END) + 1
+           |           AS r3
+           |       FROM m a CROSS JOIN m b GROUP BY a.source),
+           |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+           |sv AS (SELECT n, sum(CAST(r1 + r2 + r3 - 3 * (n + 1)
+           |           AS HUGEINT) * (r1 + r2 + r3 - 3 * (n + 1))) AS s2
+           |       FROM rk CROSS JOIN nr GROUP BY n),
+           |ti AS (SELECT
+           |    (SELECT coalesce(sum(c * c * c - c), 0) FROM
+           |      (SELECT count(*) AS c FROM m GROUP BY m1)) AS t1,
+           |    (SELECT coalesce(sum(c * c * c - c), 0) FROM
+           |      (SELECT count(*) AS c FROM m GROUP BY m2)) AS t2,
+           |    (SELECT coalesce(sum(c * c * c - c), 0) FROM
+           |      (SELECT count(*) AS c FROM m GROUP BY m3)) AS t3)
+           |SELECT n AS n_items,
+           |  CASE WHEN 3 * (CAST(n AS HUGEINT) * n * n - n)
+           |            - (t1 + t2 + t3) > 0 THEN
+           |    round(CAST(s2 AS DOUBLE)
+           |      / CAST(3 * (CAST(n AS HUGEINT) * n * n - n)
+           |             - (t1 + t2 + t3) AS DOUBLE), 6)
+           |  END AS w6
+           |FROM sv CROSS JOIN ti""".stripMargin),
+      "Kendall's W rank concordance of 3 per-source metrics"),
+
     // Cronbach's alpha per language — internal-consistency of k=3
     // integer item scores per document (here: three deterministic
     // sub-fields of n_chars; in production: k quality sub-scores the

@@ -963,13 +963,22 @@ class PlanShapeSpec extends SparkSpec {
   test("r19 bounded-series gates join only O(days/hours/lags) rollups — no cartesian, no coalesce(1)") {
     // the non-equi pair/prefix joins over the BOUNDED rollups plan as
     // BroadcastNestedLoopJoin — the DECLARED theilsen shape (broadcast
-    // pinned against the corpus-scaled size-estimate AQE flip)
+    // pinned against the corpus-scaled size-estimate AQE flip).
+    // q_stats_kendallw's rank join is the bounded O(sources²) cross —
+    // broadcast-pinned, so it must NOT read CartesianProduct either.
     for (n <- Seq("q_ts_pacf", "q_ts_ljungbox", "q_ts_mannkendall",
-        "q_ts_runs")) {
+        "q_ts_runs", "q_ts_durbinwatson", "q_stats_kendallw")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")
     }
+  }
+
+  test("q_stats_fleiss is one joinless map-side-combined aggregate") {
+    val p = plan("q_stats_fleiss")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Coalesce 1"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
   }
 
   test("q_text_heaps collapses to prefix buckets — no word-grid join, no cartesian") {

@@ -815,6 +815,67 @@ class StatsGatesSpec extends SparkSpec {
     assert(math.abs(r.head.getDouble(2) - exp) < 1e-12)
   }
 
+  test("Fleiss' kappa matches the hand table on the Cochran fixture") {
+    // cqDir row sums li = 1, 2, 2, 0 → SP = 2+2+2+6 = 12, N1 = 5,
+    // PeN = 25 + 49 = 74 → κ = (3·4·12 − 148)/(2·(144 − 74)) = −4/140
+    val r = SparkEntry.queries("q_stats_fleiss")(spark, cqDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 4L)
+    val exp = BigDecimal(-4.0 / 140.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
+  }
+
+  private lazy val kwcDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("kwcfix").toString
+    // sources a/b/c with n_chars 8 / 16×2 / 24×3: all three metrics
+    // (Σchars 8<32<72, count 1<2<3, Σ(chars%7) 1<4<9) rank a<b<c —
+    // perfect concordance, no ties → W = 1 exactly
+    Seq((0L, "a", 8L), (1L, "b", 16L), (2L, "b", 16L),
+      (3L, "c", 24L), (4L, "c", 24L), (5L, "c", 24L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Kendall's W is exactly 1 when all three metrics agree on the order") {
+    val r = SparkEntry.queries("q_stats_kendallw")(spark, kwcDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 3L) // n_items
+    assert(r.head.getDouble(1) === 1.0)
+  }
+
+  private lazy val dwDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("dwfix").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 12:00:00")
+    // daily cents 100, 500, 300: OLS slope = 100 cents/day, intercept
+    // 200 → residuals (−100, 200, −100) → d = 1.8e17/6e16 = 3 exactly
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"),
+      (2L, ts(1), 1L, "a", 5.0, "{}"),
+      (3L, ts(2), 1L, "a", 3.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("Durbin-Watson recovers d = 3 and the exact OLS slope on the vee fixture") {
+    val r = SparkEntry.queries("q_ts_durbinwatson")(spark, dwDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 3L)
+    assert(r.head.getDouble(1) === 100.0) // slope6, cents/day
+    assert(r.head.getDouble(2) === 3.0)   // dw6
+  }
+
+  test("Durbin-Watson NULLs d on a perfectly fit line (zero residual SS)") {
+    // tsDir is the noiseless 100/300/500 line: slope 200, residuals 0
+    val r = SparkEntry.queries("q_ts_durbinwatson")(spark, tsDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getDouble(1) === 200.0)
+    assert(r.head.isNullAt(2), "zero residual SS must NULL d")
+  }
+
   test("median-of-means agrees with the plain mean on the real fixture and buckets cover it") {
     // cross-check on real data: both estimators see the same corpus;
     // the bucket count is pinned and every row lands in some bucket
