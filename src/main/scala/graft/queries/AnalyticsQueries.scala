@@ -1742,6 +1742,65 @@ object AnalyticsQueries {
            |FROM dn CROSS JOIN nm""".stripMargin),
       "Durbin-Watson on the daily OLS residuals (+ the exact OLS slope)"),
 
+    // Pettitt change-point test on the daily series — WHERE did the
+    // level shift happen, the rank-based companion to q_ts_cusum
+    // (which detects THAT it happened): U_t = Σ_{i≤t,j>t} sign(y_i−y_j),
+    // K = max|U_t|, t* the earliest argmax. The naive U is O(days³);
+    // the antisymmetry identity U_t = Σ_{i≤t} W_i with
+    // W_i = Σ_j sign(y_i−y_j) keeps every stage O(days²) — the same
+    // bounded broadcast-pair class as theilsen. ENTIRELY integer: no
+    // double is ever computed, so the gate is exact by construction
+    // (the p-value's exp(·) is deliberately not replicated — the
+    // monitoring layer thresholds K directly).
+    Q("q_ts_pettitt",
+      (s, d) => {
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val sx = graft.core.CacheScope.autoRelease(
+          ser.crossJoin(broadcast(ser.agg(min("day").as("d0"))))
+            .select(datediff(col("day"), col("d0")).cast("long").as("x"),
+              col("y")))
+        val w = graft.core.CacheScope.autoRelease(
+          sx.as("a").join(broadcast(sx.as("b")), col("b.x") =!= col("a.x"))
+            .groupBy(col("a.x").as("x"))
+            .agg(sum(when(col("a.y") > col("b.y"), 1L)
+              .when(col("a.y") < col("b.y"), -1L).otherwise(0L)).as("w")))
+        val u = graft.core.CacheScope.autoRelease(
+          w.as("p").join(broadcast(w.as("q")), col("q.x") <= col("p.x"))
+            .groupBy(col("p.x").as("x")).agg(sum(col("q.w")).as("u")))
+        val k = u.agg(max(abs(col("u"))).as("k_stat"))
+        val tst = u.crossJoin(broadcast(k))
+          .filter(abs(col("u")) === col("k_stat"))
+          .groupBy("k_stat").agg(min("x").as("t_star"))
+        tst.join(broadcast(u), col("x") === col("t_star"))
+          .crossJoin(broadcast(sx.agg(count(lit(1)).as("n"))))
+          .select(col("n").as("n_days"), col("k_stat"), col("t_star"),
+            col("u").as("u_star"))
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |d0 AS (SELECT min(day) AS d0 FROM ser),
+           |sx AS (SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS x, y
+           |       FROM ser CROSS JOIN d0),
+           |w AS (SELECT a.x AS x,
+           |        CAST(sum(CASE WHEN a.y > b.y THEN 1
+           |                      WHEN a.y < b.y THEN -1
+           |                      ELSE 0 END) AS BIGINT) AS w
+           |      FROM sx a JOIN sx b ON b.x <> a.x GROUP BY a.x),
+           |u AS (SELECT p.x AS x, CAST(sum(q.w) AS BIGINT) AS u
+           |      FROM w p JOIN w q ON q.x <= p.x GROUP BY p.x),
+           |k AS (SELECT CAST(max(abs(u)) AS BIGINT) AS k_stat FROM u),
+           |t AS (SELECT k_stat, min(x) AS t_star
+           |      FROM u CROSS JOIN k WHERE abs(u) = k_stat
+           |      GROUP BY k_stat),
+           |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sx)
+           |SELECT n AS n_days, k_stat, t_star, u AS u_star
+           |FROM t JOIN u ON u.x = t.t_star CROSS JOIN nr""".stripMargin),
+      "Pettitt change-point (exact integer rank statistic, O(days²))"),
+
     // Median-of-means robust location for the event value — the
     // heavy-tail estimator sketching theory reaches for when a plain
     // mean is one adversarial record away from garbage: k=16

@@ -1700,6 +1700,71 @@ object DriftQueries {
            |FROM sv CROSS JOIN ti""".stripMargin),
       "Kendall's W rank concordance of 3 per-source metrics"),
 
+    // ICC(1,1) per language — the one-way intraclass correlation over
+    // the SAME k=3 item scores as q_stats_cronbach: alpha asks "do
+    // the items move together?", ICC asks "how much of the total
+    // variance is BETWEEN documents?" — the absolute-agreement number
+    // a labeling pipeline reads before averaging rater scores. With
+    // B = n·ΣR² − T² (nk-scaled between-SS) and W = n·(3Q − ΣR²)
+    // (nk-scaled within-SS, k = 3), ICC = (2n·B − (n−1)·W) /
+    // (2n·B + 2(n−1)·W) — every operand an exact integer, ONE double
+    // division @6. One corpus pass, map-side combine, O(langs) out.
+    // ANSI: zero total variance NULLs ICC.
+    Q("q_stats_icc",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val i1 = col("n_chars") % 100
+        val i2 = expr("(n_chars div 100) % 100")
+        val i3 = expr("(n_chars div 7) % 100")
+        t(s, d, "documents")
+          .select(col("lang"), i1.as("i1"), i2.as("i2"), i3.as("i3"),
+            (i1 + i2 + i3).as("st"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(dc(col("st"))).as("tt"),
+            sum(dc(col("st")) * col("st")).as("sr2"),
+            sum(dc(col("i1")) * col("i1") + dc(col("i2")) * col("i2")
+              + dc(col("i3")) * col("i3")).as("q"))
+          .select(col("lang"), col("n").as("n_docs"), col("n"),
+            (dc(col("n")) * col("sr2") - col("tt") * col("tt")).as("b"),
+            (dc(col("n")) * (lit(3L) * col("q") - col("sr2"))).as("w"))
+          .select(col("lang"), col("n_docs"),
+            when(lit(2L) * dc(col("n")) * col("b")
+                + lit(2L) * (col("n") - 1) * col("w") =!= 0,
+              round((lit(2L) * dc(col("n")) * col("b")
+                - (col("n") - 1) * col("w")).cast("double")
+                / (lit(2L) * dc(col("n")) * col("b")
+                  + lit(2L) * (col("n") - 1) * col("w")).cast("double"),
+                6)).as("icc6"))
+      },
+      Some("""WITH it AS (SELECT lang,
+           |        n_chars % 100 AS i1,
+           |        (n_chars // 100) % 100 AS i2,
+           |        (n_chars // 7) % 100 AS i3,
+           |        n_chars % 100 + (n_chars // 100) % 100
+           |          + (n_chars // 7) % 100 AS st
+           |      FROM documents),
+           |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(st) AS HUGEINT) AS tt,
+           |        sum(CAST(st AS HUGEINT) * st) AS sr2,
+           |        sum(CAST(i1 AS HUGEINT) * i1 + CAST(i2 AS HUGEINT) * i2
+           |            + CAST(i3 AS HUGEINT) * i3) AS q
+           |      FROM it GROUP BY lang),
+           |v AS (SELECT lang, n AS n_docs, n,
+           |        CAST(n AS HUGEINT) * sr2 - tt * tt AS b,
+           |        CAST(n AS HUGEINT) * (3 * q - sr2) AS w
+           |      FROM g)
+           |SELECT lang, n_docs,
+           |  CASE WHEN 2 * CAST(n AS HUGEINT) * b
+           |            + 2 * (n - 1) * w <> 0 THEN
+           |    round(CAST(2 * CAST(n AS HUGEINT) * b - (n - 1) * w
+           |            AS DOUBLE)
+           |      / CAST(2 * CAST(n AS HUGEINT) * b + 2 * (n - 1) * w
+           |            AS DOUBLE), 6)
+           |  END AS icc6
+           |FROM v""".stripMargin),
+      "one-way ICC(1,1) over 3 integer item scores per language slice"),
+
     // Cronbach's alpha per language — internal-consistency of k=3
     // integer item scores per document (here: three deterministic
     // sub-fields of n_chars; in production: k quality sub-scores the

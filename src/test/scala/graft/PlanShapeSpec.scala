@@ -967,18 +967,21 @@ class PlanShapeSpec extends SparkSpec {
     // q_stats_kendallw's rank join is the bounded O(sources²) cross —
     // broadcast-pinned, so it must NOT read CartesianProduct either.
     for (n <- Seq("q_ts_pacf", "q_ts_ljungbox", "q_ts_mannkendall",
-        "q_ts_runs", "q_ts_durbinwatson", "q_stats_kendallw")) {
+        "q_ts_runs", "q_ts_durbinwatson", "q_stats_kendallw",
+        "q_ts_pettitt")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")
     }
   }
 
-  test("q_stats_fleiss is one joinless map-side-combined aggregate") {
-    val p = plan("q_stats_fleiss")
-    assert(!p.contains("Join"), p)
-    assert(!p.contains("Coalesce 1"), p)
-    assert(p.toLowerCase.contains("partial_count"), p)
+  test("q_stats_fleiss and q_stats_icc are joinless map-side-combined aggregates") {
+    for (n <- Seq("q_stats_fleiss", "q_stats_icc")) {
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n:\n$p")
+      assert(!p.contains("Coalesce 1"), s"$n:\n$p")
+      assert(p.toLowerCase.contains("partial_count"), s"$n:\n$p")
+    }
   }
 
   test("q_text_heaps collapses to prefix buckets — no word-grid join, no cartesian") {

@@ -876,6 +876,29 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.head.isNullAt(2), "zero residual SS must NULL d")
   }
 
+  test("Pettitt finds the earliest argmax change-point on the rising line") {
+    // tsDir y = 100, 300, 500: W = (−2, 0, +2) → U = (−2, −2, 0);
+    // K = 2 with a tie at x = 0 and x = 1 → earliest t* = 0, U = −2
+    val r = SparkEntry.queries("q_ts_pettitt")(spark, tsDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 3L)  // n_days
+    assert(r.head.getLong(1) === 2L)  // k_stat
+    assert(r.head.getLong(2) === 0L)  // t_star (earliest of the tie)
+    assert(r.head.getLong(3) === -2L) // u_star
+  }
+
+  test("ICC(1,1) matches the hand-expanded between/within decomposition") {
+    // cbDir items (7,1,15)/(14,2,30)/(21,3,45): R = 23,46,69,
+    // ΣR² = 7406, T = 138, Q = 3850 → B = 3174, W = 12432 →
+    // ICC = (6·3174 − 2·12432)/(6·3174 + 4·12432) = −5820/68772
+    val r = SparkEntry.queries("q_stats_icc")(spark, cbDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 3L)
+    val exp = BigDecimal(-5820.0 / 68772.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
+  }
+
   test("median-of-means agrees with the plain mean on the real fixture and buckets cover it") {
     // cross-check on real data: both estimators see the same corpus;
     // the bucket count is pinned and every row lands in some bucket

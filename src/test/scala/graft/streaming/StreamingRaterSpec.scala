@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming form of the rater-agreement family (q_stats_cochranq +
+  * q_stats_fleiss): a live monitor keeping the running integer sums
+  * (n, G_j, ΣL, ΣL², SP) per language in complete-mode aggregation
+  * state — every term is a DISTRIBUTIVE sum, so the state is O(langs)
+  * at any corpus size and each microbatch folds in with map-side
+  * combine. Pinned: (1) the streaming state table after each wave ≡
+  * the same aggregate computed in batch over exactly the rows seen so
+  * far, ACROSS A RESTART (counts neither lost nor doubled — the
+  * recovery contract); (2) Cochran's Q and Fleiss' κ derived from the
+  * live state ≡ the registered gates run in batch on the same prefix
+  * — the dashboard readout matches what a backfill would publish.
+  */
+class StreamingRaterSpec extends SparkSpec {
+
+  private def li = (col("n_chars") % 2 + expr("(n_chars div 3) % 2")
+    + expr("(n_chars div 7) % 2"))
+
+  private def raterSums(rows: DataFrame): DataFrame =
+    rows.select(col("lang"),
+        (col("n_chars") % 2).as("r1"),
+        expr("(n_chars div 3) % 2").as("r2"),
+        expr("(n_chars div 7) % 2").as("r3"), li.as("li"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("r1").as("g1"), sum("r2").as("g2"), sum("r3").as("g3"),
+        sum("li").as("nn"), sum(col("li") * col("li")).as("sl2"),
+        sum(col("li") * (col("li") - 1)
+          + (lit(3L) - col("li")) * (lit(2L) - col("li"))).as("sp"))
+
+  test("complete-mode rater state (Cochran Q + Fleiss kappa) ≡ batch, across a restart") {
+    val work = Files.createTempDirectory("graft_rater_stream").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val w1 = docs.filter(col("doc_id") % 2 === 0)
+    val w2 = docs.filter(col("doc_id") % 2 === 1)
+
+    def runWave(run: Int): DataFrame = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+      val q = raterSums(src).writeStream.outputMode("complete")
+        .format("memory").queryName(s"rater$run")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(s"rater$run")
+    }
+
+    def check(state: DataFrame, prefix: DataFrame, tag: String): Unit = {
+      // (1) the state IS the batch aggregate of the rows seen so far
+      val want = raterSums(prefix)
+      val drift = state.exceptAll(want).count() +
+        want.exceptAll(state).count()
+      assert(drift === 0, s"$tag: streaming state drifted from batch sums")
+      // (2) the gate readouts derived from live state ≡ the registered
+      // gates in batch on the same prefix
+      val dir = Files.createTempDirectory("rater_batch").toString
+      prefix.write.parquet(s"$dir/documents.parquet")
+      val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val derived = state.select(col("lang"),
+          when(lit(3L) * col("nn") - col("sl2") > 0,
+            round(lit(2.0)
+              * (lit(3L) * (col("g1") * col("g1") + col("g2") * col("g2")
+                + col("g3") * col("g3")) - col("nn") * col("nn"))
+                .cast("double")
+              / (lit(3L) * col("nn") - col("sl2")).cast("double"), 6))
+            .as("q6"),
+          when(lit(9L) * dc(col("n")) * col("n")
+              - (dc(col("nn")) * col("nn")
+                + (lit(3L) * dc(col("n")) - col("nn"))
+                  * (lit(3L) * dc(col("n")) - col("nn"))) =!= 0,
+            round((lit(3L) * dc(col("n")) * col("sp")
+              - lit(2L) * (dc(col("nn")) * col("nn")
+                + (lit(3L) * dc(col("n")) - col("nn"))
+                  * (lit(3L) * dc(col("n")) - col("nn")))).cast("double")
+              / (lit(2L) * (lit(9L) * dc(col("n")) * col("n")
+                - (dc(col("nn")) * col("nn")
+                  + (lit(3L) * dc(col("n")) - col("nn"))
+                    * (lit(3L) * dc(col("n")) - col("nn")))))
+                .cast("double"), 6)).as("kappa6"))
+        .collect().map(r => r.getString(0) ->
+          (Option(r.get(1)), Option(r.get(2)))).toMap
+      val gateQ = graft.SparkEntry.queries("q_stats_cochranq")(spark, dir)
+        .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+      val gateK = graft.SparkEntry.queries("q_stats_fleiss")(spark, dir)
+        .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+      assert(derived.keySet === gateQ.keySet, s"$tag: lang slices differ")
+      derived.foreach { case (lang, (q6, k6)) =>
+        assert(q6 === gateQ(lang), s"$tag/$lang: live Q drifted from gate")
+        assert(k6 === gateK(lang), s"$tag/$lang: live kappa drifted from gate")
+      }
+    }
+
+    w1.repartition(2).write.parquet(s"$work/in/p0")
+    check(runWave(0), w1, "wave1")
+    // RESTART: new file lands, the query restarts from the checkpoint;
+    // state must fold in only the new rows
+    w2.coalesce(1).write.parquet(s"$work/in/p1")
+    check(runWave(1), w1.unionByName(w2), "wave2-restart")
+  }
+}
