@@ -247,7 +247,16 @@ object Bench {
     "q_sim_recall_jl",
     "q_search_phrase",
     "q_graph_assort",
-    "q_graph_richclub")
+    "q_graph_richclub",
+    // round-19 births promoted PREEMPTIVELY at birth: quiet 7-rep
+    // medians 1.4-1.9 s with single-shot tails already past 2 s in the
+    // birth-day focus run (ljungbox max 2.75, durbinwatson 2.36,
+    // pettitt 2.75, kendallw 2.35 — BENCHFOCUS_r19 wave 2) — the
+    // bpe_coverage class, promoted before the close window can trip
+    // the sweep gate on them; pettitt (1.9) rides the 5-rep tier, the
+    // other three the 3-rep tail tier
+    "q_ts_ljungbox", "q_ts_durbinwatson", "q_ts_pettitt",
+    "q_stats_kendallw")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
