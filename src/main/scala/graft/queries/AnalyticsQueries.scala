@@ -1801,6 +1801,217 @@ object AnalyticsQueries {
            |FROM t JOIN u ON u.x = t.t_star CROSS JOIN nr""".stripMargin),
       "Pettitt change-point (exact integer rank statistic, O(days²))"),
 
+    // Paired sign test on week-over-week daily deltas — "did more days
+    // go up than down vs the same weekday last week?", the
+    // distribution-free paired check that needs NO variance model
+    // (the monitoring layer's first question after a deploy). Pairs
+    // come from the bounded day = day−7 equi-join; b (ups) and n
+    // (non-tied pairs) are exact integers and the continuity-corrected
+    // z = (2b−n∓1)/√n is one shared double expression. ANSI: zero
+    // non-tied pairs NULLs z; a dead-heat emits 0 exactly.
+    Q("q_stats_sign",
+      (s, d) => {
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        ser.as("a").join(broadcast(ser.as("b")),
+            col("b.day") === date_add(col("a.day"), 7))
+          .agg(sum(when(col("b.y") > col("a.y"), 1L).otherwise(0L))
+            .as("b_up"),
+            sum(when(col("b.y") =!= col("a.y"), 1L).otherwise(0L))
+              .as("n_pairs"))
+          .select(col("n_pairs"), col("b_up"),
+            when(col("n_pairs") > 0,
+              when(lit(2L) * col("b_up") > col("n_pairs"),
+                round((lit(2L) * col("b_up") - col("n_pairs") - 1)
+                  .cast("double")
+                  / sqrt(col("n_pairs").cast("double")), 6))
+              .when(lit(2L) * col("b_up") < col("n_pairs"),
+                round((lit(2L) * col("b_up") - col("n_pairs") + 1)
+                  .cast("double")
+                  / sqrt(col("n_pairs").cast("double")), 6))
+              .otherwise(lit(0.0))).as("z6"))
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |p AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END)
+           |          AS BIGINT) AS b_up,
+           |        CAST(sum(CASE WHEN b.y <> a.y THEN 1 ELSE 0 END)
+           |          AS BIGINT) AS n_pairs
+           |      FROM ser a JOIN ser b ON b.day = a.day + 7)
+           |SELECT n_pairs, b_up,
+           |  CASE WHEN n_pairs > 0 THEN
+           |    CASE WHEN 2 * b_up > n_pairs THEN
+           |           round(CAST(2 * b_up - n_pairs - 1 AS DOUBLE)
+           |             / sqrt(CAST(n_pairs AS DOUBLE)), 6)
+           |         WHEN 2 * b_up < n_pairs THEN
+           |           round(CAST(2 * b_up - n_pairs + 1 AS DOUBLE)
+           |             / sqrt(CAST(n_pairs AS DOUBLE)), 6)
+           |         ELSE 0.0 END
+           |  END AS z6
+           |FROM p""".stripMargin),
+      "paired sign test on week-over-week daily deltas (continuity z)"),
+
+    // Seasonal Mann-Kendall — the q_ts_mannkendall variant a series
+    // with a weekly cycle actually needs: S and its tie-corrected
+    // variance are computed WITHIN each weekday subseries (so the
+    // Sunday-vs-Monday level difference never masquerades as trend)
+    // and summed; z uses the same ±1 continuity correction. Pair
+    // joins are bounded O((days/7)²·7); everything is exact integers
+    // until the one shared z expression. ANSI: var ≤ 0 NULLs z.
+    Q("q_ts_seasonal_mk",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y"))
+          .select(col("day"), col("y"), dayofweek(col("day")).as("w")))
+        val sstat = ser.as("a").join(broadcast(ser.as("b")),
+            col("b.w") === col("a.w") && col("b.day") > col("a.day"))
+          .agg(sum(when(col("b.y") > col("a.y"), 1L)
+            .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s_stat"))
+        val varw = ser.groupBy("w").agg(count(lit(1)).as("nw"))
+          .agg(sum(dc(col("nw")) * (col("nw") - 1)
+            * (lit(2L) * col("nw") + 5)).as("vbase"))
+        val ties = ser.groupBy("w", "y").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(coalesce(sum(dc(col("c")) * (col("c") - 1)
+            * (lit(2L) * col("c") + 5)), lit(0L).cast("decimal(38,0)"))
+            .as("tie18"))
+        val n = ser.agg(count(lit(1)).as("n_days"))
+        sstat.crossJoin(broadcast(varw)).crossJoin(broadcast(ties))
+          .crossJoin(broadcast(n))
+          .select(col("n_days"), col("s_stat"),
+            (col("vbase") - col("tie18")).as("var18"))
+          .select(col("n_days"), col("s_stat"),
+            when(col("var18") > 0,
+              when(col("s_stat") > 0,
+                round((col("s_stat") - 1).cast("double")
+                  / sqrt(col("var18").cast("double") / 18.0), 6))
+              .when(col("s_stat") < 0,
+                round((col("s_stat") + 1).cast("double")
+                  / sqrt(col("var18").cast("double") / 18.0), 6))
+              .otherwise(lit(0.0))).as("z6"))
+      },
+      Some("""WITH ser AS (SELECT day, y, dayofweek(day) + 1 AS w
+           |      FROM (SELECT CAST(ts AS DATE) AS day,
+           |              CAST(sum(CAST(round(value * 100) AS BIGINT))
+           |                AS BIGINT) AS y
+           |            FROM events GROUP BY 1)),
+           |pr AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+           |                            WHEN b.y < a.y THEN -1
+           |                            ELSE 0 END) AS BIGINT) AS s_stat
+           |       FROM ser a JOIN ser b
+           |       ON b.w = a.w AND b.day > a.day),
+           |vb AS (SELECT sum(CAST(nw AS HUGEINT) * (nw - 1)
+           |           * (2 * nw + 5)) AS vbase
+           |       FROM (SELECT count(*) AS nw FROM ser GROUP BY w)),
+           |ti AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * (c - 1)
+           |                 * (2 * c + 5)), 0) AS tie18
+           |       FROM (SELECT count(*) AS c FROM ser GROUP BY w, y)
+           |       WHERE c > 1),
+           |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM ser),
+           |vr AS (SELECT n_days, s_stat, vbase - tie18 AS var18
+           |       FROM pr CROSS JOIN vb CROSS JOIN ti CROSS JOIN nr)
+           |SELECT n_days, s_stat,
+           |  CASE WHEN var18 > 0 THEN
+           |    CASE WHEN s_stat > 0 THEN
+           |           round(CAST(s_stat - 1 AS DOUBLE)
+           |             / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+           |         WHEN s_stat < 0 THEN
+           |           round(CAST(s_stat + 1 AS DOUBLE)
+           |             / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+           |         ELSE 0.0 END
+           |  END AS z6
+           |FROM vr""".stripMargin),
+      "seasonal (per-weekday) Mann-Kendall trend z over the daily series"),
+
+    // Partial correlation of event value and hour-of-day CONTROLLING
+    // for the day index — "is the intraday pattern real once the
+    // multi-day trend is held fixed?", the question a plain corr(x,y)
+    // answers wrongly whenever both drift. All three pairwise
+    // correlations come from ONE map-side-combined pass of exact
+    // integer moments (the n-scaled nΣab − ΣaΣb identities), and
+    // pcorr = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) is one shared
+    // double expression over them (IEEE ÷ and √ exactly rounded ⇒
+    // bit-equal engines). ANSI: any zero-variance margin or a
+    // perfectly trend-explained pair NULLs the readout.
+    Q("q_stats_partialcorr",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ev = t(s, d, "events").select(
+          cents(col("value")).as("x"),
+          hour(col("ts")).cast("long").as("yv"),
+          expr("unix_micros(ts) div 86400000000").as("z"))
+        val m = ev.agg(count(lit(1)).as("n"),
+          sum(dc(col("x"))).as("sx"), sum(dc(col("yv"))).as("sy"),
+          sum(dc(col("z"))).as("sz"),
+          sum(dc(col("x")) * col("x")).as("sxx"),
+          sum(dc(col("yv")) * col("yv")).as("syy"),
+          sum(dc(col("z")) * col("z")).as("szz"),
+          sum(dc(col("x")) * col("yv")).as("sxy"),
+          sum(dc(col("x")) * col("z")).as("sxz"),
+          sum(dc(col("yv")) * col("z")).as("syz"))
+        def cv(sab: String, sa: String, sb: String) =
+          (dc(col("n")) * col(sab) - col(sa) * col(sb)).cast("double")
+        def vv(saa: String, sa: String) =
+          (dc(col("n")) * col(saa) - col(sa) * col(sa)).cast("double")
+        val rxy = cv("sxy", "sx", "sy") /
+          sqrt(vv("sxx", "sx") * vv("syy", "sy"))
+        val rxz = cv("sxz", "sx", "sz") /
+          sqrt(vv("sxx", "sx") * vv("szz", "sz"))
+        val ryz = cv("syz", "sy", "sz") /
+          sqrt(vv("syy", "sy") * vv("szz", "sz"))
+        m.select(col("n").as("n_events"),
+          when(vv("sxx", "sx") > 0 && vv("syy", "sy") > 0 &&
+              vv("szz", "sz") > 0 &&
+              (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz) > 0,
+            round((rxy - rxz * ryz)
+              / sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)),
+              6)).as("pcorr6"))
+      },
+      Some("""WITH ev AS (SELECT
+           |        CAST(round(value * 100) AS BIGINT) AS x,
+           |        CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS yv,
+           |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS z
+           |      FROM events),
+           |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |        CAST(sum(x) AS HUGEINT) AS sx,
+           |        CAST(sum(yv) AS HUGEINT) AS sy,
+           |        CAST(sum(z) AS HUGEINT) AS sz,
+           |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |        sum(CAST(yv AS HUGEINT) * yv) AS syy,
+           |        sum(CAST(z AS HUGEINT) * z) AS szz,
+           |        sum(CAST(x AS HUGEINT) * yv) AS sxy,
+           |        sum(CAST(x AS HUGEINT) * z) AS sxz,
+           |        sum(CAST(yv AS HUGEINT) * z) AS syz
+           |      FROM ev),
+           |r AS (SELECT CAST(n AS BIGINT) AS n_events,
+           |        CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+           |        CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+           |        CAST(n * szz - sz * sz AS DOUBLE) AS vz,
+           |        CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+           |        CAST(n * sxz - sx * sz AS DOUBLE) AS cxz,
+           |        CAST(n * syz - sy * sz AS DOUBLE) AS cyz
+           |      FROM m)
+           |SELECT n_events,
+           |  CASE WHEN vx > 0 AND vy > 0 AND vz > 0
+           |            AND (1.0 - (cxz / sqrt(vx * vz))
+           |                   * (cxz / sqrt(vx * vz)))
+           |              * (1.0 - (cyz / sqrt(vy * vz))
+           |                   * (cyz / sqrt(vy * vz))) > 0 THEN
+           |    round((cxy / sqrt(vx * vy)
+           |        - (cxz / sqrt(vx * vz)) * (cyz / sqrt(vy * vz)))
+           |      / sqrt((1.0 - (cxz / sqrt(vx * vz))
+           |            * (cxz / sqrt(vx * vz)))
+           |          * (1.0 - (cyz / sqrt(vy * vz))
+           |            * (cyz / sqrt(vy * vz)))), 6)
+           |  END AS pcorr6
+           |FROM r""".stripMargin),
+      "partial correlation of value and hour controlling for day index"),
+
     // Median-of-means robust location for the event value — the
     // heavy-tail estimator sketching theory reaches for when a plain
     // mean is one adversarial record away from garbage: k=16

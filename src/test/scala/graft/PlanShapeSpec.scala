@@ -968,15 +968,15 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast-pinned, so it must NOT read CartesianProduct either.
     for (n <- Seq("q_ts_pacf", "q_ts_ljungbox", "q_ts_mannkendall",
         "q_ts_runs", "q_ts_durbinwatson", "q_stats_kendallw",
-        "q_ts_pettitt")) {
+        "q_ts_pettitt", "q_stats_sign", "q_ts_seasonal_mk")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")
     }
   }
 
-  test("q_stats_fleiss and q_stats_icc are joinless map-side-combined aggregates") {
-    for (n <- Seq("q_stats_fleiss", "q_stats_icc")) {
+  test("q_stats_fleiss, q_stats_icc, q_stats_partialcorr are joinless map-side-combined aggregates") {
+    for (n <- Seq("q_stats_fleiss", "q_stats_icc", "q_stats_partialcorr")) {
       val p = plan(n)
       assert(!p.contains("Join"), s"$n:\n$p")
       assert(!p.contains("Coalesce 1"), s"$n:\n$p")

@@ -899,6 +899,66 @@ class StatsGatesSpec extends SparkSpec {
     assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
   }
 
+  private lazy val wkDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("wkfix").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 12:00:00")
+    // 15 rising days: 7 week-over-week pairs all up (sign test on the
+    // first 14), and per-weekday MK has one 3-obs weekday (S=3,
+    // var18=66) + six 2-obs weekdays (S=1, var18=18 each)
+    val ev = (0 until 15).map(day =>
+      (day.toLong, ts(day), 1L, "a", (day + 1) * 1.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("sign test: 8 all-up week-over-week pairs give the continuity z") {
+    // 15 days → pairs (d, d+7) for d = 0..7: 8 pairs, all up →
+    // z = (16 − 8 − 1)/√8
+    val r = SparkEntry.queries("q_stats_sign")(spark, wkDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 8L) // n_pairs
+    assert(r.head.getLong(1) === 8L) // b_up
+    val exp = BigDecimal(7.0 / math.sqrt(8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
+  }
+
+  test("seasonal Mann-Kendall sums the per-weekday S and variances") {
+    // S = 3 + 6·1 = 9; var18 = 66 + 6·18 = 174 → z = 8/√(174/18)
+    val r = SparkEntry.queries("q_ts_seasonal_mk")(spark, wkDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 15L) // n_days
+    assert(r.head.getLong(1) === 9L)  // s_stat
+    val exp = BigDecimal(8.0 / math.sqrt(174.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
+  }
+
+  private lazy val pcDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("pcfix").toString
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-0${day + 1}%01d $h%02d:00:00")
+    // value cents == hour exactly (x = y), days 0,0,1,1 as the control:
+    // r_xy = 1 and r_xz = r_yz, so pcorr = (1−r²)/(1−r²) = 1 exactly
+    val ev = Seq(
+      (1L, ts(0, 1), 1L, "a", 0.01, "{}"),
+      (2L, ts(0, 2), 1L, "a", 0.02, "{}"),
+      (3L, ts(1, 3), 1L, "a", 0.03, "{}"),
+      (4L, ts(1, 4), 1L, "a", 0.04, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("partial correlation is exactly 1 when x = y regardless of the control") {
+    val r = SparkEntry.queries("q_stats_partialcorr")(spark, pcDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 4L)
+    assert(r.head.getDouble(1) === 1.0)
+  }
+
   test("median-of-means agrees with the plain mean on the real fixture and buckets cover it") {
     // cross-check on real data: both estimators see the same corpus;
     // the bucket count is pinned and every row lands in some bucket
