@@ -256,7 +256,12 @@ object Bench {
     // the sweep gate on them; pettitt (1.9) rides the 5-rep tier, the
     // other three the 3-rep tail tier
     "q_ts_ljungbox", "q_ts_durbinwatson", "q_ts_pettitt",
-    "q_stats_kendallw")
+    "q_stats_kendallw",
+    // round-19 second close window: q_embed_pca_apply single-shot at
+    // 2.03 s with a tight quiet 7-rep median of 1.537 (1.51..1.90,
+    // BENCHFOCUS_r19 wave 5) — the bpe_coverage class, promoted per
+    // the standing sweep-gate rule with a conservative 1.6 baseline
+    "q_embed_pca_apply")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
