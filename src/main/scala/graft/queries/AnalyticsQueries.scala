@@ -1338,8 +1338,14 @@ object AnalyticsQueries {
     // (a+a)/2 = a exactly). The collected list is the O(days²) bounded
     // pair set — the same single-buffer boundedness the percentile
     // aggregate already had, never corpus-scale.
-    // ANSI: a single-day corpus NULLs both (try_element_at / DuckDB
-    // out-of-range list index both read NULL on the empty list).
+    // ANSI: a single-day corpus NULLs both — but NOT for free on the
+    // Spark side: n_pairs = 0 makes the lower index (n_pairs+1) div 2
+    // evaluate to 0 and try_element_at THROWS INVALID_INDEX_OF_ZERO
+    // (index 0 is an error, not a NULL, on Spark 4.1.2), so it is
+    // nullif-guarded to NULL explicitly; the upper index is then 1,
+    // which reads NULL out-of-range on the empty list, and DuckDB's
+    // ls[0] reads NULL natively (r19 ADVICE, single-day fixture in
+    // StatsGatesSpec).
     Q("q_ts_theilsen",
       (s, d) => {
         val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
@@ -1362,7 +1368,8 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_pairs"),
             sort_array(collect_list(col("sl"))).as("ls"))
           .select(col("n_pairs"),
-            round((expr("try_element_at(ls, CAST((n_pairs + 1) div 2 AS INT))")
+            round((expr(
+                "try_element_at(ls, CAST(nullif((n_pairs + 1) div 2, 0) AS INT))")
               + expr("try_element_at(ls, CAST((n_pairs + 2) div 2 AS INT))"))
               / 2.0, 6).as("slope6"))
         sx.crossJoin(broadcast(m))

@@ -656,6 +656,24 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.head.getDouble(3) === 100.0)
   }
 
+  test("Theil-Sen on a single-day corpus NULLs slope and intercept, no throw") {
+    // n_pairs = 0 makes the lower median index 0 — unguarded,
+    // try_element_at(ls, 0) throws INVALID_INDEX_OF_ZERO on Spark 4.1.2
+    // while DuckDB's ls[0] reads NULL (r19 ADVICE); the nullif guard
+    // converges both engines on a single all-NULL-stats row
+    val d = java.nio.file.Files.createTempDirectory("ts1fix").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "a",
+        1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("q_ts_theilsen")(spark, d).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 1L) // n_days
+    assert(r.head.getLong(1) === 0L) // n_pairs
+    assert(r.head.isNullAt(2), "slope6 must be NULL on a single day")
+    assert(r.head.isNullAt(3), "intercept6 must be NULL on a single day")
+  }
+
   test("Mann-Kendall recovers the all-increasing hand case with no ties") {
     // tsDir: daily cents 100, 300, 500 — all 3 pairs increase so S = 3;
     // no ties, Var(S)·18 = 3·2·11 = 66, z = (3−1)/√(66/18) = 1.044466
