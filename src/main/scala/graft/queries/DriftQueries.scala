@@ -22,6 +22,54 @@ object DriftQueries {
   val DriftMinCount = 5 // divergent-term support floor
   val DriftTopK = 15    // divergent terms reported per slice
 
+  /** Welch-ANOVA's one shared double formula, rendered verbatim into
+    * BOTH engines' final projection (the durbinLevinson one-template
+    * pattern): identical expression tree over identical exact integers
+    * ⇒ bit-identical F/df2. Inputs are the aggregate's fixed-point
+    * carries: w9t = Σw_i·1e9, sm6 = Σw_im_i·1e6, smm3 = Σw_im_i²·1e3,
+    * i9/wi9/w2i9 = the three Λ-expansion sums at 1e9. */
+  private val WelchAnovaLam: String =
+    "(CAST(i9 AS DOUBLE) / 1e9" +
+      " - 2.0 * (CAST(wi9 AS DOUBLE) / 1e9) / (CAST(w9t AS DOUBLE) / 1e9)" +
+      " + (CAST(w2i9 AS DOUBLE) / 1e9)" +
+      " / ((CAST(w9t AS DOUBLE) / 1e9) * (CAST(w9t AS DOUBLE) / 1e9)))"
+  private val WelchAnovaF: String =
+    "round(CASE WHEN k > 1 THEN ((CAST(smm3 AS DOUBLE) / 1e3" +
+      " - (CAST(sm6 AS DOUBLE) / 1e6) * (CAST(sm6 AS DOUBLE) / 1e6)" +
+      " / (CAST(w9t AS DOUBLE) / 1e9)) / (CAST(k AS DOUBLE) - 1.0))" +
+      s" / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0) * $WelchAnovaLam" +
+      " / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) END, 6) AS f6"
+  private val WelchAnovaDf2: String =
+    s"round(CASE WHEN k > 1 AND $WelchAnovaLam > 0 THEN" +
+      " (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)" +
+      s" / (3.0 * $WelchAnovaLam) END, 6) AS df2_6"
+
+  /** Brunner-Munzel's shared double formulas (same one-template
+    * discipline). Inputs per slice: tan = n_a·B_a − A_a² and
+    * tbn = n_b·B_b − A_b² (the exact integer numerators of
+    * 4(n−1)·n·S², from the doubled rank-difference moments), sra2/
+    * srb2 = doubled global-midrank sums. sA = tan/(n_a−1) is 4·n_aS_a²
+    * as a double, so n_1S_1²+n_2S_2² = (sA+sB)/4 and the 2s/4s cancel
+    * in T, p̂ and df exactly as written. */
+  private val BmS: String =
+    "(CAST(tan AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0)" +
+      " + CAST(tbn AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0))"
+  private val BmPhat: String =
+    "round(CAST(srb2 - n_b * (n_b + 1) AS DOUBLE)" +
+      " / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS phat6"
+  private val BmT: String =
+    s"round(CASE WHEN $BmS > 0 THEN" +
+      " CAST(srb2 * n_a - sra2 * n_b AS DOUBLE)" +
+      s" / (CAST(nn AS DOUBLE) * sqrt($BmS)) END, 6) AS t6"
+  private val BmDf: String =
+    s"round(CASE WHEN $BmS > 0 THEN ($BmS) * ($BmS)" +
+      " / ((CAST(tan AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0))" +
+      " * (CAST(tan AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0))" +
+      " / (CAST(n_a AS DOUBLE) - 1.0)" +
+      " + (CAST(tbn AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0))" +
+      " * (CAST(tbn AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0))" +
+      " / (CAST(n_b AS DOUBLE) - 1.0)) END, 6) AS df6"
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame = {
     val df = Tables.load(s, dir, n)
     if (n == "documents") Tables.ensureParallelism(df) else df
@@ -623,6 +671,124 @@ object DriftQueries {
            |FROM u WHERE nb > 0
            |GROUP BY source, na, nb""".stripMargin),
       "Cliff's delta per slice vs rest (doubled-U identity, n-free effect size)"),
+
+    // Brunner-Munzel per slice vs rest — the rank test you run INSTEAD
+    // of Mann-Whitney when the two groups may differ in SHAPE as well
+    // as location (MW's variance assumes exchangeability under H0;
+    // BM's studentized statistic is valid under heteroscedastic,
+    // differently-skewed groups — the heteroscedastic completion of
+    // the rank family, as q_stats_welch_anova is of the ANOVA family).
+    // Everything rides the SAME bounded (source, n_chars) grid chain
+    // as q_ab_mannwhitney, in DOUBLED midranks so ties stay integer:
+    // global 2·r(v) = 2·cumt − ct + 1, and the rank-difference
+    // d = r − r_intra doubles to ua = 2(cumt−cuma) − (ct−ca) for the
+    // slice and ub = 2·cuma − ca for the rest (per-value integers, so
+    // the moment sums A_g = Σc·u, B_g = Σc·u² are exact DECIMAL
+    // integers; Σd̄ terms cancel via n·B − A² = 4n(n−1)·S²).
+    // p̂ = P(X<Y)+½P(X=Y) = (srb2 − n_b(n_b+1))/(2n_an_b) is an exact
+    // rational; T = n_1n_2(R̄_2−R̄_1)/(N√(n_1S_1²+n_2S_2²)) and the
+    // Satterthwaite df reduce to ONE formula template over the exact
+    // integers, shared verbatim by both engines (every 2/4 scale
+    // factor cancels — see [[BmS]]). srb2 derives from the rank-sum
+    // identity Σ2r = N(N+1), so only the slice's own sum is
+    // aggregated. DECIMAL38 bound: A_g² ≤ 4N⁴ caps the corpus at
+    // ~10⁹ documents (the q_drift_jarquebera convention — documented,
+    // not silently wrong). ANSI: complete separation or all-tied
+    // groups make S₁²+S₂² = 0 and NULL both T and df (the known BM
+    // degeneracy); slices need n ≥ 2 on both sides.
+    Q("q_ab_brunnermunzel",
+      (s, d) => {
+        val vc = t(s, d, "documents").select(col("source"), col("n_chars"))
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val grid = vc.select("source").distinct()
+          .crossJoin(vc.select("n_chars").distinct())
+          .join(vc, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+        val wG = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gcum = vc.groupBy("n_chars").agg(sum("c").as("ct"))
+          .select(col("n_chars"), col("ct"),
+            sum("ct").over(wG).as("cumt"))
+        val na = vc.groupBy("source").agg(sum("c").as("na"))
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        grid
+          .select(col("source"), col("n_chars"),
+            col("c").as("ca"),
+            sum("c").over(Window.partitionBy("source").orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("cuma"))
+          .join(gcum, "n_chars").join(na, "source")
+          .crossJoin(broadcast(vc.agg(sum("c").as("nn"))))
+          .select(col("source"), col("na"), (col("nn") - col("na")).as("nb"),
+            col("nn"), col("ca"), (col("ct") - col("ca")).as("cb"),
+            (lit(2) * (col("cumt") - col("cuma"))
+              - (col("ct") - col("ca"))).as("ua"),
+            (lit(2) * col("cuma") - col("ca")).as("ub"),
+            (lit(2) * col("cumt") - col("ct") + 1).as("mr2"))
+          .groupBy("source", "na", "nb", "nn")
+          .agg(sum(dc(col("ca")) * col("ua")).as("aa"),
+            sum(dc(col("ca")) * col("ua") * col("ua")).as("ba"),
+            sum(dc(col("cb")) * col("ub")).as("abt"),
+            sum(dc(col("cb")) * col("ub") * col("ub")).as("bbt"),
+            sum(dc(col("ca")) * col("mr2")).as("sra2"))
+          .filter(col("na") >= 2 && col("nb") >= 2)
+          .selectExpr("source", "CAST(na AS BIGINT) AS n_a",
+            "CAST(nb AS BIGINT) AS n_b", "CAST(nn AS BIGINT) AS nn",
+            "CAST(na AS DECIMAL(38,0)) * ba - aa * aa AS tan",
+            "CAST(nb AS DECIMAL(38,0)) * bbt - abt * abt AS tbn",
+            "sra2",
+            "CAST(nn AS DECIMAL(38,0)) * (nn + 1) - sra2 AS srb2")
+          .selectExpr("source", "n_a", "n_b", BmPhat, BmT, BmDf)
+      },
+      Some("""WITH vc AS (SELECT source, n_chars, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |grid AS (SELECT s.source, v.n_chars, coalesce(vc.c, 0) AS c
+           |         FROM (SELECT DISTINCT source FROM vc) s
+           |         CROSS JOIN (SELECT DISTINCT n_chars FROM vc) v
+           |         LEFT JOIN vc ON vc.source = s.source
+           |           AND vc.n_chars = v.n_chars),
+           |cum AS (SELECT source, n_chars, c AS ca,
+           |          CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |            AS BIGINT) AS cuma
+           |        FROM grid),
+           |gcum AS (SELECT n_chars, ct,
+           |           CAST(sum(ct) OVER (ORDER BY n_chars
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |             AS BIGINT) AS cumt
+           |         FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS ct
+           |               FROM vc GROUP BY n_chars)),
+           |na AS (SELECT source, CAST(sum(c) AS BIGINT) AS na
+           |       FROM vc GROUP BY source),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM vc),
+           |u AS (SELECT cum.source, na.na, nn.nn - na.na AS nb, nn.nn,
+           |        CAST(cum.ca AS HUGEINT) AS ca,
+           |        CAST(gcum.ct - cum.ca AS HUGEINT) AS cb,
+           |        CAST(2 * (gcum.cumt - cum.cuma)
+           |          - (gcum.ct - cum.ca) AS HUGEINT) AS ua,
+           |        CAST(2 * cum.cuma - cum.ca AS HUGEINT) AS ub,
+           |        CAST(2 * gcum.cumt - gcum.ct + 1 AS HUGEINT) AS mr2
+           |      FROM cum JOIN gcum USING (n_chars)
+           |        JOIN na USING (source) CROSS JOIN nn),
+           |agg AS (SELECT source, na, nb, nn,
+           |          sum(ca * ua) AS aa, sum(ca * ua * ua) AS ba,
+           |          sum(cb * ub) AS abt, sum(cb * ub * ub) AS bbt,
+           |          sum(ca * mr2) AS sra2
+           |        FROM u WHERE na >= 2 AND nb >= 2
+           |        GROUP BY source, na, nb, nn),
+           |fin AS (SELECT source, CAST(na AS BIGINT) AS n_a,
+           |          CAST(nb AS BIGINT) AS n_b, CAST(nn AS BIGINT) AS nn,
+           |          CAST(na AS HUGEINT) * ba - aa * aa AS tan,
+           |          CAST(nb AS HUGEINT) * bbt - abt * abt AS tbn,
+           |          sra2,
+           |          CAST(nn AS HUGEINT) * (nn + 1) - sra2 AS srb2
+           |        FROM agg)
+           |SELECT source, n_a, n_b, PHAT_EXPR, T_EXPR, DF_EXPR FROM fin"""
+        .stripMargin
+        .replace("PHAT_EXPR", BmPhat)
+        .replace("T_EXPR", BmT)
+        .replace("DF_EXPR", BmDf)),
+      "Brunner-Munzel studentized rank test per slice vs rest (doubled-midrank exact moments)"),
 
     // Term burstiness (Church & Gale): variance-to-mean ratio of the
     // per-document count of each top-DriftTopK·2 term, zeros included.
@@ -1247,6 +1413,91 @@ object DriftQueries {
            |  END AS chi2_6
            |FROM sp""".stripMargin),
       "Bartlett variance-homogeneity chi-square across slices (fixed-point log carries)"),
+
+    // Welch's heteroscedastic one-way ANOVA across slices — "do the
+    // source mean lengths differ?" WITHOUT the equal-variance
+    // assumption Fisher's F needs: the k-group completion of the
+    // heteroscedastic family next to q_ab_welch (two-group) and the
+    // dispersion tests (q_stats_bartlett / Brown-Forsythe decide
+    // WHETHER variances differ; Welch-ANOVA is the mean test you run
+    // when they do). Everything is exact until one shared double
+    // formula: per group, w_i = n_i/s_i² = n_i²(n_i−1)/(n_iQ_i−S_i²)
+    // is an exact rational floored ONCE to 1e-9 fixed point (the
+    // bartlett inv_ppb carry), then w_i·m_i and w_i·m_i² chain through
+    // the same integer-division carry (wm6 at 1e-6, wmm3 at 1e-3 — all
+    // operands nonnegative, so Spark `div` ≡ DuckDB `//`), and the
+    // numerator A = Σw_im_i² − (Σw_im_i)²/W needs no m̄ join-back at
+    // all. Λ = Σ(1−w_i/W)²/(n_i−1) expands to three more integer
+    // carries (Σ1/(n_i−1), Σw_i/(n_i−1), Σw_i²/(n_i−1) at 1e-9).
+    // F = A/(k−1) / (1 + 2(k−2)Λ/(k²−1)) and df2 = (k²−1)/(3Λ) are
+    // rendered from ONE formula template shared verbatim by both
+    // engines (the durbinLevinson pattern) — bit-exact by
+    // construction. Joinless two-level aggregate, O(slices)
+    // intermediate. ANSI: k ≤ 1 NULLs F; Λ = 0 additionally NULLs df2.
+    Q("q_stats_welch_anova",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val g = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("ng"), sum(dc(col("n_chars"))).as("sg"),
+            sum(dc(col("n_chars")) * col("n_chars")).as("qg"))
+          .filter(col("ng") >= 2 &&
+            dc(col("ng")) * col("qg") > col("sg") * col("sg"))
+          .select(col("ng"), col("sg"),
+            (dc(col("ng")) * col("qg") - col("sg") * col("sg")).as("dg"))
+          .selectExpr("ng", "sg",
+            "(CAST(ng AS DECIMAL(38,0)) * ng * (ng - 1) * 1000000000)" +
+              " div dg AS w9")
+          .selectExpr("ng", "sg", "w9",
+            "(CAST(w9 AS DECIMAL(38,0)) * sg)" +
+              " div (CAST(ng AS DECIMAL(38,0)) * 1000) AS wm6",
+            "1000000000 div (ng - 1) AS inv9",
+            "w9 div (ng - 1) AS winv9",
+            "(CAST(w9 AS DECIMAL(38,0)) * w9)" +
+              " div (CAST(ng - 1 AS DECIMAL(38,0)) * 1000000000) AS w2inv9")
+          .selectExpr("ng", "w9", "wm6", "inv9", "winv9", "w2inv9",
+            "(CAST(wm6 AS DECIMAL(38,0)) * sg)" +
+              " div (CAST(ng AS DECIMAL(38,0)) * 1000) AS wmm3")
+        g.agg(count(lit(1)).as("k"), sum("ng").as("nn"),
+            sum(dc(col("w9"))).as("w9t"), sum(dc(col("wm6"))).as("sm6"),
+            sum(dc(col("wmm3"))).as("smm3"), sum(dc(col("inv9"))).as("i9"),
+            sum(dc(col("winv9"))).as("wi9"),
+            sum(dc(col("w2inv9"))).as("w2i9"))
+          .selectExpr("CAST(k AS BIGINT) AS k", "CAST(nn AS BIGINT) AS nn",
+            WelchAnovaF, WelchAnovaDf2)
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+           |        sum(CAST(n_chars AS HUGEINT)) AS sg,
+           |        sum(CAST(n_chars AS HUGEINT) * n_chars) AS qg
+           |      FROM documents GROUP BY source),
+           |q AS (SELECT ng, sg, CAST(ng AS HUGEINT) * qg - sg * sg AS dg
+           |      FROM g
+           |      WHERE ng >= 2 AND CAST(ng AS HUGEINT) * qg > sg * sg),
+           |w AS (SELECT ng, sg,
+           |        (CAST(ng AS HUGEINT) * ng * (ng - 1) * 1000000000)
+           |          // dg AS w9
+           |      FROM q),
+           |x AS (SELECT ng, sg, w9,
+           |        (w9 * sg) // (CAST(ng AS HUGEINT) * 1000) AS wm6,
+           |        1000000000 // (ng - 1) AS inv9,
+           |        w9 // (ng - 1) AS winv9,
+           |        (w9 * w9) // (CAST(ng - 1 AS HUGEINT) * 1000000000)
+           |          AS w2inv9
+           |      FROM w),
+           |y AS (SELECT ng, w9, wm6, inv9, winv9, w2inv9,
+           |        (wm6 * sg) // (CAST(ng AS HUGEINT) * 1000) AS wmm3
+           |      FROM x),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |          CAST(sum(ng) AS BIGINT) AS nn,
+           |          sum(w9) AS w9t, sum(wm6) AS sm6, sum(wmm3) AS smm3,
+           |          sum(inv9) AS i9, sum(winv9) AS wi9,
+           |          sum(w2inv9) AS w2i9
+           |        FROM y)
+           |SELECT k, nn, F_EXPR, DF2_EXPR FROM agg"""
+        .stripMargin
+        .replace("F_EXPR", WelchAnovaF)
+        .replace("DF2_EXPR", WelchAnovaDf2)),
+      "Welch heteroscedastic one-way ANOVA across slices (exact fixed-point weight carries)"),
 
     // Cochran-Armitage trend test: is the lang='en' rate MONOTONICALLY
     // trending across ordered doc-length bins? — the ordered-alternative

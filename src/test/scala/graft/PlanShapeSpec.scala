@@ -929,6 +929,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_welch_anova is a joinless two-level aggregate like bartlett") {
+    val p = plan("q_stats_welch_anova")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Coalesce 1"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
+  test("q_ab_brunnermunzel rides the mannwhitney grid — no corpus sort, no cartesian") {
+    // the corpus pass is the bounded (source, n_chars) rollup; windows
+    // and the dense grid live on the O(slices × distinct-values) table
+    val p = plan("q_ab_brunnermunzel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
+  }
+
   test("q_stats_cramersv builds its bounded grid with broadcasts only") {
     val p = plan("q_stats_cramersv")
     assert(!p.contains("CartesianProduct"), p)

@@ -508,6 +508,75 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.head.getDouble(2) === 0.0)
   }
 
+  private lazy val waDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("wafix").toString
+    // a = {1,2,3}: n=3, S=6, Q=14, D=6, s²=1, w=3, m=2;
+    // b = {4,6}:   n=2, S=10, Q=52, D=4, s²=2, w=1, m=5.
+    // W=4, Σwm=11, Σwm²=37 → A = (37 − 121/4)/(k−1) = 6.75;
+    // Λ = (1−3/4)²/2 + (1−1/4)²/1 = 0.59375 (every fixed-point carry
+    // lands EXACT: w9 3e9/1e9, wm6 6e6/5e6, wmm3 12e3/25e3, Λ sums
+    // 1.5/2.5/5.5); k=2 → B=1, F = 6.75 exactly;
+    // df2 = 3/(3·0.59375) = 32/19 = 1.684211 @6. The singleton group
+    // "c" (n=1, no variance) must be EXCLUDED so k=2, nn=5.
+    Seq((0L, "a", 1), (1L, "a", 2), (2L, "a", 3),
+      (3L, "b", 4), (4L, "b", 6),
+      (5L, "c", 9))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Welch-ANOVA recovers the exact hand F and Satterthwaite df2") {
+    val r = SparkEntry.queries("q_stats_welch_anova")(spark, waDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 2L) // k: singleton group excluded
+    assert(r.head.getLong(1) === 5L) // nn counts qualifying groups only
+    assert(r.head.getDouble(2) === 6.75)
+    assert(r.head.getDouble(3) === 1.684211)
+  }
+
+  private lazy val bmDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("bmfix").toString
+    // interleaved a = {1,3} vs b = {2,4}: global doubled midranks
+    // 2,4,6,8. Slice a: ua = (0,2) → A=2, B=4, tan = 2·4−4 = 4;
+    // rest:  ub = (2,4) → A=6, B=20, tbn = 2·20−36 = 4; sra2 = 8,
+    // srb2 = N(N+1)−8 = 12. p̂ = (12−6)/8 = 0.75 (3 of 4 cross pairs
+    // have a < b, no ties); T = (12·2−8·2)/(4·√8) = 1/√2 = 0.707107;
+    // df = (2+2)²/(2²+2²)·(n−1 scale cancels) = 2. Source b is the
+    // mirror: p̂ 0.25, T −0.707107, same df.
+    Seq((0L, "a", 1), (1L, "a", 3), (2L, "b", 2), (3L, "b", 4))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Brunner-Munzel recovers the hand p-hat, studentized T and Satterthwaite df") {
+    val r = SparkEntry.queries("q_ab_brunnermunzel")(spark, bmDir)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5))).toMap
+    assert(r.keySet === Set("a", "b"))
+    assert(r("a") === ((2L, 2L, 0.75, 0.707107, 2.0)))
+    assert(r("b") === ((2L, 2L, 0.25, -0.707107, 2.0)))
+  }
+
+  test("Brunner-Munzel NULLs T and df at complete separation (S1+S2 = 0)") {
+    // a = {1,2} entirely below b = {3,4}: every rank difference is
+    // constant within each group, the variance estimate is 0 and the
+    // statistic is undefined — the documented BM degeneracy must read
+    // NULL, not throw or divide by zero. p-hat is still exact: 1.0.
+    val d = java.nio.file.Files.createTempDirectory("bmsep").toString
+    Seq((0L, "a", 1), (1L, "a", 2), (2L, "b", 3), (3L, "b", 4))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_ab_brunnermunzel")(spark, d)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getDouble(3) === 1.0) // P(a < b) = 1
+    assert(r("a").isNullAt(4) && r("a").isNullAt(5))
+    assert(r("b").getDouble(3) === 0.0)
+    assert(r("b").isNullAt(4) && r("b").isNullAt(5))
+  }
+
   private lazy val chDir: String = {
     val d = java.nio.file.Files.createTempDirectory("chfix").toString
     // counts a:1 b:1 c:2 d:2 e:3 -> S=5, f1=2, f2=2,
