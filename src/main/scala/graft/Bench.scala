@@ -261,7 +261,12 @@ object Bench {
     // 2.03 s with a tight quiet 7-rep median of 1.537 (1.51..1.90,
     // BENCHFOCUS_r19 wave 5) — the bpe_coverage class, promoted per
     // the standing sweep-gate rule with a conservative 1.6 baseline
-    "q_embed_pca_apply")
+    "q_embed_pca_apply",
+    // round-20 birth: Brunner-Munzel runs the mannwhitney grid chain
+    // with five moment aggregates — genuine ~2.9 s (7-rep median at
+    // birth, control-elevated window, BENCHFOCUS_r20) — promoted at
+    // birth per the ≥2 s rule with a max-rule 2.9 baseline
+    "q_ab_brunnermunzel")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
@@ -393,6 +398,48 @@ object Bench {
   private[graft] def demoteForWindow(c: String): String =
     c.replace("regression", "window-suspect")
 
+  /** Second gauge (r19 verdict #1): the 1-minute `/proc/loadavg`
+    * reading, stamped at every sentinel point. The CPU-burn sentinel
+    * measures compute-slot contention only — five consecutive rounds
+    * (r15–r19) the streaming `ref_` rows fired the comparator all-noise
+    * while the sentinel read the window quiet and `uptime` 1-min load
+    * sat at 6–17: the streaming topologies (RocksDB state stores, file
+    * channels, microbatch scheduling) feel bursty/IO load that a pure
+    * CPU burn undercounts, and loadavg counts exactly that (runnable
+    * PLUS uninterruptible/IO-wait tasks). −1 when the file is absent
+    * (non-Linux box) — treated as no sample. */
+  private[graft] def loadavgOnce(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Window classification from the loadavg vector. Unlike the CPU
+    * sentinel there is no spread test — the bench's own phases swing
+    * the box's load legitimately AND substantially (measured on a
+    * quiet box 2026-08-16: the sf0.1 run alone drives 1-min loadavg
+    * 5.3–17.7 across its phases), so neither min nor spread carries
+    * signal. The phase structure is reproducible run-to-run, which
+    * makes the run MEDIAN the stable profile statistic: "loaded" when
+    * the median sample exceeds 1.5× the calibrated quiet-run median
+    * (`_loadavg_quiet` in tools/adjudicated.json, 10.7 from that same
+    * measured run — co-tenant load ADDS to every sample, shifting the
+    * median by its sustained contribution). The 0.5 floor keeps an
+    * absurdly low calibration from hair-triggering. No baseline or <2
+    * valid samples = "unknown" (fail open — this gauge only ever
+    * DEMOTES, never un-demotes). */
+  private[graft] def loadWindowState(loads: Seq[Double],
+                                     quiet: Option[Double]): String = {
+    val valid = loads.filter(_ >= 0.0)
+    if (valid.size < 2) "unknown"
+    else quiet match {
+      case Some(q) =>
+        val med = valid.sorted.apply(valid.size / 2)
+        if (med > 1.5 * math.max(q, 0.5)) "loaded" else "quiet"
+      case None => "unknown"
+    }
+  }
+
   /** Tail tier (r18 verdict #6): headline rows whose adjudicated quiet
     * median is sub-1.6 s were promoted only so the MEDIAN absorbs
     * single-shot sweep tails (the bpe_coverage class) — 3 reps keep
@@ -400,33 +447,61 @@ object Bench {
     * the cost. Rows without a baseline, and all genuine multi-second
     * rows, keep the full 5. */
   private[graft] val TailTierBar = 1.6
+  private[graft] val TailReps = 3
   private[graft] def repsFor(name: String,
                              baselines: Map[String, Double]): Int =
-    if (baselines.get(name).exists(_ < TailTierBar)) 3 else 5
+    if (baselines.get(name).exists(_ < TailTierBar)) TailReps else 5
 
   /** The full `target/bench_runs.json` line — extracted so its shape is
     * spec-pinned (BenchForensicsSpec) and can't silently rot: top-level
-    * `reps`/`sf`/`window`/`sentinel`/`runs`/`flags`, runs mapping each
-    * query to its raw per-rep vector, flags carrying [[classifyRow]]'s
-    * classification for exactly the flagged queries — demoted via
-    * [[demoteForWindow]] when the sentinel vector classifies the
-    * window "loaded" (quiet baseline read from the `_sentinel_quiet`
-    * row of the baselines map). */
+    * `reps`/`tail_reps`/`tail_tier`/`sf`/`window`/`window_load`/
+    * `sentinel`/`loadavg`/`episode_n`/`runs`/`flags`. `runs` maps each
+    * query to its raw per-rep vector; `tail_tier` names the rows that
+    * ran `tail_reps` (= 3) instead of `reps` so forensics tooling never
+    * assumes 5-length vectors (`ref_` rows are 1-shot by contract —
+    * r19 ADVICE). `flags` carries [[classifyRow]]'s classification for
+    * exactly the flagged queries, demoted via [[demoteForWindow]] when
+    * the CPU sentinel classifies the window "loaded" — and for `ref_`
+    * rows ALSO when the loadavg gauge does (`window_load`), because
+    * the streaming workloads feel IO/bursty load the CPU burn is blind
+    * to (r19 verdict #1: demote on EITHER gauge). In a loaded window,
+    * pure intra-vector flags ("episode"/"scattered" with no demoted-
+    * regression half) collapse to the `episode_n` count — they are
+    * load evidence the stamp already states, and listing them buries
+    * the demoted-flag set that actually needs reading (r19 verdict
+    * #7). */
   private[graft] def benchRunsJson(reps: Int, sfDir: String,
                                    rawRuns: Seq[(String, Seq[Double])],
                                    baselines: Map[String, Double] = Map.empty,
-                                   sentinels: Seq[Double] = Nil): String = {
+                                   sentinels: Seq[Double] = Nil,
+                                   loadavgs: Seq[Double] = Nil): String = {
     val window = windowState(sentinels, baselines.get("_sentinel_quiet"))
+    val windowLoad =
+      loadWindowState(loadavgs, baselines.get("_loadavg_quiet"))
+    val tailTier = rawRuns.collect { case (k, _)
+      if !k.startsWith("ref_") && repsFor(k, baselines) == TailReps => k }
+    val tailJson = tailTier.map("\"" + _ + "\"").mkString("[", ",", "]")
     val runsJson = rawRuns.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val flagsJson = rawRuns
-      .flatMap { case (k, ts) => classifyRow(ts, baselines.get(k)).map(c =>
-        k -> (if (window == "loaded") demoteForWindow(c) else c)) }
+    val classified = rawRuns.flatMap { case (k, ts) =>
+      classifyRow(ts, baselines.get(k)).map { c =>
+        val demote = window == "loaded" ||
+          (windowLoad == "loaded" && k.startsWith("ref_"))
+        k -> (if (demote) demoteForWindow(c) else c)
+      }
+    }
+    val (collapsed, kept) =
+      if (window == "loaded")
+        classified.partition { case (_, c) => !c.contains("window-suspect") &&
+          !c.contains("regression") }
+      else (Nil, classified)
+    val flagsJson = kept
       .map { case (k, c) => "\"" + k + "\":\"" + c + "\"" }
       .mkString("{", ",", "}")
     val sentJson = sentinels.map(f3).mkString("[", ",", "]")
-    s"""{"reps":$reps,"sf":"$sfDir","window":"$window","sentinel":$sentJson,"runs":$runsJson,"flags":$flagsJson}"""
+    val loadJson = loadavgs.map(f3).mkString("[", ",", "]")
+    s"""{"reps":$reps,"tail_reps":$TailReps,"tail_tier":$tailJson,"sf":"$sfDir","window":"$window","window_load":"$windowLoad","sentinel":$sentJson,"loadavg":$loadJson,"episode_n":${collapsed.size},"runs":$runsJson,"flags":$flagsJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -458,10 +533,16 @@ object Bench {
     val baselines = loadAdjudicated()
     // load-gauge sentinel: warm once (codegen), then sample before the
     // headline, every SentinelEvery rows through it, and around the
-    // sweep + ref sections so every flagged row has a gauge nearby
+    // sweep + ref sections so every flagged row has a gauge nearby.
+    // Each sentinel point also stamps /proc/loadavg (the second gauge,
+    // r19 verdict #1 — IO/bursty load the CPU burn undercounts).
     sentinelOnce(spark)
     val sentinels = scala.collection.mutable.Buffer[Double]()
-    sentinels += sentinelOnce(spark)
+    val loadavgs = scala.collection.mutable.Buffer[Double]()
+    def gauge(): Unit = {
+      sentinels += sentinelOnce(spark); loadavgs += loadavgOnce()
+    }
+    gauge()
     // keep the full per-rep vector, not just the median: the r11
     // q_text_langid flag (10.4 s median vs 0.6 s baseline, code
     // unchanged) was unadjudicatable post-hoc because only medians were
@@ -469,7 +550,7 @@ object Bench {
     // 5 contiguous reps" vs "genuine regression" is one file read
     val rawRuns: Seq[(String, Seq[Double])] =
       headline.filter(qmap.contains).zipWithIndex.map { case (name, i) =>
-        if (i > 0 && i % SentinelEvery == 0) sentinels += sentinelOnce(spark)
+        if (i > 0 && i % SentinelEvery == 0) gauge()
         val times = (1 to repsFor(name, baselines)).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
@@ -481,7 +562,7 @@ object Bench {
         }
         name -> times
       }
-    sentinels += sentinelOnce(spark)
+    gauge()
     // a query that threw every rep is reported as null and EXCLUDED
     // from the total — time-to-failure is not a timing
     val results: Seq[(String, Option[Double])] = rawRuns.map { case (name, times) =>
@@ -503,8 +584,7 @@ object Bench {
     }
     val sweep: Seq[(String, Option[Double])] = sweepNames.zipWithIndex.map {
       case (name, i) =>
-        if (i > 0 && i % (SentinelEvery * 2) == 0)
-          sentinels += sentinelOnce(spark)
+        if (i > 0 && i % (SentinelEvery * 2) == 0) gauge()
         val t0 = System.nanoTime()
         try {
           qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -515,7 +595,7 @@ object Bench {
     }
     // gauge the ref-workload window: these four single-shot rows have
     // no rep vector, so the sentinel bracket is their only load record
-    sentinels += sentinelOnce(spark)
+    gauge()
 
     // the reference's own workload, apples-to-apples: 100k messages
     // (Producer.java:14) through the 3-stage adder pipeline with per-key
@@ -561,7 +641,7 @@ object Bench {
     graft.streaming.StagePipeline.runConcurrent(spark, spec, workC,
       s"$workC/_ckpt", expectedRows = 100000, statePartitions = Some(2))
     val concSec = (System.nanoTime() - t3) / 1e9
-    sentinels += sentinelOnce(spark)
+    gauge()
 
     // row-count bookkeeping contract (r12 verdict "what's wrong" #4):
     // `value` and `n_queries` cover the GATED headline rows only; the 4
@@ -602,7 +682,9 @@ object Bench {
         "\"" + k + "\":" + v.map(f3).getOrElse("null") }
       .mkString("{", ",", "}")
     val window = windowState(sentinels.toSeq, baselines.get("_sentinel_quiet"))
-    val counts = s""""n_queries":${results.size},"ref_n":${refRows.size},"ref_total":${f3(refTotal)},"sweep_total":${f3(sweepTotal)},"sweep_n":${sweep.size},"window":"$window""""
+    val windowLoad =
+      loadWindowState(loadavgs.toSeq, baselines.get("_loadavg_quiet"))
+    val counts = s""""n_queries":${results.size},"ref_n":${refRows.size},"ref_total":${f3(refTotal)},"sweep_total":${f3(sweepTotal)},"sweep_n":${sweep.size},"window":"$window","window_load":"$windowLoad""""
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sweep":$sweepJson,$counts,"sweep_reps":1,"failed":$failed,"sf":"$sfDir","reps":$Reps,"agg":"median","ref_workload_msgs_per_sec":${f0(100000 / refSec)}}"""
     println(line)
     // also land the line in a file: the stdout copy sits inside sbt's log
@@ -617,7 +699,7 @@ object Bench {
     // the artifact itself, not re-derived by hand
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_runs.json"),
       (benchRunsJson(Reps, sfDir, rawRuns ++ refRuns, baselines,
-        sentinels.toSeq) + "\n")
+        sentinels.toSeq, loadavgs.toSeq) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // COMPACT summary as the LAST stdout line: the full line above (~110
     // per-query entries) has outrun the driver's tail capture two rounds

@@ -63,9 +63,10 @@ class BenchForensicsSpec extends AnyFunSuite {
       "q_spread" -> Seq(4.2, 0.62, 0.61, 4.4, 0.63)))
     // strict shape pin: parseable JSON with exactly the contract keys —
     // the driver and post-hoc adjudication both json.load this file.
-    // No sentinel vector = window "unknown" (fail open: flags stand).
+    // No sentinel/loadavg vector = both windows "unknown" (fail open:
+    // flags stand); no baselines = empty tail tier.
     assert(line ==
-      """{"reps":5,"sf":"/root/testdata/sf0.1","window":"unknown","sentinel":[],"runs":{"q_clean":[0.610,0.580,0.630,0.600,0.590],"q_hit":[0.620,10.300,11.100,10.800,0.640],"q_spread":[4.200,0.620,0.610,4.400,0.630]},"flags":{"q_hit":"episode","q_spread":"scattered"}}""")
+      """{"reps":5,"tail_reps":3,"tail_tier":[],"sf":"/root/testdata/sf0.1","window":"unknown","window_load":"unknown","sentinel":[],"loadavg":[],"episode_n":0,"runs":{"q_clean":[0.610,0.580,0.630,0.600,0.590],"q_hit":[0.620,10.300,11.100,10.800,0.640],"q_spread":[4.200,0.620,0.610,4.400,0.630]},"flags":{"q_hit":"episode","q_spread":"scattered"}}""")
   }
 
   test("bench_runs.json with zero flagged queries emits an empty flags object") {
@@ -146,6 +147,9 @@ class BenchForensicsSpec extends AnyFunSuite {
       assert(m.contains("_sentinel_quiet"),
         "the load-gauge sentinel needs its quiet baseline " +
           "(_sentinel_quiet) or uniform load is undetectable")
+      assert(m.contains("_loadavg_quiet"),
+        "the loadavg co-gauge needs its quiet-run profile " +
+          "(_loadavg_quiet) or window_load is permanently unknown")
     }
   }
 
@@ -203,6 +207,99 @@ class BenchForensicsSpec extends AnyFunSuite {
     // the sentinel vector itself lands in the artifact for adjudication
     assert(loadedLine.contains(""""sentinel":[0.700,2.200,0.710,0.690]"""),
       loadedLine)
+  }
+
+  test("loadavg gauge: a median lift over the quiet-run profile classifies loaded") {
+    // r19 verdict #1 — the second gauge. No min or spread test: the
+    // bench's own phases drive loadavg 5-18 on a QUIET box (measured
+    // 2026-08-16), so the stable statistic is the run MEDIAN vs the
+    // calibrated quiet-run median — sustained co-tenant load shifts it.
+    val quiet = Some(6.0)
+    assert(Bench.loadWindowState(Seq(5.8, 7.2, 6.1, 5.5), quiet) == "quiet")
+    // phase swings around a quiet median: still quiet (median 6.2 < 9)
+    assert(Bench.loadWindowState(Seq(6.0, 14.0, 22.0, 6.2, 5.1), quiet)
+      == "quiet")
+    // sustained lift: the median itself sits above 1.5x the profile
+    assert(Bench.loadWindowState(Seq(9.5, 12.0, 10.3, 11.1), quiet)
+      == "loaded")
+    // no calibration or too few samples = unknown (fail open; the gauge
+    // only ever demotes, never un-demotes)
+    assert(Bench.loadWindowState(Seq(9.5, 12.0, 10.3), None) == "unknown")
+    assert(Bench.loadWindowState(Seq(9.5), quiet) == "unknown")
+    // -1 (absent /proc/loadavg) samples are not samples
+    assert(Bench.loadWindowState(Seq(-1.0, -1.0, 9.5), quiet) == "unknown")
+    // the 0.5 floor: an absurdly low calibration cannot hair-trigger
+    assert(Bench.loadWindowState(Seq(0.7, 0.72), Some(0.01)) == "quiet")
+  }
+
+  test("loadavg-loaded/CPU-quiet window demotes ref_ flags and ONLY ref_ flags") {
+    // r19 verdict #1 end-to-end: five consecutive rounds the streaming
+    // ref_ rows fired the comparator all-noise while the CPU sentinel
+    // read quiet and uptime 1-min sat at 6-17 — the streaming rows feel
+    // IO/bursty load the CPU burn undercounts, so they demote on EITHER
+    // gauge; batch rows keep the CPU-gauge-only contract.
+    val runs = Seq(
+      "q_slow" -> Seq(9.0, 9.2, 9.1, 9.3, 9.4),
+      "ref_workload_100k_streaming" -> Seq(5.3))
+    val base = Map("q_slow" -> 6.0,
+      "ref_workload_100k_streaming" -> 3.9,
+      "_sentinel_quiet" -> 0.7, "_loadavg_quiet" -> 6.0)
+    val quietSent = Seq(0.70, 0.68, 0.71, 0.69)
+    val line = Bench.benchRunsJson(5, "x", runs, base,
+      sentinels = quietSent, loadavgs = Seq(10.5, 12.0, 11.3, 10.8))
+    assert(line.contains(""""window":"quiet""""), line)
+    assert(line.contains(""""window_load":"loaded""""), line)
+    assert(line.contains(
+      """"ref_workload_100k_streaming":"window-suspect""""), line)
+    assert(line.contains(""""q_slow":"regression""""), line)
+    // the loadavg vector itself lands in the artifact for adjudication
+    assert(line.contains(""""loadavg":[10.500,12.000,11.300,10.800]"""),
+      line)
+    // both gauges quiet: every flag stands, incl. the ref_ row's
+    val both = Bench.benchRunsJson(5, "x", runs, base,
+      sentinels = quietSent, loadavgs = Seq(5.8, 7.2, 6.1, 5.5))
+    assert(both.contains(""""window_load":"quiet""""), both)
+    assert(both.contains(
+      """"ref_workload_100k_streaming":"regression""""), both)
+    assert(both.contains(""""q_slow":"regression""""), both)
+  }
+
+  test("loaded window collapses pure-episode flags to the episode_n count") {
+    // r19 verdict #7: under a loaded stamp the episode list is load
+    // evidence the stamp already states — collapsing it leads the
+    // artifact with the demoted-flag set that actually needs reading
+    val runs = Seq(
+      "q_ep1" -> Seq(0.62, 10.3, 11.1, 10.8, 0.64),
+      "q_ep2" -> Seq(0.61, 4.2, 0.60, 0.63, 0.62),
+      "q_scat" -> Seq(4.2, 0.62, 0.61, 4.4, 0.63),
+      "q_slow" -> Seq(9.0, 30.0, 31.0, 9.3, 9.4))
+    val base = Map("q_slow" -> 6.0, "_sentinel_quiet" -> 0.7)
+    val loaded = Bench.benchRunsJson(5, "x", runs, base,
+      sentinels = Seq(0.7, 2.2, 0.71, 0.69))
+    assert(loaded.contains(""""window":"loaded""""), loaded)
+    assert(loaded.contains(""""episode_n":3"""), loaded)
+    assert(!loaded.contains(""""q_ep1"""".concat(":\"")), loaded)
+    // the composite keeps its episode half next to the demoted one
+    assert(loaded.contains(""""q_slow":"episode+window-suspect""""), loaded)
+    // quiet window: nothing collapses, the full list stands
+    val quiet = Bench.benchRunsJson(5, "x", runs, base,
+      sentinels = Seq(0.7, 0.68, 0.71, 0.69))
+    assert(quiet.contains(""""episode_n":0"""), quiet)
+    assert(quiet.contains(""""q_ep1":"episode""""), quiet)
+    assert(quiet.contains(""""q_scat":"scattered""""), quiet)
+  }
+
+  test("tail_tier in the artifact names exactly the 3-rep rows (ref_ rows are 1-shot)") {
+    // r19 ADVICE: top-level reps:5 misdescribed tail-tier vectors — the
+    // artifact now self-describes which rows ran tail_reps
+    val line = Bench.benchRunsJson(5, "x", Seq(
+      "q_tail" -> Seq(0.8, 0.81, 0.79),
+      "q_heavy" -> Seq(8.0, 8.1, 7.9, 8.2, 8.0),
+      "ref_workload_100k_streaming" -> Seq(4.0)),
+      Map("q_tail" -> 1.1, "q_heavy" -> 8.9,
+        "ref_workload_100k_streaming" -> 1.5))
+    // ref_ excluded even with a sub-bar baseline: 1-shot by contract
+    assert(line.contains(""""tail_reps":3,"tail_tier":["q_tail"]"""), line)
   }
 
   test("tail tier: sub-1.6s adjudicated rows run 3 reps, everything else 5") {

@@ -83,7 +83,7 @@ if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   tail -10 /tmp/roundclose_bench.log; rc=1
 else
   python3 - <<'PY' || rc=1
-import json, sys
+import json, os, sys
 d = json.load(open("target/bench.json"))
 assert d["n_queries"] + d["ref_n"] == len(d["queries"]), "count drift"
 hot = sorted(((v, k) for k, v in d["sweep"].items() if v and v >= 2.0),
@@ -94,16 +94,53 @@ print(f'headline {d["value"]}s/{d["n_queries"]} rows, '
       f'sweep {d["sweep_total"]}s/{d["sweep_n"]}, failed {d["failed"]}')
 # r18 verdict #1: the load-gauge sentinel stamps the run; in a "loaded"
 # window Bench has already demoted "regression" flags to
-# "window-suspect" (the artifact carries its own adjudication)
-print(f'window: {runs.get("window", "?")} '
-      f'sentinel: {runs.get("sentinel", [])}')
+# "window-suspect". r19 verdict #1: the loadavg co-gauge stamps
+# window_load, and ref_ rows demote on EITHER gauge.
+window = runs.get("window", "?")
+window_load = runs.get("window_load", "?")
+print(f'window: {window} (cpu) / {window_load} (loadavg) '
+      f'episode_n: {runs.get("episode_n", 0)}')
+print(f'sentinel: {runs.get("sentinel", [])}')
+print(f'loadavg:  {runs.get("loadavg", [])}')
+# Carry-forward gate (r19 ADVICE #3): a row demoted to window-suspect in
+# an earlier loaded window is a MANDATORY re-check on the next quiet
+# bench, not an ad-hoc watch-list item. Quiet + clean = cleared; quiet +
+# flagged again = two independent signals, the gate fails until the row
+# is adjudicated (BenchFocus/StreamFocus quiet, then re-base or fix).
+watch_path = "tools/window_suspect_watch.json"
+prev_watch = json.load(open(watch_path)) if os.path.exists(watch_path) else {}
+confirmed = {}
+still, cleared = {}, {}
+for k, why in prev_watch.items():
+    # a ref_ row's window is only "quiet" when BOTH gauges read quiet
+    row_quiet = window == "quiet" and (
+        not k.startswith("ref_") or window_load != "loaded")
+    if not row_quiet:
+        still[k] = why
+    elif k in flagged:
+        confirmed[k] = (why, flagged[k])
+    else:
+        cleared[k] = why
+new_watch = {k: f'{v} @ {window}/{window_load}'
+             for k, v in flagged.items() if "window-suspect" in v}
+# confirmed rows STAY on watch: the gate keeps failing until the
+# adjudication clears the flag (a re-base updates the baseline, a fix
+# restores the timing — either way the next quiet run clears the row)
+next_watch = {**still, **{k: w for k, (w, _) in confirmed.items()},
+              **new_watch}
+json.dump(next_watch, open(watch_path, "w"), indent=1, sort_keys=True)
+if cleared:
+    print("watch rows cleared by this quiet window:", cleared)
+if still:
+    print("watch rows carried (window loaded again):", still)
 ref_fl = {k: v for k, v in flagged.items() if k.startswith("ref_")}
 q_fl = {k: v for k, v in flagged.items() if not k.startswith("ref_")}
 ws_fl = {k: v for k, v in q_fl.items() if "window-suspect" in v}
 q_fl = {k: v for k, v in q_fl.items() if "window-suspect" not in v}
 if ws_fl:
-    print("window-suspect flags (loaded window, pre-demoted - re-run "
-          "on a quiet box ONLY if the row is on a watch list):", ws_fl)
+    print("window-suspect flags (loaded window, pre-demoted - now "
+          "carried in", watch_path, "as next-quiet-bench re-checks):",
+          ws_fl)
 if q_fl:
     print("episode flags (adjudicate from bench_runs.json):", q_fl)
 if ref_fl:
@@ -112,6 +149,13 @@ if ref_fl:
     print("ref workload flags — remedy: quiet 'sbt runMain "
           "graft.tools.StreamFocus' 5-rep, adjudicate in BENCHFOCUS:",
           ref_fl)
+if confirmed:
+    print("FAIL: watch-list rows flagged AGAIN in a quiet window (two "
+          "independent signals - adjudicate quiet with BenchFocus/"
+          "StreamFocus, then re-base or fix before closing):")
+    for k, (why, cur) in confirmed.items():
+        print(f"  {k}: was '{why}', now '{cur}'")
+    sys.exit(1)
 if d["failed"] != "[]" and d["failed"] != []:
     print("FAIL: bench rows failed:", d["failed"]); sys.exit(1)
 if hot:
