@@ -42,6 +42,25 @@ object AnalyticsQueries {
   /** MASE seasonal-naive lag (days). */
   private val MaseSeason = 7
 
+  /** Bartels rank-von-Neumann shared double formulas (the one-template
+    * discipline): num4/den4 are the doubled-rank quadratic sums (the
+    * 4s cancel in the ratio), vn/vd the exact integer numerator and
+    * denominator of the null variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²). */
+  private val BartelsRvn: String =
+    "round(CASE WHEN n_days >= 3 AND den4 > 0 THEN" +
+      " CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) END, 6) AS rvn6"
+  private val BartelsZ: String =
+    "round(CASE WHEN n_days >= 3 AND den4 > 0 THEN" +
+      " (CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) - 2.0)" +
+      " / sqrt(CAST(vn AS DOUBLE) / CAST(vd AS DOUBLE)) END, 6) AS z6"
+
+  /** Friedman's shared χ² (tie-general form, quadrupled integers —
+    * every 4 cancels): (k−1)·Σ(R2_j − n(k+1))² / (A4 − C4). */
+  private val FriedmanChi2: String =
+    "round(CASE WHEN k > 1 AND a4 > c4 THEN" +
+      " CAST(k - 1 AS DOUBLE) * CAST(num4 AS DOUBLE)" +
+      " / CAST(a4 - c4 AS DOUBLE) END, 6) AS chi2_6"
+
   /** Durbin-Levinson recursion over micro-unit (1e-6 fixed point) ACF
     * columns `r1..rK`: returns (colName, sqlExpr) pairs in dependency
     * order — `p{k}_{j}` is φ_{k,j} in micro units, so `p{k}_{k}` is
@@ -1860,6 +1879,292 @@ object AnalyticsQueries {
            |  END AS z6
            |FROM p""".stripMargin),
       "paired sign test on week-over-week daily deltas (continuity z)"),
+
+    // Bartels rank von Neumann ratio on the daily series — the
+    // RANK-based randomness test (the robust complement to q_ts_runs'
+    // sign test and q_ts_durbinwatson's parametric d): RVN ≈ 2 reads
+    // random, < 2 positive serial correlation, > 2 negative. Doubled
+    // midranks keep ties integer (r2 = 2·#below + #tied + 1, from the
+    // bounded O(days²) broadcast self-join), adjacency rides the
+    // chronological rank index (the q_ts_runs shape, no window), and
+    // both quadratic sums are exact integers whose doubling cancels in
+    // the ratio: RVN = Σ(r2_t − r2_{t+1})² / Σ(r2_t − (n+1))² (the
+    // doubled-rank mean is EXACTLY n+1 even with midranks, so no mean
+    // join-back). z uses the exact no-ties null variance
+    // 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²) — integer numerator and
+    // denominator into one shared double expression (with ties present
+    // the variance is the standard approximation; the ratio itself
+    // stays exact). ANSI: n < 3 or a constant series NULLs both.
+    Q("q_ts_bartels",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val rr = graft.core.CacheScope.autoRelease(
+          ser.as("a").crossJoin(broadcast(ser.as("b")))
+            .groupBy(col("a.day").as("day"), col("a.y").as("y"))
+            .agg((sum(when(col("b.day") <= col("a.day"), 1L).otherwise(0L)))
+              .as("rn"),
+              (sum(when(col("b.y") < col("a.y"), 2L)
+                .when(col("b.y") === col("a.y"), 1L).otherwise(0L)) + 1)
+                .as("r2")))
+        val n1 = rr.agg(count(lit(1)).as("n"))
+        val den = rr.crossJoin(broadcast(n1))
+          .agg(max(col("n")).as("n"),
+            sum((dc(col("r2")) - (col("n") + 1))
+              * (dc(col("r2")) - (col("n") + 1))).as("den4"))
+        val num = rr.as("p").join(broadcast(rr.as("q")),
+            col("q.rn") === col("p.rn") + 1)
+          .agg(coalesce(sum((dc(col("q.r2")) - col("p.r2"))
+            * (dc(col("q.r2")) - col("p.r2"))),
+            lit(0L).cast("decimal(38,0)")).as("num4"))
+        den.crossJoin(broadcast(num))
+          .selectExpr("n AS n_days", "num4", "den4",
+            "CAST(4 * (n - 2) AS DECIMAL(38,0))" +
+              " * (5 * n * n - 2 * n - 9) AS vn",
+            "CAST(5 * n AS DECIMAL(38,0)) * (n + 1) * (n - 1) * (n - 1)" +
+              " AS vd")
+          .selectExpr("n_days", BartelsRvn, BartelsZ)
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |rr AS (SELECT a.day AS day, a.y AS y,
+           |         CAST(sum(CASE WHEN b.day <= a.day THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS rn,
+           |         CAST(sum(CASE WHEN b.y < a.y THEN 2
+           |                       WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+           |           AS BIGINT) AS r2
+           |       FROM ser a CROSS JOIN ser b GROUP BY 1, 2),
+           |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rr),
+           |dn AS (SELECT max(n) AS n,
+           |         sum(CAST(r2 - (n + 1) AS HUGEINT) * (r2 - (n + 1)))
+           |           AS den4
+           |       FROM rr CROSS JOIN n1),
+           |nm AS (SELECT coalesce(sum(CAST(q.r2 - p.r2 AS HUGEINT)
+           |           * (q.r2 - p.r2)), 0) AS num4
+           |       FROM rr p JOIN rr q ON q.rn = p.rn + 1),
+           |fin AS (SELECT n AS n_days, num4, den4,
+           |          CAST(4 * (n - 2) AS HUGEINT)
+           |            * (5 * n * n - 2 * n - 9) AS vn,
+           |          CAST(5 * n AS HUGEINT) * (n + 1) * (n - 1) * (n - 1)
+           |            AS vd
+           |        FROM dn CROSS JOIN nm)
+           |SELECT n_days, RVN_EXPR, Z_EXPR FROM fin"""
+        .stripMargin
+        .replace("RVN_EXPR", BartelsRvn)
+        .replace("Z_EXPR", BartelsZ)),
+      "Bartels rank von Neumann randomness test on the daily series (doubled midranks)"),
+
+    // Turning-points randomness test on the daily series — counts
+    // STRICT local peaks and troughs among the n−2 interior days;
+    // under randomness E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90 (the
+    // classical Kendall result), so too FEW turning points read trend/
+    // momentum and too MANY read alternation — the third member of the
+    // randomness trio next to q_ts_runs (signs vs mean) and
+    // q_ts_bartels (rank serial correlation), sensitive to a different
+    // alternative (local shape, not level). Adjacent triples come from
+    // the chronological rank index joined at +1/+2 — bounded O(days²)
+    // self-joins, no window. Everything is integer until the one
+    // shared z expression ((3T − 2(n−2))/3 keeps the mean exact).
+    // Equal-neighbor plateaus are NOT turning points (strict
+    // comparisons — documented tie behavior). ANSI: n < 3 NULLs z.
+    Q("q_ts_turningpoints",
+      (s, d) => {
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val rr = graft.core.CacheScope.autoRelease(
+          ser.as("a").join(broadcast(ser.as("b")),
+              col("b.day") <= col("a.day"))
+            .groupBy(col("a.day").as("day"), col("a.y").as("y"))
+            .agg(count(lit(1)).as("rn")))
+        val tp = rr.as("p")
+          .join(broadcast(rr.as("q")), col("q.rn") === col("p.rn") + 1)
+          .join(broadcast(rr.as("r")), col("r.rn") === col("p.rn") + 2)
+          .agg(coalesce(sum(
+            when((col("q.y") > col("p.y") && col("q.y") > col("r.y"))
+              || (col("q.y") < col("p.y") && col("q.y") < col("r.y")), 1L)
+              .otherwise(0L)), lit(0L)).as("n_tp"))
+        rr.agg(count(lit(1)).as("n")).crossJoin(broadcast(tp))
+          .selectExpr("n AS n_days", "n_tp",
+            "round(CASE WHEN n >= 3 THEN" +
+              " (CAST(3 * n_tp - 2 * (n - 2) AS DOUBLE) / 3.0)" +
+              " / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0) END, 6) AS z6")
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |rr AS (SELECT a.day AS day, a.y AS y,
+           |         CAST(count(*) AS BIGINT) AS rn
+           |       FROM ser a JOIN ser b ON b.day <= a.day GROUP BY 1, 2),
+           |tp AS (SELECT coalesce(CAST(sum(CASE
+           |           WHEN (q.y > p.y AND q.y > r.y)
+           |             OR (q.y < p.y AND q.y < r.y) THEN 1 ELSE 0 END)
+           |           AS BIGINT), 0) AS n_tp
+           |       FROM rr p JOIN rr q ON q.rn = p.rn + 1
+           |         JOIN rr r ON r.rn = p.rn + 2),
+           |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rr)
+           |SELECT n AS n_days, n_tp,
+           |  round(CASE WHEN n >= 3 THEN
+           |    (CAST(3 * n_tp - 2 * (n - 2) AS DOUBLE) / 3.0)
+           |    / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0) END, 6) AS z6
+           |FROM n1 CROSS JOIN tp""".stripMargin),
+      "turning-points randomness test on the daily series (strict local extrema)"),
+
+    // Cox-Stuart trend test on the daily series — the sign test's
+    // trend specialization: pair day i with day i + ⌈n/2⌉ (the middle
+    // day of an odd series drops out naturally because rank i + c
+    // stops existing), count up-moves among non-tied pairs, and apply
+    // the SAME ±1 continuity-corrected binomial z as q_stats_sign.
+    // Where q_stats_sign asks "is this week above last week?"
+    // (seasonal pairing), Cox-Stuart asks "is the second HALF above
+    // the first?" — the distribution-free complement to
+    // q_ts_mannkendall that needs only O(days) pairs, not O(days²).
+    // Chronological pairing rides the bounded rank index (q_ts_runs
+    // shape); everything is integer. ANSI: all pairs tied (m = 0)
+    // NULLs z; a balanced split reads exactly 0.
+    Q("q_ts_coxstuart",
+      (s, d) => {
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val rr = graft.core.CacheScope.autoRelease(
+          ser.as("a").join(broadcast(ser.as("b")),
+              col("b.day") <= col("a.day"))
+            .groupBy(col("a.day").as("day"), col("a.y").as("y"))
+            .agg(count(lit(1)).as("rn")))
+        val n1 = rr.agg(count(lit(1)).as("n"),
+          expr("(count(1) + 1) div 2").as("c"))
+        rr.as("p").crossJoin(broadcast(n1))
+          .join(broadcast(rr.as("q")),
+            col("q.rn") === col("p.rn") + col("c"))
+          .agg(max(col("n")).as("n"),
+            sum(when(col("q.y") > col("p.y"), 1L).otherwise(0L)).as("s_up"),
+            sum(when(col("q.y") =!= col("p.y"), 1L).otherwise(0L))
+              .as("n_pairs"))
+          .selectExpr("n AS n_days", "n_pairs", "s_up",
+            "CASE WHEN n_pairs > 0 THEN" +
+              " CASE WHEN 2 * s_up > n_pairs THEN" +
+              " round(CAST(2 * s_up - n_pairs - 1 AS DOUBLE)" +
+              " / sqrt(CAST(n_pairs AS DOUBLE)), 6)" +
+              " WHEN 2 * s_up < n_pairs THEN" +
+              " round(CAST(2 * s_up - n_pairs + 1 AS DOUBLE)" +
+              " / sqrt(CAST(n_pairs AS DOUBLE)), 6)" +
+              " ELSE 0.0 END END AS z6")
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |rr AS (SELECT a.day AS day, a.y AS y,
+           |         CAST(count(*) AS BIGINT) AS rn
+           |       FROM ser a JOIN ser b ON b.day <= a.day GROUP BY 1, 2),
+           |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |         (CAST(count(*) AS BIGINT) + 1) // 2 AS c FROM rr),
+           |pr AS (SELECT max(n) AS n,
+           |         CAST(sum(CASE WHEN q.y > p.y THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS s_up,
+           |         CAST(sum(CASE WHEN q.y <> p.y THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS n_pairs
+           |       FROM rr p CROSS JOIN n1
+           |         JOIN rr q ON q.rn = p.rn + n1.c)
+           |SELECT n AS n_days, n_pairs, s_up,
+           |  CASE WHEN n_pairs > 0 THEN
+           |    CASE WHEN 2 * s_up > n_pairs THEN
+           |           round(CAST(2 * s_up - n_pairs - 1 AS DOUBLE)
+           |             / sqrt(CAST(n_pairs AS DOUBLE)), 6)
+           |         WHEN 2 * s_up < n_pairs THEN
+           |           round(CAST(2 * s_up - n_pairs + 1 AS DOUBLE)
+           |             / sqrt(CAST(n_pairs AS DOUBLE)), 6)
+           |         ELSE 0.0 END
+           |  END AS z6
+           |FROM pr""".stripMargin),
+      "Cox-Stuart half-series trend test on the daily series (continuity z)"),
+
+    // Friedman test — "do the event types rank the same way every
+    // day?": blocks = days, treatments = event types, values = daily
+    // cents totals, ranked WITHIN each day so day-level volume shifts
+    // never leak into the statistic (the blocked complement to
+    // Kruskal-Wallis's pooled ranks, and the k-treatment cousin of
+    // q_stats_cochranq's binary panel). Doubled within-day midranks
+    // keep ties integer; the tie-general form
+    // χ² = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − C) with A = Σr² and
+    // C = nk(k+1)²/4 quadruples throughout, so every 4 cancels and
+    // the gate is exact integers into ONE shared double expression.
+    // Only COMPLETE blocks count (days missing a type drop — the
+    // classical requirement, enforced identically in both engines).
+    // Work: the day rollup + an O(days·k²) within-day self-join on
+    // the bounded cell table. ANSI: k ≤ 1 or an all-tied panel
+    // (A4 = C4) NULLs χ².
+    Q("q_ts_friedman",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val cell = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"),
+            col("event_type").as("trt"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val kk = cell.agg(countDistinct(col("trt")).as("k"))
+        val fullD = graft.core.CacheScope.autoRelease(
+          cell.groupBy("day").agg(count(lit(1)).as("cd"))
+            .crossJoin(broadcast(kk)).filter(col("cd") === col("k"))
+            .select("day", "k"))
+        val cc = graft.core.CacheScope.autoRelease(
+          cell.join(broadcast(fullD), "day"))
+        val rr = graft.core.CacheScope.autoRelease(
+          cc.as("a").join(broadcast(cc.as("b")),
+              col("b.day") === col("a.day"))
+            .groupBy(col("a.day").as("day"), col("a.trt").as("trt"),
+              col("a.k").as("k"))
+            .agg((sum(when(col("b.y") < col("a.y"), 2L)
+              .when(col("b.y") === col("a.y"), 1L).otherwise(0L)) + 1)
+              .as("r2")))
+        val nk = fullD.agg(count(lit(1)).as("n"), max("k").as("k"))
+        val a4 = rr.agg(sum(dc(col("r2")) * col("r2")).as("a4"))
+        val num = rr.groupBy("trt").agg(sum(dc(col("r2"))).as("rj2"))
+          .crossJoin(broadcast(nk))
+          .agg(sum((col("rj2") - dc(col("n")) * (col("k") + 1))
+            * (col("rj2") - dc(col("n")) * (col("k") + 1))).as("num4"))
+        nk.crossJoin(broadcast(num)).crossJoin(broadcast(a4))
+          .selectExpr("CAST(n AS BIGINT) AS n_days",
+            "CAST(k AS BIGINT) AS k", "num4", "a4",
+            "CAST(n AS DECIMAL(38,0)) * k * (k + 1) * (k + 1) AS c4")
+          .selectExpr("n_days", "k", FriedmanChi2)
+      },
+      Some("""WITH cell AS (SELECT CAST(ts AS DATE) AS day,
+           |        event_type AS trt,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1, 2),
+           |kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k
+           |       FROM cell),
+           |full_d AS (SELECT day, k FROM cell CROSS JOIN kk
+           |           GROUP BY day, k HAVING count(*) = k),
+           |cc AS (SELECT cell.day, cell.trt, cell.y, f.k
+           |       FROM cell JOIN full_d f USING (day)),
+           |rr AS (SELECT a.day, a.trt, a.k,
+           |         CAST(sum(CASE WHEN b.y < a.y THEN 2
+           |                       WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+           |           AS BIGINT) AS r2
+           |       FROM cc a JOIN cc b ON b.day = a.day GROUP BY 1, 2, 3),
+           |nk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |         CAST(max(k) AS BIGINT) AS k FROM full_d),
+           |a4t AS (SELECT sum(CAST(r2 AS HUGEINT) * r2) AS a4 FROM rr),
+           |rj AS (SELECT trt, CAST(sum(r2) AS HUGEINT) AS rj2
+           |       FROM rr GROUP BY trt),
+           |nm AS (SELECT sum((rj2 - CAST(n AS HUGEINT) * (k + 1))
+           |           * (rj2 - CAST(n AS HUGEINT) * (k + 1))) AS num4
+           |       FROM rj CROSS JOIN nk),
+           |fin AS (SELECT nk.n AS n_days, nk.k AS k, nm.num4, a4t.a4,
+           |          CAST(nk.n AS HUGEINT) * nk.k * (nk.k + 1)
+           |            * (nk.k + 1) AS c4
+           |        FROM nk CROSS JOIN nm CROSS JOIN a4t)
+           |SELECT n_days, k, CHI_EXPR FROM fin"""
+        .stripMargin.replace("CHI_EXPR", FriedmanChi2)),
+      "Friedman blocked rank test across event types by day (tie-general exact form)"),
 
     // Seasonal Mann-Kendall — the q_ts_mannkendall variant a series
     // with a weekly cycle actually needs: S and its tie-corrected

@@ -61,6 +61,21 @@ object DriftQueries {
     s"round(CASE WHEN $BmS > 0 THEN" +
       " CAST(srb2 * n_a - sra2 * n_b AS DOUBLE)" +
       s" / (CAST(nn AS DOUBLE) * sqrt($BmS)) END, 6) AS t6"
+  /** Shared z for a linear rank statistic with EXACT finite-population
+    * permutation moments (Ansari-Bradley, Mood): st = slice score sum,
+    * ss/sq = population score sum and raw square sum, all in a common
+    * integer scaling that cancels (num scales like the score, the
+    * radical like its square). E = n_a·ss/N and
+    * Var = n_a·n_b·(N·sq − ss²)/(N²(N−1)) are the without-replacement
+    * draws moments, so ties are handled EXACTLY by construction (the
+    * midrank scores are population values like any other). */
+  private val RankScoreZ: String =
+    "round(CASE WHEN nn > 1 AND nn * sq - ss * ss > 0 THEN" +
+      " CAST(nn * st - n_a * ss AS DOUBLE)" +
+      " / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)" +
+      " * CAST(nn * sq - ss * ss AS DOUBLE)" +
+      " / (CAST(nn AS DOUBLE) - 1.0)) END, 6) AS z6"
+
   private val BmDf: String =
     s"round(CASE WHEN $BmS > 0 THEN ($BmS) * ($BmS)" +
       " / ((CAST(tan AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0))" +
@@ -789,6 +804,160 @@ object DriftQueries {
         .replace("T_EXPR", BmT)
         .replace("DF_EXPR", BmDf)),
       "Brunner-Munzel studentized rank test per slice vs rest (doubled-midrank exact moments)"),
+
+    // Ansari-Bradley scale test per slice vs rest — "is this slice's
+    // length distribution more SPREAD than the rest's?" with the same
+    // center: the rank-based dispersion member of the slice family
+    // (q_ab_mannwhitney/q_ab_brunnermunzel read location shifts;
+    // Bartlett/Brown-Forsythe need moments — Ansari-Bradley is the
+    // distribution-free scale test). Scores fold the doubled midrank
+    // toward the extremes: a2(v) = min(r2, 2(N+1) − r2), small at both
+    // tails — a spread-out slice scores LOW. The z is the shared
+    // finite-population template ([[RankScoreZ]]): E and Var from the
+    // exact without-replacement moments of the score population, so
+    // ties are exact by construction and no even/odd-N case split is
+    // needed. NO dense grid: scores are global per value, the slice
+    // sum is one join of the slice's own rollup rows. All integers
+    // until the one shared expression. ANSI: a single-valued corpus
+    // (zero score variance) NULLs z.
+    Q("q_ab_ansari",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val vc = graft.core.CacheScope.autoRelease(
+          t(s, d, "documents").select(col("source"), col("n_chars"))
+            .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+        val wG = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nn = vc.agg(sum("c").as("nn"))
+        val sc = graft.core.CacheScope.autoRelease(
+          vc.groupBy("n_chars").agg(sum("c").as("ct"))
+            .select(col("n_chars"), col("ct"),
+              sum("ct").over(wG).as("cumt"))
+            .crossJoin(broadcast(nn))
+            .select(col("n_chars"), col("ct"), col("nn"),
+              (lit(2) * col("cumt") - col("ct") + 1).as("r2"))
+            .select(col("n_chars"), col("ct"), col("nn"),
+              least(col("r2"), lit(2) * (col("nn") + 1) - col("r2"))
+                .as("a2")))
+        val tot = sc.groupBy("nn")
+          .agg(sum(dc(col("ct")) * col("a2")).as("ss"),
+            sum(dc(col("ct")) * col("a2") * col("a2")).as("sq"))
+        val na = vc.groupBy("source").agg(sum("c").as("na"))
+        vc.join(sc.select("n_chars", "a2"), "n_chars")
+          .groupBy("source")
+          .agg(sum(dc(col("c")) * col("a2")).as("st"))
+          .join(na, "source").crossJoin(broadcast(tot))
+          .filter(col("na") >= 1 && col("nn") > col("na"))
+          .selectExpr("source", "CAST(na AS BIGINT) AS n_a",
+            "CAST(nn - na AS BIGINT) AS n_b", "CAST(nn AS BIGINT) AS nn",
+            "CAST(st AS DECIMAL(38,0)) AS st", "ss", "sq")
+          .selectExpr("source", "n_a", "n_b",
+            "CAST(st AS BIGINT) AS ab2", RankScoreZ)
+      },
+      Some("""WITH vc AS (SELECT source, n_chars, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM vc),
+           |gc AS (SELECT n_chars, ct,
+           |         CAST(sum(ct) OVER (ORDER BY n_chars
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS BIGINT) AS cumt
+           |       FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS ct
+           |             FROM vc GROUP BY n_chars)),
+           |sc AS (SELECT n_chars, ct, nn,
+           |         least(2 * cumt - ct + 1,
+           |           2 * (nn + 1) - (2 * cumt - ct + 1)) AS a2
+           |       FROM gc CROSS JOIN nn),
+           |tot AS (SELECT nn, sum(CAST(ct AS HUGEINT) * a2) AS ss,
+           |          sum(CAST(ct AS HUGEINT) * a2 * a2) AS sq
+           |        FROM sc GROUP BY nn),
+           |na AS (SELECT source, CAST(sum(c) AS BIGINT) AS na
+           |       FROM vc GROUP BY source),
+           |st AS (SELECT vc.source,
+           |         sum(CAST(vc.c AS HUGEINT) * sc.a2) AS st
+           |       FROM vc JOIN sc USING (n_chars) GROUP BY vc.source),
+           |fin AS (SELECT st.source, CAST(na.na AS BIGINT) AS n_a,
+           |          CAST(tot.nn - na.na AS BIGINT) AS n_b,
+           |          CAST(tot.nn AS BIGINT) AS nn, st.st, tot.ss, tot.sq
+           |        FROM st JOIN na USING (source) CROSS JOIN tot
+           |        WHERE na.na >= 1 AND tot.nn > na.na)
+           |SELECT source, n_a, n_b, CAST(st AS BIGINT) AS ab2, Z_EXPR
+           |FROM fin""".stripMargin.replace("Z_EXPR", RankScoreZ)),
+      "Ansari-Bradley rank scale test per slice vs rest (exact permutation moments)"),
+
+    // Mood squared-rank scale test per slice vs rest — the OTHER
+    // classical rank dispersion test, with the opposite score shape:
+    // m4(v) = (r2 − (N+1))² grows at the tails, so a spread-out slice
+    // scores HIGH (on the shared fixture the same slice reads −√3 on
+    // Ansari and +√3 on Mood — the two tests are near-mirror images,
+    // and disagreement between them flags asymmetric spread). Same
+    // exact finite-population z ([[RankScoreZ]]), same no-grid rollup
+    // chain. DECIMAL38 bound: ss² ≤ N⁶ caps the corpus at ~2·10⁶
+    // documents per run — the tightest bound on the board (documented
+    // per the jarquebera convention; past it, rescaling the score by
+    // N is the 100 TB path). ANSI: zero score variance NULLs z.
+    Q("q_ab_mood",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val vc = graft.core.CacheScope.autoRelease(
+          t(s, d, "documents").select(col("source"), col("n_chars"))
+            .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+        val wG = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nn = vc.agg(sum("c").as("nn"))
+        val sc = graft.core.CacheScope.autoRelease(
+          vc.groupBy("n_chars").agg(sum("c").as("ct"))
+            .select(col("n_chars"), col("ct"),
+              sum("ct").over(wG).as("cumt"))
+            .crossJoin(broadcast(nn))
+            .select(col("n_chars"), col("ct"), col("nn"),
+              (lit(2) * col("cumt") - col("ct") + 1).as("r2"))
+            .select(col("n_chars"), col("ct"), col("nn"),
+              (dc(col("r2") - col("nn") - 1)
+                * (col("r2") - col("nn") - 1)).as("m4")))
+        val tot = sc.groupBy("nn")
+          .agg(sum(dc(col("ct")) * col("m4")).as("ss"),
+            sum(dc(col("ct")) * col("m4") * col("m4")).as("sq"))
+        val na = vc.groupBy("source").agg(sum("c").as("na"))
+        vc.join(sc.select("n_chars", "m4"), "n_chars")
+          .groupBy("source")
+          .agg(sum(dc(col("c")) * col("m4")).as("st"))
+          .join(na, "source").crossJoin(broadcast(tot))
+          .filter(col("na") >= 1 && col("nn") > col("na"))
+          .selectExpr("source", "CAST(na AS BIGINT) AS n_a",
+            "CAST(nn - na AS BIGINT) AS n_b", "CAST(nn AS BIGINT) AS nn",
+            "st", "ss", "sq")
+          .selectExpr("source", "n_a", "n_b",
+            "CAST(st AS BIGINT) AS mood4", RankScoreZ)
+      },
+      Some("""WITH vc AS (SELECT source, n_chars, count(*) AS c
+           |            FROM documents GROUP BY 1, 2),
+           |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM vc),
+           |gc AS (SELECT n_chars, ct,
+           |         CAST(sum(ct) OVER (ORDER BY n_chars
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS BIGINT) AS cumt
+           |       FROM (SELECT n_chars, CAST(sum(c) AS BIGINT) AS ct
+           |             FROM vc GROUP BY n_chars)),
+           |sc AS (SELECT n_chars, ct, nn,
+           |         CAST((2 * cumt - ct + 1) - nn - 1 AS HUGEINT)
+           |           * ((2 * cumt - ct + 1) - nn - 1) AS m4
+           |       FROM gc CROSS JOIN nn),
+           |tot AS (SELECT nn, sum(CAST(ct AS HUGEINT) * m4) AS ss,
+           |          sum(CAST(ct AS HUGEINT) * m4 * m4) AS sq
+           |        FROM sc GROUP BY nn),
+           |na AS (SELECT source, CAST(sum(c) AS BIGINT) AS na
+           |       FROM vc GROUP BY source),
+           |st AS (SELECT vc.source,
+           |         sum(CAST(vc.c AS HUGEINT) * sc.m4) AS st
+           |       FROM vc JOIN sc USING (n_chars) GROUP BY vc.source),
+           |fin AS (SELECT st.source, CAST(na.na AS BIGINT) AS n_a,
+           |          CAST(tot.nn - na.na AS BIGINT) AS n_b,
+           |          CAST(tot.nn AS BIGINT) AS nn, st.st, tot.ss, tot.sq
+           |        FROM st JOIN na USING (source) CROSS JOIN tot
+           |        WHERE na.na >= 1 AND tot.nn > na.na)
+           |SELECT source, n_a, n_b, CAST(st AS BIGINT) AS mood4, Z_EXPR
+           |FROM fin""".stripMargin.replace("Z_EXPR", RankScoreZ)),
+      "Mood squared-rank scale test per slice vs rest (exact permutation moments)"),
 
     // Term burstiness (Church & Gale): variance-to-mean ratio of the
     // per-document count of each top-DriftTopK·2 term, zeros included.

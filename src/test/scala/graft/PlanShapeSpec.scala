@@ -929,6 +929,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r20 bounded-series gates join only O(days) rollups — no cartesian, no coalesce(1)") {
+    // bartels/turningpoints/coxstuart/friedman: every join is over the
+    // bounded daily (or day×type) rollup with the bounded side
+    // broadcast-pinned — the declared theilsen/runs shape
+    for (n <- Seq("q_ts_bartels", "q_ts_turningpoints", "q_ts_coxstuart",
+        "q_ts_friedman")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n shuffled a bounded join:\n$p")
+    }
+  }
+
+  test("q_ab_ansari and q_ab_mood score the bounded value rollup — no grid, no cartesian") {
+    for (n <- Seq("q_ab_ansari", "q_ab_mood")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(p.toLowerCase.contains("partial_count"), s"$n:\n$p")
+    }
+  }
+
   test("q_stats_welch_anova is a joinless two-level aggregate like bartlett") {
     val p = plan("q_stats_welch_anova")
     assert(!p.contains("CartesianProduct"), p)

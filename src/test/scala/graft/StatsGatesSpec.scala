@@ -1012,6 +1012,139 @@ class StatsGatesSpec extends SparkSpec {
     assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
   }
 
+  test("Cox-Stuart pairs the half-series: 7 all-up pairs on the rising fixture") {
+    // wkDir: 15 rising days, c = (15+1) div 2 = 8 → pairs (i, i+8) for
+    // i = 1..7, all up; the middle day drops out naturally. Same
+    // continuity z family as the sign test: (14 − 7 − 1)/√7
+    val r = SparkEntry.queries("q_ts_coxstuart")(spark, wkDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 15L) // n_days
+    assert(r.head.getLong(1) === 7L)  // n_pairs
+    assert(r.head.getLong(2) === 7L)  // s_up
+    val exp = BigDecimal(6.0 / math.sqrt(7.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(3) - exp) < 1e-12, r.head.toString)
+  }
+
+  test("Bartels RVN is exactly 1 on the 3-day line and 0.05 on the 15-day ramp") {
+    // tsDir (100,300,500): doubled ranks 2,4,6 → num4 = 8, den4 = 8,
+    // RVN = 1; z = (1−2)/√(4·1·30/(5·3·4·4)) = −√2
+    val r = SparkEntry.queries("q_ts_bartels")(spark, tsDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 3L)
+    assert(r.head.getDouble(1) === 1.0)
+    val exp = BigDecimal((1.0 - 2.0) / math.sqrt(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
+    // wkDir (15 strictly rising): adjacent doubled-rank deltas all 2 →
+    // num4 = 14·4 = 56; den4 = 4·2·(1+4+9+16+25+36+49) = 1120 →
+    // RVN = 0.05 (strong positive serial correlation);
+    // vn = 52·1086 = 56472, vd = 5·15·16·14² = 235200
+    val r2 = SparkEntry.queries("q_ts_bartels")(spark, wkDir).collect()
+    assert(r2.length === 1)
+    assert(r2.head.getLong(0) === 15L)
+    assert(r2.head.getDouble(1) === 0.05)
+    val exp2 = BigDecimal((56.0 / 1120.0 - 2.0)
+        / math.sqrt(56472.0 / 235200.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r2.head.getDouble(2) - exp2) < 1e-12, r2.head.toString)
+  }
+
+  private lazy val tpDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("tpfix").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 12:00:00")
+    // daily cents 1,3,2,4,3: interior days 2,3,4 are peak/trough/peak
+    // → T = 3 strict turning points of n−2 = 3 possible
+    val ev = Seq(1, 3, 2, 4, 3).zipWithIndex.map { case (v, day) =>
+      (day.toLong, ts(day), 1L, "a", v * 0.01, "{}") }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("turning points counts the zigzag extrema and the monotone zero") {
+    // zigzag: T = 3, n = 5 → z = (3 − 2)/√(51/90)
+    val r = SparkEntry.queries("q_ts_turningpoints")(spark, tpDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 5L)
+    assert(r.head.getLong(1) === 3L)
+    val exp = BigDecimal((3.0 * 3 - 2.0 * 3) / 3.0
+        / math.sqrt((16.0 * 5 - 29.0) / 90.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
+    // monotone tsDir: T = 0 of n−2 = 1 → z = (0 − 2/3)/√(19/90)
+    val r2 = SparkEntry.queries("q_ts_turningpoints")(spark, tsDir).collect()
+    assert(r2.head.getLong(0) === 3L)
+    assert(r2.head.getLong(1) === 0L)
+    val exp2 = BigDecimal((0.0 - 2.0 / 3.0)
+        / math.sqrt((16.0 * 3 - 29.0) / 90.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r2.head.getDouble(2) - exp2) < 1e-12, r2.head.toString)
+  }
+
+  private lazy val abDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("abfix").toString
+    // NESTED groups: a = {1,4} (the spread slice), b = {2,3}. Doubled
+    // midranks 2,4,6,8 over N = 4; Ansari scores fold to 2,4,4,2 and
+    // Mood scores square to 9,1,1,9 — slice a reads LOW on Ansari
+    // (AB2 = 4 vs E = 6) and HIGH on Mood (18 vs 10), z = ∓√3 exactly
+    // (finite-population Var: AB 4/3, Mood 256/3)
+    Seq((0L, "a", 1), (1L, "a", 4), (2L, "b", 2), (3L, "b", 3))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("Ansari-Bradley and Mood read the nested fixture as mirror-image ±√3") {
+    val sq3 = BigDecimal(math.sqrt(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ra = SparkEntry.queries("q_ab_ansari")(spark, abDir)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(ra.keySet === Set("a", "b"))
+    assert(ra("a")._1 === 2L && ra("a")._2 === 2L)
+    assert(ra("a")._3 === 4L) // AB2: the spread slice takes tail scores
+    assert(math.abs(ra("a")._4 - -sq3) < 1e-12, ra("a").toString)
+    assert(ra("b")._3 === 8L)
+    assert(math.abs(ra("b")._4 - sq3) < 1e-12, ra("b").toString)
+    val rm = SparkEntry.queries("q_ab_mood")(spark, abDir)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(rm("a")._3 === 18L) // quadrupled squared-rank sum
+    assert(math.abs(rm("a")._4 - sq3) < 1e-12, rm("a").toString)
+    assert(rm("b")._3 === 2L)
+    assert(math.abs(rm("b")._4 - -sq3) < 1e-12, rm("b").toString)
+  }
+
+  private lazy val frDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("frfix").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 12:00:00")
+    // 2 complete days × 3 types ranked identically (A<B<C) plus an
+    // INCOMPLETE day 3 (only type A) that must drop: doubled ranks
+    // 2,4,6 each day → R2 = (4,8,12), Num4 = 32, A4 = 112, C4 = 96 →
+    // χ² = 2·32/16 = 4 (the classical no-tie value 12/(nk(k+1))ΣR²
+    // − 3n(k+1) = 4 cross-checks)
+    val ev = Seq(
+      (0L, ts(0), 1L, "A", 0.01, "{}"), (1L, ts(0), 1L, "B", 0.02, "{}"),
+      (2L, ts(0), 1L, "C", 0.03, "{}"),
+      (3L, ts(1), 1L, "A", 0.01, "{}"), (4L, ts(1), 1L, "B", 0.02, "{}"),
+      (5L, ts(1), 1L, "C", 0.03, "{}"),
+      (6L, ts(2), 1L, "A", 0.05, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("Friedman drops the incomplete block and recovers the hand chi-square") {
+    val r = SparkEntry.queries("q_ts_friedman")(spark, frDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 2L) // complete days only
+    assert(r.head.getLong(1) === 3L) // k
+    assert(r.head.getDouble(2) === 4.0)
+  }
+
   test("seasonal Mann-Kendall sums the per-weekday S and variances") {
     // S = 3 + 6·1 = 9; var18 = 66 + 6·18 = 174 → z = 8/√(174/18)
     val r = SparkEntry.queries("q_ts_seasonal_mk")(spark, wkDir).collect()
