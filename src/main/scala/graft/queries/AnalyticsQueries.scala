@@ -61,6 +61,23 @@ object AnalyticsQueries {
       " CAST(k - 1 AS DOUBLE) * CAST(num4 AS DOUBLE)" +
       " / CAST(a4 - c4 AS DOUBLE) END, 6) AS chi2_6"
 
+  /** Quade's shared F on 16×-scaled integers (every 16 cancels):
+    * F = (n−1)·T16 / (n·A16 − T16), T16 = Σ_j(ΣS4)², A16 = ΣΣS4².
+    * Perfect concordance makes the denominator exactly 0 — the
+    * statistic's own +∞ — and reads NULL. */
+  private val QuadeF: String =
+    "round(CASE WHEN k > 1 AND n_days * a16 - t16 > 0 THEN" +
+      " CAST(n_days - 1 AS DOUBLE) * CAST(t16 AS DOUBLE)" +
+      " / CAST(n_days * a16 - t16 AS DOUBLE) END, 6) AS f6"
+
+  /** Page's shared z: (L2 − nk(k+1)²/2) / (2·√(vn/144)) on the doubled
+    * L with the classical no-ties null variance vn = nk²(k+1)²(k−1). */
+  private val PageZ: String =
+    "round(CASE WHEN k > 1 THEN" +
+      " (CAST(l2 AS DOUBLE)" +
+      " - CAST(n_days * k AS DOUBLE) * (k + 1) * (k + 1) / 2.0)" +
+      " / (2.0 * sqrt(CAST(vn AS DOUBLE) / 144.0)) END, 6) AS z6"
+
   /** Durbin-Levinson recursion over micro-unit (1e-6 fixed point) ACF
     * columns `r1..rK`: returns (colName, sqlExpr) pairs in dependency
     * order — `p{k}_{j}` is φ_{k,j} in micro units, so `p{k}_{k}` is
@@ -2165,6 +2182,182 @@ object AnalyticsQueries {
            |SELECT n_days, k, CHI_EXPR FROM fin"""
         .stripMargin.replace("CHI_EXPR", FriedmanChi2)),
       "Friedman blocked rank test across event types by day (tie-general exact form)"),
+
+    // Quade test — Friedman's range-WEIGHTED sibling: blocks (days)
+    // whose treatment values spread further carry proportionally more
+    // rank evidence (Q_i = rank of the block's range), which makes it
+    // more powerful than Friedman at small k when effect sizes vary by
+    // block. Everything stays integer by quadrupling: within-day
+    // doubled midranks r2, doubled range-ranks Q2 (ranges of exact
+    // cents are exact, their across-block midranks doubled), the
+    // weighted score S4_ij = Q2_i·(r2_ij − (k+1)) is 4·S_ij, and
+    // F = (n−1)·ΣS_j² / (n·ΣΣS_ij² − ΣS_j²) has every 16 cancel —
+    // exact integers into one shared double expression. Complete
+    // blocks only (the q_ts_friedman contract). ANSI: PERFECT
+    // concordance makes the denominator exactly 0 (B = A — the
+    // statistic's own infinity) and NULLs F, as does k ≤ 1.
+    Q("q_ts_quade",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val cell = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"),
+            col("event_type").as("trt"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val kk = cell.agg(countDistinct(col("trt")).as("k"))
+        val fullD = graft.core.CacheScope.autoRelease(
+          cell.groupBy("day")
+            .agg(count(lit(1)).as("cd"), (max("y") - min("y")).as("rng"))
+            .crossJoin(broadcast(kk)).filter(col("cd") === col("k"))
+            .select("day", "k", "rng"))
+        val qq = graft.core.CacheScope.autoRelease(
+          fullD.as("a").crossJoin(broadcast(fullD.as("b")))
+            .groupBy(col("a.day").as("day"), col("a.k").as("k"))
+            .agg((sum(when(col("b.rng") < col("a.rng"), 2L)
+              .when(col("b.rng") === col("a.rng"), 1L).otherwise(0L)) + 1)
+              .as("q2")))
+        val cc = graft.core.CacheScope.autoRelease(
+          cell.join(broadcast(qq), "day"))
+        val s4 = graft.core.CacheScope.autoRelease(
+          cc.as("a").join(broadcast(cc.as("b")),
+              col("b.day") === col("a.day"))
+            .groupBy(col("a.day").as("day"), col("a.trt").as("trt"),
+              col("a.k").as("k"), col("a.q2").as("q2"))
+            .agg((sum(when(col("b.y") < col("a.y"), 2L)
+              .when(col("b.y") === col("a.y"), 1L).otherwise(0L)) + 1)
+              .as("r2"))
+            .select(col("day"), col("trt"), col("k"),
+              (dc(col("q2")) * (col("r2") - col("k") - 1)).as("s4")))
+        val nk = qq.agg(count(lit(1)).as("n"), max("k").as("k"))
+        val a16 = s4.agg(sum(col("s4") * col("s4")).as("a16"))
+        val t16 = s4.groupBy("trt").agg(sum("s4").as("sj4"))
+          .agg(sum(col("sj4") * col("sj4")).as("t16"))
+        nk.crossJoin(broadcast(a16)).crossJoin(broadcast(t16))
+          .selectExpr("CAST(n AS BIGINT) AS n_days", "CAST(k AS BIGINT) AS k",
+            "a16", "t16")
+          .selectExpr("n_days", "k", QuadeF)
+      },
+      Some("""WITH cell AS (SELECT CAST(ts AS DATE) AS day,
+           |        event_type AS trt,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1, 2),
+           |kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k
+           |       FROM cell),
+           |full_d AS (SELECT day, k,
+           |             max(y) - min(y) AS rng
+           |           FROM cell CROSS JOIN kk
+           |           GROUP BY day, k HAVING count(*) = k),
+           |qq AS (SELECT a.day, a.k,
+           |         CAST(sum(CASE WHEN b.rng < a.rng THEN 2
+           |                       WHEN b.rng = a.rng THEN 1 ELSE 0 END) + 1
+           |           AS BIGINT) AS q2
+           |       FROM full_d a CROSS JOIN full_d b GROUP BY 1, 2),
+           |cc AS (SELECT cell.day, cell.trt, cell.y, q.k, q.q2
+           |       FROM cell JOIN qq q USING (day)),
+           |s4 AS (SELECT a.day, a.trt, a.k,
+           |         CAST(a.q2 AS HUGEINT)
+           |           * (CAST(sum(CASE WHEN b.y < a.y THEN 2
+           |                           WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+           |               AS BIGINT) - a.k - 1) AS s4
+           |       FROM cc a JOIN cc b ON b.day = a.day
+           |       GROUP BY a.day, a.trt, a.k, a.q2),
+           |nk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |         CAST(max(k) AS BIGINT) AS k FROM qq),
+           |a16t AS (SELECT sum(s4 * s4) AS a16 FROM s4),
+           |t16t AS (SELECT sum(sj4 * sj4) AS t16
+           |         FROM (SELECT trt, sum(s4) AS sj4 FROM s4
+           |               GROUP BY trt)),
+           |fin AS (SELECT nk.n AS n_days, nk.k AS k, a16t.a16, t16t.t16
+           |        FROM nk CROSS JOIN a16t CROSS JOIN t16t)
+           |SELECT n_days, k, F_EXPR FROM fin"""
+        .stripMargin.replace("F_EXPR", QuadeF)),
+      "Quade range-weighted blocked rank test across event types by day"),
+
+    // Page's L trend test — the ORDERED-alternative member of the
+    // blocked-rank family: where q_ts_friedman asks "do the day-part
+    // buckets differ at all?", Page asks "do they INCREASE in the
+    // stated order?" (night < working-day < evening, hour div 8),
+    // which buys power exactly when the alternative is monotone — the
+    // blocked cousin of q_stats_catrend's ordered proportions.
+    // L2 = Σ_j j·R2_j on doubled within-day midranks is an exact
+    // integer; z uses the classical null moments E[L] = nk(k+1)²/4,
+    // Var[L] = nk²(k+1)²(k−1)/144 as an integer vn/144 ratio (ties
+    // midranked in L; the variance is the standard no-ties form —
+    // documented approximation, as in q_ts_bartels). Complete blocks
+    // only. ANSI: k ≤ 1 NULLs z.
+    Q("q_ts_page",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val cell = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"),
+            expr("hour(ts) div 8").as("trt"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val kk = cell.agg(countDistinct(col("trt")).as("k"))
+        val fullD = graft.core.CacheScope.autoRelease(
+          cell.groupBy("day").agg(count(lit(1)).as("cd"))
+            .crossJoin(broadcast(kk)).filter(col("cd") === col("k"))
+            .select("day", "k"))
+        val cc = graft.core.CacheScope.autoRelease(
+          cell.join(broadcast(fullD), "day"))
+        val rr = graft.core.CacheScope.autoRelease(
+          cc.as("a").join(broadcast(cc.as("b")),
+              col("b.day") === col("a.day"))
+            .groupBy(col("a.day").as("day"), col("a.trt").as("trt"),
+              col("a.k").as("k"))
+            .agg((sum(when(col("b.y") < col("a.y"), 2L)
+              .when(col("b.y") === col("a.y"), 1L).otherwise(0L)) + 1)
+              .as("r2")))
+        val nk = fullD.agg(count(lit(1)).as("n"), max("k").as("k"))
+        // weight = the bucket's DENSE RANK in the order (1..k), not the
+        // raw bucket id — identical when every bucket occurs, correct
+        // even when one is empty corpus-wide
+        val wt = graft.core.CacheScope.autoRelease(
+          cell.select("trt").distinct().as("a")
+            .crossJoin(broadcast(
+              cell.select(col("trt").as("t2")).distinct()))
+            .groupBy(col("a.trt").as("trt"))
+            .agg(sum(when(col("t2") <= col("a.trt"), 1L).otherwise(0L))
+              .as("w")))
+        val l2 = rr.join(broadcast(wt), "trt")
+          .agg(sum(dc(col("w")) * col("r2")).as("l2"))
+        nk.crossJoin(broadcast(l2))
+          .selectExpr("CAST(n AS BIGINT) AS n_days", "CAST(k AS BIGINT) AS k",
+            "l2",
+            "CAST(n AS DECIMAL(38,0)) * k * k * (k + 1) * (k + 1)" +
+              " * (k - 1) AS vn")
+          .selectExpr("n_days", "k", "CAST(l2 AS BIGINT) AS l2", PageZ)
+      },
+      Some("""WITH cell AS (SELECT CAST(ts AS DATE) AS day,
+           |        hour(ts) // 8 AS trt,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1, 2),
+           |kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k
+           |       FROM cell),
+           |full_d AS (SELECT day, k FROM cell CROSS JOIN kk
+           |           GROUP BY day, k HAVING count(*) = k),
+           |cc AS (SELECT cell.day, cell.trt, cell.y, f.k
+           |       FROM cell JOIN full_d f USING (day)),
+           |rr AS (SELECT a.day, a.trt, a.k,
+           |         CAST(sum(CASE WHEN b.y < a.y THEN 2
+           |                       WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+           |           AS BIGINT) AS r2
+           |       FROM cc a JOIN cc b ON b.day = a.day GROUP BY 1, 2, 3),
+           |nk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |         CAST(max(k) AS BIGINT) AS k FROM full_d),
+           |wt AS (SELECT a.trt, CAST(count(*) AS BIGINT) AS w
+           |       FROM (SELECT DISTINCT trt FROM cell) a
+           |       JOIN (SELECT DISTINCT trt FROM cell) b ON b.trt <= a.trt
+           |       GROUP BY a.trt),
+           |l2t AS (SELECT sum(CAST(w AS HUGEINT) * r2) AS l2
+           |        FROM rr JOIN wt USING (trt)),
+           |fin AS (SELECT nk.n AS n_days, nk.k AS k, l2t.l2,
+           |          CAST(nk.n AS HUGEINT) * nk.k * nk.k * (nk.k + 1)
+           |            * (nk.k + 1) * (nk.k - 1) AS vn
+           |        FROM nk CROSS JOIN l2t)
+           |SELECT n_days, k, CAST(l2 AS BIGINT) AS l2, Z_EXPR FROM fin"""
+        .stripMargin.replace("Z_EXPR", PageZ)),
+      "Page ordered-trend test across day-part buckets by day (doubled-rank L)"),
 
     // Seasonal Mann-Kendall — the q_ts_mannkendall variant a series
     // with a weekly cycle actually needs: S and its tie-corrected

@@ -934,7 +934,7 @@ class PlanShapeSpec extends SparkSpec {
     // bounded daily (or day×type) rollup with the bounded side
     // broadcast-pinned — the declared theilsen/runs shape
     for (n <- Seq("q_ts_bartels", "q_ts_turningpoints", "q_ts_coxstuart",
-        "q_ts_friedman")) {
+        "q_ts_friedman", "q_ts_quade", "q_ts_page")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")

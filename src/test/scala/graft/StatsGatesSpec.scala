@@ -1145,6 +1145,64 @@ class StatsGatesSpec extends SparkSpec {
     assert(r.head.getDouble(2) === 4.0)
   }
 
+  test("Quade NULLs at perfect concordance and recovers the hand F on a swapped block") {
+    // frDir: both complete days rank A<B<C identically and the ranges
+    // tie → T16 = n·A16 = 288 exactly — the statistic's own +∞ reads
+    // NULL (the documented degeneracy), never a divide-by-zero
+    val r = SparkEntry.queries("q_ts_quade")(spark, frDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 2L && r.head.getLong(1) === 3L)
+    assert(r.head.isNullAt(2), r.head.toString)
+    // day2 swaps A and B (ranges still tie → Q2 = 3 both): S4 ledger
+    // day1 (−6,0,6), day2 (0,−6,6) → T16 = 216, A16 = 144,
+    // F = 1·216/(2·144 − 216) = 3 exactly
+    val d = java.nio.file.Files.createTempDirectory("qdfix").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 12:00:00")
+    Seq(
+      (0L, ts(0), 1L, "A", 0.01, "{}"), (1L, ts(0), 1L, "B", 0.02, "{}"),
+      (2L, ts(0), 1L, "C", 0.03, "{}"),
+      (3L, ts(1), 1L, "A", 0.02, "{}"), (4L, ts(1), 1L, "B", 0.01, "{}"),
+      (5L, ts(1), 1L, "C", 0.03, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r2 = SparkEntry.queries("q_ts_quade")(spark, d).collect()
+    assert(r2.length === 1)
+    assert(r2.head.getLong(0) === 2L && r2.head.getLong(1) === 3L)
+    assert(r2.head.getDouble(2) === 3.0)
+  }
+
+  private lazy val pgDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("pgfix").toString
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d $h%02d:00:00")
+    // 2 days × buckets (hour div 8 = 0,1,2) with values rising in
+    // bucket order each day → per-day doubled ranks 2,4,6, R2_j =
+    // (4,8,12), L2 = 4 + 16 + 36 = 56; E[L2] = nk(k+1)² = 96 → hmm,
+    // E[L2]/2 per formula: z = (56 − 48)/(2·√(2·9·16·2/144)) = 2.
+    // Day 3 has ONE bucket only → incomplete, drops.
+    val ev = Seq(
+      (0L, ts(0, 4), 1L, "a", 0.01, "{}"),
+      (1L, ts(0, 12), 1L, "a", 0.02, "{}"),
+      (2L, ts(0, 20), 1L, "a", 0.03, "{}"),
+      (3L, ts(1, 4), 1L, "a", 0.01, "{}"),
+      (4L, ts(1, 12), 1L, "a", 0.02, "{}"),
+      (5L, ts(1, 20), 1L, "a", 0.03, "{}"),
+      (6L, ts(2, 12), 1L, "a", 0.05, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("Page's L reads exactly 2 on the bucket-monotone fixture") {
+    val r = SparkEntry.queries("q_ts_page")(spark, pgDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 2L) // complete days
+    assert(r.head.getLong(1) === 3L) // k
+    assert(r.head.getLong(2) === 56L) // L2
+    assert(r.head.getDouble(3) === 2.0)
+  }
+
   test("seasonal Mann-Kendall sums the per-weekday S and variances") {
     // S = 3 + 6·1 = 9; var18 = 66 + 6·18 = 174 → z = 8/√(174/18)
     val r = SparkEntry.queries("q_ts_seasonal_mk")(spark, wkDir).collect()
