@@ -78,6 +78,33 @@ object AnalyticsQueries {
       " - CAST(n_days * k AS DOUBLE) * (k + 1) * (k + 1) / 2.0)" +
       " / (2.0 * sqrt(CAST(vn AS DOUBLE) / 144.0)) END, 6) AS z6"
 
+  /** Wilcoxon signed-rank shared z on doubled ranks: e2x2 = m(m+1) =
+    * 2·E[W2⁺], vn = 24·Var[W2⁺] (tie-corrected), ±2 continuity on the
+    * 2·W2 scale (≡ the classical ±0.5 on W⁺). */
+  private val WilcoxonZ: String =
+    "round(CASE WHEN m > 0 AND vn > 0 THEN" +
+      " CASE WHEN 2 * w2 > e2x2 THEN" +
+      " (CAST(2 * w2 - e2x2 - 2 AS DOUBLE) / 2.0)" +
+      " / sqrt(CAST(vn AS DOUBLE) / 24.0)" +
+      " WHEN 2 * w2 < e2x2 THEN" +
+      " (CAST(2 * w2 - e2x2 + 2 AS DOUBLE) / 2.0)" +
+      " / sqrt(CAST(vn AS DOUBLE) / 24.0)" +
+      " ELSE 0.0 END END, 6) AS z6"
+
+  /** Jonckheere-Terpstra shared z: JT − E[JT] = (2·jt2 − e2x2)/4 on
+    * the doubled count; Var is Lehmann's three-term tie-corrected form
+    * over the exact integer ingredients aa/bb/cc. */
+  private val JonckheereVar: String =
+    "(CAST(aa AS DOUBLE) / 72.0" +
+      " + CAST(bb AS DOUBLE) / (36.0 * CAST(nn AS DOUBLE)" +
+      " * (CAST(nn AS DOUBLE) - 1.0) * (CAST(nn AS DOUBLE) - 2.0))" +
+      " + CAST(cc AS DOUBLE) / (8.0 * CAST(nn AS DOUBLE)" +
+      " * (CAST(nn AS DOUBLE) - 1.0)))"
+  private val JonckheereZ: String =
+    s"round(CASE WHEN k > 1 AND nn > 2 AND $JonckheereVar > 0 THEN" +
+      " (CAST(2 * jt2 - e2x2 AS DOUBLE) / 4.0)" +
+      s" / sqrt($JonckheereVar) END, 6) AS z6"
+
   /** Durbin-Levinson recursion over micro-unit (1e-6 fixed point) ACF
     * columns `r1..rK`: returns (colName, sqlExpr) pairs in dependency
     * order — `p{k}_{j}` is φ_{k,j} in micro units, so `p{k}_{k}` is
@@ -2358,6 +2385,177 @@ object AnalyticsQueries {
            |SELECT n_days, k, CAST(l2 AS BIGINT) AS l2, Z_EXPR FROM fin"""
         .stripMargin.replace("Z_EXPR", PageZ)),
       "Page ordered-trend test across day-part buckets by day (doubled-rank L)"),
+
+    // Wilcoxon signed-rank on the week-over-week daily pairs — the
+    // MAGNITUDE-aware upgrade of q_stats_sign (the sign test throws
+    // away how big each weekly move was; Wilcoxon ranks |Δ| and asks
+    // whether the big moves lean one way). Same lag-7 equi-join;
+    // zero deltas drop (the classical convention); |Δ| midranks are
+    // doubled integers from the bounded O(pairs²) broadcast self-join,
+    // W2⁺ = Σ_{Δ>0} r2 is exact, and the TIE-CORRECTED null variance
+    // rides as the integer vn = 24·Var[W2⁺] = 4m(m+1)(2m+1) − 2Σ(t³−t)
+    // — the sign test's ±1 continuity applies unchanged on the doubled
+    // scale. ANSI: m = 0 (all weeks flat) NULLs z; a dead-centered W2
+    // reads exactly 0.
+    Q("q_stats_wilcoxon",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val ser = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("y")))
+        val pr = graft.core.CacheScope.autoRelease(
+          ser.as("a").join(broadcast(ser.as("b")),
+              col("b.day") === date_add(col("a.day"), 7))
+            .select(col("a.day").as("day"),
+              (col("b.y") - col("a.y")).as("dy"))
+            .filter(col("dy") =!= 0)
+            .select(col("day"), col("dy"), abs(col("dy")).as("ad")))
+        val rr = graft.core.CacheScope.autoRelease(
+          pr.as("p").crossJoin(broadcast(pr.as("q")))
+            .groupBy(col("p.day").as("day"), col("p.dy").as("dy"),
+              col("p.ad").as("ad"))
+            .agg((sum(when(col("q.ad") < col("p.ad"), 2L)
+              .when(col("q.ad") === col("p.ad"), 1L).otherwise(0L)) + 1)
+              .as("r2")))
+        val ties = pr.groupBy("ad").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(dc(col("t")) * col("t") * col("t") - col("t")),
+            lit(0L).cast("decimal(38,0)")).as("tt"))
+        rr.agg(count(lit(1)).as("m"),
+            sum(when(col("dy") > 0, col("r2")).otherwise(0L)).as("w2"))
+          .crossJoin(broadcast(ties))
+          .selectExpr("CAST(m AS BIGINT) AS m", "CAST(w2 AS BIGINT) AS w2",
+            "CAST(m AS DECIMAL(38,0)) * (m + 1) AS e2x2",
+            "CAST(4 * m AS DECIMAL(38,0)) * (m + 1) * (2 * m + 1)" +
+              " - 2 * tt AS vn")
+          .selectExpr("m AS n_pairs", "w2", WilcoxonZ)
+      },
+      Some("""WITH ser AS (SELECT CAST(ts AS DATE) AS day,
+           |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |          AS y
+           |      FROM events GROUP BY 1),
+           |pr AS (SELECT a.day AS day, b.y - a.y AS dy,
+           |         abs(b.y - a.y) AS ad
+           |       FROM ser a JOIN ser b ON b.day = a.day + 7
+           |       WHERE b.y <> a.y),
+           |rr AS (SELECT p.day, p.dy, p.ad,
+           |         CAST(sum(CASE WHEN q.ad < p.ad THEN 2
+           |                       WHEN q.ad = p.ad THEN 1 ELSE 0 END) + 1
+           |           AS BIGINT) AS r2
+           |       FROM pr p CROSS JOIN pr q GROUP BY 1, 2, 3),
+           |tt AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0)
+           |         AS tt
+           |       FROM (SELECT ad, CAST(count(*) AS BIGINT) AS t
+           |             FROM pr GROUP BY ad)),
+           |ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+           |         CAST(sum(CASE WHEN dy > 0 THEN r2 ELSE 0 END)
+           |           AS BIGINT) AS w2
+           |       FROM rr),
+           |fin AS (SELECT m, w2,
+           |          CAST(m AS HUGEINT) * (m + 1) AS e2x2,
+           |          CAST(4 * m AS HUGEINT) * (m + 1) * (2 * m + 1)
+           |            - 2 * tt.tt AS vn
+           |        FROM ag CROSS JOIN tt)
+           |SELECT m AS n_pairs, w2, Z_EXPR FROM fin"""
+        .stripMargin.replace("Z_EXPR", WilcoxonZ)),
+      "Wilcoxon signed-rank on week-over-week daily deltas (tie-corrected, continuity z)"),
+
+    // Jonckheere-Terpstra ordered-alternative test — "does the event
+    // VALUE distribution shift monotonically across day-parts
+    // (night < working-day < evening)?": the k-sample trend test that
+    // beats Kruskal-Wallis exactly when the alternative is ordered,
+    // and the DISTRIBUTION-level cousin of q_ts_page (Page ranks
+    // per-day cell totals; JT compares every cross-bucket value
+    // pair). JT2 = Σ_{g<h} (2·#(x_g<x_h) + #(=)) comes from bucket
+    // cumulative counts on the bounded (bucket, cents) grid —
+    // never a pair join over events. The null moments are the FULL
+    // three-term tie-corrected Lehmann formulas: E2 = (N² − Σn²)/2
+    // and Var = A/72 + B/(36N(N−1)(N−2)) + C/(8N(N−1)) with A, B, C
+    // exact integer ingredients (per-bucket n-polynomials × per-value
+    // tie-polynomials) — one shared double expression. ANSI: k ≤ 1 or
+    // Var ≤ 0 NULLs z.
+    Q("q_stats_jonckheere",
+      (s, d) => {
+        val dc = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val vc = graft.core.CacheScope.autoRelease(t(s, d, "events")
+          .groupBy(expr("hour(ts) div 8").as("g"),
+            cents(col("value")).as("v"))
+          .agg(count(lit(1)).as("c")))
+        val grid = graft.core.CacheScope.autoRelease(
+          vc.select("g").distinct()
+            .crossJoin(vc.select("v").distinct())
+            .join(vc, Seq("g", "v"), "left")
+            .na.fill(0L, Seq("c"))
+            .select(col("g"), col("v"), col("c"),
+              sum("c").over(Window.partitionBy("g").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .as("cum")))
+        val jt = grid.as("a").join(broadcast(grid.as("b")),
+            col("b.v") === col("a.v") && col("b.g") > col("a.g"))
+          .agg(coalesce(sum(dc(col("b.c"))
+            * (lit(2) * (col("a.cum") - col("a.c")) + col("a.c"))),
+            lit(0L).cast("decimal(38,0)")).as("jt2"))
+        val ng = vc.groupBy("g").agg(sum("c").as("n"))
+          .agg(count(lit(1)).as("k"), sum(dc(col("n"))).as("nn"),
+            sum(dc(col("n")) * col("n")).as("sn2"),
+            sum(dc(col("n")) * (col("n") - 1) * (lit(2) * col("n") + 5))
+              .as("sn25"),
+            sum(dc(col("n")) * (col("n") - 1) * (col("n") - 2)).as("sn3"),
+            sum(dc(col("n")) * (col("n") - 1)).as("snn"))
+        val tv = vc.groupBy("v").agg(sum("c").as("t"))
+          .agg(sum(dc(col("t")) * (col("t") - 1) * (lit(2) * col("t") + 5))
+            .as("st25"),
+            sum(dc(col("t")) * (col("t") - 1) * (col("t") - 2)).as("st3"),
+            sum(dc(col("t")) * (col("t") - 1)).as("stt"))
+        ng.crossJoin(broadcast(tv)).crossJoin(broadcast(jt))
+          .selectExpr("CAST(k AS BIGINT) AS k", "CAST(nn AS BIGINT) AS nn",
+            "CAST(jt2 AS BIGINT) AS jt2",
+            "(nn * nn - sn2) AS e2x2",
+            "CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (2 * nn + 5)" +
+              " - sn25 - st25 AS aa",
+            "sn3 * st3 AS bb", "snn * stt AS cc")
+          .selectExpr("k", "nn", "jt2", JonckheereZ)
+      },
+      Some("""WITH vc AS (SELECT hour(ts) // 8 AS g,
+           |        CAST(round(value * 100) AS BIGINT) AS v,
+           |        CAST(count(*) AS BIGINT) AS c
+           |      FROM events GROUP BY 1, 2),
+           |grid AS (SELECT gg.g, vv.v, coalesce(vc.c, 0) AS c,
+           |           CAST(sum(coalesce(vc.c, 0)) OVER (PARTITION BY gg.g
+           |             ORDER BY vv.v ROWS BETWEEN UNBOUNDED PRECEDING
+           |             AND CURRENT ROW) AS BIGINT) AS cum
+           |         FROM (SELECT DISTINCT g FROM vc) gg
+           |         CROSS JOIN (SELECT DISTINCT v FROM vc) vv
+           |         LEFT JOIN vc ON vc.g = gg.g AND vc.v = vv.v),
+           |jt AS (SELECT coalesce(sum(CAST(b.c AS HUGEINT)
+           |           * (2 * (a.cum - a.c) + a.c)), 0) AS jt2
+           |       FROM grid a JOIN grid b
+           |         ON b.v = a.v AND b.g > a.g),
+           |ng AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |         CAST(sum(n) AS HUGEINT) AS nn,
+           |         sum(CAST(n AS HUGEINT) * n) AS sn2,
+           |         sum(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5))
+           |           AS sn25,
+           |         sum(CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS sn3,
+           |         sum(CAST(n AS HUGEINT) * (n - 1)) AS snn
+           |       FROM (SELECT g, CAST(sum(c) AS BIGINT) AS n
+           |             FROM vc GROUP BY g)),
+           |tv AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+           |           AS st25,
+           |         sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS st3,
+           |         sum(CAST(t AS HUGEINT) * (t - 1)) AS stt
+           |       FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t
+           |             FROM vc GROUP BY v)),
+           |fin AS (SELECT CAST(ng.k AS BIGINT) AS k,
+           |          CAST(ng.nn AS BIGINT) AS nn,
+           |          CAST(jt.jt2 AS BIGINT) AS jt2,
+           |          (ng.nn * ng.nn - ng.sn2) AS e2x2,
+           |          CAST(ng.nn AS HUGEINT) * (ng.nn - 1) * (2 * ng.nn + 5)
+           |            - ng.sn25 - tv.st25 AS aa,
+           |          ng.sn3 * tv.st3 AS bb, ng.snn * tv.stt AS cc
+           |        FROM ng CROSS JOIN tv CROSS JOIN jt)
+           |SELECT k, nn, jt2, Z_EXPR FROM fin"""
+        .stripMargin.replace("Z_EXPR", JonckheereZ)),
+      "Jonckheere-Terpstra ordered k-sample trend across day-parts (tie-corrected)"),
 
     // Seasonal Mann-Kendall — the q_ts_mannkendall variant a series
     // with a weekly cycle actually needs: S and its tie-corrected

@@ -934,7 +934,7 @@ class PlanShapeSpec extends SparkSpec {
     // bounded daily (or day×type) rollup with the bounded side
     // broadcast-pinned — the declared theilsen/runs shape
     for (n <- Seq("q_ts_bartels", "q_ts_turningpoints", "q_ts_coxstuart",
-        "q_ts_friedman", "q_ts_quade", "q_ts_page")) {
+        "q_ts_friedman", "q_ts_quade", "q_ts_page", "q_stats_wilcoxon")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(!p.contains("Coalesce 1"), s"$n plans a coalesce(1):\n$p")
@@ -948,6 +948,12 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(p.toLowerCase.contains("partial_count"), s"$n:\n$p")
     }
+  }
+
+  test("q_stats_jonckheere counts cross-bucket pairs on the bounded value grid") {
+    val p = plan("q_stats_jonckheere")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("partial_count"), p)
   }
 
   test("q_stats_welch_anova is a joinless two-level aggregate like bartlett") {

@@ -1194,6 +1194,40 @@ class StatsGatesSpec extends SparkSpec {
     d
   }
 
+  test("Wilcoxon signed-rank ranks the all-tied weekly deltas with full tie correction") {
+    // wkDir: 8 lag-7 pairs, every delta exactly +700 cents — all |Δ|
+    // tied, doubled midrank 9 each → W2 = 72, E2x2 = 72;
+    // vn = 4·8·9·17 − 2·(8³−8) = 3888 → z = (144−72−2)/2 / √162
+    val r = SparkEntry.queries("q_stats_wilcoxon")(spark, wkDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 8L)  // n_pairs
+    assert(r.head.getLong(1) === 72L) // w2
+    val exp = BigDecimal(35.0 / math.sqrt(162.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
+  }
+
+  test("Jonckheere-Terpstra recovers the separated-buckets hand z") {
+    // bucket 0 values {1,2} all below bucket 1 values {3,4}: JT2 = 8,
+    // E2x2 = 8, no ties → aa = 4·3·13 − 2·(2·1·9) = 120, bb = cc = 0,
+    // Var = 120/72 = 5/3 → z = 2/√(5/3)
+    val d = java.nio.file.Files.createTempDirectory("jtfix").toString
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    Seq(
+      (0L, ts(4), 1L, "a", 0.01, "{}"), (1L, ts(5), 1L, "a", 0.02, "{}"),
+      (2L, ts(12), 1L, "a", 0.03, "{}"), (3L, ts(13), 1L, "a", 0.04, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("q_stats_jonckheere")(spark, d).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 2L) // k buckets
+    assert(r.head.getLong(1) === 4L) // nn
+    assert(r.head.getLong(2) === 8L) // jt2
+    val exp = BigDecimal(2.0 / math.sqrt(120.0 / 72.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(3) - exp) < 1e-12, r.head.toString)
+  }
+
   test("Page's L reads exactly 2 on the bucket-monotone fixture") {
     val r = SparkEntry.queries("q_ts_page")(spark, pgDir).collect()
     assert(r.length === 1)
