@@ -1745,6 +1745,47 @@ object LlmQueries {
            |FROM fr""".stripMargin),
       "Chao1 vocabulary-richness estimate per language (singleton/doubleton closed form)"),
 
+    // Yule's characteristic K per language — the classical lexical
+    // "repeat-rate" constant (Yule 1944), the size-INVARIANT diversity
+    // readout next to q_text_chao1 (richness headroom) and
+    // q_text_simpson (draw-collision λ): K = 10⁴·(Σc² − N)/N² over
+    // the word-frequency table. K stays flat as a corpus of the same
+    // style grows (unlike type-token ratio), so a sudden K rise is a
+    // style/template shift, not a size artifact — the lexical drift
+    // alarm that doesn't need a reference snapshot. Same distinct-word
+    // aggregate as its siblings; Σc² and N are exact DECIMAL integers
+    // into one double expression rounded @6. ANSI: N = 0 NULLs K.
+    Q("q_text_yule",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        t(s, d, "documents")
+          .select(col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+          .groupBy("lang")
+          .agg(sum(dc(col("c"))).as("n"),
+            sum(dc(col("c")) * col("c")).as("sc2"))
+          .selectExpr("lang", "CAST(n AS BIGINT) AS n_tok",
+            "round(CASE WHEN n > 0 THEN" +
+              " 10000.0 * CAST(sc2 - n AS DOUBLE)" +
+              " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END, 6)" +
+              " AS yule_k6")
+      },
+      Some(s"""WITH wc AS (SELECT lang, w, count(*) AS c
+           |      FROM (SELECT lang, unnest(${duckTokens("text")}) AS w
+           |            FROM documents)
+           |      GROUP BY lang, w),
+           |fr AS (SELECT lang, CAST(sum(c) AS HUGEINT) AS n,
+           |         sum(CAST(c AS HUGEINT) * c) AS sc2
+           |       FROM wc GROUP BY lang)
+           |SELECT lang, CAST(n AS BIGINT) AS n_tok,
+           |  round(CASE WHEN n > 0 THEN
+           |    10000.0 * CAST(sc2 - n AS DOUBLE)
+           |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END, 6)
+           |    AS yule_k6
+           |FROM fr""".stripMargin),
+      "Yule's characteristic K per language (size-invariant lexical repeat rate)"),
+
     // Simpson diversity per language — Chao1's concentration-side
     // companion: λ = Σc(c−1)/(N(N−1)) is the exact probability two
     // tokens drawn without replacement are the SAME word type, and

@@ -404,6 +404,57 @@ object TrainQueries {
                |FROM rep GROUP BY lang, factor_ppm""".stripMargin),
       "temperature-(1/2) mixture factors: sqrt-imbalance upsampling, exact ppm"),
 
+    // Herfindahl-Hirschman concentration of the corpus mix, per axis
+    // (source and language) — THE one-number answer to "is this corpus
+    // dominated by a few crawls?", published next to the rebalance
+    // factors: HHI = Σ(n_g/N)² and its reciprocal, the EFFECTIVE
+    // number of groups (20 equal sources → 20.0; one source at 90% →
+    // ~1.2). The economics literature's market-concentration measure
+    // applied to training-data governance; the mix-side companion of
+    // q_text_simpson's 1/λ (types) and the drift family's Gini
+    // (inequality curve). One map-side count rollup per axis, exact
+    // DECIMAL integers (Σn², N²) into two double divisions rounded
+    // @6. ANSI: an empty axis contributes no row.
+    Q("q_mix_herfindahl",
+      (s, d) => {
+        val dc = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+        val docs = graft.core.CacheScope.autoRelease(
+          t(s, d, "documents").select(col("source"), col("lang")))
+        def axis(c: String) = docs
+          .groupBy(col(c).cast("string").as("grp")).agg(count(lit(1)).as("n"))
+          .agg(lit(c).as("axis"), count(lit(1)).as("k"),
+            sum(dc(col("n"))).as("nn"),
+            sum(dc(col("n")) * col("n")).as("sn2"))
+        axis("source").unionAll(axis("lang"))
+          .selectExpr("axis", "CAST(k AS BIGINT) AS k",
+            "round(CASE WHEN nn > 0 THEN CAST(sn2 AS DOUBLE)" +
+              " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) END, 6)" +
+              " AS hhi6",
+            "round(CASE WHEN sn2 > 0 THEN" +
+              " CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)" +
+              " / CAST(sn2 AS DOUBLE) END, 6) AS eff6")
+      },
+      Some("""WITH s AS (SELECT CAST(source AS VARCHAR) AS grp, count(*) AS n
+           |      FROM documents GROUP BY 1),
+           |l AS (SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS n
+           |      FROM documents GROUP BY 1),
+           |a AS (SELECT 'source' AS axis, CAST(count(*) AS BIGINT) AS k,
+           |        CAST(sum(n) AS HUGEINT) AS nn,
+           |        sum(CAST(n AS HUGEINT) * n) AS sn2 FROM s
+           |      UNION ALL
+           |      SELECT 'lang' AS axis, CAST(count(*) AS BIGINT) AS k,
+           |        CAST(sum(n) AS HUGEINT) AS nn,
+           |        sum(CAST(n AS HUGEINT) * n) AS sn2 FROM l)
+           |SELECT axis, k,
+           |  round(CASE WHEN nn > 0 THEN CAST(sn2 AS DOUBLE)
+           |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) END, 6)
+           |    AS hhi6,
+           |  round(CASE WHEN sn2 > 0 THEN
+           |    CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+           |    / CAST(sn2 AS DOUBLE) END, 6) AS eff6
+           |FROM a""".stripMargin),
+      "Herfindahl concentration + effective group count of the corpus mix (source and lang)"),
+
     Q("q_mix_apply",
       (s, d) => Sampling.epochRebalance(
           t(s, d, "documents").select(col("doc_id"), col("lang")),

@@ -1041,7 +1041,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_text_chao1 and q_text_simpson shuffle on the distinct-word grain — no cartesian, no coalesce(1)") {
-    for (n <- Seq("q_text_chao1", "q_text_simpson")) {
+    for (n <- Seq("q_text_chao1", "q_text_simpson", "q_text_yule",
+        "q_mix_herfindahl")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
       assert(!p.contains("Join"), s"$n:\n$p")

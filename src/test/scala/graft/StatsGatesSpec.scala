@@ -587,6 +587,40 @@ class StatsGatesSpec extends SparkSpec {
     d
   }
 
+  test("Yule's K matches the hand frequency table") {
+    // chDir counts a1 b1 c2 d2 e3: N = 9, Σc² = 19 →
+    // K = 10⁴·(19−9)/81 = 1234.567901
+    val r = SparkEntry.queries("q_text_yule")(spark, chDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 9L)
+    val exp = BigDecimal(10000.0 * 10.0 / 81.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.head.getDouble(2) - exp) < 1e-12, r.head.toString)
+  }
+
+  test("Herfindahl reads the hand mix concentration on both axes") {
+    val d = java.nio.file.Files.createTempDirectory("hhfix").toString
+    // sources 3/3/1 → HHI = 19/49, eff = 49/19; langs 4/3 → 25/49, 1.96
+    Seq(("a", "en"), ("a", "en"), ("a", "en"), ("b", "en"),
+      ("b", "de"), ("b", "de"), ("c", "de"))
+      .zipWithIndex.map { case ((s0, l), i) => (i.toLong, s0, l) }
+      .toDF("doc_id", "source", "lang")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q_mix_herfindahl")(spark, d)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r.keySet === Set("source", "lang"))
+    assert(r("source")._1 === 3L)
+    assert(math.abs(r("source")._2 - BigDecimal(19.0 / 49.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(math.abs(r("source")._3 - BigDecimal(49.0 / 19.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(r("lang")._1 === 2L)
+    assert(math.abs(r("lang")._2 - BigDecimal(25.0 / 49.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(r("lang")._3 === 1.96)
+  }
+
   test("Chao1 matches the hand-counted singleton/doubleton closed form") {
     val r = SparkEntry.queries("q_text_chao1")(spark, chDir).collect()
     assert(r.length === 1)
