@@ -266,7 +266,13 @@ object Bench {
     // with five moment aggregates — genuine ~2.9 s (7-rep median at
     // birth, control-elevated window, BENCHFOCUS_r20) — promoted at
     // birth per the ≥2 s rule with a max-rule 2.9 baseline
-    "q_ab_brunnermunzel")
+    "q_ab_brunnermunzel",
+    // round-20 waves 3: the two heaviest sweep-tier births (one-shot
+    // probe bases 1.43/1.30 s) promoted PREEMPTIVELY to the 3-rep
+    // tail tier — a 1.5× co-tenant swing would single-shot them past
+    // the 2 s sweep gate (the bpe_coverage class; the r19 preemptive
+    // promotions bought the first first-run-green close)
+    "q_ts_friedman", "q_ts_quade")
 
   /** Locale-pinned numeric formatting for the JSON emission: the `f`
     * interpolator formats with the JVM default locale, so under a
