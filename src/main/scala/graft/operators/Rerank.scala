@@ -133,7 +133,7 @@ object Rerank {
     val pool = cands.select("query_id", "cand_id", "rel")
 
     // step 1: pure relevance (redundancy term is 0 on an empty set)
-    var sel = pool
+    val step1 = pool
       .withColumn("score", lit(LamNum) * col("rel"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
@@ -141,8 +141,20 @@ object Rerank {
       .select(col("query_id"), col("cand_id").as("neighbor_id"),
         lit(1).as("step"), col("score"))
 
+    // Each round's one-row-per-query pick is re-rooted as a LogicalRDD
+    // (the PageRank/KCore lazy convention — no action, shuffle outputs
+    // shared inside the consumer's single job). Without it the selected
+    // set is referenced TWICE per round (redundancy join + anti-join)
+    // plus once by the growing union, so the analyzed plan tripled per
+    // round: 642 Exchange nodes at k=5 (measured, plans/r20/
+    // q_sim_mmr_before.txt) vs linear-in-k after. The selected-ID table
+    // accumulates as a union of these constant-size RDD scans, so round
+    // r's plan no longer re-expands rounds 1..r-1.
+    def reroot(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    var rounds = Vector(reroot(step1))
+    var selIds = rounds.head.select(col("query_id"), col("neighbor_id"))
     for (r <- 2 to k) {
-      val selIds = sel.select(col("query_id"), col("neighbor_id"))
       val red = pairwise
         .join(selIds.withColumnRenamed("neighbor_id", "b_id"), Seq("query_id", "b_id"))
         .groupBy("query_id", "a_id").agg(max("dd").as("red"))
@@ -156,10 +168,12 @@ object Rerank {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id").as("neighbor_id"),
           lit(r).as("step"), col("score"))
-      sel = sel.unionByName(next)
+      val p = reroot(next)
+      rounds :+= p
+      selIds = selIds.unionByName(p.select(col("query_id"), col("neighbor_id")))
     }
 
-    sel.select(col("query_id"), col("neighbor_id"),
+    rounds.reduce(_ unionByName _).select(col("query_id"), col("neighbor_id"),
       col("step").cast("int").as("step"), col("score").as("mmr_score"))
   }
 }
