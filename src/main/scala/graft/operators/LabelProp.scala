@@ -33,10 +33,17 @@ object LabelProp {
   def communities(edges: DataFrame, iters: Int): DataFrame = {
     // every round joins the same edge table: job-scoped persist, released
     // by the listener when the consuming action completes (the whole k-round
-    // recurrence is ONE declarative plan — no intermediate actions)
+    // recurrence is ONE declarative plan — no intermediate actions).
+    // Pinned to hashpartitioning(src) before the persist (the
+    // PageRank/Bfs edge-pinning convention, guide §2.4): every round's
+    // join is on src, so the cached edge copy satisfies the join's
+    // distribution and only the node-scale label table re-exchanges per
+    // round — unpinned, each of the k rounds paid a full edge-table
+    // Exchange out of the cache.
     val e = CacheScope.autoRelease(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")))
+        col("dst").cast("long").as("dst"))
+        .repartition(col("src")))
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     for (_ <- 1 to iters) {

@@ -3951,7 +3951,12 @@ object AnalyticsQueries {
           (col("l_partkey") * 2 + 1).as("dst"))
         val em = bm.union(bm.select(col("dst").as("src"),
           col("src").as("dst")))
-        val lbl = LabelProp.communities(em, LpaIters)
+        // job-scoped persist: the label table is referenced THREE times
+        // below (d_c join + both endpoint joins of in_c) — without it
+        // each reference carries its own copy of the whole 4-round LPA
+        // recurrence and only exchange-reuse dedupes parts of it
+        val lbl = graft.core.CacheScope.autoRelease(
+          LabelProp.communities(em, LpaIters))
         val ed = em.distinct()
         val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
         val dC = deg
