@@ -48,12 +48,20 @@ object Triangles {
     * exactly once. Shuffled volume is O(|E| · √m) worst-case but
     * O(|E| · avg-deg) in practice — the 41M-row wedge shuffle never
     * exists (sf0.1 median 33 s → 12.5 s on a noisy box; min 6.9 s). */
-  private def closedTriangles(edges: DataFrame): DataFrame = {
-    val e = graft.core.CacheScope.autoRelease(edges
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
+  private def closedTriangles(edges: DataFrame,
+                              canonical: Boolean): DataFrame = {
+    // canonical = the caller DECLARES (and typically already persisted)
+    // a deduplicated u < v edge set — the canonicalize+distinct below
+    // would be a full extra Exchange over data that is already in that
+    // form (q_graph_clustercoef/embeddedness cache exactly this frame
+    // before calling in), so skip it and reuse the caller's frame.
+    val e =
+      if (canonical) edges.select(col("u"), col("v"))
+      else graft.core.CacheScope.autoRelease(edges
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // rank = (deg, id) lexicographic; orient src -> dst with rank(src) < rank(dst)
@@ -78,10 +86,11 @@ object Triangles {
   }
 
   /** (node, n_tri) for every node on ≥1 triangle. `edges`: undirected
-    * (u, v) pairs, self-loops and duplicates tolerated. */
-  def perNodeCounts(edges: DataFrame): DataFrame = {
+    * (u, v) pairs, self-loops and duplicates tolerated — unless
+    * `canonical` declares them already deduplicated with u < v. */
+  def perNodeCounts(edges: DataFrame, canonical: Boolean = false): DataFrame = {
     // triangle {a, b, w}: credit a and b with |W| each, every w with 1
-    val credits = closedTriangles(edges)
+    val credits = closedTriangles(edges, canonical)
       .select(col("src"), col("dst"), col("w"),
         size(col("w")).cast("long").as("nw"))
       .select(explode(concat(
@@ -99,8 +108,8 @@ object Triangles {
     * (a, b, W) credits edge (a,b) with |W| and edges (a,w)/(b,w) with
     * 1 apiece — every triangle lands on its three edges exactly once
     * because the apex closure is unique. */
-  def perEdgeCounts(edges: DataFrame): DataFrame = {
-    closedTriangles(edges)
+  def perEdgeCounts(edges: DataFrame, canonical: Boolean = false): DataFrame = {
+    closedTriangles(edges, canonical)
       .select(explode(concat(
         array(struct(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"),

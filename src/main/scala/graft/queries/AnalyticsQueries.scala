@@ -220,6 +220,25 @@ object AnalyticsQueries {
   /** Association-rule support floor (co-purchase pair count): 2, because
     * TPC-H's basket co-occurrence DILUTES as SF grows (parts scale with
     * SF, basket size doesn't) — at sf0.1 no pair reaches 5. */
+  /** Distinct u < v co-purchase pairs (parts sharing an order) via ONE
+    * basket aggregation + in-row pair explosion — replaces the
+    * li ⋈ li self-join on l_orderkey (guide §2.4: the self-join paid
+    * two lineitem Exchanges plus the join to emit the same pair
+    * stream; one groupBy(ok) Exchange emits it from sorted per-order
+    * part sets, map-side combinable). `sort_array(collect_set)` makes
+    * the in-basket pair order ascending, so every emitted pair is
+    * u < v exactly as the a.pk < b.pk join predicate produced — the
+    * downstream `.distinct()` (cross-order dedup) is unchanged. Basket
+    * size is bounded by order width, never item×item, at any scale. */
+  private def coPurchasePairs(li: DataFrame): DataFrame =
+    li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS u, y AS v))))")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+
   private val AssocMinSupport = 2
   /** Association rules kept (top by lift). */
   private val AssocTopK = 50
@@ -3423,11 +3442,7 @@ object AnalyticsQueries {
       (s, d) => {
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val e = li.as("a")
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        Triangles.perNodeCounts(e)
+        Triangles.perNodeCounts(coPurchasePairs(li))
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                           FROM lineitem),
@@ -3455,12 +3470,9 @@ object AnalyticsQueries {
       (s, d) => {
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val e0 = li.as("a")
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        val e = graft.core.CacheScope.autoRelease(e0.distinct())
-        val tri = Triangles.perNodeCounts(e)
+        val e = graft.core.CacheScope.autoRelease(
+          coPurchasePairs(li).distinct())
+        val tri = Triangles.perNodeCounts(e, canonical = true)
         val deg = e.select(col("u").as("id"))
           .union(e.select(col("v").as("id")))
           .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -3527,12 +3539,9 @@ object AnalyticsQueries {
       (s, d) => {
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val e0 = li.as("a")
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        val e = graft.core.CacheScope.autoRelease(e0.distinct())
-        val cn = Triangles.perEdgeCounts(e)
+        val e = graft.core.CacheScope.autoRelease(
+          coPurchasePairs(li).distinct())
+        val cn = Triangles.perEdgeCounts(e, canonical = true)
         val deg = e.select(col("u").as("id"))
           .union(e.select(col("v").as("id")))
           .groupBy("id").agg(count(lit(1)).as("deg"))
