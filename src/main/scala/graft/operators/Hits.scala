@@ -68,27 +68,38 @@ object Hits {
       val araw = root(eS
         .join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy("dst").agg(sum(col("h").cast("decimal(38,0)")).as("a")))
-      val am = araw.agg(max("a")).head().getDecimal(0).toBigInteger
-      auth = root(araw.select(col("dst").as("id"),
-        expr(s"(a * $Scale) div $am").as("a")))
+      // the per-half-round max rides back in as a broadcast one-row
+      // frame instead of a driver head() collect: the collect made each
+      // half-round its own sequential job (2·iters scheduler round
+      // trips, every one materializing its frame before the next could
+      // plan) — folded in-plan, ONE consumer action runs the whole
+      // recurrence and the persisted round frames still compute exactly
+      // once (first consuming stage populates the cache). Same exact
+      // integer arithmetic: `div` on the same DECIMAL(38,0) values.
+      val amx = araw.agg(max("a").as("am"))
+      auth = root(araw.crossJoin(broadcast(amx))
+        .select(col("dst").as("id"),
+          expr(s"(a * $Scale) div am").as("a")))
       val hraw = root(eD
         .join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(sum(col("a").cast("decimal(38,0)")).as("hh")))
-      val hm = hraw.agg(max("hh")).head().getDecimal(0).toBigInteger
-      hubs = root(hraw.select(col("src").as("id"),
-        expr(s"(hh * $Scale) div $hm").as("h")))
+      val hmx = hraw.agg(max("hh").as("hm"))
+      hubs = root(hraw.crossJoin(broadcast(hmx))
+        .select(col("src").as("id"),
+          expr(s"(hh * $Scale) div hm").as("h")))
     }
     val out = hubs
       .select(col("id").as("node_id"), lit("hub").as("kind"),
         col("h").as("score_fp"))
       .unionByName(auth.select(col("id").as("node_id"),
         lit("auth").as("kind"), col("a").as("score_fp")))
-    // no Freeze: unlike PageRank's single lazy pipeline, every round
-    // here is ALREADY materialized into its persisted frame by the max
-    // collects, so the consumer's one action just reads node-scale
-    // caches. Arm a job-scoped release on each (CacheScope one-shot):
-    // the consumer's action drops all of them, nothing outlives it —
-    // a retained localCheckpoint block here would trip the session-wide
+    // no Freeze: the round frames are persisted and each is consumed by
+    // the next half-round, its max aggregate, and/or the final union —
+    // all inside the consumer's single action (the first consuming
+    // stage populates each cache, the rest read it). Arm a job-scoped
+    // release on each (CacheScope one-shot): the consumer's action
+    // drops all of them, nothing outlives it — a retained
+    // localCheckpoint block here would trip the session-wide
     // cache-release pins (ConnectedSpec/AnalyticsSpec).
     (eS :: eD :: cached).foreach(graft.core.CacheScope.arm)
     out
