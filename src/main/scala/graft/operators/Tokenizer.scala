@@ -96,27 +96,79 @@ object Tokenizer {
       .select(col("w"), col("freq"), initTokStr(col("w")).as("ts"))
       .transform(graft.core.Freeze.apply)
 
+  /** UTF-8 byte order == Unicode code-point order — the collation BOTH
+    * engines' ORDER BY use for the pair-key tie-break (Spark compares
+    * UTF8String bytes, DuckDB compares UTF-8 bytes). Java's
+    * String.compareTo is UTF-16 code-unit order, which differs for
+    * supplementary characters, so the driver-side argmax compares the
+    * encoded bytes instead. */
+  private def compareUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Argmax order of a (pr, cnt) pair-count row: cnt DESC, pr ASC —
+    * exactly the `orderBy(cnt.desc, pr).limit(1)` of the SQL form. */
+  private val topPairOrd: Ordering[(String, Long)] =
+    new Ordering[(String, Long)] {
+      def compare(a: (String, Long), b: (String, Long)): Int = {
+        val c = java.lang.Long.compare(b._2, a._2)
+        if (c != 0) c else compareUtf8(a._1, b._1)
+      }
+    }
+
+  /** One BPE merge applied to a raw symbol string — the driver/executor
+    * twin of [[applyMerge]]: the identical separator-doubling 3-replace
+    * chain (Java's String.replace is the same left-to-right
+    * non-overlapping scan as both engines' `replace`). */
+  private[operators] def applyMergeStr(ts: String, l: String, r: String): String =
+    ts.replace(Sep, Sep + Sep)
+      .replace(Sep + l + Sep + Sep + r + Sep, Sep + l + r + Sep)
+      .replace(Sep + Sep, Sep)
+
+  /** Adjacent symbol pairs of a raw symbol string — the executor twin of
+    * [[pairKeys]] over [[symbols]] (split on SEP, drop empties, adjacent
+    * pairs joined by PairSep). */
+  private[operators] def pairKeysStr(ts: String): Iterator[String] = {
+    val syms = ts.split(Sep).filter(_.nonEmpty)
+    if (syms.length < 2) Iterator.empty
+    else (0 until syms.length - 1).iterator.map(i => syms(i) + PairSep + syms(i + 1))
+  }
+
   /** Train k merge rounds on a prepared word table. Each round: count
     * adjacent pairs weighted by word frequency (map-side-combined
     * aggregate over O(vocab) rows), take the argmax with the
     * deterministic (cnt DESC, left, right) tie-break — a bounded
-    * ONE-ROW collect — and fold the merge into every word's symbols. */
+    * ONE-ROW collect — and fold the merge into every word's symbols.
+    *
+    * The rounds run as raw RDD jobs over the frozen table, not as K
+    * DataFrame actions: the SQL form re-analyzed a plan that grew by
+    * three nested replace layers per round and recompiled a fresh
+    * whole-stage-codegen stage per round, so each of the K sequential
+    * argmax jobs paid ~0.15-0.3 s of fixed planning/compile cost against
+    * microseconds of O(vocab) data (guide §1.2 — fix the algorithm's
+    * fixed costs before per-task work). The RDD form keeps a
+    * constant-size closure per round: flatMap pair partials,
+    * reduceByKey (map-side combined), takeOrdered(1) with the identical
+    * (cnt DESC, pr) order. The corpus-scale ENCODE path is untouched
+    * pure-codegen; only the vocab-scale trainer loop changes engine. */
   def trainOnWords(words: DataFrame, k: Int): Seq[Merge] = {
+    val base = words.select(col("ts"), col("freq")).rdd
+      .map(row => (row.getString(0), row.getLong(1)))
     val out = ArrayBuffer.empty[Merge]
-    var cur = words
+    var cur = base
     var r = 1
     while (r <= k) {
       val top = cur
-        .select(explode(pairKeys(col("ts"))).as("pr"), col("freq"))
-        .groupBy("pr").agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("pr")).limit(1).collect()
+        .flatMap { case (ts, f) => pairKeysStr(ts).map(p => (p, f)) }
+        .reduceByKey(_ + _)
+        .takeOrdered(1)(topPairOrd)
       if (top.nonEmpty) {
-        val pr = top(0).getString(0)
-        val cnt = top(0).getLong(1)
+        val (pr, cnt) = top(0)
         val i = pr.indexOf(PairSep)
         val (l, rr) = (pr.substring(0, i), pr.substring(i + 1))
         out += Merge(r, l, rr, cnt)
-        cur = cur.withColumn("ts", applyMerge(col("ts"), l, rr))
+        cur = cur.map { case (ts, f) => (applyMergeStr(ts, l, rr), f) }
       } else r = k // no pairs left (degenerate corpus): stop early
       r += 1
     }

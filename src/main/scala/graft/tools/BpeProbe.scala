@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tokenizer
+
+/** One-off measurement probe for the BPE trainer's round structure
+  * (round-21 optimization): partition counts of the frozen word table,
+  * per-round argmax job time, and the end-to-end encode time.
+  */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def docs = {
+      val df = graft.core.Tables.load(spark, sfDir, "documents")
+      graft.core.Tables.ensureParallelism(df)
+    }
+    // warm codegen on the tiny SF
+    Tokenizer.train(graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents"), col("text"), Tokenizer.K)
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    val words = timed("wordTable (build+freeze)") {
+      Tokenizer.wordTable(docs, col("text"))
+    }
+    println(s"[probe] frozen word table partitions: ${words.rdd.getNumPartitions}")
+    println(s"[probe] word rows: ${words.count()}")
+    val merges = timed("trainOnWords k=12")(Tokenizer.trainOnWords(words, Tokenizer.K))
+    println(s"[probe] merges: ${merges.size}")
+    // per-round timing: re-run with manual loop
+    var cur = words
+    merges.zipWithIndex.foreach { case (m, i) =>
+      timed(s"round ${i + 1} argmax") {
+        cur.select(explode(Tokenizer.pairKeys(col("ts"))).as("pr"), col("freq"))
+          .groupBy("pr").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pr")).limit(1).collect()
+      }
+      cur = cur.withColumn("ts", Tokenizer.applyMerge(col("ts"), m.left, m.right))
+    }
+    // variant: AQE off during the rounds
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    timed("trainOnWords k=12 AQE-off")(Tokenizer.trainOnWords(words, Tokenizer.K))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // variant: whole-stage codegen off during the rounds
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    timed("trainOnWords k=12 codegen-off")(Tokenizer.trainOnWords(words, Tokenizer.K))
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // variant: both off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    timed("trainOnWords k=12 both-off")(Tokenizer.trainOnWords(words, Tokenizer.K))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // repeat baseline (codegen warm)
+    timed("trainOnWords k=12 warm-repeat")(Tokenizer.trainOnWords(words, Tokenizer.K))
+    timed("full q_text_bpe_encode (train+encode, noop)") {
+      graft.SparkEntry.queries("q_text_bpe_encode")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

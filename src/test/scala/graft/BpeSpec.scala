@@ -79,4 +79,16 @@ class BpeSpec extends SparkSpec {
     val d = docs("a b c a b")
     assert(Tokenizer.train(d, col("text"), 4) === Seq.empty)
   }
+
+  test("argmax tie-break is code-point order, not UTF-16 order") {
+    // U+10348 (surrogate pair 𐍈) vs U+FFFD: UTF-16 code-unit
+    // order puts the surrogate FIRST (0xD800 < 0xFFFD) but both engines'
+    // ORDER BY compare UTF-8 bytes = code points (0x10348 > 0xFFFD), so
+    // a tied pair count must pick the U+FFFD pair. Pins the trainer's
+    // driver-side argmax comparator against a Java-String.compareTo
+    // regression.
+    val d = docs("𐍈a �a")
+    val merges = Tokenizer.train(d, col("text"), 1)
+    assert(merges === Seq(Merge(1, "�", "a", 1L)))
+  }
 }

@@ -27,7 +27,8 @@ class CollectCensusSpec extends AnyFunSuite {
     "operators/Pca.scala" -> 2,
     // O(bands) LSH plane artifact + O(k) IVF centroid artifact
     "operators/Similarity.scala" -> 2,
-    // O(K) merge-rule artifact (BPE train)
+    // O(1) per merge round: takeOrdered(1) argmax over the pair counts
+    // (K rounds → K one-row materializations, the BPE train artifact)
     "operators/Tokenizer.scala" -> 1,
     // O(singles + VocabTop) piece set (WordPiece map literal)
     "operators/WordPiece.scala" -> 1,
@@ -74,7 +75,8 @@ class CollectCensusSpec extends AnyFunSuite {
             if (cut < 0) l else l.substring(0, cut)
           }
           .mkString("\n")
-        val n = Seq(".collect()", ".collectAsList(", ".toLocalIterator")
+        val n = Seq(".collect()", ".collectAsList(", ".toLocalIterator",
+            ".takeOrdered(")
           .map(pat => code.sliding(pat.length).count(_ == pat)).sum
         if (n == 0) None
         else Some(base.relativize(p).toString.replace('\\', '/') -> n)
