@@ -28,18 +28,30 @@ object PageRank {
   val Scale = 1000000000000L
 
   /** (id, r) for every node appearing as an edge source. `edges` columns:
-    * src, dst (integral); duplicates are dropped. */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    * src, dst (integral); duplicates are dropped.
+    *
+    * `symmetric = true` declares every dst also appears as src (the
+    * undirected modeling every engine query uses — both edge directions
+    * passed). That guarantee lets each round skip restricting the
+    * contribution sums back to the node set; for arbitrary directed
+    * input (default) the edges whose dst is not a node are dropped ONCE
+    * at build time instead — those contributions were discarded by the
+    * old per-round node join anyway, so results are identical either
+    * way (the Triangles `canonical`-flag convention). */
+  def ranks(edges: DataFrame, iters: Int,
+            symmetric: Boolean = false): DataFrame = {
     val e = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // pin the persisted edge layout to hashpartitioning(src): every
     // round joins on src, so the big side never re-exchanges — only the
     // node-scale rank table moves per round
-    val edgesD = e.join(deg, "src").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id")).distinct()
+    val eK = if (symmetric) e
+             else e.join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val edgesD = eK.join(deg, "src").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the node COUNT is one bounded number — collect it once and fold it
     // into every round as a literal (the ≤1024-weight-collect policy); a
@@ -56,17 +68,20 @@ object PageRank {
     }
     val baseConst = 15L * Scale / 100
 
+    // one zero-contribution row per node rides the aggregate instead of a
+    // per-round `nodes LEFT JOIN contrib`: every node is guaranteed a
+    // group (sum + 0 is exact int64), so each round drops one join, one
+    // exchange and two sorts (guide §2.4 — remove shuffles outright).
+    val zeros = nodes.select(col("id").as("dst"), lit(0L).as("c"))
     var ranks = nodes.select(col("id"), lit(Scale / nn).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edgesD
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("r div deg").as("c"))
+        .union(zeros)
         .groupBy("dst").agg(sum("c").cast("long").as("s"))
-      val stepped = nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
-          (lit(baseConst / nn) +
-            expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
+      val stepped = contrib.select(col("dst").as("id"),
+        (lit(baseConst / nn) + expr("(85L * s) div 100L")).as("r"))
       // re-root as a LogicalRDD so the analyzed plan doesn't grow with
       // the iteration count (same rationale as Connected.components).
       // Deliberately LAZY: no per-round persist/count — each round's RDD
@@ -101,35 +116,43 @@ object PageRank {
     * persisted node table, so per round it's still one src join + one
     * map-side-combined sum + one node-keyed left join. */
   def personalizedRanks(edges: DataFrame, seeds: DataFrame,
-                        iters: Int): DataFrame = {
+                        iters: Int, symmetric: Boolean = false): DataFrame = {
     val e = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesD = e.join(deg, "src").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sd = seeds.select(col("id").cast("long")).distinct()
     // node table CARRIES the seed flag — joined once, reused every round
     val nodes = e.select(col("src").as("id")).distinct()
       .join(sd.withColumn("isS", lit(1L)), Seq("id"), "left")
       .select(col("id"), coalesce(col("isS"), lit(0L)).as("isS"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val eK = if (symmetric) e
+             else e.join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val edgesD = eK.join(deg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ns = sd.count()
     require(ns > 0, "personalized PageRank needs a non-empty seed set")
     val baseConst = 15L * Scale / 100
 
+    // the per-node zero row carries the seed flag so the round aggregate
+    // re-derives (id, isS) without the former per-round node join: edge
+    // contribution rows fly isS = 0, each node's single zero row flies
+    // its true flag, max() recovers it (same §2.4 rationale as [[ranks]])
+    val zeros = nodes.select(col("id").as("dst"), lit(0L).as("c"),
+      col("isS"))
     var ranks = nodes.select(col("id"),
       (lit(Scale / ns) * col("isS")).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edgesD
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy("dst").agg(sum("c").cast("long").as("s"))
-      val stepped = nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"), col("isS"),
-          (lit(baseConst / ns) * col("isS") +
-            expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
+        .select(col("dst"), expr("r div deg").as("c"), lit(0L).as("isS"))
+        .union(zeros)
+        .groupBy("dst").agg(sum("c").cast("long").as("s"),
+          max("isS").as("isS"))
+      val stepped = contrib.select(col("dst").as("id"),
+        (lit(baseConst / ns) * col("isS") +
+          expr("(85L * s) div 100L")).as("r"))
       ranks = stepped.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
     }
     val frozen = graft.core.Freeze(ranks.select(col("id"), col("r")))
@@ -150,15 +173,18 @@ object PageRank {
     * overflows int64) and `div` truncates identically on both engines.
     * `edges` columns: src, dst, w (positive integral); duplicate
     * (src, dst) rows collapse by summing w. */
-  def ranksWeighted(edges: DataFrame, iters: Int): DataFrame = {
+  def ranksWeighted(edges: DataFrame, iters: Int,
+                    symmetric: Boolean = false): DataFrame = {
     val e = edges
       .select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val sw = e.groupBy("src").agg(sum("w").as("sw"))
-    val edgesD = e.join(sw, "src").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eK = if (symmetric) e
+             else e.join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val edgesD = eK.join(sw, "src").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nn = nodes.count()
     if (nn == 0) {
@@ -168,18 +194,20 @@ object PageRank {
     }
     val baseConst = 15L * Scale / 100
 
+    // per-node zero contribution row replaces the per-round node join
+    // (see [[ranks]]; `div` on the DECIMAL-widened product is LONG-typed,
+    // so the zero row unions at the same type)
+    val zeros = nodes.select(col("id").as("dst"), lit(0L).as("c"))
     var ranks = nodes.select(col("id"), lit(Scale / nn).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edgesD
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"),
           expr("CAST(r AS DECIMAL(38,0)) * w div sw").as("c"))
+        .union(zeros)
         .groupBy("dst").agg(sum("c").cast("long").as("s"))
-      val stepped = nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
-          (lit(baseConst / nn) +
-            expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
+      val stepped = contrib.select(col("dst").as("id"),
+        (lit(baseConst / nn) + expr("(85L * s) div 100L")).as("r"))
       ranks = stepped.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
     }
     val frozen = graft.core.Freeze(ranks)

@@ -3333,7 +3333,7 @@ object AnalyticsQueries {
           (col("l_orderkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst"))
         val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
-        PageRank.ranks(e, PrIters)
+        PageRank.ranks(e, PrIters, symmetric = true)
           .select(col("id").as("node_id"), col("r").as("r_fp"))
       },
       Some(s"""WITH ${duckPageRankCtes(PrIters)}
@@ -3356,7 +3356,7 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("w"))
         val e = b.unionByName(b.select(col("dst").as("src"),
           col("src").as("dst"), col("w")))
-        PageRank.ranksWeighted(e, WPrIters)
+        PageRank.ranksWeighted(e, WPrIters, symmetric = true)
           .select(col("id").as("node_id"), col("r").as("r_fp"))
       },
       Some {
@@ -3404,7 +3404,7 @@ object AnalyticsQueries {
         val e = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = li.filter(col("l_orderkey") % PprSeedMod === 0)
           .select((col("l_orderkey") * 2).as("id"))
-        PageRank.personalizedRanks(e, seeds, PrIters)
+        PageRank.personalizedRanks(e, seeds, PrIters, symmetric = true)
           .select(col("id").as("node_id"), col("r").as("r_fp"))
       },
       Some(s"""WITH ${duckPprCtes(PrIters)}

@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Round-21 interleaved same-JVM A/B of the PageRank round shape:
+  * A = per-round `nodes LEFT JOIN contrib` (round-20 tree), B = zero-row
+  * union into the round aggregate (round-21 candidate). Alternating
+  * A/B/A/B... in one JVM so co-tenant noise hits both arms equally.
+  */
+object PrAb {
+  val Scale = 1000000000000L
+
+  private def run(edges: DataFrame, iters: Int, arm: Int): Long = {
+    val t0 = System.nanoTime()
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD =
+      (if (arm == 2)
+         e.groupBy("src").agg(count(lit(1)).as("deg"),
+           collect_list(col("dst")).as("ds"))
+       else e.join(deg, "src").repartition(col("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nn = nodes.count()
+    val baseConst = 15L * Scale / 100
+    var ranks = nodes.select(col("id"), lit(Scale / nn).as("r"))
+    val zeros = nodes.select(col("id").as("dst"), lit(0L).as("c"))
+    for (_ <- 1 to iters) {
+      val stepped = if (arm == 2) {
+        edgesD.join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(explode(col("ds")).as("dst"), expr("r div deg").as("c"))
+          .union(zeros)
+          .groupBy("dst").agg(sum("c").cast("long").as("s"))
+          .select(col("dst").as("id"),
+            (lit(baseConst / nn) + expr("(85L * s) div 100L")).as("r"))
+      } else if (arm == 1) {
+        edgesD.join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst"), expr("r div deg").as("c"))
+          .union(zeros)
+          .groupBy("dst").agg(sum("c").cast("long").as("s"))
+          .select(col("dst").as("id"),
+            (lit(baseConst / nn) + expr("(85L * s) div 100L")).as("r"))
+      } else {
+        val contrib = edgesD.join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum("c").cast("long").as("s"))
+        nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"),
+            (lit(baseConst / nn) + expr("(85L * coalesce(s, 0L)) div 100L")).as("r"))
+      }
+      ranks = stepped.sparkSession.createDataFrame(stepped.rdd, stepped.schema)
+    }
+    val frozen = graft.core.Freeze(ranks)
+    edgesD.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    frozen.write.format("noop").mode("overwrite").save()
+    frozen.unpersist(blocking = false)
+    System.nanoTime() - t0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cycles = if (args.length > 1) args(1).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    val b = li.select((col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val edges = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+    // warm all arms once
+    run(edges, 2, 0); run(edges, 2, 1); run(edges, 2, 2)
+    val as = scala.collection.mutable.Buffer[Double]()
+    val bs = scala.collection.mutable.Buffer[Double]()
+    val cs = scala.collection.mutable.Buffer[Double]()
+    for (_ <- 1 to cycles) {
+      as += run(edges, 10, 0) / 1e9
+      bs += run(edges, 10, 1) / 1e9
+      cs += run(edges, 10, 2) / 1e9
+    }
+    def stats(v: Seq[Double]) =
+      f"median=${v.sorted.apply(v.size / 2)}%.3f min=${v.min}%.3f runs=${v.map(x => f"$x%.2f").mkString(",")}"
+    println(s"[ab] A nodes-join : ${stats(as.toSeq)}")
+    println(s"[ab] B zero-union : ${stats(bs.toSeq)}")
+    println(s"[ab] C adjacency  : ${stats(cs.toSeq)}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Round-21 probe: one PageRank round's physical plan + time breakdown. */
+object PrProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    val b = li.select((col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val edges = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    // replicate ranks() internals for one round
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = e.join(deg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nn = timed("nodes.count")(nodes.count())
+    println(s"[probe] nodes=$nn edges=${edgesD.count()}")
+    val baseConst = 15L * graft.operators.PageRank.Scale / 100
+    var ranks = nodes.select(col("id"), lit(graft.operators.PageRank.Scale / nn).as("r"))
+    val zeros = nodes.select(col("id").as("dst"), lit(0L).as("c"))
+    val contrib = edgesD
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .select(col("dst"), expr("r div deg").as("c"))
+      .union(zeros)
+      .groupBy("dst").agg(sum("c").cast("long").as("s"))
+    val stepped = contrib.select(col("dst").as("id"),
+      (lit(baseConst / nn) + expr("(85L * s) div 100L")).as("r"))
+    println("======== one-round stepped plan (pre-AQE) ========")
+    println(stepped.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    timed("one-round noop")(stepped.write.format("noop").mode("overwrite").save())
+    println("======== one-round stepped plan (post-AQE) ========")
+    println(stepped.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    // full 10 rounds timing
+    timed("full ranks(10) + freeze") {
+      graft.operators.PageRank.ranks(edges, 10).write.format("noop")
+        .mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

@@ -61,6 +61,21 @@ class AnalyticsSpec extends SparkSpec {
       s"mass $total vs ${PageRank.Scale}")
   }
 
+  test("pagerank: directed input keeps nodes = sources; symmetric flag is a no-op on results") {
+    // dst=3 never appears as src → not a node: its contributions were
+    // dropped by the old per-round left join and must still be dropped
+    // by the build-time edge restriction that replaced it
+    val directed = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val out = PageRank.ranks(directed, 3).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // on an actually-symmetric graph the declared-symmetric fast path
+    // (no edge restriction) is bit-identical
+    val sym = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = PageRank.ranks(sym, 4).orderBy("id").collect().toSeq
+    val b = PageRank.ranks(sym, 4, symmetric = true).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("pagerank: empty edge input returns an empty frame, not a divide-by-zero") {
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")
     val out = PageRank.ranks(none, 3)
