@@ -63,7 +63,10 @@ object Betweenness {
       p
     }
     var layers = Vector(pin(f0))
-    var visited = pin(f0.select(col("seed"), col("node")))
+    // visited is the union of the already-pinned layers — re-pinning the
+    // cumulative union wrote every prior layer's rows to cache again per
+    // level (O(depth²) cache writes) for a frame each level reads once
+    var visited = f0.select(col("seed"), col("node"))
     for (_ <- 1 to depth) {
       val expand = layers.last.join(eS, col("node") === col("src"))
         .select(col("seed"), col("dst").as("nxt"), col("sigma"))
@@ -75,31 +78,35 @@ object Betweenness {
         .select(col("seed"), col("nxt").as("node"), col("sigma"))
       val p = pin(layer)
       layers :+= p
-      visited = pin(visited.unionByName(p.select(col("seed"), col("node"))))
+      visited = visited.unionByName(p.select(col("seed"), col("node")))
     }
     // backward: ppm dependency accumulation, deepest layer first. Stops
     // at layer 1 — δ_0 lands on the seed's own row, which Brandes
     // excludes from the centrality sum, so it's never computed.
+    // δ rides WITH its layer's σ (the forward layers are unique per
+    // (seed, node), so σ is a constant of each group and max() recovers
+    // it), killing the former per-layer join that re-attached σ; and one
+    // zero row per (seed, node) rides the layer aggregate instead of the
+    // former per-layer `layers(l) LEFT JOIN contrib` (sum + 0 is exact,
+    // s never null — the PageRank zero-union round shape, guide §2.4).
     var delta = layers(depth).select(col("seed"), col("node"),
-      lit(0L).as("delta"))
-    var acc = delta
+      col("sigma"), lit(0L).as("delta"))
+    var acc = delta.select(col("seed"), col("node"), col("delta"))
     for (l <- (depth - 1) to 1 by -1) {
-      val next = layers(l + 1).join(delta
-          .withColumnRenamed("node", "nd").withColumnRenamed("seed", "sd"),
-          col("node") === col("nd") && col("seed") === col("sd"))
-        .select(col("seed"), col("node").as("wnode"),
-          col("sigma").as("wsigma"), col("delta").as("wdelta"))
       val contrib = layers(l).join(eS, col("node") === col("src"))
-        .join(next.withColumnRenamed("wnode", "dst"), Seq("seed", "dst"))
-        .select(col("seed"), col("node"),
+        .join(delta.select(col("seed"), col("node").as("dst"),
+            col("sigma").as("wsigma"), col("delta").as("wdelta")),
+          Seq("seed", "dst"))
+        .select(col("seed"), col("node"), col("sigma"),
           expr(s"CAST(sigma AS DECIMAL(38,0)) * ($Ppm + wdelta) div wsigma")
             .as("c"))
-        .groupBy(col("seed"), col("node")).agg(sum("c").as("s"))
-      delta = layers(l)
-        .join(contrib, Seq("seed", "node"), "left")
-        .select(col("seed"), col("node"),
-          coalesce(col("s"), lit(0L)).cast("long").as("delta"))
-      acc = acc.unionByName(delta)
+      delta = contrib
+        .unionByName(layers(l).select(col("seed"), col("node"),
+          col("sigma"), lit(0L).as("c")))
+        .groupBy(col("seed"), col("node"))
+        .agg(max("sigma").as("sigma"), sum("c").cast("long").as("delta"))
+      acc = acc.unionByName(delta.select(col("seed"), col("node"),
+        col("delta")))
     }
     // bc: sum the per-seed dependencies over layers 1..depth (delta_0 is
     // the seed's own row — excluded, per Brandes)

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Round-21 probe: the full pre-freeze betweenness plan under the old
+  * (per-layer next-join + left-join) and new (σ-carrying zero-union)
+  * backward shapes — the plan evidence for plans/r21.
+  */
+object BtwProbe {
+  val Ppm = 1000000L
+
+  private def bcPlan(edges: DataFrame, seeds: Seq[Long], depth: Int,
+                     newShape: Boolean): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
+    val eS = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    val f0 = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+    var layers = Vector(f0.persist(StorageLevel.MEMORY_AND_DISK))
+    var visited = f0.select(col("seed"), col("node"))
+    for (_ <- 1 to depth) {
+      val expand = layers.last.join(eS, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("nxt"), col("sigma"))
+      val layer = expand
+        .join(visited.withColumnRenamed("node", "nxt"), Seq("seed", "nxt"), "left_anti")
+        .groupBy(col("seed"), col("nxt")).agg(sum("sigma").as("sigma"))
+        .select(col("seed"), col("nxt").as("node"), col("sigma"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      layers :+= layer
+      visited = visited.unionByName(layer.select(col("seed"), col("node")))
+    }
+    var acc: DataFrame = null
+    if (newShape) {
+      var delta = layers(depth).select(col("seed"), col("node"),
+        col("sigma"), lit(0L).as("delta"))
+      acc = delta.select(col("seed"), col("node"), col("delta"))
+      for (l <- (depth - 1) to 1 by -1) {
+        val contrib = layers(l).join(eS, col("node") === col("src"))
+          .join(delta.select(col("seed"), col("node").as("dst"),
+              col("sigma").as("wsigma"), col("delta").as("wdelta")),
+            Seq("seed", "dst"))
+          .select(col("seed"), col("node"), col("sigma"),
+            expr(s"CAST(sigma AS DECIMAL(38,0)) * ($Ppm + wdelta) div wsigma").as("c"))
+        delta = contrib
+          .unionByName(layers(l).select(col("seed"), col("node"),
+            col("sigma"), lit(0L).as("c")))
+          .groupBy(col("seed"), col("node"))
+          .agg(max("sigma").as("sigma"), sum("c").cast("long").as("delta"))
+        acc = acc.unionByName(delta.select(col("seed"), col("node"), col("delta")))
+      }
+    } else {
+      var delta = layers(depth).select(col("seed"), col("node"), lit(0L).as("delta"))
+      acc = delta
+      for (l <- (depth - 1) to 1 by -1) {
+        val next = layers(l + 1).join(delta
+            .withColumnRenamed("node", "nd").withColumnRenamed("seed", "sd"),
+            col("node") === col("nd") && col("seed") === col("sd"))
+          .select(col("seed"), col("node").as("wnode"),
+            col("sigma").as("wsigma"), col("delta").as("wdelta"))
+        val contrib = layers(l).join(eS, col("node") === col("src"))
+          .join(next.withColumnRenamed("wnode", "dst"), Seq("seed", "dst"))
+          .select(col("seed"), col("node"),
+            expr(s"CAST(sigma AS DECIMAL(38,0)) * ($Ppm + wdelta) div wsigma").as("c"))
+          .groupBy(col("seed"), col("node")).agg(sum("c").as("s"))
+        delta = layers(l)
+          .join(contrib, Seq("seed", "node"), "left")
+          .select(col("seed"), col("node"),
+            coalesce(col("s"), lit(0L)).cast("long").as("delta"))
+        acc = acc.unionByName(delta)
+      }
+    }
+    acc.groupBy(col("node")).agg(sum("delta").as("bc_ppm"))
+      .select(col("node").as("node_id"), col("bc_ppm"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val shape = if (args.length > 1) args(1) else "new"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    val b = li.select((col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val edges = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = edges.select(col("src").cast("long"))
+      .filter(col("src") % 97 === 0).distinct()
+      .orderBy(col("src")).limit(12).collect().map(_.getLong(0)).toSeq
+    val bc = bcPlan(edges, seeds, 3, shape == "new")
+    println(s"======== betweenness pre-freeze plan ($shape backward shape) ========")
+    println(bc.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    spark.stop()
+  }
+}
