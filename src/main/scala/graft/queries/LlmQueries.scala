@@ -2948,9 +2948,16 @@ object LlmQueries {
         val gated = withLang.join(broadcast(thr), Seq("lang"))
           .filter(col("n_words") >= col("thr"))
           .select(col("doc_id"), col("lang"), col("n_words"))
-        // 5. weighted sample (quality-proportional, deterministic A-ES)
+        // 5. weighted sample (quality-proportional, deterministic A-ES).
+        // Frozen: the shuffle's GlobalRank runs THREE actions
+        // (approx-quantile split points, per-range counts, the ranking
+        // pass) and each re-executed the whole keep-best + gate +
+        // top-k chain over the frozen corpus (~1 s per pass at sf0.1,
+        // PipeProbe r21) — the sample is k rows, so pinning it is
+        // metadata-scale while the recompute it kills is corpus-scale.
         val sampled = Sampling.weightedSample(gated, col("doc_id"),
           col("n_words"), PipelineV2K)
+          .transform(graft.core.Freeze.apply)
         // 6. seeded shuffle → contiguous training positions
         Sampling.seededShuffle(sampled, col("doc_id"), PipelineV2Seed)
           .select(col("doc_id"), col("lang"), col("n_words"),

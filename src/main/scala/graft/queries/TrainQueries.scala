@@ -2059,9 +2059,16 @@ object TrainQueries {
     // (GlobalRank — approxQuantile range ids + per-range offsets), NOT
     // a single-partition window: the q_corpus_shuffle/q_sort_global
     // scale shape.
+    // The scored frame is FROZEN before ranking: GlobalRank runs three
+    // actions (split points, range counts, ranking pass) and each
+    // re-executed the exploded-token LM scoring — whose job-scoped
+    // token cache releases after the FIRST of them, so passes 2-3
+    // recomputed the join uncached (PipeProbe r21). The frame is one
+    // narrow row per doc — metadata-scale to pin.
     Q("q_corpus_curriculum",
       (s, d) => graft.operators.GlobalRank.withGlobalRowNumber(
-          pplScores(s, d), "nll6", Seq("doc_id"), "position")._1
+          pplScores(s, d).transform(graft.core.Freeze.apply),
+          "nll6", Seq("doc_id"), "position")._1
         .select(col("doc_id"), col("lang"), col("nll6"),
           col("position").cast("long").as("position")),
       Some(s"""WITH $duckPplCtes
@@ -2078,8 +2085,12 @@ object TrainQueries {
     // pure arithmetic on the rank.
     Q("q_batch_by_length",
       (s, d) => {
+        // frozen for the same reason as q_corpus_curriculum: three
+        // GlobalRank actions would each re-tokenize the corpus for a
+        // two-long-column frame
         val docs = t(s, d, "documents").select(col("doc_id"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"))
+          .transform(graft.core.Freeze.apply)
         graft.operators.GlobalRank.withGlobalRowNumber(
             docs, "n_words", Seq("doc_id"), "rn")._1
           .select(col("doc_id"), col("n_words"),

@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Bloom, Dedup, Tokenizer}
+import graft.queries.IngestStages
+
+/** Round-21 seam profiler for the composed pipelines: times every
+  * action/freeze seam of q_pipeline_ingest_v2 and q_pipeline_llm_v2
+  * separately (the VERDICT item-5 per-seam numbers).
+  */
+object PipeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    // warm at sf0.001
+    graft.SparkEntry.queries("q_pipeline_ingest_v2")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    graft.SparkEntry.queries("q_pipeline_llm_v2")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+
+    println("==== q_pipeline_ingest_v2 seams ====")
+    locally {
+      val d = sfDir
+      val docs = Tables.ensureParallelism(Tables.load(spark, d, "documents"))
+      val benchmark = docs.filter(col("doc_id") < 10)
+      val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0)
+      val seen = Dedup.contentHashes(corpus, "text", "doc_id")
+        .select(col("h")).distinct()
+      val bloom = Bloom.build(seen, IngestStages.BloomP)
+      val thr = corpus
+        .select(col("lang"), TextFunctions.nWords(col("text")).as("n_words"))
+        .groupBy("lang").agg(expr("percentile(n_words, 0.25)").as("thr"))
+      val nIdx = timed("corpus.count (index guard)")(corpus.count() * Dedup.BANDS)
+      val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
+      // applyClean internals, seam by seam
+      val fresh = graft.core.CacheScope.autoRelease(batch.join(
+        Bloom.dedupWithBloom(
+          batch, seen, bloom, "text", "doc_id", IngestStages.BloomP).select("doc_id"),
+        "doc_id"))
+      val nearLinks = Dedup.nearDupsAgainstIndex(fresh, "text", "doc_id",
+        ndIdx, ndSh, graft.queries.LlmQueries.NearDupJaccard,
+        knownIndexRows = Some(nIdx))
+      val unique = timed("freeze(unique): bloom dedup + near-dup gate execute") {
+        fresh.join(
+          nearLinks.select(col("new_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+          .transform(graft.core.Freeze.apply)
+      }
+      val clean = timed("freeze(clean): span decontam executes") {
+        graft.core.Freeze(Dedup.removeBenchmarkSpans(
+          unique, "text", "doc_id", benchmark, "text",
+          graft.queries.LlmQueries.DecontamW))
+      }
+      val gated = clean
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.nWords(col("clean_text")).as("n_words"))
+        .join(broadcast(thr), Seq("lang"))
+        .filter(col("n_words") >= col("thr"))
+        .select(col("doc_id"), col("lang"), col("n_words"))
+      val (uni, total, big, merges) = timed("publishLmBpe (wordTable freeze + K rounds)") {
+        IngestStages.publishLmBpe(corpus)
+      }
+      timed("applyLmBpe final sink") {
+        IngestStages.applyLmBpe(clean, gated, uni, total, big, merges)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    println("==== q_pipeline_llm_v2 seams ====")
+    locally {
+      import graft.queries.{LlmQueries => LQ}
+      val docs = Tables.ensureParallelism(Tables.load(spark, sfDir, "documents"))
+      val cut = timed("removeRepeatedSpans (plan build)") {
+        Dedup.removeRepeatedSpans(docs, "text", "doc_id", LQ.SubstringW)
+      }
+      val clean = Dedup.removeBenchmarkSpans(
+        cut.filter(col("doc_id") >= 10), "clean_text", "doc_id",
+        docs.filter(col("doc_id") < 10), "text", LQ.DecontamW)
+      val nonEmpty = timed("freeze(nonEmpty) — cut+decontam executes here") {
+        clean.filter(TextFunctions.nWords(col("clean_text")) >= LQ.PipelineV2MinWords)
+          .transform(graft.core.Freeze.apply)
+      }
+      val pairs = timed("minhashNearDups (plan)") {
+        Dedup.minhashNearDups(nonEmpty, "clean_text", "doc_id", LQ.NearDupJaccard)
+          .select("id1", "id2")
+      }
+      val cc = timed("Connected.components (actions inside)") {
+        graft.operators.Connected.components(pairs)
+      }
+      val scored = nonEmpty.select(col("doc_id"),
+        TextFunctions.nWords(col("clean_text")).as("n_words"))
+      val keep = cc.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max_by(col("doc_id"),
+          struct(col("n_words"), (lit(0L) - col("doc_id")))).as("keep_id"))
+      val losers = cc.join(keep, "cluster_id")
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"))
+      val kept = scored.join(losers, Seq("doc_id"), "left_anti")
+      val withLang = kept.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val thr = withLang.groupBy("lang")
+        .agg(expr("percentile(n_words, 0.25)").as("thr"))
+      val gated = withLang.join(broadcast(thr), Seq("lang"))
+        .filter(col("n_words") >= col("thr"))
+        .select(col("doc_id"), col("lang"), col("n_words"))
+      val sampled = timed("weightedSample (GlobalRank actions)") {
+        graft.operators.Sampling.weightedSample(gated, col("doc_id"),
+          col("n_words"), LQ.PipelineV2K)
+      }
+      timed("seededShuffle + sink") {
+        graft.operators.Sampling.seededShuffle(sampled, col("doc_id"), LQ.PipelineV2Seed)
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            col("position").cast("long").as("position"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val _ = LQ
+    }
+    spark.stop()
+  }
+}
