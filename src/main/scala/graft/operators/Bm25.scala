@@ -90,10 +90,21 @@ object Bm25 {
     * consumed 3× below) BEFORE calling topK would see its one-shot
     * release listener fire on the guard count, silently defeating the
     * job-scoped persist. Count first, then register persists. */
+  /** `termCount = true` appends `n_terms` — the number of DISTINCT query
+    * terms the candidate shares — computed for free inside the scoring
+    * aggregate: the scoring join's rows are unique per (query, term,
+    * doc) (the query-term table is array_distinct per query; postings
+    * are unique per (term, doc) by construction), so count(1) over the
+    * (query, doc) group IS countDistinct(term). The retrieval-eval
+    * entries' graded relevance used to re-derive this with a second
+    * postings pass, two more broadcasts and a join per query (round-21
+    * optimization). Default false keeps the published topk schema and
+    * plan byte-identical. */
   def topK(queries: DataFrame, textCol: String, idCol: String,
            post: DataFrame, k: Int,
            maxQueryRows: Long = Similarity.MaxQueryRows,
-           knownQueryRows: Option[Long] = None): DataFrame = {
+           knownQueryRows: Option[Long] = None,
+           termCount: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // same broadcast guard as the ANN/MMR family: the query-term table
     // is broadcast into the postings join, so refuse past the bound
@@ -107,15 +118,22 @@ object Bm25 {
     val qt = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col(textCol))))
         .as("term"))
+    val aggs =
+      if (termCount) Seq(round(sum(contrib), 6).as("score6"),
+        count(lit(1)).as("n_terms"))
+      else Seq(round(sum(contrib), 6).as("score6"))
     val scored = broadcast(qt).join(post, "term")
       .join(dfTable(post), "term")
       .crossJoin(broadcast(stats(post)))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum(contrib), 6).as("score6"))
+      .agg(aggs.head, aggs.tail: _*)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score6").desc, col("doc_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("doc_id"), col("rn").cast("int").as("rnk"),
-        col("score6"))
+    val base = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val outCols = Seq(col("query_id"), col("doc_id"),
+      col("rn").cast("int").as("rnk"), col("score6")) ++
+      (if (termCount) Seq(col("n_terms")) else Nil)
+    base.select(outCols: _*)
   }
 }

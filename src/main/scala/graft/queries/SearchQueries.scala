@@ -220,17 +220,14 @@ object SearchQueries {
         val qCnt = qs.count() // guard count BEFORE the CacheScope persist
         val post = graft.core.CacheScope.autoRelease(Bm25.postings(
           docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
-        val top = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
-          knownQueryRows = Some(qCnt))
-          .select(col("query_id"), col("doc_id"), col("rnk"))
-        val qt = qs.select(col("doc_id").as("query_id"),
-          explode(array_distinct(TextFunctions.tokens(col("text"))))
-            .as("term"))
-        val rel = broadcast(top)
-          .join(post.select(col("doc_id"), col("term")), "doc_id")
-          .join(broadcast(qt), Seq("query_id", "term"))
-          .groupBy("query_id", "doc_id", "rnk")
-          .agg(least(countDistinct("term"), lit(3L)).as("rel"))
+        // graded relevance comes out of the scoring aggregate itself
+        // (topK termCount: count(1) over the (query, doc) group ==
+        // countDistinct(term) there) — the former second postings pass +
+        // two broadcasts + join per query are gone (round-21, guide §2.4)
+        val rel = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt), termCount = true)
+          .select(col("query_id"), col("doc_id"), col("rnk"),
+            least(col("n_terms"), lit(3L)).as("rel"))
         def gain(r: org.apache.spark.sql.Column) =
           round((pow(lit(2.0), col("rel")) - 1.0)
             / log2(r.cast("double") + 1.0) * 1e9).cast("long")
@@ -305,17 +302,11 @@ object SearchQueries {
         val qCnt = qs.count()
         val post = graft.core.CacheScope.autoRelease(Bm25.postings(
           docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
-        val top = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
-          knownQueryRows = Some(qCnt))
-          .select(col("query_id"), col("doc_id"), col("rnk"))
-        val qt = qs.select(col("doc_id").as("query_id"),
-          explode(array_distinct(TextFunctions.tokens(col("text"))))
-            .as("term"))
-        val rel = broadcast(top)
-          .join(post.select(col("doc_id"), col("term")), "doc_id")
-          .join(broadcast(qt), Seq("query_id", "term"))
-          .groupBy("query_id", "doc_id", "rnk")
-          .agg(least(countDistinct("term"), lit(3L)).as("rel"))
+        // same in-aggregate graded relevance as q_eval_ndcg (round-21)
+        val rel = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+          knownQueryRows = Some(qCnt), termCount = true)
+          .select(col("query_id"), col("doc_id"), col("rnk"),
+            least(col("n_terms"), lit(3L)).as("rel"))
         rel.groupBy("query_id")
           .agg(sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("n_rel"),
             coalesce(min(when(col("rel") >= 2, col("rnk"))), lit(0))
@@ -383,17 +374,14 @@ object SearchQueries {
         val qCnt = qs.count()
         val post = graft.core.CacheScope.autoRelease(Bm25.postings(
           docs.filter(col("doc_id") >= QMax), "text", "doc_id"))
-        val top = Bm25.topK(qs, "text", "doc_id", post, Bm25K,
-          knownQueryRows = Some(qCnt))
-          .select(col("query_id"), col("doc_id"), col("rnk"))
-        val qt = qs.select(col("doc_id").as("query_id"),
-          explode(array_distinct(TextFunctions.tokens(col("text"))))
-            .as("term"))
-        val rel = graft.core.CacheScope.autoRelease(broadcast(top)
-          .join(post.select(col("doc_id"), col("term")), "doc_id")
-          .join(broadcast(qt), Seq("query_id", "term"))
-          .groupBy("query_id", "doc_id", "rnk")
-          .agg(least(countDistinct("term"), lit(3L)).as("rel")))
+        // same in-aggregate graded relevance as q_eval_ndcg (round-21);
+        // still job-scope-persisted: referenced by the AP aggregate AND
+        // the distinct-query left side below
+        val rel = graft.core.CacheScope.autoRelease(
+          Bm25.topK(qs, "text", "doc_id", post, Bm25K,
+            knownQueryRows = Some(qCnt), termCount = true)
+          .select(col("query_id"), col("doc_id"), col("rnk"),
+            least(col("n_terms"), lit(3L)).as("rel")))
         val wq = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy("rnk")
         val ap = rel.filter(col("rel") >= 2)

@@ -82,6 +82,52 @@ object PipeProbe {
       }
     }
 
+    println("==== q_pipeline_ingest_v2 MERGED-FREEZE variant ====")
+    locally {
+      val d = sfDir
+      val docs = Tables.ensureParallelism(Tables.load(spark, d, "documents"))
+      val benchmark = docs.filter(col("doc_id") < 10)
+      val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") >= 10 && col("doc_id") % 5 === 0)
+      val seen = Dedup.contentHashes(corpus, "text", "doc_id")
+        .select(col("h")).distinct()
+      val bloom = Bloom.build(seen, IngestStages.BloomP)
+      val thr = corpus
+        .select(col("lang"), TextFunctions.nWords(col("text")).as("n_words"))
+        .groupBy("lang").agg(expr("percentile(n_words, 0.25)").as("thr"))
+      val nIdx = timed("m: corpus.count")(corpus.count() * Dedup.BANDS)
+      val (ndIdx, ndSh) = Dedup.minhashIndexArtifacts(corpus, "text", "doc_id")
+      val fresh = graft.core.CacheScope.autoRelease(batch.join(
+        Bloom.dedupWithBloom(
+          batch, seen, bloom, "text", "doc_id", IngestStages.BloomP).select("doc_id"),
+        "doc_id"))
+      val nearLinks = Dedup.nearDupsAgainstIndex(fresh, "text", "doc_id",
+        ndIdx, ndSh, graft.queries.LlmQueries.NearDupJaccard,
+        knownIndexRows = Some(nIdx))
+      val unique = fresh.join(
+        nearLinks.select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val clean = timed("m: SINGLE freeze(clean): dedup+neardup+decontam in one job") {
+        graft.core.Freeze(Dedup.removeBenchmarkSpans(
+          unique, "text", "doc_id", benchmark, "text",
+          graft.queries.LlmQueries.DecontamW))
+      }
+      val gated = clean
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.nWords(col("clean_text")).as("n_words"))
+        .join(broadcast(thr), Seq("lang"))
+        .filter(col("n_words") >= col("thr"))
+        .select(col("doc_id"), col("lang"), col("n_words"))
+      val (uni, total, big, merges) = timed("m: publishLmBpe") {
+        IngestStages.publishLmBpe(corpus)
+      }
+      timed("m: applyLmBpe final sink") {
+        IngestStages.applyLmBpe(clean, gated, uni, total, big, merges)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     println("==== q_pipeline_llm_v2 seams ====")
     locally {
       import graft.queries.{LlmQueries => LQ}
